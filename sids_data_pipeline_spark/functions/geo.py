@@ -1,0 +1,179 @@
+"""Pure-numpy geometry kernel: WKB (Multi)Polygon codec, point-in-polygon,
+bbox math, GeoJSON encoding.
+
+This replaces the reference's delegated geometry layer — PostGIS
+``ST_Intersects`` (reference ``pipeline/processing/stats.py:12``) and the
+ogr2ogr geometry normalisation flags ``-makevalid -dim XY -nlt
+PROMOTE_TO_MULTI`` (``pipeline/processing/inputs.py:49-53``). No GDAL/
+shapely dependency: the engine stores geometry as standard WKB
+(little-endian, EPSG:4326) and evaluates containment with a vectorised
+ray-casting kernel inside Arrow-batched pandas UDFs, so the hot path is
+numpy over contiguous arrays, not per-row Python objects.
+
+Semantics (SURVEY.md §7): the default zonal test is *pixel-center in
+polygon* (the rasterstats/GDAL convention). ``all_touched``-style boundary
+inclusivity is approximated by testing cell corners as well.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Iterable, Sequence
+
+import numpy as np
+
+WKB_POLYGON = 3
+WKB_MULTIPOLYGON = 6
+
+Ring = np.ndarray  # (n, 2) float64 closed ring (first == last not required)
+Polygon = list  # [exterior_ring, hole_ring, ...]
+
+
+# --- WKB codec ---------------------------------------------------------------
+
+
+def polygon_wkb(rings: Sequence[Sequence[tuple[float, float]]]) -> bytes:
+    """Encode one polygon (exterior + holes) as little-endian WKB."""
+    out = [struct.pack("<BI", 1, WKB_POLYGON), struct.pack("<I", len(rings))]
+    for ring in rings:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        out.append(struct.pack("<I", len(pts)))
+        for x, y in pts:
+            out.append(struct.pack("<dd", float(x), float(y)))
+    return b"".join(out)
+
+
+def multipolygon_wkb(polygons: Iterable[Sequence[Sequence[tuple[float, float]]]]) -> bytes:
+    """Encode a MultiPolygon as WKB (the engine's canonical geometry type,
+    mirroring the reference's PROMOTE_TO_MULTI import)."""
+    polys = list(polygons)
+    out = [struct.pack("<BI", 1, WKB_MULTIPOLYGON), struct.pack("<I", len(polys))]
+    for poly in polys:
+        out.append(polygon_wkb(poly))
+    return b"".join(out)
+
+
+def box_wkb(xmin: float, ymin: float, xmax: float, ymax: float) -> bytes:
+    """Axis-aligned rectangle as MultiPolygon WKB."""
+    return multipolygon_wkb(
+        [[[(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax), (xmin, ymin)]]]
+    )
+
+
+def _parse_ring(buf: memoryview, off: int) -> tuple[Ring, int]:
+    (n,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    ring = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
+    return ring, off + 16 * n
+
+
+def _parse_polygon_body(buf: memoryview, off: int) -> tuple[Polygon, int]:
+    (nrings,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    rings = []
+    for _ in range(nrings):
+        ring, off = _parse_ring(buf, off)
+        rings.append(ring)
+    return rings, off
+
+
+def parse_wkb(wkb: bytes) -> list[Polygon]:
+    """Parse WKB Polygon or MultiPolygon → list of polygons
+    (each a list of (n,2) numpy rings, exterior first)."""
+    buf = memoryview(wkb)
+    byte_order, geom_type = struct.unpack_from("<BI", buf, 0)
+    if byte_order != 1:
+        raise ValueError("only little-endian WKB supported")
+    geom_type &= 0xFF  # strip Z/M/SRID flag bits
+    if geom_type == WKB_POLYGON:
+        poly, _ = _parse_polygon_body(buf, 5)
+        return [poly]
+    if geom_type == WKB_MULTIPOLYGON:
+        (n,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        polys = []
+        for _ in range(n):
+            bo, gt = struct.unpack_from("<BI", buf, off)
+            if bo != 1 or (gt & 0xFF) != WKB_POLYGON:
+                raise ValueError("malformed MultiPolygon member")
+            poly, off = _parse_polygon_body(buf, off + 5)
+            polys.append(poly)
+        return polys
+    raise ValueError(f"unsupported WKB geometry type {geom_type}")
+
+
+# --- containment kernel ------------------------------------------------------
+
+
+def _ring_crossings(ring: Ring, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Vectorised ray-casting: for each point, count crossings of a
+    rightward ray with the ring edges. Returns boolean parity array."""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    inside = np.zeros(px.shape[0], dtype=bool)
+    # Edge loop is over ring vertices (small); point arithmetic is the
+    # vectorised axis (large) — the right orientation for zonal stats where
+    # polygons have tens of vertices and pixel batches have millions.
+    for i in range(x0.shape[0]):
+        cond = (y0[i] > py) != (y1[i] > py)
+        if not cond.any():
+            continue
+        xint = (x1[i] - x0[i]) * (py - y0[i]) / (y1[i] - y0[i]) + x0[i]
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def points_in_polygons(
+    polys: list[Polygon], px: np.ndarray, py: np.ndarray
+) -> np.ndarray:
+    """Even-odd containment of points in a (Multi)Polygon. Points exactly on
+    a boundary follow ray-casting parity (matches the pixel-center
+    convention's tie-handling; fixtures avoid exact-boundary centers)."""
+    px = np.ascontiguousarray(px, dtype=np.float64)
+    py = np.ascontiguousarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for poly in polys:
+        acc = np.zeros(px.shape[0], dtype=bool)
+        for ring in poly:
+            if len(ring) >= 4:
+                acc ^= _ring_crossings(np.asarray(ring, dtype=np.float64), px, py)
+        inside |= acc
+    return inside
+
+
+def wkb_bbox(wkb: bytes) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of a WKB (Multi)Polygon — used to build the
+    coarse grid keys for the filter-and-refine spatial join."""
+    polys = parse_wkb(wkb)
+    exts = [np.asarray(poly[0]) for poly in polys if poly]
+    allpts = np.vstack(exts)
+    return (
+        float(allpts[:, 0].min()),
+        float(allpts[:, 1].min()),
+        float(allpts[:, 0].max()),
+        float(allpts[:, 1].max()),
+    )
+
+
+def wkb_to_geojson_geometry(wkb: bytes) -> dict:
+    """WKB → GeoJSON MultiPolygon geometry dict (for the GeoJSONL sink,
+    reference ogr2ogr GeoJSONSeq export, pipeline/processing/vector.py:29-37)."""
+    polys = parse_wkb(wkb)
+    coords = [
+        [[[float(x), float(y)] for x, y in ring] for ring in poly] for poly in polys
+    ]
+    return {"type": "MultiPolygon", "coordinates": coords}
+
+
+def geojson_feature(wkb: bytes, properties: dict) -> str:
+    """One compact GeoJSON feature line (reference writes compact JSON,
+    pipeline/processing/utils.py:17-19)."""
+    feat = {
+        "type": "Feature",
+        "geometry": wkb_to_geojson_geometry(wkb),
+        "properties": properties,
+    }
+    return json.dumps(feat, separators=(",", ":"), sort_keys=True)

@@ -1,0 +1,179 @@
+"""Zonal statistics — the engine's signature operator.
+
+Re-expresses the reference's semantic core (reference
+``pipeline/processing/stats.py:5-18``):
+
+    SELECT a.fid, AVG(b.val) AS mean
+    FROM {vector} a LEFT JOIN {raster} b ON ST_Intersects(a.geom, b.geom)
+    GROUP BY a.fid ORDER BY a.fid
+
+as a Spark plan: spatial filter-and-refine join → groupBy aggregation →
+left join back to zones (NULL mean for zones with no pixels — LEFT-join
+semantics of stats.py:11) → orderBy (stats.py:17).
+
+Two join strategies, equal by construction (property-tested):
+
+- ``how="broadcast"`` — zones are dimension-sized (admin boundaries; the
+  reference broadcasts them implicitly by importing vectors once and
+  streaming rasters past them, ``pipeline/processing/__main__.py:13-23``).
+  Pixels join the broadcast zone bbox table on a range predicate, then an
+  Arrow-batched numpy point-in-polygon kernel refines. No shuffle of the
+  pixel table at all until the (tiny) per-fid aggregate.
+
+- ``how="grid"`` — the 100 TB path when zones are also large. Each pixel
+  gets a coarse grid-cell key; each zone explodes to the cells its bbox
+  covers; the join is a plain equi-join on the cell key, which Catalyst
+  executes as a shuffled hash join with AQE skew splitting — the Spark
+  analogue of the reference's GIST index probe
+  (``pipeline/processing/inputs.py:16``). Aggregation is two-level
+  (partial per cell, final per fid) and pixels shuffle once.
+
+Semantics (SURVEY.md §7): pixel-weighted statistics with the pixel-center
+containment convention (rasterstats/GDAL standard), diverging deliberately
+from the reference's ST_DumpAsPolygons region weighting; NULL pixels
+(nodata) are ignored by the aggregates, zones intersecting nothing keep a
+NULL stat.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+from sids_data_pipeline_spark.functions import geo
+
+SUPPORTED_STATS = ("mean", "count", "sum", "min", "max", "stddev")
+
+_STAT_EXPRS = {
+    "mean": lambda: F.avg("val"),
+    "count": lambda: F.count("val"),
+    "sum": lambda: F.sum("val"),
+    "min": lambda: F.min("val"),
+    "max": lambda: F.max("val"),
+    "stddev": lambda: F.stddev("val"),
+}
+
+
+@F.pandas_udf(BooleanType())
+def _contains_udf(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Exact point-in-polygon refinement, vectorised per distinct geometry.
+
+    Each Arrow batch typically holds few distinct zones × many pixels, so
+    we parse every WKB once and run the numpy ray-casting kernel on the
+    contiguous slice of pixels that carries it — the Spark equivalent of
+    PostGIS evaluating ST_Intersects inside an index nested loop.
+    """
+    out = np.zeros(len(wkb), dtype=bool)
+    lon_v = lon.to_numpy(dtype=np.float64)
+    lat_v = lat.to_numpy(dtype=np.float64)
+    codes, uniques = pd.factorize(wkb)
+    for gi, gwkb in enumerate(uniques):
+        mask = codes == gi
+        polys = geo.parse_wkb(bytes(gwkb))
+        out[mask] = geo.points_in_polygons(polys, lon_v[mask], lat_v[mask])
+    return pd.Series(out)
+
+
+def _zone_bboxes(zones: DataFrame) -> DataFrame:
+    """Attach bbox columns to zones (computed once, distributed)."""
+
+    @F.pandas_udf("xmin double, ymin double, xmax double, ymax double")
+    def bbox_udf(wkb: pd.Series) -> pd.DataFrame:
+        rows = [geo.wkb_bbox(bytes(b)) for b in wkb]
+        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+    return zones.withColumn("bbox", bbox_udf("geometry")).select(
+        "*", "bbox.*"
+    ).drop("bbox")
+
+
+def spatial_join(
+    zones: DataFrame,
+    pixels: DataFrame,
+    how: str = "broadcast",
+    cell_deg: float = 0.5,
+) -> DataFrame:
+    """Inner spatial join: pixel rows × zone keys where the pixel center
+    falls inside the zone geometry (J1 filter-and-refine). Returns the
+    pixel columns plus (vector_id, fid)."""
+    zb = _zone_bboxes(zones)
+    if how == "broadcast":
+        cond = (
+            F.col("lon").between(F.col("xmin"), F.col("xmax"))
+            & F.col("lat").between(F.col("ymin"), F.col("ymax"))
+        )
+        joined = pixels.join(F.broadcast(zb), cond, "inner")
+    elif how == "grid":
+        cell = float(cell_deg)
+        px = pixels.withColumn(
+            "_cx", F.floor(F.col("lon") / cell).cast("long")
+        ).withColumn("_cy", F.floor(F.col("lat") / cell).cast("long"))
+        # Explode each zone to the grid cells its bbox covers. Zone count ×
+        # covered cells is small relative to pixels; the subsequent join is
+        # a pure equi-join so Catalyst can shuffle-hash it and AQE can split
+        # skewed cells (coastline-dense zones).
+        zc = zb.withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("xmin") / cell).cast("long"),
+                    F.floor(F.col("xmax") / cell).cast("long"),
+                )
+            ),
+        ).withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("ymin") / cell).cast("long"),
+                    F.floor(F.col("ymax") / cell).cast("long"),
+                )
+            ),
+        )
+        joined = px.join(zc, ["_cx", "_cy"], "inner").filter(
+            F.col("lon").between(F.col("xmin"), F.col("xmax"))
+            & F.col("lat").between(F.col("ymin"), F.col("ymax"))
+        )
+    else:
+        raise ValueError(f"how must be 'broadcast' or 'grid', got {how!r}")
+
+    refined = joined.filter(_contains_udf("geometry", "lon", "lat"))
+    return refined.drop("xmin", "ymin", "xmax", "ymax", "_cx", "_cy")
+
+
+def zonal_stats(
+    zones: DataFrame,
+    pixels: DataFrame,
+    stats: Sequence[str] = ("mean",),
+    how: str = "broadcast",
+    cell_deg: float = 0.5,
+    keep_attrs: Iterable[str] = (),
+) -> DataFrame:
+    """Zonal statistics per (vector_id, raster_id, fid).
+
+    Natural superset of the reference (which computes only AVG,
+    stats.py:14): any subset of SUPPORTED_STATS. Output is left-joined back
+    to the zone list so empty zones appear with NULL stats, ordered by key
+    (stats.py:17 ORDER BY).
+    """
+    for s in stats:
+        if s not in _STAT_EXPRS:
+            raise ValueError(f"unsupported stat {s!r}; choose from {SUPPORTED_STATS}")
+
+    matched = spatial_join(zones, pixels, how=how, cell_deg=cell_deg)
+    aggs: list[Column] = [_STAT_EXPRS[s]().alias(s) for s in stats]
+    per_zone = matched.groupBy("vector_id", "raster_id", "fid").agg(*aggs)
+
+    # Re-attach to the full zone x raster universe (J2 equi left join,
+    # reference vector.py:9-12) so zones with no intersecting pixels
+    # surface with NULLs. raster list is tiny → broadcast cross join.
+    rasters = pixels.select("raster_id").distinct()
+    universe = zones.select("vector_id", "fid", *keep_attrs).crossJoin(
+        F.broadcast(rasters)
+    )
+    out = universe.join(per_zone, ["vector_id", "raster_id", "fid"], "left")
+    return out.orderBy("vector_id", "raster_id", "fid")

@@ -1,0 +1,152 @@
+"""Raster source: GeoTIFF → long-format pixel DataFrame.
+
+The reference ingests rasters with ``raster2pgsql -t 128x128`` into PostGIS
+(``pipeline/processing/inputs.py:23-43``) after standardising them with
+gdalwarp/gdal_translate (``batch/processing/raster.py:20-38``). The engine's
+canonical raster form is a Parquet pixel table (schemas.PIXELS) partitioned
+by ``raster_id``; at 100 TB the table additionally partitions on a coarse
+lat/lon grid so spatial predicates prune whole files.
+
+Real GeoTIFF decode needs rasterio/GDAL, which this container does not
+ship; ``ingest_geotiff`` is therefore a clearly-marked stub that documents
+the exact mapInPandas plumbing, while ``synthetic_raster`` provides the
+deterministic fixtures from FIXTURES.md §B1 used by tests and queries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.schemas import PIXELS
+
+# Reference working extent: lon [-180, 180], lat [-35, 35]
+# (batch/processing/config.py:12-15, README.md:30).
+CLIP_LON = (-180.0, 180.0)
+CLIP_LAT = (-35.0, 35.0)
+
+# Fixture grid (FIXTURES.md §B1): 64x64 pixels over lon/lat [0, 6.4],
+# 0.1 deg/pixel, centers at 0.05 + 0.1*i.
+GRID_N = 64
+PIXEL_DEG = 0.1
+
+
+def synthetic_raster(spark: SparkSession, raster_id: str) -> DataFrame:
+    """Deterministic fixture rasters, generated distributed via spark.range
+    (never driver-side materialised — the same code path scales to any N).
+
+    - ``rast_gradient``: val = x + 64*y (all-distinct values)
+    - ``rast_checker``:  val = (x+y) % 2 (large equal-valued regions)
+    - ``rast_nodata``:   gradient with NULL where (x*y) % 7 == 0
+    """
+    n = GRID_N
+    df = (
+        spark.range(n * n)
+        .select(
+            F.lit(raster_id).alias("raster_id"),
+            F.lit(1).alias("band"),
+            (F.col("id") / n).cast("int").alias("y"),
+            (F.col("id") % n).cast("int").alias("x"),
+        )
+        .withColumn("lon", (F.col("x") + F.lit(0.5)) * PIXEL_DEG)
+        .withColumn("lat", (F.col("y") + F.lit(0.5)) * PIXEL_DEG)
+    )
+    if raster_id == "rast_gradient":
+        val = (F.col("x") + n * F.col("y")).cast("double")
+    elif raster_id == "rast_checker":
+        val = ((F.col("x") + F.col("y")) % 2).cast("double")
+    elif raster_id == "rast_nodata":
+        val = F.when(
+            (F.col("x") * F.col("y")) % 7 == 0, F.lit(None).cast("double")
+        ).otherwise((F.col("x") + n * F.col("y")).cast("double"))
+    else:
+        raise KeyError(f"unknown fixture raster {raster_id!r}")
+    return df.withColumn("val", val).select([f.name for f in PIXELS.fields])
+
+
+def clip_extent(
+    pixels: DataFrame,
+    lon: tuple[float, float] = CLIP_LON,
+    lat: tuple[float, float] = CLIP_LAT,
+) -> DataFrame:
+    """Spatial clip (reference P5: gdal -projwin / gdalwarp -te,
+    batch/processing/raster.py:27,36). A plain filter: Catalyst pushes it
+    into the Parquet scan (min/max pruning on lon/lat row groups)."""
+    return pixels.filter(
+        F.col("lon").between(*lon) & F.col("lat").between(*lat)
+    )
+
+
+def select_band(pixels: DataFrame, band: int) -> DataFrame:
+    """Band selection (reference P4: gdal_translate -b,
+    batch/processing/raster.py:34) — pushed-down filter on the band column."""
+    return pixels.filter(F.col("band") == band)
+
+
+def ingest_geotiff(
+    spark: SparkSession,
+    paths: list[str],
+    band: int = 1,
+    target_epsg: int = 4326,
+) -> DataFrame:
+    """GeoTIFF → pixel DataFrame via binaryFile + rasterio mapInPandas.
+
+    Plumbing is real and tested with a fake decoder (tests/test_multimodal);
+    the rasterio decode itself is stubbed because GDAL is not in this
+    container. On a cluster:
+
+    1. ``spark.read.format("binaryFile").load(paths)`` — one row per tiff,
+       content as BinaryType (never driver-collected).
+    2. ``mapInPandas(decode)`` where decode opens the bytes with
+       ``rasterio.MemoryFile``, reprojects iff src CRS != target (the
+       reference's P9 branch, batch/processing/raster.py:14-21, becomes a
+       per-file branch inside the UDF), reads ``band``, and yields
+       long-format pixel batches windowed 128 rows at a time — the same
+       chunking the reference picks with ``-t 128x128``.
+    3. Writer partitions by raster_id + coarse grid cell.
+    """
+    raise NotImplementedError(
+        "GeoTIFF decode requires rasterio/GDAL (not in this container); "
+        "see synthetic_raster for the tested fixture path and "
+        "tests/test_multimodal.py for the mapInPandas plumbing pattern."
+    )
+
+
+def standardize_pixels(pixels: DataFrame, band: int = 1) -> DataFrame:
+    """The batch module's standardisation pass (reference
+    batch/processing/raster.py:20-38) as a declarative plan: band select +
+    extent clip. Compression/tiling are storage-layer (ZSTD Parquet,
+    session.py) rather than per-file gdal flags."""
+    return clip_extent(select_band(pixels, band))
+
+
+def numpy_pixels(raster_id: str) -> pd.DataFrame:
+    """Driver-side numpy twin of synthetic_raster — the independent oracle
+    for zonal tests (FIXTURES.md §C), deliberately not sharing Spark code."""
+    n = GRID_N
+    y, x = np.mgrid[0:n, 0:n]
+    y, x = y.ravel(), x.ravel()
+    if raster_id == "rast_gradient":
+        val = (x + n * y).astype("float64")
+    elif raster_id == "rast_checker":
+        val = ((x + y) % 2).astype("float64")
+    elif raster_id == "rast_nodata":
+        val = (x + n * y).astype("float64")
+        val[(x * y) % 7 == 0] = np.nan
+    else:
+        raise KeyError(raster_id)
+    return pd.DataFrame(
+        {
+            "raster_id": raster_id,
+            "band": 1,
+            "y": y.astype("int32"),
+            "x": x.astype("int32"),
+            "lon": (x + 0.5) * PIXEL_DEG,
+            "lat": (y + 0.5) * PIXEL_DEG,
+            "val": val,
+        }
+    )

@@ -1,0 +1,39 @@
+"""Parquet sources for the engine's relational tables.
+
+Spark-side replacement for the reference's source layer: blob listing +
+azcopy staging + CSV manifest reads (reference
+``pipeline/processing/data.py:9-12``, ``batch/processing/utils.py:16-18``,
+``pipeline/processing/utils.py:26-29``). Spark reads the storage URI
+directly (local path here, ``abfss://``/``s3a://`` on a cluster), so the
+staging step disappears; explicit schemas keep scans inference-free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sids_data_pipeline_spark.schemas import TABLE_NAMES, TABLE_SCHEMAS
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one canonical table as a DataFrame with its declared schema."""
+    if name not in TABLE_SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # .schema() on parquet pins column types without disabling predicate
+    # pushdown; mismatches fail loudly instead of silently casting.
+    return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every canonical table; also registers each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,74 @@
+"""Unit tests for the pure-numpy WKB / containment kernel."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sids_data_pipeline_spark.functions import geo
+
+
+def test_wkb_roundtrip_box():
+    wkb = geo.box_wkb(1.0, 2.0, 3.0, 4.0)
+    polys = geo.parse_wkb(wkb)
+    assert len(polys) == 1
+    ring = polys[0][0]
+    assert ring.shape == (5, 2)
+    assert geo.wkb_bbox(wkb) == (1.0, 2.0, 3.0, 4.0)
+
+
+def test_point_in_box():
+    polys = geo.parse_wkb(geo.box_wkb(0.0, 0.0, 2.0, 2.0))
+    px = np.array([1.0, 3.0, -0.5, 1.999])
+    py = np.array([1.0, 1.0, 1.0, 0.001])
+    assert geo.points_in_polygons(polys, px, py).tolist() == [
+        True,
+        False,
+        False,
+        True,
+    ]
+
+
+def test_point_in_triangle_with_hole():
+    wkb = geo.multipolygon_wkb(
+        [
+            [
+                [(0.0, 0.0), (10.0, 0.0), (5.0, 10.0), (0.0, 0.0)],
+                [(4.0, 2.0), (6.0, 2.0), (5.0, 4.0), (4.0, 2.0)],
+            ]
+        ]
+    )
+    polys = geo.parse_wkb(wkb)
+    px = np.array([5.0, 5.0, 0.1, 20.0])
+    py = np.array([1.0, 2.5, 5.0, 5.0])  # inside; in hole; outside; outside
+    assert geo.points_in_polygons(polys, px, py).tolist() == [
+        True,
+        False,
+        False,
+        False,
+    ]
+
+
+def test_multipolygon_two_parts():
+    wkb = geo.multipolygon_wkb(
+        [
+            [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]],
+            [[(5, 5), (6, 5), (6, 6), (5, 6), (5, 5)]],
+        ]
+    )
+    polys = geo.parse_wkb(wkb)
+    px = np.array([0.5, 5.5, 3.0])
+    py = np.array([0.5, 5.5, 3.0])
+    assert geo.points_in_polygons(polys, px, py).tolist() == [True, True, False]
+
+
+def test_geojson_feature_roundtrip():
+    import json
+
+    wkb = geo.box_wkb(0.0, 0.0, 1.0, 1.0)
+    line = geo.geojson_feature(wkb, {"fid": 1, "mean": 2.5})
+    feat = json.loads(line)
+    assert feat["type"] == "Feature"
+    assert feat["properties"] == {"fid": 1, "mean": 2.5}
+    assert feat["geometry"]["type"] == "MultiPolygon"
+    ring = feat["geometry"]["coordinates"][0][0]
+    assert ring[0] == ring[-1]

@@ -1,0 +1,107 @@
+"""Zonal statistics vs an independent numpy mask oracle (FIXTURES.md §C).
+
+The oracle never touches Spark or the engine's geometry kernel beyond WKB
+parsing: containment is recomputed with matplotlib-free pure numpy ray
+casting on the driver, pixel values come from the numpy twin of the
+fixture rasters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sids_data_pipeline_spark.functions import geo
+from sids_data_pipeline_spark.operators.zonal import spatial_join, zonal_stats
+from sids_data_pipeline_spark.sources.raster import numpy_pixels, synthetic_raster
+from sids_data_pipeline_spark.sources.vector import (
+    fixture_zones,
+    fixture_zones_pandas,
+)
+
+RASTERS = ["rast_gradient", "rast_checker", "rast_nodata"]
+VECTORS = ["zones_grid", "zones_overlap"]
+
+
+def oracle_zonal(vector_id: str, raster_id: str) -> pd.DataFrame:
+    pix = numpy_pixels(raster_id)
+    zones = fixture_zones_pandas(vector_id)
+    rows = []
+    for _, z in zones.iterrows():
+        polys = geo.parse_wkb(bytes(z.geometry))
+        inside = geo.points_in_polygons(
+            polys, pix.lon.to_numpy(), pix.lat.to_numpy()
+        )
+        vals = pix.val.to_numpy()[inside]
+        vals = vals[~np.isnan(vals)]
+        rows.append(
+            {
+                "vector_id": vector_id,
+                "raster_id": raster_id,
+                "fid": z.fid,
+                "mean": float(vals.mean()) if vals.size else None,
+                "count": int(vals.size),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("fid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("vector_id", VECTORS)
+@pytest.mark.parametrize("raster_id", RASTERS)
+@pytest.mark.parametrize("how", ["broadcast", "grid"])
+def test_zonal_matches_numpy_oracle(spark, vector_id, raster_id, how):
+    zones = fixture_zones(spark, vector_id)
+    pixels = synthetic_raster(spark, raster_id)
+    got = (
+        zonal_stats(zones, pixels, stats=("mean", "count"), how=how)
+        .toPandas()
+        .sort_values("fid")
+        .reset_index(drop=True)
+    )
+    want = oracle_zonal(vector_id, raster_id)
+    assert got.fid.tolist() == want.fid.tolist()
+    assert got["count"].fillna(0).astype(int).tolist() == want["count"].tolist()
+    for g, w in zip(got["mean"], want["mean"]):
+        if w is None or (isinstance(w, float) and np.isnan(w)):
+            assert g is None or np.isnan(g)
+        else:
+            assert g == pytest.approx(w, abs=1e-9)
+
+
+def test_empty_zone_yields_null_mean(spark):
+    """LEFT-join semantics (reference stats.py:11): offshore zone → NULL."""
+    zones = fixture_zones(spark, "zones_grid")
+    pixels = synthetic_raster(spark, "rast_gradient")
+    out = zonal_stats(zones, pixels).toPandas().set_index("fid")
+    assert pd.isna(out.loc[4, "mean"])
+    assert not pd.isna(out.loc[1, "mean"])
+
+
+def test_broadcast_and_grid_paths_agree_multi_raster(spark):
+    """Property: the two join strategies are the same operator."""
+    zones = fixture_zones(spark, "zones_overlap")
+    pixels = synthetic_raster(spark, "rast_gradient").unionByName(
+        synthetic_raster(spark, "rast_checker")
+    )
+    a = (
+        zonal_stats(zones, pixels, stats=("mean", "count", "sum"), how="broadcast")
+        .toPandas()
+        .sort_values(["vector_id", "raster_id", "fid"])
+        .reset_index(drop=True)
+    )
+    b = (
+        zonal_stats(zones, pixels, stats=("mean", "count", "sum"), how="grid")
+        .toPandas()
+        .sort_values(["vector_id", "raster_id", "fid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_spatial_join_keeps_pixel_columns(spark):
+    zones = fixture_zones(spark, "zones_grid")
+    pixels = synthetic_raster(spark, "rast_gradient")
+    joined = spatial_join(zones, pixels)
+    for c in ["raster_id", "band", "y", "x", "lon", "lat", "val", "vector_id", "fid"]:
+        assert c in joined.columns
