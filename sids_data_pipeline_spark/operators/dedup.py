@@ -1,0 +1,286 @@
+"""Deduplication operators (EXT E1/E2 — SURVEY.md §2b).
+
+The reference's only "dedup" is operational idempotency: skip a work pair
+when its output marker exists (reference ``pipeline/processing/data.py:
+26-40``). A training-data pipeline needs *content* dedup at 100 TB, so the
+engine ships a family of operators, all candidate-restricted (never
+all-pairs):
+
+- :func:`exact_dedup` — content-hash keep-first. One shuffle on the
+  256-bit sha2 digest (uniform keys → no skew), map-side distinct-able.
+- :func:`near_duplicates_minhash` — MinHash signatures + banded LSH:
+  candidate pairs are generated ONLY within equal (band_idx, band_value)
+  buckets (the scale-safe shape), then verified with exact Jaccard over
+  the candidate set. Hashing is the portable md5 family
+  (functions/hashing.py) so the whole pipeline is value-reproducible in
+  the DuckDB oracle.
+- :func:`near_duplicates_ngram` — word n-gram (shingle) Jaccard with
+  rare-shingle blocking: pairs must share a shingle whose document
+  frequency is below ``max_df``, which bounds candidate fan-out the same
+  way an inverted-index blocker does.
+- :func:`near_duplicates_simhash` — 32-bit SimHash with banded blocking
+  (4 × 8-bit chunks; by pigeonhole any pair within Hamming distance 3
+  shares at least one chunk) and exact Hamming verification.
+- :func:`near_duplicates_embedding` — cosine near-dup over embeddings in
+  an exact integer domain (see plans/base.py determinism policy).
+
+Every aggregate/join here is expressed declaratively so Catalyst picks
+shuffled hash joins with AQE skew splitting; nothing collects to the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.functions.hashing import minhash_col, token_hash32
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BANDS = 4
+
+
+def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct lowercase whitespace tokens per document: (id, token)."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Built JVM-side with array higher-order functions (no Python UDF):
+    split → transform over a sliding index sequence → explode.
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    parts = " , ' ' , ".join(f"_w[i + {k}]" for k in range(n))
+    sh = F.expr(
+        f"transform(sequence(0, size(_w) - {n}), i -> concat({parts}))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """E1: keep the first row (lowest ``order_col``) per exact key.
+
+    The window partitions on ``sha2`` of the concatenated key, not the raw
+    (possibly huge) text: the shuffle moves 32-byte digests + row payload
+    once, keys are uniform, and the same plan holds at 100 TB.
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *key_cols), 256)
+    w = Window.partitionBy(digest).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def minhash_signature(
+    tok: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, token_col: str = "token"
+) -> DataFrame:
+    """MinHash signature per doc: one groupBy producing all k min-aggs
+    (single shuffle; partial aggregation makes it map-combined)."""
+    h = token_hash32(token_col)
+    aggs = [F.min(minhash_col(h, i)).alias(f"mh{i}") for i in range(num_hashes)]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Banded LSH: docs collide when one band of their signature matches.
+
+    Signatures unpivot to (doc_id, band_idx, band_val); the self-join is a
+    pure equi-join on (band_idx, band_val) — shuffled hash join, AQE skew
+    split — never a cross join. Returns distinct (id1, id2), id1 < id2.
+    """
+    rows = num_hashes // bands
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', {', '.join(f'mh{b * rows + r}' for r in range(rows))})"
+        for b in range(bands)
+    )
+    banded = sig.select(
+        "doc_id",
+        F.expr(f"stack({bands}, {stack_args}) AS (band_idx, band_val)"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id1"), F.col("r.doc_id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    tok: DataFrame, pairs: DataFrame, token_col: str = "token"
+) -> DataFrame:
+    """Exact Jaccard restricted to candidate pairs:
+    |A∩B| from a pair-scoped token join, |A∪B| = |A| + |B| − |A∩B|.
+    Returns (id1, id2, inter, size1, size2, jaccard)."""
+    sizes = tok.groupBy("doc_id").agg(F.count(token_col).alias("sz"))
+    t1 = tok.select(F.col("doc_id").alias("id1"), F.col(token_col).alias("tk"))
+    t2 = tok.select(F.col("doc_id").alias("id2"), F.col(token_col).alias("tk"))
+    inter = (
+        pairs.join(t1, "id1")
+        .join(t2, ["id2", "tk"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "id1", "sz": "size1"}), "id1")
+        .join(sizes.withColumnsRenamed({"doc_id": "id2", "sz": "size2"}), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size1") + F.col("size2") - F.col("inter")).cast("double"),
+        )
+    )
+
+
+def near_duplicates_minhash(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int | None = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E2: MinHash + banded LSH candidates → exact Jaccard ≥ threshold.
+
+    Hashes word ``shingle_n``-gram shingles by default (pass None for
+    unigram tokens): shingles keep band collisions discriminative even on
+    small vocabularies, which bounds candidate fan-out — the property that
+    keeps this operator sub-quadratic at corpus scale.
+    Output: (id1, id2, jaccard).
+    """
+    tok = (
+        shingles(docs, shingle_n, text_col, id_col).withColumnRenamed(
+            "shingle", "token"
+        )
+        if shingle_n
+        else tokens(docs, text_col, id_col)
+    )
+    sig = minhash_signature(tok, num_hashes)
+    cand = lsh_candidate_pairs(sig, num_hashes, bands)
+    scored = jaccard_on_pairs(tok, cand)
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def near_duplicates_ngram(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E2 variant: n-gram Jaccard with rare-shingle blocking.
+
+    Candidates must share a shingle with document frequency ≤ ``max_df``
+    — the inverted-index blocker that keeps candidate count linear-ish in
+    corpus size instead of quadratic. Output: (id1, id2, jaccard).
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    l = rare.select(F.col("doc_id").alias("id1"), "shingle")
+    r = rare.select(F.col("doc_id").alias("id2"), "shingle")
+    cand = (
+        l.join(r, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    scored = jaccard_on_pairs(sh.withColumnRenamed("shingle", "token"), cand)
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash32(tok: DataFrame, token_col: str = "token") -> DataFrame:
+    """32-bit SimHash per doc: sign-sum of token-hash bits, one groupBy.
+
+    bit_j(doc) = 1 iff Σ_tokens (2·((h >> j) & 1) − 1) > 0; the 32 sums are
+    computed as 32 agg expressions in a single pass (no explode).
+    """
+    h = token_hash32(token_col)
+    sums = [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+        for j in range(32)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*sums)
+    sim = None
+    for j in range(32):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def near_duplicates_simhash(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E2 variant: SimHash blocking + exact Hamming verification.
+
+    The 32-bit simhash splits into 4 byte-chunks; any pair with Hamming
+    distance ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so the equi-join on
+    (chunk_idx, chunk_val) finds all such pairs without an all-pairs scan.
+    Output: (id1, id2, hamming).
+    """
+    sim = simhash32(tokens(docs, text_col, id_col))
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.expr(
+            "stack(4, 0, (simhash >> 0) & 255, 1, (simhash >> 8) & 255, "
+            "2, (simhash >> 16) & 255, 3, (simhash >> 24) & 255) "
+            "AS (chunk_idx, chunk_val)"
+        ),
+    )
+    l = chunks.select(
+        F.col("doc_id").alias("id1"), F.col("simhash").alias("sh1"), "chunk_idx", "chunk_val"
+    )
+    r = chunks.select(
+        F.col("doc_id").alias("id2"), F.col("simhash").alias("sh2"), "chunk_idx", "chunk_val"
+    )
+    cand = (
+        l.join(r, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "sh1", "sh2")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1,0 +1,157 @@
+"""Text-analysis operators (EXT E5 — SURVEY.md §2b).
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` string
+primitives — no Python UDFs in the hot path — so the expressions inline
+into whole-stage codegen and the DuckDB oracle can mirror them exactly:
+
+- :func:`token_stats` — whitespace + regex token counting, char/word
+  length stats.
+- :func:`quality_score` — heuristic quality signals (length, punctuation
+  ratio, stopword ratio, uppercase ratio) in an exact integer micros
+  domain so scores hash-match across engines.
+- :func:`language_id` — n-gram/stopword-density language heuristic.
+- :func:`fingerprint` — normalized md5 document fingerprint plus a
+  min-shingle-hash "winnowing lite" fingerprint for clustering.
+
+No reference counterpart (the reference processes rasters, not text);
+mandated by BASELINE.json north_star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.functions.hashing import token_hash32
+
+MICROS = 1_000_000
+
+# Tiny built-in stopword inventories for the language heuristic. Real
+# deployments would swap in fastText/CLD3 behind the same operator shape.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "en"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "in"),
+}
+
+# BPE-ish word/number/punctuation tokenizer (public GPT-2 regex, simplified
+# to what both regex engines support identically).
+BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _count_matches(col, pattern: str):
+    """Number of regex matches, JVM-side: size(regexp_extract_all(...))."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts: whitespace words, BPE-ish tokens, chars.
+
+    Output: (doc_id, n_chars, n_words, n_tokens, avg_word_len_micros).
+    avg word length is reported in the exact micros domain
+    (round(chars_in_words / words * 1e6)) per the determinism policy.
+    """
+    t = F.lower(F.col(text_col))
+    words = F.split(t, r"\s+")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        n_words.alias("n_words"),
+        _count_matches(t, BPE_REGEX).alias("n_tokens"),
+        F.round(word_chars.cast("double") / n_words * MICROS, 0)
+        .cast("long")
+        .alias("avg_word_len_micros"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals per doc, micros-domain ratios.
+
+    Output: (doc_id, n_chars, punct_ratio_micros, stopword_ratio_micros,
+    digit_ratio_micros, quality_bucket). quality_bucket is a coarse
+    CASE classification — the filterable column a pipeline would use.
+    """
+    t = F.lower(F.col(text_col))
+    n_chars = F.length(F.col(text_col))
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_punct = _count_matches(t, r"[^a-z0-9\s]")
+    n_digit = _count_matches(t, r"[0-9]")
+    en_stops = STOPWORDS["en"]
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*en_stops)))
+    ratio = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / den * MICROS, 0
+    ).cast("long")
+    punct_ratio = ratio(n_punct, n_chars)
+    stop_ratio = ratio(n_stop, n_words)
+    bucket = (
+        F.when(n_chars < 20, "too_short")
+        .when(punct_ratio > 300_000, "too_punct")
+        .when(stop_ratio >= 40_000, "good")
+        .otherwise("low_stopword")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        punct_ratio.alias("punct_ratio_micros"),
+        stop_ratio.alias("stopword_ratio_micros"),
+        ratio(n_digit, n_chars).alias("digit_ratio_micros"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-density language heuristic.
+
+    Scores each language by its stopword hit count over the word set and
+    predicts the argmax (ties → lexicographic language order, 'und' when
+    all scores are 0). Output: (doc_id, lang, predicted_lang).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*stops)))
+        for lang, stops in sorted(STOPWORDS.items())
+    }
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Iterate in reverse-lexicographic order so earlier languages win ties
+    # (strict > comparison against the running best).
+    for lang in sorted(scores, reverse=True):
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang").alias("lang"),
+        best.alias("predicted_lang"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 over whitespace-normalized lowercase
+    text (exact) + min 3-shingle hash (robust to local edits — the
+    cheapest member of the winnowing family).
+
+    Output: (doc_id, md5_fp, min_shingle_hash).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    words = F.split(norm, " ")
+    sh = F.expr(
+        "transform(sequence(0, size(_w) - 3), "
+        "i -> concat(_w[i], ' ', _w[i+1], ' ', _w[i+2]))"
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(norm).alias("md5_fp"),
+            words.alias("_w"),
+        )
+        .withColumn(
+            "min_shingle_hash",
+            F.array_min(F.transform(sh, lambda s: token_hash32(s))),
+        )
+        .drop("_w")
+    )

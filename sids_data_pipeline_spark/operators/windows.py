@@ -1,0 +1,134 @@
+"""Event-time window operators (EXT E6 — SURVEY.md §2b).
+
+The reference is strictly batch (SURVEY.md §2a Streaming: ABSENT); these
+operators give the engine the event-time surface a training-data pipeline
+needs, built on Spark's native window primitives:
+
+- :func:`tumbling` / :func:`sliding` — ``F.window`` fixed/overlapping
+  windows.
+- :func:`session` — ``F.session_window`` gap-based sessions.
+- :func:`latest_per_key` — event dedup: last event per key by time.
+
+All outputs expose window bounds as epoch-microsecond BIGINTs
+(``unix_micros``) rather than rendered timestamps: integers are
+timezone-proof and hash-identical across engines, per the plans/base.py
+determinism policy. The same plans run under Structured Streaming via
+streaming/jobs.py (readStream + watermark); batch and stream share the
+operator definitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(col) -> F.Column:
+    return F.unix_micros(col)
+
+
+def tumbling(
+    events: DataFrame,
+    duration: str = "10 minutes",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Fixed windows: count + exact-cents value sum per (window, keys).
+
+    Output: (window_start_us, window_end_us, *group_cols, n_events,
+    sum_value_cents).
+    """
+    w = F.window(F.col(ts_col), duration)
+    return (
+        events.groupBy(w.alias("w"), *group_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            _us(F.col("w.start")).alias("window_start_us"),
+            _us(F.col("w.end")).alias("window_end_us"),
+            *group_cols,
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def sliding(
+    events: DataFrame,
+    duration: str = "30 minutes",
+    slide: str = "10 minutes",
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Overlapping windows (each event lands in duration/slide windows)."""
+    w = F.window(F.col(ts_col), duration, slide)
+    return (
+        events.groupBy(w.alias("w"), *group_cols)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            _us(F.col("w.start")).alias("window_start_us"),
+            _us(F.col("w.end")).alias("window_end_us"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def session(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based sessions per key (``F.session_window``).
+
+    Spark merges events whose timestamps are < gap apart; the session
+    window is [first_ts, last_ts + gap). Output: (user_id,
+    session_start_us, session_end_us, n_events, sum_value_cents).
+    """
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(w.alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            key_col,
+            _us(F.col("w.start")).alias("session_start_us"),
+            _us(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def latest_per_key(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Event dedup: keep each key's latest event (ties → highest id).
+
+    Output: (user_id, event_id, ts_us, event_type).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            key_col,
+            id_col,
+            _us(F.col(ts_col)).alias("ts_us"),
+            "event_type",
+        )
+    )

@@ -176,4 +176,8 @@ def zonal_stats(
         F.broadcast(rasters)
     )
     out = universe.join(per_zone, ["vector_id", "raster_id", "fid"], "left")
+    if "count" in stats:
+        # rasterstats/GDAL convention: zones with no pixels report count=0,
+        # not NULL (mean/sum/min/max keep NULL).
+        out = out.withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
     return out.orderBy("vector_id", "raster_id", "fid")

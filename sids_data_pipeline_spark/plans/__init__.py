@@ -1,1 +1,1 @@
-from sids_data_pipeline_spark.plans.registry import QUERIES, Query  # noqa: F401
+from sids_data_pipeline_spark.plans.base import Query  # noqa: F401

@@ -1,0 +1,577 @@
+"""EXT operator catalog (SURVEY.md §2b, E1-E6): dedup, similarity search,
+text analysis, event-time windows, multimodal columns.
+
+Everything deterministic carries a full-value DuckDB oracle; the two
+sketch-based operators (pyspark.ml LSH ANN, approx sketches) register
+rows-only. The md5-based hash family (functions/hashing.py) is what makes
+the MinHash/SimHash pipelines value-reproducible in SQL — the oracle
+verifies the *entire* LSH pipeline (signatures → bands → candidates →
+verification), not just a final count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.functions.hashing import (
+    MINHASH_PRIME,
+    o_minhash,
+    o_token_hash32,
+)
+from sids_data_pipeline_spark.operators import dedup, multimodal, similarity, text, windows
+from sids_data_pipeline_spark.plans.base import Query, tables
+
+# --- shared SQL fragments -----------------------------------------------------
+
+_TOK_SQL = """
+tok AS (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS t(token)
+)
+"""
+
+_SHINGLE_SQL = """
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t.s AS token
+  FROM w,
+       unnest(list_transform(range(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS t(s)
+  WHERE len(ws) >= 3
+)
+"""
+
+
+def _jaccard_tail_sql(tok_cte: str, threshold: float) -> str:
+    """Candidate pairs in ``cand`` + token sets in ``{tok_cte}`` → scored
+    pairs with jaccard ≥ threshold. Mirrors dedup.jaccard_on_pairs."""
+    return f"""
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM {tok_cte} GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS inter
+  FROM cand c
+  JOIN {tok_cte} t1 ON t1.doc_id = c.id1
+  JOIN {tok_cte} t2 ON t2.doc_id = c.id2 AND t2.token = t1.token
+  GROUP BY c.id1, c.id2
+)
+SELECT i.id1, i.id2,
+       ROUND(CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter), 6) AS jaccard
+FROM inter i
+JOIN sz s1 ON s1.doc_id = i.id1
+JOIN sz s2 ON s2.doc_id = i.id2
+WHERE CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter) >= {threshold}
+"""
+
+
+# --- E1: exact dedup ------------------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text) k
+  ON d.doc_id = k.doc_id
+"""
+
+
+def _dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    uniq = dedup.exact_dedup(docs, ["text"], "doc_id")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_unique_texts"),
+    ).crossJoin(uniq.agg(F.count("*").alias("n_kept")))
+
+
+_DEDUP_EXACT_STATS_SQL = """
+SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_texts,
+       COUNT(DISTINCT text) AS n_kept
+FROM documents
+"""
+
+
+# --- E2: near-duplicate detection -----------------------------------------------
+
+_MINHASH_THRESHOLD = 0.2
+_NGRAM_THRESHOLD = 0.25
+_NGRAM_MAX_DF = 20
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return dedup.near_duplicates_minhash(docs, threshold=_MINHASH_THRESHOLD)
+
+
+def _minhash_sql() -> str:
+    num_hashes, bands = dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_BANDS
+    rows = num_hashes // bands
+    th = o_token_hash32("token")
+    mins = ",\n    ".join(
+        f"MIN({o_minhash('th', i)}) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, concat_ws(',', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ") AS band_val FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_SQL},
+h AS (SELECT doc_id, {th} AS th FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bands l
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+              AND l.doc_id < r.doc_id
+),
+{_jaccard_tail_sql('sh', _MINHASH_THRESHOLD)}
+"""
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return dedup.near_duplicates_ngram(
+        docs, n=3, threshold=_NGRAM_THRESHOLD, max_df=_NGRAM_MAX_DF
+    )
+
+
+_NGRAM_SQL = f"""
+WITH {_SHINGLE_SQL},
+df AS (SELECT token, COUNT(*) AS df FROM sh GROUP BY token),
+rare AS (
+  SELECT s.doc_id, s.token FROM sh s
+  JOIN df ON df.token = s.token AND df.df <= {_NGRAM_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM rare l JOIN rare r ON l.token = r.token AND l.doc_id < r.doc_id
+),
+{_jaccard_tail_sql('sh', _NGRAM_THRESHOLD)}
+"""
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return dedup.near_duplicates_simhash(docs, max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    th = o_token_hash32("token")
+    bit_sums = ",\n    ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(32)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(32)
+    )
+    chunk_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {c} AS chunk_idx,"
+        f" (simhash >> {8 * c}) & 255 AS chunk_val FROM sim"
+        for c in range(4)
+    )
+    return f"""
+WITH {_TOK_SQL},
+h AS (SELECT doc_id, {th} AS th FROM tok),
+bitsums AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM h GROUP BY doc_id
+),
+sim AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bitsums),
+chunks AS (
+{chunk_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+         l.simhash AS sh1, r.simhash AS sh2
+  FROM chunks l
+  JOIN chunks r ON l.chunk_idx = r.chunk_idx AND l.chunk_val = r.chunk_val
+               AND l.doc_id < r.doc_id
+)
+SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh1, sh2)) <= 3
+"""
+
+
+_COSINE_PAIR_THRESHOLD = 0.35
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(
+        emb, threshold=_COSINE_PAIR_THRESHOLD, block_col="label"
+    )
+
+
+_EMBED_VEC_SQL = """
+n AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, label, v,
+         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS norm2
+  FROM n
+)
+"""
+
+_DEDUP_EMBED_SQL = f"""
+WITH {_EMBED_VEC_SQL},
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+         a.norm2 AS n1, b.norm2 AS n2
+  FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id1, id2,
+       ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 6) AS cosine
+FROM p
+WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))) >= {_COSINE_PAIR_THRESHOLD}
+"""
+
+
+# --- E3: similarity search -------------------------------------------------------
+
+
+def _similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.topk_bruteforce(emb, queries, k=10)
+
+
+_SIMILARITY_TOPK_SQL = f"""
+WITH {_EMBED_VEC_SQL},
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
+         q.norm2 AS qn, c.norm2 AS cn
+  FROM m q JOIN m c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos_raw,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC,
+                       neighbor_id ASC) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+FROM r WHERE rank <= 10
+"""
+
+
+def _similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ann_lsh(emb, queries, k=10)
+
+
+# --- E5: text analysis -------------------------------------------------------------
+
+
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.token_stats(docs)
+
+
+_TOKEN_STATS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS lt,
+         len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(n_words AS INT) AS n_words,
+       CAST(len(regexp_extract_all(lt, '{text.BPE_REGEX}')) AS INT) AS n_tokens,
+       CAST(ROUND(CAST(length(regexp_replace(lt, '\s+', '', 'g')) AS DOUBLE) / n_words * 1000000) AS BIGINT)
+         AS avg_word_len_micros
+FROM t
+"""
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.quality_score(docs)
+
+
+def _quality_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in text.STOPWORDS["en"])
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS lt,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(ROUND(CAST(len(regexp_extract_all(lt, '[^a-z0-9\s]')) AS DOUBLE)
+                    / length(text) * 1000000) AS BIGINT) AS punct_ratio_micros,
+         CAST(ROUND(CAST(len(list_filter(words, x -> x IN ({stops}))) AS DOUBLE)
+                    / len(words) * 1000000) AS BIGINT) AS stopword_ratio_micros,
+         CAST(ROUND(CAST(len(regexp_extract_all(lt, '[0-9]')) AS DOUBLE)
+                    / length(text) * 1000000) AS BIGINT) AS digit_ratio_micros
+  FROM t
+)
+SELECT doc_id, n_chars, punct_ratio_micros, stopword_ratio_micros, digit_ratio_micros,
+       CASE WHEN n_chars < 20 THEN 'too_short'
+            WHEN punct_ratio_micros > 300000 THEN 'too_punct'
+            WHEN stopword_ratio_micros >= 40000 THEN 'good'
+            ELSE 'low_stopword' END AS quality_bucket
+FROM r
+"""
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.language_id(docs)
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: f"len(list_filter(words, x -> x IN ({', '.join(chr(39) + s + chr(39) for s in stops)})))"
+        for lang, stops in text.STOPWORDS.items()
+    }
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         {score['de']} AS s_de, {score['en']} AS s_en,
+         {score['es']} AS s_es, {score['fr']} AS s_fr
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN s_de > greatest(0, s_fr, s_es, s_en) THEN 'de'
+            WHEN s_en > greatest(0, s_fr, s_es) THEN 'en'
+            WHEN s_es > greatest(0, s_fr) THEN 'es'
+            WHEN s_fr > 0 THEN 'fr'
+            ELSE 'und' END AS predicted_lang
+FROM s
+"""
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.fingerprint(docs)
+
+
+_FINGERPRINT_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM t)
+SELECT doc_id, md5(norm) AS md5_fp,
+       list_min(list_transform(
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+         s -> {o_token_hash32('s')})) AS min_shingle_hash
+FROM w
+"""
+
+
+# --- E6: event-time windows ----------------------------------------------------
+
+_TEN_MIN_US = 600_000_000
+_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return windows.tumbling(ev, "10 minutes")
+
+
+_TUMBLING_SQL = f"""
+SELECT (epoch_us(ts) // {_TEN_MIN_US}) * {_TEN_MIN_US} AS window_start_us,
+       (epoch_us(ts) // {_TEN_MIN_US}) * {_TEN_MIN_US} + {_TEN_MIN_US} AS window_end_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def _events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return windows.sliding(ev, "30 minutes", "10 minutes")
+
+
+_SLIDING_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         ((epoch_us(ts) // {_TEN_MIN_US}) - t.k) * {_TEN_MIN_US} AS window_start_us
+  FROM events, unnest(range(3)) AS t(k)
+)
+SELECT window_start_us,
+       window_start_us + 3 * {_TEN_MIN_US} AS window_end_us,
+       event_type, COUNT(*) AS n_events
+FROM e GROUP BY 1, 2, 3
+"""
+
+
+def _events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return windows.session(ev, "30 minutes")
+
+
+_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) + {_GAP_US} AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM s GROUP BY user_id, sid
+"""
+
+
+def _events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return windows.latest_per_key(ev)
+
+
+_LATEST_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --- E4: multimodal columns -----------------------------------------------------
+
+
+def _multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    assets = multimodal.documents_to_assets(docs)
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("payload").alias("n_bytes"),
+    )
+
+
+_MODALITY_SQL = "(['image','audio','video','text'])[(doc_id % 4) + 1]"
+
+_MULTIMODAL_META_SQL = f"""
+SELECT doc_id AS asset_id,
+       {_MODALITY_SQL} AS modality,
+       'application/x-' || {_MODALITY_SQL} AS mime,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents
+"""
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.documents_to_assets(docs))
+
+
+_MULTIMODAL_FEATURES_SQL = f"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         {_MODALITY_SQL} AS modality,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         md5(text) AS checksum
+  FROM documents
+)
+SELECT asset_id, modality, n_bytes,
+       n_bytes % 640 AS width,
+       (n_bytes * 7) % 480 AS height,
+       n_bytes % 24 + 1 AS n_frames,
+       checksum
+FROM a
+"""
+
+
+QUERIES: list[Query] = [
+    Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
+          doc="E1 exact dedup: sha2 keep-first", tags=("dedup",)),
+    Query("dedup_exact_stats", _dedup_exact_stats, _DEDUP_EXACT_STATS_SQL,
+          doc="E1 dedup summary counts", tags=("dedup",)),
+    Query("dedup_minhash_lsh", _dedup_minhash, _minhash_sql(),
+          doc="E2 MinHash + banded LSH → exact Jaccard (hash-verified)",
+          tags=("dedup", "lsh")),
+    Query("dedup_ngram_jaccard", _dedup_ngram, _NGRAM_SQL,
+          doc="E2 n-gram Jaccard with rare-shingle blocking", tags=("dedup",)),
+    Query("dedup_simhash", _dedup_simhash, _simhash_sql(),
+          doc="E2 SimHash banded blocking + Hamming verify", tags=("dedup",)),
+    Query("dedup_embedding_cosine", _dedup_embedding, _DEDUP_EMBED_SQL,
+          doc="E2 embedding-cosine near-dup (exact integer domain)",
+          tags=("dedup", "similarity")),
+    Query("similarity_topk", _similarity_topk, _SIMILARITY_TOPK_SQL,
+          doc="E3 brute-force exact top-k cosine", tags=("similarity",)),
+    Query("similarity_ann_lsh", _similarity_ann, None,
+          doc="E3 LSH-bucketed ANN + exact re-rank (rows-only: seeded sketch)",
+          tags=("similarity", "lsh")),
+    Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,
+          doc="E5 token/char counting (whitespace + BPE-ish regex)",
+          tags=("text",)),
+    Query("text_quality", _text_quality, _quality_sql(),
+          doc="E5 quality scoring (length/punct/stopword ratios)",
+          tags=("text",)),
+    Query("text_langid", _text_langid, _langid_sql(),
+          doc="E5 stopword-density language ID", tags=("text",)),
+    Query("text_fingerprint", _text_fingerprint, _FINGERPRINT_SQL,
+          doc="E5 md5 + min-shingle-hash fingerprints", tags=("text",)),
+    Query("events_tumbling", _events_tumbling, _TUMBLING_SQL,
+          doc="E6 tumbling windows", tags=("events", "window")),
+    Query("events_sliding", _events_sliding, _SLIDING_SQL,
+          doc="E6 sliding windows", tags=("events", "window")),
+    Query("events_session", _events_session, _SESSION_SQL,
+          doc="E6 session windows (gap-based)", tags=("events", "window")),
+    Query("events_latest", _events_latest, _LATEST_SQL,
+          doc="E6 latest-event-per-key dedup", tags=("events", "window")),
+    Query("multimodal_meta", _multimodal_meta, _MULTIMODAL_META_SQL,
+          doc="E4 binary payload + typed metadata plumbing", tags=("multimodal",)),
+    Query("multimodal_features", _multimodal_features, _MULTIMODAL_FEATURES_SQL,
+          doc="E4 mapInPandas feature extraction (stub decoder, real plumbing)",
+          tags=("multimodal",)),
+]

@@ -1,0 +1,225 @@
+"""Geospatial + manifest query catalog with full-value SQL oracles.
+
+The zonal-stats oracle problem (VERDICT "What's wrong #4"): the engine's
+containment is pixel-center ray-casting (functions/geo.py), so a DuckDB
+oracle using a *different* point-in-polygon formulation would diverge on
+boundary/float edge cases. Solution: :func:`o_contains` generates the
+oracle's containment SQL *from the same WKB bytes the engine consumes*,
+mirroring the numpy kernel edge-for-edge — same crossing condition, same
+intersection formula, same even-odd ring XOR — so both sides evaluate
+bit-identical IEEE-754 expressions.
+
+The pixel side is deterministic on both engines: ``spark.range(n*n)``
+(sources/raster.py synthetic fixtures) vs ``unnest(range(n*n))`` with the
+same arithmetic.
+
+Covers SURVEY.md §2a: J1 (both join strategies), A1 superset, O1, P4/P5
+(clip/band), P6/P8/J3 (manifest incrementality), F5/F6 (pixel model +
+containment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.functions import geo
+from sids_data_pipeline_spark.operators import manifest
+from sids_data_pipeline_spark.operators.zonal import zonal_stats
+from sids_data_pipeline_spark.plans.base import Query
+from sids_data_pipeline_spark.sources.raster import (
+    GRID_N,
+    clip_extent,
+    select_band,
+    synthetic_raster,
+)
+from sids_data_pipeline_spark.sources.vector import FIXTURE_BUILDERS, fixture_zones
+
+
+# --- oracle-side synthetic pixels (twin of sources/raster.synthetic_raster) --
+
+_VAL_SQL = {
+    "rast_gradient": "CAST(i AS DOUBLE)",
+    "rast_checker": f"CAST((i % {GRID_N} + i // {GRID_N}) % 2 AS DOUBLE)",
+    "rast_nodata": (
+        f"CASE WHEN ((i % {GRID_N}) * (i // {GRID_N})) % 7 = 0 THEN NULL "
+        "ELSE CAST(i AS DOUBLE) END"
+    ),
+}
+
+
+def _px_cte(raster_id: str) -> str:
+    n = GRID_N
+    return f"""
+px AS (
+  SELECT i % {n} AS x, i // {n} AS y,
+         (i % {n} + 0.5) * 0.1 AS lon, (i // {n} + 0.5) * 0.1 AS lat,
+         1 AS band,
+         {_VAL_SQL[raster_id]} AS val
+  FROM (SELECT unnest(range({n * n})) AS i) t
+)
+"""
+
+
+# --- oracle-side containment, generated from the engine's own WKB -----------
+
+
+def _edge_term(x0: float, y0: float, x1: float, y1: float) -> str:
+    """One ray-cast edge term, mirroring geo._ring_crossings exactly:
+    count the edge iff (y0 > lat) != (y1 > lat) and
+    lon < (x1 - x0) * (lat - y0) / (y1 - y0) + x0."""
+    return (
+        f"(CASE WHEN ({y0!r} > lat) <> ({y1!r} > lat) "
+        f"AND lon < ({x1!r} - {x0!r}) * (lat - {y0!r}) / ({y1!r} - {y0!r}) + {x0!r} "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def o_contains(wkb: bytes) -> str:
+    """SQL predicate: pixel center (lon, lat) inside the WKB (Multi)Polygon,
+    by the same even-odd ray-casting the engine's numpy kernel computes."""
+    per_poly = []
+    for rings in geo.parse_wkb(wkb):
+        terms = []
+        for ring in rings:
+            if len(ring) < 4:
+                continue  # kernel skips degenerate rings
+            for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+                if y0 == y1:
+                    continue  # horizontal edges never satisfy the condition
+                terms.append(_edge_term(float(x0), float(y0), float(x1), float(y1)))
+        per_poly.append("((" + " + ".join(terms) + ") % 2 = 1)")
+    return "(" + " OR ".join(per_poly) + ")"
+
+
+_STAT_SQL = {
+    "mean": 'AVG(CASE WHEN {c} THEN val END) AS "mean"',
+    "count": 'COUNT(CASE WHEN {c} THEN val END) AS "count"',
+    "sum": 'SUM(CASE WHEN {c} THEN val END) AS "sum"',
+    "min": 'MIN(CASE WHEN {c} THEN val END) AS "min"',
+    "max": 'MAX(CASE WHEN {c} THEN val END) AS "max"',
+}
+
+
+def _zonal_sql(vector_id: str, raster_id: str, stats: tuple[str, ...]) -> str:
+    arms = []
+    for fid, _name, wkb in FIXTURE_BUILDERS[vector_id]():
+        c = o_contains(wkb)
+        cols = ", ".join(_STAT_SQL[s].format(c=c) for s in stats)
+        arms.append(
+            f"SELECT '{vector_id}' AS vector_id, '{raster_id}' AS raster_id, "
+            f"CAST({fid} AS BIGINT) AS fid, {cols} FROM px"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {_px_cte(raster_id)}\n{body}"
+
+
+def _zonal_query(vector_id: str, raster_id: str, stats: tuple[str, ...], how: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        zones = fixture_zones(spark, vector_id)
+        pixels = synthetic_raster(spark, raster_id)
+        return zonal_stats(zones, pixels, stats=stats, how=how)
+
+    return run
+
+
+# --- clip + band selection (P4/P5) -------------------------------------------
+
+
+def _raster_clip_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = select_band(synthetic_raster(spark, "rast_gradient"), 1)
+    clipped = clip_extent(px, lon=(1.0, 5.0), lat=(2.0, 6.0))
+    return clipped.groupBy("raster_id").agg(
+        F.count("val").alias("n_pixels"),
+        F.sum("val").alias("sum_val"),
+        F.min("lon").alias("min_lon"),
+        F.max("lat").alias("max_lat"),
+    )
+
+
+_CLIP_SQL = f"""
+WITH {_px_cte('rast_gradient')}
+SELECT 'rast_gradient' AS raster_id,
+       COUNT(val) AS n_pixels, SUM(val) AS sum_val,
+       MIN(lon) AS min_lon, MAX(lat) AS max_lat
+FROM px
+WHERE band = 1 AND lon BETWEEN 1.0 AND 5.0 AND lat BETWEEN 2.0 AND 6.0
+"""
+
+
+# --- manifest incrementality (P6/P8/J3) ---------------------------------------
+
+_VECTORS = ("zones_grid", "zones_overlap")
+_RASTERS = ("rast_gradient", "rast_checker", "rast_nodata")
+_DONE = (("zones_grid", "rast_gradient"),)
+
+
+def _manifest_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vectors = spark.createDataFrame([(v,) for v in _VECTORS], "id string")
+    rasters = spark.createDataFrame([(r,) for r in _RASTERS], "id string")
+    done = spark.createDataFrame(list(_DONE), "v_id string, r_id string")
+    pairs = manifest.work_pairs(vectors, rasters)
+    return manifest.pending_pairs(pairs, done).orderBy("v_id", "r_id")
+
+
+_MANIFEST_SQL = f"""
+WITH v(v_id) AS (VALUES {', '.join(f"('{x}')" for x in _VECTORS)}),
+r(r_id) AS (VALUES {', '.join(f"('{x}')" for x in _RASTERS)}),
+done(v_id, r_id) AS (VALUES {', '.join(f"('{a}', '{b}')" for a, b in _DONE)}),
+pairs AS (
+  SELECT v_id, r_id, concat_ws('_', v_id, r_id) AS pair_key
+  FROM v CROSS JOIN r
+)
+SELECT p.v_id, p.r_id, p.pair_key
+FROM pairs p LEFT JOIN done d ON p.v_id = d.v_id AND p.r_id = d.r_id
+WHERE d.v_id IS NULL
+ORDER BY p.v_id, p.r_id
+"""
+
+
+QUERIES: list[Query] = [
+    Query(
+        "zonal_mean_broadcast",
+        _zonal_query("zones_grid", "rast_gradient", ("mean",), "broadcast"),
+        _zonal_sql("zones_grid", "rast_gradient", ("mean",)),
+        doc="J1+A1+O1: zonal mean, broadcast filter-and-refine path",
+        tags=("geo", "zonal"),
+    ),
+    Query(
+        "zonal_mean_grid",
+        _zonal_query("zones_grid", "rast_gradient", ("mean",), "grid"),
+        _zonal_sql("zones_grid", "rast_gradient", ("mean",)),
+        doc="J1 grid-cell equi-join path (the 100 TB strategy), same oracle",
+        tags=("geo", "zonal"),
+    ),
+    Query(
+        "zonal_multi_stats",
+        _zonal_query(
+            "zones_grid", "rast_nodata", ("mean", "count", "sum", "min", "max"), "broadcast"
+        ),
+        _zonal_sql("zones_grid", "rast_nodata", ("mean", "count", "sum", "min", "max")),
+        doc="A1 superset with nodata handling; count=0 for empty zones",
+        tags=("geo", "zonal"),
+    ),
+    Query(
+        "zonal_polygons",
+        _zonal_query("zones_overlap", "rast_checker", ("mean", "count"), "grid"),
+        _zonal_sql("zones_overlap", "rast_checker", ("mean", "count")),
+        doc="F6 containment on real polygons (triangle with hole, overlaps, sub-pixel)",
+        tags=("geo", "zonal"),
+    ),
+    Query(
+        "raster_clip_band",
+        _raster_clip_band,
+        _CLIP_SQL,
+        doc="P4 band select + P5 bbox clip, pushed-down filters",
+        tags=("geo", "filter"),
+    ),
+    Query(
+        "manifest_pending",
+        _manifest_pending,
+        _MANIFEST_SQL,
+        doc="J3 crossJoin pairs + P6 anti-join incremental skip",
+        tags=("manifest",),
+    ),
+]

@@ -1,0 +1,586 @@
+"""Relational query catalog over the driver's TPC-H-ish tables.
+
+Covers the reference's relational surface (SURVEY.md §2a: projections
+P1-P3, filters P5, string scalars F1-F4, joins J2 + semi/anti shapes of
+P6/P8, the A1 aggregate and its natural superset, sort O1) plus the
+categories the reference lacks but the engine commits to ship (set ops,
+window functions, rollup, date math, case-when, LIMIT).
+
+Each entry is a ``Query``: a DataFrame plan plus its DuckDB oracle SQL.
+Aggregates follow the exact-integer determinism policy (plans/base.py):
+element-wise ``round(x*100)`` to cents, BIGINT sums, averages/stddevs as
+deterministic double math over exact integer sums — bit-identical across
+engines and partitionings, which is also what makes results reproducible
+under AQE at 100 TB.
+
+Scale notes: dimension joins (nation/region) broadcast explicitly;
+fact-fact joins stay shuffled equi-joins Catalyst can plan; every filter
+and projection lands in the Parquet scan (verified via .explain in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.plans.base import (
+    Query,
+    avg_from_cents,
+    cents,
+    o_avg_from_cents,
+    o_cents,
+    o_sum_cents,
+    sum_cents,
+    tables,
+)
+
+SHIP_CUTOFF = "2000-09-02"
+
+
+# --- A1 superset: pricing summary (the TPC-H Q1 shape) ----------------------
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_cents("l_quantity", "sum_qty_cents"),
+            sum_cents("l_extendedprice", "sum_base_cents"),
+            F.sum(cents(disc_price)).alias("sum_disc_cents"),
+            avg_from_cents("l_quantity", "avg_qty"),
+            avg_from_cents("l_extendedprice", "avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {o_sum_cents('l_quantity', 'sum_qty_cents')},
+       {o_sum_cents('l_extendedprice', 'sum_base_cents')},
+       CAST(SUM({o_cents('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS sum_disc_cents,
+       {o_avg_from_cents('l_quantity', 'avg_qty')},
+       {o_avg_from_cents('l_extendedprice', 'avg_price')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- Projections (P1/P2/P3) --------------------------------------------------
+
+
+def _proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        cents("l_extendedprice").alias("price_cents"),
+    )
+
+
+def _proj_star_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    return orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("total_cents"),
+        F.unix_micros("o_orderdate").alias("o_orderdate_us"),
+        "o_orderpriority",
+        "c_name",
+    )
+
+
+# --- Filters (P5 shape on relational data) -----------------------------------
+
+
+def _filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_discount").between(0.02, 0.05)
+    ).select("l_orderkey", "l_linenumber", cents("l_quantity").alias("qty_cents"))
+
+
+# --- String scalars (F1-F4) ---------------------------------------------------
+
+
+def _str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.concat_ws("_", F.lower("p_brand"), F.lower("p_type")).alias("brand_type"),
+        F.regexp_replace("p_brand", "[^0-9]", "").alias("brand_digits"),
+        F.element_at(F.split("p_brand", "#"), 2).alias("brand_suffix"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+    )
+
+
+_STR_SQL = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       concat_ws('_', lower(p_brand), lower(p_type)) AS brand_type,
+       regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_digits,
+       string_split(p_brand, '#')[2] AS brand_suffix,
+       length(p_name) AS name_len,
+       substr(p_type, 1, 3) AS type_prefix
+FROM part
+"""
+
+
+# --- Joins (J2, semi/anti, broadcast) -----------------------------------------
+
+
+def _join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def _join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            sum_cents("c_acctbal", "acctbal_cents"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def _join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def _join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- Aggregates (A1 superset + distinct + exact stddev) ----------------------
+
+
+def _agg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    qc = cents("l_quantity")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.min(qc).alias("min_qty_cents"),
+        F.max(qc).alias("max_qty_cents"),
+        F.sum(qc).alias("sum_qty_cents"),
+        F.sum(qc * qc).alias("_sum_sq"),
+    )
+    n = F.col("n_rows").cast("double")
+    s1 = F.col("sum_qty_cents").cast("double")
+    s2 = F.col("_sum_sq").cast("double")
+    # Sample stddev from exact integer sums: deterministic double math.
+    stddev = F.sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / F.lit(100.0)
+    return grouped.select(
+        "l_returnflag",
+        "n_rows",
+        "n_suppliers",
+        "min_qty_cents",
+        "max_qty_cents",
+        "sum_qty_cents",
+        F.round(stddev, 6).alias("stddev_qty"),
+    ).orderBy("l_returnflag")
+
+
+_AGG_FULL_SQL = f"""
+WITH g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n_rows,
+         COUNT(DISTINCT l_suppkey) AS n_suppliers,
+         MIN({o_cents('l_quantity')}) AS min_qty_cents,
+         MAX({o_cents('l_quantity')}) AS max_qty_cents,
+         CAST(SUM({o_cents('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+         CAST(SUM({o_cents('l_quantity')} * {o_cents('l_quantity')}) AS BIGINT) AS sum_sq
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows, n_suppliers, min_qty_cents, max_qty_cents, sum_qty_cents,
+       ROUND(sqrt((CAST(n_rows AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                   - CAST(sum_qty_cents AS DOUBLE) * CAST(sum_qty_cents AS DOUBLE))
+                  / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1))) / 100.0,
+             6) AS stddev_qty
+FROM g ORDER BY l_returnflag
+"""
+
+
+def _agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def _agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_suppkey").alias("approx_suppliers"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- Sort / limit (O1) --------------------------------------------------------
+
+
+def _order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+        .select("o_orderkey", cents("o_totalprice").alias("total_cents"))
+    )
+
+
+# --- Set operations -----------------------------------------------------------
+
+
+def _setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = tables(spark, sf_dir, "customer", "supplier")
+    return (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+def _setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = tables(spark, sf_dir, "customer", "supplier")
+    return cust.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supp.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def _setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = tables(spark, sf_dir, "customer", "orders")
+    # subtract == EXCEPT DISTINCT (set difference)
+    return cust.select(F.col("c_custkey").alias("custkey")).subtract(
+        orders.select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+# --- Window functions ----------------------------------------------------------
+
+
+def _window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", cents("o_totalprice").alias("total_cents"), "rn")
+    )
+
+
+def _window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(cents("o_totalprice")).over(w).alias("running_cents"),
+    )
+
+
+# --- Date math ------------------------------------------------------------------
+
+
+def _date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.year("o_orderdate").cast("int").alias("year"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            sum_cents("o_totalprice", "total_cents"),
+        )
+        .orderBy("month")
+    )
+
+
+# --- Conditional aggregation ------------------------------------------------------
+
+
+def _case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias(
+                "n_high_disc"
+            ),
+            F.sum(F.when(F.col("l_quantity") < 10, 1).otherwise(0)).alias(
+                "n_small_qty"
+            ),
+            F.sum(
+                F.when(F.col("l_tax") > 0.0, cents("l_extendedprice")).otherwise(0)
+            ).alias("taxed_cents"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- Pure-SQL entry (spark.sql surface) ---------------------------------------
+
+_TOPK_SUPPLIERS_SQL = f"""
+SELECT l_suppkey, COUNT(*) AS n_items,
+       CAST(SUM({o_cents('l_extendedprice')}) AS BIGINT) AS rev_cents
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY rev_cents DESC, l_suppkey ASC
+LIMIT 10
+"""
+
+
+def _sql_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    # The same ANSI text runs in both engines — the engine's SQL front door.
+    return spark.sql(_TOPK_SUPPLIERS_SQL)
+
+
+QUERIES: list[Query] = [
+    Query(
+        "pricing_summary",
+        _pricing_summary,
+        _PRICING_SQL,
+        doc="A1 superset: grouped sums/avgs/count over lineitem (TPC-H Q1 shape)",
+        tags=("aggregate",),
+    ),
+    Query(
+        "proj_select",
+        _proj_select,
+        f"SELECT l_orderkey, l_linenumber, {o_cents('l_extendedprice')} AS price_cents FROM lineitem",
+        doc="P1/P2 projection with computed column",
+        tags=("projection",),
+    ),
+    Query(
+        "proj_star_prefix",
+        _proj_star_prefix,
+        f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               {o_cents('o_totalprice')} AS total_cents,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               o_orderpriority, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        doc="P3 wide projection from a join",
+        tags=("projection", "join"),
+    ),
+    Query(
+        "filter_range",
+        _filter_range,
+        f"""
+        SELECT l_orderkey, l_linenumber, {o_cents('l_quantity')} AS qty_cents
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 20 AND l_discount BETWEEN 0.02 AND 0.05
+        """,
+        doc="P5 range predicates (pushed to parquet scan)",
+        tags=("filter",),
+    ),
+    Query("str_funcs", _str_funcs, _STR_SQL, doc="F1-F4 string scalars", tags=("scalar",)),
+    Query(
+        "join_equi",
+        _join_equi,
+        """
+        SELECT o_orderkey, c_custkey, c_name, c_mktsegment
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        """,
+        doc="J2 equi left join",
+        tags=("join",),
+    ),
+    Query(
+        "join_broadcast_dims",
+        _join_broadcast_dims,
+        f"""
+        SELECT r_name, COUNT(*) AS n_customers,
+               {o_sum_cents('c_acctbal', 'acctbal_cents')}
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+        doc="snowflake dims broadcast join + agg",
+        tags=("join", "aggregate"),
+    ),
+    Query(
+        "join_semi",
+        _join_semi,
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        doc="P8 membership semi join",
+        tags=("join",),
+    ),
+    Query(
+        "join_anti",
+        _join_anti,
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        doc="P6 anti join shape",
+        tags=("join",),
+    ),
+    Query(
+        "agg_full",
+        _agg_full,
+        _AGG_FULL_SQL,
+        doc="count/distinct/min/max/sum + exact-integer stddev",
+        tags=("aggregate",),
+    ),
+    Query(
+        "agg_rollup",
+        _agg_rollup,
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name, n_name
+        """,
+        doc="hierarchical rollup aggregation",
+        tags=("aggregate",),
+    ),
+    Query(
+        "agg_approx_distinct",
+        _agg_approx_distinct,
+        None,  # HLL sketches differ across engines by design → rows-only check
+        doc="approx_count_distinct (sketch; rows-only)",
+        tags=("aggregate",),
+    ),
+    Query(
+        "order_limit",
+        _order_limit,
+        f"""
+        SELECT o_orderkey, {o_cents('o_totalprice')} AS total_cents
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+        """,
+        doc="O1 total order + LIMIT",
+        tags=("sort",),
+    ),
+    Query(
+        "setop_union",
+        _setop_union,
+        "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier",
+        doc="UNION distinct",
+        tags=("setop",),
+    ),
+    Query(
+        "setop_intersect",
+        _setop_intersect,
+        "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+        doc="INTERSECT",
+        tags=("setop",),
+    ),
+    Query(
+        "setop_except",
+        _setop_except,
+        "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+        doc="EXCEPT",
+        tags=("setop",),
+    ),
+    Query(
+        "window_rank",
+        _window_rank,
+        f"""
+        SELECT o_custkey, o_orderkey, total_cents, rn FROM (
+          SELECT o_custkey, o_orderkey, {o_cents('o_totalprice')} AS total_cents,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+        """,
+        doc="O2 shape: ranked top-k per partition",
+        tags=("window",),
+    ),
+    Query(
+        "window_running",
+        _window_running,
+        f"""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM({o_cents('o_totalprice')}) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS running_cents
+        FROM orders
+        """,
+        doc="running aggregate window frame",
+        tags=("window",),
+    ),
+    Query(
+        "date_math",
+        _date_math,
+        f"""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(year(o_orderdate) AS INT) AS year,
+               COUNT(*) AS n_orders,
+               {o_sum_cents('o_totalprice', 'total_cents')}
+        FROM orders GROUP BY 1, 2 ORDER BY month
+        """,
+        doc="date truncation/extraction + monthly agg",
+        tags=("scalar", "aggregate"),
+    ),
+    Query(
+        "case_when",
+        _case_when,
+        f"""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+               CAST(SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_qty,
+               CAST(SUM(CASE WHEN l_tax > 0.0 THEN {o_cents('l_extendedprice')} ELSE 0 END) AS BIGINT) AS taxed_cents
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        doc="conditional aggregation",
+        tags=("aggregate",),
+    ),
+    Query(
+        "sql_topk_suppliers",
+        _sql_topk_suppliers,
+        _TOPK_SUPPLIERS_SQL,
+        doc="same ANSI text through spark.sql and DuckDB",
+        tags=("sql", "sort"),
+    ),
+]

@@ -24,9 +24,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
     # .schema() on parquet pins column types without disabling predicate
     # pushdown; mismatches fail loudly instead of silently casting.
     return spark.read.schema(TABLE_SCHEMAS[name]).parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects. Read the raw int64 nanoseconds
+    (``nanosAsLong``) and derive a microsecond TimestampType column —
+    truncation, matching how DuckDB casts TIMESTAMP_NS to its native
+    microsecond TIMESTAMP, so both engines see identical instants."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
