@@ -1,0 +1,78 @@
+"""Benchmark harness: headline catalog queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: each query runs twice. The first (cold) pass pays one-time
+costs that are independent of data volume — whole-stage-codegen Janino
+compilation, Python worker pool spawn, JVM JIT — and is reported under
+"cold_queries" for transparency. The timed pass is steady state, which is
+what scales with data: on a real cluster a plan compiles once and then
+processes terabytes, so per-byte cost is the steady-state number. Every
+query executes to completion via count() (no caching of results between
+passes; shuffle/persist reuse within one operator is part of its design).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "pricing_summary",
+    "join_broadcast_dims",
+    "window_rank",
+    "date_math",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "events_session",
+    "zonal_mean_grid",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    from sids_data_pipeline_spark.plans.catalog import all_queries
+    from sids_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    catalog = all_queries()
+
+    cold: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        catalog[name].spark(spark, SF_DIR).count()
+        cold[name] = round(time.time() - t0, 3)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        catalog[name].spark(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_catalog_total_steady_state",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

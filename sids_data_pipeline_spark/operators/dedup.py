@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from sids_data_pipeline_spark.functions.hashing import minhash_col, token_hash32
 
@@ -183,7 +184,14 @@ def near_duplicates_minhash(
         if shingle_n
         else tokens(docs, text_col, id_col)
     )
-    sig = minhash_signature(tok, num_hashes)
+    # The token set feeds four downstream plans (signature, sizes, and both
+    # sides of the intersection join) and the signature feeds both sides of
+    # the band self-join. Persisting materializes each ONCE — the Spark
+    # analogue of a CTE — instead of re-running tokenize+distinct per use;
+    # MEMORY_AND_DISK keeps the plan valid when the token table outgrows
+    # executor memory at corpus scale.
+    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signature(tok, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
     scored = jaccard_on_pairs(tok, cand)
     return scored.filter(F.col("jaccard") >= threshold).select(
@@ -205,7 +213,7 @@ def near_duplicates_ngram(
     — the inverted-index blocker that keeps candidate count linear-ish in
     corpus size instead of quadratic. Output: (id1, id2, jaccard).
     """
-    sh = shingles(docs, n, text_col, id_col)
+    sh = shingles(docs, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
@@ -256,7 +264,9 @@ def near_duplicates_simhash(
     (chunk_idx, chunk_val) finds all such pairs without an all-pairs scan.
     Output: (id1, id2, hamming).
     """
-    sim = simhash32(tokens(docs, text_col, id_col))
+    sim = simhash32(tokens(docs, text_col, id_col)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunks = sim.select(
         "doc_id",
         "simhash",

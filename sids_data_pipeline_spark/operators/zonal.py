@@ -44,6 +44,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
+from pyspark.storagelevel import StorageLevel
 
 from sids_data_pipeline_spark.functions import geo
 
@@ -164,6 +165,10 @@ def zonal_stats(
         if s not in _STAT_EXPRS:
             raise ValueError(f"unsupported stat {s!r}; choose from {SUPPORTED_STATS}")
 
+    # Zones are the dimension side and feed two subtrees (the spatial join
+    # and the result universe): persist so the source — which may be an
+    # expensive ingest — materializes once per job.
+    zones = zones.persist(StorageLevel.MEMORY_AND_DISK)
     matched = spatial_join(zones, pixels, how=how, cell_deg=cell_deg)
     aggs: list[Column] = [_STAT_EXPRS[s]().alias(s) for s in stats]
     per_zone = matched.groupBy("vector_id", "raster_id", "fid").agg(*aggs)

@@ -44,8 +44,10 @@ def synthetic_raster(spark: SparkSession, raster_id: str) -> DataFrame:
     - ``rast_nodata``:   gradient with NULL where (x*y) % 7 == 0
     """
     n = GRID_N
+    # 8 partitions: fixture-sized inputs don't amortize a 32-way Python
+    # worker pool; real ingests choose partitioning by data volume.
     df = (
-        spark.range(n * n)
+        spark.range(0, n * n, 1, 8)
         .select(
             F.lit(raster_id).alias("raster_id"),
             F.lit(1).alias("band"),

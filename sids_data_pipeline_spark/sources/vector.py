@@ -64,7 +64,12 @@ def fixture_zones(spark: SparkSession, vector_id: str) -> DataFrame:
         (vector_id, fid, name, wkb)
         for fid, name, wkb in FIXTURE_BUILDERS[vector_id]()
     ]
-    return spark.createDataFrame(rows, ZONES)
+    # pandas source → Arrow-serialized LocalRelation: one compact batch,
+    # re-materialized cheaply each time the plan references it (the tuple
+    # path re-runs Python pickling per reference and fans tiny batches
+    # across defaultParallelism slices).
+    pdf = pd.DataFrame(rows, columns=[f.name for f in ZONES.fields])
+    return spark.createDataFrame(pdf, ZONES).coalesce(1)
 
 
 def fixture_zones_pandas(vector_id: str) -> pd.DataFrame:
