@@ -67,7 +67,14 @@ def _parse_ring(buf: memoryview, off: int) -> tuple[Ring, int]:
     (n,) = struct.unpack_from("<I", buf, off)
     off += 4
     ring = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
-    return ring, off + 16 * n
+    end = off + 16 * n
+    # Tolerate unclosed rings (append the closing vertex) but reject
+    # degenerate ones — silently skipping either corrupts crossing parity.
+    if n and not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    if ring.shape[0] < 4:
+        raise ValueError(f"degenerate ring with {n} point(s)")
+    return ring, end
 
 
 def _parse_polygon_body(buf: memoryview, off: int) -> tuple[Polygon, int]:
@@ -80,26 +87,54 @@ def _parse_polygon_body(buf: memoryview, off: int) -> tuple[Polygon, int]:
     return rings, off
 
 
-def parse_wkb(wkb: bytes) -> list[Polygon]:
-    """Parse WKB Polygon or MultiPolygon → list of polygons
-    (each a list of (n,2) numpy rings, exterior first)."""
-    buf = memoryview(wkb)
-    byte_order, geom_type = struct.unpack_from("<BI", buf, 0)
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+def _geom_header(buf: memoryview, off: int) -> tuple[int, int]:
+    """Decode one geometry header → (base 2-D type, offset past header).
+
+    EWKB SRID words are consumed; any Z/M dimensionality — EWKB flag bits
+    or ISO type codes (1000/2000/3000 offsets) — raises instead of
+    silently misreading coordinate data (the engine is strictly 2-D,
+    mirroring the reference's ``-dim XY`` normalisation,
+    pipeline/processing/inputs.py:51).
+    """
+    byte_order, raw = struct.unpack_from("<BI", buf, off)
     if byte_order != 1:
         raise ValueError("only little-endian WKB supported")
-    geom_type &= 0xFF  # strip Z/M/SRID flag bits
+    if raw & (_EWKB_Z | _EWKB_M):
+        raise ValueError("Z/M geometry not supported (EWKB flag set); force 2-D first")
+    off += 5
+    if raw & _EWKB_SRID:
+        off += 4  # skip the 4-byte SRID word
+    base = raw & 0x0FFFFFFF
+    if base >= 1000:  # ISO WKB Z (1000), M (2000), ZM (3000) ranges
+        raise ValueError(
+            f"Z/M geometry not supported (ISO WKB type {base}); force 2-D first"
+        )
+    return base, off
+
+
+def parse_wkb(wkb: bytes) -> list[Polygon]:
+    """Parse WKB/EWKB Polygon or MultiPolygon → list of polygons
+    (each a list of (n,2) numpy rings, exterior first). SRID headers are
+    skipped; Z/M input is rejected loudly (see _geom_header)."""
+    buf = memoryview(wkb)
+    geom_type, off = _geom_header(buf, 0)
     if geom_type == WKB_POLYGON:
-        poly, _ = _parse_polygon_body(buf, 5)
+        poly, _ = _parse_polygon_body(buf, off)
         return [poly]
     if geom_type == WKB_MULTIPOLYGON:
-        (n,) = struct.unpack_from("<I", buf, 5)
-        off = 9
+        (n,) = struct.unpack_from("<I", buf, off)
+        off += 4
         polys = []
         for _ in range(n):
-            bo, gt = struct.unpack_from("<BI", buf, off)
-            if bo != 1 or (gt & 0xFF) != WKB_POLYGON:
+            gt, off = _geom_header(buf, off)
+            if gt != WKB_POLYGON:
                 raise ValueError("malformed MultiPolygon member")
-            poly, off = _parse_polygon_body(buf, off + 5)
+            poly, off = _parse_polygon_body(buf, off)
             polys.append(poly)
         return polys
     raise ValueError(f"unsupported WKB geometry type {geom_type}")
@@ -138,8 +173,9 @@ def points_in_polygons(
     for poly in polys:
         acc = np.zeros(px.shape[0], dtype=bool)
         for ring in poly:
-            if len(ring) >= 4:
-                acc ^= _ring_crossings(np.asarray(ring, dtype=np.float64), px, py)
+            if len(ring) < 4:
+                raise ValueError(f"degenerate ring with {len(ring)} point(s)")
+            acc ^= _ring_crossings(np.asarray(ring, dtype=np.float64), px, py)
         inside |= acc
     return inside
 

@@ -143,7 +143,11 @@ def spatial_join(
         raise ValueError(f"how must be 'broadcast' or 'grid', got {how!r}")
 
     refined = joined.filter(_contains_udf("geometry", "lon", "lat"))
-    return refined.drop("xmin", "ymin", "xmax", "ymax", "_cx", "_cy")
+    # Drop the zone payload (name + the heavy WKB blob) so downstream
+    # plans don't carry geometry bytes through shuffles.
+    return refined.drop(
+        "xmin", "ymin", "xmax", "ymax", "_cx", "_cy", "name", "geometry"
+    )
 
 
 def zonal_stats(

@@ -450,7 +450,7 @@ _SESSION_SQL = f"""
 WITH e AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_GAP_US}
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -68,5 +68,21 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate() silently ignores builder configs when a session already
+    # exists; re-apply the runtime-mutable ones so caller intent (shuffle
+    # width, timezone, broadcast threshold) always takes effect.
+    runtime = {
+        "spark.sql.shuffle.partitions": str(
+            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+        ),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        **(extra_conf or {}),
+    }
+    for k, v in runtime.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static confs (e.g. driver memory) can't change post-start
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,0 +1,151 @@
+"""Vector-tile sink (K2/O2/K3 — SURVEY.md §2a).
+
+The reference shells out to tippecanoe: GeoJSONL → ``{z}/{x}/{y}.pbf``
+pyramid, zoom ≤ 10, layer per pair, ``--drop-densest-as-needed``, then
+azcopy-uploads the directory and relies on ``metadata.json`` existing as
+the pair's completion marker (reference ``pipeline/processing/tiles.py:
+16-32``, ``pipeline/processing/data.py:26-40``).
+
+Spark-first equivalents:
+
+- **tiling math** (slippy z/x/y) is pure column arithmetic — JVM-side,
+  codegen-friendly, no UDF;
+- **feature→tile assignment** explodes each feature's bbox to the tiles
+  it covers per zoom (bounded: a bbox covers few tiles at z ≤ 10);
+- **density drop (O2)** is the window-ranked limit per tile that
+  tippecanoe's ``--drop-densest-as-needed`` performs internally
+  (``tiles.py:18``): smallest-area (densest) features drop first once a
+  tile exceeds ``max_features_per_tile``;
+- **PBF encode** runs per tile group in ``applyInPandas``. No
+  mapbox-vector-tile lib ships in this container, so the encoder emits a
+  deterministic compact-JSON byte payload (STAND-IN, clearly marked);
+  swapping in a real MVT encoder touches only ``_encode_tile``. Tests
+  assert tile-key sets and decoded feature content, not PBF bytes —
+  byte-parity with tippecanoe is unachievable anyway (SURVEY.md §7).
+- **upload (K3)** is the write itself: ``partitionBy(z, x)`` to any
+  Hadoop-supported URI; ``metadata.json`` sidecar completes the P6 loop.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+MAX_ZOOM = 10  # reference tippecanoe -z10 (tiles.py:22-24)
+
+
+def _tile_x(lon, z):
+    return F.floor((lon + 180.0) / 360.0 * F.lit(2.0) ** z).cast("int")
+
+
+def _tile_y(lat, z):
+    lat_rad = F.radians(lat)
+    mercator = F.lit(1.0) - F.asinh(F.tan(lat_rad)) / F.lit(math.pi)
+    return F.floor(mercator / 2.0 * F.lit(2.0) ** z).cast("int")
+
+
+def assign_tiles(
+    features: DataFrame,
+    max_zoom: int = MAX_ZOOM,
+    bbox_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+) -> DataFrame:
+    """Explode features to every (z, x, y) tile their bbox touches,
+    z = 0..max_zoom. Pure column math: zoom explode → per-corner tile
+    indices → x/y range explode. Bbox-sized features at z ≤ 10 cover few
+    tiles, so the fan-out is bounded and shuffle-free until the caller
+    groups by tile."""
+    xmin, ymin, xmax, ymax = (F.col(c) for c in bbox_cols)
+    z = F.explode(F.sequence(F.lit(0), F.lit(max_zoom))).alias("z")
+    with_z = features.select("*", z)
+    zc = F.col("z")
+    x0, x1 = _tile_x(xmin, zc), _tile_x(xmax, zc)
+    # slippy y grows southward: ymax (north) maps to the smaller y index
+    y0, y1 = _tile_y(ymax, zc), _tile_y(ymin, zc)
+    return (
+        with_z.withColumn("x", F.explode(F.sequence(x0, x1)))
+        .withColumn("y", F.explode(F.sequence(y0, y1)))
+    )
+
+
+def drop_densest(
+    tiles: DataFrame,
+    max_features_per_tile: int,
+    area_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
+    id_col: str = "fid",
+) -> DataFrame:
+    """O2: per-tile ranked limit — when a tile holds more than
+    ``max_features_per_tile`` features, the smallest-bbox (densest)
+    features drop first; ties break on the feature id so the result is
+    total-order deterministic."""
+    xmin, ymin, xmax, ymax = (F.col(c) for c in area_cols)
+    area = (xmax - xmin) * (ymax - ymin)
+    w = Window.partitionBy("z", "x", "y").orderBy(
+        area.desc(), F.col(id_col).asc()
+    )
+    return (
+        tiles.withColumn("_rank", F.row_number().over(w))
+        .filter(F.col("_rank") <= max_features_per_tile)
+        .drop("_rank")
+    )
+
+
+def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STAND-IN tile encoder: compact-JSON bytes per tile (deterministic:
+    features sorted by id). A real deployment replaces the json.dumps with
+    a mapbox-vector-tile encode of the same feature list."""
+    z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+    feat_cols = [c for c in pdf.columns if c not in ("z", "x", "y")]
+    feats = pdf[feat_cols].sort_values(feat_cols[0]).to_dict("records")
+    payload = json.dumps({"z": z, "x": x, "y": y, "features": feats},
+                         separators=(",", ":"), sort_keys=True, default=str)
+    return pd.DataFrame(
+        [{"z": z, "x": x, "y": y, "pbf": payload.encode()}]
+    )
+
+
+def encode_tiles(tiles: DataFrame, feature_cols: Iterable[str]) -> DataFrame:
+    """Group by tile key and encode each group to one binary payload
+    (K2). applyInPandas keeps encoding executor-side; the groupBy is the
+    single shuffle of the tile pipeline."""
+    cols = ["z", "x", "y", *feature_cols]
+    return (
+        tiles.select(*cols)
+        .groupBy("z", "x", "y")
+        .applyInPandas(_encode_tile, "z int, x int, y int, pbf binary")
+    )
+
+
+def write_tileset(
+    tiles: DataFrame,
+    path: str,
+    name: str,
+    max_zoom: int = MAX_ZOOM,
+    mode: str = "overwrite",
+) -> None:
+    """Write the (z, x, y, pbf) table partitioned by z/x — the storage
+    analogue of tippecanoe's directory pyramid — then drop the
+    ``metadata.json`` completion marker the incremental skip (P6) probes,
+    mirroring reference data.py:33-35."""
+    tiles.write.mode(mode).partitionBy("z", "x").parquet(path)
+    meta = {"name": name, "format": "pbf-standin-json", "maxzoom": max_zoom}
+    # leading underscore: Spark data-source listings ignore _*/.* files,
+    # so the marker coexists with the parquet parts (like _SUCCESS)
+    with open(os.path.join(path, "_tileset_metadata.json"), "w") as fh:
+        json.dump(meta, fh, separators=(",", ":"))
+
+
+def read_tileset(spark: SparkSession, path: str) -> DataFrame:
+    """Read a tileset back; partition pruning serves single-tile lookups
+    (``WHERE z = .. AND x = ..`` touches one directory)."""
+    return spark.read.parquet(path)
+
+
+def tileset_complete(path: str) -> bool:
+    """P6 existence probe (reference data.py:33-35)."""
+    return os.path.exists(os.path.join(path, "_tileset_metadata.json"))

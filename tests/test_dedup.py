@@ -1,0 +1,90 @@
+"""Dedup operator unit tests against hand-computed / pure-Python oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.operators import dedup
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+    (3, "pack my box with five dozen liquor jugs"),
+    (4, "sphinx of black quartz judge my vow"),
+    (5, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    w = text.lower().split()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _py_jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b)
+
+
+def test_exact_dedup_keeps_first(docs):
+    kept = dedup.exact_dedup(docs, ["text"], "doc_id")
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [0, 2, 3, 4, 5]  # doc 1 deduped against doc 0
+
+
+def test_shingles_match_python(docs):
+    got = {
+        (r.doc_id, r.shingle) for r in dedup.shingles(docs, 3).collect()
+    }
+    want = {
+        (i, s) for i, t in DOCS for s in _py_shingles(t, 3)
+    }
+    assert got == want
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.near_duplicates_minhash(docs, threshold=0.2).collect()
+    }
+    # exact duplicate pair must collide in every band with jaccard 1.0
+    assert pairs[(0, 1)] == 1.0
+    # verified jaccard values equal the pure-Python computation
+    for (i, j), jac in pairs.items():
+        want = _py_jaccard(_py_shingles(DOCS[i][1]), _py_shingles(DOCS[j][1]))
+        assert abs(jac - want) < 1e-6
+
+
+def test_ngram_jaccard_blocked(docs):
+    pairs = {
+        (r.id1, r.id2): r.jaccard
+        for r in dedup.near_duplicates_ngram(docs, threshold=0.3, max_df=5).collect()
+    }
+    assert (0, 1) in pairs
+    # unrelated docs never pair
+    for bad in [(3, 4)]:
+        assert bad not in pairs
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    out = {
+        (r.id1, r.id2): r.hamming
+        for r in dedup.near_duplicates_simhash(docs, max_hamming=3).collect()
+    }
+    assert out[(0, 1)] == 0
+
+
+def test_lsh_candidates_subset_of_all_pairs(docs):
+    tok = dedup.shingles(docs, 3).withColumnRenamed("shingle", "token")
+    sig = dedup.minhash_signature(tok)
+    cand = {(r.id1, r.id2) for r in dedup.lsh_candidate_pairs(sig).collect()}
+    all_pairs = set(itertools.combinations(range(len(DOCS)), 2))
+    assert cand <= all_pairs
+    assert (0, 1) in cand  # identical docs always collide

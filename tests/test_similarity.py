@@ -1,0 +1,74 @@
+"""Similarity-search tests: exact top-k against a numpy oracle, ANN
+recall against the exact result."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.operators import similarity
+from sids_data_pipeline_spark.sources.tables import load_table
+
+K = 10
+N_QUERIES = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir)
+
+
+@pytest.fixture(scope="module")
+def np_oracle(emb):
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    # mirror the engine's exact-integer domain
+    iv = np.round(mat * 1_000_000)
+    norms = np.sqrt((iv * iv).sum(axis=1))
+    cos = (iv @ iv.T) / np.outer(norms, norms)
+    return ids, cos
+
+
+def test_topk_matches_numpy(emb, np_oracle):
+    ids, cos = np_oracle
+    got = similarity.topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=K
+    ).collect()
+    by_query: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rank)):
+        by_query.setdefault(r.query_id, []).append(r)
+    assert set(by_query) == set(range(N_QUERIES))
+    for q, rows in by_query.items():
+        qi = int(np.where(ids == q)[0][0])
+        sims = cos[qi].copy()
+        sims[qi] = -np.inf  # exclude self
+        # numpy oracle: top-k by (cosine desc, id asc)
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))[:K]
+        want = [int(ids[j]) for j in order]
+        assert [r.neighbor_id for r in rows] == want
+        for r, j in zip(rows, order):
+            assert abs(r.cosine - sims[j]) < 1e-5
+
+
+def test_ann_lsh_recall(emb):
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = similarity.topk_bruteforce(emb, queries, k=K).collect()
+    approx = similarity.ann_lsh(emb, queries, k=K).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / K for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean recall too low: {recalls}"
+
+
+def test_cosine_pairs_symmetric_threshold(emb):
+    pairs = similarity.cosine_pairs(emb, threshold=0.35, block_col="label").collect()
+    assert all(r.id1 < r.id2 for r in pairs)
+    assert all(r.cosine >= 0.35 for r in pairs)

@@ -1,0 +1,114 @@
+"""Sink round-trips: GeoJSONL (K1), CSV (S2/K6), tile pyramid (K2/O2/K3).
+
+Tile assertions follow SURVEY.md §7: tile-key sets and decoded feature
+content, never PBF byte-parity.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.operators.zonal import zonal_stats
+from sids_data_pipeline_spark.sinks import csvio, geojsonl, tiles
+from sids_data_pipeline_spark.sources.raster import synthetic_raster
+from sids_data_pipeline_spark.sources.vector import fixture_zones
+
+
+@pytest.fixture(scope="module")
+def joined(spark):
+    """The K1 export shape: stats re-joined to geometry (J2,
+    reference vector.py:6-13)."""
+    zones = fixture_zones(spark, "zones_grid")
+    stats = zonal_stats(
+        zones, synthetic_raster(spark, "rast_gradient"), stats=("mean",)
+    )
+    return stats.join(zones.select("fid", "name", "geometry"), "fid")
+
+
+def test_geojsonl_round_trip(spark, joined, tmp_path):
+    path = str(tmp_path / "export.geojsonl")
+    geojsonl.write_geojsonl(joined, path, property_cols=("fid", "mean"))
+    back = geojsonl.read_geojsonl(spark, path).collect()
+    assert len(back) == 4  # one feature per zone
+    props = sorted(json.loads(r.properties_json)["fid"] for r in back)
+    assert props == [1, 2, 3, 4]
+    geom = json.loads(back[0].geometry_json)
+    assert geom["type"] == "MultiPolygon"
+    # offshore zone (fid 4) exports mean = null, mirroring the LEFT join
+    by_fid = {json.loads(r.properties_json)["fid"]: r for r in back}
+    assert json.loads(by_fid[4].properties_json)["mean"] is None
+
+
+def test_csv_round_trip(spark, tmp_path):
+    path = str(tmp_path / "ledger.csv")
+    df = spark.createDataFrame([("v1", "r1"), ("v2", "r2")], "v_id string, r_id string")
+    csvio.write_csv(df, path)
+    back = csvio.read_csv(spark, path, "v_id string, r_id string")
+    assert {(r.v_id, r.r_id) for r in back.collect()} == {("v1", "r1"), ("v2", "r2")}
+
+
+def _slippy(lon: float, lat: float, z: int) -> tuple[int, int]:
+    n = 2**z
+    x = int((lon + 180.0) / 360.0 * n)
+    lat_rad = math.radians(lat)
+    y = int((1.0 - math.asinh(math.tan(lat_rad)) / math.pi) / 2.0 * n)
+    return x, y
+
+
+@pytest.fixture(scope="module")
+def features(spark):
+    # four point-ish features with bboxes, density ∝ 1/area
+    rows = [
+        (1, 10.0, 10.0, 12.0, 12.0),
+        (2, 10.1, 10.1, 10.2, 10.2),
+        (3, 10.15, 10.15, 10.16, 10.16),
+        (4, -120.0, -30.0, -119.0, -29.0),
+    ]
+    return spark.createDataFrame(
+        rows, "fid long, xmin double, ymin double, xmax double, ymax double"
+    )
+
+
+def test_assign_tiles_keys(spark, features):
+    out = tiles.assign_tiles(features, max_zoom=3).collect()
+    # every feature appears at z=0 tile (0,0)
+    z0 = {(r.fid) for r in out if r.z == 0 and (r.x, r.y) == (0, 0)}
+    assert z0 == {1, 2, 3, 4}
+    # feature 4 at z=3 lands in the slippy tile of its corners
+    want_x, want_y = _slippy(-120.0, -30.0, 3)
+    got = {(r.x, r.y) for r in out if r.z == 3 and r.fid == 4}
+    assert (want_x, want_y) in got
+
+
+def test_drop_densest(spark, features):
+    assigned = tiles.assign_tiles(features, max_zoom=2)
+    kept = tiles.drop_densest(assigned, max_features_per_tile=2)
+    # at z=2, features 1-3 share a tile; the two smallest-area (2, 3) drop
+    # first, so the survivors per overfull tile are the largest bboxes
+    z2 = [r for r in kept.collect() if r.z == 2]
+    counts: dict[tuple[int, int], set] = {}
+    for r in z2:
+        counts.setdefault((r.x, r.y), set()).add(r.fid)
+    for fids in counts.values():
+        assert len(fids) <= 2
+    shared = [f for f in counts.values() if 1 in f]
+    assert all(3 not in f for f in shared)  # densest dropped
+
+
+def test_tileset_write_read_complete(spark, features, tmp_path):
+    path = str(tmp_path / "tileset")
+    assigned = tiles.assign_tiles(features, max_zoom=2)
+    encoded = tiles.encode_tiles(assigned, ["fid", "xmin", "ymin", "xmax", "ymax"])
+    assert not tiles.tileset_complete(path)
+    tiles.write_tileset(encoded, path, name="zones_grid_rast_gradient", max_zoom=2)
+    assert tiles.tileset_complete(path)  # P6 marker exists
+    back = tiles.read_tileset(spark, path)
+    keys = {(r.z, r.x, r.y) for r in back.collect()}
+    assert (0, 0, 0) in keys
+    # decoded feature content, not bytes (SURVEY §7)
+    tile0 = json.loads(bytes(back.filter("z = 0").first().pbf))
+    assert {f["fid"] for f in tile0["features"]} == {1, 2, 3, 4}

@@ -1,0 +1,81 @@
+"""Event-time window semantics against hand-computed oracles."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from sids_data_pipeline_spark.operators import windows
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+# (event_id, ts, user_id, event_type, value, props)
+EVENTS = [
+    (1, T0, 1, "click", 1.0, "{}"),
+    (2, T0 + timedelta(minutes=5), 1, "click", 2.0, "{}"),
+    (3, T0 + timedelta(minutes=34), 1, "view", 4.0, "{}"),   # still session 1 (gap 29m < 30m)
+    (4, T0 + timedelta(minutes=65), 1, "view", 8.0, "{}"),   # gap 31m → session 2
+    (5, T0 + timedelta(minutes=95), 1, "click", 16.0, "{}"),  # gap EXACTLY 30m → merges (Spark: diff <= gap)
+    (7, T0 + timedelta(minutes=160), 1, "click", 64.0, "{}"),  # gap 35m → session 3
+    (6, T0, 2, "click", 32.0, "{}"),
+]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.createDataFrame(
+        EVENTS,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+T0_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+
+def us(dt: datetime) -> int:
+    # timezone-proof: offset from the fixed UTC epoch of T0 (the session
+    # timezone is pinned to UTC, so naive datetimes are UTC instants)
+    return T0_EPOCH_US + int((dt - T0).total_seconds() * 1_000_000)
+
+
+def test_tumbling_counts(events):
+    rows = {
+        (r.window_start_us, r.event_type): (r.n_events, r.sum_value_cents)
+        for r in windows.tumbling(events, "10 minutes").collect()
+    }
+    assert rows[(us(T0), "click")] == (3, 3500)  # events 1, 2 (user1) + 6 (user2)
+    assert rows[(us(T0 + timedelta(minutes=30)), "view")] == (1, 400)
+
+
+def test_sliding_window_multiplicity(events):
+    rows = windows.sliding(events, "30 minutes", "10 minutes").collect()
+    # each event appears in exactly duration/slide = 3 windows
+    assert sum(r.n_events for r in rows) == 3 * len(EVENTS)
+
+
+def test_session_window_gap_semantics(events):
+    rows = sorted(
+        windows.session(events, "30 minutes").collect(),
+        key=lambda r: (r.user_id, r.session_start_us),
+    )
+    u1 = [r for r in rows if r.user_id == 1]
+    assert len(u1) == 3
+    # session 1 = events 1-3: [T0, T0+34m+30m)
+    assert u1[0].session_start_us == us(T0)
+    assert u1[0].session_end_us == us(T0 + timedelta(minutes=64))
+    assert u1[0].n_events == 3
+    # boundary: event at exactly prev_ts + gap MERGES (Spark semantics:
+    # sessions merge when the time difference <= gap), so session 2 holds
+    # events 4 and 5 and ends at 95m + 30m
+    assert u1[1].n_events == 2
+    assert u1[1].session_end_us == us(T0 + timedelta(minutes=125))
+    assert u1[2].session_start_us == us(T0 + timedelta(minutes=160))
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].n_events == 1
+
+
+def test_latest_per_key(events):
+    rows = {r.user_id: r.event_id for r in windows.latest_per_key(events).collect()}
+    assert rows == {1: 7, 2: 6}
