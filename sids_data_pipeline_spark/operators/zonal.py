@@ -16,9 +16,10 @@ Two join strategies, equal by construction (property-tested):
 - ``how="broadcast"`` — zones are dimension-sized (admin boundaries; the
   reference broadcasts them implicitly by importing vectors once and
   streaming rasters past them, ``pipeline/processing/__main__.py:13-23``).
-  Pixels join the broadcast zone bbox table on a range predicate, then an
-  Arrow-batched numpy point-in-polygon kernel refines. No shuffle of the
-  pixel table at all until the (tiny) per-fid aggregate.
+  The exploded zone-cell table broadcasts and pixels probe it with a
+  BroadcastHashJoin on the cell key (hash probe, not a nested loop over
+  zones), then an Arrow-batched numpy point-in-polygon kernel refines. No
+  shuffle of the pixel table at all until the (tiny) per-fid aggregate.
 
 - ``how="grid"`` — the 100 TB path when zones are also large. Each pixel
   gets a coarse grid-cell key; each zone explodes to the cells its bbox
@@ -101,44 +102,50 @@ def spatial_join(
 ) -> DataFrame:
     """Inner spatial join: pixel rows × zone keys where the pixel center
     falls inside the zone geometry (J1 filter-and-refine). Returns the
-    pixel columns plus (vector_id, fid)."""
-    zb = _zone_bboxes(zones)
+    pixel columns plus (vector_id, fid).
+
+    Both strategies are grid-cell EQUI-joins (hash-joinable — never a
+    nested-loop over zones): pixels get a cell key from their coordinates,
+    zones explode to the cells their bbox covers, and a bbox filter plus
+    the exact containment UDF refine the candidates. The strategies differ
+    only in where the join runs: ``broadcast`` ships the (small) exploded
+    zone-cell table to every pixel partition — zero pixel shuffle, a
+    BroadcastHashJoin probe per pixel; ``grid`` shuffles both sides on the
+    cell key for the case where zones are also large, and AQE splits
+    skewed cells (coastline-dense zones).
+    """
+    cell = float(cell_deg)
+    px = pixels.withColumn(
+        "_cx", F.floor(F.col("lon") / cell).cast("long")
+    ).withColumn("_cy", F.floor(F.col("lat") / cell).cast("long"))
+    # Explode each zone to the grid cells its bbox covers. Zone count ×
+    # covered cells stays small relative to pixels.
+    zc = _zone_bboxes(zones).withColumn(
+        "_cx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("xmin") / cell).cast("long"),
+                F.floor(F.col("xmax") / cell).cast("long"),
+            )
+        ),
+    ).withColumn(
+        "_cy",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("ymin") / cell).cast("long"),
+                F.floor(F.col("ymax") / cell).cast("long"),
+            )
+        ),
+    )
+    bbox_filter = F.col("lon").between(F.col("xmin"), F.col("xmax")) & F.col(
+        "lat"
+    ).between(F.col("ymin"), F.col("ymax"))
     if how == "broadcast":
-        cond = (
-            F.col("lon").between(F.col("xmin"), F.col("xmax"))
-            & F.col("lat").between(F.col("ymin"), F.col("ymax"))
+        joined = px.join(F.broadcast(zc), ["_cx", "_cy"], "inner").filter(
+            bbox_filter
         )
-        joined = pixels.join(F.broadcast(zb), cond, "inner")
     elif how == "grid":
-        cell = float(cell_deg)
-        px = pixels.withColumn(
-            "_cx", F.floor(F.col("lon") / cell).cast("long")
-        ).withColumn("_cy", F.floor(F.col("lat") / cell).cast("long"))
-        # Explode each zone to the grid cells its bbox covers. Zone count ×
-        # covered cells is small relative to pixels; the subsequent join is
-        # a pure equi-join so Catalyst can shuffle-hash it and AQE can split
-        # skewed cells (coastline-dense zones).
-        zc = zb.withColumn(
-            "_cx",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("xmin") / cell).cast("long"),
-                    F.floor(F.col("xmax") / cell).cast("long"),
-                )
-            ),
-        ).withColumn(
-            "_cy",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("ymin") / cell).cast("long"),
-                    F.floor(F.col("ymax") / cell).cast("long"),
-                )
-            ),
-        )
-        joined = px.join(zc, ["_cx", "_cy"], "inner").filter(
-            F.col("lon").between(F.col("xmin"), F.col("xmax"))
-            & F.col("lat").between(F.col("ymin"), F.col("ymax"))
-        )
+        joined = px.join(zc, ["_cx", "_cy"], "inner").filter(bbox_filter)
     else:
         raise ValueError(f"how must be 'broadcast' or 'grid', got {how!r}")
 

@@ -177,7 +177,111 @@ ORDER BY p.v_id, p.r_id
 """
 
 
+# --- tile assignment + density drop (K2/O2) -----------------------------------
+
+_TILE_MAX_ZOOM = 4
+_TILE_KEEP = 2
+
+
+def _zone_bbox_values(vector_ids: tuple[str, ...]) -> tuple[list, str]:
+    """(rows, SQL VALUES) of per-zone bboxes, computed ONCE from the same
+    WKB the engine parses — engine UDF and oracle see identical doubles."""
+    rows = []
+    for vid in vector_ids:
+        for fid, _name, wkb in FIXTURE_BUILDERS[vid]():
+            xmin, ymin, xmax, ymax = geo.wkb_bbox(wkb)
+            rows.append((f"{vid}_{fid}", xmin, ymin, xmax, ymax))
+    values = ", ".join(
+        f"('{k}', {xmin!r}, {ymin!r}, {xmax!r}, {ymax!r})"
+        for k, xmin, ymin, xmax, ymax in rows
+    )
+    return rows, values
+
+
+def _tile_features(spark: SparkSession) -> DataFrame:
+    rows, _ = _zone_bbox_values(("zones_grid", "zones_overlap"))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["fid", "xmin", "ymin", "xmax", "ymax"])
+    return spark.createDataFrame(pdf).coalesce(1)
+
+
+def _tiles_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.sinks.tiles import assign_tiles
+
+    out = assign_tiles(_tile_features(spark), max_zoom=_TILE_MAX_ZOOM)
+    return out.select("fid", "z", "x", "y")
+
+
+_TILE_MATH_SQL = """
+t AS (
+  SELECT fid, z.z AS z,
+         CAST(floor((xmin + 180.0) / 360.0 * pow(2.0, z.z)) AS INT) AS x0,
+         CAST(floor((xmax + 180.0) / 360.0 * pow(2.0, z.z)) AS INT) AS x1,
+         CAST(floor((1.0 - ln(tan(radians(ymax)) + sqrt(tan(radians(ymax)) * tan(radians(ymax)) + 1.0)) / pi()) / 2.0 * pow(2.0, z.z)) AS INT) AS y0,
+         CAST(floor((1.0 - ln(tan(radians(ymin)) + sqrt(tan(radians(ymin)) * tan(radians(ymin)) + 1.0)) / pi()) / 2.0 * pow(2.0, z.z)) AS INT) AS y1
+  FROM f CROSS JOIN (SELECT unnest(range({maxz} + 1)) AS z) z
+),
+assigned AS (
+  SELECT fid, CAST(z AS INT) AS z, CAST(xx.x AS INT) AS x, CAST(yy.y AS INT) AS y,
+         x0, x1, y0, y1
+  FROM t, unnest(range(x0, x1 + 1)) AS xx(x), unnest(range(y0, y1 + 1)) AS yy(y)
+)
+"""
+
+
+def _tiles_assign_sql() -> str:
+    _, values = _zone_bbox_values(("zones_grid", "zones_overlap"))
+    return (
+        f"WITH f(fid, xmin, ymin, xmax, ymax) AS (VALUES {values}),\n"
+        + _TILE_MATH_SQL.format(maxz=_TILE_MAX_ZOOM)
+        + "SELECT fid, z, x, y FROM assigned"
+    )
+
+
+def _tiles_drop_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.sinks.tiles import assign_tiles, drop_densest
+
+    out = drop_densest(
+        assign_tiles(_tile_features(spark), max_zoom=_TILE_MAX_ZOOM),
+        max_features_per_tile=_TILE_KEEP,
+    )
+    return out.select("fid", "z", "x", "y")
+
+
+def _tiles_drop_sql() -> str:
+    _, values = _zone_bbox_values(("zones_grid", "zones_overlap"))
+    return (
+        f"WITH f(fid, xmin, ymin, xmax, ymax) AS (VALUES {values}),\n"
+        + _TILE_MATH_SQL.format(maxz=_TILE_MAX_ZOOM)
+        + f""",
+ranked AS (
+  SELECT a.fid, a.z, a.x, a.y,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.z, a.x, a.y
+           ORDER BY (f.xmax - f.xmin) * (f.ymax - f.ymin) DESC, a.fid ASC) AS rnk
+  FROM assigned a JOIN f ON f.fid = a.fid
+)
+SELECT fid, z, x, y FROM ranked WHERE rnk <= {_TILE_KEEP}
+"""
+    )
+
+
 QUERIES: list[Query] = [
+    Query(
+        "tiles_assign",
+        _tiles_assign_query,
+        _tiles_assign_sql(),
+        doc="K2 slippy z/x/y assignment, pure column math",
+        tags=("geo", "tiles"),
+    ),
+    Query(
+        "tiles_density_drop",
+        _tiles_drop_query,
+        _tiles_drop_sql(),
+        doc="O2 per-tile density-ranked drop (tippecanoe drop-densest semantics)",
+        tags=("geo", "tiles", "window"),
+    ),
     Query(
         "zonal_mean_broadcast",
         _zonal_query("zones_grid", "rast_gradient", ("mean",), "broadcast"),

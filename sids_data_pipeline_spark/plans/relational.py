@@ -240,6 +240,42 @@ def _agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .cube("r_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_name", "c_mktsegment")
+    )
+
+
+def _window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag(cents("o_totalprice")).over(w).alias("prev_cents"),
+        F.lead(cents("o_totalprice")).over(w).alias("next_cents"),
+    )
+
+
+def _union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = tables(spark, sf_dir, "customer", "supplier")
+    c = cust.select(F.lit("cust").alias("side"), F.col("c_nationkey").alias("nationkey"))
+    s = supp.select(F.lit("supp").alias("side"), F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.unionByName(s)
+        .groupBy("side", "nationkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy("side", "nationkey")
+    )
+
+
 def _agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = tables(spark, sf_dir, "lineitem")
     return (
@@ -483,6 +519,46 @@ QUERIES: list[Query] = [
         """,
         doc="hierarchical rollup aggregation",
         tags=("aggregate",),
+    ),
+    Query(
+        "agg_cube",
+        _agg_cube,
+        """
+        SELECT r_name, c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, c_mktsegment)
+        ORDER BY r_name, c_mktsegment
+        """,
+        doc="CUBE grouping sets",
+        tags=("aggregate",),
+    ),
+    Query(
+        "window_lag_lead",
+        _window_lag_lead,
+        f"""
+        SELECT o_custkey, o_orderkey,
+               lag({o_cents('o_totalprice')}) OVER w AS prev_cents,
+               lead({o_cents('o_totalprice')}) OVER w AS next_cents
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        """,
+        doc="lag/lead analytic functions",
+        tags=("window",),
+    ),
+    Query(
+        "union_all_tagged",
+        _union_all_tagged,
+        """
+        SELECT side, nationkey, COUNT(*) AS n FROM (
+          SELECT 'cust' AS side, c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT 'supp' AS side, s_nationkey AS nationkey FROM supplier
+        ) GROUP BY side, nationkey ORDER BY side, nationkey
+        """,
+        doc="UNION ALL + grouped count",
+        tags=("setop", "aggregate"),
     ),
     Query(
         "agg_approx_distinct",

