@@ -180,6 +180,21 @@ def points_in_polygons(
     return inside
 
 
+def promote_to_multi(wkb: bytes) -> bytes:
+    """F7 normalisation (reference ogr2ogr ``-nlt PROMOTE_TO_MULTI``,
+    pipeline/processing/inputs.py:53): Polygon → single-member
+    MultiPolygon; MultiPolygon passes through byte-identical. Z/M input
+    is rejected by the parser (the ``-dim XY`` half of F7)."""
+    buf = memoryview(wkb)
+    geom_type, _ = _geom_header(buf, 0)
+    if geom_type == WKB_MULTIPOLYGON:
+        return wkb
+    polys = parse_wkb(wkb)
+    return multipolygon_wkb(
+        [[[(float(x), float(y)) for x, y in ring] for ring in poly] for poly in polys]
+    )
+
+
 def wkb_bbox(wkb: bytes) -> tuple[float, float, float, float]:
     """(xmin, ymin, xmax, ymax) of a WKB (Multi)Polygon — used to build the
     coarse grid keys for the filter-and-refine spatial join."""

@@ -1,0 +1,114 @@
+"""The end-to-end pipeline job — the reference's Entry-1 lifecycle
+(SURVEY.md §3) as one Spark program.
+
+Reference flow (``pipeline/processing/__main__.py:19-26``): enumerate
+blobs → prune done pairs → per-raster loop {import, per-vector SQL stats,
+GeoJSONL export, tippecanoe tiles, upload, ledger}. The per-dataset
+*task* parallelism (multiprocessing.Pool, ``utils.py:47-57``) becomes
+*data* parallelism here: ONE zonal-stats job computes every pending
+(vector, raster) pair at once — zones and pixels each union into a single
+DataFrame keyed by vector_id/raster_id, the spatial join handles all
+pairs in one pass, and only the per-pair sink writes loop on the driver
+(output tilesets are per-pair directories, exactly like the reference's
+blob layout).
+
+Idempotency is the reference's signature behavior (``data.py:26-40``):
+pending = crossJoin − ledger; a re-run after completion does zero work
+(proven in tests/test_pipeline_job.py).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sids_data_pipeline_spark.operators import manifest
+from sids_data_pipeline_spark.operators.zonal import zonal_stats
+from sids_data_pipeline_spark.sinks import geojsonl, tiles
+from sids_data_pipeline_spark.sources.raster import synthetic_raster, standardize_pixels
+from sids_data_pipeline_spark.sources.vector import fixture_zones
+
+
+def _union(dfs: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    vector_ids: list[str],
+    raster_ids: list[str],
+    out_dir: str,
+    stats: tuple[str, ...] = ("mean",),
+    how: str = "broadcast",
+    max_zoom: int = 6,
+    max_features_per_tile: int = 64,
+) -> dict:
+    """Run zonal stats + exports for every pending (vector, raster) pair.
+
+    Returns {"pending": n_pairs_processed, "outputs": [pair keys]}.
+    Sources here are the fixture generators; a production deployment
+    swaps them for parquet scans of the ingested canonical tables — the
+    plan shape is identical.
+    """
+    ledger_path = os.path.join(out_dir, "_ledger")
+    vectors = spark.createDataFrame([(v,) for v in vector_ids], "id string")
+    rasters = spark.createDataFrame([(r,) for r in raster_ids], "id string")
+
+    pairs = manifest.work_pairs(vectors, rasters)
+    done = manifest.read_ledger(spark, ledger_path)
+    pending = manifest.pending_pairs(pairs, done)
+    pending_rows = pending.collect()  # pair manifest: tiny by construction
+    if not pending_rows:
+        return {"pending": 0, "outputs": []}
+
+    pend_v = sorted({r.v_id for r in pending_rows})
+    pend_r = sorted({r.r_id for r in pending_rows})
+
+    # ONE job for all pairs: union the pending dimensions and let the
+    # spatial join's key columns (vector_id, raster_id) fan the work out.
+    zones = _union([fixture_zones(spark, v) for v in pend_v])
+    pixels = standardize_pixels(
+        _union([synthetic_raster(spark, r) for r in pend_r])
+    )
+    all_stats = zonal_stats(zones, pixels, stats=stats, how=how)
+    # P8 gate: only pending pairs get written (a completed pair's stats
+    # may coexist in the frame when its raster is shared with a pending one)
+    gated = all_stats.withColumnsRenamed(
+        {"vector_id": "v_id", "raster_id": "r_id"}
+    ).join(pending.select("v_id", "r_id"), ["v_id", "r_id"], "left_semi")
+    stats_with_geom = gated.join(
+        zones.withColumnsRenamed({"vector_id": "v_id"}).select(
+            "v_id", "fid", "geometry"
+        ),
+        ["v_id", "fid"],
+    )
+
+    outputs = []
+    for row in pending_rows:
+        pair_df = stats_with_geom.filter(
+            (stats_with_geom.v_id == row.v_id) & (stats_with_geom.r_id == row.r_id)
+        )
+        pair_dir = os.path.join(out_dir, row.pair_key)
+        geojsonl.write_geojsonl(
+            pair_df, os.path.join(pair_dir, "export.geojsonl"),
+            property_cols=("fid", *stats),
+        )
+        from sids_data_pipeline_spark.operators.zonal import _zone_bboxes
+
+        feats = _zone_bboxes(
+            pair_df.select("fid", "geometry").withColumnRenamed("fid", "fid")
+        ).select("fid", "xmin", "ymin", "xmax", "ymax")
+        tiled = tiles.drop_densest(
+            tiles.assign_tiles(feats, max_zoom=max_zoom), max_features_per_tile
+        )
+        encoded = tiles.encode_tiles(tiled, ["fid", "xmin", "ymin", "xmax", "ymax"])
+        tiles.write_tileset(
+            encoded, os.path.join(pair_dir, "tiles"), name=row.pair_key,
+            max_zoom=max_zoom,
+        )
+        outputs.append(row.pair_key)
+
+    manifest.record_done(spark, ledger_path, pending)
+    return {"pending": len(pending_rows), "outputs": outputs}

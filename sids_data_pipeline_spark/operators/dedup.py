@@ -232,6 +232,44 @@ def near_duplicates_ngram(
     )
 
 
+def near_duplicates_minhash_ml(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E2 via pyspark.ml: CountVectorizer shingle vectors → MinHashLSH →
+    ``approxSimilarityJoin`` (banded candidates only). Seeded and
+    deterministic run-to-run but not SQL-reproducible, so this variant
+    registers rows-only; the md5-family implementation above carries the
+    hash-verified oracle. Output: (id1, id2, jaccard) with jaccard
+    computed as 1 − approx Jaccard distance.
+    """
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = shingles(docs, 3, text_col, id_col)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("toks"))
+    cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True)
+    model = cv.fit(sets)
+    feats = model.transform(sets)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    lsh_model = lsh.fit(feats)
+    joined = lsh_model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id1"),
+            F.col("datasetB.doc_id").alias("id2"),
+            F.round(1.0 - F.col("dist"), 6).alias("jaccard"),
+        )
+    )
+
+
 def simhash32(tok: DataFrame, token_col: str = "token") -> DataFrame:
     """32-bit SimHash per doc: sign-sum of token-hash bits, one groupBy.
 

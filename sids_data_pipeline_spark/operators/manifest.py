@@ -63,7 +63,14 @@ def record_done(
 
 def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
     """S7: the completion ledger as a DataFrame (empty if none yet)."""
+    import os
+
+    empty = "v_id string, r_id string"
+    # local-path fast path avoids a logged AnalysisException on first run;
+    # remote URIs fall through to the try/except
+    if "://" not in ledger_path and not os.path.exists(ledger_path):
+        return spark.createDataFrame([], empty)
     try:
         return spark.read.parquet(ledger_path).select(*PAIR_COLS)
     except Exception:
-        return spark.createDataFrame([], "v_id string, r_id string")
+        return spark.createDataFrame([], empty)

@@ -543,6 +543,13 @@ QUERIES: list[Query] = [
           doc="E2 n-gram Jaccard with rare-shingle blocking", tags=("dedup",)),
     Query("dedup_simhash", _dedup_simhash, _simhash_sql(),
           doc="E2 SimHash banded blocking + Hamming verify", tags=("dedup",)),
+    Query("dedup_minhash_ml",
+          lambda spark, sf_dir: dedup.near_duplicates_minhash_ml(
+              tables(spark, sf_dir, "documents")[0], threshold=0.5
+          ),
+          None,  # seeded pyspark.ml sketch → rows-only
+          doc="E2 pyspark.ml MinHashLSH approxSimilarityJoin (rows-only)",
+          tags=("dedup", "lsh")),
     Query("dedup_embedding_cosine", _dedup_embedding, _DEDUP_EMBED_SQL,
           doc="E2 embedding-cosine near-dup (exact integer domain)",
           tags=("dedup", "similarity")),

@@ -177,6 +177,41 @@ ORDER BY p.v_id, p.r_id
 """
 
 
+# --- CRS reprojection (P9/F8) --------------------------------------------------
+
+
+def _crs_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+
+    grid = spark.range(0, 1000, 1, 8).select(
+        F.col("id"),
+        ((F.col("id") % 50).cast("double") * 100000.0 - 2500000.0).alias("lon"),
+        ((F.col("id") / 50).cast("long").cast("double") * 150000.0 - 1500000.0).alias(
+            "lat"
+        ),
+    )
+    out = reproject_pixels(grid, src_epsg=3857, dst_epsg=4326)
+    # 9-dp rounding: Java and C libm may differ in the last ULP of
+    # atan/exp; nine decimals ≈ 0.1 mm, far beyond either error.
+    return out.select(
+        "id", F.round("lon", 9).alias("lon"), F.round("lat", 9).alias("lat")
+    )
+
+
+_CRS_SQL = """
+WITH m AS (
+  SELECT i AS id,
+         CAST(i % 50 AS DOUBLE) * 100000.0 - 2500000.0 AS x,
+         CAST(i // 50 AS DOUBLE) * 150000.0 - 1500000.0 AS y
+  FROM (SELECT unnest(range(1000)) AS i) t
+)
+SELECT id,
+       ROUND(degrees(x / 6378137.0), 9) AS lon,
+       ROUND(degrees(atan(exp(y / 6378137.0)) * 2.0 - 1.5707963267948966), 9) AS lat
+FROM m
+"""
+
+
 # --- tile assignment + density drop (K2/O2) -----------------------------------
 
 _TILE_MAX_ZOOM = 4
@@ -268,6 +303,13 @@ SELECT fid, z, x, y FROM ranked WHERE rnk <= {_TILE_KEEP}
 
 
 QUERIES: list[Query] = [
+    Query(
+        "crs_reproject",
+        _crs_reproject,
+        _CRS_SQL,
+        doc="P9/F8: Web Mercator → WGS-84, closed-form column math",
+        tags=("geo", "scalar"),
+    ),
     Query(
         "tiles_assign",
         _tiles_assign_query,

@@ -1,0 +1,44 @@
+"""End-to-end pipeline lifecycle: one data-parallel run over all pending
+pairs, per-pair exports, ledger append, idempotent re-run."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from sids_data_pipeline_spark.jobs.pipeline import run_pipeline
+from sids_data_pipeline_spark.sinks import tiles
+
+
+def test_pipeline_end_to_end_and_idempotent(spark, tmp_path):
+    out = str(tmp_path / "out")
+    vectors = ["zones_grid", "zones_overlap"]
+    rasters = ["rast_gradient", "rast_checker"]
+
+    r1 = run_pipeline(spark, vectors, rasters, out, stats=("mean", "count"))
+    assert r1["pending"] == 4
+    assert sorted(r1["outputs"]) == [
+        "zones_grid_rast_checker",
+        "zones_grid_rast_gradient",
+        "zones_overlap_rast_checker",
+        "zones_overlap_rast_gradient",
+    ]
+
+    # per-pair outputs exist and decode
+    pair = os.path.join(out, "zones_grid_rast_gradient")
+    lines = spark.read.text(os.path.join(pair, "export.geojsonl")).collect()
+    assert len(lines) == 4  # one feature per zone
+    feat = json.loads(lines[0].value)
+    assert feat["type"] == "Feature" and "mean" in feat["properties"]
+    assert tiles.tileset_complete(os.path.join(pair, "tiles"))
+
+    # signature behavior: a re-run finds nothing to do
+    r2 = run_pipeline(spark, vectors, rasters, out, stats=("mean", "count"))
+    assert r2 == {"pending": 0, "outputs": []}
+
+    # adding a raster only processes the new pairs
+    r3 = run_pipeline(
+        spark, vectors, rasters + ["rast_nodata"], out, stats=("mean", "count")
+    )
+    assert r3["pending"] == 2
+    assert all(k.endswith("rast_nodata") for k in r3["outputs"])
