@@ -34,6 +34,7 @@ HEADLINE = [
     "similarity_topk",
     "events_session",
     "zonal_mean_grid",
+    "zonal_mean_large",
     "multimodal_features",
 ]
 

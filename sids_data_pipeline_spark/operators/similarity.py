@@ -136,6 +136,53 @@ def cosine_pairs(
     )
 
 
+def topk_ivf(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: search only the query's coarse bucket, exact re-rank
+    inside it.
+
+    ``bucket_col`` plays the role of the IVF centroid assignment (here the
+    pre-computed cluster label; a production build assigns it by nearest
+    centroid at ingest). The probe is a bucket equi-join — candidates
+    outside the query's bucket are never scored, which is the inverted-file
+    property that makes the search sub-linear. Deterministic bucket rule ⇒
+    SQL-reproducible ⇒ full-hash oracle (unlike the seeded LSH variant).
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(bucket_col).alias("_bkt"),
+        F.col("_iv").alias("_qv"),
+        F.col("_norm2").alias("_qn"),
+    )
+    c = with_norm(candidates, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("_bkt"),
+        "_iv",
+        "_norm2",
+    )
+    scored = (
+        c.join(F.broadcast(q), "_bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_dot", _dot(F.col("_iv"), F.col("_qv")))
+        .withColumn("cosine", cosine(F.col("_dot"), F.col("_qn"), F.col("_norm2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def ann_lsh(
     candidates: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,93 @@
+"""Skew-mitigation utilities.
+
+AQE's skew-join splitting (on in session.py) handles most hot keys at
+runtime; these helpers cover the cases AQE can't: a broadcast-ineligible
+join against a dimension with a handful of pathological keys, and
+high-cardinality aggregation where one key dominates a partition.
+
+- :func:`salted_join` — left rows scatter across ``num_salts`` sub-keys
+  (deterministic hash of the whole row, so retries/speculation reproduce
+  the same placement); the right side replicates per salt. The hot key's
+  rows spread over ``num_salts`` tasks instead of one.
+- :func:`salted_agg` — two-phase aggregation: partial per (key, salt),
+  final per key. Only algebraic aggregates (count/sum/min/max) compose
+  this way; the wrapper exposes exactly those.
+
+No reference counterpart (single-node Postgres has no shuffles); part of
+the engine's 100 TB design surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+    salt_expr: Column | None = None,
+) -> DataFrame:
+    """Equi-join with the left side salted and the right side replicated.
+
+    ``right`` should be the smaller input (it grows ×num_salts). The salt
+    is a deterministic hash of the left row (pass ``salt_expr`` to salt on
+    specific columns), so task retries and speculative execution land rows
+    identically — required for exactly-once semantics under re-planning.
+    """
+    salt = salt_expr if salt_expr is not None else F.xxhash64(*left.columns)
+    l = left.withColumn(_SALT, F.pmod(salt, F.lit(num_salts)).cast("int"))
+    # (no cast around explode: generators can't nest inside expressions)
+    r = right.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return l.join(r, [*keys, _SALT], how).drop(_SALT)
+
+
+_ALGEBRAIC = {
+    "count": (F.count, F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``aggs`` maps output column → (function, input column), function in
+    {count, sum, min, max}. Phase 1 aggregates per (keys, salt) — the hot
+    key's rows combine in ``num_salts`` parallel partial states — phase 2
+    merges the partials per key. Result equals the direct groupBy
+    (property-tested).
+    """
+    for name, (fn, _col) in aggs.items():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(
+                f"{name}: {fn!r} is not algebraic; salting supports {sorted(_ALGEBRAIC)}"
+            )
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(*df.columns), F.lit(num_salts)).cast("int")
+    )
+    partial = salted.groupBy(*keys, _SALT).agg(
+        *[
+            _ALGEBRAIC[fn][0](col).alias(f"_p_{name}")
+            for name, (fn, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(*keys).agg(
+        *[
+            _ALGEBRAIC[fn][1](f"_p_{name}").alias(name)
+            for name, (fn, _col) in aggs.items()
+        ]
+    )

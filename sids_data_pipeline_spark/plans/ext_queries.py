@@ -285,6 +285,34 @@ FROM r WHERE rank <= 10
 """
 
 
+def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.topk_ivf(emb, queries, k=10)
+
+
+_SIMILARITY_IVF_SQL = f"""
+WITH {_EMBED_VEC_SQL},
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
+         q.norm2 AS qn, c.norm2 AS cn
+  FROM m q JOIN m c ON q.vec_id < 5 AND c.label = q.label AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos_raw,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC,
+                       neighbor_id ASC) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+FROM r WHERE rank <= 10
+"""
+
+
 def _similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -555,6 +583,9 @@ QUERIES: list[Query] = [
           tags=("dedup", "similarity")),
     Query("similarity_topk", _similarity_topk, _SIMILARITY_TOPK_SQL,
           doc="E3 brute-force exact top-k cosine", tags=("similarity",)),
+    Query("similarity_topk_ivf", _similarity_ivf, _SIMILARITY_IVF_SQL,
+          doc="E3 IVF-bucketed ANN: search only the query's coarse bucket",
+          tags=("similarity",)),
     Query("similarity_ann_lsh", _similarity_ann, None,
           doc="E3 LSH-bucketed ANN + exact re-rank (rows-only: seeded sketch)",
           tags=("similarity", "lsh")),

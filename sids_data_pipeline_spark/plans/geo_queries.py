@@ -101,9 +101,17 @@ _STAT_SQL = {
 }
 
 
-def _zonal_sql(vector_id: str, raster_id: str, stats: tuple[str, ...]) -> str:
+def _zonal_sql_for(
+    zone_rows: list[tuple[int, str, bytes]],
+    vector_id: str,
+    raster_id: str,
+    stats: tuple[str, ...],
+    px_cte: str,
+) -> str:
+    """Oracle generator: one conditional-aggregate arm per zone, with the
+    containment predicate generated from the zone's own WKB bytes."""
     arms = []
-    for fid, _name, wkb in FIXTURE_BUILDERS[vector_id]():
+    for fid, _name, wkb in zone_rows:
         c = o_contains(wkb)
         cols = ", ".join(_STAT_SQL[s].format(c=c) for s in stats)
         arms.append(
@@ -111,7 +119,14 @@ def _zonal_sql(vector_id: str, raster_id: str, stats: tuple[str, ...]) -> str:
             f"CAST({fid} AS BIGINT) AS fid, {cols} FROM px"
         )
     body = "\nUNION ALL\n".join(arms)
-    return f"WITH {_px_cte(raster_id)}\n{body}"
+    return f"WITH {px_cte}\n{body}"
+
+
+def _zonal_sql(vector_id: str, raster_id: str, stats: tuple[str, ...]) -> str:
+    return _zonal_sql_for(
+        FIXTURE_BUILDERS[vector_id](), vector_id, raster_id, stats,
+        _px_cte(raster_id),
+    )
 
 
 def _zonal_query(vector_id: str, raster_id: str, stats: tuple[str, ...], how: str):
@@ -121,6 +136,63 @@ def _zonal_query(vector_id: str, raster_id: str, stats: tuple[str, ...], how: st
         return zonal_stats(zones, pixels, stats=stats, how=how)
 
     return run
+
+
+# --- benchmark-scale zonal (1M pixels) -----------------------------------------
+
+_LARGE_N = 1024
+_LARGE_SCALE = float(_LARGE_N // GRID_N)  # zones_grid boxes scale up 16×
+
+
+def _large_zone_rows() -> list[tuple[int, str, bytes]]:
+    rows = []
+    for fid, name, wkb in FIXTURE_BUILDERS["zones_grid"]():
+        xmin, ymin, xmax, ymax = geo.wkb_bbox(wkb)
+        rows.append(
+            (
+                fid,
+                name,
+                geo.box_wkb(
+                    xmin * _LARGE_SCALE,
+                    ymin * _LARGE_SCALE,
+                    xmax * _LARGE_SCALE,
+                    ymax * _LARGE_SCALE,
+                ),
+            )
+        )
+    return rows
+
+
+def _large_px_cte() -> str:
+    n = _LARGE_N
+    return f"""
+px AS (
+  SELECT (i % {n} + 0.5) * 0.1 AS lon, (i // {n} + 0.5) * 0.1 AS lat,
+         CAST(i AS DOUBLE) AS val
+  FROM (SELECT unnest(range({n * n})) AS i) t
+)
+"""
+
+
+def _zonal_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from sids_data_pipeline_spark.schemas import ZONES
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster_scaled
+
+    zone_pdf = pd.DataFrame(
+        [("zones_large", fid, name, wkb) for fid, name, wkb in _large_zone_rows()],
+        columns=[f.name for f in ZONES.fields],
+    )
+    zones = spark.createDataFrame(zone_pdf, ZONES).coalesce(1)
+    pixels = synthetic_raster_scaled(spark, _LARGE_N)
+    return zonal_stats(zones, pixels, stats=("mean", "count"), how="grid", cell_deg=8.0)
+
+
+QUERIES_LARGE_SQL = _zonal_sql_for(
+    _large_zone_rows(), "zones_large", f"rast_gradient_{_LARGE_N}",
+    ("mean", "count"), _large_px_cte(),
+)
 
 
 # --- clip + band selection (P4/P5) -------------------------------------------
@@ -346,6 +418,13 @@ QUERIES: list[Query] = [
         _zonal_sql("zones_grid", "rast_nodata", ("mean", "count", "sum", "min", "max")),
         doc="A1 superset with nodata handling; count=0 for empty zones",
         tags=("geo", "zonal"),
+    ),
+    Query(
+        "zonal_mean_large",
+        _zonal_large,
+        QUERIES_LARGE_SQL,
+        doc="J1 at bench scale: 1M-pixel raster, grid path (kernel throughput)",
+        tags=("geo", "zonal", "bench"),
     ),
     Query(
         "zonal_polygons",

@@ -70,6 +70,30 @@ def synthetic_raster(spark: SparkSession, raster_id: str) -> DataFrame:
     return df.withColumn("val", val).select([f.name for f in PIXELS.fields])
 
 
+def synthetic_raster_scaled(
+    spark: SparkSession, n: int, partitions: int = 32
+) -> DataFrame:
+    """Benchmark-scale gradient raster: n×n pixels, val = x + n·y = i.
+
+    Same generation idiom as the fixtures (distributed spark.range, never
+    driver-materialised) at arbitrary size — the bench uses n=1024 (1M
+    pixels) so the zonal timing measures kernel throughput, not overhead.
+    """
+    df = (
+        spark.range(0, n * n, 1, partitions)
+        .select(
+            F.lit(f"rast_gradient_{n}").alias("raster_id"),
+            F.lit(1).alias("band"),
+            (F.col("id") / n).cast("int").alias("y"),
+            (F.col("id") % n).cast("int").alias("x"),
+        )
+        .withColumn("lon", (F.col("x") + F.lit(0.5)) * PIXEL_DEG)
+        .withColumn("lat", (F.col("y") + F.lit(0.5)) * PIXEL_DEG)
+        .withColumn("val", (F.col("x") + F.lit(n) * F.col("y")).cast("double"))
+    )
+    return df.select([f.name for f in PIXELS.fields])
+
+
 def clip_extent(
     pixels: DataFrame,
     lon: tuple[float, float] = CLIP_LON,
