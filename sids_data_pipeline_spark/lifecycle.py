@@ -1,0 +1,56 @@
+"""Resource lifecycle helpers (X4 — SURVEY.md §2a).
+
+The reference spends ~40 LoC dropping Postgres tables/views and unlinking
+temp files as soon as each stage finishes (reference
+``pipeline/processing/cleanup.py:11-58``, ``inputs.py:18-20``,
+``vector.py:14-16``). Spark pipelines operators without materialising, so
+most of that surface vanishes; what remains is cache and temp-view
+hygiene — persisted DataFrames pin executor memory/disk until released,
+and temp views pin analyzer state per session.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def release(*dfs: DataFrame) -> None:
+    """Unpersist DataFrames cached by operators (blocking=False: eviction
+    proceeds asynchronously, callers never wait on cleanup)."""
+    for df in dfs:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def drop_views(spark: SparkSession, *names: str) -> None:
+    """Drop temp views by name, ignoring absent ones (the reference's
+    ``DROP ... IF EXISTS`` idiom, cleanup.py:29,39)."""
+    for name in names:
+        spark.catalog.dropTempView(name)
+
+
+@contextmanager
+def temp_views(spark: SparkSession, **dfs: DataFrame) -> Iterator[None]:
+    """Register DataFrames as temp views for a scoped block, dropping
+    them on exit — the view lifecycle of the reference's per-pair SQL
+    (stats.py:5-18 creates, cleanup.py drops) without manual bookkeeping.
+
+        with temp_views(spark, zones=zones_df, pixels=px_df):
+            spark.sql("SELECT ... FROM zones JOIN pixels ...")
+    """
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    try:
+        yield
+    finally:
+        drop_views(spark, *dfs)
+
+
+def clear_cache(spark: SparkSession) -> None:
+    """Session-wide cache flush (the reference's clean_all, cleanup.py:54-58)."""
+    spark.catalog.clearCache()

@@ -96,10 +96,11 @@ def minhash_signature(
     tok: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, token_col: str = "token"
 ) -> DataFrame:
     """MinHash signature per doc: one groupBy producing all k min-aggs
-    (single shuffle; partial aggregation makes it map-combined)."""
+    plus the token-set size (single shuffle, map-side combined — the size
+    rides along so Jaccard verification needs no second pass over tok)."""
     h = token_hash32(token_col)
     aggs = [F.min(minhash_col(h, i)).alias(f"mh{i}") for i in range(num_hashes)]
-    return tok.groupBy("doc_id").agg(*aggs)
+    return tok.groupBy("doc_id").agg(*aggs, F.count(token_col).alias("set_size"))
 
 
 def lsh_candidate_pairs(
@@ -135,12 +136,18 @@ def lsh_candidate_pairs(
 
 
 def jaccard_on_pairs(
-    tok: DataFrame, pairs: DataFrame, token_col: str = "token"
+    tok: DataFrame,
+    pairs: DataFrame,
+    token_col: str = "token",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard restricted to candidate pairs:
     |A∩B| from a pair-scoped token join, |A∪B| = |A| + |B| − |A∩B|.
+    Pass ``sizes`` (doc_id, sz) to reuse set sizes computed upstream
+    (e.g. by minhash_signature) and skip a shuffle over tok.
     Returns (id1, id2, inter, size1, size2, jaccard)."""
-    sizes = tok.groupBy("doc_id").agg(F.count(token_col).alias("sz"))
+    if sizes is None:
+        sizes = tok.groupBy("doc_id").agg(F.count(token_col).alias("sz"))
     t1 = tok.select(F.col("doc_id").alias("id1"), F.col(token_col).alias("tk"))
     t2 = tok.select(F.col("doc_id").alias("id2"), F.col(token_col).alias("tk"))
     inter = (
@@ -193,7 +200,9 @@ def near_duplicates_minhash(
     tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signature(tok, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sig, num_hashes, bands)
-    scored = jaccard_on_pairs(tok, cand)
+    scored = jaccard_on_pairs(
+        tok, cand, sizes=sig.select("doc_id", F.col("set_size").alias("sz"))
+    )
     return scored.filter(F.col("jaccard") >= threshold).select(
         "id1", "id2", F.round("jaccard", 6).alias("jaccard")
     )

@@ -115,6 +115,10 @@ def _filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part,) = tables(spark, sf_dir, "part")
+    # F3 path stem/suffix parse on a constructed blob-style path (the
+    # reference parses blob names, pipeline/processing/data.py:12)
+    path = F.concat(F.lit("inputs/rasters/"), F.lower("p_name"), F.lit(".tif"))
+    fname = F.element_at(F.split(path, "/"), -1)
     return part.select(
         "p_partkey",
         F.lower("p_name").alias("name_lower"),
@@ -123,18 +127,27 @@ def _str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("p_brand", "#"), 2).alias("brand_suffix"),
         F.length("p_name").alias("name_len"),
         F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.regexp_extract(fname, r"^(.*)\.[^.]+$", 1).alias("path_stem"),
+        F.regexp_extract(fname, r"(\.[^.]+)$", 1).alias("path_suffix"),
     )
 
 
-_STR_SQL = """
+_STR_SQL = r"""
+WITH p AS (
+  SELECT *,
+         string_split('inputs/rasters/' || lower(p_name) || '.tif', '/')[-1] AS fname
+  FROM part
+)
 SELECT p_partkey,
        lower(p_name) AS name_lower,
        concat_ws('_', lower(p_brand), lower(p_type)) AS brand_type,
        regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_digits,
        string_split(p_brand, '#')[2] AS brand_suffix,
        length(p_name) AS name_len,
-       substr(p_type, 1, 3) AS type_prefix
-FROM part
+       substr(p_type, 1, 3) AS type_prefix,
+       regexp_extract(fname, '^(.*)\.[^.]+$', 1) AS path_stem,
+       regexp_extract(fname, '(\.[^.]+)$', 1) AS path_suffix
+FROM p
 """
 
 

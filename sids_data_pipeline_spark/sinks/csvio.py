@@ -23,3 +23,15 @@ def read_csv(spark: SparkSession, path: str, schema: StructType | str) -> DataFr
     """S2: schema-pinned CSV scan — inference is a full extra pass over
     the data at 100 TB, so the engine requires an explicit schema."""
     return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K7: compact JSON-lines sink (the reference's write_json utility is
+    dead code, pipeline/processing/utils.py:17-19 — shipped here because
+    the engine's users export manifests/ledgers as JSON)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """JSON-lines scan, schema-pinned like read_csv."""
+    return spark.read.schema(schema).json(path)

@@ -1,0 +1,34 @@
+"""X4 lifecycle: temp-view scoping, cache release, JSON sink round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark import lifecycle
+from sids_data_pipeline_spark.sinks import csvio
+
+
+def test_temp_views_scope(spark):
+    df = spark.range(5)
+    with lifecycle.temp_views(spark, scoped_view=df):
+        assert spark.sql("SELECT count(*) AS n FROM scoped_view").first().n == 5
+    assert "scoped_view" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_release_unpersists(spark):
+    df = spark.range(10).persist()
+    df.count()
+    assert df.storageLevel.useMemory
+    lifecycle.release(df)
+    # unpersist is async; the flag on the plan flips immediately
+    assert not df.storageLevel.useMemory
+
+
+def test_json_round_trip(spark, tmp_path):
+    path = str(tmp_path / "out.jsonl")
+    df = spark.range(3).select(
+        F.col("id"), F.concat(F.lit("n"), F.col("id").cast("string")).alias("name")
+    )
+    csvio.write_json(df, path)
+    back = csvio.read_json(spark, path, "id long, name string")
+    assert sorted(map(tuple, back.collect())) == [(0, "n0"), (1, "n1"), (2, "n2")]
