@@ -33,8 +33,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk",
     "events_session",
-    "zonal_mean_grid",
     "zonal_mean_large",
+    "zonal_large_broadcast",
     "multimodal_features",
 ]
 

@@ -94,6 +94,71 @@ def _zone_bboxes(zones: DataFrame) -> DataFrame:
     ).drop("bbox")
 
 
+def _broadcast_spatial_join(
+    zones: DataFrame, pixels: DataFrame, cell_deg: float
+) -> DataFrame:
+    """Broadcast strategy with a driver-built zone index.
+
+    ``broadcast`` already implies the zones fit in memory (the reference
+    makes the same assumption by importing vectors once up front), so the
+    operator collects the dimension table ONCE, computes bboxes + cell
+    keys driver-side with the numpy kernel, and broadcasts (a) the
+    exploded cell table for the hash join and (b) a (vector_id, fid) →
+    WKB map for refinement. Pixels then carry only two small key columns
+    into the join — no per-row WKB bytes cross the Arrow boundary, and
+    each Python worker parses each geometry once (cached).
+    """
+    import pandas as pd
+
+    rows = zones.select("vector_id", "fid", "geometry").collect()
+    cell = float(cell_deg)
+    cell_rows = []
+    geo_map = {}
+    for r in rows:
+        wkb = bytes(r.geometry)
+        geo_map[(r.vector_id, r.fid)] = wkb
+        xmin, ymin, xmax, ymax = geo.wkb_bbox(wkb)
+        for cx in range(int(np.floor(xmin / cell)), int(np.floor(xmax / cell)) + 1):
+            for cy in range(int(np.floor(ymin / cell)), int(np.floor(ymax / cell)) + 1):
+                cell_rows.append((r.vector_id, r.fid, cx, cy, xmin, ymin, xmax, ymax))
+    spark = zones.sparkSession
+    zc = spark.createDataFrame(
+        pd.DataFrame(
+            cell_rows,
+            columns=["vector_id", "fid", "_cx", "_cy", "xmin", "ymin", "xmax", "ymax"],
+        ),
+        "vector_id string, fid long, _cx long, _cy long, "
+        "xmin double, ymin double, xmax double, ymax double",
+    ).coalesce(1)
+    geo_bc = spark.sparkContext.broadcast(geo_map)
+
+    @F.pandas_udf(BooleanType())
+    def contains_bc(vid: pd.Series, fid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = np.zeros(len(vid), dtype=bool)
+        lon_v = lon.to_numpy(dtype=np.float64)
+        lat_v = lat.to_numpy(dtype=np.float64)
+        keys = pd.Series(list(zip(vid, fid)))
+        codes, uniques = pd.factorize(keys)
+        for gi, key in enumerate(uniques):
+            polys = cache.get(key)
+            if polys is None:
+                polys = cache[key] = geo.parse_wkb(geo_bc.value[key])
+            mask = codes == gi
+            out[mask] = geo.points_in_polygons(polys, lon_v[mask], lat_v[mask])
+        return pd.Series(out)
+
+    px = pixels.withColumn(
+        "_cx", F.floor(F.col("lon") / cell).cast("long")
+    ).withColumn("_cy", F.floor(F.col("lat") / cell).cast("long"))
+    joined = px.join(F.broadcast(zc), ["_cx", "_cy"], "inner").filter(
+        F.col("lon").between(F.col("xmin"), F.col("xmax"))
+        & F.col("lat").between(F.col("ymin"), F.col("ymax"))
+    )
+    refined = joined.filter(contains_bc("vector_id", "fid", "lon", "lat"))
+    return refined.drop("xmin", "ymin", "xmax", "ymax", "_cx", "_cy")
+
+
 def spatial_join(
     zones: DataFrame,
     pixels: DataFrame,
@@ -114,6 +179,10 @@ def spatial_join(
     cell key for the case where zones are also large, and AQE splits
     skewed cells (coastline-dense zones).
     """
+    if how == "broadcast":
+        return _broadcast_spatial_join(zones, pixels, float(cell_deg))
+    if how != "grid":
+        raise ValueError(f"how must be 'broadcast' or 'grid', got {how!r}")
     cell = float(cell_deg)
     px = pixels.withColumn(
         "_cx", F.floor(F.col("lon") / cell).cast("long")
@@ -137,18 +206,10 @@ def spatial_join(
             )
         ),
     )
-    bbox_filter = F.col("lon").between(F.col("xmin"), F.col("xmax")) & F.col(
-        "lat"
-    ).between(F.col("ymin"), F.col("ymax"))
-    if how == "broadcast":
-        joined = px.join(F.broadcast(zc), ["_cx", "_cy"], "inner").filter(
-            bbox_filter
-        )
-    elif how == "grid":
-        joined = px.join(zc, ["_cx", "_cy"], "inner").filter(bbox_filter)
-    else:
-        raise ValueError(f"how must be 'broadcast' or 'grid', got {how!r}")
-
+    joined = px.join(zc, ["_cx", "_cy"], "inner").filter(
+        F.col("lon").between(F.col("xmin"), F.col("xmax"))
+        & F.col("lat").between(F.col("ymin"), F.col("ymax"))
+    )
     refined = joined.filter(_contains_udf("geometry", "lon", "lat"))
     # Drop the zone payload (name + the heavy WKB blob) so downstream
     # plans don't carry geometry bytes through shuffles.

@@ -174,19 +174,24 @@ px AS (
 """
 
 
-def _zonal_large(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+def _zonal_large_factory(how: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
 
-    from sids_data_pipeline_spark.schemas import ZONES
-    from sids_data_pipeline_spark.sources.raster import synthetic_raster_scaled
+        from sids_data_pipeline_spark.schemas import ZONES
+        from sids_data_pipeline_spark.sources.raster import synthetic_raster_scaled
 
-    zone_pdf = pd.DataFrame(
-        [("zones_large", fid, name, wkb) for fid, name, wkb in _large_zone_rows()],
-        columns=[f.name for f in ZONES.fields],
-    )
-    zones = spark.createDataFrame(zone_pdf, ZONES).coalesce(1)
-    pixels = synthetic_raster_scaled(spark, _LARGE_N)
-    return zonal_stats(zones, pixels, stats=("mean", "count"), how="grid", cell_deg=8.0)
+        zone_pdf = pd.DataFrame(
+            [("zones_large", fid, name, wkb) for fid, name, wkb in _large_zone_rows()],
+            columns=[f.name for f in ZONES.fields],
+        )
+        zones = spark.createDataFrame(zone_pdf, ZONES).coalesce(1)
+        pixels = synthetic_raster_scaled(spark, _LARGE_N)
+        return zonal_stats(
+            zones, pixels, stats=("mean", "count"), how=how, cell_deg=8.0
+        )
+
+    return run
 
 
 QUERIES_LARGE_SQL = _zonal_sql_for(
@@ -421,9 +426,17 @@ QUERIES: list[Query] = [
     ),
     Query(
         "zonal_mean_large",
-        _zonal_large,
+        _zonal_large_factory("grid"),
         QUERIES_LARGE_SQL,
         doc="J1 at bench scale: 1M-pixel raster, grid path (kernel throughput)",
+        tags=("geo", "zonal", "bench"),
+    ),
+    Query(
+        "zonal_large_broadcast",
+        _zonal_large_factory("broadcast"),
+        QUERIES_LARGE_SQL,
+        doc="J1 at bench scale, broadcast path: driver-built zone index, "
+        "keys-only refine (no per-row WKB transfer)",
         tags=("geo", "zonal", "bench"),
     ),
     Query(
