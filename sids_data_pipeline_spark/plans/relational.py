@@ -406,6 +406,120 @@ def _case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+# above-average orders per status: scalar subquery in both dialects;
+# the threshold compares in the exact cents domain
+_SCALAR_SUBQ_SQL = f"""
+SELECT o_orderstatus, COUNT(*) AS n_above_avg
+FROM orders
+WHERE {o_cents('o_totalprice')} > (
+  SELECT CAST(AVG({o_cents('o_totalprice')}) AS BIGINT) FROM orders
+)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def _pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy").alias("year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .orderBy("year")
+    )
+
+
+_PIVOT_SQL = """
+SELECT strftime(o_orderdate, '%Y') AS year,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+FROM orders GROUP BY 1 ORDER BY year
+"""
+
+
+def _string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, region = tables(spark, sf_dir, "nation", "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations")
+        )
+        .orderBy("r_name")
+    )
+
+
+_STRING_AGG_SQL = """
+SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def _agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    qc = cents("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(CAST(ROUND(l_quantity * 100, 0) AS BIGINT), 0.5)"
+            ).alias("median_qty_cents"),
+            F.expr(
+                "percentile(CAST(ROUND(l_quantity * 100, 0) AS BIGINT), 0.9)"
+            ).alias("p90_qty_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_MEDIAN_SQL = f"""
+SELECT l_returnflag,
+       quantile_cont({o_cents('l_quantity')}, 0.5) AS median_qty_cents,
+       quantile_cont({o_cents('l_quantity')}, 0.9) AS p90_qty_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = tables(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [("small", 0.0, 17.0), ("medium", 17.0, 34.0), ("large", 34.0, 100.0)],
+        "bucket string, lo double, hi double",
+    )
+    # non-equi interval join: tiny bucket table broadcasts (the legitimate
+    # nested-loop case — 3 rows probe per lineitem row)
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), sum_cents("l_quantity", "qty_cents"))
+        .orderBy("bucket")
+    )
+
+
+_JOIN_RANGE_SQL = f"""
+WITH buckets(bucket, lo, hi) AS (
+  VALUES ('small', 0.0, 17.0), ('medium', 17.0, 34.0), ('large', 34.0, 100.0)
+)
+SELECT bucket, COUNT(*) AS n, {o_sum_cents('l_quantity', 'qty_cents')}
+FROM lineitem JOIN buckets ON l_quantity >= lo AND l_quantity < hi
+GROUP BY bucket ORDER BY bucket
+"""
+
+
 # --- Pure-SQL entry (spark.sql surface) ---------------------------------------
 
 _TOPK_SUPPLIERS_SQL = f"""
@@ -671,5 +785,40 @@ QUERIES: list[Query] = [
         _TOPK_SUPPLIERS_SQL,
         doc="same ANSI text through spark.sql and DuckDB",
         tags=("sql", "sort"),
+    ),
+    Query(
+        "scalar_subquery",
+        _scalar_subquery,
+        _SCALAR_SUBQ_SQL,
+        doc="scalar subquery threshold (same ANSI text in both engines)",
+        tags=("sql", "subquery"),
+    ),
+    Query(
+        "pivot_status",
+        _pivot_status,
+        _PIVOT_SQL,
+        doc="pivot by order status (CASE-mirrored oracle)",
+        tags=("aggregate", "pivot"),
+    ),
+    Query(
+        "string_agg_nations",
+        _string_agg,
+        _STRING_AGG_SQL,
+        doc="ordered string aggregation (array_sort ∘ collect_list)",
+        tags=("aggregate",),
+    ),
+    Query(
+        "agg_median",
+        _agg_median,
+        _MEDIAN_SQL,
+        doc="exact interpolated percentiles over the integer cents domain",
+        tags=("aggregate",),
+    ),
+    Query(
+        "join_range_buckets",
+        _join_range,
+        _JOIN_RANGE_SQL,
+        doc="non-equi interval join (broadcast bucket table)",
+        tags=("join",),
     ),
 ]
