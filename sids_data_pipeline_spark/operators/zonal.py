@@ -49,7 +49,7 @@ from pyspark.storagelevel import StorageLevel
 
 from sids_data_pipeline_spark.functions import geo
 
-SUPPORTED_STATS = ("mean", "count", "sum", "min", "max", "stddev")
+SUPPORTED_STATS = ("mean", "count", "sum", "min", "max", "stddev", "median")
 
 _STAT_EXPRS = {
     "mean": lambda: F.avg("val"),
@@ -58,6 +58,8 @@ _STAT_EXPRS = {
     "min": lambda: F.min("val"),
     "max": lambda: F.max("val"),
     "stddev": lambda: F.stddev("val"),
+    # exact interpolated median (sort-based → partitioning-independent)
+    "median": lambda: F.expr("percentile(val, 0.5)"),
 }
 
 

@@ -98,6 +98,7 @@ _STAT_SQL = {
     "sum": 'SUM(CASE WHEN {c} THEN val END) AS "sum"',
     "min": 'MIN(CASE WHEN {c} THEN val END) AS "min"',
     "max": 'MAX(CASE WHEN {c} THEN val END) AS "max"',
+    "median": 'quantile_cont(CASE WHEN {c} THEN val END, 0.5) AS "median"',
 }
 
 
@@ -418,9 +419,14 @@ QUERIES: list[Query] = [
     Query(
         "zonal_multi_stats",
         _zonal_query(
-            "zones_grid", "rast_nodata", ("mean", "count", "sum", "min", "max"), "broadcast"
+            "zones_grid",
+            "rast_nodata",
+            ("mean", "count", "sum", "min", "max", "median"),
+            "broadcast",
         ),
-        _zonal_sql("zones_grid", "rast_nodata", ("mean", "count", "sum", "min", "max")),
+        _zonal_sql(
+            "zones_grid", "rast_nodata", ("mean", "count", "sum", "min", "max", "median")
+        ),
         doc="A1 superset with nodata handling; count=0 for empty zones",
         tags=("geo", "zonal"),
     ),

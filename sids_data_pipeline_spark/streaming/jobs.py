@@ -67,6 +67,90 @@ def windowed_counts_stream(
     )
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("text",),
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental exact dedup across micro-batches (foreachBatch).
+
+    State is a persistent sha2-digest ledger in Parquet — the streaming
+    twin of the manifest anti-join (operators/manifest.py): each batch
+    dedups internally (keep-first), anti-joins the digests already seen,
+    appends survivors to ``out_dir`` and their digests to the ledger.
+    foreachBatch runs the same batch operator (dedup.exact_dedup), so
+    batch and streaming dedup share one definition; the ledger bounds
+    state at one 32-byte digest per unique key, independent of stream
+    length. Runs with Trigger.AvailableNow (drain-and-stop).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.dedup import exact_dedup
+
+    ledger = os.path.join(out_dir, "_seen")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        digest = F.sha2(F.concat_ws("\x1f", *key_cols), 256)
+        fresh = exact_dedup(batch, list(key_cols), id_col).withColumn("_d", digest)
+        if "://" in ledger or os.path.exists(ledger):
+            try:
+                seen = bspark.read.parquet(ledger)
+                fresh = fresh.join(seen, fresh["_d"] == seen["d"], "left_anti")
+            except Exception:
+                pass
+        fresh = fresh.persist()
+        fresh.drop("_d").write.mode("append").parquet(os.path.join(out_dir, "rows"))
+        fresh.select(F.col("_d").alias("d")).write.mode("append").parquet(ledger)
+        fresh.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running event count + exact-cents value sum, carried in
+    explicit state across micro-batches.
+
+    This is the engine's extension point for stateful logic Spark's
+    built-in windows can't express (per-key sketches, custom sessionizers,
+    online dedup counters). State is one (count, cents) pair per user —
+    bounded by key cardinality, not stream length. Emits the updated
+    running totals for each key seen in the batch (update output mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_totals(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "sum_value_cents": cents}]
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, sum_value_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     result: DataFrame, query_name: str, checkpoint_dir: str
 ) -> None:

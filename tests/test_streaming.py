@@ -19,6 +19,77 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     return path
 
 
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Duplicates are removed WITHIN a batch and ACROSS batches/runs via
+    the persistent digest ledger."""
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    schema = "doc_id long, text string"
+
+    batch1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "alpha"), (2, "beta")], schema
+    )
+    batch1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    jobs.streaming_exact_dedup(
+        spark, stream, out, str(tmp_path / "ck1"), key_cols=("text",)
+    )
+    rows1 = spark.read.parquet(out + "/rows")
+    assert sorted(r.doc_id for r in rows1.collect()) == [0, 2]
+
+    # second run with new files: 'alpha'/'beta' are already seen
+    spark.createDataFrame([(3, "beta"), (4, "gamma")], schema).write.mode(
+        "append"
+    ).parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    jobs.streaming_exact_dedup(
+        spark, stream2, out, str(tmp_path / "ck1"), key_cols=("text",)
+    )
+    rows2 = spark.read.parquet(out + "/rows")
+    assert sorted(r.doc_id for r in rows2.collect()) == [0, 2, 4]
+
+
+def test_stateful_running_totals(spark, events_dir, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches; the final
+    update per user equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    stream = jobs.stream_events(spark, events_dir, max_files_per_trigger=2)
+    result = jobs.stateful_running_totals(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (user, batch); the max per user is the
+    # final running total
+    got = {
+        r.user_id: (r.n_events, r.sum_value_cents)
+        for r in spark.table("running_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value_cents").alias("sum_value_cents"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_equals_batch(spark, events_dir, tmp_path):
     stream = jobs.stream_events(spark, events_dir, max_files_per_trigger=2)
     assert stream.isStreaming
