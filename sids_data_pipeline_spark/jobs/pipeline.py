@@ -59,9 +59,21 @@ def run_pipeline(
     pairs = manifest.work_pairs(vectors, rasters)
     done = manifest.read_ledger(spark, ledger_path)
     pending = manifest.pending_pairs(pairs, done)
-    pending_rows = pending.collect()  # pair manifest: tiny by construction
+    # second P6 guard, the reference's own probe (data.py:33-35): a pair
+    # whose tileset marker exists is complete even if the ledger was lost
+    pending_rows = [
+        r
+        for r in pending.collect()  # pair manifest: tiny by construction
+        if not tiles.tileset_complete(os.path.join(out_dir, r.pair_key, "tiles"))
+    ]
     if not pending_rows:
         return {"pending": 0, "outputs": []}
+    # rebuild the pending manifest from the surviving rows so the compute
+    # gate and the ledger record exactly what gets written
+    pending = spark.createDataFrame(
+        [(r.v_id, r.r_id, r.pair_key) for r in pending_rows],
+        "v_id string, r_id string, pair_key string",
+    )
 
     pend_v = sorted({r.v_id for r in pending_rows})
     pend_r = sorted({r.r_id for r in pending_rows})

@@ -1,0 +1,65 @@
+"""Catalog invariants + fast oracle-syntax guard.
+
+Every oracle must at least EXPLAIN cleanly in DuckDB against the real
+table views — catches SQL syntax/typo regressions in seconds without a
+SparkSession.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sids_data_pipeline_spark.plans.catalog import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return all_queries()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_names_unique_and_wellformed(catalog):
+    assert len(catalog) >= 60
+    for name, q in catalog.items():
+        assert name == q.name
+        assert name.replace("_", "").isalnum()
+        assert callable(q.spark)
+
+
+def test_every_query_documented(catalog):
+    for q in catalog.values():
+        assert q.doc, f"{q.name} lacks a doc string"
+        assert q.tags, f"{q.name} lacks tags"
+
+
+def test_oracles_explain_in_duckdb(catalog, con):
+    for q in catalog.values():
+        if q.oracle is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {q.oracle}")
+        except Exception as ex:  # pragma: no cover
+            pytest.fail(f"oracle for {q.name} fails to parse: {ex}")
+
+
+def test_rows_only_entries_are_sketches(catalog):
+    rows_only = {name for name, q in catalog.items() if q.oracle is None}
+    assert rows_only == {
+        "agg_approx_distinct",
+        "dedup_minhash_ml",
+        "similarity_ann_lsh",
+    }

@@ -89,6 +89,28 @@ def test_agg_is_two_phase_with_codegen(spark, sf_dir, catalog):
     assert "*(" in final
 
 
+def test_tileset_partition_pruning(spark, tmp_path):
+    """Single-tile lookups on a written tileset must prune partitions
+    (z/x directory layout), not scan the pyramid."""
+    from sids_data_pipeline_spark.operators.zonal import _zone_bboxes
+    from sids_data_pipeline_spark.sinks import tiles
+    from sids_data_pipeline_spark.sources.vector import fixture_zones
+
+    feats = _zone_bboxes(fixture_zones(spark, "zones_grid")).select(
+        "fid", "xmin", "ymin", "xmax", "ymax"
+    )
+    enc = tiles.encode_tiles(
+        tiles.assign_tiles(feats, max_zoom=3),
+        ["fid", "xmin", "ymin", "xmax", "ymax"],
+    )
+    path = str(tmp_path / "ts")
+    tiles.write_tileset(enc, path, name="prune-test", max_zoom=3)
+    one_tile = tiles.read_tileset(spark, path).filter("z = 0 AND x = 0")
+    plan = _plan(one_tile)
+    assert "PartitionFilters: [" in plan
+    assert "(z" in plan.split("PartitionFilters:")[1][:120]
+
+
 def test_no_cartesian_in_lsh(spark, sf_dir, catalog):
     """Dedup candidates must come from bucket equi-joins, never a cross
     product (the scale contract of VERDICT's E2 requirement)."""

@@ -49,6 +49,60 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert sorted(r.doc_id for r in rows2.collect()) == [0, 2, 4]
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed counts finalize once the watermark passes a
+    window; an event later than the watermark is dropped, not re-opened."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "late_src")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    sink = str(tmp_path / "late_out")
+
+    def drain(qname: str) -> None:
+        stream = spark.readStream.schema(schema).parquet(src)
+        result = jobs.windowed_counts_stream(stream, "10 minutes", "30 minutes")
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: on-time events spanning 2 hours advance the watermark to
+    # t0 + 120m − 30m (persisted in the checkpoint)
+    on_time = [
+        (i, t0 + timedelta(minutes=10 * i), 1, "click", 1.0, "{}") for i in range(13)
+    ]
+    spark.createDataFrame(on_time, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain("late_counts")
+
+    # run 2 (same checkpoint): a very-late event behind the watermark
+    late = [(99, t0 + timedelta(minutes=5), 1, "click", 1.0, "{}")]
+    spark.createDataFrame(late, schema).repartition(1).write.mode("append").parquet(
+        src
+    )
+    drain("late_counts")
+    t0_us = 1_704_067_200_000_000
+    finalized = {
+        r.window_start_us: r.n_events for r in spark.read.parquet(sink).collect()
+    }
+    # the first window finalized with ONE event; the late arrival (which
+    # would have made it 2) was behind the watermark and dropped
+    assert finalized.get(t0_us) == 1
+
+
 def test_stateful_running_totals(spark, events_dir, tmp_path):
     """applyInPandasWithState accumulates across micro-batches; the final
     update per user equals the batch aggregate."""
