@@ -100,6 +100,43 @@ def extract_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def frame_sample(assets: DataFrame, every_n: int = 8) -> DataFrame:
+    """Sample every n-th frame from video payloads (UDTF shape: one asset
+    row in → many frame rows out, via mapInPandas).
+
+    The decoder is the same deterministic stub as extract_features: frame
+    count derives from the payload bytes, each sampled "frame" is a
+    byte-slice tagged with its index. A real build decodes with pyav and
+    yields JPEG-encoded frames — same schema, same batch shape. Non-video
+    assets pass through with zero rows (filter pushed into the scan).
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = _decode_payload(data, "video")["n_frames"]
+                for fi in range(0, n_frames, every_n):
+                    lo = (fi * 17) % max(len(data) - 8, 1)
+                    rows.append(
+                        {
+                            "asset_id": aid,
+                            "frame_index": fi,
+                            "frame_bytes": data[lo : lo + 8],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_index", "frame_bytes"]
+            )
+
+    return (
+        assets.filter(F.col("modality") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(sample, "asset_id long, frame_index int, frame_bytes binary")
+    )
+
+
 def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plumbing: same mapInPandas shape as extract_features with a
     payload-to-payload signature. The stub passes bytes through and tags

@@ -130,6 +130,58 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+WINNOW_BASE = 257
+WINNOW_MOD = 1_000_000_007
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints over a Rabin-Karp rolling hash.
+
+    Classic scheme (the MOSS algorithm family): hash every k-gram of
+    characters with the polynomial fingerprint
+    ``h_i = Σ_j ascii(c_{i+j})·B^{k-1-j} mod P``, then keep the minimum
+    hash of every w-length window of positions; the distinct minima are
+    the document's fingerprints — stable under local edits, and the
+    basis for plagiarism/near-dup detection at corpus scale (fingerprints
+    join on equality, an inverted-index shape).
+
+    Everything is JVM-side array math (transform over position sequences,
+    no UDF), and the polynomial uses only +,*,% — so the DuckDB oracle
+    reproduces it bit-for-bit. Intermediates stay < 2^40 (P ≈ 2^30 ×
+    B = 257), no BIGINT overflow in either engine.
+    Output: (doc_id, fingerprint) distinct rows.
+    """
+    t = F.lower(F.col(text_col))
+    # h(i) = sum_j ascii(substr(t, i+j, 1)) * B^(k-1-j) mod P  (1-based i)
+    # CAST to BIGINT before multiplying: ascii (int32) × coefficient
+    # (≈2^30) overflows 32-bit in both engines otherwise
+    terms = " + ".join(
+        f"(CAST(ascii(substr(_t, i + {j}, 1)) AS BIGINT) "
+        f"* {pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)}) % {WINNOW_MOD}"
+        for j in range(k)
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, length(_t) - {k - 1}), i -> ({terms}) % {WINNOW_MOD})"
+    )
+    mins = F.expr(
+        f"transform(sequence(1, size(_h) - {w - 1}), "
+        f"i -> array_min(slice(_h, i, {w})))"
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), t.alias("_t"))
+        .filter(F.length("_t") >= k + w - 1)
+        .withColumn("_h", hashes)
+        .select("doc_id", F.explode(mins).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: md5 over whitespace-normalized lowercase
     text (exact) + min 3-shingle hash (robust to local edits — the

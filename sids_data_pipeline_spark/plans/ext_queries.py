@@ -408,6 +408,43 @@ FROM s
 """
 
 
+_WINNOW_K, _WINNOW_W = 8, 4
+
+
+def _text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+def _winnowing_sql() -> str:
+    k, w = _WINNOW_K, _WINNOW_W
+    mod, base = text.WINNOW_MOD, text.WINNOW_BASE
+    terms = " + ".join(
+        f"(CAST(ascii(substr(_t, i + {j}, 1)) AS BIGINT) "
+        f"* {pow(base, k - 1 - j, mod)}) % {mod}"
+        for j in range(k)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS _t FROM documents
+  WHERE length(lower(text)) >= {k + w - 1}
+),
+h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(_t) - {k - 1} + 1),
+                        i -> ({terms}) % {mod}) AS hs
+  FROM t
+),
+m AS (
+  SELECT doc_id,
+         list_transform(range(1, len(hs) - {w - 1} + 1),
+                        i -> list_min(hs[i : i + {w - 1}])) AS ms
+  FROM h
+)
+SELECT DISTINCT doc_id, f.f AS fingerprint FROM m, unnest(ms) AS f(f)
+"""
+
+
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     return text.fingerprint(docs)
@@ -599,6 +636,9 @@ QUERIES: list[Query] = [
           doc="E5 stopword-density language ID", tags=("text",)),
     Query("text_fingerprint", _text_fingerprint, _FINGERPRINT_SQL,
           doc="E5 md5 + min-shingle-hash fingerprints", tags=("text",)),
+    Query("text_winnowing", _text_winnowing, _winnowing_sql(),
+          doc="E5 winnowing fingerprints over a Rabin-Karp rolling hash",
+          tags=("text", "dedup")),
     Query("events_tumbling", _events_tumbling, _TUMBLING_SQL,
           doc="E6 tumbling windows", tags=("events", "window")),
     Query("events_sliding", _events_sliding, _SLIDING_SQL,

@@ -64,6 +64,19 @@ def test_extract_features_partition_invariant(assets):
     assert one.equals(many)
 
 
+def test_frame_sample_video_only(assets):
+    frames = multimodal.frame_sample(assets, every_n=8).toPandas()
+    video_ids = {
+        r.asset_id for r in assets.filter("modality = 'video'").collect()
+    }
+    assert set(frames["asset_id"]) <= video_ids
+    assert len(frames) > 0
+    # deterministic: indices step by every_n, slices are 8 bytes
+    g = frames[frames["asset_id"] == frames["asset_id"].iloc[0]]
+    assert list(g["frame_index"]) == list(range(0, g["frame_index"].max() + 1, 8))
+    assert all(len(bytes(b)) <= 8 for b in frames["frame_bytes"])
+
+
 def test_resize_stub_passthrough(assets):
     out = multimodal.resize_stub(assets, 224, 224)
     row = out.filter(F.col("asset_id") == 0).collect()[0]
