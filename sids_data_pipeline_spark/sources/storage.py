@@ -1,0 +1,79 @@
+"""Storage layouts for 100 TB scale: bucketed tables and spatially
+partitioned pixel stores.
+
+Two layouts the engine standardises (SURVEY.md §7 "hardening"):
+
+- :func:`write_bucketed` / :func:`bucketed_join_ready` — hash-bucketed
+  tables: two tables bucketed by the same key into the same bucket count
+  join WITHOUT an exchange (Catalyst sees the co-located distribution).
+  At fact-fact scale this converts every recurring join on the bucket
+  key from a full shuffle into a local zip — the single biggest shuffle
+  saving available to a recurring pipeline. Buckets are the Spark
+  analogue of the reference's fixed 128×128 raster chunking
+  (``pipeline/processing/inputs.py:27``): a fixed physical unit chosen
+  once so every later operation can rely on it.
+
+- :func:`write_pixels_partitioned` — the canonical pixel store: Parquet
+  partitioned by (raster_id, coarse grid cell), rows sorted by (lat,
+  lon) within files. Spatial predicates prune whole directories
+  (partition pruning) and then whole row groups (min/max stats on the
+  sorted columns) — a bbox query touches only the files it overlaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 32
+PIXEL_PART_DEG = 10.0  # coarse partition-cell size (degrees)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = DEFAULT_BUCKETS,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a bucketed (+optionally sorted) managed table.
+
+    Joins/aggregations on ``bucket_cols`` against any table bucketed the
+    same way run exchange-free; sorting within buckets additionally lets
+    sort-merge joins skip their sort.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — planner emits
+    no Exchange (asserted in tests/test_storage.py)."""
+    return spark.table(left).join(spark.table(right), "l_orderkey")
+
+
+def write_pixels_partitioned(
+    pixels: DataFrame, path: str, part_deg: float = PIXEL_PART_DEG
+) -> None:
+    """Canonical pixel store layout (S5's destination): directory
+    partitions on (raster_id, cell_x, cell_y), files internally sorted by
+    (lat, lon) so parquet row-group min/max stats are tight."""
+    out = (
+        pixels.withColumn(
+            "cell_x", F.floor(F.col("lon") / part_deg).cast("int")
+        )
+        .withColumn("cell_y", F.floor(F.col("lat") / part_deg).cast("int"))
+        .repartition("raster_id", "cell_x", "cell_y")
+        .sortWithinPartitions("lat", "lon")
+    )
+    out.write.mode("overwrite").partitionBy("raster_id", "cell_x", "cell_y").parquet(
+        path
+    )
+
+
+def read_pixels(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned pixel store; bbox filters prune partitions
+    via cell_x/cell_y and row groups via the sorted lat/lon stats."""
+    return spark.read.parquet(path)

@@ -1,0 +1,86 @@
+"""Storage-layout scale properties, asserted on the physical plan:
+bucketed joins run exchange-free; the partitioned pixel store prunes
+partitions under bbox predicates."""
+
+from __future__ import annotations
+
+import pytest
+
+from sids_data_pipeline_spark.sources import storage
+from sids_data_pipeline_spark.sources.raster import synthetic_raster
+from sids_data_pipeline_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{warehouse}'"
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    storage.write_bucketed(
+        li.select("l_orderkey", "l_quantity"),
+        "bucketdb.li_a",
+        ["l_orderkey"],
+        num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    storage.write_bucketed(
+        li.select("l_orderkey", "l_extendedprice"),
+        "bucketdb.li_b",
+        ["l_orderkey"],
+        num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    yield "bucketdb.li_a", "bucketdb.li_b"
+    spark.sql("DROP DATABASE bucketdb CASCADE")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Small test tables would broadcast; disable so the planner exercises
+    the bucketed (exchange-free sort-merge) path large tables would take."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables, no_broadcast):
+    a, b = bucketed_tables
+    joined = spark.table(a).join(spark.table(b), "l_orderkey")
+    plan = _plan(joined)
+    assert "Exchange hashpartitioning" not in plan, (
+        f"bucketed join still shuffles:\n{plan}"
+    )
+    assert "SortMergeJoin" in plan
+    assert joined.count() > 0
+
+
+def test_bucketed_agg_has_no_shuffle(spark, bucketed_tables, no_broadcast):
+    a, _ = bucketed_tables
+    agg = spark.table(a).groupBy("l_orderkey").count()
+    assert "Exchange hashpartitioning" not in _plan(agg)
+
+
+def test_pixel_store_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "pixels")
+    px = synthetic_raster(spark, "rast_gradient")
+    storage.write_pixels_partitioned(px, path, part_deg=2.0)
+
+    back = storage.read_pixels(spark, path)
+    assert back.count() == 64 * 64
+
+    # bbox filter on the partition columns prunes directories
+    q = back.filter("cell_x = 0 AND cell_y = 0")
+    plan = _plan(q)
+    assert "PartitionFilters: [" in plan
+    assert q.count() == 400  # 20x20 pixels per 2-degree cell
+
+    # a lon/lat range query still answers correctly from the pruned store
+    sub = back.filter("lon < 2.0 AND lat < 2.0")
+    assert sub.count() == 400
