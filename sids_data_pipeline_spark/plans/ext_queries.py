@@ -535,6 +535,51 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def _join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators.asof import asof_join, dedupe_right
+
+    (ev,) = tables(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = dedupe_right(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        by="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    out = asof_join(
+        clicks, purchases, by="user_id", ts_col="ts", right_cols=("event_id", "value")
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.round(F.col("value_right") * 100, 0).cast("long").alias("purchase_cents"),
+    )
+
+
+_ASOF_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p0 AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+purch AS (SELECT user_id, ts, event_id, value FROM p0 WHERE rn = 1)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       p.event_id AS purchase_event_id,
+       CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 def _events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = tables(spark, sf_dir, "events")
     return windows.latest_per_key(ev)
@@ -645,6 +690,10 @@ QUERIES: list[Query] = [
           doc="E6 sliding windows", tags=("events", "window")),
     Query("events_session", _events_session, _SESSION_SQL,
           doc="E6 session windows (gap-based)", tags=("events", "window")),
+    Query("join_asof", _join_asof, _ASOF_SQL,
+          doc="as-of join: latest purchase at-or-before each click "
+              "(cogrouped merge_asof vs native DuckDB ASOF JOIN)",
+          tags=("events", "join")),
     Query("events_latest", _events_latest, _LATEST_SQL,
           doc="E6 latest-event-per-key dedup", tags=("events", "window")),
     Query("multimodal_meta", _multimodal_meta, _MULTIMODAL_META_SQL,

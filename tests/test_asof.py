@@ -1,0 +1,61 @@
+"""As-of join semantics against hand-computed expectations, including the
+self-cogroup case (left and right carved from one scan) that exposed the
+shared-expression-ID pruning bug."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.operators import asof
+
+T0 = datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # (event_id, type, user, ts_offset_minutes, value)
+        (1, "purchase", 1, 0, 10.0),
+        (2, "click", 1, 5, 0.0),     # after purchase 1
+        (3, "purchase", 1, 10, 20.0),
+        (4, "click", 1, 10, 0.0),    # exactly at purchase 3 → matches it
+        (5, "click", 2, 7, 0.0),     # user 2 has no purchase → NULLs
+        (6, "purchase", 3, 50, 30.0),  # user 3 has no clicks → no output
+    ]
+    return spark.createDataFrame(
+        [(i, t, u, T0 + timedelta(minutes=m), v) for i, t, u, m, v in rows],
+        "event_id long, event_type string, user_id long, ts timestamp, value double",
+    )
+
+
+def test_asof_backward_semantics(spark, events):
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = {
+        r.event_id: (r.event_id_right, r.value_right)
+        for r in asof.asof_join(
+            clicks, purchases, by="user_id", ts_col="ts",
+            right_cols=("event_id", "value"),
+        ).collect()
+    }
+    assert out[2] == (1, 10.0)      # latest purchase before t+5 is #1
+    assert out[4] == (3, 20.0)      # equal timestamps match (<=)
+    assert out[5] == (None, None)   # user without purchases keeps NULLs
+    assert 6 not in out             # right-only users emit nothing
+    assert set(out) == {2, 4, 5}
+
+
+def test_dedupe_right_keeps_highest_tiebreak(spark):
+    dup = spark.createDataFrame(
+        [(1, T0, 10, 1.0), (1, T0, 11, 2.0), (1, T0 + timedelta(minutes=1), 12, 3.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    kept = asof.dedupe_right(dup, by="user_id", ts_col="ts", tiebreak="event_id")
+    assert sorted(r.event_id for r in kept.collect()) == [11, 12]
