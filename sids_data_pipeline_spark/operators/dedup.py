@@ -104,13 +104,24 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, bands: int = DEFAULT_BANDS
+    sig: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs collide when one band of their signature matches.
 
     Signatures unpivot to (doc_id, band_idx, band_val); the self-join is a
     pure equi-join on (band_idx, band_val) — shuffled hash join, AQE skew
     split — never a cross join. Returns distinct (id1, id2), id1 < id2.
+
+    ``max_bucket`` (optional) drops band buckets holding more than that
+    many documents before the self-join: a bucket of n docs emits n²/2
+    candidate pairs, so one degenerate band value (boilerplate text, empty
+    documents) can go quadratic at corpus scale; production dedup caps it
+    and treats oversized buckets as uninformative — the same reasoning as
+    stop-word removal. Off by default so results mirror pure banding (the
+    hash-verified oracle path).
     """
     rows = num_hashes // bands
     stack_args = ", ".join(
@@ -121,6 +132,14 @@ def lsh_candidate_pairs(
         "doc_id",
         F.expr(f"stack({bands}, {stack_args}) AS (band_idx, band_val)"),
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_idx", "band_val").agg(
+            F.count("*").alias("_n")
+        )
+        banded = banded.join(
+            sizes.filter(F.col("_n") <= max_bucket).select("band_idx", "band_val"),
+            ["band_idx", "band_val"],
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
