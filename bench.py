@@ -31,6 +31,7 @@ HEADLINE = [
     "date_math",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "corpus_curation",
     "similarity_topk",
     "events_session",
     "zonal_mean_large",

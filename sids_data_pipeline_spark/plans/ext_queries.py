@@ -254,6 +254,78 @@ WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))
 """
 
 
+# --- corpus curation (E1+E2+E5 composite) ----------------------------------------
+
+
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.jobs.curation import curate_corpus
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return curate_corpus(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+def _curation_sql() -> str:
+    """Mirror of the whole curation chain: quality filter → keep-first
+    exact dedup → MinHash-LSH near-dup pairs over the survivors → drop
+    higher-id pair members."""
+    num_hashes, bands = dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_BANDS
+    rows = num_hashes // bands
+    th = o_token_hash32("token")
+    mins = ",\n    ".join(
+        f"MIN({o_minhash('th', i)}) AS mh{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, concat_ws(',', "
+        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
+        + ") AS band_val FROM sig"
+        for b in range(bands)
+    )
+    shingles_over_survivors = _SHINGLE_SQL.replace("FROM documents", "FROM survivors")
+    return f"""
+WITH survivors AS (
+  SELECT d.* FROM documents d
+  JOIN (
+    SELECT text, MIN(doc_id) AS doc_id FROM documents
+    WHERE length(text) >= 20 GROUP BY text
+  ) k ON d.doc_id = k.doc_id
+),
+{shingles_over_survivors},
+h AS (SELECT doc_id, {th} AS th FROM sh),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM h GROUP BY doc_id
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM bands l
+  JOIN bands r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+              AND l.doc_id < r.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh t1 ON t1.doc_id = c.id1
+  JOIN sh t2 ON t2.doc_id = c.id2 AND t2.token = t1.token
+  GROUP BY c.id1, c.id2
+),
+nd_drop AS (
+  SELECT DISTINCT i.id2 AS doc_id
+  FROM inter i
+  JOIN sz s1 ON s1.doc_id = i.id1
+  JOIN sz s2 ON s2.doc_id = i.id2
+  WHERE CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter) >= {_MINHASH_THRESHOLD}
+)
+SELECT s.doc_id, s.lang, s.source, s.n_chars
+FROM survivors s LEFT JOIN nd_drop d ON s.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+"""
+
+
 # --- E3: similarity search -------------------------------------------------------
 
 
@@ -642,6 +714,10 @@ FROM a
 
 
 QUERIES: list[Query] = [
+    Query("corpus_curation", _corpus_curation, _curation_sql(),
+          doc="E1+E2+E5 flagship: quality filter → exact dedup → "
+              "MinHash-LSH near-dup removal, whole chain hash-verified",
+          tags=("dedup", "text", "pipeline")),
     Query("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL,
           doc="E1 exact dedup: sha2 keep-first", tags=("dedup",)),
     Query("dedup_exact_stats", _dedup_exact_stats, _DEDUP_EXACT_STATS_SQL,

@@ -1,0 +1,45 @@
+"""Corpus curation composite: each stage's effect is visible and the
+keep-lower-id rule holds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.jobs.curation import curate_corpus, curation_report
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog tonight"),
+    (1, "the quick brown fox jumps over the lazy dog tonight"),   # exact dup → dropped
+    (2, "the quick brown fox jumps over the lazy dog at dawn"),   # near dup of 0 → dropped
+    (3, "short"),                                                 # quality-filtered
+    (4, "pack my box with five dozen liquor jugs every day"),
+    (5, "sphinx of black quartz judge my vow said the wizard"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_curation_stages(spark, docs):
+    kept = curate_corpus(docs, min_chars=20, jaccard_threshold=0.2)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 1 exact-dup, 2 near-dup (higher ids), 3 too short — 0/4/5 survive
+    assert ids == [0, 4, 5]
+
+
+def test_curation_report(spark, docs):
+    kept = curate_corpus(docs, min_chars=20, jaccard_threshold=0.2)
+    row = curation_report(docs, kept).collect()[0]
+    assert (row.n_input, row.n_kept) == (6, 3)
+    assert row.removed_ratio_micros == 500_000
+
+
+def test_curation_idempotent(spark, docs):
+    once = curate_corpus(docs, min_chars=20, jaccard_threshold=0.2)
+    twice = curate_corpus(once, min_chars=20, jaccard_threshold=0.2)
+    assert sorted(r.doc_id for r in twice.collect()) == sorted(
+        r.doc_id for r in once.collect()
+    )
