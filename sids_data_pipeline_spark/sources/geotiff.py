@@ -1,0 +1,234 @@
+"""Real GeoTIFF ingest for uncompressed rasters — no GDAL required
+(S5/K5/F8 — SURVEY.md §2a).
+
+TIFF 6.0 + the GeoTIFF georeferencing tags are public specs, and the
+uncompressed single-band case the engine standardises on (the reference
+itself re-writes rasters to a fixed profile before use,
+``batch/processing/raster.py:20-38``) needs no codec: strips are raw
+sample bytes. This module implements that subset in pure numpy:
+
+- :func:`decode_geotiff` — bytes → (2-D array, (origin_x, origin_y,
+  pixel_sx, pixel_sy), nodata). Little/big-endian, strip layout,
+  uint8/16/32, int16/32, float32/64; rejects compressed or tiled input
+  with a clear error (ZSTD-compressed sources need one `gdal_translate`
+  or a rasterio build — the mapInPandas plumbing is unchanged).
+- :func:`encode_geotiff` — the matching writer (K5): single-band
+  float64, one strip, ModelPixelScale + ModelTiepoint georef.
+- :func:`ingest_geotiff` — the DISTRIBUTED ingest: ``binaryFile`` scan →
+  ``mapInPandas`` decode → long-format PIXELS rows. One task per file,
+  payloads never touch the driver; at 100 TB the parallelism is file
+  count and the output partitions by raster_id + coarse grid
+  (sources/storage.write_pixels_partitioned).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from sids_data_pipeline_spark.schemas import PIXELS
+
+_TAG_WIDTH = 256
+_TAG_LENGTH = 257
+_TAG_BITS = 258
+_TAG_COMPRESSION = 259
+_TAG_STRIP_OFFSETS = 273
+_TAG_SAMPLES_PER_PIXEL = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_TILE_WIDTH = 322
+_TAG_SAMPLE_FORMAT = 339
+_TAG_MODEL_PIXEL_SCALE = 33550
+_TAG_MODEL_TIEPOINT = 33922
+_TAG_GDAL_NODATA = 42113
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+
+
+def _read_ifd(buf: bytes, bo: str) -> dict[int, list]:
+    (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+    (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
+    tags: dict[int, list] = {}
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack_from(bo + "HHI", buf, off)
+        size = _TYPE_SIZES.get(typ, 1) * count
+        val_off = off + 8 if size <= 4 else struct.unpack_from(bo + "I", buf, off + 8)[0]
+        if typ == 3:
+            vals = list(struct.unpack_from(f"{bo}{count}H", buf, val_off))
+        elif typ == 4:
+            vals = list(struct.unpack_from(f"{bo}{count}I", buf, val_off))
+        elif typ == 12:
+            vals = list(struct.unpack_from(f"{bo}{count}d", buf, val_off))
+        elif typ == 2:
+            vals = [buf[val_off : val_off + count].split(b"\0")[0].decode()]
+        else:
+            vals = [buf[val_off : val_off + size]]
+        tags[tag] = vals
+    return tags
+
+
+def decode_geotiff(data: bytes):
+    """→ (values float64 [h, w], (origin_x, origin_y, sx, sy), nodata)."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    if struct.unpack_from(bo + "H", data, 2)[0] != 42:
+        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    tags = _read_ifd(data, bo)
+    if _TAG_TILE_WIDTH in tags:
+        raise NotImplementedError("tiled TIFF layout not supported; use strips")
+    if tags.get(_TAG_COMPRESSION, [1])[0] != 1:
+        raise NotImplementedError(
+            "compressed TIFF needs a codec (rasterio/GDAL); engine subset is "
+            "uncompressed strips"
+        )
+    if tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
+        raise NotImplementedError("multi-sample pixels not supported (single band)")
+    width = tags[_TAG_WIDTH][0]
+    length = tags[_TAG_LENGTH][0]
+    bits = tags.get(_TAG_BITS, [8])[0]
+    fmt = tags.get(_TAG_SAMPLE_FORMAT, [1])[0]
+    dtype = {
+        (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+        (2, 16): "i2", (2, 32): "i4",
+        (3, 32): "f4", (3, 64): "f8",
+    }.get((fmt, bits))
+    if dtype is None:
+        raise NotImplementedError(f"sample format {fmt} bits {bits} not supported")
+    raw = b"".join(
+        data[o : o + c]
+        for o, c in zip(tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS])
+    )
+    values = (
+        np.frombuffer(raw, dtype=bo + dtype, count=width * length)
+        .reshape(length, width)
+        .astype("float64")
+    )
+    sx, sy = 1.0, 1.0
+    ox, oy = 0.0, 0.0
+    if _TAG_MODEL_PIXEL_SCALE in tags:
+        sx, sy = tags[_TAG_MODEL_PIXEL_SCALE][0], tags[_TAG_MODEL_PIXEL_SCALE][1]
+    if _TAG_MODEL_TIEPOINT in tags:
+        tp = tags[_TAG_MODEL_TIEPOINT]
+        ox, oy = tp[3] - tp[0] * sx, tp[4] + tp[1] * sy
+    nodata = None
+    if _TAG_GDAL_NODATA in tags:
+        try:
+            nodata = float(tags[_TAG_GDAL_NODATA][0])
+        except ValueError:
+            pass
+    return values, (ox, oy, sx, sy), nodata
+
+
+def encode_geotiff(
+    values: np.ndarray,
+    origin_x: float,
+    origin_y: float,
+    pixel_deg: float,
+    nodata: float | None = None,
+) -> bytes:
+    """K5 writer: single-band float64, one strip, little-endian, georef
+    tags. origin is the raster's upper-left corner; rows run southward
+    (the GeoTIFF convention)."""
+    arr = np.ascontiguousarray(values, dtype="<f8")
+    h, w = arr.shape
+    sample_bytes = arr.tobytes()
+    entries = []  # (tag, type, count, packed-or-deferred)
+    deferred: list[tuple[int, bytes]] = []
+
+    def entry(tag, typ, count, payload: bytes):
+        if len(payload) <= 4:
+            entries.append((tag, typ, count, payload.ljust(4, b"\0"), None))
+        else:
+            entries.append((tag, typ, count, None, payload))
+
+    entry(_TAG_WIDTH, 4, 1, struct.pack("<I", w))
+    entry(_TAG_LENGTH, 4, 1, struct.pack("<I", h))
+    entry(_TAG_BITS, 3, 1, struct.pack("<H", 64))
+    entry(_TAG_COMPRESSION, 3, 1, struct.pack("<H", 1))
+    entry(262, 3, 1, struct.pack("<H", 1))  # photometric: BlackIsZero
+    entry(_TAG_STRIP_OFFSETS, 4, 1, b"\0\0\0\0")  # patched below
+    entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<H", 1))
+    entry(_TAG_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
+    entry(_TAG_STRIP_COUNTS, 4, 1, struct.pack("<I", len(sample_bytes)))
+    entry(_TAG_SAMPLE_FORMAT, 3, 1, struct.pack("<H", 3))
+    entry(
+        _TAG_MODEL_PIXEL_SCALE, 12, 3, struct.pack("<3d", pixel_deg, pixel_deg, 0.0)
+    )
+    entry(
+        _TAG_MODEL_TIEPOINT, 12, 6,
+        struct.pack("<6d", 0.0, 0.0, 0.0, origin_x, origin_y, 0.0),
+    )
+    if nodata is not None:
+        nd = f"{nodata}".encode() + b"\0"
+        entry(_TAG_GDAL_NODATA, 2, len(nd), nd)
+
+    entries.sort(key=lambda e: e[0])
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size
+    ext_blobs = []
+    fixed = []
+    for tag, typ, count, inline, payload in entries:
+        if inline is not None:
+            fixed.append((tag, typ, count, inline))
+        else:
+            fixed.append((tag, typ, count, struct.pack("<I", ext_off)))
+            ext_blobs.append(payload)
+            ext_off += len(payload)
+    data_off = ext_off
+    out = [struct.pack("<2sHI", b"II", 42, ifd_off), struct.pack("<H", len(entries))]
+    for tag, typ, count, val in fixed:
+        if tag == _TAG_STRIP_OFFSETS:
+            val = struct.pack("<I", data_off)
+        out.append(struct.pack("<HHI", tag, typ, count) + val)
+    out.append(struct.pack("<I", 0))  # no next IFD
+    out.extend(ext_blobs)
+    out.append(sample_bytes)
+    return b"".join(out)
+
+
+def ingest_geotiff(
+    spark: SparkSession,
+    path_glob: str,
+    band: int = 1,
+) -> DataFrame:
+    """Distributed GeoTIFF → PIXELS: binaryFile scan (one row per file,
+    content never driver-collected) → mapInPandas decode → long-format
+    pixel rows with centre coordinates. raster_id is the file stem —
+    the reference's blob-name id convention (data.py:12)."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                values, (ox, oy, sx, sy), nodata = decode_geotiff(bytes(content))
+                h, w = values.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                vals = values.ravel()
+                if nodata is not None:
+                    vals = np.where(vals == nodata, np.nan, vals)
+                stem = fpath.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                yield pd.DataFrame(
+                    {
+                        "raster_id": stem,
+                        "band": np.int32(band),
+                        "y": yy.ravel().astype("int32"),
+                        "x": xx.ravel().astype("int32"),
+                        "lon": ox + (xx.ravel() + 0.5) * sx,
+                        "lat": oy - (yy.ravel() + 0.5) * sy,
+                        "val": vals,
+                    }
+                )
+
+    return files.select("path", "content").mapInPandas(
+        decode, PIXELS
+    )

@@ -115,31 +115,31 @@ def select_band(pixels: DataFrame, band: int) -> DataFrame:
 
 def ingest_geotiff(
     spark: SparkSession,
-    paths: list[str],
+    path_glob: str,
     band: int = 1,
     target_epsg: int = 4326,
 ) -> DataFrame:
-    """GeoTIFF → pixel DataFrame via binaryFile + rasterio mapInPandas.
+    """GeoTIFF → pixel DataFrame (S5, distributed).
 
-    Plumbing is real and tested with a fake decoder (tests/test_multimodal);
-    the rasterio decode itself is stubbed because GDAL is not in this
-    container. On a cluster:
-
-    1. ``spark.read.format("binaryFile").load(paths)`` — one row per tiff,
-       content as BinaryType (never driver-collected).
-    2. ``mapInPandas(decode)`` where decode opens the bytes with
-       ``rasterio.MemoryFile``, reprojects iff src CRS != target (the
-       reference's P9 branch, batch/processing/raster.py:14-21, becomes a
-       per-file branch inside the UDF), reads ``band``, and yields
-       long-format pixel batches windowed 128 rows at a time — the same
-       chunking the reference picks with ``-t 128x128``.
-    3. Writer partitions by raster_id + coarse grid cell.
+    Delegates to the pure-numpy codec (sources/geotiff.py): binaryFile
+    scan → mapInPandas decode → long-format PIXELS rows. Covers the
+    engine's standardised profile — uncompressed single-band strips, the
+    layout the reference's own batch module normalises rasters into
+    (``batch/processing/raster.py:20-38``). Compressed/tiled sources
+    raise with a clear message (one gdal_translate away, or swap a
+    rasterio decode into geotiff.decode_geotiff — the Spark plumbing is
+    identical). ``target_epsg`` other than 4326 applies
+    functions/crs.reproject_pixels (built-in 4326↔3857 pair).
     """
-    raise NotImplementedError(
-        "GeoTIFF decode requires rasterio/GDAL (not in this container); "
-        "see synthetic_raster for the tested fixture path and "
-        "tests/test_multimodal.py for the mapInPandas plumbing pattern."
+    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+    from sids_data_pipeline_spark.sources.geotiff import (
+        ingest_geotiff as _ingest,
     )
+
+    pixels = _ingest(spark, path_glob, band=band)
+    if target_epsg != 4326:
+        pixels = reproject_pixels(pixels, src_epsg=4326, dst_epsg=target_epsg)
+    return pixels
 
 
 def standardize_pixels(pixels: DataFrame, band: int = 1) -> DataFrame:

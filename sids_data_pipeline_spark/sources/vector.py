@@ -82,17 +82,20 @@ def fixture_zones_pandas(vector_id: str) -> pd.DataFrame:
     )
 
 
-def ingest_geopackage(spark: SparkSession, path: str, vector_id: str) -> DataFrame:
-    """GeoPackage → ZONES DataFrame.
+def ingest_geopackage(
+    spark: SparkSession, path: str, vector_id: str, table: str | None = None
+) -> DataFrame:
+    """GeoPackage → ZONES DataFrame (S6, real — stdlib sqlite3).
 
-    On a cluster: driver-side fiona/geopandas read (vector layers are
-    small), normalise per the reference flags — make_valid, force 2-D,
-    promote to MultiPolygon, reproject to EPSG:4326
-    (pipeline/processing/inputs.py:49-53) — then
-    ``spark.createDataFrame(rows, ZONES)``. Stubbed: fiona/GDAL not in
-    this container; fixture_zones exercises the identical downstream path.
+    Delegates to sources/geopackage.py: GeoPackage is a SQLite database
+    with GeoPackageBinary blobs wrapping standard WKB, so no GDAL is
+    needed. Normalisation per the reference's ogr2ogr flags
+    (pipeline/processing/inputs.py:49-53): MULTI-promotion via
+    geo.promote_to_multi, 2-D enforcement via the parser's Z/M rejection;
+    make_valid requires a geometry engine and is documented out of scope.
     """
-    raise NotImplementedError(
-        "GeoPackage decode requires fiona/geopandas (not in this container); "
-        "fixture_zones provides the tested ZONES-shaped source."
+    from sids_data_pipeline_spark.sources.geopackage import (
+        ingest_geopackage as _ingest,
     )
+
+    return _ingest(spark, path, vector_id, table=table)
