@@ -196,6 +196,45 @@ def encode_geotiff(
     return b"".join(out)
 
 
+def export_geotiff(pixels: DataFrame, nodata: float = -9999.0) -> DataFrame:
+    """K5 sink: pixel DataFrame → one encoded GeoTIFF per raster_id.
+
+    applyInPandas groups by raster (one file per raster is inherent to
+    the output format, so the group = the file); each group pivots its
+    long-format rows back to the 2-D grid, infers the georef from the
+    coordinate lattice, and emits (raster_id, tiff binary). NULL values
+    encode as the nodata sentinel. Round-trips through decode_geotiff
+    (tested). The caller writes the payloads wherever its storage lives.
+    """
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        rid = pdf["raster_id"].iloc[0]
+        xs = np.sort(pdf["x"].unique())
+        ys = np.sort(pdf["y"].unique())
+        w, h = len(xs), len(ys)
+        # infer pixel size and upper-left origin from the centre lattice
+        sx = (pdf["lon"].max() - pdf["lon"].min()) / max(w - 1, 1)
+        sy = (pdf["lat"].max() - pdf["lat"].min()) / max(h - 1, 1)
+        sx = float(sx) if w > 1 else 1.0
+        sy = float(sy) if h > 1 else 1.0
+        origin_x = float(pdf["lon"].min()) - sx / 2.0
+        origin_y = float(pdf["lat"].max()) + sy / 2.0
+        grid = np.full((h, w), nodata, dtype="float64")
+        # row 0 = northernmost (highest lat) per TIFF convention
+        yi = pd.Series(np.arange(h)[::-1], index=ys)
+        xi = pd.Series(np.arange(w), index=xs)
+        vals = pdf["val"].to_numpy(dtype="float64")
+        grid[yi[pdf["y"]].to_numpy(), xi[pdf["x"]].to_numpy()] = np.where(
+            np.isnan(vals), nodata, vals
+        )
+        data = encode_geotiff(grid, origin_x, origin_y, sx, nodata=nodata)
+        return pd.DataFrame([{"raster_id": rid, "tiff": data}])
+
+    return pixels.groupBy("raster_id").applyInPandas(
+        encode, "raster_id string, tiff binary"
+    )
+
+
 def ingest_geotiff(
     spark: SparkSession,
     path_glob: str,

@@ -82,6 +82,30 @@ def test_geopackage_roundtrip(spark, tmp_path):
         assert np.array_equal(want[0][0], have[0][0])
 
 
+def test_export_geotiff_roundtrip(spark, gradient_array):
+    """K5: pixels → GeoTIFF → decode reproduces values and georef."""
+    pixels = synthetic_raster(spark, "rast_gradient")
+    out = geotiff.export_geotiff(pixels).collect()
+    assert len(out) == 1 and out[0].raster_id == "rast_gradient"
+    values, (ox, oy, sx, sy), nodata = geotiff.decode_geotiff(bytes(out[0].tiff))
+    assert values.shape == (GRID_N, GRID_N)
+    # row 0 is the northern edge; flipping recovers the fixture layout
+    assert np.array_equal(values[::-1], gradient_array)
+    assert abs(ox) < 1e-12 and abs(oy - GRID_N * PIXEL_DEG) < 1e-12
+    assert abs(sx - PIXEL_DEG) < 1e-12
+    assert nodata == -9999.0
+
+
+def test_export_geotiff_nodata(spark):
+    """NULL pixels encode as the nodata sentinel and come back as NaN."""
+    pixels = synthetic_raster(spark, "rast_nodata")
+    out = geotiff.export_geotiff(pixels).collect()[0]
+    values, _, nodata = geotiff.decode_geotiff(bytes(out.tiff))
+    n_nodata = int((values == nodata).sum())
+    n_null = synthetic_raster(spark, "rast_nodata").filter("val IS NULL").count()
+    assert n_nodata == n_null > 0
+
+
 def test_ingested_zonal_equals_fixture_zonal(spark, tmp_path, gradient_array):
     """Full S5+S6 chain: files → ingest → zonal == fixture-path zonal."""
     tif = tmp_path / "rast_gradient.tif"
