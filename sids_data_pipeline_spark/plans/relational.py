@@ -369,6 +369,33 @@ def _window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Date math ------------------------------------------------------------------
 
 
+def _window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first(cents("o_totalprice")).over(frame).alias("first_cents"),
+        F.last(cents("o_totalprice")).over(frame).alias("last_cents"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_FIRST_LAST_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       first_value({o_cents('o_totalprice')}) OVER w2 AS first_cents,
+       last_value({o_cents('o_totalprice')}) OVER w2 AS last_cents,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def _date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
     return (
@@ -751,6 +778,13 @@ QUERIES: list[Query] = [
         FROM orders
         """,
         doc="running aggregate window frame",
+        tags=("window",),
+    ),
+    Query(
+        "window_first_last_ntile",
+        _window_first_last_ntile,
+        _FIRST_LAST_SQL,
+        doc="first/last value over the full frame + ntile bucketing",
         tags=("window",),
     ),
     Query(
