@@ -209,6 +209,39 @@ def wkb_bbox(wkb: bytes) -> tuple[float, float, float, float]:
     )
 
 
+def wkb_rect(wkb: bytes) -> tuple[float, float, float, float] | None:
+    """If the geometry is a single hole-free axis-aligned rectangle, return
+    its (xmin, ymin, xmax, ymax); else None.
+
+    For such a ring the even-odd ray-casting kernel reduces *exactly* to
+    the half-open test ``xmin <= x < xmax AND ymin <= y < ymax``: horizontal
+    edges never satisfy the crossing condition, and a vertical edge's
+    ``xint`` is computed as ``0 * t + x0 == x0`` bit-exactly, so the two
+    vertical edges XOR to ``x >= xmin AND x < xmax`` while the shared
+    ``(y0 > py) != (y1 > py)`` condition gives ``y >= ymin AND y < ymax``.
+    Callers may therefore replace the Python kernel with that pure-column
+    predicate for rectangle zones — same result on every input, including
+    points exactly on the boundary (property-tested in tests/test_geo.py).
+    """
+    polys = parse_wkb(wkb)
+    if len(polys) != 1 or len(polys[0]) != 1:
+        return None
+    ring = np.asarray(polys[0][0], dtype=np.float64)
+    if ring.shape[0] != 5:
+        return None
+    dx = ring[1:, 0] - ring[:-1, 0]
+    dy = ring[1:, 1] - ring[:-1, 1]
+    if np.any((dx != 0.0) & (dy != 0.0)):
+        return None  # a diagonal edge: not axis-aligned
+    xmin, ymin = float(ring[:4, 0].min()), float(ring[:4, 1].min())
+    xmax, ymax = float(ring[:4, 0].max()), float(ring[:4, 1].max())
+    if xmin >= xmax or ymin >= ymax:
+        return None  # degenerate: let the kernel decide
+    corners = {(float(x), float(y)) for x, y in ring[:4]}
+    expected = {(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)}
+    return (xmin, ymin, xmax, ymax) if corners == expected else None
+
+
 def wkb_to_geojson_geometry(wkb: bytes) -> dict:
     """WKB → GeoJSON MultiPolygon geometry dict (for the GeoJSONL sink,
     reference ogr2ogr GeoJSONSeq export, pipeline/processing/vector.py:29-37)."""

@@ -84,16 +84,28 @@ def _contains_udf(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 
 def _zone_bboxes(zones: DataFrame) -> DataFrame:
-    """Attach bbox columns to zones (computed once, distributed)."""
+    """Attach bbox + rectangle-flag columns to zones (computed once,
+    distributed). ``_is_rect`` marks hole-free axis-aligned rectangles,
+    whose containment is a pure-column half-open bbox test (geo.wkb_rect)."""
 
-    @F.pandas_udf("xmin double, ymin double, xmax double, ymax double")
+    @F.pandas_udf(
+        "xmin double, ymin double, xmax double, ymax double, is_rect boolean"
+    )
     def bbox_udf(wkb: pd.Series) -> pd.DataFrame:
-        rows = [geo.wkb_bbox(bytes(b)) for b in wkb]
-        return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+        rows = []
+        for b in wkb:
+            data = bytes(b)
+            rows.append(geo.wkb_bbox(data) + (geo.wkb_rect(data) is not None,))
+        return pd.DataFrame(
+            rows, columns=["xmin", "ymin", "xmax", "ymax", "is_rect"]
+        )
 
-    return zones.withColumn("bbox", bbox_udf("geometry")).select(
-        "*", "bbox.*"
-    ).drop("bbox")
+    return (
+        zones.withColumn("bbox", bbox_udf("geometry"))
+        .select("*", "bbox.*")
+        .drop("bbox")
+        .withColumnRenamed("is_rect", "_is_rect")
+    )
 
 
 def _broadcast_spatial_join(
@@ -116,9 +128,11 @@ def _broadcast_spatial_join(
     cell = float(cell_deg)
     cell_rows = []
     geo_map = {}
+    all_rect = True
     for r in rows:
         wkb = bytes(r.geometry)
         geo_map[(r.vector_id, r.fid)] = wkb
+        all_rect = all_rect and geo.wkb_rect(wkb) is not None
         xmin, ymin, xmax, ymax = geo.wkb_bbox(wkb)
         for cx in range(int(np.floor(xmin / cell)), int(np.floor(xmax / cell)) + 1):
             for cy in range(int(np.floor(ymin / cell)), int(np.floor(ymax / cell)) + 1):
@@ -132,6 +146,24 @@ def _broadcast_spatial_join(
         "vector_id string, fid long, _cx long, _cy long, "
         "xmin double, ymin double, xmax double, ymax double",
     ).coalesce(1)
+
+    px = pixels.withColumn(
+        "_cx", F.floor(F.col("lon") / cell).cast("long")
+    ).withColumn("_cy", F.floor(F.col("lat") / cell).cast("long"))
+
+    if all_rect:
+        # Rectangle fast path: for an axis-aligned box the ray-casting
+        # kernel reduces exactly to a half-open bbox test (geo.wkb_rect),
+        # so the whole join stays in whole-stage codegen — no Arrow
+        # transfer, no Python workers, identical results.
+        joined = px.join(F.broadcast(zc), ["_cx", "_cy"], "inner").filter(
+            (F.col("lon") >= F.col("xmin"))
+            & (F.col("lon") < F.col("xmax"))
+            & (F.col("lat") >= F.col("ymin"))
+            & (F.col("lat") < F.col("ymax"))
+        )
+        return joined.drop("xmin", "ymin", "xmax", "ymax", "_cx", "_cy")
+
     geo_bc = spark.sparkContext.broadcast(geo_map)
 
     @F.pandas_udf(BooleanType())
@@ -150,9 +182,6 @@ def _broadcast_spatial_join(
             out[mask] = geo.points_in_polygons(polys, lon_v[mask], lat_v[mask])
         return pd.Series(out)
 
-    px = pixels.withColumn(
-        "_cx", F.floor(F.col("lon") / cell).cast("long")
-    ).withColumn("_cy", F.floor(F.col("lat") / cell).cast("long"))
     joined = px.join(F.broadcast(zc), ["_cx", "_cy"], "inner").filter(
         F.col("lon").between(F.col("xmin"), F.col("xmax"))
         & F.col("lat").between(F.col("ymin"), F.col("ymax"))
@@ -208,16 +237,36 @@ def spatial_join(
             )
         ),
     )
-    joined = px.join(zc, ["_cx", "_cy"], "inner").filter(
-        F.col("lon").between(F.col("xmin"), F.col("xmax"))
-        & F.col("lat").between(F.col("ymin"), F.col("ymax"))
+    joined = px.join(zc, ["_cx", "_cy"], "inner")
+    drop_cols = (
+        "xmin", "ymin", "xmax", "ymax", "_cx", "_cy", "_is_rect",
+        "name", "geometry",
     )
-    refined = joined.filter(_contains_udf("geometry", "lon", "lat"))
+    # Rectangle zones refine with the exact half-open bbox predicate
+    # (geo.wkb_rect — bit-identical to the ray-casting kernel), entirely
+    # inside whole-stage codegen; only non-rectangle candidates pay the
+    # Arrow transfer of (geometry, lon, lat) into the Python kernel. The
+    # two branches share the same shuffle exchanges (ReusedExchange), so
+    # pixels still shuffle once.
+    rect = joined.filter(
+        F.col("_is_rect")
+        & (F.col("lon") >= F.col("xmin"))
+        & (F.col("lon") < F.col("xmax"))
+        & (F.col("lat") >= F.col("ymin"))
+        & (F.col("lat") < F.col("ymax"))
+    ).drop(*drop_cols)
+    poly = (
+        joined.filter(
+            (~F.col("_is_rect"))
+            & F.col("lon").between(F.col("xmin"), F.col("xmax"))
+            & F.col("lat").between(F.col("ymin"), F.col("ymax"))
+        )
+        .filter(_contains_udf("geometry", "lon", "lat"))
+        .drop(*drop_cols)
+    )
     # Drop the zone payload (name + the heavy WKB blob) so downstream
     # plans don't carry geometry bytes through shuffles.
-    return refined.drop(
-        "xmin", "ymin", "xmax", "ymax", "_cx", "_cy", "name", "geometry"
-    )
+    return rect.unionByName(poly)
 
 
 def zonal_stats(

@@ -72,3 +72,52 @@ def test_geojson_feature_roundtrip():
     assert feat["geometry"]["type"] == "MultiPolygon"
     ring = feat["geometry"]["coordinates"][0][0]
     assert ring[0] == ring[-1]
+
+
+def test_wkb_rect_detection():
+    assert geo.wkb_rect(geo.box_wkb(0.0, 1.0, 2.0, 3.0)) == (0.0, 1.0, 2.0, 3.0)
+    # plain Polygon encoding of a rectangle also qualifies
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    assert geo.wkb_rect(geo.polygon_wkb([ring])) == (0.0, 0.0, 4.0, 2.0)
+    # non-rectangles: triangle, rect-with-hole, two-part multi, extra vertex
+    tri = [(0.0, 0.0), (4.0, 0.0), (2.0, 3.0), (0.0, 0.0)]
+    assert geo.wkb_rect(geo.polygon_wkb([tri])) is None
+    hole = [(1.0, 0.5), (2.0, 0.5), (2.0, 1.5), (1.0, 1.5), (1.0, 0.5)]
+    assert geo.wkb_rect(geo.polygon_wkb([ring, hole])) is None
+    assert geo.wkb_rect(
+        geo.multipolygon_wkb([[ring], [[(9, 9), (10, 9), (10, 10), (9, 10), (9, 9)]]])
+    ) is None
+    six = [(0.0, 0.0), (2.0, 0.0), (4.0, 0.0), (4.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    assert geo.wkb_rect(geo.polygon_wkb([six])) is None
+    # degenerate (zero-area) boxes are refused — kernel decides
+    assert geo.wkb_rect(geo.polygon_wkb(
+        [[(0.0, 0.0), (4.0, 0.0), (4.0, 0.0), (0.0, 0.0), (0.0, 0.0)]]
+    )) is None
+
+
+def test_rect_halfopen_equals_kernel_boundary_exact():
+    """The geo.wkb_rect contract: for a rectangle, the ray-casting kernel
+    equals xmin<=x<xmax AND ymin<=y<ymax on EVERY point, including points
+    exactly on edges and corners."""
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        xmin, ymin = rng.uniform(-50, 50, 2)
+        xmax = xmin + rng.uniform(0.1, 40)
+        ymax = ymin + rng.uniform(0.1, 40)
+        wkb = geo.box_wkb(xmin, ymin, xmax, ymax)
+        assert geo.wkb_rect(wkb) == (xmin, ymin, xmax, ymax)
+        polys = geo.parse_wkb(wkb)
+        # random interior/exterior points plus every boundary combination
+        px = np.concatenate([
+            rng.uniform(xmin - 5, xmax + 5, 200),
+            np.array([xmin, xmax, xmin, xmax, xmin, xmax,
+                      (xmin + xmax) / 2, (xmin + xmax) / 2]),
+        ])
+        py = np.concatenate([
+            rng.uniform(ymin - 5, ymax + 5, 200),
+            np.array([ymin, ymin, ymax, ymax, (ymin + ymax) / 2,
+                      (ymin + ymax) / 2, ymin, ymax]),
+        ])
+        kernel = geo.points_in_polygons(polys, px, py)
+        halfopen = (px >= xmin) & (px < xmax) & (py >= ymin) & (py < ymax)
+        np.testing.assert_array_equal(kernel, halfopen)

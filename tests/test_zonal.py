@@ -105,3 +105,40 @@ def test_spatial_join_keeps_pixel_columns(spark):
     joined = spatial_join(zones, pixels)
     for c in ["raster_id", "band", "y", "x", "lon", "lat", "val", "vector_id", "fid"]:
         assert c in joined.columns
+
+
+@pytest.mark.parametrize("how", ["broadcast", "grid"])
+def test_rect_fast_path_equals_kernel_path(spark, how):
+    """A rectangle zone (half-open fast path) and the same rectangle
+    encoded with an extra collinear vertex (defeats geo.wkb_rect, forcing
+    the Python kernel) must produce identical zonal stats — including
+    pixels whose centers sit exactly on the box edges."""
+    from sids_data_pipeline_spark.schemas import ZONES
+
+    # grid pixel centers land on multiples of 0.05 at odd multiples;
+    # choose box edges exactly on pixel-center coordinates: 0.25, 0.65
+    box = (0.25, 0.25, 0.65, 0.65)
+    rect_wkb = geo.box_wkb(*box)
+    xmin, ymin, xmax, ymax = box
+    collinear = geo.multipolygon_wkb(
+        [[[(xmin, ymin), ((xmin + xmax) / 2, ymin), (xmax, ymin),
+           (xmax, ymax), (xmin, ymax), (xmin, ymin)]]]
+    )
+    assert geo.wkb_rect(rect_wkb) == box and geo.wkb_rect(collinear) is None
+
+    pixels = synthetic_raster(spark, "rast_gradient")
+    outs = []
+    for wkb in (rect_wkb, collinear):
+        zones = spark.createDataFrame(
+            pd.DataFrame(
+                [("v", 1, "z", wkb)], columns=[f.name for f in ZONES.fields]
+            ),
+            ZONES,
+        )
+        outs.append(
+            zonal_stats(zones, pixels, stats=("mean", "count", "sum"), how=how)
+            .toPandas()
+            .drop(columns=["vector_id"])
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert outs[0]["count"].iloc[0] > 0
