@@ -59,20 +59,52 @@ def main() -> None:
         catalog[name].spark(spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # Baseline: the DuckDB oracle for the same queries at the same SF
+    # (BASELINE.md — the reference publishes no numbers, so the 2× bound
+    # is interpreted against the oracle runtime). Timed the same way:
+    # one warm-up pass, one steady pass.
+    oracle: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        for name in HEADLINE:
+            sql = catalog[name].oracle
+            if sql is None:
+                continue
+            con.execute(sql).fetchall()
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            oracle[name] = round(time.time() - t0, 3)
+    except Exception:
+        pass  # oracle timing is informative; never fail the bench over it
+
+    spark_on_oracle = {k: timings[k] for k in oracle}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_catalog_total_steady_state",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_catalog_total_steady_state",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if oracle:
+        out["oracle_queries"] = oracle
+        out["oracle_total"] = round(sum(oracle.values()), 3)
+        out["ratio_vs_oracle_same_queries"] = round(
+            sum(spark_on_oracle.values()) / max(sum(oracle.values()), 1e-9), 3
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 

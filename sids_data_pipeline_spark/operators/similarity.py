@@ -67,28 +67,76 @@ def topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
+    The query side is a small dimension set, so it is collected once and
+    broadcast as a numpy matrix (same pattern as the zonal broadcast
+    path); candidates stream through an Arrow-batched numpy scorer that
+    computes ALL query dots per batch with one int64 matmul and keeps only
+    the per-batch top-k per query (map-side partial top-k — each executor
+    emits ≤ batches×k×|Q| rows, so the final exact window sees thousands
+    of rows no matter how many candidates streamed past). The integer
+    micros domain is computed JVM-side by :func:`with_norm` and carried
+    into the batch, so the cosine is the same IEEE-754 division the SQL
+    oracle evaluates — bit-identical, hash-verified.
+
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
     by neighbor_id so results are total-order deterministic.
     """
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("_iv").alias("_qv"),
-        F.col("_norm2").alias("_qn"),
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        with_norm(queries, vec_col)
+        .select(F.col(id_col).alias("query_id"), "_iv", "_norm2")
+        .collect()
     )
+    qid = np.array([r.query_id for r in q_rows], dtype=np.int64)
+    qmat = np.array([r._iv for r in q_rows], dtype=np.int64)  # (m, d)
+    qsqrt = np.sqrt(np.array([r._norm2 for r in q_rows], dtype=np.float64))
+
+    spark = candidates.sparkSession
+    q_bc = spark.sparkContext.broadcast((qid, qmat, qsqrt))
+
+    def score(batches):
+        bqid, bqmat, bqsqrt = q_bc.value
+        m = bqid.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nbr = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cmat = np.stack(pdf["_iv"].to_numpy()).astype(np.int64)  # (b, d)
+            csqrt = np.sqrt(pdf["_norm2"].to_numpy(dtype=np.float64))
+            # exact int64 dot, then the oracle's own sqrt(q)*sqrt(c) division
+            cos = (cmat @ bqmat.T) / (bqsqrt[None, :] * csqrt[:, None])
+            out_q, out_n, out_c = [], [], []
+            for j in range(m):
+                col = cos[:, j]
+                keep = nbr != bqid[j]
+                # total order (cosine desc, neighbor_id asc): any global
+                # top-k row is also in its batch's top-k under this order
+                order = np.lexsort((nbr[keep], -col[keep]))[:k]
+                sel_n = nbr[keep][order]
+                out_q.append(np.full(sel_n.shape[0], bqid[j], dtype=np.int64))
+                out_n.append(sel_n)
+                out_c.append(col[keep][order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
     c = with_norm(candidates, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "_iv", "_norm2"
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("_dot", _dot(F.col("_iv"), F.col("_qv")))
-        .withColumn("cosine", cosine(F.col("_dot"), F.col("_qn"), F.col("_norm2")))
+    partial = c.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

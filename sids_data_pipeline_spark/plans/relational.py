@@ -568,6 +568,62 @@ def _sql_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TOPK_SUPPLIERS_SQL)
 
 
+def _array_json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
+    js = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p")
+        )
+    )
+    return orders.filter(F.col("o_orderkey") % 100 < 3).select(
+        "o_orderkey",
+        F.size(arr).alias("arr_len"),
+        F.aggregate(
+            F.transform(arr, lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.array_max(F.filter(arr, lambda x: x % 2 == 1)).alias("max_odd"),
+        F.get_json_object(js, "$.p").alias("json_p"),
+    )
+
+
+_ARRAY_JSON_SQL = """
+SELECT o_orderkey,
+       CAST(len(r) AS INT) AS arr_len,
+       CAST(list_sum(list_transform(r, x -> x * x)) AS BIGINT) AS sum_sq,
+       CAST(list_max(list_filter(r, x -> x % 2 = 1)) AS INT) AS max_odd,
+       json_extract_string(
+         to_json(struct_pack(k := o_orderkey, p := o_orderpriority)), '$.p'
+       ) AS json_p
+FROM (SELECT *, range(1, o_orderkey % 5 + 2) AS r FROM orders)
+WHERE o_orderkey % 100 < 3
+"""
+
+
+# Identical ANSI text runs on both engines (GROUPING() disambiguates the
+# rollup NULLs from data NULLs). The Spark side goes through spark.sql —
+# the SQL front door, like _sql_topk_suppliers.
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 QUERIES: list[Query] = [
     Query(
         "pricing_summary",
@@ -608,6 +664,21 @@ QUERIES: list[Query] = [
         tags=("filter",),
     ),
     Query("str_funcs", _str_funcs, _STR_SQL, doc="F1-F4 string scalars", tags=("scalar",)),
+    Query(
+        "array_json_scalars",
+        _array_json_scalars,
+        _ARRAY_JSON_SQL,
+        doc="array higher-order functions (transform/filter/aggregate) + "
+            "JSON build/extract scalars",
+        tags=("scalar", "array", "json"),
+    ),
+    Query(
+        "agg_grouping_sets",
+        _agg_grouping_sets,
+        _GROUPING_SETS_SQL,
+        doc="GROUPING SETS with GROUPING() markers (same ANSI text on both engines)",
+        tags=("aggregate",),
+    ),
     Query(
         "join_equi",
         _join_equi,
