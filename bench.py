@@ -53,11 +53,18 @@ def main() -> None:
         catalog[name].spark(spark, SF_DIR).count()
         cold[name] = round(time.time() - t0, 3)
 
+    # Steady state: best of 3 passes per query (min is the standard
+    # steady-state capability number — it strips GC/JIT/scheduler noise,
+    # which on a shared 32-thread box is ±30% run to run). The oracle
+    # below gets the identical warm-up + min-of-3 treatment.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        catalog[name].spark(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            catalog[name].spark(spark, SF_DIR).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # Baseline: the DuckDB oracle for the same queries at the same SF
     # (BASELINE.md — the reference publishes no numbers, so the 2× bound
@@ -81,9 +88,12 @@ def main() -> None:
             if sql is None:
                 continue
             con.execute(sql).fetchall()
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            oracle[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                best = min(best, time.time() - t0)
+            oracle[name] = round(best, 3)
     except Exception:
         pass  # oracle timing is informative; never fail the bench over it
 

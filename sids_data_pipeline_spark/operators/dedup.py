@@ -160,24 +160,38 @@ def jaccard_on_pairs(
     token_col: str = "token",
     sizes: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact Jaccard restricted to candidate pairs:
-    |A∩B| from a pair-scoped token join, |A∪B| = |A| + |B| − |A∩B|.
-    Pass ``sizes`` (doc_id, sz) to reuse set sizes computed upstream
-    (e.g. by minhash_signature) and skip a shuffle over tok.
+    """Exact Jaccard restricted to candidate pairs.
+
+    The (distinct) token table collapses to ONE array row per document —
+    a single shuffle of the big table — and each candidate pair then
+    joins two rows of that doc-count-sized table, with |A∩B| computed
+    JVM-side by ``array_intersect`` (inputs are distinct sets, so the
+    distinct-intersection size is the exact set intersection). This
+    replaces the previous pair-scoped token join, which shuffled the full
+    token table two more times; per-doc token arrays are bounded by
+    document length, so rows stay small at corpus scale.
+    ``sizes`` is accepted for API compatibility and ignored (the array
+    aggregation yields the set size for free).
     Returns (id1, id2, inter, size1, size2, jaccard)."""
-    if sizes is None:
-        sizes = tok.groupBy("doc_id").agg(F.count(token_col).alias("sz"))
-    t1 = tok.select(F.col("doc_id").alias("id1"), F.col(token_col).alias("tk"))
-    t2 = tok.select(F.col("doc_id").alias("id2"), F.col(token_col).alias("tk"))
-    inter = (
-        pairs.join(t1, "id1")
-        .join(t2, ["id2", "tk"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
+    arrays = tok.groupBy("doc_id").agg(
+        F.collect_list(token_col).alias("_toks"),
+        F.count(token_col).alias("_sz"),
+    )
+    a1 = arrays.select(
+        F.col("doc_id").alias("id1"),
+        F.col("_toks").alias("_t1"),
+        F.col("_sz").alias("size1"),
+    )
+    a2 = arrays.select(
+        F.col("doc_id").alias("id2"),
+        F.col("_toks").alias("_t2"),
+        F.col("_sz").alias("size2"),
     )
     return (
-        inter.join(sizes.withColumnsRenamed({"doc_id": "id1", "sz": "size1"}), "id1")
-        .join(sizes.withColumnsRenamed({"doc_id": "id2", "sz": "size2"}), "id2")
+        pairs.join(a1, "id1")
+        .join(a2, "id2")
+        .withColumn("inter", F.size(F.array_intersect("_t1", "_t2")).cast("long"))
+        .drop("_t1", "_t2")
         .withColumn(
             "jaccard",
             F.col("inter")

@@ -16,12 +16,11 @@ Spark-first equivalents:
   tippecanoe's ``--drop-densest-as-needed`` performs internally
   (``tiles.py:18``): smallest-area (densest) features drop first once a
   tile exceeds ``max_features_per_tile``;
-- **PBF encode** runs per tile group in ``applyInPandas``. No
-  mapbox-vector-tile lib ships in this container, so the encoder emits a
-  deterministic compact-JSON byte payload (STAND-IN, clearly marked);
-  swapping in a real MVT encoder touches only ``_encode_tile``. Tests
-  assert tile-key sets and decoded feature content, not PBF bytes —
-  byte-parity with tippecanoe is unachievable anyway (SURVEY.md §7).
+- **PBF encode** runs per tile group in ``applyInPandas``, emitting REAL
+  Mapbox Vector Tile (vector-tile-spec 2.1) protobuf bytes via the
+  pure-Python codec in ``functions/mvt.py`` — no native libs needed on
+  executors. Tests decode the bytes back and assert feature content;
+  byte-parity with tippecanoe is not a goal (SURVEY.md §7).
 - **upload (K3)** is the write itself: ``partitionBy(z, x)`` to any
   Hadoop-supported URI; ``metadata.json`` sidecar completes the P6 loop.
 """
@@ -98,18 +97,62 @@ def drop_densest(
     )
 
 
+def _local_coords(z: int, x: int, y: int, xmin, ymin, xmax, ymax, extent: int):
+    """Project a lon/lat bbox into tile-local integer space [0, extent]
+    (coords may exceed the range for features spilling past the tile edge
+    — MVT geometry is sint, the spec allows buffer overflow)."""
+    n = 2.0 ** z
+
+    def lx(lon):
+        return round(((lon + 180.0) / 360.0 * n - x) * extent)
+
+    def ly(lat):
+        t = math.tan(math.radians(lat))
+        merc = (1.0 - math.log(t + math.sqrt(t * t + 1.0)) / math.pi) / 2.0
+        return round((merc * n - y) * extent)
+
+    # tile Y grows downward, so ymax (north) is the smaller local y;
+    # ring is CW in screen space per spec §4.3.3.2 (exterior ring)
+    x0, x1 = lx(xmin), lx(xmax)
+    y0, y1 = ly(ymax), ly(ymin)
+    return [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+
+
 def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-    """STAND-IN tile encoder: compact-JSON bytes per tile (deterministic:
-    features sorted by id). A real deployment replaces the json.dumps with
-    a mapbox-vector-tile encode of the same feature list."""
+    """Real MVT (vector-tile-spec 2.1) tile: one ``features`` layer, each
+    feature's bbox as a tile-local polygon, remaining columns as typed
+    properties (deterministic: features sorted by id column). Pure-Python
+    wire format — functions/mvt.py — so executors need no native libs."""
+    from sids_data_pipeline_spark.functions import mvt
+
     z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
     feat_cols = [c for c in pdf.columns if c not in ("z", "x", "y")]
-    feats = pdf[feat_cols].sort_values(feat_cols[0]).to_dict("records")
-    payload = json.dumps({"z": z, "x": x, "y": y, "features": feats},
-                         separators=(",", ":"), sort_keys=True, default=str)
-    return pd.DataFrame(
-        [{"z": z, "x": x, "y": y, "pbf": payload.encode()}]
-    )
+    bbox = ("xmin", "ymin", "xmax", "ymax")
+    has_bbox = all(c in feat_cols for c in bbox)
+    prop_cols = [c for c in feat_cols if c not in bbox]
+    rows = pdf[feat_cols].sort_values(feat_cols[0]).to_dict("records")
+    features = []
+    for i, r in enumerate(rows):
+        rings = (
+            [_local_coords(z, x, y, r["xmin"], r["ymin"], r["xmax"], r["ymax"],
+                           mvt.DEFAULT_EXTENT)]
+            if has_bbox
+            else [[(mvt.DEFAULT_EXTENT // 2, mvt.DEFAULT_EXTENT // 2)]]
+        )
+        features.append(
+            {
+                "id": i + 1,  # spec: nonzero unique-in-layer id
+                "type": mvt.GEOM_POLYGON if has_bbox else mvt.GEOM_POINT,
+                "rings": rings,
+                "props": {
+                    k: (v.item() if hasattr(v, "item") else v)
+                    for k, v in r.items()
+                    if k in prop_cols or k in bbox
+                },
+            }
+        )
+    payload = mvt.encode_tile("features", features)
+    return pd.DataFrame([{"z": z, "x": x, "y": y, "pbf": payload}])
 
 
 def encode_tiles(tiles: DataFrame, feature_cols: Iterable[str]) -> DataFrame:
@@ -136,7 +179,7 @@ def write_tileset(
     ``metadata.json`` completion marker the incremental skip (P6) probes,
     mirroring reference data.py:33-35."""
     tiles.write.mode(mode).partitionBy("z", "x").parquet(path)
-    meta = {"name": name, "format": "pbf-standin-json", "maxzoom": max_zoom}
+    meta = {"name": name, "format": "pbf", "maxzoom": max_zoom}
     # leading underscore: Spark data-source listings ignore _*/.* files,
     # so the marker coexists with the parquet parts (like _SUCCESS)
     with open(os.path.join(path, "_tileset_metadata.json"), "w") as fh:

@@ -109,6 +109,53 @@ def test_tileset_write_read_complete(spark, features, tmp_path):
     back = tiles.read_tileset(spark, path)
     keys = {(r.z, r.x, r.y) for r in back.collect()}
     assert (0, 0, 0) in keys
-    # decoded feature content, not bytes (SURVEY §7)
-    tile0 = json.loads(bytes(back.filter("z = 0").first().pbf))
-    assert {f["fid"] for f in tile0["features"]} == {1, 2, 3, 4}
+    # decoded feature content, not bytes (SURVEY §7) — real MVT decode
+    from sids_data_pipeline_spark.functions import mvt
+
+    tile0 = mvt.decode_tile(bytes(back.filter("z = 0").first().pbf))
+    layer = tile0["features"]
+    assert layer["version"] == 2 and layer["extent"] == mvt.DEFAULT_EXTENT
+    assert {f["props"]["fid"] for f in layer["features"]} == {1, 2, 3, 4}
+    for f in layer["features"]:
+        ring = f["rings"][0]
+        assert ring[0] == ring[-1] and len(ring) == 5  # closed quad
+        assert all(0 <= cx <= mvt.DEFAULT_EXTENT and 0 <= cy <= mvt.DEFAULT_EXTENT
+                   for cx, cy in ring)
+
+
+def test_mvt_codec_round_trip():
+    """Encoder/decoder inverse pair on mixed property types and multiple
+    features (keys/values interning, zigzag deltas, polygon closing)."""
+    from sids_data_pipeline_spark.functions import mvt
+
+    feats = [
+        {"id": 1, "type": mvt.GEOM_POLYGON,
+         "rings": [[(0, 0), (100, 0), (100, 80), (0, 80), (0, 0)]],
+         "props": {"fid": 7, "name": "alpha", "area": 1.25, "ok": True}},
+        {"id": 2, "type": mvt.GEOM_POLYGON,
+         "rings": [[(50, 50), (60, 50), (60, 60), (50, 60), (50, 50)]],
+         "props": {"fid": 8, "name": "beta", "area": 0.5, "ok": False}},
+    ]
+    data = mvt.encode_tile("layer0", feats, extent=512)
+    out = mvt.decode_tile(data)
+    layer = out["layer0"]
+    assert layer["extent"] == 512 and layer["version"] == 2
+    got = layer["features"]
+    assert [f["id"] for f in got] == [1, 2]
+    assert got[0]["props"] == {"fid": 7, "name": "alpha", "area": 1.25, "ok": True}
+    assert got[1]["props"]["name"] == "beta" and got[1]["props"]["ok"] is False
+    # implicit ring closing survives the trip
+    assert got[0]["rings"][0][0] == got[0]["rings"][0][-1]
+    assert got[1]["rings"][0] == feats[1]["rings"][0]
+
+
+def test_mvt_negative_and_overflow_coords():
+    """sint zigzag handles negative deltas and beyond-extent coords
+    (features spilling past the tile edge, spec buffer semantics)."""
+    from sids_data_pipeline_spark.functions import mvt
+
+    ring = [(-64, -64), (5000, -64), (5000, 5000), (-64, 5000), (-64, -64)]
+    data = mvt.encode_tile("l", [{"id": 1, "type": mvt.GEOM_POLYGON,
+                                  "rings": [ring], "props": {}}])
+    back = mvt.decode_tile(data)["l"]["features"][0]["rings"][0]
+    assert back == ring
