@@ -1,0 +1,106 @@
+"""Scaling evidence: flagship operators swept across input sizes.
+
+The correctness gate proves operators right at small SF; this tool
+measures whether their cost grows LINEARLY with input — the property that
+decides whether a plan survives a 100 TB cluster. Each operator runs at
+4× increasing input sizes (steady state, min of 3); a scalable plan shows
+flat-or-falling ns/row as fixed overhead amortizes. Sub-linear growth in
+wall time per 4× step ⇒ the shuffle/join strategy is volume-bound, not
+blow-up-bound.
+
+Usage: python tools/scalecheck.py            # prints one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _steady(fn, reps: int = 3) -> float:
+    fn()  # warm: plan compile, codegen, python workers
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators import dedup
+    from sids_data_pipeline_spark.operators.zonal import zonal_stats
+    from sids_data_pipeline_spark.schemas import ZONES
+    from sids_data_pipeline_spark.session import get_spark
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster_scaled
+
+    spark = get_spark("scalecheck")
+    out: dict = {}
+
+    # --- zonal stats (rect fast path, grid join): n×n pixels, 4 zones ----
+    def zones_for(n: int):
+        s = float(n) * 0.1 / 8.0  # 4 boxes tiling the raster extent
+        rows = [
+            ("z", fid, f"b{fid}", geo.box_wkb(cx * s, cy * s, (cx + 4) * s, (cy + 4) * s))
+            for fid, (cx, cy) in enumerate([(0, 0), (4, 0), (0, 4), (4, 4)], 1)
+        ]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=[f.name for f in ZONES.fields]), ZONES
+        ).coalesce(1)
+
+    zonal = {}
+    for n in (512, 1024, 2048, 4096):
+        px = synthetic_raster_scaled(spark, n)
+        zs = zones_for(n)
+        sec = _steady(
+            lambda: zonal_stats(zs, px, stats=("mean", "count"), how="grid",
+                                cell_deg=float(n) * 0.1 / 2).count()
+        )
+        zonal[f"{n * n:,} px"] = {
+            "sec": round(sec, 3),
+            "ns_per_px": round(sec / (n * n) * 1e9, 1),
+        }
+    out["zonal_grid"] = zonal
+
+    # --- MinHash LSH near-dup: growing document counts -------------------
+    docs_full = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    minhash = {}
+    for frac in (1250, 2500, 5000):
+        docs = docs_full.filter(F.col("doc_id") % (5000 // frac) == 0)
+        n_docs = docs.count()
+        sec = _steady(lambda: dedup.near_duplicates_minhash(docs).count())
+        minhash[f"{n_docs} docs"] = {
+            "sec": round(sec, 3),
+            "ms_per_doc": round(sec / n_docs * 1e3, 3),
+        }
+    out["dedup_minhash_lsh"] = minhash
+
+    # --- exact dedup: growing synthetic row counts -----------------------
+    exact = {}
+    for n in (1_000_000, 4_000_000):
+        df = spark.range(0, n, 1, 32).select(
+            F.col("id"),
+            F.concat(F.lit("payload-"), (F.col("id") % (n // 2)).cast("string")).alias("text"),
+        )
+        sec = _steady(
+            lambda: dedup.exact_dedup(df, ["text"], "id").count()
+        )
+        exact[f"{n:,} rows"] = {
+            "sec": round(sec, 3),
+            "ns_per_row": round(sec / n * 1e9, 1),
+        }
+    out["dedup_exact"] = exact
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
