@@ -713,6 +713,41 @@ FROM a
 """
 
 
+def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(
+        multimodal.documents_to_assets(docs), every_n=8
+    )
+    # hex-project the slice for the gate: DuckDB's substring is
+    # VARCHAR-only, so both engines compare lowercase hex strings
+    return frames.select(
+        "asset_id", "frame_index",
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+    )
+
+
+# UDTF shape (one asset row → many frame rows): the stub decoder's
+# arithmetic is deterministic, so even the per-frame byte slices verify
+# value-for-value (generate_series = the explode twin).
+_MULTIMODAL_FRAMES_SQL = """
+WITH v AS (
+  SELECT doc_id AS asset_id, encode(text) AS payload,
+         CAST(octet_length(encode(text)) AS INT) AS n
+  FROM documents WHERE doc_id % 4 = 2
+),
+f AS (
+  SELECT asset_id, payload, n,
+         CAST(unnest(range(0, n % 24 + 1, 8)) AS INT) AS frame_index
+  FROM v
+)
+SELECT asset_id, frame_index,
+       lower(substring(hex(payload),
+                       ((frame_index * 17) % greatest(n - 8, 1)) * 2 + 1, 16))
+         AS frame_hex
+FROM f
+"""
+
+
 QUERIES: list[Query] = [
     Query("corpus_curation", _corpus_curation, _curation_sql(),
           doc="E1+E2+E5 flagship: quality filter → exact dedup → "
@@ -776,5 +811,9 @@ QUERIES: list[Query] = [
           doc="E4 binary payload + typed metadata plumbing", tags=("multimodal",)),
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_FEATURES_SQL,
           doc="E4 mapInPandas feature extraction (stub decoder, real plumbing)",
+          tags=("multimodal",)),
+    Query("multimodal_frames", _multimodal_frames, _MULTIMODAL_FRAMES_SQL,
+          doc="E4 video frame sampling, UDTF shape: one asset row → many "
+              "frame rows (stub decoder, byte slices hash-verified)",
           tags=("multimodal",)),
 ]
