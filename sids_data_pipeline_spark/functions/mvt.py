@@ -197,7 +197,9 @@ def _decode_value(buf: bytes):
             return val.decode("utf-8")
         if field == 3:
             return struct.unpack("<d", val)[0]
-        if field in (4, 5):
+        if field == 4:  # int64: varint carries the two's complement
+            return val - (1 << 64) if val >= 1 << 63 else val
+        if field == 5:
             return val
         if field == 6:
             return _unzigzag(val)

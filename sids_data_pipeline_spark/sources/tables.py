@@ -54,3 +54,30 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def list_datasets(
+    spark: SparkSession,
+    path: str,
+    suffixes: tuple[str, ...] = (".parquet", ".tif", ".gpkg"),
+) -> DataFrame:
+    """S1 listing scan (reference ``pipeline/processing/data.py:9-12``):
+    enumerate dataset files under ``path`` and project the stem as ``id``
+    — the DataFrame the work-pair crossJoin (J3) consumes.
+
+    Uses Spark's ``binaryFile`` source so listing runs through the same
+    Hadoop FileSystem layer as the reads (local dir here, ``abfss://``/
+    ``s3a://`` container on a cluster — the reference's list_blobs
+    equivalent), without fetching file contents (column pruning drops
+    ``content``; only ``path`` is read)."""
+    from pyspark.sql import functions as F
+
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*"))
+    stem = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[^./]+)?$", 1)
+    ext = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[^./]+)$", 2)
+    return (
+        files.select(stem.alias("id"), ext.alias("_ext"))
+        .filter(F.col("_ext").isin(*suffixes))
+        .drop("_ext")
+        .orderBy("id")
+    )

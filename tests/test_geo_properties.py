@@ -113,3 +113,48 @@ def test_hole_xor_semantics():
     # center of hole: out; interior: in; outside: out; on hole's bottom
     # edge at (4.5, 4.0): hole's half-open rule counts it as hole → out
     assert got.tolist() == [False, True, False, False]
+
+
+# --- MVT codec properties (functions/mvt.py) --------------------------------
+
+tile_coord = st.integers(min_value=-(2**20), max_value=2**20)
+prop_value = st.one_of(
+    st.booleans(),
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+)
+
+
+@st.composite
+def mvt_features(draw):
+    from sids_data_pipeline_spark.functions import mvt
+
+    n_rings = draw(st.integers(1, 3))
+    rings = []
+    for _ in range(n_rings):
+        pts = draw(
+            st.lists(st.tuples(tile_coord, tile_coord), min_size=3, max_size=8)
+        )
+        rings.append(pts + [pts[0]])  # closed
+    props = draw(
+        st.dictionaries(st.text(min_size=1, max_size=8), prop_value, max_size=4)
+    )
+    return {"id": draw(st.integers(1, 2**30)), "type": mvt.GEOM_POLYGON,
+            "rings": rings, "props": props}
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(mvt_features(), min_size=1, max_size=5))
+def test_mvt_round_trip_property(feats):
+    """encode→decode is the identity on ids, closed rings, and typed
+    properties, for arbitrary coordinates (negative, beyond-extent) and
+    interned key/value tables."""
+    from sids_data_pipeline_spark.functions import mvt
+
+    out = mvt.decode_tile(mvt.encode_tile("t", feats))["t"]
+    assert len(out["features"]) == len(feats)
+    for f_in, f_out in zip(feats, out["features"]):
+        assert f_out["id"] == f_in["id"]
+        assert f_out["rings"] == f_in["rings"]
+        assert f_out["props"] == f_in["props"]

@@ -61,3 +61,16 @@ def test_rerun_idempotency(spark, vectors, rasters, tmp_path):
     pairs3 = manifest.work_pairs(vectors3, rasters)
     pending3 = {(r.v_id, r.r_id) for r in manifest.pending_pairs(pairs3, done1).collect()}
     assert pending3 == {("v3", "r1"), ("v3", "r2"), ("v3", "r3")}
+
+
+def test_list_datasets_stems(spark, tmp_path):
+    """S1: directory listing -> id DataFrame, stem projected, non-dataset
+    files ignored, no content fetched."""
+    from sids_data_pipeline_spark.sources.tables import list_datasets
+
+    for name in ("alpha.tif", "beta.v2.tif", "zones.gpkg", "notes.txt"):
+        (tmp_path / name).write_bytes(b"x")
+    got = list_datasets(spark, str(tmp_path))
+    assert [r.id for r in got.collect()] == ["alpha", "beta.v2", "zones"]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan  # listing only — column pruned
