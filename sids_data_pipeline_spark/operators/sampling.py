@@ -1,0 +1,98 @@
+"""Dataset splitting and shard packing (EXT — training-data pipeline).
+
+Two operators every corpus-preparation pipeline needs downstream of
+dedup/filtering, both deterministic (hash- and order-based, never RNG
+state) so results are identical under AQE re-planning, retries, and
+re-runs at 100 TB — and SQL-reproducible for the correctness gate:
+
+- :func:`hash_split` — train/eval/test assignment by content hash of a
+  key column. A document's split NEVER depends on partitioning or on
+  other rows (unlike ``randomSplit``), so adding data later cannot move
+  existing documents across splits — the property that prevents
+  train/eval leakage between dataset versions.
+- :func:`pack_shards` — assign documents to fixed-token-budget output
+  shards in a deterministic key order via an exclusive running sum.
+  Shard boundaries are a pure function of the sorted prefix, so a
+  re-run yields byte-identical shards.
+
+No reference counterpart (the reference has no dataset-prep surface);
+mandated by the BASELINE.json north star's training-data extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.functions.hashing import token_hash32
+
+_HASH_BUCKETS = 10_000
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by hashing ``salt || key``.
+
+    ``weights`` maps label → fraction (must sum to ≤ 1; any remainder
+    falls into the last label). The hash bucket is
+    ``token_hash32(salt || key) % 10000``; cumulative weight ranges over
+    buckets give each label its fraction in expectation while keeping
+    assignment a pure per-row function — rows never move between splits
+    when the corpus grows, shrinks, or repartitions.
+    """
+    bucket = token_hash32(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ) % _HASH_BUCKETS
+    out = df.withColumn("_bucket", bucket)
+    expr = None
+    cum = 0.0
+    labels = list(weights.items())
+    for label, w in labels[:-1]:
+        cum += w
+        cond = F.col("_bucket") < int(round(cum * _HASH_BUCKETS))
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return out.withColumn("split", expr).drop("_bucket")
+
+
+def o_hash_split(key_expr: str, weights: dict[str, float], salt: str = "split") -> str:
+    """DuckDB CASE expression twin of :func:`hash_split`'s label column."""
+    parts = []
+    cum = 0.0
+    labels = list(weights.items())
+    bucket = f"((('0x' || substr(md5('{salt}' || {key_expr}), 1, 8))::BIGINT) % {_HASH_BUCKETS})"
+    for label, w in labels[:-1]:
+        cum += w
+        parts.append(f"WHEN {bucket} < {int(round(cum * _HASH_BUCKETS))} THEN '{label}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{labels[-1][0]}' END"
+
+
+def pack_shards(
+    df: DataFrame,
+    max_tokens: int,
+    size_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document a ``shard_id`` so consecutive documents (in
+    ``order_col`` order) accumulate into ~``max_tokens``-token shards:
+    ``shard_id = floor(exclusive_running_sum / max_tokens)``.
+
+    A shard may exceed the budget by at most one document (the streaming-
+    friendly rule: a document is never split). The running sum is a
+    window over a total order — at cluster scale Spark executes it as a
+    range-partitioned sort, one shuffle, and the assignment depends only
+    on the sorted prefix, so output shards are stable across re-runs.
+    """
+    w = (
+        Window.orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn(
+        "shard_id", F.floor(excl / F.lit(max_tokens)).cast("int")
+    )

@@ -713,6 +713,52 @@ FROM a
 """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "eval": 0.1, "test": 0.1}
+
+
+def _corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators import sampling
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, _SPLIT_WEIGHTS).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _corpus_split_sql() -> str:
+    from sids_data_pipeline_spark.operators.sampling import o_hash_split
+
+    return f"""
+SELECT doc_id, lang, {o_hash_split('doc_id', _SPLIT_WEIGHTS)} AS split
+FROM documents
+"""
+
+
+_SHARD_TOKENS = 2000
+_NTOK = "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))"
+_O_NTOK = r"len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))"
+
+
+def _corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators import sampling
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.expr(_NTOK).cast("int").alias("n_tokens")
+    )
+    return sampling.pack_shards(sized, _SHARD_TOKENS)
+
+
+_PACK_SHARDS_SQL = f"""
+SELECT doc_id, CAST({_O_NTOK} AS INT) AS n_tokens,
+       CAST(FLOOR(COALESCE(SUM({_O_NTOK}) OVER (
+              ORDER BY doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / {_SHARD_TOKENS}.0) AS INT) AS shard_id
+FROM documents
+"""
+
+
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     frames = multimodal.frame_sample(
@@ -812,6 +858,14 @@ QUERIES: list[Query] = [
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_FEATURES_SQL,
           doc="E4 mapInPandas feature extraction (stub decoder, real plumbing)",
           tags=("multimodal",)),
+    Query("corpus_split", _corpus_split, _corpus_split_sql(),
+          doc="deterministic hash train/eval/test split (leakage-stable: "
+              "per-row pure function, unlike randomSplit)",
+          tags=("sampling", "text")),
+    Query("corpus_pack_shards", _corpus_pack_shards, _PACK_SHARDS_SQL,
+          doc="token-budget shard packing via exclusive running sum "
+              "(deterministic byte-stable shards)",
+          tags=("sampling", "text", "window")),
     Query("multimodal_frames", _multimodal_frames, _MULTIMODAL_FRAMES_SQL,
           doc="E4 video frame sampling, UDTF shape: one asset row → many "
               "frame rows (stub decoder, byte slices hash-verified)",

@@ -1,0 +1,57 @@
+"""Dataset split + shard packing (operators/sampling.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.operators import sampling
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A document's split is a pure function of its key: assignments on a
+    subset equal assignments on the full corpus (no leakage when data is
+    added) and fractions are near the weights."""
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    full = sampling.hash_split(docs, {"train": 0.8, "eval": 0.1, "test": 0.1})
+    sub = sampling.hash_split(
+        docs.filter(F.col("doc_id") < 500), {"train": 0.8, "eval": 0.1, "test": 0.1}
+    )
+    f = {r.doc_id: r.split for r in full.collect()}
+    for r in sub.collect():
+        assert f[r.doc_id] == r.split
+    counts = pd.Series(list(f.values())).value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.05
+    assert abs(counts["eval"] - 0.1) < 0.03
+    assert abs(counts["test"] - 0.1) < 0.03
+
+
+def test_hash_split_partitioning_invariant(spark):
+    docs = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = sampling.hash_split(docs.repartition(1), {"a": 0.5, "b": 0.5})
+    b = sampling.hash_split(docs.repartition(13), {"a": 0.5, "b": 0.5})
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_pack_shards_budget_and_determinism(spark):
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 400 + 1).cast("int").alias("n_tokens"),
+    )
+    out = sampling.pack_shards(docs, max_tokens=1000).toPandas().sort_values("doc_id")
+    # shards are contiguous in doc order and non-decreasing
+    assert (out["shard_id"].diff().dropna() >= 0).all()
+    # each shard holds >= 1 doc; total tokens per shard exceed the budget
+    # by at most one document (docs are never split)
+    g = out.groupby("shard_id")["n_tokens"].sum()
+    assert (g.iloc[:-1] + 1 > 1000 - 400).all()  # near-full packing
+    for sid, grp in out.groupby("shard_id"):
+        excess = grp["n_tokens"].sum() - 1000
+        assert excess <= grp["n_tokens"].max()
+    # identical on re-run and under repartitioning
+    again = (
+        sampling.pack_shards(docs.repartition(7), max_tokens=1000)
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert out["shard_id"].tolist() == again["shard_id"].tolist()
