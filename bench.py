@@ -70,6 +70,8 @@ def main() -> None:
     # (BASELINE.md — the reference publishes no numbers, so the 2× bound
     # is interpreted against the oracle runtime). Timed the same way:
     # one warm-up pass, one steady pass.
+    # Oracle timing is informative — a failure is reported on stderr and
+    # skips only the affected query, never truncates the rest silently.
     oracle: dict[str, float] = {}
     try:
         import duckdb
@@ -83,19 +85,24 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{SF_DIR}/{t}.parquet')"
             )
+    except Exception as ex:  # e.g. a table parquet absent at a custom SF dir
+        print(f"bench: oracle setup failed, skipping baseline: {ex}", file=sys.stderr)
+        con = None
+    if con is not None:
         for name in HEADLINE:
             sql = catalog[name].oracle
             if sql is None:
                 continue
-            con.execute(sql).fetchall()
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
+            try:
                 con.execute(sql).fetchall()
-                best = min(best, time.time() - t0)
-            oracle[name] = round(best, 3)
-    except Exception:
-        pass  # oracle timing is informative; never fail the bench over it
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.time()
+                    con.execute(sql).fetchall()
+                    best = min(best, time.time() - t0)
+                oracle[name] = round(best, 3)
+            except Exception as ex:
+                print(f"bench: oracle {name} failed: {ex}", file=sys.stderr)
 
     spark_on_oracle = {k: timings[k] for k in oracle}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

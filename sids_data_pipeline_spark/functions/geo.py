@@ -195,10 +195,8 @@ def promote_to_multi(wkb: bytes) -> bytes:
     )
 
 
-def wkb_bbox(wkb: bytes) -> tuple[float, float, float, float]:
-    """(xmin, ymin, xmax, ymax) of a WKB (Multi)Polygon — used to build the
-    coarse grid keys for the filter-and-refine spatial join."""
-    polys = parse_wkb(wkb)
+def polys_bbox(polys: list[Polygon]) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of pre-parsed polygons (exterior rings)."""
     exts = [np.asarray(poly[0]) for poly in polys if poly]
     allpts = np.vstack(exts)
     return (
@@ -207,6 +205,12 @@ def wkb_bbox(wkb: bytes) -> tuple[float, float, float, float]:
         float(allpts[:, 0].max()),
         float(allpts[:, 1].max()),
     )
+
+
+def wkb_bbox(wkb: bytes) -> tuple[float, float, float, float]:
+    """(xmin, ymin, xmax, ymax) of a WKB (Multi)Polygon — used to build the
+    coarse grid keys for the filter-and-refine spatial join."""
+    return polys_bbox(parse_wkb(wkb))
 
 
 def wkb_rect(wkb: bytes) -> tuple[float, float, float, float] | None:
@@ -223,7 +227,11 @@ def wkb_rect(wkb: bytes) -> tuple[float, float, float, float] | None:
     predicate for rectangle zones — same result on every input, including
     points exactly on the boundary (property-tested in tests/test_geo.py).
     """
-    polys = parse_wkb(wkb)
+    return polys_rect(parse_wkb(wkb))
+
+
+def polys_rect(polys: list[Polygon]) -> tuple[float, float, float, float] | None:
+    """:func:`wkb_rect` on pre-parsed polygons (single-parse callers)."""
     if len(polys) != 1 or len(polys[0]) != 1:
         return None
     ring = np.asarray(polys[0][0], dtype=np.float64)

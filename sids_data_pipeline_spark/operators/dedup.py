@@ -172,7 +172,9 @@ def jaccard_on_pairs(
     document length, so rows stay small at corpus scale.
     ``sizes`` is accepted for API compatibility and ignored (the array
     aggregation yields the set size for free).
-    Returns (id1, id2, inter, size1, size2, jaccard)."""
+    Returns (id1, id2, inter, size1, size2, jaccard); pairs sharing no
+    token are omitted (inner-join contract, matching the SQL oracle's
+    intersection join)."""
     arrays = tok.groupBy("doc_id").agg(
         F.collect_list(token_col).alias("_toks"),
         F.count(token_col).alias("_sz"),
@@ -192,6 +194,7 @@ def jaccard_on_pairs(
         .join(a2, "id2")
         .withColumn("inter", F.size(F.array_intersect("_t1", "_t2")).cast("long"))
         .drop("_t1", "_t2")
+        .filter(F.col("inter") > 0)
         .withColumn(
             "jaccard",
             F.col("inter")

@@ -77,22 +77,55 @@ def pack_shards(
     max_tokens: int,
     size_col: str = "n_tokens",
     order_col: str = "doc_id",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Assign each document a ``shard_id`` so consecutive documents (in
-    ``order_col`` order) accumulate into ~``max_tokens``-token shards:
+    ``order_col`` order — use a unique key) accumulate into
+    ~``max_tokens``-token shards:
     ``shard_id = floor(exclusive_running_sum / max_tokens)``.
 
     A shard may exceed the budget by at most one document (the streaming-
-    friendly rule: a document is never split). The running sum is a
-    window over a total order — at cluster scale Spark executes it as a
-    range-partitioned sort, one shuffle, and the assignment depends only
-    on the sorted prefix, so output shards are stable across re-runs.
+    friendly rule: a document is never split).
+
+    The global prefix sum is computed scalably in two passes, the classic
+    distributed scan: range-partition on the order key (one shuffle, no
+    single-partition window), take a per-partition running sum, then add
+    each partition's starting offset — the cumulative total of all
+    earlier ranges, a partition-count-sized list collected to the driver
+    and folded into a literal map. The assignment depends only on the
+    sorted prefix (range boundaries cancel out), so shards are identical
+    across re-runs and partition counts.
     """
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, F.col(order_col).asc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    totals = ranged.groupBy("_pid").agg(F.sum(size_col).alias("_t")).collect()
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in sorted(totals, key=lambda r: r._pid):
+        offsets[r._pid] = run
+        run += r._t or 0
+    off_expr = (
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in offsets.items() for x in kv]
+            ),
+            F.col("_pid"),
+        )
+        if offsets
+        else F.lit(0)
+    )
     w = (
-        Window.orderBy(F.col(order_col).asc())
+        Window.partitionBy("_pid")
+        .orderBy(F.col(order_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return df.withColumn(
-        "shard_id", F.floor(excl / F.lit(max_tokens)).cast("int")
+    excl = F.coalesce(F.sum(size_col).over(w), F.lit(0)) + F.coalesce(
+        off_expr, F.lit(0)
     )
+    return ranged.withColumn(
+        "shard_id", F.floor(excl / F.lit(max_tokens)).cast("int")
+    ).drop("_pid")

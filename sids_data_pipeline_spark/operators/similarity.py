@@ -2,13 +2,15 @@
 
 Two paths, mirroring the dedup family's correctness/scale split:
 
-- :func:`topk_bruteforce` — exact top-k cosine neighbors. The dot product
-  runs JVM-side with array higher-order functions (``zip_with`` +
-  ``aggregate``) in an exact integer domain (each component is rounded to
-  micros first — see plans/base.py determinism policy), so the score is
-  bit-identical across engines and partitionings. The query side is
-  broadcast: at 100 TB the candidate table streams past a small query set
-  with no shuffle until the final per-query top-k window.
+- :func:`topk_bruteforce` — exact top-k cosine neighbors. The (small)
+  query set is collected once and broadcast as an int64 numpy matrix;
+  candidates stream through an Arrow-batched matmul scorer that keeps
+  only per-batch top-k per query, so the final exact window sees
+  O(batches·k·|Q|) rows no matter how many candidates streamed past.
+  Vectors transform element-wise to an exact integer micros domain
+  JVM-side first (plans/base.py determinism policy), so the cosine is
+  the same IEEE-754 division the SQL oracle evaluates — bit-identical
+  across engines and partitionings.
 - :func:`ann_lsh` — the scale path: random-hyperplane bucketing
   (BucketedRandomProjectionLSH) restricts candidates to nearby buckets,
   then the exact kernel re-ranks. Bucketed candidates only — never
@@ -89,11 +91,15 @@ def topk_bruteforce(
         .select(F.col(id_col).alias("query_id"), "_iv", "_norm2")
         .collect()
     )
+    spark = candidates.sparkSession
+    if not q_rows:  # empty query set -> empty result, same schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     qid = np.array([r.query_id for r in q_rows], dtype=np.int64)
     qmat = np.array([r._iv for r in q_rows], dtype=np.int64)  # (m, d)
     qsqrt = np.sqrt(np.array([r._norm2 for r in q_rows], dtype=np.float64))
 
-    spark = candidates.sparkSession
     q_bc = spark.sparkContext.broadcast((qid, qmat, qsqrt))
 
     def score(batches):
@@ -112,8 +118,12 @@ def topk_bruteforce(
                 col = cos[:, j]
                 keep = nbr != bqid[j]
                 # total order (cosine desc, neighbor_id asc): any global
-                # top-k row is also in its batch's top-k under this order
-                order = np.lexsort((nbr[keep], -col[keep]))[:k]
+                # top-k row is also in its batch's top-k under this order.
+                # NaN (zero-norm vectors) maps to +inf so the batch cut
+                # ranks it FIRST — matching Spark's window ORDER BY DESC,
+                # where NaN is the largest double.
+                sort_col = np.where(np.isnan(col[keep]), np.inf, col[keep])
+                order = np.lexsort((nbr[keep], -sort_col))[:k]
                 sel_n = nbr[keep][order]
                 out_q.append(np.full(sel_n.shape[0], bqid[j], dtype=np.int64))
                 out_n.append(sel_n)
@@ -131,6 +141,16 @@ def topk_bruteforce(
     )
     partial = c.mapInPandas(
         score, "query_id long, neighbor_id long, cosine double"
+    )
+    # pandas→Arrow turns float NaN into NULL; restore NaN (cosine is
+    # never legitimately NULL here) so the window ranks zero-norm
+    # vectors first under DESC — Spark/DuckDB NaN-is-largest semantics,
+    # identical to the JVM 0/0 division the oracle evaluates.
+    partial = partial.withColumn(
+        "cosine",
+        F.when(F.col("cosine").isNull(), F.lit(float("nan"))).otherwise(
+            F.col("cosine")
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

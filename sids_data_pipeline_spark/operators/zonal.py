@@ -94,8 +94,8 @@ def _zone_bboxes(zones: DataFrame) -> DataFrame:
     def bbox_udf(wkb: pd.Series) -> pd.DataFrame:
         rows = []
         for b in wkb:
-            data = bytes(b)
-            rows.append(geo.wkb_bbox(data) + (geo.wkb_rect(data) is not None,))
+            polys = geo.parse_wkb(bytes(b))  # parse once: bbox + rect flag
+            rows.append(geo.polys_bbox(polys) + (geo.polys_rect(polys) is not None,))
         return pd.DataFrame(
             rows, columns=["xmin", "ymin", "xmax", "ymax", "is_rect"]
         )
@@ -132,8 +132,9 @@ def _broadcast_spatial_join(
     for r in rows:
         wkb = bytes(r.geometry)
         geo_map[(r.vector_id, r.fid)] = wkb
-        all_rect = all_rect and geo.wkb_rect(wkb) is not None
-        xmin, ymin, xmax, ymax = geo.wkb_bbox(wkb)
+        polys = geo.parse_wkb(wkb)  # parse once: bbox + rect flag
+        all_rect = all_rect and geo.polys_rect(polys) is not None
+        xmin, ymin, xmax, ymax = geo.polys_bbox(polys)
         for cx in range(int(np.floor(xmin / cell)), int(np.floor(xmax / cell)) + 1):
             for cy in range(int(np.floor(ymin / cell)), int(np.floor(ymax / cell)) + 1):
                 cell_rows.append((r.vector_id, r.fid, cx, cy, xmin, ymin, xmax, ymax))

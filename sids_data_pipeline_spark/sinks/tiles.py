@@ -144,10 +144,12 @@ def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
                 "id": i + 1,  # spec: nonzero unique-in-layer id
                 "type": mvt.GEOM_POLYGON if has_bbox else mvt.GEOM_POINT,
                 "rings": rings,
+                # bbox columns become the geometry ring, not properties
+                # (tippecanoe likewise doesn't duplicate geometry as attrs)
                 "props": {
                     k: (v.item() if hasattr(v, "item") else v)
                     for k, v in r.items()
-                    if k in prop_cols or k in bbox
+                    if k in prop_cols
                 },
             }
         )

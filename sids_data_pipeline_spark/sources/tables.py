@@ -71,8 +71,14 @@ def list_datasets(
     equivalent), without fetching file contents (column pruning drops
     ``content``; only ``path`` is read)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
-    files = spark.read.format("binaryFile").load(os.path.join(path, "*"))
+    try:
+        files = spark.read.format("binaryFile").load(os.path.join(path, "*"))
+    except AnalysisException:
+        # empty container (nothing matched the glob): a normal first-run
+        # state for the listing — zero pending datasets, not an error
+        return spark.createDataFrame([], "id string")
     stem = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[^./]+)?$", 1)
     ext = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[^./]+)$", 2)
     return (

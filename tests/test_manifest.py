@@ -74,3 +74,11 @@ def test_list_datasets_stems(spark, tmp_path):
     assert [r.id for r in got.collect()] == ["alpha", "beta.v2", "zones"]
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan  # listing only — column pruned
+
+
+def test_list_datasets_empty_dir(spark, tmp_path):
+    from sids_data_pipeline_spark.sources.tables import list_datasets
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    assert list_datasets(spark, str(empty)).count() == 0

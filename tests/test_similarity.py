@@ -72,3 +72,29 @@ def test_cosine_pairs_symmetric_threshold(emb):
     pairs = similarity.cosine_pairs(emb, threshold=0.35, block_col="label").collect()
     assert all(r.id1 < r.id2 for r in pairs)
     assert all(r.cosine >= 0.35 for r in pairs)
+
+
+def test_topk_zero_norm_and_empty_queries(spark):
+    """Edge cases vs JVM/oracle semantics: a zero-norm candidate scores
+    NaN and ranks FIRST (NaN is the largest double in Spark/DuckDB
+    ordering — must survive the pandas->Arrow NULL conversion); an empty
+    query set returns an empty frame with the contract schema."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.similarity import topk_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    zero = (
+        emb.limit(1)
+        .withColumn("embedding", F.expr("transform(embedding, x -> CAST(0.0 AS FLOAT))"))
+        .withColumn("vec_id", F.lit(99999).cast("long"))
+    )
+    out = topk_bruteforce(emb.unionByName(zero), emb.filter("vec_id = 1"), k=3).collect()
+    assert out[0].neighbor_id == 99999 and math.isnan(out[0].cosine)
+    assert out[0].rank == 1
+
+    empty = topk_bruteforce(emb, emb.filter("vec_id < 0"), k=3)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "neighbor_id", "cosine", "rank"]
