@@ -93,14 +93,25 @@ def exact_dedup(
 
 
 def minhash_signature(
-    tok: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES, token_col: str = "token"
+    tok: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    token_col: str = "token",
+    with_tokens: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: one groupBy producing all k min-aggs
     plus the token-set size (single shuffle, map-side combined — the size
-    rides along so Jaccard verification needs no second pass over tok)."""
+    rides along so Jaccard verification needs no second pass over tok).
+    ``with_tokens=True`` also carries the full token set as an array
+    column ``_toks`` in the SAME aggregation, so exact verification
+    (jaccard_on_pairs) needs no second shuffle of the big token table."""
     h = token_hash32(token_col)
     aggs = [F.min(minhash_col(h, i)).alias(f"mh{i}") for i in range(num_hashes)]
-    return tok.groupBy("doc_id").agg(*aggs, F.count(token_col).alias("set_size"))
+    extra = (
+        [F.collect_list(token_col).alias("_toks")] if with_tokens else []
+    )
+    return tok.groupBy("doc_id").agg(
+        *aggs, F.count(token_col).alias("set_size"), *extra
+    )
 
 
 def lsh_candidate_pairs(
@@ -170,14 +181,20 @@ def jaccard_on_pairs(
     replaces the previous pair-scoped token join, which shuffled the full
     token table two more times; per-doc token arrays are bounded by
     document length, so rows stay small at corpus scale.
-    ``sizes`` is accepted for API compatibility and ignored (the array
-    aggregation yields the set size for free).
+    ``sizes`` may carry a pre-aggregated (doc_id, _toks, _sz) table
+    (e.g. from ``minhash_signature(with_tokens=True)``) to reuse that
+    shuffle; any other shape is ignored (the array aggregation yields
+    the set size for free).
     Returns (id1, id2, inter, size1, size2, jaccard); pairs sharing no
     token are omitted (inner-join contract, matching the SQL oracle's
     intersection join)."""
-    arrays = tok.groupBy("doc_id").agg(
-        F.collect_list(token_col).alias("_toks"),
-        F.count(token_col).alias("_sz"),
+    arrays = (
+        sizes.select("doc_id", "_toks", F.col("_sz"))
+        if sizes is not None and "_toks" in sizes.columns
+        else tok.groupBy("doc_id").agg(
+            F.collect_list(token_col).alias("_toks"),
+            F.count(token_col).alias("_sz"),
+        )
     )
     a1 = arrays.select(
         F.col("doc_id").alias("id1"),
@@ -234,10 +251,15 @@ def near_duplicates_minhash(
     # MEMORY_AND_DISK keeps the plan valid when the token table outgrows
     # executor memory at corpus scale.
     tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signature(tok, num_hashes).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(sig, num_hashes, bands)
+    # ONE groupBy of the big token table yields signature + token arrays
+    # + set sizes; banding and exact verification both read from it.
+    sig = minhash_signature(tok, num_hashes, with_tokens=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = lsh_candidate_pairs(sig.drop("_toks"), num_hashes, bands)
     scored = jaccard_on_pairs(
-        tok, cand, sizes=sig.select("doc_id", F.col("set_size").alias("sz"))
+        tok, cand,
+        sizes=sig.select("doc_id", "_toks", F.col("set_size").alias("_sz")),
     )
     return scored.filter(F.col("jaccard") >= threshold).select(
         "id1", "id2", F.round("jaccard", 6).alias("jaccard")
