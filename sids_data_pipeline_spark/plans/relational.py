@@ -624,6 +624,66 @@ def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+def _agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators.skew import salted_agg
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    sized = li.withColumn("_qty_cents", cents("l_quantity"))
+    out = salted_agg(
+        sized,
+        ["l_returnflag"],
+        {
+            "n": ("count", "l_orderkey"),
+            "sum_qty_cents": ("sum", "_qty_cents"),
+            "min_qty_cents": ("min", "_qty_cents"),
+            "max_qty_cents": ("max", "_qty_cents"),
+        },
+    )
+    return out.orderBy("l_returnflag")
+
+
+_SALTED_AGG_SQL = f"""
+SELECT l_returnflag,
+       COUNT(l_orderkey) AS n,
+       CAST(SUM({o_cents('l_quantity')}) AS BIGINT) AS sum_qty_cents,
+       CAST(MIN({o_cents('l_quantity')}) AS BIGINT) AS min_qty_cents,
+       CAST(MAX({o_cents('l_quantity')}) AS BIGINT) AS max_qty_cents
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators.skew import salted_join
+
+    li, nation = tables(spark, sf_dir, "lineitem", "nation")
+    # a 3-value key joined against a tiny dim: the hot-key shape where a
+    # non-broadcast join would funnel each flag into one task
+    dim = nation.filter(F.col("n_nationkey") < 3).select(
+        F.col("n_nationkey"),
+        F.expr("element_at(array('A','N','R'), CAST(n_nationkey AS INT) % 3 + 1)")
+        .alias("l_returnflag"),
+        F.col("n_name"),
+    )
+    joined = salted_join(li, dim, ["l_returnflag"], num_salts=8)
+    return joined.groupBy("l_returnflag", "n_name").agg(
+        F.count("*").alias("n")
+    ).orderBy("l_returnflag", "n_name")
+
+
+_SALTED_JOIN_SQL = """
+WITH dim AS (
+  SELECT n_nationkey,
+         (['A','N','R'])[CAST(n_nationkey AS INT) % 3 + 1] AS l_returnflag,
+         n_name
+  FROM nation WHERE n_nationkey < 3
+)
+SELECT l.l_returnflag, d.n_name, COUNT(*) AS n
+FROM lineitem l JOIN dim d USING (l_returnflag)
+GROUP BY l.l_returnflag, d.n_name
+ORDER BY l.l_returnflag, d.n_name
+"""
+
+
 QUERIES: list[Query] = [
     Query(
         "pricing_summary",
@@ -664,6 +724,20 @@ QUERIES: list[Query] = [
         tags=("filter",),
     ),
     Query("str_funcs", _str_funcs, _STR_SQL, doc="F1-F4 string scalars", tags=("scalar",)),
+    Query(
+        "agg_salted_skew",
+        _agg_salted_skew,
+        _SALTED_AGG_SQL,
+        doc="skew-proof two-phase salted aggregation (equals direct groupBy)",
+        tags=("aggregate", "skew"),
+    ),
+    Query(
+        "join_salted_skew",
+        _join_salted_skew,
+        _SALTED_JOIN_SQL,
+        doc="salted hot-key join: left scatters over salts, dim replicates",
+        tags=("join", "skew"),
+    ),
     Query(
         "array_json_scalars",
         _array_json_scalars,
