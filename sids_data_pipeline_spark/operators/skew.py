@@ -76,8 +76,13 @@ def salted_agg(
             raise ValueError(
                 f"{name}: {fn!r} is not algebraic; salting supports {sorted(_ALGEBRAIC)}"
             )
+    # Salt only over the columns the aggregation touches, so column
+    # pruning still reaches the scan (hashing *df.columns would force a
+    # full-width read); determinism holds — the salt is still a pure
+    # function of the row's relevant values.
+    salt_cols = list(dict.fromkeys([*keys, *(c for _fn, c in aggs.values())]))
     salted = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(*df.columns), F.lit(num_salts)).cast("int")
+        _SALT, F.pmod(F.xxhash64(*salt_cols), F.lit(num_salts)).cast("int")
     )
     partial = salted.groupBy(*keys, _SALT).agg(
         *[
