@@ -27,9 +27,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["pricing_summary"].spark(spark, _SMOKE_SF_DIR)
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Unpin the previous query's operator-internal caches before building
+    the next plan, so a long sequential gate run doesn't accumulate
+    orphaned persisted blocks (lifecycle.track/release_tracked)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sids_data_pipeline_spark.lifecycle import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark for name, q in all_queries().items()}
+    return {name: _released(q.spark) for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

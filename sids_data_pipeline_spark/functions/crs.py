@@ -72,18 +72,25 @@ def standardize_crs(
 ) -> DataFrame:
     """Per-row CRS branch for mixed-CRS pixel tables (the batch module's
     per-raster probe, vectorized): rows already in ``dst_epsg`` pass
-    through, Web Mercator rows convert, anything else fails the job loudly
-    via a raise-on-scan assertion column."""
+    through, Web Mercator rows convert, anything else fails the job loudly.
+
+    The raise is woven into the lon/lat output expressions (unsupported
+    rows fall through every WHEN branch into a raise_error OTHERWISE), so
+    the guard survives column pruning — a standalone assertion column
+    would be dropped by Catalyst as unused and never fire.
+    """
     is_dst = F.col(epsg_col) == dst_epsg
     is_merc = F.col(epsg_col) == WEB_MERCATOR
     lon_m, lat_m = mercator_to_lonlat(F.col("lon"), F.col("lat"))
-    check = F.when(is_dst | is_merc, F.lit(True)).otherwise(
-        F.raise_error(F.concat(F.lit("unsupported src EPSG: "), F.col(epsg_col)))
-    )
+    boom = F.raise_error(
+        F.concat(F.lit("unsupported src EPSG: "), F.col(epsg_col).cast("string"))
+    ).cast("double")
     return (
-        pixels.withColumn("_ok", check)
-        .withColumn("lon", F.when(is_merc, lon_m).otherwise(F.col("lon")))
-        .withColumn("lat", F.when(is_merc, lat_m).otherwise(F.col("lat")))
+        pixels.withColumn(
+            "lon", F.when(is_merc, lon_m).when(is_dst, F.col("lon")).otherwise(boom)
+        )
+        .withColumn(
+            "lat", F.when(is_merc, lat_m).when(is_dst, F.col("lat")).otherwise(boom)
+        )
         .withColumn(epsg_col, F.lit(dst_epsg))
-        .drop("_ok")
     )

@@ -53,7 +53,8 @@ def curation_report(docs: DataFrame, curated: DataFrame) -> DataFrame:
     """One-row summary: input/output counts and removal ratio (micros)."""
     n_in = docs.count()
     n_out = curated.count()
+    ratio = round((n_in - n_out) / n_in * 1_000_000) if n_in else 0
     return docs.sparkSession.createDataFrame(
-        [(n_in, n_out, round((n_in - n_out) / n_in * 1_000_000))],
+        [(n_in, n_out, ratio)],
         "n_input long, n_kept long, removed_ratio_micros long",
     )

@@ -11,10 +11,38 @@ and temp views pin analyzer state per session.
 
 from __future__ import annotations
 
+import weakref
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Operator-internal persists, registered via track(). Weak references:
+# tracking must not itself keep a DataFrame (and its cached blocks'
+# bookkeeping) alive after the caller drops it.
+_TRACKED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Register an operator-persisted DataFrame so a later
+    :func:`release_tracked` can unpin it. Operators cannot unpersist
+    eagerly themselves — the caller consumes the returned plan after the
+    operator returns — so they record the cache here and the driving
+    loop (catalog gate, bench, jobs) releases between queries."""
+    _TRACKED.add(df)
+    return df
+
+
+def release_tracked() -> None:
+    """Unpersist every tracked DataFrame (async, non-blocking). Safe to
+    call at any point: unpersisting only drops cached blocks; any plan
+    still referencing them recomputes correctly."""
+    for df in list(_TRACKED):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        _TRACKED.discard(df)
 
 
 def release(*dfs: DataFrame) -> None:

@@ -78,8 +78,15 @@ def asof_join(
             for c in right_cols:
                 out[f"{c}{suffix}"] = None
             return out[left_names + [f"{c}{suffix}" for c in right_cols]]
-        r_sorted = r_pdf[[ts_col, *right_cols]].sort_values(ts_col, kind="mergesort")
-        r_sorted = r_sorted.rename(columns={c: f"{c}{suffix}" for c in right_cols})
+        # ts_col may itself be requested as a payload column; keep one
+        # copy for merge_asof's `on` and mint the suffixed copy after the
+        # rename (a naive [[ts_col, *right_cols]] would duplicate it and
+        # the rename would leave merge_asof with no `on` column).
+        payload = [c for c in right_cols if c != ts_col]
+        r_sorted = r_pdf[[ts_col, *payload]].sort_values(ts_col, kind="mergesort")
+        r_sorted = r_sorted.rename(columns={c: f"{c}{suffix}" for c in payload})
+        if ts_col in right_cols:
+            r_sorted[f"{ts_col}{suffix}"] = r_sorted[ts_col]
         merged = pd.merge_asof(
             l_sorted, r_sorted, on=ts_col, direction="backward"
         )

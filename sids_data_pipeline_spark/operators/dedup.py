@@ -31,11 +31,12 @@ driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from sids_data_pipeline_spark.functions.hashing import minhash_col, token_hash32
+from sids_data_pipeline_spark.lifecycle import track
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4
@@ -74,6 +75,26 @@ def shingles(
     )
 
 
+def exact_key_digest(key_cols: list[str]) -> Column:
+    """Collision-safe digest of a multi-column key.
+
+    Each column is encoded as a NULL-flag byte plus the sha2 of its string
+    form — fixed-width per column — then the concatenation is hashed again.
+    A plain ``concat_ws(sep, *cols)`` would conflate NULL with '' (concat_ws
+    skips NULLs) and values containing the separator with adjacent columns;
+    this encoding matches SQL ``GROUP BY`` semantics exactly (NULLs form
+    their own group, distinct from empty string).
+    """
+    parts = [
+        F.concat(
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.sha2(F.coalesce(F.col(c).cast("string"), F.lit("")), 256),
+        )
+        for c in key_cols
+    ]
+    return F.sha2(F.concat(*parts), 256)
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], order_col: str
 ) -> DataFrame:
@@ -83,7 +104,7 @@ def exact_dedup(
     (possibly huge) text: the shuffle moves 32-byte digests + row payload
     once, keys are uniform, and the same plan holds at 100 TB.
     """
-    digest = F.sha2(F.concat_ws("\x1f", *key_cols), 256)
+    digest = exact_key_digest(key_cols)
     w = Window.partitionBy(digest).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -250,11 +271,13 @@ def near_duplicates_minhash(
     # analogue of a CTE — instead of re-running tokenize+distinct per use;
     # MEMORY_AND_DISK keeps the plan valid when the token table outgrows
     # executor memory at corpus scale.
-    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+    tok = track(tok.persist(StorageLevel.MEMORY_AND_DISK))
     # ONE groupBy of the big token table yields signature + token arrays
     # + set sizes; banding and exact verification both read from it.
-    sig = minhash_signature(tok, num_hashes, with_tokens=True).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sig = track(
+        minhash_signature(tok, num_hashes, with_tokens=True).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     cand = lsh_candidate_pairs(sig.drop("_toks"), num_hashes, bands)
     scored = jaccard_on_pairs(
@@ -280,7 +303,7 @@ def near_duplicates_ngram(
     — the inverted-index blocker that keeps candidate count linear-ish in
     corpus size instead of quadratic. Output: (id1, id2, jaccard).
     """
-    sh = shingles(docs, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = track(shingles(docs, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
@@ -369,8 +392,8 @@ def near_duplicates_simhash(
     (chunk_idx, chunk_val) finds all such pairs without an all-pairs scan.
     Output: (id1, id2, hamming).
     """
-    sim = simhash32(tokens(docs, text_col, id_col)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sim = track(
+        simhash32(tokens(docs, text_col, id_col)).persist(StorageLevel.MEMORY_AND_DISK)
     )
     chunks = sim.select(
         "doc_id",

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sids_data_pipeline_spark.functions.hashing import token_hash32
+from sids_data_pipeline_spark.lifecycle import track
 
 _HASH_BUCKETS = 10_000
 
@@ -101,7 +102,7 @@ def pack_shards(
     ranged = df.repartitionByRange(n_parts, F.col(order_col).asc()).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.persist()
+    ranged = track(ranged.persist())
     totals = ranged.groupBy("_pid").agg(F.sum(size_col).alias("_t")).collect()
     offsets: dict[int, int] = {}
     run = 0

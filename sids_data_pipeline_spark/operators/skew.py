@@ -39,7 +39,22 @@ def salted_join(
     is a deterministic hash of the left row (pass ``salt_expr`` to salt on
     specific columns), so task retries and speculative execution land rows
     identically — required for exactly-once semantics under re-planning.
+
+    Only left-preserving join types are valid: a right/full outer join
+    would emit each unmatched RIGHT row once per salt replica (num_salts
+    copies), so those types are rejected rather than silently corrupted.
     """
+    allowed = {
+        "inner", "cross",
+        "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi",
+        "left_anti", "leftanti", "anti",
+    }
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: join type {how!r} would duplicate unmatched right "
+            f"rows across salt replicas; supported: {sorted(allowed)}"
+        )
     salt = salt_expr if salt_expr is not None else F.xxhash64(*left.columns)
     l = left.withColumn(_SALT, F.pmod(salt, F.lit(num_salts)).cast("int"))
     # (no cast around explode: generators can't nest inside expressions)

@@ -107,8 +107,10 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Stopword-density language heuristic.
 
     Scores each language by its stopword hit count over the word set and
-    predicts the argmax (ties → lexicographic language order, 'und' when
-    all scores are 0). Output: (doc_id, lang, predicted_lang).
+    predicts the argmax. Ties go to the lexicographically LAST language
+    ('und' when all scores are 0) — the DuckDB oracle's CASE chain encodes
+    the same tie-break, so keep the two in lockstep if changing this.
+    Output: (doc_id, lang, predicted_lang).
     """
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
     scores = {
@@ -117,8 +119,8 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     }
     best = F.lit("und")
     best_score = F.lit(0)
-    # Iterate in reverse-lexicographic order so earlier languages win ties
-    # (strict > comparison against the running best).
+    # Reverse-lexicographic iteration with strict >: the first language
+    # to reach a score keeps it on ties, so the lex-LAST tied language wins.
     for lang in sorted(scores, reverse=True):
         is_better = scores[lang] > best_score
         best = F.when(is_better, F.lit(lang)).otherwise(best)

@@ -47,6 +47,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 from pyspark.storagelevel import StorageLevel
 
+from sids_data_pipeline_spark.lifecycle import track
+
 from sids_data_pipeline_spark.functions import geo
 
 SUPPORTED_STATS = ("mean", "count", "sum", "min", "max", "stddev", "median")
@@ -292,7 +294,7 @@ def zonal_stats(
     # Zones are the dimension side and feed two subtrees (the spatial join
     # and the result universe): persist so the source — which may be an
     # expensive ingest — materializes once per job.
-    zones = zones.persist(StorageLevel.MEMORY_AND_DISK)
+    zones = track(zones.persist(StorageLevel.MEMORY_AND_DISK))
     matched = spatial_join(zones, pixels, how=how, cell_deg=cell_deg)
     aggs: list[Column] = [_STAT_EXPRS[s]().alias(s) for s in stats]
     per_zone = matched.groupBy("vector_id", "raster_id", "fid").agg(*aggs)

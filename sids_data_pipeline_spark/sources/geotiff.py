@@ -134,10 +134,13 @@ def encode_geotiff(
     origin_y: float,
     pixel_deg: float,
     nodata: float | None = None,
+    pixel_deg_y: float | None = None,
 ) -> bytes:
     """K5 writer: single-band float64, one strip, little-endian, georef
     tags. origin is the raster's upper-left corner; rows run southward
-    (the GeoTIFF convention)."""
+    (the GeoTIFF convention). ``pixel_deg_y`` defaults to ``pixel_deg``
+    (square pixels); pass it for non-square lattices."""
+    sy = pixel_deg if pixel_deg_y is None else pixel_deg_y
     arr = np.ascontiguousarray(values, dtype="<f8")
     h, w = arr.shape
     sample_bytes = arr.tobytes()
@@ -160,9 +163,7 @@ def encode_geotiff(
     entry(_TAG_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
     entry(_TAG_STRIP_COUNTS, 4, 1, struct.pack("<I", len(sample_bytes)))
     entry(_TAG_SAMPLE_FORMAT, 3, 1, struct.pack("<H", 3))
-    entry(
-        _TAG_MODEL_PIXEL_SCALE, 12, 3, struct.pack("<3d", pixel_deg, pixel_deg, 0.0)
-    )
+    entry(_TAG_MODEL_PIXEL_SCALE, 12, 3, struct.pack("<3d", pixel_deg, sy, 0.0))
     entry(
         _TAG_MODEL_TIEPOINT, 12, 6,
         struct.pack("<6d", 0.0, 0.0, 0.0, origin_x, origin_y, 0.0),
@@ -209,25 +210,28 @@ def export_geotiff(pixels: DataFrame, nodata: float = -9999.0) -> DataFrame:
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         rid = pdf["raster_id"].iloc[0]
-        xs = np.sort(pdf["x"].unique())
-        ys = np.sort(pdf["y"].unique())
-        w, h = len(xs), len(ys)
+        # Place rows/cols by COORDINATE order, not by y/x index convention:
+        # ingest_geotiff's y grows southward while synthetic_raster's grows
+        # northward, so indexing by y would vertically flip one of them.
+        # TIFF row 0 = northernmost lat; col 0 = westernmost lon.
+        y_lat = pdf.groupby("y")["lat"].first().sort_values(ascending=False)
+        x_lon = pdf.groupby("x")["lon"].first().sort_values()
+        h, w = len(y_lat), len(x_lon)
         # infer pixel size and upper-left origin from the centre lattice
-        sx = (pdf["lon"].max() - pdf["lon"].min()) / max(w - 1, 1)
-        sy = (pdf["lat"].max() - pdf["lat"].min()) / max(h - 1, 1)
-        sx = float(sx) if w > 1 else 1.0
-        sy = float(sy) if h > 1 else 1.0
+        sx = float(pdf["lon"].max() - pdf["lon"].min()) / max(w - 1, 1) if w > 1 else 1.0
+        sy = float(pdf["lat"].max() - pdf["lat"].min()) / max(h - 1, 1) if h > 1 else 1.0
         origin_x = float(pdf["lon"].min()) - sx / 2.0
         origin_y = float(pdf["lat"].max()) + sy / 2.0
         grid = np.full((h, w), nodata, dtype="float64")
-        # row 0 = northernmost (highest lat) per TIFF convention
-        yi = pd.Series(np.arange(h)[::-1], index=ys)
-        xi = pd.Series(np.arange(w), index=xs)
+        yi = pd.Series(np.arange(h), index=y_lat.index)
+        xi = pd.Series(np.arange(w), index=x_lon.index)
         vals = pdf["val"].to_numpy(dtype="float64")
         grid[yi[pdf["y"]].to_numpy(), xi[pdf["x"]].to_numpy()] = np.where(
             np.isnan(vals), nodata, vals
         )
-        data = encode_geotiff(grid, origin_x, origin_y, sx, nodata=nodata)
+        data = encode_geotiff(
+            grid, origin_x, origin_y, sx, nodata=nodata, pixel_deg_y=sy
+        )
         return pd.DataFrame([{"raster_id": rid, "tiff": data}])
 
     return pixels.groupBy("raster_id").applyInPandas(

@@ -80,33 +80,46 @@ def streaming_exact_dedup(
     State is a persistent sha2-digest ledger in Parquet — the streaming
     twin of the manifest anti-join (operators/manifest.py): each batch
     dedups internally (keep-first), anti-joins the digests already seen,
-    appends survivors to ``out_dir`` and their digests to the ledger.
+    writes survivors to ``out_dir`` and their digests to the ledger.
     foreachBatch runs the same batch operator (dedup.exact_dedup), so
     batch and streaming dedup share one definition; the ledger bounds
     state at one 32-byte digest per unique key, independent of stream
     length. Runs with Trigger.AvailableNow (drain-and-stop).
+
+    Replay safety: foreachBatch is at-least-once, so both sinks write to
+    a per-batch ``batch=N`` directory with OVERWRITE. A crash between the
+    two writes replays batch N on restart and overwrites any partial
+    output instead of appending duplicates; the anti-join excludes the
+    replayed batch's own (possibly partial) ledger partition so its rows
+    are not mistaken for already-seen keys.
     """
     import os
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
-    from sids_data_pipeline_spark.operators.dedup import exact_dedup
+    from sids_data_pipeline_spark.operators.dedup import exact_dedup, exact_key_digest
 
     ledger = os.path.join(out_dir, "_seen")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         bspark = batch.sparkSession
-        digest = F.sha2(F.concat_ws("\x1f", *key_cols), 256)
-        fresh = exact_dedup(batch, list(key_cols), id_col).withColumn("_d", digest)
-        if "://" in ledger or os.path.exists(ledger):
-            try:
-                seen = bspark.read.parquet(ledger)
-                fresh = fresh.join(seen, fresh["_d"] == seen["d"], "left_anti")
-            except Exception:
-                pass
+        fresh = exact_dedup(batch, list(key_cols), id_col).withColumn(
+            "_d", exact_key_digest(list(key_cols))
+        )
+        try:
+            seen = bspark.read.option("basePath", ledger).parquet(ledger)
+            seen = seen.filter(F.col("batch") != batch_id)
+            fresh = fresh.join(seen, fresh["_d"] == seen["d"], "left_anti")
+        except AnalysisException:
+            pass  # first batch: ledger does not exist yet
         fresh = fresh.persist()
-        fresh.drop("_d").write.mode("append").parquet(os.path.join(out_dir, "rows"))
-        fresh.select(F.col("_d").alias("d")).write.mode("append").parquet(ledger)
+        fresh.drop("_d").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "rows", f"batch={batch_id}")
+        )
+        fresh.select(F.col("_d").alias("d")).write.mode("overwrite").parquet(
+            os.path.join(ledger, f"batch={batch_id}")
+        )
         fresh.unpersist()
 
     q = (

@@ -59,3 +59,24 @@ def test_dedupe_right_keeps_highest_tiebreak(spark):
     )
     kept = asof.dedupe_right(dup, by="user_id", ts_col="ts", tiebreak="event_id")
     assert sorted(r.event_id for r in kept.collect()) == [11, 12]
+
+
+def test_asof_right_ts_as_payload(spark, events):
+    """Requesting the right timestamp itself as a payload column yields a
+    suffixed copy instead of crashing merge_asof."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = {
+        r.event_id: r
+        for r in asof.asof_join(
+            clicks, purchases, by="user_id", ts_col="ts",
+            right_cols=("ts", "value"),
+        ).collect()
+    }
+    assert out[2].ts_right == T0 and out[2].value_right == 10.0
+    assert out[4].ts_right == T0 + timedelta(minutes=10)
+    assert out[5].ts_right is None and out[5].value_right is None

@@ -73,3 +73,14 @@ def test_promote_to_multi():
     a, b = geo.parse_wkb(poly), geo.parse_wkb(multi)
     assert len(a) == len(b) == 1
     assert np.array_equal(a[0][0], b[0][0])
+
+
+def test_standardize_unsupported_epsg_raises(spark):
+    """The unsupported-CRS guard lives inside the lon/lat expressions, so
+    it fires even under aggressive column pruning (a standalone assertion
+    column would be optimized away and never raise)."""
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0, 27700)], "id long, lon double, lat double, src_epsg int"
+    )
+    with pytest.raises(Exception, match="unsupported src EPSG"):
+        crs.standardize_crs(df).select("lon").collect()

@@ -43,3 +43,9 @@ def test_curation_idempotent(spark, docs):
     assert sorted(r.doc_id for r in twice.collect()) == sorted(
         r.doc_id for r in once.collect()
     )
+
+
+def test_curation_report_empty_corpus(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = curation_report(empty, curate_corpus(empty)).collect()[0]
+    assert (row.n_input, row.n_kept, row.removed_ratio_micros) == (0, 0, 0)

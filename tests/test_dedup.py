@@ -88,3 +88,23 @@ def test_lsh_candidates_subset_of_all_pairs(docs):
     all_pairs = set(itertools.combinations(range(len(DOCS)), 2))
     assert cand <= all_pairs
     assert (0, 1) in cand  # identical docs always collide
+
+
+def test_exact_dedup_null_vs_empty_distinct(spark):
+    """NULL and '' are different keys (SQL GROUP BY semantics): a plain
+    concat_ws digest would conflate them and drop one row."""
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "x")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+
+
+def test_exact_dedup_multicol_separator_safe(spark):
+    """Adjacent key columns containing the old separator must not merge:
+    ('a','b') and ('a\x1fb','') are distinct composite keys."""
+    df = spark.createDataFrame(
+        [(0, "a", "b"), (1, "a\x1fb", "")], "doc_id long, k1 string, k2 string"
+    )
+    out = dedup.exact_dedup(df, ["k1", "k2"], "doc_id")
+    assert out.count() == 2

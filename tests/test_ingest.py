@@ -137,3 +137,39 @@ def test_ingested_zonal_equals_fixture_zonal(spark, tmp_path, gradient_array):
     )
     assert got["count"].tolist() == want["count"].tolist()
     assert np.allclose(got["mean"], want["mean"], equal_nan=True)
+
+
+def test_ingest_then_export_preserves_orientation(spark, tmp_path, gradient_array):
+    """Regression: ingest_geotiff's y grows southward while the synthetic
+    fixture's grows northward; export must place rows by LATITUDE, not by
+    y-index convention, or ingested rasters come back vertically flipped."""
+    tif = tmp_path / "rast_orient.tif"
+    tif.write_bytes(
+        geotiff.encode_geotiff(
+            gradient_array[::-1], 0.0, GRID_N * PIXEL_DEG, PIXEL_DEG
+        )
+    )
+    pixels = geotiff.ingest_geotiff(spark, str(tif))
+    out = geotiff.export_geotiff(pixels).collect()[0]
+    values, (ox, oy, sx, sy), _ = geotiff.decode_geotiff(bytes(out.tiff))
+    assert np.array_equal(values, gradient_array[::-1])
+    assert abs(ox) < 1e-9 and abs(oy - GRID_N * PIXEL_DEG) < 1e-9
+
+
+def test_export_geotiff_non_square_pixels(spark):
+    """sy != sx must be encoded in ModelPixelScale (not sx twice)."""
+    rows = [
+        ("r", 1, y, x, 0.05 + 0.1 * x, 0.1 + 0.2 * y, float(10 * y + x))
+        for y in range(3)
+        for x in range(4)
+    ]
+    pixels = spark.createDataFrame(
+        rows,
+        "raster_id string, band int, y int, x int, lon double, lat double, val double",
+    )
+    out = geotiff.export_geotiff(pixels).collect()[0]
+    values, (ox, oy, sx, sy), _ = geotiff.decode_geotiff(bytes(out.tiff))
+    assert abs(sx - 0.1) < 1e-12 and abs(sy - 0.2) < 1e-12
+    assert abs(ox) < 1e-12 and abs(oy - 0.6) < 1e-12
+    # row 0 = northernmost = fixture y=2
+    assert values[0, 0] == 20.0 and values[2, 3] == 3.0

@@ -60,3 +60,10 @@ def test_salted_agg_equals_plain(spark, skewed):
 def test_salted_agg_rejects_non_algebraic(skewed):
     with pytest.raises(ValueError):
         skew.salted_agg(skewed, ["k"], {"a": ("avg", "v")})
+
+
+def test_salted_join_rejects_right_preserving(spark, dim):
+    left = spark.createDataFrame([(1, "x")], "k long, v string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(left, dim, ["k"], how=how)
