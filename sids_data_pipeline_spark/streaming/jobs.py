@@ -10,6 +10,8 @@ exposes the same operator definitions (operators/windows.py) over
 - :func:`stream_events` — file-source stream over an events directory;
 - :func:`windowed_counts_stream` — watermarked tumbling aggregation, the
   late-data-tolerant form of ``windows.tumbling``;
+- :func:`session_windows_stream` — watermarked gap-based sessions, the
+  streaming twin of ``windows.session``;
 - :func:`run_available_now` — drain everything currently available and
   stop (Trigger.AvailableNow): the batch-parity mode tests use to prove
   the stream plan equals the batch plan.
@@ -61,6 +63,39 @@ def windowed_counts_stream(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             F.unix_micros(F.col("w.end")).alias("window_end_us"),
             *group_cols,
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+def session_windows_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Watermarked gap-based sessions: the streaming twin of
+    ``operators.windows.session``. Sessions are inherently stateful —
+    a new event can extend an open session — so the watermark is what
+    makes them emittable: a session finalizes once (max event time −
+    watermark) passes its close, and its state evicts. Same output schema
+    as the batch operator, so parity tests compare them row-for-row."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            key_col,
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
             "n_events",
             "sum_value_cents",
         )

@@ -160,3 +160,55 @@ def test_stream_equals_batch(spark, events_dir, tmp_path):
         for r in windows.tumbling(batch_events, "10 minutes").collect()
     }
     assert got == want
+
+
+def test_streaming_sessions_match_batch(spark, events_dir, tmp_path):
+    """Watermarked session windows (append mode) finalize to exactly the
+    batch operator's sessions once the watermark passes them. A far-future
+    heartbeat event closes every real session; cross-run checkpointed
+    watermark + no-data micro-batch trigger the final emission."""
+    from datetime import datetime
+
+    src = str(tmp_path / "sess_src")
+    sink = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "sess_ck")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = spark.read.parquet(events_dir)
+    base.repartition(2).write.mode("append").parquet(src)
+
+    def drain() -> None:
+        stream = jobs.stream_events(spark, src)
+        result = jobs.session_windows_stream(stream, "30 minutes", "1 hour")
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    sentinel = 10**9
+    spark.createDataFrame(
+        [(sentinel, datetime(2030, 1, 1), sentinel, "hb", 0.0, "{}")], schema
+    ).write.mode("append").parquet(src)
+    drain()
+
+    got = {
+        (r.user_id, r.session_start_us): (
+            r.session_end_us, r.n_events, r.sum_value_cents
+        )
+        for r in spark.read.parquet(sink).filter(f"user_id < {sentinel}").collect()
+    }
+    want = {
+        (r.user_id, r.session_start_us): (
+            r.session_end_us, r.n_events, r.sum_value_cents
+        )
+        for r in windows.session(base, "30 minutes").collect()
+    }
+    assert got == want
