@@ -422,3 +422,33 @@ def near_duplicates_simhash(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: drop corpus documents sharing at least
+    ``min_shared`` distinct word ``n``-grams with ANY benchmark document.
+
+    The standard guard against train/test contamination in training-data
+    pipelines. Shape: corpus shingles equi-join the (distinct, typically
+    small → broadcast) benchmark shingle set, count hits per document,
+    left-anti the offenders. Never all-pairs: the join key is the shingle
+    itself, so cost is |matching shingles|, and the benchmark side is a
+    set of n-grams independent of corpus size."""
+    c_sh = shingles(corpus, n, text_col, id_col)
+    b_sh = shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    hits = (
+        c_sh.join(b_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return corpus.join(
+        hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

@@ -130,3 +130,47 @@ def pack_shards(
     return ranged.withColumn(
         "shard_id", F.floor(excl / F.lit(max_tokens)).cast("int")
     ).drop("_pid")
+
+
+def hash_threshold_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-row sampler: keep rows whose content-hash bucket
+    falls under ``fraction``. A pure row-local predicate — no shuffle, no
+    window, no RNG state — so it costs a scan at any scale, is stable
+    under AQE/retries, and a document's membership never changes when the
+    corpus grows (the same leakage-stability property as hash_split).
+    Sample SIZE is binomial around fraction*N, not exact."""
+    bucket = token_hash32(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ) % _HASH_BUCKETS
+    return df.filter(bucket < int(round(fraction * _HASH_BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACTLY min(k, N_s) rows per stratum, chosen in deterministic
+    content-hash order (hash ties broken by key), so the sample is
+    reproducible across runs, partitionings, and engines.
+
+    Plan shape: one shuffle on the strata columns + a per-stratum
+    row_number window. Each stratum is ranked in a single task — fine for
+    the normal case (k rows wanted from strata of up to ~10^8 rows); for
+    pathological single-stratum inputs at extreme scale, pre-thin with
+    :func:`hash_threshold_sample` (fraction >> k/N_s) first, which
+    preserves the hash order this operator ranks by."""
+    h = token_hash32(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -734,6 +734,72 @@ FROM documents
 """
 
 
+_STRAT_K = 7
+_STRAT_SALT = "strat"
+
+
+def _corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators import sampling
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_sample(docs, ["lang"], _STRAT_K, salt=_STRAT_SALT)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+_STRATIFIED_SQL = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {o_token_hash32(f"'{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)")},
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {_STRAT_K}
+ORDER BY lang, doc_id
+"""
+
+_DECON_MOD = 17
+_DECON_MIN_SHARED = 3
+
+
+def _corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark = every 17th document; corpus = the rest. Drop corpus
+    docs sharing >= 3 distinct word trigrams with any benchmark doc."""
+    from sids_data_pipeline_spark.operators import dedup as dd
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        dd.decontaminate(corpus, bench, n=3, min_shared=_DECON_MIN_SHARED)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_DECON_SQL = f"""
+WITH {_SHINGLE_SQL},
+bench AS (
+  SELECT DISTINCT token FROM sh WHERE doc_id % {_DECON_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id
+  FROM sh s JOIN bench b ON s.token = b.token
+  WHERE s.doc_id % {_DECON_MOD} <> 0
+  GROUP BY s.doc_id
+  HAVING count(*) >= {_DECON_MIN_SHARED}
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % {_DECON_MOD} <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY d.doc_id
+"""
+
+
 _SHARD_TOKENS = 2000
 _NTOK = "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))"
 _O_NTOK = r"len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))"
@@ -870,4 +936,13 @@ QUERIES: list[Query] = [
           doc="E4 video frame sampling, UDTF shape: one asset row → many "
               "frame rows (stub decoder, byte slices hash-verified)",
           tags=("multimodal",)),
+    Query("corpus_sample_stratified", _corpus_sample_stratified, _STRATIFIED_SQL,
+          doc="exact k-per-stratum sample in deterministic content-hash "
+              "order (reproducible across runs/partitionings/engines)",
+          tags=("sampling", "text", "window")),
+    Query("corpus_decontaminate", _corpus_decontaminate, _DECON_SQL,
+          doc="benchmark decontamination: drop corpus docs sharing >= 3 "
+              "word n-grams with any benchmark doc (shingle equi-join, "
+              "never all-pairs)",
+          tags=("sampling", "dedup", "text")),
 ]

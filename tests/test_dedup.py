@@ -108,3 +108,28 @@ def test_exact_dedup_multicol_separator_safe(spark):
     )
     out = dedup.exact_dedup(df, ["k1", "k2"], "doc_id")
     assert out.count() == 2
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox runs away"),      # shares 2 trigrams
+            (2, "completely unrelated text here now"),  # clean
+            (3, "quick brown fox jumps over everything"),  # shares 3
+        ],
+        "doc_id long, text string",
+    )
+    kept1 = sorted(
+        r.doc_id
+        for r in dedup.decontaminate(corpus, bench, n=3, min_shared=3).collect()
+    )
+    assert kept1 == [1, 2]
+    kept2 = sorted(
+        r.doc_id
+        for r in dedup.decontaminate(corpus, bench, n=3, min_shared=1).collect()
+    )
+    assert kept2 == [2]

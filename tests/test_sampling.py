@@ -55,3 +55,41 @@ def test_pack_shards_budget_and_determinism(spark):
         .sort_values("doc_id")
     )
     assert out["shard_id"].tolist() == again["shard_id"].tolist()
+
+
+def test_stratified_sample_exact_k(spark):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2] if i < 90 else "c") for i in range(93)],
+        "doc_id long, lang string",
+    )
+    out = sampling.stratified_sample(df, ["lang"], k=10)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # a and b have 45 docs each -> exactly 10; c has 3 -> all 3
+    assert counts == {"a": 10, "b": 10, "c": 3}
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    df = spark.createDataFrame(
+        [(i, "xy"[i % 2]) for i in range(200)], "doc_id long, lang string"
+    )
+    a = sorted(r.doc_id for r in sampling.stratified_sample(df, ["lang"], 5).collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.stratified_sample(df.repartition(13), ["lang"], 5).collect()
+    )
+    assert a == b and len(a) == 10
+
+
+def test_hash_threshold_sample_stable_subset(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    small = {r.doc_id for r in sampling.hash_threshold_sample(df, 0.1).collect()}
+    big = {r.doc_id for r in sampling.hash_threshold_sample(df, 0.3).collect()}
+    # monotone in fraction (nested samples) and roughly sized
+    assert small <= big
+    assert 50 <= len(small) <= 150 and 230 <= len(big) <= 370
+    # membership is row-local: unchanged when the corpus grows
+    grown = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    grown_small = {
+        r.doc_id for r in sampling.hash_threshold_sample(grown, 0.1).collect()
+    }
+    assert {d for d in grown_small if d < 1000} == small
