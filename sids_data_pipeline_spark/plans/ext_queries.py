@@ -734,6 +734,63 @@ FROM documents
 """
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (deterministic ngram path) → transitive clusters
+    via iterative min-label propagation (operators/graph.py)."""
+    from sids_data_pipeline_spark.operators import graph
+
+    docs = tables(spark, sf_dir, "documents")[0]
+    pairs = dedup.near_duplicates_ngram(
+        docs, n=3, threshold=_NGRAM_THRESHOLD, max_df=_NGRAM_MAX_DF
+    )
+    return graph.dedup_clusters(pairs).orderBy("doc_id")
+
+
+# The iterative Spark algorithm's fixpoint equals "min reachable node id",
+# which DuckDB expresses as a recursive CTE — so even the engine's
+# iterative-graph operator gets the full value-hash oracle.
+_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_SQL.strip().lstrip()},
+df AS (SELECT token, COUNT(*) AS df FROM sh GROUP BY token),
+rare AS (
+  SELECT s.doc_id, s.token FROM sh s
+  JOIN df ON df.token = s.token AND df.df <= {_NGRAM_MAX_DF}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+  FROM rare l JOIN rare r ON l.token = r.token AND l.doc_id < r.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id1, c.id2, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh t1 ON t1.doc_id = c.id1
+  JOIN sh t2 ON t2.doc_id = c.id2 AND t2.token = t1.token
+  GROUP BY c.id1, c.id2
+),
+pairs AS (
+  SELECT i.id1, i.id2
+  FROM inter i
+  JOIN sz s1 ON s1.doc_id = i.id1
+  JOIN sz s2 ON s2.doc_id = i.id2
+  WHERE CAST(i.inter AS DOUBLE) / (s1.sz + s2.sz - i.inter) >= {_NGRAM_THRESHOLD}
+),
+sym AS (
+  SELECT id1 AS src, id2 AS dst FROM pairs
+  UNION
+  SELECT id2 AS src, id1 AS dst FROM pairs
+),
+reach(node, label) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN sym e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id,
+       node = MIN(label) AS is_representative
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
 _STRAT_K = 7
 _STRAT_SALT = "strat"
 
@@ -940,6 +997,10 @@ QUERIES: list[Query] = [
           doc="exact k-per-stratum sample in deterministic content-hash "
               "order (reproducible across runs/partitionings/engines)",
           tags=("sampling", "text", "window")),
+    Query("dedup_clusters", _dedup_clusters, _DEDUP_CLUSTERS_SQL,
+          doc="near-dup pairs → transitive clusters: iterative min-label "
+              "propagation (Pregel-style) vs a DuckDB recursive CTE",
+          tags=("dedup", "graph", "iterative")),
     Query("corpus_decontaminate", _corpus_decontaminate, _DECON_SQL,
           doc="benchmark decontamination: drop corpus docs sharing >= 3 "
               "word n-grams with any benchmark doc (shingle equi-join, "

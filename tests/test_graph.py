@@ -1,0 +1,46 @@
+"""Connected components / dedup clustering: transitive closure over
+pair edges, hand-checked fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from sids_data_pipeline_spark.operators import graph
+
+
+def test_chain_collapses_to_one_cluster(spark):
+    # A-B, B-C, C-D: no direct A-D edge, but all one component
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id1 long, id2 long"
+    )
+    comp = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_separate_components_stay_separate(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (10, 11), (11, 12), (20, 21)], "id1 long, id2 long"
+    )
+    comp = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_edge_direction_irrelevant(spark):
+    # min id appears as id2: propagation must flow both ways
+    edges = spark.createDataFrame([(5, 1), (5, 9)], "id1 long, id2 long")
+    comp = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert comp == {1: 1, 5: 1, 9: 1}
+
+
+def test_dedup_clusters_representative(spark):
+    pairs = spark.createDataFrame([(3, 7), (7, 5)], "id1 long, id2 long")
+    rows = {r.doc_id: r for r in graph.dedup_clusters(pairs).collect()}
+    assert all(r.cluster_id == 3 for r in rows.values())
+    assert rows[3].is_representative
+    assert not rows[5].is_representative and not rows[7].is_representative
+
+
+def test_nonconvergence_raises(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
+    with pytest.raises(RuntimeError, match="converge"):
+        graph.connected_components(edges, max_iter=1)
