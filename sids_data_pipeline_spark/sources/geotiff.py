@@ -9,9 +9,10 @@ sample bytes. This module implements that subset in pure numpy:
 
 - :func:`decode_geotiff` — bytes → (2-D array, (origin_x, origin_y,
   pixel_sx, pixel_sy), nodata). Little/big-endian, strip layout,
-  uint8/16/32, int16/32, float32/64; rejects compressed or tiled input
-  with a clear error (ZSTD-compressed sources need one `gdal_translate`
-  or a rasterio build — the mapInPandas plumbing is unchanged).
+  uint8/16/32, int16/32, float32/64, raw or deflate-compressed strips;
+  rejects other codecs or tiled input with a clear error
+  (ZSTD-compressed sources need one `gdal_translate` or a rasterio
+  build — the mapInPandas plumbing is unchanged).
 - :func:`encode_geotiff` — the matching writer (K5): single-band
   float64, one strip, ModelPixelScale + ModelTiepoint georef.
 - :func:`ingest_geotiff` — the DISTRIBUTED ingest: ``binaryFile`` scan →
@@ -24,6 +25,7 @@ sample bytes. This module implements that subset in pure numpy:
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -85,10 +87,11 @@ def decode_geotiff(data: bytes):
     tags = _read_ifd(data, bo)
     if _TAG_TILE_WIDTH in tags:
         raise NotImplementedError("tiled TIFF layout not supported; use strips")
-    if tags.get(_TAG_COMPRESSION, [1])[0] != 1:
+    compression = tags.get(_TAG_COMPRESSION, [1])[0]
+    if compression not in (1, 8):
         raise NotImplementedError(
-            "compressed TIFF needs a codec (rasterio/GDAL); engine subset is "
-            "uncompressed strips"
+            "TIFF compression %d needs a codec (rasterio/GDAL); engine "
+            "subset is uncompressed (1) or deflate (8) strips" % compression
         )
     if tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
         raise NotImplementedError("multi-sample pixels not supported (single band)")
@@ -103,10 +106,14 @@ def decode_geotiff(data: bytes):
     }.get((fmt, bits))
     if dtype is None:
         raise NotImplementedError(f"sample format {fmt} bits {bits} not supported")
-    raw = b"".join(
+    strips = (
         data[o : o + c]
         for o, c in zip(tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS])
     )
+    if compression == 8:
+        raw = b"".join(zlib.decompress(strip) for strip in strips)
+    else:
+        raw = b"".join(strips)
     values = (
         np.frombuffer(raw, dtype=bo + dtype, count=width * length)
         .reshape(length, width)
@@ -135,15 +142,26 @@ def encode_geotiff(
     pixel_deg: float,
     nodata: float | None = None,
     pixel_deg_y: float | None = None,
+    compress: str | None = None,
 ) -> bytes:
     """K5 writer: single-band float64, one strip, little-endian, georef
     tags. origin is the raster's upper-left corner; rows run southward
     (the GeoTIFF convention). ``pixel_deg_y`` defaults to ``pixel_deg``
-    (square pixels); pass it for non-square lattices."""
+    (square pixels); pass it for non-square lattices. ``compress``:
+    None (raw strips) or ``'deflate'`` (zlib, TIFF compression 8) — the
+    stdlib stand-in for the reference's ZSTD raster profile
+    (batch/processing/raster.py:7; Parquet ZSTD covers data at rest)."""
     sy = pixel_deg if pixel_deg_y is None else pixel_deg_y
     arr = np.ascontiguousarray(values, dtype="<f8")
     h, w = arr.shape
     sample_bytes = arr.tobytes()
+    if compress == "deflate":
+        sample_bytes = zlib.compress(sample_bytes, 6)
+        comp_tag = 8
+    elif compress is None:
+        comp_tag = 1
+    else:
+        raise ValueError(f"unsupported compression {compress!r}; use None or 'deflate'")
     entries = []  # (tag, type, count, packed-or-deferred)
     deferred: list[tuple[int, bytes]] = []
 
@@ -156,7 +174,7 @@ def encode_geotiff(
     entry(_TAG_WIDTH, 4, 1, struct.pack("<I", w))
     entry(_TAG_LENGTH, 4, 1, struct.pack("<I", h))
     entry(_TAG_BITS, 3, 1, struct.pack("<H", 64))
-    entry(_TAG_COMPRESSION, 3, 1, struct.pack("<H", 1))
+    entry(_TAG_COMPRESSION, 3, 1, struct.pack("<H", comp_tag))
     entry(262, 3, 1, struct.pack("<H", 1))  # photometric: BlackIsZero
     entry(_TAG_STRIP_OFFSETS, 4, 1, b"\0\0\0\0")  # patched below
     entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<H", 1))

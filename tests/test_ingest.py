@@ -173,3 +173,20 @@ def test_export_geotiff_non_square_pixels(spark):
     assert abs(ox) < 1e-12 and abs(oy - 0.6) < 1e-12
     # row 0 = northernmost = fixture y=2
     assert values[0, 0] == 20.0 and values[2, 3] == 3.0
+
+
+def test_geotiff_deflate_roundtrip(gradient_array):
+    """Deflate (TIFF compression 8) strips decode to the same array and
+    compress meaningfully; unknown codecs still raise."""
+    raw = geotiff.encode_geotiff(gradient_array, 0.0, 6.4, 0.1, nodata=-9999.0)
+    packed = geotiff.encode_geotiff(
+        gradient_array, 0.0, 6.4, 0.1, nodata=-9999.0, compress="deflate"
+    )
+    assert len(packed) < len(raw)
+    v1, georef1, nd1 = geotiff.decode_geotiff(raw)
+    v2, georef2, nd2 = geotiff.decode_geotiff(packed)
+    assert np.array_equal(v1, v2) and georef1 == georef2 and nd1 == nd2 == -9999.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        geotiff.encode_geotiff(gradient_array, 0.0, 6.4, 0.1, compress="lzw")
