@@ -44,3 +44,44 @@ def test_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "id1 long, id2 long")
     with pytest.raises(RuntimeError, match="converge"):
         graph.connected_components(edges, max_iter=1)
+
+
+def _uf_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_components_match_union_find_random(spark):
+    """Property: min-label propagation equals union-find min-id labeling
+    on seeded random graphs (long chains, stars, isolated pairs)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(40)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id1 long, id2 long")
+        got = {
+            r.node: r.component
+            for r in graph.connected_components(df).collect()
+        }
+        assert got == _uf_components(edges), f"trial {trial}"
