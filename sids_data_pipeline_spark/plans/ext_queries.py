@@ -734,6 +734,59 @@ FROM documents
 """
 
 
+def _text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Python UDTF via LATERAL join: one doc row → many sentence
+    rows (functions/udxf.SentenceSplit)."""
+    from sids_data_pipeline_spark.functions.udxf import register_udtfs
+
+    docs = tables(spark, sf_dir, "documents")[0]
+    register_udtfs(spark)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.sentence_idx, t.sentence
+        FROM _udtf_docs d, LATERAL sentences(d.doc_id, d.text) t
+        ORDER BY doc_id, sentence_idx
+        """
+    )
+
+
+_SENTENCES_SQL = r"""
+SELECT doc_id, CAST(i - 1 AS INT) AS sentence_idx, s[i] AS sentence
+FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]\s+') AS s
+      FROM documents),
+     LATERAL unnest(generate_series(1, len(s))) AS t(i)
+WHERE NOT regexp_full_match(s[i], '\s*')
+ORDER BY doc_id, sentence_idx
+"""
+
+
+def _agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (the Python UDAF form): per-language
+    geometric mean of document length."""
+    from sids_data_pipeline_spark.functions.udxf import geo_mean, group_size
+
+    docs = tables(spark, sf_dir, "documents")[0]
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(geo_mean(F.col("n_chars").cast("double")), 6).alias(
+                "geomean_chars"
+            ),
+            group_size(F.col("n_chars")).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+_GEOMEAN_SQL = """
+SELECT lang,
+       ROUND(EXP(AVG(LN(CAST(n_chars AS DOUBLE)))), 6) AS geomean_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (deterministic ngram path) → transitive clusters
     via iterative min-label propagation (operators/graph.py)."""
@@ -997,6 +1050,13 @@ QUERIES: list[Query] = [
           doc="exact k-per-stratum sample in deterministic content-hash "
               "order (reproducible across runs/partitionings/engines)",
           tags=("sampling", "text", "window")),
+    Query("text_sentences_udtf", _text_sentences, _SENTENCES_SQL,
+          doc="Python UDTF (LATERAL table function): doc → sentence rows",
+          tags=("text", "udtf")),
+    Query("agg_geomean_udaf", _agg_geomean, _GEOMEAN_SQL,
+          doc="grouped-agg pandas UDF (Python UDAF): per-lang geometric "
+              "mean, sorted-reduction deterministic",
+          tags=("agg", "udaf")),
     Query("dedup_clusters", _dedup_clusters, _DEDUP_CLUSTERS_SQL,
           doc="near-dup pairs → transitive clusters: iterative min-label "
               "propagation (Pregel-style) vs a DuckDB recursive CTE",

@@ -166,6 +166,52 @@ def streaming_exact_dedup(
     q.awaitTermination()
 
 
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase to
+    the clicks that preceded it within ``horizon`` (same user).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can EVICT buffered state: a click older than
+    (watermark + horizon) can never match a future purchase and is
+    dropped from the join buffer — state is O(events in the horizon),
+    independent of stream length. The batch twin is the same equi+range
+    join expressed statically (tested for parity).
+
+    Output: (user_id, click_id, purchase_id, click_ts, purchase_ts,
+    value_cents).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_micros(F.col("click_ts")).alias("click_ts_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_ts_us"),
+        "value_cents",
+    )
+
+
 def stateful_running_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running event count + exact-cents value sum, carried in

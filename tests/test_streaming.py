@@ -212,3 +212,39 @@ def test_streaming_sessions_match_batch(spark, events_dir, tmp_path):
         for r in windows.session(base, "30 minutes").collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    """Watermarked stream-stream click→purchase attribution equals the
+    identical static join (inner joins emit on match, so one availableNow
+    drain yields the complete result)."""
+    from pyspark.sql import functions as F
+
+    def split(df):
+        clicks = df.filter(F.col("event_type") == "click")
+        purchases = df.filter(F.col("event_type") == "purchase")
+        return clicks, purchases
+
+    s_clicks, s_purchases = split(jobs.stream_events(spark, events_dir))
+    result = jobs.stream_stream_attribution(s_clicks, s_purchases)
+    sink = str(tmp_path / "attr_out")
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "attr_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.click_id, r.purchase_id): (r.user_id, r.value_cents)
+        for r in spark.read.parquet(sink).collect()
+    }
+
+    b_clicks, b_purchases = split(spark.read.parquet(events_dir))
+    want = {
+        (r.click_id, r.purchase_id): (r.user_id, r.value_cents)
+        for r in jobs.stream_stream_attribution(b_clicks, b_purchases).collect()
+    }
+    assert len(want) > 0 and got == want
