@@ -28,6 +28,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # Sentence boundary: terminal punctuation + whitespace. RE2-compatible
 # (no lookbehind) so the DuckDB oracle splits identically; the
@@ -35,7 +43,18 @@ from pyspark.sql.functions import pandas_udf, udtf
 SENTENCE_SPLIT_RE = r"[.!?]\s+"
 
 
-@udtf(returnType="doc_id bigint, sentence_idx int, sentence string")
+# DataType objects (not DDL strings): string types are parsed through
+# the active SparkContext, which does not exist at import time.
+_SENTENCE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sentence_idx", IntegerType()),
+        StructField("sentence", StringType()),
+    ]
+)
+
+
+@udtf(returnType=_SENTENCE_SCHEMA)
 class SentenceSplit:
     """UDTF: (doc_id, text) → one row per non-blank sentence.
 
@@ -59,7 +78,7 @@ def register_udtfs(spark: SparkSession) -> None:
     spark.udtf.register("sentences", SentenceSplit)
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def group_size(v: pd.Series) -> int:
     """Grouped-agg pandas count. Spark forbids mixing grouped-agg pandas
     UDFs with JVM aggregates in one ``agg`` (INVALID_PANDAS_UDF_PLACEMENT),
@@ -67,7 +86,7 @@ def group_size(v: pd.Series) -> int:
     return len(v)
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def geo_mean(v: pd.Series) -> float:
     """Grouped-agg pandas UDF: geometric mean of a positive column.
 

@@ -98,6 +98,28 @@ def main() -> None:
         }
     out["dedup_exact"] = exact
 
+    # --- connected components: growing edge sets, fixed diameter ---------
+    # Chains of 4 nodes (diameter 3): the round count is O(diameter), so
+    # a sweep at constant diameter isolates the per-edge linear term.
+    from sids_data_pipeline_spark.operators import graph
+
+    comp = {}
+    for n in (250_000, 1_000_000):
+        edges = spark.range(0, n, 1, 32).select(
+            F.col("id").alias("id1"),
+            F.when(F.col("id") % 4 != 3, F.col("id") + 1)
+            .otherwise(F.col("id"))
+            .alias("id2"),
+        )
+        sec = _steady(
+            lambda: graph.connected_components(edges).count(), reps=2
+        )
+        comp[f"{n:,} edges"] = {
+            "sec": round(sec, 3),
+            "ns_per_edge": round(sec / n * 1e9, 1),
+        }
+    out["connected_components"] = comp
+
     print(json.dumps(out))
     spark.stop()
 
