@@ -568,6 +568,60 @@ def _sql_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TOPK_SUPPLIERS_SQL)
 
 
+# Correlated EXISTS (Catalyst: rewritten to left-semi join) combined with
+# NOT IN (null-aware left-anti join) in predicate position — the subquery
+# shapes P6/P8 generalize to when users write them as SQL instead of the
+# DataFrame semi/anti API (join_semi / join_anti cover that form).
+_EXISTS_IN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def _exists_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_EXISTS_IN_SQL)
+
+
+# TPC-H Q3 shape (shipping priority): 3-table join with selective filters
+# on both fact tables, grouped revenue, top-10. Exercises Catalyst join
+# reordering + AQE broadcast of the filtered customer dimension; revenue
+# follows the plans/base.py exact-cents policy (element-wise round, BIGINT
+# sum). Ties broken by l_orderkey so the LIMIT is deterministic.
+_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_SHIPPING_PRIORITY_SQL)
+
+
 def _array_json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
     arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
@@ -971,6 +1025,20 @@ QUERIES: list[Query] = [
         _SCALAR_SUBQ_SQL,
         doc="scalar subquery threshold (same ANSI text in both engines)",
         tags=("sql", "subquery"),
+    ),
+    Query(
+        "exists_in_subquery",
+        _exists_in_subquery,
+        _EXISTS_IN_SQL,
+        doc="correlated EXISTS (semi) + NOT IN (null-aware anti) predicates",
+        tags=("sql", "subquery", "join"),
+    ),
+    Query(
+        "sql_shipping_priority",
+        _sql_shipping_priority,
+        _SHIPPING_PRIORITY_SQL,
+        doc="TPC-H Q3 shape: 3-table join, grouped revenue cents, top-10",
+        tags=("sql", "join", "aggregate", "sort"),
     ),
     Query(
         "pivot_status",
