@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEADLINE = [
     "pricing_summary",
+    "sql_shipping_priority",
     "join_broadcast_dims",
     "window_rank",
     "date_math",
