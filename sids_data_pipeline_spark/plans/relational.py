@@ -656,6 +656,40 @@ WHERE o_orderkey % 100 < 3
 """
 
 
+def _map_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = F.map_concat(
+        F.map_from_arrays(
+            F.array(F.lit("u"), F.lit("v")), F.array(k % 7, k % 11)
+        ),
+        F.create_map(F.lit("w"), k % 13),
+    )
+    return orders.filter(k % 100 < 3).select(
+        "o_orderkey",
+        F.element_at(m, "u").alias("u_val"),
+        F.size(m).alias("n_keys"),
+        F.size(F.map_filter(m, lambda _, v: v >= 5)).alias("n_big_vals"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_csv"),
+    )
+
+
+# Value-mirrored oracle (like pivot's CASE mirror): DuckDB's MAP surface
+# differs (map_extract returns a list), so the oracle computes the same
+# lookups arithmetically — the gate compares values, not plan idioms.
+_MAP_SCALARS_SQL = """
+SELECT o_orderkey,
+       o_orderkey % 7 AS u_val,
+       CAST(3 AS INT) AS n_keys,
+       CAST((CASE WHEN o_orderkey % 7 >= 5 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_orderkey % 11 >= 5 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_orderkey % 13 >= 5 THEN 1 ELSE 0 END) AS INT) AS n_big_vals,
+       'u,v,w' AS keys_csv
+FROM orders
+WHERE o_orderkey % 100 < 3
+"""
+
+
 # Identical ANSI text runs on both engines (GROUPING() disambiguates the
 # rollup NULLs from data NULLs). The Spark side goes through spark.sql —
 # the SQL front door, like _sql_topk_suppliers.
@@ -799,6 +833,14 @@ QUERIES: list[Query] = [
         doc="array higher-order functions (transform/filter/aggregate) + "
             "JSON build/extract scalars",
         tags=("scalar", "array", "json"),
+    ),
+    Query(
+        "map_scalars",
+        _map_scalars,
+        _MAP_SCALARS_SQL,
+        doc="map scalars (create/concat/filter/keys/element_at), "
+            "value-mirrored oracle",
+        tags=("scalar", "map"),
     ),
     Query(
         "agg_grouping_sets",

@@ -54,6 +54,18 @@ def test_dim_join_broadcasts(spark, sf_dir, catalog):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_shipping_priority_plan_shape(spark, sf_dir, catalog):
+    """TPC-H Q3 shape: selective filters reach every scan, both joins
+    broadcast the filtered small sides, and the top-10 is a
+    TakeOrderedAndProject (bounded per-partition heaps), not a global sort."""
+    plan = _plan(catalog["sql_shipping_priority"].spark(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate," in plan and "GreaterThan(l_shipdate," in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_zonal_broadcast_is_hash_join(spark):
     zones = fixture_zones(spark, "zones_grid")
     px = synthetic_raster(spark, "rast_gradient")
