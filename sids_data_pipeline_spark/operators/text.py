@@ -67,6 +67,56 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition metrics: duplicate-word fraction and
+    top-unigram fraction per document — the standard "document is mostly
+    one phrase repeated" quality filter for training corpora.
+
+    Distributed shape: explode words → groupBy(doc, word) → groupBy(doc),
+    both with map-side partial aggregation. Linear in corpus size; the
+    no-shuffle alternative (per-row ``transform(array_distinct(w), ...)``
+    higher-order scan) is O(distinct·words) per document, quadratic on
+    long documents, so the exploded form is the 100-TB shape.
+
+    Fractions are reported in the exact micros domain: the numerator is
+    an integer scaled by 1e6 before one double division (determinism
+    policy, plans/base.py). Output: (doc_id, n_words, n_distinct,
+    dup_word_frac_micros, top_word_frac_micros).
+    """
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    per_word = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("_w"))
+        .filter(F.col("_w") != "")
+        .groupBy("doc_id", "_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+    def frac(num):
+        return F.round(num * F.lit(float(MICROS)) / F.col("n_words"), 0).cast(
+            "long"
+        )
+
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("_n").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("_n").alias("top_word_n"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            frac(F.col("n_words") - F.col("n_distinct")).alias(
+                "dup_word_frac_micros"
+            ),
+            frac(F.col("top_word_n")).alias("top_word_frac_micros"),
+        )
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality signals per doc, micros-domain ratios.
 

@@ -420,6 +420,32 @@ def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_score(docs)
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+# Same exploded shape; fractions mirror the Spark formulation exactly
+# (integer numerator × 1e6, one double division, ROUND).
+_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+  FROM documents
+), pw AS (
+  SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(SUM(n) AS BIGINT) AS n_words,
+       COUNT(*) AS n_distinct,
+       CAST(ROUND((SUM(n) - COUNT(*)) * 1000000.0 / SUM(n)) AS BIGINT)
+         AS dup_word_frac_micros,
+       CAST(ROUND(MAX(n) * 1000000.0 / SUM(n)) AS BIGINT)
+         AS top_word_frac_micros
+FROM pw GROUP BY doc_id
+"""
+
+
 def _quality_sql() -> str:
     stops = ", ".join(f"'{s}'" for s in text.STOPWORDS["en"])
     return rf"""
@@ -1010,6 +1036,10 @@ QUERIES: list[Query] = [
     Query("text_quality", _text_quality, _quality_sql(),
           doc="E5 quality scoring (length/punct/stopword ratios)",
           tags=("text",)),
+    Query("text_repetition", _text_repetition, _REPETITION_SQL,
+          doc="E5 Gopher-style repetition filter (dup-word + top-unigram "
+              "fractions)",
+          tags=("text", "quality")),
     Query("text_langid", _text_langid, _langid_sql(),
           doc="E5 stopword-density language ID", tags=("text",)),
     Query("text_fingerprint", _text_fingerprint, _FINGERPRINT_SQL,

@@ -49,3 +49,23 @@ def test_curation_report_empty_corpus(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     row = curation_report(empty, curate_corpus(empty)).collect()[0]
     assert (row.n_input, row.n_kept, row.removed_ratio_micros) == (0, 0, 0)
+
+
+def test_repetition_stats_hand_oracle(spark):
+    from sids_data_pipeline_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a b"),          # 5 words, 2 distinct, top 'a'=4
+            (1, "one two three four"),  # no repetition at all
+            (2, "spam spam spam"),      # a single word repeated
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert (got[0].n_words, got[0].n_distinct) == (5, 2)
+    assert got[0].dup_word_frac_micros == round((5 - 2) * 1e6 / 5)
+    assert got[0].top_word_frac_micros == round(4 * 1e6 / 5)
+    assert got[1].dup_word_frac_micros == 0
+    assert got[1].top_word_frac_micros == 250_000
+    assert (got[2].n_distinct, got[2].top_word_frac_micros) == (1, 1_000_000)
