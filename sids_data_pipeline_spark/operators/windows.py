@@ -132,3 +132,62 @@ def latest_per_key(
             "event_type",
         )
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    window_hours: int = 48,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence conversion funnel: how many users progress through
+    ``stages`` with each transition inside a ``window_hours`` deadline.
+
+    Greedy earliest-transition semantics (the standard product-analytics
+    definition): stage 1 anchors at the user's first ``stages[0]`` event;
+    each later stage takes the first matching event after the previous
+    anchor and within its conversion window.
+
+    Single-shuffle shape for 100-TB scale: one groupBy(user) builds the
+    time-sorted per-user event array, then ONE linear ``aggregate`` scan
+    (whole-stage codegen, no UDF) tracks (depth, deadline) — no
+    per-stage self-joins, no re-shuffling the event table once per stage.
+    Per-user state is bounded by that user's event count.
+
+    Output: (depth int, n_users) — depth d counts users whose deepest
+    completed stage is d (0 = never hit stage 1).
+    """
+    cases = []
+    for i, st in enumerate(stages):
+        # strict > excludes same-timestamp transitions (matches the
+        # min-ts-cascade oracle formulation exactly, not just in sort order)
+        guard = (
+            ""
+            if i == 0
+            else f" AND x.ts > s.a AND x.ts <= s.a + INTERVAL {window_hours} HOUR"
+        )
+        cases.append(
+            f"WHEN s.d = {i} AND x.et = '{st}'{guard} THEN "
+            f"named_struct('d', {i + 1}, 'a', x.ts)"
+        )
+    scan = F.expr(
+        "aggregate(_evs, "
+        "named_struct('d', 0, 'a', CAST(NULL AS TIMESTAMP)), "
+        f"(s, x) -> CASE {' '.join(cases)} ELSE s END).d"
+    )
+    return (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+                )
+            ).alias("_evs")
+        )
+        .select("user_id", scan.alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )

@@ -692,6 +692,40 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM (
 """
 
 
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return windows.funnel(ev)
+
+
+# Value-mirrored oracle: the engine's single-pass greedy scan equals this
+# min-timestamp cascade (first view anchors; first click within 48 h of
+# it; first purchase within 48 h of that click), because taking the
+# earliest feasible event at each stage is optimal for reachability.
+_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL 48 HOUR GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t2 + INTERVAL 48 HOUR GROUP BY e.user_id)
+SELECT depth, COUNT(*) AS n_users FROM (
+  SELECT u.user_id,
+         CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                   WHEN c.user_id IS NOT NULL THEN 2
+                   WHEN v.user_id IS NOT NULL THEN 1
+                   ELSE 0 END AS INT) AS depth
+  FROM u LEFT JOIN v ON u.user_id = v.user_id
+         LEFT JOIN c ON u.user_id = c.user_id
+         LEFT JOIN p ON u.user_id = p.user_id) t
+GROUP BY depth ORDER BY depth
+"""
+
+
 # --- E4: multimodal columns -----------------------------------------------------
 
 
@@ -1059,6 +1093,10 @@ QUERIES: list[Query] = [
           tags=("events", "join")),
     Query("events_latest", _events_latest, _LATEST_SQL,
           doc="E6 latest-event-per-key dedup", tags=("events", "window")),
+    Query("events_funnel", _events_funnel, _FUNNEL_SQL,
+          doc="E6 conversion funnel (single-pass greedy scan; 48 h "
+              "transition windows)",
+          tags=("events", "window")),
     Query("multimodal_meta", _multimodal_meta, _MULTIMODAL_META_SQL,
           doc="E4 binary payload + typed metadata plumbing", tags=("multimodal",)),
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_FEATURES_SQL,

@@ -79,3 +79,37 @@ def test_session_window_gap_semantics(events):
 def test_latest_per_key(events):
     rows = {r.user_id: r.event_id for r in windows.latest_per_key(events).collect()}
     assert rows == {1: 7, 2: 6}
+
+
+def test_funnel_hand_oracle(spark):
+    """Greedy funnel semantics: windows, ordering, and strict > ties."""
+    rows = []
+    # user 1: view → click (+1h) → purchase (+1h): completes, depth 3
+    rows += [
+        (10, T0, 1, "view", 0.0, "{}"),
+        (11, T0 + timedelta(hours=1), 1, "click", 0.0, "{}"),
+        (12, T0 + timedelta(hours=2), 1, "purchase", 0.0, "{}"),
+    ]
+    # user 2: click arrives 50h after the first view → outside the 48h
+    # window; a later view cannot re-anchor (greedy first-view), depth 1
+    rows += [
+        (20, T0, 2, "view", 0.0, "{}"),
+        (21, T0 + timedelta(hours=50), 2, "click", 0.0, "{}"),
+        (22, T0 + timedelta(hours=49), 2, "view", 0.0, "{}"),
+    ]
+    # user 3: purchase at EXACTLY the click timestamp → strict > excludes
+    # it; no later purchase, depth 2
+    rows += [
+        (30, T0, 3, "view", 0.0, "{}"),
+        (31, T0 + timedelta(hours=1), 3, "click", 0.0, "{}"),
+        (32, T0 + timedelta(hours=1), 3, "purchase", 0.0, "{}"),
+    ]
+    # user 4: never views, depth 0 (still counted in the universe)
+    rows += [(40, T0, 4, "click", 0.0, "{}")]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.depth: r.n_users for r in windows.funnel(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
