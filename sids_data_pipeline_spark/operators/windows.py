@@ -8,6 +8,9 @@ needs, built on Spark's native window primitives:
   windows.
 - :func:`session` — ``F.session_window`` gap-based sessions.
 - :func:`latest_per_key` — event dedup: last event per key by time.
+- :func:`funnel` — ordered-sequence conversion funnel (single-pass
+  greedy scan over per-user sorted event arrays).
+- :func:`retention` — periodic cohort retention counts.
 
 All outputs expose window bounds as epoch-microsecond BIGINTs
 (``unix_micros``) rather than rendered timestamps: integers are
@@ -190,4 +193,47 @@ def funnel(
         .groupBy("depth")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("depth")
+    )
+
+
+def retention(
+    events: DataFrame,
+    event_type: str | None = "purchase",
+    anchor_date: str = "2024-01-01",
+    period_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period, counted
+    in each later period they remain active.
+
+    Shape: distinct (user, period) pairs → min-period cohort per user →
+    equi-join back → count per (cohort, offset). The distinct and both
+    aggregations partition on user_id, so Catalyst plans one user-keyed
+    shuffle chain; the pairs table is bounded by |users|·|periods|, far
+    smaller than the event table at scale.
+
+    Output: (cohort_week, week_offset, n_users) — period arithmetic in
+    whole periods since ``anchor_date``.
+    """
+    src = events if event_type is None else events.filter(
+        F.col(type_col) == event_type
+    )
+    wk = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), F.lit(anchor_date).cast("date"))
+        / float(period_days)
+    )
+    pairs = src.select(
+        F.col(user_col).alias("user_id"), wk.alias("week")
+    ).distinct()
+    cohort = pairs.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        pairs.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
     )

@@ -697,6 +697,25 @@ def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.funnel(ev)
 
 
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return windows.retention(ev)
+
+
+# FLOOR(days/7.0) mirrors the Spark formulation (double division then
+# floor) so week assignment is bit-identical in both engines.
+_RETENTION_SQL = """
+WITH p AS (SELECT DISTINCT user_id,
+        CAST(floor(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+      FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, min(week) AS cohort_week FROM p GROUP BY user_id)
+SELECT c.cohort_week, p.week - c.cohort_week AS week_offset,
+       COUNT(*) AS n_users
+FROM p JOIN c ON p.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # Value-mirrored oracle: the engine's single-pass greedy scan equals this
 # min-timestamp cascade (first view anchors; first click within 48 h of
 # it; first purchase within 48 h of that click), because taking the
@@ -1096,6 +1115,10 @@ QUERIES: list[Query] = [
     Query("events_funnel", _events_funnel, _FUNNEL_SQL,
           doc="E6 conversion funnel (single-pass greedy scan; 48 h "
               "transition windows)",
+          tags=("events", "window")),
+    Query("events_retention", _events_retention, _RETENTION_SQL,
+          doc="E6 weekly cohort retention (distinct activity pairs → "
+              "min-period cohort → offset counts)",
           tags=("events", "window")),
     Query("multimodal_meta", _multimodal_meta, _MULTIMODAL_META_SQL,
           doc="E4 binary payload + typed metadata plumbing", tags=("multimodal",)),

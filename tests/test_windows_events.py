@@ -113,3 +113,30 @@ def test_funnel_hand_oracle(spark):
     )
     got = {r.depth: r.n_users for r in windows.funnel(df).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_retention_hand_oracle(spark):
+    """Cohorts anchor at first activity; churn drops out of later offsets."""
+    rows = [
+        # user 1: purchases in weeks 0, 1, 2 (cohort 0, retained twice)
+        (100, T0, 1, "purchase", 0.0, "{}"),
+        (101, T0 + timedelta(days=8), 1, "purchase", 0.0, "{}"),
+        (102, T0 + timedelta(days=15), 1, "purchase", 0.0, "{}"),
+        # user 2: cohort 0, churns after week 0 (second event same week)
+        (200, T0 + timedelta(days=1), 2, "purchase", 0.0, "{}"),
+        (201, T0 + timedelta(days=2), 2, "purchase", 0.0, "{}"),
+        # user 3: first purchase in week 1 → its own cohort
+        (300, T0 + timedelta(days=9), 3, "purchase", 0.0, "{}"),
+        # user 4: only clicks — excluded by the event-type filter
+        (400, T0, 4, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in windows.retention(df).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
