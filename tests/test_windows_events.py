@@ -140,3 +140,14 @@ def test_retention_hand_oracle(spark):
         for r in windows.retention(df).collect()
     }
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_funnel_conserves_users_and_custom_stages(spark, events):
+    # every user lands in exactly one depth bucket
+    out = windows.funnel(events).collect()
+    assert sum(r.n_users for r in out) == 2  # fixture has users 1 and 2
+    # custom 2-stage sequence: user 1 has click@T0 then view@+34m → depth 2;
+    # user 2 has only a click → depth 1
+    got = {r.depth: r.n_users for r in windows.funnel(
+        events, stages=("click", "view")).collect()}
+    assert got == {1: 1, 2: 1}
