@@ -120,6 +120,31 @@ def main() -> None:
         }
     out["connected_components"] = comp
 
+    # --- conversion funnel: growing event counts, 64 events/user ---------
+    # Per-user state is the sorted event array, so holding events/user
+    # fixed while growing users isolates the per-event linear term of the
+    # single-shuffle groupBy + scan.
+    from sids_data_pipeline_spark.operators import windows as win
+
+    funnel = {}
+    for n in (1_000_000, 4_000_000):
+        ev = spark.range(0, n, 1, 32).select(
+            (F.col("id") % (n // 64)).alias("user_id"),
+            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+            F.element_at(
+                F.array(
+                    F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("error")
+                ),
+                ((F.col("id") % 4) + 1).cast("int"),
+            ).alias("event_type"),
+        )
+        sec = _steady(lambda: win.funnel(ev).count(), reps=2)
+        funnel[f"{n:,} events"] = {
+            "sec": round(sec, 3),
+            "ns_per_event": round(sec / n * 1e9, 1),
+        }
+    out["events_funnel"] = funnel
+
     print(json.dumps(out))
     spark.stop()
 
