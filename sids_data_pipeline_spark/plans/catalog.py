@@ -4,6 +4,15 @@ bench harness, and tests all share.
 Every implemented operator from SURVEY.md §2 has an entry here; entries
 with ``oracle`` SQL get the driver's full value-hash check, entries with
 ``oracle=None`` (seeded sketches) get the rows-only check.
+
+Ordering matters: the driver's CORRECTNESS gate verifies the catalog in
+registration order and its window may not reach the tail, so the registry
+interleaves one-or-more representatives of EVERY operator family from
+SURVEY.md §2 into the head (``PRIORITY``) — geo/zonal (the reference's
+semantic core, pipeline/processing/stats.py:8-16), events, multimodal,
+sampling, clustering, UDTF/UDAF, streaming — before the long tail of
+same-family variants. A variant past the window always has an in-window
+sibling exercising the same operator family.
 """
 
 from __future__ import annotations
@@ -11,12 +20,85 @@ from __future__ import annotations
 from sids_data_pipeline_spark.plans import ext_queries, geo_queries, relational
 from sids_data_pipeline_spark.plans.base import Query
 
+# Head of the registry: one-or-more representatives per SURVEY §2 family.
+# Families (rep → family): zonal_* → J1/F5/F6/A1-zonal; raster_clip_band →
+# P4/P5; tiles_* → K2/O2; crs_* → P9/F8; manifest_pending → S1/S7/P6/P8/
+# J3/X3; events_* → E6; join_asof/semi/anti/range → extended joins;
+# multimodal_* → E4; corpus_split/stratified → E7; pack_shards → E8;
+# dedup_clusters → E10; decontaminate → E9; udtf/udaf → UDXF surface;
+# text_* → E5; dedup_* → E1/E2; similarity_topk → E3; curation → chain;
+# streaming_dedup_batch → streaming surface; the relational block → P1-P3,
+# filters, F1-F4, scalars, J2, skew, A1-superset, grouping sets, pivot,
+# windows, O1, set ops, SQL front door.
+PRIORITY: tuple[str, ...] = (
+    # — geo / semantic core —
+    "zonal_mean_large",
+    "zonal_polygons",
+    "zonal_mean_grid",
+    "zonal_mean_broadcast",
+    "zonal_large_broadcast",
+    "zonal_multi_stats",
+    "raster_clip_band",
+    "tiles_assign",
+    "tiles_density_drop",
+    "crs_reproject",
+    "crs_reproject_utm",
+    "manifest_pending",
+    # — LLM-pipeline / events flagships —
+    "events_session",
+    "events_funnel",
+    "events_retention",
+    "join_asof",
+    "multimodal_features",
+    "multimodal_frames",
+    "corpus_split",
+    "corpus_sample_stratified",
+    "corpus_pack_shards",
+    "dedup_clusters",
+    "corpus_decontaminate",
+    "text_sentences_udtf",
+    "agg_geomean_udaf",
+    "text_repetition",
+    "text_langid",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "corpus_curation",
+    "streaming_dedup_batch",
+    # — relational family representatives —
+    "pricing_summary",
+    "proj_star_prefix",
+    "filter_range",
+    "str_funcs",
+    "date_math",
+    "array_json_scalars",
+    "map_scalars",
+    "join_equi",
+    "join_semi",
+    "join_anti",
+    "join_range_buckets",
+    "agg_salted_skew",
+    "agg_grouping_sets",
+    "pivot_status",
+    "window_rank",
+    "order_limit",
+    "setop_union",
+    "sql_shipping_priority",
+)
+
 
 def all_queries() -> dict[str, Query]:
-    out: dict[str, Query] = {}
+    by_name: dict[str, Query] = {}
     for module in (relational, ext_queries, geo_queries):
         for q in module.QUERIES:
-            if q.name in out:
+            if q.name in by_name:
                 raise ValueError(f"duplicate catalog query name {q.name!r}")
-            out[q.name] = q
+            by_name[q.name] = q
+    missing = [n for n in PRIORITY if n not in by_name]
+    if missing:
+        raise ValueError(f"PRIORITY names not registered: {missing}")
+    out: dict[str, Query] = {n: by_name[n] for n in PRIORITY}
+    for name, q in by_name.items():
+        if name not in out:
+            out[name] = q
     return out
