@@ -42,7 +42,6 @@ PRIORITY: tuple[str, ...] = (
     "tiles_assign",
     "tiles_density_drop",
     "crs_reproject",
-    "crs_reproject_utm",
     "manifest_pending",
     # — LLM-pipeline / events flagships —
     "events_session",
@@ -64,7 +63,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "similarity_topk",
     "corpus_curation",
-    "streaming_dedup_batch",
     # — relational family representatives —
     "pricing_summary",
     "proj_star_prefix",

@@ -32,18 +32,43 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects. Read the raw int64 nanoseconds
-    (``nanosAsLong``) and derive a microsecond TimestampType column —
-    truncation, matching how DuckDB casts TIMESTAMP_NS to its native
-    microsecond TIMESTAMP, so both engines see identical instants."""
+    """Schema-adaptive events loader.
+
+    ``events.parquet`` has shipped with ``ts`` as either TIMESTAMP(NANOS)
+    (which Spark's parquet reader rejects outright) or a plain microsecond
+    TIMESTAMP. Probe the parquet footer (one driver-side metadata read, no
+    data IO) and branch:
+
+    * micros/millis timestamp → read with the declared schema as-is;
+    * nanos → read the raw int64 (``nanosAsLong``) and truncate to a
+      microsecond TimestampType, matching how DuckDB casts TIMESTAMP_NS to
+      its native microsecond TIMESTAMP so both engines see identical
+      instants.
+    """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    )
+    if _events_ts_is_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    return spark.read.schema(TABLE_SCHEMAS["events"]).parquet(path)
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """True when the parquet footer declares ``ts`` as nanosecond
+    precision. Footer-only read; on any probe failure assume the modern
+    micros layout (the plain read then fails loudly if that's wrong)."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.types as pat
+
+        schema = ds.dataset(path, format="parquet").schema
+        field = schema.field("ts")
+        return pat.is_timestamp(field.type) and field.type.unit == "ns"
+    except Exception:
+        return False
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
