@@ -25,6 +25,168 @@ WEB_MERCATOR_RADIUS = 6378137.0
 WGS84 = 4326
 WEB_MERCATOR = 3857
 
+# --- WGS-84 ellipsoid + UTM constants (public Snyder 1987 §8 / Redfearn
+# series, the same closed forms GDAL's tmerc uses at low order). The
+# reference warps arbitrary source EPSG → 4326 via gdalwarp
+# (batch/processing/raster.py:22-29); UTM zones 326xx/327xx are the CRSs
+# real raster catalogs actually carry, and they convert in closed form —
+# pure JVM column math, no UDF, mirrorable into a DuckDB oracle.
+UTM_A = 6378137.0  # semi-major axis (m)
+UTM_F = 1.0 / 298.257223563  # flattening
+UTM_K0 = 0.9996  # central-meridian scale
+UTM_FALSE_EASTING = 500000.0
+UTM_FALSE_NORTHING_SOUTH = 10000000.0
+_E2 = UTM_F * (2.0 - UTM_F)  # first eccentricity squared
+_EP2 = _E2 / (1.0 - _E2)  # second eccentricity squared
+# meridian-arc series  M(φ) = a·(M0·φ − M2·sin2φ + M4·sin4φ − M6·sin6φ)
+_M0 = 1.0 - _E2 / 4.0 - 3.0 * _E2**2 / 64.0 - 5.0 * _E2**3 / 256.0
+_M2 = 3.0 * _E2 / 8.0 + 3.0 * _E2**2 / 32.0 + 45.0 * _E2**3 / 1024.0
+_M4 = 15.0 * _E2**2 / 256.0 + 45.0 * _E2**3 / 1024.0
+_M6 = 35.0 * _E2**3 / 3072.0
+# footpoint-latitude series (inverse), e1 = (1−√(1−e²))/(1+√(1−e²))
+_E1 = (1.0 - math.sqrt(1.0 - _E2)) / (1.0 + math.sqrt(1.0 - _E2))
+_P2 = 3.0 * _E1 / 2.0 - 27.0 * _E1**3 / 32.0
+_P4 = 21.0 * _E1**2 / 16.0 - 55.0 * _E1**4 / 32.0
+_P6 = 151.0 * _E1**3 / 96.0
+_P8 = 1097.0 * _E1**4 / 512.0
+
+
+def utm_epsg(zone: int, south: bool = False) -> int:
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    return (32700 if south else 32600) + zone
+
+
+def utm_params(epsg: int) -> tuple[int, bool]:
+    """(zone, south) for a WGS-84 UTM EPSG, or raise if not one."""
+    if 32601 <= epsg <= 32660:
+        return epsg - 32600, False
+    if 32701 <= epsg <= 32760:
+        return epsg - 32700, True
+    raise ValueError(f"EPSG:{epsg} is not a WGS-84 UTM zone (326xx/327xx)")
+
+
+def _central_meridian_rad(zone: int) -> float:
+    return math.radians(zone * 6 - 183)
+
+
+def lonlat_to_utm(
+    lon: Column, lat: Column, zone: int, south: bool = False
+) -> tuple[Column, Column]:
+    """Forward transverse Mercator (Snyder 1987 eq. 8-9..8-13) as pure
+    column expressions — stays inside whole-stage codegen."""
+    lam0 = _central_meridian_rad(zone)
+    phi = F.radians(lat)
+    sinp, cosp, tanp = F.sin(phi), F.cos(phi), F.tan(phi)
+    n = F.lit(UTM_A) / F.sqrt(F.lit(1.0) - F.lit(_E2) * sinp * sinp)
+    t = tanp * tanp
+    c = F.lit(_EP2) * cosp * cosp
+    a = (F.radians(lon) - F.lit(lam0)) * cosp
+    m = F.lit(UTM_A) * (
+        F.lit(_M0) * phi
+        - F.lit(_M2) * F.sin(phi * 2.0)
+        + F.lit(_M4) * F.sin(phi * 4.0)
+        - F.lit(_M6) * F.sin(phi * 6.0)
+    )
+    easting = F.lit(UTM_FALSE_EASTING) + F.lit(UTM_K0) * n * (
+        a
+        + (F.lit(1.0) - t + c) * F.pow(a, 3) / 6.0
+        + (F.lit(5.0) - t * 18.0 + t * t + c * 72.0 - F.lit(58.0 * _EP2))
+        * F.pow(a, 5)
+        / 120.0
+    )
+    northing = F.lit(UTM_K0) * (
+        m
+        + n
+        * tanp
+        * (
+            a * a / 2.0
+            + (F.lit(5.0) - t + c * 9.0 + c * c * 4.0) * F.pow(a, 4) / 24.0
+            + (
+                F.lit(61.0)
+                - t * 58.0
+                + t * t
+                + c * 600.0
+                - F.lit(330.0 * _EP2)
+            )
+            * F.pow(a, 6)
+            / 720.0
+        )
+    )
+    if south:
+        northing = northing + F.lit(UTM_FALSE_NORTHING_SOUTH)
+    return easting, northing
+
+
+def utm_to_lonlat(
+    easting: Column, northing: Column, zone: int, south: bool = False
+) -> tuple[Column, Column]:
+    """Inverse transverse Mercator via the footpoint-latitude series
+    (Snyder 1987 eq. 8-17..8-25)."""
+    lam0 = _central_meridian_rad(zone)
+    x = easting - F.lit(UTM_FALSE_EASTING)
+    y = northing - F.lit(UTM_FALSE_NORTHING_SOUTH if south else 0.0)
+    mu = y / F.lit(UTM_K0 * UTM_A * _M0)
+    phi1 = (
+        mu
+        + F.lit(_P2) * F.sin(mu * 2.0)
+        + F.lit(_P4) * F.sin(mu * 4.0)
+        + F.lit(_P6) * F.sin(mu * 6.0)
+        + F.lit(_P8) * F.sin(mu * 8.0)
+    )
+    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = F.lit(_EP2) * cos1 * cos1
+    t1 = tan1 * tan1
+    one_minus = F.lit(1.0) - F.lit(_E2) * sin1 * sin1
+    n1 = F.lit(UTM_A) / F.sqrt(one_minus)
+    r1 = F.lit(UTM_A * (1.0 - _E2)) / F.pow(one_minus, 1.5)
+    d = x / (n1 * F.lit(UTM_K0))
+    lat = F.degrees(
+        phi1
+        - (n1 * tan1 / r1)
+        * (
+            d * d / 2.0
+            - (
+                F.lit(5.0)
+                + t1 * 3.0
+                + c1 * 10.0
+                - c1 * c1 * 4.0
+                - F.lit(9.0 * _EP2)
+            )
+            * F.pow(d, 4)
+            / 24.0
+            + (
+                F.lit(61.0)
+                + t1 * 90.0
+                + c1 * 298.0
+                + t1 * t1 * 45.0
+                - F.lit(252.0 * _EP2)
+                - c1 * c1 * 3.0
+            )
+            * F.pow(d, 6)
+            / 720.0
+        )
+    )
+    lon = F.degrees(
+        F.lit(lam0)
+        + (
+            d
+            - (F.lit(1.0) + t1 * 2.0 + c1) * F.pow(d, 3) / 6.0
+            + (
+                F.lit(5.0)
+                - c1 * 2.0
+                + t1 * 28.0
+                - c1 * c1 * 3.0
+                + F.lit(8.0 * _EP2)
+                + t1 * t1 * 24.0
+            )
+            * F.pow(d, 5)
+            / 120.0
+        )
+        / cos1
+    )
+    return lon, lat
+
 
 def lonlat_to_mercator(lon: Column, lat: Column) -> tuple[Column, Column]:
     x = F.radians(lon) * F.lit(WEB_MERCATOR_RADIUS)
@@ -52,19 +214,38 @@ def reproject_pixels(
 ) -> DataFrame:
     """P9 branch + F8 warp as a declarative plan: identity when the CRSs
     already match (the reference's gdalsrsinfo short-circuit), closed-form
-    column math for the 4326↔3857 pair, loud failure otherwise."""
+    column math for 4326↔3857 and 4326↔UTM (326xx/327xx), loud failure
+    otherwise."""
     if src_epsg == dst_epsg:
         return pixels
     if (src_epsg, dst_epsg) == (WEB_MERCATOR, WGS84):
         lon, lat = mercator_to_lonlat(F.col(x_col), F.col(y_col))
     elif (src_epsg, dst_epsg) == (WGS84, WEB_MERCATOR):
         lon, lat = lonlat_to_mercator(F.col(x_col), F.col(y_col))
+    elif src_epsg == WGS84 and _is_utm(dst_epsg):
+        zone, south = utm_params(dst_epsg)
+        lon, lat = lonlat_to_utm(F.col(x_col), F.col(y_col), zone, south)
+    elif dst_epsg == WGS84 and _is_utm(src_epsg):
+        zone, south = utm_params(src_epsg)
+        lon, lat = utm_to_lonlat(F.col(x_col), F.col(y_col), zone, south)
     else:
         raise NotImplementedError(
             f"EPSG:{src_epsg}→EPSG:{dst_epsg} needs pyproj (not in this "
-            "container); 4326↔3857 are built-in closed forms"
+            "container); 4326↔3857 and 4326↔UTM-zone are built-in closed "
+            "forms"
         )
-    return pixels.withColumn(x_col, lon).withColumn(y_col, lat)
+    # single withColumns: both outputs read the ORIGINAL x/y columns —
+    # chained withColumn would feed the replaced x into the y expression
+    # (the transverse-Mercator pair reads both inputs per output).
+    return pixels.withColumns({x_col: lon, y_col: lat})
+
+
+def _is_utm(epsg: int) -> bool:
+    try:
+        utm_params(epsg)
+        return True
+    except ValueError:
+        return False
 
 
 def standardize_crs(

@@ -42,6 +42,7 @@ PRIORITY: tuple[str, ...] = (
     "tiles_assign",
     "tiles_density_drop",
     "crs_reproject",
+    "crs_reproject_utm",
     "manifest_pending",
     # — LLM-pipeline / events flagships —
     "events_session",

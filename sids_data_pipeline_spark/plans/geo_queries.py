@@ -290,6 +290,137 @@ FROM m
 """
 
 
+# --- CRS reprojection, UTM pair (P9/F8) ---------------------------------------
+
+
+def _crs_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 → UTM 33N forward, then inverse back — both legs of the
+    closed-form transverse Mercator (reference warps arbitrary EPSG →
+    4326, batch/processing/raster.py:22-29)."""
+    from sids_data_pipeline_spark.functions.crs import lonlat_to_utm, utm_to_lonlat
+
+    grid = spark.range(0, 1000, 1, 8).select(
+        F.col("id"),
+        (F.lit(12.1) + (F.col("id") % 40).cast("double") * 0.145).alias("lon"),
+        ((F.col("id") / 40).cast("long").cast("double") * 5.6 - 68.0).alias("lat"),
+    )
+    e, n = lonlat_to_utm(F.col("lon"), F.col("lat"), zone=33)
+    utm = grid.select("id", e.alias("easting"), n.alias("northing"))
+    lon2, lat2 = utm_to_lonlat(F.col("easting"), F.col("northing"), zone=33)
+    # 3 dp on metres (≈1 µm) / 9 dp on degrees (≈0.1 mm): far beyond any
+    # Java-vs-C libm last-ULP divergence, far below series truncation.
+    return utm.select(
+        "id",
+        F.round("easting", 3).alias("easting"),
+        F.round("northing", 3).alias("northing"),
+        F.round(lon2, 9).alias("lon_rt"),
+        F.round(lat2, 9).alias("lat_rt"),
+    )
+
+
+def _crs_utm_sql() -> str:
+    """DuckDB oracle generated from the SAME coefficient doubles as
+    functions/crs.py (repr() is shortest-roundtrip, so both engines parse
+    bit-identical literals); formula structure mirrors the Column
+    expressions term-for-term."""
+    import math
+
+    from sids_data_pipeline_spark.functions import crs as c
+
+    lam0 = math.radians(33 * 6 - 183)  # zone 33 central meridian
+    mu_den = c.UTM_K0 * c.UTM_A * c._M0
+    r1_num = c.UTM_A * (1.0 - c._E2)
+    return f"""
+WITH src AS (
+  SELECT i AS id,
+         12.1 + CAST(i % 40 AS DOUBLE) * 0.145 AS lon,
+         CAST(i // 40 AS DOUBLE) * 5.6 - 68.0 AS lat
+  FROM (SELECT unnest(range(1000)) AS i) t
+),
+f1 AS (
+  SELECT id, radians(lat) AS phi, radians(lon) - {lam0!r} AS dlam FROM src
+),
+f2 AS (
+  SELECT id, phi, sin(phi) AS sinp, cos(phi) AS cosp, tan(phi) AS tanp, dlam
+  FROM f1
+),
+f3 AS (
+  SELECT id, phi, tanp,
+         {c.UTM_A!r} / sqrt(1.0 - {c._E2!r} * sinp * sinp) AS n,
+         tanp * tanp AS t,
+         {c._EP2!r} * cosp * cosp AS cc,
+         dlam * cosp AS aa,
+         {c.UTM_A!r} * ({c._M0!r} * phi - {c._M2!r} * sin(phi * 2.0)
+                        + {c._M4!r} * sin(phi * 4.0)
+                        - {c._M6!r} * sin(phi * 6.0)) AS m
+  FROM f2
+),
+fwd AS (
+  SELECT id,
+         {c.UTM_FALSE_EASTING!r} + {c.UTM_K0!r} * n *
+           (aa + (1.0 - t + cc) * pow(aa, 3) / 6.0
+               + (5.0 - t * 18.0 + t * t + cc * 72.0 - {58.0 * c._EP2!r})
+                 * pow(aa, 5) / 120.0) AS easting,
+         {c.UTM_K0!r} * (m + n * tanp *
+           (aa * aa / 2.0
+            + (5.0 - t + cc * 9.0 + cc * cc * 4.0) * pow(aa, 4) / 24.0
+            + (61.0 - t * 58.0 + t * t + cc * 600.0 - {330.0 * c._EP2!r})
+              * pow(aa, 6) / 720.0)) AS northing
+  FROM f3
+),
+i1 AS (
+  SELECT id, easting, northing,
+         easting - {c.UTM_FALSE_EASTING!r} AS x,
+         northing / {mu_den!r} AS mu
+  FROM fwd
+),
+i2 AS (
+  SELECT id, easting, northing, x,
+         mu + {c._P2!r} * sin(mu * 2.0) + {c._P4!r} * sin(mu * 4.0)
+            + {c._P6!r} * sin(mu * 6.0) + {c._P8!r} * sin(mu * 8.0) AS phi1
+  FROM i1
+),
+i3 AS (
+  SELECT id, easting, northing, x, phi1,
+         sin(phi1) AS sin1, cos(phi1) AS cos1, tan(phi1) AS tan1
+  FROM i2
+),
+i4 AS (
+  SELECT id, easting, northing, x, phi1, cos1, tan1,
+         {c._EP2!r} * cos1 * cos1 AS c1,
+         tan1 * tan1 AS t1,
+         1.0 - {c._E2!r} * sin1 * sin1 AS om
+  FROM i3
+),
+i5 AS (
+  SELECT id, easting, northing, phi1, cos1, tan1, c1, t1,
+         {c.UTM_A!r} / sqrt(om) AS n1,
+         {r1_num!r} / pow(om, 1.5) AS r1,
+         x / (({c.UTM_A!r} / sqrt(om)) * {c.UTM_K0!r}) AS d
+  FROM i4
+),
+inv AS (
+  SELECT id, easting, northing,
+         degrees(phi1 - (n1 * tan1 / r1) *
+           (d * d / 2.0
+            - (5.0 + t1 * 3.0 + c1 * 10.0 - c1 * c1 * 4.0 - {9.0 * c._EP2!r})
+              * pow(d, 4) / 24.0
+            + (61.0 + t1 * 90.0 + c1 * 298.0 + t1 * t1 * 45.0
+               - {252.0 * c._EP2!r} - c1 * c1 * 3.0)
+              * pow(d, 6) / 720.0)) AS lat_rt,
+         degrees({lam0!r} +
+           (d - (1.0 + t1 * 2.0 + c1) * pow(d, 3) / 6.0
+              + (5.0 - c1 * 2.0 + t1 * 28.0 - c1 * c1 * 3.0
+                 + {8.0 * c._EP2!r} + t1 * t1 * 24.0)
+                * pow(d, 5) / 120.0) / cos1) AS lon_rt
+  FROM i5
+)
+SELECT id, ROUND(easting, 3) AS easting, ROUND(northing, 3) AS northing,
+       ROUND(lon_rt, 9) AS lon_rt, ROUND(lat_rt, 9) AS lat_rt
+FROM inv
+"""
+
+
 # --- tile assignment + density drop (K2/O2) -----------------------------------
 
 _TILE_MAX_ZOOM = 4
@@ -386,6 +517,13 @@ QUERIES: list[Query] = [
         _crs_reproject,
         _CRS_SQL,
         doc="P9/F8: Web Mercator → WGS-84, closed-form column math",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "crs_reproject_utm",
+        _crs_reproject_utm,
+        _crs_utm_sql(),
+        doc="P9/F8: WGS-84 ↔ UTM 33N, closed-form transverse Mercator both legs",
         tags=("geo", "scalar"),
     ),
     Query(

@@ -32,6 +32,22 @@ def con():
     return c
 
 
+def test_priority_names_all_registered():
+    """Drift guard: every PRIORITY name must be registered by a QUERIES
+    module. A phantom name makes ``all_queries()`` raise, which zeroes the
+    whole correctness gate — this test fails first, without a SparkSession,
+    so the drift is caught at commit time."""
+    from sids_data_pipeline_spark.plans import catalog, ext_queries, geo_queries, relational
+
+    registered = {
+        q.name
+        for module in (relational, ext_queries, geo_queries)
+        for q in module.QUERIES
+    }
+    missing = set(catalog.PRIORITY) - registered
+    assert not missing, f"PRIORITY names not registered: {sorted(missing)}"
+
+
 def test_names_unique_and_wellformed(catalog):
     assert len(catalog) >= 60
     for name, q in catalog.items():

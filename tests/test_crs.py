@@ -62,6 +62,60 @@ def test_standardize_mixed_crs(spark):
     assert rows[2].src_epsg == 4326
 
 
+def test_utm_known_vector(spark):
+    """Published UTM 32N sample (Freiburg): E≈414278.17 N≈5316285.60 —
+    agrees with GDAL/proj to well under a metre (series truncation)."""
+    df = spark.createDataFrame(
+        [(0, 7.8509671, 47.9941214)], "id long, lon double, lat double"
+    )
+    e, n = crs.lonlat_to_utm(F.col("lon"), F.col("lat"), zone=32)
+    row = df.select(e.alias("e"), n.alias("n")).collect()[0]
+    assert abs(row.e - 414278.17) < 1.0
+    assert abs(row.n - 5316285.60) < 1.0
+
+
+def test_utm_central_meridian_invariants(spark):
+    """On the central meridian: easting is exactly the false easting and
+    the equator maps to northing 0 (north) / 10⁷ (south)."""
+    df = spark.createDataFrame([(0, 15.0, 0.0)], "id long, lon double, lat double")
+    e, n = crs.lonlat_to_utm(F.col("lon"), F.col("lat"), zone=33)
+    row = df.select(e.alias("e"), n.alias("n")).collect()[0]
+    assert row.e == crs.UTM_FALSE_EASTING
+    assert abs(row.n) < 1e-9
+    es, ns = crs.lonlat_to_utm(F.col("lon"), F.col("lat"), zone=33, south=True)
+    row = df.select(es.alias("e"), ns.alias("n")).collect()[0]
+    assert abs(row.n - crs.UTM_FALSE_NORTHING_SOUTH) < 1e-9
+
+
+def test_utm_roundtrip_in_zone(spark):
+    """Forward→inverse closes to <1e-8 deg (~1 mm) anywhere inside the
+    zone's 6° band, both hemispheres (via reproject_pixels dispatch)."""
+    pts = spark.range(0, 200, 1, 4).select(
+        F.col("id"),
+        (F.lit(12.05) + (F.col("id") % 20).cast("double") * 0.31).alias("lon"),
+        ((F.col("id") / 20).cast("long").cast("double") * 15.0 - 70.0).alias("lat"),
+    )
+    for epsg in (32633, 32733):
+        utm = crs.reproject_pixels(pts, 4326, epsg)
+        back = crs.reproject_pixels(utm, epsg, 4326)
+        rows = back.join(
+            pts.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+        ).collect()
+        for r in rows:
+            assert abs(r.lon - r.lon0) < 1e-8
+            assert abs(r.lat - r.lat0) < 1e-8
+
+
+def test_utm_params_validation():
+    assert crs.utm_params(32633) == (33, False)
+    assert crs.utm_params(32733) == (33, True)
+    assert crs.utm_epsg(33) == 32633
+    assert crs.utm_epsg(33, south=True) == 32733
+    for bad in (32600, 32661, 32700, 32761, 4326, 27700):
+        with pytest.raises(ValueError):
+            crs.utm_params(bad)
+
+
 def test_promote_to_multi():
     poly = geo.polygon_wkb([[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]])
     multi = geo.promote_to_multi(poly)
