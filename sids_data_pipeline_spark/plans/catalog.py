@@ -64,6 +64,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "similarity_topk",
     "corpus_curation",
+    "streaming_dedup_batch",
     # — relational family representatives —
     "pricing_summary",
     "proj_star_prefix",

@@ -88,6 +88,38 @@ JOIN (SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text) k
 """
 
 
+def _streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming surface, gate-visible: availableNow exact dedup over a
+    file-source documents stream (foreachBatch + persistent digest
+    ledger, streaming/jobs.py). The sf tables are single parquet files →
+    one micro-batch, so the drained result equals batch exact_dedup and
+    the dedup_exact oracle applies in full."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.schemas import TABLE_SCHEMAS
+    from sids_data_pipeline_spark.streaming.jobs import streaming_exact_dedup
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_dedup_")
+    # Stage into a directory: the file-stream source requires a directory
+    # (it pins basePath for partition discovery). One file ⇒ one
+    # micro-batch ⇒ keep-first is globally min doc_id, same as batch.
+    src = os.path.join(work, "src")
+    (docs,) = tables(spark, sf_dir, "documents")
+    docs.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(TABLE_SCHEMAS["documents"]).parquet(src)
+    streaming_exact_dedup(
+        spark,
+        stream,
+        os.path.join(work, "out"),
+        os.path.join(work, "ckpt"),
+        key_cols=("text",),
+        id_col="doc_id",
+    )
+    rows = spark.read.parquet(os.path.join(work, "out", "rows"))
+    return rows.select("doc_id", "lang", "source", "n_chars")
+
+
 def _dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     uniq = dedup.exact_dedup(docs, ["text"], "doc_id")
@@ -1058,6 +1090,10 @@ QUERIES: list[Query] = [
           doc="E1 exact dedup: sha2 keep-first", tags=("dedup",)),
     Query("dedup_exact_stats", _dedup_exact_stats, _DEDUP_EXACT_STATS_SQL,
           doc="E1 dedup summary counts", tags=("dedup",)),
+    Query("streaming_dedup_batch", _streaming_dedup_batch, _DEDUP_EXACT_SQL,
+          doc="Streaming availableNow exact dedup (foreachBatch + digest "
+              "ledger); single-batch drain ⇒ batch-parity oracle",
+          tags=("dedup", "streaming")),
     Query("dedup_minhash_lsh", _dedup_minhash, _minhash_sql(),
           doc="E2 MinHash + banded LSH → exact Jaccard (hash-verified)",
           tags=("dedup", "lsh")),
