@@ -8,13 +8,15 @@ itself re-writes rasters to a fixed profile before use,
 sample bytes. This module implements that subset in pure numpy:
 
 - :func:`decode_geotiff` — bytes → (2-D array, (origin_x, origin_y,
-  pixel_sx, pixel_sy), nodata). Little/big-endian, strip layout,
-  uint8/16/32, int16/32, float32/64, raw or deflate-compressed strips;
-  rejects other codecs or tiled input with a clear error
-  (ZSTD-compressed sources need one `gdal_translate` or a rasterio
-  build — the mapInPandas plumbing is unchanged).
+  pixel_sx, pixel_sy), nodata). Little/big-endian, strip OR tile layout
+  (the reference's own profile is TILED=YES 128×128,
+  batch/processing/raster.py:7-8), uint8/16/32, int16/32, float32/64,
+  raw or deflate-compressed chunks; rejects other codecs with a clear
+  error (ZSTD-compressed sources need one `gdal_translate` or a
+  rasterio build — the mapInPandas plumbing is unchanged).
 - :func:`encode_geotiff` — the matching writer (K5): single-band
-  float64, one strip, ModelPixelScale + ModelTiepoint georef.
+  float64, one strip or ``tile=N`` tiled layout, ModelPixelScale +
+  ModelTiepoint georef.
 - :func:`ingest_geotiff` — the DISTRIBUTED ingest: ``binaryFile`` scan →
   ``mapInPandas`` decode → long-format PIXELS rows. One task per file,
   payloads never touch the driver; at 100 TB the parallelism is file
@@ -43,6 +45,9 @@ _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
 _TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550
 _TAG_MODEL_TIEPOINT = 33922
@@ -85,8 +90,6 @@ def decode_geotiff(data: bytes):
     if struct.unpack_from(bo + "H", data, 2)[0] != 42:
         raise ValueError("not a classic TIFF (BigTIFF unsupported)")
     tags = _read_ifd(data, bo)
-    if _TAG_TILE_WIDTH in tags:
-        raise NotImplementedError("tiled TIFF layout not supported; use strips")
     compression = tags.get(_TAG_COMPRESSION, [1])[0]
     if compression not in (1, 8):
         raise NotImplementedError(
@@ -106,19 +109,42 @@ def decode_geotiff(data: bytes):
     }.get((fmt, bits))
     if dtype is None:
         raise NotImplementedError(f"sample format {fmt} bits {bits} not supported")
-    strips = (
-        data[o : o + c]
-        for o, c in zip(tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS])
-    )
-    if compression == 8:
-        raw = b"".join(zlib.decompress(strip) for strip in strips)
+    if _TAG_TILE_WIDTH in tags:
+        # Tiled layout (the reference's own standardized profile is
+        # TILED=YES 128×128, batch/processing/raster.py:7-8): tiles run
+        # left-to-right, top-to-bottom, each padded to tw×tl; assemble on
+        # the padded lattice and crop to the declared image size.
+        tw = tags[_TAG_TILE_WIDTH][0]
+        tl = tags[_TAG_TILE_LENGTH][0]
+        across = (width + tw - 1) // tw
+        down = (length + tl - 1) // tl
+        padded = np.empty((down * tl, across * tw), dtype=bo + dtype)
+        offsets = tags[_TAG_TILE_OFFSETS]
+        counts = tags[_TAG_TILE_COUNTS]
+        for idx, (o, c) in enumerate(zip(offsets, counts)):
+            buf = data[o : o + c]
+            if compression == 8:
+                buf = zlib.decompress(buf)
+            tile = np.frombuffer(buf, dtype=bo + dtype, count=tw * tl).reshape(
+                tl, tw
+            )
+            ty, tx = divmod(idx, across)
+            padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+        values = padded[:length, :width].astype("float64")
     else:
-        raw = b"".join(strips)
-    values = (
-        np.frombuffer(raw, dtype=bo + dtype, count=width * length)
-        .reshape(length, width)
-        .astype("float64")
-    )
+        strips = (
+            data[o : o + c]
+            for o, c in zip(tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS])
+        )
+        if compression == 8:
+            raw = b"".join(zlib.decompress(strip) for strip in strips)
+        else:
+            raw = b"".join(strips)
+        values = (
+            np.frombuffer(raw, dtype=bo + dtype, count=width * length)
+            .reshape(length, width)
+            .astype("float64")
+        )
     sx, sy = 1.0, 1.0
     ox, oy = 0.0, 0.0
     if _TAG_MODEL_PIXEL_SCALE in tags:
@@ -143,27 +169,43 @@ def encode_geotiff(
     nodata: float | None = None,
     pixel_deg_y: float | None = None,
     compress: str | None = None,
+    tile: int | None = None,
 ) -> bytes:
-    """K5 writer: single-band float64, one strip, little-endian, georef
-    tags. origin is the raster's upper-left corner; rows run southward
-    (the GeoTIFF convention). ``pixel_deg_y`` defaults to ``pixel_deg``
-    (square pixels); pass it for non-square lattices. ``compress``:
-    None (raw strips) or ``'deflate'`` (zlib, TIFF compression 8) — the
-    stdlib stand-in for the reference's ZSTD raster profile
-    (batch/processing/raster.py:7; Parquet ZSTD covers data at rest)."""
+    """K5 writer: single-band float64, little-endian, georef tags. origin
+    is the raster's upper-left corner; rows run southward (the GeoTIFF
+    convention). ``pixel_deg_y`` defaults to ``pixel_deg`` (square
+    pixels); pass it for non-square lattices. ``compress``: None (raw) or
+    ``'deflate'`` (zlib, TIFF compression 8) — the stdlib stand-in for
+    the reference's ZSTD raster profile (batch/processing/raster.py:7;
+    Parquet ZSTD covers data at rest). ``tile``: None → one strip;
+    an int (e.g. 128) → tiled layout matching the reference's
+    BLOCKXSIZE/BLOCKYSIZE profile, edge tiles padded with ``nodata``."""
     sy = pixel_deg if pixel_deg_y is None else pixel_deg_y
     arr = np.ascontiguousarray(values, dtype="<f8")
     h, w = arr.shape
-    sample_bytes = arr.tobytes()
+    if tile is not None:
+        across = (w + tile - 1) // tile
+        down = (h + tile - 1) // tile
+        pad_val = nodata if nodata is not None else 0.0
+        padded = np.full((down * tile, across * tile), pad_val, dtype="<f8")
+        padded[:h, :w] = arr
+        chunks = [
+            padded[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+            .tobytes()
+            for ty in range(down)
+            for tx in range(across)
+        ]
+    else:
+        chunks = [arr.tobytes()]
     if compress == "deflate":
-        sample_bytes = zlib.compress(sample_bytes, 6)
+        chunks = [zlib.compress(c, 6) for c in chunks]
         comp_tag = 8
     elif compress is None:
         comp_tag = 1
     else:
         raise ValueError(f"unsupported compression {compress!r}; use None or 'deflate'")
-    entries = []  # (tag, type, count, packed-or-deferred)
-    deferred: list[tuple[int, bytes]] = []
+    off_tag = _TAG_TILE_OFFSETS if tile is not None else _TAG_STRIP_OFFSETS
+    entries = []  # (tag, type, count, inline-or-None, payload-or-None)
 
     def entry(tag, typ, count, payload: bytes):
         if len(payload) <= 4:
@@ -171,15 +213,22 @@ def encode_geotiff(
         else:
             entries.append((tag, typ, count, None, payload))
 
+    n = len(chunks)
     entry(_TAG_WIDTH, 4, 1, struct.pack("<I", w))
     entry(_TAG_LENGTH, 4, 1, struct.pack("<I", h))
     entry(_TAG_BITS, 3, 1, struct.pack("<H", 64))
     entry(_TAG_COMPRESSION, 3, 1, struct.pack("<H", comp_tag))
     entry(262, 3, 1, struct.pack("<H", 1))  # photometric: BlackIsZero
-    entry(_TAG_STRIP_OFFSETS, 4, 1, b"\0\0\0\0")  # patched below
     entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<H", 1))
-    entry(_TAG_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
-    entry(_TAG_STRIP_COUNTS, 4, 1, struct.pack("<I", len(sample_bytes)))
+    if tile is not None:
+        entry(_TAG_TILE_WIDTH, 4, 1, struct.pack("<I", tile))
+        entry(_TAG_TILE_LENGTH, 4, 1, struct.pack("<I", tile))
+        entry(_TAG_TILE_OFFSETS, 4, n, b"\0" * (4 * n))  # patched below
+        entry(_TAG_TILE_COUNTS, 4, n, struct.pack(f"<{n}I", *map(len, chunks)))
+    else:
+        entry(_TAG_STRIP_OFFSETS, 4, 1, b"\0\0\0\0")  # patched below
+        entry(_TAG_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
+        entry(_TAG_STRIP_COUNTS, 4, 1, struct.pack("<I", len(chunks[0])))
     entry(_TAG_SAMPLE_FORMAT, 3, 1, struct.pack("<H", 3))
     entry(_TAG_MODEL_PIXEL_SCALE, 12, 3, struct.pack("<3d", pixel_deg, sy, 0.0))
     entry(
@@ -194,24 +243,36 @@ def encode_geotiff(
     ifd_off = 8
     ifd_size = 2 + 12 * len(entries) + 4
     ext_off = ifd_off + ifd_size
-    ext_blobs = []
+    ext_blobs: list[bytes] = []
     fixed = []
+    offsets_blob_idx = None
     for tag, typ, count, inline, payload in entries:
         if inline is not None:
             fixed.append((tag, typ, count, inline))
         else:
+            if tag == off_tag:
+                offsets_blob_idx = len(ext_blobs)
             fixed.append((tag, typ, count, struct.pack("<I", ext_off)))
             ext_blobs.append(payload)
             ext_off += len(payload)
     data_off = ext_off
+    # chunk k starts at data_off + total size of chunks before it
+    chunk_offs = []
+    pos = data_off
+    for c in chunks:
+        chunk_offs.append(pos)
+        pos += len(c)
+    offs_payload = struct.pack(f"<{n}I", *chunk_offs)
+    if offsets_blob_idx is not None:
+        ext_blobs[offsets_blob_idx] = offs_payload
     out = [struct.pack("<2sHI", b"II", 42, ifd_off), struct.pack("<H", len(entries))]
     for tag, typ, count, val in fixed:
-        if tag == _TAG_STRIP_OFFSETS:
-            val = struct.pack("<I", data_off)
+        if tag == off_tag and count == 1:
+            val = struct.pack("<I", chunk_offs[0])
         out.append(struct.pack("<HHI", tag, typ, count) + val)
     out.append(struct.pack("<I", 0))  # no next IFD
     out.extend(ext_blobs)
-    out.append(sample_bytes)
+    out.extend(chunks)
     return b"".join(out)
 
 

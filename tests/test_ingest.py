@@ -37,6 +37,53 @@ def test_geotiff_codec_roundtrip(gradient_array):
     assert nodata is None
 
 
+@pytest.mark.parametrize("compress", [None, "deflate"])
+@pytest.mark.parametrize("tile", [128, 17])
+def test_geotiff_tiled_roundtrip(gradient_array, compress, tile):
+    """Tiled layout (the reference's TILED=YES BLOCKSIZE=128 profile,
+    batch/processing/raster.py:7-8) round-trips bit-exactly, including a
+    tile size that doesn't divide the 64-px grid (edge-tile padding)."""
+    data = geotiff.encode_geotiff(
+        gradient_array[::-1], origin_x=0.0, origin_y=GRID_N * PIXEL_DEG,
+        pixel_deg=PIXEL_DEG, nodata=-9999.0, compress=compress, tile=tile,
+    )
+    values, (ox, oy, sx, sy), nodata = geotiff.decode_geotiff(data)
+    assert values.shape == (GRID_N, GRID_N)
+    assert np.array_equal(values[::-1], gradient_array)
+    assert (ox, oy) == (0.0, GRID_N * PIXEL_DEG)
+    assert (sx, sy) == (PIXEL_DEG, PIXEL_DEG)
+    assert nodata == -9999.0
+
+
+def test_geotiff_tiled_multi_tile_grid(gradient_array):
+    """128×128 on a 300×180 grid: 3×2 tile lattice with ragged edges."""
+    y, x = np.mgrid[0:180, 0:300]
+    arr = (x * 0.5 + y).astype("float64")
+    data = geotiff.encode_geotiff(
+        arr, origin_x=10.0, origin_y=20.0, pixel_deg=0.01,
+        compress="deflate", tile=128,
+    )
+    values, _, _ = geotiff.decode_geotiff(data)
+    assert values.shape == (180, 300)
+    assert np.array_equal(values, arr)
+
+
+def test_geotiff_tiled_ingest_distributed(spark, tmp_path):
+    """Tiled files flow through the binaryFile + mapInPandas ingest path
+    identically to strip files."""
+    arr = np.arange(64.0 * 64.0).reshape(64, 64)
+    strip = geotiff.encode_geotiff(arr, 0.0, 6.4, 0.1)
+    tiled = geotiff.encode_geotiff(arr, 0.0, 6.4, 0.1, tile=128)
+    (tmp_path / "a_strip.tif").write_bytes(strip)
+    (tmp_path / "b_tiled.tif").write_bytes(tiled)
+    pdf = (
+        geotiff.ingest_geotiff(spark, str(tmp_path) + "/*.tif")
+        .toPandas()
+        .pivot_table(index=["y", "x"], columns="raster_id", values="val")
+    )
+    assert np.array_equal(pdf["a_strip"].to_numpy(), pdf["b_tiled"].to_numpy())
+
+
 def test_geotiff_nodata_and_errors(gradient_array):
     data = geotiff.encode_geotiff(gradient_array, 0.0, 6.4, 0.1, nodata=-9999.0)
     _, _, nodata = geotiff.decode_geotiff(data)
