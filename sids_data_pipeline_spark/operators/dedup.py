@@ -40,6 +40,10 @@ from sids_data_pipeline_spark.lifecycle import track
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4
+# Production cap on LSH band-bucket size: buckets larger than this are
+# uninformative (boilerplate/empty text) and quadratic in candidate pairs;
+# 10⁴ docs/bucket ⇒ ≤5·10⁷ pairs per degenerate value, bounded not O(n²).
+DEFAULT_MAX_BUCKET = 10_000
 
 
 def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -249,6 +253,7 @@ def near_duplicates_minhash(
     shingle_n: int | None = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """E2: MinHash + banded LSH candidates → exact Jaccard ≥ threshold.
 
@@ -256,6 +261,11 @@ def near_duplicates_minhash(
     unigram tokens): shingles keep band collisions discriminative even on
     small vocabularies, which bounds candidate fan-out — the property that
     keeps this operator sub-quadratic at corpus scale.
+
+    ``max_bucket`` (default 10⁴) is ON in this production entry point: it
+    removes the one quadratic escape hatch (a degenerate band bucket of n
+    docs emits n²/2 pairs). The oracle stays exact because the SQL twin
+    applies the same cap; pass ``None`` for pure unbounded banding.
     Output: (id1, id2, jaccard).
     """
     tok = (
@@ -279,7 +289,7 @@ def near_duplicates_minhash(
             StorageLevel.MEMORY_AND_DISK
         )
     )
-    cand = lsh_candidate_pairs(sig.drop("_toks"), num_hashes, bands)
+    cand = lsh_candidate_pairs(sig.drop("_toks"), num_hashes, bands, max_bucket)
     scored = jaccard_on_pairs(
         tok, cand,
         sizes=sig.select("doc_id", "_toks", F.col("set_size").alias("_sz")),

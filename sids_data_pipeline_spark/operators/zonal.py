@@ -38,6 +38,7 @@ NULL stat.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -50,6 +51,14 @@ from pyspark.storagelevel import StorageLevel
 from sids_data_pipeline_spark.lifecycle import track
 
 from sids_data_pipeline_spark.functions import geo
+
+_LOG = logging.getLogger(__name__)
+
+# Max zone rows the broadcast strategy will collect to the driver before
+# auto-falling-back to the distributed grid strategy. 10⁵ admin-boundary
+# geometries ≈ low hundreds of MB — safely inside driver memory; anything
+# bigger is not a dimension table.
+BROADCAST_ZONE_LIMIT = 100_000
 
 SUPPORTED_STATS = ("mean", "count", "sum", "min", "max", "stddev", "median")
 
@@ -214,7 +223,22 @@ def spatial_join(
     skewed cells (coastline-dense zones).
     """
     if how == "broadcast":
-        return _broadcast_spatial_join(zones, pixels, float(cell_deg))
+        # Driver-OOM guard: ``broadcast`` collects zone geometries to the
+        # driver, which is only safe for dimension-sized zone tables. The
+        # probe is a bounded scan (limit N+1, early-exit — never a full
+        # count of a huge table); above the cap we fall back to the grid
+        # strategy, which computes the same result with zones distributed.
+        probe = zones.limit(BROADCAST_ZONE_LIMIT + 1).count()
+        if probe > BROADCAST_ZONE_LIMIT:
+            _LOG.warning(
+                "spatial_join(how='broadcast'): zone table exceeds %d rows; "
+                "falling back to how='grid' (identical semantics, "
+                "distributed zones)",
+                BROADCAST_ZONE_LIMIT,
+            )
+            how = "grid"
+        else:
+            return _broadcast_spatial_join(zones, pixels, float(cell_deg))
     if how != "grid":
         raise ValueError(f"how must be 'broadcast' or 'grid', got {how!r}")
     cell = float(cell_deg)

@@ -169,8 +169,16 @@ sig AS (
     {mins}
   FROM h GROUP BY doc_id
 ),
-bands AS (
+bands0 AS (
 {band_selects}
+),
+-- mirror of max_bucket: drop degenerate band buckets before the self-join
+bok AS (
+  SELECT band_idx, band_val FROM bands0
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
+),
+bands AS (
+  SELECT b.* FROM bands0 b JOIN bok USING (band_idx, band_val)
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2

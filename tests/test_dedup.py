@@ -133,3 +133,21 @@ def test_decontaminate_drops_overlapping_docs(spark):
         for r in dedup.decontaminate(corpus, bench, n=3, min_shared=1).collect()
     )
     assert kept2 == [2]
+
+
+def test_max_bucket_drops_degenerate_buckets(spark):
+    """The production cap removes the quadratic escape hatch: a band
+    bucket larger than max_bucket contributes no candidate pairs, while
+    normal-sized buckets are untouched (cap=None ⊇ capped result)."""
+    # 12 identical docs → every band bucket has 12 members
+    many = spark.createDataFrame(
+        [(i, "same text everywhere all the time again and again") for i in range(12)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.near_duplicates_minhash(many, threshold=0.5, max_bucket=None)
+    capped = dedup.near_duplicates_minhash(many, threshold=0.5, max_bucket=8)
+    assert uncapped.count() == 12 * 11 // 2
+    assert capped.count() == 0
+    # a cap above the bucket size changes nothing
+    roomy = dedup.near_duplicates_minhash(many, threshold=0.5, max_bucket=100)
+    assert roomy.count() == 12 * 11 // 2

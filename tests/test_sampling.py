@@ -93,3 +93,48 @@ def test_hash_threshold_sample_stable_subset(spark):
         r.doc_id for r in sampling.hash_threshold_sample(grown, 0.1).collect()
     }
     assert {d for d in grown_small if d < 1000} == small
+
+
+def test_stratified_prethin_identical_output(spark):
+    """Property: the auto pre-thin produces EXACTLY the same sample as
+    the unthinned ranking (threshold forced low so the 300-row stratum
+    triggers thinning; a small stratum rides along untouched)."""
+    df = spark.createDataFrame(
+        [(i, "big" if i < 300 else "small") for i in range(310)],
+        "doc_id long, lang string",
+    )
+    plain = sorted(
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df, ["lang"], k=7, prethin_threshold=None
+        ).collect()
+    )
+    thinned = sorted(
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df, ["lang"], k=7, prethin_threshold=100
+        ).collect()
+    )
+    assert plain == thinned
+
+
+def test_stratified_prethin_shortfall_guard(spark):
+    """With a deliberately hostile oversample (<1), the cutoff keeps
+    fewer than k rows and the guard must restore the full stratum —
+    output still identical to the unthinned ranking."""
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(250)], "doc_id long, lang string"
+    )
+    plain = sorted(
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df, ["lang"], k=20, prethin_threshold=None
+        ).collect()
+    )
+    guarded = sorted(
+        r.doc_id
+        for r in sampling.stratified_sample(
+            df, ["lang"], k=20, prethin_threshold=100, oversample=0.05
+        ).collect()
+    )
+    assert plain == guarded

@@ -142,3 +142,29 @@ def test_rect_fast_path_equals_kernel_path(spark, how):
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
     assert outs[0]["count"].iloc[0] > 0
+
+
+def test_broadcast_falls_back_to_grid_above_zone_limit(spark, monkeypatch, caplog):
+    """Driver-OOM guard: a zone table above BROADCAST_ZONE_LIMIT silently
+    switches how='broadcast' to the distributed grid strategy with the
+    same results (cap shrunk so the test stays small)."""
+    import logging
+
+    from sids_data_pipeline_spark.operators import zonal
+
+    zones = fixture_zones(spark, "zones_grid")
+    pixels = synthetic_raster(spark, "rast_gradient")
+    n_zones = zones.count()
+    monkeypatch.setattr(zonal, "BROADCAST_ZONE_LIMIT", n_zones - 1)
+    with caplog.at_level(logging.WARNING, logger=zonal.__name__):
+        fallback = zonal.zonal_stats(
+            zones, pixels, stats=("mean", "count"), how="broadcast"
+        ).toPandas()
+    assert any("falling back to how='grid'" in m for m in caplog.messages)
+    direct = zonal.zonal_stats(
+        zones, pixels, stats=("mean", "count"), how="grid"
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        fallback.sort_values("fid").reset_index(drop=True),
+        direct.sort_values("fid").reset_index(drop=True),
+    )
