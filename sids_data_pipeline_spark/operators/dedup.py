@@ -168,13 +168,26 @@ def lsh_candidate_pairs(
         "doc_id",
         F.expr(f"stack({bands}, {stack_args}) AS (band_idx, band_val)"),
     )
+    if max_bucket is not None and sig.limit(max_bucket + 1).count() <= max_bucket:
+        # A bucket can never hold more docs than exist, so with ≤
+        # max_bucket docs the cap is a no-op BY CONSTRUCTION — skip the
+        # size aggregate (a serial broadcast-materialization job) and keep
+        # exactness. The probe is a bounded limit+count on the (cached)
+        # signature table, not a full scan.
+        max_bucket = None
     if max_bucket is not None:
-        sizes = banded.groupBy("band_idx", "band_val").agg(
-            F.count("*").alias("_n")
+        # Subtract only the OVERSIZED buckets (normally zero): the size
+        # aggregate is map-side combined and tiny, the survivors list is
+        # near-empty, and the broadcast anti-join adds no shuffle of the
+        # banded table — the healthy path costs one cheap aggregation.
+        oversized = (
+            banded.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band_idx", "band_val")
         )
         banded = banded.join(
-            sizes.filter(F.col("_n") <= max_bucket).select("band_idx", "band_val"),
-            ["band_idx", "band_val"],
+            F.broadcast(oversized), ["band_idx", "band_val"], "left_anti"
         )
     left = banded.alias("l")
     right = banded.alias("r")

@@ -121,8 +121,9 @@ def _zone_bboxes(zones: DataFrame) -> DataFrame:
 
 def _broadcast_spatial_join(
     zones: DataFrame, pixels: DataFrame, cell_deg: float
-) -> DataFrame:
-    """Broadcast strategy with a driver-built zone index.
+) -> DataFrame | None:
+    """Broadcast strategy with a driver-built zone index; returns None
+    when zones exceed BROADCAST_ZONE_LIMIT (caller falls back to grid).
 
     ``broadcast`` already implies the zones fit in memory (the reference
     makes the same assumption by importing vectors once up front), so the
@@ -135,7 +136,16 @@ def _broadcast_spatial_join(
     """
     import pandas as pd
 
-    rows = zones.select("vector_id", "fid", "geometry").collect()
+    # Bounded collect: the limit caps driver memory AND doubles as the
+    # oversize probe — no separate count job. None = over the cap, and
+    # spatial_join falls back to the distributed grid strategy.
+    rows = (
+        zones.select("vector_id", "fid", "geometry")
+        .limit(BROADCAST_ZONE_LIMIT + 1)
+        .collect()
+    )
+    if len(rows) > BROADCAST_ZONE_LIMIT:
+        return None
     cell = float(cell_deg)
     cell_rows = []
     geo_map = {}
@@ -225,20 +235,20 @@ def spatial_join(
     if how == "broadcast":
         # Driver-OOM guard: ``broadcast`` collects zone geometries to the
         # driver, which is only safe for dimension-sized zone tables. The
-        # probe is a bounded scan (limit N+1, early-exit — never a full
-        # count of a huge table); above the cap we fall back to the grid
-        # strategy, which computes the same result with zones distributed.
-        probe = zones.limit(BROADCAST_ZONE_LIMIT + 1).count()
-        if probe > BROADCAST_ZONE_LIMIT:
-            _LOG.warning(
-                "spatial_join(how='broadcast'): zone table exceeds %d rows; "
-                "falling back to how='grid' (identical semantics, "
-                "distributed zones)",
-                BROADCAST_ZONE_LIMIT,
-            )
-            how = "grid"
-        else:
-            return _broadcast_spatial_join(zones, pixels, float(cell_deg))
+        # collect inside is bounded at BROADCAST_ZONE_LIMIT+1 rows (the
+        # limit doubles as the probe — no separate count job); above the
+        # cap it returns None and we fall back to the grid strategy,
+        # which computes the same result with zones distributed.
+        joined = _broadcast_spatial_join(zones, pixels, float(cell_deg))
+        if joined is not None:
+            return joined
+        _LOG.warning(
+            "spatial_join(how='broadcast'): zone table exceeds %d rows; "
+            "falling back to how='grid' (identical semantics, distributed "
+            "zones)",
+            BROADCAST_ZONE_LIMIT,
+        )
+        how = "grid"
     if how != "grid":
         raise ValueError(f"how must be 'broadcast' or 'grid', got {how!r}")
     cell = float(cell_deg)
