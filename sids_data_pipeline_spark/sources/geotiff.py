@@ -11,9 +11,9 @@ sample bytes. This module implements that subset in pure numpy:
   pixel_sx, pixel_sy), nodata). Little/big-endian, strip OR tile layout
   (the reference's own profile is TILED=YES 128×128,
   batch/processing/raster.py:7-8), uint8/16/32, int16/32, float32/64,
-  raw or deflate-compressed chunks; rejects other codecs with a clear
-  error (ZSTD-compressed sources need one `gdal_translate` or a
-  rasterio build — the mapInPandas plumbing is unchanged).
+  raw, deflate, or ZSTD chunks (tag 50000, via pyarrow's zstd codec) —
+  the reference's full COMPRESS=ZSTD/TILED=YES output profile ingests
+  without GDAL.
 - :func:`encode_geotiff` — the matching writer (K5): single-band
   float64, one strip or ``tile=N`` tiled layout, ModelPixelScale +
   ModelTiepoint georef.
@@ -55,6 +55,32 @@ _TAG_GDAL_NODATA = 42113
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 
+# TIFF compression tags the codec handles. 50000 is the de-facto ZSTD id
+# (GDAL/libtiff) — the reference's own output profile is COMPRESS=ZSTD
+# (batch/processing/raster.py:7); pyarrow ships the zstd codec, so no
+# GDAL/rasterio needed. ZSTD decompression requires the expected output
+# size, which TIFF always determines (chunk dims × sample width).
+_COMP_NONE, _COMP_DEFLATE, _COMP_ZSTD = 1, 8, 50000
+
+
+def _zstd_codec():
+    import pyarrow as pa
+
+    return pa.Codec("zstd")
+
+
+def _decompress(buf: bytes, compression: int, expected_size: int) -> bytes:
+    if compression == _COMP_NONE:
+        return buf
+    if compression == _COMP_DEFLATE:
+        return zlib.decompress(buf)
+    if compression == _COMP_ZSTD:
+        return bytes(_zstd_codec().decompress(buf, expected_size))
+    raise NotImplementedError(
+        "TIFF compression %d needs a codec (rasterio/GDAL); engine "
+        "subset is raw (1), deflate (8), or ZSTD (50000)" % compression
+    )
+
 
 def _read_ifd(buf: bytes, bo: str) -> dict[int, list]:
     (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
@@ -91,10 +117,10 @@ def decode_geotiff(data: bytes):
         raise ValueError("not a classic TIFF (BigTIFF unsupported)")
     tags = _read_ifd(data, bo)
     compression = tags.get(_TAG_COMPRESSION, [1])[0]
-    if compression not in (1, 8):
+    if compression not in (_COMP_NONE, _COMP_DEFLATE, _COMP_ZSTD):
         raise NotImplementedError(
             "TIFF compression %d needs a codec (rasterio/GDAL); engine "
-            "subset is uncompressed (1) or deflate (8) strips" % compression
+            "subset is raw (1), deflate (8), or ZSTD (50000)" % compression
         )
     if tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
         raise NotImplementedError("multi-sample pixels not supported (single band)")
@@ -121,10 +147,9 @@ def decode_geotiff(data: bytes):
         padded = np.empty((down * tl, across * tw), dtype=bo + dtype)
         offsets = tags[_TAG_TILE_OFFSETS]
         counts = tags[_TAG_TILE_COUNTS]
+        itemsize = np.dtype(dtype).itemsize
         for idx, (o, c) in enumerate(zip(offsets, counts)):
-            buf = data[o : o + c]
-            if compression == 8:
-                buf = zlib.decompress(buf)
+            buf = _decompress(data[o : o + c], compression, tw * tl * itemsize)
             tile = np.frombuffer(buf, dtype=bo + dtype, count=tw * tl).reshape(
                 tl, tw
             )
@@ -132,14 +157,20 @@ def decode_geotiff(data: bytes):
             padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
         values = padded[:length, :width].astype("float64")
     else:
-        strips = (
-            data[o : o + c]
-            for o, c in zip(tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS])
+        rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [length])[0]
+        itemsize = np.dtype(dtype).itemsize
+        raw = b"".join(
+            _decompress(
+                data[o : o + c],
+                compression,
+                min(rows_per_strip, length - i * rows_per_strip)
+                * width
+                * itemsize,
+            )
+            for i, (o, c) in enumerate(
+                zip(tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS])
+            )
         )
-        if compression == 8:
-            raw = b"".join(zlib.decompress(strip) for strip in strips)
-        else:
-            raw = b"".join(strips)
         values = (
             np.frombuffer(raw, dtype=bo + dtype, count=width * length)
             .reshape(length, width)
@@ -174,10 +205,10 @@ def encode_geotiff(
     """K5 writer: single-band float64, little-endian, georef tags. origin
     is the raster's upper-left corner; rows run southward (the GeoTIFF
     convention). ``pixel_deg_y`` defaults to ``pixel_deg`` (square
-    pixels); pass it for non-square lattices. ``compress``: None (raw) or
-    ``'deflate'`` (zlib, TIFF compression 8) — the stdlib stand-in for
-    the reference's ZSTD raster profile (batch/processing/raster.py:7;
-    Parquet ZSTD covers data at rest). ``tile``: None → one strip;
+    pixels); pass it for non-square lattices. ``compress``: None (raw),
+    ``'deflate'`` (zlib, tag 8), or ``'zstd'`` (pyarrow codec, tag 50000
+    — the reference's raster profile, batch/processing/raster.py:7).
+    ``tile``: None → one strip;
     an int (e.g. 128) → tiled layout matching the reference's
     BLOCKXSIZE/BLOCKYSIZE profile, edge tiles padded with ``nodata``."""
     sy = pixel_deg if pixel_deg_y is None else pixel_deg_y
@@ -199,11 +230,17 @@ def encode_geotiff(
         chunks = [arr.tobytes()]
     if compress == "deflate":
         chunks = [zlib.compress(c, 6) for c in chunks]
-        comp_tag = 8
+        comp_tag = _COMP_DEFLATE
+    elif compress == "zstd":
+        codec = _zstd_codec()
+        chunks = [bytes(codec.compress(c)) for c in chunks]
+        comp_tag = _COMP_ZSTD
     elif compress is None:
-        comp_tag = 1
+        comp_tag = _COMP_NONE
     else:
-        raise ValueError(f"unsupported compression {compress!r}; use None or 'deflate'")
+        raise ValueError(
+            f"unsupported compression {compress!r}; use None, 'deflate', or 'zstd'"
+        )
     off_tag = _TAG_TILE_OFFSETS if tile is not None else _TAG_STRIP_OFFSETS
     entries = []  # (tag, type, count, inline-or-None, payload-or-None)
 

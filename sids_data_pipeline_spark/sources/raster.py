@@ -123,13 +123,12 @@ def ingest_geotiff(
 
     Delegates to the pure-numpy codec (sources/geotiff.py): binaryFile
     scan → mapInPandas decode → long-format PIXELS rows. Covers the
-    engine's standardised profile — uncompressed single-band strips, the
-    layout the reference's own batch module normalises rasters into
-    (``batch/processing/raster.py:20-38``). Compressed/tiled sources
-    raise with a clear message (one gdal_translate away, or swap a
-    rasterio decode into geotiff.decode_geotiff — the Spark plumbing is
-    identical). ``target_epsg`` other than 4326 applies
-    functions/crs.reproject_pixels (built-in 4326↔3857 pair).
+    reference's full standardised profile — single band, strip or
+    128×128 tiled layout, raw/deflate/ZSTD chunks
+    (``batch/processing/raster.py:7-8,20-38``) — with no GDAL; other
+    codecs raise with a clear message. ``target_epsg`` other than 4326
+    applies functions/crs.reproject_pixels (built-in 4326↔3857 and
+    4326↔UTM-zone closed forms).
     """
     from sids_data_pipeline_spark.functions.crs import reproject_pixels
     from sids_data_pipeline_spark.sources.geotiff import (

@@ -37,7 +37,7 @@ def test_geotiff_codec_roundtrip(gradient_array):
     assert nodata is None
 
 
-@pytest.mark.parametrize("compress", [None, "deflate"])
+@pytest.mark.parametrize("compress", [None, "deflate", "zstd"])
 @pytest.mark.parametrize("tile", [128, 17])
 def test_geotiff_tiled_roundtrip(gradient_array, compress, tile):
     """Tiled layout (the reference's TILED=YES BLOCKSIZE=128 profile,
@@ -53,6 +53,24 @@ def test_geotiff_tiled_roundtrip(gradient_array, compress, tile):
     assert (ox, oy) == (0.0, GRID_N * PIXEL_DEG)
     assert (sx, sy) == (PIXEL_DEG, PIXEL_DEG)
     assert nodata == -9999.0
+
+
+def test_geotiff_reference_profile_roundtrip(gradient_array):
+    """The reference's exact standardized output profile — COMPRESS=ZSTD,
+    TILED=YES, BLOCKXSIZE/BLOCKYSIZE=128 (batch/processing/raster.py:7-8)
+    — encodes and decodes without GDAL."""
+    data = geotiff.encode_geotiff(
+        gradient_array, 0.0, 6.4, 0.1, nodata=-9999.0, compress="zstd", tile=128
+    )
+    values, _, nodata = geotiff.decode_geotiff(data)
+    assert np.array_equal(values, gradient_array)
+    assert nodata == -9999.0
+
+
+def test_geotiff_zstd_strip_roundtrip(gradient_array):
+    data = geotiff.encode_geotiff(gradient_array, 0.0, 6.4, 0.1, compress="zstd")
+    values, _, _ = geotiff.decode_geotiff(data)
+    assert np.array_equal(values, gradient_array)
 
 
 def test_geotiff_tiled_multi_tile_grid(gradient_array):
