@@ -65,6 +65,7 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk",
     "corpus_curation",
     "streaming_dedup_batch",
+    "streaming_attribution",
     # — relational family representatives —
     "pricing_summary",
     "proj_star_prefix",

@@ -120,6 +120,106 @@ def _streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select("doc_id", "lang", "source", "n_chars")
 
 
+def _stage_events_stream(spark: SparkSession, sf_dir: str, work: str):
+    """Stage events as a single-file stream directory and return the
+    file-source stream (single file ⇒ one availableNow micro-batch)."""
+    import os
+
+    from sids_data_pipeline_spark.schemas import TABLE_SCHEMAS
+
+    src = os.path.join(work, "src")
+    (events,) = tables(spark, sf_dir, "events")
+    events.repartition(1).write.parquet(src)
+    return spark.readStream.schema(TABLE_SCHEMAS["events"]).parquet(src)
+
+
+def _streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join, gate-visible: click→purchase
+    attribution over the events stream (streaming/jobs.py). Inner joins
+    emit exactly on match, so one availableNow drain equals the static
+    equi+range join — the oracle is that batch join in SQL."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.streaming.jobs import stream_stream_attribution
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_attr_")
+    stream = _stage_events_stream(spark, sf_dir, work)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    sink = os.path.join(work, "out")
+    q = (
+        stream_stream_attribution(clicks, purchases)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "user_id", "click_id", "purchase_id",
+        "click_ts_us", "purchase_ts_us", "value_cents",
+    )
+
+
+_STREAMING_ATTR_SQL = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       epoch_us(c.ts) AS click_ts_us,
+       epoch_us(p.ts) AS purchase_ts_us,
+       CAST(round(p.value * 100, 0) AS BIGINT) AS value_cents
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def _streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState), gate-visible:
+    per-user running totals drained via availableNow. Update mode emits
+    the running value per (user, batch); the max over batches is the
+    final total, which equals the batch aggregate — the SQL oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from sids_data_pipeline_spark.streaming.jobs import stateful_running_totals
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_tot_")
+    stream = _stage_events_stream(spark, sf_dir, work)
+    name = f"sdp_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_value_cents").alias("sum_value_cents"),
+    )
+
+
+_STREAMING_TOTALS_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY user_id
+"""
+
+
 def _dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     uniq = dedup.exact_dedup(docs, ["text"], "doc_id")
@@ -1102,6 +1202,15 @@ QUERIES: list[Query] = [
           doc="Streaming availableNow exact dedup (foreachBatch + digest "
               "ledger); single-batch drain ⇒ batch-parity oracle",
           tags=("dedup", "streaming")),
+    Query("streaming_attribution", _streaming_attribution, _STREAMING_ATTR_SQL,
+          doc="Watermarked stream-stream click→purchase join, availableNow "
+              "drain ⇒ batch equi+range-join oracle",
+          tags=("streaming", "join")),
+    Query("streaming_running_totals", _streaming_running_totals,
+          _STREAMING_TOTALS_SQL,
+          doc="applyInPandasWithState per-user running totals; final "
+              "update equals the batch aggregate oracle",
+          tags=("streaming", "stateful")),
     Query("dedup_minhash_lsh", _dedup_minhash, _minhash_sql(),
           doc="E2 MinHash + banded LSH → exact Jaccard (hash-verified)",
           tags=("dedup", "lsh")),
