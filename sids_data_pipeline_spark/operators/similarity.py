@@ -167,6 +167,9 @@ def topk_bruteforce(
     )
 
 
+ALL_PAIRS_LIMIT = 100_000
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -179,7 +182,21 @@ def cosine_pairs(
     ``block_col`` restricts pairs to equal-key blocks (equi-join, the
     scale-safe shape); pass None for exact all-pairs semantics on small
     inputs. Pairs are id1 < id2.
+
+    The ``block_col=None`` path is an explicit crossJoin — quadratic by
+    definition — so it refuses inputs above ``ALL_PAIRS_LIMIT`` rows
+    (bounded limit probe, no full count) rather than silently launching
+    an O(n²) job at corpus scale; block on a coarse key (IVF label, LSH
+    bucket, language, …) instead.
     """
+    if block_col is None:
+        probe = embeddings.limit(ALL_PAIRS_LIMIT + 1).count()
+        if probe > ALL_PAIRS_LIMIT:
+            raise ValueError(
+                f"cosine_pairs(block_col=None) is all-pairs (O(n²)) and the "
+                f"input exceeds {ALL_PAIRS_LIMIT} rows; pass a block_col "
+                "(IVF/LSH bucket, label) for the scale-safe equi-join path"
+            )
     e = with_norm(embeddings, vec_col)
     l = e.select(
         F.col(id_col).alias("id1"),

@@ -98,3 +98,19 @@ def test_topk_zero_norm_and_empty_queries(spark):
     empty = topk_bruteforce(emb, emb.filter("vec_id < 0"), k=3)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_cosine_pairs_all_pairs_guard(spark, monkeypatch):
+    """block_col=None refuses inputs above ALL_PAIRS_LIMIT instead of
+    launching a quadratic crossJoin."""
+    from sids_data_pipeline_spark.operators import similarity
+
+    df = spark.range(0, 50).selectExpr(
+        "id AS vec_id", "array(cast(id as float), 1.0F) AS embedding"
+    )
+    monkeypatch.setattr(similarity, "ALL_PAIRS_LIMIT", 10)
+    with pytest.raises(ValueError, match="all-pairs"):
+        similarity.cosine_pairs(df, block_col=None)
+    # under the cap the exact path still works
+    monkeypatch.setattr(similarity, "ALL_PAIRS_LIMIT", 1000)
+    assert similarity.cosine_pairs(df, threshold=-1.0, block_col=None).count() > 0
