@@ -123,9 +123,22 @@ def utm_to_lonlat(
 ) -> tuple[Column, Column]:
     """Inverse transverse Mercator via the footpoint-latitude series
     (Snyder 1987 eq. 8-17..8-25)."""
-    lam0 = _central_meridian_rad(zone)
+    return _utm_inverse(
+        easting,
+        northing,
+        F.lit(_central_meridian_rad(zone)),
+        F.lit(UTM_FALSE_NORTHING_SOUTH if south else 0.0),
+    )
+
+
+def _utm_inverse(
+    easting: Column, northing: Column, lam0: Column, false_northing: Column
+) -> tuple[Column, Column]:
+    """Column-parameterized inverse: ``lam0``/``false_northing`` may vary
+    PER ROW (standardize_crs derives them from an EPSG column), keeping
+    mixed-zone tables a single vectorized expression."""
     x = easting - F.lit(UTM_FALSE_EASTING)
-    y = northing - F.lit(UTM_FALSE_NORTHING_SOUTH if south else 0.0)
+    y = northing - false_northing
     mu = y / F.lit(UTM_K0 * UTM_A * _M0)
     phi1 = (
         mu
@@ -168,7 +181,7 @@ def utm_to_lonlat(
         )
     )
     lon = F.degrees(
-        F.lit(lam0)
+        lam0
         + (
             d
             - (F.lit(1.0) + t1 * 2.0 + c1) * F.pow(d, 3) / 6.0
@@ -253,7 +266,10 @@ def standardize_crs(
 ) -> DataFrame:
     """Per-row CRS branch for mixed-CRS pixel tables (the batch module's
     per-raster probe, vectorized): rows already in ``dst_epsg`` pass
-    through, Web Mercator rows convert, anything else fails the job loudly.
+    through, Web Mercator and UTM-zone (326xx/327xx) rows convert — the
+    zone's central meridian and false northing are DERIVED FROM THE EPSG
+    COLUMN, so a table mixing sixty UTM zones converts in one expression
+    with no per-zone branching — anything else fails the job loudly.
 
     The raise is woven into the lon/lat output expressions (unsupported
     rows fall through every WHEN branch into a raise_error OTHERWISE), so
@@ -262,16 +278,30 @@ def standardize_crs(
     """
     is_dst = F.col(epsg_col) == dst_epsg
     is_merc = F.col(epsg_col) == WEB_MERCATOR
+    is_utm_n = F.col(epsg_col).between(32601, 32660)
+    is_utm_s = F.col(epsg_col).between(32701, 32760)
     lon_m, lat_m = mercator_to_lonlat(F.col("lon"), F.col("lat"))
+    zone = F.when(is_utm_s, F.col(epsg_col) - 32700).otherwise(
+        F.col(epsg_col) - 32600
+    )
+    lam0 = F.radians(zone.cast("double") * 6.0 - 183.0)
+    fnorth = F.when(is_utm_s, F.lit(UTM_FALSE_NORTHING_SOUTH)).otherwise(F.lit(0.0))
+    lon_u, lat_u = _utm_inverse(F.col("lon"), F.col("lat"), lam0, fnorth)
     boom = F.raise_error(
         F.concat(F.lit("unsupported src EPSG: "), F.col(epsg_col).cast("string"))
     ).cast("double")
-    return (
-        pixels.withColumn(
-            "lon", F.when(is_merc, lon_m).when(is_dst, F.col("lon")).otherwise(boom)
+
+    def pick(merc, utm, passthrough):
+        return (
+            F.when(is_merc, merc)
+            .when(is_utm_n | is_utm_s, utm)
+            .when(is_dst, passthrough)
+            .otherwise(boom)
         )
-        .withColumn(
-            "lat", F.when(is_merc, lat_m).when(is_dst, F.col("lat")).otherwise(boom)
-        )
-        .withColumn(epsg_col, F.lit(dst_epsg))
-    )
+
+    return pixels.withColumns(
+        {
+            "lon": pick(lon_m, lon_u, F.col("lon")),
+            "lat": pick(lat_m, lat_u, F.col("lat")),
+        }
+    ).withColumn(epsg_col, F.lit(dst_epsg))

@@ -138,3 +138,32 @@ def test_standardize_unsupported_epsg_raises(spark):
     )
     with pytest.raises(Exception, match="unsupported src EPSG"):
         crs.standardize_crs(df).select("lon").collect()
+
+
+def test_standardize_mixed_utm_zones(spark):
+    """One expression converts rows from different UTM zones (N and S)
+    plus Web Mercator plus already-4326 — the per-row EPSG branch."""
+    # forward-compute UTM coords for known lon/lat via the scalar path
+    src = spark.createDataFrame(
+        [(1, 13.5, 46.0), (2, 14.2, -33.0)], "id long, lon double, lat double"
+    )
+    e33, n33 = crs.lonlat_to_utm(F.col("lon"), F.col("lat"), zone=33)
+    e33s, n33s = crs.lonlat_to_utm(F.col("lon"), F.col("lat"), zone=33, south=True)
+    utm_n = src.filter("id = 1").select(e33.alias("e"), n33.alias("n")).collect()[0]
+    utm_s = src.filter("id = 2").select(e33s.alias("e"), n33s.alias("n")).collect()[0]
+
+    mixed = spark.createDataFrame(
+        [
+            (1, utm_n.e, utm_n.n, 32633),
+            (2, utm_s.e, utm_s.n, 32733),
+            (3, 1113194.9079327357, 2273030.926987689, 3857),  # (10°, 20°)
+            (4, 10.0, 20.0, 4326),
+        ],
+        "id long, lon double, lat double, src_epsg int",
+    )
+    rows = {r.id: r for r in crs.standardize_crs(mixed).collect()}
+    assert abs(rows[1].lon - 13.5) < 1e-8 and abs(rows[1].lat - 46.0) < 1e-8
+    assert abs(rows[2].lon - 14.2) < 1e-8 and abs(rows[2].lat - (-33.0)) < 1e-8
+    assert abs(rows[3].lon - 10.0) < 1e-9 and abs(rows[3].lat - 20.0) < 1e-9
+    assert rows[4].lon == 10.0 and rows[4].lat == 20.0
+    assert all(r.src_epsg == 4326 for r in rows.values())
