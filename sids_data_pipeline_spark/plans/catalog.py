@@ -43,6 +43,8 @@ PRIORITY: tuple[str, ...] = (
     "tiles_density_drop",
     "crs_reproject",
     "crs_reproject_utm",
+    "raster_geotiff_ingest",
+    "vector_geopackage_ingest",
     "manifest_pending",
     # — LLM-pipeline / events flagships —
     "events_session",

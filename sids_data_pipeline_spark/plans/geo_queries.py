@@ -290,6 +290,91 @@ FROM m
 """
 
 
+# --- S5/S6 source scans, gate-visible ------------------------------------------
+
+
+def _geotiff_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 end-to-end: encode the gradient fixture in the reference's own
+    output profile (ZSTD + 128×128 tiles, batch/processing/raster.py:7-8)
+    and ingest it distributed (binaryFile → mapInPandas). Deterministic
+    array → the oracle recomputes the same lattice from range()."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources.geotiff import (
+        encode_geotiff,
+        ingest_geotiff,
+    )
+
+    n = GRID_N
+    y, x = np.mgrid[0:n, 0:n]
+    arr = (x + n * y).astype("float64")
+    work = tempfile.mkdtemp(prefix="sdp_tiff_")
+    data = encode_geotiff(
+        arr, origin_x=0.0, origin_y=n * 0.1, pixel_deg=0.1,
+        compress="zstd", tile=128,
+    )
+    with open(os.path.join(work, "rast_gradient.tif"), "wb") as f:
+        f.write(data)
+    px = ingest_geotiff(spark, work + "/*.tif")
+    return px.select(
+        "raster_id", "band", "y", "x",
+        F.round("lon", 9).alias("lon"),
+        F.round("lat", 9).alias("lat"),
+        "val",
+    )
+
+
+def _geotiff_ingest_sql() -> str:
+    n = GRID_N
+    return f"""
+SELECT 'rast_gradient' AS raster_id,
+       1 AS band,
+       CAST(i // {n} AS INT) AS y,
+       CAST(i % {n} AS INT) AS x,
+       ROUND((i % {n} + 0.5) * CAST(0.1 AS DOUBLE), 9) AS lon,
+       ROUND({n} * CAST(0.1 AS DOUBLE) - (i // {n} + 0.5) * CAST(0.1 AS DOUBLE), 9)
+         AS lat,
+       CAST(i AS DOUBLE) AS val
+FROM (SELECT unnest(range({n * n})) AS i) t
+"""
+
+
+def _gpkg_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 end-to-end: write the zones fixture as a minimal valid
+    GeoPackage (stdlib sqlite3 + GPB codec), ingest it back, and emit the
+    parsed WKB as hex — byte-for-byte against the fixture VALUES."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.sources.geopackage import (
+        ingest_geopackage,
+        write_geopackage,
+    )
+
+    work = tempfile.mkdtemp(prefix="sdp_gpkg_")
+    path = os.path.join(work, "zones.gpkg")
+    write_geopackage(list(FIXTURE_BUILDERS["zones_grid"]()), path)
+    zones = ingest_geopackage(spark, path, vector_id="zones_grid")
+    return zones.select(
+        "vector_id", "fid", "name", F.lower(F.hex("geometry")).alias("wkb_hex")
+    )
+
+
+def _gpkg_ingest_sql() -> str:
+    values = ",\n  ".join(
+        f"('zones_grid', {fid}, '{name}', '{wkb.hex()}')"
+        for fid, name, wkb in FIXTURE_BUILDERS["zones_grid"]()
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {values}
+) AS t(vector_id, fid, name, wkb_hex)
+"""
+
+
 # --- CRS reprojection, UTM pair (P9/F8) ---------------------------------------
 
 
@@ -525,6 +610,21 @@ QUERIES: list[Query] = [
         _crs_utm_sql(),
         doc="P9/F8: WGS-84 ↔ UTM 33N, closed-form transverse Mercator both legs",
         tags=("geo", "scalar"),
+    ),
+    Query(
+        "raster_geotiff_ingest",
+        _geotiff_ingest_query,
+        _geotiff_ingest_sql(),
+        doc="S5: ZSTD+tiled GeoTIFF (reference profile) → distributed "
+            "pixel ingest, lattice-oracle-verified",
+        tags=("geo", "source"),
+    ),
+    Query(
+        "vector_geopackage_ingest",
+        _gpkg_ingest_query,
+        _gpkg_ingest_sql(),
+        doc="S6: GeoPackage write → ingest round-trip, WKB hex-verified",
+        tags=("geo", "source"),
     ),
     Query(
         "tiles_assign",
