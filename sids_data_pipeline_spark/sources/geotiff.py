@@ -313,8 +313,15 @@ def encode_geotiff(
     return b"".join(out)
 
 
-def export_geotiff(pixels: DataFrame, nodata: float = -9999.0) -> DataFrame:
+def export_geotiff(
+    pixels: DataFrame,
+    nodata: float = -9999.0,
+    compress: str | None = None,
+    tile: int | None = None,
+) -> DataFrame:
     """K5 sink: pixel DataFrame → one encoded GeoTIFF per raster_id.
+    Pass ``compress='zstd', tile=128`` for the reference's standardized
+    output profile (batch/processing/raster.py:7-8).
 
     applyInPandas groups by raster (one file per raster is inherent to
     the output format, so the group = the file); each group pivots its
@@ -346,7 +353,8 @@ def export_geotiff(pixels: DataFrame, nodata: float = -9999.0) -> DataFrame:
             np.isnan(vals), nodata, vals
         )
         data = encode_geotiff(
-            grid, origin_x, origin_y, sx, nodata=nodata, pixel_deg_y=sy
+            grid, origin_x, origin_y, sx, nodata=nodata, pixel_deg_y=sy,
+            compress=compress, tile=tile,
         )
         return pd.DataFrame([{"raster_id": rid, "tiff": data}])
 

@@ -255,3 +255,12 @@ def test_geotiff_deflate_roundtrip(gradient_array):
 
     with _pytest.raises(ValueError):
         geotiff.encode_geotiff(gradient_array, 0.0, 6.4, 0.1, compress="lzw")
+
+
+def test_export_geotiff_reference_profile(spark, gradient_array):
+    """K5 with the reference output profile (ZSTD + 128 tiles) decodes
+    back to the same grid."""
+    pixels = synthetic_raster(spark, "rast_gradient")
+    out = geotiff.export_geotiff(pixels, compress="zstd", tile=128).collect()
+    values, _, _ = geotiff.decode_geotiff(bytes(out[0].tiff))
+    assert np.array_equal(values[::-1], gradient_array)
