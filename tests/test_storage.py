@@ -84,3 +84,35 @@ def test_pixel_store_partition_pruning(spark, tmp_path):
     # a lon/lat range query still answers correctly from the pruned store
     sub = back.filter("lon < 2.0 AND lat < 2.0")
     assert sub.count() == 400
+
+
+def test_events_loader_schema_adaptive(spark, tmp_path):
+    """_load_events handles BOTH on-disk ts layouts: modern microsecond
+    TIMESTAMP is read as-is; legacy TIMESTAMP(NANOS) (which Spark's
+    reader rejects outright) goes through the nanosAsLong branch — and
+    both yield identical instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    us = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+        "event_type": pa.array(["click", "view"]),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"]),
+    }
+    for unit, scaled in (("us", us), ("ns", [v * 1000 for v in us])):
+        d = tmp_path / unit
+        d.mkdir()
+        table = pa.table({**cols, "ts": pa.array(scaled, pa.timestamp(unit))})
+        pq.write_table(table, str(d / "events.parquet"))
+    got_us = load_table(spark, "events", str(tmp_path / "us")).orderBy("event_id")
+    got_ns = load_table(spark, "events", str(tmp_path / "ns")).orderBy("event_id")
+    from pyspark.sql import functions as F
+
+    a = [r.us for r in got_us.select(F.unix_micros("ts").alias("us")).collect()]
+    b = [r.us for r in got_ns.select(F.unix_micros("ts").alias("us")).collect()]
+    assert a == b == us
