@@ -3,11 +3,23 @@
 For each left row, attach the latest right row whose timestamp is ≤ the
 left timestamp within the same key (the canonical point-in-time lookup:
 "the last purchase before this click", "the prevailing price at order
-time"). Implemented per SURVEY.md §2's custom-operator ladder, rung (b):
-a cogrouped ``applyInPandas`` running ``pandas.merge_asof`` per key
-group — both sides shuffle ONCE on the key, each group merges sorted in
-memory, and the operator inherits AQE skew handling on the cogroup
-exchange. DuckDB's native ASOF JOIN provides the value-level oracle.
+time"). DuckDB's native ASOF JOIN provides the value-level oracle.
+
+Two strategies per SURVEY.md §2's custom-operator ladder:
+
+- ``how="window"`` (default, rung (a) — composition of built-in ops):
+  union both sides tagged, one shuffle on the key, and a running
+  ``last(struct, ignorenulls)`` window ordered by (ts, side) picks each
+  left row's most recent right row. Entirely JVM-side — no Arrow
+  transfer, no Python workers — and the running frame is O(n) per
+  partition. The matched row's payload is carried as ONE struct so a
+  NULL payload *field* on the matched row stays NULL (a per-column
+  ``last(ignorenulls)`` would leak an older row's value).
+
+- ``how="cogroup"`` (rung (b) — Arrow-batched custom kernel): cogrouped
+  ``applyInPandas`` running ``pandas.merge_asof`` per key group. Kept as
+  the extension template for merge semantics the window form can't
+  express (nearest/forward with tolerance, multi-column ordering).
 
 Right-side (key, ts) duplicates make "the latest row" ambiguous;
 :func:`dedupe_right` collapses them deterministically first.
@@ -42,13 +54,82 @@ def asof_join(
     ts_col: str,
     right_cols: Iterable[str],
     suffix: str = "_right",
+    how: str = "window",
 ) -> DataFrame:
     """Backward as-of join: latest right row with ``right.ts <= left.ts``
     per ``by`` key. Left rows with no prior right row keep NULLs.
 
     Output: all left columns + [f"{c}{suffix}" for c in right_cols].
     """
-    right_cols = list(right_cols)
+    if how == "window":
+        return _asof_window(left, right, by, ts_col, list(right_cols), suffix)
+    if how == "cogroup":
+        return _asof_cogroup(left, right, by, ts_col, list(right_cols), suffix)
+    raise ValueError(f"how must be 'window' or 'cogroup', got {how!r}")
+
+
+def _asof_window(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str,
+) -> DataFrame:
+    left_names = [f.name for f in left.schema.fields]
+    left_types = {f.name: f.dataType for f in left.schema.fields}
+    right_types = {f.name: f.dataType for f in right.schema.fields}
+
+    # Tag and align both sides on the union schema: right rows carry the
+    # key/ts (for partitioning/ordering) plus their payload struct; left
+    # rows carry their columns and a NULL payload slot.
+    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    r_tag = right.select(
+        *[
+            F.col(c)
+            if c in (by, ts_col)
+            else F.lit(None).cast(left_types[c]).alias(c)
+            for c in left_names
+        ],
+        F.lit(0).alias("_side"),
+        payload.alias("_r"),
+    )
+    null_payload = F.lit(None).cast(
+        "struct<" + ", ".join(
+            f"{c}: {right_types[c].simpleString()}" for c in right_cols
+        ) + ">"
+    )
+    l_tag = left.select(
+        *[F.col(c) for c in left_names],
+        F.lit(1).alias("_side"),
+        null_payload.alias("_r"),
+    )
+    # Right rows sort BEFORE left rows at equal ts (_side 0 < 1), so an
+    # exactly-equal timestamp matches — merge_asof backward semantics.
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        r_tag.unionByName(l_tag)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return matched.select(
+        *left_names,
+        *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def _asof_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_cols: list[str],
+    suffix: str,
+) -> DataFrame:
     out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
     right_schema = {f.name: f.dataType.simpleString() for f in right.schema.fields}
     out_fields += [f"{c}{suffix} {right_schema[c]}" for c in right_cols]

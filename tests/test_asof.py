@@ -31,7 +31,8 @@ def events(spark):
     )
 
 
-def test_asof_backward_semantics(spark, events):
+@pytest.mark.parametrize("how", ["window", "cogroup"])
+def test_asof_backward_semantics(spark, events, how):
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -42,7 +43,7 @@ def test_asof_backward_semantics(spark, events):
         r.event_id: (r.event_id_right, r.value_right)
         for r in asof.asof_join(
             clicks, purchases, by="user_id", ts_col="ts",
-            right_cols=("event_id", "value"),
+            right_cols=("event_id", "value"), how=how,
         ).collect()
     }
     assert out[2] == (1, 10.0)      # latest purchase before t+5 is #1
@@ -61,7 +62,8 @@ def test_dedupe_right_keeps_highest_tiebreak(spark):
     assert sorted(r.event_id for r in kept.collect()) == [11, 12]
 
 
-def test_asof_right_ts_as_payload(spark, events):
+@pytest.mark.parametrize("how", ["window", "cogroup"])
+def test_asof_right_ts_as_payload(spark, events, how):
     """Requesting the right timestamp itself as a payload column yields a
     suffixed copy instead of crashing merge_asof."""
     clicks = events.filter(F.col("event_type") == "click").select(
@@ -74,9 +76,53 @@ def test_asof_right_ts_as_payload(spark, events):
         r.event_id: r
         for r in asof.asof_join(
             clicks, purchases, by="user_id", ts_col="ts",
-            right_cols=("ts", "value"),
+            right_cols=("ts", "value"), how=how,
         ).collect()
     }
     assert out[2].ts_right == T0 and out[2].value_right == 10.0
     assert out[4].ts_right == T0 + timedelta(minutes=10)
     assert out[5].ts_right is None and out[5].value_right is None
+
+
+def test_asof_null_payload_field_preserved(spark):
+    """A NULL payload FIELD on the matched right row stays NULL — the
+    struct-carry in the window strategy must not leak an older row's
+    value (per-column last(ignorenulls) would)."""
+    left = spark.createDataFrame(
+        [(1, 1, T0 + timedelta(minutes=20))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T0, 99.0), (1, T0 + timedelta(minutes=10), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    for how in ("window", "cogroup"):
+        row = asof.asof_join(
+            left, right, by="user_id", ts_col="ts",
+            right_cols=("value",), how=how,
+        ).collect()[0]
+        assert row.value_right is None, how
+
+
+def test_asof_strategies_agree_on_events_table(spark):
+    """Both strategies produce identical rows on the real events table."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    clicks = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = asof.dedupe_right(
+        ev.filter("event_type = 'purchase'").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        by="user_id", ts_col="ts", tiebreak="event_id",
+    )
+    res = {}
+    for how in ("window", "cogroup"):
+        res[how] = sorted(
+            tuple(r)
+            for r in asof.asof_join(
+                clicks, purchases, by="user_id", ts_col="ts",
+                right_cols=("event_id", "value"), how=how,
+            ).collect()
+        )
+    assert res["window"] == res["cogroup"] and len(res["window"]) > 0
