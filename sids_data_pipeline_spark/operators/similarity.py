@@ -167,6 +167,75 @@ def topk_bruteforce(
     )
 
 
+QUANT_LEVELS = 127  # symmetric int8 range
+
+
+def quantized_vec(col: str | Column) -> Column:
+    """Symmetric int8 quantization over the exact micros domain:
+    ``q_i = round(iv_i · 127 / max|iv|)`` ∈ [−127, 127].
+
+    The max-abs is an exact integer (micros domain), so the per-element
+    double expression is identical on both engines — the quantized store
+    is 4× smaller than float32 (the 100 TB lever: an embedding corpus
+    that doesn't fit as float32 often fits as int8) and stays fully
+    SQL-mirrorable. Zero vectors quantize to zero."""
+    iv = _int_vec(col)
+    maxabs = F.array_max(F.transform(iv, lambda x: F.abs(x)))
+    return F.when(
+        maxabs == 0, F.transform(iv, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            iv,
+            lambda x: F.round(
+                x.cast("double") * float(QUANT_LEVELS) / maxabs.cast("double"), 0
+            ).cast("long"),
+        )
+    )
+
+
+def topk_quantized(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine over int8-QUANTIZED vectors — the memory-bound
+    regime's answer shape (quantize once at ingest, scan 4× less).
+
+    Entirely JVM-side: the (small) query set broadcasts through a
+    BroadcastNestedLoopJoin (output-bounded: |Q|·N rows), the dot is an
+    integer fold in whole-stage codegen, and one window ranks per query.
+    Deterministic ties via neighbor_id. Output: (query_id, neighbor_id,
+    cosine, rank) where cosine is the quantized-domain cosine.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("_qv")
+    ).withColumn("_qn", _dot(F.col("_qv"), F.col("_qv")))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("_cv")
+    ).withColumn("_cn", _dot(F.col("_cv"), F.col("_cv")))
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "cosine", cosine(_dot(F.col("_qv"), F.col("_cv")), F.col("_qn"), F.col("_cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 ALL_PAIRS_LIMIT = 100_000
 
 

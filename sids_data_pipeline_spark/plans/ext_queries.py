@@ -497,6 +497,51 @@ FROM r WHERE rank <= 10
 """
 
 
+def _similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.topk_quantized(emb, queries, k=10)
+
+
+# int8 quantization mirrored in SQL: maxabs is an exact integer, the
+# per-element ROUND(x·127/maxabs) is the same double expression Spark
+# evaluates, and scoring repeats the integer-dot/rank pattern above.
+_SIMILARITY_QUANT_SQL = f"""
+WITH {_EMBED_VEC_SQL},
+qv AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(ROUND(CAST(x AS DOUBLE) * 127.0 /
+                                           CAST(maxabs AS DOUBLE)) AS BIGINT)) AS q
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS maxabs
+        FROM m) t
+  WHERE maxabs > 0
+),
+qn AS (
+  SELECT vec_id, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM qv
+),
+s AS (
+  SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> qq.q[i] * c.q[i])) AS BIGINT) AS dot,
+         qq.n2 AS qn2, c.n2 AS cn2
+  FROM qn qq JOIN qn c ON qq.vec_id < 5 AND c.vec_id <> qq.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) AS cos_raw,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(cn2 AS DOUBLE))) DESC,
+                       neighbor_id ASC) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, ROUND(cos_raw, 6) AS cosine, rank
+FROM r WHERE rank <= 10
+"""
+
+
 def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1233,6 +1278,11 @@ QUERIES: list[Query] = [
     Query("similarity_topk_ivf", _similarity_ivf, _SIMILARITY_IVF_SQL,
           doc="E3 IVF-bucketed ANN: search only the query's coarse bucket",
           tags=("similarity",)),
+    Query("similarity_topk_quantized", _similarity_quantized,
+          _SIMILARITY_QUANT_SQL,
+          doc="E3 int8-quantized exact top-k (4× smaller store, pure JVM "
+              "integer scoring)",
+          tags=("similarity", "quantization")),
     Query("similarity_ann_lsh", _similarity_ann, None,
           doc="E3 LSH-bucketed ANN + exact re-rank (rows-only: seeded sketch)",
           tags=("similarity", "lsh")),

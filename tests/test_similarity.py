@@ -114,3 +114,38 @@ def test_cosine_pairs_all_pairs_guard(spark, monkeypatch):
     # under the cap the exact path still works
     monkeypatch.setattr(similarity, "ALL_PAIRS_LIMIT", 1000)
     assert similarity.cosine_pairs(df, threshold=-1.0, block_col=None).count() > 0
+
+
+def test_quantized_vec_range_and_zero(spark):
+    from sids_data_pipeline_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.q for r in df.select(
+        "vec_id", similarity.quantized_vec("embedding").alias("q")
+    ).collect()}
+    # max-abs element maps to ±127; others scale proportionally
+    assert rows[1] == [64, -127, 32]
+    assert rows[2] == [0, 0, 0]
+
+
+def test_quantized_topk_close_to_exact(spark):
+    """Quantization is lossy but the top-1 neighbor should usually agree
+    with the exact ranking on real embeddings (sanity, not exactness)."""
+    from sids_data_pipeline_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    exact = {
+        r.query_id: r.neighbor_id
+        for r in similarity.topk_bruteforce(emb, queries, k=1).collect()
+    }
+    quant = {
+        r.query_id: r.neighbor_id
+        for r in similarity.topk_quantized(emb, queries, k=1).collect()
+    }
+    agree = sum(exact[q] == quant[q] for q in exact)
+    assert agree >= 2  # at least 2 of 3 top-1 neighbors survive int8
