@@ -259,3 +259,81 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         )
         .drop("_w")
     )
+
+
+# PII patterns chosen to behave identically in Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no backreferences. Real deployments would
+# extend the inventory behind the same operator shape.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact common PII (emails, IPv4 addresses, phone-like digit runs)
+    with typed placeholders, counting each redaction — the standard
+    pre-training scrub pass. Pure JVM ``regexp_replace`` chain (one
+    projection, whole-stage codegen); patterns are RE2-compatible so the
+    DuckDB oracle applies the byte-identical regex.
+
+    Output: (doc_id, text, n_email, n_ipv4, n_phone) with ``text``
+    scrubbed. Order matters: emails first (an email contains no phone
+    match, but a phone pattern could bite into longer digit runs).
+    """
+    out = F.col(text_col)
+    counts = {}
+    for kind in ("email", "ipv4", "phone"):
+        pat = PII_PATTERNS[kind]
+        counts[kind] = _count_matches(out, pat)
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        out.alias("text"),
+        *[counts[k].cast("long").alias(f"n_{k}") for k in ("email", "ipv4", "phone")],
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_words: int = 100,
+    stride: int = 80,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the standard
+    context-window prep for training/embedding. JVM-side: split →
+    ``sequence`` of window starts → ``slice`` + ``array_join`` →
+    ``posexplode``. A document shorter than ``chunk_words`` yields one
+    chunk; windows advance by ``stride`` (< chunk_words ⇒ overlap) and
+    the last window starts at the final stride step that still has text.
+
+    Output: (doc_id, chunk_idx, chunk_start_word, n_words, chunk_text).
+    Row count per doc = ceil(max(n_words - chunk_words, 0) / stride) + 1
+    — a pure function of the word count, so the oracle can mirror it.
+    """
+    if stride <= 0 or chunk_words <= 0:
+        raise ValueError("chunk_words and stride must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    n_chunks = (
+        F.ceil(F.greatest(n - chunk_words, F.lit(0)).cast("double") / stride)
+        .cast("int")
+        + 1
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * stride, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(words, s + 1, chunk_words), " ")
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            n.alias("n_words"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+        )
+        .withColumn("chunk_start_word", F.col("chunk_idx") * stride)
+        .select("doc_id", "chunk_idx", "chunk_start_word", "n_words", "chunk_text")
+    )

@@ -497,6 +497,61 @@ FROM r WHERE rank <= 10
 """
 
 
+def _text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.scrub_pii(docs)
+
+
+def _scrub_pii_sql() -> str:
+    """Generated from the SAME pattern inventory as the operator — the
+    counts are over the progressively-scrubbed text, so the SQL nests
+    the replacements in the same order."""
+    from sids_data_pipeline_spark.operators.text import PII_PATTERNS
+
+    order = ("email", "ipv4", "phone")
+    cur = "text"
+    count_cols = []
+    for kind in order:
+        pat = PII_PATTERNS[kind]
+        count_cols.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '<{kind.upper()}>', 'g')"
+    return f"""
+SELECT doc_id,
+       {cur} AS text,
+       {', '.join(count_cols)}
+FROM documents
+"""
+
+
+def _corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_words=100, stride=80)
+
+
+_CORPUS_CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, ws, len(ws) AS n_words,
+         CAST(CEIL(CAST(GREATEST(len(ws) - 100, 0) AS DOUBLE) / 80) AS INT) + 1
+           AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       CAST(t.i AS INT) AS chunk_idx,
+       CAST(t.i * 80 AS INT) AS chunk_start_word,
+       CAST(n_words AS INT) AS n_words,
+       array_to_string(list_slice(ws, CAST(t.i * 80 + 1 AS BIGINT),
+                                  CAST(t.i * 80 + 100 AS BIGINT)), ' ')
+         AS chunk_text
+FROM c, (SELECT unnest(range(10000)) AS i) t
+WHERE t.i < c.n_chunks
+"""
+
+
 def _similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1303,6 +1358,14 @@ QUERIES: list[Query] = [
     Query("text_winnowing", _text_winnowing, _winnowing_sql(),
           doc="E5 winnowing fingerprints over a Rabin-Karp rolling hash",
           tags=("text", "dedup")),
+    Query("text_scrub_pii", _text_scrub_pii, _scrub_pii_sql(),
+          doc="E5 PII redaction (email/IPv4/phone) with per-kind counts, "
+              "pure JVM regexp chain",
+          tags=("text", "curation")),
+    Query("corpus_chunk", _corpus_chunk, _CORPUS_CHUNK_SQL,
+          doc="EXT overlapping word-window chunking (posexplode of "
+              "slice windows)",
+          tags=("text", "curation")),
     Query("events_tumbling", _events_tumbling, _TUMBLING_SQL,
           doc="E6 tumbling windows", tags=("events", "window")),
     Query("events_sliding", _events_sliding, _SLIDING_SQL,

@@ -69,3 +69,46 @@ def test_repetition_stats_hand_oracle(spark):
     assert got[1].dup_word_frac_micros == 0
     assert got[1].top_word_frac_micros == 250_000
     assert (got[2].n_distinct, got[2].top_word_frac_micros) == (1, 1_000_000)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from sids_data_pipeline_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk or call +1 (555) 123-4567."),
+            (2, "server 192.168.0.1 and 10.0.0.255 are up"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in t.scrub_pii(df).collect()}
+    assert "<EMAIL>" in rows[1].text and "<PHONE>" in rows[1].text
+    assert rows[1].n_email == 1 and rows[1].n_phone == 1
+    assert rows[2].text.count("<IPV4>") == 2 and rows[2].n_ipv4 == 2
+    assert rows[3].text == "nothing sensitive here"
+    assert rows[3].n_email == rows[3].n_ipv4 == rows[3].n_phone == 0
+
+
+def test_chunk_documents_overlap_and_boundaries(spark):
+    from sids_data_pipeline_spark.operators import text as t
+
+    words = [f"w{i}" for i in range(250)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "short doc only")],
+        "doc_id long, text string",
+    )
+    out = t.chunk_documents(df, chunk_words=100, stride=80).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 250 words, window 100, stride 80 -> ceil(150/80)+1 = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_start_word for r in c1] == [0, 80, 160]
+    assert c1[0].chunk_text.split() == words[0:100]
+    assert c1[1].chunk_text.split() == words[80:180]
+    assert c1[2].chunk_text.split() == words[160:250]  # final ragged window
+    # short doc -> exactly one chunk containing everything
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc only"
+    # overlap: consecutive windows share chunk_words - stride words
+    assert c1[0].chunk_text.split()[80:] == c1[1].chunk_text.split()[:20]
