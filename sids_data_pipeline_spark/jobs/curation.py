@@ -58,3 +58,108 @@ def curation_report(docs: DataFrame, curated: DataFrame) -> DataFrame:
         [(n_in, n_out, ratio)],
         "n_input long, n_kept long, removed_ratio_micros long",
     )
+
+
+def run_curation_job(
+    spark,
+    docs: DataFrame,
+    out_dir: str,
+    benchmark: DataFrame | None = None,
+    splits: dict[str, float] | None = None,
+    shard_tokens: int = 50_000,
+    min_chars: int = DEFAULT_MIN_CHARS,
+    jaccard_threshold: float = DEFAULT_JACCARD,
+) -> dict:
+    """The full training-data preparation lifecycle as ONE job — the
+    LLM-side twin of jobs/pipeline.run_pipeline:
+
+        PII scrub → quality filter + exact dedup + near-dup removal
+        (curate_corpus) → optional benchmark decontamination →
+        leakage-stable train/val/test hash split → token-budget shard
+        packing per split → parquet partitioned by (split, shard_id)
+
+    Every stage is an already-oracle-verified operator; the job adds
+    orchestration, materialization, and idempotency: a ledger file keyed
+    by the config records completion, and a re-run with the same config
+    does zero work (the reference's file-exists signature behavior,
+    data.py:26-40, applied to corpus prep). Returns the manifest dict
+    with per-stage counts.
+    """
+    import json
+    import os
+
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    config_key = json.dumps(
+        {
+            "min_chars": min_chars,
+            "jaccard": jaccard_threshold,
+            "splits": splits,
+            "shard_tokens": shard_tokens,
+            "decontaminate": benchmark is not None,
+        },
+        sort_keys=True,
+    )
+    ledger = os.path.join(out_dir, "_curation_ledger.json")
+    if os.path.exists(ledger):
+        with open(ledger) as f:
+            prior = json.load(f)
+        if prior.get("config") == config_key:
+            return {**prior["manifest"], "skipped": True}
+
+    from sids_data_pipeline_spark.operators.dedup import decontaminate
+    from sids_data_pipeline_spark.operators.sampling import hash_split, pack_shards
+    from sids_data_pipeline_spark.operators.text import scrub_pii, token_stats
+
+    n_input = docs.count()
+    scrubbed = scrub_pii(docs).join(
+        docs.drop("text"), "doc_id"
+    )  # scrubbed text + original metadata columns
+    curated = curate_corpus(
+        scrubbed, min_chars=min_chars, jaccard_threshold=jaccard_threshold
+    )
+    if benchmark is not None:
+        curated = decontaminate(curated, benchmark)
+    n_curated = curated.count()
+
+    labeled = hash_split(curated, splits)
+    with_tokens = labeled.join(
+        token_stats(labeled).select("doc_id", "n_words"), "doc_id"
+    )
+    # shards are per-split (a shard never mixes train/val/test rows);
+    # pack_shards is a global scan per call, so pack each split and union
+    per_split = [
+        pack_shards(
+            with_tokens.filter(F.col("split") == label),
+            max_tokens=shard_tokens,
+            size_col="n_words",
+            order_col="doc_id",
+        )
+        for label in splits
+    ]
+    from functools import reduce
+
+    sharded = reduce(lambda a, b: a.unionByName(b), per_split)
+    data_dir = os.path.join(out_dir, "data")
+    sharded.write.mode("overwrite").partitionBy("split", "shard_id").parquet(
+        data_dir
+    )
+    written = spark.read.parquet(data_dir)
+    shard_stats = {
+        r.split: {"docs": r.docs, "shards": r.shards}
+        for r in written.groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("shard_id").alias("shards"),
+        )
+        .collect()
+    }
+    manifest_out = {
+        "n_input": n_input,
+        "n_curated": n_curated,
+        "splits": shard_stats,
+        "out": data_dir,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(ledger, "w") as f:
+        json.dump({"config": config_key, "manifest": manifest_out}, f)
+    return {**manifest_out, "skipped": False}
