@@ -129,3 +129,27 @@ def test_no_cartesian_in_lsh(spark, sf_dir, catalog):
     plan = _plan(catalog["dedup_minhash_lsh"].spark(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_window_plan_is_jvm_only(spark, sf_dir, catalog):
+    """The default as-of strategy must stay out of Python: no Arrow
+    transfer, pushdown on both event scans, one main-window exchange."""
+    plan = _plan(catalog["join_asof"].spark(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("EqualTo(event_type,") == 2  # both sides pushed
+
+
+def test_quantized_topk_plan_is_jvm_only(spark, sf_dir, catalog):
+    plan = _plan(catalog["similarity_topk_quantized"].spark(spark, sf_dir))
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    # the small query side is the broadcast build side
+    assert "Broadcast" in plan
+
+
+def test_scrub_and_chunk_stay_codegen(spark, sf_dir, catalog):
+    for name in ("text_scrub_pii", "corpus_chunk"):
+        plan = _plan(catalog[name].spark(spark, sf_dir))
+        assert "EvalPython" not in plan and "MapInPandas" not in plan, name
+        # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
+        assert "*(1)" in plan, name
