@@ -597,6 +597,63 @@ FROM r WHERE rank <= 10
 """
 
 
+def _similarity_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe against the exact brute-force ranking —
+    the evaluation loop every ANN deployment needs, as one query. Exact
+    integer micros recall so the oracle hash-matches."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.topk_ivf(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(
+            hits.groupBy("query_id").agg(F.count("*").alias("n_hits")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("k")
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("recall_micros"),
+        )
+    )
+
+
+def _similarity_recall_sql() -> str:
+    """Both constituent oracles embed verbatim as derived tables (DuckDB
+    allows WITH inside a parenthesized subquery), so this oracle is
+    correct by composition."""
+    return f"""
+WITH ex AS (SELECT query_id, neighbor_id FROM ({_SIMILARITY_TOPK_SQL}) t),
+iv AS (SELECT query_id, neighbor_id FROM ({_SIMILARITY_IVF_SQL}) t),
+hits AS (
+  SELECT ex.query_id, COUNT(*) AS n_hits
+  FROM ex JOIN iv USING (query_id, neighbor_id)
+  GROUP BY ex.query_id
+),
+base AS (SELECT query_id, COUNT(*) AS k FROM ex GROUP BY query_id)
+SELECT b.query_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / b.k * 1000000)
+            AS BIGINT) AS recall_micros
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+"""
+
+
 def _similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1333,6 +1390,10 @@ QUERIES: list[Query] = [
     Query("similarity_topk_ivf", _similarity_ivf, _SIMILARITY_IVF_SQL,
           doc="E3 IVF-bucketed ANN: search only the query's coarse bucket",
           tags=("similarity",)),
+    Query("similarity_recall", _similarity_recall, _similarity_recall_sql(),
+          doc="E3 evaluation: recall@10 of the IVF probe vs the exact "
+              "ranking, oracle correct by composition",
+          tags=("similarity", "evaluation")),
     Query("similarity_topk_quantized", _similarity_quantized,
           _SIMILARITY_QUANT_SQL,
           doc="E3 int8-quantized exact top-k (4× smaller store, pure JVM "
