@@ -375,6 +375,73 @@ SELECT * FROM (VALUES
 """
 
 
+def _csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/K6 end-to-end: region → header CSV (sharded) → schema-pinned
+    scan back. The oracle is the region table itself — the round-trip
+    must be lossless."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.sinks.csvio import read_csv, write_csv
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    region = load_table(spark, "region", sf_dir)
+    work = os.path.join(tempfile.mkdtemp(prefix="sdp_csv_"), "region")
+    write_csv(region, work)
+    return read_csv(spark, work, region.schema)
+
+
+_CSV_ROUNDTRIP_SQL = "SELECT * FROM region"
+
+
+def _geojsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 end-to-end: zones fixture → GeoJSONL text shards → read back,
+    extracting the properties. Geometry json survives (checked by pytest
+    against the WKB parse); the gate verifies the property payload."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.sinks.geojsonl import read_geojsonl, write_geojsonl
+
+    zones = fixture_zones(spark, "zones_grid")
+    work = os.path.join(tempfile.mkdtemp(prefix="sdp_gjl_"), "zones")
+    write_geojsonl(zones, work, property_cols=("fid", "name"))
+    back = read_geojsonl(spark, work)
+    return back.select(
+        F.get_json_object("properties_json", "$.fid").cast("long").alias("fid"),
+        F.get_json_object("properties_json", "$.name").alias("name"),
+        F.length("geometry_json").cast("long").alias("geometry_json_len"),
+    )
+
+
+def _geojsonl_sql() -> str:
+    """Expected rows computed once from the same fixture the engine
+    exports: property values verbatim, geometry length from the identical
+    json encoding the sink's UDF produces."""
+    import json
+
+    from sids_data_pipeline_spark.functions import geo
+
+    rows = []
+    for fid, name, wkb in FIXTURE_BUILDERS["zones_grid"]():
+        polys = geo.parse_wkb(wkb)
+        coords = [
+            [[[float(x), float(y)] for x, y in ring] for ring in poly]
+            for poly in polys
+        ]
+        gj = json.dumps(
+            {"type": "MultiPolygon", "coordinates": coords},
+            separators=(",", ":"),
+            sort_keys=True,  # the sink serializes features with sort_keys
+        )
+        rows.append(f"({fid}, '{name}', {len(gj)})")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(fid, name, geometry_json_len)"
+    )
+
+
 # --- CRS reprojection, UTM pair (P9/F8) ---------------------------------------
 
 
@@ -625,6 +692,21 @@ QUERIES: list[Query] = [
         _gpkg_ingest_sql(),
         doc="S6: GeoPackage write → ingest round-trip, WKB hex-verified",
         tags=("geo", "source"),
+    ),
+    Query(
+        "source_csv_roundtrip",
+        _csv_roundtrip_query,
+        _CSV_ROUNDTRIP_SQL,
+        doc="S2/K6: header CSV sink → schema-pinned scan, lossless vs the "
+            "parquet table",
+        tags=("source", "sink"),
+    ),
+    Query(
+        "sink_geojsonl_roundtrip",
+        _geojsonl_roundtrip_query,
+        _geojsonl_sql(),
+        doc="K1: zones → GeoJSONL shards → read-back, fixture-VALUES oracle",
+        tags=("geo", "sink"),
     ),
     Query(
         "tiles_assign",
