@@ -394,6 +394,23 @@ def _csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CSV_ROUNDTRIP_SQL = "SELECT * FROM region"
 
 
+def _json_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: JSON-lines sink → schema-pinned scan, lossless vs nation."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.sinks.csvio import read_json, write_json
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    nation = load_table(spark, "nation", sf_dir)
+    work = os.path.join(tempfile.mkdtemp(prefix="sdp_json_"), "nation")
+    write_json(nation, work)
+    return read_json(spark, work, nation.schema)
+
+
+_JSON_ROUNDTRIP_SQL = "SELECT * FROM nation"
+
+
 def _geojsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 end-to-end: zones fixture → GeoJSONL text shards → read back,
     extracting the properties. Geometry json survives (checked by pytest
@@ -698,6 +715,14 @@ QUERIES: list[Query] = [
         _csv_roundtrip_query,
         _CSV_ROUNDTRIP_SQL,
         doc="S2/K6: header CSV sink → schema-pinned scan, lossless vs the "
+            "parquet table",
+        tags=("source", "sink"),
+    ),
+    Query(
+        "sink_json_roundtrip",
+        _json_roundtrip_query,
+        _JSON_ROUNDTRIP_SQL,
+        doc="K7: JSON-lines sink → schema-pinned scan, lossless vs the "
             "parquet table",
         tags=("source", "sink"),
     ),
