@@ -75,13 +75,34 @@ def lonlat_to_utm(
 ) -> tuple[Column, Column]:
     """Forward transverse Mercator (Snyder 1987 eq. 8-9..8-13) as pure
     column expressions — stays inside whole-stage codegen."""
-    lam0 = _central_meridian_rad(zone)
+    e, n = _utm_forward(lon, lat, F.lit(_central_meridian_rad(zone)))
+    if south:
+        n = n + F.lit(UTM_FALSE_NORTHING_SOUTH)
+    return e, n
+
+
+def lonlat_to_utm_cols(
+    lon: Column, lat: Column, zone: Column, south: Column | None = None
+) -> tuple[Column, Column]:
+    """Forward with PER-ROW zone (and optional per-row south flag) —
+    mixed-zone tables project in one expression. Returns columns aliased
+    ``easting``/``northing``."""
+    lam0 = F.radians(zone.cast("double") * 6.0 - 183.0)
+    e, n = _utm_forward(lon, lat, lam0)
+    if south is not None:
+        n = n + F.when(south, F.lit(UTM_FALSE_NORTHING_SOUTH)).otherwise(F.lit(0.0))
+    return e.alias("easting"), n.alias("northing")
+
+
+def _utm_forward(
+    lon: Column, lat: Column, lam0: Column
+) -> tuple[Column, Column]:
     phi = F.radians(lat)
     sinp, cosp, tanp = F.sin(phi), F.cos(phi), F.tan(phi)
     n = F.lit(UTM_A) / F.sqrt(F.lit(1.0) - F.lit(_E2) * sinp * sinp)
     t = tanp * tanp
     c = F.lit(_EP2) * cosp * cosp
-    a = (F.radians(lon) - F.lit(lam0)) * cosp
+    a = (F.radians(lon) - lam0) * cosp
     m = F.lit(UTM_A) * (
         F.lit(_M0) * phi
         - F.lit(_M2) * F.sin(phi * 2.0)
@@ -113,8 +134,6 @@ def lonlat_to_utm(
             / 720.0
         )
     )
-    if south:
-        northing = northing + F.lit(UTM_FALSE_NORTHING_SOUTH)
     return easting, northing
 
 

