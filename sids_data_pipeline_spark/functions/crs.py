@@ -260,11 +260,15 @@ def reproject_pixels(
     elif dst_epsg == WGS84 and _is_utm(src_epsg):
         zone, south = utm_params(src_epsg)
         lon, lat = utm_to_lonlat(F.col(x_col), F.col(y_col), zone, south)
+    elif src_epsg == WGS84 and dst_epsg in LCC_PROJECTIONS:
+        lon, lat = LCC_PROJECTIONS[dst_epsg].forward(F.col(x_col), F.col(y_col))
+    elif dst_epsg == WGS84 and src_epsg in LCC_PROJECTIONS:
+        lon, lat = LCC_PROJECTIONS[src_epsg].inverse(F.col(x_col), F.col(y_col))
     else:
         raise NotImplementedError(
             f"EPSG:{src_epsg}→EPSG:{dst_epsg} needs pyproj (not in this "
-            "container); 4326↔3857 and 4326↔UTM-zone are built-in closed "
-            "forms"
+            "container); 4326↔3857, 4326↔UTM-zone, and registered LCC "
+            "grids (functions/crs.LCC_PROJECTIONS) are built-in closed forms"
         )
     # single withColumns: both outputs read the ORIGINAL x/y columns —
     # chained withColumn would feed the replaced x into the y expression
@@ -324,3 +328,93 @@ def standardize_crs(
             "lat": pick(lat_m, lat_u, F.col("lat")),
         }
     ).withColumn(epsg_col, F.lit(dst_epsg))
+
+
+# --- Lambert Conformal Conic (2SP), Snyder 1987 §15 ---------------------------
+# The other projection family real national grids use (France Lambert-93,
+# US State Plane, Canada LCC). Ellipsoidal 2-standard-parallel form; the
+# projection constants (n, F, rho0) are scalars derived once in Python,
+# so per-row math is a handful of transcendentals — pure column
+# expressions, SQL-mirrorable like the UTM pair. Inverse latitude uses
+# the standard fixed-point iteration, unrolled to a fixed 8 steps so the
+# expression is deterministic and the oracle can unroll identically.
+
+LCC_INV_ITERS = 8
+
+
+class LambertConformalConic:
+    """2SP Lambert Conformal Conic on an ellipsoid (a, f)."""
+
+    def __init__(
+        self,
+        a: float,
+        f: float,
+        lat0: float,
+        lat1: float,
+        lat2: float,
+        lon0: float,
+        false_easting: float,
+        false_northing: float,
+    ):
+        self.a, self.f = a, f
+        self.lon0 = lon0
+        self.fe, self.fn = false_easting, false_northing
+        e2 = f * (2.0 - f)
+        self.e = math.sqrt(e2)
+        p0, p1, p2 = map(math.radians, (lat0, lat1, lat2))
+
+        def m(phi: float) -> float:
+            return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+        def t(phi: float) -> float:
+            es = self.e * math.sin(phi)
+            return math.tan(math.pi / 4.0 - phi / 2.0) / (
+                (1.0 - es) / (1.0 + es)
+            ) ** (self.e / 2.0)
+
+        self.n = (math.log(m(p1)) - math.log(m(p2))) / (
+            math.log(t(p1)) - math.log(t(p2))
+        )
+        self.F = m(p1) / (self.n * t(p1) ** self.n)
+        self.rho0 = a * self.F * t(p0) ** self.n
+
+    def _t_col(self, lat: Column) -> Column:
+        phi = F.radians(lat)
+        es = F.lit(self.e) * F.sin(phi)
+        return F.tan(F.lit(math.pi / 4.0) - phi / 2.0) / F.pow(
+            (F.lit(1.0) - es) / (F.lit(1.0) + es), self.e / 2.0
+        )
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        rho = F.lit(self.a * self.F) * F.pow(self._t_col(lat), self.n)
+        theta = F.lit(self.n) * (F.radians(lon) - F.lit(math.radians(self.lon0)))
+        x = F.lit(self.fe) + rho * F.sin(theta)
+        y = F.lit(self.fn) + F.lit(self.rho0) - rho * F.cos(theta)
+        return x, y
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        dx = x - F.lit(self.fe)
+        dy = F.lit(self.rho0) - (y - F.lit(self.fn))
+        sign = 1.0 if self.n >= 0 else -1.0
+        rho = F.lit(sign) * F.sqrt(dx * dx + dy * dy)
+        tp = F.pow(rho / F.lit(self.a * self.F), 1.0 / self.n)
+        theta = F.atan2(F.lit(sign) * dx, F.lit(sign) * dy)
+        lon = F.degrees(theta / F.lit(self.n) + F.lit(math.radians(self.lon0)))
+        phi = F.lit(math.pi / 2.0) - F.atan(tp) * 2.0
+        for _ in range(LCC_INV_ITERS):
+            es = F.lit(self.e) * F.sin(phi)
+            phi = F.lit(math.pi / 2.0) - (
+                F.atan(tp * F.pow((F.lit(1.0) - es) / (F.lit(1.0) + es), self.e / 2.0))
+                * 2.0
+            )
+        return lon, F.degrees(phi)
+
+
+# GRS80 ellipsoid; EPSG:2154 (RGF93 / Lambert-93), the French national grid.
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+LAMBERT93 = LambertConformalConic(
+    a=GRS80_A, f=GRS80_F, lat0=46.5, lat1=44.0, lat2=49.0,
+    lon0=3.0, false_easting=700000.0, false_northing=6600000.0,
+)
+LCC_PROJECTIONS = {2154: LAMBERT93}

@@ -590,6 +590,98 @@ FROM inv
 """
 
 
+def _crs_reproject_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 → Lambert-93 (EPSG:2154) forward, then inverse back — the
+    Lambert Conformal Conic closed form (Snyder §15), France-bounds grid."""
+    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+
+    grid = spark.range(0, 1000, 1, 8).select(
+        F.col("id"),
+        (F.lit(-4.0) + (F.col("id") % 40).cast("double") * 0.3).alias("lon"),
+        ((F.col("id") / 40).cast("long").cast("double") * 0.32 + 42.0).alias("lat"),
+    )
+    xy = reproject_pixels(grid, src_epsg=4326, dst_epsg=2154)
+    xy = xy.select("id", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    back = reproject_pixels(
+        xy.withColumnsRenamed({"x": "lon", "y": "lat"}), 2154, 4326
+    )
+    return (
+        xy.join(back.withColumnsRenamed({"lon": "lon_rt", "lat": "lat_rt"}), "id")
+        .select(
+            "id",
+            F.round("x", 3).alias("x"),
+            F.round("y", 3).alias("y"),
+            F.round("lon_rt", 9).alias("lon_rt"),
+            F.round("lat_rt", 9).alias("lat_rt"),
+        )
+    )
+
+
+def _crs_lcc_sql() -> str:
+    """Mirror with constants derived once in Python (repr round-trips the
+    exact doubles) and the latitude fixed-point unrolled as a CTE chain —
+    same arithmetic per step, so values match the Column unroll."""
+    import math
+
+    from sids_data_pipeline_spark.functions.crs import LAMBERT93 as P
+    from sids_data_pipeline_spark.functions.crs import LCC_INV_ITERS
+
+    aF = P.a * P.F
+    lam0 = math.radians(P.lon0)
+    half_e = P.e / 2.0
+    pi2 = math.pi / 2.0
+    iters = "\n".join(
+        f"i{k + 1} AS (\n"
+        f"  SELECT id, x, y, tp, lon_rt,\n"
+        f"         {pi2!r} - (atan(tp * pow((1.0 - {P.e!r} * sin(phi)) /"
+        f" (1.0 + {P.e!r} * sin(phi)), {half_e!r})) * 2.0) AS phi\n"
+        f"  FROM i{k}\n),"
+        for k in range(LCC_INV_ITERS)
+    )
+    return f"""
+WITH src AS (
+  SELECT i AS id,
+         -4.0 + CAST(i % 40 AS DOUBLE) * 0.3 AS lon,
+         CAST(i // 40 AS DOUBLE) * 0.32 + 42.0 AS lat
+  FROM (SELECT unnest(range(1000)) AS i) t
+),
+f1 AS (
+  SELECT id, radians(lat) AS phi, radians(lon) AS lam FROM src
+),
+fwd AS (
+  SELECT id,
+         {P.fe!r} + ({aF!r} * pow(tan({math.pi / 4.0!r} - phi / 2.0) /
+            pow((1.0 - {P.e!r} * sin(phi)) / (1.0 + {P.e!r} * sin(phi)),
+                {half_e!r}), {P.n!r}))
+           * sin({P.n!r} * (lam - {lam0!r})) AS x,
+         {P.fn!r} + {P.rho0!r} - ({aF!r} * pow(tan({math.pi / 4.0!r} - phi / 2.0) /
+            pow((1.0 - {P.e!r} * sin(phi)) / (1.0 + {P.e!r} * sin(phi)),
+                {half_e!r}), {P.n!r}))
+           * cos({P.n!r} * (lam - {lam0!r})) AS y
+  FROM f1
+),
+inv0 AS (
+  SELECT id, x, y,
+         x - {P.fe!r} AS dx,
+         {P.rho0!r} - (y - {P.fn!r}) AS dy
+  FROM fwd
+),
+i0 AS (
+  SELECT id, x, y,
+         pow((1.0 * sqrt(dx * dx + dy * dy)) / {aF!r}, {1.0 / P.n!r}) AS tp,
+         degrees(atan2(1.0 * dx, 1.0 * dy) / {P.n!r} + {lam0!r}) AS lon_rt,
+         {pi2!r} - atan(pow((1.0 * sqrt(dx * dx + dy * dy)) / {aF!r},
+                            {1.0 / P.n!r})) * 2.0 AS phi
+  FROM inv0
+),
+{iters}
+fin AS (SELECT id, x, y, lon_rt, degrees(phi) AS lat_rt FROM i{LCC_INV_ITERS})
+SELECT id, ROUND(x, 3) AS x, ROUND(y, 3) AS y,
+       ROUND(lon_rt, 9) AS lon_rt, ROUND(lat_rt, 9) AS lat_rt
+FROM fin
+"""
+
+
 # --- tile assignment + density drop (K2/O2) -----------------------------------
 
 _TILE_MAX_ZOOM = 4
@@ -693,6 +785,13 @@ QUERIES: list[Query] = [
         _crs_reproject_utm,
         _crs_utm_sql(),
         doc="P9/F8: WGS-84 ↔ UTM 33N, closed-form transverse Mercator both legs",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "crs_reproject_lcc",
+        _crs_reproject_lcc,
+        _crs_lcc_sql(),
+        doc="P9/F8: WGS-84 ↔ Lambert-93 (LCC 2SP), closed form both legs",
         tags=("geo", "scalar"),
     ),
     Query(

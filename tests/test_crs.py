@@ -195,3 +195,29 @@ def test_utm_roundtrip_all_zones_one_job(spark):
         "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
     ).collect()[0]
     assert worst.dlon < 1e-8 and worst.dlat < 1e-8
+
+
+def test_lcc_lambert93_known_vector(spark):
+    """Paris in RGF93/Lambert-93 (EPSG:2154): published ≈(652469, 6862035)."""
+    df = spark.createDataFrame(
+        [(1, 2.3522, 48.8566)], "id long, lon double, lat double"
+    )
+    row = crs.reproject_pixels(df, 4326, 2154).collect()[0]
+    assert abs(row.lon - 652469.02) < 1.0
+    assert abs(row.lat - 6862035.26) < 1.0
+
+
+def test_lcc_roundtrip_france_bounds(spark):
+    pts = spark.range(0, 200, 1, 4).select(
+        F.col("id"),
+        (F.lit(-4.0) + (F.col("id") % 20).cast("double") * 0.6).alias("lon"),
+        ((F.col("id") / 20).cast("long").cast("double") * 0.85 + 42.0).alias("lat"),
+    )
+    xy = crs.reproject_pixels(pts, 4326, 2154)
+    back = crs.reproject_pixels(xy, 2154, 4326)
+    worst = back.join(
+        pts.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+    ).selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    assert worst.dlon < 1e-9 and worst.dlat < 1e-9
