@@ -250,6 +250,132 @@ def polys_rect(polys: list[Polygon]) -> tuple[float, float, float, float] | None
     return (xmin, ymin, xmax, ymax) if corners == expected else None
 
 
+# --- ring clipping + simplification (tile geometry support) ------------------
+
+
+def clip_ring_rect(
+    ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float
+) -> np.ndarray:
+    """Sutherland–Hodgman clip of a closed ring against an axis-aligned
+    rectangle. Input/output are (n, 2) float64 arrays with first == last
+    vertex; an empty (0, 2) array means the ring lies entirely outside.
+
+    This is the tile-clipping half of what tippecanoe does when cutting
+    features into tiles (reference ``pipeline/processing/tiles.py:16-29``
+    delegates it to the tippecanoe binary); here it is a small numpy
+    kernel shared by the MVT encoder and its correctness oracle.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    if pts.shape[0] and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]  # operate on the open ring, re-close at the end
+
+    # (axis, bound, keep_leq): clip half-planes in a fixed order so the
+    # output vertex sequence is deterministic
+    planes = (
+        (0, xmin, False),  # x >= xmin
+        (0, xmax, True),   # x <= xmax
+        (1, ymin, False),  # y >= ymin
+        (1, ymax, True),   # y <= ymax
+    )
+    for axis, bound, keep_leq in planes:
+        if pts.shape[0] == 0:
+            break
+        out: list[tuple[float, float]] = []
+        n = pts.shape[0]
+        for i in range(n):
+            cur = pts[i]
+            prv = pts[i - 1]
+            cur_in = (cur[axis] <= bound) if keep_leq else (cur[axis] >= bound)
+            prv_in = (prv[axis] <= bound) if keep_leq else (prv[axis] >= bound)
+            if cur_in != prv_in:
+                # edge crosses the plane: interpolate the intersection on
+                # the *other* axis (the clipped axis lands exactly on bound)
+                t = (bound - prv[axis]) / (cur[axis] - prv[axis])
+                other = prv[1 - axis] + t * (cur[1 - axis] - prv[1 - axis])
+                ipt = (bound, other) if axis == 0 else (other, bound)
+                out.append(ipt)
+            if cur_in:
+                out.append((float(cur[0]), float(cur[1])))
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    if pts.shape[0] < 3:
+        return np.empty((0, 2), dtype=np.float64)
+    return np.vstack([pts, pts[:1]])
+
+
+def _dp_keep(pts: np.ndarray, first: int, last: int, tol: float, keep: np.ndarray):
+    """Douglas–Peucker marking pass on pts[first..last] (endpoints kept).
+    Iterative stack — ring sizes are small but recursion limits are not a
+    risk worth taking in an executor."""
+    stack = [(first, last)]
+    while stack:
+        a, b = stack.pop()
+        if b <= a + 1:
+            continue
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        seg = np.array([bx - ax, by - ay])
+        seg_len = float(np.hypot(seg[0], seg[1]))
+        mid = pts[a + 1 : b]
+        if seg_len == 0.0:  # closed-ring chord: fall back to point distance
+            d = np.hypot(mid[:, 0] - ax, mid[:, 1] - ay)
+        else:
+            d = np.abs(
+                (bx - ax) * (ay - mid[:, 1]) - (ax - mid[:, 0]) * (by - ay)
+            ) / seg_len
+        imax = int(np.argmax(d))
+        if float(d[imax]) > tol:
+            k = a + 1 + imax
+            keep[k] = True
+            stack.append((a, k))
+            stack.append((k, b))
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker simplification of a closed ring (first == last).
+    The ring is split at the vertex farthest from vertex 0 so both DP
+    halves have a real chord; vertex 0 and the split vertex always
+    survive, keeping the result a valid ring. tol <= 0 is a no-op.
+
+    Mirrors tippecanoe's zoom-gated simplification
+    (``--simplify-only-low-zooms``, reference tiles.py:23): callers apply
+    it only below the max zoom.
+    """
+    pts = np.asarray(ring, dtype=np.float64)
+    if tol <= 0.0 or pts.shape[0] <= 4:
+        return pts
+    closed = np.array_equal(pts[0], pts[-1])
+    open_pts = pts[:-1] if closed else pts
+    n = open_pts.shape[0]
+    split = int(
+        np.argmax(np.hypot(open_pts[:, 0] - open_pts[0, 0], open_pts[:, 1] - open_pts[0, 1]))
+    )
+    if split == 0:  # all vertices coincide
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[split] = True
+    _dp_keep(open_pts, 0, split, tol, keep)
+    # second half wraps around: run DP on the rolled view, map indices back
+    rolled = np.vstack([open_pts[split:], open_pts[:1]])
+    rkeep = np.zeros(rolled.shape[0], dtype=bool)
+    rkeep[0] = rkeep[-1] = True
+    _dp_keep(rolled, 0, rolled.shape[0] - 1, tol, rkeep)
+    keep[split:] |= rkeep[:-1][: n - split]
+    out = open_pts[keep]
+    if out.shape[0] < 3:
+        return pts
+    return np.vstack([out, out[:1]])
+
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area of a closed ring, as the MVT spec's surface
+    integral (vector-tile-spec 2.1 §4.3.3.2): in tile coords (y grows
+    down) a screen-clockwise exterior ring has positive area."""
+    pts = np.asarray(ring, dtype=np.float64)
+    x, y = pts[:-1, 0], pts[:-1, 1]
+    xn, yn = pts[1:, 0], pts[1:, 1]
+    return float(np.sum(x * yn - xn * y) / 2.0)
+
+
 def wkb_to_geojson_geometry(wkb: bytes) -> dict:
     """WKB → GeoJSON MultiPolygon geometry dict (for the GeoJSONL sink,
     reference ogr2ogr GeoJSONSeq export, pipeline/processing/vector.py:29-37)."""

@@ -24,6 +24,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sids_data_pipeline_spark import lifecycle
 from sids_data_pipeline_spark.operators import manifest
 from sids_data_pipeline_spark.operators.zonal import zonal_stats
 from sids_data_pipeline_spark.sinks import geojsonl, tiles
@@ -90,12 +91,25 @@ def run_pipeline(
     gated = all_stats.withColumnsRenamed(
         {"vector_id": "v_id", "raster_id": "r_id"}
     ).join(pending.select("v_id", "r_id"), ["v_id", "r_id"], "left_semi")
-    stats_with_geom = gated.join(
-        zones.withColumnsRenamed({"vector_id": "v_id"}).select(
-            "v_id", "fid", "geometry"
-        ),
-        ["v_id", "fid"],
+    from sids_data_pipeline_spark.operators.zonal import _zone_bboxes
+
+    # bbox columns feed tile assignment/density-drop; the WKB geometry
+    # rides along so the tile encoder cuts TRUE polygon rings per tile
+    # (the reference's tippecanoe geometry, tiles.py:16-29) instead of
+    # bbox rectangles.
+    stats_with_geom = _zone_bboxes(
+        gated.join(
+            zones.withColumnsRenamed({"vector_id": "v_id"}).select(
+                "v_id", "fid", "geometry"
+            ),
+            ["v_id", "fid"],
+        )
     )
+    # Persist ONCE before the per-pair sink loop: each pair triggers two
+    # actions (GeoJSONL + tiles), and without this the spatial join +
+    # aggregate lineage would re-execute ~2× per pair — the driver-side
+    # bottleneck at a dozens-of-pairs tileset run.
+    stats_with_geom = lifecycle.track(stats_with_geom.persist())
 
     outputs = []
     for row in pending_rows:
@@ -107,15 +121,16 @@ def run_pipeline(
             pair_df, os.path.join(pair_dir, "export.geojsonl"),
             property_cols=("fid", *stats),
         )
-        from sids_data_pipeline_spark.operators.zonal import _zone_bboxes
-
-        feats = _zone_bboxes(
-            pair_df.select("fid", "geometry").withColumnRenamed("fid", "fid")
-        ).select("fid", "xmin", "ymin", "xmax", "ymax")
+        feats = pair_df.select(
+            "fid", "geometry", *stats, "xmin", "ymin", "xmax", "ymax"
+        )
         tiled = tiles.drop_densest(
             tiles.assign_tiles(feats, max_zoom=max_zoom), max_features_per_tile
         )
-        encoded = tiles.encode_tiles(tiled, ["fid", "xmin", "ymin", "xmax", "ymax"])
+        encoded = tiles.encode_tiles(
+            tiled, ["fid", *stats, "geometry"], geometry_col="geometry",
+            max_zoom=max_zoom,
+        )
         tiles.write_tileset(
             encoded, os.path.join(pair_dir, "tiles"), name=row.pair_key,
             max_zoom=max_zoom,
@@ -123,4 +138,5 @@ def run_pipeline(
         outputs.append(row.pair_key)
 
     manifest.record_done(spark, ledger_path, pending)
+    lifecycle.release(stats_with_geom)
     return {"pending": len(pending_rows), "outputs": outputs}

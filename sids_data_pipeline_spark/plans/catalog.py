@@ -58,6 +58,7 @@ PRIORITY: tuple[str, ...] = (
     "raster_clip_band",
     "tiles_assign",
     "tiles_density_drop",
+    "tiles_encode_rings",
     "crs_reproject",
     "raster_geotiff_ingest",
     "vector_geopackage_ingest",
@@ -69,7 +70,6 @@ PRIORITY: tuple[str, ...] = (
     "join_asof",
     "multimodal_features",
     "corpus_split",
-    "corpus_sample_stratified",
     "corpus_pack_shards",
     "dedup_clusters",
     "corpus_decontaminate",

@@ -744,6 +744,103 @@ def _tiles_assign_sql() -> str:
     )
 
 
+# --- true polygon rings through the MVT wire format (K2 fidelity) -------------
+
+_RINGS_MAX_ZOOM = 3
+
+
+def _tiles_encode_rings_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 end-to-end at feature-content fidelity: zones (real polygons,
+    incl. a triangle with a hole) → tile assignment → MVT encode with true
+    clipped/simplified rings (executor-side, real protobuf bytes) → MVT
+    decode → one row per ring vertex. The oracle rebuilds the same vertices
+    from the fixture WKB through the shared kernel, so a single flipped
+    bit anywhere in project/simplify/clip/winding/zigzag/varint shows up
+    as a hash mismatch. Replaces the reference's tippecanoe geometry cut
+    (pipeline/processing/tiles.py:16-29)."""
+    from sids_data_pipeline_spark.operators.zonal import _zone_bboxes
+    from sids_data_pipeline_spark.sinks.tiles import assign_tiles, encode_tiles
+
+    zones = fixture_zones(spark, "zones_overlap").select("fid", "geometry")
+    feats = _zone_bboxes(zones).select(
+        "fid", "geometry", "xmin", "ymin", "xmax", "ymax"
+    )
+    assigned = assign_tiles(feats, max_zoom=_RINGS_MAX_ZOOM)
+    encoded = encode_tiles(
+        assigned, ["fid", "geometry"], geometry_col="geometry",
+        max_zoom=_RINGS_MAX_ZOOM,
+    )
+
+    def explode_rings(batches):
+        import pandas as pd
+
+        from sids_data_pipeline_spark.functions import mvt
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                layer = mvt.decode_tile(bytes(r.pbf))["features"]
+                for feat in layer["features"]:
+                    for ri, ring in enumerate(feat["rings"]):
+                        for vi, (px, py) in enumerate(ring):
+                            rows.append(
+                                (int(r.z), int(r.x), int(r.y),
+                                 int(feat["props"]["fid"]), ri, vi,
+                                 int(px), int(py))
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=["z", "x", "y", "fid", "ring", "vertex", "px", "py"],
+            )
+
+    return encoded.mapInPandas(
+        explode_rings,
+        "z int, x int, y int, fid long, ring int, vertex int, px long, py long",
+    )
+
+
+def _tiles_encode_rings_sql() -> str:
+    """Expected vertices computed once from the same fixture WKB through
+    the shared geometry kernel (fixture-VALUES oracle, like the GeoJSONL
+    entry): the engine side still has to push real bytes through the MVT
+    wire format and back on executors to match it."""
+    import math as m
+
+    from sids_data_pipeline_spark.sinks.tiles import (
+        DEFAULT_SIMPLIFY_TOL,
+        geometry_tile_rings,
+    )
+
+    def tx(lon, z):
+        return m.floor((lon + 180.0) / 360.0 * 2.0 ** z)
+
+    def ty(lat, z):
+        # mirrors _tile_y term-for-term (same float op order)
+        t = m.tan(m.radians(lat))
+        asinh_t = m.log(t + m.sqrt(t * t + 1.0))
+        mercator = 1.0 - asinh_t / m.pi
+        return m.floor(mercator / 2.0 * 2.0 ** z)
+
+    rows = []
+    for fid, _name, wkb in FIXTURE_BUILDERS["zones_overlap"]():
+        xmin, ymin, xmax, ymax = geo.wkb_bbox(wkb)
+        for z in range(_RINGS_MAX_ZOOM + 1):
+            tol = DEFAULT_SIMPLIFY_TOL if z < _RINGS_MAX_ZOOM else 0.0
+            for x in range(tx(xmin, z), tx(xmax, z) + 1):
+                for y in range(ty(ymax, z), ty(ymin, z) + 1):
+                    rings = geometry_tile_rings(wkb, z, x, y, simplify_tol=tol)
+                    for ri, ring in enumerate(rings):
+                        for vi, (px, py) in enumerate(ring):
+                            rows.append(
+                                f"({z}, {x}, {y}, {fid}, {ri}, {vi}, {px}, {py})"
+                            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(z, x, y, fid, ring, vertex, px, py)"
+    )
+
+
 def _tiles_drop_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sids_data_pipeline_spark.sinks.tiles import assign_tiles, drop_densest
 
@@ -845,6 +942,14 @@ QUERIES: list[Query] = [
         _tiles_drop_sql(),
         doc="O2 per-tile density-ranked drop (tippecanoe drop-densest semantics)",
         tags=("geo", "tiles", "window"),
+    ),
+    Query(
+        "tiles_encode_rings",
+        _tiles_encode_rings_query,
+        _tiles_encode_rings_sql(),
+        doc="K2 feature-content fidelity: true clipped+zoom-simplified "
+            "polygon rings through the MVT wire format and back",
+        tags=("geo", "tiles", "sink"),
     ),
     Query(
         "zonal_mean_broadcast",

@@ -32,11 +32,18 @@ import math
 import os
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MAX_ZOOM = 10  # reference tippecanoe -z10 (tiles.py:22-24)
+# tippecanoe's default --buffer=5 is 5/256 of the tile span; at the default
+# 4096 extent that is 80 tile-local units of spill-over kept per edge
+DEFAULT_TILE_BUFFER = 80
+# one rendered pixel at a 256-px tile: extent / 256. Applied only below the
+# max zoom (tippecanoe --simplify-only-low-zooms, reference tiles.py:23)
+DEFAULT_SIMPLIFY_TOL = 16.0
 
 
 def _tile_x(lon, z):
@@ -118,54 +125,169 @@ def _local_coords(z: int, x: int, y: int, xmin, ymin, xmax, ymax, extent: int):
     return [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
 
 
-def _encode_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Real MVT (vector-tile-spec 2.1) tile: one ``features`` layer, each
-    feature's bbox as a tile-local polygon, remaining columns as typed
-    properties (deterministic: features sorted by id column). Pure-Python
-    wire format — functions/mvt.py — so executors need no native libs."""
-    from sids_data_pipeline_spark.functions import mvt
-
-    z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
-    feat_cols = [c for c in pdf.columns if c not in ("z", "x", "y")]
-    bbox = ("xmin", "ymin", "xmax", "ymax")
-    has_bbox = all(c in feat_cols for c in bbox)
-    prop_cols = [c for c in feat_cols if c not in bbox]
-    rows = pdf[feat_cols].sort_values(feat_cols[0]).to_dict("records")
-    features = []
-    for i, r in enumerate(rows):
-        rings = (
-            [_local_coords(z, x, y, r["xmin"], r["ymin"], r["xmax"], r["ymax"],
-                           mvt.DEFAULT_EXTENT)]
-            if has_bbox
-            else [[(mvt.DEFAULT_EXTENT // 2, mvt.DEFAULT_EXTENT // 2)]]
-        )
-        features.append(
-            {
-                "id": i + 1,  # spec: nonzero unique-in-layer id
-                "type": mvt.GEOM_POLYGON if has_bbox else mvt.GEOM_POINT,
-                "rings": rings,
-                # bbox columns become the geometry ring, not properties
-                # (tippecanoe likewise doesn't duplicate geometry as attrs)
-                "props": {
-                    k: (v.item() if hasattr(v, "item") else v)
-                    for k, v in r.items()
-                    if k in prop_cols
-                },
-            }
-        )
-    payload = mvt.encode_tile("features", features)
-    return pd.DataFrame([{"z": z, "x": x, "y": y, "pbf": payload}])
+def _project_ring(z: int, x: int, y: int, ring: np.ndarray, extent: int) -> np.ndarray:
+    """Vectorised lon/lat ring → tile-local float coordinates (same slippy
+    math as :func:`_local_coords`, unrounded)."""
+    n = 2.0 ** z
+    lon, lat = ring[:, 0], ring[:, 1]
+    t = np.tan(np.radians(lat))
+    merc = (1.0 - np.log(t + np.sqrt(t * t + 1.0)) / math.pi) / 2.0
+    return np.column_stack(
+        (((lon + 180.0) / 360.0 * n - x) * extent, (merc * n - y) * extent)
+    )
 
 
-def encode_tiles(tiles: DataFrame, feature_cols: Iterable[str]) -> DataFrame:
+def geometry_tile_rings(
+    wkb: bytes,
+    z: int,
+    x: int,
+    y: int,
+    extent: int | None = None,
+    buffer: int = DEFAULT_TILE_BUFFER,
+    simplify_tol: float = 0.0,
+) -> list[list[tuple[int, int]]]:
+    """Project a WKB (Multi)Polygon's actual rings into one tile: per-vertex
+    slippy projection → optional Douglas–Peucker simplification → clip to
+    the tile + buffer → integer snap, with MVT winding enforced (exterior
+    positive shoelace area, holes negative — spec §4.3.3.2). Returns closed
+    rings; an empty list means the geometry misses this tile entirely.
+
+    This is the per-tile geometry cut the reference delegates to tippecanoe
+    (``pipeline/processing/tiles.py:16-29``). Shared by the executor-side
+    encoder and the correctness oracle so both see identical vertices.
+    """
+    from sids_data_pipeline_spark.functions import geo, mvt
+
+    ext = extent if extent is not None else mvt.DEFAULT_EXTENT
+    lo, hi = -float(buffer), float(ext + buffer)
+    out: list[list[tuple[int, int]]] = []
+    for poly in geo.parse_wkb(bytes(wkb)):
+        poly_rings: list[list[tuple[int, int]]] = []
+        exterior_alive = False
+        for ri, ring in enumerate(poly):
+            pts = _project_ring(z, x, y, np.asarray(ring, dtype=np.float64), ext)
+            if simplify_tol > 0.0:
+                pts = geo.simplify_ring(pts, simplify_tol)
+            pts = geo.clip_ring_rect(pts, lo, lo, hi, hi)
+            if pts.shape[0] == 0:
+                if ri == 0:
+                    break  # exterior gone: holes alone are meaningless
+                continue
+            snapped = np.rint(pts).astype(np.int64)
+            # drop consecutive duplicates the integer snap introduced
+            dedup = snapped[
+                np.concatenate(([True], np.any(snapped[1:] != snapped[:-1], axis=1)))
+            ]
+            if not np.array_equal(dedup[0], dedup[-1]):
+                dedup = np.vstack([dedup, dedup[:1]])
+            if dedup.shape[0] < 4:
+                if ri == 0:
+                    break
+                continue
+            area = geo.ring_signed_area(dedup.astype(np.float64))
+            if area == 0.0:
+                if ri == 0:
+                    break
+                continue
+            want_positive = ri == 0
+            if (area > 0.0) != want_positive:
+                dedup = dedup[::-1]
+            if ri == 0:
+                exterior_alive = True
+            poly_rings.append([(int(px), int(py)) for px, py in dedup])
+        if exterior_alive:
+            out.extend(poly_rings)
+    return out
+
+
+def _make_tile_encoder(
+    geometry_col: str | None,
+    max_zoom: int,
+    buffer: int = DEFAULT_TILE_BUFFER,
+    simplify_tol: float = DEFAULT_SIMPLIFY_TOL,
+):
+    """Build the applyInPandas tile encoder. With ``geometry_col`` the
+    feature geometry is the WKB polygon's true rings (clipped, simplified
+    below ``max_zoom``); without it the legacy bbox-rectangle path applies."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        from sids_data_pipeline_spark.functions import mvt
+
+        z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+        feat_cols = [c for c in pdf.columns if c not in ("z", "x", "y")]
+        bbox = ("xmin", "ymin", "xmax", "ymax")
+        has_geom = geometry_col is not None and geometry_col in feat_cols
+        has_bbox = not has_geom and all(c in feat_cols for c in bbox)
+        prop_cols = [
+            c for c in feat_cols
+            if c != geometry_col and (has_geom or c not in bbox)
+        ]
+        sort_key = prop_cols[0] if prop_cols else feat_cols[0]
+        rows = pdf[feat_cols].sort_values(sort_key).to_dict("records")
+        tol = simplify_tol if z < max_zoom else 0.0
+        features = []
+        for r in rows:
+            if has_geom:
+                rings = geometry_tile_rings(
+                    r[geometry_col], z, x, y,
+                    buffer=buffer, simplify_tol=tol,
+                )
+                if not rings:
+                    continue  # bbox touched the tile but the polygon doesn't
+                gtype = mvt.GEOM_POLYGON
+            elif has_bbox:
+                rings = [
+                    _local_coords(z, x, y, r["xmin"], r["ymin"], r["xmax"],
+                                  r["ymax"], mvt.DEFAULT_EXTENT)
+                ]
+                gtype = mvt.GEOM_POLYGON
+            else:
+                rings = [[(mvt.DEFAULT_EXTENT // 2, mvt.DEFAULT_EXTENT // 2)]]
+                gtype = mvt.GEOM_POINT
+            features.append(
+                {
+                    "id": len(features) + 1,  # spec: nonzero unique-in-layer id
+                    "type": gtype,
+                    "rings": rings,
+                    # geometry/bbox columns become the rings, not properties
+                    # (tippecanoe likewise doesn't duplicate geometry as
+                    # attrs, and drops null attributes entirely)
+                    "props": {
+                        k: (v.item() if hasattr(v, "item") else v)
+                        for k, v in r.items()
+                        if k in prop_cols
+                        and v is not None
+                        and not (isinstance(v, float) and math.isnan(v))
+                    },
+                }
+            )
+        payload = mvt.encode_tile("features", features)
+        return pd.DataFrame([{"z": z, "x": x, "y": y, "pbf": payload}])
+
+    return encode
+
+
+def encode_tiles(
+    tiles: DataFrame,
+    feature_cols: Iterable[str],
+    geometry_col: str | None = None,
+    max_zoom: int = MAX_ZOOM,
+    buffer: int = DEFAULT_TILE_BUFFER,
+    simplify_tol: float = DEFAULT_SIMPLIFY_TOL,
+) -> DataFrame:
     """Group by tile key and encode each group to one binary payload
     (K2). applyInPandas keeps encoding executor-side; the groupBy is the
-    single shuffle of the tile pipeline."""
+    single shuffle of the tile pipeline. Pass ``geometry_col`` (a WKB
+    column) to emit true clipped polygon rings; bbox columns remain as a
+    fallback for rectangle-only feeds."""
     cols = ["z", "x", "y", *feature_cols]
+    encoder = _make_tile_encoder(
+        geometry_col, max_zoom=max_zoom, buffer=buffer, simplify_tol=simplify_tol
+    )
     return (
         tiles.select(*cols)
         .groupBy("z", "x", "y")
-        .applyInPandas(_encode_tile, "z int, x int, y int, pbf binary")
+        .applyInPandas(encoder, "z int, x int, y int, pbf binary")
     )
 
 

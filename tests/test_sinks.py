@@ -159,3 +159,121 @@ def test_mvt_negative_and_overflow_coords():
                                   "rings": [ring], "props": {}}])
     back = mvt.decode_tile(data)["l"]["features"][0]["rings"][0]
     assert back == ring
+
+
+# --- true polygon rings in MVT tiles (K2 feature-content fidelity) ------------
+
+
+def test_encode_tiles_true_rings_match_kernel(spark):
+    """encode_tiles(geometry_col=...) emits each zone's actual clipped
+    rings — decoded vertices equal geometry_tile_rings on the same WKB."""
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import geo, mvt
+    from sids_data_pipeline_spark.sources.vector import FIXTURE_BUILDERS
+
+    rows = [
+        (fid, wkb) + geo.wkb_bbox(wkb)
+        for fid, _name, wkb in FIXTURE_BUILDERS["zones_overlap"]()
+    ]
+    feats = spark.createDataFrame(
+        rows, "fid long, geometry binary, xmin double, ymin double, "
+              "xmax double, ymax double"
+    )
+    assigned = tiles.assign_tiles(feats, max_zoom=2)
+    encoded = tiles.encode_tiles(
+        assigned, ["fid", "geometry"], geometry_col="geometry", max_zoom=2
+    ).collect()
+    wkb_by_fid = {fid: wkb for fid, _n, wkb in FIXTURE_BUILDERS["zones_overlap"]()}
+    checked = 0
+    for row in encoded:
+        layer = mvt.decode_tile(bytes(row.pbf))["features"]
+        for feat in layer["features"]:
+            tol = tiles.DEFAULT_SIMPLIFY_TOL if row.z < 2 else 0.0
+            expect = tiles.geometry_tile_rings(
+                wkb_by_fid[feat["props"]["fid"]], row.z, row.x, row.y,
+                simplify_tol=tol,
+            )
+            assert feat["rings"] == expect
+            checked += 1
+            # exterior positive, holes negative (MVT spec §4.3.3.2)
+            areas = [
+                geo.ring_signed_area(np.asarray(r, dtype=float))
+                for r in feat["rings"]
+            ]
+            assert areas[0] > 0 and all(a != 0 for a in areas)
+    assert checked > 0
+    # the triangle-with-hole zone must carry BOTH rings in its home tile
+    tri = tiles.geometry_tile_rings(wkb_by_fid[4], 2, 2, 1)
+    assert len(tri) == 2
+
+
+def test_encode_tiles_zoom_simplification(spark):
+    """Verdict r5 #4: at z < max_zoom rings are Douglas-Peucker
+    simplified, so a dense ring decodes with far fewer vertices at z0
+    than at max zoom."""
+    import math as m
+
+    from sids_data_pipeline_spark.functions import geo, mvt
+
+    circle = [
+        (90.0 + 30.0 * m.cos(t * 2 * m.pi / 240),
+         10.0 + 30.0 * m.sin(t * 2 * m.pi / 240))
+        for t in range(241)
+    ]
+    wkb = geo.multipolygon_wkb([[circle]])
+    xmin, ymin, xmax, ymax = geo.wkb_bbox(wkb)
+    feats = spark.createDataFrame(
+        [(1, wkb, xmin, ymin, xmax, ymax)],
+        "fid long, geometry binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    assigned = tiles.assign_tiles(feats, max_zoom=3)
+    encoded = tiles.encode_tiles(
+        assigned, ["fid", "geometry"], geometry_col="geometry", max_zoom=3
+    ).collect()
+
+    def verts_at(z):
+        n = 0
+        for row in encoded:
+            if row.z != z:
+                continue
+            layer = mvt.decode_tile(bytes(row.pbf))["features"]
+            n += sum(len(f["rings"][0]) for f in layer["features"])
+        return n
+
+    v0, vmax = verts_at(0), verts_at(3)
+    assert v0 < vmax / 3  # low zoom is drastically lighter
+    assert vmax >= 150  # max zoom keeps the detail (no simplification)
+
+
+def test_encode_tiles_drops_feature_outside_polygon(spark):
+    """A tile touched by the bbox but missed by the actual polygon gets
+    no feature (the bbox-rectangle path would have emitted one)."""
+    from sids_data_pipeline_spark.functions import geo, mvt
+
+    # thin diagonal triangle: its bbox covers 4 tiles at z3 but the
+    # geometry itself misses the north-east one
+    tri = geo.multipolygon_wkb(
+        [[[(1.0, 1.0), (88.0, 2.0), (2.0, 80.0), (1.0, 1.0)]]]
+    )
+    xmin, ymin, xmax, ymax = geo.wkb_bbox(tri)
+    feats = spark.createDataFrame(
+        [(7, tri, xmin, ymin, xmax, ymax)],
+        "fid long, geometry binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    assigned = tiles.assign_tiles(feats, max_zoom=3)
+    encoded = tiles.encode_tiles(
+        assigned, ["fid", "geometry"], geometry_col="geometry", max_zoom=3
+    ).collect()
+    per_tile = {
+        (r.z, r.x, r.y): len(mvt.decode_tile(bytes(r.pbf))["features"]["features"])
+        for r in encoded
+    }
+    assigned_keys = {
+        (r.z, r.x, r.y) for r in assigned.select("z", "x", "y").collect()
+    }
+    empty = [k for k, n in per_tile.items() if n == 0]
+    assert len(per_tile) == len(assigned_keys)
+    assert empty, "expected at least one bbox-only tile to encode empty"
