@@ -99,18 +99,24 @@ def run_curation_job(
         },
         sort_keys=True,
     )
+    # Input signature: the ledger must not declare "done" for DIFFERENT
+    # data under the same config (the reference keys its skip on the
+    # input file's existence/signature, data.py:26-40). The logical-plan
+    # hash pins the source identity (paths/plan shape); the row count is
+    # one cheap metadata-aggregate action and catches in-place rewrites.
+    n_input = docs.count()
+    input_sig = f"{docs.semanticHash()}:{n_input}"
     ledger = os.path.join(out_dir, "_curation_ledger.json")
     if os.path.exists(ledger):
         with open(ledger) as f:
             prior = json.load(f)
-        if prior.get("config") == config_key:
+        if prior.get("config") == config_key and prior.get("input_sig") == input_sig:
             return {**prior["manifest"], "skipped": True}
 
     from sids_data_pipeline_spark.operators.dedup import decontaminate
     from sids_data_pipeline_spark.operators.sampling import hash_split, pack_shards
     from sids_data_pipeline_spark.operators.text import scrub_pii, token_stats
 
-    n_input = docs.count()
     scrubbed = scrub_pii(docs).join(
         docs.drop("text"), "doc_id"
     )  # scrubbed text + original metadata columns
@@ -119,7 +125,6 @@ def run_curation_job(
     )
     if benchmark is not None:
         curated = decontaminate(curated, benchmark)
-    n_curated = curated.count()
 
     labeled = hash_split(curated, splits)
     with_tokens = labeled.join(
@@ -143,6 +148,10 @@ def run_curation_job(
     sharded.write.mode("overwrite").partitionBy("split", "shard_id").parquet(
         data_dir
     )
+    # ONE aggregate over the written output serves the whole report —
+    # n_curated included (split/shard assignment drops no rows), so the
+    # curation chain executes exactly once (the write) instead of once
+    # per report count.
     written = spark.read.parquet(data_dir)
     shard_stats = {
         r.split: {"docs": r.docs, "shards": r.shards}
@@ -153,6 +162,7 @@ def run_curation_job(
         )
         .collect()
     }
+    n_curated = sum(v["docs"] for v in shard_stats.values())
     manifest_out = {
         "n_input": n_input,
         "n_curated": n_curated,
@@ -161,5 +171,8 @@ def run_curation_job(
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(ledger, "w") as f:
-        json.dump({"config": config_key, "manifest": manifest_out}, f)
+        json.dump(
+            {"config": config_key, "input_sig": input_sig, "manifest": manifest_out},
+            f,
+        )
     return {**manifest_out, "skipped": False}

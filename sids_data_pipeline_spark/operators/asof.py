@@ -60,7 +60,14 @@ def asof_join(
     per ``by`` key. Left rows with no prior right row keep NULLs.
 
     Output: all left columns + [f"{c}{suffix}" for c in right_cols].
+
+    Right rows with a NULL timestamp or NULL key are dropped first: a
+    NULL ts can never be "the latest row at or before t" (pandas
+    merge_asof and DuckDB ASOF JOIN likewise ignore NULL keys; without
+    this, NULLS-FIRST ascending ordering would make them matchable as
+    the earliest payload in the window strategy).
     """
+    right = right.filter(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
     if how == "window":
         return _asof_window(left, right, by, ts_col, list(right_cols), suffix)
     if how == "cogroup":

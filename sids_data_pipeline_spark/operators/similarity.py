@@ -209,12 +209,22 @@ def topk_quantized(
     Deterministic ties via neighbor_id. Output: (query_id, neighbor_id,
     cosine, rank) where cosine is the quantized-domain cosine.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("_qv")
-    ).withColumn("_qn", _dot(F.col("_qv"), F.col("_qv")))
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("_cv")
-    ).withColumn("_cn", _dot(F.col("_cv"), F.col("_cv")))
+    # Zero vectors have no direction: drop them on both sides (cosine is
+    # undefined; the SQL oracle's maxabs > 0 guard makes the same cut).
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("_qv")
+        )
+        .withColumn("_qn", _dot(F.col("_qv"), F.col("_qv")))
+        .filter(F.col("_qn") > 0)
+    )
+    c = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("_cv")
+        )
+        .withColumn("_cn", _dot(F.col("_cv"), F.col("_cv")))
+        .filter(F.col("_cn") > 0)
+    )
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )

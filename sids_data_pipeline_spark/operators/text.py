@@ -262,12 +262,15 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 # PII patterns chosen to behave identically in Java regex (Spark) and
-# RE2 (DuckDB): no lookaround, no backreferences. Real deployments would
-# extend the inventory behind the same operator shape.
+# RE2 (DuckDB): no lookaround, no backreferences, and whitespace spelled
+# as an explicit class — Java's \s includes vertical tab (\x0B) while
+# RE2's does not, so \s itself would diverge on a \x0B between digits.
+# Real deployments would extend the inventory behind the same operator
+# shape.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
-    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "phone": r"\+?[0-9][0-9()\- \t\n\r\f]{7,}[0-9]",
 }
 
 

@@ -547,7 +547,7 @@ SELECT doc_id,
        array_to_string(list_slice(ws, CAST(t.i * 80 + 1 AS BIGINT),
                                   CAST(t.i * 80 + 100 AS BIGINT)), ' ')
          AS chunk_text
-FROM c, (SELECT unnest(range(10000)) AS i) t
+FROM c, (SELECT unnest(range((SELECT CAST(MAX(n_chunks) AS BIGINT) FROM c))) AS i) t
 WHERE t.i < c.n_chunks
 """
 

@@ -126,3 +126,30 @@ def test_asof_strategies_agree_on_events_table(spark):
             ).collect()
         )
     assert res["window"] == res["cogroup"] and len(res["window"]) > 0
+
+
+def test_asof_ignores_null_ts_right_rows(spark):
+    """ADVICE r5: right rows with NULL ts/key must never match (pandas
+    merge_asof / DuckDB ASOF JOIN ignore NULL keys); without the filter
+    the window strategy's NULLS-FIRST ordering would surface them as the
+    'earliest' payload."""
+    from sids_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 5, "L1"), ("a", 1, "L0")], "k string, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("a", None, 999), ("a", 3, 30), (None, 2, 777)],
+        "k string, ts long, price long",
+    )
+    for how in ("window", "cogroup"):
+        out = {
+            r.tag: r.price_right
+            for r in asof_join(
+                left, right, by="k", ts_col="ts",
+                right_cols=["price"], how=how,
+            ).collect()
+        }
+        # ts=5 sees the ts=3 row; ts=1 has no prior valid row -> NULL
+        # (the NULL-ts 999 and NULL-key 777 rows are invisible)
+        assert out == {"L1": 30, "L0": None}, (how, out)

