@@ -15,8 +15,11 @@ passes; shuffle/persist reuse within one operator is part of its design).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import statistics
 import sys
 import time
 
@@ -41,6 +44,27 @@ HEADLINE = [
 ]
 
 
+def _previous_round() -> tuple[str, dict[str, float]] | None:
+    """Latest BENCH_r{N}.json with a parsed per-query map, if any."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_n, best = -1, None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+        except Exception:
+            continue
+        if queries and int(m.group(1)) > best_n:
+            best_n, best = int(m.group(1)), queries
+    if best is None:
+        return None
+    return f"r{best_n:02d}", best
+
+
 def main() -> None:
     from sids_data_pipeline_spark.plans.catalog import all_queries
     from sids_data_pipeline_spark.session import get_spark
@@ -54,18 +78,22 @@ def main() -> None:
         catalog[name].spark(spark, SF_DIR).count()
         cold[name] = round(time.time() - t0, 3)
 
-    # Steady state: best of 3 passes per query (min is the standard
-    # steady-state capability number — it strips GC/JIT/scheduler noise,
-    # which on a shared 32-thread box is ±30% run to run). The oracle
-    # below gets the identical warm-up + min-of-3 treatment.
+    # Steady state: 5 passes per query. "queries"/"value" keep the best
+    # pass (the steady-state capability number — strips GC/JIT/scheduler
+    # noise, ±30% run to run on a shared 32-thread box); "median_queries"
+    # /"median" add the median-of-5, which is robust to one lucky pass
+    # and is the number to compare across rounds. The oracle below gets
+    # the identical warm-up + 5-pass treatment.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
+        passes = []
+        for _ in range(5):
             t0 = time.time()
             catalog[name].spark(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            passes.append(time.time() - t0)
+        timings[name] = round(min(passes), 3)
+        medians[name] = round(statistics.median(passes), 3)
 
     # Baseline: the DuckDB oracle for the same queries at the same SF
     # (BASELINE.md — the reference publishes no numbers, so the 2× bound
@@ -97,7 +125,7 @@ def main() -> None:
             try:
                 con.execute(sql).fetchall()
                 best = float("inf")
-                for _ in range(3):
+                for _ in range(5):
                     t0 = time.time()
                     con.execute(sql).fetchall()
                     best = min(best, time.time() - t0)
@@ -112,10 +140,24 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "median_queries": medians,
+        "median": round(sum(medians.values()), 3),
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Per-query deltas vs the previous round's recorded bench, so a real
+    # regression separates from the box's ±30% single-run noise at a
+    # glance. Best-effort: absent/corrupt prior files are skipped.
+    prev = _previous_round()
+    if prev:
+        prev_round, prev_queries = prev
+        out["prev_round"] = prev_round
+        out["delta_vs_prev"] = {
+            name: round(timings[name] - prev_queries[name], 3)
+            for name in timings
+            if name in prev_queries
+        }
     if oracle:
         out["oracle_queries"] = oracle
         out["oracle_total"] = round(sum(oracle.values()), 3)
