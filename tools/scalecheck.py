@@ -56,12 +56,16 @@ def main() -> None:
         ).coalesce(1)
 
     zonal = {}
-    for n in (512, 1024, 2048, 4096):
+    # 10240² = 104.9M px: one decade past the 4096² point, confirming the
+    # ns/px asymptote holds at the scale a single executor would own on a
+    # 1000-node 100 TB run. reps drop to 2 past 16M px to bound wall time.
+    for n in (512, 1024, 2048, 4096, 10240):
         px = synthetic_raster_scaled(spark, n)
         zs = zones_for(n)
         sec = _steady(
             lambda: zonal_stats(zs, px, stats=("mean", "count"), how="grid",
-                                cell_deg=float(n) * 0.1 / 2).count()
+                                cell_deg=float(n) * 0.1 / 2).count(),
+            reps=2 if n > 4096 else 3,
         )
         zonal[f"{n * n:,} px"] = {
             "sec": round(sec, 3),
