@@ -1,0 +1,91 @@
+"""Upsert / snapshot-diff — incremental-maintenance primitives.
+
+The reference's incrementality is pair-level: skip a (vector, raster)
+pair when its marker exists (``pipeline/processing/data.py:26-40``), and
+append completions to a ledger (``batch/processing/raster.py:40``).
+Row-level maintenance — apply a batch of changed rows to a persisted
+table, or diff two snapshots to find what changed — is the natural next
+granularity a 100 TB pipeline needs (ledger compaction, CDC-style
+re-ingest, dataset versioning), so the engine ships both as declarative
+plans:
+
+- ``merge_upsert``  = ANSI MERGE (WHEN MATCHED UPDATE / WHEN NOT MATCHED
+  INSERT / WHEN MATCHED AND <flag> DELETE), expressed as one left-anti
+  join plus a union — a single shuffle on the merge key, broadcast when
+  the change batch is small (the common CDC case).
+- ``snapshot_diff`` = added/removed/changed classification between two
+  snapshots, shuffling only (key, digest) pairs — the payload stays in
+  place, so the shuffle cost is O(rows x key width), not O(bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.operators.dedup import exact_key_digest
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Apply a change batch to ``target``: source rows replace matching
+    target rows (whole-row UPDATE), unmatched source rows are inserted,
+    unmatched target rows pass through. If ``delete_col`` names a boolean
+    column on ``source``, rows where it is true act as tombstones: the
+    matching target row is removed and nothing is inserted.
+
+    Like ANSI MERGE, ``source`` must be key-unique (one change per key per
+    batch — dedup upstream with ``windows.latest_events`` or
+    ``dedup.exact_dedup`` if it is a raw CDC stream).
+
+    Scale shape: ONE equi-join on the merge key (left-anti, so Spark
+    broadcasts a small change batch automatically) plus a union — no
+    full-outer join, no row comparison, no driver involvement.
+    """
+    keys = list(keys)
+    if delete_col is not None:
+        tombstone = F.coalesce(F.col(delete_col), F.lit(False))
+        upserts = source.filter(~tombstone).drop(delete_col)
+        touched_keys = source.select(*keys)
+    else:
+        upserts = source
+        touched_keys = source.select(*keys)
+    survivors = target.join(touched_keys, keys, "left_anti")
+    return survivors.unionByName(upserts.select(*target.columns))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Classify every key as added / removed / changed between two
+    snapshots; unchanged keys are dropped (the output is the change set,
+    which is the small side at scale). ``compare_cols`` restricts the
+    value comparison (default: every non-key column of ``new``).
+
+    Comparison is null-safe via the same 256-bit per-row digest exact
+    dedup uses, so only (key, digest) shuffles — two narrow projections
+    into one full-outer join, never the payload bytes.
+    """
+    keys = list(keys)
+    value_cols = list(compare_cols or [c for c in new.columns if c not in keys])
+    o = old.select(*keys, exact_key_digest(value_cols).alias("_old_digest"))
+    n = new.select(*keys, exact_key_digest(value_cols).alias("_new_digest"))
+    joined = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_old_digest").isNull(), F.lit("added"))
+        .when(F.col("_new_digest").isNull(), F.lit("removed"))
+        .when(F.col("_old_digest") != F.col("_new_digest"), F.lit("changed"))
+    )
+    return (
+        joined.select(*keys, change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )

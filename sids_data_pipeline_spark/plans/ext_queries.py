@@ -19,7 +19,7 @@ from sids_data_pipeline_spark.functions.hashing import (
     o_minhash,
     o_token_hash32,
 )
-from sids_data_pipeline_spark.operators import dedup, multimodal, similarity, text, windows
+from sids_data_pipeline_spark.operators import dedup, merge, multimodal, similarity, text, windows
 from sids_data_pipeline_spark.plans.base import Query, tables
 
 # --- shared SQL fragments -----------------------------------------------------
@@ -1346,6 +1346,95 @@ FROM f
 """
 
 
+# --- merge / snapshot maintenance (incremental primitives) --------------------
+
+
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE fixture over orders: every 20th key is the target table,
+    every 30th key is the change batch (priority rewritten to 'MERGED'),
+    every 120th key is a tombstone. Covers all three MERGE arms —
+    passthrough, update, insert, delete — in one deterministic slice."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    target = orders.filter(k % 20 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    source = orders.filter(k % 30 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("MERGED").alias("o_orderpriority"),
+        (k % 120 == 0).alias("_deleted"),
+    )
+    return merge.merge_upsert(target, source, ["o_orderkey"], delete_col="_deleted")
+
+
+_MERGE_UPSERT_SQL = """
+WITH t AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+s AS (
+  SELECT o_orderkey, o_custkey, 'MERGED' AS o_orderpriority,
+         (o_orderkey % 120 = 0) AS deleted
+  FROM orders WHERE o_orderkey % 30 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderpriority
+FROM s WHERE NOT deleted
+"""
+
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff fixture over lineitem: 'old' is every 7th order,
+    'new' every 8th with quantity bumped on every 3rd — so keys divisible
+    by 56 are common (changed only when also divisible by 3), the rest
+    split into added/removed."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    old = lineitem.filter(k % 7 == 0).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    new = lineitem.filter(k % 8 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_quantity")
+            + F.when(k % 3 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("l_quantity"),
+        "l_returnflag",
+    )
+    return merge.snapshot_diff(old, new, ["l_orderkey", "l_linenumber"])
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH o AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+  FROM lineitem WHERE l_orderkey % 7 = 0
+),
+n AS (
+  SELECT l_orderkey, l_linenumber,
+         l_quantity + (CASE WHEN l_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END)
+           AS l_quantity,
+         l_returnflag
+  FROM lineitem WHERE l_orderkey % 8 = 0
+)
+SELECT * FROM (
+  SELECT COALESCE(o.l_orderkey, n.l_orderkey) AS l_orderkey,
+         COALESCE(o.l_linenumber, n.l_linenumber) AS l_linenumber,
+         CASE WHEN o.l_orderkey IS NULL THEN 'added'
+              WHEN n.l_orderkey IS NULL THEN 'removed'
+              WHEN (o.l_quantity IS DISTINCT FROM n.l_quantity)
+                OR (o.l_returnflag IS DISTINCT FROM n.l_returnflag) THEN 'changed'
+         END AS change
+  FROM o FULL OUTER JOIN n
+    ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber
+)
+WHERE change IS NOT NULL
+"""
+
+
 QUERIES: list[Query] = [
     Query("corpus_curation", _corpus_curation, _curation_sql(),
           doc="E1+E2+E5 flagship: quality filter → exact dedup → "
@@ -1484,4 +1573,12 @@ QUERIES: list[Query] = [
               "word n-grams with any benchmark doc (shingle equi-join, "
               "never all-pairs)",
           tags=("sampling", "dedup", "text")),
+    Query("merge_upsert", _merge_upsert, _MERGE_UPSERT_SQL,
+          doc="ANSI MERGE as one anti-join + union: update matched, "
+              "insert unmatched, tombstone-delete flagged rows",
+          tags=("merge", "incremental")),
+    Query("snapshot_diff", _snapshot_diff, _SNAPSHOT_DIFF_SQL,
+          doc="added/removed/changed between two snapshots; only "
+              "(key, digest) shuffles, unchanged keys dropped",
+          tags=("merge", "incremental")),
 ]

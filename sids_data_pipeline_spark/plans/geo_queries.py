@@ -411,6 +411,25 @@ def _json_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSON_ROUNDTRIP_SQL = "SELECT * FROM nation"
 
 
+def _orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format: supplier → ZSTD ORC → schema-pinned scan
+    back. Lossless vs the parquet table (the oracle) — numbers,
+    timestamps, and strings survive the format change bit-for-bit."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.sinks.orcio import read_orc, write_orc
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    supplier = load_table(spark, "supplier", sf_dir)
+    work = os.path.join(tempfile.mkdtemp(prefix="sdp_orc_"), "supplier")
+    write_orc(supplier, work)
+    return read_orc(spark, work, supplier.schema)
+
+
+_ORC_ROUNDTRIP_SQL = "SELECT * FROM supplier"
+
+
 def _geojsonl_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 end-to-end: zones fixture → GeoJSONL text shards → read back,
     extracting the properties. Geometry json survives (checked by pytest
@@ -928,6 +947,14 @@ QUERIES: list[Query] = [
         _geojsonl_sql(),
         doc="K1: zones → GeoJSONL shards → read-back, fixture-VALUES oracle",
         tags=("geo", "sink"),
+    ),
+    Query(
+        "sink_orc_roundtrip",
+        _orc_roundtrip_query,
+        _ORC_ROUNDTRIP_SQL,
+        doc="ORC sink → schema-pinned scan, lossless vs the parquet table "
+            "(second columnar format for Hive/Trino estates)",
+        tags=("source", "sink"),
     ),
     Query(
         "tiles_assign",

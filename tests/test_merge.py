@@ -1,0 +1,97 @@
+"""merge_upsert / snapshot_diff: row-level incremental maintenance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.operators.merge import merge_upsert, snapshot_diff
+
+
+@pytest.fixture()
+def target(spark):
+    return spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+
+
+def test_upsert_update_insert_passthrough(spark, target):
+    source = spark.createDataFrame([Row(k=2, v="B"), Row(k=4, v="d")])
+    got = {r.k: r.v for r in merge_upsert(target, source, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_upsert_tombstone_delete(spark, target):
+    source = spark.createDataFrame(
+        [
+            Row(k=2, v="B", dead=False),
+            Row(k=3, v=None, dead=True),  # delete existing
+            Row(k=9, v=None, dead=True),  # delete absent: no-op
+        ]
+    )
+    got = {
+        r.k: r.v
+        for r in merge_upsert(target, source, ["k"], delete_col="dead").collect()
+    }
+    assert got == {1: "a", 2: "B"}
+
+
+def test_upsert_null_tombstone_flag_means_upsert(spark, target):
+    source = spark.createDataFrame(
+        [(1, "A", None)], "k bigint, v string, dead boolean"
+    )
+    got = {
+        r.k: r.v
+        for r in merge_upsert(target, source, ["k"], delete_col="dead").collect()
+    }
+    assert got == {1: "A", 2: "b", 3: "c"}
+
+
+def test_upsert_composite_key_and_column_order(spark):
+    target = spark.createDataFrame([Row(a=1, b="x", v=10), Row(a=1, b="y", v=20)])
+    # source with columns in a different order: unionByName must align
+    source = spark.createDataFrame([Row(v=99, b="x", a=1)]).select("v", "b", "a")
+    rows = merge_upsert(target, source, ["a", "b"]).collect()
+    assert {(r.a, r.b, r.v) for r in rows} == {(1, "x", 99), (1, "y", 20)}
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, v="b"), Row(k=3, v="C"), Row(k=4, v="d")]
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    # k=2 unchanged -> absent from the change set
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_safe(spark):
+    old = spark.createDataFrame([Row(k=1, v=None), Row(k=2, v="")])
+    new = spark.createDataFrame([Row(k=1, v=""), Row(k=2, v="")])
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    # NULL -> '' is a change (digest distinguishes NULL from empty string)
+    assert got == {1: "changed"}
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    old = spark.createDataFrame([Row(k=1, v="a", meta="m1")])
+    new = spark.createDataFrame([Row(k=1, v="a", meta="m2")])
+    assert snapshot_diff(old, new, ["k"], compare_cols=["v"]).count() == 0
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed"}
+
+
+def test_upsert_broadcasts_small_change_batch(spark, sf_dir):
+    """Scale shape: the anti-join against a small change batch must be a
+    broadcast join (no shuffle of the big target side)."""
+    target = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    source = target.filter(F.col("o_orderkey") < 100).withColumn(
+        "o_orderpriority", F.lit("X")
+    )
+    plan = merge_upsert(target, source, ["o_orderkey"])._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -51,6 +51,22 @@ def test_csv_round_trip(spark, tmp_path):
     assert {(r.v_id, r.r_id) for r in back.collect()} == {("v1", "r1"), ("v2", "r2")}
 
 
+def test_orc_round_trip(spark, tmp_path):
+    from sids_data_pipeline_spark.sinks import orcio
+
+    path = str(tmp_path / "t.orc")
+    schema = "k bigint, v double, s string, ts timestamp, b binary"
+    df = spark.createDataFrame(
+        [(1, 1.5, "a", None, b"\x00\xff"), (2, None, None, None, None)], schema
+    )
+    orcio.write_orc(df, path)
+    back = orcio.read_orc(spark, path, schema)
+    assert back.schema == df.schema
+    rows = {r.k: r for r in back.collect()}
+    assert rows[1].v == 1.5 and bytes(rows[1].b) == b"\x00\xff"
+    assert rows[2].v is None and rows[2].s is None
+
+
 def _slippy(lon: float, lat: float, z: int) -> tuple[int, int]:
     n = 2**z
     x = int((lon + 180.0) / 360.0 * n)
