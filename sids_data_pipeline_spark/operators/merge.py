@@ -16,13 +16,16 @@ plans:
 - ``snapshot_diff`` = added/removed/changed classification between two
   snapshots, shuffling only (key, digest) pairs — the payload stays in
   place, so the shuffle cost is O(rows x key width), not O(bytes).
+- ``scd2_history`` = type-2 slowly-changing dimension built from a
+  change-event log: collapse unchanged runs, then LEAD for validity
+  intervals — one shuffle total, both windows share the partitioning.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sids_data_pipeline_spark.operators.dedup import exact_key_digest
@@ -88,4 +91,48 @@ def snapshot_diff(
     return (
         joined.select(*keys, change.alias("change"))
         .filter(F.col("change").isNotNull())
+    )
+
+
+def scd2_history(
+    changes: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change-event log:
+    one row per (key, value-state) episode with ``valid_from`` /
+    ``valid_to`` (NULL = still current) and ``is_current``.
+
+    Consecutive events whose ``value_cols`` are unchanged (null-safe, via
+    the exact-dedup digest) collapse into one episode — the SCD2
+    compression step — then each episode's ``valid_to`` is the next
+    episode's start (LEAD). ``tiebreak_cols`` break equal-timestamp
+    ordering deterministically (pass a unique event id).
+
+    Scale shape: both windows share the same partitioning (``keys``) and
+    sort, so the whole build is ONE shuffle; the LEAD window runs on the
+    already-collapsed (much smaller) episode set without re-exchanging.
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    tiebreak = list(tiebreak_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cols = list(dict.fromkeys(keys + [ts_col] + value_cols + tiebreak))
+    episodes = (
+        changes.select(*cols)
+        .withColumn("_digest", exact_key_digest(value_cols))
+        .withColumn("_prev", F.lag("_digest").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("_digest")))
+    )
+    return (
+        episodes.select(
+            *keys,
+            *value_cols,
+            F.col(ts_col).alias("valid_from"),
+            F.lead(ts_col).over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
     )

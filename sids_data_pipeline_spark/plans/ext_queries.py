@@ -1435,6 +1435,47 @@ WHERE change IS NOT NULL
 """
 
 
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 fixture: each user's event_type as a tracked attribute —
+    consecutive same-type events collapse into one validity episode,
+    event_id breaks timestamp ties deterministically."""
+    (events,) = tables(spark, sf_dir, "events")
+    changes = events.filter(F.col("user_id") % 50 == 0)
+    return merge.scd2_history(
+        changes,
+        keys=["user_id"],
+        ts_col="ts",
+        value_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+
+
+_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE user_id % 50 = 0
+),
+episodes AS (
+  SELECT *
+  FROM (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM e
+  )
+  WHERE prev_type IS NULL OR prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, valid_from, valid_to,
+       (valid_to IS NULL) AS is_current
+FROM (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to
+  FROM episodes
+)
+"""
+
+
 QUERIES: list[Query] = [
     Query("corpus_curation", _corpus_curation, _curation_sql(),
           doc="E1+E2+E5 flagship: quality filter → exact dedup → "
@@ -1581,4 +1622,8 @@ QUERIES: list[Query] = [
           doc="added/removed/changed between two snapshots; only "
               "(key, digest) shuffles, unchanged keys dropped",
           tags=("merge", "incremental")),
+    Query("scd2_history", _scd2_history, _SCD2_SQL,
+          doc="type-2 SCD from a change log: collapse unchanged runs, "
+              "LEAD validity intervals — one shuffle, shared window sort",
+          tags=("merge", "incremental", "window")),
 ]

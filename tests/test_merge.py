@@ -84,6 +84,73 @@ def test_snapshot_diff_compare_cols_subset(spark):
     assert got == {1: "changed"}
 
 
+def test_scd2_collapses_runs_and_builds_intervals(spark):
+    from datetime import datetime as dt
+
+    from sids_data_pipeline_spark.operators.merge import scd2_history
+
+    rows = [
+        # user 1: a a b a  -> episodes a[t1,t3) b[t3,t4) a[t4,∞)
+        (1, dt(2024, 1, 1), 10, "a"),
+        (1, dt(2024, 1, 2), 11, "a"),
+        (1, dt(2024, 1, 3), 12, "b"),
+        (1, dt(2024, 1, 4), 13, "a"),
+        # user 2: single event -> one current episode
+        (2, dt(2024, 1, 1), 14, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_id bigint, state string"
+    )
+    hist = scd2_history(
+        df, ["user_id"], "ts", ["state"], tiebreak_cols=["event_id"]
+    ).collect()
+    by_user = {}
+    for r in sorted(hist, key=lambda r: (r.user_id, r.valid_from)):
+        by_user.setdefault(r.user_id, []).append(r)
+    u1 = by_user[1]
+    assert [(r.state, r.valid_from.day, r.valid_to.day if r.valid_to else None)
+            for r in u1] == [("a", 1, 3), ("b", 3, 4), ("a", 4, None)]
+    assert [r.is_current for r in u1] == [False, False, True]
+    (u2,) = by_user[2]
+    assert u2.state == "x" and u2.is_current and u2.valid_to is None
+
+
+def test_scd2_timestamp_tie_broken_by_tiebreak_col(spark):
+    from datetime import datetime as dt
+
+    from sids_data_pipeline_spark.operators.merge import scd2_history
+
+    t = dt(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t, 2, "late"), (1, t, 1, "early")],
+        "user_id bigint, ts timestamp, event_id bigint, state string",
+    )
+    hist = sorted(
+        scd2_history(df, ["user_id"], "ts", ["state"], ["event_id"]).collect(),
+        key=lambda r: r.is_current,
+    )
+    assert [r.state for r in hist] == ["early", "late"]
+    assert hist[1].is_current
+
+
+def test_scd2_single_shuffle(spark):
+    """Both windows share one partitioning: exactly one Exchange."""
+    from datetime import datetime as dt
+
+    from sids_data_pipeline_spark.operators.merge import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, dt(2024, 1, 1), 1, "a")],
+        "user_id bigint, ts timestamp, event_id bigint, state string",
+    )
+    plan = scd2_history(
+        df, ["user_id"], "ts", ["state"], ["event_id"]
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_upsert_broadcasts_small_change_batch(spark, sf_dir):
     """Scale shape: the anti-join against a small change batch must be a
     broadcast join (no shuffle of the big target side)."""
