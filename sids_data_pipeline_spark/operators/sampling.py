@@ -231,3 +231,98 @@ def _prethin_for_rank(
             F.broadcast(short), strata_cols, "left_anti"
         ).unionByName(restore)
     return thinned
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    domain_col: str,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Resample each domain at its own rate to hit a target data mixture
+    (the training-corpus "mixing" step: upweight rare/high-quality
+    domains, downweight bulk ones). ``rates`` maps a ``domain_col`` value
+    to a sampling rate; rate > 1 upsamples by emitting ``floor(rate)``
+    full copies plus one hash-gated fractional copy, rate < 1 downsamples
+    by the same hash gate, absent domains get ``default_rate``. The
+    output carries a 1-based ``copy_id`` distinguishing duplicates.
+
+    Determinism: the gate is the same content-hash-bucket predicate as
+    :func:`hash_threshold_sample` (row-local, leakage-stable), and each
+    rate is converted to (whole copies, fractional basis points) ONCE in
+    the driver — no float arithmetic happens per-row or per-engine, so
+    the SQL oracle reproduces membership exactly.
+
+    Scale shape: zero shuffles — a broadcast-literal map lookup, a
+    filter, and an explode, all row-local; cost is a scan at any volume.
+    """
+    whole_entries: list = []
+    frac_entries: list = []
+    for domain, rate in rates.items():
+        if rate < 0:
+            raise ValueError(f"negative rate for {domain!r}: {rate}")
+        whole_entries += [F.lit(domain), F.lit(int(rate))]
+        frac_entries += [
+            F.lit(domain),
+            F.lit(int(round((rate - int(rate)) * _HASH_BUCKETS))),
+        ]
+    d_whole = F.lit(int(default_rate))
+    d_frac = F.lit(int(round((default_rate - int(default_rate)) * _HASH_BUCKETS)))
+    dom = F.col(domain_col)
+    whole = F.coalesce(F.create_map(*whole_entries)[dom], d_whole) if rates else d_whole
+    frac_bp = F.coalesce(F.create_map(*frac_entries)[dom], d_frac) if rates else d_frac
+    bucket = token_hash32(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ) % _HASH_BUCKETS
+    n_copies = (whole + (bucket < frac_bp).cast("int")).alias("_n")
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("_n"))))
+        .drop("_n")
+    )
+
+
+def o_mixture_sample(
+    table_sql: str,
+    rates: dict[str, float],
+    domain_col: str,
+    select_cols: str,
+    key_expr: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> str:
+    """DuckDB SQL twin of :func:`mixture_sample` — identical
+    driver-precomputed (whole, basis-point) thresholds, identical md5
+    bucket, ``copy_id`` from ``range(1, n+1)``."""
+    from sids_data_pipeline_spark.functions.hashing import o_token_hash32
+
+    def arms(f) -> str:
+        return " ".join(
+            f"WHEN '{d}' THEN {f(r)}" for d, r in rates.items()
+        )
+
+    whole_case = (
+        f"CASE {domain_col} {arms(lambda r: int(r))} ELSE {int(default_rate)} END"
+    )
+    frac_case = (
+        f"CASE {domain_col} "
+        f"{arms(lambda r: int(round((r - int(r)) * _HASH_BUCKETS)))} "
+        f"ELSE {int(round((default_rate - int(default_rate)) * _HASH_BUCKETS))} END"
+    )
+    hashed = o_token_hash32(f"'{salt}' || CAST({key_expr} AS VARCHAR)")
+    bucket = f"({hashed} % {_HASH_BUCKETS})"
+    return f"""
+WITH src AS ({table_sql}),
+n_of AS (
+  SELECT *,
+         ({whole_case})
+           + (CASE WHEN {bucket} < ({frac_case}) THEN 1 ELSE 0 END) AS _n
+  FROM src
+)
+SELECT {select_cols}, CAST(t.x AS INT) AS copy_id
+FROM n_of, unnest(range(1, _n + 1)) AS t(x)
+WHERE _n > 0
+"""

@@ -1435,6 +1435,33 @@ WHERE change IS NOT NULL
 """
 
 
+_MIX_RATES = {"en": 0.5, "de": 2.0, "zh": 1.25, "fr": 0.3}
+
+
+def _corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling over documents by lang: downsample the
+    bulk domain (en 0.5), upsample rare ones (de 2x, zh 1.25x), drop
+    unlisted domains (es, default 0). copy_id distinguishes upsampled
+    duplicates."""
+    from sids_data_pipeline_spark.operators import sampling
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs.select("doc_id", "lang"), _MIX_RATES, domain_col="lang"
+    )
+
+
+def _corpus_mix_sql() -> str:
+    from sids_data_pipeline_spark.operators.sampling import o_mixture_sample
+
+    return o_mixture_sample(
+        "SELECT doc_id, lang FROM documents",
+        _MIX_RATES,
+        domain_col="lang",
+        select_cols="doc_id, lang",
+    )
+
+
 def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 fixture: each user's event_type as a tracked attribute —
     consecutive same-type events collapse into one validity episode,
@@ -1626,4 +1653,8 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("corpus_mix", _corpus_mix, _corpus_mix_sql(),
+          doc="domain-mixture resampling: per-domain up/down-sampling "
+              "rates, hash-gated fractional copies, zero shuffles",
+          tags=("sampling", "text")),
 ]

@@ -138,3 +138,51 @@ def test_stratified_prethin_shortfall_guard(spark):
         ).collect()
     )
     assert plain == guarded
+
+
+def test_mixture_sample_rates_and_copies(spark):
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("bulk"), F.lit("rare"), F.lit("mid"), F.lit("drop")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("domain"),
+    )
+    out = sampling.mixture_sample(
+        docs, {"bulk": 0.5, "rare": 3.0, "mid": 1.25}, domain_col="domain"
+    )
+    rows = out.collect()
+    by_dom = pd.Series([r.domain for r in rows]).value_counts()
+    assert "drop" not in by_dom  # default_rate=0 drops unlisted domains
+    assert by_dom["rare"] == 3000  # exact integer upsampling: 1000 * 3
+    assert abs(by_dom["bulk"] - 500) < 100  # hash-gated ~0.5
+    assert abs(by_dom["mid"] - 1250) < 100  # 1 full copy + ~0.25
+    # copy_id enumerates duplicates 1..n
+    rare_copies = pd.Series(
+        [r.copy_id for r in rows if r.domain == "rare"]
+    ).value_counts()
+    assert dict(rare_copies) == {1: 1000, 2: 1000, 3: 1000}
+
+
+def test_mixture_sample_membership_stable_and_rowlocal(spark):
+    """Fractional-copy membership is a pure function of the key: subset
+    run == full-corpus run, and the plan has no shuffle."""
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), F.lit("d").alias("domain")
+    )
+    full = {
+        (r.doc_id, r.copy_id)
+        for r in sampling.mixture_sample(docs, {"d": 1.5}, "domain").collect()
+    }
+    sub = {
+        (r.doc_id, r.copy_id)
+        for r in sampling.mixture_sample(
+            docs.filter(F.col("doc_id") < 200), {"d": 1.5}, "domain"
+        ).collect()
+    }
+    assert sub == {(d, c) for d, c in full if d < 200}
+    plan = (
+        sampling.mixture_sample(docs, {"d": 1.5}, "domain")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
