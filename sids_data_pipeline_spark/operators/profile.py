@@ -1,0 +1,62 @@
+"""Table profiling — ANALYZE-style per-column statistics in one pass.
+
+A 100 TB ingest needs cheap visibility before anything else runs: row
+counts, null rates, cardinalities, and value ranges drive partition
+sizing, join-strategy choices (broadcast vs shuffle), and data-quality
+gates. The reference has no profiling surface (its QA is visual — the
+rendered tiles); this is engine-native tooling in the spirit of
+``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS``.
+
+Everything is ONE aggregation job over the table — map-side partial
+aggregation, a single one-row shuffle — then a driver-free unpivot of
+that row into one output row per column. With ``approx=True`` (the
+default, and the only sane choice at scale) cardinalities come from
+HyperLogLog sketches that merge in the partial-agg combine; ``approx=
+False`` gives exact distinct counts but plans an EXPAND (one data copy
+per profiled column) — fine for fixtures, ruinous at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Profile ``cols`` (default: all columns): one output row per column
+    with ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)``.
+    min/max are rendered as strings so heterogeneous column types share
+    one schema; ``rsd`` is the HLL relative error when ``approx``.
+    """
+    cols = list(cols or df.columns)
+    agg_exprs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        distinct = (
+            F.approx_count_distinct(c, rsd) if approx else F.count_distinct(F.col(c))
+        )
+        agg_exprs += [
+            F.count(c).alias(f"_nn_{i}"),
+            distinct.alias(f"_d_{i}"),
+            F.min(c).cast("string").alias(f"_min_{i}"),
+            F.max(c).cast("string").alias(f"_max_{i}"),
+        ]
+    row = df.agg(*agg_exprs)
+    entries = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{i}")).alias("n_nulls"),
+            F.col(f"_d_{i}").alias("n_distinct"),
+            F.col(f"_min_{i}").alias("min_value"),
+            F.col(f"_max_{i}").alias("max_value"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return row.select(F.explode(F.array(*entries)).alias("s")).select("s.*")

@@ -1435,6 +1435,34 @@ WHERE change IS NOT NULL
 """
 
 
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+def _table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of orders. approx=False here so the
+    DuckDB oracle can match distinct counts exactly; production runs use
+    the default HLL path (rows-only comparable)."""
+    from sids_data_pipeline_spark.operators.profile import profile_table
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    return profile_table(orders, _PROFILE_COLS, approx=False)
+
+
+def _table_profile_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, "
+        f"CAST(MIN({c}) AS VARCHAR) AS min_value, "
+        f"CAST(MAX({c}) AS VARCHAR) AS max_value FROM orders"
+        for c in _PROFILE_COLS
+    )
+    return arms
+
+
 _MIX_RATES = {"en": 0.5, "de": 2.0, "zh": 1.25, "fr": 0.3}
 
 
@@ -1657,4 +1685,8 @@ QUERIES: list[Query] = [
           doc="domain-mixture resampling: per-domain up/down-sampling "
               "rates, hash-gated fractional copies, zero shuffles",
           tags=("sampling", "text")),
+    Query("table_profile", _table_profile, _table_profile_sql(),
+          doc="ANALYZE-style one-pass column profile: nulls, distinct, "
+              "min/max per column (exact here; HLL at scale)",
+          tags=("profile", "agg")),
 ]
