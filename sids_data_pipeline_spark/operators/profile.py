@@ -60,3 +60,34 @@ def profile_table(
         for i, c in enumerate(cols)
     ]
     return row.select(F.explode(F.array(*entries)).alias("s")).select("s.*")
+
+
+def column_histogram(
+    df: DataFrame,
+    col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column over ``[lo, hi)``:
+    one row per non-empty bucket ``(bucket, n)``; values below ``lo``
+    clamp to bucket 0, at-or-above ``hi`` to bucket ``bins - 1``, NULLs
+    are dropped. Bounds are explicit (take them from
+    :func:`profile_table`) so the operator is a single deterministic
+    pass — no extra min/max job hidden inside.
+
+    The bucket expression ``floor((x - lo) / (hi - lo) * bins)`` uses one
+    fixed parenthesization, so any IEEE-754 engine bins identically.
+    """
+    if not bins > 0:
+        raise ValueError(f"bins must be positive, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    x = F.col(col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )

@@ -340,3 +340,78 @@ def chunk_documents(
         .withColumn("chunk_start_word", F.col("chunk_idx") * stride)
         .select("doc_id", "chunk_idx", "chunk_start_word", "n_words", "chunk_text")
     )
+
+
+def vocab_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: per-token term frequency (total occurrences)
+    and document frequency (docs containing it) — the input to tokenizer
+    training and to IDF weighting. Whitespace-lowercase tokenization,
+    consistent with :func:`token_stats` / the dedup shingle pipeline.
+
+    Scale shape: explode + ONE shuffle on the token key; term counts
+    combine map-side, doc frequency is count_distinct(doc) per token
+    (exact — at 100 TB swap to approx_count_distinct if ±5% is fine).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("term_freq"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("term_freq") >= min_count)
+    )
+
+
+def tfidf(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(doc, token) smoothed TF-IDF:
+    ``tf * (ln((N + 1) / (doc_freq + 1)) + 1)``, the sklearn-style
+    smooth-idf. Output weights are rounded to 6 decimals; tf and
+    doc_freq are exact integers, so the single rounded double keeps the
+    result reproducible across engines.
+
+    Scale shape: two aggregations sharing the token-exploded frame
+    (token tf per doc; doc_freq per token) + one broadcast of the scalar
+    N + one equi-join on the token key. No driver loops, no all-pairs.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("doc_freq"))
+    n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
+    return (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n") + 1).cast("double") / (F.col("doc_freq") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )

@@ -1463,6 +1463,85 @@ def _table_profile_sql() -> str:
     return arms
 
 
+_RAW_TOK_SQL = """
+rawtok AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS t(token)
+)
+"""
+
+
+def _corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term + document frequency, min_count=3."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.vocab_counts(docs, min_count=3)
+
+
+_VOCAB_SQL = f"""
+WITH {_RAW_TOK_SQL.strip()}
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS term_freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM rawtok
+GROUP BY token
+HAVING COUNT(*) >= 3
+"""
+
+
+def _corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF over a 1-in-10 document subset (keeps the gate
+    row count bounded; doc_freq and N are computed on the same subset)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.tfidf(docs.filter(F.col("doc_id") % 10 == 0))
+
+
+_TFIDF_SQL = """
+WITH sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+rawtok AS (
+  SELECT doc_id, t.token
+  FROM sub,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS t(token)
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM rawtok GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM rawtok GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM sub)
+SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfq.doc_freq AS BIGINT) AS doc_freq,
+       ROUND(tf.tf * (LN(CAST(n.n + 1 AS DOUBLE) / (dfq.doc_freq + 1)) + 1.0), 6)
+         AS tfidf
+FROM tf JOIN dfq USING (token), n
+"""
+
+
+_HIST_BINS, _HIST_LO, _HIST_HI = 20, 1000.0, 500000.0
+
+
+def _column_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of o_totalprice over [1000, 500000)."""
+    from sids_data_pipeline_spark.operators.profile import column_histogram
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    return column_histogram(
+        orders, "o_totalprice", _HIST_BINS, _HIST_LO, _HIST_HI
+    )
+
+
+def _column_hist_sql() -> str:
+    width = _HIST_HI - _HIST_LO
+    return f"""
+SELECT CAST(LEAST(GREATEST(
+         FLOOR((CAST(o_totalprice AS DOUBLE) - {_HIST_LO!r}) / {width!r}
+               * {_HIST_BINS}), 0), {_HIST_BINS - 1}) AS INT) AS bucket,
+       COUNT(*) AS n
+FROM orders
+WHERE o_totalprice IS NOT NULL
+GROUP BY 1
+"""
+
+
 _MIX_RATES = {"en": 0.5, "de": 2.0, "zh": 1.25, "fr": 0.3}
 
 
@@ -1688,5 +1767,17 @@ QUERIES: list[Query] = [
     Query("table_profile", _table_profile, _table_profile_sql(),
           doc="ANALYZE-style one-pass column profile: nulls, distinct, "
               "min/max per column (exact here; HLL at scale)",
+          tags=("profile", "agg")),
+    Query("corpus_vocab", _corpus_vocab, _VOCAB_SQL,
+          doc="corpus vocabulary: term + document frequency per token "
+              "(tokenizer-training input), one token-key shuffle",
+          tags=("text", "profile")),
+    Query("corpus_tfidf", _corpus_tfidf, _TFIDF_SQL,
+          doc="smoothed TF-IDF per (doc, token): exact-integer tf/df, "
+              "one rounded double",
+          tags=("text", "profile")),
+    Query("column_hist", _column_hist, _column_hist_sql(),
+          doc="equi-width histogram with clamped edge buckets; fixed "
+              "parenthesization bins identically on any IEEE engine",
           tags=("profile", "agg")),
 ]

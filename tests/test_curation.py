@@ -112,3 +112,54 @@ def test_chunk_documents_overlap_and_boundaries(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short doc only"
     # overlap: consecutive windows share chunk_words - stride words
     assert c1[0].chunk_text.split()[80:] == c1[1].chunk_text.split()[:20]
+
+
+def test_vocab_counts_hand_oracle(spark):
+    from sids_data_pipeline_spark.operators.text import vocab_counts
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the dog"), (2, "the  cat"), (3, "bird")],
+        "doc_id bigint, text string",
+    )
+    got = {r.token: (r.term_freq, r.doc_freq) for r in vocab_counts(docs).collect()}
+    assert got == {"the": (3, 2), "cat": (2, 2), "dog": (1, 1), "bird": (1, 1)}
+    rare_dropped = {
+        r.token for r in vocab_counts(docs, min_count=2).collect()
+    }
+    assert rare_dropped == {"the", "cat"}
+
+
+def test_tfidf_hand_oracle(spark):
+    import math
+
+    from sids_data_pipeline_spark.operators.text import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id bigint, text string"
+    )
+    got = {(r.doc_id, r.token): r for r in tfidf(docs).collect()}
+    # 'a' appears in both docs: idf = ln(3/3)+1 = 1
+    assert got[(1, "a")].tf == 2 and got[(1, "a")].tfidf == 2.0
+    assert got[(2, "a")].tfidf == 1.0
+    # 'b' in one doc: idf = ln(3/2)+1
+    expect_b = round(1 * (math.log(3 / 2) + 1), 6)
+    assert abs(got[(1, "b")].tfidf - expect_b) < 1e-9
+    assert got[(1, "b")].doc_freq == 1
+
+
+def test_column_histogram_clamps_and_bins(spark):
+    from sids_data_pipeline_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (9.9,), (10.0,), (25.0,), (None,)],
+        "x double",
+    )
+    got = {r.bucket: r.n for r in column_histogram(df, "x", 2, 0.0, 10.0).collect()}
+    # [-5, 0, 4.9] -> bucket 0 (clamp below); [5, 9.9] -> 1; [10, 25] clamp to 1
+    assert got == {0: 3, 1: 4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        column_histogram(df, "x", 0, 0.0, 10.0)
+    with _pytest.raises(ValueError):
+        column_histogram(df, "x", 2, 10.0, 10.0)
