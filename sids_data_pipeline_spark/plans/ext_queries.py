@@ -1542,6 +1542,60 @@ GROUP BY 1
 """
 
 
+def _dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over orders: passing rules (key present/unique,
+    status domain, priority format) and failing ones (price cap, custkey
+    uniqueness) in one report."""
+    from sids_data_pipeline_spark.operators import quality as q
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    return q.check_expectations(
+        orders,
+        [
+            q.not_null("o_orderkey"),
+            q.in_range("o_totalprice", 0, 450000),
+            q.in_set("o_orderstatus", ["O", "F", "P"]),
+            q.matches("o_orderpriority", "^[1-5]-"),
+            q.unique("o_orderkey"),
+            q.unique("o_custkey"),
+        ],
+    )
+
+
+_DQ_SQL = """
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM (
+  SELECT 'not_null(o_orderkey)' AS rule,
+         COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'in_range(o_totalprice)',
+         COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 450000))
+  FROM orders
+  UNION ALL
+  SELECT 'in_set(o_orderstatus)',
+         COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P'))
+  FROM orders
+  UNION ALL
+  SELECT 'matches(o_orderpriority)',
+         COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                            AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+  FROM orders
+  UNION ALL
+  SELECT 'unique(o_orderkey)',
+         COALESCE(SUM(n - 1) FILTER (WHERE n > 1), 0)
+  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+  UNION ALL
+  SELECT 'unique(o_custkey)',
+         COALESCE(SUM(n - 1) FILTER (WHERE n > 1), 0)
+  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey)
+)
+"""
+
+
 _MIX_RATES = {"en": 0.5, "de": 2.0, "zh": 1.25, "fr": 0.3}
 
 
@@ -1780,4 +1834,8 @@ QUERIES: list[Query] = [
           doc="equi-width histogram with clamped edge buckets; fixed "
               "parenthesization bins identically on any IEEE engine",
           tags=("profile", "agg")),
+    Query("dq_checks", _dq_checks, _DQ_SQL,
+          doc="data-quality expectations: row-local rules fold into ONE "
+              "aggregation pass, uniqueness adds one groupBy each",
+          tags=("profile", "quality")),
 ]

@@ -1,0 +1,74 @@
+"""check_expectations: declarative data-quality rules."""
+
+from __future__ import annotations
+
+import pytest
+
+from sids_data_pipeline_spark.operators import quality as q
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B", 50.0),
+            (2, "Z", -1.0),   # dup key, bad code, below range
+            (None, "A", 200.0),  # null key, above range
+        ],
+        "k bigint, code string, v double",
+    )
+
+
+def test_rules_report_violations(spark, df):
+    report = {
+        r.rule: (r.n_violations, r.passed)
+        for r in q.check_expectations(
+            df,
+            [
+                q.not_null("k"),
+                q.unique("k"),
+                q.in_range("v", 0, 100),
+                q.in_set("code", ["A", "B"]),
+                q.matches("code", "^[A-C]$"),
+            ],
+        ).collect()
+    }
+    assert report["not_null(k)"] == (1, False)
+    assert report["unique(k)"] == (1, False)  # one extra row on k=2
+    assert report["in_range(v)"] == (2, False)  # -1 and 200
+    assert report["in_set(code)"] == (1, False)  # Z
+    assert report["matches(code)"] == (1, False)  # Z
+    assert len(report) == 5
+
+
+def test_all_pass_and_null_values_ignored_by_value_rules(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "A")], "k bigint, code string"
+    )
+    report = q.check_expectations(
+        df, [q.unique("k"), q.in_set("code", ["A"]), q.matches("code", "^A$")]
+    ).collect()
+    assert all(r.passed and r.n_violations == 0 for r in report)
+
+
+def test_row_local_rules_fold_into_one_aggregate(spark, df):
+    """n row-local rules must not add jobs: the plan has exactly one
+    aggregate over the input (plus the explode unpivot)."""
+    plan = (
+        q.check_expectations(
+            df, [q.not_null("k"), q.in_range("v", 0, 100), q.in_set("code", ["A"])]
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Aggregate") == 1
+
+
+def test_composite_unique_rule(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y")], "a bigint, b string"
+    )
+    (row,) = q.check_expectations(df, [q.unique("a", "b")]).collect()
+    assert row.n_violations == 1 and not row.passed
