@@ -34,6 +34,14 @@ from sids_data_pipeline_spark.plans.base import Query
 # stops at 50, so the 15 entries that had only selfcheck signal move to the
 # head to convert them into hard driver rows; every displaced name keeps an
 # in-window sibling of the same operator family (listed per block below).
+# Round-6 additions: six new flagship operators (merge/diff/SCD2, mixture
+# sampling, profiling, dq gates) take window slots from six r5-green
+# relational representatives whose code is UNCHANGED since r5 — their r5
+# driver rows remain valid hard signal (str_funcs, date_math, join_equi,
+# order_limit, setop_union, proj_star_prefix; each family also executes
+# inside other in-window queries). The remaining round-6 entries
+# (corpus_vocab/tfidf, column_hist, sink_orc_roundtrip) are
+# selfcheck-green and rotate in next round.
 PRIORITY: tuple[str, ...] = (
     # — never-driver-verified head (selfcheck-green, rotating in for r6) —
     "crs_reproject_lcc",
@@ -80,19 +88,19 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk",
     "corpus_curation",
     "streaming_dedup_batch",
-    # — relational family representatives (array/map scalars → date_math/
-    #   str_funcs; semi/anti/range/skew joins → join_equi/join_asof;
-    #   pivot → agg_grouping_sets) —
+    # — round-6 flagships (new operators claiming their first driver row) —
+    "merge_upsert",
+    "snapshot_diff",
+    "scd2_history",
+    "corpus_mix",
+    "table_profile",
+    "dq_checks",
+    # — relational family representatives (displaced names are r5-green
+    #   with unchanged code; pivot → agg_grouping_sets) —
     "pricing_summary",
-    "proj_star_prefix",
     "filter_range",
-    "str_funcs",
-    "date_math",
-    "join_equi",
     "agg_grouping_sets",
     "window_rank",
-    "order_limit",
-    "setop_union",
     "sql_shipping_priority",
 )
 
