@@ -19,6 +19,9 @@ plans:
 - ``scd2_history`` = type-2 slowly-changing dimension built from a
   change-event log: collapse unchanged runs, then LEAD for validity
   intervals — one shuffle total, both windows share the partitioning.
+- ``maintain_aggregate`` = incremental materialized-view maintenance:
+  fold a signed changelog into an existing COUNT/SUM aggregate without
+  touching the base facts — the aggregate twin of ``merge_upsert``.
 """
 
 from __future__ import annotations
@@ -92,6 +95,55 @@ def snapshot_diff(
         joined.select(*keys, change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
+
+
+def maintain_aggregate(
+    mv: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    sums: dict[str, str],
+    count_col: str = "n_rows",
+    sign_col: str = "_sign",
+) -> DataFrame:
+    """Incrementally maintain a COUNT/SUM materialized view from a signed
+    changelog, without re-reading the base facts.
+
+    ``mv`` is the current aggregate: ``keys`` + ``count_col`` (row count)
+    + one column per ``sums`` key. ``changes`` carries fact rows plus
+    ``sign_col`` = +1 (insert) / -1 (delete); ``sums`` maps each MV sum
+    column to the fact column it sums (e.g. ``{"sum_qty": "qty"}``).
+    Groups whose maintained count reaches zero are dropped, so the result
+    is exactly the aggregate a full recompute over (base − deletes +
+    inserts) would produce. AVG views derive as sum/count downstream;
+    MIN/MAX are NOT self-maintainable under deletes (they need the base
+    rows) — recompute those or restrict their changelog to inserts.
+
+    Scale shape: the changelog collapses to per-key deltas with a
+    map-side partial aggregate BEFORE touching the view, so the join is
+    delta-keys × view — at 100 TB the view never rescans its facts, and a
+    small change batch broadcasts. This is the standard self-maintainable
+    view algebra (count/sum form an abelian group under signed union).
+    """
+    keys = list(keys)
+    delta = changes.groupBy(*keys).agg(
+        F.sum(sign_col).alias("_d_n"),
+        *[
+            F.sum(F.col(src) * F.col(sign_col)).alias(f"_d_{dst}")
+            for dst, src in sums.items()
+        ],
+    )
+    merged = mv.join(delta, keys, "full_outer")
+    zero = F.lit(0)
+    new_count = F.coalesce(count_col, zero) + F.coalesce("_d_n", zero)
+    out_cols = [
+        *keys,
+        new_count.alias(count_col),
+        *[
+            (F.coalesce(dst, zero) + F.coalesce(f"_d_{dst}", zero)).alias(dst)
+            for dst in sums
+        ],
+    ]
+    return merged.select(*out_cols).filter(F.col(count_col) > 0)
 
 
 def scd2_history(

@@ -20,7 +20,7 @@ from sids_data_pipeline_spark.functions.hashing import (
     o_token_hash32,
 )
 from sids_data_pipeline_spark.operators import dedup, merge, multimodal, similarity, text, windows
-from sids_data_pipeline_spark.plans.base import Query, tables
+from sids_data_pipeline_spark.plans.base import Query, cents, o_cents, tables
 
 # --- shared SQL fragments -----------------------------------------------------
 
@@ -1435,6 +1435,62 @@ WHERE change IS NOT NULL
 """
 
 
+def _mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance fixture: the 'materialized' aggregate
+    covers orders NOT divisible by 10; the changelog then inserts the
+    %10 rows and deletes the %9 rows of the base slice. The engine folds
+    the signed deltas into the view (base facts never rescanned); the
+    oracle recomputes the same aggregate from the effective final fact
+    set — equality proves the view algebra."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    facts = lineitem.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_linestatus",
+        cents("l_quantity").alias("qty_c"),
+        cents("l_extendedprice").alias("price_c"),
+    )
+    base = facts.filter(k % 10 != 0)
+    mv = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("qty_c").alias("sum_qty_c"),
+        F.sum("price_c").alias("sum_price_c"),
+    )
+    inserts = facts.filter(k % 10 == 0).withColumn("_sign", F.lit(1))
+    deletes = base.filter(k % 9 == 0).withColumn("_sign", F.lit(-1))
+    out = merge.maintain_aggregate(
+        mv,
+        inserts.unionByName(deletes),
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty_c": "qty_c", "sum_price_c": "price_c"},
+    )
+    return out.withColumn(
+        "avg_qty",
+        F.col("sum_qty_c").cast("double") / F.col("n_rows") / F.lit(100.0),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_MV_INCREMENTAL_SQL = f"""
+WITH effective AS (
+  SELECT l_returnflag, l_linestatus,
+         {o_cents('l_quantity')} AS qty_c,
+         {o_cents('l_extendedprice')} AS price_c
+  FROM lineitem
+  WHERE l_orderkey % 10 = 0
+     OR (l_orderkey % 10 <> 0 AND l_orderkey % 9 <> 0)
+)
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+       CAST(SUM(qty_c) AS DOUBLE) / COUNT(*) / 100.0 AS avg_qty
+FROM effective
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
 _PROFILE_COLS = (
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",
@@ -1814,6 +1870,11 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("mv_incremental", _mv_incremental, _MV_INCREMENTAL_SQL,
+          doc="incremental materialized-view maintenance: signed changelog "
+              "folds into COUNT/SUM view, base facts never rescanned; "
+              "oracle = full recompute",
+          tags=("merge", "incremental", "agg")),
     Query("corpus_mix", _corpus_mix, _corpus_mix_sql(),
           doc="domain-mixture resampling: per-domain up/down-sampling "
               "rates, hash-gated fractional copies, zero shuffles",

@@ -162,3 +162,53 @@ def test_upsert_broadcasts_small_change_batch(spark, sf_dir):
     )
     plan = merge_upsert(target, source, ["o_orderkey"])._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_maintain_aggregate_matches_full_recompute(spark):
+    """Property: folding a signed changelog into the view equals a full
+    recompute over (base - deletes + inserts), including vanished groups."""
+    from sids_data_pipeline_spark.operators.merge import maintain_aggregate
+
+    base = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 3, 30), ("c", 4, 40)],
+        "g string, k int, v long",
+    )
+    mv = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    changes = spark.createDataFrame(
+        [
+            ("a", 5, 50, 1),    # insert into existing group
+            ("d", 6, 60, 1),    # insert creating a new group
+            ("b", 3, 30, -1),   # delete the only 'b' row -> group vanishes
+            ("c", 4, 40, -1),   # delete one 'c' row
+            ("c", 7, 70, 1),    # ...then insert another
+        ],
+        "g string, k int, v long, _sign int",
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in maintain_aggregate(
+            mv, changes, ["g"], {"sum_v": "v"}
+        ).collect()
+    }
+    assert got == {"a": (3, 80), "c": (1, 70), "d": (1, 60)}
+    assert "b" not in got
+
+
+def test_maintain_aggregate_delta_preaggregates_before_join(spark):
+    """Scale shape: the changelog collapses to per-key deltas (partial
+    aggregate) before joining the view -- the join input is keys, not rows."""
+    from sids_data_pipeline_spark.operators.merge import maintain_aggregate
+
+    mv = spark.createDataFrame([("a", 1, 10)], "g string, n_rows long, sum_v long")
+    changes = spark.createDataFrame(
+        [("a", 1, 1)], "g string, v long, _sign int"
+    )
+    plan = (
+        maintain_aggregate(mv, changes, ["g"], {"sum_v": "v"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial" in plan.lower()  # map-side combine on the changelog
