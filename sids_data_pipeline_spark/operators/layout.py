@@ -1,0 +1,112 @@
+"""Data-layout operators: multi-dimensional clustering for scan pruning.
+
+The reference organizes rasters into fixed 128x128 blocks so any bbox
+query touches a bounded set of blocks (``batch/processing/raster.py:8``,
+``pipeline/processing/inputs.py:27``). The tabular generalization at
+100 TB is Z-ORDER clustering: interleave the bits of two-or-more key
+columns into one scalar, range-partition + sort the write by it, and
+parquet's per-row-group min/max stats then prune scans that filter on
+ANY of the interleaved dimensions — not just the leading sort key.
+
+Everything here is a pure JVM expression (bit shifts + OR inside
+whole-stage codegen); the layout write is one range-shuffle. No UDFs,
+no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column round-robin (column j supplies output bit ``i*ncols + j`` from
+    its input bit i). Inputs are clamped to [0, 2**bits) — callers
+    pre-scale (e.g. ``pct_rank * 2**bits`` or ``value % 2**bits``) so the
+    full bit budget carries signal.
+
+    ``ncols * bits`` must fit a signed 64-bit key (<= 62).
+    """
+    ncols = len(cols)
+    if ncols * bits > 62:
+        raise ValueError(f"zorder_key: {ncols} cols x {bits} bits > 62")
+    terms: list[Column] = []
+    hi = F.lit((1 << bits) - 1)
+    for j, c in enumerate(cols):
+        cc = F.col(c) if isinstance(c, str) else c
+        clamped = F.least(F.greatest(cc.cast("long"), F.lit(0)), hi.cast("long"))
+        for i in range(bits):
+            bit = F.shiftright(clamped, i).bitwiseAND(F.lit(1))
+            terms.append(F.shiftleft(bit, i * ncols + j))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def o_zorder_key(exprs: Sequence[str], bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` — the same interleave spelled as
+    integer arithmetic, so the oracle verifies every bit of the key."""
+    ncols = len(exprs)
+    terms = []
+    for j, e in enumerate(exprs):
+        clamped = f"LEAST(GREATEST(CAST(({e}) AS BIGINT), 0), {(1 << bits) - 1})"
+        for i in range(bits):
+            terms.append(f"((({clamped} >> {i}) & 1) << {i * ncols + j})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``:
+    range-partition on the key (equi-depth file sizes even when the key
+    space is sparse), sort within partitions, drop the helper column.
+
+    Scale shape: ONE range shuffle (sampling pass + exchange); each
+    output file then covers a compact Z-range, so min/max row-group
+    stats prune bbox-style predicates on every clustered dimension.
+    """
+    keyed = df.withColumn("_zkey", zorder_key(list(cols), bits=bits))
+    part = (
+        keyed.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else keyed.repartitionByRange("_zkey")
+    )
+    part.sortWithinPartitions("_zkey").drop("_zkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def pruned_fraction(path: str, col_ranges: dict[str, tuple[float, float]]) -> dict:
+    """Layout-effectiveness probe: using only parquet footer min/max
+    stats, report how many row groups a conjunctive range predicate
+    could skip. Driver-side metadata read only (footers, not data) —
+    the same information the scan's row-group filter uses.
+    """
+    import pyarrow.parquet as pq
+
+    ds = pq.ParquetDataset(path)
+    total = kept = 0
+    for frag in ds.fragments:
+        md = frag.metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            stats = {
+                g.column(i).path_in_schema: g.column(i).statistics
+                for i in range(g.num_columns)
+            }
+            total += 1
+            overlap = True
+            for c, (lo, hi) in col_ranges.items():
+                s = stats.get(c)
+                if s is not None and s.has_min_max and (s.min > hi or s.max < lo):
+                    overlap = False
+                    break
+            kept += int(overlap)
+    return {"row_groups": total, "scanned": kept, "skipped": total - kept}

@@ -1491,6 +1491,38 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def _layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over two join dimensions: the exact bit
+    interleave the layout writer sorts by. The oracle recomputes every
+    bit with integer arithmetic, so a single flipped bit anywhere in the
+    clamp/shift/interleave chain fails the hash."""
+    from sids_data_pipeline_spark.operators.layout import zorder_key
+
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    keyed = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 1024).alias("pk_bucket"),
+        (F.col("l_suppkey") % 1024).alias("sk_bucket"),
+    ).withColumn("zkey", zorder_key(["pk_bucket", "sk_bucket"], bits=10))
+    return keyed.orderBy("zkey", "l_orderkey", "l_linenumber").limit(500)
+
+
+def _layout_zorder_sql() -> str:
+    from sids_data_pipeline_spark.operators.layout import o_zorder_key
+
+    z = o_zorder_key(["l_partkey % 1024", "l_suppkey % 1024"], bits=10)
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       l_partkey % 1024 AS pk_bucket,
+       l_suppkey % 1024 AS sk_bucket,
+       {z} AS zkey
+FROM lineitem
+ORDER BY zkey, l_orderkey, l_linenumber
+LIMIT 500
+"""
+
+
 _PROFILE_COLS = (
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",
@@ -1870,6 +1902,11 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("layout_zorder", _layout_zorder, _layout_zorder_sql(),
+          doc="Z-order clustering key (bit interleave, pure codegen): the "
+              "sort key the layout writer range-partitions by so parquet "
+              "min/max stats prune on every clustered dimension",
+          tags=("layout", "scan")),
     Query("mv_incremental", _mv_incremental, _MV_INCREMENTAL_SQL,
           doc="incremental materialized-view maintenance: signed changelog "
               "folds into COUNT/SUM view, base facts never rescanned; "
