@@ -12,6 +12,9 @@ high-cardinality aggregation where one key dominates a partition.
 - :func:`salted_agg` — two-phase aggregation: partial per (key, salt),
   final per key. Only algebraic aggregates (count/sum/min/max) compose
   this way; the wrapper exposes exactly those.
+- :func:`heavy_hitters` / :func:`key_skew_report` — the diagnostic that
+  decides WHETHER to salt: exact top-k hot keys with traffic share, and
+  a one-row skew summary (max/mean key frequency) to alert on.
 
 No reference counterpart (single-node Postgres has no shuffles); part of
 the engine's 100 TB design surface.
@@ -110,4 +113,52 @@ def salted_agg(
             _ALGEBRAIC[fn][1](f"_p_{name}").alias(name)
             for name, (fn, _col) in aggs.items()
         ]
+    )
+
+
+def heavy_hitters(df: DataFrame, keys: list[str], k: int = 20) -> DataFrame:
+    """Exact top-``k`` keys by row count, with each key's traffic share
+    in parts-per-million (integer — hash-stable across engines).
+
+    Scale shape: ONE map-side-combined groupBy on the key, then a
+    distributed partial top-k (orderBy+limit plans as
+    TakeOrderedAndProject — every partition forwards at most k rows, no
+    global sort, no window over all keys); the grand total re-attaches by
+    broadcasting one row. Ties at the boundary break on the key columns,
+    so the result is deterministic.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.desc("n"), *[F.col(c).asc() for c in keys]).limit(k)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_ppm",
+            F.round(F.col("n") * 1_000_000 / F.col("_total"), 0).cast("long"),
+        )
+        .drop("_total")
+    )
+
+
+def key_skew_report(df: DataFrame, keys: list[str]) -> DataFrame:
+    """One-row skew summary for a prospective shuffle key: number of
+    distinct keys, max/mean key frequency, and their ratio in micros
+    (1_000_000 = perfectly uniform). A ratio >> num_partitions means the
+    hottest task dwarfs the average — salt or split before shuffling.
+
+    Two cascaded aggregations (per-key counts → one row); both benefit
+    from map-side partials, and the second input is only the distinct
+    keys.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_key_rows"),
+        F.round(
+            F.max("n") * 1_000_000 * F.count(F.lit(1)) / F.sum("n"), 0
+        )
+        .cast("long")
+        .alias("skew_ratio_micros"),
     )

@@ -1435,6 +1435,59 @@ WHERE change IS NOT NULL
 """
 
 
+def _skew_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-15 hottest (event_type, user_id % 100) shuffle keys with
+    ppm traffic share — the pre-shuffle diagnostic that decides whether a
+    join/agg needs salting."""
+    from sids_data_pipeline_spark.operators.skew import heavy_hitters
+
+    (events,) = tables(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type", (F.col("user_id") % 100).alias("user_bucket")
+    )
+    return heavy_hitters(keyed, ["event_type", "user_bucket"], k=15)
+
+
+_SKEW_HH_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id % 100 AS user_bucket, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id % 100
+),
+total AS (SELECT SUM(n) AS t FROM counts)
+SELECT event_type, user_bucket, n,
+       CAST(ROUND(n * 1000000.0 / t) AS BIGINT) AS share_ppm
+FROM counts, total
+ORDER BY n DESC, event_type ASC, user_bucket ASC
+LIMIT 15
+"""
+
+
+def _skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row key-frequency summary of the same prospective shuffle key."""
+    from sids_data_pipeline_spark.operators.skew import key_skew_report
+
+    (events,) = tables(spark, sf_dir, "events")
+    keyed = events.select(
+        "event_type", (F.col("user_id") % 100).alias("user_bucket")
+    )
+    return key_skew_report(keyed, ["event_type", "user_bucket"])
+
+
+_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id % 100 AS user_bucket, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id % 100
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_key_rows,
+       CAST(ROUND(MAX(n) * 1000000.0 * COUNT(*) / SUM(n)) AS BIGINT)
+         AS skew_ratio_micros
+FROM counts
+"""
+
+
 def _mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MV maintenance fixture: the 'materialized' aggregate
     covers orders NOT divisible by 10; the changelog then inserts the
@@ -1902,6 +1955,14 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("skew_heavy_hitters", _skew_heavy_hitters, _SKEW_HH_SQL,
+          doc="exact top-k hot shuffle keys with ppm share: map-side "
+              "combine + distributed partial top-k (TakeOrderedAndProject)",
+          tags=("skew", "profile")),
+    Query("skew_key_report", _skew_report, _SKEW_REPORT_SQL,
+          doc="one-row key-frequency skew summary (max/mean ratio in "
+              "micros) — the salt-or-not alert",
+          tags=("skew", "profile")),
     Query("layout_zorder", _layout_zorder, _layout_zorder_sql(),
           doc="Z-order clustering key (bit interleave, pure codegen): the "
               "sort key the layout writer range-partitions by so parquet "

@@ -67,3 +67,55 @@ def test_salted_join_rejects_right_preserving(spark, dim):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="salted_join"):
             skew.salted_join(left, dim, ["k"], how=how)
+
+
+def test_heavy_hitters_exact_counts_and_share(spark):
+    from sids_data_pipeline_spark.operators.skew import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1, "k string"
+    )
+    rows = heavy_hitters(df, ["k"], k=2).collect()
+    assert [(r.k, r.n, r.share_ppm) for r in rows] == [
+        ("hot", 6, 600000),
+        ("warm", 3, 300000),
+    ]
+
+
+def test_heavy_hitters_boundary_ties_break_on_key(spark):
+    from sids_data_pipeline_spark.operators.skew import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",), ("c",)], "k string"
+    )
+    rows = heavy_hitters(df, ["k"], k=2).collect()
+    assert [r.k for r in rows] == ["a", "b"]
+
+
+def test_heavy_hitters_plans_partial_topk_not_global_sort(spark, sf_dir):
+    """Scale shape: the top-k must plan as TakeOrderedAndProject (per-
+    partition partial top-k), never a single-partition global Sort."""
+    from sids_data_pipeline_spark.operators.skew import heavy_hitters
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        heavy_hitters(events, ["event_type"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_key_skew_report_uniform_vs_hot(spark):
+    from sids_data_pipeline_spark.operators.skew import key_skew_report
+
+    uniform = spark.createDataFrame([(i % 4,) for i in range(16)], "k int")
+    r = key_skew_report(uniform, ["k"]).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_key_rows) == (4, 16, 4)
+    assert r.skew_ratio_micros == 1_000_000  # perfectly uniform
+
+    hot = spark.createDataFrame([(0,)] * 13 + [(1,), (2,), (3,)], "k int")
+    r = key_skew_report(hot, ["k"]).collect()[0]
+    assert r.max_key_rows == 13
+    assert r.skew_ratio_micros == round(13 * 1_000_000 * 4 / 16)
