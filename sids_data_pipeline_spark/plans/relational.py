@@ -622,6 +622,65 @@ def _sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
+_LOCAL_SUPPLIER_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
+def _sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table snowflake where customer and supplier
+    share a nation. Catalyst broadcasts the four dim tables and reorders
+    the joins; the fact side shuffles once on the group key."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_LOCAL_SUPPLIER_SQL)
+
+
+_RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, acctbal_cents, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over a date
+    window, top-20 — pushed scan filters on both fact tables, broadcast
+    dims, one shuffle on the customer group key."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("customer", "orders", "lineitem", "nation"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_RETURNED_ITEMS_SQL)
+
+
 def _array_json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
     arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
@@ -1080,6 +1139,22 @@ QUERIES: list[Query] = [
         _sql_shipping_priority,
         _SHIPPING_PRIORITY_SQL,
         doc="TPC-H Q3 shape: 3-table join, grouped revenue cents, top-10",
+        tags=("sql", "join", "aggregate", "sort"),
+    ),
+    Query(
+        "sql_local_supplier_volume",
+        _sql_local_supplier_volume,
+        _LOCAL_SUPPLIER_SQL,
+        doc="TPC-H Q5 shape: 6-table snowflake, same-nation customer/"
+            "supplier equi-constraint, broadcast dims, one fact shuffle",
+        tags=("sql", "join", "aggregate"),
+    ),
+    Query(
+        "sql_returned_items",
+        _sql_returned_items,
+        _RETURNED_ITEMS_SQL,
+        doc="TPC-H Q10 shape: returned-item revenue per customer, "
+            "date-windowed, top-20",
         tags=("sql", "join", "aggregate", "sort"),
     ),
     Query(
