@@ -407,3 +407,101 @@ def ann_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """Deterministic k-means ASSIGNMENT step: each vector goes to its
+    nearest centroid by exact integer squared-L2 in the micros domain
+    (ties break to the lowest centroid index). Default centroids are the
+    ``k`` vectors with the smallest ids — a fixed, engine-independent
+    init — or pass ``centroids`` (micros vectors) from a previous
+    :func:`kmeans_fit` round.
+
+    Scale shape: the centroid matrix is k×dim LITERALS folded into one
+    whole-stage-codegen projection — no join, no shuffle, no Python; the
+    only action is the bounded k-row init collect.
+    """
+    if centroids is None:
+        rows = (
+            embeddings.orderBy(id_col)
+            .limit(k)
+            .select(_int_vec(vec_col).alias("_iv"))
+            .collect()
+        )
+        centroids = [list(r._iv) for r in rows]
+    iv = _int_vec(vec_col)
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                iv,
+                F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        for c in centroids
+    ]
+    arr = F.array(*dists)
+    return embeddings.select(
+        id_col,
+        (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias("cluster"),
+        F.array_min(arr).alias("dist2"),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], DataFrame]:
+    """Full Lloyd iteration on top of :func:`kmeans_assign`: recompute
+    centroids as per-cluster element-wise means (micros-rounded, so the
+    state stays integral and engine-independent), reassign, repeat.
+    Returns (final centroids, final assignment).
+
+    Scale shape per round: one codegen assignment pass + one groupBy
+    whose map-side partial collapses to ≤ k×num_partitions rows; only
+    the k×dim centroid matrix ever reaches the driver. Empty clusters
+    keep their previous centroid (standard Lloyd fallback).
+    """
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(_int_vec(vec_col).alias("_iv"))
+        .collect()
+    )
+    centroids = [list(r._iv) for r in rows]
+    assigned = None
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = kmeans_assign(
+            embeddings, k=k, id_col=id_col, vec_col=vec_col, centroids=centroids
+        )
+        sums = (
+            embeddings.join(assigned.select(id_col, "cluster"), id_col)
+            .select("cluster", _int_vec(vec_col).alias("_iv"))
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("_iv", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = {
+            r.cluster: [int(round(r[f"_s{i}"] / r._n)) for i in range(dim)]
+            for r in sums
+        }
+        centroids = [new.get(j, centroids[j]) for j in range(k)]
+    return centroids, assigned

@@ -497,6 +497,42 @@ FROM r WHERE rank <= 10
 """
 
 
+def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means assignment (k=8, centroids = 8 smallest
+    vec_ids): exact integer squared-L2 in the micros domain, so the
+    oracle reproduces every distance bit-for-bit."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(emb, k=8)
+
+
+_KMEANS_SQL = """
+WITH n AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+),
+c AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM n ORDER BY vec_id LIMIT 8
+),
+d AS (
+  SELECT e.vec_id, c.cidx,
+         CAST(list_sum(list_transform(range(1, 65),
+              i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS BIGINT) AS dist2
+  FROM n e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cidx, dist2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, cidx ASC) AS rn
+  FROM d
+)
+SELECT vec_id, CAST(cidx AS INT) AS cluster, dist2
+FROM r WHERE rn = 1
+"""
+
+
 def _text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     return text.scrub_pii(docs)
@@ -1955,6 +1991,10 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("embedding_kmeans", _embedding_kmeans, _KMEANS_SQL,
+          doc="k-means assignment step: k x dim centroid literals in one "
+              "codegen projection, exact integer micros L2, no join",
+          tags=("similarity", "clustering")),
     Query("skew_heavy_hitters", _skew_heavy_hitters, _SKEW_HH_SQL,
           doc="exact top-k hot shuffle keys with ppm share: map-side "
               "combine + distributed partial top-k (TakeOrderedAndProject)",

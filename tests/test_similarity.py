@@ -149,3 +149,54 @@ def test_quantized_topk_close_to_exact(spark):
     }
     agree = sum(exact[q] == quant[q] for q in exact)
     assert agree >= 2  # at least 2 of 3 top-1 neighbors survive int8
+
+
+def test_kmeans_assign_nearest_and_tiebreak(spark):
+    from sids_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    # two obvious clusters around (0,0) and (10,10); ids 0,1 seed them
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.1, -0.1]),
+        (3, [9.9, 10.2]),
+        (4, [5.0, 5.0]),  # equidistant -> tie breaks to centroid 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in kmeans_assign(df, k=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_kmeans_assign_is_join_free_codegen(spark, sf_dir):
+    from sids_data_pipeline_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        kmeans_assign(emb, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Python" not in plan
+
+
+def test_kmeans_fit_separates_clusters_and_converges(spark):
+    from sids_data_pipeline_spark.operators.similarity import kmeans_fit
+
+    # 3 tight blobs; seeds (ids 0,1) start in blob A -> iteration must
+    # migrate a centroid out to capture blob B
+    blob_a = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(4)]
+    blob_b = [(10 + i, [20.0, 20.0 + 0.01 * i]) for i in range(4)]
+    df = spark.createDataFrame(
+        blob_a + blob_b, "vec_id bigint, embedding array<float>"
+    )
+    cents, assigned = kmeans_fit(df, k=2, iters=4)
+    got = {r.vec_id: r.cluster for r in assigned.collect()}
+    a_clusters = {got[i] for i, _ in blob_a}
+    b_clusters = {got[i] for i, _ in blob_b}
+    assert len(a_clusters) == 1 and len(b_clusters) == 1
+    assert a_clusters != b_clusters
+    # centroids converged onto the blob means (micros domain)
+    ca, cb = cents[list(a_clusters)[0]], cents[list(b_clusters)[0]]
+    assert abs(ca[0] - 15000) < 2000 and abs(ca[1]) < 2000
+    assert abs(cb[0] - 20000000) < 20000 and abs(cb[1] - 20015000) < 20000
