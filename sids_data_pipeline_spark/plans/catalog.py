@@ -42,6 +42,18 @@ from sids_data_pipeline_spark.plans.base import Query
 # inside other in-window queries). The remaining round-6 entries
 # (corpus_vocab/tfidf, column_hist, sink_orc_roundtrip) are
 # selfcheck-green and rotate in next round.
+# Round-6 late additions (mv_incremental, layout_zorder, skew_heavy_
+# hitters, skew_key_report, sql_local_supplier_volume, sql_returned_
+# items, embedding_kmeans) displace seven more r5-green entries whose
+# OPERATOR code is unchanged since r5 (dedup.py, windows.py,
+# multimodal.py, zonal.py, crs.py, streaming/jobs.py untouched this
+# round): zonal_mean_large (zonal_polygons keeps J1/F5/F6 in-window),
+# crs_reproject (crs_reproject_lcc in head, crs_reproject_utm r5-green),
+# events_session (tumbling/sliding/latest in head), multimodal_features
+# (multimodal_meta in head), dedup_exact (dedup_minhash_lsh + curation
+# in-window), streaming_dedup_batch (streaming_running_totals in head),
+# filter_range (pushed-filter scans exercised by pricing_summary + both
+# new TPC-H shapes).
 PRIORITY: tuple[str, ...] = (
     # — never-driver-verified head (selfcheck-green, rotating in for r6) —
     "crs_reproject_lcc",
@@ -61,33 +73,25 @@ PRIORITY: tuple[str, ...] = (
     "text_winnowing",
     # — geo / semantic core (displaced zonal variants + crs_reproject_utm
     #   share these families) —
-    "zonal_mean_large",
     "zonal_polygons",
     "raster_clip_band",
     "tiles_assign",
     "tiles_density_drop",
     "tiles_encode_rings",
-    "crs_reproject",
     "raster_geotiff_ingest",
     "vector_geopackage_ingest",
     "manifest_pending",
-    # — LLM-pipeline / events flagships (funnel/retention → events_session;
-    #   multimodal_frames → multimodal_features; repetition/langid → the E5
-    #   head entries; streaming_attribution → streaming_dedup_batch) —
-    "events_session",
+    # — LLM-pipeline / events flagships —
     "join_asof",
-    "multimodal_features",
     "corpus_split",
     "corpus_pack_shards",
     "dedup_clusters",
     "corpus_decontaminate",
     "text_sentences_udtf",
     "agg_geomean_udaf",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",
     "corpus_curation",
-    "streaming_dedup_batch",
     # — round-6 flagships (new operators claiming their first driver row) —
     "merge_upsert",
     "snapshot_diff",
@@ -95,10 +99,17 @@ PRIORITY: tuple[str, ...] = (
     "corpus_mix",
     "table_profile",
     "dq_checks",
+    # — round-6 late additions (first driver rows) —
+    "mv_incremental",
+    "layout_zorder",
+    "skew_heavy_hitters",
+    "skew_key_report",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
+    "embedding_kmeans",
     # — relational family representatives (displaced names are r5-green
     #   with unchanged code; pivot → agg_grouping_sets) —
     "pricing_summary",
-    "filter_range",
     "agg_grouping_sets",
     "window_rank",
     "sql_shipping_priority",
