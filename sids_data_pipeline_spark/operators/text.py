@@ -415,3 +415,72 @@ def tfidf(
             ).alias("tfidf"),
         )
     )
+
+
+def search_bm25(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-text search: BM25-ranked top-``k`` documents for a bag of
+    query terms (Robertson/Sparck-Jones idf with the Lucene +1 floor,
+    whitespace-lowercase tokens consistent with :func:`vocab_counts`).
+
+    Determinism: each term's contribution rounds to integer micros
+    BEFORE the per-doc sum, so the score is an order-free integer sum —
+    reproducible under any shuffle/combine order and mirrorable in SQL.
+
+    Scale shape: the token explode filters to the query terms
+    immediately (the posting lists for |Q| terms, not the corpus);
+    doc-frequency and corpus stats are term-count-sized broadcasts; the
+    final ranking is a distributed partial top-k. No all-pairs, no
+    Python.
+    """
+    terms = [t.lower() for t in query_terms]
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("_ws"),
+    )
+    stats = tok.select(
+        "doc_id", F.size("_ws").alias("dl"), F.explode("_ws").alias("token")
+    ).filter(F.col("token").isin(terms))
+    corpus = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.size("_ws")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = stats.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("doc_freq") + 0.5)
+        / (F.col("doc_freq") + 0.5)
+    )
+    tf_part = (
+        F.col("tf") * (k1 + 1)
+        / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    contrib = F.round(idf * tf_part * 1_000_000, 0).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", contrib.alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("_c").alias("score_micros"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score_micros"), F.col("doc_id").asc()
+    ).limit(k)

@@ -497,6 +497,57 @@ FROM r WHERE rank <= 10
 """
 
 
+_BM25_TERMS = ("vector", "hash", "scan")
+
+
+def _text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text top-10 for a 3-term query. Each term contribution
+    rounds to integer micros before the per-doc sum, so the score is an
+    order-free integer the oracle reproduces term-for-term."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.search_bm25(docs, list(_BM25_TERMS), k=10)
+
+
+_BM25_SQL = f"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(len(w)) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM ws
+),
+stats AS (
+  SELECT doc_id, len(w) AS dl, t.token
+  FROM ws, unnest(w) AS t(token)
+  WHERE t.token IN {str(_BM25_TERMS)}
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM stats GROUP BY doc_id, token
+),
+dfq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ln(1.0 + ((c.n_docs - d.doc_freq) + 0.5) / (d.doc_freq + 0.5))
+           * ((tf.tf * (1.2 + 1))
+              / (tf.tf + 1.2 * (0.25 + (0.75 * CAST(tf.dl AS DOUBLE)) / c.avgdl)))
+           * 1000000) AS BIGINT) AS cmic
+  FROM tf JOIN dfq d USING (token) CROSS JOIN corpus c
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       CAST(SUM(cmic) AS BIGINT) AS score_micros
+FROM contrib GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def _embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic k-means assignment (k=8, centroids = 8 smallest
     vec_ids): exact integer squared-L2 in the micros domain, so the
@@ -1991,6 +2042,11 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("text_search_bm25", _text_search_bm25, _BM25_SQL,
+          doc="BM25 full-text search: posting lists for |Q| terms only, "
+              "micros-integer order-free scoring, distributed partial "
+              "top-k",
+          tags=("text", "search")),
     Query("embedding_kmeans", _embedding_kmeans, _KMEANS_SQL,
           doc="k-means assignment step: k x dim centroid literals in one "
               "codegen projection, exact integer micros L2, no join",

@@ -59,3 +59,51 @@ def test_bbox_and_geojson_functions(spark):
     assert (r.bb.xmin, r.bb.ymin, r.bb.xmax, r.bb.ymax) == (0.12, 0.12, 2.08, 2.08)
     assert abs(r.area - (2.08 - 0.12) ** 2) < 1e-12
     assert json.loads(r.gj)["type"] == "MultiPolygon"
+
+
+def test_search_bm25_hand_computed(spark):
+    """3-doc corpus, query {apple}: BM25 with k1=1.2, b=0.75 computed by
+    hand (micros-rounded per-term contributions)."""
+    import math
+
+    from sids_data_pipeline_spark.operators.text import search_bm25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),       # dl=3, tf=2
+            (2, "banana cherry"),            # dl=2, no match
+            (3, "apple"),                    # dl=1, tf=1
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = search_bm25(docs, ["apple"], k=5).collect()
+    n_docs, avgdl = 3, 6 / 3
+    doc_freq = 2
+    idf = math.log(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+    def score(tf, dl):
+        part = tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        return round(idf * part * 1_000_000)
+
+    got = {r.doc_id: (r.n_terms_matched, r.score_micros) for r in rows}
+    assert got == {1: (1, score(2, 3)), 3: (1, score(1, 1))}
+    # length normalization: the very short doc 3 outranks doc 1 despite
+    # doc 1's higher raw tf (b=0.75 penalizes dl=3 vs avgdl=2)
+    assert [r.doc_id for r in rows] == [3, 1]
+
+
+def test_search_bm25_plan_filters_postings_early(spark, sf_dir):
+    """The explode output must filter to the query terms before any
+    aggregation, and the ranking must be a distributed partial top-k."""
+    from sids_data_pipeline_spark.operators.text import search_bm25
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        search_bm25(docs, ["vector", "hash"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+    assert plan.index("Filter") < plan.index("HashAggregate") or "token" in plan
