@@ -497,6 +497,49 @@ FROM r WHERE rank <= 10
 """
 
 
+def _join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-vs-interval overlap join on arithmetically-derived
+    intervals: bucket-grid equi-join with the canonical-bucket trick
+    (exactly-once matches, no distinct). Oracle = the naive theta join."""
+    from sids_data_pipeline_spark.operators import asof
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    left = orders.filter(k % 30 == 0).select(
+        k.alias("lid"),
+        (k % 997).alias("ls"),
+        (k % 997 + k % 13 + 40).alias("le"),
+    )
+    right = orders.filter(k % 40 == 0).select(
+        k.alias("rid"),
+        (k % 1009).alias("rs"),
+        (k % 1009 + k % 17 + 30).alias("re"),
+    )
+    out = asof.interval_join(left, right, ("ls", "le"), ("rs", "re"))
+    return out.select(
+        "lid",
+        "rid",
+        (F.least("le", "re") - F.greatest("ls", "rs")).alias("overlap_len"),
+    )
+
+
+_INTERVAL_SQL = """
+WITH l AS (
+  SELECT o_orderkey AS lid, o_orderkey % 997 AS ls,
+         o_orderkey % 997 + o_orderkey % 13 + 40 AS le
+  FROM orders WHERE o_orderkey % 30 = 0
+),
+r AS (
+  SELECT o_orderkey AS rid, o_orderkey % 1009 AS rs,
+         o_orderkey % 1009 + o_orderkey % 17 + 30 AS re
+  FROM orders WHERE o_orderkey % 40 = 0
+)
+SELECT lid, rid,
+       LEAST(le, re) - GREATEST(ls, rs) AS overlap_len
+FROM l JOIN r ON ls <= re AND rs <= le
+"""
+
+
 _BM25_TERMS = ("vector", "hash", "scan")
 
 
@@ -2042,6 +2085,11 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("join_interval_overlap", _join_interval_overlap, _INTERVAL_SQL,
+          doc="interval-overlap join: grid-bucket equi-join, canonical "
+              "bucket keeps each pair exactly once (no distinct, no "
+              "cartesian)",
+          tags=("join", "interval")),
     Query("text_search_bm25", _text_search_bm25, _BM25_SQL,
           doc="BM25 full-text search: posting lists for |Q| terms only, "
               "micros-integer order-free scoring, distributed partial "

@@ -153,3 +153,66 @@ def test_asof_ignores_null_ts_right_rows(spark):
         # ts=5 sees the ts=3 row; ts=1 has no prior valid row -> NULL
         # (the NULL-ts 999 and NULL-key 777 rows are invisible)
         assert out == {"L1": 30, "L0": None}, (how, out)
+
+
+def test_interval_join_matches_naive_and_exactly_once(spark):
+    """Property vs the naive theta join on random intervals, including
+    pairs spanning many buckets (would duplicate without the canonical-
+    bucket filter)."""
+    import random
+
+    from sids_data_pipeline_spark.operators.asof import interval_join
+
+    rng = random.Random(7)
+    lrows = [(i, s := rng.randrange(0, 500), s + rng.randrange(0, 200))
+             for i in range(120)]
+    rrows = [(j, s := rng.randrange(0, 500), s + rng.randrange(0, 200))
+             for j in range(110)]
+    left = spark.createDataFrame(lrows, "lid int, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid int, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_join(
+            left, right, ("ls", "le"), ("rs", "re"), bucket_width=32
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for li, ls, le in lrows
+        for rj, rs, re in rrows
+        if ls <= re and rs <= le
+    }
+    assert got == want
+    # exactly-once: the collected list has no duplicates
+    rows = interval_join(
+        left, right, ("ls", "le"), ("rs", "re"), bucket_width=32
+    ).collect()
+    assert len(rows) == len(want)
+
+
+def test_interval_join_by_key_and_no_cartesian_plan(spark):
+    from sids_data_pipeline_spark.operators.asof import interval_join
+
+    left = spark.createDataFrame(
+        [("a", 1, 0, 10), ("b", 2, 0, 10)], "g string, lid int, ls long, le long"
+    )
+    right = spark.createDataFrame(
+        [("a", 9, 5, 15), ("b", 8, 50, 60)], "g string, rid int, rs long, re long"
+    )
+    out = interval_join(
+        left, right, ("ls", "le"), ("rs", "re"), by=["g"], bucket_width=8
+    )
+    assert {(r.lid, r.rid) for r in out.collect()} == {(1, 9)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_rejects_column_clash(spark):
+    import pytest
+
+    from sids_data_pipeline_spark.operators.asof import interval_join
+
+    df = spark.createDataFrame([(1, 0, 1)], "id int, s long, e long")
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join(df, df, ("s", "e"), ("s", "e"))
