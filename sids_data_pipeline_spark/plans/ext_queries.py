@@ -497,6 +497,89 @@ FROM r WHERE rank <= 10
 """
 
 
+def _streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply through the streaming surface: an availableNow change
+    stream (insert + update + tombstone per key slice) drains through
+    foreachBatch merge_upsert into a versioned state table; the result
+    is the current snapshot. Single staged file ⇒ one micro-batch, so
+    the oracle is latest-change-per-key minus tombstones."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.streaming.jobs import (
+        read_cdc_state,
+        streaming_cdc_upsert,
+    )
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 5 == 0).select(
+        k.alias("okey"),
+        F.lit(1).alias("ts"),
+        F.lit(0).alias("seq"),
+        F.col("o_orderstatus").alias("status"),
+        cents("o_totalprice").alias("price_c"),
+        F.lit(False).alias("_del"),
+    )
+    v2 = orders.filter(k % 10 == 0).select(
+        k.alias("okey"),
+        F.lit(2).alias("ts"),
+        F.lit(1).alias("seq"),
+        F.lit("UPDATED").alias("status"),
+        (cents("o_totalprice") + 100).alias("price_c"),
+        F.lit(False).alias("_del"),
+    )
+    v3 = orders.filter(k % 20 == 0).select(
+        k.alias("okey"),
+        F.lit(3).alias("ts"),
+        F.lit(2).alias("seq"),
+        F.lit("X").alias("status"),
+        F.lit(0).cast("long").alias("price_c"),
+        F.lit(True).alias("_del"),
+    )
+    changes = v1.unionByName(v2).unionByName(v3)
+    work = tempfile.mkdtemp(prefix="sdp_cdc_")
+    src = os.path.join(work, "src")
+    changes.repartition(1).write.parquet(src)
+    stream = spark.readStream.schema(changes.schema).parquet(src)
+    streaming_cdc_upsert(
+        spark,
+        stream,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        keys=("okey",),
+        ts_col="ts",
+        tiebreak_col="seq",
+        delete_col="_del",
+    )
+    return read_cdc_state(spark, os.path.join(work, "state")).select(
+        "okey", "ts", "seq", "status", "price_c"
+    )
+
+
+_CDC_UPSERT_SQL = """
+WITH changes AS (
+  SELECT o_orderkey AS okey, 1 AS ts, 0 AS seq, o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c, FALSE AS del
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 1, 'UPDATED',
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100, FALSE
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 3, 2, 'X', CAST(0 AS BIGINT), TRUE
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY okey
+                               ORDER BY ts DESC, seq DESC) AS rn
+  FROM changes
+)
+SELECT okey, ts, seq, status, price_c
+FROM latest WHERE rn = 1 AND NOT del
+"""
+
+
 def _join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-vs-interval overlap join on arithmetically-derived
     intervals: bucket-grid equi-join with the canonical-bucket trick
@@ -2085,6 +2168,11 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("streaming_cdc_upsert", _streaming_cdc_upsert, _CDC_UPSERT_SQL,
+          doc="CDC apply via foreachBatch merge_upsert into a versioned "
+              "replay-safe state table; oracle = latest change per key "
+              "minus tombstones",
+          tags=("streaming", "merge", "incremental")),
     Query("join_interval_overlap", _join_interval_overlap, _INTERVAL_SQL,
           doc="interval-overlap join: grid-bucket equi-join, canonical "
               "bucket keeps each pair exactly once (no distinct, no "

@@ -260,3 +260,91 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_cdc_upsert(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    keys: tuple[str, ...],
+    ts_col: str,
+    tiebreak_col: str,
+    delete_col: str | None = None,
+) -> None:
+    """Maintain a CURRENT-STATE table from a CDC change stream: each
+    micro-batch collapses to the latest change per key (ts + tiebreak
+    ordering), then folds into the persisted state with the batch
+    merge_upsert operator — one definition for batch and streaming
+    CDC apply. Tombstones (``delete_col`` true) remove keys.
+
+    State lives as versioned parquet snapshots (``snapshot=N``) plus a
+    ``_CURRENT`` JSON pointer {batch, prev}. Replay safety (foreachBatch
+    is at-least-once): a replayed batch re-reads its PREDECESSOR snapshot
+    — the pointer keeps the predecessor id, so applying the same batch
+    twice converges to the same snapshot instead of double-applying.
+    Old snapshots double as time travel; prune with any retention sweep.
+
+    Scale shape: per batch, ONE window over the (small) change batch +
+    one merge join against the state — broadcast when the batch is
+    small; the state table never fully rewrites history, only the
+    current snapshot.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Window
+
+    from sids_data_pipeline_spark.operators.merge import merge_upsert
+
+    pointer = os.path.join(out_dir, "_CURRENT")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        w = Window.partitionBy(*keys).orderBy(
+            F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        base = None
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                ptr = json.load(f)
+            # replayed batch: fold onto the predecessor, not our own
+            # (possibly partial) output
+            base = ptr["prev"] if ptr["batch"] == batch_id else ptr["batch"]
+        value_cols = [c for c in batch.columns if c != delete_col]
+        if base is None:
+            state = bspark.createDataFrame([], batch.select(*value_cols).schema)
+        else:
+            state = bspark.read.parquet(
+                os.path.join(out_dir, f"snapshot={base}")
+            )
+        merged = merge_upsert(state, latest, list(keys), delete_col=delete_col)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"snapshot={batch_id}")
+        )
+        with open(pointer, "w") as f:
+            json.dump({"batch": batch_id, "prev": base}, f)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cdc_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Load the current snapshot a :func:`streaming_cdc_upsert` run
+    maintains (driver-side pointer read, one parquet scan)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_CURRENT")) as f:
+        ptr = json.load(f)
+    return spark.read.parquet(os.path.join(out_dir, f"snapshot={ptr['batch']}"))

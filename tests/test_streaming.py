@@ -248,3 +248,76 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
         for r in jobs.stream_stream_attribution(b_clicks, b_purchases).collect()
     }
     assert len(want) > 0 and got == want
+
+
+def test_cdc_upsert_across_batches_with_tombstone(spark, tmp_path):
+    """Insert batch, then update+delete batch in a SECOND drain: the
+    state table must show updates applied, tombstoned keys gone, and
+    untouched keys intact."""
+    src = str(tmp_path / "cdc_in")
+    state = str(tmp_path / "cdc_state")
+    schema = "k long, ts int, seq int, v string, dead boolean"
+
+    spark.createDataFrame(
+        [(1, 1, 0, "a", False), (2, 1, 0, "b", False), (3, 1, 0, "c", False)],
+        schema,
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    jobs.streaming_cdc_upsert(
+        spark, stream, state, str(tmp_path / "ck"),
+        keys=("k",), ts_col="ts", tiebreak_col="seq", delete_col="dead",
+    )
+    got = {r.k: r.v for r in jobs.read_cdc_state(spark, state).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+
+    # second drain: update k=1 twice in-batch (latest wins), delete k=2
+    spark.createDataFrame(
+        [(1, 2, 0, "A0", False), (1, 2, 1, "A1", False), (2, 2, 0, "x", True)],
+        schema,
+    ).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    jobs.streaming_cdc_upsert(
+        spark, stream2, state, str(tmp_path / "ck"),
+        keys=("k",), ts_col="ts", tiebreak_col="seq", delete_col="dead",
+    )
+    got = {r.k: r.v for r in jobs.read_cdc_state(spark, state).collect()}
+    assert got == {1: "A1", 3: "c"}
+
+
+def test_cdc_upsert_replay_converges(spark, tmp_path):
+    """At-least-once replay: re-applying the SAME batch id folds onto the
+    predecessor snapshot (pointer.prev), not onto its own output — the
+    snapshot is identical after a simulated duplicate delivery."""
+    import json
+    import os
+
+    src = str(tmp_path / "cdc_in")
+    state = str(tmp_path / "cdc_state")
+    schema = "k long, ts int, seq int, v string, dead boolean"
+    spark.createDataFrame(
+        [(1, 1, 0, "a", False)], schema
+    ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    jobs.streaming_cdc_upsert(
+        spark, stream, state, str(tmp_path / "ck"),
+        keys=("k",), ts_col="ts", tiebreak_col="seq", delete_col="dead",
+    )
+    with open(os.path.join(state, "_CURRENT")) as f:
+        ptr = json.load(f)
+    before = sorted(
+        map(tuple, jobs.read_cdc_state(spark, state).collect())
+    )
+    # simulate redelivery of the same micro-batch through a fresh
+    # checkpoint (same batch id 0): snapshot must converge
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    jobs.streaming_cdc_upsert(
+        spark, stream2, state, str(tmp_path / "ck_replay"),
+        keys=("k",), ts_col="ts", tiebreak_col="seq", delete_col="dead",
+    )
+    with open(os.path.join(state, "_CURRENT")) as f:
+        ptr2 = json.load(f)
+    after = sorted(
+        map(tuple, jobs.read_cdc_state(spark, state).collect())
+    )
+    assert before == after
+    assert ptr2["batch"] == ptr["batch"] == 0
