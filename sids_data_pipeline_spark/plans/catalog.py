@@ -54,6 +54,13 @@ from sids_data_pipeline_spark.plans.base import Query
 # in-window), streaming_dedup_batch (streaming_running_totals in head),
 # filter_range (pushed-filter scans exercised by pricing_summary + both
 # new TPC-H shapes).
+# Third rotation (text_search_bm25, join_interval_overlap,
+# streaming_cdc_upsert claim first driver rows): displaces
+# corpus_decontaminate (dedup.py unchanged, r5-green; decontaminate also
+# executes inside in-window corpus_curation), dedup_clusters (graph.py
+# unchanged, r5-green with the recursive-CTE oracle), window_rank
+# (unchanged; window functions also execute inside scd2_history,
+# tiles_density_drop, and corpus_pack_shards, all in-window).
 PRIORITY: tuple[str, ...] = (
     # — never-driver-verified head (selfcheck-green, rotating in for r6) —
     "crs_reproject_lcc",
@@ -85,8 +92,6 @@ PRIORITY: tuple[str, ...] = (
     "join_asof",
     "corpus_split",
     "corpus_pack_shards",
-    "dedup_clusters",
-    "corpus_decontaminate",
     "text_sentences_udtf",
     "agg_geomean_udaf",
     "dedup_minhash_lsh",
@@ -107,11 +112,13 @@ PRIORITY: tuple[str, ...] = (
     "sql_local_supplier_volume",
     "sql_returned_items",
     "embedding_kmeans",
+    "text_search_bm25",
+    "join_interval_overlap",
+    "streaming_cdc_upsert",
     # — relational family representatives (displaced names are r5-green
     #   with unchanged code; pivot → agg_grouping_sets) —
     "pricing_summary",
     "agg_grouping_sets",
-    "window_rank",
     "sql_shipping_priority",
 )
 
