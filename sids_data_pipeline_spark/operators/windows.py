@@ -237,3 +237,75 @@ def retention(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def rolling_stats(
+    events: DataFrame,
+    lookback_seconds: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-event trailing-window features: for every event, the count
+    and exact-cents sum/mean of the key's events in the preceding
+    ``lookback_seconds`` (inclusive of the event itself) — the standard
+    feature-engineering primitive ("activity in the last hour").
+
+    Implemented as ONE range-frame window over epoch seconds
+    (``RANGE BETWEEN lookback PRECEDING AND CURRENT ROW``): a single
+    shuffle on the key, sorted once, state bounded by the lookback span.
+    Sums are integer cents, so the trailing mean is deterministic.
+    """
+    sec = (_us(F.col(ts_col)) / 1_000_000).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(sec)
+        .rangeBetween(-int(lookback_seconds), 0)
+    )
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    return events.select(
+        key_col,
+        _us(F.col(ts_col)).alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(cents).over(w).alias("sum_trailing_cents"),
+        (
+            F.sum(cents).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            / F.lit(100.0)
+        ).alias("mean_trailing"),
+    )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    threshold_micros: int = 3_000_000,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key z-score outlier flags: events whose value deviates from
+    their key's mean by more than ``threshold_micros``/1e6 population
+    standard deviations. Mean and variance derive from exact integer
+    cents sums (sum, sum-of-squares), so the z-scores are deterministic
+    and SQL-reproducible; the z-score itself rounds to integer micros.
+
+    Scale shape: one map-side-combined groupBy for the per-key moments
+    (a key-count-sized broadcast), one broadcast join back — the event
+    stream is never shuffled.
+    """
+    c = F.round(F.col(value_col) * 100, 0).cast("long")
+    moments = events.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(c).alias("_s"),
+        F.sum(c * c).alias("_ss"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_n")
+    var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
+    z = (c.cast("double") - mean) / F.sqrt(var)
+    return (
+        events.join(F.broadcast(moments), key_col)
+        .filter(F.col("_n") >= 2)
+        .withColumn("z_micros", F.round(z * 1_000_000, 0).cast("long"))
+        .filter(F.abs(F.col("z_micros")) > threshold_micros)
+        .select(id_col, key_col, c.alias("value_cents"), "z_micros")
+    )

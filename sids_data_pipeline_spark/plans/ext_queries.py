@@ -497,6 +497,61 @@ FROM r WHERE rank <= 10
 """
 
 
+def _events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour per-event features via ONE range-frame window."""
+    (events,) = tables(spark, sf_dir, "events")
+    return windows.rolling_stats(events, lookback_seconds=3600)
+
+
+_ROLLING_SQL = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) AS sec,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+)
+SELECT user_id, ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(vc) OVER w AS BIGINT) AS sum_trailing_cents,
+       CAST(SUM(vc) OVER w AS DOUBLE) / (COUNT(*) OVER w) / 100.0
+         AS mean_trailing
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (>2 sigma to yield rows on the uniform
+    fixture): exact integer moments, broadcast join back, no event
+    shuffle."""
+    (events,) = tables(spark, sf_dir, "events")
+    return windows.zscore_outliers(events, threshold_micros=2_000_000)
+
+
+_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS s,
+         CAST(SUM(vc * vc) AS BIGINT) AS ss
+  FROM c GROUP BY event_type
+)
+SELECT event_id, event_type, value_cents, z_micros FROM (
+  SELECT c.event_id, c.event_type, c.vc AS value_cents, m.n,
+         CAST(ROUND(
+           (CAST(c.vc AS DOUBLE) - CAST(s AS DOUBLE) / n)
+           / sqrt(CAST(ss AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+           * 1000000) AS BIGINT) AS z_micros
+  FROM c JOIN m USING (event_type)
+)
+WHERE n >= 2 AND abs(z_micros) > 2000000
+"""
+
+
 def _streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply through the streaming surface: an availableNow change
     stream (insert + update + tombstone per key slice) drains through
@@ -2168,6 +2223,14 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("events_rolling", _events_rolling, _ROLLING_SQL,
+          doc="per-event trailing-window features: one range-frame "
+              "window, one key shuffle, exact-cents trailing sums",
+          tags=("events", "window")),
+    Query("events_outliers", _events_outliers, _OUTLIERS_SQL,
+          doc="per-key z-score outliers from exact integer moments; "
+              "broadcast moments join, event stream never shuffled",
+          tags=("events", "profile")),
     Query("streaming_cdc_upsert", _streaming_cdc_upsert, _CDC_UPSERT_SQL,
           doc="CDC apply via foreachBatch merge_upsert into a versioned "
               "replay-safe state table; oracle = latest change per key "

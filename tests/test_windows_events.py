@@ -151,3 +151,53 @@ def test_funnel_conserves_users_and_custom_stages(spark, events):
     got = {r.depth: r.n_users for r in windows.funnel(
         events, stages=("click", "view")).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_rolling_stats_trailing_frame(spark):
+    from datetime import datetime as dt
+
+    from sids_data_pipeline_spark.operators.windows import rolling_stats
+
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0, 0), 1.0),
+        (1, dt(2024, 1, 1, 10, 30, 0), 2.0),
+        (1, dt(2024, 1, 1, 11, 15, 0), 4.0),   # 10:00 falls out of 1h frame
+        (2, dt(2024, 1, 1, 10, 0, 0), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {
+        (r.user_id, r.ts_us): (r.n_trailing, r.sum_trailing_cents)
+        for r in rolling_stats(df, lookback_seconds=3600).collect()
+    }
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    assert got[(1, us(dt(2024, 1, 1, 10, 0, 0)))] == (1, 100)
+    assert got[(1, us(dt(2024, 1, 1, 10, 30, 0)))] == (2, 300)
+    # 11:15 frame = [10:15, 11:15] -> includes 10:30 and itself only
+    assert got[(1, us(dt(2024, 1, 1, 11, 15, 0)))] == (2, 600)
+    assert got[(2, us(dt(2024, 1, 1, 10, 0, 0)))] == (1, 1000)
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    from sids_data_pipeline_spark.operators.windows import zscore_outliers
+
+    # 9 values at 10.0 and one at 100.0: the spike is the only outlier
+    rows = [(i, "buy", 10.0) for i in range(9)] + [(9, "buy", 100.0)]
+    df = spark.createDataFrame(rows, "event_id bigint, event_type string, value double")
+    out = zscore_outliers(df, threshold_micros=2_000_000).collect()
+    assert [r.event_id for r in out] == [9]
+    assert out[0].value_cents == 10000
+
+
+def test_zscore_outliers_never_shuffles_events(spark, sf_dir):
+    """The event side must reach the join without an Exchange: moments
+    broadcast back, so only the tiny key aggregate shuffles."""
+    from sids_data_pipeline_spark.operators.windows import zscore_outliers
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        zscore_outliers(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
