@@ -102,3 +102,63 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_representative"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank with integer-micros state: ranks live as
+    BIGINT micros and every per-edge contribution rounds to micros
+    BEFORE the per-node sum, so each iteration is an order-free integer
+    aggregation — bit-identical under any shuffle order and mirrorable
+    as unrolled SQL. Dangling-node mass is dropped (ranks then sum to
+    < 1e6; standard simplification, documented rather than silently
+    redistributed).
+
+    Scale shape per iteration: one equi-join ranks⋈edges on the source
+    key + one map-side-combined groupBy on the destination — the classic
+    two-shuffle PR round, lineage kept shallow because ``iters`` is a
+    small constant. Teleport re-attaches via a single-row broadcast.
+    """
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .unionByName(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.round(F.lit(1_000_000.0) / F.col("_n"), 0).cast("long").alias("rank_micros")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges[src_col] == ranks["node"])
+            .join(F.broadcast(deg), src_col)
+            .select(
+                F.col(dst_col).alias("node"),
+                F.round(F.col("rank_micros") / F.col("_deg"), 0)
+                .cast("long")
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1 - damping) * 1_000_000 / F.col("_n")
+                    + F.lit(damping) * F.coalesce("_in", F.lit(0)),
+                    0,
+                )
+                .cast("long")
+                .alias("rank_micros"),
+            )
+        )
+    return ranks

@@ -497,6 +497,52 @@ FROM r WHERE rank <= 10
 """
 
 
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over a 40-node graph derived from orders.
+    Integer-micros state makes each round an order-free integer sum; the
+    oracle unrolls the same three rounds as SQL CTEs."""
+    from sids_data_pipeline_spark.operators.graph import pagerank
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 40).alias("src"),
+        (F.col("o_orderkey") % 40).alias("dst"),
+    ).distinct()
+    return pagerank(edges, iters=3)
+
+
+def _pagerank_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(ROUND(CAST(r AS DOUBLE) / deg) AS BIGINT)) AS BIGINT) AS cin
+  FROM edges e JOIN {prev} ON {prev}.node = e.src
+               JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         CAST(ROUND((1 - 0.85) * 1000000 / n + 0.85 * COALESCE(cin, 0))
+              AS BIGINT) AS r
+  FROM nodes LEFT JOIN c{i} USING (node), nn
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT o_custkey % 40 AS src, o_orderkey % 40 AS dst FROM orders
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(ROUND(1000000.0 / n) AS BIGINT) AS r FROM nodes, nn),
+{','.join(iters)}
+SELECT node, r AS rank_micros FROM r3
+"""
+
+
 def _events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour per-event features via ONE range-frame window."""
     (events,) = tables(spark, sf_dir, "events")
@@ -2223,6 +2269,11 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("graph_pagerank", _graph_pagerank, _pagerank_sql(),
+          doc="fixed-iteration PageRank, integer-micros state: order-free "
+              "per-round sums, two shuffles per iteration, teleport via "
+              "one-row broadcast",
+          tags=("graph", "iterative")),
     Query("events_rolling", _events_rolling, _ROLLING_SQL,
           doc="per-event trailing-window features: one range-frame "
               "window, one key shuffle, exact-cents trailing sums",

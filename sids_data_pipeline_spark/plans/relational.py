@@ -622,6 +622,42 @@ def _sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
+def _unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via DataFrame.unpivot (the inverse of pivot):
+    three cents measures become (measure, value_c) rows. Narrow scan,
+    no shuffle — unpivot is a generator projection."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    wide = lineitem.filter(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        cents("l_quantity").alias("qty_c"),
+        cents("l_extendedprice").alias("price_c"),
+        cents("l_discount").alias("disc_c"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["qty_c", "price_c", "disc_c"],
+        "measure",
+        "value_c",
+    )
+
+
+_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT l_orderkey, l_linenumber,
+         {o_cents('l_quantity')} AS qty_c,
+         {o_cents('l_extendedprice')} AS price_c,
+         {o_cents('l_discount')} AS disc_c
+  FROM lineitem WHERE l_orderkey % 50 = 0
+)
+SELECT l_orderkey, l_linenumber, 'qty_c' AS measure, qty_c AS value_c FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price_c', price_c FROM wide
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'disc_c', disc_c FROM wide
+"""
+
+
 _LOCAL_SUPPLIER_SQL = """
 SELECT n_name,
        CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -1140,6 +1176,14 @@ QUERIES: list[Query] = [
         _SHIPPING_PRIORITY_SQL,
         doc="TPC-H Q3 shape: 3-table join, grouped revenue cents, top-10",
         tags=("sql", "join", "aggregate", "sort"),
+    ),
+    Query(
+        "unpivot_measures",
+        _unpivot_measures,
+        _UNPIVOT_SQL,
+        doc="wide→long melt (DataFrame.unpivot, the inverse of pivot): "
+            "generator projection, no shuffle",
+        tags=("projection", "pivot"),
     ),
     Query(
         "sql_local_supplier_volume",

@@ -85,3 +85,45 @@ def test_components_match_union_find_random(spark):
             for r in graph.connected_components(df).collect()
         }
         assert got == _uf_components(edges), f"trial {trial}"
+
+
+def test_pagerank_star_graph_hand_computed(spark):
+    """Star 1->0, 2->0, 3->0 plus 0->1: hub 0 accumulates rank; values
+    checked against a hand-rolled python mirror of the micros algebra."""
+    from sids_data_pipeline_spark.operators.graph import pagerank
+
+    e = [(1, 0), (2, 0), (3, 0), (0, 1)]
+    edges = spark.createDataFrame(e, "src long, dst long")
+    got = {r.node: r.rank_micros for r in pagerank(edges, iters=3).collect()}
+
+    # python mirror (HALF_UP like Spark/DuckDB ROUND, not banker's)
+    import math
+
+    hround = lambda x: int(math.floor(x + 0.5))
+    nodes = {0, 1, 2, 3}
+    deg = {0: 1, 1: 1, 2: 1, 3: 1}
+    r = {n: hround(1_000_000.0 / 4) for n in nodes}
+    for _ in range(3):
+        cin = {}
+        for s, d in e:
+            cin[d] = cin.get(d, 0) + hround(r[s] / deg[s])
+        r = {
+            n: hround((1 - 0.85) * 1_000_000 / 4 + 0.85 * cin.get(n, 0))
+            for n in nodes
+        }
+    assert got == r
+    assert got[0] > got[1] > got[2]  # hub dominates; 1 gets 0's mass
+    assert got[2] == got[3]
+
+
+def test_pagerank_ranks_sum_bounded(spark):
+    """No dangling nodes -> total rank stays ~1e6 (rounding drift only)."""
+    from sids_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    total = sum(
+        r.rank_micros for r in pagerank(edges, iters=4).collect()
+    )
+    assert abs(total - 1_000_000) <= 10
