@@ -484,3 +484,33 @@ def search_bm25(
     return scored.orderBy(
         F.desc("score_micros"), F.col("doc_id").asc()
     ).limit(k)
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str,
+    prefix_len: int = 16,
+) -> DataFrame:
+    """Deterministic pseudonymization: replace each named column with a
+    salted sha2-256 surrogate (first ``prefix_len`` hex chars). The same
+    input value always maps to the same token, so joins and group-bys on
+    the pseudonymized key keep working across tables — the standard
+    GDPR-style de-identification that :func:`scrub_pii` (redaction)
+    cannot provide. NULLs stay NULL.
+
+    One codegen projection, no shuffle; the salt must come from a secret
+    store — with it, re-identification is a dictionary attack away, so
+    treat tokens as pseudonymous, not anonymous.
+    """
+    out = df
+    for c in cols:
+        tok = F.substring(
+            F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256),
+            1,
+            prefix_len,
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(tok)
+        )
+    return out

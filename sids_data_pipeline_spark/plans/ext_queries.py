@@ -497,6 +497,25 @@ FROM r WHERE rank <= 10
 """
 
 
+def _pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted sha2 surrogate keys on a customer slice: same value → same
+    token, so joinability survives de-identification."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    sliced = customer.filter(F.col("c_custkey") % 20 == 0).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return text.pseudonymize(sliced, ["c_custkey", "c_name"], salt="s3cr3t")
+
+
+_PSEUDO_SQL = """
+SELECT substring(sha256('s3cr3t' || CAST(c_custkey AS VARCHAR)), 1, 16)
+         AS c_custkey,
+       substring(sha256('s3cr3t' || c_name), 1, 16) AS c_name,
+       c_mktsegment
+FROM customer WHERE c_custkey % 20 = 0
+"""
+
+
 def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration PageRank over a 40-node graph derived from orders.
     Integer-micros state makes each round an order-free integer sum; the
@@ -2269,6 +2288,10 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("pseudonymize_ids", _pseudonymize_ids, _PSEUDO_SQL,
+          doc="salted sha2 surrogate keys: deterministic de-identification "
+              "preserving joinability; one codegen projection",
+          tags=("text", "privacy")),
     Query("graph_pagerank", _graph_pagerank, _pagerank_sql(),
           doc="fixed-iteration PageRank, integer-micros state: order-free "
               "per-round sums, two shuffles per iteration, teleport via "

@@ -622,6 +622,43 @@ def _sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
+def _quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile binning (feature discretization): NTILE(10) over the
+    total order (value, key tiebreak), then per-bin count + exact-cents
+    bounds. One global-sort window at fixture scale; at 100 TB swap the
+    window for approx_percentile cut points — the per-bin summary output
+    is the same shape."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    w = Window.orderBy(c.asc(), F.col("o_orderkey").asc())
+    binned = orders.select(
+        c.alias("price_c"), F.ntile(10).over(w).alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("price_c").alias("lo_c"),
+            F.max("price_c").alias("hi_c"),
+        )
+        .orderBy("bin")
+    )
+
+
+_QUANTILE_BINS_SQL = f"""
+WITH binned AS (
+  SELECT {o_cents('o_totalprice')} AS price_c,
+         NTILE(10) OVER (ORDER BY {o_cents('o_totalprice')} ASC,
+                         o_orderkey ASC) AS bin
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n,
+       CAST(MIN(price_c) AS BIGINT) AS lo_c,
+       CAST(MAX(price_c) AS BIGINT) AS hi_c
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
 def _unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long melt via DataFrame.unpivot (the inverse of pivot):
     three cents measures become (measure, value_c) rows. Narrow scan,
@@ -1176,6 +1213,14 @@ QUERIES: list[Query] = [
         _SHIPPING_PRIORITY_SQL,
         doc="TPC-H Q3 shape: 3-table join, grouped revenue cents, top-10",
         tags=("sql", "join", "aggregate", "sort"),
+    ),
+    Query(
+        "feature_quantile_bins",
+        _quantile_bins,
+        _QUANTILE_BINS_SQL,
+        doc="exact decile binning (NTILE over a total order) with "
+            "per-bin exact-cents bounds",
+        tags=("window", "profile"),
     ),
     Query(
         "unpivot_measures",

@@ -107,3 +107,24 @@ def test_search_bm25_plan_filters_postings_early(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
     assert plan.index("Filter") < plan.index("HashAggregate") or "token" in plan
+
+
+def test_pseudonymize_deterministic_joinable_null_safe(spark):
+    import hashlib
+
+    from sids_data_pipeline_spark.operators.text import pseudonymize
+
+    a = spark.createDataFrame(
+        [(1, "alice"), (2, None)], "uid bigint, name string"
+    )
+    b = spark.createDataFrame([(1, "x")], "uid bigint, v string")
+    pa = pseudonymize(a, ["uid", "name"], salt="k")
+    pb = pseudonymize(b, ["uid"], salt="k")
+    rows = {r.name: r.uid for r in pa.collect()}
+    want_uid1 = hashlib.sha256(b"k1").hexdigest()[:16]
+    want_name = hashlib.sha256(b"kalice").hexdigest()[:16]
+    assert rows[want_name] == want_uid1
+    assert None in rows  # NULL name stays NULL
+    # joinability: same salt -> same token on both tables
+    joined = pa.join(pb, "uid")
+    assert joined.count() == 1

@@ -149,6 +149,64 @@ def main() -> None:
         }
     out["events_funnel"] = funnel
 
+    # --- interval-overlap join: growing interval sets, fixed span -------
+    # Span/bucket_width fixed ⇒ constant replication factor; output pairs
+    # grow linearly (uniform starts), so a linear plan shows flat ns/row.
+    from sids_data_pipeline_spark.operators import asof
+
+    iv = {}
+    for n in (250_000, 1_000_000):
+        l = spark.range(0, n, 1, 32).select(
+            F.col("id").alias("lid"),
+            (F.xxhash64("id") % (n * 4)).alias("ls"),
+        ).withColumn("le", F.col("ls") + 200)
+        r = spark.range(0, n, 1, 32).select(
+            F.col("id").alias("rid"),
+            (F.xxhash64(F.col("id") + 7) % (n * 4)).alias("rs"),
+        ).withColumn("re", F.col("rs") + 200)
+        sec = _steady(
+            lambda: asof.interval_join(
+                l, r, ("ls", "le"), ("rs", "re"), bucket_width=256
+            ).count(),
+            reps=2,
+        )
+        iv[f"{n:,} x2 intervals"] = {
+            "sec": round(sec, 3),
+            "ns_per_interval": round(sec / (2 * n) * 1e9, 1),
+        }
+    out["interval_join"] = iv
+
+    # --- trailing-window rolling stats: growing events, fixed density ---
+    roll = {}
+    for n in (1_000_000, 4_000_000):
+        ev = spark.range(0, n, 1, 32).select(
+            (F.col("id") % (n // 256)).alias("user_id"),
+            F.timestamp_micros(F.col("id") * 500_000).alias("ts"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+        sec = _steady(lambda: win.rolling_stats(ev).count(), reps=2)
+        roll[f"{n:,} events"] = {
+            "sec": round(sec, 3),
+            "ns_per_event": round(sec / n * 1e9, 1),
+        }
+    out["rolling_stats"] = roll
+
+    # --- PageRank: growing edges, fixed 3 iterations ---------------------
+    pr = {}
+    for n in (250_000, 1_000_000):
+        edges = spark.range(0, n, 1, 32).select(
+            (F.xxhash64("id") % (n // 8)).alias("src"),
+            (F.xxhash64(F.col("id") + 3) % (n // 8)).alias("dst"),
+        )
+        sec = _steady(
+            lambda: graph.pagerank(edges, iters=3).count(), reps=2
+        )
+        pr[f"{n:,} edges"] = {
+            "sec": round(sec, 3),
+            "ns_per_edge": round(sec / n * 1e9, 1),
+        }
+    out["pagerank_3iter"] = pr
+
     print(json.dumps(out))
     spark.stop()
 
