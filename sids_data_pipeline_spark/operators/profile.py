@@ -91,3 +91,51 @@ def column_histogram(
         .groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
+
+
+def column_correlation(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+    group_cols: Sequence[str] = (),
+    scale: int = 100,
+) -> DataFrame:
+    """Pearson correlation for column pairs from EXACT integer moments:
+    each value scales to round(x*scale) BIGINT, the five sums (n, Σx,
+    Σy, Σxy, Σx², Σy²) aggregate exactly, and the correlation derives in
+    one deterministic double formula — unlike ``F.corr``, whose running
+    double accumulation is shuffle-order-dependent and would fail a
+    cross-engine hash.
+
+    One output row per (group, pair); corr is rounded to 6 decimals.
+    Scale shape: ONE map-side-combined aggregation per pair over the
+    same scan (unioned), no joins.
+    """
+    frames = []
+    for x, y in pairs:
+        xi = F.round(F.col(x) * scale, 0).cast("long")
+        yi = F.round(F.col(y) * scale, 0).cast("long")
+        agg = df.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(xi).alias("_sx"),
+            F.sum(yi).alias("_sy"),
+            F.sum(xi * yi).alias("_sxy"),
+            F.sum(xi * xi).alias("_sxx"),
+            F.sum(yi * yi).alias("_syy"),
+        )
+        n = F.col("_n").cast("double")
+        cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+        vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+        vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+        frames.append(
+            agg.select(
+                *group_cols,
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("_n").alias("n"),
+                F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -497,6 +497,45 @@ FROM r WHERE rank <= 10
 """
 
 
+def _column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per returnflag from exact integer moments
+    (cents domain; bounded columns so Σx² stays in int64). F.corr would
+    be shuffle-order-dependent; this derivation is not."""
+    from sids_data_pipeline_spark.operators.profile import column_correlation
+
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return column_correlation(
+        lineitem,
+        [("l_quantity", "l_discount"), ("l_quantity", "l_tax")],
+        group_cols=["l_returnflag"],
+    )
+
+
+def _column_corr_sql() -> str:
+    arms = []
+    for x, y in (("l_quantity", "l_discount"), ("l_quantity", "l_tax")):
+        arms.append(f"""
+SELECT l_returnflag, '{x}' AS col_x, '{y}' AS col_y,
+       n0 AS n,
+       ROUND((sxy - CAST(sx AS DOUBLE) * sy / n0)
+             / sqrt((sxx - CAST(sx AS DOUBLE) * sx / n0)
+                    * (syy - CAST(sy AS DOUBLE) * sy / n0)), 6) AS corr
+FROM (
+  SELECT l_returnflag,
+         COUNT(*) AS n0,
+         CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+         CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+         CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+         CAST(SUM(yi * yi) AS BIGINT) AS syy
+  FROM (SELECT l_returnflag,
+               CAST(ROUND({x} * 100) AS BIGINT) AS xi,
+               CAST(ROUND({y} * 100) AS BIGINT) AS yi
+        FROM lineitem)
+  GROUP BY l_returnflag
+)""")
+    return "\nUNION ALL\n".join(arms)
+
+
 def _pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted sha2 surrogate keys on a customer slice: same value → same
     token, so joinability survives de-identification."""
@@ -2288,6 +2327,10 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("column_corr", _column_corr, _column_corr_sql(),
+          doc="Pearson correlation from exact integer moments (order-free, "
+              "unlike F.corr); one map-side-combined agg per pair",
+          tags=("profile", "agg")),
     Query("pseudonymize_ids", _pseudonymize_ids, _PSEUDO_SQL,
           doc="salted sha2 surrogate keys: deterministic de-identification "
               "preserving joinability; one codegen projection",

@@ -42,3 +42,26 @@ def test_profile_all_null_column(spark):
     d = prof["dead"]
     assert d.n_nulls == 2 and d.n_distinct == 0
     assert d.min_value is None and d.max_value is None
+
+
+def test_column_correlation_matches_numpy(spark):
+    import numpy as np
+
+    from sids_data_pipeline_spark.operators.profile import column_correlation
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.1, 5.9, 8.2, 10.0]   # near-perfect positive
+    zs = [5.0, 4.0, 3.0, 2.0, 1.0]    # perfect negative vs xs
+    df = spark.createDataFrame(
+        list(zip(xs, ys, zs)), "x double, y double, z double"
+    )
+    got = {
+        (r.col_x, r.col_y): r.corr
+        for r in column_correlation(df, [("x", "y"), ("x", "z")]).collect()
+    }
+    # integer-cents domain: compare against numpy corr of the SCALED ints
+    xi = np.round(np.array(xs) * 100)
+    yi = np.round(np.array(ys) * 100)
+    zi = np.round(np.array(zs) * 100)
+    assert got[("x", "y")] == round(float(np.corrcoef(xi, yi)[0, 1]), 6)
+    assert got[("x", "z")] == -1.0
