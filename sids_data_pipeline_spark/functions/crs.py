@@ -418,3 +418,61 @@ LAMBERT93 = LambertConformalConic(
     lon0=3.0, false_easting=700000.0, false_northing=6600000.0,
 )
 LCC_PROJECTIONS = {2154: LAMBERT93}
+
+
+# --- great-circle distance ----------------------------------------------------
+
+EARTH_RADIUS_M = 6371008.8  # IUGG mean radius
+
+
+def haversine_meters(lat1, lon1, lat2, lon2):
+    """Great-circle distance in meters between two (lat, lon) degree
+    pairs, as a pure JVM column expression (haversine formula, mean
+    Earth radius). Accurate to ~0.5% vs the ellipsoid — the standard
+    proximity metric; use the closed-form UTM path for survey-grade
+    needs.
+    """
+    rad = 3.141592653589793 / 180.0
+    p1, p2 = lat1 * rad, lat2 * rad
+    dphi = (lat2 - lat1) * rad
+    dlmb = (lon2 - lon1) * rad
+    a = (
+        F.sin(dphi / 2) * F.sin(dphi / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dlmb / 2) * F.sin(dlmb / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def nearest_site(
+    points: DataFrame,
+    sites: list[tuple[int, float, float]],
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Assign every point to its nearest site (great-circle): the site
+    list is literal (site_id, lat, lon) triples folded into ONE codegen
+    projection — no join, no shuffle; the argmin is a lexicographic
+    struct-min (distance rounded to whole meters, then site_id), so ties break
+    deterministically and the meter rounding absorbs cross-engine libm
+    ulp differences.
+
+    At 100 TB this is the broadcast pattern for k sites ≲ thousands; for
+    huge site sets switch to the grid-bucketed spatial join in
+    operators/zonal.py.
+    """
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    structs = [
+        F.struct(
+            F.round(
+                haversine_meters(lat, lon, F.lit(slat), F.lit(slon)), 0
+            )
+            .cast("long")
+            .alias("dist_m"),
+            F.lit(sid).cast("long").alias("site_id"),
+        )
+        for sid, slat, slon in sites
+    ]
+    best = F.array_min(F.array(*structs))
+    return points.withColumn("site_id", best["site_id"]).withColumn(
+        "dist_m", best["dist_m"]
+    )

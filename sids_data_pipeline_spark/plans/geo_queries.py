@@ -888,7 +888,78 @@ SELECT fid, z, x, y FROM ranked WHERE rnk <= {_TILE_KEEP}
     )
 
 
+_SITES = (
+    (1, -20.0, 30.0),
+    (2, 10.0, -60.0),
+    (3, 0.0, 100.0),
+    (4, -30.0, -150.0),
+    (5, 25.0, 0.0),
+)
+
+
+def _geo_nearest_site(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-site assignment by great-circle distance: 5 literal sites
+    folded into one codegen projection, struct-min argmin with meter
+    rounding (absorbs cross-engine libm ulps). Points derive
+    arithmetically from orders within the reference's working belt."""
+    from sids_data_pipeline_spark.functions.crs import nearest_site
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    pts = orders.filter(F.col("o_orderkey") % 15 == 0).select(
+        F.col("o_orderkey").alias("pid"),
+        ((F.col("o_orderkey") % 120) / 2.0 - 30.0).alias("lat"),
+        ((F.col("o_custkey") % 360) - 180.0).alias("lon"),
+    )
+    return nearest_site(pts, list(_SITES))
+
+
+def _geo_nearest_site_sql() -> str:
+    sites_values = ", ".join(f"({sid}, {lat}, {lon})" for sid, lat, lon in _SITES)
+    return f"""
+WITH pts AS (
+  SELECT o_orderkey AS pid,
+         (o_orderkey % 120) / 2.0 - 30.0 AS lat,
+         (o_custkey % 360) - 180.0 AS lon
+  FROM orders WHERE o_orderkey % 15 = 0
+),
+sites(site_id, slat, slon) AS (VALUES {sites_values}),
+d AS (
+  SELECT pid, lat, lon, CAST(site_id AS BIGINT) AS site_id,
+         CAST(ROUND(
+           (2.0 * 6371008.8) * asin(sqrt(
+             sin((slat - lat) * (3.141592653589793 / 180.0) / 2)
+               * sin((slat - lat) * (3.141592653589793 / 180.0) / 2)
+             + cos(lat * (3.141592653589793 / 180.0))
+               * cos(slat * (3.141592653589793 / 180.0))
+               * sin((slon - lon) * (3.141592653589793 / 180.0) / 2)
+               * sin((slon - lon) * (3.141592653589793 / 180.0) / 2)
+           ))) AS BIGINT) AS dist_m,
+         ROW_NUMBER() OVER (PARTITION BY pid
+                            ORDER BY CAST(ROUND(
+           (2.0 * 6371008.8) * asin(sqrt(
+             sin((slat - lat) * (3.141592653589793 / 180.0) / 2)
+               * sin((slat - lat) * (3.141592653589793 / 180.0) / 2)
+             + cos(lat * (3.141592653589793 / 180.0))
+               * cos(slat * (3.141592653589793 / 180.0))
+               * sin((slon - lon) * (3.141592653589793 / 180.0) / 2)
+               * sin((slon - lon) * (3.141592653589793 / 180.0) / 2)
+           ))) AS BIGINT) ASC, site_id ASC) AS rn
+  FROM pts CROSS JOIN sites
+)
+SELECT pid, lat, lon, site_id, dist_m FROM d WHERE rn = 1
+"""
+
+
 QUERIES: list[Query] = [
+    Query(
+        "geo_nearest_site",
+        _geo_nearest_site,
+        _geo_nearest_site_sql(),
+        doc="great-circle nearest-site assign: literal site matrix in one "
+            "codegen projection, struct-min argmin, meter-rounded",
+        tags=("geo", "similarity"),
+    ),
     Query(
         "crs_reproject",
         _crs_reproject,

@@ -724,6 +724,54 @@ def _sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LOCAL_SUPPLIER_SQL)
 
 
+_FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(ROUND((l_extendedprice * l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def _sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate must
+    push to the parquet scan and the sum is one map-side-combined pass
+    with no shuffle beyond the final single-row gather."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    return spark.sql(_FORECAST_REVENUE_SQL)
+
+
+_SHIPMODE_PRIORITY_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def _sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted to the fixture's columns: linestatus
+    stands in for shipmode): join + conditional counts per group."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("orders", "lineitem"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_SHIPMODE_PRIORITY_SQL)
+
+
 _RETURNED_ITEMS_SQL = """
 SELECT c_custkey, c_name,
        CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
@@ -1245,6 +1293,21 @@ QUERIES: list[Query] = [
         doc="TPC-H Q10 shape: returned-item revenue per customer, "
             "date-windowed, top-20",
         tags=("sql", "join", "aggregate", "sort"),
+    ),
+    Query(
+        "sql_forecast_revenue",
+        _sql_forecast_revenue,
+        _FORECAST_REVENUE_SQL,
+        doc="TPC-H Q6 shape: scan-filter-aggregate, all predicates "
+            "pushed, no shuffle before the single-row gather",
+        tags=("sql", "aggregate", "scan"),
+    ),
+    Query(
+        "sql_shipmode_priority",
+        _sql_shipmode_priority,
+        _SHIPMODE_PRIORITY_SQL,
+        doc="TPC-H Q12 shape: join + conditional counts per linestatus",
+        tags=("sql", "join", "aggregate"),
     ),
     Query(
         "pivot_status",

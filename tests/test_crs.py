@@ -221,3 +221,45 @@ def test_lcc_roundtrip_france_bounds(spark):
         "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
     ).collect()[0]
     assert worst.dlon < 1e-9 and worst.dlat < 1e-9
+
+
+def test_haversine_known_distances(spark):
+    """Paris→London ≈ 343.5 km; equator degree ≈ 111.19 km; zero for
+    identical points."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.functions.crs import haversine_meters
+
+    df = spark.createDataFrame(
+        [
+            (48.8566, 2.3522, 51.5074, -0.1278),   # Paris -> London
+            (0.0, 0.0, 0.0, 1.0),                  # 1 deg on equator
+            (10.0, 20.0, 10.0, 20.0),              # same point
+        ],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    )
+    got = [
+        r.d
+        for r in df.select(
+            haversine_meters(
+                F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+            ).alias("d")
+        ).collect()
+    ]
+    assert abs(got[0] - 343_500) < 1_500
+    assert abs(got[1] - 111_195) < 100
+    assert got[2] == 0.0
+
+
+def test_nearest_site_assign_join_free(spark):
+    from sids_data_pipeline_spark.functions.crs import nearest_site
+
+    pts = spark.createDataFrame(
+        [(1, 0.1, 0.1), (2, 49.0, 2.0)], "pid int, lat double, lon double"
+    )
+    sites = [(10, 0.0, 0.0), (20, 48.8566, 2.3522)]
+    out = nearest_site(pts, sites)
+    got = {r.pid: r.site_id for r in out.collect()}
+    assert got == {1: 10, 2: 20}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
