@@ -115,3 +115,47 @@ def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def split_dead_letters(
+    df: DataFrame,
+    casts: dict[str, tuple[str, str]],
+    id_cols: Sequence[str] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """Safe typed ingest with a dead-letter channel: ``casts`` maps each
+    output column to (source string column, target type). Rows where
+    every ``try_cast`` succeeds (or the source is NULL — absent ≠
+    malformed) come back typed in the good frame; rows with at least one
+    un-castable value land in the dead-letter frame with a
+    ``_bad_fields`` array naming the offending columns — the triage
+    queue a production loader needs instead of a job abort or silent
+    NULLs.
+
+    One pass, pure codegen (try_cast never throws); the two outputs are
+    complementary filters over the same scan, so Spark reuses the
+    cached/scanned subtree rather than re-reading.
+    """
+    bad_flags = [
+        F.when(
+            F.col(src).isNotNull()
+            & F.col(src).try_cast(typ).isNull(),
+            F.lit(out),
+        )
+        for out, (src, typ) in casts.items()
+    ]
+    flagged = df.withColumn(
+        "_bad_fields",
+        F.array_compact(F.array(*bad_flags)),
+    )
+    ok = F.size("_bad_fields") == 0
+    good = flagged.filter(ok).select(
+        *id_cols,
+        *[
+            F.col(src).try_cast(typ).alias(out)
+            for out, (src, typ) in casts.items()
+        ],
+    )
+    dead = flagged.filter(~ok).select(*id_cols, *(
+        F.col(src).alias(out) for out, (src, typ) in casts.items()
+    ), "_bad_fields")
+    return good, dead

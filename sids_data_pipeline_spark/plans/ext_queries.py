@@ -497,6 +497,67 @@ FROM r WHERE rank <= 10
 """
 
 
+def _ingest_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed ingest over deliberately-corrupted string columns: rows with
+    un-castable values route to the dead-letter frame with the offending
+    field names; the query returns that triage queue."""
+    from sids_data_pipeline_spark.operators.quality import split_dead_letters
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw = orders.select(
+        k.alias("oid"),
+        F.when(k % 7 == 0, F.lit("N/A"))
+        .otherwise(cents("o_totalprice").cast("string"))
+        .alias("raw_price"),
+        F.when(k % 11 == 0, F.lit(None).cast("string"))
+        .when(k % 13 == 0, F.concat(F.lit("#"), F.col("o_custkey").cast("string")))
+        .otherwise(F.col("o_custkey").cast("string"))
+        .alias("raw_cust"),
+    )
+    _good, dead = split_dead_letters(
+        raw,
+        {"price_c": ("raw_price", "bigint"), "custkey": ("raw_cust", "bigint")},
+        id_cols=["oid"],
+    )
+    return dead.select(
+        "oid",
+        "price_c",
+        "custkey",
+        F.concat_ws(",", "_bad_fields").alias("bad_fields"),
+    )
+
+
+_DEAD_LETTERS_SQL = """
+WITH raw AS (
+  SELECT o_orderkey AS oid,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'N/A'
+              ELSE CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+         END AS raw_price,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              WHEN o_orderkey % 13 = 0 THEN '#' || CAST(o_custkey AS VARCHAR)
+              ELSE CAST(o_custkey AS VARCHAR)
+         END AS raw_cust
+  FROM orders
+),
+flagged AS (
+  SELECT oid, raw_price, raw_cust,
+         list_filter([
+           CASE WHEN raw_price IS NOT NULL
+                     AND TRY_CAST(raw_price AS BIGINT) IS NULL
+                THEN 'price_c' END,
+           CASE WHEN raw_cust IS NOT NULL
+                     AND TRY_CAST(raw_cust AS BIGINT) IS NULL
+                THEN 'custkey' END
+         ], x -> x IS NOT NULL) AS bad
+  FROM raw
+)
+SELECT oid, raw_price AS price_c, raw_cust AS custkey,
+       list_aggregate(bad, 'string_agg', ',') AS bad_fields
+FROM flagged WHERE len(bad) > 0
+"""
+
+
 def _column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation per returnflag from exact integer moments
     (cents domain; bounded columns so Σx² stays in int64). F.corr would
@@ -2327,6 +2388,10 @@ QUERIES: list[Query] = [
           doc="type-2 SCD from a change log: collapse unchanged runs, "
               "LEAD validity intervals — one shuffle, shared window sort",
           tags=("merge", "incremental", "window")),
+    Query("ingest_dead_letters", _ingest_dead_letters, _DEAD_LETTERS_SQL,
+          doc="safe typed ingest with a dead-letter channel: try_cast "
+              "never aborts, malformed rows route out with field names",
+          tags=("quality", "source")),
     Query("column_corr", _column_corr, _column_corr_sql(),
           doc="Pearson correlation from exact integer moments (order-free, "
               "unlike F.corr); one map-side-combined agg per pair",

@@ -72,3 +72,34 @@ def test_composite_unique_rule(spark):
     )
     (row,) = q.check_expectations(df, [q.unique("a", "b")]).collect()
     assert row.n_violations == 1 and not row.passed
+
+
+def test_split_dead_letters_routing(spark):
+    from sids_data_pipeline_spark.operators.quality import split_dead_letters
+
+    raw = spark.createDataFrame(
+        [
+            (1, "100", "7"),      # clean
+            (2, "oops", "8"),     # bad price
+            (3, "300", None),     # NULL is absent, not malformed
+            (4, "x", "y"),        # both bad
+        ],
+        "id int, p string, c string",
+    )
+    good, dead = split_dead_letters(
+        raw, {"price": ("p", "bigint"), "cust": ("c", "bigint")}, id_cols=["id"]
+    )
+    g = {r.id: (r.price, r.cust) for r in good.collect()}
+    assert g == {1: (100, 7), 3: (300, None)}
+    d = {r.id: sorted(r._bad_fields) for r in dead.collect()}
+    assert d == {2: ["price"], 4: ["cust", "price"]}
+
+
+def test_split_dead_letters_pure_codegen(spark):
+    from sids_data_pipeline_spark.operators.quality import split_dead_letters
+
+    raw = spark.createDataFrame([(1, "1")], "id int, p string")
+    good, dead = split_dead_letters(raw, {"v": ("p", "bigint")}, id_cols=["id"])
+    for frame in (good, dead):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Exchange" not in plan
