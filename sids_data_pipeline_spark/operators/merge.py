@@ -188,3 +188,52 @@ def scd2_history(
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def refresh_aggregate(
+    mv: DataFrame,
+    old_facts: DataFrame,
+    new_facts: DataFrame,
+    id_keys: Sequence[str],
+    group_keys: Sequence[str],
+    sums: dict[str, str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental aggregate REFRESH: bring a materialized view built
+    over ``old_facts`` up to date with ``new_facts`` without a full
+    recompute — the composition of :func:`snapshot_diff` (what changed,
+    keyed by ``id_keys``) and :func:`maintain_aggregate` (fold the
+    signed changelog into the view).
+
+    Removed/changed keys contribute their OLD row with sign −1;
+    added/changed keys contribute their NEW row with sign +1 — a changed
+    row is a retract+insert pair, the standard incremental-view algebra.
+
+    Scale shape: the diff shuffles only (key, digest); the changelog is
+    change-set-sized, not table-sized; the fold joins delta-keys × view.
+    A 0.1% daily churn on a 100 TB fact table costs ~0.1% of the full
+    rebuild.
+    """
+    diff = snapshot_diff(old_facts, new_facts, id_keys)
+    id_keys = list(id_keys)
+    retracts = (
+        old_facts.join(
+            diff.filter(F.col("change").isin("removed", "changed")).select(*id_keys),
+            id_keys,
+            "left_semi",
+        ).withColumn("_sign", F.lit(-1))
+    )
+    inserts = (
+        new_facts.join(
+            diff.filter(F.col("change").isin("added", "changed")).select(*id_keys),
+            id_keys,
+            "left_semi",
+        ).withColumn("_sign", F.lit(1))
+    )
+    return maintain_aggregate(
+        mv,
+        retracts.unionByName(inserts),
+        list(group_keys),
+        sums,
+        count_col=count_col,
+    )

@@ -2009,6 +2009,49 @@ LIMIT 500
 """
 
 
+def _mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental refresh: diff two fact snapshots (adds,
+    removes, AND in-place changes) into a retract+insert changelog, fold
+    it into the stale view; oracle recomputes over the new snapshot."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    facts = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        cents("l_quantity").alias("qty_c"),
+    )
+    old = facts.filter(k % 4 != 0)
+    new = facts.filter(k % 5 != 0).withColumn(
+        "qty_c", F.col("qty_c") + F.when(k % 7 == 0, 100).otherwise(0)
+    )
+    mv = old.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("qty_c").alias("sum_qty_c")
+    )
+    out = merge.refresh_aggregate(
+        mv,
+        old,
+        new,
+        ["l_orderkey", "l_linenumber"],
+        ["l_returnflag"],
+        {"sum_qty_c": "qty_c"},
+    )
+    return out.orderBy("l_returnflag")
+
+
+_MV_REFRESH_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM({o_cents('l_quantity')}
+                + CASE WHEN l_orderkey % 7 = 0 THEN 100 ELSE 0 END)
+            AS BIGINT) AS sum_qty_c
+FROM lineitem
+WHERE l_orderkey % 5 <> 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 _PROFILE_COLS = (
     "o_orderkey", "o_custkey", "o_orderstatus",
     "o_totalprice", "o_orderdate", "o_orderpriority",
@@ -2445,6 +2488,11 @@ QUERIES: list[Query] = [
               "sort key the layout writer range-partitions by so parquet "
               "min/max stats prune on every clustered dimension",
           tags=("layout", "scan")),
+    Query("mv_refresh", _mv_refresh, _MV_REFRESH_SQL,
+          doc="incremental view refresh = snapshot_diff (retract+insert "
+              "changelog) ∘ maintain_aggregate; churn-sized cost, oracle "
+              "recomputes over the new snapshot",
+          tags=("merge", "incremental", "agg")),
     Query("mv_incremental", _mv_incremental, _MV_INCREMENTAL_SQL,
           doc="incremental materialized-view maintenance: signed changelog "
               "folds into COUNT/SUM view, base facts never rescanned; "

@@ -212,3 +212,40 @@ def test_maintain_aggregate_delta_preaggregates_before_join(spark):
         .toString()
     )
     assert "partial" in plan.lower()  # map-side combine on the changelog
+
+
+def test_refresh_aggregate_equals_full_recompute(spark):
+    """Adds, removes, and in-place changes: the refreshed view must equal
+    the aggregate computed directly over the new snapshot."""
+    from sids_data_pipeline_spark.operators.merge import refresh_aggregate
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id int, g string, v long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10),    # unchanged
+            (2, "a", 25),    # changed value
+            (4, "b", 40),    # changed group (moves c -> b)
+            (5, "d", 50),    # added
+        ],                    # id 3 removed
+        "id int, g string, v long",
+    )
+    mv = old.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in refresh_aggregate(
+            mv, old, new, ["id"], ["g"], {"sum_v": "v"}
+        ).collect()
+    }
+    want = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in new.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+    assert "c" not in got  # group vanished with the move
