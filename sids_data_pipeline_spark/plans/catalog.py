@@ -61,6 +61,18 @@ from sids_data_pipeline_spark.plans.base import Query
 # unchanged, r5-green with the recursive-CTE oracle), window_rank
 # (unchanged; window functions also execute inside scd2_history,
 # tiles_density_drop, and corpus_pack_shards, all in-window).
+# Fourth rotation (mv_refresh, graph_pagerank, events_rolling,
+# events_outliers, column_corr, ingest_dead_letters,
+# sql_forecast_revenue claim first driver rows): displaces seven
+# r5-green entries whose operator code is unchanged since r5 —
+# text_sentences_udtf + agg_geomean_udaf (udxf.py untouched),
+# dedup_minhash_lsh (dedup.py untouched; LSH also runs inside
+# corpus_curation, in-window), vector_geopackage_ingest (geopackage.py
+# untouched), pricing_summary + sql_shipping_priority (bench re-runs
+# both every round at sf0.1) and agg_grouping_sets (relational.py shape
+# untouched). The remaining selfcheck-green tail (unpivot_measures,
+# pseudonymize_ids, sql_shipmode_priority, feature_quantile_bins,
+# geo_nearest_site) rotates next round.
 PRIORITY: tuple[str, ...] = (
     # — never-driver-verified head (selfcheck-green, rotating in for r6) —
     "crs_reproject_lcc",
@@ -86,15 +98,11 @@ PRIORITY: tuple[str, ...] = (
     "tiles_density_drop",
     "tiles_encode_rings",
     "raster_geotiff_ingest",
-    "vector_geopackage_ingest",
     "manifest_pending",
     # — LLM-pipeline / events flagships —
     "join_asof",
     "corpus_split",
     "corpus_pack_shards",
-    "text_sentences_udtf",
-    "agg_geomean_udaf",
-    "dedup_minhash_lsh",
     "similarity_topk",
     "corpus_curation",
     # — round-6 flagships (new operators claiming their first driver row) —
@@ -115,11 +123,14 @@ PRIORITY: tuple[str, ...] = (
     "text_search_bm25",
     "join_interval_overlap",
     "streaming_cdc_upsert",
-    # — relational family representatives (displaced names are r5-green
-    #   with unchanged code; pivot → agg_grouping_sets) —
-    "pricing_summary",
-    "agg_grouping_sets",
-    "sql_shipping_priority",
+    # — fourth rotation (first driver rows) —
+    "mv_refresh",
+    "graph_pagerank",
+    "events_rolling",
+    "events_outliers",
+    "column_corr",
+    "ingest_dead_letters",
+    "sql_forecast_revenue",
 )
 
 
