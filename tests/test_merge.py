@@ -249,3 +249,43 @@ def test_refresh_aggregate_equals_full_recompute(spark):
     }
     assert got == want
     assert "c" not in got  # group vanished with the move
+
+
+def test_maintain_aggregate_randomized_vs_recompute(spark):
+    """Seeded randomized property check at a few hundred keys: fold of a
+    random signed changelog == recompute over (base − deletes + inserts),
+    including groups that vanish entirely."""
+    import random
+
+    from sids_data_pipeline_spark.operators.merge import maintain_aggregate
+
+    rng = random.Random(42)
+    base = [
+        (i, f"g{rng.randrange(40)}", rng.randrange(-50, 100))
+        for i in range(2000)
+    ]
+    base_df = spark.createDataFrame(base, "id int, g string, v long")
+    mv = base_df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    # deletes: an exact subset of base rows; inserts: new rows, some in
+    # brand-new groups; also delete EVERY row of group g0 (vanishing)
+    deletes = [r for r in base if rng.random() < 0.3 or r[1] == "g0"]
+    inserts = [
+        (10_000 + i, f"g{rng.randrange(50)}", rng.randrange(-50, 100))
+        for i in range(500)
+    ]
+    changes = spark.createDataFrame(
+        [(*r, -1) for r in deletes] + [(*r, 1) for r in inserts],
+        "id int, g string, v long, _sign int",
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in maintain_aggregate(mv, changes, ["g"], {"sum_v": "v"}).collect()
+    }
+    kept = [r for r in base if r not in deletes] + inserts
+    want: dict = {}
+    for _i, g, v in kept:
+        n, s = want.get(g, (0, 0))
+        want[g] = (n + 1, s + v)
+    assert got == want
