@@ -210,6 +210,34 @@ def _streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second custom stateful operator, gate-visible: per-event trailing
+    window features in streaming (applyInPandasWithState; state = events
+    inside the lookback horizon only). Single staged file ⇒ one batch ⇒
+    row-for-row equal to batch rolling_stats, so the SAME range-frame
+    oracle applies."""
+    import os
+    import tempfile
+    import uuid
+
+    from sids_data_pipeline_spark.streaming.jobs import stateful_rolling_stats
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_roll_")
+    stream = _stage_events_stream(spark, sf_dir, work)
+    name = f"sdp_roll_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_rolling_stats(stream, lookback_seconds=3600)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _STREAMING_TOTALS_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
@@ -2298,6 +2326,11 @@ QUERIES: list[Query] = [
           doc="Watermarked stream-stream click→purchase join, availableNow "
               "drain ⇒ batch equi+range-join oracle",
           tags=("streaming", "join")),
+    Query("streaming_rolling", _streaming_rolling, _ROLLING_SQL,
+          doc="custom stateful trailing-window features in streaming "
+              "(applyInPandasWithState, horizon-bounded state); one-batch "
+              "drain equals the batch range-frame oracle",
+          tags=("streaming", "events", "window")),
     Query("streaming_running_totals", _streaming_running_totals,
           _STREAMING_TOTALS_SQL,
           doc="applyInPandasWithState per-user running totals; final "

@@ -348,3 +348,73 @@ def read_cdc_state(spark: SparkSession, out_dir: str) -> DataFrame:
     with open(os.path.join(out_dir, "_CURRENT")) as f:
         ptr = json.load(f)
     return spark.read.parquet(os.path.join(out_dir, f"snapshot={ptr['batch']}"))
+
+
+def stateful_rolling_stats(
+    stream: DataFrame,
+    lookback_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming twin of ``windows.rolling_stats``: per-event trailing
+    count/sum/mean over the preceding ``lookback_seconds``, via
+    ``applyInPandasWithState`` (range-frame windows don't exist in
+    streaming).
+
+    State per user is ONLY the events still inside the lookback horizon
+    (epoch-second, cents) — every batch first drops expired entries, so
+    state is bounded by key rate × horizon, not stream length. Events
+    are processed in timestamp order within each batch; the emitted
+    per-event rows use the identical micros/cents algebra as the batch
+    operator, so an availableNow drain over a single batch reproduces
+    the batch result row-for-row (parity-tested).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        hist: list = list(zip(*state.get)) if state.exists else []
+        rows = []
+        events = []
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("int64") // 1000
+            secs = ts_us // 1_000_000
+            cents = pdf["value"].mul(100).round().astype("int64")
+            events.extend(zip(ts_us.tolist(), secs.tolist(), cents.tolist()))
+        events.sort()
+        # batch parity: the RANGE frame includes same-second PEERS, so
+        # fold each whole second into state before emitting its events
+        i = 0
+        while i < len(events):
+            sec = events[i][1]
+            j = i
+            while j < len(events) and events[j][1] == sec:
+                hist.append((sec, events[j][2]))
+                j += 1
+            hist = [(s, v) for s, v in hist if s >= sec - lookback_seconds]
+            n = len(hist)
+            total = sum(v for _s, v in hist)
+            for ts_us, _sec, _c in events[i:j]:
+                rows.append(
+                    {
+                        "user_id": key[0],
+                        "ts_us": ts_us,
+                        "n_trailing": n,
+                        "sum_trailing_cents": total,
+                        "mean_trailing": float(total) / n / 100.0,
+                    }
+                )
+            i = j
+        if hist:
+            secs_l, cents_l = zip(*hist)
+            state.update((list(secs_l), list(cents_l)))
+        yield pd.DataFrame(rows)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, ts_us long, n_trailing long, "
+            "sum_trailing_cents long, mean_trailing double"
+        ),
+        stateStructType="secs array<long>, cents array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -321,3 +321,55 @@ def test_cdc_upsert_replay_converges(spark, tmp_path):
     )
     assert before == after
     assert ptr2["batch"] == ptr["batch"] == 0
+
+
+def test_stateful_rolling_matches_batch_and_expires_state(spark, tmp_path):
+    """Two micro-batches for one user: the second batch's events must see
+    the first batch's events inside the horizon, and NOT see expired
+    ones — i.e. the drain equals batch rolling_stats over the union."""
+    from datetime import datetime as dt
+
+    from sids_data_pipeline_spark.operators.windows import rolling_stats
+
+    src = str(tmp_path / "roll_in")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    b1 = [
+        (1, dt(2024, 1, 1, 10, 0, 0), 7, "e", 1.0, ""),
+        (2, dt(2024, 1, 1, 10, 30, 0), 7, "e", 2.0, ""),
+    ]
+    b2 = [
+        (3, dt(2024, 1, 1, 11, 15, 0), 7, "e", 4.0, ""),  # 10:00 expired
+        (4, dt(2024, 1, 1, 11, 20, 0), 7, "e", 8.0, ""),
+    ]
+    out_dir = str(tmp_path / "roll_out")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            jobs.stateful_rolling_stats(stream, lookback_seconds=3600)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+    got = {
+        r.ts_us: (r.n_trailing, r.sum_trailing_cents)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = spark.createDataFrame(b1 + b2, schema)
+    want = {
+        r.ts_us: (r.n_trailing, r.sum_trailing_cents)
+        for r in rolling_stats(batch, lookback_seconds=3600).collect()
+    }
+    assert got == want
+    # the 11:15 event must NOT count the expired 10:00 event
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    assert got[us(dt(2024, 1, 1, 11, 15, 0))] == (2, 600)
