@@ -304,7 +304,10 @@ def zscore_outliers(
     z = (c.cast("double") - mean) / F.sqrt(var)
     return (
         events.join(F.broadcast(moments), key_col)
-        .filter(F.col("_n") >= 2)
+        # n>=2 and positive variance: a constant-valued key has no
+        # z-score (0/0 would be NaN and engine-dependent), so it can
+        # never flag outliers
+        .filter((F.col("_n") >= 2) & (var > 0))
         .withColumn("z_micros", F.round(z * 1_000_000, 0).cast("long"))
         .filter(F.abs(F.col("z_micros")) > threshold_micros)
         .select(id_col, key_col, c.alias("value_cents"), "z_micros")

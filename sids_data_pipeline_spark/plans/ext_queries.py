@@ -740,6 +740,8 @@ SELECT event_id, event_type, value_cents, z_micros FROM (
                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
            * 1000000) AS BIGINT) AS z_micros
   FROM c JOIN m USING (event_type)
+  WHERE (CAST(ss AS DOUBLE) / n
+         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
 )
 WHERE n >= 2 AND abs(z_micros) > 2000000
 """

@@ -201,3 +201,13 @@ def test_zscore_outliers_never_shuffles_events(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_outliers_constant_key_never_flags(spark):
+    from sids_data_pipeline_spark.operators.windows import zscore_outliers
+
+    df = spark.createDataFrame(
+        [(i, "const", 5.0) for i in range(4)],
+        "event_id bigint, event_type string, value double",
+    )
+    assert zscore_outliers(df, threshold_micros=0).count() == 0
