@@ -124,6 +124,8 @@ def maintain_aggregate(
     small change batch broadcasts. This is the standard self-maintainable
     view algebra (count/sum form an abelian group under signed union).
     """
+    from functools import reduce as _reduce
+
     keys = list(keys)
     delta = changes.groupBy(*keys).agg(
         F.sum(sign_col).alias("_d_n"),
@@ -132,14 +134,28 @@ def maintain_aggregate(
             for dst, src in sums.items()
         ],
     )
-    merged = mv.join(delta, keys, "full_outer")
+    m, d = mv.alias("_mv"), delta.alias("_dl")
+    mc = lambda c: F.col(f"_mv.{c}")
+    dc = lambda c: F.col(f"_dl.{c}")
+    # null-SAFE key equality: a NULL group key is a real group under
+    # GROUP BY semantics, so it must merge, not full-outer-split
+    cond = _reduce(
+        lambda a, b: a & b,
+        [mc(k).eqNullSafe(dc(k)) for k in keys],
+    )
+    merged = m.join(d, cond, "full_outer")
     zero = F.lit(0)
-    new_count = F.coalesce(count_col, zero) + F.coalesce("_d_n", zero)
+    new_count = F.coalesce(mc(count_col), zero) + F.coalesce(dc("_d_n"), zero)
     out_cols = [
-        *keys,
+        *[
+            F.when(dc("_d_n").isNull(), mc(k)).otherwise(dc(k)).alias(k)
+            for k in keys
+        ],
         new_count.alias(count_col),
         *[
-            (F.coalesce(dst, zero) + F.coalesce(f"_d_{dst}", zero)).alias(dst)
+            (F.coalesce(mc(dst), zero) + F.coalesce(dc(f"_d_{dst}"), zero)).alias(
+                dst
+            )
             for dst in sums
         ],
     ]

@@ -289,3 +289,24 @@ def test_maintain_aggregate_randomized_vs_recompute(spark):
         n, s = want.get(g, (0, 0))
         want[g] = (n + 1, s + v)
     assert got == want
+
+
+def test_maintain_aggregate_null_group_key(spark):
+    """A NULL group key is a real group under GROUP BY; the fold must
+    merge it null-safely instead of splitting view and delta rows."""
+    from sids_data_pipeline_spark.operators.merge import maintain_aggregate
+
+    base = spark.createDataFrame(
+        [(None, 10), (None, 20), ("a", 1)], "g string, v long"
+    )
+    mv = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    changes = spark.createDataFrame(
+        [(None, 5, 1), (None, 10, -1)], "g string, v long, _sign int"
+    )
+    got = {
+        r.g: (r.n_rows, r.sum_v)
+        for r in maintain_aggregate(mv, changes, ["g"], {"sum_v": "v"}).collect()
+    }
+    assert got == {None: (2, 25), "a": (1, 1)}
