@@ -514,3 +514,77 @@ def pseudonymize(
             c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(tok)
         )
     return out
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """First step of BPE tokenizer training: corpus-wide frequency of
+    adjacent symbol pairs within words (symbols = characters here; rerun
+    after each merge for full BPE). Words are the whitespace-lowercase
+    tokens the rest of the text stack uses; the pair count weights each
+    word by its corpus frequency rather than re-scanning duplicates.
+
+    Scale shape: words aggregate FIRST (one shuffle collapses the corpus
+    to its vocabulary — orders of magnitude smaller), then pairs explode
+    from the vocabulary only; the final count is map-side combined and
+    top-k is a distributed partial sort.
+    """
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    chars = F.split(F.col("word"), "")
+    pairs = vocab.select(
+        "n_word",
+        F.explode(
+            F.zip_with(
+                F.slice(chars, 1, F.size(chars) - 1),
+                F.slice(chars, 2, F.size(chars) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_word").alias("n"))
+        .orderBy(F.desc("n"), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (bits)
+    — the classic gibberish/boilerplate detector: natural text sits
+    ~4±0.7 bits, base64 blobs near 6, repeated filler near 0.
+
+    Entropy derives from exact integer character counts; per-character
+    plog terms round to micros BEFORE the sum, so the result is an
+    order-free integer sum — deterministic and SQL-mirrorable. One
+    explode + one (doc, char) shuffle + one doc shuffle, all map-side
+    combined.
+    """
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log2(p) * 1_000_000, 0).cast("long")
+    return (
+        counts.join(totals, "doc_id")
+        .select("doc_id", term.alias("_t"))
+        .groupBy("doc_id")
+        .agg(
+            (F.sum("_t").cast("double") / 1_000_000.0).alias("entropy_bits")
+        )
+    )

@@ -873,6 +873,60 @@ FROM l JOIN r ON ls <= re AND rs <= le
 """
 
 
+def _corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-candidate table: adjacent char-pair counts over
+    the corpus, computed from the (much smaller) vocabulary weighted by
+    word frequency."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, top_k=200)
+
+
+_BPE_PAIRS_SQL = """
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS n_word FROM words GROUP BY word),
+pairs AS (
+  SELECT n_word,
+         unnest(list_transform(range(1, len(chars)),
+                               i -> chars[i] || ' ' || chars[i + 1])) AS pair
+  FROM (SELECT n_word, regexp_split_to_array(word, '') AS chars FROM vocab)
+)
+SELECT pair, CAST(SUM(n_word) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 200
+"""
+
+
+def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon char entropy; micros-rounded plog terms sum
+    order-free."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.char_entropy(docs)
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, COUNT(*) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM counts GROUP BY doc_id)
+SELECT doc_id,
+       CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+                           * log2(CAST(c AS DOUBLE) / n)
+                           * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+         AS entropy_bits
+FROM counts JOIN tot USING (doc_id)
+GROUP BY doc_id
+"""
+
+
 _BM25_TERMS = ("vector", "hash", "scan")
 
 
@@ -2501,6 +2555,14 @@ QUERIES: list[Query] = [
               "bucket keeps each pair exactly once (no distinct, no "
               "cartesian)",
           tags=("join", "interval")),
+    Query("corpus_bpe_pairs", _corpus_bpe_pairs, _BPE_PAIRS_SQL,
+          doc="BPE merge-candidate pair counts: vocabulary-first (corpus "
+              "collapses to distinct words before pairs explode)",
+          tags=("text", "tokenizer")),
+    Query("text_char_entropy", _text_char_entropy, _CHAR_ENTROPY_SQL,
+          doc="per-doc Shannon char entropy (gibberish/boilerplate "
+              "detector); micros-rounded plog terms, order-free sum",
+          tags=("text", "quality")),
     Query("text_search_bm25", _text_search_bm25, _BM25_SQL,
           doc="BM25 full-text search: posting lists for |Q| terms only, "
               "micros-integer order-free scoring, distributed partial "

@@ -128,3 +128,29 @@ def test_pseudonymize_deterministic_joinable_null_safe(spark):
     # joinability: same salt -> same token on both tables
     joined = pa.join(pb, "uid")
     assert joined.count() == 1
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from sids_data_pipeline_spark.operators.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab x")], "doc_id bigint, text string"
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(docs).collect()}
+    # 'ab' x3 + 'abc' x1 -> pair 'a b' 4 times; 'b c' once; 'x' no pairs
+    assert got == {"a b": 4, "b c": 1}
+
+
+def test_char_entropy_extremes(spark):
+    import math
+
+    from sids_data_pipeline_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.entropy_bits for r in char_entropy(docs).collect()}
+    assert got[1] == 0.0                       # constant -> zero bits
+    assert abs(got[2] - 1.0) < 1e-6            # two equiprobable symbols
+    assert abs(got[3] - 2.0) < 1e-6            # four equiprobable symbols
+    assert math.isfinite(got[2])
