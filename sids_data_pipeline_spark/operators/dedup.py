@@ -475,3 +475,33 @@ def decontaminate(
     return corpus.join(
         hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 1,
+    block_cols: Sequence[str] = (),
+    band_width: int = 4,
+) -> DataFrame:
+    """Entity-resolution join: pair rows whose strings are within
+    ``max_distance`` Levenshtein edits, optionally restricted to equal
+    ``block_cols``.
+
+    Completeness-preserving blocking: edits change length by at most
+    ``max_distance``, so the right side lands on its length band and the
+    left side explodes onto every band its match could occupy —
+    candidates form a band EQUI-join (never all-pairs), then the exact
+    JVM levenshtein filter decides. ``block_cols`` adds exact-match keys
+    (country, zip...) to keep bands small at scale; the band trick alone
+    is complete but groups all same-length strings.
+    """
+    lc, rc = F.col(left_col), F.col(right_col)
+    lo = F.floor((F.length(lc) - max_distance) / band_width)
+    hi = F.floor((F.length(lc) + max_distance) / band_width)
+    lb = left.withColumn("_band", F.explode(F.sequence(lo, hi)))
+    rb = right.withColumn("_band", F.floor(F.length(rc) / band_width))
+    cond = F.levenshtein(lc, rc) <= max_distance
+    return lb.join(rb, [*block_cols, "_band"]).filter(cond).drop("_band")

@@ -873,6 +873,40 @@ FROM l JOIN r ON ls <= re AND rs <= le
 """
 
 
+def _join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: corrupted supplier names (one substituted char
+    on every 3rd key) match back to their source at edit distance 1 via
+    the length-band blocked join; oracle is the naive levenshtein theta
+    join."""
+    from sids_data_pipeline_spark.operators.dedup import fuzzy_join
+
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    dirty = supplier.filter(k % 3 == 0).select(
+        k.alias("dirty_key"),
+        F.concat(
+            F.substring("s_name", 1, 3),
+            F.lit("#"),
+            F.expr("substring(s_name, 5)"),
+        ).alias("dirty_name"),
+    )
+    clean = supplier.select(k.alias("clean_key"), F.col("s_name").alias("clean_name"))
+    out = fuzzy_join(dirty, clean, "dirty_name", "clean_name", max_distance=1)
+    return out.select("dirty_key", "dirty_name", "clean_key", "clean_name")
+
+
+_FUZZY_SQL = """
+WITH dirty AS (
+  SELECT s_suppkey AS dirty_key,
+         substring(s_name, 1, 3) || '#' || substring(s_name, 5) AS dirty_name
+  FROM supplier WHERE s_suppkey % 3 = 0
+),
+clean AS (SELECT s_suppkey AS clean_key, s_name AS clean_name FROM supplier)
+SELECT dirty_key, dirty_name, clean_key, clean_name
+FROM dirty JOIN clean ON levenshtein(dirty_name, clean_name) <= 1
+"""
+
+
 def _corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge-candidate table: adjacent char-pair counts over
     the corpus, computed from the (much smaller) vocabulary weighted by
@@ -2555,6 +2589,11 @@ QUERIES: list[Query] = [
               "bucket keeps each pair exactly once (no distinct, no "
               "cartesian)",
           tags=("join", "interval")),
+    Query("join_fuzzy_names", _join_fuzzy_names, _FUZZY_SQL,
+          doc="entity-resolution fuzzy join: completeness-preserving "
+              "length-band blocking + exact JVM levenshtein filter, "
+              "never all-pairs",
+          tags=("join", "dedup")),
     Query("corpus_bpe_pairs", _corpus_bpe_pairs, _BPE_PAIRS_SQL,
           doc="BPE merge-candidate pair counts: vocabulary-first (corpus "
               "collapses to distinct words before pairs explode)",

@@ -151,3 +151,63 @@ def test_max_bucket_drops_degenerate_buckets(spark):
     # a cap above the bucket size changes nothing
     roomy = dedup.near_duplicates_minhash(many, threshold=0.5, max_bucket=100)
     assert roomy.count() == 12 * 11 // 2
+
+
+def test_fuzzy_join_matches_naive_including_band_boundaries(spark):
+    """Band blocking must not lose pairs whose lengths straddle a band
+    edge (the completeness guarantee)."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.dedup import fuzzy_join
+
+    lrows = [(1, "abcd"), (2, "abcde"), (3, "zzzz"), (4, "abc")]
+    rrows = [(10, "abcd"), (11, "abcdX"), (12, "abcdef"), (13, "qqqq")]
+    left = spark.createDataFrame(lrows, "lid int, lname string")
+    right = spark.createDataFrame(rrows, "rid int, rname string")
+    got = {
+        (r.lid, r.rid)
+        for r in fuzzy_join(
+            left, right, "lname", "rname", max_distance=1, band_width=4
+        ).collect()
+    }
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    want = {
+        (li, rj)
+        for li, ln in lrows
+        for rj, rn in rrows
+        if lev(ln, rn) <= 1
+    }
+    assert got == want
+    assert (2, 12) in got  # len 5 vs 6 straddles the width-4 band edge
+
+
+def test_fuzzy_join_plans_equi_join(spark):
+    from sids_data_pipeline_spark.operators.dedup import fuzzy_join
+
+    left = spark.createDataFrame([(1, "abc")], "lid int, lname string")
+    right = spark.createDataFrame([(2, "abd")], "rid int, rname string")
+    plan = (
+        fuzzy_join(left, right, "lname", "rname")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
