@@ -238,6 +238,42 @@ def _streaming_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    distinct (user_id, event_type) pairs survive one availableNow drain.
+    Projecting only the key columns keeps the result deterministic
+    (which duplicate's payload survives is arrival-order-dependent)."""
+    import os
+    import tempfile
+    import uuid
+
+    from sids_data_pipeline_spark.streaming.jobs import watermarked_dedup_stream
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_wm_")
+    stream = _stage_events_stream(spark, sf_dir, work)
+    name = f"sdp_wm_{uuid.uuid4().hex[:8]}"
+    out = watermarked_dedup_stream(
+        stream.select("ts", "user_id", "event_type"),
+        ("user_id", "event_type"),
+        watermark="1 hour",
+    ).select("user_id", "event_type")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAMING_WM_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 _STREAMING_TOTALS_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
@@ -2416,6 +2452,10 @@ QUERIES: list[Query] = [
           doc="Watermarked stream-stream click→purchase join, availableNow "
               "drain ⇒ batch equi+range-join oracle",
           tags=("streaming", "join")),
+    Query("streaming_dedup_wm", _streaming_dedup_wm, _STREAMING_WM_SQL,
+          doc="bounded-state streaming dedup (dropDuplicatesWithinWatermark"
+              "): state expires with the watermark, fits infinite streams",
+          tags=("streaming", "dedup")),
     Query("streaming_rolling", _streaming_rolling, _ROLLING_SQL,
           doc="custom stateful trailing-window features in streaming "
               "(applyInPandasWithState, horizon-bounded state); one-batch "

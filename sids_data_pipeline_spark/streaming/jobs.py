@@ -418,3 +418,21 @@ def stateful_rolling_stats(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def watermarked_dedup_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Built-in bounded-state streaming dedup: keep the first event per
+    key within the watermark horizon (``dropDuplicatesWithinWatermark``).
+    Complements ``streaming_exact_dedup`` (unbounded, ledger-backed):
+    this variant's state expires with the watermark, so it fits
+    infinite streams where duplicates only arrive close together —
+    at-least-once sources, retry storms, double-fires.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -373,3 +373,32 @@ def test_stateful_rolling_matches_batch_and_expires_state(spark, tmp_path):
     # the 11:15 event must NOT count the expired 10:00 event
     us = lambda d: int(d.timestamp() * 1_000_000)
     assert got[us(dt(2024, 1, 1, 11, 15, 0))] == (2, 600)
+
+
+def test_watermarked_dedup_bounded_state(spark, tmp_path):
+    """Duplicates inside the watermark horizon collapse; the survivor set
+    equals batch dropDuplicates over one drained batch."""
+    from datetime import datetime as dt
+
+    src = str(tmp_path / "wm_in")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    rows = [
+        (1, dt(2024, 1, 1, 10, 0, 0), 7, "click", 1.0, ""),
+        (2, dt(2024, 1, 1, 10, 0, 5), 7, "click", 1.0, ""),   # dup key
+        (3, dt(2024, 1, 1, 10, 1, 0), 8, "view", 2.0, ""),
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = jobs.watermarked_dedup_stream(
+        stream, ("user_id", "event_type"), watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.event_type) for r in spark.table("wm_dedup").collect()}
+    assert got == {(7, "click"), (8, "view")}
+    assert spark.table("wm_dedup").count() == 2
