@@ -802,6 +802,189 @@ def _sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RETURNED_ITEMS_SQL)
 
 
+# TPC-H Q13 shape (customer order distribution): the left-outer-join-
+# with-ON-filter + double aggregation pattern. COUNT(o_orderkey) counts
+# matches only (NULL-skipping), so no-order customers land in c_count=0.
+# Scale: orders shuffles once on o_custkey (map-side partial count), the
+# second aggregation groups a 1500-row-per-sf frame — negligible.
+_CUSTOMER_DISTRIBUTION_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape through the SQL front door (same ANSI text in
+    both engines). Reference parity: the reference has no SQL surface at
+    all (its queries are hand-rolled pandas/PostGIS calls); this catalog
+    entry exists because SURVEY.md §2 commits the engine to a full SQL
+    front door."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_CUSTOMER_DISTRIBUTION_SQL)
+
+
+# TPC-H Q17 shape (small-quantity-order revenue), decorrelated the way
+# Catalyst itself rewrites the correlated scalar subquery: per-part
+# aggregate joined back to the fact. The classic form compares
+# l_quantity < 0.2 * AVG(l_quantity) — a float average whose last ulp
+# depends on summation order, so the engine's exact-integer policy
+# (plans/base.py) restates it as 5 * qty_cents * cnt < sum_qty_cents,
+# an all-BIGINT inequality that is partition-order independent (the
+# algebra: qty < 0.2*sum/cnt ⇔ 5*qty*cnt < sum, exact in integers).
+_SMALL_QTY_REVENUE_SQL = """
+WITH pq AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c_sum,
+         COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents_sum,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pq ON pq.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(ROUND(l_quantity * 100) AS BIGINT) * cnt * 5 < qty_c_sum
+"""
+
+
+def _sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: per-part average threshold (exact-integer form)
+    feeding a selective fact filter. The per-part aggregate and the fact
+    join share the l_partkey key, so AQE plans one shuffle + broadcast of
+    the filtered part dim."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("lineitem", "part"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_SMALL_QTY_REVENUE_SQL)
+
+
+# TPC-H Q18 shape (large-volume customers): IN over a grouped HAVING
+# subquery — Catalyst plans it as an aggregate + left-semi join; the
+# qty threshold (300 units = 30000 cents) keeps the semi side small.
+_LARGE_VOLUME_SQL = """
+SELECT c_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) > 30000
+)
+GROUP BY c_custkey, o_orderkey
+ORDER BY qty_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def _sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN (GROUP BY … HAVING) semi-join against the
+    fact's own aggregate, then the 3-table join re-aggregates the
+    surviving orders. Two shuffles on l_orderkey back-to-back — AQE
+    reuses the exchange."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_LARGE_VOLUME_SQL)
+
+
+# TPC-H Q21 shape (suppliers who kept waiting), adapted to the fixture's
+# columns: the reference TPC-H predicate "only supplier whose lineitem
+# missed its commit date" becomes "only supplier with a returned ('R')
+# lineitem in a multi-supplier order" — same correlated EXISTS +
+# NOT EXISTS structure (semi + anti join against the same fact table).
+_WAITING_SUPPLIERS_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name = 'NATION_3'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def _sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS (left-semi) and NOT EXISTS
+    (left-anti) against the same fact table it scans — the hardest of
+    the classic subquery decorrelations. Both rewrites key on
+    l_orderkey, so all three lineitem scans share one shuffle key."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_WAITING_SUPPLIERS_SQL)
+
+
+# TPC-H Q22 shape (global sales opportunity), fixture-adapted: country
+# code = last two digits of c_name (the fixture has no c_phone), "no
+# orders" = no URGENT orders (every fixture customer has orders). The
+# above-average-balance cut uses the exact-integer restatement of
+# c_acctbal > AVG(...): acctbal_cents * n > sum_cents over the positive-
+# balance population — order-independent, unlike the float AVG.
+_SALES_OPPORTUNITY_SQL = """
+WITH pos AS (
+  SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         COUNT(*) AS n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, COUNT(*) AS numcust,
+       CAST(SUM(acctbal_cents) AS BIGINT) AS totacctbal_cents
+FROM (
+  SELECT SUBSTRING(c_name, 17, 2) AS cntrycode,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer, pos
+  WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+) t
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+def _sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar aggregate (broadcast single
+    row) + correlated NOT EXISTS anti-join + substring-derived group
+    key."""
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    return spark.sql(_SALES_OPPORTUNITY_SQL)
+
+
 def _array_json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
     arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
@@ -1336,5 +1519,44 @@ QUERIES: list[Query] = [
         _JOIN_RANGE_SQL,
         doc="non-equi interval join (broadcast bucket table)",
         tags=("join",),
+    ),
+    Query(
+        "sql_customer_distribution",
+        _sql_customer_distribution,
+        _CUSTOMER_DISTRIBUTION_SQL,
+        doc="TPC-H Q13 shape: filtered left outer join + double aggregation",
+        tags=("sql", "join", "aggregate"),
+    ),
+    Query(
+        "sql_small_qty_revenue",
+        _sql_small_qty_revenue,
+        _SMALL_QTY_REVENUE_SQL,
+        doc="TPC-H Q17 shape: per-part average threshold (exact-integer "
+            "restatement) against the fact scan",
+        tags=("sql", "join", "aggregate", "subquery"),
+    ),
+    Query(
+        "sql_large_volume_customer",
+        _sql_large_volume_customer,
+        _LARGE_VOLUME_SQL,
+        doc="TPC-H Q18 shape: IN (GROUP BY … HAVING) semi-join + "
+            "re-aggregation, top-20",
+        tags=("sql", "join", "aggregate", "subquery", "sort"),
+    ),
+    Query(
+        "sql_waiting_suppliers",
+        _sql_waiting_suppliers,
+        _WAITING_SUPPLIERS_SQL,
+        doc="TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the "
+            "same fact (semi + anti on one shuffle key)",
+        tags=("sql", "join", "subquery", "aggregate"),
+    ),
+    Query(
+        "sql_sales_opportunity",
+        _sql_sales_opportunity,
+        _SALES_OPPORTUNITY_SQL,
+        doc="TPC-H Q22 shape: uncorrelated scalar aggregate + NOT EXISTS "
+            "anti-join + derived group key",
+        tags=("sql", "subquery", "aggregate"),
     ),
 ]
