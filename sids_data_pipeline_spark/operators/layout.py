@@ -83,6 +83,54 @@ def write_zordered(
     ).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a hash-bucketed (and per-bucket sorted) parquet
+    table registered in the session catalog.
+
+    This is THE shuffle-elimination layout for repeated fact-fact joins
+    at 100 TB: every row lands in ``hash(bucket_cols) % num_buckets``,
+    so two tables bucketed the same way join bucket-to-bucket with NO
+    exchange on either side — the shuffle is paid once at write time and
+    amortized over every subsequent join/aggregation on that key.
+    ``sort_cols`` (default: the bucket key) additionally pre-sorts each
+    bucket file so sort-merge joins can skip their sort.
+
+    The write itself is one hash shuffle into ``num_buckets`` groups; at
+    cluster scale pick ``num_buckets`` ≈ total-cores × small-integer so
+    bucket files stay within one executor's memory.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark, left_table: str, right_table: str, on: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket key. With
+    matching bucket specs Catalyst plans a SortMergeJoin with ZERO
+    Exchange nodes (asserted in tests/test_layout.py) — each task reads
+    bucket i of both sides locally."""
+    return spark.table(left_table).join(
+        spark.table(right_table), on=list(on), how=how
+    )
+
+
 def pruned_fraction(path: str, col_ranges: dict[str, tuple[float, float]]) -> dict:
     """Layout-effectiveness probe: using only parquet footer min/max
     stats, report how many row groups a conjunctive range predicate

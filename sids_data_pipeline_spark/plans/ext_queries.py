@@ -2163,6 +2163,60 @@ LIMIT 500
 """
 
 
+def _layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via matching hash buckets: both fact
+    projections are written bucketed+sorted on the join key, then joined
+    bucket-to-bucket with zero Exchange nodes (tests/test_layout.py pins
+    the plan). The write shuffle is paid once and amortized over every
+    later join on that key — the 100 TB answer to repeated fact-fact
+    joins. The aggregate after the join is value-checked by the oracle
+    against a plain (shuffled) join of the raw tables, proving layout
+    changes results not at all."""
+    import tempfile
+
+    from sids_data_pipeline_spark.operators.layout import bucketed_join, write_bucketed
+
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    work = tempfile.mkdtemp(prefix="sdp_bucketed_")
+    write_bucketed(
+        orders.select(F.col("o_orderkey").alias("okey"), "o_orderpriority"),
+        "sdp_orders_by_okey",
+        ["okey"],
+        num_buckets=8,
+        path=f"{work}/orders",
+    )
+    write_bucketed(
+        lineitem.select(
+            F.col("l_orderkey").alias("okey"),
+            cents("l_extendedprice").alias("price_c"),
+        ),
+        "sdp_lineitem_by_okey",
+        ["okey"],
+        num_buckets=8,
+        path=f"{work}/lineitem",
+    )
+    joined = bucketed_join(
+        spark, "sdp_lineitem_by_okey", "sdp_orders_by_okey", ["okey"]
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("price_c").alias("price_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_BUCKETED_JOIN_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM({o_cents('l_extendedprice')}) AS BIGINT) AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def _mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental refresh: diff two fact snapshots (adds,
     removes, AND in-place changes) into a retract+insert changelog, fold
@@ -2664,6 +2718,11 @@ QUERIES: list[Query] = [
               "sort key the layout writer range-partitions by so parquet "
               "min/max stats prune on every clustered dimension",
           tags=("layout", "scan")),
+    Query("layout_bucketed_join", _layout_bucketed_join, _BUCKETED_JOIN_SQL,
+          doc="hash-bucketed co-located fact-fact join: zero Exchange "
+              "nodes at read time, write shuffle amortized across joins; "
+              "oracle proves layout-invariance of results",
+          tags=("layout", "join", "aggregate")),
     Query("mv_refresh", _mv_refresh, _MV_REFRESH_SQL,
           doc="incremental view refresh = snapshot_diff (retract+insert "
               "changelog) ∘ maintain_aggregate; churn-sized cost, oracle "

@@ -90,3 +90,34 @@ def test_zorder_rejects_key_overflow():
 
     with pytest.raises(ValueError):
         zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_bucketed_join_has_zero_exchanges_and_matches_shuffled(spark, sf_dir, tmp_path):
+    """Matching-bucket tables must join with NO Exchange on either side,
+    and the layout must not change results vs a plain shuffled join."""
+    from sids_data_pipeline_spark.operators.layout import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber"
+    )
+    write_bucketed(orders, "t_orders_b", ["okey"], 4, path=str(tmp_path / "o"))
+    write_bucketed(lineitem, "t_lineitem_b", ["okey"], 4, path=str(tmp_path / "l"))
+
+    # the fixture dims are broadcast-sized; disable broadcast to surface
+    # the fact-fact shape the bucketing exists for
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_lineitem_b", "t_orders_b", ["okey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        expected = lineitem.join(orders, "okey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
