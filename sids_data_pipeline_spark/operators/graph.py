@@ -104,6 +104,98 @@ def dedup_clusters(
     )
 
 
+def cobasket_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int = 64,
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges: items sharing a group
+    (parts in one order, tokens in one doc) become an edge (src < dst).
+
+    Pair generation is quadratic in group size, so groups larger than
+    ``max_group_size`` are dropped BEFORE the self-join — the same
+    degenerate-bucket guard the LSH pipeline uses (dedup.py): one hot
+    basket of 10^4 items would otherwise emit 10^8 pairs into the
+    shuffle. The cap is part of the operator's contract (mirrored by the
+    SQL oracle), not a silent truncation.
+    """
+    t = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    small = (
+        t.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .filter(F.col("_sz") <= max_group_size)
+        .select("g")
+    )
+    t = t.join(small, "g", "left_semi")
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.item") < F.col("b.item")))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        .distinct()
+    )
+
+
+def count_triangles(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of an undirected graph via degree-ordered
+    orientation — one row (n_nodes, n_edges, n_triangles).
+
+    Every edge is oriented from its (degree, id)-smaller endpoint to the
+    larger one; each triangle then has exactly one node with two
+    out-edges, so the wedge join counts it exactly once. The orientation
+    bounds out-degree by O(√m) (a node of degree d keeps ≤ √(2m)
+    out-edges — any out-neighbor has degree ≥ d), which bounds the wedge
+    intermediate at O(m^1.5) regardless of skew: the hub node of a star
+    graph contributes ZERO wedges because all its edges point inward.
+    All joins are equi-joins on node ids; no Python, no collect.
+    """
+    e = (
+        edges.select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    keyed = e.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("deg_dst"),
+    )
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("deg_dst").alias("deg_b")
+    )
+    e2 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("deg_dst").alias("deg_c")
+    )
+    wedges = e1.join(e2, "a").filter(
+        (F.col("deg_b") < F.col("deg_c"))
+        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,

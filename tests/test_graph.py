@@ -127,3 +127,52 @@ def test_pagerank_ranks_sum_bounded(spark):
         r.rank_micros for r in pagerank(edges, iters=4).collect()
     )
     assert abs(total - 1_000_000) <= 10
+
+
+def test_triangles_hand_computed(spark):
+    """K4 has 4 triangles; adding a pendant edge changes nothing."""
+    from sids_data_pipeline_spark.operators.graph import count_triangles
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "src long, dst long")
+    row = count_triangles(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+
+def test_triangles_match_bruteforce_random(spark):
+    """Seeded random graph vs O(n^3) brute force."""
+    import itertools
+    import random
+
+    from sids_data_pipeline_spark.operators.graph import count_triangles
+
+    rng = random.Random(7)
+    n = 30
+    edge_set = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.25
+    }
+    expect = sum(
+        1
+        for x, y, z in itertools.combinations(range(n), 3)
+        if (x, y) in edge_set and (y, z) in edge_set and (x, z) in edge_set
+    )
+    # feed edges in mixed orientation with duplicates: canonicalization
+    # must absorb both
+    noisy = [(b, a) if (a + b) % 3 == 0 else (a, b) for a, b in edge_set]
+    edges = spark.createDataFrame(noisy + noisy[:10], "src long, dst long")
+    row = count_triangles(edges).collect()[0]
+    assert row.n_triangles == expect
+    assert row.n_edges == len(edge_set)
+
+
+def test_cobasket_cap_drops_hot_groups(spark):
+    """A group above max_group_size contributes no pairs at all."""
+    from sids_data_pipeline_spark.operators.graph import cobasket_edges
+
+    rows = [("hot", i) for i in range(10)] + [("ok", 1), ("ok", 2)]
+    df = spark.createDataFrame(rows, "g string, item long")
+    got = cobasket_edges(df, "g", "item", max_group_size=5).collect()
+    assert [(r.src, r.dst) for r in got] == [(1, 2)]
