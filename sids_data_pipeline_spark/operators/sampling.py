@@ -132,6 +132,42 @@ def pack_shards(
     ).drop("_pid")
 
 
+def length_buckets(
+    df: DataFrame,
+    size_col: str = "n_tokens",
+    batch_tokens: int = 256,
+) -> DataFrame:
+    """Power-of-two sequence-length histogram — the batch-planning view
+    of a training corpus (how many docs/tokens per length class, and a
+    lower bound on the batch count at a given token budget).
+
+    ``bucket`` is the bit length of the size (floor(log2)+1) computed by
+    integer base conversion, NOT float log2 — a float log within one ulp
+    of an integer would bucket boundary sizes differently across
+    engines. ``n_batches_lb`` is ceil(sum/batch) in pure integer
+    arithmetic. One map-side-combined aggregation; no shuffle beyond the
+    bucket-count-sized exchange.
+    """
+    s = F.col(size_col).cast("long")
+    bucket = F.length(F.conv(s.cast("string"), 10, 2)).alias("bucket")
+    return (
+        df.select(bucket, s.alias("_s"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_s").alias("sum_tokens"),
+            F.min("_s").alias("min_tokens"),
+            F.max("_s").alias("max_tokens"),
+            # integer ceil-div (DIV, not /): float division would round
+            # wrong past 2^53 total tokens
+            F.expr(f"(sum(_s) + {batch_tokens - 1}) div {batch_tokens}")
+            .cast("long")
+            .alias("n_batches_lb"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def hash_threshold_sample(
     df: DataFrame,
     fraction: float,

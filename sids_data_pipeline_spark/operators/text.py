@@ -67,6 +67,61 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def boilerplate_stats(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document hot-n-gram ("boilerplate") detection — the C4-style
+    pass that flags headers/footers/templates repeated across a corpus.
+
+    A word ``n``-gram appearing in ≥ ``min_docs`` DISTINCT documents is
+    hot; each doc reports its distinct-shingle count, how many of them
+    are hot, and the hot fraction in ppm. Output: (doc_id, n_shingles,
+    n_hot, boiler_ppm) — docs shorter than ``n`` words carry no shingles
+    and drop out (same contract as the dedup shingle pipeline).
+
+    Scale shape: one shuffle on the shingle key for the document-
+    frequency count (map-side combine), one left-semi join back, two
+    doc-keyed aggregations. At 100 TB, replace the shingle string with
+    its 64-bit hash before the shuffle (functions/hashing.py) — ~10×
+    fewer shuffle bytes, same semantics up to hash collisions.
+    """
+    from sids_data_pipeline_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hot_per_doc = (
+        sh.join(hot, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    return (
+        per_doc.join(hot_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_hot", F.lit(0)).alias("n_hot"),
+            F.round(
+                F.coalesce("n_hot", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+                * MICROS,
+                0,
+            )
+            .cast("long")
+            .alias("boiler_ppm"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -2362,6 +2362,63 @@ HAVING COUNT(*) >= 3
 """
 
 
+def _text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-3-gram boilerplate detection across the corpus: shingles in
+    ≥3 distinct docs are boilerplate; per-doc hot fraction in ppm."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.boilerplate_stats(docs, n=3, min_docs=3)
+
+
+_BOILERPLATE_SQL = f"""
+WITH {_SHINGLE_SQL.strip()},
+hot AS (SELECT token FROM sh GROUP BY token HAVING COUNT(*) >= 3),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+hpd AS (SELECT sh.doc_id, COUNT(*) AS n_hot
+        FROM sh JOIN hot USING (token) GROUP BY sh.doc_id)
+SELECT p.doc_id,
+       CAST(p.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(h.n_hot, 0) AS BIGINT) AS n_hot,
+       CAST(ROUND(CAST(COALESCE(h.n_hot, 0) AS DOUBLE) / p.n_shingles
+                  * 1000000.0) AS BIGINT) AS boiler_ppm
+FROM per_doc p LEFT JOIN hpd h USING (doc_id)
+"""
+
+
+def _corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two sequence-length histogram over whitespace token
+    counts — the batch-planning summary (docs, tokens, integer ceil-div
+    batch lower bound per length class)."""
+    from sids_data_pipeline_spark.operators.sampling import length_buckets
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+            )
+        ).alias("n_words"),
+    )
+    return length_buckets(sized, size_col="n_words", batch_tokens=256)
+
+
+_LENGTH_BUCKETS_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '')) AS n_words
+  FROM documents
+)
+SELECT CAST(LENGTH(bin(n_words)) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS sum_tokens,
+       CAST(MIN(n_words) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_words) AS BIGINT) AS max_tokens,
+       CAST((SUM(n_words) + 255) // 256 AS BIGINT) AS n_batches_lb
+FROM w GROUP BY bucket ORDER BY bucket
+"""
+
+
 def _corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF over a 1-in-10 document subset (keeps the gate
     row count bounded; doc_freq and N are computed on the same subset)."""
@@ -2793,6 +2850,16 @@ QUERIES: list[Query] = [
           doc="ANALYZE-style one-pass column profile: nulls, distinct, "
               "min/max per column (exact here; HLL at scale)",
           tags=("profile", "agg")),
+    Query("text_boilerplate", _text_boilerplate, _BOILERPLATE_SQL,
+          doc="cross-doc hot-n-gram boilerplate detection (C4-style): "
+              "one shingle-key shuffle + semi-join back, ppm hot "
+              "fraction per doc",
+          tags=("text", "quality", "dedup")),
+    Query("corpus_length_buckets", _corpus_length_buckets, _LENGTH_BUCKETS_SQL,
+          doc="power-of-two sequence-length histogram for batch "
+              "planning: integer bit-length buckets (no float log2), "
+              "integer ceil-div batch lower bound",
+          tags=("sampling", "profile", "text")),
     Query("corpus_vocab", _corpus_vocab, _VOCAB_SQL,
           doc="corpus vocabulary: term + document frequency per token "
               "(tokenizer-training input), one token-key shuffle",

@@ -211,3 +211,26 @@ def test_fuzzy_join_plans_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_hot_ngram_flagged(spark):
+    """A 3-gram shared by 3 docs is hot; a unique one is not."""
+    from sids_data_pipeline_spark.operators.text import boilerplate_stats
+
+    shared = "terms of service apply"
+    rows = [
+        (1, shared + " alpha beta gamma"),
+        (2, shared + " delta epsilon zeta"),
+        (3, shared + " eta theta iota"),
+        (4, "completely unrelated words here now"),
+        (5, "xy"),  # < 3 words → no shingles → absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in boilerplate_stats(df, min_docs=3).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # "terms of service" + "of service apply" appear in docs 1-3
+    for d in (1, 2, 3):
+        assert got[d].n_hot == 2
+        assert got[d].n_shingles == 5  # 7 words → 5 trigrams
+        assert got[d].boiler_ppm == 400000
+    assert got[4].n_hot == 0 and got[4].boiler_ppm == 0

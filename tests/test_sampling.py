@@ -186,3 +186,23 @@ def test_mixture_sample_membership_stable_and_rowlocal(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_length_buckets_integer_bit_length(spark):
+    from sids_data_pipeline_spark.operators.sampling import length_buckets
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3), (4, 7), (5, 8), (6, 255), (7, 256)],
+        "doc_id long, n long",
+    )
+    got = {
+        r.bucket: (r.n_docs, r.sum_tokens, r.n_batches_lb)
+        for r in length_buckets(df, size_col="n", batch_tokens=4).collect()
+    }
+    # bit lengths: 1→1, {2,3}→2, {7}→3, {8}→4, {255}→8, {256}→9
+    assert got[1] == (1, 1, 1)
+    assert got[2] == (2, 5, 2)   # ceil(5/4) = 2
+    assert got[3] == (1, 7, 2)
+    assert got[4] == (1, 8, 2)
+    assert got[8] == (1, 255, 64)
+    assert got[9] == (1, 256, 64)
