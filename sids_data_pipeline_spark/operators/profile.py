@@ -139,3 +139,46 @@ def column_correlation(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def robust_stats(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str],
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key robust center/spread: exact median and MAD (median
+    absolute deviation) — the outlier-resistant twin of mean/stddev for
+    data-quality monitoring (one wild value moves a mean arbitrarily but
+    the MAD not at all).
+
+    Exactness: values enter an even-integer domain (``2 * round(x *
+    scale)``) so the 0.5-quantile midpoint interpolation always lands on
+    an integer; deviations are doubled again before the second median
+    for the same reason. Output units: ``median_halfcents`` = 2 x median
+    in scale units, ``mad_quartercents`` = 4 x MAD — both exact BIGINT,
+    bit-identical on any IEEE engine.
+
+    Scale shape: two grouped aggregations with a broadcast-sized key
+    join between them (keys x 1 row each); the fact scans twice but
+    never shuffles more than the key-grouped percentile state.
+    """
+    h = (F.round(F.col(value_col) * scale, 0).cast("long") * 2).alias("_h")
+    keyed = df.select(*keys, h)
+    med = keyed.groupBy(*keys).agg(
+        F.expr("CAST(percentile(_h, 0.5) AS BIGINT)").alias("median_halfcents")
+    )
+    dev = keyed.join(F.broadcast(med), list(keys)).select(
+        *keys,
+        "median_halfcents",
+        (F.abs(F.col("_h") - F.col("median_halfcents")) * 2).alias("_d"),
+    )
+    return (
+        dev.groupBy(*keys, "median_halfcents")
+        .agg(
+            F.expr("CAST(percentile(_d, 0.5) AS BIGINT)").alias(
+                "mad_quartercents"
+            )
+        )
+        .orderBy(*keys)
+    )

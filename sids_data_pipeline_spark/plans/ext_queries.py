@@ -661,6 +661,35 @@ FROM (
     return "\nUNION ALL\n".join(arms)
 
 
+def _column_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + MAD of extendedprice per returnflag — the robust
+    center/spread pair for outlier-resistant data-quality monitors.
+    Even-integer domain keeps both 0.5-quantile interpolations exact."""
+    from sids_data_pipeline_spark.operators.profile import robust_stats
+
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return robust_stats(lineitem, "l_extendedprice", ["l_returnflag"])
+
+
+_COLUMN_MAD_SQL = f"""
+WITH h AS (
+  SELECT l_returnflag AS k, 2 * {o_cents('l_extendedprice')} AS h
+  FROM lineitem
+),
+m AS (
+  SELECT k, CAST(quantile_cont(h, 0.5) AS BIGINT) AS med_h
+  FROM h GROUP BY k
+)
+SELECT h.k AS l_returnflag,
+       m.med_h AS median_halfcents,
+       CAST(quantile_cont(2 * ABS(h.h - m.med_h), 0.5) AS BIGINT)
+         AS mad_quartercents
+FROM h JOIN m ON h.k = m.k
+GROUP BY h.k, m.med_h
+ORDER BY h.k
+"""
+
+
 def _pseudonymize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted sha2 surrogate keys on a customer slice: same value → same
     token, so joinability survives de-identification."""
@@ -2756,6 +2785,11 @@ QUERIES: list[Query] = [
           doc="safe typed ingest with a dead-letter channel: try_cast "
               "never aborts, malformed rows route out with field names",
           tags=("quality", "source")),
+    Query("column_mad", _column_mad, _COLUMN_MAD_SQL,
+          doc="exact per-key median + MAD (robust center/spread): "
+              "even-integer domain makes both quantile interpolations "
+              "exact; two grouped aggs with a broadcast key join",
+          tags=("profile", "aggregate")),
     Query("column_corr", _column_corr, _column_corr_sql(),
           doc="Pearson correlation from exact integer moments (order-free, "
               "unlike F.corr); one map-side-combined agg per pair",

@@ -65,3 +65,22 @@ def test_column_correlation_matches_numpy(spark):
     zi = np.round(np.array(zs) * 100)
     assert got[("x", "y")] == round(float(np.corrcoef(xi, yi)[0, 1]), 6)
     assert got[("x", "z")] == -1.0
+
+
+def test_robust_stats_hand_computed(spark):
+    """Median/MAD of a small set with an outlier the mean would chase."""
+    from sids_data_pipeline_spark.operators.profile import robust_stats
+
+    # values 1,2,3,4,1000 → median 3, deviations {2,1,0,1,997} → MAD 1
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 1000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = robust_stats(df, "v", ["k"]).collect()[0]
+    assert got.median_halfcents == 3 * 200       # 2 × 300 cents
+    assert got.mad_quartercents == 1 * 400       # 4 × 100 cents
+
+    # even count interpolates the midpoint: 1,2,3,4 → median 2.5
+    df2 = spark.createDataFrame(rows[:4], "k string, v double")
+    got2 = robust_stats(df2, "v", ["k"]).collect()[0]
+    assert got2.median_halfcents == 500          # 2 × 250 cents
+    # deviations |x-2.5| = 1.5,0.5,0.5,1.5 → MAD 1.0 → 400 quarter-cents
+    assert got2.mad_quartercents == 400
