@@ -153,6 +153,8 @@ def count_triangles(
     graph contributes ZERO wedges because all its edges point inward.
     All joins are equi-joins on node ids; no Python, no collect.
     """
+    from sids_data_pipeline_spark.lifecycle import track
+
     e = (
         edges.select(
             F.least(src_col, dst_col).alias("u"),
@@ -161,6 +163,11 @@ def count_triangles(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # e / deg / oriented each feed multiple consumers; without persist
+    # the edge-generation lineage re-executes per consumer and the plan
+    # tree explodes combinatorially (planaudit measured 146 Exchange
+    # nodes unpersisted vs 7 persisted)
+    e = track(e.persist())
     deg = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -178,6 +185,7 @@ def count_triangles(
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("deg_dst"),
     )
+    oriented = track(oriented.persist())
     e1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("deg_dst").alias("deg_b")
     )
