@@ -19,7 +19,11 @@ Two strategies per SURVEY.md §2's custom-operator ladder:
 - ``how="cogroup"`` (rung (b) — Arrow-batched custom kernel): cogrouped
   ``applyInPandas`` running ``pandas.merge_asof`` per key group. Kept as
   the extension template for merge semantics the window form can't
-  express (nearest/forward with tolerance, multi-column ordering).
+  express (tolerance bounds, multi-column ordering) and as the
+  independent implementation the direction tests cross-check against.
+
+Both strategies support ``direction`` backward / forward / nearest
+(ties resolve backward, matching pandas).
 
 Right-side (key, ts) duplicates make "the latest row" ambiguous;
 :func:`dedupe_right` collapses them deterministically first.
@@ -55,11 +59,18 @@ def asof_join(
     right_cols: Iterable[str],
     suffix: str = "_right",
     how: str = "window",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``right.ts <= left.ts``
-    per ``by`` key. Left rows with no prior right row keep NULLs.
+    """As-of join: per ``by`` key attach the right row nearest each left
+    timestamp in the given ``direction``:
 
-    Output: all left columns + [f"{c}{suffix}" for c in right_cols].
+    - ``backward`` (default): latest right row with ``ts <= left.ts``
+    - ``forward``: earliest right row with ``ts >= left.ts``
+    - ``nearest``: whichever of the two is closer; exact ties resolve
+      backward (pandas ``merge_asof`` tie rule)
+
+    Left rows with no eligible right row keep NULLs. Output: all left
+    columns + [f"{c}{suffix}" for c in right_cols].
 
     Right rows with a NULL timestamp or NULL key are dropped first: a
     NULL ts can never be "the latest row at or before t" (pandas
@@ -67,11 +78,17 @@ def asof_join(
     this, NULLS-FIRST ascending ordering would make them matchable as
     the earliest payload in the window strategy).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     right = right.filter(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
     if how == "window":
-        return _asof_window(left, right, by, ts_col, list(right_cols), suffix)
+        return _asof_window(
+            left, right, by, ts_col, list(right_cols), suffix, direction
+        )
     if how == "cogroup":
-        return _asof_cogroup(left, right, by, ts_col, list(right_cols), suffix)
+        return _asof_cogroup(
+            left, right, by, ts_col, list(right_cols), suffix, direction
+        )
     raise ValueError(f"how must be 'window' or 'cogroup', got {how!r}")
 
 
@@ -82,15 +99,23 @@ def _asof_window(
     ts_col: str,
     right_cols: list[str],
     suffix: str,
+    direction: str = "backward",
 ) -> DataFrame:
+    from pyspark.sql.types import TimestampType
+
     left_names = [f.name for f in left.schema.fields]
     left_types = {f.name: f.dataType for f in left.schema.fields}
     right_types = {f.name: f.dataType for f in right.schema.fields}
 
     # Tag and align both sides on the union schema: right rows carry the
     # key/ts (for partitioning/ordering) plus their payload struct; left
-    # rows carry their columns and a NULL payload slot.
-    payload = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    # rows carry their columns and a NULL payload slot. The payload also
+    # carries the match's own timestamp (_ts) so `nearest` can compare
+    # distances without a second lookup.
+    payload = F.struct(
+        *[F.col(c).alias(c) for c in right_cols],
+        F.col(ts_col).alias("_ts"),
+    )
     r_tag = right.select(
         *[
             F.col(c)
@@ -103,7 +128,8 @@ def _asof_window(
     )
     null_payload = F.lit(None).cast(
         "struct<" + ", ".join(
-            f"{c}: {right_types[c].simpleString()}" for c in right_cols
+            [f"{c}: {right_types[c].simpleString()}" for c in right_cols]
+            + [f"_ts: {right_types[ts_col].simpleString()}"]
         ) + ">"
     )
     l_tag = left.select(
@@ -111,18 +137,53 @@ def _asof_window(
         F.lit(1).alias("_side"),
         null_payload.alias("_r"),
     )
-    # Right rows sort BEFORE left rows at equal ts (_side 0 < 1), so an
-    # exactly-equal timestamp matches — merge_asof backward semantics.
-    w = (
+    union = r_tag.unionByName(l_tag)
+    # Backward: right rows sort BEFORE left rows at equal ts (_side
+    # 0 < 1) and the trailing frame takes the last non-null payload, so
+    # an exactly-equal timestamp matches — merge_asof semantics.
+    # Forward mirrors it: right rows sort AFTER left at equal ts and the
+    # leading frame takes the first non-null payload. Both orderings
+    # share one hash partitioning on the key, so `nearest` (which needs
+    # both) still shuffles once.
+    wb = (
         Window.partitionBy(by)
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = (
-        r_tag.unionByName(l_tag)
-        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-        .filter(F.col("_side") == 1)
+    wf = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    if direction == "backward":
+        matched = union.withColumn("_m", F.last("_r", ignorenulls=True).over(wb))
+    elif direction == "forward":
+        matched = union.withColumn("_m", F.first("_r", ignorenulls=True).over(wf))
+    else:  # nearest: both lookups, pick the closer; ties go backward
+        num = (
+            F.unix_micros
+            if isinstance(right_types[ts_col], TimestampType)
+            else (lambda c: c.cast("double"))
+        )
+        mb, mf = F.last("_r", ignorenulls=True).over(wb), F.first(
+            "_r", ignorenulls=True
+        ).over(wf)
+        matched = (
+            union.withColumn("_mb", mb)
+            .withColumn("_mf", mf)
+            .withColumn(
+                "_m",
+                F.when(F.col("_mb").isNull(), F.col("_mf"))
+                .when(F.col("_mf").isNull(), F.col("_mb"))
+                .when(
+                    num(F.col(ts_col)) - num(F.col("_mb._ts"))
+                    <= num(F.col("_mf._ts")) - num(F.col(ts_col)),
+                    F.col("_mb"),
+                )
+                .otherwise(F.col("_mf")),
+            )
+        )
+    matched = matched.filter(F.col("_side") == 1)
     return matched.select(
         *left_names,
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],
@@ -136,6 +197,7 @@ def _asof_cogroup(
     ts_col: str,
     right_cols: list[str],
     suffix: str,
+    direction: str = "backward",
 ) -> DataFrame:
     out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
     right_schema = {f.name: f.dataType.simpleString() for f in right.schema.fields}
@@ -176,7 +238,7 @@ def _asof_cogroup(
         if ts_col in right_cols:
             r_sorted[f"{ts_col}{suffix}"] = r_sorted[ts_col]
         merged = pd.merge_asof(
-            l_sorted, r_sorted, on=ts_col, direction="backward"
+            l_sorted, r_sorted, on=ts_col, direction=direction
         )
         return merged[left_names + [f"{c}{suffix}" for c in right_cols]]
 

@@ -1638,6 +1638,100 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+def _asof_directional(spark: SparkSession, sf_dir: str, direction: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators.asof import asof_join, dedupe_right
+
+    (ev,) = tables(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = dedupe_right(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        by="user_id",
+        ts_col="ts",
+        tiebreak="event_id",
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        ts_col="ts",
+        right_cols=("event_id", "value"),
+        direction=direction,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.round(F.col("value_right") * 100, 0).cast("long").alias("purchase_cents"),
+    )
+
+
+def _join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click attaches the EARLIEST purchase at or
+    after it (same one-shuffle union+window strategy, leading frame)."""
+    return _asof_directional(spark, sf_dir, "forward")
+
+
+def _join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: closer of the backward/forward matches, ties
+    backward (pandas rule). Both window lookups share one shuffle."""
+    return _asof_directional(spark, sf_dir, "nearest")
+
+
+_ASOF_CTES = """
+clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p0 AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+),
+purch AS (SELECT user_id, ts, event_id, value FROM p0 WHERE rn = 1)
+"""
+
+_ASOF_FWD_SQL = f"""
+WITH {_ASOF_CTES.strip()}
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       p.event_id AS purchase_event_id,
+       CAST(ROUND(p.value * 100) AS BIGINT) AS purchase_cents
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+_ASOF_NEAREST_SQL = f"""
+WITH {_ASOF_CTES.strip()},
+b AS (
+  SELECT c.event_id, p.event_id AS pid, p.value AS pv, p.ts AS pts
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts >= p.ts
+),
+f AS (
+  SELECT c.event_id, p.event_id AS pid, p.value AS pv, p.ts AS pts
+  FROM clicks c ASOF LEFT JOIN purch p
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       CASE WHEN b.pid IS NULL THEN f.pid
+            WHEN f.pid IS NULL THEN b.pid
+            WHEN epoch_us(c.ts) - epoch_us(b.pts)
+                 <= epoch_us(f.pts) - epoch_us(c.ts) THEN b.pid
+            ELSE f.pid END AS purchase_event_id,
+       CAST(ROUND(CASE WHEN b.pid IS NULL THEN f.pv
+                       WHEN f.pid IS NULL THEN b.pv
+                       WHEN epoch_us(c.ts) - epoch_us(b.pts)
+                            <= epoch_us(f.pts) - epoch_us(c.ts) THEN b.pv
+                       ELSE f.pv END * 100) AS BIGINT) AS purchase_cents
+FROM clicks c
+JOIN b ON b.event_id = c.event_id
+JOIN f ON f.event_id = c.event_id
+"""
+
+
 def _events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = tables(spark, sf_dir, "events")
     return windows.latest_per_key(ev)
@@ -2718,6 +2812,14 @@ QUERIES: list[Query] = [
           doc="E6 sliding windows", tags=("events", "window")),
     Query("events_session", _events_session, _SESSION_SQL,
           doc="E6 session windows (gap-based)", tags=("events", "window")),
+    Query("join_asof_forward", _join_asof_forward, _ASOF_FWD_SQL,
+          doc="forward as-of join (earliest right at-or-after): same "
+              "one-shuffle union+window strategy with a leading frame",
+          tags=("join", "asof")),
+    Query("join_asof_nearest", _join_asof_nearest, _ASOF_NEAREST_SQL,
+          doc="nearest as-of join (closer of backward/forward, ties "
+              "backward): both window lookups share one key shuffle",
+          tags=("join", "asof")),
     Query("join_asof", _join_asof, _ASOF_SQL,
           doc="as-of join: latest purchase at-or-before each click "
               "(cogrouped merge_asof vs native DuckDB ASOF JOIN)",

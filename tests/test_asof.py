@@ -216,3 +216,43 @@ def test_interval_join_rejects_column_clash(spark):
     df = spark.createDataFrame([(1, 0, 1)], "id int, s long, e long")
     with pytest.raises(ValueError, match="overlapping"):
         interval_join(df, df, ("s", "e"), ("s", "e"))
+
+
+def test_forward_and_nearest_window_match_cogroup(spark):
+    """The JVM window strategy and the pandas merge_asof kernel are
+    independent implementations; all three directions must agree."""
+    from sids_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 25.0), (3, "a", 40.0), (4, "b", 5.0)],
+        "lid long, k string, ts double",
+    )
+    right = spark.createDataFrame(
+        [("a", 20.0, 100), ("a", 30.0, 200), ("b", 50.0, 300)],
+        "k string, ts double, payload long",
+    )
+    for direction in ("backward", "forward", "nearest"):
+        w = asof_join(
+            left, right, by="k", ts_col="ts", right_cols=("payload",),
+            how="window", direction=direction,
+        )
+        c = asof_join(
+            left, right, by="k", ts_col="ts", right_cols=("payload",),
+            how="cogroup", direction=direction,
+        )
+        ws = sorted((r.lid, r.payload_right) for r in w.collect())
+        cs = sorted((r.lid, r.payload_right) for r in c.collect())
+        assert ws == cs, direction
+    # hand-checked expectations
+    near = dict(
+        (r.lid, r.payload_right)
+        for r in asof_join(
+            left, right, by="k", ts_col="ts", right_cols=("payload",),
+            direction="nearest",
+        ).collect()
+    )
+    # lid=1 ts=10 → only forward match exists at ts=20 → 100
+    # lid=2 ts=25 → tie (20 vs 30) → backward → 100
+    # lid=3 ts=40 → nearest is 30 (backward) → 200
+    # lid=4 ts=5 → only forward match at 50 → 300
+    assert near == {1: 100, 2: 100, 3: 200, 4: 300}
