@@ -210,6 +210,35 @@ def _streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows in Structured Streaming, gate-visible:
+    one availableNow drain in complete mode yields exactly the batch
+    operator's sessions (same F.session_window semantics), so the SAME
+    gap-session oracle applies. In production this runs append-mode with
+    the 1 h watermark bounding state; complete mode here avoids the
+    sentinel-event dance the append-mode pytest exercises."""
+    import os
+    import tempfile
+    import uuid
+
+    from sids_data_pipeline_spark.streaming.jobs import session_windows_stream
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_sess_")
+    stream = _stage_events_stream(spark, sf_dir, work)
+    name = f"sdp_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_windows_stream(stream, "30 minutes", "1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _streaming_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second custom stateful operator, gate-visible: per-event trailing
     window features in streaming (applyInPandasWithState; state = events
@@ -2737,6 +2766,11 @@ QUERIES: list[Query] = [
           doc="bounded-state streaming dedup (dropDuplicatesWithinWatermark"
               "): state expires with the watermark, fits infinite streams",
           tags=("streaming", "dedup")),
+    Query("streaming_sessions", _streaming_sessions, _SESSION_SQL,
+          doc="gap-based session windows in Structured Streaming "
+              "(F.session_window + watermark): availableNow drain equals "
+              "the batch gap-session oracle",
+          tags=("streaming", "events", "window")),
     Query("streaming_rolling", _streaming_rolling, _ROLLING_SQL,
           doc="custom stateful trailing-window features in streaming "
               "(applyInPandasWithState, horizon-bounded state); one-batch "
