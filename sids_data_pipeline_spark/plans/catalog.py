@@ -73,6 +73,17 @@ from sids_data_pipeline_spark.plans.base import Query
 # untouched). The remaining selfcheck-green tail (unpivot_measures,
 # pseudonymize_ids, sql_shipmode_priority, feature_quantile_bins,
 # geo_nearest_site) rotates next round.
+# Round-7 rotation queue (selfcheck-green, never driver-verified as of
+# round 6; swap into the head next round, displacing long-green unchanged
+# families): unpivot_measures, pseudonymize_ids, sql_shipmode_priority,
+# feature_quantile_bins, geo_nearest_site, corpus_vocab, corpus_tfidf,
+# column_hist, sink_orc_roundtrip, corpus_bpe_pairs, text_char_entropy,
+# join_fuzzy_names, streaming_dedup_wm, streaming_rolling, plus the
+# round-6 additions: sql_customer_distribution, sql_small_qty_revenue,
+# sql_large_volume_customer, sql_waiting_suppliers, sql_sales_opportunity,
+# layout_bucketed_join, graph_triangles, text_boilerplate,
+# corpus_length_buckets, column_mad, join_asof_forward, join_asof_nearest,
+# streaming_sessions.
 PRIORITY: tuple[str, ...] = (
     # — never-driver-verified head (selfcheck-green, rotating in for r6) —
     "crs_reproject_lcc",

@@ -256,3 +256,52 @@ def test_forward_and_nearest_window_match_cogroup(spark):
     # lid=3 ts=40 → nearest is 30 (backward) → 200
     # lid=4 ts=5 → only forward match at 50 → 300
     assert near == {1: 100, 2: 100, 3: 200, 4: 300}
+
+
+def test_asof_directions_match_pandas_randomized(spark):
+    """Seeded random keys/timestamps with duplicates and unmatched keys:
+    every direction must agree with pandas merge_asof exactly."""
+    import random
+
+    import pandas as pd
+
+    from sids_data_pipeline_spark.operators.asof import asof_join
+
+    rng = random.Random(13)
+    left_rows = [
+        (i, f"k{rng.randrange(5)}", float(rng.randrange(100)))
+        for i in range(120)
+    ]
+    right_rows = [
+        (f"k{rng.randrange(6)}", float(rng.randrange(100)), i * 10)
+        for i in range(80)
+    ]
+    # dedupe right on (key, ts): keep max payload, the operator contract
+    best: dict = {}
+    for k, ts, p in right_rows:
+        best[(k, ts)] = max(best.get((k, ts), -1), p)
+    right_rows = [(k, ts, p) for (k, ts), p in best.items()]
+
+    left = spark.createDataFrame(left_rows, "lid long, k string, ts double")
+    right = spark.createDataFrame(right_rows, "k string, ts double, payload long")
+
+    l_pdf = pd.DataFrame(left_rows, columns=["lid", "k", "ts"])
+    r_pdf = pd.DataFrame(right_rows, columns=["k", "ts", "payload"])
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: r.payload_right
+            for r in asof_join(
+                left, right, by="k", ts_col="ts",
+                right_cols=("payload",), direction=direction,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            l_pdf.sort_values(["ts", "lid"], kind="mergesort"),
+            r_pdf.sort_values("ts", kind="mergesort"),
+            on="ts", by="k", direction=direction,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.payload) else int(r.payload))
+            for r in want_df.itertuples()
+        }
+        assert got == want, direction

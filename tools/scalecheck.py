@@ -207,6 +207,26 @@ def main() -> None:
         }
     out["pagerank_3iter"] = pr
 
+    # --- triangle counting: growing random graphs, fixed density --------
+    # Degree ~16 held constant while nodes grow: wedge work grows with
+    # Σ C(outdeg,2) ∝ m at fixed density, so a sound orientation shows
+    # flat-or-falling ns/edge. Blow-up here would mean the orientation
+    # bound is broken.
+    tri = {}
+    for n in (250_000, 1_000_000):
+        edges = spark.range(0, n, 1, 32).select(
+            (F.xxhash64("id") % (n // 8)).alias("src"),
+            (F.xxhash64(F.col("id") + 11) % (n // 8)).alias("dst"),
+        )
+        sec = _steady(
+            lambda: graph.count_triangles(edges).collect(), reps=2
+        )
+        tri[f"{n:,} edges"] = {
+            "sec": round(sec, 3),
+            "ns_per_edge": round(sec / n * 1e9, 1),
+        }
+    out["triangle_count"] = tri
+
     print(json.dumps(out))
     spark.stop()
 
