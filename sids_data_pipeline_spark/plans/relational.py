@@ -985,6 +985,152 @@ def _sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SALES_OPPORTUNITY_SQL)
 
 
+# TPC-H Q4 shape (order-priority checking), fixture-adapted: the
+# late-delivery EXISTS (l_commitdate < l_receiptdate — columns the
+# fixture lacks) becomes a returned-lineitem EXISTS; the decorrelation
+# (aggregate-free left-semi on the fact key) is identical.
+_ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# TPC-H Q7 shape (volume shipping): bidirectional nation-pair revenue by
+# ship year. The OR-of-pairs predicate lands after two broadcast nation
+# joins; EXTRACT(YEAR ...) is the same ANSI spelling in both engines.
+_VOLUME_SHIPPING_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol_cents) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(YEAR FROM l_shipdate) AS l_year,
+         CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS vol_cents
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# TPC-H Q8 shape (market share): conditional share of exact-cents sums
+# per year. The division is ONE double op over two exact integers —
+# deterministic — and both engines compute the identical expression.
+_MARKET_SHARE_SQL = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN vol_cents
+                           ELSE 0 END) AS DOUBLE)
+             / SUM(vol_cents), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         n_name AS nation,
+         CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS vol_cents
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+) t
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# TPC-H Q14 shape (promotion effect): percentage of revenue from a part
+# type band in a ship-date month; same exact-integer ratio pattern.
+_PROMO_REVENUE_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN vol_cents ELSE 0 END) AS DOUBLE)
+             / SUM(vol_cents), 6) AS promo_revenue_pct
+FROM (
+  SELECT p_type,
+         CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS vol_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+) t
+"""
+
+
+# TPC-H Q15 shape (top supplier): a revenue "view" CTE consumed twice —
+# once for the global MAX scalar, once for the equality probe. Catalyst
+# plans the scalar as a single-row broadcast; exact cents make the
+# equality well-defined (a float revenue tie would be engine-dependent).
+_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_cents = (SELECT MAX(total_cents) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# TPC-H Q19 shape (discounted revenue): the classic OR-of-ANDs predicate
+# — three brand/quantity bands that must still join on the equi-key and
+# push the common l_quantity bounds into the scan.
+_OR_BANDS_SQL = """
+SELECT CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _sql_front_door(sql: str, *tabs: str):
+    """Build a catalog callable running the same ANSI text through
+    spark.sql — the pattern every TPC-H shape entry shares."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sids_data_pipeline_spark.sources.tables import load_table
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for t in tabs:
+            load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return run
+
+
+_sql_order_priority = _sql_front_door(_ORDER_PRIORITY_SQL, "orders", "lineitem")
+_sql_volume_shipping = _sql_front_door(
+    _VOLUME_SHIPPING_SQL, "supplier", "lineitem", "orders", "customer", "nation"
+)
+_sql_market_share = _sql_front_door(
+    _MARKET_SHARE_SQL, "lineitem", "orders", "supplier", "nation", "part"
+)
+_sql_promo_revenue = _sql_front_door(_PROMO_REVENUE_SQL, "lineitem", "part")
+_sql_top_supplier = _sql_front_door(_TOP_SUPPLIER_SQL, "lineitem", "supplier")
+_sql_or_bands = _sql_front_door(_OR_BANDS_SQL, "lineitem", "part")
+
+
 def _array_json_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
     arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int"))
@@ -1558,5 +1704,50 @@ QUERIES: list[Query] = [
         doc="TPC-H Q22 shape: uncorrelated scalar aggregate + NOT EXISTS "
             "anti-join + derived group key",
         tags=("sql", "subquery", "aggregate"),
+    ),
+    Query(
+        "sql_order_priority",
+        _sql_order_priority,
+        _ORDER_PRIORITY_SQL,
+        doc="TPC-H Q4 shape: date-windowed EXISTS semi-join, priority counts",
+        tags=("sql", "subquery", "aggregate"),
+    ),
+    Query(
+        "sql_volume_shipping",
+        _sql_volume_shipping,
+        _VOLUME_SHIPPING_SQL,
+        doc="TPC-H Q7 shape: bidirectional nation-pair revenue by ship year "
+            "(two broadcast nation joins + OR-of-pairs)",
+        tags=("sql", "join", "aggregate"),
+    ),
+    Query(
+        "sql_market_share",
+        _sql_market_share,
+        _MARKET_SHARE_SQL,
+        doc="TPC-H Q8 shape: conditional share of exact-cents sums per year",
+        tags=("sql", "join", "aggregate"),
+    ),
+    Query(
+        "sql_promo_revenue",
+        _sql_promo_revenue,
+        _PROMO_REVENUE_SQL,
+        doc="TPC-H Q14 shape: promo revenue percentage (exact-integer ratio)",
+        tags=("sql", "join", "aggregate"),
+    ),
+    Query(
+        "sql_top_supplier",
+        _sql_top_supplier,
+        _TOP_SUPPLIER_SQL,
+        doc="TPC-H Q15 shape: revenue CTE consumed twice, scalar MAX probe "
+            "(exact cents make the equality well-defined)",
+        tags=("sql", "subquery", "aggregate"),
+    ),
+    Query(
+        "sql_or_bands",
+        _sql_or_bands,
+        _OR_BANDS_SQL,
+        doc="TPC-H Q19 shape: OR-of-ANDs brand/quantity bands over the "
+            "equi-join",
+        tags=("sql", "join", "filter", "aggregate"),
     ),
 ]
