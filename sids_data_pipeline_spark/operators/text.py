@@ -612,6 +612,98 @@ def bpe_pair_counts(
     )
 
 
+BPE_SEP = "\x1f"  # unit separator; assumed absent from corpus symbols
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Iterative BPE tokenizer training: learn the top ``n_merges``
+    merge rules over the corpus. Output one row per learned rule:
+    (rank, left, right, merged, pair_count).
+
+    The working set is the VOCABULARY (word, freq) — one corpus shuffle
+    collapses 100 TB of text to its distinct words, and every round
+    after that touches only vocabulary-sized data (exactly how
+    production BPE trainers scale). Each round: count adjacent symbol
+    pairs weighted by word freq (map-side combined), take the global
+    argmax (count desc, then lexicographic — a ONE-ROW collect per
+    round, like PageRank's teleport scalar), and apply the merge.
+
+    Merge application is a literal string replace over an
+    each-symbol-individually-delimited encoding (``␟a␟␟b␟`` →
+    ``␟ab␟``): non-overlapping left-to-right replacement — exactly
+    greedy BPE — and because the delimiters of adjacent symbols are not
+    shared, consecutive pairs (``abab``) merge in one pass. The same
+    ``replace`` exists in ANSI SQL, so the entire training loop unrolls
+    into a DuckDB oracle that verifies every learned rule AND its count.
+    """
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    sep = F.lit(BPE_SEP)
+    encoded = vocab.select(
+        "n_word",
+        F.concat_ws(
+            "", F.transform(F.split("word", ""), lambda c: F.concat(sep, c, sep))
+        ).alias("s"),
+    )
+    encoded = encoded.persist()
+    try:
+        spark = docs.sparkSession
+        merges: list[tuple[int, str, str, str, int]] = []
+        for rank in range(n_merges):
+            # symbols back out of the encoding: strip outer seps, split
+            # on the doubled inner separator
+            syms = F.split(
+                F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP + BPE_SEP
+            )
+            pairs = encoded.select(
+                "n_word",
+                F.explode(
+                    F.zip_with(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            best = (
+                pairs.groupBy("p.a", "p.b")
+                .agg(F.sum("n_word").alias("n"))
+                .orderBy(F.desc("n"), F.col("a").asc(), F.col("b").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            a, b, n = best[0].a, best[0].b, best[0].n
+            merged = a + b
+            merges.append((rank, a, b, merged, n))
+            nxt = encoded.select(
+                "n_word",
+                F.replace(
+                    F.col("s"),
+                    F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+                    F.lit(f"{BPE_SEP}{merged}{BPE_SEP}"),
+                ).alias("s"),
+            ).persist()
+            encoded.unpersist()
+            encoded = nxt
+        return spark.createDataFrame(
+            merges,
+            "merge_rank int, left_sym string, right_sym string, "
+            "merged string, pair_count long",
+        )
+    finally:
+        encoded.unpersist()
+
+
 def char_entropy(
     docs: DataFrame,
     text_col: str = "text",

@@ -2571,6 +2571,63 @@ FROM w GROUP BY bucket ORDER BY bucket
 """
 
 
+def _corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of iterative BPE merge learning over the corpus
+    vocabulary; the oracle unrolls the identical rounds as SQL."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.bpe_train(docs, n_merges=3)
+
+
+def _bpe_train_sql(n_merges: int = 3) -> str:
+    """Unrolled DuckDB twin of text.bpe_train: same vocabulary weights,
+    same each-symbol-delimited encoding, same literal replace per round,
+    same (count desc, lexicographic) argmax."""
+    sep = "chr(31)"
+    parts = [
+        f"""
+v AS (
+  SELECT word, COUNT(*) AS n_word
+  FROM (SELECT t.w AS word
+        FROM documents,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS t(w))
+  GROUP BY word
+),
+e0 AS (
+  SELECT n_word,
+         {sep} || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)),
+           {sep} || {sep}) || {sep} AS s
+  FROM v
+)"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""
+p{r} AS (
+  SELECT sy[i] AS a, sy[i + 1] AS b, SUM(n_word) AS n
+  FROM (SELECT n_word,
+               string_split(substring(s, 2, length(s) - 2),
+                            {sep} || {sep}) AS sy
+        FROM e{r}),
+       unnest(range(1, len(sy))) AS t(i)
+  GROUP BY a, b
+),
+best{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+e{r + 1} AS (
+  SELECT n_word,
+         replace(s, {sep} || a || {sep} || {sep} || b || {sep},
+                 {sep} || a || b || {sep}) AS s
+  FROM e{r}, best{r}
+)""")
+    selects = [
+        f"SELECT {r} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(n_merges)
+    ]
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF over a 1-in-10 document subset (keeps the gate
     row count bounded; doc_freq and N are computed on the same subset)."""
@@ -3030,6 +3087,11 @@ QUERIES: list[Query] = [
               "planning: integer bit-length buckets (no float log2), "
               "integer ceil-div batch lower bound",
           tags=("sampling", "profile", "text")),
+    Query("corpus_bpe_train", _corpus_bpe_train, _bpe_train_sql(),
+          doc="iterative BPE merge learning (3 rounds) over the "
+              "vocabulary: one-row argmax collect per round, literal-"
+              "replace merge application, fully unrolled SQL oracle",
+          tags=("text", "tokenizer", "iterative")),
     Query("corpus_vocab", _corpus_vocab, _VOCAB_SQL,
           doc="corpus vocabulary: term + document frequency per token "
               "(tokenizer-training input), one token-key shuffle",

@@ -154,3 +154,25 @@ def test_char_entropy_extremes(spark):
     assert abs(got[2] - 1.0) < 1e-6            # two equiprobable symbols
     assert abs(got[3] - 2.0) < 1e-6            # four equiprobable symbols
     assert math.isfinite(got[2])
+
+
+def test_bpe_train_hand_computed(spark):
+    """Tiny corpus with a known merge sequence, including the abab case
+    where consecutive non-overlapping pairs must both merge in one pass."""
+    from sids_data_pipeline_spark.operators.text import bpe_train
+
+    # corpus: 'abab' x3, 'abc' x2  →  word freqs {abab:3, abc:2}
+    docs = spark.createDataFrame(
+        [(1, "abab abab abc"), (2, "abab abc")],
+        "doc_id long, text string",
+    )
+    rows = {r.merge_rank: r for r in bpe_train(docs, n_merges=3).collect()}
+    # round 0 pairs: (a,b): abab has 2 + abc 1 → 3*2+2*1=8 ; (b,a): 3 ; (b,c): 2
+    assert (rows[0].left_sym, rows[0].right_sym, rows[0].pair_count) == ("a", "b", 8)
+    # after merge ab: abab→[ab,ab], abc→[ab,c]
+    # round 1 pairs: (ab,ab): 3 ; (ab,c): 2
+    assert (rows[1].left_sym, rows[1].right_sym, rows[1].pair_count) == ("ab", "ab", 3)
+    assert rows[1].merged == "abab"
+    # after merge abab: abab→[abab], abc stays [ab,c]
+    # round 2: only (ab,c): 2
+    assert (rows[2].left_sym, rows[2].right_sym, rows[2].pair_count) == ("ab", "c", 2)
