@@ -210,6 +210,53 @@ def _streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, gate-visible: the event stream joins
+    the static customer dimension per micro-batch (the dimension is
+    broadcast — no stream state at all, unlike stream-stream joins) and
+    aggregates enriched revenue per market segment. One availableNow
+    drain in complete mode equals the batch join — the SQL oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_enrich_")
+    stream = _stage_events_stream(spark, sf_dir, work)
+    (customer,) = tables(spark, sf_dir, "customer")
+    enriched = (
+        stream.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customer), stream["user_id"] == customer["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+    )
+    name = f"sdp_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_ENRICH_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+
 def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows in Structured Streaming, gate-visible:
     one availableNow drain in complete mode yields exactly the batch
@@ -2823,6 +2870,11 @@ QUERIES: list[Query] = [
           doc="bounded-state streaming dedup (dropDuplicatesWithinWatermark"
               "): state expires with the watermark, fits infinite streams",
           tags=("streaming", "dedup")),
+    Query("streaming_enrich", _streaming_enrich, _STREAM_ENRICH_SQL,
+          doc="stream-static enrichment: broadcast dimension join per "
+              "micro-batch (zero stream state), availableNow drain "
+              "equals the batch join oracle",
+          tags=("streaming", "join", "aggregate")),
     Query("streaming_sessions", _streaming_sessions, _SESSION_SQL,
           doc="gap-based session windows in Structured Streaming "
               "(F.session_window + watermark): availableNow drain equals "
