@@ -395,3 +395,40 @@ def geojson_feature(wkb: bytes, properties: dict) -> str:
         "properties": properties,
     }
     return json.dumps(feat, separators=(",", ":"), sort_keys=True)
+
+
+def _round_half_away(arr: np.ndarray) -> np.ndarray:
+    """Round half away from zero — the ROUND of Spark SQL and DuckDB.
+    (np.rint is half-even and would diverge from both on exact ties.)"""
+    return np.sign(arr) * np.floor(np.abs(arr) + 0.5)
+
+
+def wkb_area2_e6(wkb: bytes) -> int:
+    """Twice the signed shoelace area of all rings, in micro-units:
+    per-edge cross terms round to integer micros BEFORE the sum, so the
+    total is an exact integer any IEEE engine reproduces from the same
+    vertices (the generated SQL oracle mirrors each term). Signed sum —
+    opposite-wound holes subtract; same-wound rings add (documented
+    semantics, mirrored by the oracle either way)."""
+    total = 0
+    for poly in parse_wkb(wkb):
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            cross = r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]
+            total += int(_round_half_away(cross * 1e6).astype(np.int64).sum())
+    return total
+
+
+def wkb_perimeter_e6(wkb: bytes) -> int:
+    """Total ring length in integer micros: per-edge hypotenuse
+    (sqrt is correctly rounded IEEE, so engines agree bit-for-bit),
+    rounded per edge, integer-summed."""
+    total = 0
+    for poly in parse_wkb(wkb):
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            dx = r[1:, 0] - r[:-1, 0]
+            dy = r[1:, 1] - r[:-1, 1]
+            seg = np.sqrt(dx * dx + dy * dy)
+            total += int(_round_half_away(seg * 1e6).astype(np.int64).sum())
+    return total

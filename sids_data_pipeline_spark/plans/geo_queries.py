@@ -20,6 +20,7 @@ containment).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -951,7 +952,72 @@ SELECT pid, lat, lon, site_id, dist_m FROM d WHERE rn = 1
 """
 
 
+def _geo_zone_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area/ST_Length-style zone metrics: twice the signed shoelace
+    area and the ring perimeter, both as exact integer micros (per-edge
+    terms round before the sum — plans/base.py policy). Arrow-batched
+    Python kernel (geometry work is the legitimate pandas-UDF case);
+    the generated oracle recomputes every edge term as SQL arithmetic
+    on the same literal vertices."""
+    from pyspark.sql.functions import pandas_udf
+
+    zones = fixture_zones(spark, "zones_overlap")
+
+    @pandas_udf("long")
+    def area2_e6(wkb: pd.Series) -> pd.Series:
+        return wkb.map(geo.wkb_area2_e6)
+
+    @pandas_udf("long")
+    def perim_e6(wkb: pd.Series) -> pd.Series:
+        return wkb.map(geo.wkb_perimeter_e6)
+
+    return zones.select(
+        "fid",
+        area2_e6("geometry").alias("area2_e6"),
+        perim_e6("geometry").alias("perim_e6"),
+    ).orderBy("fid")
+
+
+def _zone_metrics_sql() -> str:
+    """Per-zone per-edge shoelace/hypotenuse terms as literal SQL
+    arithmetic — same IEEE ops on the same vertex doubles, same
+    half-away rounding, integer sums."""
+    rows = []
+    for fid, _name, wkb in FIXTURE_BUILDERS["zones_overlap"]():
+        a_terms, p_terms = [], []
+        for poly in geo.parse_wkb(wkb):
+            for ring in poly:
+                pts = [(float(x), float(y)) for x, y in ring]
+                for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+                    a_terms.append(
+                        f"CAST(ROUND(({x0!r} * {y1!r} - {x1!r} * {y0!r})"
+                        f" * 1000000) AS BIGINT)"
+                    )
+                    p_terms.append(
+                        f"CAST(ROUND(SQRT(({x1!r} - {x0!r}) * ({x1!r} - {x0!r})"
+                        f" + ({y1!r} - {y0!r}) * ({y1!r} - {y0!r}))"
+                        f" * 1000000) AS BIGINT)"
+                    )
+        rows.append(
+            f"({fid}, CAST({' + '.join(a_terms)} AS BIGINT),"
+            f" CAST({' + '.join(p_terms)} AS BIGINT))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(fid, area2_e6, perim_e6) ORDER BY fid"
+    )
+
+
 QUERIES: list[Query] = [
+    Query(
+        "geo_zone_metrics",
+        _geo_zone_metrics,
+        _zone_metrics_sql(),
+        doc="shoelace area + perimeter per zone in exact integer micros "
+            "(per-edge rounding, oracle mirrors every term)",
+        tags=("geo", "scalar"),
+    ),
     Query(
         "geo_nearest_site",
         _geo_nearest_site,

@@ -170,3 +170,23 @@ def test_ring_signed_area_orientation():
     cw = np.array([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])
     assert geo.ring_signed_area(cw) == 16.0
     assert geo.ring_signed_area(cw[::-1]) == -16.0
+
+
+def test_area_perimeter_hand_computed():
+    """Unit square: 2*area = 2e6 micros, perimeter 4e6; a square hole
+    wound the same way ADDS under signed-sum semantics (documented)."""
+    from sids_data_pipeline_spark.functions import geo
+
+    sq = geo.polygon_wkb([[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]])
+    assert geo.wkb_area2_e6(sq) == 2_000_000
+    assert geo.wkb_perimeter_e6(sq) == 4_000_000
+
+    # opposite winding → negative signed area, same perimeter
+    rev = geo.polygon_wkb([[(0, 0), (0, 1), (1, 1), (1, 0), (0, 0)]])
+    assert geo.wkb_area2_e6(rev) == -2_000_000
+    assert geo.wkb_perimeter_e6(rev) == 4_000_000
+
+    # 3-4-5 triangle: hypotenuse exercises the sqrt path
+    tri = geo.polygon_wkb([[(0, 0), (3, 0), (0, 4), (0, 0)]])
+    assert geo.wkb_area2_e6(tri) == 12_000_000
+    assert geo.wkb_perimeter_e6(tri) == 12_000_000
