@@ -432,3 +432,59 @@ def wkb_perimeter_e6(wkb: bytes) -> int:
             seg = np.sqrt(dx * dx + dy * dy)
             total += int(_round_half_away(seg * 1e6).astype(np.int64).sum())
     return total
+
+
+def _clip_ring_halfplane(pts: list, inside, intersect) -> list:
+    """One Sutherland–Hodgman pass: keep the part of the ring on the
+    `inside` side of a boundary; `intersect` maps an (in, out) edge to
+    its boundary crossing."""
+    out: list = []
+    n = len(pts)
+    for i in range(n):
+        cur, prv = pts[i], pts[i - 1]
+        cin, pin = inside(cur), inside(prv)
+        if cin:
+            if not pin:
+                out.append(intersect(prv, cur))
+            out.append(cur)
+        elif pin:
+            out.append(intersect(prv, cur))
+    return out
+
+
+def clip_ring_box_area2(ring, x0: float, y0: float, x1: float, y1: float) -> float:
+    """Twice the signed area of ring ∩ [x0,x1]×[y0,y1] via Sutherland–
+    Hodgman clipping (convex clip window ⇒ exact for any simple ring).
+    Used for region-weighted zonal statistics: the weight of a boundary
+    pixel is its clipped area over the cell area."""
+    pts = [(float(x), float(y)) for x, y in np.asarray(ring)[:-1]]
+
+    def ix_v(xb):
+        return lambda p, q: (xb, p[1] + (q[1] - p[1]) * (xb - p[0]) / (q[0] - p[0]))
+
+    def ix_h(yb):
+        return lambda p, q: (p[0] + (q[0] - p[0]) * (yb - p[1]) / (q[1] - p[1]), yb)
+
+    for inside, intersect in (
+        (lambda p: p[0] >= x0, ix_v(x0)),
+        (lambda p: p[0] <= x1, ix_v(x1)),
+        (lambda p: p[1] >= y0, ix_h(y0)),
+        (lambda p: p[1] <= y1, ix_h(y1)),
+    ):
+        pts = _clip_ring_halfplane(pts, inside, intersect)
+        if not pts:
+            return 0.0
+    area2 = 0.0
+    for (ax, ay), (bx, by) in zip(pts, pts[1:] + pts[:1]):
+        area2 += ax * by - bx * ay
+    return area2
+
+
+def wkb_clip_box_area2(wkb: bytes, x0: float, y0: float, x1: float, y1: float) -> float:
+    """Twice the signed clipped area of all rings of a (Multi)Polygon —
+    opposite-wound holes subtract, matching wkb_area2_e6 semantics."""
+    return sum(
+        clip_ring_box_area2(ring, x0, y0, x1, y1)
+        for poly in parse_wkb(wkb)
+        for ring in poly
+    )

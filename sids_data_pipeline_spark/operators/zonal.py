@@ -346,3 +346,81 @@ def zonal_stats(
         # not NULL (mean/sum/min/max keep NULL).
         out = out.withColumn("count", F.coalesce(F.col("count"), F.lit(0)))
     return out.orderBy("vector_id", "raster_id", "fid")
+
+
+def zonal_weighted_rects(
+    zones: DataFrame,
+    pixels: DataFrame,
+    pixel_deg: float = 0.1,
+) -> DataFrame:
+    """REGION-WEIGHTED zonal mean for axis-aligned rectangle zones — the
+    reference's ST_DumpAsPolygons area-weighting semantics (reference
+    pipeline/processing/stats.py:8-16), which the pixel-center
+    :func:`zonal_stats` deliberately approximates (SURVEY.md §7). For
+    rectangles the pixel-cell ∩ zone overlap is the closed-form interval
+    product, so the ENTIRE weighted aggregate stays in whole-stage
+    codegen — no Python kernel at all.
+
+    Exactness: per-pixel weight rounds to integer ppm-of-a-cell
+    (``w_e6`` ∈ [0, 1e6]) and the value to cents BEFORE the weighted
+    sum, so numerator and denominator are exact BIGINTs and the final
+    mean is ONE deterministic double division (plans/base.py policy).
+    int64 bound: w_e6·val_cents ≤ 1e6·|val|·100 — fine through ~9e10
+    cents; at larger magnitudes move the products to DECIMAL(38,0).
+
+    Scale shape: zones are dimension-sized (same contract as the
+    broadcast strategy) → broadcast non-equi bbox join, pixels never
+    shuffle; the aggregate is map-side combined on the tiny fid key.
+    General (non-rectangle) polygons: geo.wkb_clip_box_area2 is the
+    boundary-cell kernel for a future pandas-batched path; interior and
+    exterior cells resolve by the existing corner-containment fast path.
+
+    Output: (fid, w_e6_sum, wmean_cents) — empty zones keep NULLs.
+    """
+    spark = zones.sparkSession
+    rows = zones.select("fid", "geometry").collect()
+    rects = []
+    for r in rows:
+        rect = geo.wkb_rect(bytes(r.geometry))
+        if rect is None:
+            raise ValueError(
+                f"zonal_weighted_rects: zone fid={r.fid} is not an "
+                "axis-aligned rectangle; use the clip kernel path"
+            )
+        rects.append((r.fid, *[float(v) for v in rect]))
+    rect_df = spark.createDataFrame(
+        rects, "fid long, xmin double, ymin double, xmax double, ymax double"
+    )
+    h = pixel_deg / 2.0
+    inv = 1e6 / (pixel_deg * pixel_deg)  # cell-area normalizer (exact twin in SQL)
+    wx = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("xmax"), F.col("lon") + h)
+        - F.greatest(F.col("xmin"), F.col("lon") - h),
+    )
+    wy = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("ymax"), F.col("lat") + h)
+        - F.greatest(F.col("ymin"), F.col("lat") - h),
+    )
+    w_e6 = F.round(wx * wy * F.lit(inv), 0).cast("long")
+    val_cents = F.round(F.col("val") * 100, 0).cast("long")
+    weighted = (
+        pixels.crossJoin(F.broadcast(rect_df))
+        .withColumn("_w", w_e6)
+        .filter(F.col("_w") > 0)
+        .withColumn("_vc", val_cents)
+    )
+    agg = weighted.groupBy("fid").agg(
+        F.sum("_w").alias("w_e6_sum"),
+        F.round(
+            F.sum(F.col("_w") * F.col("_vc")).cast("double") / F.sum("_w"), 0
+        )
+        .cast("long")
+        .alias("wmean_cents"),
+    )
+    return (
+        rect_df.select("fid")
+        .join(agg, "fid", "left")
+        .orderBy("fid")
+    )

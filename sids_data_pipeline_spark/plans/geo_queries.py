@@ -1009,7 +1009,66 @@ def _zone_metrics_sql() -> str:
     )
 
 
+# Non-pixel-aligned rects over the 64x64 0.1-degree gradient raster:
+# fractional weights on every boundary edge, varying interior sizes.
+# Literal bounds shared by engine and generated oracle; the empty-zone
+# NULL row is pinned by tests/test_zonal.py instead.
+_WEIGHTED_RECTS: list[tuple[int, tuple[float, float, float, float]]] = [
+    (1, (0.13, 0.07, 0.52, 0.61)),
+    (2, (0.33, 0.42, 0.78, 0.79)),
+    (3, (0.0, 0.0, 0.8, 0.8)),
+    (4, (0.95, 0.9, 1.2, 1.1)),
+]
+
+
+def _zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region-weighted zonal mean (the reference's ST_DumpAsPolygons
+    area-weighting, stats.py:8-16) for rectangle zones: closed-form
+    overlap weights, all in codegen — zero Python nodes."""
+    from sids_data_pipeline_spark.operators.zonal import zonal_weighted_rects
+
+    zones = spark.createDataFrame(
+        [(fid, geo.box_wkb(*bounds)) for fid, bounds in _WEIGHTED_RECTS],
+        "fid long, geometry binary",
+    )
+    pixels = synthetic_raster(spark, "rast_gradient")
+    return zonal_weighted_rects(zones, pixels, pixel_deg=0.1)
+
+
+def _zonal_weighted_sql() -> str:
+    h, inv = 0.05, 1e6 / (0.1 * 0.1)
+    arms = []
+    for fid, (xmin, ymin, xmax, ymax) in _WEIGHTED_RECTS:
+        arms.append(f"""
+SELECT {fid} AS fid, CAST(SUM(w_e6) AS BIGINT) AS w_e6_sum,
+       CAST(ROUND(CAST(SUM(w_e6 * val_cents) AS DOUBLE) / SUM(w_e6))
+            AS BIGINT) AS wmean_cents
+FROM (
+  SELECT CAST(ROUND(
+           GREATEST(0.0, LEAST({xmax!r}, lon + {h!r}) - GREATEST({xmin!r}, lon - {h!r}))
+         * GREATEST(0.0, LEAST({ymax!r}, lat + {h!r}) - GREATEST({ymin!r}, lat - {h!r}))
+         * {inv!r}) AS BIGINT) AS w_e6,
+         CAST(ROUND(val * 100) AS BIGINT) AS val_cents
+  FROM px
+) t WHERE w_e6 > 0""")
+    return (
+        f"WITH {_px_cte('rast_gradient')}\n"
+        + "SELECT * FROM ("
+        + "\nUNION ALL\n".join(arms)
+        + ") u ORDER BY fid"
+    )
+
+
 QUERIES: list[Query] = [
+    Query(
+        "zonal_weighted_mean",
+        _zonal_weighted,
+        _zonal_weighted_sql(),
+        doc="region-weighted zonal mean (reference ST_DumpAsPolygons "
+            "semantics) for rect zones: closed-form ppm overlap weights, "
+            "exact integer numerator/denominator, zero Python nodes",
+        tags=("geo", "zonal", "aggregate"),
+    ),
     Query(
         "geo_zone_metrics",
         _geo_zone_metrics,

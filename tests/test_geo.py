@@ -190,3 +190,36 @@ def test_area_perimeter_hand_computed():
     tri = geo.polygon_wkb([[(0, 0), (3, 0), (0, 4), (0, 0)]])
     assert geo.wkb_area2_e6(tri) == 12_000_000
     assert geo.wkb_perimeter_e6(tri) == 12_000_000
+
+
+def test_clip_area_rect_matches_closed_form():
+    """Clipping an axis-aligned rect against a box equals the closed-form
+    interval-overlap product, across aligned/partial/disjoint cases."""
+    from sids_data_pipeline_spark.functions import geo
+
+    rect = [(1.0, 1.0), (4.0, 1.0), (4.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+    for box in [(0, 0, 2, 2), (1.5, 0.5, 3.5, 2.5), (4, 3, 9, 9), (0, 0, 9, 9),
+                (2, 1, 3, 3), (-5, -5, 0.5, 0.5)]:
+        x0, y0, x1, y1 = (float(v) for v in box)
+        wx = max(0.0, min(4.0, x1) - max(1.0, x0))
+        wy = max(0.0, min(3.0, y1) - max(1.0, y0))
+        got = geo.clip_ring_box_area2(rect, x0, y0, x1, y1) / 2.0
+        assert abs(got - wx * wy) < 1e-12, box
+
+
+def test_clip_area_triangle_hand_computed():
+    from sids_data_pipeline_spark.functions import geo
+
+    # right triangle (0,0)-(2,0)-(0,2); clip to unit square [0,1]²:
+    # square minus the corner triangle above x+y=2... within [0,1]² the
+    # hypotenuse x+y=2 only touches (1,1), so area = full unit square
+    # minus nothing above the line inside the box → area 1 - 0.5*? 
+    # x+y<=2 holds everywhere in [0,1]² (max 2 at the corner) → area 1.0
+    tri = [(0.0, 0.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]
+    assert abs(geo.clip_ring_box_area2(tri, 0, 0, 1, 1) / 2.0 - 1.0) < 1e-12
+    # clip to [1,2]×[1,2]: empty beyond the hypotenuse except the point
+    assert abs(geo.clip_ring_box_area2(tri, 1, 1, 2, 2)) < 1e-12
+    # clip to [0.5,1.5]×[0,1]: trapezoid under x+y=2 between x=0.5..1.5
+    # full strip area 1; cut corner above line: triangle with legs 0.5 →
+    # 0.125; area = 1 - 0.125 = 0.875
+    assert abs(geo.clip_ring_box_area2(tri, 0.5, 0.0, 1.5, 1.0) / 2.0 - 0.875) < 1e-12

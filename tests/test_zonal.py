@@ -168,3 +168,62 @@ def test_broadcast_falls_back_to_grid_above_zone_limit(spark, monkeypatch, caplo
         fallback.sort_values("fid").reset_index(drop=True),
         direct.sort_values("fid").reset_index(drop=True),
     )
+
+
+def test_weighted_rects_hand_computed(spark):
+    """2x2 grid of unit-value pixels; a rect covering exactly one half
+    of one pixel cell gets w_e6=500000 and the exact weighted mean."""
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators.zonal import zonal_weighted_rects
+
+    # pixels: centers (0.05,0.05),(0.15,0.05),(0.05,0.15),(0.15,0.15),
+    # vals 1..4 (cents 100..400)
+    px = spark.createDataFrame(
+        [(0.05, 0.05, 1.0), (0.15, 0.05, 2.0), (0.05, 0.15, 3.0), (0.15, 0.15, 4.0)],
+        "lon double, lat double, val double",
+    )
+    # zone = left half of the grid: full pixels 1 and 3
+    zones = spark.createDataFrame(
+        [(1, geo.box_wkb(0.0, 0.0, 0.1, 0.2)),
+         # half of every pixel (vertical middle band)
+         (2, geo.box_wkb(0.05, 0.0, 0.15, 0.2)),
+         (3, geo.box_wkb(0.5, 0.5, 0.7, 0.7))],  # disjoint
+        "fid long, geometry binary",
+    )
+    got = {r.fid: r for r in zonal_weighted_rects(zones, px).collect()}
+    assert got[1].w_e6_sum == 2_000_000
+    assert got[1].wmean_cents == 200  # mean(1,3) = 2.00
+    # zone 2: each of the 4 pixels half-covered → w=5e5 each, sum 2e6;
+    # weighted mean = mean(1,2,3,4) = 2.5
+    assert got[2].w_e6_sum == 2_000_000
+    assert got[2].wmean_cents == 250
+    assert got[3].w_e6_sum is None and got[3].wmean_cents is None
+
+
+def test_weighted_rects_rejects_non_rect(spark):
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators.zonal import zonal_weighted_rects
+
+    tri = geo.polygon_wkb([[(0, 0), (1, 0), (0, 1), (0, 0)]])
+    zones = spark.createDataFrame([(1, tri)], "fid long, geometry binary")
+    px = spark.createDataFrame([(0.05, 0.05, 1.0)], "lon double, lat double, val double")
+    with _pytest.raises(ValueError, match="not an.*rectangle|rectangle"):
+        zonal_weighted_rects(zones, px)
+
+
+def test_weighted_matches_clip_kernel_on_rects(spark):
+    """The closed-form weights equal the Sutherland-Hodgman clip kernel
+    on rectangles — the bridge to the general-polygon path."""
+    from sids_data_pipeline_spark.functions import geo
+
+    bounds = (0.13, 0.07, 0.52, 0.61)
+    wkb = geo.box_wkb(*bounds)
+    for cx in (0.0, 0.1, 0.4, 0.5):
+        for cy in (0.0, 0.3, 0.6):
+            x0, y0, x1, y1 = cx, cy, cx + 0.1, cy + 0.1
+            wx = max(0.0, min(bounds[2], x1) - max(bounds[0], x0))
+            wy = max(0.0, min(bounds[3], y1) - max(bounds[1], y0))
+            clip = geo.wkb_clip_box_area2(wkb, x0, y0, x1, y1) / 2.0
+            assert abs(clip - wx * wy) < 1e-12, (cx, cy)
