@@ -424,3 +424,79 @@ def zonal_weighted_rects(
         .join(agg, "fid", "left")
         .orderBy("fid")
     )
+
+
+def zonal_weighted(
+    zones: DataFrame,
+    pixels: DataFrame,
+    pixel_deg: float = 0.1,
+) -> DataFrame:
+    """Region-weighted zonal mean for ARBITRARY (Multi)Polygon zones:
+    per-pixel weight = area(cell ∩ zone) / cell area via the
+    Sutherland–Hodgman clip kernel (geo.clip_ring_box_area2). Same
+    output contract as :func:`zonal_weighted_rects` — (fid, w_e6_sum,
+    wmean_cents) — and identical results on rectangle zones
+    (property-tested), where the rect variant should be preferred for
+    its zero-Python plan.
+
+    Scale shape: a JVM bbox prefilter (broadcast zone bboxes) discards
+    the overwhelming majority of (zone, pixel) candidates before the
+    Arrow-batched kernel sees them, so Python touches only cells near
+    each zone's bbox — O(zone area / cell area) per zone, the same
+    bound as the containment kernel. Interior cells still clip (exact,
+    just not shortcut); a corner-containment fast path is the natural
+    next optimization and changes no results.
+    """
+    spark = zones.sparkSession
+    zrows = zones.select("fid", "geometry").collect()
+    bbox_rows = []
+    for r in zrows:
+        xmin, ymin, xmax, ymax = geo.wkb_bbox(bytes(r.geometry))
+        bbox_rows.append((r.fid, bytes(r.geometry), xmin, ymin, xmax, ymax))
+    zdf = spark.createDataFrame(
+        bbox_rows,
+        "fid long, geometry binary, zxmin double, zymin double, "
+        "zxmax double, zymax double",
+    )
+    h = pixel_deg / 2.0
+    inv = 1e6 / (pixel_deg * pixel_deg)
+    cand = pixels.crossJoin(F.broadcast(zdf)).filter(
+        (F.col("lon") + h > F.col("zxmin"))
+        & (F.col("lon") - h < F.col("zxmax"))
+        & (F.col("lat") + h > F.col("zymin"))
+        & (F.col("lat") - h < F.col("zymax"))
+    )
+
+    @F.pandas_udf("long")
+    def w_e6_udf(geom: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(geom), dtype=np.int64)
+        cache: dict[bytes, object] = {}
+        for i, (g, x, y) in enumerate(zip(geom, lon, lat)):
+            key = bytes(g)
+            polys = cache.get(key)
+            if polys is None:
+                polys = geo.parse_wkb(key)
+                cache[key] = polys
+            a2 = sum(
+                geo.clip_ring_box_area2(ring, x - h, y - h, x + h, y + h)
+                for poly in polys
+                for ring in poly
+            )
+            w = a2 / 2.0 * inv
+            out[i] = int(np.sign(w) * np.floor(abs(w) + 0.5))
+        return pd.Series(out)
+
+    weighted = (
+        cand.withColumn("_w", w_e6_udf("geometry", "lon", "lat"))
+        .filter(F.col("_w") > 0)
+        .withColumn("_vc", F.round(F.col("val") * 100, 0).cast("long"))
+    )
+    agg = weighted.groupBy("fid").agg(
+        F.sum("_w").alias("w_e6_sum"),
+        F.round(
+            F.sum(F.col("_w") * F.col("_vc")).cast("double") / F.sum("_w"), 0
+        )
+        .cast("long")
+        .alias("wmean_cents"),
+    )
+    return zdf.select("fid").join(agg, "fid", "left").orderBy("fid")

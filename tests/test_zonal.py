@@ -227,3 +227,44 @@ def test_weighted_matches_clip_kernel_on_rects(spark):
             wy = max(0.0, min(bounds[3], y1) - max(bounds[1], y0))
             clip = geo.wkb_clip_box_area2(wkb, x0, y0, x1, y1) / 2.0
             assert abs(clip - wx * wy) < 1e-12, (cx, cy)
+
+
+def test_weighted_general_matches_rect_variant(spark):
+    """On rectangle zones the clip-kernel path must equal the closed-form
+    rect path row for row."""
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators.zonal import (
+        zonal_weighted,
+        zonal_weighted_rects,
+    )
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster
+
+    zones = spark.createDataFrame(
+        [(1, geo.box_wkb(0.13, 0.07, 0.52, 0.61)),
+         (2, geo.box_wkb(0.33, 0.42, 0.78, 0.79))],
+        "fid long, geometry binary",
+    )
+    px = synthetic_raster(spark, "rast_gradient")
+    a = [(r.fid, r.w_e6_sum, r.wmean_cents)
+         for r in zonal_weighted_rects(zones, px).collect()]
+    b = [(r.fid, r.w_e6_sum, r.wmean_cents)
+         for r in zonal_weighted(zones, px).collect()]
+    assert a == b
+
+
+def test_weighted_triangle_area_conservation(spark):
+    """Σ weights × cell area must equal the triangle's area (it lies
+    fully inside the raster extent) — the property the pixel-center
+    approximation does NOT satisfy."""
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators.zonal import zonal_weighted
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster
+
+    tri = geo.polygon_wkb([[(0.1, 0.1), (1.3, 0.1), (0.1, 0.9), (0.1, 0.1)]])
+    zones = spark.createDataFrame([(1, tri)], "fid long, geometry binary")
+    px = synthetic_raster(spark, "rast_gradient")
+    row = zonal_weighted(zones, px).collect()[0]
+    # area = 0.5 * 1.2 * 0.8 = 0.48 deg²; cell = 0.01 deg² → Σw = 48 cells
+    # → w_e6_sum = 48e6 (up to per-cell rounding: ≤ 0.5e-6 each over ~140
+    # boundary cells)
+    assert abs(row.w_e6_sum - 48_000_000) <= 200
