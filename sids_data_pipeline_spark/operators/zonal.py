@@ -500,3 +500,67 @@ def zonal_weighted(
         .alias("wmean_cents"),
     )
     return zdf.select("fid").join(agg, "fid", "left").orderBy("fid")
+
+
+def zonal_touched_rects(
+    zones: DataFrame,
+    pixels: DataFrame,
+    pixel_deg: float = 0.1,
+) -> DataFrame:
+    """``all_touched`` zonal statistics for rectangle zones: a pixel
+    counts when its CELL overlaps the zone by at least 0.5 ppm of the
+    cell area (PostGIS/GDAL ``all_touched`` inclusivity — SURVEY §7's
+    promised option), not merely when its center falls inside.
+
+    The threshold is the SAME rounded integer-ppm weight the weighted
+    variant computes, not a raw ``> 0`` on the float overlap: a
+    zero-measure boundary touch evaluates to ±1-ulp-of-zero differently
+    across engines (Spark doubles vs DECIMAL literal arithmetic), while
+    the ppm rounding collapses both to 0 — determinism policy applied
+    to a predicate. Pure codegen. Output: (fid, n_pixels, mean_cents).
+    General polygons: filter ``zonal_weighted`` on ``_w > 0`` — same
+    kernel, unweighted aggregate."""
+    spark = zones.sparkSession
+    rows = zones.select("fid", "geometry").collect()
+    rects = []
+    for r in rows:
+        rect = geo.wkb_rect(bytes(r.geometry))
+        if rect is None:
+            raise ValueError(
+                f"zonal_touched_rects: zone fid={r.fid} is not an "
+                "axis-aligned rectangle; use zonal_weighted's kernel path"
+            )
+        rects.append((r.fid, *[float(v) for v in rect]))
+    rect_df = spark.createDataFrame(
+        rects, "fid long, xmin double, ymin double, xmax double, ymax double"
+    )
+    h = pixel_deg / 2.0
+    inv = 1e6 / (pixel_deg * pixel_deg)
+    wx = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("xmax"), F.col("lon") + h)
+        - F.greatest(F.col("xmin"), F.col("lon") - h),
+    )
+    wy = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("ymax"), F.col("lat") + h)
+        - F.greatest(F.col("ymin"), F.col("lat") - h),
+    )
+    w_e6 = F.round(wx * wy * F.lit(inv), 0).cast("long")
+    touched = pixels.crossJoin(F.broadcast(rect_df)).filter(w_e6 > 0)
+    agg = touched.groupBy("fid").agg(
+        F.count(F.lit(1)).alias("n_pixels"),
+        F.round(
+            F.sum(F.round(F.col("val") * 100, 0).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            0,
+        )
+        .cast("long")
+        .alias("mean_cents"),
+    )
+    return (
+        rect_df.select("fid")
+        .join(agg, "fid", "left")
+        .withColumn("n_pixels", F.coalesce("n_pixels", F.lit(0)))
+        .orderBy("fid")
+    )

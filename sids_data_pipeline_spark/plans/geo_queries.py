@@ -1059,7 +1059,56 @@ FROM (
     )
 
 
+def _zonal_touched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """all_touched inclusivity (SURVEY §7): every cell with positive
+    overlap counts, unweighted — compare n_pixels with the center-rule
+    count on the same non-aligned rects."""
+    from sids_data_pipeline_spark.operators.zonal import zonal_touched_rects
+
+    zones = spark.createDataFrame(
+        [(fid, geo.box_wkb(*bounds)) for fid, bounds in _WEIGHTED_RECTS],
+        "fid long, geometry binary",
+    )
+    pixels = synthetic_raster(spark, "rast_gradient")
+    return zonal_touched_rects(zones, pixels, pixel_deg=0.1)
+
+
+def _zonal_touched_sql() -> str:
+    # same rounded ppm-weight predicate as the engine (a raw > 0 on the
+    # float overlap diverges on zero-measure touches: DuckDB decimal
+    # literals vs Spark doubles disagree by one ulp at cell boundaries)
+    h, inv = 0.05, 1e6 / (0.1 * 0.1)
+    arms = []
+    for fid, (xmin, ymin, xmax, ymax) in _WEIGHTED_RECTS:
+        w = (
+            f"CAST(ROUND("
+            f"GREATEST(0.0, LEAST({xmax!r}, lon + {h!r}) - GREATEST({xmin!r}, lon - {h!r}))"
+            f" * GREATEST(0.0, LEAST({ymax!r}, lat + {h!r}) - GREATEST({ymin!r}, lat - {h!r}))"
+            f" * {inv!r}) AS BIGINT)"
+        )
+        arms.append(f"""
+SELECT {fid} AS fid, COUNT(*) AS n_pixels,
+       CAST(ROUND(CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS DOUBLE)
+                  / COUNT(*)) AS BIGINT) AS mean_cents
+FROM px WHERE {w} > 0""")
+    return (
+        f"WITH {_px_cte('rast_gradient')}\n"
+        + "SELECT * FROM ("
+        + "\nUNION ALL\n".join(arms)
+        + ") u ORDER BY fid"
+    )
+
+
 QUERIES: list[Query] = [
+    Query(
+        "zonal_all_touched",
+        _zonal_touched,
+        _zonal_touched_sql(),
+        doc="all_touched zonal stats (positive-overlap inclusivity, "
+            "PostGIS/GDAL convention) for rect zones — pure-codegen "
+            "predicate, SURVEY section-7 option delivered",
+        tags=("geo", "zonal", "aggregate"),
+    ),
     Query(
         "zonal_weighted_mean",
         _zonal_weighted,

@@ -268,3 +268,27 @@ def test_weighted_triangle_area_conservation(spark):
     # → w_e6_sum = 48e6 (up to per-cell rounding: ≤ 0.5e-6 each over ~140
     # boundary cells)
     assert abs(row.w_e6_sum - 48_000_000) <= 200
+
+
+def test_all_touched_superset_of_center_rule(spark):
+    """all_touched must count at least as many pixels as the center rule,
+    strictly more when a zone edge cuts through cells."""
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators.zonal import zonal_touched_rects
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster
+
+    bounds = (0.13, 0.07, 0.52, 0.61)
+    zones = spark.createDataFrame(
+        [(1, geo.box_wkb(*bounds))], "fid long, geometry binary"
+    )
+    px = synthetic_raster(spark, "rast_gradient")
+    touched = zonal_touched_rects(zones, px).collect()[0]
+    # center rule: centers at 0.05+0.1i strictly inside (0.13,0.52)x(0.07,0.61)
+    n_center = px.filter(
+        (px.lon > bounds[0]) & (px.lon < bounds[2])
+        & (px.lat > bounds[1]) & (px.lat < bounds[3])
+    ).count()
+    assert touched.n_pixels > n_center
+    # touched cells: lon-h < 0.52 and lon+h > 0.13 → centers in (0.08, 0.57)
+    # → i in {1..5} (0.15..0.55); lat centers in (0.02, 0.66) → j in {0..6}
+    assert touched.n_pixels == 5 * 7
