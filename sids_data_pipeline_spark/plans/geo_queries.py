@@ -328,6 +328,39 @@ def _geotiff_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geotiff_datasource_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 through the Spark 4 Python DataSource API: the codec as a
+    planner-integrated format (`spark.read.format("geotiff")`), one
+    source partition per file. Same lattice oracle as the mapInPandas
+    ingest path — the two scan styles must be value-identical."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+    from sids_data_pipeline_spark.sources.geotiff_datasource import register
+
+    n = GRID_N
+    y, x = np.mgrid[0:n, 0:n]
+    arr = (x + n * y).astype("float64")
+    work = tempfile.mkdtemp(prefix="sdp_tiffds_")
+    data = encode_geotiff(
+        arr, origin_x=0.0, origin_y=n * 0.1, pixel_deg=0.1,
+        compress="zstd", tile=128,
+    )
+    with open(os.path.join(work, "rast_gradient.tif"), "wb") as f:
+        f.write(data)
+    register(spark)
+    px = spark.read.format("geotiff").option("band", "1").load(work + "/*.tif")
+    return px.select(
+        "raster_id", "band", "y", "x",
+        F.round("lon", 9).alias("lon"),
+        F.round("lat", 9).alias("lat"),
+        "val",
+    )
+
+
 def _geotiff_ingest_sql() -> str:
     n = GRID_N
     return f"""
@@ -1161,6 +1194,15 @@ QUERIES: list[Query] = [
         _geotiff_ingest_sql(),
         doc="S5: ZSTD+tiled GeoTIFF (reference profile) → distributed "
             "pixel ingest, lattice-oracle-verified",
+        tags=("geo", "source"),
+    ),
+    Query(
+        "source_geotiff_datasource",
+        _geotiff_datasource_query,
+        _geotiff_ingest_sql(),
+        doc="S5 via the Spark 4 Python DataSource API: geotiff as a "
+            "registered format, one planned partition per file, Arrow "
+            "batches executor-side; value-identical to the ingest path",
         tags=("geo", "source"),
     ),
     Query(

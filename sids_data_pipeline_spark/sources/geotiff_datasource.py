@@ -1,0 +1,99 @@
+"""GeoTIFF as a first-class Spark data source (Spark 4 Python
+DataSource API): ``spark.read.format("geotiff").load(glob)``.
+
+This is the idiomatic-Spark face of S5 (SURVEY.md §2a): instead of the
+two-step binaryFile → mapInPandas composition (:func:`geotiff.ingest_
+geotiff`, kept as the pipeline-internal path), the codec plugs into the
+planner itself — the source reports its schema, plans one input
+partition per raster file at the driver (a listing, no decode), and each
+executor partition decodes only its own file via the pure-numpy codec
+and streams Arrow batches back. Registration is per-session::
+
+    from sids_data_pipeline_spark.sources.geotiff_datasource import register
+    register(spark)
+    px = spark.read.format("geotiff").option("band", "1").load("/data/*.tif")
+
+Scale shape: partition planning is O(files) driver-side metadata; decode
+is executor-side and embarrassingly parallel per file (the reference's
+per-file multiprocessing Pool, utils.py:47-57, recast as source
+partitions). Sub-file (tile-strip) partitions are the natural extension
+for multi-GB rasters — the planner hook is already per-partition.
+
+Matches reference ``batch/processing/raster.py:22-38`` (per-file GDAL
+standardization) as a declarative scan.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from sids_data_pipeline_spark.schemas import PIXELS
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, band: int):
+        self.path = path
+        self.band = band
+
+
+class GeoTiffReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("geotiff source requires a load(path) glob")
+        self._band = int(options.get("band", 1))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        paths = sorted(_glob.glob(self._path))
+        if not paths:
+            raise FileNotFoundError(f"geotiff: no files match {self._path!r}")
+        return [_FilePartition(p, self._band) for p in paths]
+
+    def read(self, partition: _FilePartition) -> Iterator[tuple]:
+        import numpy as np
+        import pyarrow as pa
+
+        from sids_data_pipeline_spark.sources.geotiff import decode_geotiff
+
+        with open(partition.path, "rb") as f:
+            values, (ox, oy, sx, sy), nodata = decode_geotiff(f.read())
+        h, w = values.shape
+        yy, xx = np.mgrid[0:h, 0:w]
+        vals = values.ravel().astype("float64")
+        if nodata is not None:
+            vals = np.where(vals == nodata, np.nan, vals)
+        stem = os.path.basename(partition.path).rsplit(".", 1)[0]
+        xs = xx.ravel()
+        ys = yy.ravel()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "raster_id": np.repeat(stem, h * w),
+                "band": np.full(h * w, partition.band, dtype="int32"),
+                "y": ys.astype("int32"),
+                "x": xs.astype("int32"),
+                "lon": ox + (xs + 0.5) * sx,
+                "lat": oy - (ys + 0.5) * sy,
+                "val": vals,
+            }
+        )
+
+
+class GeoTiffDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "geotiff"
+
+    def schema(self):
+        return PIXELS
+
+    def reader(self, schema) -> GeoTiffReader:
+        return GeoTiffReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration of the ``geotiff`` format."""
+    spark.dataSource.register(GeoTiffDataSource)

@@ -264,3 +264,37 @@ def test_export_geotiff_reference_profile(spark, gradient_array):
     out = geotiff.export_geotiff(pixels, compress="zstd", tile=128).collect()
     values, _, _ = geotiff.decode_geotiff(bytes(out[0].tiff))
     assert np.array_equal(values[::-1], gradient_array)
+
+
+def test_geotiff_datasource_partitions_per_file(spark, tmp_path):
+    """The registered format plans one partition per raster file and
+    matches the mapInPandas ingest path row-for-row."""
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources.geotiff import (
+        encode_geotiff,
+        ingest_geotiff,
+    )
+    from sids_data_pipeline_spark.sources.geotiff_datasource import register
+
+    for stem, base in (("a", 0.0), ("b", 100.0)):
+        arr = (np.arange(16, dtype="float64") + base).reshape(4, 4)
+        (tmp_path / f"{stem}.tif").write_bytes(
+            encode_geotiff(arr, origin_x=0.0, origin_y=0.4, pixel_deg=0.1)
+        )
+    register(spark)
+    ds = spark.read.format("geotiff").load(str(tmp_path / "*.tif"))
+    assert ds.rdd.getNumPartitions() == 2
+    got = sorted(
+        (r.raster_id, r.x, r.y, r.val) for r in ds.collect()
+    )
+    want = sorted(
+        (r.raster_id, r.x, r.y, r.val)
+        for r in ingest_geotiff(spark, str(tmp_path / "*.tif")).collect()
+    )
+    assert got == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no files match"):
+        spark.read.format("geotiff").load(str(tmp_path / "nope-*.tif")).collect()
