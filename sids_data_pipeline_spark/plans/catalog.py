@@ -83,7 +83,10 @@ from sids_data_pipeline_spark.plans.base import Query
 # sql_large_volume_customer, sql_waiting_suppliers, sql_sales_opportunity,
 # layout_bucketed_join, graph_triangles, text_boilerplate,
 # corpus_length_buckets, column_mad, join_asof_forward, join_asof_nearest,
-# streaming_sessions.
+# streaming_sessions, streaming_enrich, corpus_bpe_train,
+# geo_zone_metrics, zonal_weighted_mean, zonal_all_touched,
+# source_geotiff_datasource, sql_order_priority, sql_volume_shipping,
+# sql_market_share, sql_promo_revenue, sql_top_supplier, sql_or_bands.
 PRIORITY: tuple[str, ...] = (
     # — never-driver-verified head (selfcheck-green, rotating in for r6) —
     "crs_reproject_lcc",
