@@ -183,7 +183,14 @@ def _asof_window(
                 .otherwise(F.col("_mf")),
             )
         )
-    matched = matched.filter(F.col("_side") == 1)
+    # A NULL left timestamp satisfies no ts-inequality, so it must match
+    # nothing. Backward gets this for free (the NULLS-FIRST row's trailing
+    # frame holds only other NULL rows), but in the LEADING frame a NULL
+    # left ts sorts before everything and would grab the key's earliest
+    # right payload — null it out explicitly for every direction.
+    matched = matched.filter(F.col("_side") == 1).withColumn(
+        "_m", F.when(F.col(ts_col).isNull(), null_payload).otherwise(F.col("_m"))
+    )
     return matched.select(
         *left_names,
         *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols],

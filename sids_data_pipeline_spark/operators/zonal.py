@@ -348,6 +348,46 @@ def zonal_stats(
     return out.orderBy("vector_id", "raster_id", "fid")
 
 
+def _collect_rects(zones: DataFrame, op_name: str):
+    """Driver-side rect extraction shared by the weighted/touched rect
+    operators (dimension-sized zones, same contract as the broadcast
+    strategy): (fid, xmin, ymin, xmax, ymax) rows, raising on any
+    non-rectangle geometry."""
+    rows = zones.select("fid", "geometry").collect()
+    rects = []
+    for r in rows:
+        rect = geo.wkb_rect(bytes(r.geometry))
+        if rect is None:
+            raise ValueError(
+                f"{op_name}: zone fid={r.fid} is not an axis-aligned "
+                "rectangle; use the clip kernel path (zonal_weighted)"
+            )
+        rects.append((r.fid, *[float(v) for v in rect]))
+    return zones.sparkSession.createDataFrame(
+        rects, "fid long, xmin double, ymin double, xmax double, ymax double"
+    )
+
+
+def _overlap_w_e6(pixel_deg: float) -> Column:
+    """Closed-form pixel-cell ∩ rect overlap weight in integer ppm of a
+    cell — THE weight expression of the rect zonal family (weighted
+    aggregate, all_touched predicate, and both generated SQL oracles
+    mirror it term for term)."""
+    h = pixel_deg / 2.0
+    inv = 1e6 / (pixel_deg * pixel_deg)
+    wx = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("xmax"), F.col("lon") + h)
+        - F.greatest(F.col("xmin"), F.col("lon") - h),
+    )
+    wy = F.greatest(
+        F.lit(0.0),
+        F.least(F.col("ymax"), F.col("lat") + h)
+        - F.greatest(F.col("ymin"), F.col("lat") - h),
+    )
+    return F.round(wx * wy * F.lit(inv), 0).cast("long")
+
+
 def zonal_weighted_rects(
     zones: DataFrame,
     pixels: DataFrame,
@@ -377,33 +417,8 @@ def zonal_weighted_rects(
 
     Output: (fid, w_e6_sum, wmean_cents) — empty zones keep NULLs.
     """
-    spark = zones.sparkSession
-    rows = zones.select("fid", "geometry").collect()
-    rects = []
-    for r in rows:
-        rect = geo.wkb_rect(bytes(r.geometry))
-        if rect is None:
-            raise ValueError(
-                f"zonal_weighted_rects: zone fid={r.fid} is not an "
-                "axis-aligned rectangle; use the clip kernel path"
-            )
-        rects.append((r.fid, *[float(v) for v in rect]))
-    rect_df = spark.createDataFrame(
-        rects, "fid long, xmin double, ymin double, xmax double, ymax double"
-    )
-    h = pixel_deg / 2.0
-    inv = 1e6 / (pixel_deg * pixel_deg)  # cell-area normalizer (exact twin in SQL)
-    wx = F.greatest(
-        F.lit(0.0),
-        F.least(F.col("xmax"), F.col("lon") + h)
-        - F.greatest(F.col("xmin"), F.col("lon") - h),
-    )
-    wy = F.greatest(
-        F.lit(0.0),
-        F.least(F.col("ymax"), F.col("lat") + h)
-        - F.greatest(F.col("ymin"), F.col("lat") - h),
-    )
-    w_e6 = F.round(wx * wy * F.lit(inv), 0).cast("long")
+    rect_df = _collect_rects(zones, "zonal_weighted_rects")
+    w_e6 = _overlap_w_e6(pixel_deg)
     val_cents = F.round(F.col("val") * 100, 0).cast("long")
     weighted = (
         pixels.crossJoin(F.broadcast(rect_df))
@@ -520,34 +535,10 @@ def zonal_touched_rects(
     to a predicate. Pure codegen. Output: (fid, n_pixels, mean_cents).
     General polygons: filter ``zonal_weighted`` on ``_w > 0`` — same
     kernel, unweighted aggregate."""
-    spark = zones.sparkSession
-    rows = zones.select("fid", "geometry").collect()
-    rects = []
-    for r in rows:
-        rect = geo.wkb_rect(bytes(r.geometry))
-        if rect is None:
-            raise ValueError(
-                f"zonal_touched_rects: zone fid={r.fid} is not an "
-                "axis-aligned rectangle; use zonal_weighted's kernel path"
-            )
-        rects.append((r.fid, *[float(v) for v in rect]))
-    rect_df = spark.createDataFrame(
-        rects, "fid long, xmin double, ymin double, xmax double, ymax double"
+    rect_df = _collect_rects(zones, "zonal_touched_rects")
+    touched = pixels.crossJoin(F.broadcast(rect_df)).filter(
+        _overlap_w_e6(pixel_deg) > 0
     )
-    h = pixel_deg / 2.0
-    inv = 1e6 / (pixel_deg * pixel_deg)
-    wx = F.greatest(
-        F.lit(0.0),
-        F.least(F.col("xmax"), F.col("lon") + h)
-        - F.greatest(F.col("xmin"), F.col("lon") - h),
-    )
-    wy = F.greatest(
-        F.lit(0.0),
-        F.least(F.col("ymax"), F.col("lat") + h)
-        - F.greatest(F.col("ymin"), F.col("lat") - h),
-    )
-    w_e6 = F.round(wx * wy * F.lit(inv), 0).cast("long")
-    touched = pixels.crossJoin(F.broadcast(rect_df)).filter(w_e6 > 0)
     agg = touched.groupBy("fid").agg(
         F.count(F.lit(1)).alias("n_pixels"),
         F.round(

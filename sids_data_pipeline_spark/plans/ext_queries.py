@@ -220,6 +220,8 @@ def _streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from sids_data_pipeline_spark.streaming.jobs import run_available_now
+
     work = tempfile.mkdtemp(prefix="sdp_stream_enrich_")
     stream = _stage_events_stream(spark, sf_dir, work)
     (customer,) = tables(spark, sf_dir, "customer")
@@ -235,15 +237,7 @@ def _streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"sdp_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_available_now(enriched, name, os.path.join(work, "ckpt"))
     return spark.table(name)
 
 
@@ -268,21 +262,19 @@ def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from sids_data_pipeline_spark.streaming.jobs import session_windows_stream
+    from sids_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        session_windows_stream,
+    )
 
     work = tempfile.mkdtemp(prefix="sdp_stream_sess_")
     stream = _stage_events_stream(spark, sf_dir, work)
     name = f"sdp_sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        session_windows_stream(stream, "30 minutes", "1 hour")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    run_available_now(
+        session_windows_stream(stream, "30 minutes", "1 hour"),
+        name,
+        os.path.join(work, "ckpt"),
     )
-    q.awaitTermination()
     return spark.table(name)
 
 

@@ -1069,18 +1069,14 @@ def _zonal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zonal_weighted_sql() -> str:
-    h, inv = 0.05, 1e6 / (0.1 * 0.1)
     arms = []
-    for fid, (xmin, ymin, xmax, ymax) in _WEIGHTED_RECTS:
+    for fid, bounds in _WEIGHTED_RECTS:
         arms.append(f"""
 SELECT {fid} AS fid, CAST(SUM(w_e6) AS BIGINT) AS w_e6_sum,
        CAST(ROUND(CAST(SUM(w_e6 * val_cents) AS DOUBLE) / SUM(w_e6))
             AS BIGINT) AS wmean_cents
 FROM (
-  SELECT CAST(ROUND(
-           GREATEST(0.0, LEAST({xmax!r}, lon + {h!r}) - GREATEST({xmin!r}, lon - {h!r}))
-         * GREATEST(0.0, LEAST({ymax!r}, lat + {h!r}) - GREATEST({ymin!r}, lat - {h!r}))
-         * {inv!r}) AS BIGINT) AS w_e6,
+  SELECT {_o_rect_w(bounds)} AS w_e6,
          CAST(ROUND(val * 100) AS BIGINT) AS val_cents
   FROM px
 ) t WHERE w_e6 > 0""")
@@ -1089,6 +1085,18 @@ FROM (
         + "SELECT * FROM ("
         + "\nUNION ALL\n".join(arms)
         + ") u ORDER BY fid"
+    )
+
+
+def _o_rect_w(bounds: tuple[float, float, float, float],
+              h: float = 0.05, inv: float = 1e6 / (0.1 * 0.1)) -> str:
+    """SQL twin of operators.zonal._overlap_w_e6 for one literal rect."""
+    xmin, ymin, xmax, ymax = bounds
+    return (
+        f"CAST(ROUND("
+        f"GREATEST(0.0, LEAST({xmax!r}, lon + {h!r}) - GREATEST({xmin!r}, lon - {h!r}))"
+        f" * GREATEST(0.0, LEAST({ymax!r}, lat + {h!r}) - GREATEST({ymin!r}, lat - {h!r}))"
+        f" * {inv!r}) AS BIGINT)"
     )
 
 
@@ -1110,20 +1118,13 @@ def _zonal_touched_sql() -> str:
     # same rounded ppm-weight predicate as the engine (a raw > 0 on the
     # float overlap diverges on zero-measure touches: DuckDB decimal
     # literals vs Spark doubles disagree by one ulp at cell boundaries)
-    h, inv = 0.05, 1e6 / (0.1 * 0.1)
     arms = []
-    for fid, (xmin, ymin, xmax, ymax) in _WEIGHTED_RECTS:
-        w = (
-            f"CAST(ROUND("
-            f"GREATEST(0.0, LEAST({xmax!r}, lon + {h!r}) - GREATEST({xmin!r}, lon - {h!r}))"
-            f" * GREATEST(0.0, LEAST({ymax!r}, lat + {h!r}) - GREATEST({ymin!r}, lat - {h!r}))"
-            f" * {inv!r}) AS BIGINT)"
-        )
+    for fid, bounds in _WEIGHTED_RECTS:
         arms.append(f"""
 SELECT {fid} AS fid, COUNT(*) AS n_pixels,
        CAST(ROUND(CAST(SUM(CAST(ROUND(val * 100) AS BIGINT)) AS DOUBLE)
                   / COUNT(*)) AS BIGINT) AS mean_cents
-FROM px WHERE {w} > 0""")
+FROM px WHERE {_o_rect_w(bounds)} > 0""")
     return (
         f"WITH {_px_cte('rast_gradient')}\n"
         + "SELECT * FROM ("

@@ -802,6 +802,21 @@ def _sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RETURNED_ITEMS_SQL)
 
 
+def _sql_front_door(sql: str, *tabs: str):
+    """Build a catalog callable running the same ANSI text through
+    spark.sql — the pattern every TPC-H shape entry shares."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sids_data_pipeline_spark.sources.tables import load_table
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        for t in tabs:
+            load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+        return spark.sql(sql)
+
+    return run
+
+
 # TPC-H Q13 shape (customer order distribution): the left-outer-join-
 # with-ON-filter + double aggregation pattern. COUNT(o_orderkey) counts
 # matches only (NULL-skipping), so no-order customers land in c_count=0.
@@ -821,18 +836,8 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
-def _sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 shape through the SQL front door (same ANSI text in
-    both engines). Reference parity: the reference has no SQL surface at
-    all (its queries are hand-rolled pandas/PostGIS calls); this catalog
-    entry exists because SURVEY.md §2 commits the engine to a full SQL
-    front door."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("customer", "orders"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_CUSTOMER_DISTRIBUTION_SQL)
+# Q13: same ANSI text both engines; semantics documented on the SQL + Query entry.
+_sql_customer_distribution = _sql_front_door(_CUSTOMER_DISTRIBUTION_SQL, 'customer', 'orders')
 
 
 # TPC-H Q17 shape (small-quantity-order revenue), decorrelated the way
@@ -860,17 +865,8 @@ WHERE p_brand = 'Brand#1'
 """
 
 
-def _sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q17 shape: per-part average threshold (exact-integer form)
-    feeding a selective fact filter. The per-part aggregate and the fact
-    join share the l_partkey key, so AQE plans one shuffle + broadcast of
-    the filtered part dim."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("lineitem", "part"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_SMALL_QTY_REVENUE_SQL)
+# Q17: per-part average threshold in exact integers (see SQL comment).
+_sql_small_qty_revenue = _sql_front_door(_SMALL_QTY_REVENUE_SQL, 'lineitem', 'part')
 
 
 # TPC-H Q18 shape (large-volume customers): IN over a grouped HAVING
@@ -892,17 +888,8 @@ LIMIT 20
 """
 
 
-def _sql_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: IN (GROUP BY … HAVING) semi-join against the
-    fact's own aggregate, then the 3-table join re-aggregates the
-    surviving orders. Two shuffles on l_orderkey back-to-back — AQE
-    reuses the exchange."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("customer", "orders", "lineitem"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_LARGE_VOLUME_SQL)
+# Q18: IN (GROUP BY ... HAVING) semi-join + re-aggregation.
+_sql_large_volume_customer = _sql_front_door(_LARGE_VOLUME_SQL, 'customer', 'orders', 'lineitem')
 
 
 # TPC-H Q21 shape (suppliers who kept waiting), adapted to the fixture's
@@ -932,17 +919,8 @@ LIMIT 20
 """
 
 
-def _sql_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q21 shape: correlated EXISTS (left-semi) and NOT EXISTS
-    (left-anti) against the same fact table it scans — the hardest of
-    the classic subquery decorrelations. Both rewrites key on
-    l_orderkey, so all three lineitem scans share one shuffle key."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("supplier", "lineitem", "orders", "nation"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_WAITING_SUPPLIERS_SQL)
+# Q21: correlated EXISTS + NOT EXISTS on one shuffle key.
+_sql_waiting_suppliers = _sql_front_door(_WAITING_SUPPLIERS_SQL, 'supplier', 'lineitem', 'orders', 'nation')
 
 
 # TPC-H Q22 shape (global sales opportunity), fixture-adapted: country
@@ -973,16 +951,8 @@ ORDER BY cntrycode
 """
 
 
-def _sql_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q22 shape: uncorrelated scalar aggregate (broadcast single
-    row) + correlated NOT EXISTS anti-join + substring-derived group
-    key."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("customer", "orders"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_SALES_OPPORTUNITY_SQL)
+# Q22: uncorrelated scalar aggregate + NOT EXISTS anti-join.
+_sql_sales_opportunity = _sql_front_door(_SALES_OPPORTUNITY_SQL, 'customer', 'orders')
 
 
 # TPC-H Q4 shape (order-priority checking), fixture-adapted: the
@@ -1102,21 +1072,6 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
        AND l_quantity BETWEEN 20 AND 30)
 """
-
-
-def _sql_front_door(sql: str, *tabs: str):
-    """Build a catalog callable running the same ANSI text through
-    spark.sql — the pattern every TPC-H shape entry shares."""
-
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from sids_data_pipeline_spark.sources.tables import load_table
-
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        for t in tabs:
-            load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-        return spark.sql(sql)
-
-    return run
 
 
 _sql_order_priority = _sql_front_door(_ORDER_PRIORITY_SQL, "orders", "lineitem")

@@ -46,6 +46,13 @@ class GeoTiffReader(DataSourceReader):
         if not self._path:
             raise ValueError("geotiff source requires a load(path) glob")
         self._band = int(options.get("band", 1))
+        if self._band != 1:
+            # the codec decodes single-band files; a silently mislabeled
+            # band column would be worse than refusing
+            raise ValueError(
+                "geotiff source supports band=1 only (single-band codec); "
+                f"got band={self._band}"
+            )
 
     def partitions(self) -> Sequence[InputPartition]:
         paths = sorted(_glob.glob(self._path))

@@ -305,3 +305,29 @@ def test_asof_directions_match_pandas_randomized(spark):
             for r in want_df.itertuples()
         }
         assert got == want, direction
+
+
+def test_null_left_ts_matches_nothing_every_direction(spark):
+    """A NULL left timestamp satisfies no ts-inequality — it must keep a
+    NULL match in every direction (the leading-frame forms would
+    otherwise grab the key's earliest right payload)."""
+    from sids_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 25.0)], "lid long, k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [("a", 10.0, 100), ("a", 30.0, 200)], "k string, ts double, payload long"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: r.payload_right
+            for r in asof_join(
+                left, right, by="k", ts_col="ts",
+                right_cols=("payload",), direction=direction,
+            ).collect()
+        }
+        assert got[1] is None, direction
+        # ts=25: backward → 10 (payload 100); forward → 30 (200);
+        # nearest → 30 (distance 5 beats 15)
+        assert got[2] == (100 if direction == "backward" else 200), direction

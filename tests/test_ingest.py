@@ -298,3 +298,23 @@ def test_geotiff_datasource_partitions_per_file(spark, tmp_path):
 
     with _pytest.raises(Exception, match="no files match"):
         spark.read.format("geotiff").load(str(tmp_path / "nope-*.tif")).collect()
+
+
+def test_geotiff_datasource_rejects_band_selection(spark, tmp_path):
+    """band != 1 must refuse rather than mislabel single-band pixels."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+    from sids_data_pipeline_spark.sources.geotiff_datasource import register
+
+    (tmp_path / "one.tif").write_bytes(
+        encode_geotiff(
+            np.zeros((2, 2)), origin_x=0.0, origin_y=0.2, pixel_deg=0.1
+        )
+    )
+    register(spark)
+    with _pytest.raises(Exception, match="band=1 only"):
+        spark.read.format("geotiff").option("band", "2").load(
+            str(tmp_path / "*.tif")
+        ).collect()
