@@ -817,6 +817,66 @@ def _sql_front_door(sql: str, *tabs: str):
     return run
 
 
+# TPC-H Q9 shape (product type profit), fixture-adapted: the fixture has
+# no partsupp, so supply cost is proxied as 0.8 × retail price per unit.
+# Profit rounds to cents PER LINE (one double expression, identical text
+# both engines) before the BIGINT sum — order-free.
+_PRODUCT_PROFIT_SQL = """
+SELECT nation, o_year, CAST(SUM(amount_cents) AS BIGINT) AS profit_cents
+FROM (
+  SELECT n_name AS nation,
+         EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         CAST(ROUND((l_extendedprice * (1 - l_discount)
+                     - p_retailprice * 0.8 * l_quantity) * 100) AS BIGINT)
+           AS amount_cents
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) t
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+# TPC-H Q11 shape (important stock identification), fixture-adapted:
+# lineitem revenue stands in for partsupp stock value. The classic
+# HAVING SUM > fraction × (scalar subquery over the SAME aggregate) is
+# restated exactly in integers: value × 500 > total ⇔ value > 0.2% of
+# total — no float fraction, no ulp ambiguity at the cut.
+_IMPORTANT_STOCK_SQL = """
+WITH ps AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents
+FROM ps
+WHERE value_cents * 500 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM ps)
+ORDER BY value_cents DESC, l_partkey
+"""
+
+# TPC-H Q16 shape (parts/supplier relationship), fixture-adapted: the
+# observed (part, supplier) pairs in lineitem stand in for partsupp;
+# negative-balance suppliers play the complaints exclusion (null-aware
+# NOT IN anti-join).
+_PART_SUPPLIER_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 14, 19, 23)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
 # TPC-H Q13 shape (customer order distribution): the left-outer-join-
 # with-ON-filter + double aggregation pattern. COUNT(o_orderkey) counts
 # matches only (NULL-skipping), so no-order customers land in c_count=0.
@@ -835,6 +895,14 @@ GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
 
+
+_sql_product_profit = _sql_front_door(
+    _PRODUCT_PROFIT_SQL, "part", "lineitem", "supplier", "orders", "nation"
+)
+_sql_important_stock = _sql_front_door(
+    _IMPORTANT_STOCK_SQL, "lineitem", "supplier", "nation"
+)
+_sql_part_supplier = _sql_front_door(_PART_SUPPLIER_SQL, "lineitem", "part", "supplier")
 
 # Q13: same ANSI text both engines; semantics documented on the SQL + Query entry.
 _sql_customer_distribution = _sql_front_door(_CUSTOMER_DISTRIBUTION_SQL, 'customer', 'orders')
@@ -1704,5 +1772,29 @@ QUERIES: list[Query] = [
         doc="TPC-H Q19 shape: OR-of-ANDs brand/quantity bands over the "
             "equi-join",
         tags=("sql", "join", "filter", "aggregate"),
+    ),
+    Query(
+        "sql_product_profit",
+        _sql_product_profit,
+        _PRODUCT_PROFIT_SQL,
+        doc="TPC-H Q9 shape: profit per supplier-nation and year "
+            "(per-line cents rounding, cost proxied from retail price)",
+        tags=("sql", "join", "aggregate"),
+    ),
+    Query(
+        "sql_important_stock",
+        _sql_important_stock,
+        _IMPORTANT_STOCK_SQL,
+        doc="TPC-H Q11 shape: grouped value vs fraction-of-global scalar "
+            "subquery, integer-exact cut",
+        tags=("sql", "subquery", "aggregate"),
+    ),
+    Query(
+        "sql_part_supplier",
+        _sql_part_supplier,
+        _PART_SUPPLIER_SQL,
+        doc="TPC-H Q16 shape: distinct-supplier counts per part attrs "
+            "with null-aware NOT IN exclusion",
+        tags=("sql", "join", "subquery", "aggregate"),
     ),
 ]
