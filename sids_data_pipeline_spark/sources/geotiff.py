@@ -313,6 +313,42 @@ def encode_geotiff(
     return b"".join(out)
 
 
+def encode_pixel_group(
+    pdf: "pd.DataFrame",
+    nodata: float = -9999.0,
+    compress: str | None = None,
+    tile: int | None = None,
+) -> bytes:
+    """One raster's long-format pixel rows → encoded GeoTIFF bytes.
+    Shared by the applyInPandas sink (:func:`export_geotiff`) and the
+    registered write-path data source (geotiff_datasource).
+
+    Places rows/cols by COORDINATE order, not by y/x index convention:
+    ingest_geotiff's y grows southward while synthetic_raster's grows
+    northward, so indexing by y would vertically flip one of them.
+    TIFF row 0 = northernmost lat; col 0 = westernmost lon. Pixel size
+    and upper-left origin are inferred from the centre lattice; NULLs
+    encode as the nodata sentinel."""
+    y_lat = pdf.groupby("y")["lat"].first().sort_values(ascending=False)
+    x_lon = pdf.groupby("x")["lon"].first().sort_values()
+    h, w = len(y_lat), len(x_lon)
+    sx = float(pdf["lon"].max() - pdf["lon"].min()) / max(w - 1, 1) if w > 1 else 1.0
+    sy = float(pdf["lat"].max() - pdf["lat"].min()) / max(h - 1, 1) if h > 1 else 1.0
+    origin_x = float(pdf["lon"].min()) - sx / 2.0
+    origin_y = float(pdf["lat"].max()) + sy / 2.0
+    grid = np.full((h, w), nodata, dtype="float64")
+    yi = pd.Series(np.arange(h), index=y_lat.index)
+    xi = pd.Series(np.arange(w), index=x_lon.index)
+    vals = pdf["val"].to_numpy(dtype="float64")
+    grid[yi[pdf["y"]].to_numpy(), xi[pdf["x"]].to_numpy()] = np.where(
+        np.isnan(vals), nodata, vals
+    )
+    return encode_geotiff(
+        grid, origin_x, origin_y, sx, nodata=nodata, pixel_deg_y=sy,
+        compress=compress, tile=tile,
+    )
+
+
 def export_geotiff(
     pixels: DataFrame,
     nodata: float = -9999.0,
@@ -333,29 +369,7 @@ def export_geotiff(
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         rid = pdf["raster_id"].iloc[0]
-        # Place rows/cols by COORDINATE order, not by y/x index convention:
-        # ingest_geotiff's y grows southward while synthetic_raster's grows
-        # northward, so indexing by y would vertically flip one of them.
-        # TIFF row 0 = northernmost lat; col 0 = westernmost lon.
-        y_lat = pdf.groupby("y")["lat"].first().sort_values(ascending=False)
-        x_lon = pdf.groupby("x")["lon"].first().sort_values()
-        h, w = len(y_lat), len(x_lon)
-        # infer pixel size and upper-left origin from the centre lattice
-        sx = float(pdf["lon"].max() - pdf["lon"].min()) / max(w - 1, 1) if w > 1 else 1.0
-        sy = float(pdf["lat"].max() - pdf["lat"].min()) / max(h - 1, 1) if h > 1 else 1.0
-        origin_x = float(pdf["lon"].min()) - sx / 2.0
-        origin_y = float(pdf["lat"].max()) + sy / 2.0
-        grid = np.full((h, w), nodata, dtype="float64")
-        yi = pd.Series(np.arange(h), index=y_lat.index)
-        xi = pd.Series(np.arange(w), index=x_lon.index)
-        vals = pdf["val"].to_numpy(dtype="float64")
-        grid[yi[pdf["y"]].to_numpy(), xi[pdf["x"]].to_numpy()] = np.where(
-            np.isnan(vals), nodata, vals
-        )
-        data = encode_geotiff(
-            grid, origin_x, origin_y, sx, nodata=nodata, pixel_deg_y=sy,
-            compress=compress, tile=tile,
-        )
+        data = encode_pixel_group(pdf, nodata=nodata, compress=compress, tile=tile)
         return pd.DataFrame([{"raster_id": rid, "tiff": data}])
 
     return pixels.groupBy("raster_id").applyInPandas(

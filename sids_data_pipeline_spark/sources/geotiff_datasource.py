@@ -29,7 +29,13 @@ import glob as _glob
 import os
 from typing import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from sids_data_pipeline_spark.schemas import PIXELS
 
@@ -100,7 +106,74 @@ class GeoTiffDataSource(DataSource):
     def reader(self, schema) -> GeoTiffReader:
         return GeoTiffReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return GeoTiffWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotent per-session registration of the ``geotiff`` format."""
     spark.dataSource.register(GeoTiffDataSource)
+
+
+class _WrittenFiles(WriterCommitMessage):
+    def __init__(self, files: tuple):
+        self.files = files
+
+
+class GeoTiffWriter(DataSourceWriter):
+    """Write path of the registered format:
+    ``df.write.format("geotiff").mode(...).save(dir)`` emits one
+    ``<raster_id>.tif`` per raster from long-format pixel rows.
+
+    CONTRACT: one raster must not span partitions — callers
+    ``repartition("raster_id")`` first (the format is one-file-per-
+    raster, so a split raster cannot be encoded partition-locally; the
+    writer raises if a target file already exists rather than silently
+    clobbering a sibling partition's output). Options: ``nodata``,
+    ``compress`` (zstd/deflate), ``tile``.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("geotiff writer requires a save(path) directory")
+        self._nodata = float(options.get("nodata", -9999.0))
+        self._compress = options.get("compress")
+        self._tile = int(options["tile"]) if "tile" in options else None
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _WrittenFiles:
+        import pandas as pd
+
+        from sids_data_pipeline_spark.sources.geotiff import encode_pixel_group
+
+        rows = list(iterator)
+        if not rows:
+            return _WrittenFiles(())
+        pdf = pd.DataFrame([r.asDict() for r in rows])
+        os.makedirs(self._path, exist_ok=True)
+        written = []
+        for rid, group in pdf.groupby("raster_id"):
+            out = os.path.join(self._path, f"{rid}.tif")
+            if os.path.exists(out) and not self._overwrite:
+                raise FileExistsError(
+                    f"geotiff writer: {out} exists (raster split across "
+                    "partitions, or append to a populated dir) — "
+                    "repartition('raster_id') and use mode('overwrite')"
+                )
+            data = encode_pixel_group(
+                group,
+                nodata=self._nodata,
+                compress=self._compress,
+                tile=self._tile,
+            )
+            with open(out, "wb") as f:
+                f.write(data)
+            written.append(out)
+        return _WrittenFiles(tuple(written))
+
+    def commit(self, messages):
+        return None
+
+    def abort(self, messages):
+        return None

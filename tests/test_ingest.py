@@ -318,3 +318,30 @@ def test_geotiff_datasource_rejects_band_selection(spark, tmp_path):
         spark.read.format("geotiff").option("band", "2").load(
             str(tmp_path / "*.tif")
         ).collect()
+
+
+def test_geotiff_datasource_write_roundtrip(spark, tmp_path):
+    """df.write.format('geotiff') → spark.read.format('geotiff') is
+    lossless for values and georeferencing."""
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+    from sids_data_pipeline_spark.sources.geotiff_datasource import register
+
+    register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    for stem, base in (("r1", 0.0), ("r2", 7.0)):
+        arr = (np.arange(12, dtype="float64") + base).reshape(3, 4)
+        (src / f"{stem}.tif").write_bytes(
+            encode_geotiff(arr, origin_x=1.0, origin_y=0.3, pixel_deg=0.1)
+        )
+    px = spark.read.format("geotiff").load(str(src / "*.tif"))
+    out = tmp_path / "out"
+    px.repartition("raster_id").write.format("geotiff").option(
+        "compress", "deflate"
+    ).mode("overwrite").save(str(out))
+    back = spark.read.format("geotiff").load(str(out / "*.tif"))
+    a = sorted((r.raster_id, r.x, r.y, r.lon, r.lat, r.val) for r in px.collect())
+    b = sorted((r.raster_id, r.x, r.y, r.lon, r.lat, r.val) for r in back.collect())
+    assert a == b
