@@ -877,6 +877,58 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+# Correlated LATERAL derived table (per-customer top-N) — the SQL
+# spelling of groupwise top-k; Catalyst decorrelates the LIMIT subquery
+# into a ranked window. Same ANSI text on both engines.
+_LATERAL_TOPN_SQL = """
+SELECT c_custkey, t.o_orderkey, t.cents
+FROM customer, LATERAL (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey = c_custkey
+  ORDER BY cents DESC, o_orderkey LIMIT 2
+) t
+WHERE c_custkey % 10 = 0
+ORDER BY c_custkey, cents DESC, o_orderkey
+"""
+
+
+def _json_variant_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT ingestion surface (semi-structured columns without a
+    schema): JSON → parse_json → typed variant_get extraction. DuckDB
+    has no VARIANT, so the oracle is value-mirrored from the source
+    columns (map_scalars precedent) — the gate compares values, not
+    storage idioms."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    v = F.parse_json(
+        F.to_json(
+            F.struct(
+                F.col("o_orderpriority").alias("p"),
+                F.col("o_custkey").alias("c"),
+                (cents("o_totalprice")).alias("t"),
+            )
+        )
+    )
+    keyed = orders.filter(F.col("o_orderkey") % 100 < 3).select(
+        "o_orderkey", v.alias("v")
+    )
+    return keyed.select(
+        "o_orderkey",
+        F.expr("variant_get(v, '$.p', 'string')").alias("p"),
+        F.expr("variant_get(v, '$.c', 'long')").alias("c"),
+        F.expr("variant_get(v, '$.t', 'long')").alias("t_cents"),
+    )
+
+
+_JSON_VARIANT_SQL = f"""
+SELECT o_orderkey,
+       o_orderpriority AS p,
+       o_custkey AS c,
+       {o_cents('o_totalprice')} AS t_cents
+FROM orders
+WHERE o_orderkey % 100 < 3
+"""
+
+
 # TPC-H Q13 shape (customer order distribution): the left-outer-join-
 # with-ON-filter + double aggregation pattern. COUNT(o_orderkey) counts
 # matches only (NULL-skipping), so no-order customers land in c_count=0.
@@ -895,6 +947,8 @@ GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
 
+
+_sql_lateral_topn = _sql_front_door(_LATERAL_TOPN_SQL, "customer", "orders")
 
 _sql_product_profit = _sql_front_door(
     _PRODUCT_PROFIT_SQL, "part", "lineitem", "supplier", "orders", "nation"
@@ -1788,6 +1842,22 @@ QUERIES: list[Query] = [
         doc="TPC-H Q11 shape: grouped value vs fraction-of-global scalar "
             "subquery, integer-exact cut",
         tags=("sql", "subquery", "aggregate"),
+    ),
+    Query(
+        "sql_lateral_topn",
+        _sql_lateral_topn,
+        _LATERAL_TOPN_SQL,
+        doc="correlated LATERAL derived table: per-customer top-N as the "
+            "SQL spelling of groupwise top-k (same ANSI text both engines)",
+        tags=("sql", "join", "subquery", "sort"),
+    ),
+    Query(
+        "json_variant_scalars",
+        _json_variant_scalars,
+        _JSON_VARIANT_SQL,
+        doc="VARIANT semi-structured columns: parse_json + typed "
+            "variant_get extraction (value-mirrored oracle)",
+        tags=("sql", "json", "scalar"),
     ),
     Query(
         "sql_part_supplier",
