@@ -86,7 +86,9 @@ from sids_data_pipeline_spark.plans.base import Query
 # streaming_sessions, streaming_enrich, corpus_bpe_train,
 # geo_zone_metrics, zonal_weighted_mean, zonal_all_touched,
 # source_geotiff_datasource, sql_order_priority, sql_volume_shipping,
-# sql_market_share, sql_promo_revenue, sql_top_supplier, sql_or_bands.
+# sql_market_share, sql_promo_revenue, sql_top_supplier, sql_or_bands,
+# sql_product_profit, sql_important_stock, sql_part_supplier,
+# sql_lateral_topn, json_variant_scalars.
 PRIORITY: tuple[str, ...] = (
     # — never-driver-verified head (selfcheck-green, rotating in for r6) —
     "crs_reproject_lcc",
