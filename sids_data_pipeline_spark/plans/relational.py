@@ -877,6 +877,68 @@ ORDER BY supplier_cnt DESC, p_brand, p_size
 """
 
 
+# TPC-H Q2 shape (minimum-cost supplier), fixture-adapted: the observed
+# (part, supplier) pairs in lineitem stand in for partsupp (Q16
+# precedent) and supply cost is proxied as the cheapest observed line
+# total for the pair — an exact BIGINT, so the correlated MIN-equality
+# probe has no float ambiguity. Catalyst decorrelates the scalar
+# subquery into a per-part aggregate joined back; region/nation/supplier
+# are broadcast dims, so the only big shuffle is the ps GROUP BY.
+_MIN_COST_SUPPLIER_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ps_cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_cost_cents
+FROM part
+JOIN ps ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size IN (5, 15, 25, 35, 45)
+  AND p_type IN ('STANDARD', 'LARGE')
+  AND r_name = 'ASIA'
+  AND ps_cost_cents = (
+    SELECT MIN(ps2.ps_cost_cents)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+# TPC-H Q20 shape (potential part promotion), fixture-adapted: available
+# stock per (part, supplier) is proxied as the pair's total shipped
+# quantity (integer-valued in the fixture, summed as BIGINT), and the
+# promotion window is shipyear 1997 — "availqty > 1/2 × window demand"
+# is restated as the exact-integer cross-multiplication avail × 2 >
+# window. The correlated SUM decorrelates to a grouped aggregate; the
+# nested IN chains are left-semi joins (part filter broadcast).
+_EXCESS_STOCK_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_8')
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+      AND ps_availqty * 2 > (
+        SELECT COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'))
+ORDER BY s_suppkey
+"""
+
+
 # Correlated LATERAL derived table (per-customer top-N) — the SQL
 # spelling of groupwise top-k; Catalyst decorrelates the LIMIT subquery
 # into a ranked window. Same ANSI text on both engines.
@@ -957,6 +1019,13 @@ _sql_important_stock = _sql_front_door(
     _IMPORTANT_STOCK_SQL, "lineitem", "supplier", "nation"
 )
 _sql_part_supplier = _sql_front_door(_PART_SUPPLIER_SQL, "lineitem", "part", "supplier")
+
+_sql_min_cost_supplier = _sql_front_door(
+    _MIN_COST_SUPPLIER_SQL, "lineitem", "part", "supplier", "nation", "region"
+)
+_sql_excess_stock = _sql_front_door(
+    _EXCESS_STOCK_SQL, "lineitem", "part", "supplier", "nation"
+)
 
 # Q13: same ANSI text both engines; semantics documented on the SQL + Query entry.
 _sql_customer_distribution = _sql_front_door(_CUSTOMER_DISTRIBUTION_SQL, 'customer', 'orders')
@@ -1865,6 +1934,22 @@ QUERIES: list[Query] = [
         _PART_SUPPLIER_SQL,
         doc="TPC-H Q16 shape: distinct-supplier counts per part attrs "
             "with null-aware NOT IN exclusion",
+        tags=("sql", "join", "subquery", "aggregate"),
+    ),
+    Query(
+        "sql_min_cost_supplier",
+        _sql_min_cost_supplier,
+        _MIN_COST_SUPPLIER_SQL,
+        doc="TPC-H Q2 shape: correlated MIN-cost equality probe over the "
+            "lineitem-derived partsupp (exact-cents cost proxy)",
+        tags=("sql", "join", "subquery", "sort"),
+    ),
+    Query(
+        "sql_excess_stock",
+        _sql_excess_stock,
+        _EXCESS_STOCK_SQL,
+        doc="TPC-H Q20 shape: nested IN chains with a correlated "
+            "windowed-demand SUM, exact-integer threshold",
         tags=("sql", "join", "subquery", "aggregate"),
     ),
 ]

@@ -69,3 +69,69 @@ def test_sales_opportunity_excludes_urgent_customers(spark, sf_dir, catalog):
         assert len(r.cntrycode) == 2
         assert r.numcust > 0
         assert r.totacctbal_cents > 0
+
+
+def test_min_cost_supplier_rows_are_pair_minima(spark, sf_dir, catalog):
+    # Q2: every surviving (part, supplier) row must carry the cheapest
+    # cost among the part's in-region suppliers — recompute the minima
+    # independently and compare.
+    import pyspark.sql.functions as F
+
+    df = catalog["sql_min_cost_supplier"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "fixture predicate should select at least one part"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("c")
+    )
+    region_min = (
+        ps.join(sup, ps.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .filter("r_name = 'ASIA'")
+        .groupBy("l_partkey")
+        .agg(F.min("c").alias("min_c"))
+    )
+    minima = {r.l_partkey: r.min_c for r in region_min.collect()}
+    for r in rows:
+        assert r.ps_cost_cents == minima[r.p_partkey]
+    # deterministic order: acctbal desc with full tiebreak
+    key = [(-r.s_acctbal, r.n_name, r.s_name, r.p_partkey) for r in rows]
+    assert key == sorted(key)
+
+
+def test_excess_stock_suppliers_meet_threshold(spark, sf_dir, catalog):
+    # Q20: every returned supplier has at least one qualifying blue part
+    # whose total shipped quantity exceeds half the 1997 window demand.
+    import pyspark.sql.functions as F
+
+    df = catalog["sql_excess_stock"].spark(spark, sf_dir)
+    rows = df.collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    blue = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%blue%")
+    )
+    pair = (
+        li.join(blue, li.l_partkey == blue.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("avail"),
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= "1997-01-01")
+                    & (F.col("l_shipdate") < "1998-01-01"),
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(F.lit(0))
+            ).alias("window_qty"),
+        )
+        .filter(F.col("avail") * 2 > F.col("window_qty"))
+    )
+    qualifying = {r.l_suppkey for r in pair.collect()}
+    for r in rows:
+        assert r.s_suppkey in qualifying
+    # the IN-chain must decorrelate to joins, not a per-row nested loop
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan or "Broadcast" in plan
