@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # maximizing parallelism (the Spark-documented recommendation):
+        # post-shuffle partitions converge to ~64 MB whether the input is
+        # 60 MB (one task, no per-task overhead tax) or 60 TB (~1M tasks)
+        # — the same setting serves the fixture and the cluster.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
