@@ -73,37 +73,32 @@ def o_hash_split(key_expr: str, weights: dict[str, float], salt: str = "split") 
     return "CASE " + " ".join(parts) + f" ELSE '{labels[-1][0]}' END"
 
 
-def pack_shards(
+def exclusive_prefix_sum(
     df: DataFrame,
-    max_tokens: int,
-    size_col: str = "n_tokens",
-    order_col: str = "doc_id",
+    size_expr,
+    order_cols: list[str],
     partitions: int | None = None,
+    out_col: str = "_excl",
 ) -> DataFrame:
-    """Assign each document a ``shard_id`` so consecutive documents (in
-    ``order_col`` order — use a unique key) accumulate into
-    ~``max_tokens``-token shards:
-    ``shard_id = floor(exclusive_running_sum / max_tokens)``.
-
-    A shard may exceed the budget by at most one document (the streaming-
-    friendly rule: a document is never split).
-
-    The global prefix sum is computed scalably in two passes, the classic
-    distributed scan: range-partition on the order key (one shuffle, no
+    """Global exclusive running sum of ``size_expr`` in ``order_cols``
+    order, computed scalably in two passes — the classic distributed
+    scan: range-partition on the order key (one shuffle, no
     single-partition window), take a per-partition running sum, then add
     each partition's starting offset — the cumulative total of all
     earlier ranges, a partition-count-sized list collected to the driver
-    and folded into a literal map. The assignment depends only on the
-    sorted prefix (range boundaries cancel out), so shards are identical
-    across re-runs and partition counts.
+    and folded into a literal map. The result depends only on the sorted
+    prefix (range boundaries cancel out), so it is identical across
+    re-runs and partition counts. Returns the range-partitioned,
+    persisted frame with ``out_col`` added.
     """
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, F.col(order_col).asc()).withColumn(
+    order = [F.col(c).asc() for c in order_cols]
+    ranged = df.repartitionByRange(n_parts, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = track(ranged.persist())
-    totals = ranged.groupBy("_pid").agg(F.sum(size_col).alias("_t")).collect()
+    ranged = track(ranged.withColumn("_sz", size_expr).persist())
+    totals = ranged.groupBy("_pid").agg(F.sum("_sz").alias("_t")).collect()
     offsets: dict[int, int] = {}
     run = 0
     for r in sorted(totals, key=lambda r: r._pid):
@@ -121,15 +116,113 @@ def pack_shards(
     )
     w = (
         Window.partitionBy("_pid")
-        .orderBy(F.col(order_col).asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    excl = F.coalesce(F.sum(size_col).over(w), F.lit(0)) + F.coalesce(
+    excl = F.coalesce(F.sum("_sz").over(w), F.lit(0)) + F.coalesce(
         off_expr, F.lit(0)
     )
+    return ranged.withColumn(out_col, excl).drop("_pid", "_sz")
+
+
+def pack_shards(
+    df: DataFrame,
+    max_tokens: int,
+    size_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document a ``shard_id`` so consecutive documents (in
+    ``order_col`` order — use a unique key) accumulate into
+    ~``max_tokens``-token shards:
+    ``shard_id = floor(exclusive_running_sum / max_tokens)``.
+
+    A shard may exceed the budget by at most one document (the streaming-
+    friendly rule: a document is never split). The global running sum is
+    the two-pass distributed scan (:func:`exclusive_prefix_sum`).
+    """
+    ranged = exclusive_prefix_sum(
+        df, F.col(size_col), [order_col], partitions
+    )
     return ranged.withColumn(
-        "shard_id", F.floor(excl / F.lit(max_tokens)).cast("int")
-    ).drop("_pid")
+        "shard_id", F.floor(F.col("_excl") / F.lit(max_tokens)).cast("int")
+    ).drop("_excl")
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    size_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-split sequence packing (the GPT-style pretraining
+    layout): documents are conceptually concatenated in ``order_col``
+    order and the token stream is cut every ``seq_len`` tokens, so a
+    document may span sequence boundaries. Emits, per document:
+
+    - ``tok_start`` — its offset in the concatenated token stream (the
+      exclusive running sum of sizes);
+    - ``first_seq`` / ``last_seq`` — the first and last sequence index it
+      occupies (``floor(tok_start/L)`` … ``floor((tok_start+n-1)/L)``);
+    - ``n_seqs`` — how many sequences it touches (0 for an empty doc,
+      whose ``last_seq`` is NULL).
+
+    All integer arithmetic on the distributed scan's prefix sums — no
+    float division, no data movement beyond the one range shuffle, and
+    the writer that materializes physical sequences needs only an
+    equi-join on ``first_seq…last_seq`` buckets.
+    """
+    ranged = exclusive_prefix_sum(
+        df, F.col(size_col).cast("long"), [order_col], partitions
+    )
+    n = F.col(size_col).cast("long")
+    start = F.col("_excl")
+    first = F.floor(start / F.lit(seq_len)).cast("long")
+    last = F.floor((start + n - F.lit(1)) / F.lit(seq_len)).cast("long")
+    return (
+        ranged.withColumn("tok_start", start.cast("long"))
+        .withColumn("first_seq", first)
+        .withColumn(
+            "last_seq", F.when(n > 0, last).otherwise(F.lit(None).cast("long"))
+        )
+        .withColumn(
+            "n_seqs",
+            F.when(n > 0, (last - first + F.lit(1))).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("_excl")
+    )
+
+
+def training_order(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    epoch: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seed-stable global training-order permutation: every row gets an
+    ``epoch_pos`` — its 0-based position in a pseudo-random but fully
+    deterministic global shuffle of the corpus. The order key is the
+    content hash of ``salt:epoch:key``, so each epoch is a fresh
+    permutation, re-runs (and the SQL oracle) reproduce it exactly, and
+    a grown corpus only interleaves new rows rather than reshuffling
+    old positions arbitrarily.
+
+    Scale shape: the permutation is realized as a range-partitioned sort
+    on (hash, key) — no global window. Positions come from the same
+    two-pass distributed scan as shard packing, counting 1 per row.
+    """
+    h = token_hash32(
+        F.concat(F.lit(f"{salt}:{epoch}:"), F.col(key_col).cast("string"))
+    )
+    hashed = df.withColumn("_h", h)
+    ranged = exclusive_prefix_sum(
+        hashed, F.lit(1).cast("long"), ["_h", key_col], partitions
+    )
+    return ranged.withColumn("epoch_pos", F.col("_excl").cast("long")).drop(
+        "_excl", "_h"
+    )
 
 
 def length_buckets(

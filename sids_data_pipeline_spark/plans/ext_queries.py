@@ -2136,6 +2136,69 @@ FROM documents
 """
 
 
+_SEQ_LEN = 512
+
+
+def _corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators import sampling
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.expr(_NTOK).cast("int").alias("n_tokens")
+    )
+    return sampling.pack_sequences(sized, _SEQ_LEN)
+
+
+# Concat-and-split packing is pure integer arithmetic on the exclusive
+# prefix sum, so the window mirror verifies every offset and sequence
+# index value-for-value (// is DuckDB integer division; all operands
+# are non-negative, so floor == trunc).
+_PACK_SEQUENCES_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, CAST({_O_NTOK} AS INT) AS n_tokens FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM sized
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {_SEQ_LEN} AS first_seq,
+       CASE WHEN n_tokens > 0
+            THEN (tok_start + n_tokens - 1) // {_SEQ_LEN}
+            ELSE NULL END AS last_seq,
+       CASE WHEN n_tokens > 0
+            THEN (tok_start + n_tokens - 1) // {_SEQ_LEN}
+                 - tok_start // {_SEQ_LEN} + 1
+            ELSE 0 END AS n_seqs
+FROM s
+"""
+
+
+def _corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sids_data_pipeline_spark.operators import sampling
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return sampling.training_order(docs.select("doc_id"), epoch=1).select(
+        "doc_id", "epoch_pos"
+    )
+
+
+# The oracle realizes the same permutation as one global window — fine
+# at fixture scale; the engine's range-partitioned scan is the form that
+# survives 100 TB.
+_CORPUS_SHUFFLE_SQL = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+              ORDER BY (('0x' || substr(md5('shuffle:1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) ASC,
+                       doc_id ASC) - 1 AS BIGINT) AS epoch_pos
+FROM documents
+"""
+
+
 def _multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     frames = multimodal.frame_sample(
@@ -2982,6 +3045,15 @@ QUERIES: list[Query] = [
           doc="token-budget shard packing via exclusive running sum "
               "(deterministic byte-stable shards)",
           tags=("sampling", "text", "window")),
+    Query("corpus_pack_sequences", _corpus_pack_sequences, _PACK_SEQUENCES_SQL,
+          doc="concat-and-split sequence packing (GPT-style pretraining "
+              "layout): per-doc stream offset + spanned sequence indices "
+              "from the distributed prefix scan",
+          tags=("sampling", "text", "window")),
+    Query("corpus_shuffle", _corpus_shuffle, _CORPUS_SHUFFLE_SQL,
+          doc="seed-stable global training-order permutation per epoch "
+              "(range-partitioned sort, no global window)",
+          tags=("sampling", "text")),
     Query("multimodal_frames", _multimodal_frames, _MULTIMODAL_FRAMES_SQL,
           doc="E4 video frame sampling, UDTF shape: one asset row → many "
               "frame rows (stub decoder, byte slices hash-verified)",

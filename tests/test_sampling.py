@@ -206,3 +206,57 @@ def test_length_buckets_integer_bit_length(spark):
     assert got[4] == (1, 8, 2)
     assert got[8] == (1, 255, 64)
     assert got[9] == (1, 256, 64)
+
+
+def test_pack_sequences_covers_stream_contiguously(spark):
+    from sids_data_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 412), (3, 0), (4, 1024), (5, 1)],
+        "doc_id long, n_tokens int",
+    )
+    rows = {r.doc_id: r for r in pack_sequences(df, 512, partitions=2).collect()}
+    # exclusive prefix offsets in doc_id order
+    assert [rows[i].tok_start for i in (1, 2, 3, 4, 5)] == [0, 100, 512, 512, 1536]
+    # doc 2 ends exactly at the seq-0 boundary (100+412=512) → stays in seq 0
+    assert (rows[2].first_seq, rows[2].last_seq, rows[2].n_seqs) == (0, 0, 1)
+    # empty doc occupies no sequences
+    assert (rows[3].last_seq, rows[3].n_seqs) == (None, 0)
+    # doc 4 spans seqs 1..2 (tokens 512..1535)
+    assert (rows[4].first_seq, rows[4].last_seq, rows[4].n_seqs) == (1, 2, 2)
+    assert (rows[5].first_seq, rows[5].last_seq) == (3, 3)
+    # spanned sequences tile the stream: sum of per-doc token counts
+    # equals the final offset + last size
+    assert rows[5].tok_start + 1 == 100 + 412 + 0 + 1024 + 1
+
+
+def test_pack_sequences_partition_invariant(spark):
+    from sids_data_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, 300).selectExpr(
+        "id AS doc_id", "CAST(id % 37 AS INT) AS n_tokens"
+    )
+    a = {(r.doc_id, r.tok_start, r.first_seq, r.last_seq)
+         for r in pack_sequences(df, 64, partitions=1).collect()}
+    b = {(r.doc_id, r.tok_start, r.first_seq, r.last_seq)
+         for r in pack_sequences(df, 64, partitions=7).collect()}
+    assert a == b
+
+
+def test_training_order_is_bijective_and_epoch_varying(spark):
+    from sids_data_pipeline_spark.operators.sampling import training_order
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id")
+    e0 = {r.doc_id: r.epoch_pos for r in training_order(df, epoch=0).collect()}
+    # a permutation: every position 0..N-1 exactly once
+    assert sorted(e0.values()) == list(range(500))
+    # not the identity (the hash actually shuffles)
+    assert any(e0[i] != i for i in range(500))
+    # another epoch gives a different permutation, same support
+    e1 = {r.doc_id: r.epoch_pos for r in training_order(df, epoch=1).collect()}
+    assert sorted(e1.values()) == list(range(500))
+    assert any(e0[i] != e1[i] for i in range(500))
+    # deterministic across re-runs and partitionings
+    again = {r.doc_id: r.epoch_pos
+             for r in training_order(df.repartition(13), epoch=0).collect()}
+    assert again == e0
