@@ -1838,6 +1838,36 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the events' semi-structured ``props`` JSON
+    column: extraction stays JVM-side (``get_json_object``, no UDF, no
+    pre-parse materialization), so the whole plan is one scan + one
+    map-side-combined aggregation — the shape that survives a 100 TB
+    event lake where the JSON schema drifts per producer."""
+    (ev,) = tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EVENTS_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # Value-mirrored oracle: the engine's single-pass greedy scan equals this
 # min-timestamp cascade (first view anchors; first click within 48 h of
 # it; first purchase within 48 h of that click), because taking the
@@ -3028,6 +3058,10 @@ QUERIES: list[Query] = [
           doc="E6 conversion funnel (single-pass greedy scan; 48 h "
               "transition windows)",
           tags=("events", "window")),
+    Query("events_props_json", _events_props_json, _EVENTS_PROPS_SQL,
+          doc="schema-on-read JSON property extraction over events "
+              "(JVM get_json_object, one scan + map-side-combined agg)",
+          tags=("events", "json", "aggregate")),
     Query("events_retention", _events_retention, _RETENTION_SQL,
           doc="E6 weekly cohort retention (distinct activity pairs → "
               "min-period cohort → offset counts)",

@@ -227,6 +227,25 @@ def main() -> None:
         }
     out["triangle_count"] = tri
 
+    # --- distributed prefix scan (sequence packing): growing rows --------
+    # Two passes over one range shuffle (per-partition window + offset
+    # fold); the driver sees only a partition-count-sized totals list, so
+    # a linear plan shows flat-or-falling ns/row as rows grow.
+    from sids_data_pipeline_spark.operators import sampling
+
+    scan = {}
+    for n in (1_000_000, 4_000_000):
+        df = spark.range(0, n, 1, 32).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 997).cast("int").alias("n_tokens"),
+        )
+        sec = _steady(lambda: sampling.pack_sequences(df, 2048).count(), reps=2)
+        scan[f"{n:,} rows"] = {
+            "sec": round(sec, 3),
+            "ns_per_row": round(sec / n * 1e9, 1),
+        }
+    out["pack_sequences_scan"] = scan
+
     print(json.dumps(out))
     spark.stop()
 
