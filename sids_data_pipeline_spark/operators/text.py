@@ -704,6 +704,69 @@ def bpe_train(
         encoded.unpersist()
 
 
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained BPE tokenizer to the corpus: per document, the
+    exact token count under the ``n_merges`` rules :func:`bpe_train`
+    learns from the same corpus. Output: (doc_id, n_words,
+    n_bpe_tokens) — the numbers a training-data pipeline needs for
+    budgeting, packing, and mixture weighting under its REAL tokenizer
+    rather than the whitespace proxy.
+
+    Scale shape: merges are an ``n_merges``-row driver list (the same
+    bounded collect as training); encoding touches only the DISTINCT
+    words (one vocabulary shuffle — 100 TB of text collapses to its
+    vocab), applies the rank-ordered rules as literal replaces over the
+    each-symbol-delimited form (greedy BPE, same trick as training), and
+    the per-word token counts broadcast-join back onto the (doc, word)
+    stream — no Python, no per-doc state.
+    """
+    merges = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged)
+        for r in bpe_train(docs, n_merges=n_merges, text_col=text_col).collect()
+    ]
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("word"),
+    )
+    sep = F.lit(BPE_SEP)
+    encoded = toks.select("word").distinct().select(
+        "word",
+        F.concat_ws(
+            "", F.transform(F.split("word", ""), lambda c: F.concat(sep, c, sep))
+        ).alias("s"),
+    )
+    for _, a, b, merged in sorted(merges):
+        encoded = encoded.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{merged}{BPE_SEP}"),
+            ),
+        )
+    per_word = encoded.select(
+        "word",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP + BPE_SEP)
+        ).alias("_w_toks"),
+    )
+    return (
+        toks.join(F.broadcast(per_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_w_toks").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def char_entropy(
     docs: DataFrame,
     text_col: str = "text",

@@ -2760,6 +2760,73 @@ e{r + 1} AS (
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE over the corpus: per-doc exact token counts
+    under the learned rules (vocabulary-only encode, broadcast join
+    back). The oracle unrolls the identical chain, carrying the word
+    through each merge round."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.bpe_encode(docs, n_merges=3)
+
+
+def _bpe_encode_sql(n_merges: int = 3) -> str:
+    """Unrolled DuckDB twin of text.bpe_encode: the train chain's
+    argmax rounds (same as _bpe_train_sql) with the word identity kept
+    alongside the delimited encoding, then per-doc sums over the
+    (doc, word) stream."""
+    sep = "chr(31)"
+    parts = [
+        f"""
+rawtok AS (
+  SELECT doc_id, t.w AS word
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                          x -> x <> '')) AS t(w)
+),
+v AS (SELECT word, COUNT(*) AS n_word FROM rawtok GROUP BY word),
+e0 AS (
+  SELECT word, n_word,
+         {sep} || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substring(word, i, 1)),
+           {sep} || {sep}) || {sep} AS s
+  FROM v
+)"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""
+p{r} AS (
+  SELECT sy[i] AS a, sy[i + 1] AS b, SUM(n_word) AS n
+  FROM (SELECT n_word,
+               string_split(substring(s, 2, length(s) - 2),
+                            {sep} || {sep}) AS sy
+        FROM e{r}),
+       unnest(range(1, len(sy))) AS t(i)
+  GROUP BY a, b
+),
+best{r} AS (SELECT a, b FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+e{r + 1} AS (
+  SELECT word, n_word,
+         replace(s, {sep} || a || {sep} || {sep} || b || {sep},
+                 {sep} || a || b || {sep}) AS s
+  FROM e{r}, best{r}
+)""")
+    return (
+        "WITH " + ",".join(parts) + f""",
+wt AS (
+  SELECT word,
+         len(string_split(substring(s, 2, length(s) - 2),
+                          {sep} || {sep})) AS w_toks
+  FROM e{n_merges}
+)
+SELECT r.doc_id, COUNT(*) AS n_words,
+       CAST(SUM(wt.w_toks) AS BIGINT) AS n_bpe_tokens
+FROM rawtok r JOIN wt USING (word)
+GROUP BY r.doc_id
+"""
+    )
+
+
 def _corpus_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF over a 1-in-10 document subset (keeps the gate
     row count bounded; doc_freq and N are computed on the same subset)."""
@@ -3237,6 +3304,10 @@ QUERIES: list[Query] = [
               "planning: integer bit-length buckets (no float log2), "
               "integer ceil-div batch lower bound",
           tags=("sampling", "profile", "text")),
+    Query("corpus_bpe_encode", _corpus_bpe_encode, _bpe_encode_sql(),
+          doc="train-then-apply BPE: per-doc exact token counts under "
+              "the learned merges (vocab-only encode, broadcast join)",
+          tags=("text", "aggregate")),
     Query("corpus_bpe_train", _corpus_bpe_train, _bpe_train_sql(),
           doc="iterative BPE merge learning (3 rounds) over the "
               "vocabulary: one-row argmax collect per round, literal-"

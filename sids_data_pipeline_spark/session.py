@@ -44,12 +44,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Respect the advisory partition size when coalescing instead of
-        # maximizing parallelism (the Spark-documented recommendation):
-        # post-shuffle partitions converge to ~64 MB whether the input is
-        # 60 MB (one task, no per-task overhead tax) or 60 TB (~1M tasks)
-        # — the same setting serves the fixture and the cluster.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst stays at its default (true): byte-targeted
+        # coalescing (the "respect advisory size" setting) measured 2.2×
+        # slower on iterative ops whose shuffles are byte-small but
+        # CPU-heavy (connected components: 9.8 s → 21.7 s at 1M edges) —
+        # label frames of compact longs coalesce to a handful of tasks
+        # and the per-round CPU serializes.
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -176,3 +176,23 @@ def test_bpe_train_hand_computed(spark):
     # after merge abab: abab→[abab], abc stays [ab,c]
     # round 2: only (ab,c): 2
     assert (rows[2].left_sym, rows[2].right_sym, rows[2].pair_count) == ("ab", "c", 2)
+
+
+def test_bpe_encode_hand_computed(spark):
+    """Token counts under the merges test_bpe_train_hand_computed pins:
+    after [ab, abab, ab+c] the words tokenize as abab→1, abc→1."""
+    from sids_data_pipeline_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abc"), (2, "abab abc")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in bpe_encode(docs, n_merges=3).collect()}
+    assert got[1] == (3, 3)   # abab, abab, abc → one token each
+    assert got[2] == (2, 2)
+    # with only the first merge (ab), abab→[ab,ab]=2 toks, abc→[ab,c]=2
+    got1 = {r.doc_id: r.n_bpe_tokens
+            for r in bpe_encode(docs, n_merges=1).collect()}
+    assert got1[1] == 2 + 2 + 2
+    assert got1[2] == 2 + 2
