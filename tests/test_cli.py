@@ -40,3 +40,13 @@ def test_pipeline_subcommand_end_to_end(spark, tmp_path):
         "--out", str(tmp_path / "run"), "--max-zoom", "3",
     ])
     assert again["pending"] == 0
+
+
+def test_curate_subcommand_end_to_end(spark, tmp_path):
+    out = main([
+        "curate", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(tmp_path / "corpus"),
+    ])
+    assert out["n_input"] > 0 and 0 < out["n_curated"] <= out["n_input"]
+    assert set(out["splits"]) == {"train", "val", "test"}
+    assert (tmp_path / "corpus").exists()
