@@ -73,6 +73,13 @@ def main(argv: list[str] | None = None) -> dict:
         print(json.dumps(out))
         return out
 
+    if args.cmd == "query":
+        # validate before paying SparkSession startup
+        catalog = all_queries()
+        if args.name not in catalog:
+            print(json.dumps({"error": f"unknown query {args.name!r}"}))
+            raise SystemExit(2)
+
     from sids_data_pipeline_spark.session import get_spark
 
     spark = get_spark(f"sids-cli-{args.cmd}")
@@ -102,16 +109,16 @@ def main(argv: list[str] | None = None) -> dict:
             spark, docs, args.out, benchmark=bench, shard_tokens=args.shard_tokens
         )
     else:  # query
-        catalog = all_queries()
-        if args.name not in catalog:
-            print(json.dumps({"error": f"unknown query {args.name!r}"}))
-            raise SystemExit(2)
         df = catalog[args.name].spark(spark, args.sf_dir)
+        if args.out or args.show:
+            # one execution feeds every action
+            df = df.persist()
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
         if args.show:
             df.show(args.show, truncate=False)
         out = {"query": args.name, "rows": df.count(), "sf_dir": args.sf_dir}
+        df.unpersist()
 
     print(json.dumps(out))
     return out

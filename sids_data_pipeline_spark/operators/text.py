@@ -619,10 +619,16 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
+    return_encoding: bool = False,
 ) -> DataFrame:
     """Iterative BPE tokenizer training: learn the top ``n_merges``
     merge rules over the corpus. Output one row per learned rule:
-    (rank, left, right, merged, pair_count).
+    (rank, left, right, merged, pair_count). With
+    ``return_encoding=True``, returns ``(rules, encoded)`` where
+    ``encoded`` is the final per-word delimited encoding
+    (word, n_word, s) — still persisted; the caller releases it — so
+    :func:`bpe_encode` reuses the training rounds' work instead of
+    re-deriving the vocabulary and re-applying every merge.
 
     The working set is the VOCABULARY (word, freq) — one corpus shuffle
     collapses 100 TB of text to its distinct words, and every round
@@ -648,6 +654,7 @@ def bpe_train(
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
     sep = F.lit(BPE_SEP)
     encoded = vocab.select(
+        "word",
         "n_word",
         F.concat_ws(
             "", F.transform(F.split("word", ""), lambda c: F.concat(sep, c, sep))
@@ -686,6 +693,7 @@ def bpe_train(
             merged = a + b
             merges.append((rank, a, b, merged, n))
             nxt = encoded.select(
+                "word",
                 "n_word",
                 F.replace(
                     F.col("s"),
@@ -695,13 +703,17 @@ def bpe_train(
             ).persist()
             encoded.unpersist()
             encoded = nxt
-        return spark.createDataFrame(
+        rules = spark.createDataFrame(
             merges,
             "merge_rank int, left_sym string, right_sym string, "
             "merged string, pair_count long",
         )
+        if return_encoding:
+            return rules, encoded
+        return rules
     finally:
-        encoded.unpersist()
+        if not return_encoding:
+            encoded.unpersist()
 
 
 def bpe_encode(
@@ -717,40 +729,27 @@ def bpe_encode(
     budgeting, packing, and mixture weighting under its REAL tokenizer
     rather than the whitespace proxy.
 
-    Scale shape: merges are an ``n_merges``-row driver list (the same
-    bounded collect as training); encoding touches only the DISTINCT
-    words (one vocabulary shuffle — 100 TB of text collapses to its
-    vocab), applies the rank-ordered rules as literal replaces over the
-    each-symbol-delimited form (greedy BPE, same trick as training), and
-    the per-word token counts broadcast-join back onto the (doc, word)
-    stream — no Python, no per-doc state.
+    Scale shape: training's final per-word encoding is REUSED directly
+    (``bpe_train(..., return_encoding=True)`` — no second vocabulary
+    shuffle, no re-applied merges); the per-word token counts
+    broadcast-join back onto the (doc, word) stream — no Python, no
+    per-doc state.
     """
-    merges = [
-        (r.merge_rank, r.left_sym, r.right_sym, r.merged)
-        for r in bpe_train(docs, n_merges=n_merges, text_col=text_col).collect()
-    ]
+    from sids_data_pipeline_spark.lifecycle import track
+
+    _, encoded = bpe_train(
+        docs, n_merges=n_merges, text_col=text_col, return_encoding=True
+    )
+    # stays persisted (training already materialized it); track() hands
+    # release to the library's cache lifecycle — unpersisting here would
+    # silently recompute the whole merge chain when the lazy result runs
+    encoded = track(encoded)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
         ).alias("word"),
     )
-    sep = F.lit(BPE_SEP)
-    encoded = toks.select("word").distinct().select(
-        "word",
-        F.concat_ws(
-            "", F.transform(F.split("word", ""), lambda c: F.concat(sep, c, sep))
-        ).alias("s"),
-    )
-    for _, a, b, merged in sorted(merges):
-        encoded = encoded.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
-                F.lit(f"{BPE_SEP}{merged}{BPE_SEP}"),
-            ),
-        )
     per_word = encoded.select(
         "word",
         F.size(

@@ -132,6 +132,8 @@ def test_excess_stock_suppliers_meet_threshold(spark, sf_dir, catalog):
     qualifying = {r.l_suppkey for r in pair.collect()}
     for r in rows:
         assert r.s_suppkey in qualifying
-    # the IN-chain must decorrelate to joins, not a per-row nested loop
+    # the IN-chain must decorrelate to hash joins, not a per-row nested
+    # loop (quadratic in lineitem at scale)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "NestedLoop" not in plan or "Broadcast" in plan
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -239,7 +239,14 @@ def main() -> None:
             F.col("id").alias("doc_id"),
             (F.col("id") % 997).cast("int").alias("n_tokens"),
         )
-        sec = _steady(lambda: sampling.pack_sequences(df, 2048).count(), reps=2)
+        def run(df=df):
+            # each call persists a fresh range-partitioned frame inside
+            # the prefix scan; clear it so reps don't pin stale copies
+            n_out = sampling.pack_sequences(df, 2048).count()
+            df.sparkSession.catalog.clearCache()
+            return n_out
+
+        sec = _steady(run, reps=2)
         scan[f"{n:,} rows"] = {
             "sec": round(sec, 3),
             "ns_per_row": round(sec / n * 1e9, 1),
