@@ -260,3 +260,37 @@ def test_training_order_is_bijective_and_epoch_varying(spark):
     again = {r.doc_id: r.epoch_pos
              for r in training_order(df.repartition(13), epoch=0).collect()}
     assert again == e0
+
+
+def test_pack_sequences_property_vs_reference(spark):
+    """Randomized sizes against a pure-Python prefix-sum reference
+    (hypothesis drives the size lists; one Spark call per example is
+    costly, so examples are few but adversarially shrunk)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sids_data_pipeline_spark.operators.sampling import pack_sequences
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+        seq_len=st.sampled_from([1, 7, 64]),
+    )
+    def check(sizes, seq_len):
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(sizes)], "doc_id long, n_tokens int"
+        )
+        got = {r.doc_id: r for r in pack_sequences(df, seq_len, partitions=3).collect()}
+        start = 0
+        for i, s in enumerate(sizes):
+            r = got[i]
+            assert r.tok_start == start
+            assert r.first_seq == start // seq_len
+            if s > 0:
+                assert r.last_seq == (start + s - 1) // seq_len
+                assert r.n_seqs == r.last_seq - r.first_seq + 1
+            else:
+                assert r.last_seq is None and r.n_seqs == 0
+            start += s
+
+    check()
