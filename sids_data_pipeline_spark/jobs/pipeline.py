@@ -23,6 +23,7 @@ import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sids_data_pipeline_spark import lifecycle
 from sids_data_pipeline_spark.operators import manifest
@@ -45,13 +46,19 @@ def run_pipeline(
     how: str = "broadcast",
     max_zoom: int = 6,
     max_features_per_tile: int = 64,
+    zones_df: DataFrame | None = None,
+    pixels_df: DataFrame | None = None,
 ) -> dict:
     """Run zonal stats + exports for every pending (vector, raster) pair.
 
     Returns {"pending": n_pairs_processed, "outputs": [pair keys]}.
-    Sources here are the fixture generators; a production deployment
-    swaps them for parquet scans of the ingested canonical tables — the
-    plan shape is identical.
+    By default sources are the fixture generators; a production
+    deployment passes ``zones_df`` (ZONES schema, all listed vector ids)
+    and/or ``pixels_df`` (PIXELS schema, all listed raster ids — e.g. the
+    standardize job's canonical store read back via
+    ``spark.read.format("geotiff")``) and the plan shape is identical.
+    Externally supplied frames are filtered to the PENDING ids, so the
+    incremental skip prunes their scan too.
     """
     ledger_path = os.path.join(out_dir, "_ledger")
     vectors = spark.createDataFrame([(v,) for v in vector_ids], "id string")
@@ -81,10 +88,18 @@ def run_pipeline(
 
     # ONE job for all pairs: union the pending dimensions and let the
     # spatial join's key columns (vector_id, raster_id) fan the work out.
-    zones = _union([fixture_zones(spark, v) for v in pend_v])
-    pixels = standardize_pixels(
-        _union([synthetic_raster(spark, r) for r in pend_r])
-    )
+    if zones_df is not None:
+        zones = zones_df.filter(F.col("vector_id").isin(pend_v))
+    else:
+        zones = _union([fixture_zones(spark, v) for v in pend_v])
+    if pixels_df is not None:
+        pixels = standardize_pixels(
+            pixels_df.filter(F.col("raster_id").isin(pend_r))
+        )
+    else:
+        pixels = standardize_pixels(
+            _union([synthetic_raster(spark, r) for r in pend_r])
+        )
     all_stats = zonal_stats(zones, pixels, stats=stats, how=how)
     # P8 gate: only pending pairs get written (a completed pair's stats
     # may coexist in the frame when its raster is shared with a pending one)

@@ -196,3 +196,58 @@ def test_curation_job_action_economy_and_input_signature(spark, tmp_path, monkey
     # same config, DIFFERENT input: must re-run, not return stale
     m3 = run_curation_job(spark, docs.limit(500), out, shard_tokens=2000)
     assert m3["skipped"] is False and m3["n_input"] == 500
+
+
+def test_pipeline_consumes_standardized_store(spark, tmp_path):
+    """Entry-2 → Entry-1 wiring: the standardize job's canonical GeoTIFF
+    store, read back through the registered data source, drives the
+    pipeline job as its pixel input (the production path the fixture
+    generators stand in for)."""
+    import json
+
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.jobs.pipeline import run_pipeline
+    from sids_data_pipeline_spark.jobs.standardize import run_standardize_job
+    from sids_data_pipeline_spark.schemas import ZONES
+    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+    from sids_data_pipeline_spark.sources.geotiff_datasource import register
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for stem, base in (("r1", 0.0), ("r2", 100.0)):
+        arr = (np.arange(64, dtype="float64") + base).reshape(8, 8)
+        (src / f"{stem}.tif").write_bytes(
+            encode_geotiff(arr, origin_x=0.0, origin_y=0.8, pixel_deg=0.1)
+        )
+    store = tmp_path / "store"
+    run_standardize_job(
+        spark, str(src / "*.tif"), str(store), str(tmp_path / "ledger"),
+        lon=(0.0, 0.45), lat=(0.0, 0.8),
+    )
+
+    register(spark)
+    px = spark.read.format("geotiff").load(str(store / "*.tif"))
+    zones = spark.createDataFrame(
+        [("zcustom", 1, "all", geo.box_wkb(0.0, 0.0, 0.5, 0.8))], ZONES
+    )
+    out = tmp_path / "run"
+    res = run_pipeline(
+        spark, ["zcustom"], ["r1", "r2"], str(out), max_zoom=2,
+        zones_df=zones, pixels_df=px,
+    )
+    assert res["pending"] == 2
+    assert sorted(res["outputs"]) == ["zcustom_r1", "zcustom_r2"]
+
+    # hand-computed means over the clipped store (8 rows x 5 cols kept):
+    # r1: mean(row*8 + col) = 28 + 2 = 30 ; r2: +100
+    for pair, want in (("zcustom_r1", 30.0), ("zcustom_r2", 130.0)):
+        lines = []
+        export = out / pair / "export.geojsonl"
+        for part in export.iterdir():
+            if part.name.startswith("part-"):
+                lines += [l for l in part.read_text().splitlines() if l]
+        feats = [json.loads(l) for l in lines]
+        assert len(feats) == 1
+        assert feats[0]["properties"]["mean"] == want
