@@ -894,6 +894,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY sec
 """
 
 
+def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily gap fill over a deliberately sparse slice (high-value
+    purchases) so the spine actually has gap days to zero-fill/LOCF."""
+    (events,) = tables(spark, sf_dir, "events")
+    sparse = events.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 190.0)
+    )
+    return windows.gap_fill_daily(sparse)
+
+
+_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events WHERE event_type = 'purchase' AND value > 190.0
+  GROUP BY 1
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.sum_cents, 0) AS sum_cents,
+       LAST_VALUE(d.sum_cents IGNORE NULLS) OVER (
+         ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS carried_cents
+FROM spine s LEFT JOIN daily d USING (day)
+"""
+
+
 def _events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type z-score outliers (>2 sigma to yield rows on the uniform
     fixture): exact integer moments, broadcast join back, no event
@@ -3213,6 +3244,10 @@ QUERIES: list[Query] = [
               "per-round sums, two shuffles per iteration, teleport via "
               "one-row broadcast",
           tags=("graph", "iterative")),
+    Query("events_gap_fill", _events_gap_fill, _GAP_FILL_SQL,
+          doc="daily date-spine gap fill: zero-fill additive columns, "
+              "LOCF carried level (day-count-sized tail after one agg)",
+          tags=("events", "window")),
     Query("events_rolling", _events_rolling, _ROLLING_SQL,
           doc="per-event trailing-window features: one range-frame "
               "window, one key shuffle, exact-cents trailing sums",

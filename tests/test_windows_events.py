@@ -211,3 +211,24 @@ def test_zscore_outliers_constant_key_never_flags(spark):
         "event_id bigint, event_type string, value double",
     )
     assert zscore_outliers(df, threshold_micros=0).count() == 0
+
+
+def test_gap_fill_daily_zero_fills_and_carries(spark):
+    from sids_data_pipeline_spark.operators.windows import gap_fill_daily
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1.00),
+            (2, "2024-01-01 11:00:00", 2.00),
+            (3, "2024-01-04 09:00:00", 5.00),
+        ],
+        "event_id long, ts string, value double",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    rows = {r.day: r for r in gap_fill_daily(ev).collect()}
+    assert sorted(rows) == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    assert (rows["2024-01-01"].n_events, rows["2024-01-01"].sum_cents) == (2, 300)
+    # gap days: zero-filled additives, carried level from Jan 1
+    for gap in ("2024-01-02", "2024-01-03"):
+        assert (rows[gap].n_events, rows[gap].sum_cents) == (0, 0)
+        assert rows[gap].carried_cents == 300
+    assert rows["2024-01-04"].carried_cents == 500
