@@ -141,6 +141,8 @@ def pack_shards(
     friendly rule: a document is never split). The global running sum is
     the two-pass distributed scan (:func:`exclusive_prefix_sum`).
     """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
     ranged = exclusive_prefix_sum(
         df, F.col(size_col), [order_col], partitions
     )
@@ -173,6 +175,8 @@ def pack_sequences(
     the writer that materializes physical sequences needs only an
     equi-join on ``first_seq…last_seq`` buckets.
     """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
     ranged = exclusive_prefix_sum(
         df, F.col(size_col).cast("long"), [order_col], partitions
     )
