@@ -47,11 +47,16 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
 
 def o_zorder_key(exprs: Sequence[str], bits: int = 16) -> str:
     """DuckDB twin of :func:`zorder_key` — the same interleave spelled as
-    integer arithmetic, so the oracle verifies every bit of the key."""
+    integer arithmetic, so the oracle verifies every bit of the key.
+
+    Fractional expressions FLOOR before the cast: Spark's cast('long')
+    truncates while DuckDB's CAST rounds to nearest, and the engine
+    clamps negatives to 0 anyway, so floor == trunc on the live range.
+    """
     ncols = len(exprs)
     terms = []
     for j, e in enumerate(exprs):
-        clamped = f"LEAST(GREATEST(CAST(({e}) AS BIGINT), 0), {(1 << bits) - 1})"
+        clamped = f"LEAST(GREATEST(CAST(FLOOR({e}) AS BIGINT), 0), {(1 << bits) - 1})"
         for i in range(bits):
             terms.append(f"((({clamped} >> {i}) & 1) << {i * ncols + j})")
     return "(" + " | ".join(terms) + ")"
@@ -105,18 +110,23 @@ def write_bucketed(
     The write itself is one hash shuffle into ``num_buckets`` groups; at
     cluster scale pick ``num_buckets`` ≈ total-cores × small-integer so
     bucket files stay within one executor's memory.
+
+    Delegates to :func:`sources.storage.write_bucketed` (the one
+    implementation), defaulting ``sort_cols`` to the bucket key so
+    sort-merge joins skip their sort.
     """
-    spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    writer = (
-        df.write.format("parquet")
-        .mode("overwrite")
-        .bucketBy(num_buckets, *bucket_cols)
-        .sortBy(*(sort_cols or bucket_cols))
+    from sids_data_pipeline_spark.sources.storage import (
+        write_bucketed as _write_bucketed,
     )
-    if path is not None:
-        writer = writer.option("path", path)
-    writer.saveAsTable(table)
+
+    _write_bucketed(
+        df,
+        table,
+        list(bucket_cols),
+        num_buckets=num_buckets,
+        sort_cols=list(sort_cols or bucket_cols),
+        path=path,
+    )
 
 
 def bucketed_join(

@@ -55,13 +55,15 @@ def merge_upsert(
     full-outer join, no row comparison, no driver involvement.
     """
     keys = list(keys)
+    touched_keys = source.select(*keys)
     if delete_col is not None:
         tombstone = F.coalesce(F.col(delete_col), F.lit(False))
         upserts = source.filter(~tombstone).drop(delete_col)
-        touched_keys = source.select(*keys)
     else:
         upserts = source
-        touched_keys = source.select(*keys)
+    # plain (non-null-safe) anti join on purpose: ANSI MERGE's ON t.k =
+    # s.k never matches NULL keys either, so NULL-keyed target rows
+    # survive and NULL-keyed source rows insert — identical semantics
     survivors = target.join(touched_keys, keys, "left_anti")
     return survivors.unionByName(upserts.select(*target.columns))
 
@@ -79,20 +81,37 @@ def snapshot_diff(
 
     Comparison is null-safe via the same 256-bit per-row digest exact
     dedup uses, so only (key, digest) shuffles — two narrow projections
-    into one full-outer join, never the payload bytes.
+    into one full-outer join, never the payload bytes. Key matching is
+    ALSO null-safe (a NULL key is a real identity under GROUP BY
+    semantics, same policy as :func:`maintain_aggregate`): an unchanged
+    NULL-keyed row diffs as unchanged, not as removed+added.
     """
+    from functools import reduce as _reduce
+
     keys = list(keys)
     value_cols = list(compare_cols or [c for c in new.columns if c not in keys])
-    o = old.select(*keys, exact_key_digest(value_cols).alias("_old_digest"))
-    n = new.select(*keys, exact_key_digest(value_cols).alias("_new_digest"))
-    joined = o.join(n, keys, "full_outer")
+    o = old.select(*keys, exact_key_digest(value_cols).alias("_old_digest")).alias("_o")
+    n = new.select(*keys, exact_key_digest(value_cols).alias("_new_digest")).alias("_n")
+    cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"_o.{k}").eqNullSafe(F.col(f"_n.{k}")) for k in keys],
+    )
+    joined = o.join(n, cond, "full_outer")
     change = (
         F.when(F.col("_old_digest").isNull(), F.lit("added"))
         .when(F.col("_new_digest").isNull(), F.lit("removed"))
         .when(F.col("_old_digest") != F.col("_new_digest"), F.lit("changed"))
     )
+    # a side that didn't match contributes all-NULL columns, so the
+    # matched-or-present key is the digest-bearing side's key
+    key_out = [
+        F.when(F.col("_new_digest").isNotNull(), F.col(f"_n.{k}"))
+        .otherwise(F.col(f"_o.{k}"))
+        .alias(k)
+        for k in keys
+    ]
     return (
-        joined.select(*keys, change.alias("change"))
+        joined.select(*key_out, change.alias("change"))
         .filter(F.col("change").isNotNull())
     )
 
@@ -230,21 +249,29 @@ def refresh_aggregate(
     A 0.1% daily churn on a 100 TB fact table costs ~0.1% of the full
     rebuild.
     """
+    from functools import reduce as _reduce
+
     diff = snapshot_diff(old_facts, new_facts, id_keys)
     id_keys = list(id_keys)
-    retracts = (
-        old_facts.join(
-            diff.filter(F.col("change").isin("removed", "changed")).select(*id_keys),
-            id_keys,
-            "left_semi",
-        ).withColumn("_sign", F.lit(-1))
+
+    def _semi(facts: DataFrame, changes: Sequence[str]) -> DataFrame:
+        # null-safe semi join: snapshot_diff treats a NULL id key as a
+        # real identity, so the retract/insert lookup must match it too
+        # (a plain equi-semi-join would silently drop the changelog row
+        # and the view would keep a stale contribution forever)
+        sel = diff.filter(F.col("change").isin(*changes)).select(*id_keys).alias("_d")
+        f = facts.alias("_f")
+        cond = _reduce(
+            lambda a, b: a & b,
+            [F.col(f"_f.{k}").eqNullSafe(F.col(f"_d.{k}")) for k in id_keys],
+        )
+        return f.join(sel, cond, "left_semi")
+
+    retracts = _semi(old_facts, ["removed", "changed"]).withColumn(
+        "_sign", F.lit(-1)
     )
-    inserts = (
-        new_facts.join(
-            diff.filter(F.col("change").isin("added", "changed")).select(*id_keys),
-            id_keys,
-            "left_semi",
-        ).withColumn("_sign", F.lit(1))
+    inserts = _semi(new_facts, ["added", "changed"]).withColumn(
+        "_sign", F.lit(1)
     )
     return maintain_aggregate(
         mv,

@@ -78,6 +78,8 @@ def column_histogram(
 
     The bucket expression ``floor((x - lo) / (hi - lo) * bins)`` uses one
     fixed parenthesization, so any IEEE-754 engine bins identically.
+    NaNs are dropped along with NULLs — clamping would silently inflate
+    bucket 0 (NaN compares false everywhere, so greatest() keeps raw).
     """
     if not bins > 0:
         raise ValueError(f"bins must be positive, got {bins}")
@@ -87,7 +89,7 @@ def column_histogram(
     raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins))
     bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
     return (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .groupBy(bucket.alias("bucket"))
         .agg(F.count("*").alias("n"))
     )
@@ -100,39 +102,53 @@ def column_correlation(
     scale: int = 100,
 ) -> DataFrame:
     """Pearson correlation for column pairs from EXACT integer moments:
-    each value scales to round(x*scale) BIGINT, the five sums (n, Σx,
-    Σy, Σxy, Σx², Σy²) aggregate exactly, and the correlation derives in
-    one deterministic double formula — unlike ``F.corr``, whose running
-    double accumulation is shuffle-order-dependent and would fail a
-    cross-engine hash.
+    each value scales to round(x*scale) and the five sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) aggregate exactly in DECIMAL(38,0) — wide enough that
+    Σx² at 10⁷+ rows cannot overflow (a BIGINT accumulator would abort
+    under ANSI mode long before 100 TB) — then the correlation derives
+    in one deterministic double formula, mirrored term-for-term by the
+    SQL oracle. Unlike ``F.corr``, whose running double accumulation is
+    shuffle-order-dependent, the result survives a cross-engine hash.
+
+    Pearson is defined over PAIRWISE-COMPLETE rows: a row where either
+    column is NULL contributes to none of the pair's moments (matching
+    ``F.corr`` and every statistics package); ``n`` is the complete-pair
+    count. A zero-variance side yields corr = NULL (not a divide-by-zero
+    job abort under ANSI mode).
 
     One output row per (group, pair); corr is rounded to 6 decimals.
     Scale shape: ONE map-side-combined aggregation per pair over the
     same scan (unioned), no joins.
     """
+    if not pairs:
+        raise ValueError("column_correlation needs at least one pair")
     frames = []
     for x, y in pairs:
-        xi = F.round(F.col(x) * scale, 0).cast("long")
-        yi = F.round(F.col(y) * scale, 0).cast("long")
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        xi = F.when(both, F.round(F.col(x) * scale, 0)).cast("decimal(19,0)")
+        yi = F.when(both, F.round(F.col(y) * scale, 0)).cast("decimal(19,0)")
         agg = df.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).alias("_n"),
+            F.count(xi).alias("_n"),
             F.sum(xi).alias("_sx"),
             F.sum(yi).alias("_sy"),
-            F.sum(xi * yi).alias("_sxy"),
-            F.sum(xi * xi).alias("_sxx"),
-            F.sum(yi * yi).alias("_syy"),
+            F.sum((xi * yi).cast("decimal(38,0)")).alias("_sxy"),
+            F.sum((xi * xi).cast("decimal(38,0)")).alias("_sxx"),
+            F.sum((yi * yi).cast("decimal(38,0)")).alias("_syy"),
         )
         n = F.col("_n").cast("double")
-        cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
-        vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
-        vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+        sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+        cov = F.col("_sxy").cast("double") - sx * sy / n
+        vx = F.col("_sxx").cast("double") - sx * sx / n
+        vy = F.col("_syy").cast("double") - sy * sy / n
         frames.append(
             agg.select(
                 *group_cols,
                 F.lit(x).alias("col_x"),
                 F.lit(y).alias("col_y"),
                 F.col("_n").alias("n"),
-                F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+                F.when(
+                    (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)
+                ).alias("corr"),
             )
         )
     out = frames[0]
@@ -163,13 +179,21 @@ def robust_stats(
     join between them (keys x 1 row each); the fact scans twice but
     never shuffles more than the key-grouped percentile state.
     """
+    from functools import reduce as _reduce
+
     h = (F.round(F.col(value_col) * scale, 0).cast("long") * 2).alias("_h")
-    keyed = df.select(*keys, h)
+    keyed = df.select(*keys, h).alias("_k")
     med = keyed.groupBy(*keys).agg(
         F.expr("CAST(percentile(_h, 0.5) AS BIGINT)").alias("median_halfcents")
+    ).alias("_m")
+    # null-safe key join: groupBy emits a NULL-key group, and a plain
+    # equi-join would silently drop it from the monitoring output
+    cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(f"_k.{k}").eqNullSafe(F.col(f"_m.{k}")) for k in keys],
     )
-    dev = keyed.join(F.broadcast(med), list(keys)).select(
-        *keys,
+    dev = keyed.join(F.broadcast(med), cond).select(
+        *[F.col(f"_k.{k}") for k in keys],
         "median_halfcents",
         (F.abs(F.col("_h") - F.col("median_halfcents")) * 2).alias("_d"),
     )

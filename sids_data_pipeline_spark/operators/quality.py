@@ -80,6 +80,8 @@ def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """Evaluate ``rules`` and return (rule, n_violations, passed), one
     row per rule in a deterministic (rule-label) order-insensitive frame.
     """
+    if not rules:
+        raise ValueError("check_expectations needs at least one rule")
     row_local = [r for r in rules if r.kind != "unique"]
     uniques = [r for r in rules if r.kind == "unique"]
     parts: list[DataFrame] = []

@@ -705,25 +705,32 @@ def _column_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _column_corr_sql() -> str:
+    # mirrors the engine term-for-term: pairwise-complete rows only,
+    # exact HUGEINT moment sums (the DECIMAL(38,0) twin), double formula
+    # in the same association order, NULL corr on zero variance
     arms = []
     for x, y in (("l_quantity", "l_discount"), ("l_quantity", "l_tax")):
         arms.append(f"""
 SELECT l_returnflag, '{x}' AS col_x, '{y}' AS col_y,
        n0 AS n,
-       ROUND((sxy - CAST(sx AS DOUBLE) * sy / n0)
-             / sqrt((sxx - CAST(sx AS DOUBLE) * sx / n0)
-                    * (syy - CAST(sy AS DOUBLE) * sy / n0)), 6) AS corr
+       CASE WHEN (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n0) > 0
+             AND (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n0) > 0
+            THEN ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n0)
+                       / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n0)
+                              * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n0)), 6)
+            ELSE NULL END AS corr
 FROM (
   SELECT l_returnflag,
          COUNT(*) AS n0,
-         CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
-         CAST(SUM(xi * yi) AS BIGINT) AS sxy,
-         CAST(SUM(xi * xi) AS BIGINT) AS sxx,
-         CAST(SUM(yi * yi) AS BIGINT) AS syy
+         CAST(SUM(xi) AS HUGEINT) AS sx, CAST(SUM(yi) AS HUGEINT) AS sy,
+         CAST(SUM(xi * yi) AS HUGEINT) AS sxy,
+         CAST(SUM(xi * xi) AS HUGEINT) AS sxx,
+         CAST(SUM(yi * yi) AS HUGEINT) AS syy
   FROM (SELECT l_returnflag,
-               CAST(ROUND({x} * 100) AS BIGINT) AS xi,
-               CAST(ROUND({y} * 100) AS BIGINT) AS yi
-        FROM lineitem)
+               CAST(ROUND({x} * 100) AS HUGEINT) AS xi,
+               CAST(ROUND({y} * 100) AS HUGEINT) AS yi
+        FROM lineitem
+        WHERE {x} IS NOT NULL AND {y} IS NOT NULL)
   GROUP BY l_returnflag
 )""")
     return "\nUNION ALL\n".join(arms)
@@ -752,7 +759,7 @@ SELECT h.k AS l_returnflag,
        m.med_h AS median_halfcents,
        CAST(quantile_cont(2 * ABS(h.h - m.med_h), 0.5) AS BIGINT)
          AS mad_quartercents
-FROM h JOIN m ON h.k = m.k
+FROM h JOIN m ON h.k IS NOT DISTINCT FROM m.k
 GROUP BY h.k, m.med_h
 ORDER BY h.k
 """

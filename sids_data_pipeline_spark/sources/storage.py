@@ -35,16 +35,28 @@ def write_bucketed(
     bucket_cols: list[str],
     num_buckets: int = DEFAULT_BUCKETS,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (+optionally sorted) managed table.
+    """Persist as a bucketed (+optionally sorted) managed table — THE
+    single implementation; ``operators.layout.write_bucketed`` delegates
+    here with join-tuned defaults.
 
     Joins/aggregations on ``bucket_cols`` against any table bucketed the
     same way run exchange-free; sorting within buckets additionally lets
-    sort-merge joins skip their sort.
+    sort-merge joins skip their sort. ``path`` makes it an external
+    table. The pre-drop guards against a stale table with a DIFFERENT
+    bucket spec: overwrite alone keeps the old spec and would silently
+    re-introduce exchanges.
     """
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer = (
+        df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

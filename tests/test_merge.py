@@ -310,3 +310,29 @@ def test_maintain_aggregate_null_group_key(spark):
         for r in maintain_aggregate(mv, changes, ["g"], {"sum_v": "v"}).collect()
     }
     assert got == {None: (2, 25), "a": (1, 1)}
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark):
+    from sids_data_pipeline_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(None, "a"), (1, "b")], "k int, v string")
+    new = spark.createDataFrame([(None, "a"), (1, "c")], "k int, v string")
+    rows = {(r.k, r.change) for r in snapshot_diff(old, new, ["k"]).collect()}
+    # the unchanged NULL-key row must NOT diff as removed+added
+    assert rows == {(1, "changed")}
+
+
+def test_refresh_aggregate_retracts_null_id_keys(spark):
+    from sids_data_pipeline_spark.operators.merge import refresh_aggregate
+
+    old = spark.createDataFrame(
+        [(None, "g", 10.0), (1, "g", 5.0)], "id int, grp string, v double"
+    )
+    new = spark.createDataFrame([(1, "g", 5.0)], "id int, grp string, v double")
+    mv = spark.createDataFrame([("g", 2, 15.0)], "grp string, n_rows long, sum_v double")
+    out = {r.grp: r for r in refresh_aggregate(
+        mv, old, new, ["id"], ["grp"], {"sum_v": "v"}
+    ).collect()}
+    # the NULL-id row was removed: its contribution must retract
+    assert out["g"].n_rows == 1
+    assert out["g"].sum_v == 5.0

@@ -84,3 +84,55 @@ def test_robust_stats_hand_computed(spark):
     assert got2.median_halfcents == 500          # 2 × 250 cents
     # deviations |x-2.5| = 1.5,0.5,0.5,1.5 → MAD 1.0 → 400 quarter-cents
     assert got2.mad_quartercents == 400
+
+
+def test_correlation_uses_pairwise_complete_rows(spark):
+    from sids_data_pipeline_spark.operators.profile import column_correlation
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.0), (None, 3.0), (3.0, 3.0)], "x double, y double"
+    )
+    row = column_correlation(df, [("x", "y")]).collect()[0]
+    # the NULL-x row contributes to no moment; complete pairs are exactly
+    # collinear
+    assert row.n == 3
+    assert row.corr == 1.0
+
+
+def test_correlation_constant_column_yields_null_not_crash(spark):
+    from sids_data_pipeline_spark.operators.profile import column_correlation
+
+    df = spark.createDataFrame([(1.0, 1.0), (1.0, 2.0)], "x double, y double")
+    row = column_correlation(df, [("x", "y")]).collect()[0]
+    assert row.corr is None
+
+
+def test_correlation_rejects_empty_pairs(spark):
+    import pytest
+
+    from sids_data_pipeline_spark.operators.profile import column_correlation
+
+    with pytest.raises(ValueError):
+        column_correlation(spark.range(1), [])
+
+
+def test_histogram_drops_nan(spark):
+    from sids_data_pipeline_spark.operators.profile import column_histogram
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (0.5,)], "x double"
+    )
+    rows = {r.bucket: r.n for r in column_histogram(df, "x", 4, 0.0, 1.0).collect()}
+    assert rows == {2: 1}  # NaN dropped, 0.5 in bucket 2
+
+
+def test_robust_stats_keeps_null_key_group(spark):
+    from sids_data_pipeline_spark.operators.profile import robust_stats
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0), ("g", 3.0)], "k string, v double"
+    )
+    rows = {r.k: r for r in robust_stats(df, "v", ["k"]).collect()}
+    assert set(rows) == {None, "g"}
+    # even-integer domain: median of {200, 400} halfcent units = 300
+    assert rows[None].median_halfcents == 300
