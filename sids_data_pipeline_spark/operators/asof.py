@@ -229,12 +229,30 @@ def _asof_cogroup(
             # key present only on the right → no left rows to emit (the
             # empty frame arrives without columns, so build one explicitly)
             return pd.DataFrame(columns=out_names)
-        l_sorted = l_pdf.sort_values(ts_col, kind="mergesort")
-        if r_pdf.empty:
-            out = l_sorted.copy()
+        # pd.merge_asof rejects NULL merge keys; the documented contract
+        # (same as the window strategy) is that a NULL-ts left row keeps
+        # NULL payload — split it out and re-attach after the merge
+        null_ts = l_pdf[l_pdf[ts_col].isna()]
+        l_pdf = l_pdf[l_pdf[ts_col].notna()]
+        suffixed = [f"{c}{suffix}" for c in right_cols]
+
+        def with_null_payload(frame: pd.DataFrame) -> pd.DataFrame:
+            out = frame.copy()
             for c in right_cols:
                 out[f"{c}{suffix}"] = None
-            return out[left_names + [f"{c}{suffix}" for c in right_cols]]
+            return out[left_names + suffixed]
+
+        if l_pdf.empty or r_pdf.empty:
+            return pd.concat(
+                [with_null_payload(l_pdf), with_null_payload(null_ts)],
+                ignore_index=True,
+            )
+        if len(null_ts):
+            # Arrow promotes a nullable long ts to float64; merge_asof
+            # requires matching key dtypes, so restore the right's dtype
+            # now that the NULLs are gone
+            l_pdf = l_pdf.assign(**{ts_col: l_pdf[ts_col].astype(r_pdf[ts_col].dtype)})
+        l_sorted = l_pdf.sort_values(ts_col, kind="mergesort")
         # ts_col may itself be requested as a payload column; keep one
         # copy for merge_asof's `on` and mint the suffixed copy after the
         # rename (a naive [[ts_col, *right_cols]] would duplicate it and
@@ -247,7 +265,12 @@ def _asof_cogroup(
         merged = pd.merge_asof(
             l_sorted, r_sorted, on=ts_col, direction=direction
         )
-        return merged[left_names + [f"{c}{suffix}" for c in right_cols]]
+        merged = merged[left_names + suffixed]
+        if len(null_ts):
+            merged = pd.concat(
+                [merged, with_null_payload(null_ts)], ignore_index=True
+            )
+        return merged
 
     return (
         left.groupBy(by)
@@ -285,6 +308,8 @@ def interval_join(
     """
     if how != "inner":
         raise ValueError("interval_join supports only how='inner'")
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
     by = list(by)
     clash = (set(left.columns) & set(right.columns)) - set(by)
     if clash:

@@ -237,7 +237,9 @@ def pagerank(
     for _ in range(iters):
         contrib = (
             edges.join(ranks, edges[src_col] == ranks["node"])
-            .join(F.broadcast(deg), src_col)
+            # deg is O(V) rows — no broadcast hint (forcing it would OOM
+            # at 1e8+ nodes); AQE picks broadcast itself on small graphs
+            .join(deg, src_col)
             .select(
                 F.col(dst_col).alias("node"),
                 F.round(F.col("rank_micros") / F.col("_deg"), 0)

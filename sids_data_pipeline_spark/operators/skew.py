@@ -94,13 +94,15 @@ def salted_agg(
             raise ValueError(
                 f"{name}: {fn!r} is not algebraic; salting supports {sorted(_ALGEBRAIC)}"
             )
-    # Salt only over the columns the aggregation touches, so column
-    # pruning still reaches the scan (hashing *df.columns would force a
-    # full-width read); determinism holds — the salt is still a pure
-    # function of the row's relevant values.
-    salt_cols = list(dict.fromkeys([*keys, *(c for _fn, c in aggs.values())]))
+    # Salt by input-partition id, NOT by row values: a value-derived salt
+    # degenerates to a constant on the canonical count-per-key case
+    # (salt cols == key cols) and on duplicate-heavy hot keys — exactly
+    # the skew this helper exists to break. Algebraic aggregates are
+    # placement-invariant, so the partial grouping needs no
+    # row-determinism; the FINAL result is identical for any salt
+    # (property-tested), and no extra columns reach the scan.
     salted = df.withColumn(
-        _SALT, F.pmod(F.xxhash64(*salt_cols), F.lit(num_salts)).cast("int")
+        _SALT, F.pmod(F.spark_partition_id(), F.lit(num_salts)).cast("int")
     )
     partial = salted.groupBy(*keys, _SALT).agg(
         *[
@@ -133,8 +135,10 @@ def heavy_hitters(df: DataFrame, keys: list[str], k: int = 20) -> DataFrame:
     return (
         top.crossJoin(F.broadcast(total))
         .withColumn(
+            # double-first like the SQL mirror: a BIGINT n*1e6 would
+            # overflow (ANSI abort) past ~9e12 rows per key
             "share_ppm",
-            F.round(F.col("n") * 1_000_000 / F.col("_total"), 0).cast("long"),
+            F.round(F.col("n").cast("double") * 1_000_000 / F.col("_total"), 0).cast("long"),
         )
         .drop("_total")
     )
@@ -156,8 +160,10 @@ def key_skew_report(df: DataFrame, keys: list[str]) -> DataFrame:
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_key_rows"),
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_key_rows"),
+        # double-first like the SQL mirror: max*1e6*n_keys in BIGINT
+        # overflows (ANSI abort) at large-but-valid key cardinalities
         F.round(
-            F.max("n") * 1_000_000 * F.count(F.lit(1)) / F.sum("n"), 0
+            F.max("n").cast("double") * 1_000_000 * F.count(F.lit(1)) / F.sum("n"), 0
         )
         .cast("long")
         .alias("skew_ratio_micros"),

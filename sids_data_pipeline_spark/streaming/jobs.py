@@ -212,6 +212,19 @@ def stream_stream_attribution(
     )
 
 
+def _cents_half_up(values) -> "object":
+    """F.round's HALF_UP (away from zero) in pandas terms — pandas'
+    ``.round()`` is half-to-even and diverges from every SQL twin on
+    exact halves (0.125 → 12 vs 13 cents). NULL values become 0 cents:
+    numerically identical to ``F.sum`` skipping the NULL while
+    ``COUNT(*)`` still counts the row, which is the batch semantics."""
+    import numpy as np
+
+    x = values.to_numpy(dtype="float64", na_value=np.nan) * 100.0
+    out = np.sign(x) * np.floor(np.abs(x) + 0.5)
+    return np.nan_to_num(out, nan=0.0).astype("int64")
+
+
 def stateful_running_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     per-user running event count + exact-cents value sum, carried in
@@ -230,7 +243,7 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            cents += int(_cents_half_up(pdf["value"]).sum())
         state.update((n, cents))
         yield pd.DataFrame(
             [{"user_id": key[0], "n_events": n, "sum_value_cents": cents}]
@@ -246,15 +259,19 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    result: DataFrame, query_name: str, checkpoint_dir: str
+    result: DataFrame, query_name: str, checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain all currently-available input into an in-memory table named
     ``query_name`` and stop — deterministic one-shot used for
-    batch-parity tests and backfills."""
+    batch-parity tests and backfills. ``output_mode`` defaults to
+    "complete" (right for the aggregation streams); pass "append" for
+    non-aggregating streams (dedup, joins, stateful append operators),
+    which Spark rejects in complete mode."""
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -327,8 +344,12 @@ def streaming_cdc_upsert(
         merged.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"snapshot={batch_id}")
         )
-        with open(pointer, "w") as f:
+        # atomic pointer flip: a truncating open() could die mid-write
+        # and leave a corrupt pointer that wedges every replay
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"batch": batch_id, "prev": base}, f)
+        os.replace(tmp, pointer)
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -377,7 +398,7 @@ def stateful_rolling_stats(
         for pdf in pdfs:
             ts_us = pdf["ts"].astype("int64") // 1000
             secs = ts_us // 1_000_000
-            cents = pdf["value"].mul(100).round().astype("int64")
+            cents = _cents_half_up(pdf["value"])
             events.extend(zip(ts_us.tolist(), secs.tolist(), cents.tolist()))
         events.sort()
         # batch parity: the RANGE frame includes same-second PEERS, so
@@ -389,9 +410,15 @@ def stateful_rolling_stats(
             while j < len(events) and events[j][1] == sec:
                 hist.append((sec, events[j][2]))
                 j += 1
+            # expiry prune is safe (sec only grows within a batch), but a
+            # LATE cross-batch event must not count state entries NEWER
+            # than itself — the batch RANGE frame is trailing-only, so
+            # the emitted window is [sec - lookback, sec], while newer
+            # entries stay in state for subsequent events
             hist = [(s, v) for s, v in hist if s >= sec - lookback_seconds]
-            n = len(hist)
-            total = sum(v for _s, v in hist)
+            live = [(s, v) for s, v in hist if s <= sec]
+            n = len(live)
+            total = sum(v for _s, v in live)
             for ts_us, _sec, _c in events[i:j]:
                 rows.append(
                     {

@@ -331,3 +331,31 @@ def test_null_left_ts_matches_nothing_every_direction(spark):
         # ts=25: backward → 10 (payload 100); forward → 30 (200);
         # nearest → 30 (distance 5 beats 15)
         assert got[2] == (100 if direction == "backward" else 200), direction
+
+
+def test_cogroup_null_left_ts_keeps_null_payload(spark):
+    """pd.merge_asof rejects NULL keys; the cogroup strategy must match
+    the window strategy's contract instead of crashing the task."""
+    from sids_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, None, "b")], "k int, ts long, tag string"
+    )
+    right = spark.createDataFrame([(1, 50, 7.0)], "k int, ts long, px double")
+    for how in ("window", "cogroup"):
+        rows = {r.tag: r.px_r for r in asof_join(
+            left, right, by="k", ts_col="ts", right_cols=["px"],
+            suffix="_r", how=how,
+        ).collect()}
+        assert rows == {"a": 7.0, "b": None}, how
+
+
+def test_interval_join_rejects_nonpositive_bucket_width(spark):
+    import pytest
+
+    from sids_data_pipeline_spark.operators.asof import interval_join
+
+    df = spark.createDataFrame([(1, 0, 10)], "id int, s long, e long")
+    with pytest.raises(ValueError):
+        interval_join(df, df.selectExpr("id rid", "s rs", "e re"),
+                      ("s", "e"), ("rs", "re"), bucket_width=0)

@@ -402,3 +402,55 @@ def test_watermarked_dedup_bounded_state(spark, tmp_path):
     got = {(r.user_id, r.event_type) for r in spark.table("wm_dedup").collect()}
     assert got == {(7, "click"), (8, "view")}
     assert spark.table("wm_dedup").count() == 2
+
+
+def test_stateful_rolling_late_event_ignores_future_state(spark, tmp_path):
+    """A late cross-batch event must not count state entries NEWER than
+    itself: the batch RANGE frame is trailing-only."""
+    from datetime import datetime as dt
+
+    src = str(tmp_path / "late_in")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    out_dir = str(tmp_path / "late_out")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            jobs.stateful_rolling_stats(stream, lookback_seconds=3600)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "late_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = [(1, dt(2024, 1, 1, 12, 0, 0), 7, "e", 1.0, "")]
+    b2 = [(2, dt(2024, 1, 1, 11, 30, 0), 7, "e", 2.0, "")]  # late arrival
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    drain()
+    us = lambda d: int(d.timestamp() * 1_000_000)
+    got = {
+        r.ts_us: (r.n_trailing, r.sum_trailing_cents)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the 11:30 late event sees only itself, not the future 12:00 entry
+    assert got[us(dt(2024, 1, 1, 11, 30, 0))] == (1, 200)
+
+
+def test_stateful_cents_rounding_matches_sql_half_up(spark):
+    """pandas' .round() is half-to-even; the kernels must use HALF_UP
+    like F.round, and NULL values must count as rows with 0 cents."""
+    import numpy as np
+    import pandas as pd
+
+    from sids_data_pipeline_spark.streaming.jobs import _cents_half_up
+
+    s = pd.Series([0.125, 0.135, -0.125, None])
+    out = _cents_half_up(s)
+    # 12.5 → 13 (HALF_UP; banker's rounding would give 12), -12.5 → -13
+    assert list(out) == [13, 14, -13, 0]
+    assert out.dtype == np.dtype("int64")
