@@ -41,24 +41,55 @@ def run_standardize_job(
 ) -> dict:
     """Standardize every not-yet-done raster under ``input_glob`` into
     ``out_dir`` (ZSTD, 128×128 tiles) and append their ids to the
-    ledger. Returns {"processed": [...], "skipped": [...]}."""
+    ledger. Returns {"processed": [...], "skipped": [...]} — ``skipped``
+    is the input rasters the ledger pruned (not the whole ledger, which
+    may span other input directories). ``lon``/``lat`` ARE the clip
+    extent (they can widen past the defaults, not just narrow).
+    """
+    import glob as globmod
     import os
 
+    from pyspark.errors import AnalysisException
+
+    from sids_data_pipeline_spark.sources.raster import clip_extent, select_band
+
     register(spark)
-    px = spark.read.format("geotiff").option("band", str(band)).load(input_glob)
 
-    if "://" not in ledger_path and not os.path.exists(ledger_path):
-        done = spark.createDataFrame([], "raster_id string")
-    else:
+    try:
         done = spark.read.parquet(ledger_path).select("raster_id")
-    done = done.distinct()
+    except AnalysisException:
+        # first run: the ledger doesn't exist yet (local or remote URI)
+        done = spark.createDataFrame([], "raster_id string")
+    done_ids = {r.raster_id for r in done.distinct().collect()}
 
-    pending = px.join(done, "raster_id", "left_anti")
-    std = standardize_pixels(pending, band=band)
-    std = std.filter(F.col("lon").between(*lon) & F.col("lat").between(*lat))
+    # Prune BEFORE decode where the listing is driver-visible: raster_id
+    # is the filename stem the reader derives, so a local glob decides
+    # pending-ness without scheduling any decode work. Remote URIs fall
+    # back to the anti-join (the Python DataSource has no filter
+    # pushdown, so those decode-then-drop).
+    if "://" not in input_glob:
+        files = sorted(globmod.glob(input_glob))
+        stems = {os.path.splitext(os.path.basename(f))[0]: f for f in files}
+        skipped = sorted(s for s in stems if s in done_ids)
+        pending_files = [f for s, f in stems.items() if s not in done_ids]
+        if not pending_files:
+            return {"processed": [], "skipped": skipped}
+        pending = (
+            spark.read.format("geotiff")
+            .option("band", str(band))
+            .option("files", ",".join(pending_files))
+            .load(input_glob)
+        )
+    else:
+        px = spark.read.format("geotiff").option("band", str(band)).load(input_glob)
+        pending = px.join(done, "raster_id", "left_anti")
+        skipped = sorted(done_ids)
+    std = clip_extent(select_band(pending, band), lon=lon, lat=lat)
 
+    from sids_data_pipeline_spark.lifecycle import track
+
+    std = track(std.persist())  # one decode feeds both the id collect and the write
     processed = [r.raster_id for r in std.select("raster_id").distinct().collect()]
-    skipped = [r.raster_id for r in done.collect()]
     if processed:
         (
             std.repartition("raster_id")
@@ -71,4 +102,5 @@ def run_standardize_job(
         spark.createDataFrame(
             [(r,) for r in processed], "raster_id string"
         ).write.mode("append").parquet(ledger_path)
-    return {"processed": sorted(processed), "skipped": sorted(skipped)}
+    std.unpersist()
+    return {"processed": sorted(processed), "skipped": skipped}

@@ -50,7 +50,9 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     Output: (doc_id, n_chars, n_words, n_tokens, avg_word_len_micros).
     avg word length is reported in the exact micros domain
-    (round(chars_in_words / words * 1e6)) per the determinism policy.
+    (round(chars_in_words / words * 1e6)) per the determinism policy;
+    a zero-word (empty/whitespace) doc reports NULL instead of a
+    DIVIDE_BY_ZERO abort under ANSI mode.
     """
     t = F.lower(F.col(text_col))
     words = F.split(t, r"\s+")
@@ -61,9 +63,10 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.length(F.col(text_col)).alias("n_chars"),
         n_words.alias("n_words"),
         _count_matches(t, BPE_REGEX).alias("n_tokens"),
-        F.round(word_chars.cast("double") / n_words * MICROS, 0)
-        .cast("long")
-        .alias("avg_word_len_micros"),
+        F.when(
+            n_words > 0,
+            F.round(word_chars.cast("double") / n_words * MICROS, 0).cast("long"),
+        ).alias("avg_word_len_micros"),
     )
 
 
@@ -187,9 +190,11 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     n_digit = _count_matches(t, r"[0-9]")
     en_stops = STOPWORDS["en"]
     n_stop = F.size(F.filter(words, lambda w: w.isin(*en_stops)))
-    ratio = lambda num, den: F.round(  # noqa: E731
-        num.cast("double") / den * MICROS, 0
-    ).cast("long")
+    # a zero denominator (empty/whitespace doc) yields NULL, not an ANSI
+    # DIVIDE_BY_ZERO abort; NULL ratios fall through to the CASE's else
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den * MICROS, 0).cast("long")
+    )
     punct_ratio = ratio(n_punct, n_chars)
     stop_ratio = ratio(n_stop, n_words)
     bucket = (
@@ -309,8 +314,14 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             words.alias("_w"),
         )
         .withColumn(
+            # <3-word docs carry no shingle (NULL) — indexing _w[i+2]
+            # unguarded would abort under ANSI; same contract as the
+            # DuckDB mirror, whose empty range() yields list_min(NULL)
             "min_shingle_hash",
-            F.array_min(F.transform(sh, lambda s: token_hash32(s))),
+            F.when(
+                F.size("_w") >= 3,
+                F.array_min(F.transform(sh, lambda s: token_hash32(s))),
+            ),
         )
         .drop("_w")
     )

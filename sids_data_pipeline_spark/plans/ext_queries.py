@@ -1475,8 +1475,9 @@ SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
        CAST(n_words AS INT) AS n_words,
        CAST(len(regexp_extract_all(lt, '{text.BPE_REGEX}')) AS INT) AS n_tokens,
-       CAST(ROUND(CAST(length(regexp_replace(lt, '\s+', '', 'g')) AS DOUBLE) / n_words * 1000000) AS BIGINT)
-         AS avg_word_len_micros
+       CASE WHEN n_words > 0
+            THEN CAST(ROUND(CAST(length(regexp_replace(lt, '\s+', '', 'g')) AS DOUBLE) / n_words * 1000000) AS BIGINT)
+            ELSE NULL END AS avg_word_len_micros
 FROM t
 """
 
@@ -1523,12 +1524,15 @@ WITH t AS (
 r AS (
   SELECT doc_id,
          CAST(length(text) AS INT) AS n_chars,
-         CAST(ROUND(CAST(len(regexp_extract_all(lt, '[^a-z0-9\s]')) AS DOUBLE)
-                    / length(text) * 1000000) AS BIGINT) AS punct_ratio_micros,
-         CAST(ROUND(CAST(len(list_filter(words, x -> x IN ({stops}))) AS DOUBLE)
-                    / len(words) * 1000000) AS BIGINT) AS stopword_ratio_micros,
-         CAST(ROUND(CAST(len(regexp_extract_all(lt, '[0-9]')) AS DOUBLE)
-                    / length(text) * 1000000) AS BIGINT) AS digit_ratio_micros
+         CASE WHEN length(text) > 0
+              THEN CAST(ROUND(CAST(len(regexp_extract_all(lt, '[^a-z0-9\s]')) AS DOUBLE)
+                         / length(text) * 1000000) AS BIGINT) END AS punct_ratio_micros,
+         CASE WHEN len(words) > 0
+              THEN CAST(ROUND(CAST(len(list_filter(words, x -> x IN ({stops}))) AS DOUBLE)
+                         / len(words) * 1000000) AS BIGINT) END AS stopword_ratio_micros,
+         CASE WHEN length(text) > 0
+              THEN CAST(ROUND(CAST(len(regexp_extract_all(lt, '[0-9]')) AS DOUBLE)
+                         / length(text) * 1000000) AS BIGINT) END AS digit_ratio_micros
   FROM t
 )
 SELECT doc_id, n_chars, punct_ratio_micros, stopword_ratio_micros, digit_ratio_micros,

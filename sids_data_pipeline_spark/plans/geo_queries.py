@@ -774,10 +774,10 @@ def _tiles_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TILE_MATH_SQL = """
 t AS (
   SELECT fid, z.z AS z,
-         CAST(floor((xmin + 180.0) / 360.0 * pow(2.0, z.z)) AS INT) AS x0,
-         CAST(floor((xmax + 180.0) / 360.0 * pow(2.0, z.z)) AS INT) AS x1,
-         CAST(floor((1.0 - ln(tan(radians(ymax)) + sqrt(tan(radians(ymax)) * tan(radians(ymax)) + 1.0)) / pi()) / 2.0 * pow(2.0, z.z)) AS INT) AS y0,
-         CAST(floor((1.0 - ln(tan(radians(ymin)) + sqrt(tan(radians(ymin)) * tan(radians(ymin)) + 1.0)) / pi()) / 2.0 * pow(2.0, z.z)) AS INT) AS y1
+         LEAST(GREATEST(CAST(floor((xmin + 180.0) / 360.0 * pow(2.0, z.z)) AS INT), 0), CAST(pow(2.0, z.z) AS INT) - 1) AS x0,
+         LEAST(GREATEST(CAST(floor((xmax + 180.0) / 360.0 * pow(2.0, z.z)) AS INT), 0), CAST(pow(2.0, z.z) AS INT) - 1) AS x1,
+         LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(ymax)) + sqrt(tan(radians(ymax)) * tan(radians(ymax)) + 1.0)) / pi()) / 2.0 * pow(2.0, z.z)) AS INT), 0), CAST(pow(2.0, z.z) AS INT) - 1) AS y0,
+         LEAST(GREATEST(CAST(floor((1.0 - ln(tan(radians(ymin)) + sqrt(tan(radians(ymin)) * tan(radians(ymin)) + 1.0)) / pi()) / 2.0 * pow(2.0, z.z)) AS INT), 0), CAST(pow(2.0, z.z) AS INT) - 1) AS y1
   FROM f CROSS JOIN (SELECT unnest(range({maxz} + 1)) AS z) z
 ),
 assigned AS (

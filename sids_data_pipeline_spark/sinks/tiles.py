@@ -73,9 +73,14 @@ def assign_tiles(
     z = F.explode(F.sequence(F.lit(0), F.lit(max_zoom))).alias("z")
     with_z = features.select("*", z)
     zc = F.col("z")
-    x0, x1 = _tile_x(xmin, zc), _tile_x(xmax, zc)
+    # clamp to the valid slippy range [0, 2^z - 1]: lon = 180 (and lat
+    # south of the mercator cutoff) would otherwise index the phantom
+    # tile x = 2^z that no map client can fetch
+    nmax = F.pow(F.lit(2.0), zc).cast("int") - F.lit(1)
+    clamp = lambda v: F.least(F.greatest(v, F.lit(0)), nmax)  # noqa: E731
+    x0, x1 = clamp(_tile_x(xmin, zc)), clamp(_tile_x(xmax, zc))
     # slippy y grows southward: ymax (north) maps to the smaller y index
-    y0, y1 = _tile_y(ymax, zc), _tile_y(ymin, zc)
+    y0, y1 = clamp(_tile_y(ymax, zc)), clamp(_tile_y(ymin, zc))
     return (
         with_z.withColumn("x", F.explode(F.sequence(x0, x1)))
         .withColumn("y", F.explode(F.sequence(y0, y1)))
@@ -222,8 +227,15 @@ def _make_tile_encoder(
             c for c in feat_cols
             if c != geometry_col and (has_geom or c not in bbox)
         ]
-        sort_key = prop_cols[0] if prop_cols else feat_cols[0]
-        rows = pdf[feat_cols].sort_values(sort_key).to_dict("records")
+        # stable sort over EVERY property column: a single non-unique
+        # key under pandas' default unstable quicksort would make
+        # feature order (and the pbf bytes) shuffle-dependent
+        sort_keys = prop_cols if prop_cols else feat_cols
+        rows = (
+            pdf[feat_cols]
+            .sort_values(sort_keys, kind="mergesort")
+            .to_dict("records")
+        )
         tol = simplify_tol if z < max_zoom else 0.0
         features = []
         for r in rows:
@@ -306,8 +318,11 @@ def write_tileset(
     meta = {"name": name, "format": "pbf", "maxzoom": max_zoom}
     # leading underscore: Spark data-source listings ignore _*/.* files,
     # so the marker coexists with the parquet parts (like _SUCCESS)
-    with open(os.path.join(path, "_tileset_metadata.json"), "w") as fh:
-        json.dump(meta, fh, separators=(",", ":"))
+    _write_marker(
+        tiles.sparkSession,
+        os.path.join(path, "_tileset_metadata.json"),
+        json.dumps(meta, separators=(",", ":")),
+    )
 
 
 def read_tileset(spark: SparkSession, path: str) -> DataFrame:
@@ -316,6 +331,34 @@ def read_tileset(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _write_marker(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text marker through the Hadoop filesystem for
+    remote URIs (local open() would fail after the parquet write already
+    succeeded, leaving the P6 loop unable to close), plain open()
+    locally."""
+    if "://" in path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+    else:
+        with open(path, "w") as fh:
+            fh.write(content)
+
+
 def tileset_complete(path: str) -> bool:
-    """P6 existence probe (reference data.py:33-35)."""
-    return os.path.exists(os.path.join(path, "_tileset_metadata.json"))
+    """P6 existence probe (reference data.py:33-35) — Hadoop FS for
+    remote URIs, os.path locally."""
+    marker = os.path.join(path, "_tileset_metadata.json")
+    if "://" in marker:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("tileset_complete(URI) needs an active SparkSession")
+        hpath = spark._jvm.org.apache.hadoop.fs.Path(marker)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
+    return os.path.exists(marker)

@@ -49,7 +49,11 @@ class _FilePartition(InputPartition):
 class GeoTiffReader(DataSourceReader):
     def __init__(self, options: dict):
         self._path = options.get("path")
-        if not self._path:
+        # explicit pre-pruned file list (comma-joined) — lets callers
+        # that already know the pending subset (e.g. the standardize
+        # job's ledger prune) skip scheduling decode work for the rest
+        self._files = options.get("files")
+        if not self._path and not self._files:
             raise ValueError("geotiff source requires a load(path) glob")
         self._band = int(options.get("band", 1))
         if self._band != 1:
@@ -61,7 +65,10 @@ class GeoTiffReader(DataSourceReader):
             )
 
     def partitions(self) -> Sequence[InputPartition]:
-        paths = sorted(_glob.glob(self._path))
+        if self._files:
+            paths = sorted(p for p in self._files.split(",") if p)
+        else:
+            paths = sorted(_glob.glob(self._path))
         if not paths:
             raise FileNotFoundError(f"geotiff: no files match {self._path!r}")
         return [_FilePartition(p, self._band) for p in paths]

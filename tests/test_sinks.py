@@ -293,3 +293,19 @@ def test_encode_tiles_drops_feature_outside_polygon(spark):
     empty = [k for k, n in per_tile.items() if n == 0]
     assert len(per_tile) == len(assigned_keys)
     assert empty, "expected at least one bbox-only tile to encode empty"
+
+
+def test_assign_tiles_clamps_to_valid_slippy_range(spark):
+    """lon=180 must land in x = 2^z - 1, never the phantom x = 2^z."""
+    from sids_data_pipeline_spark.sinks.tiles import assign_tiles
+
+    feats = spark.createDataFrame(
+        [(1, 179.0, -10.0, 180.0, 10.0)],
+        "fid long, xmin double, ymin double, xmax double, ymax double",
+    )
+    rows = assign_tiles(feats, max_zoom=2).collect()
+    for r in rows:
+        assert 0 <= r.x <= 2 ** r.z - 1, (r.z, r.x)
+        assert 0 <= r.y <= 2 ** r.z - 1, (r.z, r.y)
+    # the antimeridian edge is still covered by the last valid column
+    assert any(r.z == 2 and r.x == 3 for r in rows)

@@ -196,3 +196,28 @@ def test_bpe_encode_hand_computed(spark):
             for r in bpe_encode(docs, n_merges=1).collect()}
     assert got1[1] == 2 + 2 + 2
     assert got1[2] == 2 + 2
+
+
+def test_text_ops_survive_degenerate_docs(spark):
+    """Empty/whitespace/short docs must not abort under ANSI mode:
+    ratios and shingle hashes go NULL instead of DIVIDE_BY_ZERO or
+    INVALID_ARRAY_INDEX."""
+    from sids_data_pipeline_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        token_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "hello world"), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    ts = {r.doc_id: r for r in token_stats(docs).collect()}
+    assert ts[1].avg_word_len_micros is None and ts[2].avg_word_len_micros is None
+    assert ts[4].avg_word_len_micros is not None
+    qs = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert qs[1].quality_bucket == "too_short"
+    assert qs[2].stopword_ratio_micros is None
+    fp = {r.doc_id: r for r in fingerprint(docs).collect()}
+    assert fp[3].min_shingle_hash is None        # < 3 words: no shingle
+    assert fp[4].min_shingle_hash is not None
