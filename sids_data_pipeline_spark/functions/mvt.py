@@ -93,6 +93,15 @@ def encode_geometry(rings: list[list[tuple[int, int]]], geom_type: int) -> list[
         pts = list(ring)
         if geom_type == GEOM_POLYGON and len(pts) > 1 and pts[0] == pts[-1]:
             pts = pts[:-1]
+        # degenerate rings (clip/simplify collapse) are skipped: an empty
+        # ring would IndexError, and a 1-2 point polygon ring would emit
+        # a LINE_TO with count 0 — invalid per spec 4.3.5.2
+        if not pts:
+            continue
+        if geom_type == GEOM_POLYGON and len(pts) < 3:
+            continue
+        if geom_type == GEOM_LINESTRING and len(pts) < 2:
+            continue
         cmds.append(MOVE_TO | (1 << 3))
         x0, y0 = pts[0]
         cmds += [_zigzag(int(x0) - cx), _zigzag(int(y0) - cy)]

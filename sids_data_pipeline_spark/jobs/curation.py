@@ -38,7 +38,12 @@ def curate_corpus(
 
     Near-dup removal keeps the LOWER id of each pair (consistent with
     exact dedup's keep-first), dropping every id that appears as the
-    higher member of any surviving near-duplicate pair.
+    higher member of ANY near-duplicate pair — including pairs whose
+    lower member was itself dropped, so transitive chains (0~2, 2~9)
+    remove the whole tail. This is standard LSH-dedup practice (the
+    alternative — re-admitting 9 because its only match was removed —
+    needs the connected-components pass ``operators.graph`` provides for
+    callers that want cluster-representative semantics).
     """
     quality = docs.filter(F.length(text_col) >= min_chars)
     survivors = exact_dedup(quality, [text_col], id_col)
@@ -88,12 +93,18 @@ def run_curation_job(
     import json
     import os
 
+    from sids_data_pipeline_spark.sources.storage import fs_read_text, fs_write_text
+
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     config_key = json.dumps(
         {
             "min_chars": min_chars,
             "jaccard": jaccard_threshold,
-            "splits": splits,
+            # ORDER-PRESERVING: hash_split assignment depends on label
+            # order (cumulative thresholds, remainder to the last label),
+            # so {'a':.5,'b':.5} and {'b':.5,'a':.5} are DIFFERENT
+            # configs and must not share a ledger entry
+            "splits": list(splits.items()),
             "shard_tokens": shard_tokens,
             "decontaminate": benchmark is not None,
         },
@@ -106,13 +117,16 @@ def run_curation_job(
     # one cheap metadata-aggregate action and catches in-place rewrites.
     n_input = docs.count()
     input_sig = f"{docs.semanticHash()}:{n_input}"
+    # ledger IO goes through the Hadoop FS helpers so a remote out_dir
+    # (s3a://, hdfs://) gets a working skip loop, not a local stray file
     ledger = os.path.join(out_dir, "_curation_ledger.json")
-    if os.path.exists(ledger):
-        with open(ledger) as f:
-            prior = json.load(f)
+    prior_txt = fs_read_text(spark, ledger)
+    if prior_txt is not None:
+        prior = json.loads(prior_txt)
         if prior.get("config") == config_key and prior.get("input_sig") == input_sig:
             return {**prior["manifest"], "skipped": True}
 
+    from sids_data_pipeline_spark import lifecycle
     from sids_data_pipeline_spark.operators.dedup import decontaminate
     from sids_data_pipeline_spark.operators.sampling import hash_split, pack_shards
     from sids_data_pipeline_spark.operators.text import scrub_pii, token_stats
@@ -130,6 +144,11 @@ def run_curation_job(
     with_tokens = labeled.join(
         token_stats(labeled).select("doc_id", "n_words"), "doc_id"
     )
+    # persist ONCE above the per-split fan-out: the token join reads
+    # `labeled` twice and each split filter is another branch, so without
+    # this the scrub → dedup → LSH → anti-join chain would re-execute up
+    # to 2 × len(splits) times inside the single write job
+    with_tokens = lifecycle.track(with_tokens.persist())
     # shards are per-split (a shard never mixes train/val/test rows);
     # pack_shards is a global scan per call, so pack each split and union
     per_split = [
@@ -145,23 +164,29 @@ def run_curation_job(
 
     sharded = reduce(lambda a, b: a.unionByName(b), per_split)
     data_dir = os.path.join(out_dir, "data")
-    sharded.write.mode("overwrite").partitionBy("split", "shard_id").parquet(
-        data_dir
-    )
-    # ONE aggregate over the written output serves the whole report —
-    # n_curated included (split/shard assignment drops no rows), so the
-    # curation chain executes exactly once (the write) instead of once
-    # per report count.
-    written = spark.read.parquet(data_dir)
-    shard_stats = {
-        r.split: {"docs": r.docs, "shards": r.shards}
-        for r in written.groupBy("split")
-        .agg(
-            F.count("*").alias("docs"),
-            F.countDistinct("shard_id").alias("shards"),
+    shard_stats: dict = {}
+    if with_tokens.take(1):
+        sharded.write.mode("overwrite").partitionBy("split", "shard_id").parquet(
+            data_dir
         )
-        .collect()
-    }
+        # ONE aggregate over the written output serves the whole report —
+        # n_curated included (split/shard assignment drops no rows), so
+        # the curation chain executes exactly once (the write) instead of
+        # once per report count.
+        written = spark.read.parquet(data_dir)
+        shard_stats = {
+            r.split: {"docs": r.docs, "shards": r.shards}
+            for r in written.groupBy("split")
+            .agg(
+                F.count("*").alias("docs"),
+                F.countDistinct("shard_id").alias("shards"),
+            )
+            .collect()
+        }
+    # else: curation removed every document — a partitioned write of an
+    # empty frame emits no data files and the read-back would abort with
+    # UNABLE_TO_INFER_SCHEMA, so record the empty manifest instead
+    lifecycle.release(with_tokens)
     n_curated = sum(v["docs"] for v in shard_stats.values())
     manifest_out = {
         "n_input": n_input,
@@ -169,10 +194,11 @@ def run_curation_job(
         "splits": shard_stats,
         "out": data_dir,
     }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(ledger, "w") as f:
-        json.dump(
-            {"config": config_key, "input_sig": input_sig, "manifest": manifest_out},
-            f,
-        )
+    fs_write_text(
+        spark,
+        ledger,
+        json.dumps(
+            {"config": config_key, "input_sig": input_sig, "manifest": manifest_out}
+        ),
+    )
     return {**manifest_out, "skipped": False}

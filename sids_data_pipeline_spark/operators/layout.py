@@ -38,7 +38,13 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
     hi = F.lit((1 << bits) - 1)
     for j, c in enumerate(cols):
         cc = F.col(c) if isinstance(c, str) else c
-        clamped = F.least(F.greatest(cc.cast("long"), F.lit(0)), hi.cast("long"))
+        # clamp in DOUBLE before the long cast: an out-of-int64 outlier
+        # or NaN would abort the cast under ANSI mode before the clamp
+        # could bound it (NaN orders above every double in Spark, so
+        # least() pins it to the top bucket)
+        clamped = F.least(
+            F.greatest(cc.cast("double"), F.lit(0.0)), hi.cast("double")
+        ).cast("long")
         for i in range(bits):
             bit = F.shiftright(clamped, i).bitwiseAND(F.lit(1))
             terms.append(F.shiftleft(bit, i * ncols + j))
@@ -56,7 +62,7 @@ def o_zorder_key(exprs: Sequence[str], bits: int = 16) -> str:
     ncols = len(exprs)
     terms = []
     for j, e in enumerate(exprs):
-        clamped = f"LEAST(GREATEST(CAST(FLOOR({e}) AS BIGINT), 0), {(1 << bits) - 1})"
+        clamped = f"CAST(LEAST(GREATEST(FLOOR({e}), 0.0), {(1 << bits) - 1}.0) AS BIGINT)"
         for i in range(bits):
             terms.append(f"((({clamped} >> {i}) & 1) << {i * ncols + j})")
     return "(" + " | ".join(terms) + ")"

@@ -102,8 +102,14 @@ def check_expectations(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
             one.select(F.explode(F.array(*entries)).alias("s")).select("s.*")
         )
     for r in uniques:
+        # dbt/GE convention: unique is "unique among non-null" — NULL
+        # keys are not duplicates of each other; pair with not_null to
+        # police them separately
+        src = df
+        for c in r.cols:
+            src = src.filter(F.col(c).isNotNull())
         dup_extra = (
-            df.groupBy(*[F.col(c) for c in r.cols])
+            src.groupBy(*[F.col(c) for c in r.cols])
             .agg(F.count("*").alias("_n"))
             .agg(
                 F.coalesce(

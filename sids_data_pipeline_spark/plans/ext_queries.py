@@ -2966,11 +2966,11 @@ FROM (
   UNION ALL
   SELECT 'unique(o_orderkey)',
          COALESCE(SUM(n - 1) FILTER (WHERE n > 1), 0)
-  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+  FROM (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey)
   UNION ALL
   SELECT 'unique(o_custkey)',
          COALESCE(SUM(n - 1) FILTER (WHERE n > 1), 0)
-  FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey)
+  FROM (SELECT COUNT(*) AS n FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey)
 )
 """
 

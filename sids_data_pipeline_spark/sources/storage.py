@@ -29,6 +29,59 @@ DEFAULT_BUCKETS = 32
 PIXEL_PART_DEG = 10.0  # coarse partition-cell size (degrees)
 
 
+def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file (marker/ledger) that works on ANY
+    Hadoop-supported URI, not just the driver's local disk: local paths
+    use plain open(); remote URIs go through the Hadoop FileSystem API,
+    so a job whose data writes land on s3a://... can close its
+    completion loop there too."""
+    if "://" in path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+    else:
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as fh:
+            fh.write(content)
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file from any Hadoop-supported URI; None when it
+    does not exist (the probe half of :func:`fs_write_text`)."""
+    if "://" in path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            reader = jvm.java.io.BufferedReader(
+                jvm.java.io.InputStreamReader(stream, "UTF-8")
+            )
+            lines = []
+            line = reader.readLine()
+            while line is not None:
+                lines.append(line)
+                line = reader.readLine()
+            return "\n".join(lines)
+        finally:
+            stream.close()
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return fh.read()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -163,3 +163,37 @@ def test_column_histogram_clamps_and_bins(spark):
         column_histogram(df, "x", 0, 0.0, 10.0)
     with _pytest.raises(ValueError):
         column_histogram(df, "x", 2, 10.0, 10.0)
+
+
+def test_curation_job_empty_result_writes_ledger(spark, tmp_path):
+    """When curation removes every doc, the job must record an empty
+    manifest instead of aborting on the empty partitioned read-back."""
+    from sids_data_pipeline_spark.jobs.curation import run_curation_job
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "also")], "doc_id long, text string"
+    )  # all under min_chars
+    out = run_curation_job(spark, docs, str(tmp_path / "c"))
+    assert out["n_curated"] == 0 and out["splits"] == {}
+    # re-run skips via the ledger
+    again = run_curation_job(spark, docs, str(tmp_path / "c"))
+    assert again["skipped"] is True
+
+
+def test_curation_config_key_is_split_order_sensitive(spark, tmp_path):
+    """hash_split assignment depends on label order, so reordering the
+    splits dict must NOT be treated as the same completed config."""
+    from sids_data_pipeline_spark.jobs.curation import run_curation_job
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of text in it") for i in range(50)],
+        "doc_id long, text string",
+    )
+    r1 = run_curation_job(
+        spark, docs, str(tmp_path / "o"), splits={"a": 0.5, "b": 0.5}
+    )
+    assert r1["skipped"] is False
+    r2 = run_curation_job(
+        spark, docs, str(tmp_path / "o"), splits={"b": 0.5, "a": 0.5}
+    )
+    assert r2["skipped"] is False  # different assignment → re-runs

@@ -103,3 +103,16 @@ def test_split_dead_letters_pure_codegen(spark):
     for frame in (good, dead):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_unique_rule_exempts_nulls(spark):
+    from sids_data_pipeline_spark.operators import quality as q
+
+    df = spark.createDataFrame(
+        [(None,), (None,), ("x",), ("y",)], "k string"
+    )
+    rows = {r.rule: r.n_violations for r in q.check_expectations(
+        df, [q.unique("k")]
+    ).collect()}
+    # NULLs are not duplicates of each other (dbt/GE convention)
+    assert rows["unique(k)"] == 0

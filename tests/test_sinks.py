@@ -309,3 +309,17 @@ def test_assign_tiles_clamps_to_valid_slippy_range(spark):
         assert 0 <= r.y <= 2 ** r.z - 1, (r.z, r.y)
     # the antimeridian edge is still covered by the last valid column
     assert any(r.z == 2 and r.x == 3 for r in rows)
+
+
+def test_mvt_skips_degenerate_rings():
+    """Empty and sub-3-point polygon rings (clip/simplify collapse) are
+    skipped, not encoded as spec-invalid command streams."""
+    from sids_data_pipeline_spark.functions import mvt
+
+    good = [(0, 0), (10, 0), (10, 10), (0, 0)]
+    feats = [{"id": 1, "type": mvt.GEOM_POLYGON,
+              "rings": [[], [(5, 5), (5, 5)], good], "props": {"fid": 1}}]
+    blob = mvt.encode_tile("layer", feats)
+    decoded = mvt.decode_tile(blob)
+    rings = decoded["layer"]["features"][0]["rings"]
+    assert rings == [good]  # only the valid ring survives, closed form
