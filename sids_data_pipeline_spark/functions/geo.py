@@ -437,7 +437,12 @@ def wkb_perimeter_e6(wkb: bytes) -> int:
 def _clip_ring_halfplane(pts: list, inside, intersect) -> list:
     """One Sutherland–Hodgman pass: keep the part of the ring on the
     `inside` side of a boundary; `intersect` maps an (in, out) edge to
-    its boundary crossing."""
+    its boundary crossing.
+
+    NOTE: :func:`clip_ring_rect` above is the numpy twin of the same
+    algorithm specialized to tile windows (the MVT path) — a behavioral
+    tweak here (degenerate edges, boundary epsilon) must be mirrored
+    there, or the tile path and the zonal-weight path will disagree."""
     out: list = []
     n = len(pts)
     for i in range(n):

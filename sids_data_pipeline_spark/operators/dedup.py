@@ -31,6 +31,8 @@ driver.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -66,7 +68,12 @@ def shingles(
     Built JVM-side with array higher-order functions (no Python UDF):
     split → transform over a sliding index sequence → explode.
     """
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    # drop empty tokens (leading/trailing whitespace artifacts) like
+    # tokens() and the SQL twin's list_filter — phantom '' words would
+    # skew Jaccard between padded and unpadded near-duplicates
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
     parts = " , ' ' , ".join(f"_w[i + {k}]" for k in range(n))
     sh = F.expr(
         f"transform(sequence(0, size(_w) - {n}), i -> concat({parts}))"
@@ -109,7 +116,12 @@ def exact_dedup(
     once, keys are uniform, and the same plan holds at 100 TB.
     """
     digest = exact_key_digest(key_cols)
-    w = Window.partitionBy(digest).orderBy(F.col(order_col).asc())
+    # xxhash64 over the full row tie-breaks equal order_col values
+    # deterministically (arrival order would pick a different survivor
+    # per run/AQE re-plan); fully identical rows remain interchangeable
+    w = Window.partitionBy(digest).orderBy(
+        F.col(order_col).asc(), F.xxhash64(*df.columns).asc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -159,6 +171,11 @@ def lsh_candidate_pairs(
     stop-word removal. Off by default so results mirror pure banding (the
     hash-verified oracle path).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands} "
+            "(trailing hashes would be silently ignored)"
+        )
     rows = num_hashes // bands
     stack_args = ", ".join(
         f"{b}, concat_ws(',', {', '.join(f'mh{b * rows + r}' for r in range(rows))})"

@@ -480,6 +480,11 @@ def kmeans_fit(
         .collect()
     )
     centroids = [list(r._iv) for r in rows]
+    if len(centroids) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} but the input has only {len(centroids)} "
+            "rows; lower k or add data"
+        )
     assigned = None
     dim = len(centroids[0])
     for _ in range(iters):

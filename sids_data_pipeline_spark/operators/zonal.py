@@ -134,8 +134,6 @@ def _broadcast_spatial_join(
     into the join — no per-row WKB bytes cross the Arrow boundary, and
     each Python worker parses each geometry once (cached).
     """
-    import pandas as pd
-
     # Bounded collect: the limit caps driver memory AND doubles as the
     # oversize probe — no separate count job. None = over the cap, and
     # spatial_join falls back to the distributed grid strategy.
@@ -463,7 +461,18 @@ def zonal_weighted(
     next optimization and changes no results.
     """
     spark = zones.sparkSession
-    zrows = zones.select("fid", "geometry").collect()
+    # same driver-side bound as the broadcast spatial join: the zone
+    # table (WKB included) is collected for bbox extraction, so an
+    # unbounded table would be a driver OOM, not a slow job
+    zrows = zones.select("fid", "geometry").limit(
+        BROADCAST_ZONE_LIMIT + 1
+    ).collect()
+    if len(zrows) > BROADCAST_ZONE_LIMIT:
+        raise ValueError(
+            f"zonal_weighted: > {BROADCAST_ZONE_LIMIT} zones; pre-filter "
+            "or tile the zone table (grid fallback is not implemented "
+            "for the weighted kernel)"
+        )
     bbox_rows = []
     for r in zrows:
         xmin, ymin, xmax, ymax = geo.wkb_bbox(bytes(r.geometry))
@@ -488,13 +497,28 @@ def zonal_weighted(
         cache: dict[bytes, object] = {}
         for i, (g, x, y) in enumerate(zip(geom, lon, lat)):
             key = bytes(g)
-            polys = cache.get(key)
-            if polys is None:
+            cached = cache.get(key)
+            if cached is None:
                 polys = geo.parse_wkb(key)
-                cache[key] = polys
+                # normalize winding per polygon: the clip area is SIGNED
+                # by ring direction, so a clockwise exterior (valid WKB,
+                # ESRI-convention exports) would make every weight
+                # negative and silently NULL the zone; flipping by the
+                # exterior ring's own orientation keeps hole subtraction
+                # (opposite-wound inner rings) intact
+                cached = [
+                    (
+                        poly,
+                        1.0
+                        if geo.ring_signed_area(np.asarray(poly[0])) >= 0
+                        else -1.0,
+                    )
+                    for poly in polys
+                ]
+                cache[key] = cached
             a2 = sum(
-                geo.clip_ring_box_area2(ring, x - h, y - h, x + h, y + h)
-                for poly in polys
+                sgn * geo.clip_ring_box_area2(ring, x - h, y - h, x + h, y + h)
+                for poly, sgn in cached
                 for ring in poly
             )
             w = a2 / 2.0 * inv

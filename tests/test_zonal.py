@@ -292,3 +292,37 @@ def test_all_touched_superset_of_center_rule(spark):
     # touched cells: lon-h < 0.52 and lon+h > 0.13 → centers in (0.08, 0.57)
     # → i in {1..5} (0.15..0.55); lat centers in (0.02, 0.66) → j in {0..6}
     assert touched.n_pixels == 5 * 7
+
+
+def test_zonal_weighted_handles_clockwise_zones(spark):
+    """A clockwise-wound exterior ring (valid WKB, ESRI convention) must
+    weight identically to its counter-clockwise twin, not NULL out."""
+    import pandas as pd
+
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators.zonal import zonal_weighted
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster
+
+    px = synthetic_raster(spark, "rast_gradient")
+    ccw = geo.box_wkb(0.05, 0.05, 0.35, 0.35)
+    # reverse the ring order → clockwise winding, same shape
+    polys = geo.parse_wkb(ccw)
+    import numpy as np
+
+    cw_ring = np.ascontiguousarray(polys[0][0][::-1])
+    cw = geo.rings_to_wkb([[cw_ring]]) if hasattr(geo, "rings_to_wkb") else None
+    if cw is None:
+        import struct
+
+        # hand-build a single-ring polygon WKB with reversed vertices
+        pts = cw_ring
+        cw = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(pts)) + b"".join(
+            struct.pack("<dd", float(x), float(y)) for x, y in pts
+        )
+    zones = spark.createDataFrame(
+        pd.DataFrame({"fid": [1, 2], "geometry": [ccw, cw]})
+    )
+    got = {r.fid: (r.w_e6_sum, r.wmean_cents)
+           for r in zonal_weighted(zones, px).collect()}
+    assert got[1] == got[2]
+    assert got[1][0] is not None
