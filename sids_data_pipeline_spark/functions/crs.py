@@ -298,7 +298,15 @@ def standardize_crs(
     rows fall through every WHEN branch into a raise_error OTHERWISE), so
     the guard survives column pruning — a standalone assertion column
     would be dropped by Catalyst as unused and never fire.
+
+    Only ``dst_epsg=4326`` is implemented: every conversion branch
+    produces lon/lat degrees, so any other target would silently stamp
+    wrong data with the requested code — refuse it up front.
     """
+    if dst_epsg != WGS84:
+        raise ValueError(
+            f"standardize_crs targets EPSG:4326 only, got dst_epsg={dst_epsg}"
+        )
     is_dst = F.col(epsg_col) == dst_epsg
     is_merc = F.col(epsg_col) == WEB_MERCATOR
     is_utm_n = F.col(epsg_col).between(32601, 32660)
@@ -315,10 +323,12 @@ def standardize_crs(
     ).cast("double")
 
     def pick(merc, utm, passthrough):
+        # dst passthrough FIRST: a row already in the target must never
+        # reach a conversion branch
         return (
-            F.when(is_merc, merc)
+            F.when(is_dst, passthrough)
+            .when(is_merc, merc)
             .when(is_utm_n | is_utm_s, utm)
-            .when(is_dst, passthrough)
             .otherwise(boom)
         )
 

@@ -62,15 +62,22 @@ def record_done(
 
 
 def read_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
-    """S7: the completion ledger as a DataFrame (empty if none yet)."""
-    import os
+    """S7: the completion ledger as a DataFrame (empty if none yet).
+
+    Only a PATH_NOT_FOUND-style AnalysisException means "no ledger yet";
+    any other failure (corrupt footer, permissions, schema drift) must
+    surface — an empty fallback there would silently disable
+    incrementality and re-run ALL completed work. No os.path fast path:
+    scheme-less paths resolve against Hadoop defaultFS, not the driver's
+    local disk.
+    """
+    from pyspark.errors import AnalysisException
 
     empty = "v_id string, r_id string"
-    # local-path fast path avoids a logged AnalysisException on first run;
-    # remote URIs fall through to the try/except
-    if "://" not in ledger_path and not os.path.exists(ledger_path):
-        return spark.createDataFrame([], empty)
     try:
-        return spark.read.parquet(ledger_path).select(*PAIR_COLS)
-    except Exception:
+        ledger = spark.read.parquet(ledger_path)
+    except AnalysisException:  # path does not exist yet
         return spark.createDataFrame([], empty)
+    # outside the except: a ledger that EXISTS but lacks the pair
+    # columns is schema drift and must raise, not read as empty
+    return ledger.select(*PAIR_COLS)

@@ -89,23 +89,42 @@ def ingest_geopackage(
                     f"specify table=; gpkg_contents lists {tables}"
                 )
             table = tables[0]
-        (geom_col,) = con.execute(
+        geom_row = con.execute(
             "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
             (table,),
         ).fetchone()
-        cols = [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
+        if geom_row is None:
+            raise ValueError(
+                f"table {table!r} is not registered in gpkg_geometry_columns "
+                "(attribute-only tables carry no features to ingest)"
+            )
+        (geom_col,) = geom_row
+        info = list(con.execute(f'PRAGMA table_info("{table}")'))
+        cols = [r[1] for r in info]
+        # the spec requires an INTEGER PRIMARY KEY, not the NAME 'fid' —
+        # QGIS/Arc exports commonly use 'id'/'OBJECTID'
+        pk_cols = [r[1] for r in info if r[5]]
+        pk = pk_cols[0] if pk_cols else "fid"
         if name_col is None:
             candidates = [c for c in cols if c.lower() in ("name", "label", "title")]
             name_col = candidates[0] if candidates else None
         select_name = f'"{name_col}"' if name_col else "NULL"
         rows = con.execute(
-            f'SELECT fid, {select_name}, "{geom_col}" FROM "{table}" ORDER BY fid'
+            f'SELECT "{pk}", {select_name}, "{geom_col}" FROM "{table}" '
+            f'ORDER BY "{pk}"'
         ).fetchall()
     finally:
         con.close()
 
     records = [
-        (vector_id, int(fid), name, promote_to_multi(parse_gpb(gpb)))
+        # NULL geometry is legal in a feature table (OGC 12-128r14);
+        # carry it through as a NULL WKB rather than crashing the ingest
+        (
+            vector_id,
+            int(fid),
+            name,
+            promote_to_multi(parse_gpb(gpb)) if gpb is not None else None,
+        )
         for fid, name, gpb in rows
     ]
     pdf = pd.DataFrame(records, columns=[f.name for f in ZONES.fields])
@@ -118,7 +137,21 @@ def write_geopackage(
     table: str = "zones",
     srs_id: int = 4326,
 ) -> None:
-    """Write (fid, name, wkb) rows as a minimal valid GeoPackage."""
+    """Write (fid, name, wkb) rows as a minimal valid GeoPackage.
+
+    ``srs_id`` must be a system the writer can register in
+    gpkg_spatial_ref_sys (4326 or 3857) — referencing an unregistered
+    srs_id would violate the spec's foreign-key contract and strict
+    readers reject the layer."""
+    _SRS_ROWS = {
+        4326: ("WGS 84", 4326, "EPSG", 4326, "GEOGCS[...]"),
+        3857: ("Web Mercator", 3857, "EPSG", 3857, "PROJCS[...]"),
+    }
+    if srs_id not in _SRS_ROWS:
+        raise ValueError(
+            f"write_geopackage registers srs_id in {sorted(_SRS_ROWS)}; "
+            f"got {srs_id}"
+        )
     con = sqlite3.connect(path)
     try:
         con.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
@@ -130,8 +163,8 @@ def write_geopackage(
                  definition TEXT NOT NULL, description TEXT)"""
         )
         con.execute(
-            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES "
-            "('WGS 84', 4326, 'EPSG', 4326, 'GEOGCS[...]', NULL)"
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?, ?, ?, ?, ?, NULL)",
+            _SRS_ROWS[srs_id],
         )
         con.execute(
             """CREATE TABLE IF NOT EXISTS gpkg_contents (

@@ -52,6 +52,7 @@ _TAG_SAMPLE_FORMAT = 339
 _TAG_MODEL_PIXEL_SCALE = 33550
 _TAG_MODEL_TIEPOINT = 33922
 _TAG_GDAL_NODATA = 42113
+_TAG_GEO_KEY_DIRECTORY = 34735
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 
@@ -272,6 +273,16 @@ def encode_geotiff(
         _TAG_MODEL_TIEPOINT, 12, 6,
         struct.pack("<6d", 0.0, 0.0, 0.0, origin_x, origin_y, 0.0),
     )
+    # GeoKeyDirectory: declare the CRS (GTModelType=Geographic,
+    # RasterType=PixelIsArea, GeographicType=EPSG:4326) so external
+    # tools (gdalinfo/QGIS) see a conformant GeoTIFF, not an unknown-CRS
+    # image — the reference's standardized profile is EPSG-tagged
+    entry(
+        _TAG_GEO_KEY_DIRECTORY, 3, 16,
+        struct.pack(
+            "<16H", 1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, 4326
+        ),
+    )
     if nodata is not None:
         nd = f"{nodata}".encode() + b"\0"
         entry(_TAG_GDAL_NODATA, 2, len(nd), nd)
@@ -323,26 +334,38 @@ def encode_pixel_group(
     Shared by the applyInPandas sink (:func:`export_geotiff`) and the
     registered write-path data source (geotiff_datasource).
 
-    Places rows/cols by COORDINATE order, not by y/x index convention:
-    ingest_geotiff's y grows southward while synthetic_raster's grows
-    northward, so indexing by y would vertically flip one of them.
-    TIFF row 0 = northernmost lat; col 0 = westernmost lon. Pixel size
-    and upper-left origin are inferred from the centre lattice; NULLs
-    encode as the nodata sentinel."""
-    y_lat = pdf.groupby("y")["lat"].first().sort_values(ascending=False)
-    x_lon = pdf.groupby("x")["lon"].first().sort_values()
-    h, w = len(y_lat), len(x_lon)
-    sx = float(pdf["lon"].max() - pdf["lon"].min()) / max(w - 1, 1) if w > 1 else 1.0
-    sy = float(pdf["lat"].max() - pdf["lat"].min()) / max(h - 1, 1) if h > 1 else 1.0
-    origin_x = float(pdf["lon"].min()) - sx / 2.0
-    origin_y = float(pdf["lat"].max()) + sy / 2.0
+    Places rows/cols by COORDINATE position, not by y/x index
+    convention: ingest_geotiff's y grows southward while
+    synthetic_raster's grows northward, so indexing by y would
+    vertically flip one of them. TIFF row 0 = northernmost lat; col 0 =
+    westernmost lon. Pixel size is the MINIMUM lattice spacing (span ÷
+    distinct-count would mis-register every pixel after a dropped
+    row/column), cells land at round((coord − origin) / size) so gaps
+    become nodata runs, and the origin is the centre lattice's corner.
+    NULLs encode as the nodata sentinel."""
+    if "band" in pdf.columns and pdf["band"].nunique() > 1:
+        raise ValueError(
+            "encode_pixel_group writes single-band files; split by band "
+            f"first (got bands {sorted(pdf['band'].unique())})"
+        )
+    lon_u = np.sort(pdf["lon"].unique())
+    lat_u = np.sort(pdf["lat"].unique())
+    # two-step pitch inference: the minimum spacing finds the true cell
+    # count even with dropped rows/columns, then span ÷ (count − 1)
+    # averages out per-center float noise that a single min-diff carries
+    sx0 = float(np.min(np.diff(lon_u))) if len(lon_u) > 1 else 1.0
+    sy0 = float(np.min(np.diff(lat_u))) if len(lat_u) > 1 else 1.0
+    w = int(round((lon_u[-1] - lon_u[0]) / sx0)) + 1 if len(lon_u) > 1 else 1
+    h = int(round((lat_u[-1] - lat_u[0]) / sy0)) + 1 if len(lat_u) > 1 else 1
+    sx = float(lon_u[-1] - lon_u[0]) / (w - 1) if w > 1 else 1.0
+    sy = float(lat_u[-1] - lat_u[0]) / (h - 1) if h > 1 else 1.0
+    origin_x = float(lon_u[0]) - sx / 2.0
+    origin_y = float(lat_u[-1]) + sy / 2.0
     grid = np.full((h, w), nodata, dtype="float64")
-    yi = pd.Series(np.arange(h), index=y_lat.index)
-    xi = pd.Series(np.arange(w), index=x_lon.index)
+    xi = np.rint((pdf["lon"].to_numpy() - lon_u[0]) / sx).astype(np.int64)
+    yi = np.rint((lat_u[-1] - pdf["lat"].to_numpy()) / sy).astype(np.int64)
     vals = pdf["val"].to_numpy(dtype="float64")
-    grid[yi[pdf["y"]].to_numpy(), xi[pdf["x"]].to_numpy()] = np.where(
-        np.isnan(vals), nodata, vals
-    )
+    grid[yi, xi] = np.where(np.isnan(vals), nodata, vals)
     return encode_geotiff(
         grid, origin_x, origin_y, sx, nodata=nodata, pixel_deg_y=sy,
         compress=compress, tile=tile,

@@ -345,3 +345,45 @@ def test_geotiff_datasource_write_roundtrip(spark, tmp_path):
     a = sorted((r.raster_id, r.x, r.y, r.lon, r.lat, r.val) for r in px.collect())
     b = sorted((r.raster_id, r.x, r.y, r.lon, r.lat, r.val) for r in back.collect())
     assert a == b
+
+
+def test_geopackage_nonstandard_pk_and_null_geometry(spark, tmp_path):
+    """A spec-valid GPKG may use any INTEGER PRIMARY KEY name and may
+    carry NULL-geometry rows; both must ingest, not crash."""
+    import sqlite3
+
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.sources.geopackage import (
+        ingest_geopackage,
+        write_geopackage,
+    )
+
+    # build a gpkg whose feature table uses pk 'OBJECTID' + one NULL geom
+    path = str(tmp_path / "odd.gpkg")
+    write_geopackage([(1, "a", geo.box_wkb(0, 0, 1, 1))], path, table="zones")
+    con = sqlite3.connect(path)
+    con.execute('ALTER TABLE "zones" RENAME TO "zones_old"')
+    con.execute(
+        'CREATE TABLE "zones" (OBJECTID INTEGER PRIMARY KEY, name TEXT, geom BLOB)'
+    )
+    con.execute(
+        'INSERT INTO "zones" SELECT fid, name, geom FROM "zones_old"'
+    )
+    con.execute('INSERT INTO "zones" (OBJECTID, name, geom) VALUES (2, "empty", NULL)')
+    con.execute('DROP TABLE "zones_old"')
+    con.commit()
+    con.close()
+
+    rows = {r.fid: r for r in ingest_geopackage(spark, path, "v", table="zones").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].geometry is not None
+    assert rows[2].geometry is None
+
+
+def test_write_geopackage_rejects_unregistered_srs(tmp_path):
+    import pytest
+
+    from sids_data_pipeline_spark.sources.geopackage import write_geopackage
+
+    with pytest.raises(ValueError):
+        write_geopackage([], str(tmp_path / "x.gpkg"), srs_id=2154)

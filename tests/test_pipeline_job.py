@@ -182,10 +182,11 @@ def test_curation_job_action_economy_and_input_signature(spark, tmp_path, monkey
     assert m1["skipped"] is False
     # count: input-signature count + the LSH degenerate-bucket probe
     # (bounded limit(N+1).count, by design); collect: one pack_shards
-    # partition-totals list per split (3) + ONE report aggregate. The
-    # write is the only action executing the curation chain.
+    # partition-totals list per split (3) + the empty-output guard's
+    # take(1) on the PERSISTED frame + ONE report aggregate. The write
+    # is the only action executing the curation chain.
     assert calls["count"] == 2, calls
-    assert calls["collect"] == 4, calls
+    assert calls["collect"] == 5, calls
 
     # skip path: signature count only, zero chain work
     calls.update(count=0, collect=0)
