@@ -8,7 +8,7 @@ equivalents are function-level. Besides the pandas scalar UDFs
 encode, as-of join) used throughout, this module exercises the remaining
 two extension classes as first-class, catalog-registered operators:
 
-- :class:`SentenceSplit` — an arrow-optimized **Python UDTF**
+- :class:`SentenceSplit` — a **Python UDTF**
   (``pyspark.sql.functions.udtf``): one document row → many sentence
   rows via a LATERAL join, the table-function shape
   (SELECT t.* FROM docs d, LATERAL sentences(d.doc_id, d.text) t).
@@ -37,10 +37,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# Sentence boundary: terminal punctuation + whitespace. RE2-compatible
-# (no lookbehind) so the DuckDB oracle splits identically; the
-# punctuation is consumed by the split in both engines.
-SENTENCE_SPLIT_RE = r"[.!?]\s+"
+# Sentence boundary: terminal punctuation + whitespace. The whitespace
+# class is spelled EXPLICITLY (the PII-pattern policy, operators/
+# text.py): Python re's Unicode \s includes \x0b/\xa0 that DuckDB
+# RE2's ASCII \s does not, so \s itself would diverge on exotic
+# whitespace. No lookbehind, so RE2 compiles the same pattern.
+SENTENCE_WS = " \t\n\r\f"
+SENTENCE_SPLIT_RE = rf"[.!?][{SENTENCE_WS}]+"
 
 
 # DataType objects (not DDL strings): string types are parsed through
@@ -68,7 +71,7 @@ class SentenceSplit:
         if text is None:
             return
         for i, s in enumerate(re.split(SENTENCE_SPLIT_RE, text)):
-            if s.strip():
+            if s.strip(SENTENCE_WS):
                 yield doc_id, i, s
 
 

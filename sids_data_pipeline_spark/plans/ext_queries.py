@@ -2026,10 +2026,10 @@ def _text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SENTENCES_SQL = r"""
 SELECT doc_id, CAST(i - 1 AS INT) AS sentence_idx, s[i] AS sentence
-FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]\s+') AS s
+FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?][ \t\n\r\f]+') AS s
       FROM documents),
      LATERAL unnest(generate_series(1, len(s))) AS t(i)
-WHERE NOT regexp_full_match(s[i], '\s*')
+WHERE NOT regexp_full_match(s[i], '[ \t\n\r\f]*')
 ORDER BY doc_id, sentence_idx
 """
 

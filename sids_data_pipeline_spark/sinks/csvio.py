@@ -14,15 +14,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+# NULLs are written as this sentinel so the reader can tell them from
+# genuine empty strings (Spark's default maps BOTH to null on read) —
+# pinned on both sides, the round trip is lossless.
+NULL_SENTINEL = "\\N"
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """K6: header CSV, sharded by partition (job-atomic per directory)."""
-    df.write.mode(mode).option("header", True).csv(path)
+    """K6: header CSV, sharded by partition (job-atomic per directory).
+    NULLs write as the ``\\N`` sentinel (empty string stays ``""``)."""
+    df.write.mode(mode).option("header", True).option(
+        "nullValue", NULL_SENTINEL
+    ).csv(path)
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
     """S2: schema-pinned CSV scan — inference is a full extra pass over
-    the data at 100 TB, so the engine requires an explicit schema."""
-    return spark.read.schema(schema).option("header", True).csv(path)
+    the data at 100 TB, so the engine requires an explicit schema.
+    ``multiLine`` handles quoted embedded newlines; the NULL sentinel
+    restores the write side's null-vs-empty distinction."""
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", "true")
+        .option("nullValue", NULL_SENTINEL)
+        .csv(path)
+    )
 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -28,12 +28,16 @@ def _feature_udf(wkb: pd.Series, props_json: pd.Series) -> pd.Series:
     pipeline/processing/utils.py:17-19)."""
     out = []
     for b, pj in zip(wkb, props_json):
-        feat = {
-            "type": "Feature",
-            "geometry": geo.wkb_to_geojson_geometry(bytes(b)),
-            "properties": json.loads(pj) if pj else {},
-        }
-        out.append(json.dumps(feat, separators=(",", ":"), sort_keys=True))
+        props = json.loads(pj) if pj else {}
+        if b is None:
+            # GeoJSON allows a null geometry (RFC 7946 §3.2) — emit it
+            # rather than crashing the write on a geometry-less row
+            feat = {"type": "Feature", "geometry": None, "properties": props}
+            out.append(json.dumps(feat, separators=(",", ":"), sort_keys=True))
+        else:
+            # the ONE serialization lives in geo.geojson_feature — the
+            # oracle's geometry_json_len math depends on it exactly
+            out.append(geo.geojson_feature(bytes(b), props))
     return pd.Series(out)
 
 

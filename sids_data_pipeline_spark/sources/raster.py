@@ -7,9 +7,9 @@ canonical raster form is a Parquet pixel table (schemas.PIXELS) partitioned
 by ``raster_id``; at 100 TB the table additionally partitions on a coarse
 lat/lon grid so spatial predicates prune whole files.
 
-Real GeoTIFF decode needs rasterio/GDAL, which this container does not
-ship; ``ingest_geotiff`` is therefore a clearly-marked stub that documents
-the exact mapInPandas plumbing, while ``synthetic_raster`` provides the
+``ingest_geotiff`` delegates to the REAL pure-numpy codec in
+sources/geotiff.py (strip/tiled, raw/deflate/ZSTD — no GDAL needed for
+the standardized profile); ``synthetic_raster`` provides the
 deterministic fixtures from FIXTURES.md §B1 used by tests and queries.
 """
 

@@ -9,9 +9,10 @@ they broadcast in every join — the reference makes the same decision by
 importing vectors once up front and streaming rasters past them
 (``pipeline/processing/__main__.py:13-23``).
 
-GeoPackage decode needs fiona/geopandas (not in this container) →
-``ingest_geopackage`` is a documented stub; ``fixture_zones`` provides the
-deterministic FIXTURES.md §B2 layers.
+``ingest_geopackage`` delegates to the REAL stdlib-sqlite3 reader in
+sources/geopackage.py (GPB envelope + WKB decode — no fiona/geopandas
+needed); ``fixture_zones`` provides the deterministic FIXTURES.md §B2
+layers.
 """
 
 from __future__ import annotations

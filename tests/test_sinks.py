@@ -323,3 +323,17 @@ def test_mvt_skips_degenerate_rings():
     decoded = mvt.decode_tile(blob)
     rings = decoded["layer"]["features"][0]["rings"]
     assert rings == [good]  # only the valid ring survives, closed form
+
+
+def test_csv_roundtrip_preserves_empty_null_and_newlines(spark, tmp_path):
+    """The pinned CSV conventions are lossless where Spark's defaults
+    are not: empty string != NULL, embedded newlines survive."""
+    from sids_data_pipeline_spark.sinks.csvio import read_csv, write_csv
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a\nb"), (4, 'q"x')], "id long, s string"
+    )
+    path = str(tmp_path / "csv")
+    write_csv(df, path)
+    back = {r.id: r.s for r in read_csv(spark, path, "id long, s string").collect()}
+    assert back == {1: "", 2: None, 3: "a\nb", 4: 'q"x'}
