@@ -60,6 +60,12 @@ def o_token_hash32(expr: str) -> str:
 
 def minhash_col(hash_col: Column | str, i: int) -> Column:
     """i-th MinHash permutation of a 32-bit hash column."""
+    if not 0 <= i < len(MINHASH_PARAMS):
+        raise ValueError(
+            f"minhash permutation {i} out of range: {len(MINHASH_PARAMS)} "
+            "fixed (a, b) parameter pairs are defined (MINHASH_PARAMS); "
+            "extend the table to raise num_hashes"
+        )
     a, b = MINHASH_PARAMS[i]
     c = F.col(hash_col) if isinstance(hash_col, str) else hash_col
     return (c * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)

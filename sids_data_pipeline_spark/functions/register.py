@@ -29,25 +29,21 @@ from sids_data_pipeline_spark.functions import geo
 
 
 def register_all(spark: SparkSession) -> None:
-    """Register the engine's SQL functions on this session (idempotent)."""
+    """Register the engine's SQL functions on this session (idempotent).
 
-    @F.pandas_udf(BooleanType())
-    def st_contains_point(wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = np.zeros(len(wkb), dtype=bool)
-        lon_v = lon.to_numpy(dtype="float64")
-        lat_v = lat.to_numpy(dtype="float64")
-        codes, uniques = pd.factorize(wkb)
-        for gi, gwkb in enumerate(uniques):
-            mask = codes == gi
-            polys = geo.parse_wkb(bytes(gwkb))
-            out[mask] = geo.points_in_polygons(polys, lon_v[mask], lat_v[mask])
-        return pd.Series(out)
+    ``st_contains_point`` registers the operator kernel itself
+    (operators/zonal._contains_udf) — ONE containment dispatch, so rect
+    fast paths / null handling fixed there apply to the SQL surface too.
+    NULL geometry yields NULL (bbox/geojson/area) or false (contains),
+    never a worker crash."""
+    from sids_data_pipeline_spark.operators.zonal import _contains_udf
 
     @F.pandas_udf("xmin double, ymin double, xmax double, ymax double")
     def st_bbox(wkb: pd.Series) -> pd.DataFrame:
-        rows = [geo.wkb_bbox(bytes(b)) for b in wkb]
+        rows = [
+            geo.wkb_bbox(bytes(b)) if b is not None else (None, None, None, None)
+            for b in wkb
+        ]
         return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
     @F.pandas_udf(StringType())
@@ -59,6 +55,8 @@ def register_all(spark: SparkSession) -> None:
                 json.dumps(
                     geo.wkb_to_geojson_geometry(bytes(b)), separators=(",", ":")
                 )
+                if b is not None
+                else None
                 for b in wkb
             ]
         )
@@ -67,11 +65,14 @@ def register_all(spark: SparkSession) -> None:
     def st_bbox_area(wkb: pd.Series) -> pd.Series:
         out = []
         for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
             xmin, ymin, xmax, ymax = geo.wkb_bbox(bytes(b))
             out.append((xmax - xmin) * (ymax - ymin))
         return pd.Series(out)
 
-    spark.udf.register("st_contains_point", st_contains_point)
+    spark.udf.register("st_contains_point", _contains_udf)
     spark.udf.register("st_bbox", st_bbox)
     spark.udf.register("st_asgeojson", st_asgeojson)
     spark.udf.register("st_bbox_area", st_bbox_area)

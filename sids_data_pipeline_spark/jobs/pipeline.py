@@ -65,15 +65,39 @@ def run_pipeline(
     rasters = spark.createDataFrame([(r,) for r in raster_ids], "id string")
 
     pairs = manifest.work_pairs(vectors, rasters)
+    # the reference's {v}_{r} key format (data.py:33) is ambiguous when
+    # ids themselves contain underscores — detect a collision up front
+    # rather than letting two pairs overwrite one output directory
+    keys = [r.pair_key for r in pairs.select("pair_key").collect()]
+    if len(set(keys)) != len(keys):
+        dupes = sorted({k for k in keys if keys.count(k) > 1})
+        raise ValueError(
+            f"ambiguous pair keys {dupes}: underscore-joined ids collide "
+            "(reference data.py:33 key format); rename the inputs"
+        )
     done = manifest.read_ledger(spark, ledger_path)
     pending = manifest.pending_pairs(pairs, done)
     # second P6 guard, the reference's own probe (data.py:33-35): a pair
     # whose tileset marker exists is complete even if the ledger was lost
-    pending_rows = [
-        r
-        for r in pending.collect()  # pair manifest: tiny by construction
-        if not tiles.tileset_complete(os.path.join(out_dir, r.pair_key, "tiles"))
-    ]
+    all_pending = pending.collect()  # pair manifest: tiny by construction
+    pending_rows, marker_done = [], []
+    for r in all_pending:
+        if tiles.tileset_complete(os.path.join(out_dir, r.pair_key, "tiles")):
+            marker_done.append(r)
+        else:
+            pending_rows.append(r)
+    if marker_done:
+        # heal the ledger: marker-complete pairs re-enter it so future
+        # runs skip them via the cheap anti-join instead of re-probing
+        # the filesystem for every lost-ledger pair forever
+        manifest.record_done(
+            spark,
+            ledger_path,
+            spark.createDataFrame(
+                [(r.v_id, r.r_id, r.pair_key) for r in marker_done],
+                "v_id string, r_id string, pair_key string",
+            ),
+        )
     if not pending_rows:
         return {"pending": 0, "outputs": []}
     # rebuild the pending manifest from the surviving rows so the compute
@@ -153,5 +177,9 @@ def run_pipeline(
         outputs.append(row.pair_key)
 
     manifest.record_done(spark, ledger_path, pending)
+    # release the top-level persist AND the operator-internal ones
+    # (zonal_stats pins the zone table) — repeated invocations in one
+    # session must not accumulate dead caches
     lifecycle.release(stats_with_geom)
+    lifecycle.release_tracked()
     return {"pending": len(pending_rows), "outputs": outputs}

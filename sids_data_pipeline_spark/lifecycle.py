@@ -11,16 +11,19 @@ and temp views pin analyzer state per session.
 
 from __future__ import annotations
 
-import weakref
 from contextlib import contextmanager
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Operator-internal persists, registered via track(). Weak references:
-# tracking must not itself keep a DataFrame (and its cached blocks'
-# bookkeeping) alive after the caller drops it.
-_TRACKED: "weakref.WeakSet[DataFrame]" = weakref.WeakSet()
+# Operator-internal persists, registered via track(). STRONG references
+# on purpose: the tracked DataFrame is usually an operator-LOCAL
+# variable that CPython refcount-frees the moment the operator returns,
+# while its cached blocks live on in the JVM CacheManager — a WeakSet
+# entry would auto-discard right then and release_tracked() would
+# iterate an empty set, leaking every operator cache for the whole
+# session (the Python wrapper is tiny; the JVM blocks are what matter).
+_TRACKED: list[DataFrame] = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -29,7 +32,7 @@ def track(df: DataFrame) -> DataFrame:
     eagerly themselves — the caller consumes the returned plan after the
     operator returns — so they record the cache here and the driving
     loop (catalog gate, bench, jobs) releases between queries."""
-    _TRACKED.add(df)
+    _TRACKED.append(df)
     return df
 
 
@@ -37,12 +40,12 @@ def release_tracked() -> None:
     """Unpersist every tracked DataFrame (async, non-blocking). Safe to
     call at any point: unpersisting only drops cached blocks; any plan
     still referencing them recomputes correctly."""
-    for df in list(_TRACKED):
+    for df in _TRACKED:
         try:
             df.unpersist()
         except Exception:
             pass
-        _TRACKED.discard(df)
+    _TRACKED.clear()
 
 
 def release(*dfs: DataFrame) -> None:
@@ -52,6 +55,10 @@ def release(*dfs: DataFrame) -> None:
         try:
             df.unpersist()
         except Exception:
+            pass
+        try:
+            _TRACKED.remove(df)
+        except ValueError:
             pass
 
 

@@ -69,8 +69,19 @@ def get_spark(
     )
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_MASTER" not in os.environ:
-        builder = builder.master(f"local[{cpus}]")
+    else:
+        # only default to local[] when NO master is configured anywhere:
+        # spark-submit passes --master via the spark.master conf (never
+        # the SPARK_MASTER env), and builder.master() would override it,
+        # silently running a cluster submission in local mode
+        from pyspark import SparkConf
+
+        if (
+            "SPARK_MASTER" not in os.environ
+            and "MASTER" not in os.environ
+            and not SparkConf(loadDefaults=True).contains("spark.master")
+        ):
+            builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -83,6 +94,10 @@ def get_spark(
         ),
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # correctness-relevant scan behavior must survive session reuse
+        # too, not just fresh builds (both are runtime-mutable)
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.files.maxPartitionBytes": "134217728",
         **(extra_conf or {}),
     }
     for k, v in runtime.items():

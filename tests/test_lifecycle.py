@@ -32,3 +32,25 @@ def test_json_round_trip(spark, tmp_path):
     csvio.write_json(df, path)
     back = csvio.read_json(spark, path, "id long, name string")
     assert sorted(map(tuple, back.collect())) == [(0, "n0"), (1, "n1"), (2, "n2")]
+
+
+def test_release_tracked_actually_unpins(spark):
+    """track() must hold a strong reference: an operator-local persisted
+    frame stays releasable after the operator returns (a weak registry
+    auto-discarded it and leaked the JVM cache forever)."""
+    from sids_data_pipeline_spark import lifecycle
+
+    def op():
+        df = spark.range(100).persist()
+        df.count()
+        return lifecycle.track(df)
+
+    out = op()
+    import gc
+
+    gc.collect()
+    assert any(d is out for d in lifecycle._TRACKED)
+    assert out.storageLevel.useMemory
+    lifecycle.release_tracked()
+    assert not lifecycle._TRACKED
+    assert not out.storageLevel.useMemory
