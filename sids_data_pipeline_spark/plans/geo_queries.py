@@ -62,6 +62,39 @@ px AS (
 """
 
 
+
+def _fixture_geotiff_dir() -> str:
+    """One process-cached temp directory holding the deterministic
+    gradient GeoTIFF fixture (ZSTD, 128-tiled — the reference's output
+    profile). Cached so repeated catalog/gate/bench invocations reuse
+    one directory instead of leaking a fresh mkdtemp per run, and so
+    the mapInPandas and DataSource scan paths read the SAME bytes."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+
+    global _FIXTURE_TIFF_DIR
+    if _FIXTURE_TIFF_DIR is None:
+        n = GRID_N
+        y, x = np.mgrid[0:n, 0:n]
+        arr = (x + n * y).astype("float64")
+        work = tempfile.mkdtemp(prefix="sdp_tiff_")
+        data = encode_geotiff(
+            arr, origin_x=0.0, origin_y=n * 0.1, pixel_deg=0.1,
+            compress="zstd", tile=128,
+        )
+        with open(os.path.join(work, "rast_gradient.tif"), "wb") as f:
+            f.write(data)
+        _FIXTURE_TIFF_DIR = work
+    return _FIXTURE_TIFF_DIR
+
+
+_FIXTURE_TIFF_DIR: str | None = None
+
+
 # --- oracle-side containment, generated from the engine's own WKB -----------
 
 
@@ -83,13 +116,19 @@ def o_contains(wkb: bytes) -> str:
     for rings in geo.parse_wkb(wkb):
         terms = []
         for ring in rings:
-            if len(ring) < 4:
-                continue  # kernel skips degenerate rings
             for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
                 if y0 == y1:
                     continue  # horizontal edges never satisfy the condition
                 terms.append(_edge_term(float(x0), float(y0), float(x1), float(y1)))
-        per_poly.append("((" + " + ".join(terms) + ") % 2 = 1)")
+        if terms:
+            per_poly.append("((" + " + ".join(terms) + ") % 2 = 1)")
+        else:
+            # zero-area polygon (all-horizontal edges): the kernel's
+            # crossing count is 0 everywhere → contains nothing; an
+            # empty join would be a SQL syntax error
+            per_poly.append("(FALSE)")
+    if not per_poly:
+        return "(FALSE)"  # empty MultiPolygon contains nothing
     return "(" + " OR ".join(per_poly) + ")"
 
 
@@ -299,27 +338,9 @@ def _geotiff_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     output profile (ZSTD + 128×128 tiles, batch/processing/raster.py:7-8)
     and ingest it distributed (binaryFile → mapInPandas). Deterministic
     array → the oracle recomputes the same lattice from range()."""
-    import os
-    import tempfile
+    from sids_data_pipeline_spark.sources.geotiff import ingest_geotiff
 
-    import numpy as np
-
-    from sids_data_pipeline_spark.sources.geotiff import (
-        encode_geotiff,
-        ingest_geotiff,
-    )
-
-    n = GRID_N
-    y, x = np.mgrid[0:n, 0:n]
-    arr = (x + n * y).astype("float64")
-    work = tempfile.mkdtemp(prefix="sdp_tiff_")
-    data = encode_geotiff(
-        arr, origin_x=0.0, origin_y=n * 0.1, pixel_deg=0.1,
-        compress="zstd", tile=128,
-    )
-    with open(os.path.join(work, "rast_gradient.tif"), "wb") as f:
-        f.write(data)
-    px = ingest_geotiff(spark, work + "/*.tif")
+    px = ingest_geotiff(spark, _fixture_geotiff_dir() + "/*.tif")
     return px.select(
         "raster_id", "band", "y", "x",
         F.round("lon", 9).alias("lon"),
@@ -332,27 +353,16 @@ def _geotiff_datasource_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 through the Spark 4 Python DataSource API: the codec as a
     planner-integrated format (`spark.read.format("geotiff")`), one
     source partition per file. Same lattice oracle as the mapInPandas
-    ingest path — the two scan styles must be value-identical."""
-    import os
-    import tempfile
-
-    import numpy as np
-
-    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+    ingest path — the two scan styles must be value-identical (they now
+    literally read the same cached fixture bytes)."""
     from sids_data_pipeline_spark.sources.geotiff_datasource import register
 
-    n = GRID_N
-    y, x = np.mgrid[0:n, 0:n]
-    arr = (x + n * y).astype("float64")
-    work = tempfile.mkdtemp(prefix="sdp_tiffds_")
-    data = encode_geotiff(
-        arr, origin_x=0.0, origin_y=n * 0.1, pixel_deg=0.1,
-        compress="zstd", tile=128,
-    )
-    with open(os.path.join(work, "rast_gradient.tif"), "wb") as f:
-        f.write(data)
     register(spark)
-    px = spark.read.format("geotiff").option("band", "1").load(work + "/*.tif")
+    px = (
+        spark.read.format("geotiff")
+        .option("band", "1")
+        .load(_fixture_geotiff_dir() + "/*.tif")
+    )
     return px.select(
         "raster_id", "band", "y", "x",
         F.round("lon", 9).alias("lon"),

@@ -186,9 +186,14 @@ def _join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join against the URGENT slice: every fixture customer has
+    SOME order, so anti-joining all orders returned 0 rows — a vacuous
+    gate row that would still pass if the anti-join semantics broke.
+    Customers with no urgent order give positive signal."""
     cust, orders = tables(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
     return cust.join(
-        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -210,7 +215,11 @@ def _agg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = F.col("sum_qty_cents").cast("double")
     s2 = F.col("_sum_sq").cast("double")
     # Sample stddev from exact integer sums: deterministic double math.
-    stddev = F.sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / F.lit(100.0)
+    # NULL for single-row groups on BOTH engines (0/0 is NULL in
+    # non-ANSI Spark but NaN in DuckDB — the CASE makes them agree).
+    stddev = F.when(
+        F.col("n_rows") > 1, F.sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / F.lit(100.0)
+    )
     return grouped.select(
         "l_returnflag",
         "n_rows",
@@ -234,10 +243,11 @@ WITH g AS (
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n_rows, n_suppliers, min_qty_cents, max_qty_cents, sum_qty_cents,
-       ROUND(sqrt((CAST(n_rows AS DOUBLE) * CAST(sum_sq AS DOUBLE)
-                   - CAST(sum_qty_cents AS DOUBLE) * CAST(sum_qty_cents AS DOUBLE))
-                  / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1))) / 100.0,
-             6) AS stddev_qty
+       CASE WHEN n_rows > 1 THEN
+         ROUND(sqrt((CAST(n_rows AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                     - CAST(sum_qty_cents AS DOUBLE) * CAST(sum_qty_cents AS DOUBLE))
+                    / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1))) / 100.0,
+               6) END AS stddev_qty
 FROM g ORDER BY l_returnflag
 """
 
@@ -331,9 +341,13 @@ def _setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders = tables(spark, sf_dir, "customer", "orders")
-    # subtract == EXCEPT DISTINCT (set difference)
+    # subtract == EXCEPT DISTINCT (set difference); subtract only the
+    # urgent-order customers so the result is non-empty — all-orders
+    # made this a vacuous always-0-rows gate row
     return cust.select(F.col("c_custkey").alias("custkey")).subtract(
-        orders.select(F.col("o_custkey").alias("custkey"))
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_custkey").alias("custkey")
+        )
     )
 
 
@@ -434,11 +448,8 @@ def _case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sids_data_pipeline_spark.sources.tables import load_table
+    return _sql_front_door(_SCALAR_SUBQ_SQL, "orders")(spark, sf_dir)
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
-    return spark.sql(_SCALAR_SUBQ_SQL)
 
 
 # above-average orders per status: scalar subquery in both dialects;
@@ -494,8 +505,10 @@ GROUP BY r_name ORDER BY r_name
 
 
 def _agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: the cents domain is spelled inline in the percentile expr
+    # strings below (F.expr needs SQL text); keep in sync with
+    # plans/base.cents if the money policy ever changes
     (li,) = tables(spark, sf_dir, "lineitem")
-    qc = cents("l_quantity")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -560,12 +573,8 @@ LIMIT 10
 
 
 def _sql_topk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
     # The same ANSI text runs in both engines — the engine's SQL front door.
-    return spark.sql(_TOPK_SUPPLIERS_SQL)
+    return _sql_front_door(_TOPK_SUPPLIERS_SQL, "lineitem")(spark, sf_dir)
 
 
 # Correlated EXISTS (Catalyst: rewritten to left-semi join) combined with
@@ -584,12 +593,8 @@ ORDER BY c_mktsegment
 
 
 def _exists_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sids_data_pipeline_spark.sources.tables import load_table
+    return _sql_front_door(_EXISTS_IN_SQL, "customer", "orders")(spark, sf_dir)
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("customer", "orders"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_EXISTS_IN_SQL)
 
 
 # TPC-H Q3 shape (shipping priority): 3-table join with selective filters
@@ -614,12 +619,8 @@ LIMIT 10
 
 
 def _sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sids_data_pipeline_spark.sources.tables import load_table
+    return _sql_front_door(_SHIPPING_PRIORITY_SQL, "customer", "orders", "lineitem")(spark, sf_dir)
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("customer", "orders", "lineitem"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_SHIPPING_PRIORITY_SQL)
 
 
 def _quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,12 +717,10 @@ def _sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table snowflake where customer and supplier
     share a nation. Catalyst broadcasts the four dim tables and reorders
     the joins; the fact side shuffles once on the group key."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_LOCAL_SUPPLIER_SQL)
+    return _sql_front_door(
+        _LOCAL_SUPPLIER_SQL,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )(spark, sf_dir)
 
 
 _FORECAST_REVENUE_SQL = """
@@ -739,11 +738,7 @@ def _sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate must
     push to the parquet scan and the sum is one map-side-combined pass
     with no shuffle beyond the final single-row gather."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
-    return spark.sql(_FORECAST_REVENUE_SQL)
+    return _sql_front_door(_FORECAST_REVENUE_SQL, "lineitem")(spark, sf_dir)
 
 
 _SHIPMODE_PRIORITY_SQL = """
@@ -764,12 +759,9 @@ ORDER BY l_linestatus
 def _sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (adapted to the fixture's columns: linestatus
     stands in for shipmode): join + conditional counts per group."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("orders", "lineitem"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_SHIPMODE_PRIORITY_SQL)
+    return _sql_front_door(_SHIPMODE_PRIORITY_SQL, "orders", "lineitem")(
+        spark, sf_dir
+    )
 
 
 _RETURNED_ITEMS_SQL = """
@@ -794,12 +786,9 @@ def _sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer over a date
     window, top-20 — pushed scan filters on both fact tables, broadcast
     dims, one shuffle on the customer group key."""
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for t in ("customer", "orders", "lineitem", "nation"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
-    return spark.sql(_RETURNED_ITEMS_SQL)
+    return _sql_front_door(
+        _RETURNED_ITEMS_SQL, "customer", "orders", "lineitem", "nation"
+    )(spark, sf_dir)
 
 
 def _sql_front_door(sql: str, *tabs: str):
@@ -1360,11 +1349,7 @@ GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 
 
 def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sids_data_pipeline_spark.sources.tables import load_table
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders")
-    return spark.sql(_GROUPING_SETS_SQL)
+    return _sql_front_door(_GROUPING_SETS_SQL, "orders")(spark, sf_dir)
 
 
 def _agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1544,9 +1529,11 @@ QUERIES: list[Query] = [
         _join_anti,
         """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         """,
-        doc="P6 anti join shape",
+        doc="P6 anti join shape (urgent slice: non-empty result)",
         tags=("join",),
     ),
     Query(
@@ -1644,8 +1631,9 @@ QUERIES: list[Query] = [
     Query(
         "setop_except",
         _setop_except,
-        "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
-        doc="EXCEPT",
+        "SELECT c_custkey AS custkey FROM customer EXCEPT "
+        "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'",
+        doc="EXCEPT (urgent slice: non-empty result)",
         tags=("setop",),
     ),
     Query(
