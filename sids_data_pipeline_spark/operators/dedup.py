@@ -53,7 +53,7 @@ def tokens(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("token"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("token"),
         )
         .filter(F.col("token") != "")
         .distinct()
@@ -72,7 +72,7 @@ def shingles(
     # tokens() and the SQL twin's list_filter — phantom '' words would
     # skew Jaccard between padded and unpadded near-duplicates
     words = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != ""
     )
     parts = " , ' ' , ".join(f"_w[i + {k}]" for k in range(n))
     sh = F.expr(

@@ -55,9 +55,9 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     DIVIDE_BY_ZERO abort under ANSI mode.
     """
     t = F.lower(F.col(text_col))
-    words = F.split(t, r"\s+")
+    words = F.split(t, r"[ \t\n\x0B\f\r]+")
     n_words = F.size(F.filter(words, lambda w: w != ""))
-    word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    word_chars = F.length(F.regexp_replace(t, r"[ \t\n\x0B\f\r]+", ""))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).alias("n_chars"),
@@ -143,7 +143,7 @@ def repetition_stats(
     policy, plans/base.py). Output: (doc_id, n_words, n_distinct,
     dup_word_frac_micros, top_word_frac_micros).
     """
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    words = F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     per_word = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("_w"))
         .filter(F.col("_w") != "")
@@ -184,7 +184,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     t = F.lower(F.col(text_col))
     n_chars = F.length(F.col(text_col))
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(t, r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
     n_words = F.size(words)
     n_punct = _count_matches(t, r"[^a-z0-9\s]")
     n_digit = _count_matches(t, r"[0-9]")
@@ -222,7 +222,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     the same tie-break, so keep the two in lockstep if changing this.
     Output: (doc_id, lang, predicted_lang).
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
     scores = {
         lang: F.size(F.filter(words, lambda w: w.isin(*stops)))
         for lang, stops in sorted(STOPWORDS.items())
@@ -301,7 +301,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     Output: (doc_id, md5_fp, min_shingle_hash).
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+", " "))
     words = F.split(norm, " ")
     sh = F.expr(
         "transform(sequence(0, size(_w) - 3), "
@@ -386,7 +386,7 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_words <= 0:
         raise ValueError("chunk_words and stride must be positive")
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     n = F.size(words)
     n_chunks = (
         F.ceil(F.greatest(n - chunk_words, F.lit(0)).cast("double") / stride)
@@ -426,7 +426,7 @@ def vocab_counts(
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
         ).alias("token"),
     )
     return (
@@ -457,7 +457,7 @@ def tfidf(
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
         ).alias("token"),
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -510,7 +510,7 @@ def search_bm25(
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != ""
         ).alias("_ws"),
     )
     stats = tok.select(
@@ -600,7 +600,7 @@ def bpe_pair_counts(
     """
     words = docs.select(
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
         ).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
@@ -659,7 +659,7 @@ def bpe_train(
     """
     words = docs.select(
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
         ).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
@@ -758,7 +758,7 @@ def bpe_encode(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
         ).alias("word"),
     )
     per_word = encoded.select(

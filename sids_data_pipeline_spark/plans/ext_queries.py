@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sids_data_pipeline_spark.functions.hashing import (
-    MINHASH_PRIME,
     o_minhash,
     o_token_hash32,
 )
@@ -28,7 +27,7 @@ _TOK_SQL = """
 tok AS (
   SELECT DISTINCT doc_id, t.token
   FROM documents,
-       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> x <> '')) AS t(token)
 )
 """
@@ -36,7 +35,7 @@ tok AS (
 _SHINGLE_SQL = """
 w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS ws
   FROM documents
 ),
 sh AS (
@@ -189,21 +188,18 @@ def _streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from sids_data_pipeline_spark.streaming.jobs import stateful_running_totals
+    from sids_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        stateful_running_totals,
+    )
 
     work = tempfile.mkdtemp(prefix="sdp_stream_tot_")
     stream = _stage_events_stream(spark, sf_dir, work)
     name = f"sdp_totals_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_running_totals(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    run_available_now(
+        stateful_running_totals(stream), name, os.path.join(work, "ckpt"),
+        output_mode="update",
     )
-    q.awaitTermination()
     return spark.table(name).groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max("sum_value_cents").alias("sum_value_cents"),
@@ -288,21 +284,18 @@ def _streaming_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from sids_data_pipeline_spark.streaming.jobs import stateful_rolling_stats
+    from sids_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        stateful_rolling_stats,
+    )
 
     work = tempfile.mkdtemp(prefix="sdp_stream_roll_")
     stream = _stage_events_stream(spark, sf_dir, work)
     name = f"sdp_roll_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_rolling_stats(stream, lookback_seconds=3600)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    run_available_now(
+        stateful_rolling_stats(stream, lookback_seconds=3600), name,
+        os.path.join(work, "ckpt"), output_mode="append",
     )
-    q.awaitTermination()
     return spark.table(name)
 
 
@@ -325,15 +318,9 @@ def _streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("user_id", "event_type"),
         watermark="1 hour",
     ).select("user_id", "event_type")
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from sids_data_pipeline_spark.streaming.jobs import run_available_now
+
+    run_available_now(out, name, os.path.join(work, "ckpt"), output_mode="append")
     return spark.table(name)
 
 
@@ -363,7 +350,9 @@ def _dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DEDUP_EXACT_STATS_SQL = """
 SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique_texts,
-       COUNT(DISTINCT text) AS n_kept
+       -- exact_dedup keeps ONE survivor for the NULL-text key too
+       COUNT(DISTINCT text)
+         + MAX(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_kept
 FROM documents
 """
 
@@ -568,8 +557,17 @@ sig AS (
     {mins}
   FROM h GROUP BY doc_id
 ),
-bands AS (
+bands0 AS (
 {band_selects}
+),
+-- mirror of max_bucket (curate_corpus runs near_duplicates_minhash with
+-- its default cap): drop degenerate band buckets before the self-join
+bok AS (
+  SELECT band_idx, band_val FROM bands0
+  GROUP BY band_idx, band_val HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
+),
+bands AS (
+  SELECT b.* FROM bands0 b JOIN bok USING (band_idx, band_val)
 ),
 cand AS (
   SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
@@ -617,10 +615,10 @@ s AS (
 ),
 r AS (
   SELECT query_id, neighbor_id,
-         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos_raw,
+         CASE WHEN qn > 0 AND cn > 0 THEN CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) ELSE 'NaN'::DOUBLE END AS cos_raw,
          CAST(ROW_NUMBER() OVER (
               PARTITION BY query_id
-              ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC,
+              ORDER BY CASE WHEN qn > 0 AND cn > 0 THEN CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) ELSE 'NaN'::DOUBLE END DESC,
                        neighbor_id ASC) AS INT) AS rank
   FROM s
 )
@@ -1135,7 +1133,7 @@ def _corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_PAIRS_SQL = """
 WITH words AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                             x -> x <> '')) AS word
   FROM documents
 ),
@@ -1193,7 +1191,7 @@ def _text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_SQL = f"""
 WITH ws AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                      x -> x <> '') AS w
   FROM documents
 ),
@@ -1301,7 +1299,7 @@ def _corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORPUS_CHUNK_SQL = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
 ),
 c AS (
   SELECT doc_id, ws, len(ws) AS n_words,
@@ -1439,10 +1437,10 @@ s AS (
 ),
 r AS (
   SELECT query_id, neighbor_id,
-         CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS cos_raw,
+         CASE WHEN qn > 0 AND cn > 0 THEN CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) ELSE 'NaN'::DOUBLE END AS cos_raw,
          CAST(ROW_NUMBER() OVER (
               PARTITION BY query_id
-              ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) DESC,
+              ORDER BY CASE WHEN qn > 0 AND cn > 0 THEN CAST(dot AS DOUBLE) / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) ELSE 'NaN'::DOUBLE END DESC,
                        neighbor_id ASC) AS INT) AS rank
   FROM s
 )
@@ -1468,7 +1466,7 @@ def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOKEN_STATS_SQL = rf"""
 WITH t AS (
   SELECT doc_id, text, lower(text) AS lt,
-         len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_words
+         len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n_words
   FROM documents
 )
 SELECT doc_id,
@@ -1476,7 +1474,7 @@ SELECT doc_id,
        CAST(n_words AS INT) AS n_words,
        CAST(len(regexp_extract_all(lt, '{text.BPE_REGEX}')) AS INT) AS n_tokens,
        CASE WHEN n_words > 0
-            THEN CAST(ROUND(CAST(length(regexp_replace(lt, '\s+', '', 'g')) AS DOUBLE) / n_words * 1000000) AS BIGINT)
+            THEN CAST(ROUND(CAST(length(regexp_replace(lt, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE) / n_words * 1000000) AS BIGINT)
             ELSE NULL END AS avg_word_len_micros
 FROM t
 """
@@ -1497,7 +1495,7 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPETITION_SQL = r"""
 WITH w AS (
   SELECT doc_id, unnest(list_filter(
-           regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+           regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS word
   FROM documents
 ), pw AS (
   SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word
@@ -1518,7 +1516,7 @@ def _quality_sql() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id, text, lower(text) AS lt,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 r AS (
@@ -1557,7 +1555,7 @@ def _langid_sql() -> str:
     return rf"""
 WITH t AS (
   SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS words
   FROM documents
 ),
 s AS (
@@ -1621,7 +1619,7 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FINGERPRINT_SQL = rf"""
 WITH t AS (
   SELECT doc_id,
-         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+         trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
   FROM documents
 ),
 w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM t)
@@ -1681,7 +1679,7 @@ def _events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_SQL = f"""
 WITH e AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {_GAP_US}
               THEN 1 ELSE 0 END AS new_s
@@ -1690,7 +1688,7 @@ WITH e AS (
 ),
 s AS (
   SELECT user_id, ts, value,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM e
 )
@@ -1704,30 +1702,9 @@ FROM s GROUP BY user_id, sid
 
 
 def _join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sids_data_pipeline_spark.operators.asof import asof_join, dedupe_right
-
-    (ev,) = tables(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts"
-    )
-    purchases = dedupe_right(
-        ev.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id", "value"
-        ),
-        by="user_id",
-        ts_col="ts",
-        tiebreak="event_id",
-    )
-    out = asof_join(
-        clicks, purchases, by="user_id", ts_col="ts", right_cols=("event_id", "value")
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("event_id_right").alias("purchase_event_id"),
-        F.round(F.col("value_right") * 100, 0).cast("long").alias("purchase_cents"),
-    )
+    # backward is the default direction — one body for all three
+    # directions lives in _asof_directional below
+    return _asof_directional(spark, sf_dir, "backward")
 
 
 _ASOF_SQL = """
@@ -2185,7 +2162,7 @@ ORDER BY d.doc_id
 
 _SHARD_TOKENS = 2000
 _NTOK = "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))"
-_O_NTOK = r"len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))"
+_O_NTOK = r"len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> ''))"
 
 
 def _corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2665,7 +2642,7 @@ _RAW_TOK_SQL = """
 rawtok AS (
   SELECT doc_id, t.token
   FROM documents,
-       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> x <> '')) AS t(token)
 )
 """
@@ -2721,7 +2698,7 @@ def _corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(
             F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != ""
+                F.split(F.lower(F.col("text")), r"[ \t\n\x0B\f\r]+"), lambda w: w != ""
             )
         ).alias("n_words"),
     )
@@ -2731,7 +2708,7 @@ def _corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LENGTH_BUCKETS_SQL = """
 WITH w AS (
   SELECT doc_id,
-         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                          x -> x <> '')) AS n_words
   FROM documents
 )
@@ -2763,7 +2740,7 @@ v AS (
   SELECT word, COUNT(*) AS n_word
   FROM (SELECT t.w AS word
         FROM documents,
-             unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x <> '')) AS t(w))
   GROUP BY word
 ),
@@ -2822,7 +2799,7 @@ def _bpe_encode_sql(n_merges: int = 3) -> str:
 rawtok AS (
   SELECT doc_id, t.w AS word
   FROM documents,
-       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> x <> '')) AS t(w)
 ),
 v AS (SELECT word, COUNT(*) AS n_word FROM rawtok GROUP BY word),
@@ -2881,7 +2858,7 @@ WITH sub AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
 rawtok AS (
   SELECT doc_id, t.token
   FROM sub,
-       unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                           x -> x <> '')) AS t(token)
 ),
 tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM rawtok GROUP BY 1, 2),
