@@ -354,3 +354,45 @@ def gap_fill_daily(
             F.last("sum_cents", ignorenulls=True).over(w).alias("carried_cents"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-key event-type transition counts — the Markov-chain view of a
+    behavioral stream (which step follows which, corpus-wide) that the
+    fixed-stage funnel cannot express. Output one row per observed
+    (from_type, to_type) pair with its global count and share in ppm
+    (integer, order-free).
+
+    Scale shape: ONE shuffle on the key for the LEAD window (timestamp
+    order, tiebreak for same-timestamp determinism), then a
+    map-side-combined count over the tiny type×type domain; the share
+    re-attaches via a single-row broadcast.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = (
+        events.withColumn("_next", F.lead(type_col).over(w))
+        .filter(F.col("_next").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"), F.col("_next").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = pairs.agg(F.sum("n").alias("_t"))
+    return (
+        pairs.crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") * 1_000_000 / F.col("_t"), 0)
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -90,7 +90,8 @@ from sids_data_pipeline_spark.plans.base import Query
 # sql_product_profit, sql_important_stock, sql_part_supplier,
 # sql_lateral_topn, json_variant_scalars, sql_min_cost_supplier (Q2),
 # sql_excess_stock (Q20), corpus_pack_sequences, corpus_shuffle,
-# events_props_json, corpus_bpe_encode, events_gap_fill.
+# events_props_json, corpus_bpe_encode, events_gap_fill,
+# events_transitions.
 PRIORITY: tuple[str, ...] = (
     # — never-driver-verified head (selfcheck-green, rotating in for r6) —
     "crs_reproject_lcc",

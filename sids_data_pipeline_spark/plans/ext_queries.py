@@ -1857,6 +1857,29 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = tables(spark, sf_dir, "events")
+    return windows.event_transitions(ev)
+
+
+_EVENTS_TRANSITIONS_SQL = """
+WITH p AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(ROUND(CAST(n AS DOUBLE) * 1000000 / (SELECT SUM(n) FROM c))
+            AS BIGINT) AS share_ppm
+FROM c ORDER BY from_type, to_type
+"""
+
+
 def _events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-on-read over the events' semi-structured ``props`` JSON
     column: extraction stays JVM-side (``get_json_object``, no UDF, no
@@ -3144,6 +3167,10 @@ QUERIES: list[Query] = [
           doc="E6 conversion funnel (single-pass greedy scan; 48 h "
               "transition windows)",
           tags=("events", "window")),
+    Query("events_transitions", _events_transitions, _EVENTS_TRANSITIONS_SQL,
+          doc="event-type transition counts + ppm share (Markov view: "
+              "one key shuffle, LEAD window, tiny-domain count)",
+          tags=("events", "window", "aggregate")),
     Query("events_props_json", _events_props_json, _EVENTS_PROPS_SQL,
           doc="schema-on-read JSON property extraction over events "
               "(JVM get_json_object, one scan + map-side-combined agg)",

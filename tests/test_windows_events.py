@@ -232,3 +232,27 @@ def test_gap_fill_daily_zero_fills_and_carries(spark):
         assert (rows[gap].n_events, rows[gap].sum_cents) == (0, 0)
         assert rows[gap].carried_cents == 300
     assert rows["2024-01-04"].carried_cents == 500
+
+
+def test_event_transitions_counts_ordered_pairs(spark):
+    from sids_data_pipeline_spark.operators.windows import event_transitions
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 7, "view", 0.0, ""),
+            (2, "2024-01-01 10:01:00", 7, "click", 0.0, ""),
+            (3, "2024-01-01 10:02:00", 7, "view", 0.0, ""),
+            (4, "2024-01-01 10:00:30", 8, "view", 0.0, ""),
+            (5, "2024-01-01 10:01:30", 8, "click", 0.0, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    )
+    rows = {(r.from_type, r.to_type): (r.n, r.share_ppm)
+            for r in event_transitions(ev).collect()}
+    # user 7: view→click, click→view; user 8: view→click
+    assert rows[("view", "click")] == (2, 666667)
+    assert rows[("click", "view")] == (1, 333333)
+    assert len(rows) == 2
