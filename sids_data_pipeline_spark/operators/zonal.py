@@ -350,8 +350,19 @@ def _collect_rects(zones: DataFrame, op_name: str):
     """Driver-side rect extraction shared by the weighted/touched rect
     operators (dimension-sized zones, same contract as the broadcast
     strategy): (fid, xmin, ymin, xmax, ymax) rows, raising on any
-    non-rectangle geometry."""
-    rows = zones.select("fid", "geometry").collect()
+    non-rectangle geometry. Bounded collect (BROADCAST_ZONE_LIMIT) —
+    larger zone tables belong to the distributed clip-kernel path
+    (:func:`zonal_weighted`), which never collects."""
+    rows = (
+        zones.select("fid", "geometry")
+        .limit(BROADCAST_ZONE_LIMIT + 1)
+        .collect()
+    )
+    if len(rows) > BROADCAST_ZONE_LIMIT:
+        raise ValueError(
+            f"{op_name}: > {BROADCAST_ZONE_LIMIT} zones; use "
+            "zonal_weighted (distributed grid path, no driver collect)"
+        )
     rects = []
     for r in rows:
         rect = geo.wkb_rect(bytes(r.geometry))
@@ -363,6 +374,43 @@ def _collect_rects(zones: DataFrame, op_name: str):
         rects.append((r.fid, *[float(v) for v in rect]))
     return zones.sparkSession.createDataFrame(
         rects, "fid long, xmin double, ymin double, xmax double, ymax double"
+    )
+
+
+def _pixel_cells(pixels: DataFrame, cell: float) -> DataFrame:
+    """Attach the coarse grid-cell key each pixel CENTER falls in — the
+    probe side of every zonal equi-join (one key per pixel, so a
+    (pixel, zone) pair can join at most once: no dedup needed)."""
+    return pixels.withColumn(
+        "_cx", F.floor(F.col("lon") / cell).cast("long")
+    ).withColumn("_cy", F.floor(F.col("lat") / cell).cast("long"))
+
+
+def _explode_bbox_cells(df: DataFrame, cell: float, pad: float) -> DataFrame:
+    """Explode each zone bbox (columns xmin/ymin/xmax/ymax) to the grid
+    cells it covers, padded by ``pad`` (the pixel half-width) so that any
+    pixel whose CELL — not just its center — can overlap the zone lands
+    in a covered grid cell. floor() is monotone, so lon ∈ [xmin-pad,
+    xmax+pad] ⇒ floor(lon/cell) ∈ [floor((xmin-pad)/cell),
+    floor((xmax+pad)/cell)]: the candidate set is a superset of every
+    pair with nonzero overlap, and the weight/bbox refinement discards
+    the rest exactly as the old cross-join formulation did."""
+    return df.withColumn(
+        "_cx",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("xmin") - pad) / cell).cast("long"),
+                F.floor((F.col("xmax") + pad) / cell).cast("long"),
+            )
+        ),
+    ).withColumn(
+        "_cy",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("ymin") - pad) / cell).cast("long"),
+                F.floor((F.col("ymax") + pad) / cell).cast("long"),
+            )
+        ),
     )
 
 
@@ -390,6 +438,7 @@ def zonal_weighted_rects(
     zones: DataFrame,
     pixels: DataFrame,
     pixel_deg: float = 0.1,
+    cell_deg: float = 0.5,
 ) -> DataFrame:
     """REGION-WEIGHTED zonal mean for axis-aligned rectangle zones — the
     reference's ST_DumpAsPolygons area-weighting semantics (reference
@@ -407,19 +456,23 @@ def zonal_weighted_rects(
     cents; at larger magnitudes move the products to DECIMAL(38,0).
 
     Scale shape: zones are dimension-sized (same contract as the
-    broadcast strategy) → broadcast non-equi bbox join, pixels never
-    shuffle; the aggregate is map-side combined on the tiny fid key.
-    General (non-rectangle) polygons: geo.wkb_clip_box_area2 is the
-    boundary-cell kernel for a future pandas-batched path; interior and
-    exterior cells resolve by the existing corner-containment fast path.
+    broadcast strategy) → the rects explode to padded grid cells and
+    pixels probe them with a Broadcast HASH join on the cell key (the
+    same shape as spatial_join's broadcast path — per-pixel cost is
+    O(1), not O(|zones|) as the former cross-join-with-filter BNLJ
+    was); pixels never shuffle; the aggregate is map-side combined on
+    the tiny fid key.
 
     Output: (fid, w_e6_sum, wmean_cents) — empty zones keep NULLs.
     """
     rect_df = _collect_rects(zones, "zonal_weighted_rects")
+    h = pixel_deg / 2.0
+    rc = _explode_bbox_cells(rect_df, float(cell_deg), h)
     w_e6 = _overlap_w_e6(pixel_deg)
     val_cents = F.round(F.col("val") * 100, 0).cast("long")
     weighted = (
-        pixels.crossJoin(F.broadcast(rect_df))
+        _pixel_cells(pixels, float(cell_deg))
+        .join(F.broadcast(rc), ["_cx", "_cy"], "inner")
         .withColumn("_w", w_e6)
         .filter(F.col("_w") > 0)
         .withColumn("_vc", val_cents)
@@ -443,6 +496,7 @@ def zonal_weighted(
     zones: DataFrame,
     pixels: DataFrame,
     pixel_deg: float = 0.1,
+    cell_deg: float = 0.5,
 ) -> DataFrame:
     """Region-weighted zonal mean for ARBITRARY (Multi)Polygon zones:
     per-pixel weight = area(cell ∩ zone) / cell area via the
@@ -452,43 +506,35 @@ def zonal_weighted(
     (property-tested), where the rect variant should be preferred for
     its zero-Python plan.
 
-    Scale shape: a JVM bbox prefilter (broadcast zone bboxes) discards
-    the overwhelming majority of (zone, pixel) candidates before the
-    Arrow-batched kernel sees them, so Python touches only cells near
-    each zone's bbox — O(zone area / cell area) per zone, the same
-    bound as the containment kernel. Interior cells still clip (exact,
-    just not shortcut); a corner-containment fast path is the natural
-    next optimization and changes no results.
+    Scale shape: zone bboxes are computed DISTRIBUTED (no driver
+    collect), each zone explodes to the padded grid cells its bbox
+    covers, and pixels probe on the cell key — a BroadcastHashJoin for
+    dimension-sized zone tables (bounded probe decides), a shuffled
+    hash equi-join with AQE skew splitting above BROADCAST_ZONE_LIMIT
+    (the same grid economics as spatial_join(how='grid') / the
+    reference's GIST probe, pipeline/processing/inputs.py:16). Either
+    way per-pixel cost is O(1) in the zone count, never the O(|zones|)
+    nested loop of the former cross-join formulation. A JVM bbox
+    refinement then discards most candidates before the Arrow-batched
+    kernel sees them, so Python touches only cells near each zone's
+    bbox — O(zone area / cell area) per zone.
     """
-    spark = zones.sparkSession
-    # same driver-side bound as the broadcast spatial join: the zone
-    # table (WKB included) is collected for bbox extraction, so an
-    # unbounded table would be a driver OOM, not a slow job
-    zrows = zones.select("fid", "geometry").limit(
-        BROADCAST_ZONE_LIMIT + 1
-    ).collect()
-    if len(zrows) > BROADCAST_ZONE_LIMIT:
-        raise ValueError(
-            f"zonal_weighted: > {BROADCAST_ZONE_LIMIT} zones; pre-filter "
-            "or tile the zone table (grid fallback is not implemented "
-            "for the weighted kernel)"
-        )
-    bbox_rows = []
-    for r in zrows:
-        xmin, ymin, xmax, ymax = geo.wkb_bbox(bytes(r.geometry))
-        bbox_rows.append((r.fid, bytes(r.geometry), xmin, ymin, xmax, ymax))
-    zdf = spark.createDataFrame(
-        bbox_rows,
-        "fid long, geometry binary, zxmin double, zymin double, "
-        "zxmax double, zymax double",
-    )
     h = pixel_deg / 2.0
     inv = 1e6 / (pixel_deg * pixel_deg)
-    cand = pixels.crossJoin(F.broadcast(zdf)).filter(
-        (F.col("lon") + h > F.col("zxmin"))
-        & (F.col("lon") - h < F.col("zxmax"))
-        & (F.col("lat") + h > F.col("zymin"))
-        & (F.col("lat") - h < F.col("zymax"))
+    cell = float(cell_deg)
+    zb = _zone_bboxes(zones.select("fid", "geometry")).drop("_is_rect")
+    zc = _explode_bbox_cells(zb, cell, h)
+    # Bounded probe: dimension-sized zone tables broadcast their exploded
+    # cell rows (zero pixel shuffle); larger ones stay distributed and
+    # the join shuffles both sides on the cell key.
+    n_probe = zones.select("fid").limit(BROADCAST_ZONE_LIMIT + 1).count()
+    if n_probe <= BROADCAST_ZONE_LIMIT:
+        zc = F.broadcast(zc)
+    cand = _pixel_cells(pixels, cell).join(zc, ["_cx", "_cy"], "inner").filter(
+        (F.col("lon") + h > F.col("xmin"))
+        & (F.col("lon") - h < F.col("xmax"))
+        & (F.col("lat") + h > F.col("ymin"))
+        & (F.col("lat") - h < F.col("ymax"))
     )
 
     @F.pandas_udf("long")
@@ -538,13 +584,14 @@ def zonal_weighted(
         .cast("long")
         .alias("wmean_cents"),
     )
-    return zdf.select("fid").join(agg, "fid", "left").orderBy("fid")
+    return zones.select("fid").join(agg, "fid", "left").orderBy("fid")
 
 
 def zonal_touched_rects(
     zones: DataFrame,
     pixels: DataFrame,
     pixel_deg: float = 0.1,
+    cell_deg: float = 0.5,
 ) -> DataFrame:
     """``all_touched`` zonal statistics for rectangle zones: a pixel
     counts when its CELL overlaps the zone by at least 0.5 ppm of the
@@ -556,12 +603,18 @@ def zonal_touched_rects(
     zero-measure boundary touch evaluates to ±1-ulp-of-zero differently
     across engines (Spark doubles vs DECIMAL literal arithmetic), while
     the ppm rounding collapses both to 0 — determinism policy applied
-    to a predicate. Pure codegen. Output: (fid, n_pixels, mean_cents).
+    to a predicate. Pure codegen, probing the exploded rect-cell table
+    with a BroadcastHashJoin on the pixel's grid-cell key (same shape
+    as zonal_weighted_rects — never a nested loop over zones).
+    Output: (fid, n_pixels, mean_cents).
     General polygons: filter ``zonal_weighted`` on ``_w > 0`` — same
     kernel, unweighted aggregate."""
     rect_df = _collect_rects(zones, "zonal_touched_rects")
-    touched = pixels.crossJoin(F.broadcast(rect_df)).filter(
-        _overlap_w_e6(pixel_deg) > 0
+    rc = _explode_bbox_cells(rect_df, float(cell_deg), pixel_deg / 2.0)
+    touched = (
+        _pixel_cells(pixels, float(cell_deg))
+        .join(F.broadcast(rc), ["_cx", "_cy"], "inner")
+        .filter(_overlap_w_e6(pixel_deg) > 0)
     )
     agg = touched.groupBy("fid").agg(
         F.count(F.lit(1)).alias("n_pixels"),

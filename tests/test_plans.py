@@ -153,3 +153,27 @@ def test_scrub_and_chunk_stay_codegen(spark, sf_dir, catalog):
         assert "EvalPython" not in plan and "MapInPandas" not in plan, name
         # '*(n)' prefixes mark WholeStageCodegen stages in the plan string
         assert "*(1)" in plan, name
+
+
+def test_weighted_zonal_is_hash_join(spark):
+    """Round-7: the weighted/all-touched variants must probe the exploded
+    zone-cell table with a hash join on the grid-cell key — never the
+    former pixels-cross-zones BroadcastNestedLoopJoin (O(pixels × zones))."""
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators.zonal import (
+        zonal_touched_rects,
+        zonal_weighted,
+        zonal_weighted_rects,
+    )
+
+    zones = spark.createDataFrame(
+        [(1, geo.box_wkb(0.13, 0.07, 0.52, 0.61)),
+         (2, geo.box_wkb(0.33, 0.42, 0.78, 0.79))],
+        "fid long, geometry binary",
+    )
+    px = synthetic_raster(spark, "rast_gradient")
+    for op in (zonal_weighted_rects, zonal_weighted, zonal_touched_rects):
+        plan = _plan(op(zones, px))
+        assert "BroadcastHashJoin" in plan, op.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, op.__name__
+        assert "CartesianProduct" not in plan, op.__name__

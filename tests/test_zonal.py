@@ -326,3 +326,25 @@ def test_zonal_weighted_handles_clockwise_zones(spark):
            for r in zonal_weighted(zones, px).collect()}
     assert got[1] == got[2]
     assert got[1][0] is not None
+
+
+def test_weighted_distributed_path_matches_broadcast(spark, monkeypatch):
+    """Above BROADCAST_ZONE_LIMIT the weighted kernel now runs the
+    distributed grid path (shuffled cell-key equi-join, no driver
+    collect) instead of raising — results must be identical."""
+    from sids_data_pipeline_spark.functions import geo
+    from sids_data_pipeline_spark.operators import zonal
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster
+
+    tri = geo.polygon_wkb([[(0.1, 0.1), (1.3, 0.1), (0.1, 0.9), (0.1, 0.1)]])
+    zones = spark.createDataFrame(
+        [(1, geo.box_wkb(0.13, 0.07, 0.52, 0.61)), (2, tri)],
+        "fid long, geometry binary",
+    )
+    px = synthetic_raster(spark, "rast_gradient")
+    want = [(r.fid, r.w_e6_sum, r.wmean_cents)
+            for r in zonal.zonal_weighted(zones, px).collect()]
+    monkeypatch.setattr(zonal, "BROADCAST_ZONE_LIMIT", 1)
+    got = [(r.fid, r.w_e6_sum, r.wmean_cents)
+           for r in zonal.zonal_weighted(zones, px).collect()]
+    assert got == want

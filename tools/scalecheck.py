@@ -73,6 +73,35 @@ def main() -> None:
         }
     out["zonal_grid"] = zonal
 
+    # --- weighted zonal (clip kernel, cell-key equi-join): n×n pixels ----
+    # Round-7: the weighted variants dropped their BNLJ for the same
+    # cell-key hash join as the center-rule path; this sweep shows the
+    # per-pixel cost is now O(1) in the zone count too. Non-rect zones
+    # (triangles clipped from the boxes) force the Arrow clip kernel.
+    from sids_data_pipeline_spark.operators.zonal import zonal_weighted
+
+    wzonal = {}
+    for n in (512, 1024, 2048):
+        px = synthetic_raster_scaled(spark, n)
+        s = float(n) * 0.1 / 8.0
+        rows = [
+            (fid, geo.polygon_wkb(
+                [[(cx * s, cy * s), ((cx + 4) * s, cy * s),
+                  (cx * s, (cy + 4) * s), (cx * s, cy * s)]]))
+            for fid, (cx, cy) in enumerate([(0, 0), (4, 0), (0, 4), (4, 4)], 1)
+        ]
+        zs = spark.createDataFrame(rows, "fid long, geometry binary")
+        sec = _steady(
+            lambda: zonal_weighted(zs, px, pixel_deg=0.1,
+                                   cell_deg=float(n) * 0.1 / 2).count(),
+            reps=2,
+        )
+        wzonal[f"{n * n:,} px"] = {
+            "sec": round(sec, 3),
+            "ns_per_px": round(sec / (n * n) * 1e9, 1),
+        }
+    out["zonal_weighted"] = wzonal
+
     # --- MinHash LSH near-dup: growing document counts -------------------
     docs_full = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     minhash = {}
