@@ -73,83 +73,84 @@ from sids_data_pipeline_spark.plans.base import Query
 # untouched). The remaining selfcheck-green tail (unpivot_measures,
 # pseudonymize_ids, sql_shipmode_priority, feature_quantile_bins,
 # geo_nearest_site) rotates next round.
-# Round-7 rotation queue (selfcheck-green, never driver-verified as of
-# round 6; swap into the head next round, displacing long-green unchanged
-# families): unpivot_measures, pseudonymize_ids, sql_shipmode_priority,
-# feature_quantile_bins, geo_nearest_site, corpus_vocab, corpus_tfidf,
-# column_hist, sink_orc_roundtrip, corpus_bpe_pairs, text_char_entropy,
-# join_fuzzy_names, streaming_dedup_wm, streaming_rolling, plus the
-# round-6 additions: sql_customer_distribution, sql_small_qty_revenue,
-# sql_large_volume_customer, sql_waiting_suppliers, sql_sales_opportunity,
-# layout_bucketed_join, graph_triangles, text_boilerplate,
-# corpus_length_buckets, column_mad, join_asof_forward, join_asof_nearest,
-# streaming_sessions, streaming_enrich, corpus_bpe_train,
-# geo_zone_metrics, zonal_weighted_mean, zonal_all_touched,
-# source_geotiff_datasource, sql_order_priority, sql_volume_shipping,
-# sql_market_share, sql_promo_revenue, sql_top_supplier, sql_or_bands,
+# Round-7 rotation (fifth): the 52-entry queue from round 6 claims 44
+# first-time driver rows this round; 6 head slots are KEEPERS — entries
+# whose OPERATOR or ORACLE code changes in round 7 and therefore needs a
+# fresh hard row (zonal_polygons + zonal_weighted_mean + zonal_all_touched
+# for the zonal.py cell-key rewrite; corpus_chunk and
+# similarity_topk_quantized for their oracle-edge fixes;
+# raster_geotiff_ingest for multi-band decode; corpus_curation for the
+# empty-output overwrite fix; tiles_encode_rings for the tileset-marker
+# metadata change). Every displaced r6-green entry's operator file is
+# unchanged this round OR an in-window sibling covers the changed file:
+# events_tumbling/sliding/latest/rolling/outliers → events_gap_fill/
+# transitions/props_json (windows.py unchanged anyway); streaming_* r6
+# rows → streaming_sessions/enrich/rolling/dedup_wm; text_fingerprint/
+# scrub_pii/winnowing/bm25 → corpus_bpe_* (text.py BPE batching is the
+# only text.py change); join_asof/join_interval_overlap →
+# join_asof_forward/nearest (asof.py 'nearest' fix); layout_zorder →
+# layout_bucketed_join (storage.py write_bucketed fix); corpus_split/
+# pack_shards → corpus_pack_sequences/shuffle (sampling.py unchanged);
+# similarity_topk/recall/embedding_kmeans → similarity_topk_quantized;
+# the r6 sql_/merge_/mv_/skew_/dq_/profile/corr/dead_letters rows'
+# code is untouched. Deferred to round 8 (still selfcheck-green, plain
+# agg/join shapes whose SQL-front-door family keeps 10+ in-window rows):
+# sql_customer_distribution, sql_small_qty_revenue, sql_or_bands,
 # sql_product_profit, sql_important_stock, sql_part_supplier,
-# sql_lateral_topn, json_variant_scalars, sql_min_cost_supplier (Q2),
-# sql_excess_stock (Q20), corpus_pack_sequences, corpus_shuffle,
-# events_props_json, corpus_bpe_encode, events_gap_fill,
-# events_transitions.
+# sql_waiting_suppliers, sql_promo_revenue.
 PRIORITY: tuple[str, ...] = (
-    # — never-driver-verified head (selfcheck-green, rotating in for r6) —
-    "crs_reproject_lcc",
-    "source_csv_roundtrip",
-    "sink_json_roundtrip",
-    "sink_geojsonl_roundtrip",
-    "corpus_chunk",
-    "events_tumbling",
-    "events_sliding",
-    "events_latest",
-    "multimodal_meta",
-    "similarity_recall",
-    "similarity_topk_quantized",
-    "streaming_running_totals",
-    "text_fingerprint",
-    "text_scrub_pii",
-    "text_winnowing",
-    # — geo / semantic core (displaced zonal variants + crs_reproject_utm
-    #   share these families) —
+    # — round-7 first-time driver rows (selfcheck-green since r5/r6) —
+    "unpivot_measures",
+    "pseudonymize_ids",
+    "sql_shipmode_priority",
+    "feature_quantile_bins",
+    "geo_nearest_site",
+    "corpus_vocab",
+    "corpus_tfidf",
+    "column_hist",
+    "sink_orc_roundtrip",
+    "corpus_bpe_pairs",
+    "text_char_entropy",
+    "join_fuzzy_names",
+    "streaming_dedup_wm",
+    "streaming_rolling",
+    "sql_large_volume_customer",
+    "sql_sales_opportunity",
+    "layout_bucketed_join",
+    "graph_triangles",
+    "text_boilerplate",
+    "corpus_length_buckets",
+    "column_mad",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "streaming_sessions",
+    "streaming_enrich",
+    "corpus_bpe_train",
+    "geo_zone_metrics",
+    "zonal_weighted_mean",
+    "zonal_all_touched",
+    "source_geotiff_datasource",
+    "sql_order_priority",
+    "sql_volume_shipping",
+    "sql_market_share",
+    "sql_top_supplier",
+    "sql_lateral_topn",
+    "json_variant_scalars",
+    "sql_min_cost_supplier",
+    "sql_excess_stock",
+    "corpus_pack_sequences",
+    "corpus_shuffle",
+    "events_props_json",
+    "corpus_bpe_encode",
+    "events_gap_fill",
+    "events_transitions",
+    # — keepers: round-7 code/oracle changes need fresh hard rows —
     "zonal_polygons",
-    "raster_clip_band",
-    "tiles_assign",
-    "tiles_density_drop",
-    "tiles_encode_rings",
+    "corpus_chunk",
+    "similarity_topk_quantized",
     "raster_geotiff_ingest",
-    "manifest_pending",
-    # — LLM-pipeline / events flagships —
-    "join_asof",
-    "corpus_split",
-    "corpus_pack_shards",
-    "similarity_topk",
     "corpus_curation",
-    # — round-6 flagships (new operators claiming their first driver row) —
-    "merge_upsert",
-    "snapshot_diff",
-    "scd2_history",
-    "corpus_mix",
-    "table_profile",
-    "dq_checks",
-    # — round-6 late additions (first driver rows) —
-    "mv_incremental",
-    "layout_zorder",
-    "skew_heavy_hitters",
-    "skew_key_report",
-    "sql_local_supplier_volume",
-    "sql_returned_items",
-    "embedding_kmeans",
-    "text_search_bm25",
-    "join_interval_overlap",
-    "streaming_cdc_upsert",
-    # — fourth rotation (first driver rows) —
-    "mv_refresh",
-    "graph_pagerank",
-    "events_rolling",
-    "events_outliers",
-    "column_corr",
-    "ingest_dead_letters",
-    "sql_forecast_revenue",
+    "tiles_encode_rings",
 )
 
 
