@@ -97,7 +97,8 @@ from sids_data_pipeline_spark.plans.base import Query
 # agg/join shapes whose SQL-front-door family keeps 10+ in-window rows):
 # sql_customer_distribution, sql_small_qty_revenue, sql_or_bands,
 # sql_product_profit, sql_important_stock, sql_part_supplier,
-# sql_waiting_suppliers, sql_promo_revenue.
+# sql_waiting_suppliers, sql_promo_revenue, sql_top_supplier (displaced
+# late by raster_multiband_band2, the round-7 multi-band decode query).
 PRIORITY: tuple[str, ...] = (
     # — round-7 first-time driver rows (selfcheck-green since r5/r6) —
     "unpivot_measures",
@@ -133,7 +134,7 @@ PRIORITY: tuple[str, ...] = (
     "sql_order_priority",
     "sql_volume_shipping",
     "sql_market_share",
-    "sql_top_supplier",
+    "raster_multiband_band2",
     "sql_lateral_topn",
     "json_variant_scalars",
     "sql_min_cost_supplier",

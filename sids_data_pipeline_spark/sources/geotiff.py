@@ -44,6 +44,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
 _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
 _TAG_TILE_OFFSETS = 324
@@ -106,8 +107,19 @@ def _read_ifd(buf: bytes, bo: str) -> dict[int, list]:
     return tags
 
 
-def decode_geotiff(data: bytes):
-    """→ (values float64 [h, w], (origin_x, origin_y, sx, sy), nodata)."""
+def decode_geotiff_bands(data: bytes):
+    """Full multi-band decode → (values float64 [bands, h, w],
+    (origin_x, origin_y, sx, sy), nodata).
+
+    Handles both TIFF sample layouts a foreign multi-band raster can
+    carry (the reference's band selection, ``gdal_translate -b {band}``
+    in ``batch/processing/raster.py:34``, exists precisely for these):
+    PlanarConfiguration=1 (chunky — samples interleaved per pixel,
+    RGBRGB…) and PlanarConfiguration=2 (planar — each strip/tile holds
+    one band's plane, planes stored plane-major). Per-band sample types
+    must be homogeneous (the overwhelmingly common case; heterogeneous
+    BitsPerSample rasters need a real GDAL).
+    """
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -123,12 +135,20 @@ def decode_geotiff(data: bytes):
             "TIFF compression %d needs a codec (rasterio/GDAL); engine "
             "subset is raw (1), deflate (8), or ZSTD (50000)" % compression
         )
-    if tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0] != 1:
-        raise NotImplementedError("multi-sample pixels not supported (single band)")
+    spp = tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
+    planar = tags.get(_TAG_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise NotImplementedError(f"PlanarConfiguration {planar} not supported")
     width = tags[_TAG_WIDTH][0]
     length = tags[_TAG_LENGTH][0]
-    bits = tags.get(_TAG_BITS, [8])[0]
-    fmt = tags.get(_TAG_SAMPLE_FORMAT, [1])[0]
+    bits_l = tags.get(_TAG_BITS, [8])[:spp] or [8]
+    fmt_l = tags.get(_TAG_SAMPLE_FORMAT, [1])[:spp] or [1]
+    if len(set(bits_l)) != 1 or len(set(fmt_l)) != 1:
+        raise NotImplementedError(
+            "heterogeneous per-band sample types not supported "
+            f"(bits {bits_l}, formats {fmt_l})"
+        )
+    bits, fmt = bits_l[0], fmt_l[0]
     dtype = {
         (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
         (2, 16): "i2", (2, 32): "i4",
@@ -136,47 +156,87 @@ def decode_geotiff(data: bytes):
     }.get((fmt, bits))
     if dtype is None:
         raise NotImplementedError(f"sample format {fmt} bits {bits} not supported")
+    itemsize = np.dtype(dtype).itemsize
     if _TAG_TILE_WIDTH in tags:
         # Tiled layout (the reference's own standardized profile is
         # TILED=YES 128×128, batch/processing/raster.py:7-8): tiles run
         # left-to-right, top-to-bottom, each padded to tw×tl; assemble on
-        # the padded lattice and crop to the declared image size.
+        # the padded lattice and crop to the declared image size. Chunky
+        # tiles interleave spp samples per cell; planar files store all
+        # of band 0's tiles, then band 1's, … (TIFF 6.0 §15).
         tw = tags[_TAG_TILE_WIDTH][0]
         tl = tags[_TAG_TILE_LENGTH][0]
         across = (width + tw - 1) // tw
         down = (length + tl - 1) // tl
-        padded = np.empty((down * tl, across * tw), dtype=bo + dtype)
         offsets = tags[_TAG_TILE_OFFSETS]
         counts = tags[_TAG_TILE_COUNTS]
-        itemsize = np.dtype(dtype).itemsize
-        for idx, (o, c) in enumerate(zip(offsets, counts)):
-            buf = _decompress(data[o : o + c], compression, tw * tl * itemsize)
-            tile = np.frombuffer(buf, dtype=bo + dtype, count=tw * tl).reshape(
-                tl, tw
+        if planar == 2 and spp > 1:
+            tiles_per_plane = across * down
+            padded = np.empty((spp, down * tl, across * tw), dtype=bo + dtype)
+            for idx, (o, c) in enumerate(zip(offsets, counts)):
+                buf = _decompress(data[o : o + c], compression, tw * tl * itemsize)
+                tile = np.frombuffer(buf, dtype=bo + dtype, count=tw * tl).reshape(tl, tw)
+                p, rem = divmod(idx, tiles_per_plane)
+                ty, tx = divmod(rem, across)
+                padded[p, ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
+            values = padded[:, :length, :width].astype("float64")
+        else:
+            padded = np.empty((down * tl, across * tw, spp), dtype=bo + dtype)
+            for idx, (o, c) in enumerate(zip(offsets, counts)):
+                buf = _decompress(
+                    data[o : o + c], compression, tw * tl * spp * itemsize
+                )
+                tile = np.frombuffer(
+                    buf, dtype=bo + dtype, count=tw * tl * spp
+                ).reshape(tl, tw, spp)
+                ty, tx = divmod(idx, across)
+                padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw, :] = tile
+            values = (
+                padded[:length, :width, :].transpose(2, 0, 1).astype("float64")
             )
-            ty, tx = divmod(idx, across)
-            padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
-        values = padded[:length, :width].astype("float64")
     else:
         rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [length])[0]
-        itemsize = np.dtype(dtype).itemsize
-        raw = b"".join(
-            _decompress(
-                data[o : o + c],
-                compression,
-                min(rows_per_strip, length - i * rows_per_strip)
-                * width
-                * itemsize,
+        offs = tags[_TAG_STRIP_OFFSETS]
+        cnts = tags[_TAG_STRIP_COUNTS]
+        strips_per_plane = (length + rows_per_strip - 1) // rows_per_strip
+
+        def _plane_rows(i: int) -> int:
+            return min(rows_per_strip, length - (i % strips_per_plane) * rows_per_strip)
+
+        if planar == 2 and spp > 1:
+            planes = []
+            for p in range(spp):
+                raw = b"".join(
+                    _decompress(
+                        data[o : o + c], compression,
+                        _plane_rows(i) * width * itemsize,
+                    )
+                    for i, (o, c) in enumerate(
+                        zip(
+                            offs[p * strips_per_plane : (p + 1) * strips_per_plane],
+                            cnts[p * strips_per_plane : (p + 1) * strips_per_plane],
+                        )
+                    )
+                )
+                planes.append(
+                    np.frombuffer(raw, dtype=bo + dtype, count=width * length)
+                    .reshape(length, width)
+                )
+            values = np.stack(planes).astype("float64")
+        else:
+            raw = b"".join(
+                _decompress(
+                    data[o : o + c], compression,
+                    _plane_rows(i) * width * spp * itemsize,
+                )
+                for i, (o, c) in enumerate(zip(offs, cnts))
             )
-            for i, (o, c) in enumerate(
-                zip(tags[_TAG_STRIP_OFFSETS], tags[_TAG_STRIP_COUNTS])
+            values = (
+                np.frombuffer(raw, dtype=bo + dtype, count=width * length * spp)
+                .reshape(length, width, spp)
+                .transpose(2, 0, 1)
+                .astype("float64")
             )
-        )
-        values = (
-            np.frombuffer(raw, dtype=bo + dtype, count=width * length)
-            .reshape(length, width)
-            .astype("float64")
-        )
     sx, sy = 1.0, 1.0
     ox, oy = 0.0, 0.0
     if _TAG_MODEL_PIXEL_SCALE in tags:
@@ -193,6 +253,29 @@ def decode_geotiff(data: bytes):
     return values, (ox, oy, sx, sy), nodata
 
 
+def decode_geotiff(data: bytes, band: int | None = None):
+    """→ (values float64 [h, w], (origin_x, origin_y, sx, sy), nodata).
+
+    Single-band convenience wrapper over :func:`decode_geotiff_bands`:
+    with ``band=None`` (the historical signature) a single-band file
+    decodes as before and a multi-band file raises with guidance; pass
+    ``band`` (1-based, GDAL convention — ``gdal_translate -b``,
+    reference batch/processing/raster.py:34) to select one band of a
+    multi-band raster."""
+    values, georef, nodata = decode_geotiff_bands(data)
+    nb = values.shape[0]
+    if band is None:
+        if nb != 1:
+            raise ValueError(
+                f"multi-band GeoTIFF ({nb} bands): pass band=<1..{nb}> or "
+                "use decode_geotiff_bands()"
+            )
+        return values[0], georef, nodata
+    if not 1 <= band <= nb:
+        raise ValueError(f"band {band} out of range 1..{nb}")
+    return values[band - 1], georef, nodata
+
+
 def encode_geotiff(
     values: np.ndarray,
     origin_x: float,
@@ -202,33 +285,47 @@ def encode_geotiff(
     pixel_deg_y: float | None = None,
     compress: str | None = None,
     tile: int | None = None,
+    planar: bool = False,
 ) -> bytes:
-    """K5 writer: single-band float64, little-endian, georef tags. origin
-    is the raster's upper-left corner; rows run southward (the GeoTIFF
-    convention). ``pixel_deg_y`` defaults to ``pixel_deg`` (square
-    pixels); pass it for non-square lattices. ``compress``: None (raw),
-    ``'deflate'`` (zlib, tag 8), or ``'zstd'`` (pyarrow codec, tag 50000
-    — the reference's raster profile, batch/processing/raster.py:7).
-    ``tile``: None → one strip;
-    an int (e.g. 128) → tiled layout matching the reference's
+    """K5 writer: float64, little-endian, georef tags. ``values`` may be
+    2-D ``[h, w]`` (single band) or 3-D ``[bands, h, w]`` (multi-band —
+    written chunky/interleaved by default, PlanarConfiguration=1, or
+    plane-separated with ``planar=True``; strip layout only for planar).
+    origin is the raster's upper-left corner; rows run southward (the
+    GeoTIFF convention). ``pixel_deg_y`` defaults to ``pixel_deg``
+    (square pixels); pass it for non-square lattices. ``compress``: None
+    (raw), ``'deflate'`` (zlib, tag 8), or ``'zstd'`` (pyarrow codec,
+    tag 50000 — the reference's raster profile,
+    batch/processing/raster.py:7). ``tile``: None → one strip per
+    plane; an int (e.g. 128) → tiled layout matching the reference's
     BLOCKXSIZE/BLOCKYSIZE profile, edge tiles padded with ``nodata``."""
     sy = pixel_deg if pixel_deg_y is None else pixel_deg_y
     arr = np.ascontiguousarray(values, dtype="<f8")
-    h, w = arr.shape
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    nb, h, w = arr.shape
+    if planar and tile is not None:
+        raise ValueError("planar=True supports strip layout only (tile=None)")
+    pad_val = nodata if nodata is not None else 0.0
     if tile is not None:
         across = (w + tile - 1) // tile
         down = (h + tile - 1) // tile
-        pad_val = nodata if nodata is not None else 0.0
-        padded = np.full((down * tile, across * tile), pad_val, dtype="<f8")
-        padded[:h, :w] = arr
+        # chunky tiles: interleave the bands per cell (RGBRGB…)
+        inter = np.full(
+            (down * tile, across * tile, nb), pad_val, dtype="<f8"
+        )
+        inter[:h, :w, :] = arr.transpose(1, 2, 0)
         chunks = [
-            padded[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
-            .tobytes()
+            np.ascontiguousarray(
+                inter[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile, :]
+            ).tobytes()
             for ty in range(down)
             for tx in range(across)
         ]
+    elif planar and nb > 1:
+        chunks = [np.ascontiguousarray(arr[b]).tobytes() for b in range(nb)]
     else:
-        chunks = [arr.tobytes()]
+        chunks = [np.ascontiguousarray(arr.transpose(1, 2, 0)).tobytes()]
     if compress == "deflate":
         chunks = [zlib.compress(c, 6) for c in chunks]
         comp_tag = _COMP_DEFLATE
@@ -254,20 +351,21 @@ def encode_geotiff(
     n = len(chunks)
     entry(_TAG_WIDTH, 4, 1, struct.pack("<I", w))
     entry(_TAG_LENGTH, 4, 1, struct.pack("<I", h))
-    entry(_TAG_BITS, 3, 1, struct.pack("<H", 64))
+    entry(_TAG_BITS, 3, nb, struct.pack(f"<{nb}H", *([64] * nb)))
     entry(_TAG_COMPRESSION, 3, 1, struct.pack("<H", comp_tag))
     entry(262, 3, 1, struct.pack("<H", 1))  # photometric: BlackIsZero
-    entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<H", 1))
+    entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<H", nb))
+    entry(_TAG_PLANAR, 3, 1, struct.pack("<H", 2 if planar and nb > 1 else 1))
     if tile is not None:
         entry(_TAG_TILE_WIDTH, 4, 1, struct.pack("<I", tile))
         entry(_TAG_TILE_LENGTH, 4, 1, struct.pack("<I", tile))
         entry(_TAG_TILE_OFFSETS, 4, n, b"\0" * (4 * n))  # patched below
         entry(_TAG_TILE_COUNTS, 4, n, struct.pack(f"<{n}I", *map(len, chunks)))
     else:
-        entry(_TAG_STRIP_OFFSETS, 4, 1, b"\0\0\0\0")  # patched below
+        entry(_TAG_STRIP_OFFSETS, 4, n, b"\0" * (4 * n))  # patched below
         entry(_TAG_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
-        entry(_TAG_STRIP_COUNTS, 4, 1, struct.pack("<I", len(chunks[0])))
-    entry(_TAG_SAMPLE_FORMAT, 3, 1, struct.pack("<H", 3))
+        entry(_TAG_STRIP_COUNTS, 4, n, struct.pack(f"<{n}I", *map(len, chunks)))
+    entry(_TAG_SAMPLE_FORMAT, 3, nb, struct.pack(f"<{nb}H", *([3] * nb)))
     entry(_TAG_MODEL_PIXEL_SCALE, 12, 3, struct.pack("<3d", pixel_deg, sy, 0.0))
     entry(
         _TAG_MODEL_TIEPOINT, 12, 6,
@@ -403,35 +501,50 @@ def export_geotiff(
 def ingest_geotiff(
     spark: SparkSession,
     path_glob: str,
-    band: int = 1,
+    band: int | None = None,
 ) -> DataFrame:
     """Distributed GeoTIFF → PIXELS: binaryFile scan (one row per file,
     content never driver-collected) → mapInPandas decode → long-format
     pixel rows with centre coordinates. raster_id is the file stem —
-    the reference's blob-name id convention (data.py:12)."""
+    the reference's blob-name id convention (data.py:12).
+
+    ``band=None`` emits every band of a multi-band file (1-based band
+    column); ``band=k`` selects one band at decode time — the P4 band
+    selection of the reference's ``gdal_translate -b {band}``
+    (batch/processing/raster.py:34), applied before any rows material-
+    ize. Single-band files emit band=1 either way."""
+
     files = spark.read.format("binaryFile").load(path_glob)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                values, (ox, oy, sx, sy), nodata = decode_geotiff(bytes(content))
-                h, w = values.shape
-                yy, xx = np.mgrid[0:h, 0:w]
-                vals = values.ravel()
-                if nodata is not None:
-                    vals = np.where(vals == nodata, np.nan, vals)
-                stem = fpath.rsplit("/", 1)[-1].rsplit(".", 1)[0]
-                yield pd.DataFrame(
-                    {
-                        "raster_id": stem,
-                        "band": np.int32(band),
-                        "y": yy.ravel().astype("int32"),
-                        "x": xx.ravel().astype("int32"),
-                        "lon": ox + (xx.ravel() + 0.5) * sx,
-                        "lat": oy - (yy.ravel() + 0.5) * sy,
-                        "val": vals,
-                    }
+                bands3, (ox, oy, sx, sy), nodata = decode_geotiff_bands(
+                    bytes(content)
                 )
+                nb, h, w = bands3.shape
+                if band is not None and not 1 <= band <= nb:
+                    raise ValueError(
+                        f"{fpath}: band {band} out of range 1..{nb}"
+                    )
+                sel = range(1, nb + 1) if band is None else (band,)
+                yy, xx = np.mgrid[0:h, 0:w]
+                stem = fpath.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+                for b in sel:
+                    vals = bands3[b - 1].ravel()
+                    if nodata is not None:
+                        vals = np.where(vals == nodata, np.nan, vals)
+                    yield pd.DataFrame(
+                        {
+                            "raster_id": stem,
+                            "band": np.int32(b),
+                            "y": yy.ravel().astype("int32"),
+                            "x": xx.ravel().astype("int32"),
+                            "lon": ox + (xx.ravel() + 0.5) * sx,
+                            "lat": oy - (yy.ravel() + 0.5) * sy,
+                            "val": vals,
+                        }
+                    )
 
     return files.select("path", "content").mapInPandas(
         decode, PIXELS

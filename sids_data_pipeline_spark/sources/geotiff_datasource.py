@@ -41,7 +41,7 @@ from sids_data_pipeline_spark.schemas import PIXELS
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, band: int):
+    def __init__(self, path: str, band: int | None):
         self.path = path
         self.band = band
 
@@ -55,14 +55,12 @@ class GeoTiffReader(DataSourceReader):
         self._files = options.get("files")
         if not self._path and not self._files:
             raise ValueError("geotiff source requires a load(path) glob")
-        self._band = int(options.get("band", 1))
-        if self._band != 1:
-            # the codec decodes single-band files; a silently mislabeled
-            # band column would be worse than refusing
-            raise ValueError(
-                "geotiff source supports band=1 only (single-band codec); "
-                f"got band={self._band}"
-            )
+        # band selection (1-based, gdal_translate -b convention): absent
+        # → every band of each file; k → just that band, validated
+        # against the file's actual band count at decode time
+        self._band = int(options["band"]) if "band" in options else None
+        if self._band is not None and self._band < 1:
+            raise ValueError(f"band must be >= 1, got {self._band}")
 
     def partitions(self) -> Sequence[InputPartition]:
         if self._files:
@@ -77,29 +75,35 @@ class GeoTiffReader(DataSourceReader):
         import numpy as np
         import pyarrow as pa
 
-        from sids_data_pipeline_spark.sources.geotiff import decode_geotiff
+        from sids_data_pipeline_spark.sources.geotiff import decode_geotiff_bands
 
         with open(partition.path, "rb") as f:
-            values, (ox, oy, sx, sy), nodata = decode_geotiff(f.read())
-        h, w = values.shape
+            bands3, (ox, oy, sx, sy), nodata = decode_geotiff_bands(f.read())
+        nb, h, w = bands3.shape
+        band = partition.band
+        if band is not None and not 1 <= band <= nb:
+            raise ValueError(
+                f"{partition.path}: band {band} out of range 1..{nb}"
+            )
         yy, xx = np.mgrid[0:h, 0:w]
-        vals = values.ravel().astype("float64")
-        if nodata is not None:
-            vals = np.where(vals == nodata, np.nan, vals)
-        stem = os.path.basename(partition.path).rsplit(".", 1)[0]
         xs = xx.ravel()
         ys = yy.ravel()
-        yield pa.RecordBatch.from_pydict(
-            {
-                "raster_id": np.repeat(stem, h * w),
-                "band": np.full(h * w, partition.band, dtype="int32"),
-                "y": ys.astype("int32"),
-                "x": xs.astype("int32"),
-                "lon": ox + (xs + 0.5) * sx,
-                "lat": oy - (ys + 0.5) * sy,
-                "val": vals,
-            }
-        )
+        stem = os.path.basename(partition.path).rsplit(".", 1)[0]
+        for b in range(1, nb + 1) if band is None else (band,):
+            vals = bands3[b - 1].ravel()
+            if nodata is not None:
+                vals = np.where(vals == nodata, np.nan, vals)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "raster_id": np.repeat(stem, h * w),
+                    "band": np.full(h * w, b, dtype="int32"),
+                    "y": ys.astype("int32"),
+                    "x": xs.astype("int32"),
+                    "lon": ox + (xs + 0.5) * sx,
+                    "lat": oy - (ys + 0.5) * sy,
+                    "val": vals,
+                }
+            )
 
 
 class GeoTiffDataSource(DataSource):
@@ -144,6 +148,18 @@ class GeoTiffWriter(DataSourceWriter):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("geotiff writer requires a save(path) directory")
+        if "://" in self._path:
+            # write() runs in executor Python workers, which have no JVM
+            # gateway — files written with os/open there would land on
+            # executor-local disks and silently vanish from a remote URI
+            # estate. Refuse explicitly; remote estates should export via
+            # geotiff.export_geotiff + storage.fs_write_bytes (driver-
+            # coordinated Hadoop FS), mirroring the repo's other sinks.
+            raise ValueError(
+                "geotiff writer writes executor-local files; remote URIs "
+                f"({self._path!r}) are not supported — use "
+                "export_geotiff() + fs_write_bytes() instead"
+            )
         self._nodata = float(options.get("nodata", -9999.0))
         self._compress = options.get("compress")
         self._tile = int(options["tile"]) if "tile" in options else None

@@ -52,6 +52,27 @@ def fs_write_text(spark: SparkSession, path: str, content: str) -> None:
             fh.write(content)
 
 
+def fs_write_bytes(spark: SparkSession, path: str, content: bytes) -> None:
+    """Binary sibling of :func:`fs_write_text` — writes payload bytes
+    (e.g. an encoded GeoTIFF) to any Hadoop-supported URI; local paths
+    use plain open()."""
+    if "://" in path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(content))
+        finally:
+            out.close()
+    else:
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "wb") as fh:
+            fh.write(content)
+
+
 def fs_read_text(spark: SparkSession, path: str) -> str | None:
     """Read a small text file from any Hadoop-supported URI; None when it
     does not exist (the probe half of :func:`fs_write_text`)."""

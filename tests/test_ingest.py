@@ -300,8 +300,9 @@ def test_geotiff_datasource_partitions_per_file(spark, tmp_path):
         spark.read.format("geotiff").load(str(tmp_path / "nope-*.tif")).collect()
 
 
-def test_geotiff_datasource_rejects_band_selection(spark, tmp_path):
-    """band != 1 must refuse rather than mislabel single-band pixels."""
+def test_geotiff_datasource_rejects_band_out_of_range(spark, tmp_path):
+    """A band beyond the file's actual band count must refuse rather
+    than mislabel pixels (validated at decode time per file)."""
     import numpy as np
     import pytest as _pytest
 
@@ -314,10 +315,105 @@ def test_geotiff_datasource_rejects_band_selection(spark, tmp_path):
         )
     )
     register(spark)
-    with _pytest.raises(Exception, match="band=1 only"):
+    with _pytest.raises(Exception, match="out of range"):
         spark.read.format("geotiff").option("band", "2").load(
             str(tmp_path / "*.tif")
         ).collect()
+
+
+def _rgb_array():
+    import numpy as np
+
+    y, x = np.mgrid[0:5, 0:7]
+    base = (x + 7.0 * y).astype("float64")
+    return np.stack([b * 1000.0 + base for b in (1, 2, 3)])
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},  # chunky, one strip
+        {"planar": True},  # plane-separated strips
+        {"tile": 4},  # chunky tiles with edge padding
+        {"compress": "deflate", "planar": True},
+        {"compress": "zstd", "tile": 4},
+    ],
+)
+def test_geotiff_multiband_roundtrip(kwargs):
+    """3-band encode → decode_geotiff_bands is lossless for every
+    supported layout (chunky/planar, strip/tile, raw/deflate/zstd)."""
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources.geotiff import (
+        decode_geotiff,
+        decode_geotiff_bands,
+        encode_geotiff,
+    )
+
+    arr = _rgb_array()
+    data = encode_geotiff(
+        arr, origin_x=0.0, origin_y=0.5, pixel_deg=0.1, nodata=-1.0, **kwargs
+    )
+    values, (ox, oy, sx, sy), nodata = decode_geotiff_bands(data)
+    assert values.shape == arr.shape
+    np.testing.assert_array_equal(values, arr)
+    assert (ox, oy, sx, sy) == (0.0, 0.5, 0.1, 0.1) and nodata == -1.0
+    # band selection via the 2-D wrapper (1-based, GDAL convention)
+    band2, _, _ = decode_geotiff(data, band=2)
+    np.testing.assert_array_equal(band2, arr[1])
+    with pytest.raises(ValueError, match="multi-band"):
+        decode_geotiff(data)
+    with pytest.raises(ValueError, match="out of range"):
+        decode_geotiff(data, band=4)
+
+
+def test_geotiff_multiband_ingest(spark, tmp_path):
+    """ingest_geotiff emits one row per (band, pixel) by default and
+    selects a single band at decode time with band=k."""
+    from sids_data_pipeline_spark.sources.geotiff import (
+        encode_geotiff,
+        ingest_geotiff,
+    )
+
+    arr = _rgb_array()
+    (tmp_path / "rgb.tif").write_bytes(
+        encode_geotiff(arr, origin_x=0.0, origin_y=0.5, pixel_deg=0.1,
+                       planar=True, compress="deflate")
+    )
+    px = ingest_geotiff(spark, str(tmp_path / "*.tif")).toPandas()
+    assert sorted(px["band"].unique()) == [1, 2, 3]
+    assert len(px) == 3 * arr.shape[1] * arr.shape[2]
+    b2 = ingest_geotiff(spark, str(tmp_path / "*.tif"), band=2).toPandas()
+    assert sorted(b2["band"].unique()) == [2]
+    got = b2.sort_values(["y", "x"])["val"].to_numpy().reshape(arr[1].shape)
+    import numpy as np
+
+    np.testing.assert_array_equal(got, arr[1])
+
+
+def test_geotiff_datasource_multiband(spark, tmp_path):
+    """The registered format reads every band without an option and one
+    band with option('band', k)."""
+    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+    from sids_data_pipeline_spark.sources.geotiff_datasource import register
+
+    arr = _rgb_array()
+    (tmp_path / "rgb.tif").write_bytes(
+        encode_geotiff(arr, origin_x=0.0, origin_y=0.5, pixel_deg=0.1)
+    )
+    register(spark)
+    all_bands = (
+        spark.read.format("geotiff").load(str(tmp_path / "*.tif")).toPandas()
+    )
+    assert sorted(all_bands["band"].unique()) == [1, 2, 3]
+    b3 = (
+        spark.read.format("geotiff")
+        .option("band", "3")
+        .load(str(tmp_path / "*.tif"))
+        .toPandas()
+    )
+    assert sorted(b3["band"].unique()) == [3]
+    assert b3["val"].min() == 3000.0
 
 
 def test_geotiff_datasource_write_roundtrip(spark, tmp_path):
