@@ -93,7 +93,11 @@ def run_curation_job(
     import json
     import os
 
-    from sids_data_pipeline_spark.sources.storage import fs_read_text, fs_write_text
+    from sids_data_pipeline_spark.sources.storage import (
+        fs_delete,
+        fs_read_text,
+        fs_write_text,
+    )
 
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     config_key = json.dumps(
@@ -183,9 +187,14 @@ def run_curation_job(
             )
             .collect()
         }
-    # else: curation removed every document — a partitioned write of an
-    # empty frame emits no data files and the read-back would abort with
-    # UNABLE_TO_INFER_SCHEMA, so record the empty manifest instead
+    else:
+        # curation removed every document — a partitioned write of an
+        # empty frame emits no data files and the read-back would abort
+        # with UNABLE_TO_INFER_SCHEMA, so record the empty manifest; ALSO
+        # clear any stale parquet a previous run (different config) left
+        # at data_dir, or a reader following the manifest would see the
+        # old corpus next to n_curated=0
+        fs_delete(spark, data_dir)
     lifecycle.release(with_tokens)
     n_curated = sum(v["docs"] for v in shard_stats.values())
     manifest_out = {

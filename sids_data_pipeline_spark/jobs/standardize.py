@@ -82,8 +82,13 @@ def run_standardize_job(
         )
     else:
         px = spark.read.format("geotiff").option("band", str(band)).load(input_glob)
+        # skipped = ledger ∩ rasters actually present in THIS input scan
+        # (the docstring contract) — the whole ledger may span other
+        # input directories, and manifest consumers treat skipped ids as
+        # members of this batch. One distinct-id collect, manifest-sized.
+        in_ids = {r.raster_id for r in px.select("raster_id").distinct().collect()}
+        skipped = sorted(in_ids & done_ids)
         pending = px.join(done, "raster_id", "left_anti")
-        skipped = sorted(done_ids)
     std = clip_extent(select_band(pending, band), lon=lon, lat=lat)
 
     from sids_data_pipeline_spark.lifecycle import track

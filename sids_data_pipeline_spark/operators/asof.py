@@ -80,6 +80,14 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    if "_ts" in right_cols:
+        # the payload struct reserves _ts for the match's own timestamp
+        # (the `nearest` distance compare); a payload column of the same
+        # name would silently shadow it
+        raise ValueError(
+            "right_cols may not contain '_ts' (reserved for the internal "
+            "match-timestamp slot); rename the column first"
+        )
     right = right.filter(F.col(ts_col).isNotNull() & F.col(by).isNotNull())
     if how == "window":
         return _asof_window(
@@ -160,11 +168,16 @@ def _asof_window(
     elif direction == "forward":
         matched = union.withColumn("_m", F.first("_r", ignorenulls=True).over(wf))
     else:  # nearest: both lookups, pick the closer; ties go backward
-        num = (
-            F.unix_micros
-            if isinstance(right_types[ts_col], TimestampType)
-            else (lambda c: c.cast("double"))
-        )
+        from pyspark.sql.types import DateType
+
+        if isinstance(right_types[ts_col], TimestampType):
+            num = F.unix_micros
+        elif isinstance(right_types[ts_col], DateType):
+            # backward/forward need only ordering, but nearest needs a
+            # numeric distance; a Date cannot cast to double directly
+            num = F.unix_date
+        else:
+            num = lambda c: c.cast("double")  # noqa: E731
         mb, mf = F.last("_r", ignorenulls=True).over(wb), F.first(
             "_r", ignorenulls=True
         ).over(wf)

@@ -73,6 +73,48 @@ def fs_write_bytes(spark: SparkSession, path: str, content: bytes) -> None:
             fh.write(content)
 
 
+def fs_delete(spark: SparkSession, path: str) -> bool:
+    """Recursively delete a file/directory on any Hadoop-supported URI;
+    returns True when something was removed. Local paths use shutil."""
+    if "://" in path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            return bool(fs.delete(hpath, True))
+        return False
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+        return True
+    if os.path.exists(path):
+        os.remove(path)
+        return True
+    return False
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Metadata-only move of a file/directory on any Hadoop-supported
+    URI (parent dirs created). The fan-out primitive for single-write
+    jobs: one partitioned Spark write, then per-partition renames that
+    cost no Spark jobs."""
+    if "://" in src or "://" in dst:
+        jvm = spark._jvm
+        hsrc = jvm.org.apache.hadoop.fs.Path(src)
+        hdst = jvm.org.apache.hadoop.fs.Path(dst)
+        fs = hsrc.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.mkdirs(hdst.getParent())
+        if not fs.rename(hsrc, hdst):
+            raise IOError(f"rename failed: {src} -> {dst}")
+    else:
+        import os
+
+        os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+        os.rename(src, dst)
+
+
 def fs_read_text(spark: SparkSession, path: str) -> str | None:
     """Read a small text file from any Hadoop-supported URI; None when it
     does not exist (the probe half of :func:`fs_write_text`)."""
@@ -124,6 +166,18 @@ def write_bucketed(
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if path is not None:
+        # Dropping an EXTERNAL table leaves its files behind, and
+        # saveAsTable into a non-empty location is a CTAS Spark >= 3.2
+        # rejects (allowNonEmptyLocationInCTAS=false) — so a re-run with
+        # the same path would fail. Clear the old location first (any
+        # Hadoop-supported URI); the pre-drop already severed the
+        # catalog entry, so no reader can hold the old spec.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
     writer = (
         df.write.format("parquet").mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     )

@@ -359,3 +359,48 @@ def test_interval_join_rejects_nonpositive_bucket_width(spark):
     with pytest.raises(ValueError):
         interval_join(df, df.selectExpr("id rid", "s rs", "e re"),
                       ("s", "e"), ("rs", "re"), bucket_width=0)
+
+
+def test_asof_nearest_date_type(spark):
+    """DateType timestamps work in all three directions — `nearest`
+    needs a numeric distance and Date cannot cast to double directly."""
+    import datetime as dt
+
+    from sids_data_pipeline_spark.operators.asof import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [("a", d(2024, 1, 10)), ("a", d(2024, 1, 20))],
+        "k string, ts date",
+    )
+    right = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 1.0), ("a", d(2024, 1, 18), 2.0)],
+        "k string, ts date, v double",
+    )
+    for direction, want in (
+        ("backward", {d(2024, 1, 10): 1.0, d(2024, 1, 20): 2.0}),
+        ("forward", {d(2024, 1, 10): 2.0, d(2024, 1, 20): None}),
+        # Jan 10: 8 days forward to Jan 18 beats 9 days back to Jan 1
+        ("nearest", {d(2024, 1, 10): 2.0, d(2024, 1, 20): 2.0}),
+    ):
+        got = {
+            r.ts: r.v_right
+            for r in asof_join(
+                left, right, by="k", ts_col="ts", right_cols=["v"],
+                direction=direction,
+            ).collect()
+        }
+        assert got == want, direction
+
+
+def test_asof_rejects_reserved_ts_payload(spark):
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 1.0)], "k string, ts double")
+    right = spark.createDataFrame(
+        [("a", 1.0, 9.0)], "k string, ts double, _ts double"
+    )
+    with _pytest.raises(ValueError, match="_ts"):
+        asof_join(left, right, by="k", ts_col="ts", right_cols=["_ts"])

@@ -197,3 +197,25 @@ def test_curation_config_key_is_split_order_sensitive(spark, tmp_path):
         spark, docs, str(tmp_path / "o"), splits={"b": 0.5, "a": 0.5}
     )
     assert r2["skipped"] is False  # different assignment → re-runs
+
+
+def test_curation_job_empty_result_clears_stale_corpus(spark, tmp_path):
+    """An all-removed run after a populated run (different config) must
+    delete the old data_dir — a reader following the new manifest would
+    otherwise see the previous corpus next to n_curated=0."""
+    import os
+
+    from sids_data_pipeline_spark.jobs.curation import run_curation_job
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with plenty of real words " * 8)
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    out_dir = str(tmp_path / "c")
+    first = run_curation_job(spark, docs, out_dir, min_chars=10)
+    assert first["n_curated"] > 0
+    assert os.path.isdir(os.path.join(out_dir, "data"))
+    second = run_curation_job(spark, docs, out_dir, min_chars=10_000)
+    assert second["n_curated"] == 0
+    assert not os.path.exists(os.path.join(out_dir, "data"))

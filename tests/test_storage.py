@@ -148,3 +148,20 @@ def test_compact_files_preserves_hive_partitions(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 5_000
     assert {r.p for r in got.select("p").distinct().collect()} == {0, 1, 2}
+
+
+def test_write_bucketed_external_rerun(spark, sf_dir, tmp_path):
+    """Re-running write_bucketed with the same path= must succeed: the
+    dropped EXTERNAL table leaves files behind, and saveAsTable into a
+    non-empty location is a CTAS Spark rejects unless the location is
+    cleared first."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    )
+    path = str(tmp_path / "ext_li")
+    for _ in range(2):
+        storage.write_bucketed(
+            li, "ext_li_t", ["l_orderkey"], num_buckets=4, path=path
+        )
+    assert spark.table("ext_li_t").count() == li.count()
+    spark.sql("DROP TABLE ext_li_t")
