@@ -386,7 +386,15 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_words <= 0:
         raise ValueError("chunk_words and stride must be positive")
-    words = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    # Materialize the split ONCE per document in its own projection:
+    # referencing the split expression inside the transform() lambda
+    # would re-evaluate it per window — O(n_chunks × n_words) on a long
+    # document (an 800k-word doc = 8×10⁹ re-splits) instead of O(n_words).
+    split_docs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+").alias("_ws"),
+    )
+    words = F.col("_ws")
     n = F.size(words)
     n_chunks = (
         F.ceil(F.greatest(n - chunk_words, F.lit(0)).cast("double") / stride)
@@ -398,8 +406,8 @@ def chunk_documents(
         starts, lambda s: F.array_join(F.slice(words, s + 1, chunk_words), " ")
     )
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
+        split_docs.select(
+            "doc_id",
             n.alias("n_words"),
             F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
         )
@@ -631,6 +639,7 @@ def bpe_train(
     n_merges: int = 3,
     text_col: str = "text",
     return_encoding: bool = False,
+    merges_per_round: int = 1,
 ) -> DataFrame:
     """Iterative BPE tokenizer training: learn the top ``n_merges``
     merge rules over the corpus. Output one row per learned rule:
@@ -656,7 +665,23 @@ def bpe_train(
     shared, consecutive pairs (``abab``) merge in one pass. The same
     ``replace`` exists in ANSI SQL, so the entire training loop unrolls
     into a DuckDB oracle that verifies every learned rule AND its count.
+
+    Job-count bound: training runs exactly ``ceil(n_merges /
+    merges_per_round)`` count-argmax Spark jobs (each collecting
+    ``merges_per_round`` rows) plus the final action — with the default
+    ``merges_per_round=1`` that is one job per merge, EXACT classic BPE
+    (the oracle's semantics). A real 30k-merge vocabulary should pass
+    ``merges_per_round≈64``: pair counts are recomputed only once per
+    round and the round's top-k pairs merge in recorded order against
+    the stale counts — the standard trainer approximation (counts of
+    later pairs in a round may have shifted where pairs overlap; a rule
+    whose pair was consumed earlier in the round applies as a no-op).
+    30k merges then cost ~470 jobs, not 30k sequential ones.
     """
+    if merges_per_round < 1:
+        raise ValueError(
+            f"merges_per_round must be >= 1, got {merges_per_round}"
+        )
     words = docs.select(
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
@@ -675,7 +700,8 @@ def bpe_train(
     try:
         spark = docs.sparkSession
         merges: list[tuple[int, str, str, str, int]] = []
-        for rank in range(n_merges):
+        while len(merges) < n_merges:
+            k = min(merges_per_round, n_merges - len(merges))
             # symbols back out of the encoding: strip outer seps, split
             # on the doubled inner separator
             syms = F.split(
@@ -695,25 +721,28 @@ def bpe_train(
                 pairs.groupBy("p.a", "p.b")
                 .agg(F.sum("n_word").alias("n"))
                 .orderBy(F.desc("n"), F.col("a").asc(), F.col("b").asc())
-                .limit(1)
+                .limit(k)
                 .collect()
             )
             if not best:
                 break
-            a, b, n = best[0].a, best[0].b, best[0].n
-            merged = a + b
-            merges.append((rank, a, b, merged, n))
-            nxt = encoded.select(
-                "word",
-                "n_word",
-                F.replace(
-                    F.col("s"),
+            # apply the round's merges in recorded order as ONE chained
+            # projection (k string replaces, still a single narrow stage)
+            s_expr = F.col("s")
+            for row in best:
+                a, b, n = row.a, row.b, row.n
+                merged = a + b
+                merges.append((len(merges), a, b, merged, n))
+                s_expr = F.replace(
+                    s_expr,
                     F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
                     F.lit(f"{BPE_SEP}{merged}{BPE_SEP}"),
-                ).alias("s"),
-            ).persist()
+                )
+            nxt = encoded.select("word", "n_word", s_expr.alias("s")).persist()
             encoded.unpersist()
             encoded = nxt
+            if len(best) < k:
+                break  # vocabulary exhausted mid-round
         rules = spark.createDataFrame(
             merges,
             "merge_rank int, left_sym string, right_sym string, "

@@ -1297,6 +1297,12 @@ def _corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, chunk_words=100, stride=80)
 
 
+# O(words × overlap) formulation: each word joins the ≤ ceil(100/80) = 2
+# chunks covering its position and string_agg rebuilds the window text.
+# The obvious per-chunk list_slice over the full word array is
+# O(n_chunks × n_words) — quadratic on a long document (an 810k-word doc
+# never finishes) — the same trap the engine's transform-lambda re-split
+# was (tests/test_oracle_edges.py covers both sides).
 _CORPUS_CHUNK_SQL = r"""
 WITH w AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
@@ -1306,16 +1312,31 @@ c AS (
          CAST(CEIL(CAST(GREATEST(len(ws) - 100, 0) AS DOUBLE) / 80) AS INT) + 1
            AS n_chunks
   FROM w
+),
+words AS (
+  -- parallel unnest aligns element-wise: word with its 1-based position
+  SELECT doc_id, n_words, n_chunks,
+         unnest(ws) AS word,
+         CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos
+  FROM c
+),
+memb AS (
+  -- 1-based pos belongs to chunk i iff i*80 < pos <= i*80 + 100
+  SELECT doc_id, n_words, word, pos, CAST(gs.i AS INT) AS chunk_idx
+  FROM words, LATERAL (
+    SELECT unnest(generate_series(
+      GREATEST(CAST(0 AS BIGINT), CAST(CEIL((pos - 100) / 80.0) AS BIGINT)),
+      LEAST(CAST(n_chunks - 1 AS BIGINT), CAST(FLOOR((pos - 1) / 80.0) AS BIGINT))
+    )) AS i
+  ) gs
 )
 SELECT doc_id,
-       CAST(t.i AS INT) AS chunk_idx,
-       CAST(t.i * 80 AS INT) AS chunk_start_word,
+       chunk_idx,
+       CAST(chunk_idx * 80 AS INT) AS chunk_start_word,
        CAST(n_words AS INT) AS n_words,
-       array_to_string(list_slice(ws, CAST(t.i * 80 + 1 AS BIGINT),
-                                  CAST(t.i * 80 + 100 AS BIGINT)), ' ')
-         AS chunk_text
-FROM c, (SELECT unnest(range((SELECT CAST(MAX(n_chunks) AS BIGINT) FROM c))) AS i) t
-WHERE t.i < c.n_chunks
+       string_agg(word, ' ' ORDER BY pos) AS chunk_text
+FROM memb
+GROUP BY doc_id, chunk_idx, n_words
 """
 
 

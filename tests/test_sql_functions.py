@@ -221,3 +221,24 @@ def test_text_ops_survive_degenerate_docs(spark):
     fp = {r.doc_id: r for r in fingerprint(docs).collect()}
     assert fp[3].min_shingle_hash is None        # < 3 words: no shingle
     assert fp[4].min_shingle_hash is not None
+
+
+def test_bpe_train_batched_rounds(spark):
+    """merges_per_round bounds the job count; on a corpus whose top
+    pairs are disjoint the batched result equals the exact one."""
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc"), (2, "aa bb cc dd")],
+        "doc_id long, text string",
+    )
+    exact = [(r.merge_rank, r.left_sym, r.right_sym, r.merged)
+             for r in bpe_train(docs, n_merges=3).collect()]
+    batched = [(r.merge_rank, r.left_sym, r.right_sym, r.merged)
+               for r in bpe_train(docs, n_merges=3,
+                                  merges_per_round=3).collect()]
+    assert batched == exact
+    with _pytest.raises(ValueError, match="merges_per_round"):
+        bpe_train(docs, merges_per_round=0)

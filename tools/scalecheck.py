@@ -256,6 +256,29 @@ def main() -> None:
         }
     out["triangle_count"] = tri
 
+    # --- BPE training: merges/second, exact vs batched rounds ------------
+    # The loop is inherently iterative (one count-argmax job per round);
+    # merges_per_round=k cuts the job count k× at the standard
+    # stale-counts approximation. This row documents the measured
+    # merges/second so a 30k-merge budget can be planned (see
+    # operators/text.py bpe_train docstring for the O(jobs) bound).
+    from sids_data_pipeline_spark.operators import text as textops
+
+    bpe = {}
+    docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for label, kwargs in (
+        ("16 merges, exact (16 jobs)", {"n_merges": 16}),
+        ("16 merges, batch=8 (2 jobs)", {"n_merges": 16, "merges_per_round": 8}),
+    ):
+        sec = _steady(
+            lambda kw=kwargs: textops.bpe_train(docs01, **kw).count(), reps=2
+        )
+        bpe[label] = {
+            "sec": round(sec, 3),
+            "merges_per_sec": round(16 / sec, 2),
+        }
+    out["bpe_train"] = bpe
+
     # --- distributed prefix scan (sequence packing): growing rows --------
     # Two passes over one range shuffle (per-partition window + offset
     # fold); the driver sees only a partition-count-sized totals list, so
