@@ -37,6 +37,81 @@ def _union(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)
 
 
+def _fanout_partition_dirs(
+    spark: SparkSession, stage_dir: str, pair_keys: list[str], dest
+) -> None:
+    """Move each ``pair_key=K`` directory of a partitioned write to its
+    per-pair destination ``dest(K)`` (metadata-only renames — no Spark
+    jobs); pairs with no rows (no partition directory) get an empty
+    destination directory so every pending pair materializes output."""
+    import os as _os
+
+    from sids_data_pipeline_spark.sources.storage import fs_delete, fs_rename
+
+    for key in pair_keys:
+        src = _os.path.join(stage_dir, f"pair_key={key}")
+        dst = dest(key)
+        fs_delete(spark, dst)
+        if _os.path.exists(src) or "://" in src:
+            try:
+                fs_rename(spark, src, dst)
+                continue
+            except (OSError, IOError):
+                pass  # remote URI with no partition dir: fall through
+        _os.makedirs(dst, exist_ok=True) if "://" not in dst else None
+    fs_delete(spark, stage_dir)
+
+
+def _write_pair_geojsonl(
+    spark: SparkSession,
+    stats_with_geom: DataFrame,
+    out_dir: str,
+    pair_keys: list[str],
+    property_cols: tuple[str, ...],
+) -> None:
+    """K1 for every pair in ONE job: feature lines keyed by pair_key,
+    one partitioned text write, then per-pair renames to the reference's
+    ``{pair}/export.geojsonl`` layout."""
+    stage = os.path.join(out_dir, "_geojsonl_stage")
+    lines = geojsonl.to_geojsonl(
+        stats_with_geom, property_cols=property_cols, keep_cols=("pair_key",)
+    )
+    lines.write.mode("overwrite").partitionBy("pair_key").text(stage)
+    _fanout_partition_dirs(
+        spark, stage, pair_keys,
+        lambda k: os.path.join(out_dir, k, "export.geojsonl"),
+    )
+
+
+def _write_pair_tilesets(
+    spark: SparkSession,
+    encoded: DataFrame,
+    out_dir: str,
+    pair_keys: list[str],
+    max_zoom: int,
+) -> None:
+    """K2 for every pair in ONE job: the (pair_key, z, x, y, pbf) table
+    writes once partitioned by (pair_key, z, x); renames restore the
+    per-pair ``{pair}/tiles`` pyramids and the completion markers (P6)
+    fan out from the manifest — plain filesystem ops, zero extra jobs."""
+    import json as _json
+
+    from sids_data_pipeline_spark.sinks.tiles import _write_marker
+
+    stage = os.path.join(out_dir, "_tiles_stage")
+    encoded.write.mode("overwrite").partitionBy("pair_key", "z", "x").parquet(stage)
+    _fanout_partition_dirs(
+        spark, stage, pair_keys, lambda k: os.path.join(out_dir, k, "tiles")
+    )
+    for key in pair_keys:
+        meta = {"name": key, "format": "pbf", "maxzoom": max_zoom}
+        _write_marker(
+            spark,
+            os.path.join(out_dir, key, "tiles", "_tileset_metadata.json"),
+            _json.dumps(meta, separators=(",", ":")),
+        )
+
+
 def run_pipeline(
     spark: SparkSession,
     vector_ids: list[str],
@@ -144,37 +219,35 @@ def run_pipeline(
             ["v_id", "fid"],
         )
     )
-    # Persist ONCE before the per-pair sink loop: each pair triggers two
-    # actions (GeoJSONL + tiles), and without this the spatial join +
-    # aggregate lineage would re-execute ~2× per pair — the driver-side
-    # bottleneck at a dozens-of-pairs tileset run.
+    # pair_key joins the frame so BOTH sinks write every pair in ONE
+    # partitioned job each (constant Spark-job count vs pair count — a
+    # 1000-pair estate is 2 writes, not 2000 sequential actions); the
+    # reference's per-pair blob layout is restored by metadata-only
+    # renames of the partition directories.
+    stats_with_geom = stats_with_geom.withColumn(
+        "pair_key", F.concat_ws("_", "v_id", "r_id")
+    )
+    # Persist ONCE above the two sink actions: without this the spatial
+    # join + aggregate lineage would execute once per write.
     stats_with_geom = lifecycle.track(stats_with_geom.persist())
 
-    outputs = []
-    for row in pending_rows:
-        pair_df = stats_with_geom.filter(
-            (stats_with_geom.v_id == row.v_id) & (stats_with_geom.r_id == row.r_id)
-        )
-        pair_dir = os.path.join(out_dir, row.pair_key)
-        geojsonl.write_geojsonl(
-            pair_df, os.path.join(pair_dir, "export.geojsonl"),
-            property_cols=("fid", *stats),
-        )
-        feats = pair_df.select(
-            "fid", "geometry", *stats, "xmin", "ymin", "xmax", "ymax"
-        )
-        tiled = tiles.drop_densest(
-            tiles.assign_tiles(feats, max_zoom=max_zoom), max_features_per_tile
-        )
-        encoded = tiles.encode_tiles(
-            tiled, ["fid", *stats, "geometry"], geometry_col="geometry",
-            max_zoom=max_zoom,
-        )
-        tiles.write_tileset(
-            encoded, os.path.join(pair_dir, "tiles"), name=row.pair_key,
-            max_zoom=max_zoom,
-        )
-        outputs.append(row.pair_key)
+    outputs = [r.pair_key for r in pending_rows]
+    _write_pair_geojsonl(
+        spark, stats_with_geom, out_dir, outputs, property_cols=("fid", *stats)
+    )
+    feats = stats_with_geom.select(
+        "pair_key", "fid", "geometry", *stats, "xmin", "ymin", "xmax", "ymax"
+    )
+    tiled = tiles.drop_densest(
+        tiles.assign_tiles(feats, max_zoom=max_zoom),
+        max_features_per_tile,
+        extra_keys=("pair_key",),
+    )
+    encoded = tiles.encode_tiles(
+        tiled, ["fid", *stats, "geometry"], geometry_col="geometry",
+        max_zoom=max_zoom, extra_keys=("pair_key",),
+    )
+    _write_pair_tilesets(spark, encoded, out_dir, outputs, max_zoom=max_zoom)
 
     manifest.record_done(spark, ledger_path, pending)
     # release the top-level persist AND the operator-internal ones

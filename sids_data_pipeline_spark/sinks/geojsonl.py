@@ -45,8 +45,11 @@ def to_geojsonl(
     df: DataFrame,
     geometry_col: str = "geometry",
     property_cols: tuple[str, ...] = ("fid", "mean"),
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """DataFrame → single-column DataFrame of GeoJSON feature lines."""
+    """DataFrame → DataFrame of GeoJSON feature lines (column ``value``)
+    plus any ``keep_cols`` carried through verbatim — e.g. a pair_key so
+    MANY exports write in ONE partitioned job."""
     # keep null properties (a zone with no pixels exports "mean": null,
     # the LEFT-join semantics of the reference's view)
     props = F.to_json(
@@ -54,7 +57,8 @@ def to_geojsonl(
         {"ignoreNullFields": "false"},
     )
     return df.select(
-        _feature_udf(F.col(geometry_col), props).alias("value")
+        *[F.col(c) for c in keep_cols],
+        _feature_udf(F.col(geometry_col), props).alias("value"),
     )
 
 

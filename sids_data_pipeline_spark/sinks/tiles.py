@@ -92,14 +92,17 @@ def drop_densest(
     max_features_per_tile: int,
     area_cols: tuple[str, str, str, str] = ("xmin", "ymin", "xmax", "ymax"),
     id_col: str = "fid",
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """O2: per-tile ranked limit — when a tile holds more than
     ``max_features_per_tile`` features, the smallest-bbox (densest)
     features drop first; ties break on the feature id so the result is
-    total-order deterministic."""
+    total-order deterministic. ``extra_keys`` scope the per-tile cap to
+    additional grouping columns (e.g. pair_key when many tilesets encode
+    in one job)."""
     xmin, ymin, xmax, ymax = (F.col(c) for c in area_cols)
     area = (xmax - xmin) * (ymax - ymin)
-    w = Window.partitionBy("z", "x", "y").orderBy(
+    w = Window.partitionBy(*extra_keys, "z", "x", "y").orderBy(
         area.desc(), F.col(id_col).asc()
     )
     return (
@@ -210,16 +213,21 @@ def _make_tile_encoder(
     max_zoom: int,
     buffer: int = DEFAULT_TILE_BUFFER,
     simplify_tol: float = DEFAULT_SIMPLIFY_TOL,
+    extra_keys: tuple[str, ...] = (),
 ):
     """Build the applyInPandas tile encoder. With ``geometry_col`` the
     feature geometry is the WKB polygon's true rings (clipped, simplified
-    below ``max_zoom``); without it the legacy bbox-rectangle path applies."""
+    below ``max_zoom``); without it the legacy bbox-rectangle path applies.
+    ``extra_keys`` are additional group columns re-emitted verbatim (never
+    encoded as feature properties)."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         from sids_data_pipeline_spark.functions import mvt
 
         z, x, y = int(pdf["z"].iloc[0]), int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
-        feat_cols = [c for c in pdf.columns if c not in ("z", "x", "y")]
+        feat_cols = [
+            c for c in pdf.columns if c not in ("z", "x", "y", *extra_keys)
+        ]
         bbox = ("xmin", "ymin", "xmax", "ymax")
         has_geom = geometry_col is not None and geometry_col in feat_cols
         has_bbox = not has_geom and all(c in feat_cols for c in bbox)
@@ -274,7 +282,9 @@ def _make_tile_encoder(
                 }
             )
         payload = mvt.encode_tile("features", features)
-        return pd.DataFrame([{"z": z, "x": x, "y": y, "pbf": payload}])
+        row = {k: pdf[k].iloc[0] for k in extra_keys}
+        row.update({"z": z, "x": x, "y": y, "pbf": payload})
+        return pd.DataFrame([row])
 
     return encode
 
@@ -286,20 +296,27 @@ def encode_tiles(
     max_zoom: int = MAX_ZOOM,
     buffer: int = DEFAULT_TILE_BUFFER,
     simplify_tol: float = DEFAULT_SIMPLIFY_TOL,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Group by tile key and encode each group to one binary payload
     (K2). applyInPandas keeps encoding executor-side; the groupBy is the
     single shuffle of the tile pipeline. Pass ``geometry_col`` (a WKB
     column) to emit true clipped polygon rings; bbox columns remain as a
-    fallback for rectangle-only feeds."""
-    cols = ["z", "x", "y", *feature_cols]
+    fallback for rectangle-only feeds. ``extra_keys`` (string columns,
+    e.g. pair_key) scope the grouping so MANY tilesets encode in ONE
+    job; they re-emit in the output, never as feature properties."""
+    cols = [*extra_keys, "z", "x", "y", *feature_cols]
     encoder = _make_tile_encoder(
-        geometry_col, max_zoom=max_zoom, buffer=buffer, simplify_tol=simplify_tol
+        geometry_col, max_zoom=max_zoom, buffer=buffer,
+        simplify_tol=simplify_tol, extra_keys=tuple(extra_keys),
+    )
+    schema = "".join(f"{k} string, " for k in extra_keys) + (
+        "z int, x int, y int, pbf binary"
     )
     return (
         tiles.select(*cols)
-        .groupBy("z", "x", "y")
-        .applyInPandas(encoder, "z int, x int, y int, pbf binary")
+        .groupBy(*extra_keys, "z", "x", "y")
+        .applyInPandas(encoder, schema)
     )
 
 

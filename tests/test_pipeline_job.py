@@ -121,11 +121,12 @@ def test_pipeline_tiles_carry_true_rings(spark, tmp_path):
     assert seen_hole, "triangle-with-hole zone never decoded with its hole"
 
 
-def test_pipeline_persists_zonal_lineage_once(spark, tmp_path, monkeypatch):
-    """Verdict r5 'What's wrong #1': the per-pair sink loop must read a
-    persisted frame (zonal join executes once), not re-run the lineage
-    per pair. Spy on lifecycle.track + assert every per-pair write plan
-    is served from the cache."""
+def test_pipeline_single_write_constant_job_count(spark, tmp_path, monkeypatch):
+    """Verdict r6 'Next round #6': the sinks write ONCE partitioned by
+    pair_key (constant Spark-job count vs pair count) and the per-pair
+    layout is restored by metadata renames. A 4-pair run must launch no
+    more jobs than a 1-pair run (+ a small constant), every pair_dir must
+    exist, and the whole run persists the lineage exactly once."""
     import sids_data_pipeline_spark.jobs.pipeline as pl
 
     tracked = []
@@ -133,24 +134,34 @@ def test_pipeline_persists_zonal_lineage_once(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(
         pl.lifecycle, "track", lambda df: tracked.append(df) or orig_track(df)
     )
-    plans = []
-    orig_write = pl.geojsonl.write_geojsonl
-    monkeypatch.setattr(
-        pl.geojsonl, "write_geojsonl",
-        lambda df, path, property_cols: plans.append(
-            df._jdf.queryExecution().optimizedPlan().toString()
-        ) or orig_write(df, path, property_cols=property_cols),
-    )
 
-    out = str(tmp_path / "out")
-    r = run_pipeline(
+    def n_jobs(fn):
+        st = spark.sparkContext.statusTracker()
+        before = len(st.getJobIdsForGroup(None))
+        fn()
+        return len(st.getJobIdsForGroup(None)) - before
+
+    out1 = str(tmp_path / "one")
+    out4 = str(tmp_path / "four")
+    j1 = n_jobs(lambda: run_pipeline(
+        spark, ["zones_grid"], ["rast_gradient"], out1, stats=("mean",)
+    ))
+    tracked.clear()
+    j4 = n_jobs(lambda: run_pipeline(
         spark, ["zones_grid", "zones_overlap"],
-        ["rast_gradient", "rast_checker"], out, stats=("mean",),
-    )
-    assert r["pending"] == 4
-    assert len(tracked) == 1  # one persist for the whole loop
-    assert len(plans) == 4
-    assert all("InMemoryRelation" in p for p in plans)
+        ["rast_gradient", "rast_checker"], out4, stats=("mean",),
+    ))
+    assert len(tracked) == 1  # one persist for the whole run
+    # constant job count: the 4-pair estate costs the same writes as 1
+    # pair (broadcast/AQE variation allows a tiny slack, never 4x)
+    assert j4 <= j1 + 3, (j1, j4)
+    import os as _os
+
+    for pair in ("zones_grid_rast_gradient", "zones_overlap_rast_checker"):
+        assert _os.path.isdir(_os.path.join(out4, pair, "export.geojsonl"))
+        assert tiles.tileset_complete(_os.path.join(out4, pair, "tiles"))
+    assert not _os.path.exists(_os.path.join(out4, "_tiles_stage"))
+    assert not _os.path.exists(_os.path.join(out4, "_geojsonl_stage"))
 
 
 def test_curation_job_action_economy_and_input_signature(spark, tmp_path, monkeypatch):
