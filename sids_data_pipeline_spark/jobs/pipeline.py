@@ -89,14 +89,17 @@ def _write_pair_tilesets(
     out_dir: str,
     pair_keys: list[str],
     max_zoom: int,
+    bounds: dict[str, tuple] | None = None,
+    fields: dict[str, str] | None = None,
 ) -> None:
     """K2 for every pair in ONE job: the (pair_key, z, x, y, pbf) table
     writes once partitioned by (pair_key, z, x); renames restore the
-    per-pair ``{pair}/tiles`` pyramids and the completion markers (P6)
-    fan out from the manifest — plain filesystem ops, zero extra jobs."""
+    per-pair ``{pair}/tiles`` pyramids and the tippecanoe-compatible
+    completion markers (P6) fan out from the manifest — plain filesystem
+    ops, zero extra jobs."""
     import json as _json
 
-    from sids_data_pipeline_spark.sinks.tiles import _write_marker
+    from sids_data_pipeline_spark.sinks.tiles import _write_marker, tileset_metadata
 
     stage = os.path.join(out_dir, "_tiles_stage")
     encoded.write.mode("overwrite").partitionBy("pair_key", "z", "x").parquet(stage)
@@ -104,7 +107,10 @@ def _write_pair_tilesets(
         spark, stage, pair_keys, lambda k: os.path.join(out_dir, k, "tiles")
     )
     for key in pair_keys:
-        meta = {"name": key, "format": "pbf", "maxzoom": max_zoom}
+        meta = tileset_metadata(
+            key, max_zoom=max_zoom,
+            bounds=(bounds or {}).get(key), fields=fields,
+        )
         _write_marker(
             spark,
             os.path.join(out_dir, key, "tiles", "_tileset_metadata.json"),
@@ -247,7 +253,20 @@ def run_pipeline(
         tiled, ["fid", *stats, "geometry"], geometry_col="geometry",
         max_zoom=max_zoom, extra_keys=("pair_key",),
     )
-    _write_pair_tilesets(spark, encoded, out_dir, outputs, max_zoom=max_zoom)
+    # per-pair extent for the tippecanoe-compatible markers: one tiny
+    # aggregate over the persisted frame (constant job count)
+    pair_bounds = {
+        r.pair_key: (r.w, r.s, r.e, r.n)
+        for r in stats_with_geom.groupBy("pair_key").agg(
+            F.min("xmin").alias("w"), F.min("ymin").alias("s"),
+            F.max("xmax").alias("e"), F.max("ymax").alias("n"),
+        ).collect()
+    }
+    _write_pair_tilesets(
+        spark, encoded, out_dir, outputs, max_zoom=max_zoom,
+        bounds=pair_bounds,
+        fields={"fid": "Number", **{s: "Number" for s in stats}},
+    )
 
     manifest.record_done(spark, ledger_path, pending)
     # release the top-level persist AND the operator-internal ones

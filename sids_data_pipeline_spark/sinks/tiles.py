@@ -320,19 +320,69 @@ def encode_tiles(
     )
 
 
+def tileset_metadata(
+    name: str,
+    max_zoom: int = MAX_ZOOM,
+    min_zoom: int = 0,
+    bounds: tuple[float, float, float, float] | None = None,
+    layer: str = "features",
+    fields: dict[str, str] | None = None,
+) -> dict:
+    """Tippecanoe-compatible ``metadata.json`` payload (the fields map
+    clients/tile servers read from tippecanoe output — reference
+    pipeline/processing/data.py:33-35 uploads that file verbatim):
+    name/format/min-maxzoom, ``bounds`` as the CSV "w,s,e,n" string,
+    ``center`` at the midpoint, and the ``json`` key holding
+    ``vector_layers`` so downstream map clients can introspect the layer
+    and its attribute types without decoding a tile."""
+    meta: dict = {
+        "name": name,
+        "format": "pbf",
+        "minzoom": str(min_zoom),
+        "maxzoom": str(max_zoom),
+        "type": "overlay",
+    }
+    if bounds is not None:
+        w, s, e, n = bounds
+        meta["bounds"] = f"{w},{s},{e},{n}"
+        meta["center"] = f"{(w + e) / 2},{(s + n) / 2},{min_zoom}"
+    meta["json"] = json.dumps(
+        {
+            "vector_layers": [
+                {
+                    "id": layer,
+                    "minzoom": min_zoom,
+                    "maxzoom": max_zoom,
+                    "fields": fields or {},
+                }
+            ]
+        },
+        separators=(",", ":"),
+    )
+    return meta
+
+
 def write_tileset(
     tiles: DataFrame,
     path: str,
     name: str,
     max_zoom: int = MAX_ZOOM,
     mode: str = "overwrite",
+    min_zoom: int = 0,
+    bounds: tuple[float, float, float, float] | None = None,
+    fields: dict[str, str] | None = None,
 ) -> None:
     """Write the (z, x, y, pbf) table partitioned by z/x — the storage
     analogue of tippecanoe's directory pyramid — then drop the
     ``metadata.json`` completion marker the incremental skip (P6) probes,
-    mirroring reference data.py:33-35."""
+    mirroring reference data.py:33-35. The marker carries the
+    tippecanoe-compatible fields (:func:`tileset_metadata`) so map
+    clients can consume the directory unchanged."""
     tiles.write.mode(mode).partitionBy("z", "x").parquet(path)
-    meta = {"name": name, "format": "pbf", "maxzoom": max_zoom}
+    meta = tileset_metadata(
+        name, max_zoom=max_zoom, min_zoom=min_zoom, bounds=bounds,
+        fields=fields,
+    )
     # leading underscore: Spark data-source listings ignore _*/.* files,
     # so the marker coexists with the parquet parts (like _SUCCESS)
     _write_marker(

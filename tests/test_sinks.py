@@ -337,3 +337,31 @@ def test_csv_roundtrip_preserves_empty_null_and_newlines(spark, tmp_path):
     write_csv(df, path)
     back = {r.id: r.s for r in read_csv(spark, path, "id long, s string").collect()}
     assert back == {1: "", 2: None, 3: "a\nb", 4: 'q"x'}
+
+
+def test_tileset_marker_is_tippecanoe_compatible(spark, tmp_path):
+    """The completion marker carries the metadata.json fields map
+    clients read from tippecanoe output (reference data.py:33-35
+    uploads that file verbatim): min/maxzoom, bounds CSV, center, and
+    vector_layers introspection."""
+    import json
+
+    from sids_data_pipeline_spark.sinks import tiles
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, bytearray(b"\x1a\x00"))], "z int, x int, y int, pbf binary"
+    )
+    out = str(tmp_path / "ts")
+    tiles.write_tileset(
+        df, out, name="demo", max_zoom=6,
+        bounds=(-10.0, -5.0, 30.0, 25.0), fields={"fid": "Number"},
+    )
+    meta = json.loads(open(out + "/_tileset_metadata.json").read())
+    assert meta["name"] == "demo" and meta["format"] == "pbf"
+    assert meta["minzoom"] == "0" and meta["maxzoom"] == "6"
+    assert meta["bounds"] == "-10.0,-5.0,30.0,25.0"
+    assert meta["center"] == "10.0,10.0,0"
+    layers = json.loads(meta["json"])["vector_layers"]
+    assert layers[0]["id"] == "features"
+    assert layers[0]["fields"] == {"fid": "Number"}
+    assert tiles.tileset_complete(out)
