@@ -522,6 +522,9 @@ def zonal_weighted(
     h = pixel_deg / 2.0
     inv = 1e6 / (pixel_deg * pixel_deg)
     cell = float(cell_deg)
+    # zones feed three subtrees (bbox explode, broadcast probe, result
+    # universe): persist so an expensive zone ingest materializes once
+    zones = track(zones.persist(StorageLevel.MEMORY_AND_DISK))
     zb = _zone_bboxes(zones.select("fid", "geometry")).drop("_is_rect")
     zc = _explode_bbox_cells(zb, cell, h)
     # Bounded probe: dimension-sized zone tables broadcast their exploded
