@@ -40,25 +40,48 @@ def _union(dfs: list[DataFrame]) -> DataFrame:
 def _fanout_partition_dirs(
     spark: SparkSession, stage_dir: str, pair_keys: list[str], dest
 ) -> None:
-    """Move each ``pair_key=K`` directory of a partitioned write to its
-    per-pair destination ``dest(K)`` (metadata-only renames — no Spark
-    jobs); pairs with no rows (no partition directory) get an empty
-    destination directory so every pending pair materializes output."""
+    """Move each pair's partition directory of a partitioned write to
+    its per-pair destination ``dest(K)`` (metadata-only renames — no
+    Spark jobs); pairs with no rows (no partition directory) get an
+    empty destination directory so every pending pair materializes
+    output.
+
+    The stage is LISTED rather than probed by constructed name: Spark
+    Hive-escapes special characters in partition directory names (an id
+    containing ':' lands as ``pair_key=...%3A...``), so building the
+    expected path from the raw key would miss the data and silently
+    delete it with the stage. Unescaping is the %XX decode
+    (urllib.unquote — Hive's escapePathName inverse); an unexpected
+    partition aborts the fan-out instead of being dropped."""
     import os as _os
+    from urllib.parse import unquote
 
-    from sids_data_pipeline_spark.sources.storage import fs_delete, fs_rename
+    from sids_data_pipeline_spark.sources.storage import (
+        fs_delete,
+        fs_listdir,
+        fs_mkdirs,
+        fs_rename,
+    )
 
+    expected = set(pair_keys)
+    found: dict[str, str] = {}
+    for name in fs_listdir(spark, stage_dir):
+        if not name.startswith("pair_key="):
+            continue  # _SUCCESS and friends
+        key = unquote(name[len("pair_key="):])
+        if key not in expected:
+            raise ValueError(
+                f"unexpected partition {name!r} in {stage_dir}; refusing "
+                "to fan out (would drop data)"
+            )
+        found[key] = stage_dir.rstrip("/") + "/" + name
     for key in pair_keys:
-        src = _os.path.join(stage_dir, f"pair_key={key}")
         dst = dest(key)
         fs_delete(spark, dst)
-        if _os.path.exists(src) or "://" in src:
-            try:
-                fs_rename(spark, src, dst)
-                continue
-            except (OSError, IOError):
-                pass  # remote URI with no partition dir: fall through
-        _os.makedirs(dst, exist_ok=True) if "://" not in dst else None
+        if key in found:
+            fs_rename(spark, found[key], dst)
+        else:
+            fs_mkdirs(spark, dst)
     fs_delete(spark, stage_dir)
 
 

@@ -62,33 +62,35 @@ def run_standardize_job(
         done = spark.createDataFrame([], "raster_id string")
     done_ids = {r.raster_id for r in done.distinct().collect()}
 
-    # Prune BEFORE decode where the listing is driver-visible: raster_id
-    # is the filename stem the reader derives, so a local glob decides
-    # pending-ness without scheduling any decode work. Remote URIs fall
-    # back to the anti-join (the Python DataSource has no filter
-    # pushdown, so those decode-then-drop).
+    # Prune BEFORE decode: raster_id is the filename stem the reader
+    # derives, so a driver-side LISTING decides pending-ness without
+    # scheduling any decode work — local paths via glob, remote URIs via
+    # Hadoop FileSystem.globStatus (metadata only; decoding the whole
+    # estate just to learn its stems would keep every re-run
+    # proportional to the ledger, not the pending set). `skipped` is the
+    # ledger ∩ THIS input's rasters (the docstring contract) — the
+    # ledger may span other input directories.
     if "://" not in input_glob:
         files = sorted(globmod.glob(input_glob))
-        stems = {os.path.splitext(os.path.basename(f))[0]: f for f in files}
-        skipped = sorted(s for s in stems if s in done_ids)
-        pending_files = [f for s, f in stems.items() if s not in done_ids]
-        if not pending_files:
-            return {"processed": [], "skipped": skipped}
-        pending = (
-            spark.read.format("geotiff")
-            .option("band", str(band))
-            .option("files", ",".join(pending_files))
-            .load(input_glob)
-        )
     else:
-        px = spark.read.format("geotiff").option("band", str(band)).load(input_glob)
-        # skipped = ledger ∩ rasters actually present in THIS input scan
-        # (the docstring contract) — the whole ledger may span other
-        # input directories, and manifest consumers treat skipped ids as
-        # members of this batch. One distinct-id collect, manifest-sized.
-        in_ids = {r.raster_id for r in px.select("raster_id").distinct().collect()}
-        skipped = sorted(in_ids & done_ids)
-        pending = px.join(done, "raster_id", "left_anti")
+        jvm = spark._jvm
+        hglob = jvm.org.apache.hadoop.fs.Path(input_glob)
+        fs = hglob.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(hglob)
+        files = sorted(
+            str(st.getPath()) for st in (statuses or []) if st.isFile()
+        )
+    stems = {os.path.splitext(os.path.basename(f))[0]: f for f in files}
+    skipped = sorted(s for s in stems if s in done_ids)
+    pending_files = [f for s, f in stems.items() if s not in done_ids]
+    if not pending_files:
+        return {"processed": [], "skipped": skipped}
+    pending = (
+        spark.read.format("geotiff")
+        .option("band", str(band))
+        .option("files", ",".join(pending_files))
+        .load(input_glob)
+    )
     std = clip_extent(select_band(pending, band), lon=lon, lat=lat)
 
     from sids_data_pipeline_spark.lifecycle import track

@@ -80,6 +80,9 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
+    # materialize once up front: a generator input would be consumed by
+    # the membership test below and arrive empty at the strategy
+    right_cols = list(right_cols)
     if "_ts" in right_cols:
         # the payload struct reserves _ts for the match's own timestamp
         # (the `nearest` distance compare); a payload column of the same

@@ -522,22 +522,34 @@ def zonal_weighted(
     h = pixel_deg / 2.0
     inv = 1e6 / (pixel_deg * pixel_deg)
     cell = float(cell_deg)
-    # zones feed three subtrees (bbox explode, broadcast probe, result
+    # zones feed three subtrees (bbox explode, geometry re-attach, result
     # universe): persist so an expensive zone ingest materializes once
     zones = track(zones.persist(StorageLevel.MEMORY_AND_DISK))
     zb = _zone_bboxes(zones.select("fid", "geometry")).drop("_is_rect")
-    zc = _explode_bbox_cells(zb, cell, h)
+    # The exploded cell table carries ONLY (fid, bbox, cell key) — never
+    # the WKB blob, which would otherwise duplicate once per covered
+    # cell (a continent-bbox MultiPolygon at cell_deg=0.5 is thousands
+    # of cells) and blow the broadcast far past what the zone COUNT
+    # probe bounds. Geometry re-attaches per zone AFTER the bbox
+    # refinement, one copy per zone in its own (broadcast) join.
+    zc = _explode_bbox_cells(zb.drop("geometry"), cell, h)
+    geom = zones.select("fid", "geometry")
     # Bounded probe: dimension-sized zone tables broadcast their exploded
     # cell rows (zero pixel shuffle); larger ones stay distributed and
     # the join shuffles both sides on the cell key.
     n_probe = zones.select("fid").limit(BROADCAST_ZONE_LIMIT + 1).count()
     if n_probe <= BROADCAST_ZONE_LIMIT:
-        zc = F.broadcast(zc)
-    cand = _pixel_cells(pixels, cell).join(zc, ["_cx", "_cy"], "inner").filter(
-        (F.col("lon") + h > F.col("xmin"))
-        & (F.col("lon") - h < F.col("xmax"))
-        & (F.col("lat") + h > F.col("ymin"))
-        & (F.col("lat") - h < F.col("ymax"))
+        zc, geom = F.broadcast(zc), F.broadcast(geom)
+    cand = (
+        _pixel_cells(pixels, cell)
+        .join(zc, ["_cx", "_cy"], "inner")
+        .filter(
+            (F.col("lon") + h > F.col("xmin"))
+            & (F.col("lon") - h < F.col("xmax"))
+            & (F.col("lat") + h > F.col("ymin"))
+            & (F.col("lat") - h < F.col("ymax"))
+        )
+        .join(geom, "fid", "inner")
     )
 
     @F.pandas_udf("long")

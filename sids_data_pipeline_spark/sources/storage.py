@@ -95,6 +95,36 @@ def fs_delete(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    """Create a directory (and parents) on any Hadoop-supported URI."""
+    if "://" in path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.mkdirs(hpath)
+    else:
+        import os
+
+        os.makedirs(path, exist_ok=True)
+
+
+def fs_listdir(spark: SparkSession, path: str) -> list[str]:
+    """Child entry NAMES of a directory on any Hadoop-supported URI
+    (empty list when the directory does not exist)."""
+    if "://" in path:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(hpath)]
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return os.listdir(path)
+
+
 def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
     """Metadata-only move of a file/directory on any Hadoop-supported
     URI (parent dirs created). The fan-out primitive for single-write
@@ -170,9 +200,11 @@ def write_bucketed(
         # Dropping an EXTERNAL table leaves its files behind, and
         # saveAsTable into a non-empty location is a CTAS Spark >= 3.2
         # rejects (allowNonEmptyLocationInCTAS=false) — so a re-run with
-        # the same path would fail. Clear the old location first (any
-        # Hadoop-supported URI); the pre-drop already severed the
-        # catalog entry, so no reader can hold the old spec.
+        # the same path would fail. Clear the old location first. NOT
+        # fs_delete(): a table location without a scheme resolves
+        # against fs.defaultFS (HDFS on a real cluster), which only the
+        # Hadoop FileSystem API honors — fs_delete's scheme-less branch
+        # assumes driver-local disk, correct for markers but not here.
         jvm = spark._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())

@@ -263,3 +263,45 @@ def test_pipeline_consumes_standardized_store(spark, tmp_path):
         feats = [json.loads(l) for l in lines]
         assert len(feats) == 1
         assert feats[0]["properties"]["mean"] == want
+
+
+def test_fanout_unescapes_hive_partition_names(spark, tmp_path):
+    """Spark Hive-escapes special chars in partition dir names
+    (':' -> %3A); the fan-out must list-and-unescape rather than probe
+    constructed paths, or escaped pairs silently lose their data."""
+    import os
+
+    from sids_data_pipeline_spark.jobs.pipeline import _fanout_partition_dirs
+
+    stage = str(tmp_path / "stage")
+    df = spark.createDataFrame(
+        [("zones_r:v2", 1), ("plain_key", 2)], "pair_key string, v int"
+    )
+    df.write.mode("overwrite").partitionBy("pair_key").parquet(stage)
+    out = str(tmp_path / "out")
+    keys = ["zones_r:v2", "plain_key", "empty_pair"]
+    _fanout_partition_dirs(
+        spark, stage, keys, lambda k: os.path.join(out, k, "data")
+    )
+    for k in ("zones_r:v2", "plain_key"):
+        dst = os.path.join(out, k, "data")
+        assert any(f.endswith(".parquet") for f in os.listdir(dst)), k
+    assert os.path.isdir(os.path.join(out, "empty_pair", "data"))
+    assert not os.path.exists(stage)
+
+
+def test_fanout_rejects_unexpected_partition(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.jobs.pipeline import _fanout_partition_dirs
+
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame([("rogue", 1)], "pair_key string, v int") \
+        .write.mode("overwrite").partitionBy("pair_key").parquet(stage)
+    with _pytest.raises(ValueError, match="unexpected partition"):
+        _fanout_partition_dirs(
+            spark, stage, ["expected"],
+            lambda k: os.path.join(str(tmp_path), "out", k),
+        )
