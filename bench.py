@@ -44,8 +44,29 @@ HEADLINE = [
 ]
 
 
+def _tail_queries(doc: dict) -> dict[str, float] | None:
+    """Recover per-query seconds from a driver BENCH record whose "tail"
+    holds a (possibly truncated) copy of our JSON line. The driver cuts
+    the tail at a byte budget, so json.loads fails; regex-extracting the
+    '"name": sec' pairs inside the "queries" object recovers every pair
+    that survived the cut — enough for delta_vs_prev to point at the
+    latest round instead of the last fully-parsed one."""
+    tail = doc.get("tail")
+    if not isinstance(tail, str):
+        return None
+    m = re.search(r'"queries"\s*:\s*\{', tail)
+    if not m:
+        return None
+    seg = tail[m.end():]
+    end = seg.find("}")
+    if end != -1:
+        seg = seg[:end]
+    pairs = re.findall(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)', seg)
+    return {k: float(v) for k, v in pairs} or None
+
+
 def _previous_round() -> tuple[str, dict[str, float]] | None:
-    """Latest BENCH_r{N}.json with a parsed per-query map, if any."""
+    """Latest BENCH_r{N}.json with a recoverable per-query map, if any."""
     here = os.path.dirname(os.path.abspath(__file__))
     best_n, best = -1, None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -55,7 +76,14 @@ def _previous_round() -> tuple[str, dict[str, float]] | None:
         try:
             with open(path) as fh:
                 doc = json.load(fh)
-            queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+            parsed = doc.get("parsed")
+            # driver records may carry parsed as the literal string
+            # "None" — only a dict is usable
+            queries = (
+                (parsed.get("queries") if isinstance(parsed, dict) else None)
+                or doc.get("queries")
+                or _tail_queries(doc)
+            )
         except Exception:
             continue
         if queries and int(m.group(1)) > best_n:
