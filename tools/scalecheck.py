@@ -81,7 +81,7 @@ def main() -> None:
     from sids_data_pipeline_spark.operators.zonal import zonal_weighted
 
     wzonal = {}
-    for n in (512, 1024, 2048):
+    for n in (512, 1024, 2048, 4096):
         px = synthetic_raster_scaled(spark, n)
         s = float(n) * 0.1 / 8.0
         rows = [
