@@ -63,70 +63,63 @@ px AS (
 
 
 
-def _fixture_geotiff_dir() -> str:
-    """One process-cached temp directory holding the deterministic
-    gradient GeoTIFF fixture (ZSTD, 128-tiled — the reference's output
-    profile). Cached so repeated catalog/gate/bench invocations reuse
-    one directory instead of leaking a fresh mkdtemp per run, and so
-    the mapInPandas and DataSource scan paths read the SAME bytes."""
+_FIXTURE_TIFF_DIRS: dict[str, str] = {}
+
+
+def _cached_fixture_dir(key: str, filename: str, arr_fn, **encode_kw) -> str:
+    """One process-cached temp directory per fixture key, holding a
+    deterministic GeoTIFF written once. Cached so repeated catalog/gate/
+    bench invocations reuse one directory instead of leaking a fresh
+    mkdtemp per run, and so every scan path (mapInPandas ingest AND the
+    registered DataSource) reads the SAME bytes."""
     import os
     import tempfile
 
-    import numpy as np
-
     from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
 
-    global _FIXTURE_TIFF_DIR
-    if _FIXTURE_TIFF_DIR is None:
-        n = GRID_N
-        y, x = np.mgrid[0:n, 0:n]
-        arr = (x + n * y).astype("float64")
-        work = tempfile.mkdtemp(prefix="sdp_tiff_")
+    work = _FIXTURE_TIFF_DIRS.get(key)
+    if work is None:
+        work = tempfile.mkdtemp(prefix=f"sdp_tiff_{key}_")
         data = encode_geotiff(
-            arr, origin_x=0.0, origin_y=n * 0.1, pixel_deg=0.1,
-            compress="zstd", tile=128,
+            arr_fn(), origin_x=0.0, origin_y=GRID_N * 0.1, pixel_deg=0.1,
+            **encode_kw,
         )
-        with open(os.path.join(work, "rast_gradient.tif"), "wb") as f:
+        with open(os.path.join(work, filename), "wb") as f:
             f.write(data)
-        _FIXTURE_TIFF_DIR = work
-    return _FIXTURE_TIFF_DIR
+        _FIXTURE_TIFF_DIRS[key] = work
+    return work
 
 
-_FIXTURE_TIFF_DIR: str | None = None
+def _fixture_geotiff_dir() -> str:
+    """Deterministic gradient GeoTIFF in the reference's own output
+    profile (ZSTD, 128-tiled)."""
+    import numpy as np
+
+    def arr():
+        y, x = np.mgrid[0:GRID_N, 0:GRID_N]
+        return (x + GRID_N * y).astype("float64")
+
+    return _cached_fixture_dir(
+        "gradient", "rast_gradient.tif", arr, compress="zstd", tile=128
+    )
 
 
 def _fixture_multiband_dir() -> str:
-    """Process-cached dir with a deterministic 3-band GeoTIFF written in
-    the PLANAR strip layout (PlanarConfiguration=2) + deflate — the
-    foreign-raster shape the round-6 verdict flagged as the last codec
-    gap. Band b's value at cell i is b*100000 + i, so a band-selection
-    bug (wrong plane, wrong interleave) cannot hash-collide with the
-    oracle."""
-    import os
-    import tempfile
-
+    """Deterministic 3-band GeoTIFF in the PLANAR strip layout
+    (PlanarConfiguration=2) + deflate — the foreign-raster shape the
+    round-6 verdict flagged as the last codec gap. Band b's value at
+    cell i is b*100000 + i, so a band-selection bug (wrong plane, wrong
+    interleave) cannot hash-collide with the oracle."""
     import numpy as np
 
-    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+    def arr():
+        y, x = np.mgrid[0:GRID_N, 0:GRID_N]
+        base = (x + GRID_N * y).astype("float64")
+        return np.stack([b * 100000.0 + base for b in (1, 2, 3)])
 
-    global _FIXTURE_MULTIBAND_DIR
-    if _FIXTURE_MULTIBAND_DIR is None:
-        n = GRID_N
-        y, x = np.mgrid[0:n, 0:n]
-        base = (x + n * y).astype("float64")
-        arr = np.stack([b * 100000.0 + base for b in (1, 2, 3)])
-        work = tempfile.mkdtemp(prefix="sdp_tiff_mb_")
-        data = encode_geotiff(
-            arr, origin_x=0.0, origin_y=n * 0.1, pixel_deg=0.1,
-            compress="deflate", planar=True,
-        )
-        with open(os.path.join(work, "rast_rgb.tif"), "wb") as f:
-            f.write(data)
-        _FIXTURE_MULTIBAND_DIR = work
-    return _FIXTURE_MULTIBAND_DIR
-
-
-_FIXTURE_MULTIBAND_DIR: str | None = None
+    return _cached_fixture_dir(
+        "mb", "rast_rgb.tif", arr, compress="deflate", planar=True
+    )
 
 
 # --- oracle-side containment, generated from the engine's own WKB -----------
@@ -251,8 +244,6 @@ px AS (
 
 def _zonal_large_factory(how: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import pandas as pd
-
         from sids_data_pipeline_spark.schemas import ZONES
         from sids_data_pipeline_spark.sources.raster import synthetic_raster_scaled
 
@@ -296,7 +287,12 @@ SELECT 'rast_gradient' AS raster_id,
        MIN(lon) AS min_lon, MAX(lat) AS max_lat
 FROM px
 WHERE band = 1 AND lon BETWEEN 1.0 AND 5.0 AND lat BETWEEN 2.0 AND 6.0
+GROUP BY 1
 """
+# ^ GROUP BY keeps the empty-window case symmetric with the engine's
+# groupBy("raster_id"): both sides yield ZERO rows when no pixel
+# survives the clip, instead of the oracle's former global aggregate
+# emitting a lone (0, NULL, NULL, NULL) row the engine never would.
 
 
 # --- manifest incrementality (P6/P8/J3) ---------------------------------------
@@ -565,17 +561,12 @@ def _geojsonl_sql() -> str:
     json encoding the sink's UDF produces."""
     import json
 
-    from sids_data_pipeline_spark.functions import geo
-
     rows = []
     for fid, name, wkb in FIXTURE_BUILDERS["zones_grid"]():
-        polys = geo.parse_wkb(wkb)
-        coords = [
-            [[[float(x), float(y)] for x, y in ring] for ring in poly]
-            for poly in polys
-        ]
+        # the SAME encoder the sink's UDF serializes through — oracle and
+        # sink stay coupled by construction, not by a hand-kept copy
         gj = json.dumps(
-            {"type": "MultiPolygon", "coordinates": coords},
+            geo.wkb_to_geojson_geometry(wkb),
             separators=(",", ":"),
             sort_keys=True,  # the sink serializes features with sort_keys
         )
@@ -833,8 +824,6 @@ def _zone_bbox_values(vector_ids: tuple[str, ...]) -> tuple[list, str]:
 
 def _tile_features(spark: SparkSession) -> DataFrame:
     rows, _ = _zone_bbox_values(("zones_grid", "zones_overlap"))
-    import pandas as pd
-
     pdf = pd.DataFrame(rows, columns=["fid", "xmin", "ymin", "xmax", "ymax"])
     return spark.createDataFrame(pdf).coalesce(1)
 
@@ -949,13 +938,19 @@ def _tiles_encode_rings_sql() -> str:
         mercator = 1.0 - asinh_t / m.pi
         return m.floor(mercator / 2.0 * 2.0 ** z)
 
+    def clamp(v, z):
+        # mirrors assign_tiles' [0, 2^z - 1] clamp (tiles.py) — lon=180
+        # or the mercator lat cutoff must index the edge tile here too,
+        # not a phantom tile the engine never emits
+        return min(max(v, 0), int(2.0 ** z) - 1)
+
     rows = []
     for fid, _name, wkb in FIXTURE_BUILDERS["zones_overlap"]():
         xmin, ymin, xmax, ymax = geo.wkb_bbox(wkb)
         for z in range(_RINGS_MAX_ZOOM + 1):
             tol = DEFAULT_SIMPLIFY_TOL if z < _RINGS_MAX_ZOOM else 0.0
-            for x in range(tx(xmin, z), tx(xmax, z) + 1):
-                for y in range(ty(ymax, z), ty(ymin, z) + 1):
+            for x in range(clamp(tx(xmin, z), z), clamp(tx(xmax, z), z) + 1):
+                for y in range(clamp(ty(ymax, z), z), clamp(ty(ymin, z), z) + 1):
                     rings = geometry_tile_rings(wkb, z, x, y, simplify_tol=tol)
                     for ri, ring in enumerate(rings):
                         for vi, (px, py) in enumerate(ring):
@@ -1034,6 +1029,8 @@ WITH pts AS (
 ),
 sites(site_id, slat, slon) AS (VALUES {sites_values}),
 d AS (
+  -- dist_m computed ONCE; the argmin below orders by the same column,
+  -- so formula edits cannot desynchronize ranking from reporting
   SELECT pid, lat, lon, CAST(site_id AS BIGINT) AS site_id,
          CAST(ROUND(
            (2.0 * 6371008.8) * asin(sqrt(
@@ -1043,20 +1040,15 @@ d AS (
                * cos(slat * (3.141592653589793 / 180.0))
                * sin((slon - lon) * (3.141592653589793 / 180.0) / 2)
                * sin((slon - lon) * (3.141592653589793 / 180.0) / 2)
-           ))) AS BIGINT) AS dist_m,
-         ROW_NUMBER() OVER (PARTITION BY pid
-                            ORDER BY CAST(ROUND(
-           (2.0 * 6371008.8) * asin(sqrt(
-             sin((slat - lat) * (3.141592653589793 / 180.0) / 2)
-               * sin((slat - lat) * (3.141592653589793 / 180.0) / 2)
-             + cos(lat * (3.141592653589793 / 180.0))
-               * cos(slat * (3.141592653589793 / 180.0))
-               * sin((slon - lon) * (3.141592653589793 / 180.0) / 2)
-               * sin((slon - lon) * (3.141592653589793 / 180.0) / 2)
-           ))) AS BIGINT) ASC, site_id ASC) AS rn
+           ))) AS BIGINT) AS dist_m
   FROM pts CROSS JOIN sites
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pid
+                               ORDER BY dist_m ASC, site_id ASC) AS rn
+  FROM d
 )
-SELECT pid, lat, lon, site_id, dist_m FROM d WHERE rn = 1
+SELECT pid, lat, lon, site_id, dist_m FROM ranked WHERE rn = 1
 """
 
 
@@ -1164,8 +1156,13 @@ FROM (
 
 
 def _o_rect_w(bounds: tuple[float, float, float, float],
-              h: float = 0.05, inv: float = 1e6 / (0.1 * 0.1)) -> str:
-    """SQL twin of operators.zonal._overlap_w_e6 for one literal rect."""
+              pixel_deg: float = 0.1) -> str:
+    """SQL twin of operators.zonal._overlap_w_e6 for one literal rect.
+    h and inv DERIVE from pixel_deg exactly as the engine's
+    _overlap_w_e6 derives them — one parameter on both sides, so the
+    pair cannot desynchronize if the fixture pixel size changes."""
+    h = pixel_deg / 2.0
+    inv = 1e6 / (pixel_deg * pixel_deg)
     xmin, ymin, xmax, ymax = bounds
     return (
         f"CAST(ROUND("
