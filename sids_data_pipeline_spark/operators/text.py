@@ -36,8 +36,11 @@ STOPWORDS = {
 }
 
 # BPE-ish word/number/punctuation tokenizer (public GPT-2 regex, simplified
-# to what both regex engines support identically).
-BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# to what both regex engines support identically). Whitespace is the
+# EXPLICIT class, never \s: Java's ASCII \s includes \x0B where RE2's
+# does not, so the shared-constant trick only works if the class is
+# spelled out (same policy as the tokenizer regexes below).
+BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"
 
 
 def _count_matches(col, pattern: str):
@@ -186,7 +189,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     n_chars = F.length(F.col(text_col))
     words = F.filter(F.split(t, r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
     n_words = F.size(words)
-    n_punct = _count_matches(t, r"[^a-z0-9\s]")
+    n_punct = _count_matches(t, r"[^a-z0-9 \t\n\x0B\f\r]")
     n_digit = _count_matches(t, r"[0-9]")
     en_stops = STOPWORDS["en"]
     n_stop = F.size(F.filter(words, lambda w: w.isin(*en_stops)))

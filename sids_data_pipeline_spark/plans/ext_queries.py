@@ -308,7 +308,10 @@ def _streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from sids_data_pipeline_spark.streaming.jobs import watermarked_dedup_stream
+    from sids_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        watermarked_dedup_stream,
+    )
 
     work = tempfile.mkdtemp(prefix="sdp_stream_wm_")
     stream = _stage_events_stream(spark, sf_dir, work)
@@ -318,8 +321,6 @@ def _streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("user_id", "event_type"),
         watermark="1 hour",
     ).select("user_id", "event_type")
-    from sids_data_pipeline_spark.streaming.jobs import run_available_now
-
     run_available_now(out, name, os.path.join(work, "ckpt"), output_mode="append")
     return spark.table(name)
 
@@ -369,7 +370,12 @@ def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_duplicates_minhash(docs, threshold=_MINHASH_THRESHOLD)
 
 
-def _minhash_sql() -> str:
+def _lsh_candidate_ctes() -> str:
+    """The ONE SQL mirror of near_duplicates_minhash's banding scheme
+    (h → sig → bands0 → bok/max_bucket → bands → cand), assuming a prior
+    ``sh(doc_id, token)`` CTE. Shared by the standalone dedup oracle AND
+    the curation-chain oracle so a banding change can never desynchronize
+    one of them."""
     num_hashes, bands = dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_BANDS
     rows = num_hashes // bands
     th = o_token_hash32("token")
@@ -382,9 +388,7 @@ def _minhash_sql() -> str:
         + ") AS band_val FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH {_SHINGLE_SQL},
-h AS (SELECT doc_id, {th} AS th FROM sh),
+    return f"""h AS (SELECT doc_id, {th} AS th FROM sh),
 sig AS (
   SELECT doc_id,
     {mins}
@@ -406,7 +410,13 @@ cand AS (
   FROM bands l
   JOIN bands r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
               AND l.doc_id < r.doc_id
-),
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_SHINGLE_SQL},
+{_lsh_candidate_ctes()},
 {_jaccard_tail_sql('sh', _MINHASH_THRESHOLD)}
 """
 
@@ -504,7 +514,7 @@ _DEDUP_EMBED_SQL = f"""
 WITH {_EMBED_VEC_SQL},
 p AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2,
-         CAST(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
          a.norm2 AS n1, b.norm2 AS n2
   FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
 )
@@ -529,18 +539,6 @@ def _curation_sql() -> str:
     """Mirror of the whole curation chain: quality filter → keep-first
     exact dedup → MinHash-LSH near-dup pairs over the survivors → drop
     higher-id pair members."""
-    num_hashes, bands = dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_BANDS
-    rows = num_hashes // bands
-    th = o_token_hash32("token")
-    mins = ",\n    ".join(
-        f"MIN({o_minhash('th', i)}) AS mh{i}" for i in range(num_hashes)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {b} AS band_idx, concat_ws(',', "
-        + ", ".join(f"mh{b * rows + r}" for r in range(rows))
-        + ") AS band_val FROM sig"
-        for b in range(bands)
-    )
     shingles_over_survivors = _SHINGLE_SQL.replace("FROM documents", "FROM survivors")
     return f"""
 WITH survivors AS (
@@ -551,30 +549,7 @@ WITH survivors AS (
   ) k ON d.doc_id = k.doc_id
 ),
 {shingles_over_survivors},
-h AS (SELECT doc_id, {th} AS th FROM sh),
-sig AS (
-  SELECT doc_id,
-    {mins}
-  FROM h GROUP BY doc_id
-),
-bands0 AS (
-{band_selects}
-),
--- mirror of max_bucket (curate_corpus runs near_duplicates_minhash with
--- its default cap): drop degenerate band buckets before the self-join
-bok AS (
-  SELECT band_idx, band_val FROM bands0
-  GROUP BY band_idx, band_val HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET}
-),
-bands AS (
-  SELECT b.* FROM bands0 b JOIN bok USING (band_idx, band_val)
-),
-cand AS (
-  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-  FROM bands l
-  JOIN bands r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-              AND l.doc_id < r.doc_id
-),
+{_lsh_candidate_ctes()},
 sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.id1, c.id2, COUNT(*) AS inter
@@ -609,7 +584,7 @@ _SIMILARITY_TOPK_SQL = f"""
 WITH {_EMBED_VEC_SQL},
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
          q.norm2 AS qn, c.norm2 AS cn
   FROM m q JOIN m c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
 ),
@@ -1178,6 +1153,9 @@ GROUP BY doc_id
 
 
 _BM25_TERMS = ("vector", "hash", "scan")
+# explicit join, not str(tuple): a 1-element tuple would render the
+# invalid SQL `IN ('x',)`
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 
 def _text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1203,7 +1181,7 @@ corpus AS (
 stats AS (
   SELECT doc_id, len(w) AS dl, t.token
   FROM ws, unnest(w) AS t(token)
-  WHERE t.token IN {str(_BM25_TERMS)}
+  WHERE t.token IN ({_BM25_TERMS_SQL})
 ),
 tf AS (
   SELECT doc_id, token, COUNT(*) AS tf, MIN(dl) AS dl
@@ -1249,7 +1227,7 @@ c AS (
 ),
 d AS (
   SELECT e.vec_id, c.cidx,
-         CAST(list_sum(list_transform(range(1, 65),
+         CAST(list_sum(list_transform(range(1, len(e.v) + 1),
               i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS BIGINT) AS dist2
   FROM n e CROSS JOIN c
 ),
@@ -1367,7 +1345,7 @@ qn AS (
 ),
 s AS (
   SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(range(1, 65), i -> qq.q[i] * c.q[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1, len(qq.q) + 1), i -> qq.q[i] * c.q[i])) AS BIGINT) AS dot,
          qq.n2 AS qn2, c.n2 AS cn2
   FROM qn qq JOIN qn c ON qq.vec_id < 5 AND c.vec_id <> qq.vec_id
 ),
@@ -1452,7 +1430,7 @@ _SIMILARITY_IVF_SQL = f"""
 WITH {_EMBED_VEC_SQL},
 s AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         CAST(list_sum(list_transform(range(1, 65), i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * c.v[i])) AS BIGINT) AS dot,
          q.norm2 AS qn, c.norm2 AS cn
   FROM m q JOIN m c ON q.vec_id < 5 AND c.label = q.label AND c.vec_id <> q.vec_id
 ),
@@ -1544,7 +1522,7 @@ r AS (
   SELECT doc_id,
          CAST(length(text) AS INT) AS n_chars,
          CASE WHEN length(text) > 0
-              THEN CAST(ROUND(CAST(len(regexp_extract_all(lt, '[^a-z0-9\s]')) AS DOUBLE)
+              THEN CAST(ROUND(CAST(len(regexp_extract_all(lt, '[^a-z0-9 \t\n\x0B\f\r]')) AS DOUBLE)
                          / length(text) * 1000000) AS BIGINT) END AS punct_ratio_micros,
          CASE WHEN len(words) > 0
               THEN CAST(ROUND(CAST(len(list_filter(words, x -> x IN ({stops}))) AS DOUBLE)
@@ -2205,7 +2183,7 @@ ORDER BY d.doc_id
 
 
 _SHARD_TOKENS = 2000
-_NTOK = "size(filter(split(lower(text), '\\\\s+'), x -> x != ''))"
+_NTOK = "size(filter(split(lower(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), x -> x != ''))"
 _O_NTOK = r"len(list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> ''))"
 
 

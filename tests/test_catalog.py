@@ -79,3 +79,19 @@ def test_rows_only_entries_are_sketches(catalog):
         "dedup_minhash_ml",
         "similarity_ann_lsh",
     }
+
+
+def test_no_bare_whitespace_class_in_oracles():
+    """Policy: oracle SQL must spell whitespace classes explicitly —
+    Java's ASCII \\s includes \\x0B where DuckDB/RE2's does not, so a
+    shared `\\s` literal silently diverges between the engine and its
+    oracle on vertical-tab input (the round-7 review caught BPE_REGEX
+    doing exactly this)."""
+    from sids_data_pipeline_spark.plans.catalog import all_queries
+
+    offenders = [
+        name
+        for name, q in all_queries().items()
+        if q.oracle and "\\s" in q.oracle
+    ]
+    assert offenders == [], offenders
