@@ -124,7 +124,10 @@ def _str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_name").alias("name_lower"),
         F.concat_ws("_", F.lower("p_brand"), F.lower("p_type")).alias("brand_type"),
         F.regexp_replace("p_brand", "[^0-9]", "").alias("brand_digits"),
-        F.element_at(F.split("p_brand", "#"), 2).alias("brand_suffix"),
+        # try_element_at: under ANSI mode a '#'-less brand would ABORT
+        # the query via INVALID_ARRAY_INDEX, while the oracle's
+        # string_split(...)[2] returns NULL — NULL parity on both sides
+        F.try_element_at(F.split("p_brand", "#"), F.lit(2)).alias("brand_suffix"),
         F.length("p_name").alias("name_len"),
         F.substring("p_type", 1, 3).alias("type_prefix"),
         F.regexp_extract(fname, r"^(.*)\.[^.]+$", 1).alias("path_stem"),
@@ -215,11 +218,13 @@ def _agg_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = F.col("sum_qty_cents").cast("double")
     s2 = F.col("_sum_sq").cast("double")
     # Sample stddev from exact integer sums: deterministic double math.
-    # NULL for single-row groups on BOTH engines (0/0 is NULL in
-    # non-ANSI Spark but NaN in DuckDB — the CASE makes them agree).
-    stddev = F.when(
-        F.col("n_rows") > 1, F.sqrt((n * s2 - s1 * s1) / (n * (n - 1))) / F.lit(100.0)
-    )
+    # NULL for single-row groups on BOTH engines (the CASE guards the
+    # n=1 division). The discriminant clamps at 0: once the integer
+    # sums pass 2^53 the double casts lose ulps and a near-zero
+    # variance can round NEGATIVE — Spark would return NaN while DuckDB
+    # sqrt(-x) hard-errors, failing the gate with an oracle abort.
+    disc = F.greatest((n * s2 - s1 * s1) / (n * (n - 1)), F.lit(0.0))
+    stddev = F.when(F.col("n_rows") > 1, F.sqrt(disc) / F.lit(100.0))
     return grouped.select(
         "l_returnflag",
         "n_rows",
@@ -244,9 +249,11 @@ WITH g AS (
 )
 SELECT l_returnflag, n_rows, n_suppliers, min_qty_cents, max_qty_cents, sum_qty_cents,
        CASE WHEN n_rows > 1 THEN
-         ROUND(sqrt((CAST(n_rows AS DOUBLE) * CAST(sum_sq AS DOUBLE)
-                     - CAST(sum_qty_cents AS DOUBLE) * CAST(sum_qty_cents AS DOUBLE))
-                    / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1))) / 100.0,
+         ROUND(sqrt(GREATEST(
+                  (CAST(n_rows AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+                   - CAST(sum_qty_cents AS DOUBLE) * CAST(sum_qty_cents AS DOUBLE))
+                  / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1)),
+                  0.0)) / 100.0,
                6) END AS stddev_qty
 FROM g ORDER BY l_returnflag
 """
@@ -458,7 +465,10 @@ _SCALAR_SUBQ_SQL = f"""
 SELECT o_orderstatus, COUNT(*) AS n_above_avg
 FROM orders
 WHERE {o_cents('o_totalprice')} > (
-  SELECT CAST(AVG({o_cents('o_totalprice')}) AS BIGINT) FROM orders
+  -- ROUND before CAST: a bare CAST(double AS BIGINT) truncates in
+  -- Spark but rounds half-to-even in DuckDB, so the threshold would
+  -- differ by 1 cent whenever the average's fraction is >= 0.5
+  SELECT CAST(ROUND(AVG({o_cents('o_totalprice')})) AS BIGINT) FROM orders
 )
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -909,7 +919,7 @@ LIMIT 100
 _EXCESS_STOCK_SQL = """
 WITH ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS ps_availqty
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )
 SELECT s_suppkey, s_name, n_name
@@ -919,7 +929,7 @@ WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_8')
     SELECT ps_suppkey FROM ps
     WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
       AND ps_availqty * 2 > (
-        SELECT COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), 0)
+        SELECT COALESCE(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT), 0)
         FROM lineitem
         WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
           AND l_shipdate >= TIMESTAMP '1997-01-01'

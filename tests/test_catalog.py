@@ -95,3 +95,22 @@ def test_no_bare_whitespace_class_in_oracles():
         if q.oracle and "\\s" in q.oracle
     ]
     assert offenders == [], offenders
+
+
+def test_inline_cents_copies_match_base_policy():
+    """plans/relational.py hand-spells the exact-cents idiom in ~15 SQL
+    constants (its NOTE says 'keep in sync ... if the money policy ever
+    changes'); this pins the canonical rendering so a policy change in
+    plans/base.py fails HERE with instructions instead of silently
+    desynchronizing one oracle."""
+    from sids_data_pipeline_spark.plans import base
+
+    assert base.o_cents("X") == "CAST(ROUND((X) * 100) AS BIGINT)", (
+        "money policy changed in plans/base.py::o_cents — update every "
+        "hand-spelled copy in plans/relational.py (grep 'ROUND((') "
+        "before shipping"
+    )
+    assert base.o_micros("X") == "CAST(ROUND((X) * 1000000) AS BIGINT)", (
+        "micros policy changed in plans/base.py::o_micros — update the "
+        "hand-spelled copies in plans/*.py (grep '1000000) AS BIGINT')"
+    )
