@@ -136,6 +136,13 @@ def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
         hdst = jvm.org.apache.hadoop.fs.Path(dst)
         fs = hsrc.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.mkdirs(hdst.getParent())
+        # Hadoop rename refuses an existing destination (unlike POSIX
+        # os.rename, which atomically replaces) — clear it first. Remote
+        # replace is therefore not atomic; callers needing crash safety
+        # write dst-name.tmp then rename, so a torn state leaves the tmp
+        # file, never a corrupt dst.
+        if fs.exists(hdst):
+            fs.delete(hdst, True)
         if not fs.rename(hsrc, hdst):
             raise IOError(f"rename failed: {src} -> {dst}")
     else:

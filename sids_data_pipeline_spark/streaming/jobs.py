@@ -45,27 +45,17 @@ def windowed_counts_stream(
     watermark: str = "1 hour",
     group_cols: tuple[str, ...] = ("event_type",),
 ) -> DataFrame:
-    """Watermarked tumbling counts: the streaming twin of
-    ``operators.windows.tumbling``. The watermark bounds state — windows
-    older than (max event time − watermark) finalize and evict, so state
-    size is O(active windows), independent of stream length."""
-    w = F.window(F.col("ts"), duration)
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(w.alias("w"), *group_cols)
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
-                "sum_value_cents"
-            ),
-        )
-        .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
-            F.unix_micros(F.col("w.end")).alias("window_end_us"),
-            *group_cols,
-            "n_events",
-            "sum_value_cents",
-        )
+    """Watermarked tumbling counts: LITERALLY ``operators.windows.
+    tumbling`` applied to a watermarked stream — one shared definition,
+    so a fix to the aggregation algebra reaches batch and stream
+    together (the module's parity promise, previously undermined by a
+    verbatim copy of the batch plan here). The watermark bounds state —
+    windows older than (max event time − watermark) finalize and evict,
+    so state size is O(active windows), independent of stream length."""
+    from sids_data_pipeline_spark.operators import windows
+
+    return windows.tumbling(
+        events.withWatermark("ts", watermark), duration, group_cols=group_cols
     )
 
 
@@ -76,29 +66,19 @@ def session_windows_stream(
     ts_col: str = "ts",
     key_col: str = "user_id",
 ) -> DataFrame:
-    """Watermarked gap-based sessions: the streaming twin of
-    ``operators.windows.session``. Sessions are inherently stateful —
-    a new event can extend an open session — so the watermark is what
-    makes them emittable: a session finalizes once (max event time −
-    watermark) passes its close, and its state evicts. Same output schema
-    as the batch operator, so parity tests compare them row-for-row."""
-    w = F.session_window(F.col(ts_col), gap)
-    return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(w.alias("w"), key_col)
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
-                "sum_value_cents"
-            ),
-        )
-        .select(
-            key_col,
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            F.unix_micros(F.col("w.end")).alias("session_end_us"),
-            "n_events",
-            "sum_value_cents",
-        )
+    """Watermarked gap-based sessions: LITERALLY ``operators.windows.
+    session`` applied to a watermarked stream (one shared definition —
+    see :func:`windowed_counts_stream`). Sessions are inherently
+    stateful — a new event can extend an open session — so the
+    watermark is what makes them emittable: a session finalizes once
+    (max event time − watermark) passes its close, and its state
+    evicts. Same output schema as the batch operator, so parity tests
+    compare them row-for-row."""
+    from sids_data_pipeline_spark.operators import windows
+
+    return windows.session(
+        events.withWatermark(ts_col, watermark), gap, ts_col=ts_col,
+        key_col=key_col,
     )
 
 
@@ -212,17 +192,20 @@ def stream_stream_attribution(
     )
 
 
-def _cents_half_up(values) -> "object":
+def _cents_half_up(values):
     """F.round's HALF_UP (away from zero) in pandas terms — pandas'
     ``.round()`` is half-to-even and diverges from every SQL twin on
-    exact halves (0.125 → 12 vs 13 cents). NULL values become 0 cents:
-    numerically identical to ``F.sum`` skipping the NULL while
-    ``COUNT(*)`` still counts the row, which is the batch semantics."""
+    exact halves (0.125 → 12 vs 13 cents). Returns ``(cents int64,
+    nonnull bool)`` arrays: NULL values carry 0 cents with a False
+    flag so callers can reproduce SQL's SUM semantics exactly —
+    NULLs skipped, and an ALL-NULL group sums to NULL, not 0 (the
+    parity hole a plain nan→0 fold had)."""
     import numpy as np
 
     x = values.to_numpy(dtype="float64", na_value=np.nan) * 100.0
+    nonnull = ~np.isnan(x)
     out = np.sign(x) * np.floor(np.abs(x) + 0.5)
-    return np.nan_to_num(out, nan=0.0).astype("int64")
+    return np.nan_to_num(out, nan=0.0).astype("int64"), nonnull
 
 
 def stateful_running_totals(stream: DataFrame) -> DataFrame:
@@ -232,27 +215,35 @@ def stateful_running_totals(stream: DataFrame) -> DataFrame:
 
     This is the engine's extension point for stateful logic Spark's
     built-in windows can't express (per-key sketches, custom sessionizers,
-    online dedup counters). State is one (count, cents) pair per user —
-    bounded by key cardinality, not stream length. Emits the updated
-    running totals for each key seen in the batch (update output mode).
+    online dedup counters). State is one (count, nonnull-count, cents)
+    triple per user — bounded by key cardinality, not stream length.
+    Emits the updated running totals for each key seen in the batch
+    (update output mode); a user whose every value is NULL reports a
+    NULL sum, exactly like the batch SUM / SQL oracle.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update_totals(key, pdfs, state: GroupState):
-        n, cents = state.get if state.exists else (0, 0)
+        n, nn, cents = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(_cents_half_up(pdf["value"]).sum())
-        state.update((n, cents))
+            c, ok = _cents_half_up(pdf["value"])
+            nn += int(ok.sum())
+            cents += int(c.sum())
+        state.update((n, nn, cents))
         yield pd.DataFrame(
-            [{"user_id": key[0], "n_events": n, "sum_value_cents": cents}]
+            [{
+                "user_id": key[0],
+                "n_events": n,
+                "sum_value_cents": cents if nn > 0 else None,
+            }]
         )
 
     return stream.groupBy("user_id").applyInPandasWithState(
         update_totals,
         outputStructType="user_id long, n_events long, sum_value_cents long",
-        stateStructType="n long, cents long",
+        stateStructType="n long, nn long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -313,23 +304,40 @@ def streaming_cdc_upsert(
     from pyspark.sql import Window
 
     from sids_data_pipeline_spark.operators.merge import merge_upsert
+    from sids_data_pipeline_spark.sources.storage import (
+        fs_read_text,
+        fs_rename,
+        fs_write_text,
+    )
 
     pointer = os.path.join(out_dir, "_CURRENT")
 
     def process(batch: DataFrame, batch_id: int) -> None:
         bspark = batch.sparkSession
+        # final xxhash64 tiebreak over the full row: two change rows with
+        # EQUAL (ts, tiebreak) would otherwise pick a partitioning-
+        # dependent survivor, and a replay could "converge" to a
+        # different snapshot than the original run (same policy as
+        # operators/dedup.exact_dedup's keep-first)
         w = Window.partitionBy(*keys).orderBy(
-            F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+            F.col(ts_col).desc(),
+            F.col(tiebreak_col).desc(),
+            F.xxhash64(*batch.columns).desc(),
         )
         latest = (
             batch.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # pointer IO goes through the Hadoop FS helpers: the snapshots
+        # already write through Spark's filesystem, so a remote out_dir
+        # (s3a://, hdfs://) — or a restart on a DIFFERENT driver node —
+        # must see the same pointer, not a driver-local stray file that
+        # silently resets state to empty
         base = None
-        if os.path.exists(pointer):
-            with open(pointer) as f:
-                ptr = json.load(f)
+        ptr_txt = fs_read_text(bspark, pointer)
+        if ptr_txt is not None:
+            ptr = json.loads(ptr_txt)
             # replayed batch: fold onto the predecessor, not our own
             # (possibly partial) output
             base = ptr["prev"] if ptr["batch"] == batch_id else ptr["batch"]
@@ -344,12 +352,11 @@ def streaming_cdc_upsert(
         merged.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"snapshot={batch_id}")
         )
-        # atomic pointer flip: a truncating open() could die mid-write
+        # atomic pointer flip: a truncating write could die mid-stream
         # and leave a corrupt pointer that wedges every replay
         tmp = pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"batch": batch_id, "prev": base}, f)
-        os.replace(tmp, pointer)
+        fs_write_text(bspark, tmp, json.dumps({"batch": batch_id, "prev": base}))
+        fs_rename(bspark, tmp, pointer)
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -362,12 +369,17 @@ def streaming_cdc_upsert(
 
 def read_cdc_state(spark: SparkSession, out_dir: str) -> DataFrame:
     """Load the current snapshot a :func:`streaming_cdc_upsert` run
-    maintains (driver-side pointer read, one parquet scan)."""
+    maintains (pointer read through the Hadoop FS helpers — works on
+    any URI scheme, one parquet scan)."""
     import json
     import os
 
-    with open(os.path.join(out_dir, "_CURRENT")) as f:
-        ptr = json.load(f)
+    from sids_data_pipeline_spark.sources.storage import fs_read_text
+
+    txt = fs_read_text(spark, os.path.join(out_dir, "_CURRENT"))
+    if txt is None:
+        raise FileNotFoundError(f"no _CURRENT pointer under {out_dir}")
+    ptr = json.loads(txt)
     return spark.read.parquet(os.path.join(out_dir, f"snapshot={ptr['batch']}"))
 
 
@@ -381,58 +393,94 @@ def stateful_rolling_stats(
     streaming).
 
     State per user is ONLY the events still inside the lookback horizon
-    (epoch-second, cents) — every batch first drops expired entries, so
-    state is bounded by key rate × horizon, not stream length. Events
-    are processed in timestamp order within each batch; the emitted
-    per-event rows use the identical micros/cents algebra as the batch
-    operator, so an availableNow drain over a single batch reproduces
-    the batch result row-for-row (parity-tested).
+    (epoch-second, cents, nonnull flag) — every batch drops expired
+    entries, so state is bounded by key rate × horizon, not stream
+    length. The emitted per-event rows use the identical micros/cents
+    algebra as the batch operator — trunc-toward-zero epoch seconds
+    (matching ``cast('long')``, which differs from floor on pre-1970
+    fractional seconds), NULL sums for all-NULL windows — so an
+    availableNow drain over a single batch reproduces the batch result
+    row-for-row (parity-tested). NULL-timestamp rows are DROPPED (the
+    watermark semantics of every stateful streaming op; the batch
+    range-frame operator instead emits them with a NULL ts_us — the one
+    documented divergence).
+
+    Per-batch cost: the (state ∪ batch) entries sort once and every
+    window is two bisects over prefix sums — O((H+S)·log) instead of
+    the former per-second list rebuilds (quadratic in per-key state).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        hist: list = list(zip(*state.get)) if state.exists else []
-        rows = []
-        events = []
+        import numpy as np
+
+        if state.exists:
+            s_secs, s_cents, s_nn = state.get
+            hist = list(zip(s_secs, s_cents, s_nn))
+        else:
+            hist = []
+        events = []  # (ts_us, sec, cents, nonnull) for NEW rows
         for pdf in pdfs:
+            pdf = pdf[pdf["ts"].notna()]
+            if not len(pdf):
+                continue
             ts_us = pdf["ts"].astype("int64") // 1000
-            secs = ts_us // 1_000_000
-            cents = _cents_half_up(pdf["value"])
-            events.extend(zip(ts_us.tolist(), secs.tolist(), cents.tolist()))
+            # trunc toward zero, not floor: cast('long') truncates, and
+            # the two differ on negative epochs with remainders
+            q = ts_us // 1_000_000
+            r = ts_us % 1_000_000
+            secs = q + ((r != 0) & (ts_us < 0)).astype("int64")
+            cents, ok = _cents_half_up(pdf["value"])
+            events.extend(
+                zip(ts_us.tolist(), secs.tolist(), cents.tolist(), ok.tolist())
+            )
         events.sort()
-        # batch parity: the RANGE frame includes same-second PEERS, so
-        # fold each whole second into state before emitting its events
-        i = 0
-        while i < len(events):
-            sec = events[i][1]
-            j = i
-            while j < len(events) and events[j][1] == sec:
-                hist.append((sec, events[j][2]))
-                j += 1
-            # expiry prune is safe (sec only grows within a batch), but a
-            # LATE cross-batch event must not count state entries NEWER
-            # than itself — the batch RANGE frame is trailing-only, so
-            # the emitted window is [sec - lookback, sec], while newer
-            # entries stay in state for subsequent events
-            hist = [(s, v) for s, v in hist if s >= sec - lookback_seconds]
-            live = [(s, v) for s, v in hist if s <= sec]
-            n = len(live)
-            total = sum(v for _s, v in live)
-            for ts_us, _sec, _c in events[i:j]:
+        rows = []
+        if events:
+            # one sorted universe (state ∪ batch) + prefix sums: each
+            # event's trailing window [sec - lookback, sec] is two
+            # bisects, membership decided purely by epoch second exactly
+            # like the batch RANGE frame (same-second peers included,
+            # later-arriving-but-older entries included)
+            universe = sorted(
+                hist + [(s, c, nn) for _t, s, c, nn in events]
+            )
+            u_secs = np.fromiter((e[0] for e in universe), dtype="int64")
+            u_cents = np.fromiter(
+                (e[1] if e[2] else 0 for e in universe), dtype="int64"
+            )
+            u_nn = np.fromiter((1 if e[2] else 0 for e in universe), dtype="int64")
+            p_cents = np.concatenate(([0], np.cumsum(u_cents)))
+            p_nn = np.concatenate(([0], np.cumsum(u_nn)))
+            for ts_us, sec, _c, _ok in events:
+                lo = int(np.searchsorted(u_secs, sec - lookback_seconds, "left"))
+                hi = int(np.searchsorted(u_secs, sec, "right"))
+                n = hi - lo
+                nn = int(p_nn[hi] - p_nn[lo])
+                total = int(p_cents[hi] - p_cents[lo]) if nn > 0 else None
                 rows.append(
                     {
                         "user_id": key[0],
                         "ts_us": ts_us,
                         "n_trailing": n,
                         "sum_trailing_cents": total,
-                        "mean_trailing": float(total) / n / 100.0,
+                        "mean_trailing": (
+                            float(total) / n / 100.0 if total is not None else None
+                        ),
                     }
                 )
-            i = j
+            # state prune relative to the newest NEW second (late
+            # batches must not evict newer state entries)
+            max_sec = events[-1][1]
+            hist = [
+                (int(s), int(c), bool(nn))
+                for s, c, nn in universe
+                if s >= max_sec - lookback_seconds
+            ]
         if hist:
-            secs_l, cents_l = zip(*hist)
-            state.update((list(secs_l), list(cents_l)))
+            secs_l, cents_l, nn_l = zip(*hist)
+            state.update((list(secs_l), list(cents_l), list(nn_l)))
         yield pd.DataFrame(rows)
 
     return stream.groupBy("user_id").applyInPandasWithState(
@@ -441,7 +489,7 @@ def stateful_rolling_stats(
             "user_id long, ts_us long, n_trailing long, "
             "sum_trailing_cents long, mean_trailing double"
         ),
-        stateStructType="secs array<long>, cents array<long>",
+        stateStructType="secs array<long>, cents array<long>, nn array<boolean>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

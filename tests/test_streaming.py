@@ -443,14 +443,83 @@ def test_stateful_rolling_late_event_ignores_future_state(spark, tmp_path):
 
 def test_stateful_cents_rounding_matches_sql_half_up(spark):
     """pandas' .round() is half-to-even; the kernels must use HALF_UP
-    like F.round, and NULL values must count as rows with 0 cents."""
+    like F.round. NULLs carry 0 cents with a False nonnull flag so
+    callers reproduce SQL SUM semantics (all-NULL group → NULL sum)."""
     import numpy as np
     import pandas as pd
 
     from sids_data_pipeline_spark.streaming.jobs import _cents_half_up
 
     s = pd.Series([0.125, 0.135, -0.125, None])
-    out = _cents_half_up(s)
+    cents, nonnull = _cents_half_up(s)
     # 12.5 → 13 (HALF_UP; banker's rounding would give 12), -12.5 → -13
-    assert list(out) == [13, 14, -13, 0]
-    assert out.dtype == np.dtype("int64")
+    assert list(cents) == [13, 14, -13, 0]
+    assert list(nonnull) == [True, True, True, False]
+    assert cents.dtype == np.dtype("int64")
+
+
+def test_stateful_all_null_values_sum_null(spark, tmp_path):
+    """A user whose every value is NULL must report a NULL sum — the
+    batch SUM / SQL-oracle semantics — not 0 (round-7 review)."""
+    import datetime as dt
+
+    from sids_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        stateful_running_totals,
+        stream_events,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 7, dt.datetime(2024, 1, 1, 0, 0, 0), "view", None),
+         (2, 7, dt.datetime(2024, 1, 1, 0, 1, 0), "view", None),
+         (3, 8, dt.datetime(2024, 1, 1, 0, 2, 0), "view", 1.5)],
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.parquet(src)
+    stream = stream_events(spark, src)
+    run_available_now(
+        stateful_running_totals(stream), "sdp_nulltotals",
+        str(tmp_path / "ckpt"), output_mode="update",
+    )
+    got = {r.user_id: r.sum_value_cents
+           for r in spark.table("sdp_nulltotals").collect()}
+    assert got[7] is None
+    assert got[8] == 150
+
+
+def test_stateful_rolling_all_null_window_and_trunc(spark, tmp_path):
+    """Rolling kernel: an all-NULL trailing window sums to NULL, and a
+    pre-1970 fractional-second timestamp buckets by trunc-toward-zero
+    (matching the batch cast('long')), not floor (round-7 review)."""
+    import datetime as dt
+
+    from sids_data_pipeline_spark.operators.windows import rolling_stats
+    from sids_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        stateful_rolling_stats,
+        stream_events,
+    )
+
+    rows = [
+        (1, 7, dt.datetime(1969, 12, 31, 23, 59, 59, 500000), "v", None),
+        (2, 7, dt.datetime(1970, 1, 1, 0, 10, 0), "v", None),
+        (3, 8, dt.datetime(2024, 1, 1, 0, 0, 0), "v", 2.0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    ).coalesce(1).write.parquet(src)
+    batch = {
+        (r.user_id, r.ts_us): (r.n_trailing, r.sum_trailing_cents, r.mean_trailing)
+        for r in rolling_stats(spark.read.parquet(src)).collect()
+    }
+    run_available_now(
+        stateful_rolling_stats(stream_events(spark, src)), "sdp_nullroll",
+        str(tmp_path / "ckpt"), output_mode="append",
+    )
+    stream = {
+        (r.user_id, r.ts_us): (r.n_trailing, r.sum_trailing_cents, r.mean_trailing)
+        for r in spark.table("sdp_nullroll").collect()
+    }
+    assert stream == batch
