@@ -82,9 +82,26 @@ def topk_bruteforce(
 
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken
     by neighbor_id so results are total-order deterministic.
+
+    ``id_col`` must be an integral column (the broadcast matrix and the
+    output schema are int64); string ids would crash deep in the numpy
+    conversion, so they are rejected up front. The query broadcast lives
+    until the SparkContext ends (it cannot be destroyed before the lazy
+    result is consumed) — in a long evaluation loop, re-use one call's
+    result rather than re-invoking per experiment.
     """
     import numpy as np
     import pandas as pd
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for side, df in (("queries", queries), ("candidates", candidates)):
+        idt = df.schema[id_col].dataType
+        if not isinstance(idt, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"topk_bruteforce: {side}.{id_col} must be integral "
+                f"(got {idt.simpleString()}); map string ids to int64 "
+                "first (e.g. xxhash64 or a dictionary join)"
+            )
 
     q_rows = (
         with_norm(queries, vec_col)
@@ -193,6 +210,32 @@ def quantized_vec(col: str | Column) -> Column:
     )
 
 
+def _quantize_col(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """:func:`quantized_vec`'s math with ``_int_vec`` and the max-abs
+    materialized ONCE as columns — the hot-path form. Higher-order-
+    function lambdas get no common-subexpression elimination, so
+    embedding the maxabs expression inside the per-element lambda (as
+    the expression-building variant must) re-evaluates an O(d) max per
+    element: O(d²) work per row, ~d× the quantization cost on real
+    embedding widths. Bound column references are slot reads."""
+    df = df.withColumn("_ivq", _int_vec(vec_col)).withColumn(
+        "_ma", F.array_max(F.transform(F.col("_ivq"), lambda x: F.abs(x)))
+    )
+    quant = F.when(
+        F.col("_ma") == 0,
+        F.transform(F.col("_ivq"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("_ivq"),
+            lambda x: F.round(
+                x.cast("double") * float(QUANT_LEVELS) / F.col("_ma").cast("double"),
+                0,
+            ).cast("long"),
+        )
+    )
+    return df.withColumn(out_col, quant).drop("_ivq", "_ma")
+
+
 def topk_quantized(
     candidates: DataFrame,
     queries: DataFrame,
@@ -212,16 +255,14 @@ def topk_quantized(
     # Zero vectors have no direction: drop them on both sides (cosine is
     # undefined; the SQL oracle's maxabs > 0 guard makes the same cut).
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), quantized_vec(vec_col).alias("_qv")
-        )
+        _quantize_col(queries, vec_col, "_qv")
+        .select(F.col(id_col).alias("query_id"), "_qv")
         .withColumn("_qn", _dot(F.col("_qv"), F.col("_qv")))
         .filter(F.col("_qn") > 0)
     )
     c = (
-        candidates.select(
-            F.col(id_col).alias("neighbor_id"), quantized_vec(vec_col).alias("_cv")
-        )
+        _quantize_col(candidates, vec_col, "_cv")
+        .select(F.col(id_col).alias("neighbor_id"), "_cv")
         .withColumn("_cn", _dot(F.col("_cv"), F.col("_cv")))
         .filter(F.col("_cn") > 0)
     )
@@ -267,6 +308,12 @@ def cosine_pairs(
     (bounded limit probe, no full count) rather than silently launching
     an O(n²) job at corpus scale; block on a coarse key (IVF label, LSH
     bucket, language, …) instead.
+
+    Zero-norm vectors are DROPPED: their cosine with everything is
+    0/0 = NaN, and Spark compares NaN larger than any double, so without
+    the guard one all-zero embedding (OOV/padding row) would emit a
+    bogus "near-duplicate" pair with EVERY vector in its block and the
+    downstream dedup would delete those documents.
     """
     if block_col is None:
         probe = embeddings.limit(ALL_PAIRS_LIMIT + 1).count()
@@ -276,7 +323,7 @@ def cosine_pairs(
                 f"input exceeds {ALL_PAIRS_LIMIT} rows; pass a block_col "
                 "(IVF/LSH bucket, label) for the scale-safe equi-join path"
             )
-    e = with_norm(embeddings, vec_col)
+    e = with_norm(embeddings, vec_col).filter(F.col("_norm2") > 0)
     l = e.select(
         F.col(id_col).alias("id1"),
         F.col("_iv").alias("_v1"),
@@ -355,6 +402,7 @@ def ann_lsh(
     num_hash_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_distance: float = 10.0,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane bucketing + exact re-rank.
 
@@ -363,9 +411,22 @@ def ann_lsh(
     is spot-checked against :func:`topk_bruteforce` in tests. Seeded —
     deterministic run-to-run — but not SQL-reproducible, so the driver
     records the weaker rows-only check for this one.
+
+    ``max_distance`` is the euclidean candidate cutoff fed to
+    approxSimilarityJoin — the knob that can silently zero out recall:
+    embeddings whose pairwise distances exceed it (un-normalized raw
+    activations, large scales) produce NO candidates. Raise it (or
+    normalize the vectors) when recall collapses versus bruteforce.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
+
+    if not candidates.take(1):
+        # fit() infers dimensionality from the first row and crashes
+        # opaquely on an empty frame; return the contract schema instead
+        return candidates.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
 
     cand = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -388,7 +449,7 @@ def ann_lsh(
     # approxSimilarityJoin on euclidean distance → candidate set; exact
     # cosine re-rank in the integer domain.
     joined = model.approxSimilarityJoin(
-        model.transform(cand), model.transform(q), 10.0, distCol="_dist"
+        model.transform(cand), model.transform(q), max_distance, distCol="_dist"
     ).select(
         F.col("datasetB.query_id").alias("query_id"),
         F.col("datasetA.neighbor_id").alias("neighbor_id"),
@@ -428,14 +489,33 @@ def kmeans_assign(
     only action is the bounded k-row init collect.
     """
     if centroids is None:
-        rows = (
-            embeddings.orderBy(id_col)
-            .limit(k)
-            .select(_int_vec(vec_col).alias("_iv"))
-            .collect()
-        )
-        centroids = [list(r._iv) for r in rows]
-    iv = _int_vec(vec_col)
+        centroids = _default_centroids(embeddings, k, id_col, vec_col)
+    arr = _dist2_array(_int_vec(vec_col), centroids)
+    return embeddings.select(
+        id_col,
+        (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias("cluster"),
+        F.array_min(arr).alias("dist2"),
+    )
+
+
+def _default_centroids(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[list[int]]:
+    """The shared init rule: the ``k`` smallest-id vectors, as micros
+    integers (fixed, engine-independent — one definition for assign AND
+    fit so the two paths cannot drift)."""
+    rows = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(_int_vec(vec_col).alias("_iv"))
+        .collect()
+    )
+    return [list(r._iv) for r in rows]
+
+
+def _dist2_array(iv: Column, centroids: list[list[int]]) -> Column:
+    """Per-centroid exact integer squared-L2 distances as one array
+    expression (k×dim literals folded into whole-stage codegen)."""
     dists = [
         F.aggregate(
             F.zip_with(
@@ -448,12 +528,16 @@ def kmeans_assign(
         )
         for c in centroids
     ]
-    arr = F.array(*dists)
-    return embeddings.select(
-        id_col,
-        (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias("cluster"),
-        F.array_min(arr).alias("dist2"),
-    )
+    return F.array(*dists)
+
+
+def _round_half_away_ratio(s: int, n: int) -> int:
+    """Half-away-from-zero rounding of the exact ratio s/n in pure
+    integer arithmetic — the module's micros convention (Spark F.round /
+    DuckDB ROUND). Python's round() is half-to-even and float division
+    loses precision past 2^53, so neither belongs in centroid state."""
+    sign = -1 if s < 0 else 1
+    return sign * ((2 * abs(s) + n) // (2 * n))
 
 
 def kmeans_fit(
@@ -464,36 +548,35 @@ def kmeans_fit(
     vec_col: str = "embedding",
 ) -> tuple[list[list[int]], DataFrame]:
     """Full Lloyd iteration on top of :func:`kmeans_assign`: recompute
-    centroids as per-cluster element-wise means (micros-rounded, so the
-    state stays integral and engine-independent), reassign, repeat.
-    Returns (final centroids, final assignment).
+    centroids as per-cluster element-wise means (exact-integer
+    half-away rounding, so the state stays integral, precision-safe
+    past 2^53, and engine-independent), reassign, repeat. Returns
+    (final centroids, assignment UNDER those final centroids — the
+    returned pair is self-consistent; re-running kmeans_assign with the
+    returned centroids reproduces it).
 
-    Scale shape per round: one codegen assignment pass + one groupBy
-    whose map-side partial collapses to ≤ k×num_partitions rows; only
-    the k×dim centroid matrix ever reaches the driver. Empty clusters
-    keep their previous centroid (standard Lloyd fallback).
+    Scale shape per round: ONE pass over embeddings — the cluster
+    label is a pure codegen projection (the same distance-array
+    expression kmeans_assign plans), so the per-round aggregate needs
+    no join back on the id; the groupBy's map-side partial collapses to
+    ≤ k×num_partitions rows and only the k×dim centroid matrix ever
+    reaches the driver. Empty clusters keep their previous centroid
+    (standard Lloyd fallback).
     """
-    rows = (
-        embeddings.orderBy(id_col)
-        .limit(k)
-        .select(_int_vec(vec_col).alias("_iv"))
-        .collect()
-    )
-    centroids = [list(r._iv) for r in rows]
+    centroids = _default_centroids(embeddings, k, id_col, vec_col)
     if len(centroids) < k:
         raise ValueError(
             f"kmeans_fit: k={k} but the input has only {len(centroids)} "
             "rows; lower k or add data"
         )
-    assigned = None
     dim = len(centroids[0])
     for _ in range(iters):
-        assigned = kmeans_assign(
-            embeddings, k=k, id_col=id_col, vec_col=vec_col, centroids=centroids
-        )
+        arr = _dist2_array(_int_vec(vec_col), centroids)
+        cluster = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
         sums = (
-            embeddings.join(assigned.select(id_col, "cluster"), id_col)
-            .select("cluster", _int_vec(vec_col).alias("_iv"))
+            embeddings.select(
+                cluster.alias("cluster"), _int_vec(vec_col).alias("_iv")
+            )
             .groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
@@ -505,8 +588,14 @@ def kmeans_fit(
             .collect()
         )
         new = {
-            r.cluster: [int(round(r[f"_s{i}"] / r._n)) for i in range(dim)]
+            r.cluster: [
+                _round_half_away_ratio(int(r[f"_s{i}"]), int(r._n))
+                for i in range(dim)
+            ]
             for r in sums
         }
         centroids = [new.get(j, centroids[j]) for j in range(k)]
+    assigned = kmeans_assign(
+        embeddings, k=k, id_col=id_col, vec_col=vec_col, centroids=centroids
+    )
     return centroids, assigned

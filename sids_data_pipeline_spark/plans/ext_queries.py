@@ -513,10 +513,14 @@ m AS (
 _DEDUP_EMBED_SQL = f"""
 WITH {_EMBED_VEC_SQL},
 p AS (
+  -- norm2 > 0 mirrors the engine's zero-norm drop: an all-zero vector's
+  -- cosine is 0/0 = NaN, which BOTH engines compare larger than the
+  -- threshold — without the guard it would pair with its whole block
   SELECT a.vec_id AS id1, b.vec_id AS id2,
          CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS dot,
          a.norm2 AS n1, b.norm2 AS n2
   FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
+               AND a.norm2 > 0 AND b.norm2 > 0
 )
 SELECT id1, id2,
        ROUND(CAST(dot AS DOUBLE) / (sqrt(CAST(n1 AS DOUBLE)) * sqrt(CAST(n2 AS DOUBLE))), 6) AS cosine

@@ -200,3 +200,61 @@ def test_kmeans_fit_separates_clusters_and_converges(spark):
     ca, cb = cents[list(a_clusters)[0]], cents[list(b_clusters)[0]]
     assert abs(ca[0] - 15000) < 2000 and abs(ca[1]) < 2000
     assert abs(cb[0] - 20000000) < 20000 and abs(cb[1] - 20015000) < 20000
+
+
+def test_cosine_pairs_drops_zero_norm_vectors(spark):
+    """An all-zero embedding must emit NO pairs: its cosine with
+    everything is NaN, which Spark compares larger than any threshold —
+    without the norm guard it would 'near-duplicate' its whole block
+    and the dedup chain would delete real documents (round-7 review)."""
+    from sids_data_pipeline_spark.operators.similarity import cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0), (3, [0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = cosine_pairs(emb, threshold=0.5).collect()
+    assert {(r.id1, r.id2) for r in pairs} == {(1, 2)}
+    assert all(r.cosine == r.cosine for r in pairs)  # no NaN survived
+
+
+def test_kmeans_fit_returns_self_consistent_pair(spark):
+    """The returned assignment must be computed UNDER the returned
+    centroids (the last Lloyd update used to be applied after the
+    assignment was taken)."""
+    from sids_data_pipeline_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents, assigned = kmeans_fit(emb, k=4, iters=2)
+    redo = kmeans_assign(emb, k=4, centroids=cents)
+    got = {(r.vec_id, r.cluster, r.dist2) for r in assigned.collect()}
+    want = {(r.vec_id, r.cluster, r.dist2) for r in redo.collect()}
+    assert got == want
+
+
+def test_ann_lsh_empty_candidates(spark):
+    from sids_data_pipeline_spark.operators.similarity import ann_lsh
+
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    q = spark.createDataFrame([(1, [1.0, 0.0])], schema)
+    out = ann_lsh(empty, q)
+    assert out.collect() == []
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_round_half_away_ratio_exact():
+    from sids_data_pipeline_spark.operators.similarity import (
+        _round_half_away_ratio,
+    )
+
+    assert _round_half_away_ratio(5, 2) == 3     # 2.5 -> 3 (not banker's 2)
+    assert _round_half_away_ratio(-5, 2) == -3
+    assert _round_half_away_ratio(4, 2) == 2
+    assert _round_half_away_ratio(7, 3) == 2
+    # exactness past 2^53, where float division would lose ulps
+    big = 2**60 + 1
+    assert _round_half_away_ratio(big * 2, 2) == big
