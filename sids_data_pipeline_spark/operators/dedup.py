@@ -21,8 +21,9 @@ all-pairs):
 - :func:`near_duplicates_simhash` — 32-bit SimHash with banded blocking
   (4 × 8-bit chunks; by pigeonhole any pair within Hamming distance 3
   shares at least one chunk) and exact Hamming verification.
-- :func:`near_duplicates_embedding` — cosine near-dup over embeddings in
-  an exact integer domain (see plans/base.py determinism policy).
+- embedding-cosine near-dup lives in operators/similarity.py
+  (:func:`~sids_data_pipeline_spark.operators.similarity.cosine_pairs`),
+  exact integer domain per the plans/base.py determinism policy.
 
 Every aggregate/join here is expressed declaratively so Catalyst picks
 shuffled hash joins with AQE skew splitting; nothing collects to the
@@ -68,6 +69,8 @@ def shingles(
     Built JVM-side with array higher-order functions (no Python UDF):
     split → transform over a sliding index sequence → explode.
     """
+    if n < 1:
+        raise ValueError(f"shingle n must be >= 1, got {n}")
     # drop empty tokens (leading/trailing whitespace artifacts) like
     # tokens() and the SQL twin's list_filter — phantom '' words would
     # skew Jaccard between padded and unpadded near-duplicates
@@ -86,7 +89,7 @@ def shingles(
     )
 
 
-def exact_key_digest(key_cols: list[str]) -> Column:
+def exact_key_digest(key_cols: list[str], df: DataFrame | None = None) -> Column:
     """Collision-safe digest of a multi-column key.
 
     Each column is encoded as a NULL-flag byte plus the sha2 of its string
@@ -95,15 +98,53 @@ def exact_key_digest(key_cols: list[str]) -> Column:
     skips NULLs) and values containing the separator with adjacent columns;
     this encoding matches SQL ``GROUP BY`` semantics exactly (NULLs form
     their own group, distinct from empty string).
+
+    Pass ``df`` so float/double key columns normalize ``-0.0`` to ``0.0``
+    before the string cast: SQL GROUP BY puts the two zeros in ONE group,
+    but their string forms ('-0.0' vs '0.0') would digest apart. Without
+    ``df`` the column types are unknown and that one divergence remains.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    float_cols: set[str] = set()
+    if df is not None:
+        float_cols = {
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (FloatType, DoubleType))
+        }
+
+    def keyed(c: str) -> Column:
+        col = F.col(c)
+        if c in float_cols:
+            col = col + F.lit(0.0)  # IEEE: -0.0 + 0.0 = 0.0
+        return col
+
     parts = [
         F.concat(
             F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
-            F.sha2(F.coalesce(F.col(c).cast("string"), F.lit("")), 256),
+            F.sha2(F.coalesce(keyed(c).cast("string"), F.lit("")), 256),
         )
         for c in key_cols
     ]
     return F.sha2(F.concat(*parts), 256)
+
+
+def _hashable_cols(df: DataFrame) -> list[str]:
+    """Columns xxhash64 accepts — Spark forbids hashing MapType anywhere
+    in the type tree (DATATYPE_MISMATCH.HASH_MAP_TYPE)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def ok(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return [f.name for f in df.schema.fields if ok(f.dataType)]
 
 
 def exact_dedup(
@@ -115,17 +156,21 @@ def exact_dedup(
     (possibly huge) text: the shuffle moves 32-byte digests + row payload
     once, keys are uniform, and the same plan holds at 100 TB.
     """
-    digest = exact_key_digest(key_cols)
+    digest = exact_key_digest(key_cols, df)
     # xxhash64 over the full row tie-breaks equal order_col values
     # deterministically (arrival order would pick a different survivor
-    # per run/AQE re-plan); fully identical rows remain interchangeable
+    # per run/AQE re-plan); fully identical rows remain interchangeable.
+    # Map-typed columns are excluded (Spark refuses to hash maps) — rows
+    # differing only in an unhashable column remain interchangeable ties.
+    tie_cols = _hashable_cols(df) or [order_col]
+    rn = "_sdp_rn"  # collision-safe: never clobber a caller's '_rn'
     w = Window.partitionBy(digest).orderBy(
-        F.col(order_col).asc(), F.xxhash64(*df.columns).asc()
+        F.col(order_col).asc(), F.xxhash64(*tie_cols).asc()
     )
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn)
     )
 
 
@@ -185,13 +230,6 @@ def lsh_candidate_pairs(
         "doc_id",
         F.expr(f"stack({bands}, {stack_args}) AS (band_idx, band_val)"),
     )
-    if max_bucket is not None and sig.limit(max_bucket + 1).count() <= max_bucket:
-        # A bucket can never hold more docs than exist, so with ≤
-        # max_bucket docs the cap is a no-op BY CONSTRUCTION — skip the
-        # size aggregate (a serial broadcast-materialization job) and keep
-        # exactness. The probe is a bounded limit+count on the (cached)
-        # signature table, not a full scan.
-        max_bucket = None
     if max_bucket is not None:
         # Subtract only the OVERSIZED buckets (normally zero): the size
         # aggregate is map-side combined and tiny, the survivors list is
@@ -243,14 +281,18 @@ def jaccard_on_pairs(
     Returns (id1, id2, inter, size1, size2, jaccard); pairs sharing no
     token are omitted (inner-join contract, matching the SQL oracle's
     intersection join)."""
-    arrays = (
-        sizes.select("doc_id", "_toks", F.col("_sz"))
-        if sizes is not None and "_toks" in sizes.columns
-        else tok.groupBy("doc_id").agg(
+    sz_col = None
+    if sizes is not None and "_toks" in sizes.columns:
+        sz_col = next(
+            (c for c in ("_sz", "set_size") if c in sizes.columns), None
+        )
+    if sz_col is not None:
+        arrays = sizes.select("doc_id", "_toks", F.col(sz_col).alias("_sz"))
+    else:
+        arrays = tok.groupBy("doc_id").agg(
             F.collect_list(token_col).alias("_toks"),
             F.count(token_col).alias("_sz"),
         )
-    )
     a1 = arrays.select(
         F.col("doc_id").alias("id1"),
         F.col("_toks").alias("_t1"),
@@ -302,18 +344,14 @@ def near_duplicates_minhash(
         shingles(docs, shingle_n, text_col, id_col).withColumnRenamed(
             "shingle", "token"
         )
-        if shingle_n
+        if shingle_n is not None
         else tokens(docs, text_col, id_col)
     )
-    # The token set feeds four downstream plans (signature, sizes, and both
-    # sides of the intersection join) and the signature feeds both sides of
-    # the band self-join. Persisting materializes each ONCE — the Spark
-    # analogue of a CTE — instead of re-running tokenize+distinct per use;
-    # MEMORY_AND_DISK keeps the plan valid when the token table outgrows
-    # executor memory at corpus scale.
-    tok = track(tok.persist(StorageLevel.MEMORY_AND_DISK))
-    # ONE groupBy of the big token table yields signature + token arrays
-    # + set sizes; banding and exact verification both read from it.
+    # Since the signature aggregation carries token arrays + set sizes
+    # (with_tokens=True), the exploded token table has exactly ONE
+    # consumer — persisting it would pin the largest intermediate for
+    # nothing. The SIGNATURE is the reused subtree (both sides of the
+    # band self-join AND the verification sizes), so it persists.
     sig = track(
         minhash_signature(tok, num_hashes, with_tokens=True).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -430,8 +468,17 @@ def near_duplicates_simhash(
     The 32-bit simhash splits into 4 byte-chunks; any pair with Hamming
     distance ≤ 3 must agree on ≥ 1 chunk (pigeonhole), so the equi-join on
     (chunk_idx, chunk_val) finds all such pairs without an all-pairs scan.
+    ``max_hamming`` > 3 is REJECTED: the 4-chunk blocking only guarantees
+    completeness through distance 3 (a distance-4 pair can differ in every
+    chunk), so a larger radius would silently drop matches.
     Output: (id1, id2, hamming).
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} outside [0, 3]: 4-chunk blocking "
+            "is only complete through Hamming distance 3 (pigeonhole); "
+            "use more chunks or the minhash family for looser matching"
+        )
     sim = track(
         simhash32(tokens(docs, text_col, id_col)).persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -514,7 +561,17 @@ def fuzzy_join(
     JVM levenshtein filter decides. ``block_cols`` adds exact-match keys
     (country, zip...) to keep bands small at scale; the band trick alone
     is complete but groups all same-length strings.
+
+    Right-side columns whose names collide with the left (outside
+    ``block_cols``) come back suffixed ``_right`` — so the natural
+    entity-resolution call ``fuzzy_join(a, b, "name", "name")`` works
+    instead of dying on an ambiguous reference, and the output stays
+    unambiguous for the caller.
     """
+    overlap = (set(left.columns) & set(right.columns)) - set(block_cols)
+    renames = {c: f"{c}_right" for c in overlap}
+    right = right.withColumnsRenamed(renames)
+    right_col = renames.get(right_col, right_col)
     lc, rc = F.col(left_col), F.col(right_col)
     lo = F.floor((F.length(lc) - max_distance) / band_width)
     hi = F.floor((F.length(lc) + max_distance) / band_width)

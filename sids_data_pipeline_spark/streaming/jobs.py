@@ -120,7 +120,7 @@ def streaming_exact_dedup(
     def process(batch: DataFrame, batch_id: int) -> None:
         bspark = batch.sparkSession
         fresh = exact_dedup(batch, list(key_cols), id_col).withColumn(
-            "_d", exact_key_digest(list(key_cols))
+            "_d", exact_key_digest(list(key_cols), batch)
         )
         try:
             seen = bspark.read.option("basePath", ledger).parquet(ledger)

@@ -234,3 +234,55 @@ def test_boilerplate_hot_ngram_flagged(spark):
         assert got[d].n_shingles == 5  # 7 words → 5 trigrams
         assert got[d].boiler_ppm == 400000
     assert got[4].n_hot == 0 and got[4].boiler_ppm == 0
+
+
+def test_simhash_rejects_radius_beyond_blocking_guarantee(spark):
+    """4-chunk blocking is only complete through Hamming distance 3;
+    a larger radius would silently drop matches (round-7 review)."""
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.operators.dedup import near_duplicates_simhash
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="max_hamming"):
+        near_duplicates_simhash(docs, max_hamming=4)
+
+
+def test_fuzzy_join_same_column_name(spark):
+    """fuzzy_join(a, b, 'name', 'name') — the natural entity-resolution
+    call — must work; colliding right columns come back suffixed."""
+    from sids_data_pipeline_spark.operators.dedup import fuzzy_join
+
+    a = spark.createDataFrame([(1, "acme corp")], "id long, name string")
+    b = spark.createDataFrame([(9, "acme corp.")], "id long, name string")
+    out = fuzzy_join(a, b, "name", "name", max_distance=1)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].name == "acme corp" and rows[0].name_right == "acme corp."
+    assert rows[0].id == 1 and rows[0].id_right == 9
+
+
+def test_exact_dedup_tolerates_map_columns_and_rn(spark):
+    """A map-typed payload column must not break the tie-break hash, and
+    a caller's '_rn' column must survive (round-7 review)."""
+    from sids_data_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "x", {"k": "v"}, 7), (2, "x", {"k": "w"}, 8), (3, "y", {"k": "v"}, 9)],
+        "id long, text string, meta map<string,string>, _rn long",
+    )
+    out = exact_dedup(df, ["text"], "id")
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    assert "_rn" in out.columns
+    assert {r.id: r._rn for r in out.collect()} == {1: 7, 3: 9}
+
+
+def test_exact_dedup_negative_zero_groups_with_zero(spark):
+    """GROUP BY puts -0.0 and 0.0 in one group; the digest must too."""
+    from sids_data_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -0.0), (3, 1.5)], "id long, price double"
+    )
+    out = exact_dedup(df, ["price"], "id")
+    assert sorted(r.id for r in out.collect()) == [1, 3]
