@@ -45,6 +45,7 @@ def hash_split(
     assignment a pure per-row function — rows never move between splits
     when the corpus grows, shrinks, or repartitions.
     """
+    _validate_weights(weights)
     bucket = token_hash32(
         F.concat(F.lit(salt), F.col(key_col).cast("string"))
     ) % _HASH_BUCKETS
@@ -61,15 +62,42 @@ def hash_split(
     return out.withColumn("split", expr).drop("_bucket")
 
 
+def _validate_weights(weights: dict[str, float]) -> None:
+    """Shared contract for split weights: non-empty, positive, sum ≤ 1
+    (the remainder falls to the last label). A sum over 1 would make the
+    later labels unreachable SILENTLY — a whole split vanishing from a
+    curation run with no error is worse than rejecting the dict."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {label: fraction} dict")
+    bad = {k: v for k, v in weights.items() if not v > 0}
+    if bad:
+        raise ValueError(f"split weights must be positive, got {bad}")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"split weights sum to {total} > 1; later labels would "
+            "silently receive zero rows"
+        )
+
+
 def o_hash_split(key_expr: str, weights: dict[str, float], salt: str = "split") -> str:
-    """DuckDB CASE expression twin of :func:`hash_split`'s label column."""
+    """DuckDB CASE expression twin of :func:`hash_split`'s label column.
+    The key casts to VARCHAR explicitly (matching the engine's
+    ``cast('string')``) so non-integer key types render identically in
+    both engines before hashing."""
+    _validate_weights(weights)
     parts = []
     cum = 0.0
     labels = list(weights.items())
-    bucket = f"((('0x' || substr(md5('{salt}' || {key_expr}), 1, 8))::BIGINT) % {_HASH_BUCKETS})"
+    bucket = (
+        f"((('0x' || substr(md5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 8))"
+        f"::BIGINT) % {_HASH_BUCKETS})"
+    )
     for label, w in labels[:-1]:
         cum += w
         parts.append(f"WHEN {bucket} < {int(round(cum * _HASH_BUCKETS))} THEN '{label}'")
+    if not parts:  # single label: hash_split likewise emits a constant
+        return f"'{labels[-1][0]}'"
     return "CASE " + " ".join(parts) + f" ELSE '{labels[-1][0]}' END"
 
 
@@ -146,8 +174,12 @@ def pack_shards(
     ranged = exclusive_prefix_sum(
         df, F.col(size_col), [order_col], partitions
     )
+    # `div` keeps the arithmetic INTEGRAL end to end: floor(a / b) routes
+    # through a double and loses exactness past 2^53 tokens, and an INT
+    # shard_id would overflow at max_tokens·2^31 total tokens — both
+    # inside the 100 TB regime this module targets.
     return ranged.withColumn(
-        "shard_id", F.floor(F.col("_excl") / F.lit(max_tokens)).cast("int")
+        "shard_id", F.expr(f"_excl div {int(max_tokens)}").cast("long")
     ).drop("_excl")
 
 
@@ -182,8 +214,12 @@ def pack_sequences(
     )
     n = F.col(size_col).cast("long")
     start = F.col("_excl")
-    first = F.floor(start / F.lit(seq_len)).cast("long")
-    last = F.floor((start + n - F.lit(1)) / F.lit(seq_len)).cast("long")
+    # `div`, not floor(a/b): the double route loses exactness past 2^53
+    # tokens (multi-epoch concatenated streams) — the oracle twin's //
+    # is integer division and the docstring promises the same here
+    ranged = ranged.withColumn("_last_tok", start + n - F.lit(1))
+    first = F.expr(f"_excl div {int(seq_len)}").cast("long")
+    last = F.expr(f"_last_tok div {int(seq_len)}").cast("long")
     return (
         ranged.withColumn("tok_start", start.cast("long"))
         .withColumn("first_seq", first)
@@ -194,7 +230,7 @@ def pack_sequences(
             "n_seqs",
             F.when(n > 0, (last - first + F.lit(1))).otherwise(F.lit(0)).cast("long"),
         )
-        .drop("_excl")
+        .drop("_excl", "_last_tok")
     )
 
 
@@ -245,6 +281,8 @@ def length_buckets(
     arithmetic. One map-side-combined aggregation; no shuffle beyond the
     bucket-count-sized exchange.
     """
+    if batch_tokens <= 0:
+        raise ValueError(f"batch_tokens must be positive, got {batch_tokens}")
     s = F.col(size_col).cast("long")
     bucket = F.length(F.conv(s.cast("string"), 10, 2)).alias("bucket")
     return (
@@ -311,7 +349,11 @@ def stratified_sample(
     the window task sees ~oversample·k rows instead of N_s.
     Set ``prethin_threshold=None`` to disable."""
     h = token_hash32(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    if prethin_threshold is not None and k < prethin_threshold:
+    # no k-vs-threshold guard: k (a sample size) and the threshold (a
+    # stratum row count) have different units, and the cut formula
+    # self-neutralizes anyway — when oversample·k ≥ N_s the cut reaches
+    # the full hash space and nothing is thinned
+    if prethin_threshold is not None:
         df = _prethin_for_rank(
             df, list(strata_cols), k, h, prethin_threshold, oversample
         )
@@ -332,38 +374,50 @@ def _prethin_for_rank(
     oversample: float,
 ) -> DataFrame:
     """Thin oversized strata to their smallest-hash rows ahead of the
-    row_number ranking (driver sees only stratum-count-sized aggregates)."""
-    sizes = df.groupBy(*strata_cols).agg(F.count("*").alias("_n"))
-    big = sizes.filter(F.col("_n") > threshold)
+    row_number ranking (driver sees only stratum-count-sized aggregates).
+
+    All joins key on a NULL-SAFE digest of the strata columns
+    (dedup.exact_key_digest): a plain equi-join never matches a NULL
+    stratum, which would have skipped thinning for exactly the kind of
+    degenerate stratum (lang NULL) most likely to be oversized, and then
+    unconditionally fired the improbable restore path. The tiny
+    aggregate frames persist so the full-corpus groupBy computes once,
+    not once per downstream reference."""
+    from sids_data_pipeline_spark.operators.dedup import exact_key_digest
+
+    df = df.withColumn("_sk", exact_key_digest(strata_cols, df))
+    sizes = df.groupBy("_sk").agg(F.count("*").alias("_n"))
+    big = track(sizes.filter(F.col("_n") > threshold).persist())
     if not big.take(1):
-        return df
+        return df.drop("_sk")
     cut = F.least(
         F.lit(float(_HASH_SPACE)),
         F.ceil(F.lit(oversample * k) / F.col("_n") * F.lit(float(_HASH_SPACE))),
     ).cast("long")
-    big = big.select(*strata_cols, cut.alias("_cut"))
+    big_cut = big.select("_sk", cut.alias("_cut"))
     thinned = (
-        df.join(F.broadcast(big), strata_cols, "left")
+        df.join(F.broadcast(big_cut), "_sk", "left")
         .filter(F.col("_cut").isNull() | (h < F.col("_cut")))
         .drop("_cut")
     )
     # exactness guard: every thinned stratum must keep ≥ k = min(k, N_s)
     kept = (
-        thinned.join(F.broadcast(big.select(*strata_cols)), strata_cols, "left_semi")
-        .groupBy(*strata_cols)
+        thinned.join(F.broadcast(big.select("_sk")), "_sk", "left_semi")
+        .groupBy("_sk")
         .agg(F.count("*").alias("_kept"))
     )
-    short = (
-        big.join(kept, strata_cols, "left")
+    short = track(
+        big.join(kept, "_sk", "left")
         .filter(F.coalesce(F.col("_kept"), F.lit(0)) < k)
-        .select(*strata_cols)
+        .select("_sk")
+        .persist()
     )
     if short.take(1):  # pragma: no cover - probability ≈ e^(-k·oversample)
-        restore = df.join(F.broadcast(short), strata_cols, "left_semi")
+        restore = df.join(F.broadcast(short), "_sk", "left_semi")
         thinned = thinned.join(
-            F.broadcast(short), strata_cols, "left_anti"
+            F.broadcast(short), "_sk", "left_anti"
         ).unionByName(restore)
-    return thinned
+    return thinned.drop("_sk")
 
 
 def mixture_sample(
@@ -409,7 +463,13 @@ def mixture_sample(
     bucket = token_hash32(
         F.concat(F.lit(salt), F.col(key_col).cast("string"))
     ) % _HASH_BUCKETS
-    n_copies = (whole + (bucket < frac_bp).cast("int")).alias("_n")
+    # when/otherwise, not a bare boolean cast: a NULL key makes the
+    # bucket NULL and NULL.cast('int') would NULL the whole copy count
+    # (silently dropping the row even at rate 5.0) while the SQL twin's
+    # CASE ... ELSE 0 keeps the whole copies — align on the CASE form
+    n_copies = (
+        whole + F.when(bucket < frac_bp, F.lit(1)).otherwise(F.lit(0))
+    ).alias("_n")
     return (
         df.withColumn("_n", n_copies)
         .filter(F.col("_n") > 0)

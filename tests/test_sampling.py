@@ -294,3 +294,84 @@ def test_pack_sequences_property_vs_reference(spark):
             start += s
 
     check()
+
+
+def test_mixture_sample_null_key_keeps_whole_copies(spark):
+    """A NULL key row in a rate>=1 domain must keep its whole copies
+    (the SQL twin's CASE ... ELSE 0), not vanish via NULL arithmetic."""
+    from sids_data_pipeline_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "web"), (None, "web"), (2, "books")],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(df, {"web": 2.0, "books": 0.0}, "source")
+    got = sorted(
+        [(r.doc_id, r.copy_id) for r in out.collect()],
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+    )
+    assert got == [(None, 1), (None, 2), (1, 1), (1, 2)]
+
+
+def test_stratified_prethin_handles_null_stratum(spark, monkeypatch):
+    """A NULL-valued stratum must thin like any other (null-safe digest
+    keys) and produce the identical sample with and without thinning."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators import sampling
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("en")).alias("lang"),  # half NULL
+    )
+    plain = sampling.stratified_sample(
+        df, ["lang"], k=5, prethin_threshold=None
+    )
+    thinned = sampling.stratified_sample(
+        df, ["lang"], k=5, prethin_threshold=100
+    )
+    a = sorted((r.doc_id, r.lang) for r in plain.collect())
+    b = sorted((r.doc_id, r.lang) for r in thinned.collect())
+    assert a == b and len(a) == 10
+
+
+def test_hash_split_validation_and_single_label(spark):
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.operators.sampling import (
+        hash_split,
+        o_hash_split,
+    )
+
+    df = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        hash_split(df, {})
+    with _pytest.raises(ValueError, match="sum"):
+        hash_split(df, {"a": 0.8, "b": 0.3})
+    # single label: valid on both sides (the oracle used to emit a
+    # WHEN-less CASE, a parser error)
+    out = hash_split(df, {"train": 1.0})
+    assert {r.split for r in out.collect()} == {"train"}
+    import duckdb
+
+    assert duckdb.sql(
+        f"SELECT {o_hash_split('42', {'train': 1.0})} AS s"
+    ).fetchone()[0] == "train"
+
+
+def test_pack_shards_long_ids_and_integer_division(spark):
+    """shard_id is LONG (an int32 id overflows at max_tokens * 2^31
+    total tokens) and the division is integral."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.sampling import pack_shards
+
+    df = spark.range(0, 4).select(
+        F.col("id").alias("doc_id"),
+        F.lit(2**40).cast("long").alias("n_tokens"),  # huge docs
+    )
+    out = pack_shards(df, max_tokens=100)
+    rows = {r.doc_id: r.shard_id for r in out.collect()}
+    assert dict(out.dtypes)["shard_id"] == "bigint"
+    assert rows[0] == 0
+    assert rows[3] == (3 * 2**40) // 100  # > int32 range, exact
