@@ -30,6 +30,14 @@ def _us(col) -> F.Column:
     return F.unix_micros(col)
 
 
+def _cents(col) -> F.Column:
+    """The money-domain policy (round-half-up to integer cents) in ONE
+    place — five hand-inlined copies previously invited silent drift."""
+    return F.round((F.col(col) if isinstance(col, str) else col) * 100, 0).cast(
+        "long"
+    )
+
+
 def tumbling(
     events: DataFrame,
     duration: str = "10 minutes",
@@ -46,9 +54,7 @@ def tumbling(
         events.groupBy(w.alias("w"), *group_cols)
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
-                "sum_value_cents"
-            ),
+            F.sum(_cents("value")).alias("sum_value_cents"),
         )
         .select(
             _us(F.col("w.start")).alias("window_start_us"),
@@ -89,7 +95,8 @@ def session(
 ) -> DataFrame:
     """Gap-based sessions per key (``F.session_window``).
 
-    Spark merges events whose timestamps are < gap apart; the session
+    Spark merges events whose timestamps are <= gap apart (an exact-gap
+    pair shares a session); the session
     window is [first_ts, last_ts + gap). Output: (user_id,
     session_start_us, session_end_us, n_events, sum_value_cents).
     """
@@ -98,9 +105,7 @@ def session(
         events.groupBy(w.alias("w"), key_col)
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
-                "sum_value_cents"
-            ),
+            F.sum(_cents("value")).alias("sum_value_cents"),
         )
         .select(
             key_col,
@@ -117,10 +122,14 @@ def latest_per_key(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    payload_cols: tuple[str, ...] = ("event_type",),
 ) -> DataFrame:
     """Event dedup: keep each key's latest event (ties → highest id).
 
-    Output: (user_id, event_id, ts_us, event_type).
+    ``payload_cols`` are the carried columns (default matches the events
+    table — pass your own for frames without ``event_type``; previously
+    that column was hard-coded and broke the parameterization contract).
+    Output: (key, id, ts_us, *payload_cols).
     """
     w = Window.partitionBy(key_col).orderBy(
         F.col(ts_col).desc(), F.col(id_col).desc()
@@ -132,7 +141,7 @@ def latest_per_key(
             key_col,
             id_col,
             _us(F.col(ts_col)).alias("ts_us"),
-            "event_type",
+            *payload_cols,
         )
     )
 
@@ -159,20 +168,31 @@ def funnel(
     per-stage self-joins, no re-shuffling the event table once per stage.
     Per-user state is bounded by that user's event count.
 
-    Output: (depth int, n_users) — depth d counts users whose deepest
-    completed stage is d (0 = never hit stage 1).
+    Output: (depth int, n_users) — depth d counts users who completed
+    stage d under GREEDY anchoring (0 = never hit stage 1). Note this is
+    the greedy earliest-transition depth, not the deepest REACHABLE
+    stage: a later anchor choice could sometimes reach further (e.g. a
+    second 'click' whose window still covers the purchase), but greedy
+    is the standard analytics definition and what the oracle mirrors.
+
+    NULL-timestamp events are dropped first: the sorted scan would
+    anchor on one (sort_array puts the NULL-ts struct first) and every
+    later ``ts > anchor`` guard would evaluate NULL, permanently capping
+    the user's depth — while the oracle's min-ts cascade skips NULLs.
     """
+    events = events.filter(F.col(ts_col).isNotNull())
     cases = []
     for i, st in enumerate(stages):
+        st_sql = st.replace("'", "''")  # quote-safe stage literals
         # strict > excludes same-timestamp transitions (matches the
         # min-ts-cascade oracle formulation exactly, not just in sort order)
         guard = (
             ""
             if i == 0
-            else f" AND x.ts > s.a AND x.ts <= s.a + INTERVAL {window_hours} HOUR"
+            else f" AND x.ts > s.a AND x.ts <= s.a + INTERVAL {int(window_hours)} HOUR"
         )
         cases.append(
-            f"WHEN s.d = {i} AND x.et = '{st}'{guard} THEN "
+            f"WHEN s.d = {i} AND x.et = '{st_sql}'{guard} THEN "
             f"named_struct('d', {i + 1}, 'a', x.ts)"
         )
     scan = F.expr(
@@ -256,13 +276,16 @@ def rolling_stats(
     shuffle on the key, sorted once, state bounded by the lookback span.
     Sums are integer cents, so the trailing mean is deterministic.
     """
-    sec = (_us(F.col(ts_col)) / 1_000_000).cast("long")
+    # FLOOR, not cast-truncation: the oracle buckets with
+    # FLOOR(epoch_us/1e6) and the two differ on pre-1970 fractional
+    # seconds (trunc pulls toward zero, floor away)
+    sec = F.floor(_us(F.col(ts_col)) / 1_000_000).cast("long")
     w = (
         Window.partitionBy(key_col)
         .orderBy(sec)
         .rangeBetween(-int(lookback_seconds), 0)
     )
-    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    cents = _cents(value_col)
     return events.select(
         key_col,
         _us(F.col(ts_col)).alias("ts_us"),
@@ -293,11 +316,18 @@ def zscore_outliers(
     (a key-count-sized broadcast), one broadcast join back — the event
     stream is never shuffled.
     """
-    c = F.round(F.col(value_col) * 100, 0).cast("long")
+    c = _cents(value_col)
+    # DECIMAL(38,0) keeps the moments exact where BIGINT overflows:
+    # c*c alone passes 2^63 at |value| >= ~$30.4M (ANSI mode would kill
+    # the job; non-ANSI silently produced negative variance), and the
+    # per-key running sum at ~10^10 rows - both inside the documented
+    # scale. DuckDB's oracle sums into HUGEINT, so this also restores
+    # engine parity at the extremes.
+    cd = c.cast("decimal(38,0)")
     moments = events.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(c).alias("_s"),
-        F.sum(c * c).alias("_ss"),
+        F.sum(cd).alias("_s"),
+        F.sum(cd * cd).alias("_ss"),
     )
     mean = F.col("_s").cast("double") / F.col("_n")
     var = F.col("_ss").cast("double") / F.col("_n") - mean * mean
@@ -338,7 +368,7 @@ def gap_fill_daily(
     """
     daily = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col(value_col) * 100, 0).cast("long")).alias("sum_cents"),
+        F.sum(_cents(value_col)).alias("sum_cents"),
     )
     spine = (
         daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
@@ -374,8 +404,11 @@ def event_transitions(
     map-side-combined count over the tiny type×type domain; the share
     re-attaches via a single-row broadcast.
     """
+    # asc_nulls_last pins NULL-ts events to the END of each key's
+    # sequence — Spark's default NULLS FIRST would pair them opposite to
+    # the DuckDB oracle's default NULLS LAST
     w = Window.partitionBy(key_col).orderBy(
-        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+        F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
     )
     pairs = (
         events.withColumn("_next", F.lead(type_col).over(w))

@@ -426,11 +426,11 @@ def stateful_rolling_stats(
             if not len(pdf):
                 continue
             ts_us = pdf["ts"].astype("int64") // 1000
-            # trunc toward zero, not floor: cast('long') truncates, and
-            # the two differ on negative epochs with remainders
-            q = ts_us // 1_000_000
-            r = ts_us % 1_000_000
-            secs = q + ((r != 0) & (ts_us < 0)).astype("int64")
+            # FLOOR buckets (Python // is floor division) — the batch
+            # operator and the SQL oracle both use FLOOR(epoch_us/1e6),
+            # which differs from cast-truncation on pre-1970 fractional
+            # seconds
+            secs = ts_us // 1_000_000
             cents, ok = _cents_half_up(pdf["value"])
             events.extend(
                 zip(ts_us.tolist(), secs.tolist(), cents.tolist(), ok.tolist())

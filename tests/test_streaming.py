@@ -489,8 +489,8 @@ def test_stateful_all_null_values_sum_null(spark, tmp_path):
 
 def test_stateful_rolling_all_null_window_and_trunc(spark, tmp_path):
     """Rolling kernel: an all-NULL trailing window sums to NULL, and a
-    pre-1970 fractional-second timestamp buckets by trunc-toward-zero
-    (matching the batch cast('long')), not floor (round-7 review)."""
+    pre-1970 fractional-second timestamp buckets by FLOOR — matching the
+    batch operator and the SQL oracle (round-7 review, both sides)."""
     import datetime as dt
 
     from sids_data_pipeline_spark.operators.windows import rolling_stats

@@ -256,3 +256,61 @@ def test_event_transitions_counts_ordered_pairs(spark):
     assert rows[("view", "click")] == (2, 666667)
     assert rows[("click", "view")] == (1, 333333)
     assert len(rows) == 2
+
+
+def test_funnel_null_ts_does_not_cap_depth(spark):
+    """A NULL-timestamp stage event must not anchor the scan (it would
+    NULL every later guard and freeze the user at depth 1)."""
+    import datetime as dt
+
+    from sids_data_pipeline_spark.operators.windows import funnel
+
+    t = dt.datetime
+    rows = [
+        (1, None, 7, "view", 1.0, "{}"),
+        (2, t(2024, 1, 1, 0, 30), 7, "view", 1.0, "{}"),
+        (3, t(2024, 1, 1, 1, 0), 7, "click", 1.0, "{}"),
+        (4, t(2024, 1, 1, 2, 0), 7, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.depth: r.n_users for r in funnel(ev).collect()}
+    assert got == {3: 1}
+
+
+def test_zscore_outliers_survives_huge_values(spark):
+    """A single >= $30.4M value used to overflow the BIGINT sum of
+    squares (ANSI: job-killing ARITHMETIC_OVERFLOW); moments now
+    accumulate in DECIMAL(38,0)."""
+    import datetime as dt
+
+    from sids_data_pipeline_spark.operators.windows import zscore_outliers
+
+    t = dt.datetime(2024, 1, 1)
+    # 20 ordinary values + one huge one (population z caps at sqrt(n-1),
+    # so a small baseline could never cross 3 sigma)
+    rows = [(i, t, 7, "pay", float(i % 3), "{}") for i in range(2, 22)]
+    rows.append((1, t, 7, "pay", 40_000_000.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = zscore_outliers(ev, key_col="event_type").collect()
+    assert {r.event_id for r in out} == {1}  # the huge value IS the outlier
+
+
+def test_latest_per_key_custom_payload(spark):
+    from sids_data_pipeline_spark.operators.windows import latest_per_key
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10, 5.0),
+         (1, "2024-01-02 00:00:00", 11, 7.0)],
+        "k long, t string, i long, v double",
+    ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t", "i", "v")
+    out = latest_per_key(df, key_col="k", ts_col="t", id_col="i",
+                         payload_cols=("v",)).collect()
+    assert len(out) == 1 and out[0].i == 11 and out[0].v == 7.0
