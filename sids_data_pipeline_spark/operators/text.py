@@ -26,6 +26,19 @@ from sids_data_pipeline_spark.functions.hashing import token_hash32
 
 MICROS = 1_000_000
 
+# THE whitespace class (explicit, never \s — see BPE_REGEX note below)
+WS_REGEX = r"[ \t\n\x0B\f\r]+"
+
+
+def _words(col) -> "F.Column":
+    """The module's ONE tokenize expression: lowercase whitespace
+    split with empty tokens filtered. Nine operators previously
+    inlined identical copies — and chunk_documents had silently
+    drifted (missing the empty filter), exactly the hazard a shared
+    helper removes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), WS_REGEX), lambda w: w != "")
+
 # Tiny built-in stopword inventories for the language heuristic. Real
 # deployments would swap in fastText/CLD3 behind the same operator shape.
 STOPWORDS = {
@@ -58,9 +71,14 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     DIVIDE_BY_ZERO abort under ANSI mode.
     """
     t = F.lower(F.col(text_col))
-    words = F.split(t, r"[ \t\n\x0B\f\r]+")
+    words = F.split(t, WS_REGEX)
     n_words = F.size(F.filter(words, lambda w: w != ""))
-    word_chars = F.length(F.regexp_replace(t, r"[ \t\n\x0B\f\r]+", ""))
+    # raw text, not the lowered copy: Unicode case mapping can change
+    # string LENGTH (İ → i̇), which made avg_word_len inconsistent
+    # with n_chars
+    word_chars = F.length(
+        F.regexp_replace(F.col(text_col), WS_REGEX, "")
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.length(F.col(text_col)).alias("n_chars"),
@@ -146,7 +164,7 @@ def repetition_stats(
     policy, plans/base.py). Output: (doc_id, n_words, n_distinct,
     dup_word_frac_micros, top_word_frac_micros).
     """
-    words = F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    words = F.split(F.lower(F.col(text_col)), WS_REGEX)
     per_word = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("_w"))
         .filter(F.col("_w") != "")
@@ -187,7 +205,7 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     """
     t = F.lower(F.col(text_col))
     n_chars = F.length(F.col(text_col))
-    words = F.filter(F.split(t, r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
+    words = F.filter(F.split(t, WS_REGEX), lambda w: w != "")
     n_words = F.size(words)
     n_punct = _count_matches(t, r"[^a-z0-9 \t\n\x0B\f\r]")
     n_digit = _count_matches(t, r"[0-9]")
@@ -225,7 +243,7 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     the same tie-break, so keep the two in lockstep if changing this.
     Output: (doc_id, lang, predicted_lang).
     """
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
+    words = _words(text_col)
     scores = {
         lang: F.size(F.filter(words, lambda w: w.isin(*stops)))
         for lang, stops in sorted(STOPWORDS.items())
@@ -304,7 +322,7 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
     Output: (doc_id, md5_fp, min_shingle_hash).
     """
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), WS_REGEX, " "))
     words = F.split(norm, " ")
     sh = F.expr(
         "transform(sequence(0, size(_w) - 3), "
@@ -393,10 +411,15 @@ def chunk_documents(
     # referencing the split expression inside the transform() lambda
     # would re-evaluate it per window — O(n_chunks × n_words) on a long
     # document (an 800k-word doc = 8×10⁹ re-splits) instead of O(n_words).
+    # Empty tokens filter like every other operator (an empty/whitespace
+    # doc used to report n_words=1 and emit a phantom '' chunk), and
+    # zero-word docs — including NULL text — emit NO chunks.
     split_docs = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+").alias("_ws"),
-    )
+        F.filter(
+            F.split(F.trim(F.col(text_col)), WS_REGEX), lambda w: w != ""
+        ).alias("_ws"),
+    ).filter(F.size("_ws") > 0)
     words = F.col("_ws")
     n = F.size(words)
     n_chunks = (
@@ -437,7 +460,7 @@ def vocab_counts(
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
+            _words(text_col)
         ).alias("token"),
     )
     return (
@@ -465,12 +488,19 @@ def tfidf(
     (token tf per doc; doc_freq per token) + one broadcast of the scalar
     N + one equi-join on the token key. No driver loops, no all-pairs.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    from sids_data_pipeline_spark.lifecycle import track
+
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
+            _words(text_col)
         ).alias("token"),
     )
+    # the explode feeds BOTH aggregation branches (tf per doc, df per
+    # token); without the persist each branch re-scans the corpus
+    tok = track(tok.persist(StorageLevel.MEMORY_AND_DISK))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("doc_freq"))
     n_docs = docs.select(F.count_distinct(F.col(id_col)).alias("n"))
@@ -516,13 +546,18 @@ def search_bm25(
     doc-frequency and corpus stats are term-count-sized broadcasts; the
     final ranking is a distributed partial top-k. No all-pairs, no
     Python.
+
+    Query semantics are a SET: duplicate terms collapse (repeating a
+    term adds no weight — the tf/df grouping would dedupe it silently
+    anyway, so the contract states it). NULL-text documents are
+    excluded from the corpus statistics — previously n_docs counted
+    them while avgdl skipped them, biasing both idf and the length
+    normalization by unmatchable rows.
     """
-    terms = [t.lower() for t in query_terms]
-    tok = docs.select(
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != ""
-        ).alias("_ws"),
+        _words(text_col).alias("_ws"),
     )
     stats = tok.select(
         "doc_id", F.size("_ws").alias("dl"), F.explode("_ws").alias("token")
@@ -582,14 +617,14 @@ def pseudonymize(
     """
     out = df
     for c in cols:
+        # concat/sha2 propagate NULL, so NULL inputs stay NULL without an
+        # explicit guard
         tok = F.substring(
             F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")), 256),
             1,
             prefix_len,
         )
-        out = out.withColumn(
-            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(tok)
-        )
+        out = out.withColumn(c, tok)
     return out
 
 
@@ -611,7 +646,7 @@ def bpe_pair_counts(
     """
     words = docs.select(
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
+            _words(text_col)
         ).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
@@ -643,7 +678,7 @@ def bpe_train(
     text_col: str = "text",
     return_encoding: bool = False,
     merges_per_round: int = 1,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Iterative BPE tokenizer training: learn the top ``n_merges``
     merge rules over the corpus. Output one row per learned rule:
     (rank, left, right, merged, pair_count). With
@@ -687,7 +722,7 @@ def bpe_train(
         )
     words = docs.select(
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
+            _words(text_col)
         ).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
@@ -699,64 +734,75 @@ def bpe_train(
             "", F.transform(F.split("word", ""), lambda c: F.concat(sep, c, sep))
         ).alias("s"),
     )
-    encoded = encoded.persist()
-    try:
-        spark = docs.sparkSession
-        merges: list[tuple[int, str, str, str, int]] = []
-        while len(merges) < n_merges:
-            k = min(merges_per_round, n_merges - len(merges))
-            # symbols back out of the encoding: strip outer seps, split
-            # on the doubled inner separator
-            syms = F.split(
-                F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP + BPE_SEP
-            )
-            pairs = encoded.select(
-                "n_word",
-                F.explode(
-                    F.zip_with(
-                        F.slice(syms, 1, F.size(syms) - 1),
-                        F.slice(syms, 2, F.size(syms) - 1),
-                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                    )
-                ).alias("p"),
-            )
-            best = (
-                pairs.groupBy("p.a", "p.b")
-                .agg(F.sum("n_word").alias("n"))
-                .orderBy(F.desc("n"), F.col("a").asc(), F.col("b").asc())
-                .limit(k)
-                .collect()
-            )
-            if not best:
-                break
-            # apply the round's merges in recorded order as ONE chained
-            # projection (k string replaces, still a single narrow stage)
-            s_expr = F.col("s")
-            for row in best:
-                a, b, n = row.a, row.b, row.n
-                merged = a + b
-                merges.append((len(merges), a, b, merged, n))
-                s_expr = F.replace(
-                    s_expr,
-                    F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
-                    F.lit(f"{BPE_SEP}{merged}{BPE_SEP}"),
-                )
-            nxt = encoded.select("word", "n_word", s_expr.alias("s")).persist()
-            encoded.unpersist()
-            encoded = nxt
-            if len(best) < k:
-                break  # vocabulary exhausted mid-round
-        rules = spark.createDataFrame(
-            merges,
-            "merge_rank int, left_sym string, right_sym string, "
-            "merged string, pair_count long",
+    # localCheckpoint (eager): materializes the vocabulary once AND
+    # truncates lineage every round. The previous persist+unpersist
+    # rotation had two compounding costs: unpersisting the old cache
+    # before the new frame materialized re-ran the corpus explode +
+    # vocabulary shuffle EVERY round, and the logical plan still nested
+    # one level per round (caching doesn't truncate the analyzed plan),
+    # so late rounds paid ballooning re-analysis — round 15 of a
+    # 16-merge run cost 8.7 s against a 0.4 s steady state. Same cure
+    # as the Pregel loop in operators/graph.py.
+    encoded = encoded.localCheckpoint()
+    spark = docs.sparkSession
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges:
+        k = min(merges_per_round, n_merges - len(merges))
+        # symbols back out of the encoding: strip outer seps, split
+        # on the doubled inner separator
+        syms = F.split(
+            F.expr("substring(s, 2, length(s) - 2)"), BPE_SEP + BPE_SEP
         )
-        if return_encoding:
-            return rules, encoded
-        return rules
-    finally:
-        if not return_encoding:
-            encoded.unpersist()
+        pairs = encoded.select(
+            "n_word",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n_word").alias("n"))
+            .orderBy(F.desc("n"), F.col("a").asc(), F.col("b").asc())
+            .limit(k)
+            .collect()
+        )
+        if not best:
+            break
+        # apply the round's merges in recorded order as ONE chained
+        # projection (k string replaces, still a single narrow stage)
+        s_expr = F.col("s")
+        for row in best:
+            a, b, n = row.a, row.b, row.n
+            merged = a + b
+            merges.append((len(merges), a, b, merged, n))
+            s_expr = F.replace(
+                s_expr,
+                F.lit(f"{BPE_SEP}{a}{BPE_SEP}{BPE_SEP}{b}{BPE_SEP}"),
+                F.lit(f"{BPE_SEP}{merged}{BPE_SEP}"),
+            )
+        # eager checkpoint: the old blocks release as soon as the
+        # new ones are written, and the next round's plan starts
+        # from a leaf instead of an ever-deeper select chain
+        encoded = encoded.select(
+            "word", "n_word", s_expr.alias("s")
+        ).localCheckpoint()
+        if len(best) < k:
+            break  # vocabulary exhausted mid-round
+    rules = spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+    if return_encoding:
+        # already materialized (eager checkpoint); blocks free with
+        # the RDD when the consumer drops the reference — nothing to
+        # unpersist even on the caller's failure path
+        return rules, encoded
+    return rules
 
 
 def bpe_encode(
@@ -778,19 +824,15 @@ def bpe_encode(
     broadcast-join back onto the (doc, word) stream — no Python, no
     per-doc state.
     """
-    from sids_data_pipeline_spark.lifecycle import track
-
     _, encoded = bpe_train(
         docs, n_merges=n_merges, text_col=text_col, return_encoding=True
     )
-    # stays persisted (training already materialized it); track() hands
-    # release to the library's cache lifecycle — unpersisting here would
-    # silently recompute the whole merge chain when the lazy result runs
-    encoded = track(encoded)
+    # already materialized (eager localCheckpoint inside training); its
+    # blocks free when the reference drops — no persist lifecycle needed
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
+            _words(text_col)
         ).alias("word"),
     )
     per_word = encoded.select(

@@ -1287,13 +1287,18 @@ def _corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # was (tests/test_oracle_edges.py covers both sides).
 _CORPUS_CHUNK_SQL = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS ws FROM documents
+  -- empty tokens filtered and zero-word docs (incl. NULL text) dropped,
+  -- mirroring the engine: an empty doc emits NO chunks
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents
 ),
 c AS (
   SELECT doc_id, ws, len(ws) AS n_words,
          CAST(CEIL(CAST(GREATEST(len(ws) - 100, 0) AS DOUBLE) / 80) AS INT) + 1
            AS n_chunks
-  FROM w
+  FROM w WHERE len(ws) > 0
 ),
 words AS (
   -- parallel unnest aligns element-wise: word with its 1-based position
@@ -1477,7 +1482,7 @@ SELECT doc_id,
        CAST(n_words AS INT) AS n_words,
        CAST(len(regexp_extract_all(lt, '{text.BPE_REGEX}')) AS INT) AS n_tokens,
        CASE WHEN n_words > 0
-            THEN CAST(ROUND(CAST(length(regexp_replace(lt, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE) / n_words * 1000000) AS BIGINT)
+            THEN CAST(ROUND(CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE) / n_words * 1000000) AS BIGINT)
             ELSE NULL END AS avg_word_len_micros
 FROM t
 """

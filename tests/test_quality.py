@@ -116,3 +116,44 @@ def test_unique_rule_exempts_nulls(spark):
     ).collect()}
     # NULLs are not duplicates of each other (dbt/GE convention)
     assert rows["unique(k)"] == 0
+
+
+def test_chunk_documents_empty_and_null_docs(spark):
+    """Empty/whitespace/NULL documents emit NO chunks (previously a
+    phantom '' or NULL chunk with n_words=1/NULL) — round-7 review."""
+    from sids_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_words=2, stride=1).collect()
+    assert {r.doc_id for r in out} == {1}
+    assert all(r.chunk_text for r in out)
+
+
+def test_token_stats_word_chars_on_raw_text(spark):
+    """Unicode case mapping can change string length (İ lowers to two
+    codepoints); word chars must count the RAW text so avg word length
+    cannot exceed n_chars."""
+    from sids_data_pipeline_spark.operators.text import token_stats
+
+    docs = spark.createDataFrame(
+        [(1, "İstanbul")], "doc_id long, text string"
+    )
+    r = token_stats(docs).collect()[0]
+    assert r.n_chars == 8
+    assert r.avg_word_len_micros == 8_000_000  # == n_chars, not 9e6
+
+
+def test_bm25_null_text_excluded_and_terms_deduped(spark):
+    from sids_data_pipeline_spark.operators.text import search_bm25
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat dog"), (3, None)],
+        "doc_id long, text string",
+    )
+    a = {(r.doc_id, r.score_micros) for r in search_bm25(docs, ["cat"]).collect()}
+    b = {(r.doc_id, r.score_micros)
+         for r in search_bm25(docs, ["cat", "cat"]).collect()}
+    assert a == b and {d for d, _ in a} == {1, 2}
