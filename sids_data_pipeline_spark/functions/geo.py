@@ -34,15 +34,24 @@ Polygon = list  # [exterior_ring, hole_ring, ...]
 
 
 def polygon_wkb(rings: Sequence[Sequence[tuple[float, float]]]) -> bytes:
-    """Encode one polygon (exterior + holes) as little-endian WKB."""
+    """Encode one polygon (exterior + holes) as little-endian WKB.
+    Accepts plain tuples OR the parser's numpy rings (the closure check
+    converts first — a raw ``pts[0] != pts[-1]`` on numpy rows is an
+    ambiguous-truth-value crash); empty rings and NaN coordinates are
+    rejected loudly (NaN defeats every closure comparison and would grow
+    a phantom vertex per encode pass)."""
     out = [struct.pack("<BI", 1, WKB_POLYGON), struct.pack("<I", len(rings))]
     for ring in rings:
-        pts = list(ring)
+        pts = [(float(x), float(y)) for x, y in ring]
+        if not pts:
+            raise ValueError("empty ring cannot encode to WKB")
+        if any(x != x or y != y for x, y in pts):
+            raise ValueError("NaN coordinate in ring")
         if pts[0] != pts[-1]:
             pts = pts + [pts[0]]
         out.append(struct.pack("<I", len(pts)))
         for x, y in pts:
-            out.append(struct.pack("<dd", float(x), float(y)))
+            out.append(struct.pack("<dd", x, y))
     return b"".join(out)
 
 
@@ -68,6 +77,11 @@ def _parse_ring(buf: memoryview, off: int) -> tuple[Ring, int]:
     off += 4
     ring = np.frombuffer(buf, dtype="<f8", count=2 * n, offset=off).reshape(n, 2)
     end = off + 16 * n
+    # Reject NaN coordinates: NaN defeats the closure comparison below
+    # (array_equal never matches), so every parse would append a phantom
+    # closing vertex and feed degenerate edges to the kernels.
+    if np.isnan(ring).any():
+        raise ValueError("NaN coordinate in WKB ring")
     # Tolerate unclosed rings (append the closing vertex) but reject
     # degenerate ones — silently skipping either corrupts crossing parity.
     if n and not np.array_equal(ring[0], ring[-1]):
@@ -173,9 +187,14 @@ def points_in_polygons(
     for poly in polys:
         acc = np.zeros(px.shape[0], dtype=bool)
         for ring in poly:
-            if len(ring) < 4:
-                raise ValueError(f"degenerate ring with {len(ring)} point(s)")
-            acc ^= _ring_crossings(np.asarray(ring, dtype=np.float64), px, py)
+            r = np.asarray(ring, dtype=np.float64)
+            if len(r) < 4:
+                raise ValueError(f"degenerate ring with {len(r)} point(s)")
+            if not np.array_equal(r[0], r[-1]):
+                # an open ring silently loses its closing edge and flips
+                # containment parity — fail loudly like the degenerate case
+                raise ValueError("unclosed ring (first != last vertex)")
+            acc ^= _ring_crossings(r, px, py)
         inside |= acc
     return inside
 
@@ -186,8 +205,13 @@ def promote_to_multi(wkb: bytes) -> bytes:
     MultiPolygon; MultiPolygon passes through byte-identical. Z/M input
     is rejected by the parser (the ``-dim XY`` half of F7)."""
     buf = memoryview(wkb)
+    byte_order, raw = struct.unpack_from("<BI", buf, 0)
     geom_type, _ = _geom_header(buf, 0)
-    if geom_type == WKB_MULTIPOLYGON:
+    # plain WKB MultiPolygon passes through byte-identical; an EWKB one
+    # (SRID flag) re-encodes like the Polygon path so the canonical bytes
+    # do not depend on the input geometry TYPE (byte-equality consumers —
+    # dedup keys, per-batch WKB caches — would otherwise fragment)
+    if geom_type == WKB_MULTIPOLYGON and raw == WKB_MULTIPOLYGON:
         return wkb
     polys = parse_wkb(wkb)
     return multipolygon_wkb(
@@ -196,8 +220,12 @@ def promote_to_multi(wkb: bytes) -> bytes:
 
 
 def polys_bbox(polys: list[Polygon]) -> tuple[float, float, float, float]:
-    """(xmin, ymin, xmax, ymax) of pre-parsed polygons (exterior rings)."""
+    """(xmin, ymin, xmax, ymax) of pre-parsed polygons (exterior rings).
+    Empty geometries (MULTIPOLYGON EMPTY — valid WKB the parser accepts)
+    raise a named error instead of a cryptic numpy vstack failure."""
     exts = [np.asarray(poly[0]) for poly in polys if poly]
+    if not exts:
+        raise ValueError("empty geometry (no rings): bbox undefined")
     allpts = np.vstack(exts)
     return (
         float(allpts[:, 0].min()),
@@ -265,8 +293,12 @@ def clip_ring_rect(
     delegates it to the tippecanoe binary); here it is a small numpy
     kernel shared by the MVT encoder and its correctness oracle.
     """
-    pts = np.asarray(ring, dtype=np.float64)
-    if pts.shape[0] and np.array_equal(pts[0], pts[-1]):
+    arr = np.asarray(ring, dtype=np.float64)
+    # plain tuples in the inner loop: per-element numpy scalar indexing
+    # is several times slower than tuple access, and this runs per ring
+    # per tile per zoom in the MVT encoder
+    pts = [(float(x), float(y)) for x, y in arr]
+    if pts and pts[0] == pts[-1]:
         pts = pts[:-1]  # operate on the open ring, re-close at the end
 
     # (axis, bound, keep_leq): clip half-planes in a fixed order so the
@@ -278,11 +310,10 @@ def clip_ring_rect(
         (1, ymax, True),   # y <= ymax
     )
     for axis, bound, keep_leq in planes:
-        if pts.shape[0] == 0:
+        if not pts:
             break
         out: list[tuple[float, float]] = []
-        n = pts.shape[0]
-        for i in range(n):
+        for i in range(len(pts)):
             cur = pts[i]
             prv = pts[i - 1]
             cur_in = (cur[axis] <= bound) if keep_leq else (cur[axis] >= bound)
@@ -292,14 +323,14 @@ def clip_ring_rect(
                 # the *other* axis (the clipped axis lands exactly on bound)
                 t = (bound - prv[axis]) / (cur[axis] - prv[axis])
                 other = prv[1 - axis] + t * (cur[1 - axis] - prv[1 - axis])
-                ipt = (bound, other) if axis == 0 else (other, bound)
-                out.append(ipt)
+                out.append((bound, other) if axis == 0 else (other, bound))
             if cur_in:
-                out.append((float(cur[0]), float(cur[1])))
-        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
-    if pts.shape[0] < 3:
+                out.append(cur)
+        pts = out
+    if len(pts) < 3:
         return np.empty((0, 2), dtype=np.float64)
-    return np.vstack([pts, pts[:1]])
+    arr_out = np.asarray(pts, dtype=np.float64)
+    return np.vstack([arr_out, arr_out[:1]])
 
 
 def _dp_keep(pts: np.ndarray, first: int, last: int, tol: float, keep: np.ndarray):
@@ -457,12 +488,32 @@ def _clip_ring_halfplane(pts: list, inside, intersect) -> list:
     return out
 
 
+def ring_open_tuples(ring) -> list[tuple[float, float]]:
+    """Ring → open (no closing vertex) list of float tuples — the
+    precomputed form :func:`clip_ring_box_area2` consumes. The closing
+    vertex strips only when actually present (an unconditional [:-1]
+    silently dropped a real vertex of an open ring, diverging from
+    clip_ring_rect). Cache this per zone in per-pixel hot paths: the
+    conversion is O(vertices) and was previously rebuilt per pixel."""
+    arr = np.asarray(ring, dtype=np.float64)
+    pts = [(float(x), float(y)) for x, y in arr]
+    if pts and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    return pts
+
+
 def clip_ring_box_area2(ring, x0: float, y0: float, x1: float, y1: float) -> float:
     """Twice the signed area of ring ∩ [x0,x1]×[y0,y1] via Sutherland–
     Hodgman clipping (convex clip window ⇒ exact for any simple ring).
     Used for region-weighted zonal statistics: the weight of a boundary
-    pixel is its clipped area over the cell area."""
-    pts = [(float(x), float(y)) for x, y in np.asarray(ring)[:-1]]
+    pixel is its clipped area over the cell area. ``ring`` may be a
+    numpy/tuple ring (converted per call) or a pre-converted open tuple
+    list from :func:`ring_open_tuples` (zero conversion — the per-pixel
+    hot-path form)."""
+    if isinstance(ring, list) and (not ring or isinstance(ring[0], tuple)):
+        pts = ring
+    else:
+        pts = ring_open_tuples(ring)
 
     def ix_v(xb):
         return lambda p, q: (xb, p[1] + (q[1] - p[1]) * (xb - p[0]) / (q[0] - p[0]))

@@ -566,10 +566,12 @@ def zonal_weighted(
                 # ESRI-convention exports) would make every weight
                 # negative and silently NULL the zone; flipping by the
                 # exterior ring's own orientation keeps hole subtraction
-                # (opposite-wound inner rings) intact
+                # (opposite-wound inner rings) intact. Rings cache as
+                # OPEN tuple lists (geo.ring_open_tuples) so the clip
+                # kernel skips the O(vertices) conversion per pixel.
                 cached = [
                     (
-                        poly,
+                        [geo.ring_open_tuples(ring) for ring in poly],
                         1.0
                         if geo.ring_signed_area(np.asarray(poly[0])) >= 0
                         else -1.0,
@@ -579,8 +581,8 @@ def zonal_weighted(
                 cache[key] = cached
             a2 = sum(
                 sgn * geo.clip_ring_box_area2(ring, x - h, y - h, x + h, y + h)
-                for poly, sgn in cached
-                for ring in poly
+                for rings, sgn in cached
+                for ring in rings
             )
             w = a2 / 2.0 * inv
             out[i] = int(np.sign(w) * np.floor(abs(w) + 0.5))

@@ -223,3 +223,47 @@ def test_clip_area_triangle_hand_computed():
     # full strip area 1; cut corner above line: triangle with legs 0.5 →
     # 0.125; area = 1 - 0.125 = 0.875
     assert abs(geo.clip_ring_box_area2(tri, 0.5, 0.0, 1.5, 1.0) / 2.0 - 0.875) < 1e-12
+
+
+def test_geo_edge_guards(spark):
+    """Round-7 review: empty geometries, open rings, NaN coordinates,
+    and numpy-ring re-encoding all fail loudly (or work) instead of
+    crashing cryptically or silently corrupting parity."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.functions import geo
+
+    # MULTIPOLYGON EMPTY parses; bbox raises a NAMED error
+    empty = struct.pack("<BII", 1, geo.WKB_MULTIPOLYGON, 0)
+    assert geo.parse_wkb(empty) == []
+    with _pytest.raises(ValueError, match="empty geometry"):
+        geo.polys_bbox(geo.parse_wkb(empty))
+
+    # re-encoding the parser's own numpy rings round-trips
+    wkb = geo.box_wkb(0.0, 0.0, 2.0, 1.0)
+    polys = geo.parse_wkb(wkb)
+    again = geo.multipolygon_wkb(
+        [[ring for ring in poly] for poly in polys]
+    )
+    assert again == wkb
+
+    # NaN coordinates rejected at encode AND parse
+    with _pytest.raises(ValueError, match="NaN"):
+        geo.polygon_wkb([[(0.0, 0.0), (1.0, 0.0), (float("nan"), 1.0), (0.0, 0.0)]])
+
+    # open ring: containment kernel refuses instead of losing an edge
+    open_sq = [np.asarray([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)])]
+    with _pytest.raises(ValueError, match="unclosed"):
+        geo.points_in_polygons([open_sq], np.array([-2.0]), np.array([2.0]))
+
+    # clip area: open and closed forms of the same ring agree
+    closed = np.asarray([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])
+    a_closed = geo.clip_ring_box_area2(closed, 1.0, 1.0, 3.0, 3.0)
+    a_open = geo.clip_ring_box_area2(closed[:-1], 1.0, 1.0, 3.0, 3.0)
+    a_pre = geo.clip_ring_box_area2(
+        geo.ring_open_tuples(closed), 1.0, 1.0, 3.0, 3.0
+    )
+    assert a_closed == a_open == a_pre == 8.0  # 2 * (2x2)

@@ -191,12 +191,13 @@ def test_curation_job_action_economy_and_input_signature(spark, tmp_path, monkey
 
     m1 = run_curation_job(spark, docs, out, shard_tokens=2000)
     assert m1["skipped"] is False
-    # count: input-signature count + the LSH degenerate-bucket probe
-    # (bounded limit(N+1).count, by design); collect: one pack_shards
-    # partition-totals list per split (3) + the empty-output guard's
-    # take(1) on the PERSISTED frame + ONE report aggregate. The write
-    # is the only action executing the curation chain.
-    assert calls["count"] == 2, calls
+    # count: ONLY the input-signature count (the LSH degenerate-bucket
+    # probe job was removed in round 7 — the cap applies lazily);
+    # collect: one pack_shards partition-totals list per split (3) + the
+    # empty-output guard's take(1) on the PERSISTED frame + ONE report
+    # aggregate. The write is the only action executing the curation
+    # chain.
+    assert calls["count"] == 1, calls
     assert calls["collect"] == 5, calls
 
     # skip path: signature count only, zero chain work
