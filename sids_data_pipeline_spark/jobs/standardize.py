@@ -45,6 +45,14 @@ def run_standardize_job(
     is the input rasters the ledger pruned (not the whole ledger, which
     may span other input directories). ``lon``/``lat`` ARE the clip
     extent (they can widen past the defaults, not just narrow).
+
+    Remote estates: ``input_glob`` may be a remote URI — listing goes
+    through Hadoop globStatus (driver-side) and executor decode reads
+    bytes via ``pyarrow.fs`` (s3/gs/hdfs where pyarrow supports the
+    scheme; see ``geotiff_datasource._read_bytes``). ``out_dir`` must be
+    LOCAL/shared-posix — the geotiff writer refuses remote save paths
+    (executor workers have no JVM gateway to the Hadoop FS for writes).
+    The ``ledger_path`` is plain Spark parquet and may live anywhere.
     """
     import glob as globmod
     import os

@@ -46,6 +46,39 @@ class _FilePartition(InputPartition):
         self.band = band
 
 
+def _read_bytes(path: str) -> bytes:
+    """Read a whole file from local disk or a remote URI.
+
+    ``read()`` runs in executor Python workers, which have NO JVM
+    gateway — the Hadoop FileSystem is unreachable there (the reason
+    :class:`GeoTiffWriter` refuses remote save paths). Remote READS go
+    through ``pyarrow.fs`` instead, which opens s3:// (and gs://,
+    hdfs:// where libhdfs is present) natively from Python; Hadoop's
+    s3a/s3n scheme aliases map to pyarrow's s3. Unsupported schemes
+    raise a clear error instead of executor-side FileNotFoundError.
+    """
+    if "://" not in path or path.startswith("file://"):
+        with open(path.removeprefix("file://"), "rb") as f:
+            return f.read()
+    uri = path
+    scheme, rest = uri.split("://", 1)
+    if scheme in ("s3a", "s3n"):
+        uri = f"s3://{rest}"
+    try:
+        from pyarrow import fs as pafs
+
+        filesystem, fs_path = pafs.FileSystem.from_uri(uri)
+    except Exception as ex:
+        raise NotImplementedError(
+            f"geotiff source: remote scheme {scheme!r} is not readable "
+            "from executor Python workers (no JVM gateway; pyarrow.fs "
+            f"rejected {uri!r}: {ex}) — copy to local/s3 storage or "
+            "ingest via binaryFile + ingest_geotiff instead"
+        ) from ex
+    with filesystem.open_input_stream(fs_path) as f:
+        return f.read()
+
+
 class GeoTiffReader(DataSourceReader):
     def __init__(self, options: dict):
         self._path = options.get("path")
@@ -77,8 +110,9 @@ class GeoTiffReader(DataSourceReader):
 
         from sids_data_pipeline_spark.sources.geotiff import decode_geotiff_bands
 
-        with open(partition.path, "rb") as f:
-            bands3, (ox, oy, sx, sy), nodata = decode_geotiff_bands(f.read())
+        bands3, (ox, oy, sx, sy), nodata = decode_geotiff_bands(
+            _read_bytes(partition.path)
+        )
         nb, h, w = bands3.shape
         band = partition.band
         if band is not None and not 1 <= band <= nb:

@@ -107,6 +107,15 @@ def streaming_exact_dedup(
     output instead of appending duplicates; the anti-join excludes the
     replayed batch's own (possibly partial) ledger partition so its rows
     are not mistaken for already-seen keys.
+
+    LEDGER FORMAT NOTE: digests come from ``exact_key_digest(key_cols,
+    batch)``, which (since the -0.0 normalization fix) folds ``-0.0`` to
+    ``0.0`` in float/double key columns before hashing. A ledger built by
+    an earlier version with float keys holds pre-normalization digests:
+    keys whose digest changed (only those containing ``-0.0``) would be
+    re-emitted once. Rebuild such ledgers when upgrading (drop
+    ``out_dir/_seen`` and replay), or accept the one-time duplicate for
+    the affected keys; integer/string-keyed ledgers are unaffected.
     """
     import os
 
@@ -396,9 +405,10 @@ def stateful_rolling_stats(
     (epoch-second, cents, nonnull flag) — every batch drops expired
     entries, so state is bounded by key rate × horizon, not stream
     length. The emitted per-event rows use the identical micros/cents
-    algebra as the batch operator — trunc-toward-zero epoch seconds
-    (matching ``cast('long')``, which differs from floor on pre-1970
-    fractional seconds), NULL sums for all-NULL windows — so an
+    algebra as the batch operator — FLOOR epoch-second buckets
+    (``FLOOR(epoch_us / 1e6)``, matching ``rolling_stats``'s ``F.floor``
+    and the SQL oracle; floor differs from trunc-toward-zero on
+    pre-1970 fractional seconds), NULL sums for all-NULL windows — so an
     availableNow drain over a single batch reproduces the batch result
     row-for-row (parity-tested). NULL-timestamp rows are DROPPED (the
     watermark semantics of every stateful streaming op; the batch
