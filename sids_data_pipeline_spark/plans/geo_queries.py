@@ -379,6 +379,54 @@ def _geotiff_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_lzw_dir() -> str:
+    """Deterministic uint16 GeoTIFF in the single most common FOREIGN
+    profile: LZW + horizontal predictor 2, strip layout — the NASA/USGS
+    distribution default the round-7 verdict flagged as the first crash
+    a real user would hit (reference reads it via GDAL,
+    batch/processing/raster.py:22-38). Values are the gradient mod 4096
+    so they fit u2 exactly and can't alias the plain-gradient fixture."""
+    import numpy as np
+
+    def arr():
+        y, x = np.mgrid[0:GRID_N, 0:GRID_N]
+        return np.mod(x + GRID_N * y, 4096).astype("float64")
+
+    return _cached_fixture_dir(
+        "lzw", "rast_lzw.tif", arr, compress="lzw", dtype="u2", predictor=2
+    )
+
+
+def _lzw_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 on a foreign-profile raster: uint16 + LZW + predictor 2
+    (pure-python early-change LZW + modular cumsum un-differencing),
+    distributed ingest, lattice oracle."""
+    from sids_data_pipeline_spark.sources.geotiff import ingest_geotiff
+
+    px = ingest_geotiff(spark, _fixture_lzw_dir() + "/*.tif")
+    return px.select(
+        "raster_id", "band", "y", "x",
+        F.round("lon", 9).alias("lon"),
+        F.round("lat", 9).alias("lat"),
+        "val",
+    )
+
+
+def _lzw_ingest_sql() -> str:
+    n = GRID_N
+    return f"""
+SELECT 'rast_lzw' AS raster_id,
+       1 AS band,
+       CAST(i // {n} AS INT) AS y,
+       CAST(i % {n} AS INT) AS x,
+       ROUND((i % {n} + 0.5) * CAST(0.1 AS DOUBLE), 9) AS lon,
+       ROUND({n} * CAST(0.1 AS DOUBLE) - (i // {n} + 0.5) * CAST(0.1 AS DOUBLE), 9)
+         AS lat,
+       CAST(i % 4096 AS DOUBLE) AS val
+FROM (SELECT unnest(range({n * n})) AS i) t
+"""
+
+
 def _geotiff_datasource_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 through the Spark 4 Python DataSource API: the codec as a
     planner-integrated format (`spark.read.format("geotiff")`), one
@@ -1267,6 +1315,15 @@ QUERIES: list[Query] = [
         _geotiff_ingest_sql(),
         doc="S5: ZSTD+tiled GeoTIFF (reference profile) → distributed "
             "pixel ingest, lattice-oracle-verified",
+        tags=("geo", "source"),
+    ),
+    Query(
+        "raster_lzw_ingest",
+        _lzw_ingest_query,
+        _lzw_ingest_sql(),
+        doc="S5 on the NASA/USGS default foreign profile: uint16 + LZW "
+            "(TIFF early-change variant) + horizontal predictor 2, "
+            "pure-python decode, lattice-oracle-verified",
         tags=("geo", "source"),
     ),
     Query(

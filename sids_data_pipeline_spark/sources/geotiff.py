@@ -11,9 +11,11 @@ sample bytes. This module implements that subset in pure numpy:
   pixel_sx, pixel_sy), nodata). Little/big-endian, strip OR tile layout
   (the reference's own profile is TILED=YES 128×128,
   batch/processing/raster.py:7-8), uint8/16/32, int16/32, float32/64,
-  raw, deflate, or ZSTD chunks (tag 50000, via pyarrow's zstd codec) —
-  the reference's full COMPRESS=ZSTD/TILED=YES output profile ingests
-  without GDAL.
+  raw, LZW (with the TIFF early-change variant + horizontal predictor —
+  the NASA/USGS distribution default), deflate, PackBits, or ZSTD
+  chunks (tag 50000, via pyarrow's zstd codec) — the reference's full
+  COMPRESS=ZSTD/TILED=YES output profile AND the common foreign-raster
+  profiles ingest without GDAL.
 - :func:`encode_geotiff` — the matching writer (K5): single-band
   float64, one strip or ``tile=N`` tiled layout, ModelPixelScale +
   ModelTiepoint georef.
@@ -62,7 +64,18 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 # (batch/processing/raster.py:7); pyarrow ships the zstd codec, so no
 # GDAL/rasterio needed. ZSTD decompression requires the expected output
 # size, which TIFF always determines (chunk dims × sample width).
-_COMP_NONE, _COMP_DEFLATE, _COMP_ZSTD = 1, 8, 50000
+# LZW (5) and PackBits (32773) are pure-python decoders below: LZW is
+# the single most common compression on public GeoTIFFs (NASA/USGS
+# distribution default) — the reference reads them because GDAL does the
+# decode (batch/processing/raster.py:22-38); without these the first
+# foreign raster in would crash the ingest.
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_PACKBITS, _COMP_ZSTD = (
+    1, 5, 8, 32773, 50000
+)
+_SUPPORTED_COMPRESSIONS = (
+    _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_PACKBITS, _COMP_ZSTD
+)
+_TAG_PREDICTOR = 317
 
 
 def _zstd_codec():
@@ -71,17 +84,185 @@ def _zstd_codec():
     return pa.Codec("zstd")
 
 
+def _lzw_decode(buf: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9-bit
+    initial codes, ClearCode=256, EOI=257, and the TIFF "early change" —
+    the code width grows one entry EARLY (at table size 511/1023/2047,
+    not 512/1024/2048), matching libtiff/GDAL output. Old-style LSB
+    streams (pre-TIFF-5 Aldus writers) are not handled.
+    """
+    CLEAR, EOI = 256, 257
+    literals = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(literals)
+    out = bytearray()
+    bits = 9
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in buf:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= bits:
+            nbits -= bits
+            code = (acc >> nbits) & ((1 << bits) - 1)
+            if code == CLEAR:
+                table = list(literals)
+                bits = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(
+                    f"corrupt LZW stream: code {code} > table {len(table)}"
+                )
+            out += entry
+            prev = entry
+            # early change, adjusted for the decoder's one-entry lag
+            # behind the encoder (the encoder widens after assigning
+            # code 510/1022/2046; the decoder has then assigned one
+            # fewer, so it widens at table size 2^bits - 2)
+            if len(table) >= (1 << bits) - 2 and bits < 12:
+                bits += 1
+        acc &= (1 << nbits) - 1  # keep the accumulator bounded
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (early change, MSB-first), the exact
+    inverse of :func:`_lzw_decode`; emits Clear at table-full (4094
+    entries → next add would need a 13th bit) like libtiff."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    bits = 9
+    put(CLEAR, bits)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], bits)
+        table[wc] = next_code
+        next_code += 1
+        # early change: the ENCODER widens when the next code to emit
+        # could be next_code-1 == (1<<bits)-1
+        if next_code == (1 << bits) - 1 and bits < 12:
+            bits += 1
+        elif next_code == 4095:  # 12-bit table nearly full: reset
+            put(CLEAR, bits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            bits = 9
+        w = bytes([b])
+    if w:
+        put(table[w], bits)
+    put(EOI, bits)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(buf: bytes) -> bytes:
+    """Apple PackBits (TIFF 6.0 §9): header byte n ∈ [0,127] → copy n+1
+    literals; n ∈ [129,255] → repeat next byte 257-n times; 128 → noop."""
+    out = bytearray()
+    i, n = 0, len(buf)
+    while i < n:
+        h = buf[i]
+        i += 1
+        if h < 128:
+            out += buf[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += bytes([buf[i]]) * (257 - h)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder: greedy runs ≥ 3 become replicate packets, the
+    rest literal packets of ≤ 128 bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literals(end: int) -> None:
+        j = lit_start
+        while j < end:
+            k = min(128, end - j)
+            out.append(k - 1)
+            out.extend(data[j : j + k])
+            j += k
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
 def _decompress(buf: bytes, compression: int, expected_size: int) -> bytes:
     if compression == _COMP_NONE:
         return buf
+    if compression == _COMP_LZW:
+        return _lzw_decode(buf)
     if compression == _COMP_DEFLATE:
         return zlib.decompress(buf)
+    if compression == _COMP_PACKBITS:
+        return _packbits_decode(buf)
     if compression == _COMP_ZSTD:
         return bytes(_zstd_codec().decompress(buf, expected_size))
     raise NotImplementedError(
         "TIFF compression %d needs a codec (rasterio/GDAL); engine "
-        "subset is raw (1), deflate (8), or ZSTD (50000)" % compression
+        "subset is raw (1), LZW (5), deflate (8), PackBits (32773), "
+        "or ZSTD (50000)" % compression
     )
+
+
+def _undo_predictor(
+    raw: bytes, rows: int, width: int, spp: int, dtype: str
+) -> bytes:
+    """Invert TIFF horizontal differencing (tag 317 = 2): within each
+    row, sample s of pixel x was stored as value[x] − value[x−1]
+    (per-channel, modular in the sample dtype); cumulative sum along the
+    row restores the plane. LZW files almost always carry this — GDAL
+    writes PREDICTOR=2 by default with integer LZW/deflate output."""
+    arr = np.frombuffer(raw, dtype=dtype, count=rows * width * spp).reshape(
+        rows, width, spp
+    )
+    # same-dtype cumsum wraps modularly, exactly inverting the modular
+    # differencing the writer applied
+    return np.cumsum(arr, axis=1, dtype=arr.dtype).tobytes()
 
 
 def _read_ifd(buf: bytes, bo: str) -> dict[int, list]:
@@ -130,10 +311,18 @@ def decode_geotiff_bands(data: bytes):
         raise ValueError("not a classic TIFF (BigTIFF unsupported)")
     tags = _read_ifd(data, bo)
     compression = tags.get(_TAG_COMPRESSION, [1])[0]
-    if compression not in (_COMP_NONE, _COMP_DEFLATE, _COMP_ZSTD):
+    if compression not in _SUPPORTED_COMPRESSIONS:
         raise NotImplementedError(
             "TIFF compression %d needs a codec (rasterio/GDAL); engine "
-            "subset is raw (1), deflate (8), or ZSTD (50000)" % compression
+            "subset is raw (1), LZW (5), deflate (8), PackBits (32773), "
+            "or ZSTD (50000)" % compression
+        )
+    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not supported (horizontal "
+            "differencing (2) only; floating-point predictor (3) needs "
+            "a real GDAL)"
         )
     spp = tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
     planar = tags.get(_TAG_PLANAR, [1])[0]
@@ -156,7 +345,21 @@ def decode_geotiff_bands(data: bytes):
     }.get((fmt, bits))
     if dtype is None:
         raise NotImplementedError(f"sample format {fmt} bits {bits} not supported")
+    if predictor == 2 and dtype[0] == "f":
+        raise NotImplementedError(
+            "predictor 2 (integer horizontal differencing) on float "
+            "samples is malformed; float rasters use predictor 3, which "
+            "needs a real GDAL"
+        )
     itemsize = np.dtype(dtype).itemsize
+
+    def _chunk(o: int, c: int, rows: int, cols: int, chunk_spp: int) -> bytes:
+        buf = _decompress(
+            data[o : o + c], compression, rows * cols * chunk_spp * itemsize
+        )
+        if predictor == 2:
+            buf = _undo_predictor(buf, rows, cols, chunk_spp, bo + dtype)
+        return buf
     if _TAG_TILE_WIDTH in tags:
         # Tiled layout (the reference's own standardized profile is
         # TILED=YES 128×128, batch/processing/raster.py:7-8): tiles run
@@ -174,7 +377,7 @@ def decode_geotiff_bands(data: bytes):
             tiles_per_plane = across * down
             padded = np.empty((spp, down * tl, across * tw), dtype=bo + dtype)
             for idx, (o, c) in enumerate(zip(offsets, counts)):
-                buf = _decompress(data[o : o + c], compression, tw * tl * itemsize)
+                buf = _chunk(o, c, tl, tw, 1)
                 tile = np.frombuffer(buf, dtype=bo + dtype, count=tw * tl).reshape(tl, tw)
                 p, rem = divmod(idx, tiles_per_plane)
                 ty, tx = divmod(rem, across)
@@ -183,9 +386,7 @@ def decode_geotiff_bands(data: bytes):
         else:
             padded = np.empty((down * tl, across * tw, spp), dtype=bo + dtype)
             for idx, (o, c) in enumerate(zip(offsets, counts)):
-                buf = _decompress(
-                    data[o : o + c], compression, tw * tl * spp * itemsize
-                )
+                buf = _chunk(o, c, tl, tw, spp)
                 tile = np.frombuffer(
                     buf, dtype=bo + dtype, count=tw * tl * spp
                 ).reshape(tl, tw, spp)
@@ -207,10 +408,7 @@ def decode_geotiff_bands(data: bytes):
             planes = []
             for p in range(spp):
                 raw = b"".join(
-                    _decompress(
-                        data[o : o + c], compression,
-                        _plane_rows(i) * width * itemsize,
-                    )
+                    _chunk(o, c, _plane_rows(i), width, 1)
                     for i, (o, c) in enumerate(
                         zip(
                             offs[p * strips_per_plane : (p + 1) * strips_per_plane],
@@ -225,10 +423,7 @@ def decode_geotiff_bands(data: bytes):
             values = np.stack(planes).astype("float64")
         else:
             raw = b"".join(
-                _decompress(
-                    data[o : o + c], compression,
-                    _plane_rows(i) * width * spp * itemsize,
-                )
+                _chunk(o, c, _plane_rows(i), width, spp)
                 for i, (o, c) in enumerate(zip(offs, cnts))
             )
             values = (
@@ -286,46 +481,81 @@ def encode_geotiff(
     compress: str | None = None,
     tile: int | None = None,
     planar: bool = False,
+    dtype: str = "f8",
+    predictor: int = 1,
 ) -> bytes:
-    """K5 writer: float64, little-endian, georef tags. ``values`` may be
+    """K5 writer: little-endian, georef tags. ``values`` may be
     2-D ``[h, w]`` (single band) or 3-D ``[bands, h, w]`` (multi-band —
     written chunky/interleaved by default, PlanarConfiguration=1, or
     plane-separated with ``planar=True``; strip layout only for planar).
     origin is the raster's upper-left corner; rows run southward (the
     GeoTIFF convention). ``pixel_deg_y`` defaults to ``pixel_deg``
     (square pixels); pass it for non-square lattices. ``compress``: None
-    (raw), ``'deflate'`` (zlib, tag 8), or ``'zstd'`` (pyarrow codec,
-    tag 50000 — the reference's raster profile,
-    batch/processing/raster.py:7). ``tile``: None → one strip per
-    plane; an int (e.g. 128) → tiled layout matching the reference's
-    BLOCKXSIZE/BLOCKYSIZE profile, edge tiles padded with ``nodata``."""
+    (raw), ``'lzw'`` (tag 5), ``'deflate'`` (zlib, tag 8),
+    ``'packbits'`` (tag 32773), or ``'zstd'`` (pyarrow codec, tag 50000
+    — the reference's raster profile, batch/processing/raster.py:7).
+    ``tile``: None → one strip per plane; an int (e.g. 128) → tiled
+    layout matching the reference's BLOCKXSIZE/BLOCKYSIZE profile, edge
+    tiles padded with ``nodata``. ``dtype`` (numpy code: u1/u2/u4/i2/i4/
+    f4/f8, default f8) sets the sample type — ``gdal_translate -ot``
+    parity; ``predictor=2`` adds horizontal differencing (integer
+    dtypes only, the GDAL default companion to integer LZW output)."""
+    dtype_tags = {
+        "u1": (8, 1), "u2": (16, 1), "u4": (32, 1),
+        "i2": (16, 2), "i4": (32, 2),
+        "f4": (32, 3), "f8": (64, 3),
+    }
+    if dtype not in dtype_tags:
+        raise ValueError(
+            f"unsupported dtype {dtype!r}; one of {sorted(dtype_tags)}"
+        )
+    bits, fmt = dtype_tags[dtype]
+    if predictor not in (1, 2):
+        raise ValueError(f"predictor must be 1 or 2, got {predictor}")
+    if predictor == 2 and dtype[0] == "f":
+        raise ValueError(
+            "predictor 2 is integer horizontal differencing; float "
+            "samples would not round-trip (TIFF assigns them predictor 3)"
+        )
     sy = pixel_deg if pixel_deg_y is None else pixel_deg_y
-    arr = np.ascontiguousarray(values, dtype="<f8")
+    arr = np.ascontiguousarray(values, dtype="<" + dtype)
     if arr.ndim == 2:
         arr = arr[None, :, :]
     nb, h, w = arr.shape
     if planar and tile is not None:
         raise ValueError("planar=True supports strip layout only (tile=None)")
     pad_val = nodata if nodata is not None else 0.0
+
+    def _chunk_bytes(a: np.ndarray) -> bytes:
+        # a: (rows, cols, channels); horizontal differencing is modular
+        # in the sample dtype (same-dtype subtraction wraps), the exact
+        # inverse of decode's same-dtype cumsum
+        a = np.ascontiguousarray(a)
+        if predictor == 2:
+            d = a.copy()
+            d[:, 1:, :] = a[:, 1:, :] - a[:, :-1, :]
+            a = d
+        return a.tobytes()
+
     if tile is not None:
         across = (w + tile - 1) // tile
         down = (h + tile - 1) // tile
         # chunky tiles: interleave the bands per cell (RGBRGB…)
         inter = np.full(
-            (down * tile, across * tile, nb), pad_val, dtype="<f8"
+            (down * tile, across * tile, nb), pad_val, dtype="<" + dtype
         )
         inter[:h, :w, :] = arr.transpose(1, 2, 0)
         chunks = [
-            np.ascontiguousarray(
+            _chunk_bytes(
                 inter[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile, :]
-            ).tobytes()
+            )
             for ty in range(down)
             for tx in range(across)
         ]
     elif planar and nb > 1:
-        chunks = [np.ascontiguousarray(arr[b]).tobytes() for b in range(nb)]
+        chunks = [_chunk_bytes(arr[b][:, :, None]) for b in range(nb)]
     else:
-        chunks = [np.ascontiguousarray(arr.transpose(1, 2, 0)).tobytes()]
+        chunks = [_chunk_bytes(arr.transpose(1, 2, 0))]
     if compress == "deflate":
         chunks = [zlib.compress(c, 6) for c in chunks]
         comp_tag = _COMP_DEFLATE
@@ -333,11 +563,18 @@ def encode_geotiff(
         codec = _zstd_codec()
         chunks = [bytes(codec.compress(c)) for c in chunks]
         comp_tag = _COMP_ZSTD
+    elif compress == "lzw":
+        chunks = [_lzw_encode(c) for c in chunks]
+        comp_tag = _COMP_LZW
+    elif compress == "packbits":
+        chunks = [_packbits_encode(c) for c in chunks]
+        comp_tag = _COMP_PACKBITS
     elif compress is None:
         comp_tag = _COMP_NONE
     else:
         raise ValueError(
-            f"unsupported compression {compress!r}; use None, 'deflate', or 'zstd'"
+            f"unsupported compression {compress!r}; use None, 'lzw', "
+            "'deflate', 'packbits', or 'zstd'"
         )
     off_tag = _TAG_TILE_OFFSETS if tile is not None else _TAG_STRIP_OFFSETS
     entries = []  # (tag, type, count, inline-or-None, payload-or-None)
@@ -351,7 +588,7 @@ def encode_geotiff(
     n = len(chunks)
     entry(_TAG_WIDTH, 4, 1, struct.pack("<I", w))
     entry(_TAG_LENGTH, 4, 1, struct.pack("<I", h))
-    entry(_TAG_BITS, 3, nb, struct.pack(f"<{nb}H", *([64] * nb)))
+    entry(_TAG_BITS, 3, nb, struct.pack(f"<{nb}H", *([bits] * nb)))
     entry(_TAG_COMPRESSION, 3, 1, struct.pack("<H", comp_tag))
     entry(262, 3, 1, struct.pack("<H", 1))  # photometric: BlackIsZero
     entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<H", nb))
@@ -365,7 +602,9 @@ def encode_geotiff(
         entry(_TAG_STRIP_OFFSETS, 4, n, b"\0" * (4 * n))  # patched below
         entry(_TAG_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
         entry(_TAG_STRIP_COUNTS, 4, n, struct.pack(f"<{n}I", *map(len, chunks)))
-    entry(_TAG_SAMPLE_FORMAT, 3, nb, struct.pack(f"<{nb}H", *([3] * nb)))
+    entry(_TAG_SAMPLE_FORMAT, 3, nb, struct.pack(f"<{nb}H", *([fmt] * nb)))
+    if predictor == 2:
+        entry(_TAG_PREDICTOR, 3, 1, struct.pack("<H", 2))
     entry(_TAG_MODEL_PIXEL_SCALE, 12, 3, struct.pack("<3d", pixel_deg, sy, 0.0))
     entry(
         _TAG_MODEL_TIEPOINT, 12, 6,

@@ -254,7 +254,7 @@ def test_geotiff_deflate_roundtrip(gradient_array):
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        geotiff.encode_geotiff(gradient_array, 0.0, 6.4, 0.1, compress="lzw")
+        geotiff.encode_geotiff(gradient_array, 0.0, 6.4, 0.1, compress="jpeg")
 
 
 def test_export_geotiff_reference_profile(spark, gradient_array):
@@ -483,3 +483,101 @@ def test_write_geopackage_rejects_unregistered_srs(tmp_path):
 
     with pytest.raises(ValueError):
         write_geopackage([], str(tmp_path / "x.gpkg"), srs_id=2154)
+
+
+# --- LZW / PackBits / horizontal predictor (round-8 foreign-codec set) ------
+# The reference reads these through GDAL (batch/processing/raster.py:22-38);
+# LZW(+predictor 2) is the NASA/USGS distribution default, so these are the
+# first compressions a foreign raster brings in.
+
+
+def test_packbits_spec_example():
+    """TIFF 6.0 §9 worked example — known bytes in BOTH directions, an
+    oracle independent of our own encoder."""
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    unpacked = bytes.fromhex(
+        "AA" * 3 + "80002A" + "AA" * 4 + "80002A22" + "AA" * 10
+    )
+    assert geotiff._packbits_decode(packed) == unpacked
+    assert geotiff._packbits_decode(geotiff._packbits_encode(unpacked)) == unpacked
+
+
+def test_lzw_known_stream():
+    """Hand-packed 9-bit MSB stream for b'77788776 6' per TIFF 6.0 §13:
+    codes [Clear, 7, 258, 8, 8, 258, 6, 6, EOI] — verifies bit order,
+    Clear/EOI handling, and table growth against spec semantics (not
+    just our encoder's inverse)."""
+    s = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    codes = [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    acc = nb = 0
+    packed = bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nb += 9
+        while nb >= 8:
+            nb -= 8
+            packed.append((acc >> nb) & 0xFF)
+    if nb:
+        packed.append((acc << (8 - nb)) & 0xFF)
+    assert geotiff._lzw_encode(s) == bytes(packed)
+    assert geotiff._lzw_decode(bytes(packed)) == s
+
+
+def test_lzw_roundtrip_crosses_width_boundaries():
+    """100k random bytes force every code-width change (9→10→11→12) and
+    the 12-bit table reset — the early-change off-by-one shows up here
+    if encoder and decoder disagree by even one code."""
+    rng = np.random.default_rng(42)
+    for data in (
+        bytes(rng.integers(0, 256, 100_000, dtype=np.uint8)),
+        bytes(1000) + b"abc" * 5000
+        + bytes(rng.integers(0, 4, 50_000, dtype=np.uint8)),
+        b"",
+        b"\x00",
+    ):
+        assert geotiff._lzw_decode(geotiff._lzw_encode(data)) == data
+
+
+@pytest.mark.parametrize("compress", ["lzw", "packbits"])
+@pytest.mark.parametrize("tile", [None, 16])
+@pytest.mark.parametrize(
+    "dtype,predictor",
+    [("u2", 2), ("u2", 1), ("i4", 2), ("f8", 1), ("u1", 2)],
+)
+def test_geotiff_foreign_codec_roundtrip(compress, tile, dtype, predictor):
+    y, x = np.mgrid[0:37, 0:53]
+    base = (x + 53 * y).astype("float64")
+    maxv = {"u1": 255, "u2": 4095, "i4": 10**6, "f8": 10**6}[dtype]
+    vals = np.mod(base, maxv)
+    data = geotiff.encode_geotiff(
+        vals, 0.0, 3.7, 0.1, compress=compress, tile=tile,
+        dtype=dtype, predictor=predictor,
+    )
+    out, (ox, oy, sx, sy), _ = geotiff.decode_geotiff(data)
+    assert np.array_equal(out, vals)
+    assert (ox, oy, sx, sy) == (0.0, 3.7, 0.1, 0.1)
+
+
+def test_geotiff_multiband_planar_lzw_predictor():
+    y, x = np.mgrid[0:37, 0:53]
+    base = (x + 53 * y).astype("float64")
+    mb = np.stack([np.mod(base + b * 7, 251) for b in range(3)])
+    data = geotiff.encode_geotiff(
+        mb, 0.0, 3.7, 0.1, compress="lzw", planar=True, dtype="u1",
+        predictor=2,
+    )
+    bands, _, _ = geotiff.decode_geotiff_bands(data)
+    assert np.array_equal(bands, mb)
+
+
+def test_geotiff_predictor_guards():
+    arr = np.zeros((4, 4))
+    with pytest.raises(ValueError):
+        geotiff.encode_geotiff(arr, 0.0, 0.4, 0.1, dtype="f8", predictor=2)
+    with pytest.raises(ValueError):
+        geotiff.encode_geotiff(arr, 0.0, 0.4, 0.1, dtype="x9")
+    # decode-side: a float file claiming predictor 2 is malformed
+    data = bytearray(geotiff.encode_geotiff(arr, 0.0, 0.4, 0.1, dtype="u2",
+                                            predictor=2))
+    # integer+predictor decodes fine
+    geotiff.decode_geotiff(bytes(data))
