@@ -260,15 +260,16 @@ def reproject_pixels(
     elif dst_epsg == WGS84 and _is_utm(src_epsg):
         zone, south = utm_params(src_epsg)
         lon, lat = utm_to_lonlat(F.col(x_col), F.col(y_col), zone, south)
-    elif src_epsg == WGS84 and dst_epsg in LCC_PROJECTIONS:
-        lon, lat = LCC_PROJECTIONS[dst_epsg].forward(F.col(x_col), F.col(y_col))
-    elif dst_epsg == WGS84 and src_epsg in LCC_PROJECTIONS:
-        lon, lat = LCC_PROJECTIONS[src_epsg].inverse(F.col(x_col), F.col(y_col))
+    elif src_epsg == WGS84 and dst_epsg in PROJECTION_REGISTRY:
+        lon, lat = PROJECTION_REGISTRY[dst_epsg].forward(F.col(x_col), F.col(y_col))
+    elif dst_epsg == WGS84 and src_epsg in PROJECTION_REGISTRY:
+        lon, lat = PROJECTION_REGISTRY[src_epsg].inverse(F.col(x_col), F.col(y_col))
     else:
         raise NotImplementedError(
             f"EPSG:{src_epsg}→EPSG:{dst_epsg} needs pyproj (not in this "
-            "container); 4326↔3857, 4326↔UTM-zone, and registered LCC "
-            "grids (functions/crs.LCC_PROJECTIONS) are built-in closed forms"
+            "container); 4326↔3857, 4326↔UTM-zone, and the registered "
+            "LCC/Albers/sinusoidal grids (functions/crs."
+            "PROJECTION_REGISTRY) are built-in closed forms"
         )
     # single withColumns: both outputs read the ORIGINAL x/y columns —
     # chained withColumn would feed the replaced x into the y expression
@@ -428,6 +429,161 @@ LAMBERT93 = LambertConformalConic(
     lon0=3.0, false_easting=700000.0, false_northing=6600000.0,
 )
 LCC_PROJECTIONS = {2154: LAMBERT93}
+
+
+# --- Albers Equal-Area Conic (2SP), Snyder 1987 §14 ---------------------------
+# The standard CRS for US CONUS rasters (EPSG:5070, NAD83 / Conus Albers
+# — NLCD, LANDFIRE, gNATSGO all ship in it), so it's the single most
+# likely "unsupported EPSG" a real user hits after UTM. Ellipsoidal 2SP;
+# constants (n, C, rho0) derive once in Python, per-row math is pure
+# column expressions like the LCC/UTM pairs. NAD83≈WGS-84 at the
+# sub-meter level (the usual operational equivalence; the reference's
+# gdalwarp applies no datum shift for this pair either). Inverse
+# latitude uses the CLOSED-FORM authalic-latitude series (Snyder eq.
+# 3-18) rather than the eq. 3-16 fixed point: an unrolled iteration
+# re-nests phi ~10x per step and the Column expression tree grows
+# exponentially (8 steps OOMed the planner); the series is one asin +
+# three sin terms, error O(e^8) ≈ 2e-9 rad ≈ 1 cm — and the SQL oracle
+# mirrors it term for term.
+
+
+class AlbersEqualArea:
+    """2SP Albers equal-area conic on an ellipsoid (a, f)."""
+
+    def __init__(
+        self,
+        a: float,
+        f: float,
+        lat0: float,
+        lat1: float,
+        lat2: float,
+        lon0: float,
+        false_easting: float,
+        false_northing: float,
+    ):
+        self.a, self.f = a, f
+        self.lon0 = lon0
+        self.fe, self.fn = false_easting, false_northing
+        e2 = f * (2.0 - f)
+        self.e2 = e2
+        self.e = math.sqrt(e2)
+        p0, p1, p2 = map(math.radians, (lat0, lat1, lat2))
+
+        def m(phi: float) -> float:
+            return math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+
+        def q(phi: float) -> float:
+            s = math.sin(phi)
+            return (1.0 - e2) * (
+                s / (1.0 - e2 * s * s)
+                - (1.0 / (2.0 * self.e))
+                * math.log((1.0 - self.e * s) / (1.0 + self.e * s))
+            )
+
+        self.n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+        self.C = m(p1) ** 2 + self.n * q(p1)
+        self.rho0 = a * math.sqrt(self.C - self.n * q(p0)) / self.n
+        # authalic-latitude constants (Snyder eq. 3-12 / 3-18)
+        self.qp = q(math.pi / 2.0)  # q at the pole
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        self.b2 = e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0
+        self.b4 = 23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0
+        self.b6 = 761.0 * e6 / 45360.0
+
+    def _q_col(self, phi: Column) -> Column:
+        s = F.sin(phi)
+        return F.lit(1.0 - self.e2) * (
+            s / (F.lit(1.0) - F.lit(self.e2) * s * s)
+            - F.lit(1.0 / (2.0 * self.e))
+            * F.log((F.lit(1.0) - F.lit(self.e) * s) / (F.lit(1.0) + F.lit(self.e) * s))
+        )
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi = F.radians(lat)
+        rho = (
+            F.lit(self.a)
+            * F.sqrt(F.lit(self.C) - F.lit(self.n) * self._q_col(phi))
+            / F.lit(self.n)
+        )
+        theta = F.lit(self.n) * (F.radians(lon) - F.lit(math.radians(self.lon0)))
+        x = F.lit(self.fe) + rho * F.sin(theta)
+        y = F.lit(self.fn) + F.lit(self.rho0) - rho * F.cos(theta)
+        return x, y
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        dx = x - F.lit(self.fe)
+        dy = F.lit(self.rho0) - (y - F.lit(self.fn))
+        sign = 1.0 if self.n >= 0 else -1.0
+        rho = F.lit(sign) * F.sqrt(dx * dx + dy * dy)
+        qv = (
+            F.lit(self.C) - rho * rho * F.lit(self.n * self.n) / F.lit(self.a * self.a)
+        ) / F.lit(self.n)
+        theta = F.atan2(F.lit(sign) * dx, F.lit(sign) * dy)
+        lon = F.degrees(theta / F.lit(self.n) + F.lit(math.radians(self.lon0)))
+        # authalic latitude beta -> geodetic phi, closed form (Snyder
+        # 3-18); clamp q/qp against float drift past +-1 at the poles
+        beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), qv / F.lit(self.qp))))
+        phi = (
+            beta
+            + F.lit(self.b2) * F.sin(beta * 2.0)
+            + F.lit(self.b4) * F.sin(beta * 4.0)
+            + F.lit(self.b6) * F.sin(beta * 6.0)
+        )
+        return lon, F.degrees(phi)
+
+
+# EPSG:5070 — NAD83 / Conus Albers (GRS80; the Snyder §14 CONUS parallels)
+CONUS_ALBERS = AlbersEqualArea(
+    a=GRS80_A, f=GRS80_F, lat0=23.0, lat1=29.5, lat2=45.5,
+    lon0=-96.0, false_easting=0.0, false_northing=0.0,
+)
+ALBERS_PROJECTIONS = {5070: CONUS_ALBERS}
+
+
+# --- Sinusoidal (Sanson-Flamsteed), Snyder 1987 §30 ----------------------------
+# The MODIS land-product grid (the other big foreign-raster family):
+# spherical, equal-area, trivially closed-form both ways.
+#     x = R (λ − λ0) cos φ        λ = λ0 + x / (R cos φ)
+#     y = R φ                     φ = y / R
+
+
+class Sinusoidal:
+    """Spherical sinusoidal projection of radius R (meters)."""
+
+    def __init__(self, radius: float, lon0: float = 0.0,
+                 false_easting: float = 0.0, false_northing: float = 0.0):
+        self.r = radius
+        self.lon0 = lon0
+        self.fe, self.fn = false_easting, false_northing
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi = F.radians(lat)
+        x = F.lit(self.fe) + F.lit(self.r) * (
+            F.radians(lon) - F.lit(math.radians(self.lon0))
+        ) * F.cos(phi)
+        y = F.lit(self.fn) + F.lit(self.r) * phi
+        return x, y
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        phi = (y - F.lit(self.fn)) / F.lit(self.r)
+        lon = F.degrees(
+            F.lit(math.radians(self.lon0))
+            + (x - F.lit(self.fe)) / (F.lit(self.r) * F.cos(phi))
+        )
+        return lon, F.degrees(phi)
+
+
+# MODIS sinusoidal sphere R = 6371007.181 m (the MOD* HDF grids; commonly
+# tagged SR-ORG:6974 — MODIS products carry no true EPSG). 53008 is the
+# ESRI World_Sinusoidal authalic sphere used by legacy ArcGIS exports.
+MODIS_SINUSOIDAL = Sinusoidal(radius=6371007.181)
+WORLD_SINUSOIDAL = Sinusoidal(radius=6371000.0)
+SINUSOIDAL_PROJECTIONS = {6974: MODIS_SINUSOIDAL, 53008: WORLD_SINUSOIDAL}
+
+# every registered grid projection with forward/inverse column methods
+PROJECTION_REGISTRY: dict[int, object] = {
+    **LCC_PROJECTIONS, **ALBERS_PROJECTIONS, **SINUSOIDAL_PROJECTIONS,
+}
 
 
 # --- great-circle distance ----------------------------------------------------

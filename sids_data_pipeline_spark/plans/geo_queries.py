@@ -849,6 +849,161 @@ FROM fin
 """
 
 
+def _crs_reproject_albers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 → EPSG:5070 (NAD83 / Conus Albers, Snyder §14) forward, then
+    the closed-form authalic-series inverse back — CONUS-bounds grid.
+    The forward leg is pinned to Snyder's published worked example in
+    tests/test_crs.py; here the oracle mirrors every term."""
+    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+
+    grid = spark.range(0, 1000, 1, 8).select(
+        F.col("id"),
+        (F.lit(-124.0) + (F.col("id") % 40).cast("double") * 1.45).alias("lon"),
+        ((F.col("id") / 40).cast("long").cast("double") * 0.96 + 25.0).alias("lat"),
+    )
+    xy = reproject_pixels(grid, src_epsg=4326, dst_epsg=5070)
+    xy = xy.select("id", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    back = reproject_pixels(
+        xy.withColumnsRenamed({"x": "lon", "y": "lat"}), 5070, 4326
+    )
+    return (
+        xy.join(back.withColumnsRenamed({"lon": "lon_rt", "lat": "lat_rt"}), "id")
+        .select(
+            "id",
+            F.round("x", 3).alias("x"),
+            F.round("y", 3).alias("y"),
+            F.round("lon_rt", 9).alias("lon_rt"),
+            F.round("lat_rt", 9).alias("lat_rt"),
+        )
+    )
+
+
+def _crs_albers_sql() -> str:
+    """Term-for-term mirror of AlbersEqualArea forward + series inverse;
+    constants derive once from the SAME projection object (repr
+    round-trips the exact doubles), so engine and oracle cannot
+    desynchronize on parameters."""
+    import math
+
+    from sids_data_pipeline_spark.functions.crs import CONUS_ALBERS as P
+
+    lam0 = math.radians(P.lon0)
+    half_inv_e = 1.0 / (2.0 * P.e)
+    one_m_e2 = 1.0 - P.e2
+    sign = 1.0 if P.n >= 0 else -1.0
+    return f"""
+WITH src AS (
+  SELECT i AS id,
+         -124.0 + CAST(i % 40 AS DOUBLE) * 1.45 AS lon,
+         CAST(i // 40 AS DOUBLE) * 0.96 + 25.0 AS lat
+  FROM (SELECT unnest(range(1000)) AS i) t
+),
+f1 AS (
+  SELECT id, radians(lat) AS phi, radians(lon) AS lam FROM src
+),
+fq AS (
+  SELECT id, lam,
+         {one_m_e2!r} * (sin(phi) / (1.0 - {P.e2!r} * sin(phi) * sin(phi))
+           - {half_inv_e!r} * ln((1.0 - {P.e!r} * sin(phi))
+                                 / (1.0 + {P.e!r} * sin(phi)))) AS qv
+  FROM f1
+),
+fwd AS (
+  SELECT id,
+         {P.fe!r} + ({P.a!r} * sqrt({P.C!r} - {P.n!r} * qv) / {P.n!r})
+           * sin({P.n!r} * (lam - {lam0!r})) AS x,
+         {P.fn!r} + {P.rho0!r} - ({P.a!r} * sqrt({P.C!r} - {P.n!r} * qv) / {P.n!r})
+           * cos({P.n!r} * (lam - {lam0!r})) AS y
+  FROM fq
+),
+inv0 AS (
+  SELECT id, x, y,
+         x - {P.fe!r} AS dx,
+         {P.rho0!r} - (y - {P.fn!r}) AS dy
+  FROM fwd
+),
+i0 AS (
+  SELECT id, x, y,
+         ({P.C!r} - (({sign!r} * sqrt(dx * dx + dy * dy))
+                     * ({sign!r} * sqrt(dx * dx + dy * dy)))
+            * {P.n * P.n!r} / {P.a * P.a!r}) / {P.n!r} AS qv2,
+         degrees(atan2({sign!r} * dx, {sign!r} * dy) / {P.n!r} + {lam0!r})
+           AS lon_rt
+  FROM inv0
+),
+ib AS (
+  SELECT id, x, y, lon_rt,
+         asin(greatest(-1.0, least(1.0, qv2 / {P.qp!r}))) AS beta
+  FROM i0
+),
+fin AS (
+  SELECT id, x, y, lon_rt,
+         degrees(beta + {P.b2!r} * sin(beta * 2.0)
+                      + {P.b4!r} * sin(beta * 4.0)
+                      + {P.b6!r} * sin(beta * 6.0)) AS lat_rt
+  FROM ib
+)
+SELECT id, ROUND(x, 3) AS x, ROUND(y, 3) AS y,
+       ROUND(lon_rt, 9) AS lon_rt, ROUND(lat_rt, 9) AS lat_rt
+FROM fin
+"""
+
+
+def _crs_reproject_sinu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 → MODIS sinusoidal (R = 6371007.181 m, the MOD* land grids)
+    forward + inverse round trip — spherical closed form both legs."""
+    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+
+    grid = spark.range(0, 1000, 1, 8).select(
+        F.col("id"),
+        (F.lit(-170.0) + (F.col("id") % 40).cast("double") * 8.5).alias("lon"),
+        ((F.col("id") / 40).cast("long").cast("double") * 6.0 - 72.0).alias("lat"),
+    )
+    xy = reproject_pixels(grid, src_epsg=4326, dst_epsg=6974)
+    xy = xy.select("id", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    back = reproject_pixels(
+        xy.withColumnsRenamed({"x": "lon", "y": "lat"}), 6974, 4326
+    )
+    return (
+        xy.join(back.withColumnsRenamed({"lon": "lon_rt", "lat": "lat_rt"}), "id")
+        .select(
+            "id",
+            F.round("x", 3).alias("x"),
+            F.round("y", 3).alias("y"),
+            F.round("lon_rt", 9).alias("lon_rt"),
+            F.round("lat_rt", 9).alias("lat_rt"),
+        )
+    )
+
+
+def _crs_sinu_sql() -> str:
+    from sids_data_pipeline_spark.functions.crs import MODIS_SINUSOIDAL as P
+
+    return f"""
+WITH src AS (
+  SELECT i AS id,
+         -170.0 + CAST(i % 40 AS DOUBLE) * 8.5 AS lon,
+         CAST(i // 40 AS DOUBLE) * 6.0 - 72.0 AS lat
+  FROM (SELECT unnest(range(1000)) AS i) t
+),
+fwd AS (
+  SELECT id,
+         {P.r!r} * radians(lon) * cos(radians(lat)) AS x,
+         {P.r!r} * radians(lat) AS y
+  FROM src
+),
+inv AS (
+  SELECT id, x, y,
+         degrees(x / ({P.r!r} * cos(y / {P.r!r}))) AS lon_rt,
+         degrees(y / {P.r!r}) AS lat_rt
+  FROM fwd
+)
+SELECT id, ROUND(x, 3) AS x, ROUND(y, 3) AS y,
+       ROUND(lon_rt, 9) AS lon_rt, ROUND(lat_rt, 9) AS lat_rt
+FROM inv
+"""
+
+
 # --- tile assignment + density drop (K2/O2) -----------------------------------
 
 _TILE_MAX_ZOOM = 4
@@ -1316,6 +1471,23 @@ QUERIES: list[Query] = [
         doc="S5: ZSTD+tiled GeoTIFF (reference profile) → distributed "
             "pixel ingest, lattice-oracle-verified",
         tags=("geo", "source"),
+    ),
+    Query(
+        "crs_reproject_albers",
+        _crs_reproject_albers,
+        _crs_albers_sql(),
+        doc="P9/F8: WGS-84 ↔ NAD83/Conus Albers (EPSG:5070, Snyder §14), "
+            "closed form both legs incl. authalic-series inverse; forward "
+            "leg pinned to Snyder's published worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "crs_reproject_sinu",
+        _crs_reproject_sinu,
+        _crs_sinu_sql(),
+        doc="P9/F8: WGS-84 ↔ MODIS sinusoidal (R=6371007.181), spherical "
+            "closed form both legs",
+        tags=("geo", "scalar"),
     ),
     Query(
         "raster_lzw_ingest",

@@ -263,3 +263,106 @@ def test_nearest_site_assign_join_free(spark):
     assert got == {1: 10, 2: 20}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+# --- Albers equal-area (EPSG:5070) + sinusoidal (round-8 additions) ----------
+
+
+def test_albers_snyder_worked_example(spark):
+    """Snyder 1987 p. 292 Albers numerical example: Clarke 1866,
+    CONUS parallels (23/29.5/45.5, lon0 -96), phi=35N lambda=75W →
+    x=1,885,472.7  y=1,535,925.0 (and n/C/rho0 as published). An
+    INDEPENDENT published oracle, not our own inverse."""
+    P = crs.AlbersEqualArea(
+        a=6378206.4, f=1 / 294.9786982, lat0=23.0, lat1=29.5, lat2=45.5,
+        lon0=-96.0, false_easting=0.0, false_northing=0.0,
+    )
+    assert abs(P.n - 0.6029035) < 1e-7
+    assert abs(P.C - 1.3491594) < 1e-7
+    assert abs(P.rho0 - 9929079.6) < 0.1
+    df = spark.createDataFrame([(1, -75.0, 35.0)], "id long, lon double, lat double")
+    x, y = P.forward(F.col("lon"), F.col("lat"))
+    row = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(row.x - 1885472.7) < 0.1
+    assert abs(row.y - 1535925.0) < 0.1
+
+
+def test_albers_5070_roundtrip_conus(spark):
+    pts = spark.range(0, 400, 1, 4).select(
+        F.col("id"),
+        (F.lit(-124.0) + (F.col("id") % 20).cast("double") * 3.0).alias("lon"),
+        ((F.col("id") / 20).cast("long").cast("double") * 1.2 + 25.0).alias("lat"),
+    )
+    xy = crs.reproject_pixels(pts, 4326, 5070)
+    back = crs.reproject_pixels(xy, 5070, 4326)
+    worst = back.join(
+        pts.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+    ).selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    assert worst.dlon < 1e-6 and worst.dlat < 1e-6
+
+
+def test_albers_preserves_area(spark):
+    """The defining property, checked numerically: the planar area of a
+    projected 0.01-degree quad equals the ellipsoidal patch area
+    a^2 (1-e^2) cos(phi) dlam dphi / (1-e^2 sin^2 phi)^2 to 1e-6
+    relative — independent of any inverse-formula transcription."""
+    import math as m
+
+    P = crs.CONUS_ALBERS
+    d = 0.01
+    for lon0, lat0 in ((-100.0, 30.0), (-80.0, 45.0), (-120.0, 38.0)):
+        quad = [
+            (lon0, lat0), (lon0 + d, lat0),
+            (lon0 + d, lat0 + d), (lon0, lat0 + d),
+        ]
+        df = spark.createDataFrame(
+            [(i, lo, la) for i, (lo, la) in enumerate(quad)],
+            "i long, lon double, lat double",
+        )
+        x, y = P.forward(F.col("lon"), F.col("lat"))
+        rows = {r.i: (r.x, r.y) for r in df.select("i", x.alias("x"), y.alias("y")).collect()}
+        pts = [rows[i] for i in range(4)]
+        shoelace = 0.5 * abs(sum(
+            pts[i][0] * pts[(i + 1) % 4][1] - pts[(i + 1) % 4][0] * pts[i][1]
+            for i in range(4)
+        ))
+        phi = m.radians(lat0 + d / 2.0)
+        patch = (
+            P.a ** 2 * (1.0 - P.e2) * m.cos(phi)
+            / (1.0 - P.e2 * m.sin(phi) ** 2) ** 2
+            * m.radians(d) ** 2
+        )
+        assert abs(shoelace - patch) / patch < 1e-6, (lon0, lat0)
+
+
+def test_sinusoidal_modis_roundtrip_and_closed_form(spark):
+    df = spark.createDataFrame(
+        [(1, 11.5, 42.3), (2, -150.0, -60.0), (3, 0.0, 0.0)],
+        "id long, lon double, lat double",
+    )
+    xy = crs.reproject_pixels(df, 4326, 6974)
+    back = crs.reproject_pixels(xy, 6974, 4326)
+    worst = back.join(
+        df.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+    ).selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    assert worst.dlon < 1e-9 and worst.dlat < 1e-9
+    # closed form spot check: y = R*radians(lat), x = R*radians(lon)*cos
+    import math as m
+
+    R = 6371007.181
+    row = {r.id: r for r in xy.collect()}[1]
+    assert abs(row.lat - R * m.radians(42.3)) < 1e-6
+    assert abs(row.lon - R * m.radians(11.5) * m.cos(m.radians(42.3))) < 1e-6
+
+
+def test_registry_dispatch_and_unsupported_raise(spark):
+    df = spark.createDataFrame([(1, -96.0, 23.0)], "id long, lon double, lat double")
+    # lon0/lat0 of 5070 map to (0, 0)
+    row = crs.reproject_pixels(df, 4326, 5070).collect()[0]
+    assert abs(row.lon) < 1e-6 and abs(row.lat) < 1e-6
+    with pytest.raises(NotImplementedError):
+        crs.reproject_pixels(df, 4326, 27700)  # OSGB needs a datum shift
