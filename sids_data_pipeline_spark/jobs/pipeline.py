@@ -182,11 +182,15 @@ def run_pipeline(
     done = manifest.read_ledger(spark, ledger_path)
     pending = manifest.pending_pairs(pairs, done)
     # second P6 guard, the reference's own probe (data.py:33-35): a pair
-    # whose tileset marker exists is complete even if the ledger was lost
+    # whose tileset marker exists is complete even if the ledger was
+    # lost. ONE recursive marker listing replaces the former per-pair
+    # existence probe — constant filesystem round-trips vs pair count.
     all_pending = pending.collect()  # pair manifest: tiny by construction
+    # nothing pending → skip even the single listing
+    complete_keys = tiles.tileset_markers(out_dir) if all_pending else set()
     pending_rows, marker_done = [], []
     for r in all_pending:
-        if tiles.tileset_complete(os.path.join(out_dir, r.pair_key, "tiles")):
+        if r.pair_key in complete_keys:
             marker_done.append(r)
         else:
             pending_rows.append(r)

@@ -417,6 +417,31 @@ def _write_marker(spark: SparkSession, path: str, content: str) -> None:
             fh.write(content)
 
 
+def tileset_markers(out_dir: str) -> set[str]:
+    """Pair keys under ``out_dir`` whose tileset marker exists, from ONE
+    listing — local glob or a single Hadoop ``globStatus`` call — instead
+    of one existence probe per pair. The P6 lost-ledger heal scan stays
+    O(1) filesystem round-trips no matter how many pairs the estate
+    holds (reference data.py:26-40 probes per pair because its shell
+    loop is already per-pair; at 10⁵ pairs one listing wins)."""
+    pattern = os.path.join(out_dir, "*", "tiles", "_tileset_metadata.json")
+    if "://" in out_dir:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("tileset_markers(URI) needs an active SparkSession")
+        hglob = spark._jvm.org.apache.hadoop.fs.Path(pattern)
+        fs = hglob.getFileSystem(spark._jsc.hadoopConfiguration())
+        statuses = fs.globStatus(hglob)
+        paths = [str(st.getPath()) for st in (statuses or [])]
+    else:
+        import glob as globmod
+
+        paths = globmod.glob(pattern)
+    return {
+        os.path.basename(os.path.dirname(os.path.dirname(p))) for p in paths
+    }
+
+
 def tileset_complete(path: str) -> bool:
     """P6 existence probe (reference data.py:33-35) — Hadoop FS for
     remote URIs, os.path locally."""

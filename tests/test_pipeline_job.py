@@ -191,13 +191,15 @@ def test_curation_job_action_economy_and_input_signature(spark, tmp_path, monkey
 
     m1 = run_curation_job(spark, docs, out, shard_tokens=2000)
     assert m1["skipped"] is False
-    # count: ONLY the input-signature count (the LSH degenerate-bucket
-    # probe job was removed in round 7 — the cap applies lazily);
+    # count: the input-signature count + the LSH bucket-cap skip probe
+    # (a bounded limit+count over the persisted signature that doubles
+    # as its cache materialization — restored in round 8 after the
+    # always-on cap measured +73% steady-state, tools/ab_dedup.py);
     # collect: one pack_shards partition-totals list per split (3) + the
     # empty-output guard's take(1) on the PERSISTED frame + ONE report
     # aggregate. The write is the only action executing the curation
     # chain.
-    assert calls["count"] == 1, calls
+    assert calls["count"] == 2, calls
     assert calls["collect"] == 5, calls
 
     # skip path: signature count only, zero chain work
@@ -306,3 +308,51 @@ def test_fanout_rejects_unexpected_partition(spark, tmp_path):
             spark, stage, ["expected"],
             lambda k: os.path.join(str(tmp_path), "out", k),
         )
+
+
+def test_marker_heal_one_listing_regardless_of_pairs(spark, tmp_path, monkeypatch):
+    """P6 lost-ledger heal: the marker probe is ONE recursive listing of
+    out_dir (tiles.tileset_markers), not a per-pair existence check —
+    constant filesystem round-trips at 10^5-pair estates. Deleting the
+    ledger after a full run must (a) call the listing exactly once and
+    tileset_complete zero times inside run_pipeline, (b) heal the ledger
+    so nothing recomputes."""
+    import shutil
+
+    import sids_data_pipeline_spark.jobs.pipeline as pl
+
+    out = str(tmp_path / "out")
+    vectors = ["zones_grid", "zones_overlap"]
+    rasters = ["rast_gradient", "rast_checker"]
+    r1 = run_pipeline(spark, vectors, rasters, out, stats=("mean",))
+    assert r1["pending"] == 4
+
+    shutil.rmtree(os.path.join(out, "_ledger"))  # simulate ledger loss
+
+    calls = {"markers": 0, "complete": 0}
+    orig_markers = tiles.tileset_markers
+
+    def counting_markers(d):
+        calls["markers"] += 1
+        return orig_markers(d)
+
+    monkeypatch.setattr(pl.tiles, "tileset_markers", counting_markers)
+    monkeypatch.setattr(
+        pl.tiles, "tileset_complete",
+        lambda p: calls.__setitem__("complete", calls["complete"] + 1)
+        or (_ for _ in ()).throw(AssertionError("per-pair probe used")),
+    )
+
+    r2 = run_pipeline(spark, vectors, rasters, out, stats=("mean",))
+    assert r2 == {"pending": 0, "outputs": []}
+    assert calls == {"markers": 1, "complete": 0}
+
+    # ledger healed: a third run with the probe disabled entirely still
+    # skips everything via the anti-join
+    monkeypatch.setattr(
+        pl.tiles, "tileset_markers",
+        lambda d: (_ for _ in ()).throw(AssertionError("listing re-ran")),
+    )
+    # the healed ledger empties `pending` before the marker scan runs
+    r3 = run_pipeline(spark, vectors, rasters, out, stats=("mean",))
+    assert r3 == {"pending": 0, "outputs": []}
