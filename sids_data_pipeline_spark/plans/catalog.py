@@ -99,59 +99,79 @@ from sids_data_pipeline_spark.plans.base import Query
 # sql_product_profit, sql_important_stock, sql_part_supplier,
 # sql_waiting_suppliers, sql_promo_revenue, sql_top_supplier (displaced
 # late by raster_multiband_band2, the round-7 multi-band decode query).
+# Round-8 rotation (sixth): closes the LAST coverage hole — the 9 TPC-H
+# tail entries that never rotated in (selfcheck-green since r5, verified
+# again by the judge in r7) claim first-time driver rows, alongside the 6
+# new round-8 queries (LZW ingest, Albers/sinusoidal CRS, and the three
+# sketch positive-signal gates). Keepers are entries whose OPERATOR code
+# changed this round and need fresh hard rows: the dedup family
+# (dedup.py bucket-cap probe restored → dedup_minhash_lsh,
+# corpus_curation, dedup_exact, dedup_ngram_jaccard, dedup_simhash,
+# dedup_clusters), every geotiff decode path (geotiff.py _chunk/predictor
+# rewiring → raster_geotiff_ingest, raster_multiband_band2,
+# source_geotiff_datasource), the CRS dispatch (crs.py registry →
+# crs_reproject, crs_reproject_utm, crs_reproject_lcc), the pipeline
+# marker heal (pipeline.py/manifest → manifest_pending), and the tiles
+# module (tiles.py tileset_markers → tiles_encode_rings). The remaining
+# slots hold one-or-more representatives per SURVEY §2 family so every
+# displaced r7-green name keeps an in-window family sibling; all
+# displaced entries' operator files are unchanged this round, so their
+# r7 rows remain valid hard signal.
 PRIORITY: tuple[str, ...] = (
-    # — round-7 first-time driver rows (selfcheck-green since r5/r6) —
-    "unpivot_measures",
-    "pseudonymize_ids",
-    "sql_shipmode_priority",
-    "feature_quantile_bins",
-    "geo_nearest_site",
-    "corpus_vocab",
-    "corpus_tfidf",
-    "column_hist",
-    "sink_orc_roundtrip",
-    "corpus_bpe_pairs",
-    "text_char_entropy",
-    "join_fuzzy_names",
-    "streaming_dedup_wm",
-    "streaming_rolling",
-    "sql_large_volume_customer",
-    "sql_sales_opportunity",
-    "layout_bucketed_join",
-    "graph_triangles",
-    "text_boilerplate",
-    "corpus_length_buckets",
-    "column_mad",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "streaming_sessions",
-    "streaming_enrich",
-    "corpus_bpe_train",
-    "geo_zone_metrics",
+    # — the 9 never-rotated TPC-H entries: first-time driver rows —
+    "sql_customer_distribution",
+    "sql_important_stock",
+    "sql_or_bands",
+    "sql_part_supplier",
+    "sql_product_profit",
+    "sql_promo_revenue",
+    "sql_small_qty_revenue",
+    "sql_top_supplier",
+    "sql_waiting_suppliers",
+    # — new round-8 queries —
+    "raster_lzw_ingest",
+    "crs_reproject_albers",
+    "crs_reproject_sinu",
+    "similarity_ann_gate",
+    "dedup_minhash_ml_gate",
+    "agg_approx_distinct_gate",
+    # — keepers: round-8 code changes need fresh hard rows —
+    "dedup_minhash_lsh",
+    "corpus_curation",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_clusters",
+    "raster_geotiff_ingest",
+    "raster_multiband_band2",
+    "source_geotiff_datasource",
+    "crs_reproject",
+    "crs_reproject_utm",
+    "crs_reproject_lcc",
+    "manifest_pending",
+    "tiles_encode_rings",
+    # — family representatives (unchanged code; keep families in-window) —
+    "zonal_polygons",
     "zonal_weighted_mean",
     "zonal_all_touched",
-    "source_geotiff_datasource",
-    "sql_order_priority",
-    "sql_volume_shipping",
-    "sql_market_share",
-    "raster_multiband_band2",
-    "sql_lateral_topn",
-    "json_variant_scalars",
-    "sql_min_cost_supplier",
-    "sql_excess_stock",
+    "pricing_summary",
+    "sql_shipping_priority",
+    "events_session",
+    "events_gap_fill",
+    "streaming_sessions",
+    "streaming_dedup_wm",
+    "multimodal_meta",
+    "multimodal_features",
+    "corpus_split",
     "corpus_pack_sequences",
     "corpus_shuffle",
-    "events_props_json",
-    "corpus_bpe_encode",
-    "events_gap_fill",
-    "events_transitions",
-    # — keepers: round-7 code/oracle changes need fresh hard rows —
-    "zonal_polygons",
-    "corpus_chunk",
+    "similarity_topk",
     "similarity_topk_quantized",
-    "raster_geotiff_ingest",
-    "corpus_curation",
-    "tiles_encode_rings",
+    "embedding_kmeans",
+    "graph_triangles",
+    "text_sentences_udtf",
+    "agg_geomean_udaf",
+    "corpus_bpe_train",
 )
 
 

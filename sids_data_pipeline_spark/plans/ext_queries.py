@@ -1463,6 +1463,54 @@ def _similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(emb, queries, k=10)
 
 
+def _similarity_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive signal for the seeded ANN sketch (similarity_ann_lsh is
+    rows-only by nature): every ANN hit must appear in the BRUTE-FORCE
+    top-2k for its query — a derived oracle the exact operator (itself
+    full-value-verified by similarity_topk) provides. Output one row
+    (violations=0, found_hits=true); the SQL twin states the expected
+    verdict, so a recall collapse or a wrong re-rank hash-mismatches."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ann = similarity.ann_lsh(emb, queries, k=10)
+    exact2k = similarity.topk_bruteforce(emb, queries, k=20)
+    viol = ann.select("query_id", "neighbor_id").join(
+        exact2k.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    return viol.agg(F.count("*").alias("violations")).crossJoin(
+        ann.agg((F.count("*") >= 1).alias("found_hits"))
+    )
+
+
+_ANN_GATE_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
+
+
+def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive signal for the pyspark.ml MinHashLSH sketch
+    (dedup_minhash_ml is rows-only by nature): every sketch pair must
+    verify against the md5-family EXACT shingle Jaccard at the same
+    threshold (that operator's full pipeline is hash-verified by
+    dedup_minhash_lsh). Sketch pairs are candidates-with-exact-distance
+    by construction (approxSimilarityJoin's distCol is the true vector
+    Jaccard), so disagreement means the shingle domains diverged — the
+    bug class this gate pins. Output (violations=0, found_pairs=true)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    thr = 0.3
+    sketch = dedup.near_duplicates_minhash_ml(docs, threshold=thr)
+    sh = dedup.shingles(docs, 3).withColumnRenamed("shingle", "token")
+    exact = dedup.jaccard_on_pairs(sh, sketch.select("id1", "id2"))
+    ok = exact.filter(F.col("jaccard") >= thr - 1e-9).select("id1", "id2")
+    viol = sketch.select("id1", "id2").join(ok, ["id1", "id2"], "left_anti")
+    return viol.agg(F.count("*").alias("violations")).crossJoin(
+        sketch.agg((F.count("*") >= 1).alias("found_pairs"))
+    )
+
+
+_ML_GATE_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_pairs"
+
+
 # --- E5: text analysis -------------------------------------------------------------
 
 
@@ -3126,6 +3174,14 @@ QUERIES: list[Query] = [
     Query("similarity_ann_lsh", _similarity_ann, None,
           doc="E3 LSH-bucketed ANN + exact re-rank (rows-only: seeded sketch)",
           tags=("similarity", "lsh")),
+    Query("similarity_ann_gate", _similarity_ann_gate, _ANN_GATE_SQL,
+          doc="E3 positive signal for the ANN sketch: hits ⊆ brute-force "
+              "top-2k (derived oracle pins the verdict row)",
+          tags=("similarity", "lsh", "evaluation")),
+    Query("dedup_minhash_ml_gate", _dedup_ml_gate, _ML_GATE_SQL,
+          doc="E2 positive signal for the ml sketch: pairs ⊆ exact "
+              "shingle-Jaccard pairs at the threshold (derived oracle)",
+          tags=("dedup", "lsh", "evaluation")),
     Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,
           doc="E5 token/char counting (whitespace + BPE-ish regex)",
           tags=("text",)),

@@ -315,6 +315,27 @@ def _agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _agg_approx_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive signal for the HLL sketch (agg_approx_distinct is
+    rows-only by nature): the exact distinct counts ARE oracle-verified
+    cross-engine, and the sketch must land within the published HLL++
+    envelope — |approx − exact| ≤ 3·rsd·exact with Spark's default
+    rsd = 0.05 (15%). One boolean per group pins the bound in the hash."""
+    (li,) = tables(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+        F.approx_count_distinct("l_suppkey").alias("_approx"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_suppliers",
+        (
+            F.abs(F.col("_approx") - F.col("exact_suppliers"))
+            <= F.col("exact_suppliers") * F.lit(0.15)
+        ).alias("within_bound"),
+    ).orderBy("l_returnflag")
+
+
 # --- Sort / limit (O1) --------------------------------------------------------
 
 
@@ -1613,6 +1634,20 @@ QUERIES: list[Query] = [
         None,  # HLL sketches differ across engines by design → rows-only check
         doc="approx_count_distinct (sketch; rows-only)",
         tags=("aggregate",),
+    ),
+    Query(
+        "agg_approx_distinct_gate",
+        _agg_approx_distinct_gate,
+        """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+               TRUE AS within_bound
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        doc="positive signal for the HLL sketch: exact distinct counts "
+            "verified cross-engine, plus |approx−exact| ≤ 3·rsd·exact "
+            "(rsd 0.05 → 15%, the published HLL++ 3σ envelope)",
+        tags=("aggregate", "evaluation"),
     ),
     Query(
         "order_limit",

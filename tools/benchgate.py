@@ -1,83 +1,119 @@
-"""Bench regression gate: re-measure the headline queries and fail on
->20% steady-state regressions vs the last recorded round bench.
+"""Bench regression gate: A/B the working tree against HEAD on the same
+box and fail when a query regresses past tolerance.
 
 Round 7 shipped a persist-layout change that regressed the two heaviest
 queries +73%/+69% because nothing in the pre-commit flow measured them;
 this gate makes that class of change fail loudly before it lands.
 
 Usage:
-    python tools/benchgate.py                 # gate every headline query
-    python tools/benchgate.py q1 q2 ...       # gate a subset (faster —
-                                              # use the queries whose
-                                              # operator files you touched)
+    python tools/benchgate.py q1 q2 ...       # gate these queries
+    python tools/benchgate.py                 # gate every bench headline
 
-Exit 0 = no query regressed more than TOLERANCE vs the previous round's
-recorded per-query steady-state; exit 1 = at least one did (each is
-printed). Run at sf0.1 like the driver ($SPARK_GRAFT_SF_DIR overrides).
+Both sides run in their own fresh subprocess + SparkSession with
+bench.py's methodology (one cold pass, best-of-5 steady state, no cache
+release between passes): the BASELINE side imports the package from a
+temporary `git worktree` of HEAD, the CANDIDATE side from the working
+tree. Because the two measurements share the box, the session freshness,
+and the minute, global drift cancels — comparing against a *recorded*
+round bench does not work here: whole-board drift of 2x between sessions
+on this shared 32-thread host swamps any tolerance that would still
+catch a real 50% regression (measured while building this gate).
 
-Methodology matches bench.py exactly: one cold pass, then best-of-5
-steady-state passes with no cache release between them. The baseline is
-the newest BENCH_r*.json with a recoverable per-query map (bench.py's
-own loader). TOLERANCE is 30% for sub-second queries (box noise at the
-~0.2 s/job scheduling floor swamps 20% there) and 20% above 1 s — the
-regressions this gate exists to catch are the data-heavy ones.
+Exit 0 = every gated query's candidate/baseline ratio <= 1 + tolerance
+(20%; 30% under 1 s where the ~0.2 s/job scheduling floor dominates).
+Exit 1 = at least one regressed; each is printed. Runs at sf0.1 like the
+driver ($SPARK_GRAFT_SF_DIR overrides).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
-import time
+import tempfile
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-import bench  # noqa: E402  (repo-root bench.py: HEADLINE + _previous_round)
+import bench  # noqa: E402  (repo-root bench.py: HEADLINE)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_CHILD = r"""
+import json, os, sys, time
+root = sys.argv[1]
+names = sys.argv[2:]
+sys.path.insert(0, root)
+os.environ["PYTHONPATH"] = root + os.pathsep + os.environ.get("PYTHONPATH", "")
+from sids_data_pipeline_spark.plans.catalog import all_queries
+from sids_data_pipeline_spark.session import get_spark
+sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+spark = get_spark("benchgate_child")
+catalog = all_queries()
+out = {}
+for name in names:
+    fn = catalog[name].spark
+    fn(spark, sf).count()  # cold
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        fn(spark, sf).count()
+        best = min(best, time.time() - t0)
+    out[name] = round(best, 3)
+spark.stop()
+print("BENCHGATE_JSON:" + json.dumps(out))
+"""
+
+
+def _measure(root: str, names: list[str]) -> dict[str, float]:
+    p = subprocess.run(
+        [sys.executable, "-c", _CHILD, root, *names],
+        capture_output=True, text=True, cwd=root,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("BENCHGATE_JSON:"):
+            return json.loads(line[len("BENCHGATE_JSON:"):])
+    raise RuntimeError(
+        f"benchgate child in {root} produced no result:\n{p.stderr[-2000:]}"
+    )
 
 
 def main() -> int:
     names = sys.argv[1:] or list(bench.HEADLINE)
-    prev = bench._previous_round()
-    if prev is None:
-        print("benchgate: no prior BENCH_r*.json with per-query data — "
-              "nothing to gate against", file=sys.stderr)
+    base_dir = tempfile.mkdtemp(prefix="benchgate_head_")
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", "--force", base_dir, "HEAD"],
+            cwd=REPO, check=True, capture_output=True,
+        )
+    except subprocess.CalledProcessError as ex:
+        print(f"benchgate: cannot create HEAD worktree ({ex.stderr}), "
+              "skipping gate", file=sys.stderr)
         return 0
-    prev_round, prev_queries = prev
-
-    from sids_data_pipeline_spark.plans.catalog import all_queries
-    from sids_data_pipeline_spark.session import get_spark
-
-    spark = get_spark("benchgate")
-    catalog = all_queries()
+    try:
+        base = _measure(base_dir, names)
+        cand = _measure(REPO, names)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", base_dir],
+            cwd=REPO, capture_output=True,
+        )
     failures = []
     results = {}
     for name in names:
-        if name not in prev_queries:
-            print(f"benchgate: {name} not in {prev_round} record — skipped",
-                  file=sys.stderr)
+        b, c = base.get(name), cand.get(name)
+        if b is None or c is None:
             continue
-        fn = catalog[name].spark
-        fn(spark, SF_DIR).count()  # cold
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.time()
-            fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        base = prev_queries[name]
-        tol = 0.30 if base < 1.0 else 0.20
-        results[name] = {
-            "now": round(best, 3), "base": base,
-            "ratio": round(best / base, 3) if base else None,
-        }
-        if best > base * (1.0 + tol):
+        tol = 0.30 if b < 1.0 else 0.20
+        results[name] = {"head": b, "staged": c,
+                         "ratio": round(c / b, 3) if b else None}
+        if c > b * (1.0 + tol):
             failures.append(
-                f"{name}: {best:.3f}s vs {prev_round} {base:.3f}s "
-                f"(+{(best / base - 1) * 100:.0f}% > {tol * 100:.0f}% tolerance)"
+                f"{name}: {c:.3f}s vs HEAD {b:.3f}s "
+                f"(+{(c / b - 1) * 100:.0f}% > {tol * 100:.0f}% tolerance)"
             )
-    spark.stop()
-    print(json.dumps({"baseline": prev_round, "results": results,
+    print(json.dumps({"baseline": "HEAD", "results": results,
                       "failures": failures}))
     for f in failures:
         print(f"benchgate FAIL {f}", file=sys.stderr)
