@@ -20,7 +20,10 @@ on this shared 32-thread host swamps any tolerance that would still
 catch a real 50% regression (measured while building this gate).
 
 Exit 0 = every gated query's candidate/baseline ratio <= 1 + tolerance
-(20%; 30% under 1 s where the ~0.2 s/job scheduling floor dominates).
+(20%; 50% under 1 s, where single-session A/B noise on the ~0.2 s/job
+scheduling floor runs +-40% even on identical code - measured while
+building this gate; the regressions the gate exists for are the
+data-heavy multi-second ones).
 Exit 1 = at least one regressed; each is printed. Runs at sf0.1 like the
 driver ($SPARK_GRAFT_SF_DIR overrides).
 """
@@ -82,10 +85,14 @@ def _measure(root: str, names: list[str]) -> dict[str, float]:
 def main() -> int:
     names = sys.argv[1:] or list(bench.HEADLINE)
     base_dir = tempfile.mkdtemp(prefix="benchgate_head_")
+    # inside a pre-commit hook git exports GIT_INDEX_FILE (a temp index)
+    # and friends; inheriting them breaks `git worktree add` in a
+    # different checkout — strip all GIT_* for the sub-invocations
+    git_env = {k: v for k, v in os.environ.items() if not k.startswith("GIT_")}
     try:
         subprocess.run(
             ["git", "worktree", "add", "--detach", "--force", base_dir, "HEAD"],
-            cwd=REPO, check=True, capture_output=True,
+            cwd=REPO, check=True, capture_output=True, env=git_env,
         )
     except subprocess.CalledProcessError as ex:
         print(f"benchgate: cannot create HEAD worktree ({ex.stderr}), "
@@ -97,7 +104,7 @@ def main() -> int:
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", base_dir],
-            cwd=REPO, capture_output=True,
+            cwd=REPO, capture_output=True, env=git_env,
         )
     failures = []
     results = {}
@@ -105,7 +112,7 @@ def main() -> int:
         b, c = base.get(name), cand.get(name)
         if b is None or c is None:
             continue
-        tol = 0.30 if b < 1.0 else 0.20
+        tol = 0.50 if b < 1.0 else 0.20
         results[name] = {"head": b, "staged": c,
                          "ratio": round(c / b, 3) if b else None}
         if c > b * (1.0 + tol):
