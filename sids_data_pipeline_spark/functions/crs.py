@@ -573,17 +573,44 @@ class Sinusoidal:
         return lon, F.degrees(phi)
 
 
-# MODIS sinusoidal sphere R = 6371007.181 m (the MOD* HDF grids; commonly
-# tagged SR-ORG:6974 — MODIS products carry no true EPSG). 53008 is the
+# MODIS sinusoidal sphere R = 6371007.181 m (the MOD* HDF grids) and the
 # ESRI World_Sinusoidal authalic sphere used by legacy ArcGIS exports.
+# NEITHER carries a true EPSG code (the de-facto tags are SR-ORG:6974
+# and ESRI:53008 — different authority namespaces whose numbers collide
+# with real EPSG allocations), so they are NOT pre-registered: a dataset
+# genuinely tagged with the EPSG-registry CRS 6974 must fail loudly, not
+# silently reproject through a MODIS sphere. Callers with MODIS/ESRI
+# estates opt in explicitly:
+#     crs.register_projection(6974, crs.MODIS_SINUSOIDAL)
+# mirroring how GDAL needs the MODIS WKT supplied for these products.
 MODIS_SINUSOIDAL = Sinusoidal(radius=6371007.181)
 WORLD_SINUSOIDAL = Sinusoidal(radius=6371000.0)
-SINUSOIDAL_PROJECTIONS = {6974: MODIS_SINUSOIDAL, 53008: WORLD_SINUSOIDAL}
 
-# every registered grid projection with forward/inverse column methods
+# every registered grid projection with forward/inverse column methods;
+# pre-registered keys are genuine EPSG codes only
 PROJECTION_REGISTRY: dict[int, object] = {
-    **LCC_PROJECTIONS, **ALBERS_PROJECTIONS, **SINUSOIDAL_PROJECTIONS,
+    **LCC_PROJECTIONS, **ALBERS_PROJECTIONS,
 }
+
+
+def register_projection(code: int, projection) -> None:
+    """Opt a projection object (forward/inverse column methods) into the
+    ``reproject_pixels`` dispatch under ``code``. For CRSs whose common
+    tag is NOT a real EPSG code (SR-ORG:6974 MODIS sinusoidal,
+    ESRI:53008) the engine refuses to guess — registration is the
+    caller's explicit statement of what the code means in THEIR catalog.
+    Idempotent re-registration of the same object is allowed; rebinding
+    a code to a different projection raises."""
+    if not (hasattr(projection, "forward") and hasattr(projection, "inverse")):
+        raise TypeError(
+            f"projection for code {code} needs forward/inverse column methods"
+        )
+    existing = PROJECTION_REGISTRY.get(code)
+    if existing is not None and existing is not projection:
+        raise ValueError(
+            f"code {code} already registered to a different projection"
+        )
+    PROJECTION_REGISTRY[code] = projection
 
 
 # --- great-circle distance ----------------------------------------------------

@@ -54,7 +54,6 @@ def run_standardize_job(
     (executor workers have no JVM gateway to the Hadoop FS for writes).
     The ``ledger_path`` is plain Spark parquet and may live anywhere.
     """
-    import glob as globmod
     import os
 
     from pyspark.errors import AnalysisException
@@ -78,16 +77,9 @@ def run_standardize_job(
     # proportional to the ledger, not the pending set). `skipped` is the
     # ledger ∩ THIS input's rasters (the docstring contract) — the
     # ledger may span other input directories.
-    if "://" not in input_glob:
-        files = sorted(globmod.glob(input_glob))
-    else:
-        jvm = spark._jvm
-        hglob = jvm.org.apache.hadoop.fs.Path(input_glob)
-        fs = hglob.getFileSystem(spark._jsc.hadoopConfiguration())
-        statuses = fs.globStatus(hglob)
-        files = sorted(
-            str(st.getPath()) for st in (statuses or []) if st.isFile()
-        )
+    from sids_data_pipeline_spark.sources.storage import hadoop_glob
+
+    files = hadoop_glob(spark, input_glob)
     stems = {os.path.splitext(os.path.basename(f))[0]: f for f in files}
     skipped = sorted(s for s in stems if s in done_ids)
     pending_files = [f for s, f in stems.items() if s not in done_ids]

@@ -428,7 +428,17 @@ def near_duplicates_minhash_ml(
 
     sh = shingles(docs, 3, text_col, id_col)
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("toks"))
-    cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True)
+    # vocabSize must cover the distinct-shingle count: past the cap,
+    # CountVectorizer drops rare shingles, which SHRINKS unions and
+    # inflates the vector Jaccard above the exact shingle Jaccard — the
+    # sketch would then emit pairs the exact operator rejects (and the
+    # dedup_minhash_ml_gate catalog gate would flag it). 2^22 holds the
+    # full vocab far past the tested scales; corpora beyond it should
+    # use the md5-family near_duplicates_minhash, which has no vocab.
+    cv = CountVectorizer(
+        inputCol="toks", outputCol="features", binary=True,
+        vocabSize=1 << 22,
+    )
     model = cv.fit(sets)
     feats = model.transform(sets)
     lsh = MinHashLSH(

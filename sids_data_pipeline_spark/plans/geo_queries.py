@@ -951,8 +951,16 @@ FROM fin
 
 def _crs_reproject_sinu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4326 → MODIS sinusoidal (R = 6371007.181 m, the MOD* land grids)
-    forward + inverse round trip — spherical closed form both legs."""
-    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+    forward + inverse round trip — spherical closed form both legs.
+    MODIS carries no true EPSG, so the de-facto SR-ORG:6974 tag is an
+    explicit opt-in registration, not an engine default."""
+    from sids_data_pipeline_spark.functions.crs import (
+        MODIS_SINUSOIDAL,
+        register_projection,
+        reproject_pixels,
+    )
+
+    register_projection(6974, MODIS_SINUSOIDAL)
 
     grid = spark.range(0, 1000, 1, 8).select(
         F.col("id"),

@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re as _re
 from typing import Iterable
 
 import numpy as np
@@ -424,19 +425,22 @@ def tileset_markers(out_dir: str) -> set[str]:
     O(1) filesystem round-trips no matter how many pairs the estate
     holds (reference data.py:26-40 probes per pair because its shell
     loop is already per-pair; at 10⁵ pairs one listing wins)."""
-    pattern = os.path.join(out_dir, "*", "tiles", "_tileset_metadata.json")
+    from sids_data_pipeline_spark.sources.storage import hadoop_glob
+
     if "://" in out_dir:
         spark = SparkSession.getActiveSession()
         if spark is None:
             raise RuntimeError("tileset_markers(URI) needs an active SparkSession")
-        hglob = spark._jvm.org.apache.hadoop.fs.Path(pattern)
-        fs = hglob.getFileSystem(spark._jsc.hadoopConfiguration())
-        statuses = fs.globStatus(hglob)
-        paths = [str(st.getPath()) for st in (statuses or [])]
+        # Hadoop glob metachars in the literal prefix are escaped with
+        # backslash (the Hadoop GlobPattern convention)
+        prefix = _re.sub(r"([\[\]{}?*\\])", r"\\\1", out_dir)
     else:
         import glob as globmod
 
-        paths = globmod.glob(pattern)
+        spark = None
+        prefix = globmod.escape(out_dir)
+    pattern = os.path.join(prefix, "*", "tiles", "_tileset_metadata.json")
+    paths = hadoop_glob(spark, pattern)
     return {
         os.path.basename(os.path.dirname(os.path.dirname(p))) for p in paths
     }

@@ -112,6 +112,10 @@ def _lzw_decode(buf: bytes) -> bytes:
             if code == EOI:
                 return bytes(out)
             if prev is None:
+                if code >= len(table):
+                    raise ValueError(
+                        f"corrupt LZW stream: code {code} > table {len(table)}"
+                    )
                 entry = table[code]
             elif code < len(table):
                 entry = table[code]

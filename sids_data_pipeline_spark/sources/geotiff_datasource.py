@@ -98,6 +98,21 @@ class GeoTiffReader(DataSourceReader):
     def partitions(self) -> Sequence[InputPartition]:
         if self._files:
             paths = sorted(p for p in self._files.split(",") if p)
+        elif "://" in self._path:
+            # planning runs on the DRIVER, where the JVM gateway exists:
+            # remote globs expand in one Hadoop globStatus round-trip
+            # (executor-side decode then reads bytes via pyarrow.fs)
+            from pyspark.sql import SparkSession
+
+            from sids_data_pipeline_spark.sources.storage import hadoop_glob
+
+            spark = SparkSession.getActiveSession()
+            if spark is None:
+                raise RuntimeError(
+                    "geotiff source: remote glob planning needs an active "
+                    "SparkSession"
+                )
+            paths = hadoop_glob(spark, self._path)
         else:
             paths = sorted(_glob.glob(self._path))
         if not paths:

@@ -73,6 +73,27 @@ def fs_write_bytes(spark: SparkSession, path: str, content: bytes) -> None:
             fh.write(content)
 
 
+def hadoop_glob(spark: SparkSession, pattern: str) -> list[str]:
+    """Expand a glob PATTERN on any Hadoop-supported URI in ONE
+    ``globStatus`` round-trip, returning the matching FILE paths sorted.
+    Local (no-scheme) patterns use Python glob. The single shared
+    implementation for every remote listing in the repo (standardize
+    input scan, tileset-marker heal, geotiff source planning) so
+    scheme/metachar semantics cannot drift between call sites."""
+    if "://" not in pattern:
+        import glob as globmod
+        import os
+
+        return sorted(p for p in globmod.glob(pattern) if os.path.isfile(p))
+    jvm = spark._jvm
+    hglob = jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = hglob.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hglob)
+    return sorted(
+        str(st.getPath()) for st in (statuses or []) if st.isFile()
+    )
+
+
 def fs_delete(spark: SparkSession, path: str) -> bool:
     """Recursively delete a file/directory on any Hadoop-supported URI;
     returns True when something was removed. Local paths use shutil."""

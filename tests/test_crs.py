@@ -342,6 +342,16 @@ def test_sinusoidal_modis_roundtrip_and_closed_form(spark):
         [(1, 11.5, 42.3), (2, -150.0, -60.0), (3, 0.0, 0.0)],
         "id long, lon double, lat double",
     )
+    # MODIS carries no true EPSG: 6974 (the de-facto SR-ORG tag) must be
+    # an explicit opt-in, never an engine default (pop first: another
+    # test may have run the catalog query that registers it)
+    crs.PROJECTION_REGISTRY.pop(6974, None)
+    with pytest.raises(NotImplementedError):
+        crs.reproject_pixels(df, 4326, 6974)
+    crs.register_projection(6974, crs.MODIS_SINUSOIDAL)
+    crs.register_projection(6974, crs.MODIS_SINUSOIDAL)  # idempotent
+    with pytest.raises(ValueError):
+        crs.register_projection(6974, crs.WORLD_SINUSOIDAL)  # rebind
     xy = crs.reproject_pixels(df, 4326, 6974)
     back = crs.reproject_pixels(xy, 6974, 4326)
     worst = back.join(

@@ -581,3 +581,15 @@ def test_geotiff_predictor_guards():
                                             predictor=2))
     # integer+predictor decodes fine
     geotiff.decode_geotiff(bytes(data))
+
+
+def test_lzw_corrupt_first_code_raises_valueerror():
+    """A corrupt stream whose FIRST code after Clear exceeds the table
+    must raise the diagnostic ValueError, not a bare IndexError."""
+    import struct
+
+    # 9-bit codes: Clear(256) then 300 (> table size 258)
+    acc = (256 << 9) | 300
+    buf = struct.pack(">I", acc << (32 - 18))[:3]
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        geotiff._lzw_decode(buf)

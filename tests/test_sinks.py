@@ -365,3 +365,17 @@ def test_tileset_marker_is_tippecanoe_compatible(spark, tmp_path):
     assert layers[0]["id"] == "features"
     assert layers[0]["fields"] == {"fid": "Number"}
     assert tiles.tileset_complete(out)
+
+
+def test_tileset_markers_glob_metachar_dir(tmp_path):
+    """Finding from round-8 review: out_dir containing glob metachars
+    must still discover markers (glob.escape on the literal prefix)."""
+    import os
+
+    from sids_data_pipeline_spark.sinks import tiles
+
+    out = tmp_path / "run[2024]" / "out"
+    pair = out / "zones_a_rast_b" / "tiles"
+    os.makedirs(pair)
+    (pair / "_tileset_metadata.json").write_text("{}")
+    assert tiles.tileset_markers(str(out)) == {"zones_a_rast_b"}

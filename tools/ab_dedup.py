@@ -5,8 +5,10 @@ the token-table persist without measuring; steady-state went +73%/+69%.
 This script measures each candidate layout in a fresh SparkSession using
 the bench.py methodology (cold pass then timed steady-state pass).
 
-Run: python tools/ab_dedup.py [variant ...]
+Run: python tools/ab_dedup.py [variant ...]   (default: all four)
 Variants: r7 (current), probe, probe_tok, window_cap
+Each variant runs in its own child process so the monkeypatches never
+stack.
 """
 
 from __future__ import annotations
@@ -18,21 +20,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-
-def build_session():
-    from pyspark.sql import SparkSession
-
-    return (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("ab_dedup")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "8g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+VARIANTS = ("r7", "probe", "probe_tok", "window_cap")
 
 
 def apply_variant(name: str):
@@ -41,11 +30,8 @@ def apply_variant(name: str):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from sids_data_pipeline_spark import operators
     from sids_data_pipeline_spark.operators import dedup as D
     from sids_data_pipeline_spark.lifecycle import track
-
-    orig_ndm = D.near_duplicates_minhash
 
     if name == "r7":
         return
@@ -116,13 +102,11 @@ def apply_variant(name: str):
     else:
         raise SystemExit(f"unknown variant {name}")
 
-    # rebind in modules that imported the symbol directly
+    # rebind in modules that imported the symbol directly (ext_queries
+    # calls through the dedup module object, already patched)
     import sids_data_pipeline_spark.jobs.curation as cur
-    import sids_data_pipeline_spark.plans.ext_queries as ext
     if hasattr(cur, "near_duplicates_minhash"):
         cur.near_duplicates_minhash = D.near_duplicates_minhash
-    if hasattr(ext, "dedup"):
-        pass  # ext calls through the dedup module, already patched
 
 
 def run_variant(name: str) -> dict:
@@ -154,15 +138,20 @@ if __name__ == "__main__":
     import json
     import subprocess
 
-    if len(sys.argv) == 2:
+    if os.environ.get("AB_DEDUP_CHILD") == "1":
         # child mode: one variant, fresh process (monkeypatches don't stack)
-        v = sys.argv[1]
+        (v,) = sys.argv[1:]
         print(json.dumps({v: run_variant(v)}), flush=True)
     else:
-        for v in ["r7", "probe", "probe_tok", "window_cap"]:
+        requested = sys.argv[1:] or list(VARIANTS)
+        unknown = [v for v in requested if v not in VARIANTS]
+        if unknown:
+            raise SystemExit(f"unknown variants {unknown}; choose from {VARIANTS}")
+        for v in requested:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), v],
                 capture_output=True, text=True,
+                env={**os.environ, "AB_DEDUP_CHILD": "1"},
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("{")]
             print(line[-1] if line else f"{v}: FAILED\n{p.stderr[-500:]}",

@@ -98,14 +98,30 @@ def main() -> int:
         print(f"benchgate: cannot create HEAD worktree ({ex.stderr}), "
               "skipping gate", file=sys.stderr)
         return 0
+    # Candidate side: in a pre-commit hook the thing being gated is the
+    # STAGED INDEX, which can differ from the working tree (partial
+    # staging, post-stage experiments). git exports GIT_INDEX_FILE in
+    # hooks; `git checkout-index` with that env intact exports exactly
+    # the staged snapshot. Manual runs gate the working tree.
+    cand_dir = None
+    if "GIT_INDEX_FILE" in os.environ:
+        cand_dir = tempfile.mkdtemp(prefix="benchgate_index_")
+        subprocess.run(
+            ["git", "checkout-index", "-a", f"--prefix={cand_dir}/"],
+            cwd=REPO, check=True, capture_output=True,
+        )
     try:
         base = _measure(base_dir, names)
-        cand = _measure(REPO, names)
+        cand = _measure(cand_dir or REPO, names)
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", base_dir],
             cwd=REPO, capture_output=True, env=git_env,
         )
+        if cand_dir is not None:
+            import shutil
+
+            shutil.rmtree(cand_dir, ignore_errors=True)
     failures = []
     results = {}
     for name in names:
