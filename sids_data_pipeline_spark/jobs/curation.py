@@ -51,6 +51,12 @@ def curate_corpus(
         survivors, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
     )
     drop = pairs.select(F.col("id2").alias(id_col)).distinct()
+    # NOT F.broadcast(drop): at corpus scale the drop list can be a
+    # large fraction of all doc ids (dedup rates of 10-30% are normal),
+    # far past any broadcast bound. The static plan shows a sort-merge
+    # anti-join; AQE converts it to a broadcast join at runtime whenever
+    # the materialized drop side is actually small — the right call on
+    # BOTH ends of the scale without hard-coding either.
     return survivors.join(drop, id_col, "left_anti")
 
 

@@ -130,6 +130,7 @@ PRIORITY: tuple[str, ...] = (
     "sql_waiting_suppliers",
     # — new round-8 queries —
     "raster_lzw_ingest",
+    "raster_bigtiff_ingest",
     "crs_reproject_albers",
     "crs_reproject_sinu",
     "similarity_ann_gate",
@@ -171,7 +172,8 @@ PRIORITY: tuple[str, ...] = (
     "graph_triangles",
     "text_sentences_udtf",
     "agg_geomean_udaf",
-    "corpus_bpe_train",
+    # corpus_bpe_train displaced by raster_bigtiff_ingest: text.py is
+    # unchanged this round and the BPE family keeps its r7 rows
 )
 
 

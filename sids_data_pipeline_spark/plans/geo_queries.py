@@ -397,6 +397,53 @@ def _fixture_lzw_dir() -> str:
     )
 
 
+def _fixture_bigtiff_dir() -> str:
+    """Deterministic BigTIFF (version 43, 8-byte offsets) fixture —
+    classic TIFF caps at 4 GiB, so the >4 GiB rasters of a 100 TB
+    estate arrive in this layout (GDAL writes it automatically past the
+    ceiling). ZSTD + 128-tiles like the reference profile; values are
+    the gradient + 7 so a header-dispatch bug cannot alias the classic
+    gradient fixture's hash."""
+    import numpy as np
+
+    def arr():
+        y, x = np.mgrid[0:GRID_N, 0:GRID_N]
+        return (x + GRID_N * y + 7).astype("float64")
+
+    return _cached_fixture_dir(
+        "big", "rast_big.tif", arr, compress="zstd", tile=128, bigtiff=True
+    )
+
+
+def _bigtiff_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 on the BigTIFF layout: version-43 header, 20-byte IFD entries,
+    LONG8 strip/tile offsets — distributed ingest, lattice oracle."""
+    from sids_data_pipeline_spark.sources.geotiff import ingest_geotiff
+
+    px = ingest_geotiff(spark, _fixture_bigtiff_dir() + "/*.tif")
+    return px.select(
+        "raster_id", "band", "y", "x",
+        F.round("lon", 9).alias("lon"),
+        F.round("lat", 9).alias("lat"),
+        "val",
+    )
+
+
+def _bigtiff_ingest_sql() -> str:
+    n = GRID_N
+    return f"""
+SELECT 'rast_big' AS raster_id,
+       1 AS band,
+       CAST(i // {n} AS INT) AS y,
+       CAST(i % {n} AS INT) AS x,
+       ROUND((i % {n} + 0.5) * CAST(0.1 AS DOUBLE), 9) AS lon,
+       ROUND({n} * CAST(0.1 AS DOUBLE) - (i // {n} + 0.5) * CAST(0.1 AS DOUBLE), 9)
+         AS lat,
+       CAST(i + 7 AS DOUBLE) AS val
+FROM (SELECT unnest(range({n * n})) AS i) t
+"""
+
+
 def _lzw_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 on a foreign-profile raster: uint16 + LZW + predictor 2
     (pure-python early-change LZW + modular cumsum un-differencing),
@@ -1496,6 +1543,14 @@ QUERIES: list[Query] = [
         doc="P9/F8: WGS-84 ↔ MODIS sinusoidal (R=6371007.181), spherical "
             "closed form both legs",
         tags=("geo", "scalar"),
+    ),
+    Query(
+        "raster_bigtiff_ingest",
+        _bigtiff_ingest_query,
+        _bigtiff_ingest_sql(),
+        doc="S5 on BigTIFF (version 43, LONG8 offsets — how >4 GiB "
+            "rasters ship), pure-python decode, lattice-oracle-verified",
+        tags=("geo", "source"),
     ),
     Query(
         "raster_lzw_ingest",

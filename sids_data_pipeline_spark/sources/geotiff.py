@@ -277,19 +277,42 @@ def _undo_predictor(
     return np.cumsum(arr, axis=1, dtype=arr.dtype).tobytes()
 
 
-def _read_ifd(buf: bytes, bo: str) -> dict[int, list]:
-    (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
-    (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
+def _read_ifd(buf: bytes, bo: str, bigtiff: bool = False) -> dict[int, list]:
+    """Parse the first IFD. ``bigtiff=True`` switches to the BigTIFF
+    (TIFF version 43) layout: 8-byte IFD offset/entry count, 20-byte
+    entries with 8-byte counts and inline-value slots, and the LONG8/
+    SLONG8/IFD8 types (16/17/18). Classic TIFF's 32-bit offsets cap
+    files at 4 GiB; rasters past that — routine in a 100 TB estate —
+    ship as BigTIFF (GDAL writes it automatically above the limit)."""
+    if bigtiff:
+        (ifd_off,) = struct.unpack_from(bo + "Q", buf, 8)
+        (n,) = struct.unpack_from(bo + "Q", buf, ifd_off)
+        head, esize, inline = 8, 20, 8
+        cnt_fmt, off_fmt = "HHQ", "Q"
+    else:
+        (ifd_off,) = struct.unpack_from(bo + "I", buf, 4)
+        (n,) = struct.unpack_from(bo + "H", buf, ifd_off)
+        head, esize, inline = 2, 12, 4
+        cnt_fmt, off_fmt = "HHI", "I"
     tags: dict[int, list] = {}
     for i in range(n):
-        off = ifd_off + 2 + 12 * i
-        tag, typ, count = struct.unpack_from(bo + "HHI", buf, off)
+        off = ifd_off + head + esize * i
+        tag, typ, count = struct.unpack_from(bo + cnt_fmt, buf, off)
         size = _TYPE_SIZES.get(typ, 1) * count
-        val_off = off + 8 if size <= 4 else struct.unpack_from(bo + "I", buf, off + 8)[0]
+        val_slot = off + esize - inline
+        val_off = (
+            val_slot
+            if size <= inline
+            else struct.unpack_from(bo + off_fmt, buf, val_slot)[0]
+        )
         if typ == 3:
             vals = list(struct.unpack_from(f"{bo}{count}H", buf, val_off))
         elif typ == 4:
             vals = list(struct.unpack_from(f"{bo}{count}I", buf, val_off))
+        elif typ == 16:  # LONG8 (BigTIFF strip/tile offsets and counts)
+            vals = list(struct.unpack_from(f"{bo}{count}Q", buf, val_off))
+        elif typ == 17:  # SLONG8
+            vals = list(struct.unpack_from(f"{bo}{count}q", buf, val_off))
         elif typ == 12:
             vals = list(struct.unpack_from(f"{bo}{count}d", buf, val_off))
         elif typ == 2:
@@ -319,9 +342,15 @@ def decode_geotiff_bands(data: bytes):
         bo = ">"
     else:
         raise ValueError("not a TIFF (bad byte-order mark)")
-    if struct.unpack_from(bo + "H", data, 2)[0] != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    tags = _read_ifd(data, bo)
+    version = struct.unpack_from(bo + "H", data, 2)[0]
+    if version == 43:
+        # BigTIFF sanity: offset size must be 8, pad word 0
+        osize, pad = struct.unpack_from(bo + "HH", data, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError(f"malformed BigTIFF header ({osize}, {pad})")
+    elif version != 42:
+        raise ValueError(f"not a TIFF (version word {version})")
+    tags = _read_ifd(data, bo, bigtiff=(version == 43))
     compression = tags.get(_TAG_COMPRESSION, [1])[0]
     if compression not in _SUPPORTED_COMPRESSIONS:
         raise NotImplementedError(
@@ -495,6 +524,7 @@ def encode_geotiff(
     planar: bool = False,
     dtype: str = "f8",
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> bytes:
     """K5 writer: little-endian, georef tags. ``values`` may be
     2-D ``[h, w]`` (single band) or 3-D ``[bands, h, w]`` (multi-band —
@@ -511,7 +541,11 @@ def encode_geotiff(
     tiles padded with ``nodata``. ``dtype`` (numpy code: u1/u2/u4/i2/i4/
     f4/f8, default f8) sets the sample type — ``gdal_translate -ot``
     parity; ``predictor=2`` adds horizontal differencing (integer
-    dtypes only, the GDAL default companion to integer LZW output)."""
+    dtypes only, the GDAL default companion to integer LZW output).
+    ``bigtiff=True`` writes the BigTIFF (version 43, 8-byte offset)
+    layout; it also engages AUTOMATICALLY when the payload approaches
+    the classic 4 GiB offset ceiling, matching GDAL's auto-upgrade —
+    without it a >4 GiB raster would silently wrap its offsets."""
     dtype_tags = {
         "u1": (8, 1), "u2": (16, 1), "u4": (32, 1),
         "i2": (16, 2), "i4": (32, 2),
@@ -589,11 +623,21 @@ def encode_geotiff(
             "'deflate', 'packbits', or 'zstd'"
         )
     off_tag = _TAG_TILE_OFFSETS if tile is not None else _TAG_STRIP_OFFSETS
+    # Classic TIFF offsets are 32-bit: a file past 4 GiB needs BigTIFF
+    # (version 43, 8-byte offsets) — GDAL auto-upgrades the same way.
+    # The margin covers IFD + external blobs.
+    if not bigtiff and sum(map(len, chunks)) > (1 << 32) - (1 << 16):
+        bigtiff = True
+    inline_cap = 8 if bigtiff else 4
+    off_typ, off_fmt = (16, "Q") if bigtiff else (4, "I")
+    off_sz = 8 if bigtiff else 4
     entries = []  # (tag, type, count, inline-or-None, payload-or-None)
 
     def entry(tag, typ, count, payload: bytes):
-        if len(payload) <= 4:
-            entries.append((tag, typ, count, payload.ljust(4, b"\0"), None))
+        if len(payload) <= inline_cap:
+            entries.append(
+                (tag, typ, count, payload.ljust(inline_cap, b"\0"), None)
+            )
         else:
             entries.append((tag, typ, count, None, payload))
 
@@ -608,12 +652,14 @@ def encode_geotiff(
     if tile is not None:
         entry(_TAG_TILE_WIDTH, 4, 1, struct.pack("<I", tile))
         entry(_TAG_TILE_LENGTH, 4, 1, struct.pack("<I", tile))
-        entry(_TAG_TILE_OFFSETS, 4, n, b"\0" * (4 * n))  # patched below
-        entry(_TAG_TILE_COUNTS, 4, n, struct.pack(f"<{n}I", *map(len, chunks)))
+        entry(_TAG_TILE_OFFSETS, off_typ, n, b"\0" * (off_sz * n))  # patched below
+        entry(_TAG_TILE_COUNTS, off_typ, n,
+              struct.pack(f"<{n}{off_fmt}", *map(len, chunks)))
     else:
-        entry(_TAG_STRIP_OFFSETS, 4, n, b"\0" * (4 * n))  # patched below
+        entry(_TAG_STRIP_OFFSETS, off_typ, n, b"\0" * (off_sz * n))  # patched below
         entry(_TAG_ROWS_PER_STRIP, 4, 1, struct.pack("<I", h))
-        entry(_TAG_STRIP_COUNTS, 4, n, struct.pack(f"<{n}I", *map(len, chunks)))
+        entry(_TAG_STRIP_COUNTS, off_typ, n,
+              struct.pack(f"<{n}{off_fmt}", *map(len, chunks)))
     entry(_TAG_SAMPLE_FORMAT, 3, nb, struct.pack(f"<{nb}H", *([fmt] * nb)))
     if predictor == 2:
         entry(_TAG_PREDICTOR, 3, 1, struct.pack("<H", 2))
@@ -637,8 +683,20 @@ def encode_geotiff(
         entry(_TAG_GDAL_NODATA, 2, len(nd), nd)
 
     entries.sort(key=lambda e: e[0])
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    if bigtiff:
+        ifd_off = 16
+        ifd_size = 8 + 20 * len(entries) + 8
+        ent_fmt, ptr_fmt = "<HHQ", "<Q"
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+        count_blob = struct.pack("<Q", len(entries))
+        next_ifd = struct.pack("<Q", 0)
+    else:
+        ifd_off = 8
+        ifd_size = 2 + 12 * len(entries) + 4
+        ent_fmt, ptr_fmt = "<HHI", "<I"
+        header = struct.pack("<2sHI", b"II", 42, ifd_off)
+        count_blob = struct.pack("<H", len(entries))
+        next_ifd = struct.pack("<I", 0)
     ext_off = ifd_off + ifd_size
     ext_blobs: list[bytes] = []
     fixed = []
@@ -649,7 +707,10 @@ def encode_geotiff(
         else:
             if tag == off_tag:
                 offsets_blob_idx = len(ext_blobs)
-            fixed.append((tag, typ, count, struct.pack("<I", ext_off)))
+            fixed.append(
+                (tag, typ, count,
+                 struct.pack(ptr_fmt, ext_off).ljust(inline_cap, b"\0"))
+            )
             ext_blobs.append(payload)
             ext_off += len(payload)
     data_off = ext_off
@@ -659,15 +720,15 @@ def encode_geotiff(
     for c in chunks:
         chunk_offs.append(pos)
         pos += len(c)
-    offs_payload = struct.pack(f"<{n}I", *chunk_offs)
+    offs_payload = struct.pack(f"<{n}{off_fmt}", *chunk_offs)
     if offsets_blob_idx is not None:
         ext_blobs[offsets_blob_idx] = offs_payload
-    out = [struct.pack("<2sHI", b"II", 42, ifd_off), struct.pack("<H", len(entries))]
+    out = [header, count_blob]
     for tag, typ, count, val in fixed:
         if tag == off_tag and count == 1:
-            val = struct.pack("<I", chunk_offs[0])
-        out.append(struct.pack("<HHI", tag, typ, count) + val)
-    out.append(struct.pack("<I", 0))  # no next IFD
+            val = struct.pack(ptr_fmt, chunk_offs[0]).ljust(inline_cap, b"\0")
+        out.append(struct.pack(ent_fmt, tag, typ, count) + val)
+    out.append(next_ifd)
     out.extend(ext_blobs)
     out.extend(chunks)
     return b"".join(out)

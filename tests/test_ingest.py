@@ -593,3 +593,38 @@ def test_lzw_corrupt_first_code_raises_valueerror():
     buf = struct.pack(">I", acc << (32 - 18))[:3]
     with pytest.raises(ValueError, match="corrupt LZW"):
         geotiff._lzw_decode(buf)
+
+
+@pytest.mark.parametrize("compress", [None, "deflate", "lzw"])
+@pytest.mark.parametrize("tile", [None, 16])
+def test_bigtiff_roundtrip(compress, tile):
+    """BigTIFF (version 43, 8-byte offsets): classic TIFF caps files at
+    4 GiB, so >4 GiB rasters in a real estate ship as BigTIFF; the codec
+    reads and writes the layout (and the writer auto-upgrades at the
+    ceiling like GDAL)."""
+    y, x = np.mgrid[0:37, 0:53]
+    base = (x + 53 * y).astype("float64")
+    data = geotiff.encode_geotiff(
+        base, 0.0, 3.7, 0.1, compress=compress, tile=tile, bigtiff=True
+    )
+    assert data[2:4] == b"\x2b\x00"  # version 43, little-endian
+    out, georef, _ = geotiff.decode_geotiff(data)
+    assert np.array_equal(out, base)
+    assert georef == (0.0, 3.7, 0.1, 0.1)
+
+
+def test_bigtiff_multiband_planar_and_predictor():
+    y, x = np.mgrid[0:37, 0:53]
+    base = (x + 53 * y).astype("float64")
+    mb = np.stack([base + b for b in range(3)])
+    data = geotiff.encode_geotiff(
+        mb, 0.0, 3.7, 0.1, planar=True, bigtiff=True, compress="deflate"
+    )
+    bands, _, _ = geotiff.decode_geotiff_bands(data)
+    assert np.array_equal(bands, mb)
+    d = geotiff.encode_geotiff(
+        np.mod(base, 4096), 0.0, 3.7, 0.1, dtype="u2", predictor=2,
+        compress="lzw", bigtiff=True, nodata=-1.0,
+    )
+    out, _, nd = geotiff.decode_geotiff(d)
+    assert np.array_equal(out, np.mod(base, 4096)) and nd == -1.0
