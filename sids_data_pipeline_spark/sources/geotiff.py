@@ -249,11 +249,17 @@ def _decompress(buf: bytes, compression: int, expected_size: int) -> bytes:
     if compression == _COMP_LZW:
         return _lzw_decode(buf)
     if compression == _COMP_DEFLATE:
-        return zlib.decompress(buf)
+        try:
+            return zlib.decompress(buf)
+        except zlib.error as ex:  # corrupt/truncated chunk: diagnose, don't leak
+            raise ValueError(f"corrupt deflate chunk: {ex}") from ex
     if compression == _COMP_PACKBITS:
         return _packbits_decode(buf)
     if compression == _COMP_ZSTD:
-        return bytes(_zstd_codec().decompress(buf, expected_size))
+        try:
+            return bytes(_zstd_codec().decompress(buf, expected_size))
+        except Exception as ex:  # pyarrow raises its own hierarchy
+            raise ValueError(f"corrupt zstd chunk: {ex}") from ex
     raise NotImplementedError(
         "TIFF compression %d needs a codec (rasterio/GDAL); engine "
         "subset is raw (1), LZW (5), deflate (8), PackBits (32773), "
@@ -351,28 +357,48 @@ def decode_geotiff_bands(data: bytes):
     elif version != 42:
         raise ValueError(f"not a TIFF (version word {version})")
     tags = _read_ifd(data, bo, bigtiff=(version == 43))
-    compression = tags.get(_TAG_COMPRESSION, [1])[0]
+    def _int_list(tag: int, default: list[int]) -> list[int]:
+        # a corrupt/foreign type code makes _read_ifd return raw bytes;
+        # every structural tag must be integral or the file is malformed
+        vals = tags.get(tag, default)
+        if not vals or not all(isinstance(v, int) for v in vals):
+            raise ValueError(f"malformed TIFF: tag {tag} is not integral")
+        return vals
+
+    def _int_tag(tag: int, default: int | None = None) -> int:
+        if default is not None and tag not in tags:
+            return default
+        if tag not in tags:
+            raise ValueError(f"malformed TIFF: required tag {tag} missing")
+        return _int_list(tag, [default])[0]
+
+    compression = _int_tag(_TAG_COMPRESSION, 1)
     if compression not in _SUPPORTED_COMPRESSIONS:
         raise NotImplementedError(
             "TIFF compression %d needs a codec (rasterio/GDAL); engine "
             "subset is raw (1), LZW (5), deflate (8), PackBits (32773), "
             "or ZSTD (50000)" % compression
         )
-    predictor = tags.get(_TAG_PREDICTOR, [1])[0]
+    predictor = _int_tag(_TAG_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise NotImplementedError(
             f"TIFF predictor {predictor} not supported (horizontal "
             "differencing (2) only; floating-point predictor (3) needs "
             "a real GDAL)"
         )
-    spp = tags.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
-    planar = tags.get(_TAG_PLANAR, [1])[0]
+    spp = _int_tag(_TAG_SAMPLES_PER_PIXEL, 1)
+    planar = _int_tag(_TAG_PLANAR, 1)
     if planar not in (1, 2):
         raise NotImplementedError(f"PlanarConfiguration {planar} not supported")
-    width = tags[_TAG_WIDTH][0]
-    length = tags[_TAG_LENGTH][0]
-    bits_l = tags.get(_TAG_BITS, [8])[:spp] or [8]
-    fmt_l = tags.get(_TAG_SAMPLE_FORMAT, [1])[:spp] or [1]
+    width = _int_tag(_TAG_WIDTH)
+    length = _int_tag(_TAG_LENGTH)
+    if not (0 < width <= 1 << 20 and 0 < length <= 1 << 20 and
+            0 < spp <= 1 << 10):
+        raise ValueError(
+            f"malformed TIFF: implausible dims {width}x{length}x{spp}"
+        )
+    bits_l = _int_list(_TAG_BITS, [8])[:spp] or [8]
+    fmt_l = _int_list(_TAG_SAMPLE_FORMAT, [1])[:spp] or [1]
     if len(set(bits_l)) != 1 or len(set(fmt_l)) != 1:
         raise NotImplementedError(
             "heterogeneous per-band sample types not supported "
@@ -408,12 +434,14 @@ def decode_geotiff_bands(data: bytes):
         # the padded lattice and crop to the declared image size. Chunky
         # tiles interleave spp samples per cell; planar files store all
         # of band 0's tiles, then band 1's, … (TIFF 6.0 §15).
-        tw = tags[_TAG_TILE_WIDTH][0]
-        tl = tags[_TAG_TILE_LENGTH][0]
+        tw = _int_tag(_TAG_TILE_WIDTH)
+        tl = _int_tag(_TAG_TILE_LENGTH)
+        if not (0 < tw <= 1 << 16 and 0 < tl <= 1 << 16):
+            raise ValueError(f"malformed TIFF: implausible tile {tw}x{tl}")
         across = (width + tw - 1) // tw
         down = (length + tl - 1) // tl
-        offsets = tags[_TAG_TILE_OFFSETS]
-        counts = tags[_TAG_TILE_COUNTS]
+        offsets = _int_list(_TAG_TILE_OFFSETS, [])
+        counts = _int_list(_TAG_TILE_COUNTS, [])
         if planar == 2 and spp > 1:
             tiles_per_plane = across * down
             padded = np.empty((spp, down * tl, across * tw), dtype=bo + dtype)
@@ -437,9 +465,11 @@ def decode_geotiff_bands(data: bytes):
                 padded[:length, :width, :].transpose(2, 0, 1).astype("float64")
             )
     else:
-        rows_per_strip = tags.get(_TAG_ROWS_PER_STRIP, [length])[0]
-        offs = tags[_TAG_STRIP_OFFSETS]
-        cnts = tags[_TAG_STRIP_COUNTS]
+        rows_per_strip = _int_tag(_TAG_ROWS_PER_STRIP, length)
+        if rows_per_strip <= 0:
+            raise ValueError("malformed TIFF: RowsPerStrip <= 0")
+        offs = _int_list(_TAG_STRIP_OFFSETS, [])
+        cnts = _int_list(_TAG_STRIP_COUNTS, [])
         strips_per_plane = (length + rows_per_strip - 1) // rows_per_strip
 
         def _plane_rows(i: int) -> int:

@@ -628,3 +628,45 @@ def test_bigtiff_multiband_planar_and_predictor():
     )
     out, _, nd = geotiff.decode_geotiff(d)
     assert np.array_equal(out, np.mod(base, 4096)) and nd == -1.0
+
+
+def test_decoder_fuzz_raises_cleanly():
+    """Foreign-input robustness: corrupt/truncated/random TIFF bytes must
+    raise a controlled error (ValueError / NotImplementedError /
+    struct.error family), never hang or leak codec-internal exception
+    types (zlib.error and raw-bytes tag values both did before round 8).
+    Seeded subset of the 4000-trial fuzz run."""
+    import random
+    import struct as structmod
+
+    rng = random.Random(1234)
+    y, x = np.mgrid[0:9, 0:11]
+    base = (x + 11.0 * y)
+    sources = [
+        geotiff.encode_geotiff(base, 0.0, 0.9, 0.1),
+        geotiff.encode_geotiff(base, 0.0, 0.9, 0.1, compress="lzw",
+                               dtype="u2", predictor=2),
+        geotiff.encode_geotiff(base, 0.0, 0.9, 0.1, compress="deflate", tile=4),
+        geotiff.encode_geotiff(base, 0.0, 0.9, 0.1, bigtiff=True,
+                               compress="packbits"),
+    ]
+    accept = (ValueError, NotImplementedError, structmod.error, IndexError,
+              MemoryError, OverflowError)
+    for _ in range(600):
+        data = bytearray(rng.choice(sources))
+        kind = rng.random()
+        if kind < 0.45:
+            for _ in range(rng.randint(1, 8)):
+                data[rng.randrange(len(data))] = rng.randrange(256)
+        elif kind < 0.75:
+            data = data[: rng.randrange(1, len(data))]
+        elif kind < 0.9:
+            data = data[:4] + bytes(
+                rng.randrange(256) for _ in range(rng.randint(0, 200))
+            )
+        else:
+            data = bytes(rng.randrange(256) for _ in range(rng.randint(0, 300)))
+        try:
+            geotiff.decode_geotiff_bands(bytes(data))
+        except accept:
+            pass
