@@ -57,7 +57,7 @@ _TAG_MODEL_TIEPOINT = 33922
 _TAG_GDAL_NODATA = 42113
 _TAG_GEO_KEY_DIRECTORY = 34735
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 
 # TIFF compression tags the codec handles. 50000 is the de-facto ZSTD id
 # (GDAL/libtiff) — the reference's own output profile is COMPRESS=ZSTD
@@ -84,7 +84,7 @@ def _zstd_codec():
     return pa.Codec("zstd")
 
 
-def _lzw_decode(buf: bytes) -> bytes:
+def _lzw_decode(buf: bytes, max_size: int | None = None) -> bytes:
     """TIFF-variant LZW (TIFF 6.0 §13): MSB-first bit packing, 9-bit
     initial codes, ClearCode=256, EOI=257, and the TIFF "early change" —
     the code width grows one entry EARLY (at table size 511/1023/2047,
@@ -136,6 +136,11 @@ def _lzw_decode(buf: bytes) -> bytes:
                     f"corrupt LZW stream: code {code} > table {len(table)}"
                 )
             out += entry
+            if max_size is not None and len(out) >= max_size:
+                # the chunk's decompressed size is known from the TIFF
+                # dims; stop here so an adversarial stream cannot grow
+                # `out` without bound (decompression bomb)
+                return bytes(out[:max_size])
             prev = entry
             # early change, adjusted for the decoder's one-entry lag
             # behind the encoder (the encoder widens after assigning
@@ -195,12 +200,16 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _packbits_decode(buf: bytes) -> bytes:
+def _packbits_decode(buf: bytes, max_size: int | None = None) -> bytes:
     """Apple PackBits (TIFF 6.0 §9): header byte n ∈ [0,127] → copy n+1
-    literals; n ∈ [129,255] → repeat next byte 257-n times; 128 → noop."""
+    literals; n ∈ [129,255] → repeat next byte 257-n times; 128 → noop.
+    ``max_size`` caps the output at the chunk's known decompressed size
+    (bomb guard, same contract as :func:`_lzw_decode`)."""
     out = bytearray()
     i, n = 0, len(buf)
     while i < n:
+        if max_size is not None and len(out) >= max_size:
+            return bytes(out[:max_size])
         h = buf[i]
         i += 1
         if h < 128:
@@ -247,14 +256,18 @@ def _decompress(buf: bytes, compression: int, expected_size: int) -> bytes:
     if compression == _COMP_NONE:
         return buf
     if compression == _COMP_LZW:
-        return _lzw_decode(buf)
+        return _lzw_decode(buf, max_size=expected_size)
     if compression == _COMP_DEFLATE:
         try:
-            return zlib.decompress(buf)
+            # bounded: TIFF always determines the chunk's decompressed
+            # size, so an adversarial chunk expanding past it (deflate
+            # bombs reach ~1000x) stops at the cap instead of OOMing
+            # the executor
+            return zlib.decompressobj().decompress(buf, expected_size)
         except zlib.error as ex:  # corrupt/truncated chunk: diagnose, don't leak
             raise ValueError(f"corrupt deflate chunk: {ex}") from ex
     if compression == _COMP_PACKBITS:
-        return _packbits_decode(buf)
+        return _packbits_decode(buf, max_size=expected_size)
     if compression == _COMP_ZSTD:
         try:
             return bytes(_zstd_codec().decompress(buf, expected_size))
@@ -315,7 +328,7 @@ def _read_ifd(buf: bytes, bo: str, bigtiff: bool = False) -> dict[int, list]:
             vals = list(struct.unpack_from(f"{bo}{count}H", buf, val_off))
         elif typ == 4:
             vals = list(struct.unpack_from(f"{bo}{count}I", buf, val_off))
-        elif typ == 16:  # LONG8 (BigTIFF strip/tile offsets and counts)
+        elif typ in (16, 18):  # LONG8 / IFD8 (BigTIFF 8-byte offsets)
             vals = list(struct.unpack_from(f"{bo}{count}Q", buf, val_off))
         elif typ == 17:  # SLONG8
             vals = list(struct.unpack_from(f"{bo}{count}q", buf, val_off))
@@ -442,6 +455,15 @@ def decode_geotiff_bands(data: bytes):
         down = (length + tl - 1) // tl
         offsets = _int_list(_TAG_TILE_OFFSETS, [])
         counts = _int_list(_TAG_TILE_COUNTS, [])
+        # the tile lattice is assembled into np.empty: a SHORT offsets/
+        # counts list would silently leave uninitialized heap memory as
+        # pixel values (zip truncates), so the count must match exactly
+        n_expected = across * down * (spp if planar == 2 and spp > 1 else 1)
+        if len(offsets) != n_expected or len(counts) != n_expected:
+            raise ValueError(
+                f"malformed TIFF: {n_expected} tiles expected, "
+                f"{len(offsets)} offsets / {len(counts)} counts present"
+            )
         if planar == 2 and spp > 1:
             tiles_per_plane = across * down
             padded = np.empty((spp, down * tl, across * tw), dtype=bo + dtype)
@@ -514,7 +536,7 @@ def decode_geotiff_bands(data: bytes):
     if _TAG_GDAL_NODATA in tags:
         try:
             nodata = float(tags[_TAG_GDAL_NODATA][0])
-        except ValueError:
+        except (ValueError, TypeError):  # unparseable or raw-bytes value
             pass
     return values, (ox, oy, sx, sy), nodata
 
@@ -656,7 +678,12 @@ def encode_geotiff(
     # Classic TIFF offsets are 32-bit: a file past 4 GiB needs BigTIFF
     # (version 43, 8-byte offsets) — GDAL auto-upgrades the same way.
     # The margin covers IFD + external blobs.
-    if not bigtiff and sum(map(len, chunks)) > (1 << 32) - (1 << 16):
+    if not bigtiff and (
+        sum(map(len, chunks)) + 8 * len(chunks) + (1 << 16) > (1 << 32)
+    ):
+        # margin covers the classic 4-byte offsets + counts arrays
+        # (8 bytes/chunk) plus IFD/geokeys: without it a many-chunk file
+        # just under 4 GiB would pack an offset past 2^32 and crash
         bigtiff = True
     inline_cap = 8 if bigtiff else 4
     off_typ, off_fmt = (16, "Q") if bigtiff else (4, "I")
@@ -737,10 +764,8 @@ def encode_geotiff(
         else:
             if tag == off_tag:
                 offsets_blob_idx = len(ext_blobs)
-            fixed.append(
-                (tag, typ, count,
-                 struct.pack(ptr_fmt, ext_off).ljust(inline_cap, b"\0"))
-            )
+            # ptr_fmt already packs exactly inline_cap bytes
+            fixed.append((tag, typ, count, struct.pack(ptr_fmt, ext_off)))
             ext_blobs.append(payload)
             ext_off += len(payload)
     data_off = ext_off
@@ -756,7 +781,7 @@ def encode_geotiff(
     out = [header, count_blob]
     for tag, typ, count, val in fixed:
         if tag == off_tag and count == 1:
-            val = struct.pack(ptr_fmt, chunk_offs[0]).ljust(inline_cap, b"\0")
+            val = struct.pack(ptr_fmt, chunk_offs[0])
         out.append(struct.pack(ent_fmt, tag, typ, count) + val)
     out.append(next_ifd)
     out.extend(ext_blobs)
