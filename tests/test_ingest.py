@@ -670,3 +670,47 @@ def test_decoder_fuzz_raises_cleanly():
             geotiff.decode_geotiff_bands(bytes(data))
         except accept:
             pass
+
+
+def test_big_endian_classic_tiff_decodes():
+    """The decoder claims MM (big-endian) support; no writer here emits
+    it, so build a minimal BE classic TIFF byte-by-byte — 4x3 uint16 raw
+    strip with georef — and check values + georef land exactly."""
+    import struct
+
+    w, h = 4, 3
+    vals = np.arange(12, dtype=">u2").reshape(h, w)
+    pix = vals.tobytes()
+
+    entries = []  # (tag, type, count, value-bytes-4)
+    def e4(tag, typ, count, val4):
+        entries.append(struct.pack(">HHI", tag, typ, count) + val4)
+
+    # layout: header(8) + IFD(2 + 9*12 + 4) + ext: scale(24) + tiepoint(48) + pixels
+    ifd_off = 8
+    n_entries = 9
+    ext0 = ifd_off + 2 + n_entries * 12 + 4
+    scale_off, tie_off = ext0, ext0 + 24
+    pix_off = tie_off + 48
+    e4(256, 4, 1, struct.pack(">I", w))                       # width
+    e4(257, 4, 1, struct.pack(">I", h))                       # length
+    e4(258, 3, 1, struct.pack(">HH", 16, 0))                  # bits
+    e4(259, 3, 1, struct.pack(">HH", 1, 0))                   # compression
+    e4(273, 4, 1, struct.pack(">I", pix_off))                 # strip offset
+    e4(278, 4, 1, struct.pack(">I", h))                       # rows/strip
+    e4(279, 4, 1, struct.pack(">I", len(pix)))                # strip count
+    e4(33550, 12, 3, struct.pack(">I", scale_off))            # pixel scale
+    e4(33922, 12, 6, struct.pack(">I", tie_off))              # tiepoint
+    data = (
+        struct.pack(">2sHI", b"MM", 42, ifd_off)
+        + struct.pack(">H", n_entries)
+        + b"".join(entries)
+        + struct.pack(">I", 0)
+        + struct.pack(">3d", 0.5, 0.25, 0.0)
+        + struct.pack(">6d", 0.0, 0.0, 0.0, 10.0, 20.0, 0.0)
+        + pix
+    )
+    out, (ox, oy, sx, sy), nodata = geotiff.decode_geotiff(data)
+    assert np.array_equal(out, vals.astype("float64"))
+    assert (ox, oy, sx, sy) == (10.0, 20.0, 0.5, 0.25)
+    assert nodata is None
