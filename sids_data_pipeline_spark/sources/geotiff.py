@@ -28,6 +28,7 @@ sample bytes. This module implements that subset in pure numpy:
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from typing import Iterator
@@ -76,6 +77,30 @@ _SUPPORTED_COMPRESSIONS = (
     _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_PACKBITS, _COMP_ZSTD
 )
 _TAG_PREDICTOR = 317
+
+# Decode-capacity budget: this decoder materializes the WHOLE raster in
+# memory (native-dtype assembly + float64 output), so the declared size
+# must fit a budget or the allocation happens before any pixel is read —
+# which is BOTH the adversarial-input guard (a 16 KB file declaring
+# 65536x65536 would otherwise np.empty 32 GiB and OOM-kill the executor
+# uncatchably under Linux overcommit) and the honest statement of the
+# in-memory decoder's real limit. Genuinely larger single files need
+# windowed ingest; raise the knob only with executor memory to match.
+MAX_DECODE_BYTES = int(
+    os.environ.get("SDP_GEOTIFF_MAX_DECODE_BYTES", str(8 << 30))
+)
+
+
+def _check_decode_budget(n_samples: int, itemsize: int, what: str) -> None:
+    # native-dtype assembly and the float64 output both live at once
+    need = n_samples * (itemsize + 8)
+    if need > MAX_DECODE_BYTES:
+        raise ValueError(
+            f"declared raster {what} needs {need >> 20} MiB to decode, "
+            f"over the {MAX_DECODE_BYTES >> 20} MiB budget "
+            "(SDP_GEOTIFF_MAX_DECODE_BYTES); this decoder materializes "
+            "whole rasters — window the ingest for larger single files"
+        )
 
 
 def _zstd_codec():
@@ -263,9 +288,18 @@ def _decompress(buf: bytes, compression: int, expected_size: int) -> bytes:
             # size, so an adversarial chunk expanding past it (deflate
             # bombs reach ~1000x) stops at the cap instead of OOMing
             # the executor
-            return zlib.decompressobj().decompress(buf, expected_size)
-        except zlib.error as ex:  # corrupt/truncated chunk: diagnose, don't leak
+            d = zlib.decompressobj()
+            out = d.decompress(buf, expected_size)
+        except zlib.error as ex:  # corrupt chunk: diagnose, don't leak
             raise ValueError(f"corrupt deflate chunk: {ex}") from ex
+        if len(out) < expected_size:
+            # max_length made truncated streams return partial data
+            # instead of raising Error -5 — restore the diagnosis
+            raise ValueError(
+                f"corrupt deflate chunk: {len(out)} of {expected_size} "
+                "bytes (truncated stream)"
+            )
+        return out
     if compression == _COMP_PACKBITS:
         return _packbits_decode(buf, max_size=expected_size)
     if compression == _COMP_ZSTD:
@@ -405,10 +439,9 @@ def decode_geotiff_bands(data: bytes):
         raise NotImplementedError(f"PlanarConfiguration {planar} not supported")
     width = _int_tag(_TAG_WIDTH)
     length = _int_tag(_TAG_LENGTH)
-    if not (0 < width <= 1 << 20 and 0 < length <= 1 << 20 and
-            0 < spp <= 1 << 10):
+    if width <= 0 or length <= 0 or spp <= 0:
         raise ValueError(
-            f"malformed TIFF: implausible dims {width}x{length}x{spp}"
+            f"malformed TIFF: non-positive dims {width}x{length}x{spp}"
         )
     bits_l = _int_list(_TAG_BITS, [8])[:spp] or [8]
     fmt_l = _int_list(_TAG_SAMPLE_FORMAT, [1])[:spp] or [1]
@@ -432,6 +465,9 @@ def decode_geotiff_bands(data: bytes):
             "needs a real GDAL"
         )
     itemsize = np.dtype(dtype).itemsize
+    _check_decode_budget(
+        width * length * spp, itemsize, f"{width}x{length}x{spp}"
+    )
 
     def _chunk(o: int, c: int, rows: int, cols: int, chunk_spp: int) -> bytes:
         buf = _decompress(
@@ -453,6 +489,13 @@ def decode_geotiff_bands(data: bytes):
             raise ValueError(f"malformed TIFF: implausible tile {tw}x{tl}")
         across = (width + tw - 1) // tw
         down = (length + tl - 1) // tl
+        # the padded tile lattice (across*tw x down*tl) is what actually
+        # allocates — with giant declared tiles it can far exceed the
+        # declared image size, so budget-check the padded extent too
+        _check_decode_budget(
+            across * tw * down * tl * spp, itemsize,
+            f"padded tile lattice {across * tw}x{down * tl}x{spp}",
+        )
         offsets = _int_list(_TAG_TILE_OFFSETS, [])
         counts = _int_list(_TAG_TILE_COUNTS, [])
         # the tile lattice is assembled into np.empty: a SHORT offsets/

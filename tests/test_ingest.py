@@ -714,3 +714,54 @@ def test_big_endian_classic_tiff_decodes():
     assert np.array_equal(out, vals.astype("float64"))
     assert (ox, oy, sx, sy) == (10.0, 20.0, 0.5, 0.25)
     assert nodata is None
+
+
+def test_decode_budget_refuses_allocation_bomb():
+    """Round-8 second-pass review exploit: a 16 KB file declaring a
+    65536x65536 f8 tile passed the per-dimension caps and drove np.empty
+    toward 32 GiB (OOM-killed under Linux overcommit). The decode budget
+    bounds total samples x (itemsize + 8) BEFORE any allocation, while
+    ultra-wide legitimate rasters (which the old 2^20/dim cap wrongly
+    rejected) decode fine inside the budget."""
+    import struct
+    import zlib
+
+    w = h = 65536
+    entries = []
+
+    def e4(tag, typ, count, val4):
+        entries.append(struct.pack("<HHI", tag, typ, count) + val4)
+
+    pay = zlib.compress(b"\0" * 1000, 9)
+    n = 9
+    pix_off = 8 + 2 + n * 12 + 4
+    e4(256, 4, 1, struct.pack("<I", w))
+    e4(257, 4, 1, struct.pack("<I", h))
+    e4(258, 3, 1, struct.pack("<HH", 64, 0))
+    e4(259, 3, 1, struct.pack("<HH", 8, 0))
+    e4(322, 4, 1, struct.pack("<I", w))
+    e4(323, 4, 1, struct.pack("<I", h))
+    e4(324, 4, 1, struct.pack("<I", pix_off))
+    e4(325, 4, 1, struct.pack("<I", len(pay)))
+    e4(339, 3, 1, struct.pack("<HH", 3, 0))
+    bomb = (
+        struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", n)
+        + b"".join(entries) + struct.pack("<I", 0) + pay
+    )
+    with pytest.raises(ValueError, match="budget"):
+        geotiff.decode_geotiff_bands(bomb)
+
+    # legit ultra-wide raster (beyond the old per-dimension cap) decodes
+    wide = np.zeros((2, 1 << 21))
+    out, _, _ = geotiff.decode_geotiff(
+        geotiff.encode_geotiff(wide, 0.0, 0.2, 0.1, dtype="u1")
+    )
+    assert out.shape == (2, 1 << 21)
+
+
+def test_truncated_deflate_chunk_diagnosed():
+    y, x = np.mgrid[0:16, 0:16]
+    data = geotiff.encode_geotiff((x + 16.0 * y), 0.0, 1.6, 0.1,
+                                  compress="deflate")
+    with pytest.raises(ValueError, match="deflate"):
+        geotiff.decode_geotiff_bands(data[:-20])
