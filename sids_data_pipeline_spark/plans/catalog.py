@@ -161,7 +161,9 @@ PRIORITY: tuple[str, ...] = (
     "events_gap_fill",
     "streaming_sessions",
     "streaming_dedup_wm",
-    "multimodal_meta",
+    "streaming_raster_ingest",
+    # multimodal_meta displaced (multimodal.py unchanged; the r6 row
+    # stands and multimodal_features keeps the family in-window)
     "multimodal_features",
     "corpus_split",
     "corpus_pack_sequences",

@@ -474,6 +474,57 @@ FROM (SELECT unnest(range({n * n})) AS i) t
 """
 
 
+def _streaming_raster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7's Structured Streaming ingest wrapper, end to end: a
+    fresh landing directory gets the gradient fixture, one availableNow
+    drain decodes it into PIXELS parquet through the SAME executor
+    generator as the batch path, and the result verifies against the
+    lattice oracle — streaming with a FULL value oracle, not rows-only,
+    because availableNow over a static directory is deterministic."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
+    from sids_data_pipeline_spark.streaming.jobs import streaming_raster_ingest
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_tif_")
+    src = os.path.join(work, "in")
+    os.makedirs(src)
+    y, x = np.mgrid[0:GRID_N, 0:GRID_N]
+    arr = (x + GRID_N * y + 3).astype("float64")
+    with open(os.path.join(src, "rast_stream.tif"), "wb") as f:
+        f.write(encode_geotiff(arr, 0.0, GRID_N * 0.1, 0.1, compress="zstd",
+                               tile=128))
+    out = os.path.join(work, "pixels")
+    streaming_raster_ingest(
+        spark, src, out, os.path.join(work, "ckpt")
+    )
+    px = spark.read.parquet(out)
+    return px.select(
+        "raster_id", "band", "y", "x",
+        F.round("lon", 9).alias("lon"),
+        F.round("lat", 9).alias("lat"),
+        "val",
+    )
+
+
+def _streaming_raster_sql() -> str:
+    n = GRID_N
+    return f"""
+SELECT 'rast_stream' AS raster_id,
+       1 AS band,
+       CAST(i // {n} AS INT) AS y,
+       CAST(i % {n} AS INT) AS x,
+       ROUND((i % {n} + 0.5) * CAST(0.1 AS DOUBLE), 9) AS lon,
+       ROUND({n} * CAST(0.1 AS DOUBLE) - (i // {n} + 0.5) * CAST(0.1 AS DOUBLE), 9)
+         AS lat,
+       CAST(i + 3 AS DOUBLE) AS val
+FROM (SELECT unnest(range({n * n})) AS i) t
+"""
+
+
 def _geotiff_datasource_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 through the Spark 4 Python DataSource API: the codec as a
     planner-integrated format (`spark.read.format("geotiff")`), one
@@ -1543,6 +1594,15 @@ QUERIES: list[Query] = [
         doc="P9/F8: WGS-84 ↔ MODIS sinusoidal (R=6371007.181), spherical "
             "closed form both legs",
         tags=("geo", "scalar"),
+    ),
+    Query(
+        "streaming_raster_ingest",
+        _streaming_raster_query,
+        _streaming_raster_sql(),
+        doc="SURVEY §7 Structured Streaming ingest wrapper: file-source "
+            "checkpoint as the P6 ledger, availableNow drain, FULL "
+            "lattice oracle (deterministic over a static directory)",
+        tags=("geo", "source", "streaming"),
     ),
     Query(
         "raster_bigtiff_ingest",

@@ -908,23 +908,11 @@ def export_geotiff(
     )
 
 
-def ingest_geotiff(
-    spark: SparkSession,
-    path_glob: str,
-    band: int | None = None,
-) -> DataFrame:
-    """Distributed GeoTIFF → PIXELS: binaryFile scan (one row per file,
-    content never driver-collected) → mapInPandas decode → long-format
-    pixel rows with centre coordinates. raster_id is the file stem —
-    the reference's blob-name id convention (data.py:12).
-
-    ``band=None`` emits every band of a multi-band file (1-based band
-    column); ``band=k`` selects one band at decode time — the P4 band
-    selection of the reference's ``gdal_translate -b {band}``
-    (batch/processing/raster.py:34), applied before any rows material-
-    ize. Single-band files emit band=1 either way."""
-
-    files = spark.read.format("binaryFile").load(path_glob)
+def pixel_decode_fn(band: int | None = None):
+    """The executor-side (path, content) → PIXELS decode generator,
+    shared by the batch ingest (:func:`ingest_geotiff`) and the
+    Structured Streaming wrapper (streaming.jobs.streaming_raster_
+    ingest) so the two paths cannot drift semantically."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -956,6 +944,26 @@ def ingest_geotiff(
                         }
                     )
 
+    return decode
+
+
+def ingest_geotiff(
+    spark: SparkSession,
+    path_glob: str,
+    band: int | None = None,
+) -> DataFrame:
+    """Distributed GeoTIFF → PIXELS: binaryFile scan (one row per file,
+    content never driver-collected) → mapInPandas decode → long-format
+    pixel rows with centre coordinates. raster_id is the file stem —
+    the reference's blob-name id convention (data.py:12).
+
+    ``band=None`` emits every band of a multi-band file (1-based band
+    column); ``band=k`` selects one band at decode time — the P4 band
+    selection of the reference's ``gdal_translate -b {band}``
+    (batch/processing/raster.py:34), applied before any rows material-
+    ize. Single-band files emit band=1 either way."""
+
+    files = spark.read.format("binaryFile").load(path_glob)
     return files.select("path", "content").mapInPandas(
-        decode, PIXELS
+        pixel_decode_fn(band), PIXELS
     )

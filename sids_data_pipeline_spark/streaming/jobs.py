@@ -521,3 +521,47 @@ def watermarked_dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def streaming_raster_ingest(
+    spark: SparkSession,
+    input_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    band: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """SURVEY §7's optional Structured Streaming wrapper over the S5
+    ingest: new GeoTIFFs landing under ``input_glob`` decode into PIXELS
+    parquet incrementally. The file source's checkpoint IS the P6
+    incrementality ledger — Spark tracks processed files exactly-once,
+    so a re-run ingests only files that arrived since the last drain (no
+    manifest anti-join needed on this path). The executor decode is the
+    SAME generator as the batch ingest (geotiff.pixel_decode_fn), so the
+    two paths cannot drift. Runs with Trigger.AvailableNow
+    (drain-and-stop — the reference's batch cadence); a deployment
+    wanting continuous tailing drops the trigger and sets
+    ``max_files_per_trigger`` to bound per-batch decode work.
+    """
+    from sids_data_pipeline_spark.schemas import PIXELS
+    from sids_data_pipeline_spark.sources.geotiff import pixel_decode_fn
+
+    # streaming sources need the schema pinned; binaryFile's is fixed
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(input_glob)
+    pixels = files.select("path", "content").mapInPandas(
+        pixel_decode_fn(band), PIXELS
+    )
+    q = (
+        pixels.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

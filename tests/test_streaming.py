@@ -523,3 +523,47 @@ def test_stateful_rolling_all_null_window_and_trunc(spark, tmp_path):
         for r in spark.table("sdp_nullroll").collect()
     }
     assert stream == batch
+
+
+def test_streaming_raster_ingest_incremental(spark, tmp_path):
+    """SURVEY §7 streaming-ingest wrapper: the file-source checkpoint is
+    the P6 ledger — first drain ingests the files present, second drain
+    after a new file arrives appends ONLY that file's pixels."""
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources.geotiff import (
+        encode_geotiff,
+        ingest_geotiff,
+    )
+    from sids_data_pipeline_spark.streaming.jobs import streaming_raster_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    arr = np.arange(64, dtype="float64").reshape(8, 8)
+    (src / "r1.tif").write_bytes(encode_geotiff(arr, 0.0, 0.8, 0.1))
+    (src / "r2.tif").write_bytes(
+        encode_geotiff(arr + 100, 0.0, 0.8, 0.1, compress="lzw",
+                       dtype="u2", predictor=2)
+    )
+    out = str(tmp_path / "pixels")
+    ckpt = str(tmp_path / "ckpt")
+
+    streaming_raster_ingest(spark, str(src), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 128
+    assert {r.raster_id for r in got.select("raster_id").distinct().collect()} \
+        == {"r1", "r2"}
+
+    # incremental: only the NEW file lands on the second drain
+    (src / "r3.tif").write_bytes(
+        encode_geotiff(arr + 200, 0.0, 0.8, 0.1, bigtiff=True)
+    )
+    streaming_raster_ingest(spark, str(src), out, ckpt)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 192  # +64, not re-ingesting r1/r2
+
+    # value parity with the batch path on the same files
+    batch = ingest_geotiff(spark, str(src) + "/*.tif")
+    a = sorted(map(tuple, got2.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
