@@ -882,3 +882,82 @@ def char_entropy(
             (F.sum("_t").cast("double") / 1_000_000.0).alias("entropy_bits")
         )
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E5/E2: exact repeated-span detection — the substring-granular
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), recast Spark-first: instead of a suffix
+    array, every ``n``-token gram groups by VALUE, grams occurring
+    ``min_count``+ times anywhere in the corpus mark their token
+    positions duplicated, and per-document overlapping-or-adjacent
+    covered intervals merge with one gaps-and-islands window.
+
+    Output: (doc_id, span_start, span_end) — inclusive 0-based token
+    indexes of each maximal duplicated region (a caller removes them by
+    re-splitting the text). Complements the existing doc-level operators
+    (exact_dedup, MinHash near-dup) and the winnowing fingerprints: this
+    finds the boilerplate span INSIDE otherwise-unique documents.
+
+    Scale shape: one row per token position through a single groupBy —
+    the honest cost of substring dedup (the suffix-array paper pays the
+    same linear token pass). The gram string itself is the grouping key
+    so the DuckDB twin is exact; at corpus scale swap the key for
+    ``xxhash64(gram)`` to shrink shuffle payloads (collision risk 2^-64
+    per pair, the standard trade the paper also makes via hashing).
+    Everything is JVM expressions + one shuffle + one window.
+    """
+    if n < 1:
+        raise ValueError(f"span gram n must be >= 1, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"), _words(text_col).alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(_w) - {n} + 1), "
+                    f"i -> concat_ws(' ', slice(_w, i, {n})))"
+                )
+            ).alias("pos", "gram"),
+        )
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("s"),  # posexplode is 0-based
+        (F.col("pos") + n - 1).cast("long").alias("e"),
+    )
+    from pyspark.sql.window import Window
+
+    ww = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        ww.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_e.isNull() | (F.col("s") > prev_max_e + 1), 1
+    ).otherwise(0)
+    islands = hits.withColumn(
+        "_isl", F.sum(new_island).over(ww)
+    )
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .drop("_isl")
+    )

@@ -167,7 +167,9 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "corpus_split",
     "corpus_pack_sequences",
-    "corpus_shuffle",
+    "corpus_dup_spans",
+    # corpus_shuffle displaced (sampling.py unchanged; r7 row stands,
+    # corpus_pack_sequences keeps E8 in-window)
     "similarity_topk",
     "similarity_topk_quantized",
     "embedding_kmeans",

@@ -1130,6 +1130,56 @@ LIMIT 200
 """
 
 
+def _corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E2: exact repeated-span detection (Lee et al. substring dedup,
+    hash-groupBy form) — maximal merged token intervals covered by any
+    8-gram occurring ≥2 times in the corpus."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.duplicate_spans(docs, n=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+_DUP_SPANS_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+  FROM w, unnest(range(1, len(ws) - 8 + 2)) AS t(i)
+  WHERE len(ws) >= 8
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+),
+hits AS (
+  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 7 AS BIGINT) AS e
+  FROM g JOIN dup USING (gram)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1, s - 1) THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+)
+SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+FROM isl2 GROUP BY doc_id, isl_id
+ORDER BY doc_id, span_start
+"""
+
+
 def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon char entropy; micros-rounded plog terms sum
     order-free."""
@@ -3354,6 +3404,10 @@ QUERIES: list[Query] = [
           doc="BPE merge-candidate pair counts: vocabulary-first (corpus "
               "collapses to distinct words before pairs explode)",
           tags=("text", "tokenizer")),
+    Query("corpus_dup_spans", _corpus_dup_spans, _DUP_SPANS_SQL,
+          doc="E5/E2 exact repeated-span detection (Lee et al. substring "
+              "dedup as gram-groupBy + gaps-and-islands merge)",
+          tags=("text", "dedup")),
     Query("text_char_entropy", _text_char_entropy, _CHAR_ENTROPY_SQL,
           doc="per-doc Shannon char entropy (gibberish/boilerplate "
               "detector); micros-rounded plog terms, order-free sum",

@@ -157,3 +157,36 @@ def test_bm25_null_text_excluded_and_terms_deduped(spark):
     b = {(r.doc_id, r.score_micros)
          for r in search_bm25(docs, ["cat", "cat"]).collect()}
     assert a == b and {d for d, _ in a} == {1, 2}
+
+
+def test_duplicate_spans_known_corpus(spark):
+    """Hand-built corpus with known repeated regions: the shared
+    8-token phrase marks its exact interval in BOTH docs (overlapping
+    grams merged), unique text flags nothing, and a within-doc repeat
+    counts toward min_count."""
+    from sids_data_pipeline_spark.operators.text import duplicate_spans
+
+    common = "the quick brown fox jumps over lazy dogs"        # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            # tokens 0-2 unique, 3-10 common, 11-12 unique
+            (1, "alpha beta gamma " + common + " tail one"),
+            # tokens 0-1 unique, 2-9 common
+            (2, "delta epsilon " + common),
+            (3, "entirely unique words that repeat nothing here at all"),
+            # within-doc repeat: tokens 0-7 == tokens 8-15
+            (4, "a b c d e f g h a b c d e f g h"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(docs, n=8).collect()
+    }
+    assert got == {(1, 3, 10), (2, 2, 9), (4, 0, 15)}
+
+    # guards
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, n=0)
+    with pytest.raises(ValueError):
+        duplicate_spans(docs, min_count=1)
