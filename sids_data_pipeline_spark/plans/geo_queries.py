@@ -489,17 +489,24 @@ def _streaming_raster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sids_data_pipeline_spark.sources.geotiff import encode_geotiff
     from sids_data_pipeline_spark.streaming.jobs import streaming_raster_ingest
 
-    work = tempfile.mkdtemp(prefix="sdp_stream_tif_")
-    src = os.path.join(work, "in")
-    os.makedirs(src)
-    y, x = np.mgrid[0:GRID_N, 0:GRID_N]
-    arr = (x + GRID_N * y + 3).astype("float64")
-    with open(os.path.join(src, "rast_stream.tif"), "wb") as f:
-        f.write(encode_geotiff(arr, 0.0, GRID_N * 0.1, 0.1, compress="zstd",
-                               tile=128))
+    # process-cached like _cached_fixture_dir: repeated catalog/gate/
+    # bench invocations reuse ONE landing dir + checkpoint instead of
+    # leaking a mkdtemp per run — and the re-drain is then the file
+    # source's natural no-op (checkpoint already covers the fixture)
+    work = _FIXTURE_TIFF_DIRS.get("stream")
+    if work is None:
+        work = tempfile.mkdtemp(prefix="sdp_stream_tif_")
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        y, x = np.mgrid[0:GRID_N, 0:GRID_N]
+        arr = (x + GRID_N * y + 3).astype("float64")
+        with open(os.path.join(src, "rast_stream.tif"), "wb") as f:
+            f.write(encode_geotiff(arr, 0.0, GRID_N * 0.1, 0.1,
+                                   compress="zstd", tile=128))
+        _FIXTURE_TIFF_DIRS["stream"] = work
     out = os.path.join(work, "pixels")
     streaming_raster_ingest(
-        spark, src, out, os.path.join(work, "ckpt")
+        spark, os.path.join(work, "in"), out, os.path.join(work, "ckpt")
     )
     px = spark.read.parquet(out)
     return px.select(

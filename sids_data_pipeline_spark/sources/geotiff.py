@@ -536,6 +536,17 @@ def decode_geotiff_bands(data: bytes):
         offs = _int_list(_TAG_STRIP_OFFSETS, [])
         cnts = _int_list(_TAG_STRIP_COUNTS, [])
         strips_per_plane = (length + rows_per_strip - 1) // rows_per_strip
+        # mirror the tiled path's count check: every declared strip is
+        # decompressed and accumulated, so EXCESS entries (each worth up
+        # to a full strip of output) would grow the join past the image
+        # budget — a few-hundred-byte file declaring thousands of strips
+        # pointing at one shared chunk otherwise accumulates unbounded
+        n_strips = strips_per_plane * (spp if planar == 2 and spp > 1 else 1)
+        if len(offs) != n_strips or len(cnts) != n_strips:
+            raise ValueError(
+                f"malformed TIFF: {n_strips} strips expected, "
+                f"{len(offs)} offsets / {len(cnts)} counts present"
+            )
 
         def _plane_rows(i: int) -> int:
             return min(rows_per_strip, length - (i % strips_per_plane) * rows_per_strip)

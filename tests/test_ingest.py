@@ -765,3 +765,33 @@ def test_truncated_deflate_chunk_diagnosed():
                                   compress="deflate")
     with pytest.raises(ValueError, match="deflate"):
         geotiff.decode_geotiff_bands(data[:-20])
+
+
+def test_excess_strip_entries_refused():
+    """Round-8 final review exploit: a tiny file declaring hundreds of
+    strip entries (all pointing at one shared chunk) accumulated output
+    linear in the DECLARED count, bypassing the decode budget on the
+    strip path. The strip count must match strips_per_plane exactly,
+    mirroring the tiled path's check."""
+    import struct
+
+    import sids_data_pipeline_spark.sources.geotiff as G
+
+    y, x = np.mgrid[0:8, 0:8]
+    data = bytearray(G.encode_geotiff((x + 8.0 * y), 0.0, 0.8, 0.1,
+                                      compress="deflate"))
+    orig = G._read_ifd
+
+    def inflated(buf, bo, bigtiff=False):
+        t = orig(buf, bo, bigtiff)
+        if G._TAG_STRIP_OFFSETS in t:
+            t[G._TAG_STRIP_OFFSETS] = t[G._TAG_STRIP_OFFSETS] * 200
+            t[G._TAG_STRIP_COUNTS] = t[G._TAG_STRIP_COUNTS] * 200
+        return t
+
+    G._read_ifd = inflated
+    try:
+        with pytest.raises(ValueError, match="strips expected"):
+            G.decode_geotiff_bands(bytes(data))
+    finally:
+        G._read_ifd = orig
