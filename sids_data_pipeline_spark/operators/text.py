@@ -961,3 +961,68 @@ def duplicate_spans(
         )
         .drop("_isl")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The actionable form of :func:`duplicate_spans` (what Lee et al.
+    actually do): cut every duplicated region out of the text. Returns
+    (doc_id, clean_text, n_tokens_removed) for EVERY input document —
+    docs with no duplicated span pass through verbatim-tokenized
+    (whitespace-normalized by the shared tokenizer, like every text
+    operator here).
+
+    Plan: the span table (tiny — maximal intervals only) broadcast-joins
+    the per-position token table on a range predicate, surviving tokens
+    re-assemble with one array_sort + concat_ws per document. One token
+    shuffle beyond duplicate_spans' own; no Python nodes.
+    """
+    spans = duplicate_spans(docs, n, min_count, text_col, id_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _words(text_col).alias("_w")
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("_w").alias("pos", "tok")
+    )
+    sp = spans.select(
+        F.col("doc_id").alias("s_doc"), "span_start", "span_end"
+    )
+    dropped = toks.join(
+        F.broadcast(sp),
+        (F.col("doc_id") == F.col("s_doc"))
+        & (F.col("pos") >= F.col("span_start"))
+        & (F.col("pos") <= F.col("span_end")),
+        "inner",
+    ).select("doc_id", "pos").distinct()
+    kept_agg = (
+        toks.join(dropped, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, tok)))"
+                    ", s -> s.tok)"
+                ),
+            ).alias("_clean"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    # left join back onto EVERY input doc: empty docs (no token rows)
+    # and fully-duplicated docs (every token dropped) both still emit a
+    # row — clean_text '' with the full token count removed
+    return (
+        base.select("doc_id", F.size("_w").alias("_n0"))
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_clean", F.lit("")).alias("clean_text"),
+            (F.col("_n0") - F.coalesce("_kept", F.lit(0)))
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -1180,6 +1180,74 @@ ORDER BY doc_id, span_start
 """
 
 
+def _corpus_dup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E2: the actionable substring-dedup — duplicated regions CUT
+    from every document (Lee et al. removal semantics)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.remove_duplicate_spans(docs, n=8).orderBy("doc_id")
+
+
+_DUP_SPANS_CLEAN_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+  FROM w, unnest(range(1, len(ws) - 8 + 2)) AS t(i)
+  WHERE len(ws) >= 8
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (
+  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 7 AS BIGINT) AS e
+  FROM g JOIN dup USING (gram)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1, s - 1) THEN 1 ELSE 0 END AS new_isl
+  FROM hits
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+  FROM isl2 GROUP BY doc_id, isl_id
+),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS tok
+  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(w.ws) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM w LEFT JOIN agg a ON a.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon char entropy; micros-rounded plog terms sum
     order-free."""
@@ -3407,6 +3475,11 @@ QUERIES: list[Query] = [
     Query("corpus_dup_spans", _corpus_dup_spans, _DUP_SPANS_SQL,
           doc="E5/E2 exact repeated-span detection (Lee et al. substring "
               "dedup as gram-groupBy + gaps-and-islands merge)",
+          tags=("text", "dedup")),
+    Query("corpus_dup_spans_clean", _corpus_dup_spans_clean,
+          _DUP_SPANS_CLEAN_SQL,
+          doc="E5/E2 substring-dedup REMOVAL: duplicated regions cut from "
+              "every doc, empty/fully-duplicated docs preserved",
           tags=("text", "dedup")),
     Query("text_char_entropy", _text_char_entropy, _CHAR_ENTROPY_SQL,
           doc="per-doc Shannon char entropy (gibberish/boilerplate "

@@ -190,3 +190,34 @@ def test_duplicate_spans_known_corpus(spark):
         duplicate_spans(docs, n=0)
     with pytest.raises(ValueError):
         duplicate_spans(docs, min_count=1)
+
+
+def test_remove_duplicate_spans_known_corpus(spark):
+    """The actionable Lee-et-al form: duplicated regions cut, unique
+    text (whitespace-normalized) preserved, untouched docs pass through,
+    empty docs survive."""
+    from sids_data_pipeline_spark.operators.text import remove_duplicate_spans
+
+    common = "the quick brown fox jumps over lazy dogs"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + common + " tail one"),
+            (2, "delta  epsilon\t" + common),
+            (3, "entirely unique words that repeat nothing here at all"),
+            (4, ""),
+            # fully duplicated: every token dropped, row must survive
+            (5, common),
+            (6, common),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_tokens_removed)
+           for r in remove_duplicate_spans(docs, n=8).collect()}
+    assert got == {
+        1: ("alpha beta gamma tail one", 8),
+        2: ("delta epsilon", 8),
+        3: ("entirely unique words that repeat nothing here at all", 0),
+        4: ("", 0),
+        5: ("", 8),
+        6: ("", 8),
+    }
