@@ -33,6 +33,7 @@ def curate_corpus(
     jaccard_threshold: float = DEFAULT_JACCARD,
     text_col: str = "text",
     id_col: str = "doc_id",
+    remove_span_grams: int | None = None,
 ) -> DataFrame:
     """Return the curated document set (all input columns).
 
@@ -44,6 +45,12 @@ def curate_corpus(
     alternative — re-admitting 9 because its only match was removed —
     needs the connected-components pass ``operators.graph`` provides for
     callers that want cluster-representative semantics).
+
+    ``remove_span_grams=N`` (opt-in; default off so the driver-verified
+    pipeline shape is unchanged) appends the Lee-et-al substring-dedup
+    stage AFTER document-level dedup: repeated N-token spans are cut
+    from the surviving texts (text.remove_duplicate_spans), replacing
+    the ``text_col`` with the cleaned, whitespace-normalized form.
     """
     quality = docs.filter(F.length(text_col) >= min_chars)
     survivors = exact_dedup(quality, [text_col], id_col)
@@ -57,7 +64,26 @@ def curate_corpus(
     # anti-join; AQE converts it to a broadcast join at runtime whenever
     # the materialized drop side is actually small — the right call on
     # BOTH ends of the scale without hard-coding either.
-    return survivors.join(drop, id_col, "left_anti")
+    kept = survivors.join(drop, id_col, "left_anti")
+    if remove_span_grams is not None:
+        from sids_data_pipeline_spark.operators.text import (
+            remove_duplicate_spans,
+        )
+
+        cleaned = remove_duplicate_spans(
+            kept, n=remove_span_grams, text_col=text_col, id_col=id_col
+        )
+        kept = (
+            kept.drop(text_col)
+            .join(
+                cleaned.select(
+                    F.col("doc_id").alias(id_col),
+                    F.col("clean_text").alias(text_col),
+                ),
+                id_col,
+            )
+        )
+    return kept
 
 
 def curation_report(docs: DataFrame, curated: DataFrame) -> DataFrame:

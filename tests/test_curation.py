@@ -219,3 +219,31 @@ def test_curation_job_empty_result_clears_stale_corpus(spark, tmp_path):
     second = run_curation_job(spark, docs, out_dir, min_chars=10_000)
     assert second["n_curated"] == 0
     assert not os.path.exists(os.path.join(out_dir, "data"))
+
+
+def test_curate_corpus_optional_span_removal(spark):
+    """remove_span_grams appends the substring-dedup stage after
+    doc-level dedup: repeated spans are cut from surviving texts while
+    the default path is byte-identical to before (opt-in contract)."""
+    from sids_data_pipeline_spark.jobs.curation import curate_corpus
+
+    common = "the quick brown fox jumps over lazy dogs"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon " + common),
+            (2, "zeta eta theta iota kappa mu nu " + common),
+            (3, "totally unique content that goes through unchanged ok"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = curate_corpus(docs, min_chars=10, jaccard_threshold=0.9)
+    assert {r.doc_id for r in plain.collect()} == {1, 2, 3}
+    assert {r.text for r in plain.collect()} == {r.text for r in docs.collect()}
+
+    cleaned = curate_corpus(
+        docs, min_chars=10, jaccard_threshold=0.9, remove_span_grams=8
+    )
+    got = {r.doc_id: r.text for r in cleaned.collect()}
+    assert got[1] == "alpha beta gamma delta epsilon"
+    assert got[2] == "zeta eta theta iota kappa mu nu"
+    assert got[3] == "totally unique content that goes through unchanged ok"
