@@ -1026,3 +1026,112 @@ def remove_duplicate_spans(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    alpha_micros: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E5: CCNet-style quality scoring by bigram language-model negative
+    log-likelihood. CCNet filters documents whose perplexity under a
+    reference LM is an outlier; with no external model in the container,
+    the reference LM is the CORPUS ITSELF (self-scoring flags the same
+    outliers: rare constructions score high, boilerplate scores low).
+
+    Model: add-alpha-smoothed bigram LM over the shared tokenizer's
+    words,  P(w|v) = (c(v,w) + a) / (c(v,·) + a·V),  a = alpha_micros/1e6,
+    V = corpus vocabulary size. Per document: mean NLL over its bigrams,
+    in the exact integer micros domain — the per-bigram-TYPE nll rounds
+    once (one double log per distinct bigram, same on both engines),
+    then documents integer-sum, so the result hash-matches the SQL twin
+    bit-for-bit like text_char_entropy.
+
+    Output: (doc_id, n_bigrams, avg_nll_micros) — docs with < 2 tokens
+    carry no bigrams and report NULL avg (no DIVIDE_BY_ZERO under ANSI).
+
+    Scale shape: bigram counts are one token-pass groupBy (map-side
+    combined); docs join the count table on the bigram key — a plain
+    shuffled equi-join whose build side is the MODEL (vocab², but only
+    observed bigrams), never all-pairs. V and the total rows are two
+    tiny aggregates.
+    """
+    w = docs.select(
+        F.col(id_col).alias("doc_id"), _words(text_col).alias("_w")
+    )
+    bigrams = (
+        w.filter(F.size("_w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_w) - 1), "
+                    "i -> struct(_w[i-1] AS v, _w[i] AS t))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.v").alias("v"), F.col("bg.t").alias("t"))
+    )
+    from pyspark.sql.window import Window
+
+    pair_counts = bigrams.groupBy("v", "t").agg(
+        F.count(F.lit(1)).alias("c_vt")
+    )
+    # context totals as a window over the SAME key — no self-join (which
+    # trips AMBIGUOUS_REFERENCE on the shared lineage) and no second
+    # shuffle: the window reuses the groupBy's hash partitioning
+    c_v = F.sum("c_vt").over(Window.partitionBy("v"))
+    # named _vsz, not V: Spark's default case-insensitive resolution
+    # makes a column V ambiguous with the bigram context column v
+    vocab = (
+        w.select(F.explode("_w").alias("tok")).agg(
+            F.countDistinct("tok").alias("_vsz")
+        )
+    )
+    alpha = alpha_micros / 1_000_000.0
+    model = (
+        pair_counts.withColumn("c_v", c_v)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "v", "t",
+            F.round(
+                -F.log(
+                    (F.col("c_vt") + F.lit(alpha))
+                    / (F.col("c_v") + F.lit(alpha) * F.col("_vsz"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_micros"),
+        )
+    )
+    # model DERIVES from bigrams, so this is a self-join: alias both
+    # sides so the shared-lineage attributes resolve unambiguously
+    scored = (
+        bigrams.alias("b")
+        .join(
+            model.alias("m"),
+            (F.col("b.v") == F.col("m.v")) & (F.col("b.t") == F.col("m.t")),
+        )
+        .select(F.col("b.doc_id").alias("doc_id"), F.col("m.nll_micros").alias("nll_micros"))
+    )
+    return (
+        w.select("doc_id")
+        .join(
+            scored.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("nll_micros").alias("_sum"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("_sum") / F.col("n_bigrams")).cast("long"),
+            ).alias("avg_nll_micros"),
+        )
+    )

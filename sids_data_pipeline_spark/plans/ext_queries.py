@@ -1248,6 +1248,52 @@ ORDER BY w.doc_id
 """
 
 
+def _corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: CCNet-style LM quality scoring — per-doc mean bigram NLL
+    under the add-alpha-smoothed corpus self-LM, exact integer micros."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.lm_perplexity(docs).orderBy("doc_id")
+
+
+_LM_SCORE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS v, ws[i + 1] AS t
+  FROM w, unnest(range(1, len(ws))) AS u(i)
+  WHERE len(ws) >= 2
+),
+pc AS (SELECT v, t, COUNT(*) AS c_vt FROM bg GROUP BY v, t),
+cc AS (SELECT v, SUM(c_vt) AS c_v FROM pc GROUP BY v),
+vv AS (
+  SELECT COUNT(DISTINCT tok) AS V
+  FROM (SELECT unnest(ws) AS tok FROM w) u
+),
+model AS (
+  SELECT pc.v, pc.t,
+         CAST(ROUND(-ln((pc.c_vt + 0.1) / (cc.c_v + 0.1 * vv.V)) * 1000000)
+              AS BIGINT) AS nll
+  FROM pc JOIN cc ON cc.v = pc.v CROSS JOIN vv
+),
+sc AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(m.nll) AS s
+  FROM bg b JOIN model m ON m.v = b.v AND m.t = b.t
+  GROUP BY b.doc_id
+)
+SELECT w.doc_id,
+       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN sc.n_bigrams > 0
+            THEN CAST(ROUND(CAST(sc.s AS DOUBLE) / sc.n_bigrams) AS BIGINT)
+            ELSE NULL END AS avg_nll_micros
+FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon char entropy; micros-rounded plog terms sum
     order-free."""
@@ -3476,6 +3522,10 @@ QUERIES: list[Query] = [
           doc="E5/E2 exact repeated-span detection (Lee et al. substring "
               "dedup as gram-groupBy + gaps-and-islands merge)",
           tags=("text", "dedup")),
+    Query("corpus_lm_score", _corpus_lm_score, _LM_SCORE_SQL,
+          doc="E5 CCNet-style LM quality scoring: per-doc mean bigram "
+              "NLL under the add-alpha corpus self-LM (exact micros)",
+          tags=("text", "quality")),
     Query("corpus_dup_spans_clean", _corpus_dup_spans_clean,
           _DUP_SPANS_CLEAN_SQL,
           doc="E5/E2 substring-dedup REMOVAL: duplicated regions cut from "

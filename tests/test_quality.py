@@ -221,3 +221,32 @@ def test_remove_duplicate_spans_known_corpus(spark):
         5: ("", 8),
         6: ("", 8),
     }
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Tiny corpus where the bigram LM is computable by hand: the
+    boilerplate doc (seen bigrams, high counts) must score LOWER NLL
+    than the doc full of singleton bigrams, values matching a direct
+    float evaluation of the add-alpha formula."""
+    import math
+
+    from sids_data_pipeline_spark.operators.text import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams: (a,b)x4  (b,a)x2  (b,c)x1 ; contexts: a->4, b->3
+    # vocab V=4 {a,b,c,x}; alpha=0.1
+    a = 0.1
+    V = 4
+    nll_ab = round(-math.log((4 + a) / (4 + a * V)) * 1e6)
+    nll_ba = round(-math.log((2 + a) / (3 + a * V)) * 1e6)
+    nll_bc = round(-math.log((1 + a) / (3 + a * V)) * 1e6)
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll_micros)
+           for r in lm_perplexity(docs).collect()}
+    assert got[1] == (5, round((3 * nll_ab + 2 * nll_ba) / 5))
+    assert got[2] == (2, round((nll_ab + nll_bc) / 2))
+    assert got[3] == (0, None)   # single token: no bigrams
+    assert got[4] == (0, None)   # empty doc
+    assert got[1][1] < got[2][1]  # boilerplate scores lower NLL
