@@ -135,22 +135,30 @@ def test_pipeline_single_write_constant_job_count(spark, tmp_path, monkeypatch):
         pl.lifecycle, "track", lambda df: tracked.append(df) or orig_track(df)
     )
 
-    def n_jobs(fn):
-        st = spark.sparkContext.statusTracker()
-        before = len(st.getJobIdsForGroup(None))
-        fn()
-        return len(st.getJobIdsForGroup(None)) - before
+    def n_jobs(fn, group):
+        # Count inside a dedicated job group: the unqualified job list
+        # also picks up stragglers from earlier tests (async broadcast /
+        # streaming-cleanup jobs land between the two snapshots), which
+        # made this assertion flaky under the full suite.
+        sc = spark.sparkContext
+        st = sc.statusTracker()
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(st.getJobIdsForGroup(group))
 
     out1 = str(tmp_path / "one")
     out4 = str(tmp_path / "four")
     j1 = n_jobs(lambda: run_pipeline(
         spark, ["zones_grid"], ["rast_gradient"], out1, stats=("mean",)
-    ))
+    ), "jcount-one-pair")
     tracked.clear()
     j4 = n_jobs(lambda: run_pipeline(
         spark, ["zones_grid", "zones_overlap"],
         ["rast_gradient", "rast_checker"], out4, stats=("mean",),
-    ))
+    ), "jcount-four-pair")
     assert len(tracked) == 1  # one persist for the whole run
     # constant job count: the 4-pair estate costs the same writes as 1
     # pair (broadcast/AQE variation allows a tiny slack, never 4x)
