@@ -50,7 +50,15 @@ def curate_corpus(
     pipeline shape is unchanged) appends the Lee-et-al substring-dedup
     stage AFTER document-level dedup: repeated N-token spans are cut
     from the surviving texts (text.remove_duplicate_spans), replacing
-    the ``text_col`` with the cleaned, whitespace-normalized form.
+    the ``text_col`` with the cleaned form (original casing preserved;
+    only whitespace is normalized). Because cutting can shrink a doc
+    below the quality bar — a fully-boilerplate doc becomes empty — the
+    ``min_chars`` filter is re-applied to the cleaned text, so the
+    curated output never contains documents the quality gate was meant
+    to exclude. The survivor set is persisted for the span stage: its
+    lineage (quality filter + sha2 dedup + banded LSH + anti-join) is
+    consumed several times by the gram/token/rebuild branches, and
+    without a persist the LSH shuffles would re-execute per branch.
     """
     quality = docs.filter(F.length(text_col) >= min_chars)
     survivors = exact_dedup(quality, [text_col], id_col)
@@ -66,10 +74,15 @@ def curate_corpus(
     # BOTH ends of the scale without hard-coding either.
     kept = survivors.join(drop, id_col, "left_anti")
     if remove_span_grams is not None:
+        from sids_data_pipeline_spark import lifecycle
         from sids_data_pipeline_spark.operators.text import (
             remove_duplicate_spans,
         )
 
+        # The span stage fans `kept` out into several branches (gram
+        # table, token table, rebuild base, outer join side); persist
+        # once so the expensive dedup lineage runs once, not per branch.
+        kept = lifecycle.track(kept.persist())
         cleaned = remove_duplicate_spans(
             kept, n=remove_span_grams, text_col=text_col, id_col=id_col
         )
@@ -82,6 +95,9 @@ def curate_corpus(
                 ),
                 id_col,
             )
+            # cutting spans can drop a doc below the quality bar (a
+            # fully-duplicated doc becomes ''): re-apply the gate
+            .filter(F.length(text_col) >= min_chars)
         )
     return kept
 

@@ -972,35 +972,43 @@ def remove_duplicate_spans(
 ) -> DataFrame:
     """The actionable form of :func:`duplicate_spans` (what Lee et al.
     actually do): cut every duplicated region out of the text. Returns
-    (doc_id, clean_text, n_tokens_removed) for EVERY input document —
-    docs with no duplicated span pass through verbatim-tokenized
-    (whitespace-normalized by the shared tokenizer, like every text
-    operator here).
+    (doc_id, clean_text, n_tokens_removed) for EVERY input document.
+    Span DETECTION is case-insensitive (the shared tokenizer's
+    lowercase grams, like every text operator here), but the surviving
+    text is rebuilt from the ORIGINAL-case tokens — only whitespace is
+    normalized; casing in untouched regions is preserved exactly.
 
-    Plan: the span table (tiny — maximal intervals only) broadcast-joins
-    the per-position token table on a range predicate, surviving tokens
-    re-assemble with one array_sort + concat_ws per document. One token
-    shuffle beyond duplicate_spans' own; no Python nodes.
+    Plan: one left-anti join of the per-position token table against
+    the span table — doc_id is the equi key, the span range is the
+    residual condition, so the static plan is a sort-merge anti-join
+    and AQE broadcasts the span side at runtime whenever it is actually
+    small (spans grow O(n_docs) on boilerplate-heavy corpora, so a
+    forced broadcast would be a scale hazard). Merged spans are
+    disjoint by construction, so no dedup pass is needed. Surviving
+    tokens re-assemble with one array_sort + concat_ws per document.
+    One token shuffle beyond duplicate_spans' own; no Python nodes.
     """
     spans = duplicate_spans(docs, n, min_count, text_col, id_col)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _words(text_col).alias("_w")
+    # original-case split: identical positions to _words (lowercasing
+    # never creates/destroys whitespace or empties a token)
+    orig = F.filter(
+        F.split(F.col(text_col), WS_REGEX), lambda w: w != ""
     )
+    base = docs.select(F.col(id_col).alias("doc_id"), orig.alias("_w"))
     toks = base.select(
         "doc_id", F.posexplode("_w").alias("pos", "tok")
     )
     sp = spans.select(
         F.col("doc_id").alias("s_doc"), "span_start", "span_end"
     )
-    dropped = toks.join(
-        F.broadcast(sp),
-        (F.col("doc_id") == F.col("s_doc"))
-        & (F.col("pos") >= F.col("span_start"))
-        & (F.col("pos") <= F.col("span_end")),
-        "inner",
-    ).select("doc_id", "pos").distinct()
     kept_agg = (
-        toks.join(dropped, ["doc_id", "pos"], "left_anti")
+        toks.join(
+            sp,
+            (F.col("doc_id") == F.col("s_doc"))
+            & (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") <= F.col("span_end")),
+            "left_anti",
+        )
         .groupBy("doc_id")
         .agg(
             F.concat_ws(
@@ -1075,12 +1083,20 @@ def lm_perplexity(
     )
     from pyspark.sql.window import Window
 
-    pair_counts = bigrams.groupBy("v", "t").agg(
+    # ONE exchange for the whole model build: repartition on v alone —
+    # HashPartitioning([v]) satisfies the (v,t) aggregate's clustered
+    # distribution (subset rule) AND the context-total window's, so
+    # neither inserts a second shuffle. (groupBy(v,t) directly would
+    # hash-partition on (v,t), which does NOT satisfy the window's
+    # requirement on [v], costing an extra exchange + sort.) Partial
+    # aggregation still combines map-side, so the shuffle payload is
+    # distinct-bigram-sized either way; per-partition skew is bounded
+    # by distinct continuations of a context word, not token count.
+    pair_counts = bigrams.repartition("v").groupBy("v", "t").agg(
         F.count(F.lit(1)).alias("c_vt")
     )
-    # context totals as a window over the SAME key — no self-join (which
-    # trips AMBIGUOUS_REFERENCE on the shared lineage) and no second
-    # shuffle: the window reuses the groupBy's hash partitioning
+    # context totals as a window over the same partitioning — no
+    # self-join (which trips AMBIGUOUS_REFERENCE on the shared lineage)
     c_v = F.sum("c_vt").over(Window.partitionBy("v"))
     # named _vsz, not V: Spark's default case-insensitive resolution
     # makes a column V ambiguous with the bigram context column v

@@ -1140,11 +1140,17 @@ def _corpus_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_SPANS_SQL = r"""
+# Shared CTE prefix for both dup-span twins: tokenize (ws = lowercase
+# grams key, wo = original case for rebuild), 8-gram, dup filter,
+# gaps-and-islands merge. ONE copy so an island/gram edit can never
+# drift between the span query and the removal query.
+_DUP_SPANS_CTES = r"""
 WITH w AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
-                     x -> x <> '') AS ws
+                     x -> x <> '') AS ws,
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS wo
   FROM documents
 ),
 g AS (
@@ -1173,7 +1179,9 @@ isl2 AS (
          SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
                             ROWS UNBOUNDED PRECEDING) AS isl_id
   FROM isl
-)
+)"""
+
+_DUP_SPANS_SQL = _DUP_SPANS_CTES + r"""
 SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
 FROM isl2 GROUP BY doc_id, isl_id
 ORDER BY doc_id, span_start
@@ -1187,45 +1195,14 @@ def _corpus_dup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.remove_duplicate_spans(docs, n=8).orderBy("doc_id")
 
 
-_DUP_SPANS_CLEAN_SQL = r"""
-WITH w AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
-                     x -> x <> '') AS ws
-  FROM documents
-),
-g AS (
-  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-         array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
-  FROM w, unnest(range(1, len(ws) - 8 + 2)) AS t(i)
-  WHERE len(ws) >= 8
-),
-dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-hits AS (
-  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s, CAST(g.pos + 7 AS BIGINT) AS e
-  FROM g JOIN dup USING (gram)
-),
-isl AS (
-  SELECT doc_id, s, e,
-         CASE WHEN s > COALESCE(MAX(e) OVER (
-                PARTITION BY doc_id ORDER BY s
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-              ) + 1, s - 1) THEN 1 ELSE 0 END AS new_isl
-  FROM hits
-),
-isl2 AS (
-  SELECT doc_id, s, e,
-         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s
-                            ROWS UNBOUNDED PRECEDING) AS isl_id
-  FROM isl
-),
+_DUP_SPANS_CLEAN_SQL = _DUP_SPANS_CTES + r""",
 spans AS (
   SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
   FROM isl2 GROUP BY doc_id, isl_id
 ),
 tok AS (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS tok
-  FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, wo[i] AS tok
+  FROM w, unnest(range(1, len(wo) + 1)) AS t(i)
 ),
 kept AS (
   SELECT t.doc_id, t.pos, t.tok

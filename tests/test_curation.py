@@ -247,3 +247,29 @@ def test_curate_corpus_optional_span_removal(spark):
     assert got[1] == "alpha beta gamma delta epsilon"
     assert got[2] == "zeta eta theta iota kappa mu nu"
     assert got[3] == "totally unique content that goes through unchanged ok"
+
+
+def test_curate_corpus_span_removal_refilters_quality(spark):
+    """A doc whose text is entirely duplicated spans shrinks to '' at
+    the span stage; the min_chars quality gate re-applies to the
+    cleaned text so such rows never reach the curated output — and the
+    surviving texts keep their original casing."""
+    from sids_data_pipeline_spark.jobs.curation import curate_corpus
+
+    common = "the quick brown fox jumps over lazy dogs"
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha BETA gamma delta EPSILON " + common),
+            # near-miss of doc 1 past the LSH bar but fully covered by
+            # the duplicated span: must be dropped by the re-filter,
+            # not emitted as an empty row
+            (2, common + " x"),
+            (3, common + " y"),
+        ],
+        "doc_id long, text string",
+    )
+    cleaned = curate_corpus(
+        docs, min_chars=10, jaccard_threshold=0.99, remove_span_grams=8
+    )
+    got = {r.doc_id: r.text for r in cleaned.collect()}
+    assert got == {1: "Alpha BETA gamma delta EPSILON"}

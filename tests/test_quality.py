@@ -250,3 +250,28 @@ def test_lm_perplexity_hand_computed(spark):
     assert got[3] == (0, None)   # single token: no bigrams
     assert got[4] == (0, None)   # empty doc
     assert got[1][1] < got[2][1]  # boilerplate scores lower NLL
+
+
+def test_remove_duplicate_spans_preserves_case(spark):
+    """Span DETECTION is case-insensitive (shared lowercase tokenizer)
+    but the rebuilt text keeps the original casing of every surviving
+    token — a curated training set must not be silently case-folded."""
+    from sids_data_pipeline_spark.operators.text import remove_duplicate_spans
+
+    common = "The Quick Brown Fox Jumps Over Lazy Dogs"
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha BETA gamma " + common + " Tail ONE"),
+            # same span, different case: still detected as duplicated
+            (2, "delta Epsilon " + common.lower()),
+            (3, "Entirely UNIQUE Words that Repeat nothing HERE at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_tokens_removed)
+           for r in remove_duplicate_spans(docs, n=8).collect()}
+    assert got == {
+        1: ("Alpha BETA gamma Tail ONE", 8),
+        2: ("delta Epsilon", 8),
+        3: ("Entirely UNIQUE Words that Repeat nothing HERE at all", 0),
+    }
