@@ -1151,3 +1151,104 @@ def lm_perplexity(
             ).alias("avg_nll_micros"),
         )
     )
+
+
+# The Gopher rule set's required common-English words (Rae et al. 2021,
+# Appendix A: "contains at least two of ..."). A module constant so the
+# DuckDB oracle builds its CASE terms from the SAME inventory.
+GOPHER_REQUIRED_WORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """E5: the full Gopher quality-filter rule set (Rae et al. 2021,
+    Appendix A) — the standard pre-training document gate — as one
+    zero-shuffle per-row projection. Seven rules, each reported as its
+    raw signal (exact integer micros for ratios, determinism policy of
+    plans/base.py) plus the final ``keep`` verdict:
+
+    1. 50 <= word count <= 100,000
+    2. 3 <= mean word length <= 10 (non-whitespace chars / words —
+       a "word" is a whitespace-delimited token, matching token_stats)
+    3. symbol-to-word ratio <= 0.1 (symbols: '#' and non-overlapping
+       '...' runs, the paper's hash/ellipsis proxy)
+    4. <= 90% of non-empty lines start with a bullet ('-', '*', U+2022)
+    5. <= 30% of non-empty lines end with an ellipsis ('...' or U+2026)
+    6. >= 80% of words contain at least one alphabetic character
+    7. the text contains >= 2 distinct words from
+       GOPHER_REQUIRED_WORDS (the, be, to, of, and, that, have, with)
+
+    Empty/whitespace-only documents report NULL ratios (no ANSI
+    DIVIDE_BY_ZERO) and fail rule 1, so ``keep`` is false — NULL rule
+    columns never make a NULL verdict.
+
+    Scale shape: pure column expressions over one scan — no shuffle, no
+    Python, whole-stage codegen end to end; at 100 TB this is the
+    cheapest possible operator class (scan-bound, trivially partition-
+    parallel). The reference has no text path; mandated by
+    BASELINE.json north_star.
+
+    Output: (doc_id, n_words, mean_word_len_micros, symbol_ratio_micros,
+    bullet_line_frac_micros, ellipsis_line_frac_micros,
+    alpha_word_frac_micros, n_required_words, keep).
+    """
+    lt = F.lower(F.col(text_col))
+    words = F.filter(F.split(lt, WS_REGEX), lambda w: w != "")
+    n_words = F.size(words)
+    # non-whitespace character total: one regexp_replace, same
+    # formulation as token_stats' avg_word_len
+    n_nonws = F.length(F.regexp_replace(F.col(text_col), WS_REGEX, ""))
+    n_hash = _count_matches(F.col(text_col), r"#")
+    n_ellipsis = _count_matches(F.col(text_col), r"\.\.\.")
+    # lines: newline split, trimmed of horizontal whitespace, empties
+    # dropped from BOTH numerator and denominator
+    lines = F.filter(
+        F.transform(
+            F.split(F.col(text_col), r"\r?\n"),
+            lambda l: F.regexp_replace(l, r"^[ \t]+|[ \t]+$", ""),
+        ),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+    )
+    n_ell_end = F.size(
+        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    n_required = sum(
+        F.array_contains(words, w).cast("int")
+        for w in GOPHER_REQUIRED_WORDS
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.round(num.cast("double") / den * MICROS, 0).cast("long")
+    )
+    mean_wl = ratio(n_nonws, n_words)
+    sym = ratio(n_hash + n_ellipsis, n_words)
+    bullet = ratio(n_bullet, n_lines)
+    ell = ratio(n_ell_end, n_lines)
+    alpha = ratio(n_alpha_words, n_words)
+    keep = (
+        n_words.between(50, 100_000)
+        & mean_wl.between(3 * MICROS, 10 * MICROS)
+        & (sym <= int(0.1 * MICROS))
+        & (bullet <= int(0.9 * MICROS))
+        & (ell <= int(0.3 * MICROS))
+        & (alpha >= int(0.8 * MICROS))
+        & (n_required >= 2)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len_micros"),
+        sym.alias("symbol_ratio_micros"),
+        bullet.alias("bullet_line_frac_micros"),
+        ell.alias("ellipsis_line_frac_micros"),
+        alpha.alias("alpha_word_frac_micros"),
+        n_required.cast("int").alias("n_required_words"),
+        F.coalesce(keep, F.lit(False)).alias("keep"),
+    )

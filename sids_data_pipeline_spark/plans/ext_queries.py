@@ -1739,6 +1739,66 @@ FROM r
 """
 
 
+def _text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.gopher_rules(docs)
+
+
+def _gopher_sql() -> str:
+    req = " + ".join(
+        f"CAST(list_contains(words, '{w}') AS INT)"
+        for w in text.GOPHER_REQUIRED_WORDS
+    )
+    # mirrors gopher_rules term for term; DuckDB regexp_replace needs
+    # the explicit 'g' flag where Spark replaces all matches by default
+    return rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS words,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '\r?\n'),
+                          l -> regexp_replace(l, '^[ \t]+|[ \t]+$', '', 'g')),
+           l -> l <> '') AS lines
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         len(lines) AS n_lines,
+         length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS n_nonws,
+         len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+         len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$'))) AS n_ell,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         {req} AS n_required
+  FROM t
+),
+m AS (
+  SELECT doc_id, n_words, n_required,
+         CASE WHEN n_words > 0 THEN CAST(ROUND(CAST(n_nonws AS DOUBLE) / n_words * 1000000) AS BIGINT) END AS mean_word_len_micros,
+         CASE WHEN n_words > 0 THEN CAST(ROUND(CAST(n_sym AS DOUBLE) / n_words * 1000000) AS BIGINT) END AS symbol_ratio_micros,
+         CASE WHEN n_lines > 0 THEN CAST(ROUND(CAST(n_bullet AS DOUBLE) / n_lines * 1000000) AS BIGINT) END AS bullet_line_frac_micros,
+         CASE WHEN n_lines > 0 THEN CAST(ROUND(CAST(n_ell AS DOUBLE) / n_lines * 1000000) AS BIGINT) END AS ellipsis_line_frac_micros,
+         CASE WHEN n_words > 0 THEN CAST(ROUND(CAST(n_alpha AS DOUBLE) / n_words * 1000000) AS BIGINT) END AS alpha_word_frac_micros
+  FROM r
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len_micros,
+       symbol_ratio_micros, bullet_line_frac_micros,
+       ellipsis_line_frac_micros, alpha_word_frac_micros,
+       CAST(n_required AS INT) AS n_required_words,
+       COALESCE(n_words BETWEEN 50 AND 100000
+                AND mean_word_len_micros BETWEEN 3000000 AND 10000000
+                AND symbol_ratio_micros <= 100000
+                AND bullet_line_frac_micros <= 900000
+                AND ellipsis_line_frac_micros <= 300000
+                AND alpha_word_frac_micros >= 800000
+                AND n_required >= 2, FALSE) AS keep
+FROM m
+"""
+
+
 def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     return text.language_id(docs)
@@ -3326,6 +3386,11 @@ QUERIES: list[Query] = [
     Query("text_token_stats", _text_token_stats, _TOKEN_STATS_SQL,
           doc="E5 token/char counting (whitespace + BPE-ish regex)",
           tags=("text",)),
+    Query("text_gopher_rules", _text_gopher, _gopher_sql(),
+          doc="E5 Gopher quality-filter rule set (Rae et al. 2021): seven "
+              "per-doc rules + keep verdict, one zero-shuffle codegen "
+              "projection",
+          tags=("text", "quality")),
     Query("text_quality", _text_quality, _quality_sql(),
           doc="E5 quality scoring (length/punct/stopword ratios)",
           tags=("text",)),

@@ -275,3 +275,40 @@ def test_remove_duplicate_spans_preserves_case(spark):
         2: ("delta Epsilon", 8),
         3: ("Entirely UNIQUE Words that Repeat nothing HERE at all", 0),
     }
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Each of the seven Gopher rules exercised by a doc built to fail
+    exactly that rule; verdicts and micros signals are hand-computed."""
+    from sids_data_pipeline_spark.operators.text import gopher_rules
+
+    good = ("the data have to be of use and that is why we keep it with "
+            "care " * 4) + "extra words fill the line to reach fifty total"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                        # passes everything
+            (2, "too few words"),             # rule 1 (n_words < 50)
+            (3, ""),                          # empty: NULL ratios, drop
+            # rule 4: every line is a bullet (and <50 words)
+            (4, "- a\n- b\n* c\n• d"),
+            # rule 5: lines end with ellipsis
+            (5, "first line...\nsecond line…\nthird"),
+            # rule 7: no required words at all
+            (6, "zebra quokka lemur " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert got[1].keep
+    assert got[1].n_words >= 50 and got[1].n_required_words >= 2
+    assert not got[2].keep and got[2].n_words == 3
+    assert not got[3].keep
+    assert got[3].mean_word_len_micros is None
+    assert got[3].bullet_line_frac_micros is None
+    assert got[4].bullet_line_frac_micros == 1_000_000
+    assert not got[4].keep
+    # 2 of 3 lines end with an ellipsis -> 666667 micros > 300000
+    assert got[5].ellipsis_line_frac_micros == 666_667
+    assert got[6].n_required_words == 0 and not got[6].keep
+    # rule-2/6 signals on the good doc: all-alpha words
+    assert got[1].alpha_word_frac_micros == 1_000_000
