@@ -519,3 +519,127 @@ SELECT {select_cols}, CAST(t.x AS INT) AS copy_id
 FROM n_of, unnest(range(1, _n + 1)) AS t(x)
 WHERE _n > 0
 """
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha_micros: int = 100_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed n-gram features are under the TARGET
+    distribution (rows matching ``target_pred`` — e.g. a trusted
+    high-quality slice) than under the RAW corpus. Downstream selection
+    is then a deterministic top-k or :func:`hash_threshold_sample` over
+    the weight column — this operator computes the weights.
+
+    Features are the paper's hashed bag of unigrams + bigrams over the
+    shared tokenizer's words, bucketed by the portable md5 hash family
+    (``token_hash32 % n_buckets``) so the DuckDB twin reproduces every
+    bucket. Both feature models are add-alpha smoothed categorical
+    distributions (a = alpha_micros/1e6):
+
+        log w(doc) = sum_b c_b(doc) * [ln p_target(b) - ln p_raw(b)]
+
+    Determinism: the per-bucket log-ratio rounds ONCE to exact integer
+    micros (one double ln per side, bit-identical across engines); the
+    per-document sum is then an order-free BIGINT dot product — the same
+    policy as lm_perplexity / text_char_entropy (plans/base.py).
+
+    Output: (doc_id, is_target, n_grams, dsir_logw_micros); documents
+    with no words carry n_grams = 0 and a NULL weight.
+
+    Scale shape: ONE gram-sized exchange (repartition on doc_id feeds
+    both the per-(doc,bucket) aggregate and — via the broadcast bucket
+    model — the per-doc dot product under the subset rule, like
+    lm_perplexity's model build), plus one narrow (doc_id, is_target)
+    shuffle on the left-join that restores zero-word documents. The
+    bucket model is an ``n_buckets``-row aggregate of the persisted
+    doc-bucket table, broadcast back. Nothing all-pairs, nothing on the
+    driver; the persisted intermediate is
+    O(docs x distinct buckets per doc), bounded by total gram count.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if isinstance(target_pred, str):
+        target_pred = F.expr(target_pred)
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.cast("boolean").alias("is_target"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
+            lambda t: t != "",
+        ).alias("_w"),
+    )
+    grams = w.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.concat(
+                F.col("_w"),
+                # guarded: sequence(1, 0) would be the DESCENDING [1, 0]
+                # and emit null bigrams for single-word docs
+                F.expr(
+                    "CASE WHEN size(_w) >= 2 THEN "
+                    "transform(sequence(1, size(_w) - 1), "
+                    "i -> concat(_w[i-1], ' ', _w[i])) "
+                    "ELSE array() END"
+                ),
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (token_hash32("gram") % n_buckets).alias("bucket"),
+    )
+    db = track(
+        grams.repartition("doc_id")
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    model = db.groupBy("bucket").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(0)).alias(
+            "c_tgt"
+        ),
+    )
+    totals = model.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
+    )
+    alpha = alpha_micros / 1_000_000.0
+    ab = alpha * n_buckets
+    llr = model.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("c_tgt") + F.lit(alpha)) / (F.col("n_tgt") + F.lit(ab)))
+                - F.log((F.col("c_raw") + F.lit(alpha)) / (F.col("n_raw") + F.lit(ab)))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("llr_micros"),
+    )
+    scored = (
+        db.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.col("c") * F.col("llr_micros")).alias("dsir_logw_micros"),
+        )
+    )
+    return (
+        w.select("doc_id", "is_target")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "dsir_logw_micros",
+        )
+    )

@@ -3259,6 +3259,79 @@ def _corpus_mix_sql() -> str:
     )
 
 
+_DSIR_BUCKETS = 1024
+_DSIR_ALPHA_MICROS = 100_000
+
+
+def _corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 DSIR data selection (Xie et al. 2023): importance weight of
+    every document against the lang='en' target slice, from hashed
+    unigram+bigram features; exact-micros log ratios."""
+    from sids_data_pipeline_spark.operators import sampling
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    return sampling.dsir_weights(
+        docs,
+        F.col("lang") == F.lit("en"),
+        n_buckets=_DSIR_BUCKETS,
+        alpha_micros=_DSIR_ALPHA_MICROS,
+    )
+
+
+def _dsir_sql() -> str:
+    from sids_data_pipeline_spark.functions.hashing import o_token_hash32
+
+    alpha = _DSIR_ALPHA_MICROS / 1_000_000.0
+    ab = alpha * _DSIR_BUCKETS
+    # {alpha!r}/{ab!r} interpolate Python's shortest-round-trip double
+    # so both engines smooth with the bit-identical constant
+    return rf"""
+WITH w AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, is_target,
+         {o_token_hash32('gram')} % {_DSIR_BUCKETS} AS bucket
+  FROM (
+    SELECT doc_id, is_target, unnest(ws) AS gram FROM w
+    UNION ALL
+    SELECT doc_id, is_target, ws[i] || ' ' || ws[i + 1] AS gram
+    FROM w, unnest(range(1, len(ws))) AS u(i)
+    WHERE len(ws) >= 2
+  )
+),
+db AS (
+  SELECT doc_id, is_target, bucket, COUNT(*) AS c
+  FROM g GROUP BY doc_id, is_target, bucket
+),
+model AS (
+  SELECT bucket, SUM(c) AS c_raw,
+         SUM(CASE WHEN is_target THEN c ELSE 0 END) AS c_tgt
+  FROM db GROUP BY bucket
+),
+tot AS (SELECT SUM(c_raw) AS n_raw, SUM(c_tgt) AS n_tgt FROM model),
+llr AS (
+  SELECT bucket,
+         CAST(ROUND((ln((c_tgt + {alpha!r}) / (n_tgt + {ab!r}))
+                     - ln((c_raw + {alpha!r}) / (n_raw + {ab!r})))
+                    * 1000000) AS BIGINT) AS llr_micros
+  FROM model CROSS JOIN tot
+),
+sc AS (
+  SELECT db.doc_id, SUM(db.c) AS n_grams,
+         SUM(db.c * llr.llr_micros) AS logw
+  FROM db JOIN llr USING (bucket) GROUP BY db.doc_id
+)
+SELECT w.doc_id, w.is_target,
+       CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(sc.logw AS BIGINT) AS dsir_logw_micros
+FROM w LEFT JOIN sc ON sc.doc_id = w.doc_id
+"""
+
+
 def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 fixture: each user's event_type as a tracked attribute —
     consecutive same-type events collapse into one validity episode,
@@ -3619,6 +3692,11 @@ QUERIES: list[Query] = [
               "folds into COUNT/SUM view, base facts never rescanned; "
               "oracle = full recompute",
           tags=("merge", "incremental", "agg")),
+    Query("corpus_dsir", _corpus_dsir, _dsir_sql(),
+          doc="E7 DSIR data selection (Xie et al. 2023): hashed-ngram "
+              "importance weights vs the lang='en' target; one corpus "
+              "exchange + broadcast bucket model, exact micros",
+          tags=("sampling", "quality")),
     Query("corpus_mix", _corpus_mix, _corpus_mix_sql(),
           doc="domain-mixture resampling: per-domain up/down-sampling "
               "rates, hash-gated fractional copies, zero shuffles",

@@ -375,3 +375,35 @@ def test_pack_shards_long_ids_and_integer_division(spark):
     assert dict(out.dtypes)["shard_id"] == "bigint"
     assert rows[0] == 0
     assert rows[3] == (3 * 2**40) // 100  # > int32 range, exact
+
+
+def test_dsir_weights_directional_and_edges(spark):
+    """Target-like documents must score ABOVE corpus-typical ones (the
+    paper's defining property); single-word docs carry exactly one gram
+    (no bigram blow-up from the descending-sequence trap); empty docs
+    report n_grams=0 with a NULL weight; scores are partitioning-stable."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.sampling import dsir_weights
+
+    tgt = "high quality prose about science and careful reasoning"
+    raw = "buy now cheap deals click here limited offer"
+    rows = [(i, tgt + f" variant {i}", True) for i in range(8)]
+    rows += [(i + 8, raw + f" spam {i}", False) for i in range(8)]
+    rows += [(16, tgt, False),   # target-LIKE text outside the slice
+             (17, "word", False), (18, "", False)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+
+    out = dsir_weights(docs, F.col("tgt"))
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[17].n_grams == 1
+    assert got[18].n_grams == 0 and got[18].dsir_logw_micros is None
+    # the held-out target-like doc outranks every spam doc
+    spam_max = max(got[i].dsir_logw_micros for i in range(8, 16))
+    assert got[16].dsir_logw_micros > spam_max
+
+    stable = {
+        r.doc_id: r.dsir_logw_micros
+        for r in dsir_weights(docs.repartition(7), F.col("tgt")).collect()
+    }
+    assert stable == {k: v.dsir_logw_micros for k, v in got.items()}
