@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sids_data_pipeline_spark.lifecycle import track
+
 MICROS = 1_000_000
 
 
@@ -599,3 +601,61 @@ def kmeans_fit(
         embeddings, k=k, id_col=id_col, vec_col=vec_col, centroids=centroids
     )
     return centroids, assigned
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal by
+    clustering embeddings and pruning within-cluster cosine neighbors —
+    the method's point is that the cluster step bounds the quadratic
+    pair search to cluster-sized blocks. Composition of this module's
+    verified kernels: :func:`kmeans_assign` labels (deterministic
+    smallest-id init unless ``centroids`` is passed, e.g. from
+    :func:`kmeans_fit`), then :func:`cosine_pairs` with
+    ``block_col="cluster"`` — the scale-safe equi-join path, never
+    all-pairs — and the house drop rule (curation.py): a vector is
+    ``dropped`` iff it has a >= threshold neighbor with a SMALLER id in
+    its cluster, so the minimum-id representative always survives.
+
+    Output: (vec_id, cluster, dropped) for EVERY input vector.
+    Zero-norm vectors inherit cosine_pairs' guard: they never pair, so
+    they are kept, never mass-dropped by NaN cosines.
+
+    Scale shape: the centroid matrix folds into one codegen projection
+    (no join for assignment); pairs come only from cluster blocks —
+    pick ``k`` so clusters stay ~10^3-10^4 at the target corpus (the
+    paper runs k in the tens of thousands at web scale); the drop list
+    joins back WITHOUT a broadcast hint (it can be corpus-sized on a
+    boilerplate-heavy corpus — AQE broadcasts it when it is small).
+    """
+    if centroids is None:
+        centroids = _default_centroids(embeddings, k, id_col, vec_col)
+    arr = _dist2_array(_int_vec(vec_col), centroids)
+    clustered = track(
+        embeddings.select(
+            id_col,
+            vec_col,
+            (F.array_position(arr, F.array_min(arr)) - 1)
+            .cast("int")
+            .alias("cluster"),
+        ).persist()
+    )
+    pairs = cosine_pairs(
+        clustered, threshold, id_col, vec_col, block_col="cluster"
+    )
+    drop = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return (
+        clustered.select(id_col, "cluster")
+        .join(drop.withColumn("_d", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce("_d", F.lit(False)).alias("dropped"),
+        )
+    )

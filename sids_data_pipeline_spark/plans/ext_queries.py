@@ -1387,6 +1387,80 @@ FROM r WHERE rn = 1
 """
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3 SemDeDup (Abbas et al. 2023): k-means blocks + within-
+    cluster cosine pruning. The fixture's vectors are well-separated
+    (max within-cluster cosine ~0.49), so the query plants exact
+    re-embeddings (same vector, vec_id+10000) of every 10th row — a
+    positive-signal gate: the 50 planted copies land in their twin's
+    cluster deterministically, score cosine 1.0 >= 0.95, and must be
+    the dropped set (higher id of each pair)."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    return similarity.semantic_dedup(
+        base.unionAll(planted), k=8, threshold=0.95
+    )
+
+
+_SEMANTIC_DEDUP_SQL = """
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+n AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM src
+),
+nn AS (
+  SELECT vec_id, v,
+         CAST(list_sum(list_transform(range(1, len(v) + 1),
+              i -> v[i] * v[i])) AS BIGINT) AS norm2
+  FROM n
+),
+c AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx
+  FROM n ORDER BY vec_id LIMIT 8
+),
+d AS (
+  SELECT e.vec_id, c.cidx,
+         CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+              i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS BIGINT) AS dist2
+  FROM n e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cidx,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2 ASC, cidx ASC) AS rn
+  FROM d
+),
+e AS (
+  SELECT nn.vec_id, r.cidx AS cluster, nn.v, nn.norm2
+  FROM nn JOIN r ON r.vec_id = nn.vec_id AND r.rn = 1
+),
+p AS (
+  SELECT b.vec_id AS id2
+  FROM e a JOIN e b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE a.norm2 > 0 AND b.norm2 > 0
+    AND CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+             i -> a.v[i] * b.v[i])) AS DOUBLE)
+        / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+        >= 0.95
+),
+drops AS (SELECT DISTINCT id2 FROM p)
+SELECT e.vec_id, CAST(e.cluster AS INT) AS cluster,
+       (drops.id2 IS NOT NULL) AS dropped
+FROM e LEFT JOIN drops ON drops.id2 = e.vec_id
+"""
+
+
 def _text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     return text.scrub_pii(docs)
@@ -3655,6 +3729,11 @@ QUERIES: list[Query] = [
               "micros-integer order-free scoring, distributed partial "
               "top-k",
           tags=("text", "search")),
+    Query("dedup_semantic", _dedup_semantic, _SEMANTIC_DEDUP_SQL,
+          doc="E2/E3 SemDeDup: k-means blocks bound the cosine pair "
+              "search; planted re-embeddings make the drop set a "
+              "positive-signal gate (50 copies dropped, originals kept)",
+          tags=("dedup", "similarity", "clustering")),
     Query("embedding_kmeans", _embedding_kmeans, _KMEANS_SQL,
           doc="k-means assignment step: k x dim centroid literals in one "
               "codegen projection, exact integer micros L2, no join",

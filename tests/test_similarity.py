@@ -258,3 +258,25 @@ def test_round_half_away_ratio_exact():
     # exactness past 2^53, where float division would lose ulps
     big = 2**60 + 1
     assert _round_half_away_ratio(big * 2, 2) == big
+
+
+def test_semantic_dedup_drops_copies_keeps_representative(spark):
+    """SemDeDup: an exact re-embedding lands in its twin's cluster and
+    is dropped (higher id); the min-id representative and unrelated
+    vectors survive; zero-norm vectors never pair (NaN-cosine guard)."""
+    from sids_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, a), (1, b),
+        (2, [x * 2.0 for x in a]),   # same direction as a: cosine 1.0
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero-norm: must never pair
+        (4, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to everything
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: r.dropped for r in
+           semantic_dedup(emb, k=2, threshold=0.95).collect()}
+    assert got == {0: False, 1: False, 2: True, 3: False, 4: False}
