@@ -1036,6 +1036,122 @@ def remove_duplicate_spans(
     )
 
 
+def remove_hot_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    sep_regex: str | None = r"\n+",
+    window_words: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E5/E2: cross-document line-level dedup — the CCNet/FineWeb
+    paragraph pass (Wenzek et al. 2020 §3.1): a line whose normalized
+    form appears in ≥ ``min_docs`` DISTINCT documents is boilerplate
+    (headers, footers, cookie banners, navigation) and is removed from
+    EVERY document; survivors reassemble in original order.
+
+    Segmentation is either ``sep_regex`` (default: newline lines, the
+    CCNet definition) or ``window_words=k`` — non-overlapping k-word
+    windows for corpora without line structure (the hash key is the
+    lowercased segment; reassembly uses the ORIGINAL-case text, same
+    casing contract as :func:`remove_duplicate_spans`). Exactly one of
+    the two must be set. Empty/whitespace-only segments are dropped.
+
+    Output: (doc_id, clean_text, n_segments, n_removed) for every input
+    document — a doc whose every segment is hot emits clean_text ''.
+
+    Scale shape: one shuffle on the segment key for the distinct-doc
+    frequency (map-side combined approx? no — exact countDistinct, two-
+    stage partial aggregate), one left-anti equi-join back, one doc-keyed
+    reassembly aggregation. No Python nodes; no window functions. At
+    100 TB swap the key string for ``xxhash64(key)`` before the shuffle
+    (same trade documented on boilerplate_stats). The hot-key table is
+    corpus-boilerplate-sized, so AQE broadcasts the anti-join side when
+    it is genuinely small; a forced broadcast would be a scale hazard on
+    template-heavy crawls.
+
+    No reference counterpart (rasters, not text); mandated by
+    BASELINE.json north_star. Public semantics: CCNet's dedup_ step /
+    FineWeb line-dedup filter.
+    """
+    if (sep_regex is None) == (window_words is None):
+        raise ValueError("set exactly one of sep_regex / window_words")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if window_words is not None:
+        if window_words < 1:
+            raise ValueError(f"window_words must be >= 1, got {window_words}")
+        k = window_words
+        orig_words = F.filter(
+            F.split(F.col(text_col), WS_REGEX), lambda w: w != ""
+        )
+        base = docs.select(
+            F.col(id_col).alias("doc_id"), orig_words.alias("_wo")
+        )
+        # segment i (0-based) covers original-case words [k*i, k*i+k-1];
+        # the KEY lowercases the same slice, so key/orig positions agree
+        segs_expr = F.expr(
+            # greatest(…, 0): an empty doc must yield one ''-key segment
+            # (filtered below), NOT sequence(0, -1) — Spark's sequence
+            # DESCENDS when start > stop, which would emit a bogus idx -1
+            f"transform(sequence(0, greatest(CAST(ceil(size(_wo) / {k}.0) AS INT) - 1, 0)), "
+            f"i -> struct(CAST(i AS BIGINT) AS idx, "
+            f"concat_ws(' ', slice(transform(_wo, w -> lower(w)), i * {k} + 1, {k})) AS key, "
+            f"concat_ws(' ', slice(_wo, i * {k} + 1, {k})) AS orig))"
+        )
+        joiner = " "
+    else:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), sep_regex).alias("_wo"),
+        )
+        # raw split keeps every line; blank/whitespace-only lines get key
+        # '' and are filtered below (CCNet drops them with the hot lines)
+        segs_expr = F.expr(
+            "transform(_wo, (line, i) -> struct(CAST(i AS BIGINT) AS idx, "
+            "trim(lower(line)) AS key, line AS orig))"
+        )
+        joiner = "\n"
+    seg = (
+        base.select("doc_id", F.explode(segs_expr).alias("_s"))
+        .select("doc_id", "_s.idx", "_s.key", "_s.orig")
+        .filter(F.col("key") != "")
+    )
+    hot = (
+        seg.groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("key")
+    )
+    kept = (
+        seg.join(hot, "key", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                joiner,
+                F.expr(
+                    "transform(array_sort(collect_list(struct(idx, orig)))"
+                    ", s -> s.orig)"
+                ),
+            ).alias("_clean"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    totals = seg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n0"))
+    return (
+        base.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_clean", F.lit("")).alias("clean_text"),
+            F.coalesce("_n0", F.lit(0)).alias("n_segments"),
+            (F.coalesce("_n0", F.lit(0)) - F.coalesce("_kept", F.lit(0)))
+            .alias("n_removed"),
+        )
+    )
+
+
 def lm_perplexity(
     docs: DataFrame,
     alpha_micros: int = 100_000,

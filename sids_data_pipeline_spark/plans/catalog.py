@@ -151,14 +151,30 @@ PRIORITY: tuple[str, ...] = (
     "crs_reproject_lcc",
     "manifest_pending",
     "tiles_encode_rings",
+    # — the round-8 late additions (text.py/similarity.py operators new
+    # this round): first-time driver rows —
+    "text_gopher_rules",
+    "corpus_lm_score",
+    "corpus_dup_spans",
+    "corpus_dup_spans_clean",
+    "corpus_dsir",
+    "dedup_semantic",
+    "corpus_line_dedup",
     # — family representatives (unchanged code; keep families in-window) —
+    # Displaced to make room for the late additions, each with the
+    # operator file UNCHANGED this round so the prior driver row stands:
+    # events_gap_fill (windows.py; events_session keeps E6 in-window),
+    # zonal_weighted_mean + zonal_all_touched (zonal.py; zonal_polygons
+    # keeps J1/F5/F6/A1 in-window, both keep their r7 rows),
+    # graph_triangles (graph.py; dedup_clusters keeps E10 in-window),
+    # agg_geomean_udaf AND text_sentences_udtf (functions/udxf.py,
+    # unchanged since r5 — both r5 rows stand; the UDXF family is the
+    # one family with no in-window rep this round, traded for the six
+    # first-time text/similarity entries above).
     "zonal_polygons",
-    "zonal_weighted_mean",
-    "zonal_all_touched",
     "pricing_summary",
     "sql_shipping_priority",
     "events_session",
-    "events_gap_fill",
     "streaming_sessions",
     "streaming_dedup_wm",
     "streaming_raster_ingest",
@@ -167,15 +183,11 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_features",
     "corpus_split",
     "corpus_pack_sequences",
-    "corpus_dup_spans",
     # corpus_shuffle displaced (sampling.py unchanged; r7 row stands,
     # corpus_pack_sequences keeps E8 in-window)
     "similarity_topk",
     "similarity_topk_quantized",
     "embedding_kmeans",
-    "graph_triangles",
-    "text_sentences_udtf",
-    "agg_geomean_udaf",
     # corpus_bpe_train displaced by raster_bigtiff_ingest: text.py is
     # unchanged this round and the BPE family keeps its r7 rows
 )

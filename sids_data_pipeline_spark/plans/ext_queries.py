@@ -1225,6 +1225,59 @@ ORDER BY w.doc_id
 """
 
 
+def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E2: CCNet/FineWeb line-level dedup — segments whose normalized
+    form appears in ≥2 distinct docs are boilerplate, removed from every
+    doc; 5-word windows segment the newline-free fixture corpus."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.remove_hot_lines(
+        docs, min_docs=2, sep_regex=None, window_words=5
+    ).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS wo
+  FROM documents
+),
+seg0 AS (
+  SELECT doc_id, CAST((i - 1) // 5 AS BIGINT) AS idx,
+         lower(array_to_string(
+           list_slice(wo, ((i - 1) // 5) * 5 + 1, ((i - 1) // 5) * 5 + 5),
+           ' ')) AS key,
+         array_to_string(
+           list_slice(wo, ((i - 1) // 5) * 5 + 1, ((i - 1) // 5) * 5 + 5),
+           ' ') AS orig
+  FROM w, unnest(range(1, len(wo) + 1)) AS t(i)
+  WHERE (i - 1) % 5 = 0
+),
+seg AS (SELECT * FROM seg0 WHERE key <> ''),
+hot AS (
+  SELECT key FROM seg GROUP BY key HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT s.doc_id, s.idx, s.orig FROM seg s
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.key = s.key)
+),
+agg AS (
+  SELECT doc_id, string_agg(orig, ' ' ORDER BY idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n0 FROM seg GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(t.n0, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(t.n0, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def _corpus_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: CCNet-style LM quality scoring — per-doc mean bigram NLL
     under the add-alpha-smoothed corpus self-LM, exact integer micros."""
@@ -3710,6 +3763,11 @@ QUERIES: list[Query] = [
     Query("corpus_dup_spans", _corpus_dup_spans, _DUP_SPANS_SQL,
           doc="E5/E2 exact repeated-span detection (Lee et al. substring "
               "dedup as gram-groupBy + gaps-and-islands merge)",
+          tags=("text", "dedup")),
+    Query("corpus_line_dedup", _corpus_line_dedup, _LINE_DEDUP_SQL,
+          doc="E5/E2 CCNet/FineWeb line-level dedup: segments in >=2 "
+              "distinct docs removed from every doc, original casing "
+              "and order preserved",
           tags=("text", "dedup")),
     Query("corpus_lm_score", _corpus_lm_score, _LM_SCORE_SQL,
           doc="E5 CCNet-style LM quality scoring: per-doc mean bigram "

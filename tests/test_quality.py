@@ -312,3 +312,79 @@ def test_gopher_rules_hand_computed(spark):
     assert got[6].n_required_words == 0 and not got[6].keep
     # rule-2/6 signals on the good doc: all-alpha words
     assert got[1].alpha_word_frac_micros == 1_000_000
+
+
+def test_remove_hot_lines_newline_mode(spark):
+    """CCNet line dedup: a line present in >=2 distinct docs vanishes
+    from every doc; normalization (trim+lower) drives the hot KEY but
+    surviving lines keep their original text; blank lines drop; empty
+    and fully-hot docs still emit a row."""
+    from sids_data_pipeline_spark.operators.text import remove_hot_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Unique opening\nCOOKIE BANNER\nunique close"),
+            # trailing spaces + different case: same normalized key
+            (2, "another doc\n  cookie banner  \n\nmore words"),
+            (3, "cookie banner"),  # fully hot -> clean_text ''
+            (4, ""),  # empty -> zero segments
+            (5, "only fresh lines\nnothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_segments, r.n_removed)
+        for r in remove_hot_lines(docs, min_docs=2).collect()
+    }
+    assert got == {
+        1: ("Unique opening\nunique close", 3, 1),
+        2: ("another doc\nmore words", 3, 1),
+        3: ("", 1, 1),
+        4: ("", 0, 0),
+        5: ("only fresh lines\nnothing shared", 2, 0),
+    }
+
+
+def test_remove_hot_lines_window_mode_preserves_case(spark):
+    """window_words segmentation for line-less corpora: the 2-word hot
+    key is case-insensitive but survivors rebuild from original-case
+    words; the short tail window segments too."""
+    from sids_data_pipeline_spark.operators.text import remove_hot_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Alpha Beta SHARED words tail"),
+            (2, "shared WORDS gamma delta"),
+            (3, "Gamma Delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_segments, r.n_removed)
+        for r in remove_hot_lines(
+            docs, min_docs=2, sep_regex=None, window_words=2
+        ).collect()
+    }
+    # doc1 windows: [Alpha Beta][SHARED words][tail]; doc2: [shared
+    # WORDS][gamma delta]; doc3: [Gamma Delta]. Hot keys: 'shared
+    # words' (docs 1,2) and 'gamma delta' (docs 2,3) — doc2 loses BOTH
+    # its windows, each hot via a different partner doc.
+    assert got == {
+        1: ("Alpha Beta tail", 3, 1),
+        2: ("", 2, 2),
+        3: ("", 1, 1),
+    }
+
+
+def test_remove_hot_lines_validation(spark):
+    from sids_data_pipeline_spark.operators.text import remove_hot_lines
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exactly one"):
+        remove_hot_lines(docs, sep_regex=None, window_words=None)
+    with pytest.raises(ValueError, match="exactly one"):
+        remove_hot_lines(docs, sep_regex=r"\n+", window_words=3)
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_hot_lines(docs, min_docs=1)
+    with pytest.raises(ValueError, match="window_words"):
+        remove_hot_lines(docs, sep_regex=None, window_words=0)
