@@ -1036,6 +1036,115 @@ def remove_duplicate_spans(
     )
 
 
+def nb_quality_classifier(
+    docs: DataFrame,
+    positive_col: str,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E5: quality-classifier filtering — the GPT-3/LLaMA CommonCrawl
+    recipe (train a classifier on "looks like the reference corpus" weak
+    labels, keep docs it scores highly), with the classic multinomial
+    Naive Bayes baseline standing in for fastText: NB's train step is
+    pure counting, so the WHOLE pipeline — train AND score — is two
+    corpus shuffles of JVM expressions, no gradient loop, no Python.
+
+    ``positive_col`` names a boolean column with the weak label (e.g.
+    ``lang = 'en'``, or "sampled from Wikipedia"). Add-``alpha`` smoothed
+    per-token log-odds are rounded to integer micros FIRST, so each doc's
+    score is an exact integer sum and hash-matches the DuckDB twin:
+
+        w(t)  = round(1e6 * ln( (c_pos(t)+a)/(N_pos+aV)
+                              / ((c_neg(t)+a)/(N_neg+aV)) ))
+        score = round(1e6 * ln(D_pos/D_neg)) + Σ_t n_doc(t) · w(t)
+
+    Output: (doc_id, n_tokens, score_micros, keep) for every input doc —
+    token-less docs score the prior alone. Both classes must be present
+    (raise_error guards the degenerate corpus executor-side).
+
+    Scale shape: one (doc, token) count shuffle, one vocab-keyed model
+    aggregate (map-side combined), one equi-join of doc-token counts
+    against the vocab-sized model (AQE broadcasts it when the vocab is
+    small — the common case: vocab ≪ corpus), one doc-keyed sum. The
+    1-row totals/prior frames attach by broadcast cross join. At 100 TB
+    swap the token string key for xxhash64 (boilerplate_stats note).
+
+    No reference counterpart (rasters, not text); mandated by
+    BASELINE.json north_star. Public semantics: Brown et al. 2020
+    appendix A (quality classifier), NB per McCallum & Nigam 1998.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    pos = F.col(positive_col).cast("boolean")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), pos.alias("_pos"), _words(text_col).alias("_w")
+    )
+    tc = (
+        base.select("doc_id", "_pos", F.explode("_w").alias("tok"))
+        .groupBy("doc_id", "_pos", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    model = tc.groupBy("tok").agg(
+        F.sum(F.when(F.col("_pos"), F.col("cnt")).otherwise(0)).alias("c_pos"),
+        F.sum(F.when(~F.col("_pos"), F.col("cnt")).otherwise(0)).alias("c_neg"),
+    )
+    totals = model.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = F.lit(float(alpha))
+    w = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            F.round(
+                (
+                    F.log((F.col("c_pos") + a) / (F.col("n_pos") + a * F.col("v")))
+                    - F.log((F.col("c_neg") + a) / (F.col("n_neg") + a * F.col("v")))
+                )
+                * MICROS
+            )
+            .cast("long")
+            .alias("w_micros"),
+        )
+    )
+    d_pos = F.sum(F.when(F.col("_pos"), 1).otherwise(0))
+    d_neg = F.sum(F.when(~F.col("_pos"), 1).otherwise(0))
+    prior = base.agg(
+        F.when(
+            (d_pos == 0) | (d_neg == 0),
+            F.raise_error(
+                F.lit("nb_quality_classifier: both classes must be non-empty")
+            ).cast("long"),
+        )
+        .otherwise(F.round(F.log(d_pos / d_neg) * MICROS).cast("long"))
+        .alias("prior_micros")
+    )
+    per_doc = (
+        tc.join(w, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("_n_tok"),
+            F.sum(F.col("cnt") * F.col("w_micros")).alias("_s"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            F.coalesce("_n_tok", F.lit(0)).alias("n_tokens"),
+            (F.coalesce("_s", F.lit(0)) + F.col("prior_micros")).alias(
+                "score_micros"
+            ),
+            (F.coalesce("_s", F.lit(0)) + F.col("prior_micros") > 0).alias("keep"),
+        )
+    )
+
+
 def remove_hot_lines(
     docs: DataFrame,
     min_docs: int = 2,

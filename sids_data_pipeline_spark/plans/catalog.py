@@ -160,6 +160,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_dsir",
     "dedup_semantic",
     "corpus_line_dedup",
+    "corpus_quality_classifier",
     # — family representatives (unchanged code; keep families in-window) —
     # Displaced to make room for the late additions, each with the
     # operator file UNCHANGED this round so the prior driver row stands:
@@ -171,9 +172,12 @@ PRIORITY: tuple[str, ...] = (
     # unchanged since r5 — both r5 rows stand; the UDXF family is the
     # one family with no in-window rep this round, traded for the six
     # first-time text/similarity entries above).
+    # sql_shipping_priority displaced (its shape is unchanged — the
+    # round-8 relational.py diff is purely the additive HLL gate — its
+    # r7 row stands, the 9 TPC-H tail entries keep SQL in-window, and
+    # it still runs in every bench.py round)
     "zonal_polygons",
     "pricing_summary",
-    "sql_shipping_priority",
     "events_session",
     "streaming_sessions",
     "streaming_dedup_wm",

@@ -1225,6 +1225,63 @@ ORDER BY w.doc_id
 """
 
 
+def _corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: NB quality-classifier filtering (the GPT-3 CommonCrawl recipe
+    with the counting-only NB baseline): weak label lang='en', add-1
+    smoothing, exact integer-micros log-odds scores."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return text.nb_quality_classifier(
+        docs.withColumn("_is_en", F.col("lang") == "en"), "_is_en"
+    ).orderBy("doc_id")
+
+
+_QUALITY_CLASSIFIER_SQL = r"""
+WITH lab AS (
+  SELECT doc_id, (lang = 'en') AS pos,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, pos, t.tok, COUNT(*) AS cnt
+  FROM lab, unnest(ws) AS t(tok)
+  GROUP BY doc_id, pos, t.tok
+),
+model AS (
+  SELECT tok,
+         SUM(CASE WHEN pos THEN cnt ELSE 0 END) AS c_pos,
+         SUM(CASE WHEN NOT pos THEN cnt ELSE 0 END) AS c_neg
+  FROM tc GROUP BY tok
+),
+tot AS (
+  SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg, COUNT(*) AS v FROM model
+),
+w AS (
+  SELECT tok,
+         CAST(ROUND((ln((c_pos + 1.0) / (n_pos + 1.0 * v))
+                     - ln((c_neg + 1.0) / (n_neg + 1.0 * v))) * 1000000)
+              AS BIGINT) AS w_micros
+  FROM model CROSS JOIN tot
+),
+prior AS (
+  SELECT CAST(ROUND(ln(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                       / SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)) * 1000000)
+              AS BIGINT) AS prior_micros
+  FROM lab
+),
+per_doc AS (
+  SELECT tc.doc_id, SUM(tc.cnt) AS n_tok, SUM(tc.cnt * w.w_micros) AS s
+  FROM tc JOIN w USING (tok) GROUP BY tc.doc_id
+)
+SELECT l.doc_id,
+       CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.s, 0) + pr.prior_micros AS BIGINT) AS score_micros,
+       (COALESCE(p.s, 0) + pr.prior_micros > 0) AS keep
+FROM lab l LEFT JOIN per_doc p USING (doc_id) CROSS JOIN prior pr
+ORDER BY l.doc_id
+"""
+
+
 def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5/E2: CCNet/FineWeb line-level dedup — segments whose normalized
     form appears in ≥2 distinct docs are boilerplate, removed from every
@@ -3764,6 +3821,11 @@ QUERIES: list[Query] = [
           doc="E5/E2 exact repeated-span detection (Lee et al. substring "
               "dedup as gram-groupBy + gaps-and-islands merge)",
           tags=("text", "dedup")),
+    Query("corpus_quality_classifier", _corpus_quality_classifier,
+          _QUALITY_CLASSIFIER_SQL,
+          doc="E5 NB quality-classifier filter (GPT-3 recipe, counting-"
+              "only train): integer-micros log-odds, exact cross-engine",
+          tags=("text", "quality")),
     Query("corpus_line_dedup", _corpus_line_dedup, _LINE_DEDUP_SQL,
           doc="E5/E2 CCNet/FineWeb line-level dedup: segments in >=2 "
               "distinct docs removed from every doc, original casing "

@@ -388,3 +388,55 @@ def test_remove_hot_lines_validation(spark):
         remove_hot_lines(docs, min_docs=1)
     with pytest.raises(ValueError, match="window_words"):
         remove_hot_lines(docs, sep_regex=None, window_words=0)
+
+
+def test_nb_quality_classifier_hand_computed(spark):
+    """4-doc corpus small enough to verify the smoothed log-odds by
+    hand: c_pos(a,b,c)=(3,1,0), c_neg=(0,2,1), N_pos=4, N_neg=3, V=3,
+    alpha=1, prior=ln(3/2) with the empty positive doc included."""
+    import math
+
+    from sids_data_pipeline_spark.operators.text import nb_quality_classifier
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", True),
+            (2, "a", True),
+            (3, "b b", False),
+            (4, "c", False),
+            (5, "", True),  # token-less: scores the prior alone
+        ],
+        "doc_id long, text string, is_good boolean",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.score_micros, r.keep)
+        for r in nb_quality_classifier(docs, "is_good").collect()
+    }
+    wa = round(math.log((3 + 1) / (4 + 3) / ((0 + 1) / (3 + 3))) * 1e6)
+    wb = round(math.log((1 + 1) / (4 + 3) / ((2 + 1) / (3 + 3))) * 1e6)
+    wc = round(math.log((0 + 1) / (4 + 3) / ((1 + 1) / (3 + 3))) * 1e6)
+    prior = round(math.log(3 / 2) * 1e6)
+    assert (wa, wb, wc, prior) == (1232144, -559616, -847298, 405465)
+    assert got == {
+        1: (3, 2 * wa + wb + prior, True),
+        2: (1, wa + prior, True),
+        3: (2, 2 * wb + prior, False),
+        4: (1, wc + prior, False),
+        5: (0, prior, True),
+    }
+
+
+def test_nb_quality_classifier_guards(spark):
+    from pyspark.errors import SparkRuntimeException
+
+    from sids_data_pipeline_spark.operators.text import nb_quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "a", True), (2, "b", True)],
+        "doc_id long, text string, is_good boolean",
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        nb_quality_classifier(docs, "is_good", alpha=0)
+    # single-class corpus: the executor-side raise_error guard fires
+    with pytest.raises(SparkRuntimeException, match="non-empty"):
+        nb_quality_classifier(docs, "is_good").collect()
