@@ -586,10 +586,117 @@ class Sinusoidal:
 MODIS_SINUSOIDAL = Sinusoidal(radius=6371007.181)
 WORLD_SINUSOIDAL = Sinusoidal(radius=6371000.0)
 
+
+# --- Polar Stereographic (variant B), Snyder 1987 §21 / EPSG method 9829 ------
+# The polar-data distribution standard: EPSG:3413 (NSIDC Sea Ice North —
+# every NSIDC sea-ice/Greenland product), EPSG:3976 (NSIDC South) and
+# EPSG:3031 (Antarctic Polar Stereographic — REMA, MEaSUREs, BedMachine).
+# After Albers and sinusoidal this is the remaining high-frequency
+# "unsupported EPSG" a real mixed-raster estate hits; the reference reads
+# them via gdalwarp universality (batch/processing/raster.py:22-29).
+# Ellipsoidal, standard-parallel form; the inverse latitude uses the
+# closed-form conformal-latitude series (Snyder eq. 3-5) for the same
+# planner-size reason as Albers' authalic series: no fixed-point nesting.
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+
+class PolarStereographic:
+    """Polar stereographic (variant B: standard parallel) on an
+    ellipsoid (a, f). ``lat_ts`` signs the aspect: >0 north, <0 south."""
+
+    def __init__(
+        self,
+        a: float,
+        f: float,
+        lat_ts: float,
+        lon0: float,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+    ):
+        if lat_ts == 0.0:
+            raise ValueError("lat_ts must be nonzero (signed: >0 N, <0 S)")
+        self.a, self.f = a, f
+        self.lon0 = lon0
+        self.fe, self.fn = false_easting, false_northing
+        self.south = lat_ts < 0.0
+        e2 = f * (2.0 - f)
+        self.e2, self.e = e2, math.sqrt(e2)
+        phi_f = math.radians(abs(lat_ts))
+        # mF at the standard parallel; tF via the (north-aspect) t —
+        # the south case runs the identical math on mirrored latitude
+        self.mf = math.cos(phi_f) / math.sqrt(1.0 - e2 * math.sin(phi_f) ** 2)
+        self.tf = self._t_py(phi_f)
+        # ρ = a·mF·t/tF ⇒ one scale constant k = a·mF/tF
+        self.k = a * self.mf / self.tf
+        # conformal-latitude series (Snyder eq. 3-5)
+        e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+        self.c2 = e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0
+        self.c4 = 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0
+        self.c6 = 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0
+        self.c8 = 4279.0 * e8 / 161280.0
+
+    def _t_py(self, phi: float) -> float:
+        es = self.e * math.sin(phi)
+        return math.tan(math.pi / 4.0 - phi / 2.0) / (
+            (1.0 - es) / (1.0 + es)
+        ) ** (self.e / 2.0)
+
+    def _t_col(self, phi: Column) -> Column:
+        es = F.lit(self.e) * F.sin(phi)
+        return F.tan(F.lit(math.pi / 4.0) - phi / 2.0) / F.pow(
+            (F.lit(1.0) - es) / (F.lit(1.0) + es), F.lit(self.e / 2.0)
+        )
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        # south aspect = north formulas on (−φ, −(λ−λ0)), axes negated:
+        # x_s(φ,λ) = −x_n(−φ, −(λ−λ0)), y_s = −y_n — folded via sign s
+        s = -1.0 if self.south else 1.0
+        phi = F.radians(lat) * F.lit(s)
+        dlam = (F.radians(lon) - F.lit(math.radians(self.lon0))) * F.lit(s)
+        rho = F.lit(self.k) * self._t_col(phi)
+        x = F.lit(self.fe) + F.lit(s) * rho * F.sin(dlam)
+        y = F.lit(self.fn) - F.lit(s) * rho * F.cos(dlam)
+        return x, y
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        s = -1.0 if self.south else 1.0
+        dx = (x - F.lit(self.fe)) * F.lit(s)
+        dy = (F.lit(self.fn) - y) * F.lit(s)  # toward the pole is +
+        rho = F.sqrt(dx * dx + dy * dy)
+        t = rho / F.lit(self.k)
+        chi = F.lit(math.pi / 2.0) - F.atan(t) * 2.0
+        phi = (
+            chi
+            + F.lit(self.c2) * F.sin(chi * 2.0)
+            + F.lit(self.c4) * F.sin(chi * 4.0)
+            + F.lit(self.c6) * F.sin(chi * 6.0)
+            + F.lit(self.c8) * F.sin(chi * 8.0)
+        )
+        lam = F.atan2(dx, dy) * F.lit(s) + F.lit(math.radians(self.lon0))
+        # wrap to [−180, 180): the south-aspect sign flip plus a nonzero
+        # λ0 can push atan2's (−π, π] result out of range (e.g. λ0=−100,
+        # point at 150E comes back as −210 without the wrap)
+        two_pi = F.lit(2.0 * math.pi)
+        lam = lam - two_pi * F.floor((lam + F.lit(math.pi)) / two_pi)
+        return F.degrees(lam), F.degrees(phi) * F.lit(s)
+
+
+# EPSG:3413 — WGS 84 / NSIDC Sea Ice Polar Stereographic North
+NSIDC_NORTH = PolarStereographic(
+    a=WGS84_A, f=WGS84_F, lat_ts=70.0, lon0=-45.0
+)
+# EPSG:3976 — WGS 84 / NSIDC Sea Ice Polar Stereographic South
+NSIDC_SOUTH = PolarStereographic(a=WGS84_A, f=WGS84_F, lat_ts=-70.0, lon0=0.0)
+# EPSG:3031 — WGS 84 / Antarctic Polar Stereographic
+ANTARCTIC_PS = PolarStereographic(a=WGS84_A, f=WGS84_F, lat_ts=-71.0, lon0=0.0)
+POLAR_PROJECTIONS = {3413: NSIDC_NORTH, 3976: NSIDC_SOUTH, 3031: ANTARCTIC_PS}
+
 # every registered grid projection with forward/inverse column methods;
 # pre-registered keys are genuine EPSG codes only
 PROJECTION_REGISTRY: dict[int, object] = {
-    **LCC_PROJECTIONS, **ALBERS_PROJECTIONS,
+    **LCC_PROJECTIONS, **ALBERS_PROJECTIONS, **POLAR_PROJECTIONS,
 }
 
 

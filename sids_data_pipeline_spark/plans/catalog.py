@@ -133,6 +133,7 @@ PRIORITY: tuple[str, ...] = (
     "raster_bigtiff_ingest",
     "crs_reproject_albers",
     "crs_reproject_sinu",
+    "crs_reproject_polar",
     "similarity_ann_gate",
     "dedup_minhash_ml_gate",
     "agg_approx_distinct_gate",
@@ -189,8 +190,11 @@ PRIORITY: tuple[str, ...] = (
     "corpus_pack_sequences",
     # corpus_shuffle displaced (sampling.py unchanged; r7 row stands,
     # corpus_pack_sequences keeps E8 in-window)
+    # similarity_topk_quantized displaced (the round-8 similarity.py
+    # diff is purely additive — dedup_semantic only — so its plan is
+    # byte-identical to the r7-green row; similarity_topk +
+    # embedding_kmeans + dedup_semantic keep E3 in-window)
     "similarity_topk",
-    "similarity_topk_quantized",
     "embedding_kmeans",
     # corpus_bpe_train displaced by raster_bigtiff_ingest: text.py is
     # unchanged this round and the BPE family keeps its r7 rows

@@ -1054,6 +1054,98 @@ FROM fin
 """
 
 
+def _crs_reproject_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 → EPSG:3413 (WGS-84 / NSIDC Sea Ice Polar Stereographic
+    North, Snyder §21 / EPSG 9829 variant B) forward, then the
+    conformal-series closed-form inverse back — pan-Arctic grid incl.
+    antimeridian longitudes that exercise the [-180, 180) wrap. The
+    forward leg is pinned to the EPSG Guidance 7-2 published worked
+    example in tests/test_crs.py; here the oracle mirrors every term."""
+    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+
+    grid = spark.range(0, 1000, 1, 8).select(
+        F.col("id"),
+        (F.lit(-180.0) + (F.col("id") % 20).cast("double") * 18.0).alias("lon"),
+        ((F.col("id") / 20).cast("long").cast("double") * 0.66 + 55.0).alias("lat"),
+    )
+    xy = reproject_pixels(grid, src_epsg=4326, dst_epsg=3413)
+    xy = xy.select("id", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    back = reproject_pixels(
+        xy.withColumnsRenamed({"x": "lon", "y": "lat"}), 3413, 4326
+    )
+    return (
+        xy.join(back.withColumnsRenamed({"lon": "lon_rt", "lat": "lat_rt"}), "id")
+        .select(
+            "id",
+            F.round("x", 3).alias("x"),
+            F.round("y", 3).alias("y"),
+            F.round("lon_rt", 9).alias("lon_rt"),
+            F.round("lat_rt", 9).alias("lat_rt"),
+        )
+    )
+
+
+def _crs_polar_sql() -> str:
+    """Term-for-term mirror of PolarStereographic (north aspect) forward
+    + conformal-series inverse; constants derive from the SAME projection
+    object so engine and oracle cannot desynchronize on parameters."""
+    import math
+
+    from sids_data_pipeline_spark.functions.crs import NSIDC_NORTH as P
+
+    lam0 = math.radians(P.lon0)
+    pi = math.pi
+    return f"""
+WITH src AS (
+  SELECT i AS id,
+         -180.0 + CAST(i % 20 AS DOUBLE) * 18.0 AS lon,
+         CAST(i // 20 AS DOUBLE) * 0.66 + 55.0 AS lat
+  FROM (SELECT unnest(range(1000)) AS i) t
+),
+f1 AS (
+  SELECT id, radians(lat) AS phi, radians(lon) AS lam FROM src
+),
+ft AS (
+  SELECT id, lam,
+         tan({pi / 4.0!r} - phi / 2.0)
+           / pow((1.0 - {P.e!r} * sin(phi)) / (1.0 + {P.e!r} * sin(phi)),
+                 {P.e / 2.0!r}) AS tv
+  FROM f1
+),
+fwd AS (
+  SELECT id,
+         {P.fe!r} + ({P.k!r} * tv) * sin(lam - {lam0!r}) AS x,
+         {P.fn!r} - ({P.k!r} * tv) * cos(lam - {lam0!r}) AS y
+  FROM ft
+),
+inv0 AS (
+  SELECT id, x, y, x - {P.fe!r} AS dx, {P.fn!r} - y AS dy FROM fwd
+),
+i0 AS (
+  SELECT id, x, y, dx, dy,
+         {pi / 2.0!r} - atan(sqrt(dx * dx + dy * dy) / {P.k!r}) * 2.0 AS chi
+  FROM inv0
+),
+i1 AS (
+  SELECT id, x, y,
+         atan2(dx, dy) + {lam0!r} AS lam_raw,
+         chi + {P.c2!r} * sin(chi * 2.0) + {P.c4!r} * sin(chi * 4.0)
+             + {P.c6!r} * sin(chi * 6.0) + {P.c8!r} * sin(chi * 8.0) AS phi
+  FROM i0
+),
+fin AS (
+  SELECT id, x, y,
+         degrees(lam_raw - {2.0 * pi!r}
+                   * floor((lam_raw + {pi!r}) / {2.0 * pi!r})) AS lon_rt,
+         degrees(phi) AS lat_rt
+  FROM i1
+)
+SELECT id, ROUND(x, 3) AS x, ROUND(y, 3) AS y,
+       ROUND(lon_rt, 9) AS lon_rt, ROUND(lat_rt, 9) AS lat_rt
+FROM fin
+"""
+
+
 def _crs_reproject_sinu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4326 → MODIS sinusoidal (R = 6371007.181 m, the MOD* land grids)
     forward + inverse round trip — spherical closed form both legs.
@@ -1592,6 +1684,16 @@ QUERIES: list[Query] = [
         doc="P9/F8: WGS-84 ↔ NAD83/Conus Albers (EPSG:5070, Snyder §14), "
             "closed form both legs incl. authalic-series inverse; forward "
             "leg pinned to Snyder's published worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "crs_reproject_polar",
+        _crs_reproject_polar,
+        _crs_polar_sql(),
+        doc="P9/F8: WGS-84 ↔ NSIDC polar stereographic North (EPSG:3413, "
+            "Snyder §21 / EPSG 9829 variant B), closed form both legs "
+            "incl. conformal-series inverse + antimeridian wrap; forward "
+            "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
         tags=("geo", "scalar"),
     ),
     Query(

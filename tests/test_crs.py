@@ -376,3 +376,78 @@ def test_registry_dispatch_and_unsupported_raise(spark):
     assert abs(row.lon) < 1e-6 and abs(row.lat) < 1e-6
     with pytest.raises(NotImplementedError):
         crs.reproject_pixels(df, 4326, 27700)  # OSGB needs a datum shift
+
+
+# --- Polar stereographic (EPSG:3413/3976/3031, round-8 addition) --------------
+
+
+def test_polar_stereographic_epsg_worked_example(spark):
+    """EPSG Guidance 7-2 Polar Stereographic Variant B worked example:
+    WGS84, standard parallel 71S, lon0 70E, FE=FN=6000000; the point
+    (120E, 75S) maps to E 7255380.79, N 7053389.56 — an INDEPENDENT
+    published oracle. Inverse recovers the point to 1e-7 degrees."""
+    P = crs.PolarStereographic(
+        a=crs.WGS84_A, f=crs.WGS84_F, lat_ts=-71.0, lon0=70.0,
+        false_easting=6_000_000.0, false_northing=6_000_000.0,
+    )
+    df = spark.createDataFrame([(1, 120.0, -75.0)], "id long, lon double, lat double")
+    x, y = P.forward(F.col("lon"), F.col("lat"))
+    row = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(row.x - 7255380.79) < 0.01
+    assert abs(row.y - 7053389.56) < 0.01
+    lon, lat = P.inverse(F.lit(7255380.79), F.lit(7053389.56))
+    row = df.select(lon.alias("lon"), lat.alias("lat")).collect()[0]
+    assert abs(row.lon - 120.0) < 1e-7
+    assert abs(row.lat - (-75.0)) < 1e-7
+
+
+def test_polar_3413_roundtrip_arctic(spark):
+    """NSIDC North (3413) through the reproject_pixels dispatch: a polar
+    grid (lat 55..88, all longitudes incl. antimeridian) round-trips to
+    1e-6 degrees — includes points whose inverse longitude needs the
+    [-180, 180) wrap."""
+    pts = spark.range(0, 400, 1, 4).select(
+        F.col("id"),
+        (F.lit(-180.0) + (F.col("id") % 20).cast("double") * 18.0).alias("lon"),
+        ((F.col("id") / 20).cast("long").cast("double") * 1.7 + 55.0).alias("lat"),
+    )
+    xy = crs.reproject_pixels(pts, 4326, 3413)
+    back = crs.reproject_pixels(xy, 3413, 4326)
+    worst = back.join(
+        pts.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+    ).selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    assert worst.dlon < 1e-6 and worst.dlat < 1e-6
+
+
+def test_polar_south_aspects_roundtrip_and_wrap(spark):
+    """3976/3031 (south aspect): round-trip plus an explicit wrap case —
+    lon0=-100-style configurations used to return -210 for 150E."""
+    P = crs.PolarStereographic(
+        a=crs.WGS84_A, f=crs.WGS84_F, lat_ts=-71.0, lon0=-100.0
+    )
+    df = spark.createDataFrame([(1, 150.0, -75.0)], "id long, lon double, lat double")
+    x, y = P.forward(F.col("lon"), F.col("lat"))
+    xy = df.select("id", x.alias("x"), y.alias("y"))
+    lon, lat = P.inverse(F.col("x"), F.col("y"))
+    row = xy.select(lon.alias("lon"), lat.alias("lat")).collect()[0]
+    assert abs(row.lon - 150.0) < 1e-7 and abs(row.lat - (-75.0)) < 1e-7
+    for code in (3976, 3031):
+        pts = spark.range(0, 100, 1, 4).select(
+            F.col("id"),
+            (F.lit(-180.0) + (F.col("id") % 10).cast("double") * 36.0).alias("lon"),
+            (F.lit(-88.0) + (F.col("id") / 10).cast("long").cast("double") * 2.1).alias("lat"),
+        )
+        back = crs.reproject_pixels(crs.reproject_pixels(pts, 4326, code), code, 4326)
+        worst = back.join(
+            pts.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+        ).selectExpr(
+            "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+        ).collect()[0]
+        assert worst.dlon < 1e-6 and worst.dlat < 1e-6, code
+
+
+def test_polar_stereographic_rejects_equatorial(spark):
+    with pytest.raises(ValueError, match="lat_ts"):
+        crs.PolarStereographic(a=crs.WGS84_A, f=crs.WGS84_F, lat_ts=0.0, lon0=0.0)
