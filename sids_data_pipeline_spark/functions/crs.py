@@ -268,8 +268,8 @@ def reproject_pixels(
         raise NotImplementedError(
             f"EPSG:{src_epsg}→EPSG:{dst_epsg} needs pyproj (not in this "
             "container); 4326↔3857, 4326↔UTM-zone, and the registered "
-            "LCC/Albers/sinusoidal grids (functions/crs."
-            "PROJECTION_REGISTRY) are built-in closed forms"
+            "LCC/Albers/sinusoidal/polar-stereographic grids (functions/"
+            "crs.PROJECTION_REGISTRY) are built-in closed forms"
         )
     # single withColumns: both outputs read the ORIGINAL x/y columns —
     # chained withColumn would feed the replaced x into the y expression

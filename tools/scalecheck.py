@@ -305,6 +305,53 @@ def main() -> None:
         }
     out["pack_sequences_scan"] = scan
 
+    # --- round-8 text additions: hot-line dedup + NB classifier ----------
+    # Both are plain shuffle pipelines (segment/token key aggregate +
+    # equi-join back), so the per-row cost must be flat as docs grow.
+    def synth_docs(n: int):
+        # deterministic 20-word docs over a 50-word vocab, all JVM-side
+        vocab = "array(" + ", ".join(f"'w{i}'" for i in range(50)) + ")"
+        return spark.range(0, n, 1, 32).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', transform(sequence(1, 20), "
+                f"i -> element_at({vocab}, "
+                f"CAST((id * 7 + i * 13) % 50 AS INT) + 1)))"
+            ).alias("text"),
+            (F.col("id") % 10 < 8).alias("is_pos"),
+        )
+
+    hotlines = {}
+    for n in (250_000, 1_000_000):
+        docs = synth_docs(n)
+        # aggregate a COMPUTED column: a bare count() lets Catalyst prune
+        # the left joins and measures only the base scan
+        sec = _steady(
+            lambda d=docs: textops.remove_hot_lines(
+                d, min_docs=2, sep_regex=None, window_words=5
+            ).agg(F.sum("n_removed")).collect(),
+            reps=2,
+        )
+        hotlines[f"{n:,} docs"] = {
+            "sec": round(sec, 3),
+            "us_per_doc": round(sec / n * 1e6, 2),
+        }
+    out["hot_line_dedup"] = hotlines
+
+    nb = {}
+    for n in (250_000, 1_000_000):
+        docs = synth_docs(n)
+        sec = _steady(
+            lambda d=docs: textops.nb_quality_classifier(d, "is_pos")
+            .agg(F.sum("score_micros")).collect(),
+            reps=2,
+        )
+        nb[f"{n:,} docs"] = {
+            "sec": round(sec, 3),
+            "us_per_doc": round(sec / n * 1e6, 2),
+        }
+    out["nb_classifier"] = nb
+
     print(json.dumps(out))
     spark.stop()
 
