@@ -131,6 +131,7 @@ PRIORITY: tuple[str, ...] = (
     # — new round-8 queries —
     "raster_lzw_ingest",
     "raster_bigtiff_ingest",
+    "raster_warp_bilinear",
     "crs_reproject_albers",
     "crs_reproject_sinu",
     "crs_reproject_polar",
@@ -195,7 +196,10 @@ PRIORITY: tuple[str, ...] = (
     # byte-identical to the r7-green row; similarity_topk +
     # embedding_kmeans + dedup_semantic keep E3 in-window)
     "similarity_topk",
-    "embedding_kmeans",
+    # embedding_kmeans displaced by raster_warp_bilinear (new this
+    # session): similarity.py's k-means is unchanged since its r6-green
+    # row, and similarity_topk + dedup_semantic (which clusters through
+    # the same k-means) keep E3 in-window
     # corpus_bpe_train displaced by raster_bigtiff_ingest: text.py is
     # unchanged this round and the BPE family keeps its r7 rows
 )

@@ -30,6 +30,7 @@ from sids_data_pipeline_spark.operators.zonal import zonal_stats
 from sids_data_pipeline_spark.plans.base import Query
 from sids_data_pipeline_spark.sources.raster import (
     GRID_N,
+    PIXEL_DEG,
     clip_extent,
     select_band,
     synthetic_raster,
@@ -471,6 +472,80 @@ SELECT 'rast_lzw' AS raster_id,
          AS lat,
        CAST(i % 4096 AS DOUBLE) AS val
 FROM (SELECT unnest(range({n * n})) AS i) t
+"""
+
+
+# Warp target grid (EPSG:3857 meters): origin (0, 0), 9 km cells, 80×80 —
+# covers the fixture's 6.4° extent (≈712 km at the equator) plus an edge
+# margin so out-of-source cells exercise the omission contract.
+_WARP_RES = 9000.0
+_WARP_N = 80
+
+
+def _raster_warp_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 grid warp (gdalwarp -t_srs EPSG:3857 -r bilinear parity) on the
+    NODATA fixture: target lattice inverse-projects through the closed-form
+    Mercator leg, contributors resolve via integer (x, y) equi-joins, and
+    NULL pixels drop out of the weight normalisation — the oracle recomputes
+    the identical lattice + 4-corner weighting in pure scalar SQL (the
+    fixture value and its nodata mask are closed forms, so no source join)."""
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster, warp_to_grid
+
+    px = synthetic_raster(spark, "rast_nodata")
+    out = warp_to_grid(
+        px,
+        src_epsg=4326,
+        dst_epsg=3857,
+        src_origin=(0.0, 0.0),
+        src_res=(PIXEL_DEG, PIXEL_DEG),
+        dst_origin=(0.0, 0.0),
+        dst_res=(_WARP_RES, _WARP_RES),
+        dst_size=(_WARP_N, _WARP_N),
+        resampling="bilinear",
+    )
+    # 4 dp on val: bilinear weights inherit ~1-ULP libm drift from the
+    # Mercator atan/exp leg; against the gradient's 0..4095 range that is
+    # ≤ ~1e-12 absolute — 4 dp sits 8 orders of magnitude above it.
+    return out.select(
+        "out_x", "out_y", F.round("val", 4).alias("val")
+    ).orderBy("out_y", "out_x")
+
+
+def _raster_warp_sql() -> str:
+    n = GRID_N
+    return f"""
+WITH tgt AS (
+  SELECT CAST(i % {_WARP_N} AS INT) AS out_x,
+         CAST(i // {_WARP_N} AS INT) AS out_y,
+         (CAST(i % {_WARP_N} AS DOUBLE) + 0.5) * {_WARP_RES} AS xd,
+         (CAST(i // {_WARP_N} AS DOUBLE) + 0.5) * {_WARP_RES} AS yd
+  FROM (SELECT unnest(range({_WARP_N * _WARP_N})) AS i) t
+), inv AS (
+  SELECT out_x, out_y,
+         degrees(xd / 6378137.0) / {PIXEL_DEG} - 0.5 AS fc,
+         degrees(atan(exp(yd / 6378137.0)) * 2.0 - 1.5707963267948966)
+           / {PIXEL_DEG} - 0.5 AS fr
+  FROM tgt
+), c0 AS (
+  SELECT out_x, out_y,
+         CAST(floor(fc) AS INT) AS i0, CAST(floor(fr) AS INT) AS j0,
+         fc - floor(fc) AS fx, fr - floor(fr) AS fy
+  FROM inv
+), corners AS (
+  SELECT out_x, out_y, i0 AS i, j0 AS j, (1.0 - fx) * (1.0 - fy) AS w FROM c0
+  UNION ALL SELECT out_x, out_y, i0 + 1, j0, fx * (1.0 - fy) FROM c0
+  UNION ALL SELECT out_x, out_y, i0, j0 + 1, (1.0 - fx) * fy FROM c0
+  UNION ALL SELECT out_x, out_y, i0 + 1, j0 + 1, fx * fy FROM c0
+), valid AS (
+  SELECT out_x, out_y, w, CAST(i + {n} * j AS DOUBLE) AS val
+  FROM corners
+  WHERE w > 0 AND i BETWEEN 0 AND {n - 1} AND j BETWEEN 0 AND {n - 1}
+    AND (i * j) % 7 <> 0
+)
+SELECT out_x, out_y, ROUND(SUM(w * val) / SUM(w), 4) AS val
+FROM valid
+GROUP BY out_x, out_y
+ORDER BY out_y, out_x
 """
 
 
@@ -1720,6 +1795,16 @@ QUERIES: list[Query] = [
         doc="S5 on BigTIFF (version 43, LONG8 offsets — how >4 GiB "
             "rasters ship), pure-python decode, lattice-oracle-verified",
         tags=("geo", "source"),
+    ),
+    Query(
+        "raster_warp_bilinear",
+        _raster_warp_bilinear,
+        _raster_warp_sql(),
+        doc="F8 grid warp (gdalwarp -t_srs/-tr/-r bilinear parity): "
+            "distributed target lattice, closed-form Mercator inverse leg, "
+            "integer-key corner equi-joins, nodata-aware weight "
+            "normalisation — two shuffles regardless of raster size",
+        tags=("geo", "raster"),
     ),
     Query(
         "raster_lzw_ingest",

@@ -175,3 +175,139 @@ def numpy_pixels(raster_id: str) -> pd.DataFrame:
             "val": val,
         }
     )
+
+
+def warp_to_grid(
+    pixels: DataFrame,
+    *,
+    src_epsg: int,
+    dst_epsg: int,
+    src_origin: tuple[float, float],
+    src_res: tuple[float, float],
+    dst_origin: tuple[float, float],
+    dst_res: tuple[float, float],
+    dst_size: tuple[int, int],
+    resampling: str = "bilinear",
+    val_col: str = "val",
+) -> DataFrame:
+    """F8 grid warp — ``gdalwarp -t_srs ... -tr ... -r nearest|bilinear``
+    (reference batch/processing/raster.py:22-29) as a declarative plan.
+
+    ``reproject_pixels`` moves cell CENTERS between CRSs (a point
+    transform); this operator resamples onto a REGULAR target grid, which
+    is what gdalwarp actually emits. Shape, scale-first:
+
+    1. the target lattice is generated distributed (``spark.range`` over
+       ``dst_size`` cells — never driver-materialised),
+    2. each target center inverse-projects dst→src via the same
+       closed-form column math as :func:`reproject_pixels` (any pair that
+       function supports works here, both directions),
+    3. the fractional source pixel coordinate selects contributor pixels,
+       and the lookup is a pure **integer (x, y) equi-join** against the
+       source pixel table — shuffled hash join on uniform keys, no
+       geometry predicate, no Python. Bilinear explodes each target cell
+       onto its ≤4 corner keys with weights and re-aggregates, so the
+       whole warp is two shuffles (join + groupBy) regardless of raster
+       size; nearest is one.
+
+    Grid convention (both grids): pixel ``(ix, iy)`` center =
+    ``origin + (i + 0.5) * res`` — matching the fixture lattice
+    (``lon = (x + 0.5) * PIXEL_DEG`` is origin 0, res 0.1).
+
+    Semantics, pinned for the oracle:
+    - **nearest**: round-half-up to the nearest source center
+      (``floor(f + 0.5)``); target cells mapping outside the source are
+      OMITTED (inner-join contract, gdalwarp leaves them nodata).
+    - **bilinear**: weight the ≤4 surrounding centers by
+      ``(1-|dx|)·(1-|dy|)`` and NORMALIZE by the weight-sum of the
+      corners that exist and hold non-NULL values — edge cells and
+      nodata neighbours degrade gracefully instead of going NULL
+      (gdalwarp's valid-contributor normalisation); zero-weight corners
+      are pruned before the join so an aligned warp costs 1 key/cell,
+      not 4.
+
+    Caller scopes ``pixels`` to ONE (raster_id, band) — the join keys are
+    the bare integer pixel indices.
+
+    Output: (out_x, out_y, val), target-lattice indexed.
+    """
+    sx0, sy0 = src_origin
+    sdx, sdy = src_res
+    w, h = dst_size
+    if w <= 0 or h <= 0:
+        raise ValueError(f"dst_size must be positive, got {dst_size}")
+    if sdx == 0 or sdy == 0 or dst_res[0] == 0 or dst_res[1] == 0:
+        raise ValueError("grid resolution components must be non-zero")
+    if resampling not in ("nearest", "bilinear"):
+        raise ValueError(
+            f"resampling={resampling!r}: 'nearest' or 'bilinear' "
+            "(gdalwarp's other kernels — cubic, lanczos, average — are "
+            "wider-footprint variants of the same corner-join shape, "
+            "not implemented)"
+        )
+    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+
+    spark = pixels.sparkSession
+    tgt = spark.range(0, w * h).select(
+        (F.col("id") % w).cast("int").alias("out_x"),
+        (F.col("id") / w).cast("int").alias("out_y"),
+    )
+    tgt = tgt.withColumns(
+        {
+            "_wx": F.lit(dst_origin[0]) + (F.col("out_x") + F.lit(0.5)) * F.lit(dst_res[0]),
+            "_wy": F.lit(dst_origin[1]) + (F.col("out_y") + F.lit(0.5)) * F.lit(dst_res[1]),
+        }
+    )
+    # dst → src: the inverse leg of the closed-form registry
+    tgt = reproject_pixels(tgt, src_epsg=dst_epsg, dst_epsg=src_epsg, x_col="_wx", y_col="_wy")
+    fc = (F.col("_wx") - F.lit(sx0)) / F.lit(sdx) - F.lit(0.5)
+    fr = (F.col("_wy") - F.lit(sy0)) / F.lit(sdy) - F.lit(0.5)
+    src = pixels.filter(F.col(val_col).isNotNull()).select(
+        "x", "y", F.col(val_col).alias("_val")
+    )
+    if resampling == "nearest":
+        keyed = tgt.select(
+            "out_x",
+            "out_y",
+            F.floor(fc + F.lit(0.5)).cast("int").alias("x"),
+            F.floor(fr + F.lit(0.5)).cast("int").alias("y"),
+        )
+        return keyed.join(src, ["x", "y"]).select(
+            "out_x", "out_y", F.col("_val").alias("val")
+        )
+    i0 = F.floor(fc).cast("int")
+    j0 = F.floor(fr).cast("int")
+    fx = fc - F.floor(fc)
+    fy = fr - F.floor(fr)
+    corner = "named_struct('x', {x}, 'y', {y}, 'w', {wt})"
+    corners = F.expr(
+        "filter(array("
+        + ", ".join(
+            corner.format(x=x, y=y, wt=wt)
+            for x, y, wt in (
+                ("_i0", "_j0", "(1.0D - _fx) * (1.0D - _fy)"),
+                ("_i0 + 1", "_j0", "_fx * (1.0D - _fy)"),
+                ("_i0", "_j0 + 1", "(1.0D - _fx) * _fy"),
+                ("_i0 + 1", "_j0 + 1", "_fx * _fy"),
+            )
+        )
+        + "), c -> c.w > 0D)"
+    )
+    exploded = (
+        tgt.withColumns({"_i0": i0, "_j0": j0, "_fx": fx, "_fy": fy})
+        .select("out_x", "out_y", F.explode(corners).alias("_c"))
+        .select(
+            "out_x",
+            "out_y",
+            F.col("_c.x").alias("x"),
+            F.col("_c.y").alias("y"),
+            F.col("_c.w").alias("_w"),
+        )
+    )
+    return (
+        exploded.join(src, ["x", "y"])
+        .groupBy("out_x", "out_y")
+        .agg(
+            (F.sum(F.col("_w") * F.col("_val")) / F.sum("_w")).alias("val")
+        )
+    )

@@ -1,0 +1,164 @@
+"""Grid warp (F8 gdalwarp parity): independent numpy oracle for nearest
+and bilinear, nodata normalisation, edge omission, input guards.
+
+The numpy twin below recomputes the warp driver-side from first
+principles (inverse Mercator via math.*, explicit 4-corner loop) —
+deliberately sharing no Spark code with the operator.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from sids_data_pipeline_spark.sources.raster import (
+    GRID_N,
+    PIXEL_DEG,
+    numpy_pixels,
+    synthetic_raster,
+    warp_to_grid,
+)
+
+R = 6378137.0
+RES = 9000.0
+W = H = 80
+
+
+def _numpy_warp(raster_id: str, resampling: str) -> dict[tuple[int, int], float]:
+    """Driver-side oracle: dict[(out_x, out_y)] -> val; omitted = nodata."""
+    px = numpy_pixels(raster_id)
+    grid = np.full((GRID_N, GRID_N), np.nan)
+    grid[px["y"].to_numpy(), px["x"].to_numpy()] = px["val"].to_numpy()
+    out: dict[tuple[int, int], float] = {}
+    for oy in range(H):
+        for ox in range(W):
+            xd = (ox + 0.5) * RES
+            yd = (oy + 0.5) * RES
+            lon = math.degrees(xd / R)
+            lat = math.degrees(2.0 * math.atan(math.exp(yd / R)) - math.pi / 2.0)
+            fc = lon / PIXEL_DEG - 0.5
+            fr = lat / PIXEL_DEG - 0.5
+            if resampling == "nearest":
+                i = math.floor(fc + 0.5)
+                j = math.floor(fr + 0.5)
+                if 0 <= i < GRID_N and 0 <= j < GRID_N and not np.isnan(grid[j, i]):
+                    out[(ox, oy)] = float(grid[j, i])
+                continue
+            i0, j0 = math.floor(fc), math.floor(fr)
+            fx, fy = fc - i0, fr - j0
+            num = den = 0.0
+            for (i, j, w) in (
+                (i0, j0, (1 - fx) * (1 - fy)),
+                (i0 + 1, j0, fx * (1 - fy)),
+                (i0, j0 + 1, (1 - fx) * fy),
+                (i0 + 1, j0 + 1, fx * fy),
+            ):
+                if w <= 0 or not (0 <= i < GRID_N and 0 <= j < GRID_N):
+                    continue
+                v = grid[j, i]
+                if np.isnan(v):
+                    continue
+                num += w * v
+                den += w
+            if den > 0:
+                out[(ox, oy)] = num / den
+    return out
+
+
+def _spark_warp(spark, raster_id: str, resampling: str):
+    return warp_to_grid(
+        synthetic_raster(spark, raster_id),
+        src_epsg=4326,
+        dst_epsg=3857,
+        src_origin=(0.0, 0.0),
+        src_res=(PIXEL_DEG, PIXEL_DEG),
+        dst_origin=(0.0, 0.0),
+        dst_res=(RES, RES),
+        dst_size=(W, H),
+        resampling=resampling,
+    )
+
+
+@pytest.mark.parametrize("resampling", ["nearest", "bilinear"])
+@pytest.mark.parametrize("raster_id", ["rast_gradient", "rast_nodata"])
+def test_warp_matches_numpy(spark, raster_id, resampling):
+    got = {
+        (r.out_x, r.out_y): r.val
+        for r in _spark_warp(spark, raster_id, resampling).collect()
+    }
+    want = _numpy_warp(raster_id, resampling)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_warp_identity_crs_aligned(spark):
+    """Same CRS, same grid → the warp reproduces the source raster.
+
+    Not bit-exact: the fixture's 0.1° resolution is not a dyadic double,
+    so ``(x+0.5)*0.1 / 0.1`` reconstructs the pixel coordinate to ~1 ULP
+    and a ~1e-15 weight bleeds to one neighbour — the same reason the
+    catalog oracle rounds. Assert to 1e-9 (the bleed is ≤ 65·1e-15)."""
+    px = synthetic_raster(spark, "rast_gradient")
+    out = warp_to_grid(
+        px,
+        src_epsg=4326,
+        dst_epsg=4326,
+        src_origin=(0.0, 0.0),
+        src_res=(PIXEL_DEG, PIXEL_DEG),
+        dst_origin=(0.0, 0.0),
+        dst_res=(PIXEL_DEG, PIXEL_DEG),
+        dst_size=(GRID_N, GRID_N),
+        resampling="bilinear",
+    )
+    rows = out.collect()
+    assert len(rows) == GRID_N * GRID_N
+    for r in rows:
+        assert r.val == pytest.approx(
+            float(r.out_x + GRID_N * r.out_y), abs=1e-9
+        )
+
+
+def test_warp_out_of_source_cells_omitted(spark):
+    """A target grid entirely past the source extent yields zero rows
+    (inner-join nodata contract) — for both kernels."""
+    px = synthetic_raster(spark, "rast_gradient")
+    for resampling in ("nearest", "bilinear"):
+        out = warp_to_grid(
+            px,
+            src_epsg=4326,
+            dst_epsg=4326,
+            src_origin=(0.0, 0.0),
+            src_res=(PIXEL_DEG, PIXEL_DEG),
+            dst_origin=(100.0, 100.0),
+            dst_res=(PIXEL_DEG, PIXEL_DEG),
+            dst_size=(4, 4),
+            resampling=resampling,
+        )
+        assert out.count() == 0
+
+
+def test_warp_guards(spark):
+    px = synthetic_raster(spark, "rast_gradient")
+
+    def call(**kw):
+        args = dict(
+            src_epsg=4326,
+            dst_epsg=4326,
+            src_origin=(0.0, 0.0),
+            src_res=(PIXEL_DEG, PIXEL_DEG),
+            dst_origin=(0.0, 0.0),
+            dst_res=(PIXEL_DEG, PIXEL_DEG),
+            dst_size=(4, 4),
+        )
+        args.update(kw)
+        return warp_to_grid(px, **args)
+
+    with pytest.raises(ValueError, match="dst_size"):
+        call(dst_size=(0, 4))
+    with pytest.raises(ValueError, match="resolution"):
+        call(src_res=(0.0, PIXEL_DEG))
+    with pytest.raises(ValueError, match="resampling"):
+        call(resampling="cubic")
