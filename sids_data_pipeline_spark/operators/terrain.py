@@ -1,0 +1,193 @@
+"""Raster terrain analysis + overview pyramids (GDAL utility parity).
+
+The reference shells out to GDAL for every raster kernel
+(batch/processing/raster.py:22-38); two of GDAL's everyday raster
+utilities have no equivalent elsewhere in this engine:
+
+- ``gdaladdo -r average`` (overview pyramids): :func:`build_overviews`
+  emits levels 1..L of 2^k block-mean downsamples as ONE map-side-
+  combined groupBy — pixel tables are written tile-ordered (the ingest
+  generator emits strip/tile order), so partial aggregation collapses
+  each partition to near-final size before the single shuffle.
+- ``gdaldem hillshade/slope/aspect`` (Horn 1981 3×3 kernel):
+  :func:`horn_derivatives` resolves every pixel's 8-neighborhood with
+  one explode-onto-offsets + groupBy — the same integer-key shape as
+  the warp corner join, one shuffle at any raster size, no Python.
+
+Both operators follow the engine's pixel model (long-format PIXELS
+tables, integer x/y indices); callers scope the input to one
+(raster_id, band) like warp_to_grid.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_overviews(
+    pixels: DataFrame, levels: int = 3, val_col: str = "val"
+) -> DataFrame:
+    """Overview pyramid (gdaladdo -r average parity): for each level k in
+    1..``levels``, downsample by 2^k with a block mean over non-NULL
+    pixels (NULL blocks are omitted — gdaladdo propagates nodata).
+
+    Shape: one ``explode`` fans each pixel onto its (level, block) keys
+    and ONE groupBy aggregates all levels together. The fan-out is
+    ``levels``× the input, but map-side combine collapses it to the
+    output size (Σ n/4^k < n/3 rows) before the shuffle whenever input
+    partitions are spatially coherent — which ingest guarantees (strip/
+    tile emission order).
+
+    Output: (level, x, y, val, n_px) where (x, y) indexes the level's
+    grid and n_px counts contributing source pixels (gdaladdo's edge
+    blocks aggregate fewer than 4^k pixels; n_px makes that auditable).
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    lv = F.explode(F.sequence(F.lit(1), F.lit(levels))).alias("level")
+    src = pixels.filter(F.col(val_col).isNotNull()).select(
+        "x", "y", F.col(val_col).alias("_val")
+    )
+    return (
+        src.select("x", "y", "_val", lv)
+        .groupBy(
+            "level",
+            # SQL expr: the Python shiftright() wrapper only takes a
+            # literal bit count, but the level is a per-row column
+            F.expr("shiftright(x, level)").alias("x"),
+            F.expr("shiftright(y, level)").alias("y"),
+        )
+        .agg(
+            F.avg("_val").alias("val"),
+            F.count("_val").alias("n_px"),
+        )
+    )
+
+
+# Horn 1981 kernel positions, (rx, ry) relative to the center pixel with
+# +y = north (the engine's pixel model: lat grows with y):
+#   a b c      a=(-1,+1) b=(0,+1) c=(+1,+1)
+#   d e f      d=(-1, 0) e=(0, 0) f=(+1, 0)
+#   g h i      g=(-1,-1) h=(0,-1) i=(+1,-1)
+_OFFSETS = [(rx, ry) for ry in (1, 0, -1) for rx in (-1, 0, 1)]
+_NAMES = ["a", "b", "c", "d", "e", "f", "g", "h", "i"]
+
+
+def horn_derivatives(
+    pixels: DataFrame, cellsize: float, val_col: str = "val"
+) -> DataFrame:
+    """Per-pixel Horn (1981) finite differences over the 3×3 window.
+
+    Every pixel explodes onto the 9 center keys it contributes to
+    (center = pixel − offset) and one groupBy reassembles each window
+    via conditional aggregation — a single shuffle on integer keys.
+    Only FULL windows emit (count = 9): gdaldem's default treats any
+    window touching nodata or the raster edge as nodata, and the engine
+    omits such rows (inner contract, same as warp).
+
+    Output: (x, y, dzdx, dzdy) with
+      dzdx = ((c + 2f + i) − (a + 2d + g)) / (8·cellsize)
+      dzdy = ((a + 2b + c) − (g + 2h + i)) / (8·cellsize)   (+y = north)
+    """
+    if cellsize <= 0:
+        raise ValueError(f"cellsize must be positive, got {cellsize}")
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rx).alias("rx"),
+                    F.lit(ry).alias("ry"),
+                    F.lit(name).alias("pos"),
+                )
+                for (rx, ry), name in zip(_OFFSETS, _NAMES)
+            ]
+        )
+    ).alias("_o")
+    exploded = (
+        pixels.filter(F.col(val_col).isNotNull())
+        .select("x", "y", F.col(val_col).alias("_val"), offs)
+        .select(
+            (F.col("x") - F.col("_o.rx")).alias("cx"),
+            (F.col("y") - F.col("_o.ry")).alias("cy"),
+            F.col("_o.pos").alias("pos"),
+            "_val",
+        )
+    )
+    cells = exploded.groupBy("cx", "cy").agg(
+        F.count("_val").alias("_n"),
+        *[
+            F.max(F.when(F.col("pos") == name, F.col("_val"))).alias(name)
+            for name in _NAMES
+        ],
+    )
+    eight = F.lit(8.0 * cellsize)
+    return cells.filter(F.col("_n") == 9).select(
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+        (
+            ((F.col("c") + 2 * F.col("f") + F.col("i"))
+             - (F.col("a") + 2 * F.col("d") + F.col("g"))) / eight
+        ).alias("dzdx"),
+        (
+            ((F.col("a") + 2 * F.col("b") + F.col("c"))
+             - (F.col("g") + 2 * F.col("h") + F.col("i"))) / eight
+        ).alias("dzdy"),
+    )
+
+
+def slope_aspect(
+    pixels: DataFrame,
+    cellsize: float,
+    z_factor: float = 1.0,
+    val_col: str = "val",
+) -> DataFrame:
+    """gdaldem slope + aspect (degrees): slope = atan(z·√(p²+q²));
+    aspect measured clockwise from north (0..360), flat cells → aspect
+    NULL (gdaldem emits its flat sentinel there)."""
+    d = horn_derivatives(pixels, cellsize, val_col)
+    p, q = F.col("dzdx") * z_factor, F.col("dzdy") * z_factor
+    slope = F.degrees(F.atan(F.sqrt(p * p + q * q)))
+    # facing = steepest-DESCENT direction, clockwise from north (gdaldem's
+    # convention): a surface rising eastward (+p) faces west → 270°
+    az = F.degrees(F.atan2(-p, -q))
+    aspect = F.when((p == 0) & (q == 0), F.lit(None).cast("double")).otherwise(
+        F.when(az < 0, az + 360.0).otherwise(az)
+    )
+    return d.select("x", "y", slope.alias("slope_deg"), aspect.alias("aspect_deg"))
+
+
+def hillshade(
+    pixels: DataFrame,
+    cellsize: float,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+    val_col: str = "val",
+) -> DataFrame:
+    """gdaldem hillshade (Horn kernel, 0..255): illumination of each full
+    3×3 window from (azimuth, altitude), clamped at 0.
+
+      shade = 255 · (cos zen · cos s + sin zen · sin s · cos(az − aspect))
+
+    with zen = 90° − altitude. All trig is JVM column math on the two
+    Horn derivatives; the plan is the single horn_derivatives shuffle
+    plus a projection.
+    """
+    d = horn_derivatives(pixels, cellsize, val_col)
+    zen = math.radians(90.0 - altitude_deg)
+    az = math.radians(azimuth_deg)
+    p, q = F.col("dzdx") * z_factor, F.col("dzdy") * z_factor
+    slope = F.atan(F.sqrt(p * p + q * q))
+    # descent-direction aspect (see slope_aspect): the normal's horizontal
+    # component is (−p, −q), so illumination = cos(sun_az − this azimuth)
+    aspect = F.atan2(-p, -q)  # radians clockwise from north
+    shade = F.lit(255.0) * (
+        F.lit(math.cos(zen)) * F.cos(slope)
+        + F.lit(math.sin(zen)) * F.sin(slope) * F.cos(F.lit(az) - aspect)
+    )
+    return d.select(
+        "x", "y", F.greatest(shade, F.lit(0.0)).alias("hillshade")
+    )

@@ -549,6 +549,146 @@ ORDER BY out_y, out_x
 """
 
 
+def _raster_warp_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 downsampling warp (gdalwarp -r average parity): every source
+    center forward-maps through the closed-form Mercator leg into its
+    target cell and non-NULL contributors mean per cell — one map-side-
+    combined groupBy, no join, no target lattice."""
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster, warp_to_grid
+
+    px = synthetic_raster(spark, "rast_nodata")
+    out = warp_to_grid(
+        px,
+        src_epsg=4326,
+        dst_epsg=3857,
+        src_origin=(0.0, 0.0),
+        src_res=(PIXEL_DEG, PIXEL_DEG),
+        dst_origin=(0.0, 0.0),
+        dst_res=(_WARP_RES, _WARP_RES),
+        dst_size=(_WARP_N, _WARP_N),
+        resampling="average",
+    )
+    return out.select(
+        "out_x", "out_y", F.round("val", 4).alias("val")
+    ).orderBy("out_y", "out_x")
+
+
+def _raster_warp_average_sql() -> str:
+    n = GRID_N
+    return f"""
+WITH src AS (
+  SELECT CAST(i % {n} AS INT) AS x, CAST(i // {n} AS INT) AS y,
+         CASE WHEN ((i % {n}) * (i // {n})) % 7 = 0 THEN NULL
+              ELSE CAST(i AS DOUBLE) END AS val
+  FROM (SELECT unnest(range({n * n})) AS i) t
+), fwd AS (
+  SELECT radians((x + 0.5) * {PIXEL_DEG}) * 6378137.0 AS xd,
+         ln(tan(pi() / 4.0 + radians((y + 0.5) * {PIXEL_DEG}) / 2.0))
+           * 6378137.0 AS yd,
+         val
+  FROM src WHERE val IS NOT NULL
+), cells AS (
+  SELECT CAST(floor(xd / {_WARP_RES}) AS INT) AS out_x,
+         CAST(floor(yd / {_WARP_RES}) AS INT) AS out_y, val
+  FROM fwd
+)
+SELECT out_x, out_y, ROUND(AVG(val), 4) AS val
+FROM cells
+WHERE out_x BETWEEN 0 AND {_WARP_N - 1} AND out_y BETWEEN 0 AND {_WARP_N - 1}
+GROUP BY out_x, out_y
+ORDER BY out_y, out_x
+"""
+
+
+def _raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaladdo -r average parity: 3 overview levels of the nodata
+    fixture in ONE map-side-combined groupBy (explode onto (level, block)
+    keys); NULL pixels drop out of the block mean and n_px audits the
+    contributor count."""
+    from sids_data_pipeline_spark.operators.terrain import build_overviews
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster
+
+    out = build_overviews(synthetic_raster(spark, "rast_nodata"), levels=3)
+    return out.select(
+        "level", "x", "y", F.round("val", 9).alias("val"), "n_px"
+    ).orderBy("level", "y", "x")
+
+
+def _raster_pyramid_sql() -> str:
+    n = GRID_N
+    return f"""
+WITH src AS (
+  SELECT CAST(i % {n} AS INT) AS x, CAST(i // {n} AS INT) AS y,
+         CASE WHEN ((i % {n}) * (i // {n})) % 7 = 0 THEN NULL
+              ELSE CAST(i AS DOUBLE) END AS val
+  FROM (SELECT unnest(range({n * n})) AS i) t
+), lv AS (SELECT unnest(range(1, 4)) AS level)
+SELECT CAST(level AS INT) AS level,
+       CAST(x >> level AS INT) AS x,
+       CAST(y >> level AS INT) AS y,
+       ROUND(AVG(val), 9) AS val,
+       COUNT(val) AS n_px
+FROM src CROSS JOIN lv
+WHERE val IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY 1, 3, 2
+"""
+
+
+def _raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade parity (Horn 1981, az 315° / alt 45°) on a
+    quadratic test surface: 9-neighbor explode + one integer-key groupBy
+    reassembles each full 3×3 window; the oracle recomputes the window
+    algebra in pure scalar SQL (the surface is a closed form, so every
+    neighbour value is an expression, no join)."""
+    from sids_data_pipeline_spark.operators.terrain import hillshade
+
+    n = GRID_N
+    quad = spark.range(0, n * n, 1, 8).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    ).withColumn(
+        "val",
+        (F.col("x") * F.col("x") + 2 * F.col("y") * F.col("y")
+         + F.col("x") * F.col("y")).cast("double") / 16.0,
+    )
+    out = hillshade(quad, cellsize=30.0)
+    return out.select(
+        "x", "y", F.round("hillshade", 4).alias("hillshade")
+    ).orderBy("y", "x")
+
+
+def _raster_hillshade_sql() -> str:
+    n = GRID_N
+
+    def v(i: str, j: str) -> str:
+        return f"((({i})*({i}) + 2.0*({j})*({j}) + ({i})*({j})) / 16.0)"
+
+    a, b, c = v("x-1", "y+1"), v("x", "y+1"), v("x+1", "y+1")
+    d, f_ = v("x-1", "y"), v("x+1", "y")
+    g, h, i_ = v("x-1", "y-1"), v("x", "y-1"), v("x+1", "y-1")
+    return f"""
+WITH cells AS (
+  SELECT CAST(i % {n} AS INT) AS x, CAST(i // {n} AS INT) AS y
+  FROM (SELECT unnest(range({n * n})) AS i) t
+  WHERE i % {n} BETWEEN 1 AND {n - 2} AND i // {n} BETWEEN 1 AND {n - 2}
+), deriv AS (
+  SELECT x, y,
+    ((({c}) + 2.0*({f_}) + ({i_})) - (({a}) + 2.0*({d}) + ({g}))) / 240.0 AS p,
+    ((({a}) + 2.0*({b}) + ({c})) - (({g}) + 2.0*({h}) + ({i_}))) / 240.0 AS q
+  FROM cells
+)
+SELECT x, y,
+  ROUND(GREATEST(255.0 * (
+      cos(radians(45.0)) * cos(atan(sqrt(p*p + q*q)))
+    + sin(radians(45.0)) * sin(atan(sqrt(p*p + q*q)))
+      * cos(radians(315.0) - atan2(-p, -q))
+  ), 0.0), 4) AS hillshade
+FROM deriv
+ORDER BY y, x
+"""
+
+
 def _streaming_raster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §7's Structured Streaming ingest wrapper, end to end: a
     fresh landing directory gets the gradient fixture, one availableNow
@@ -1804,6 +1944,33 @@ QUERIES: list[Query] = [
             "distributed target lattice, closed-form Mercator inverse leg, "
             "integer-key corner equi-joins, nodata-aware weight "
             "normalisation — two shuffles regardless of raster size",
+        tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_warp_average",
+        _raster_warp_average,
+        _raster_warp_average_sql(),
+        doc="F8 downsampling warp (gdalwarp -r average parity): forward "
+            "source→target mapping, one map-side-combined groupBy, "
+            "nodata-aware contributor mean",
+        tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_pyramid",
+        _raster_pyramid,
+        _raster_pyramid_sql(),
+        doc="gdaladdo -r average parity: 3 overview levels in ONE "
+            "map-side-combined groupBy, nodata-aware block means, "
+            "auditable contributor counts",
+        tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_hillshade",
+        _raster_hillshade,
+        _raster_hillshade_sql(),
+        doc="gdaldem hillshade parity (Horn 3×3, az 315°/alt 45°): "
+            "9-neighbor explode + integer-key groupBy, full-window-only "
+            "nodata contract, scalar-SQL oracle",
         tags=("geo", "raster"),
     ),
     Query(

@@ -225,6 +225,11 @@ def warp_to_grid(
       (gdalwarp's valid-contributor normalisation); zero-weight corners
       are pruned before the join so an aligned warp costs 1 key/cell,
       not 4.
+    - **average**: FORWARD-map each source center into the target grid
+      and mean all non-NULL contributors per cell — the downsampling
+      kernel (``gdalwarp -r average``); no join at all, one map-side-
+      combined groupBy over the source table, target cells receiving no
+      source pixel are omitted.
 
     Caller scopes ``pixels`` to ONE (raster_id, band) — the join keys are
     the bare integer pixel indices.
@@ -238,14 +243,47 @@ def warp_to_grid(
         raise ValueError(f"dst_size must be positive, got {dst_size}")
     if sdx == 0 or sdy == 0 or dst_res[0] == 0 or dst_res[1] == 0:
         raise ValueError("grid resolution components must be non-zero")
-    if resampling not in ("nearest", "bilinear"):
+    if resampling not in ("nearest", "bilinear", "average"):
         raise ValueError(
-            f"resampling={resampling!r}: 'nearest' or 'bilinear' "
-            "(gdalwarp's other kernels — cubic, lanczos, average — are "
+            f"resampling={resampling!r}: 'nearest', 'bilinear', or "
+            "'average' (gdalwarp's other kernels — cubic, lanczos — are "
             "wider-footprint variants of the same corner-join shape, "
             "not implemented)"
         )
     from sids_data_pipeline_spark.functions.crs import reproject_pixels
+
+    if resampling == "average":
+        # Downsampling kernel: FORWARD-map every source center into the
+        # target grid and average all non-NULL pixels landing in a cell
+        # (gdalwarp -r average's all-contributors mean). No target
+        # lattice at all — one groupBy shuffle over the source table,
+        # map-side combined, which is the right direction when the
+        # target is coarser than the source (the inverse-mapping kernels
+        # above would sample 1-of-N source pixels per cell).
+        fwd = pixels.filter(F.col(val_col).isNotNull()).withColumns(
+            {
+                "_wx": F.lit(sx0) + (F.col("x") + F.lit(0.5)) * F.lit(sdx),
+                "_wy": F.lit(sy0) + (F.col("y") + F.lit(0.5)) * F.lit(sdy),
+            }
+        )
+        fwd = reproject_pixels(
+            fwd, src_epsg=src_epsg, dst_epsg=dst_epsg, x_col="_wx", y_col="_wy"
+        )
+        ox = F.floor((F.col("_wx") - F.lit(dst_origin[0])) / F.lit(dst_res[0]))
+        oy = F.floor((F.col("_wy") - F.lit(dst_origin[1])) / F.lit(dst_res[1]))
+        return (
+            fwd.select(
+                ox.cast("int").alias("out_x"),
+                oy.cast("int").alias("out_y"),
+                F.col(val_col).alias("_val"),
+            )
+            .filter(
+                F.col("out_x").between(0, w - 1)
+                & F.col("out_y").between(0, h - 1)
+            )
+            .groupBy("out_x", "out_y")
+            .agg(F.avg("_val").alias("val"))
+        )
 
     spark = pixels.sparkSession
     tgt = spark.range(0, w * h).select(

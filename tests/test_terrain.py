@@ -1,0 +1,195 @@
+"""Terrain operators (gdaladdo/gdaldem parity): numpy oracles for
+overview pyramids and Horn derivatives, analytic anchors for slope/
+aspect/hillshade, nodata and edge contracts, input guards."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sids_data_pipeline_spark.operators.terrain import (
+    build_overviews,
+    hillshade,
+    horn_derivatives,
+    slope_aspect,
+)
+from sids_data_pipeline_spark.sources.raster import (
+    GRID_N,
+    numpy_pixels,
+    synthetic_raster,
+)
+
+
+def _grid(raster_id: str) -> np.ndarray:
+    px = numpy_pixels(raster_id)
+    g = np.full((GRID_N, GRID_N), np.nan)
+    g[px["y"].to_numpy(), px["x"].to_numpy()] = px["val"].to_numpy()
+    return g
+
+
+@pytest.mark.parametrize("raster_id", ["rast_gradient", "rast_nodata"])
+def test_overviews_match_numpy(spark, raster_id):
+    got = {
+        (r.level, r.x, r.y): (r.val, r.n_px)
+        for r in build_overviews(synthetic_raster(spark, raster_id), levels=3).collect()
+    }
+    g = _grid(raster_id)
+    want = {}
+    for level in (1, 2, 3):
+        k = 1 << level
+        for by in range(GRID_N // k):
+            for bx in range(GRID_N // k):
+                block = g[by * k : (by + 1) * k, bx * k : (bx + 1) * k]
+                vals = block[~np.isnan(block)]
+                if len(vals):
+                    want[(level, bx, by)] = (float(vals.mean()), len(vals))
+    assert set(got) == set(want)
+    for key, (v, n) in want.items():
+        assert got[key][1] == n
+        assert got[key][0] == pytest.approx(v, abs=1e-9)
+
+
+def test_overviews_edge_blocks(spark):
+    """A 63×63 clip leaves partial edge blocks: n_px reports the true
+    contributor count and the mean covers only existing pixels."""
+    px = synthetic_raster(spark, "rast_gradient").filter(
+        (F.col("x") < 63) & (F.col("y") < 63)
+    )
+    rows = {(r.x, r.y): r for r in build_overviews(px, levels=1).collect()}
+    assert rows[(31, 31)].n_px == 1  # lone corner pixel
+    assert rows[(31, 0)].n_px == 2
+    assert rows[(0, 0)].n_px == 4
+    assert rows[(31, 31)].val == float(62 + 64 * 62)
+
+
+def test_overviews_guard(spark):
+    with pytest.raises(ValueError, match="levels"):
+        build_overviews(synthetic_raster(spark, "rast_gradient"), levels=0)
+
+
+def _numpy_horn(g: np.ndarray, cellsize: float):
+    out = {}
+    n = g.shape[0]
+    for cy in range(1, n - 1):
+        for cx in range(1, n - 1):
+            win = g[cy - 1 : cy + 2, cx - 1 : cx + 2]
+            if np.isnan(win).any():
+                continue
+            # +y = north: win[2] is the northern row (y = cy + 1)
+            a, b, c = win[2, 0], win[2, 1], win[2, 2]
+            d, _, f = win[1, 0], win[1, 1], win[1, 2]
+            gg, h, i = win[0, 0], win[0, 1], win[0, 2]
+            dzdx = ((c + 2 * f + i) - (a + 2 * d + gg)) / (8 * cellsize)
+            dzdy = ((a + 2 * b + c) - (gg + 2 * h + i)) / (8 * cellsize)
+            out[(cx, cy)] = (dzdx, dzdy)
+    return out
+
+
+@pytest.fixture(scope="module")
+def quad(spark):
+    """Quadratic surface: val = (x² + 2y² + xy) / 16 — non-constant
+    derivatives everywhere."""
+    n = GRID_N
+    return spark.range(0, n * n, 1, 8).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    ).withColumn(
+        "val",
+        (F.col("x") * F.col("x") + 2 * F.col("y") * F.col("y")
+         + F.col("x") * F.col("y")).cast("double") / 16.0,
+    )
+
+
+def _numpy_quad() -> np.ndarray:
+    y, x = np.mgrid[0:GRID_N, 0:GRID_N]
+    return (x * x + 2.0 * y * y + x * y) / 16.0
+
+
+def test_horn_matches_numpy(spark, quad):
+    got = {
+        (r.x, r.y): (r.dzdx, r.dzdy)
+        for r in horn_derivatives(quad, cellsize=30.0).collect()
+    }
+    want = _numpy_horn(_numpy_quad(), 30.0)
+    assert set(got) == set(want)
+    for k, (px, py) in want.items():
+        assert got[k][0] == pytest.approx(px, abs=1e-12)
+        assert got[k][1] == pytest.approx(py, abs=1e-12)
+
+
+def test_horn_nodata_windows_omitted(spark):
+    """Any window touching a NULL pixel (or the edge) emits nothing —
+    gdaldem's default nodata contract."""
+    got = horn_derivatives(
+        synthetic_raster(spark, "rast_nodata"), cellsize=30.0
+    ).collect()
+    g = _grid("rast_nodata")
+    want = _numpy_horn(g, 30.0)
+    assert {(r.x, r.y) for r in got} == set(want)
+
+
+def test_flat_surface_slope_zero_aspect_null(spark):
+    n = 8
+    flat = spark.range(0, n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+        F.lit(5.0).alias("val"),
+    )
+    rows = slope_aspect(flat, cellsize=30.0).collect()
+    assert len(rows) == (n - 2) * (n - 2)
+    for r in rows:
+        assert r.slope_deg == 0.0
+        assert r.aspect_deg is None
+    hs = hillshade(flat, cellsize=30.0, altitude_deg=45.0).collect()
+    for r in hs:
+        assert r.hillshade == pytest.approx(255.0 * math.cos(math.radians(45.0)))
+
+
+def test_planar_east_slope_aspect(spark):
+    """val = x·c (rises eastward): the face looks WEST (aspect 270°,
+    steepest-descent direction) and slope = atan(1) = 45° when the rise
+    equals the cellsize."""
+    n = 8
+    cell = 30.0
+    plane = spark.range(0, n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+        ((F.col("id") % n).cast("double") * cell).alias("val"),
+    )
+    rows = slope_aspect(plane, cellsize=cell).collect()
+    for r in rows:
+        assert r.slope_deg == pytest.approx(45.0, abs=1e-9)
+        assert r.aspect_deg == pytest.approx(270.0, abs=1e-9)
+
+
+def test_hillshade_sun_alignment(spark):
+    """The east-rising plane faces west: a WEST sun at 45° hits the
+    45°-slope face dead-on (255) and an EAST sun grazes along it (0) —
+    sign check on the aspect term (an ascent-convention bug swaps them)."""
+    n = 8
+    cell = 30.0
+    plane = spark.range(0, n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+        ((F.col("id") % n).cast("double") * cell).alias("val"),
+    )
+    def shade(azimuth):
+        rows = hillshade(plane, cellsize=cell, azimuth_deg=azimuth,
+                         altitude_deg=45.0).collect()
+        vals = {r.hillshade for r in rows}
+        assert len(vals) == 1
+        return vals.pop()
+
+    east, west = shade(90.0), shade(270.0)
+    # slope 45°, altitude 45°: west sun hits the face dead-on…
+    assert west == pytest.approx(255.0, abs=1e-9)
+    # …and the east sun grazes along it (cos45·cos45 − sin45·sin45 = 0)
+    assert east == pytest.approx(0.0, abs=1e-9)
+
+
+def test_guards(spark, quad):
+    with pytest.raises(ValueError, match="cellsize"):
+        horn_derivatives(quad, cellsize=0.0)

@@ -94,6 +94,36 @@ def test_warp_matches_numpy(spark, raster_id, resampling):
         assert got[k] == pytest.approx(v, abs=1e-9), k
 
 
+def _numpy_warp_average(raster_id: str) -> dict[tuple[int, int], float]:
+    """Forward-mapping oracle for the average kernel (same 3857 target)."""
+    px = numpy_pixels(raster_id)
+    sums: dict[tuple[int, int], list[float]] = {}
+    for x, y, v in zip(px["x"], px["y"], px["val"]):
+        if np.isnan(v):
+            continue
+        lon = (x + 0.5) * PIXEL_DEG
+        lat = (y + 0.5) * PIXEL_DEG
+        xd = math.radians(lon) * R
+        yd = math.log(math.tan(math.pi / 4.0 + math.radians(lat) / 2.0)) * R
+        ox = math.floor(xd / RES)
+        oy = math.floor(yd / RES)
+        if 0 <= ox < W and 0 <= oy < H:
+            sums.setdefault((ox, oy), []).append(float(v))
+    return {k: sum(v) / len(v) for k, v in sums.items()}
+
+
+@pytest.mark.parametrize("raster_id", ["rast_gradient", "rast_nodata"])
+def test_warp_average_matches_numpy(spark, raster_id):
+    got = {
+        (r.out_x, r.out_y): r.val
+        for r in _spark_warp(spark, raster_id, "average").collect()
+    }
+    want = _numpy_warp_average(raster_id)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
 def test_warp_identity_crs_aligned(spark):
     """Same CRS, same grid → the warp reproduces the source raster.
 
