@@ -191,3 +191,95 @@ def hillshade(
     return d.select(
         "x", "y", F.greatest(shade, F.lit(0.0)).alias("hillshade")
     )
+
+
+# Pixel ids pack as (y << 32) | x so region labels are deterministic
+# longs; 2^32 bounds any raster axis this engine will meet (a 4-billion-
+# pixel-wide raster is 4 EB at one byte per pixel).
+_PACK = 1 << 32
+
+
+def clump_regions(pixels: DataFrame, val_col: str = "val") -> DataFrame:
+    """Connected-region labelling (GRASS r.clump / the grouping step of
+    gdal_sieve and gdal_polygonize): label each non-NULL pixel with its
+    4-connected equal-value region, region id = the minimum packed pixel
+    id ((y << 32) | x) in the region.
+
+    Shape: neighbour edges come from ONE integer-key equi-join (each
+    pixel explodes onto its +x/+y probe keys; value equality filters
+    after the key match), then the Pregel min-label loop of
+    :func:`~sids_data_pipeline_spark.operators.graph.connected_components`
+    runs in O(region diameter) rounds — the same lineage-truncated loop
+    the dedup clustering path uses, so cost scales with the LARGEST
+    region's diameter, not raster size. Pixels with no equal neighbour
+    come back as their own singleton region via one anti-join.
+
+    Output: (x, y, val, region).
+    """
+    from sids_data_pipeline_spark.operators.graph import connected_components
+
+    node = (F.col("y").cast("long") * F.lit(_PACK) + F.col("x")).alias("_node")
+    src = pixels.filter(F.col(val_col).isNotNull()).select(
+        "x", "y", F.col(val_col).alias("_val"), node
+    )
+    offs = F.explode(
+        F.array(
+            F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+            F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        )
+    ).alias("_o")
+    probe = src.select("x", "y", "_val", "_node", offs).select(
+        (F.col("x") + F.col("_o.dx")).alias("x"),
+        (F.col("y") + F.col("_o.dy")).alias("y"),
+        F.col("_val").alias("_v1"),
+        F.col("_node").alias("_n1"),
+    )
+    edges = (
+        probe.join(src.select("x", "y", "_val", "_node"), ["x", "y"])
+        .filter(F.col("_v1") == F.col("_val"))
+        .select(F.col("_n1").alias("id1"), F.col("_node").alias("id2"))
+    )
+    comp = connected_components(edges)
+    labelled = src.join(comp, src["_node"] == comp["node"], "inner").select(
+        "x", "y", F.col("_val").alias(val_col), F.col("component").alias("region")
+    )
+    singletons = src.join(
+        comp.select(F.col("node").alias("_node")), "_node", "left_anti"
+    ).select("x", "y", F.col("_val").alias(val_col), F.col("_node").alias("region"))
+    return labelled.unionByName(singletons)
+
+
+def sieve(
+    pixels: DataFrame, min_size: int, val_col: str = "val"
+) -> DataFrame:
+    """gdal_sieve's removal half: mask (NULL out) every pixel whose
+    4-connected equal-value region holds fewer than ``min_size`` pixels.
+
+    gdal_sieve then REFILLS masked pixels from the largest neighbouring
+    region; this operator stops at the mask — the fill is a second
+    clump + neighbour-argmax pass callers can run if they need it, and
+    masking is what the quality-filter use case (kill speckle before
+    zonal stats) actually wants.
+
+    Output: the input columns with ``val_col`` NULLed on sieved pixels
+    (NULL inputs stay NULL).
+    """
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+    regions = clump_regions(pixels, val_col)
+    small = (
+        regions.groupBy("region")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") < min_size)
+        .select("region")
+    )
+    doomed = regions.join(small, "region", "left_semi").select(
+        "x", "y", F.lit(True).alias("_sieved")
+    )
+    out = pixels.join(doomed, ["x", "y"], "left").withColumn(
+        val_col,
+        F.when(F.col("_sieved"), F.lit(None).cast("double")).otherwise(
+            F.col(val_col)
+        ),
+    )
+    return out.drop("_sieved")

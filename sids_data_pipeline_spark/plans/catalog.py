@@ -131,7 +131,13 @@ PRIORITY: tuple[str, ...] = (
     # — new round-8 queries —
     "raster_lzw_ingest",
     "raster_bigtiff_ingest",
+    # — the round-8 GDAL-utility parity additions (operators/terrain.py
+    # + warp_to_grid): first-time driver rows —
     "raster_warp_bilinear",
+    "raster_warp_average",
+    "raster_pyramid",
+    "raster_hillshade",
+    "raster_clump",
     "crs_reproject_albers",
     "crs_reproject_sinu",
     "crs_reproject_polar",
@@ -179,15 +185,21 @@ PRIORITY: tuple[str, ...] = (
     # r7 row stands, the 9 TPC-H tail entries keep SQL in-window, and
     # it still runs in every bench.py round)
     "zonal_polygons",
-    "pricing_summary",
+    # pricing_summary displaced by the terrain additions: relational.py's
+    # Q1 shape is unchanged (r7 row stands) and it still runs — and is
+    # timed — in every bench.py round, like sql_shipping_priority
     "events_session",
     "streaming_sessions",
-    "streaming_dedup_wm",
+    # streaming_dedup_wm displaced (streaming/jobs.py diff this round is
+    # docstring-only, so its r7 row stands; streaming_sessions +
+    # streaming_raster_ingest keep the streaming family in-window)
     "streaming_raster_ingest",
     # multimodal_meta displaced (multimodal.py unchanged; the r6 row
-    # stands and multimodal_features keeps the family in-window)
-    "multimodal_features",
-    "corpus_split",
+    # stands); multimodal_features also displaced late — same unchanged
+    # file, r7 row stands, and it runs in every bench.py round
+    # corpus_split displaced (hash_split itself is unchanged — the
+    # sampling.py diff is the pack_shards/pack_sequences positivity
+    # guards — and corpus_pack_sequences covers the changed file)
     "corpus_pack_sequences",
     # corpus_shuffle displaced (sampling.py unchanged; r7 row stands,
     # corpus_pack_sequences keeps E8 in-window)

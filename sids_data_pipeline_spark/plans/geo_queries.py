@@ -689,6 +689,45 @@ ORDER BY y, x
 """
 
 
+def _raster_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRASS r.clump / gdal_sieve grouping parity: 4-connected equal-value
+    regions via one integer-key neighbour join + the Pregel min-label loop.
+    Fixture: 32×32 three-coloured 4×4 blocks (neighbouring blocks always
+    differ mod 3, so every block is exactly one region) with a NULL hole
+    per block — the oracle knows each region's min packed id in closed
+    form, while the engine has to EARN it through real edge propagation."""
+    from sids_data_pipeline_spark.operators.terrain import clump_regions
+
+    n = 32
+    px = spark.range(0, n * n, 1, 8).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    ).withColumn(
+        "val",
+        F.when(
+            ((F.col("x") % 4) == 1) & ((F.col("y") % 4) == 2),
+            F.lit(None).cast("double"),
+        ).otherwise(
+            ((F.col("x") / 4).cast("int") + (F.col("y") / 4).cast("int"))
+            .cast("double") % 3
+        ),
+    )
+    return clump_regions(px).orderBy("y", "x")
+
+
+def _raster_clump_sql() -> str:
+    n = 32
+    return f"""
+SELECT CAST(i % {n} AS INT) AS x,
+       CAST(i // {n} AS INT) AS y,
+       CAST(((i % {n}) // 4 + (i // {n}) // 4) % 3 AS DOUBLE) AS val,
+       (4 * ((i // {n}) // 4)) * 4294967296 + 4 * ((i % {n}) // 4) AS region
+FROM (SELECT unnest(range({n * n})) AS i) t
+WHERE NOT ((i % {n}) % 4 = 1 AND (i // {n}) % 4 = 2)
+ORDER BY y, x
+"""
+
+
 def _streaming_raster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §7's Structured Streaming ingest wrapper, end to end: a
     fresh landing directory gets the gradient fixture, one availableNow
@@ -1954,6 +1993,15 @@ QUERIES: list[Query] = [
             "source→target mapping, one map-side-combined groupBy, "
             "nodata-aware contributor mean",
         tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_clump",
+        _raster_clump,
+        _raster_clump_sql(),
+        doc="r.clump/gdal_sieve grouping: 4-connected equal-value regions, "
+            "integer-key neighbour join + Pregel min-label, closed-form "
+            "region oracle",
+        tags=("geo", "raster", "graph"),
     ),
     Query(
         "raster_pyramid",

@@ -193,3 +193,94 @@ def test_hillshade_sun_alignment(spark):
 def test_guards(spark, quad):
     with pytest.raises(ValueError, match="cellsize"):
         horn_derivatives(quad, cellsize=0.0)
+
+
+# --- clump / sieve -------------------------------------------------------------
+
+from sids_data_pipeline_spark.operators.terrain import clump_regions, sieve  # noqa: E402
+
+
+def _numpy_clump(vals: dict[tuple[int, int], float]) -> dict[tuple[int, int], int]:
+    """Union-find oracle: 4-connected equal-value regions, label = min
+    packed id ((y << 32) | x). Shares no code with the operator."""
+    parent: dict[tuple[int, int], tuple[int, int]] = {p: p for p in vals}
+
+    def find(p):
+        while parent[p] != p:
+            parent[p] = parent[parent[p]]
+            p = parent[p]
+        return p
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for (x, y), v in vals.items():
+        for nb in ((x + 1, y), (x, y + 1)):
+            if nb in vals and vals[nb] == v:
+                union((x, y), nb)
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for p in vals:
+        groups.setdefault(find(p), []).append(p)
+    out = {}
+    for members in groups.values():
+        label = min((y << 32) | x for x, y in members)
+        for p in members:
+            out[p] = label
+    return out
+
+
+@pytest.fixture(scope="module")
+def speckled(spark):
+    """16×16: val 0 background, val 1 at isolated pixels and one 2×2
+    patch, a NULL hole — singletons, a small region, and a big region."""
+    n = 16
+
+    def val_of(x, y):
+        if (x, y) == (5, 5):
+            return None
+        if (x, y) in ((2, 2), (9, 13)):
+            return 1.0
+        if (x, y) in ((12, 3), (13, 3), (12, 4), (13, 4)):
+            return 1.0
+        return 0.0
+
+    rows = [
+        (x, y, val_of(x, y)) for y in range(n) for x in range(n)
+    ]
+    df = spark.createDataFrame(rows, "x int, y int, val double")
+    vals = {(x, y): v for x, y, v in rows if v is not None}
+    return df, vals
+
+
+def test_clump_matches_union_find(spark, speckled):
+    df, vals = speckled
+    got = {(r.x, r.y): r.region for r in clump_regions(df).collect()}
+    want = _numpy_clump(vals)
+    assert got == want
+
+
+def test_clump_checker_all_singletons(spark):
+    """The checkerboard has NO equal 4-neighbours: every pixel is its own
+    region, labelled by its own packed id."""
+    px = synthetic_raster(spark, "rast_checker").filter(
+        (F.col("x") < 8) & (F.col("y") < 8)
+    )
+    rows = clump_regions(px).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.region == (r.y << 32) | r.x
+
+
+def test_sieve_masks_small_regions(spark, speckled):
+    df, vals = speckled
+    out = {(r.x, r.y): r.val for r in sieve(df, min_size=3).collect()}
+    # isolated val-1 pixels sieved; the 2×2 patch (size 4) survives
+    assert out[(2, 2)] is None and out[(9, 13)] is None
+    assert out[(12, 3)] == 1.0 and out[(13, 4)] == 1.0
+    # background untouched, NULL input stays NULL
+    assert out[(0, 0)] == 0.0
+    assert out[(5, 5)] is None
+    with pytest.raises(ValueError, match="min_size"):
+        sieve(df, min_size=0)
