@@ -214,6 +214,9 @@ def clump_regions(pixels: DataFrame, val_col: str = "val") -> DataFrame:
     region's diameter, not raster size. Pixels with no equal neighbour
     come back as their own singleton region via one anti-join.
 
+    Pixel indices must be non-negative (the engine's pixel model — decode
+    emits 0-based x/y): a negative x would alias another row's packed id.
+
     Output: (x, y, val, region).
     """
     from sids_data_pipeline_spark.operators.graph import connected_components

@@ -138,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "raster_pyramid",
     "raster_hillshade",
     "raster_clump",
+    "raster_burn",
     "crs_reproject_albers",
     "crs_reproject_sinu",
     "crs_reproject_polar",
@@ -148,7 +149,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "corpus_curation",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard displaced by raster_burn: the round-8 dedup.py
+    # diff (bucket-cap probe) is entirely inside near_duplicates_minhash;
+    # shingles/jaccard_on_pairs are unchanged, the r5 row stands, and the
+    # dedup family keeps five in-window siblings
     "dedup_simhash",
     "dedup_clusters",
     "raster_geotiff_ingest",

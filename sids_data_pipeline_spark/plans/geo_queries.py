@@ -728,6 +728,49 @@ ORDER BY y, x
 """
 
 
+def _raster_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_rasterize parity (center rule, highest-fid-wins on overlap)
+    on the OVERLAP fixture — two overlapping boxes, a sub-pixel box that
+    must burn nothing, and the holed triangle exercising the ray-cast
+    refine; the oracle recomputes containment per zone from the same WKB
+    via the edge-term predicate generator and takes MAX(fid)."""
+    from sids_data_pipeline_spark.sources.raster import rasterize
+
+    zones = fixture_zones(spark, "zones_overlap")
+    out = rasterize(
+        zones,
+        origin=(0.0, 0.0),
+        res=(PIXEL_DEG, PIXEL_DEG),
+        size=(GRID_N, GRID_N),
+    )
+    return out.orderBy("y", "x")
+
+
+def _raster_burn_sql() -> str:
+    n = GRID_N
+    arms = []
+    for fid, _name, wkb in FIXTURE_BUILDERS["zones_overlap"]():
+        arms.append(
+            f"SELECT x, y, CAST({fid} AS BIGINT) AS fid FROM px "
+            f"WHERE {o_contains(wkb)}"
+        )
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH px AS (
+  SELECT CAST(i % {n} AS INT) AS x, CAST(i // {n} AS INT) AS y,
+         (i % {n} + 0.5) * {PIXEL_DEG} AS lon,
+         (i // {n} + 0.5) * {PIXEL_DEG} AS lat
+  FROM (SELECT unnest(range({n * n})) AS i) t
+), hits AS (
+{body}
+)
+SELECT x, y, MAX(fid) AS burn
+FROM hits
+GROUP BY x, y
+ORDER BY y, x
+"""
+
+
 def _streaming_raster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §7's Structured Streaming ingest wrapper, end to end: a
     fresh landing directory gets the gradient fixture, one availableNow
@@ -1992,6 +2035,15 @@ QUERIES: list[Query] = [
         doc="F8 downsampling warp (gdalwarp -r average parity): forward "
             "source→target mapping, one map-side-combined groupBy, "
             "nodata-aware contributor mean",
+        tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_burn",
+        _raster_burn,
+        _raster_burn_sql(),
+        doc="gdal_rasterize parity: center rule, highest-fid-wins, "
+            "grid-cell equi-join + ray-cast refine (the verified zonal "
+            "join inverted), sub-pixel and holed-polygon edge cases",
         tags=("geo", "raster"),
     ),
     Query(

@@ -192,3 +192,81 @@ def test_warp_guards(spark):
         call(src_res=(0.0, PIXEL_DEG))
     with pytest.raises(ValueError, match="resampling"):
         call(resampling="cubic")
+
+
+# --- rasterize (gdal_rasterize parity) ------------------------------------------
+
+from sids_data_pipeline_spark.functions.geo import box_wkb  # noqa: E402
+from sids_data_pipeline_spark.schemas import ZONES  # noqa: E402
+from sids_data_pipeline_spark.sources.raster import rasterize  # noqa: E402
+
+
+def _zone_df(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in ZONES.fields]), ZONES
+    )
+
+
+def test_rasterize_burns_fids_center_rule(spark):
+    """Two overlapping boxes on a 10×10 unit grid: cell centers at
+    k + 0.5; expected burns are plain bbox arithmetic (max fid wins)."""
+    zones = _zone_df(
+        spark,
+        [
+            ("z", 1, "a", box_wkb(0.0, 0.0, 4.0, 4.0)),
+            ("z", 2, "b", box_wkb(2.0, 2.0, 6.0, 6.0)),
+        ],
+    )
+    got = {
+        (r.x, r.y): r.burn
+        for r in rasterize(
+            zones, origin=(0.0, 0.0), res=(1.0, 1.0), size=(10, 10)
+        ).collect()
+    }
+    want = {}
+    for y in range(10):
+        for x in range(10):
+            cx, cy = x + 0.5, y + 0.5
+            fid = None
+            if 0.0 <= cx < 4.0 and 0.0 <= cy < 4.0:
+                fid = 1
+            if 2.0 <= cx < 6.0 and 2.0 <= cy < 6.0:
+                fid = 2  # higher fid wins the overlap
+            if fid is not None:
+                want[(x, y)] = fid
+    assert got == want
+
+
+def test_rasterize_attribute_burn_and_grid_parity(spark):
+    zones = _zone_df(
+        spark,
+        [
+            ("z", 1, "a", box_wkb(0.0, 0.0, 4.0, 4.0)),
+            ("z", 2, "b", box_wkb(2.0, 2.0, 6.0, 6.0)),
+        ],
+    )
+    named = rasterize(
+        zones, origin=(0.0, 0.0), res=(1.0, 1.0), size=(10, 10),
+        burn_col="name",
+    ).collect()
+    assert {r.burn for r in named} == {"a", "b"}
+    # the grid strategy computes the identical raster
+    bc = rasterize(zones, origin=(0.0, 0.0), res=(1.0, 1.0), size=(10, 10))
+    gr = rasterize(
+        zones, origin=(0.0, 0.0), res=(1.0, 1.0), size=(10, 10), how="grid"
+    )
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, gr.collect()))
+
+
+def test_rasterize_empty_coverage_and_guards(spark):
+    zones = _zone_df(spark, [("z", 1, "far", box_wkb(50.0, 50.0, 51.0, 51.0))])
+    assert (
+        rasterize(zones, origin=(0.0, 0.0), res=(1.0, 1.0), size=(4, 4)).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="size"):
+        rasterize(zones, origin=(0.0, 0.0), res=(1.0, 1.0), size=(0, 4))
+    with pytest.raises(ValueError, match="resolution"):
+        rasterize(zones, origin=(0.0, 0.0), res=(0.0, 1.0), size=(4, 4))

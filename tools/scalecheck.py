@@ -14,6 +14,7 @@ Usage: python tools/scalecheck.py            # prints one JSON line
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 
@@ -351,6 +352,85 @@ def main() -> None:
             "us_per_doc": round(sec / n * 1e6, 2),
         }
     out["nb_classifier"] = nb
+
+    # --- round-8 GDAL-utility parity: warp / hillshade / pyramid / clump --
+    # warp+terrain are single-aggregate or corner-join shapes → ns/px must
+    # be flat-to-falling; clump is O(largest-region diameter) ROUNDS, so
+    # with fixed block size the cost per pixel must stay flat as the
+    # raster (and region count) grows 4×.
+    from sids_data_pipeline_spark.operators import terrain
+    from sids_data_pipeline_spark.sources import raster as rastermod
+
+    warp = {}
+    for n in (1024, 2048, 4096):
+        px = rastermod.synthetic_raster_scaled(spark, n)
+        extent_m = 6378137.0 * math.radians(n * 0.1)
+        sec = _steady(
+            lambda p=px, e=extent_m, m=n: rastermod.warp_to_grid(
+                p,
+                src_epsg=4326,
+                dst_epsg=3857,
+                src_origin=(0.0, 0.0),
+                src_res=(0.1, 0.1),
+                dst_origin=(0.0, 0.0),
+                dst_res=(e / m, e / m),
+                dst_size=(m, m),
+                resampling="bilinear",
+            ).agg(F.sum("val")).collect(),
+            reps=2,
+        )
+        warp[f"{n}x{n}"] = {
+            "sec": round(sec, 3),
+            "ns_per_px": round(sec / (n * n) * 1e9, 1),
+        }
+    out["warp_bilinear"] = warp
+
+    hs = {}
+    for n in (1024, 2048, 4096):
+        px = rastermod.synthetic_raster_scaled(spark, n)
+        sec = _steady(
+            lambda p=px: terrain.hillshade(p, cellsize=30.0)
+            .agg(F.sum("hillshade")).collect(),
+            reps=2,
+        )
+        hs[f"{n}x{n}"] = {
+            "sec": round(sec, 3),
+            "ns_per_px": round(sec / (n * n) * 1e9, 1),
+        }
+    out["hillshade"] = hs
+
+    pyr = {}
+    for n in (1024, 2048, 4096):
+        px = rastermod.synthetic_raster_scaled(spark, n)
+        sec = _steady(
+            lambda p=px: terrain.build_overviews(p, levels=3)
+            .agg(F.sum("val")).collect(),
+            reps=2,
+        )
+        pyr[f"{n}x{n}"] = {
+            "sec": round(sec, 3),
+            "ns_per_px": round(sec / (n * n) * 1e9, 1),
+        }
+    out["pyramid_3level"] = pyr
+
+    clump = {}
+    for n in (256, 512):
+        blocks = spark.range(0, n * n, 1, 32).select(
+            (F.col("id") % n).cast("int").alias("x"),
+            (F.col("id") / n).cast("int").alias("y"),
+            (((F.col("id") % n) / 8).cast("int")
+             + ((F.col("id") / n) / 8).cast("int")).cast("double").alias("_s"),
+        ).withColumn("val", F.col("_s") % 3).drop("_s")
+        sec = _steady(
+            lambda b=blocks: terrain.clump_regions(b)
+            .agg(F.sum("region")).collect(),
+            reps=2,
+        )
+        clump[f"{n}x{n} (8x8 blocks)"] = {
+            "sec": round(sec, 3),
+            "us_per_px": round(sec / (n * n) * 1e6, 2),
+        }
+    out["clump_fixed_diameter"] = clump
 
     print(json.dumps(out))
     spark.stop()
