@@ -177,3 +177,26 @@ def test_weighted_zonal_is_hash_join(spark):
         assert "BroadcastHashJoin" in plan, op.__name__
         assert "BroadcastNestedLoopJoin" not in plan, op.__name__
         assert "CartesianProduct" not in plan, op.__name__
+
+
+def test_terrain_and_warp_plan_shapes(spark, sf_dir, catalog):
+    """The GDAL-parity additions must keep their scale shapes: integer-key
+    hash joins (never nested-loop/cartesian), zero Python nodes in the
+    pure-JVM kernels, single-aggregate pyramids."""
+    for name in ("raster_warp_bilinear", "raster_warp_average",
+                 "raster_pyramid", "raster_hillshade"):
+        plan = _plan(catalog[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "PythonUDF" not in plan and "ArrowEval" not in plan, name
+    # clump: the neighbour join is an equi hash join feeding the CC loop
+    plan = _plan(catalog["raster_clump"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # burn: rect fixture zones still refine through the pandas kernel for
+    # the holed triangle (by design), but candidates come from the
+    # grid-cell HASH join — never a nested loop over zones
+    plan = _plan(catalog["raster_burn"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
