@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -286,3 +286,82 @@ def sieve(
         ),
     )
     return out.drop("_sieved")
+
+
+def proximity(
+    pixels: DataFrame,
+    target: Column,
+    max_distance: float,
+    cellsize: float = 1.0,
+    val_col: str = "val",
+) -> DataFrame:
+    """gdal_proximity parity with ``-maxdist``: for every pixel, the
+    euclidean distance (in ``cellsize`` units) to the nearest TARGET
+    pixel (rows where ``target`` is true), up to ``max_distance``;
+    farther pixels are omitted (gdal writes its nodata/maxdist fill
+    there).
+
+    Exact within the radius and never all-pairs: both sides bucket into
+    square cells of ``max_distance`` pixels, targets explode onto the
+    3×3 bucket neighbourhood (a nearest target within the radius MUST
+    lie in one of those buckets), and candidates meet in ONE integer-key
+    equi-join, then a groupBy keeps the min distance. Cost is
+    |pixels| + 9·|targets| + |candidate pairs within radius| — the same
+    filter-and-refine economics as the zonal grid join; a dense target
+    mask degrades toward |pixels| · O(radius²) candidates, which is the
+    problem's actual output complexity at that density.
+
+    Output: (x, y, dist) for pixels within ``max_distance`` of a target
+    (targets themselves at dist 0).
+    """
+    if max_distance <= 0:
+        raise ValueError(f"max_distance must be positive, got {max_distance}")
+    if cellsize <= 0:
+        raise ValueError(f"cellsize must be positive, got {cellsize}")
+    # radius in pixel units drives the bucket size
+    r = float(max_distance) / float(cellsize)
+    b = max(1, int(math.ceil(r)))
+    base = pixels.filter(F.col(val_col).isNotNull()).select(
+        "x", "y", target.alias("_t")
+    )
+    px = base.select(
+        "x",
+        "y",
+        F.floor(F.col("x") / b).cast("long").alias("_bx"),
+        F.floor(F.col("y") / b).cast("long").alias("_by"),
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("_o")
+    tg = (
+        base.filter(F.col("_t"))
+        .select(
+            F.col("x").alias("_tx"),
+            F.col("y").alias("_ty"),
+            F.floor(F.col("x") / b).cast("long").alias("_tbx"),
+            F.floor(F.col("y") / b).cast("long").alias("_tby"),
+            offs,
+        )
+        .select(
+            "_tx",
+            "_ty",
+            (F.col("_tbx") + F.col("_o.dx")).alias("_bx"),
+            (F.col("_tby") + F.col("_o.dy")).alias("_by"),
+        )
+    )
+    dx = (F.col("x") - F.col("_tx")).cast("double")
+    dy = (F.col("y") - F.col("_ty")).cast("double")
+    dist = F.sqrt(dx * dx + dy * dy) * F.lit(float(cellsize))
+    return (
+        px.join(tg, ["_bx", "_by"])
+        .select("x", "y", dist.alias("_d"))
+        .filter(F.col("_d") <= max_distance)
+        .groupBy("x", "y")
+        .agg(F.min("_d").alias("dist"))
+    )

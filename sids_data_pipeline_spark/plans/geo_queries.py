@@ -771,6 +771,48 @@ ORDER BY y, x
 """
 
 
+def _raster_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_proximity -maxdist parity: distance to the nearest target
+    pixel (a 16-step lattice of seeds) within radius 6, via the 3×3
+    bucket-neighbourhood equi-join; the oracle brute-forces the same
+    distances over the 16 seeds (4096×16 rows — trivial for DuckDB,
+    quadratic-impossible for the engine, which must use the buckets)."""
+    from sids_data_pipeline_spark.operators.terrain import proximity
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster
+
+    px = synthetic_raster(spark, "rast_gradient")
+    out = proximity(
+        px,
+        target=(F.col("x") % 16 == 0) & (F.col("y") % 16 == 0),
+        max_distance=6.0,
+    )
+    return out.select(
+        "x", "y", F.round("dist", 9).alias("dist")
+    ).orderBy("y", "x")
+
+
+def _raster_proximity_sql() -> str:
+    n = GRID_N
+    return f"""
+WITH px AS (
+  SELECT CAST(i % {n} AS INT) AS x, CAST(i // {n} AS INT) AS y
+  FROM (SELECT unnest(range({n * n})) AS i) t
+), tg AS (
+  SELECT 16 * a AS tx, 16 * b AS ty
+  FROM (SELECT unnest(range(4)) AS a) ta
+  CROSS JOIN (SELECT unnest(range(4)) AS b) tb
+), d AS (
+  SELECT x, y, MIN(sqrt((x - tx) * (x - tx) + (y - ty) * (y - ty))) AS dist
+  FROM px CROSS JOIN tg
+  GROUP BY x, y
+)
+SELECT x, y, ROUND(dist, 9) AS dist
+FROM d
+WHERE dist <= 6.0
+ORDER BY y, x
+"""
+
+
 def _streaming_raster_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §7's Structured Streaming ingest wrapper, end to end: a
     fresh landing directory gets the gradient fixture, one availableNow
@@ -2044,6 +2086,15 @@ QUERIES: list[Query] = [
         doc="gdal_rasterize parity: center rule, highest-fid-wins, "
             "grid-cell equi-join + ray-cast refine (the verified zonal "
             "join inverted), sub-pixel and holed-polygon edge cases",
+        tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_proximity",
+        _raster_proximity,
+        _raster_proximity_sql(),
+        doc="gdal_proximity -maxdist parity: exact euclidean distance to "
+            "the nearest target within the radius via a 3×3 bucket-"
+            "neighbourhood equi-join — never all-pairs",
         tags=("geo", "raster"),
     ),
     Query(

@@ -284,3 +284,65 @@ def test_sieve_masks_small_regions(spark, speckled):
     assert out[(5, 5)] is None
     with pytest.raises(ValueError, match="min_size"):
         sieve(df, min_size=0)
+
+
+# --- proximity ------------------------------------------------------------------
+
+from sids_data_pipeline_spark.operators.terrain import proximity  # noqa: E402
+
+
+def test_proximity_matches_bruteforce(spark):
+    """Targets on a 16-step lattice over the 64-grid; brute-force min
+    distance per pixel is the oracle. max_distance=6 exercises both the
+    radius cut and bucket-boundary candidates."""
+    px = synthetic_raster(spark, "rast_gradient")
+    got = {
+        (r.x, r.y): r.dist
+        for r in proximity(
+            px,
+            target=(F.col("x") % 16 == 0) & (F.col("y") % 16 == 0),
+            max_distance=6.0,
+        ).collect()
+    }
+    targets = [(tx, ty) for tx in range(0, 64, 16) for ty in range(0, 64, 16)]
+    want = {}
+    for y in range(64):
+        for x in range(64):
+            d = min(
+                math.hypot(x - tx, y - ty) for tx, ty in targets
+            )
+            if d <= 6.0:
+                want[(x, y)] = d
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_proximity_nodata_targets_excluded(spark):
+    """A target pixel whose val is NULL is not a target (gdal computes
+    proximity on the mask of VALID target values)."""
+    px = synthetic_raster(spark, "rast_nodata")  # NULL where (x*y)%7==0
+    got = proximity(
+        px,
+        target=(F.col("x") == 7) & (F.col("y") == 7),  # (7*7)%7==0 → NULL
+        max_distance=3.0,
+    )
+    assert got.count() == 0
+
+
+def test_proximity_cellsize_scales_distance(spark):
+    px = synthetic_raster(spark, "rast_gradient")
+    got = {
+        (r.x, r.y): r.dist
+        for r in proximity(
+            px,
+            target=(F.col("x") == 10) & (F.col("y") == 10),
+            max_distance=90.0,
+            cellsize=30.0,
+        ).collect()
+    }
+    assert got[(10, 10)] == 0.0
+    assert got[(13, 10)] == pytest.approx(90.0)
+    assert (14, 10) not in got  # 120 m > maxdist
+    with pytest.raises(ValueError, match="max_distance"):
+        proximity(px, target=F.col("x") == 0, max_distance=0.0)

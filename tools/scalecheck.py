@@ -45,392 +45,399 @@ def main() -> None:
     spark = get_spark("scalecheck")
     out: dict = {}
 
-    # --- zonal stats (rect fast path, grid join): n×n pixels, 4 zones ----
-    def zones_for(n: int):
-        s = float(n) * 0.1 / 8.0  # 4 boxes tiling the raster extent
-        rows = [
-            ("z", fid, f"b{fid}", geo.box_wkb(cx * s, cy * s, (cx + 4) * s, (cy + 4) * s))
-            for fid, (cx, cy) in enumerate([(0, 0), (4, 0), (0, 4), (4, 4)], 1)
-        ]
-        return spark.createDataFrame(
-            pd.DataFrame(rows, columns=[f.name for f in ZONES.fields]), ZONES
-        ).coalesce(1)
+    # Section selection: `python tools/scalecheck.py [base] [gdal]` —
+    # no args runs everything; naming sections runs only those (the
+    # full sweep takes >10 min, so CI-ish callers split it).
+    sections = set(sys.argv[1:])
+    if not sections or "base" in sections:
 
-    zonal = {}
-    # 10240² = 104.9M px: one decade past the 4096² point, confirming the
-    # ns/px asymptote holds at the scale a single executor would own on a
-    # 1000-node 100 TB run. reps drop to 2 past 16M px to bound wall time.
-    for n in (512, 1024, 2048, 4096, 10240):
-        px = synthetic_raster_scaled(spark, n)
-        zs = zones_for(n)
-        sec = _steady(
-            lambda: zonal_stats(zs, px, stats=("mean", "count"), how="grid",
-                                cell_deg=float(n) * 0.1 / 2).count(),
-            reps=2 if n > 4096 else 3,
-        )
-        zonal[f"{n * n:,} px"] = {
-            "sec": round(sec, 3),
-            "ns_per_px": round(sec / (n * n) * 1e9, 1),
-        }
-    out["zonal_grid"] = zonal
+        # --- zonal stats (rect fast path, grid join): n×n pixels, 4 zones ----
+        def zones_for(n: int):
+            s = float(n) * 0.1 / 8.0  # 4 boxes tiling the raster extent
+            rows = [
+                ("z", fid, f"b{fid}", geo.box_wkb(cx * s, cy * s, (cx + 4) * s, (cy + 4) * s))
+                for fid, (cx, cy) in enumerate([(0, 0), (4, 0), (0, 4), (4, 4)], 1)
+            ]
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=[f.name for f in ZONES.fields]), ZONES
+            ).coalesce(1)
 
-    # --- weighted zonal (clip kernel, cell-key equi-join): n×n pixels ----
-    # Round-7: the weighted variants dropped their BNLJ for the same
-    # cell-key hash join as the center-rule path; this sweep shows the
-    # per-pixel cost is now O(1) in the zone count too. Non-rect zones
-    # (triangles clipped from the boxes) force the Arrow clip kernel.
-    from sids_data_pipeline_spark.operators.zonal import zonal_weighted
+        zonal = {}
+        # 10240² = 104.9M px: one decade past the 4096² point, confirming the
+        # ns/px asymptote holds at the scale a single executor would own on a
+        # 1000-node 100 TB run. reps drop to 2 past 16M px to bound wall time.
+        for n in (512, 1024, 2048, 4096, 10240):
+            px = synthetic_raster_scaled(spark, n)
+            zs = zones_for(n)
+            sec = _steady(
+                lambda: zonal_stats(zs, px, stats=("mean", "count"), how="grid",
+                                    cell_deg=float(n) * 0.1 / 2).count(),
+                reps=2 if n > 4096 else 3,
+            )
+            zonal[f"{n * n:,} px"] = {
+                "sec": round(sec, 3),
+                "ns_per_px": round(sec / (n * n) * 1e9, 1),
+            }
+        out["zonal_grid"] = zonal
 
-    wzonal = {}
-    for n in (512, 1024, 2048, 4096):
-        px = synthetic_raster_scaled(spark, n)
-        s = float(n) * 0.1 / 8.0
-        rows = [
-            (fid, geo.polygon_wkb(
-                [[(cx * s, cy * s), ((cx + 4) * s, cy * s),
-                  (cx * s, (cy + 4) * s), (cx * s, cy * s)]]))
-            for fid, (cx, cy) in enumerate([(0, 0), (4, 0), (0, 4), (4, 4)], 1)
-        ]
-        zs = spark.createDataFrame(rows, "fid long, geometry binary")
-        sec = _steady(
-            lambda: zonal_weighted(zs, px, pixel_deg=0.1,
-                                   cell_deg=float(n) * 0.1 / 2).count(),
-            reps=2,
-        )
-        wzonal[f"{n * n:,} px"] = {
-            "sec": round(sec, 3),
-            "ns_per_px": round(sec / (n * n) * 1e9, 1),
-        }
-    out["zonal_weighted"] = wzonal
+        # --- weighted zonal (clip kernel, cell-key equi-join): n×n pixels ----
+        # Round-7: the weighted variants dropped their BNLJ for the same
+        # cell-key hash join as the center-rule path; this sweep shows the
+        # per-pixel cost is now O(1) in the zone count too. Non-rect zones
+        # (triangles clipped from the boxes) force the Arrow clip kernel.
+        from sids_data_pipeline_spark.operators.zonal import zonal_weighted
 
-    # --- MinHash LSH near-dup: growing document counts -------------------
-    docs_full = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    minhash = {}
-    for frac in (1250, 2500, 5000):
-        docs = docs_full.filter(F.col("doc_id") % (5000 // frac) == 0)
-        n_docs = docs.count()
-        sec = _steady(lambda: dedup.near_duplicates_minhash(docs).count())
-        minhash[f"{n_docs} docs"] = {
-            "sec": round(sec, 3),
-            "ms_per_doc": round(sec / n_docs * 1e3, 3),
-        }
-    out["dedup_minhash_lsh"] = minhash
+        wzonal = {}
+        for n in (512, 1024, 2048, 4096):
+            px = synthetic_raster_scaled(spark, n)
+            s = float(n) * 0.1 / 8.0
+            rows = [
+                (fid, geo.polygon_wkb(
+                    [[(cx * s, cy * s), ((cx + 4) * s, cy * s),
+                      (cx * s, (cy + 4) * s), (cx * s, cy * s)]]))
+                for fid, (cx, cy) in enumerate([(0, 0), (4, 0), (0, 4), (4, 4)], 1)
+            ]
+            zs = spark.createDataFrame(rows, "fid long, geometry binary")
+            sec = _steady(
+                lambda: zonal_weighted(zs, px, pixel_deg=0.1,
+                                       cell_deg=float(n) * 0.1 / 2).count(),
+                reps=2,
+            )
+            wzonal[f"{n * n:,} px"] = {
+                "sec": round(sec, 3),
+                "ns_per_px": round(sec / (n * n) * 1e9, 1),
+            }
+        out["zonal_weighted"] = wzonal
 
-    # --- exact dedup: growing synthetic row counts -----------------------
-    exact = {}
-    for n in (1_000_000, 4_000_000):
-        df = spark.range(0, n, 1, 32).select(
-            F.col("id"),
-            F.concat(F.lit("payload-"), (F.col("id") % (n // 2)).cast("string")).alias("text"),
-        )
-        sec = _steady(
-            lambda: dedup.exact_dedup(df, ["text"], "id").count()
-        )
-        exact[f"{n:,} rows"] = {
-            "sec": round(sec, 3),
-            "ns_per_row": round(sec / n * 1e9, 1),
-        }
-    out["dedup_exact"] = exact
+        # --- MinHash LSH near-dup: growing document counts -------------------
+        docs_full = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        minhash = {}
+        for frac in (1250, 2500, 5000):
+            docs = docs_full.filter(F.col("doc_id") % (5000 // frac) == 0)
+            n_docs = docs.count()
+            sec = _steady(lambda: dedup.near_duplicates_minhash(docs).count())
+            minhash[f"{n_docs} docs"] = {
+                "sec": round(sec, 3),
+                "ms_per_doc": round(sec / n_docs * 1e3, 3),
+            }
+        out["dedup_minhash_lsh"] = minhash
 
-    # --- connected components: growing edge sets, fixed diameter ---------
-    # Chains of 4 nodes (diameter 3): the round count is O(diameter), so
-    # a sweep at constant diameter isolates the per-edge linear term.
-    from sids_data_pipeline_spark.operators import graph
+        # --- exact dedup: growing synthetic row counts -----------------------
+        exact = {}
+        for n in (1_000_000, 4_000_000):
+            df = spark.range(0, n, 1, 32).select(
+                F.col("id"),
+                F.concat(F.lit("payload-"), (F.col("id") % (n // 2)).cast("string")).alias("text"),
+            )
+            sec = _steady(
+                lambda: dedup.exact_dedup(df, ["text"], "id").count()
+            )
+            exact[f"{n:,} rows"] = {
+                "sec": round(sec, 3),
+                "ns_per_row": round(sec / n * 1e9, 1),
+            }
+        out["dedup_exact"] = exact
 
-    comp = {}
-    for n in (250_000, 1_000_000):
-        edges = spark.range(0, n, 1, 32).select(
-            F.col("id").alias("id1"),
-            F.when(F.col("id") % 4 != 3, F.col("id") + 1)
-            .otherwise(F.col("id"))
-            .alias("id2"),
-        )
-        sec = _steady(
-            lambda: graph.connected_components(edges).count(), reps=2
-        )
-        comp[f"{n:,} edges"] = {
-            "sec": round(sec, 3),
-            "ns_per_edge": round(sec / n * 1e9, 1),
-        }
-    out["connected_components"] = comp
+        # --- connected components: growing edge sets, fixed diameter ---------
+        # Chains of 4 nodes (diameter 3): the round count is O(diameter), so
+        # a sweep at constant diameter isolates the per-edge linear term.
+        from sids_data_pipeline_spark.operators import graph
 
-    # --- conversion funnel: growing event counts, 64 events/user ---------
-    # Per-user state is the sorted event array, so holding events/user
-    # fixed while growing users isolates the per-event linear term of the
-    # single-shuffle groupBy + scan.
-    from sids_data_pipeline_spark.operators import windows as win
+        comp = {}
+        for n in (250_000, 1_000_000):
+            edges = spark.range(0, n, 1, 32).select(
+                F.col("id").alias("id1"),
+                F.when(F.col("id") % 4 != 3, F.col("id") + 1)
+                .otherwise(F.col("id"))
+                .alias("id2"),
+            )
+            sec = _steady(
+                lambda: graph.connected_components(edges).count(), reps=2
+            )
+            comp[f"{n:,} edges"] = {
+                "sec": round(sec, 3),
+                "ns_per_edge": round(sec / n * 1e9, 1),
+            }
+        out["connected_components"] = comp
 
-    funnel = {}
-    for n in (1_000_000, 4_000_000):
-        ev = spark.range(0, n, 1, 32).select(
-            (F.col("id") % (n // 64)).alias("user_id"),
-            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
-            F.element_at(
-                F.array(
-                    F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("error")
-                ),
-                ((F.col("id") % 4) + 1).cast("int"),
-            ).alias("event_type"),
-        )
-        sec = _steady(lambda: win.funnel(ev).count(), reps=2)
-        funnel[f"{n:,} events"] = {
-            "sec": round(sec, 3),
-            "ns_per_event": round(sec / n * 1e9, 1),
-        }
-    out["events_funnel"] = funnel
+        # --- conversion funnel: growing event counts, 64 events/user ---------
+        # Per-user state is the sorted event array, so holding events/user
+        # fixed while growing users isolates the per-event linear term of the
+        # single-shuffle groupBy + scan.
+        from sids_data_pipeline_spark.operators import windows as win
 
-    # --- interval-overlap join: growing interval sets, fixed span -------
-    # Span/bucket_width fixed ⇒ constant replication factor; output pairs
-    # grow linearly (uniform starts), so a linear plan shows flat ns/row.
-    from sids_data_pipeline_spark.operators import asof
+        funnel = {}
+        for n in (1_000_000, 4_000_000):
+            ev = spark.range(0, n, 1, 32).select(
+                (F.col("id") % (n // 64)).alias("user_id"),
+                F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+                F.element_at(
+                    F.array(
+                        F.lit("view"), F.lit("click"), F.lit("purchase"), F.lit("error")
+                    ),
+                    ((F.col("id") % 4) + 1).cast("int"),
+                ).alias("event_type"),
+            )
+            sec = _steady(lambda: win.funnel(ev).count(), reps=2)
+            funnel[f"{n:,} events"] = {
+                "sec": round(sec, 3),
+                "ns_per_event": round(sec / n * 1e9, 1),
+            }
+        out["events_funnel"] = funnel
 
-    iv = {}
-    for n in (250_000, 1_000_000):
-        l = spark.range(0, n, 1, 32).select(
-            F.col("id").alias("lid"),
-            (F.xxhash64("id") % (n * 4)).alias("ls"),
-        ).withColumn("le", F.col("ls") + 200)
-        r = spark.range(0, n, 1, 32).select(
-            F.col("id").alias("rid"),
-            (F.xxhash64(F.col("id") + 7) % (n * 4)).alias("rs"),
-        ).withColumn("re", F.col("rs") + 200)
-        sec = _steady(
-            lambda: asof.interval_join(
-                l, r, ("ls", "le"), ("rs", "re"), bucket_width=256
-            ).count(),
-            reps=2,
-        )
-        iv[f"{n:,} x2 intervals"] = {
-            "sec": round(sec, 3),
-            "ns_per_interval": round(sec / (2 * n) * 1e9, 1),
-        }
-    out["interval_join"] = iv
+        # --- interval-overlap join: growing interval sets, fixed span -------
+        # Span/bucket_width fixed ⇒ constant replication factor; output pairs
+        # grow linearly (uniform starts), so a linear plan shows flat ns/row.
+        from sids_data_pipeline_spark.operators import asof
 
-    # --- trailing-window rolling stats: growing events, fixed density ---
-    roll = {}
-    for n in (1_000_000, 4_000_000):
-        ev = spark.range(0, n, 1, 32).select(
-            (F.col("id") % (n // 256)).alias("user_id"),
-            F.timestamp_micros(F.col("id") * 500_000).alias("ts"),
-            (F.col("id") % 100).cast("double").alias("value"),
-        )
-        sec = _steady(lambda: win.rolling_stats(ev).count(), reps=2)
-        roll[f"{n:,} events"] = {
-            "sec": round(sec, 3),
-            "ns_per_event": round(sec / n * 1e9, 1),
-        }
-    out["rolling_stats"] = roll
+        iv = {}
+        for n in (250_000, 1_000_000):
+            l = spark.range(0, n, 1, 32).select(
+                F.col("id").alias("lid"),
+                (F.xxhash64("id") % (n * 4)).alias("ls"),
+            ).withColumn("le", F.col("ls") + 200)
+            r = spark.range(0, n, 1, 32).select(
+                F.col("id").alias("rid"),
+                (F.xxhash64(F.col("id") + 7) % (n * 4)).alias("rs"),
+            ).withColumn("re", F.col("rs") + 200)
+            sec = _steady(
+                lambda: asof.interval_join(
+                    l, r, ("ls", "le"), ("rs", "re"), bucket_width=256
+                ).count(),
+                reps=2,
+            )
+            iv[f"{n:,} x2 intervals"] = {
+                "sec": round(sec, 3),
+                "ns_per_interval": round(sec / (2 * n) * 1e9, 1),
+            }
+        out["interval_join"] = iv
 
-    # --- PageRank: growing edges, fixed 3 iterations ---------------------
-    pr = {}
-    for n in (250_000, 1_000_000):
-        edges = spark.range(0, n, 1, 32).select(
-            (F.xxhash64("id") % (n // 8)).alias("src"),
-            (F.xxhash64(F.col("id") + 3) % (n // 8)).alias("dst"),
-        )
-        sec = _steady(
-            lambda: graph.pagerank(edges, iters=3).count(), reps=2
-        )
-        pr[f"{n:,} edges"] = {
-            "sec": round(sec, 3),
-            "ns_per_edge": round(sec / n * 1e9, 1),
-        }
-    out["pagerank_3iter"] = pr
+        # --- trailing-window rolling stats: growing events, fixed density ---
+        roll = {}
+        for n in (1_000_000, 4_000_000):
+            ev = spark.range(0, n, 1, 32).select(
+                (F.col("id") % (n // 256)).alias("user_id"),
+                F.timestamp_micros(F.col("id") * 500_000).alias("ts"),
+                (F.col("id") % 100).cast("double").alias("value"),
+            )
+            sec = _steady(lambda: win.rolling_stats(ev).count(), reps=2)
+            roll[f"{n:,} events"] = {
+                "sec": round(sec, 3),
+                "ns_per_event": round(sec / n * 1e9, 1),
+            }
+        out["rolling_stats"] = roll
 
-    # --- triangle counting: growing random graphs, fixed density --------
-    # Degree ~16 held constant while nodes grow: wedge work grows with
-    # Σ C(outdeg,2) ∝ m at fixed density, so a sound orientation shows
-    # flat-or-falling ns/edge. Blow-up here would mean the orientation
-    # bound is broken.
-    tri = {}
-    for n in (250_000, 1_000_000):
-        edges = spark.range(0, n, 1, 32).select(
-            (F.xxhash64("id") % (n // 8)).alias("src"),
-            (F.xxhash64(F.col("id") + 11) % (n // 8)).alias("dst"),
-        )
-        sec = _steady(
-            lambda: graph.count_triangles(edges).collect(), reps=2
-        )
-        tri[f"{n:,} edges"] = {
-            "sec": round(sec, 3),
-            "ns_per_edge": round(sec / n * 1e9, 1),
-        }
-    out["triangle_count"] = tri
+        # --- PageRank: growing edges, fixed 3 iterations ---------------------
+        pr = {}
+        for n in (250_000, 1_000_000):
+            edges = spark.range(0, n, 1, 32).select(
+                (F.xxhash64("id") % (n // 8)).alias("src"),
+                (F.xxhash64(F.col("id") + 3) % (n // 8)).alias("dst"),
+            )
+            sec = _steady(
+                lambda: graph.pagerank(edges, iters=3).count(), reps=2
+            )
+            pr[f"{n:,} edges"] = {
+                "sec": round(sec, 3),
+                "ns_per_edge": round(sec / n * 1e9, 1),
+            }
+        out["pagerank_3iter"] = pr
 
-    # --- BPE training: merges/second, exact vs batched rounds ------------
-    # The loop is inherently iterative (one count-argmax job per round);
-    # merges_per_round=k cuts the job count k× at the standard
-    # stale-counts approximation. This row documents the measured
-    # merges/second so a 30k-merge budget can be planned (see
-    # operators/text.py bpe_train docstring for the O(jobs) bound).
-    from sids_data_pipeline_spark.operators import text as textops
+        # --- triangle counting: growing random graphs, fixed density --------
+        # Degree ~16 held constant while nodes grow: wedge work grows with
+        # Σ C(outdeg,2) ∝ m at fixed density, so a sound orientation shows
+        # flat-or-falling ns/edge. Blow-up here would mean the orientation
+        # bound is broken.
+        tri = {}
+        for n in (250_000, 1_000_000):
+            edges = spark.range(0, n, 1, 32).select(
+                (F.xxhash64("id") % (n // 8)).alias("src"),
+                (F.xxhash64(F.col("id") + 11) % (n // 8)).alias("dst"),
+            )
+            sec = _steady(
+                lambda: graph.count_triangles(edges).collect(), reps=2
+            )
+            tri[f"{n:,} edges"] = {
+                "sec": round(sec, 3),
+                "ns_per_edge": round(sec / n * 1e9, 1),
+            }
+        out["triangle_count"] = tri
 
-    bpe = {}
-    docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    for label, kwargs in (
-        ("16 merges, exact (16 jobs)", {"n_merges": 16}),
-        ("16 merges, batch=8 (2 jobs)", {"n_merges": 16, "merges_per_round": 8}),
-    ):
-        sec = _steady(
-            lambda kw=kwargs: textops.bpe_train(docs01, **kw).count(), reps=2
-        )
-        bpe[label] = {
-            "sec": round(sec, 3),
-            "merges_per_sec": round(16 / sec, 2),
-        }
-    out["bpe_train"] = bpe
+        # --- BPE training: merges/second, exact vs batched rounds ------------
+        # The loop is inherently iterative (one count-argmax job per round);
+        # merges_per_round=k cuts the job count k× at the standard
+        # stale-counts approximation. This row documents the measured
+        # merges/second so a 30k-merge budget can be planned (see
+        # operators/text.py bpe_train docstring for the O(jobs) bound).
+        from sids_data_pipeline_spark.operators import text as textops
 
-    # --- distributed prefix scan (sequence packing): growing rows --------
-    # Two passes over one range shuffle (per-partition window + offset
-    # fold); the driver sees only a partition-count-sized totals list, so
-    # a linear plan shows flat-or-falling ns/row as rows grow.
-    from sids_data_pipeline_spark.operators import sampling
+        bpe = {}
+        docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        for label, kwargs in (
+            ("16 merges, exact (16 jobs)", {"n_merges": 16}),
+            ("16 merges, batch=8 (2 jobs)", {"n_merges": 16, "merges_per_round": 8}),
+        ):
+            sec = _steady(
+                lambda kw=kwargs: textops.bpe_train(docs01, **kw).count(), reps=2
+            )
+            bpe[label] = {
+                "sec": round(sec, 3),
+                "merges_per_sec": round(16 / sec, 2),
+            }
+        out["bpe_train"] = bpe
 
-    scan = {}
-    for n in (1_000_000, 4_000_000):
-        df = spark.range(0, n, 1, 32).select(
-            F.col("id").alias("doc_id"),
-            (F.col("id") % 997).cast("int").alias("n_tokens"),
-        )
-        def run(df=df):
-            # each call persists a fresh range-partitioned frame inside
-            # the prefix scan; clear it so reps don't pin stale copies
-            n_out = sampling.pack_sequences(df, 2048).count()
-            df.sparkSession.catalog.clearCache()
-            return n_out
+        # --- distributed prefix scan (sequence packing): growing rows --------
+        # Two passes over one range shuffle (per-partition window + offset
+        # fold); the driver sees only a partition-count-sized totals list, so
+        # a linear plan shows flat-or-falling ns/row as rows grow.
+        from sids_data_pipeline_spark.operators import sampling
 
-        sec = _steady(run, reps=2)
-        scan[f"{n:,} rows"] = {
-            "sec": round(sec, 3),
-            "ns_per_row": round(sec / n * 1e9, 1),
-        }
-    out["pack_sequences_scan"] = scan
+        scan = {}
+        for n in (1_000_000, 4_000_000):
+            df = spark.range(0, n, 1, 32).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 997).cast("int").alias("n_tokens"),
+            )
+            def run(df=df):
+                # each call persists a fresh range-partitioned frame inside
+                # the prefix scan; clear it so reps don't pin stale copies
+                n_out = sampling.pack_sequences(df, 2048).count()
+                df.sparkSession.catalog.clearCache()
+                return n_out
 
-    # --- round-8 text additions: hot-line dedup + NB classifier ----------
-    # Both are plain shuffle pipelines (segment/token key aggregate +
-    # equi-join back), so the per-row cost must be flat as docs grow.
-    def synth_docs(n: int):
-        # deterministic 20-word docs over a 50-word vocab, all JVM-side
-        vocab = "array(" + ", ".join(f"'w{i}'" for i in range(50)) + ")"
-        return spark.range(0, n, 1, 32).select(
-            F.col("id").alias("doc_id"),
-            F.expr(
-                f"concat_ws(' ', transform(sequence(1, 20), "
-                f"i -> element_at({vocab}, "
-                f"CAST((id * 7 + i * 13) % 50 AS INT) + 1)))"
-            ).alias("text"),
-            (F.col("id") % 10 < 8).alias("is_pos"),
-        )
+            sec = _steady(run, reps=2)
+            scan[f"{n:,} rows"] = {
+                "sec": round(sec, 3),
+                "ns_per_row": round(sec / n * 1e9, 1),
+            }
+        out["pack_sequences_scan"] = scan
 
-    hotlines = {}
-    for n in (250_000, 1_000_000):
-        docs = synth_docs(n)
-        # aggregate a COMPUTED column: a bare count() lets Catalyst prune
-        # the left joins and measures only the base scan
-        sec = _steady(
-            lambda d=docs: textops.remove_hot_lines(
-                d, min_docs=2, sep_regex=None, window_words=5
-            ).agg(F.sum("n_removed")).collect(),
-            reps=2,
-        )
-        hotlines[f"{n:,} docs"] = {
-            "sec": round(sec, 3),
-            "us_per_doc": round(sec / n * 1e6, 2),
-        }
-    out["hot_line_dedup"] = hotlines
+        # --- round-8 text additions: hot-line dedup + NB classifier ----------
+        # Both are plain shuffle pipelines (segment/token key aggregate +
+        # equi-join back), so the per-row cost must be flat as docs grow.
+        def synth_docs(n: int):
+            # deterministic 20-word docs over a 50-word vocab, all JVM-side
+            vocab = "array(" + ", ".join(f"'w{i}'" for i in range(50)) + ")"
+            return spark.range(0, n, 1, 32).select(
+                F.col("id").alias("doc_id"),
+                F.expr(
+                    f"concat_ws(' ', transform(sequence(1, 20), "
+                    f"i -> element_at({vocab}, "
+                    f"CAST((id * 7 + i * 13) % 50 AS INT) + 1)))"
+                ).alias("text"),
+                (F.col("id") % 10 < 8).alias("is_pos"),
+            )
 
-    nb = {}
-    for n in (250_000, 1_000_000):
-        docs = synth_docs(n)
-        sec = _steady(
-            lambda d=docs: textops.nb_quality_classifier(d, "is_pos")
-            .agg(F.sum("score_micros")).collect(),
-            reps=2,
-        )
-        nb[f"{n:,} docs"] = {
-            "sec": round(sec, 3),
-            "us_per_doc": round(sec / n * 1e6, 2),
-        }
-    out["nb_classifier"] = nb
+        hotlines = {}
+        for n in (250_000, 1_000_000):
+            docs = synth_docs(n)
+            # aggregate a COMPUTED column: a bare count() lets Catalyst prune
+            # the left joins and measures only the base scan
+            sec = _steady(
+                lambda d=docs: textops.remove_hot_lines(
+                    d, min_docs=2, sep_regex=None, window_words=5
+                ).agg(F.sum("n_removed")).collect(),
+                reps=2,
+            )
+            hotlines[f"{n:,} docs"] = {
+                "sec": round(sec, 3),
+                "us_per_doc": round(sec / n * 1e6, 2),
+            }
+        out["hot_line_dedup"] = hotlines
 
-    # --- round-8 GDAL-utility parity: warp / hillshade / pyramid / clump --
-    # warp+terrain are single-aggregate or corner-join shapes → ns/px must
-    # be flat-to-falling; clump is O(largest-region diameter) ROUNDS, so
-    # with fixed block size the cost per pixel must stay flat as the
-    # raster (and region count) grows 4×.
-    from sids_data_pipeline_spark.operators import terrain
-    from sids_data_pipeline_spark.sources import raster as rastermod
+        nb = {}
+        for n in (250_000, 1_000_000):
+            docs = synth_docs(n)
+            sec = _steady(
+                lambda d=docs: textops.nb_quality_classifier(d, "is_pos")
+                .agg(F.sum("score_micros")).collect(),
+                reps=2,
+            )
+            nb[f"{n:,} docs"] = {
+                "sec": round(sec, 3),
+                "us_per_doc": round(sec / n * 1e6, 2),
+            }
+        out["nb_classifier"] = nb
 
-    warp = {}
-    for n in (1024, 2048, 4096):
-        px = rastermod.synthetic_raster_scaled(spark, n)
-        extent_m = 6378137.0 * math.radians(n * 0.1)
-        sec = _steady(
-            lambda p=px, e=extent_m, m=n: rastermod.warp_to_grid(
-                p,
-                src_epsg=4326,
-                dst_epsg=3857,
-                src_origin=(0.0, 0.0),
-                src_res=(0.1, 0.1),
-                dst_origin=(0.0, 0.0),
-                dst_res=(e / m, e / m),
-                dst_size=(m, m),
-                resampling="bilinear",
-            ).agg(F.sum("val")).collect(),
-            reps=2,
-        )
-        warp[f"{n}x{n}"] = {
-            "sec": round(sec, 3),
-            "ns_per_px": round(sec / (n * n) * 1e9, 1),
-        }
-    out["warp_bilinear"] = warp
+    if not sections or "gdal" in sections:
+        # --- round-8 GDAL-utility parity: warp / hillshade / pyramid / clump --
+        # warp+terrain are single-aggregate or corner-join shapes → ns/px must
+        # be flat-to-falling; clump is O(largest-region diameter) ROUNDS, so
+        # with fixed block size the cost per pixel must stay flat as the
+        # raster (and region count) grows 4×.
+        from sids_data_pipeline_spark.operators import terrain
+        from sids_data_pipeline_spark.sources import raster as rastermod
 
-    hs = {}
-    for n in (1024, 2048, 4096):
-        px = rastermod.synthetic_raster_scaled(spark, n)
-        sec = _steady(
-            lambda p=px: terrain.hillshade(p, cellsize=30.0)
-            .agg(F.sum("hillshade")).collect(),
-            reps=2,
-        )
-        hs[f"{n}x{n}"] = {
-            "sec": round(sec, 3),
-            "ns_per_px": round(sec / (n * n) * 1e9, 1),
-        }
-    out["hillshade"] = hs
+        warp = {}
+        for n in (1024, 2048, 4096):
+            px = rastermod.synthetic_raster_scaled(spark, n)
+            extent_m = 6378137.0 * math.radians(n * 0.1)
+            sec = _steady(
+                lambda p=px, e=extent_m, m=n: rastermod.warp_to_grid(
+                    p,
+                    src_epsg=4326,
+                    dst_epsg=3857,
+                    src_origin=(0.0, 0.0),
+                    src_res=(0.1, 0.1),
+                    dst_origin=(0.0, 0.0),
+                    dst_res=(e / m, e / m),
+                    dst_size=(m, m),
+                    resampling="bilinear",
+                ).agg(F.sum("val")).collect(),
+                reps=2,
+            )
+            warp[f"{n}x{n}"] = {
+                "sec": round(sec, 3),
+                "ns_per_px": round(sec / (n * n) * 1e9, 1),
+            }
+        out["warp_bilinear"] = warp
 
-    pyr = {}
-    for n in (1024, 2048, 4096):
-        px = rastermod.synthetic_raster_scaled(spark, n)
-        sec = _steady(
-            lambda p=px: terrain.build_overviews(p, levels=3)
-            .agg(F.sum("val")).collect(),
-            reps=2,
-        )
-        pyr[f"{n}x{n}"] = {
-            "sec": round(sec, 3),
-            "ns_per_px": round(sec / (n * n) * 1e9, 1),
-        }
-    out["pyramid_3level"] = pyr
+        hs = {}
+        for n in (1024, 2048, 4096):
+            px = rastermod.synthetic_raster_scaled(spark, n)
+            sec = _steady(
+                lambda p=px: terrain.hillshade(p, cellsize=30.0)
+                .agg(F.sum("hillshade")).collect(),
+                reps=2,
+            )
+            hs[f"{n}x{n}"] = {
+                "sec": round(sec, 3),
+                "ns_per_px": round(sec / (n * n) * 1e9, 1),
+            }
+        out["hillshade"] = hs
 
-    clump = {}
-    for n in (256, 512):
-        blocks = spark.range(0, n * n, 1, 32).select(
-            (F.col("id") % n).cast("int").alias("x"),
-            (F.col("id") / n).cast("int").alias("y"),
-            (((F.col("id") % n) / 8).cast("int")
-             + ((F.col("id") / n) / 8).cast("int")).cast("double").alias("_s"),
-        ).withColumn("val", F.col("_s") % 3).drop("_s")
-        sec = _steady(
-            lambda b=blocks: terrain.clump_regions(b)
-            .agg(F.sum("region")).collect(),
-            reps=2,
-        )
-        clump[f"{n}x{n} (8x8 blocks)"] = {
-            "sec": round(sec, 3),
-            "us_per_px": round(sec / (n * n) * 1e6, 2),
-        }
-    out["clump_fixed_diameter"] = clump
+        pyr = {}
+        for n in (1024, 2048, 4096):
+            px = rastermod.synthetic_raster_scaled(spark, n)
+            sec = _steady(
+                lambda p=px: terrain.build_overviews(p, levels=3)
+                .agg(F.sum("val")).collect(),
+                reps=2,
+            )
+            pyr[f"{n}x{n}"] = {
+                "sec": round(sec, 3),
+                "ns_per_px": round(sec / (n * n) * 1e9, 1),
+            }
+        out["pyramid_3level"] = pyr
+
+        clump = {}
+        for n in (256, 512):
+            blocks = spark.range(0, n * n, 1, 32).select(
+                (F.col("id") % n).cast("int").alias("x"),
+                (F.col("id") / n).cast("int").alias("y"),
+                (((F.col("id") % n) / 8).cast("int")
+                 + ((F.col("id") / n) / 8).cast("int")).cast("double").alias("_s"),
+            ).withColumn("val", F.col("_s") % 3).drop("_s")
+            sec = _steady(
+                lambda b=blocks: terrain.clump_regions(b)
+                .agg(F.sum("region")).collect(),
+                reps=2,
+            )
+            clump[f"{n}x{n} (8x8 blocks)"] = {
+                "sec": round(sec, 3),
+                "us_per_px": round(sec / (n * n) * 1e6, 2),
+            }
+        out["clump_fixed_diameter"] = clump
 
     print(json.dumps(out))
     spark.stop()
