@@ -1,8 +1,8 @@
-"""Raster terrain analysis + overview pyramids (GDAL utility parity).
+"""Raster terrain analysis, overviews, regions, proximity (GDAL parity).
 
 The reference shells out to GDAL for every raster kernel
-(batch/processing/raster.py:22-38); two of GDAL's everyday raster
-utilities have no equivalent elsewhere in this engine:
+(batch/processing/raster.py:22-38); this module re-expresses GDAL's
+everyday raster utilities as declarative plans:
 
 - ``gdaladdo -r average`` (overview pyramids): :func:`build_overviews`
   emits levels 1..L of 2^k block-mean downsamples as ONE map-side-
@@ -13,8 +13,14 @@ utilities have no equivalent elsewhere in this engine:
   :func:`horn_derivatives` resolves every pixel's 8-neighborhood with
   one explode-onto-offsets + groupBy — the same integer-key shape as
   the warp corner join, one shuffle at any raster size, no Python.
+- GRASS ``r.clump`` / ``gdal_sieve``: :func:`clump_regions` labels
+  4-connected equal-value regions (neighbour equi-join + the Pregel
+  min-label loop); :func:`sieve` masks sub-threshold regions.
+- ``gdal_proximity -maxdist``: :func:`proximity` — exact distance to
+  the nearest target pixel within a radius via the 3×3 bucket-
+  neighbourhood equi-join, never all-pairs.
 
-Both operators follow the engine's pixel model (long-format PIXELS
+All operators follow the engine's pixel model (long-format PIXELS
 tables, integer x/y indices); callers scope the input to one
 (raster_id, band) like warp_to_grid.
 """

@@ -771,6 +771,65 @@ ORDER BY y, x
 """
 
 
+def _raster_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem slope + aspect on the quadratic surface: same Horn window
+    reassembly as hillshade, aspect in the steepest-descent convention
+    (clockwise from north, flat → NULL)."""
+    from sids_data_pipeline_spark.operators.terrain import slope_aspect
+
+    n = GRID_N
+    quad = spark.range(0, n * n, 1, 8).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    ).withColumn(
+        "val",
+        (F.col("x") * F.col("x") + 2 * F.col("y") * F.col("y")
+         + F.col("x") * F.col("y")).cast("double") / 16.0,
+    )
+    out = slope_aspect(quad, cellsize=30.0)
+    return out.select(
+        "x", "y",
+        F.round("slope_deg", 4).alias("slope_deg"),
+        F.round("aspect_deg", 4).alias("aspect_deg"),
+    ).orderBy("y", "x")
+
+
+def _raster_slope_aspect_sql() -> str:
+    n = GRID_N
+
+    def v(i: str, j: str) -> str:
+        return f"((({i})*({i}) + 2.0*({j})*({j}) + ({i})*({j})) / 16.0)"
+
+    a, b, c = v("x-1", "y+1"), v("x", "y+1"), v("x+1", "y+1")
+    d, f_ = v("x-1", "y"), v("x+1", "y")
+    g, h, i_ = v("x-1", "y-1"), v("x", "y-1"), v("x+1", "y-1")
+    return f"""
+WITH cells AS (
+  SELECT CAST(i % {n} AS INT) AS x, CAST(i // {n} AS INT) AS y
+  FROM (SELECT unnest(range({n * n})) AS i) t
+  WHERE i % {n} BETWEEN 1 AND {n - 2} AND i // {n} BETWEEN 1 AND {n - 2}
+), deriv AS (
+  SELECT x, y,
+    ((({c}) + 2.0*({f_}) + ({i_})) - (({a}) + 2.0*({d}) + ({g}))) / 240.0 AS p,
+    ((({a}) + 2.0*({b}) + ({c})) - (({g}) + 2.0*({h}) + ({i_}))) / 240.0 AS q
+  FROM cells
+), ang AS (
+  SELECT x, y,
+    degrees(atan(sqrt(p*p + q*q))) AS slope_deg,
+    CASE WHEN p = 0 AND q = 0 THEN NULL
+         ELSE CASE WHEN degrees(atan2(-p, -q)) < 0
+                   THEN degrees(atan2(-p, -q)) + 360.0
+                   ELSE degrees(atan2(-p, -q)) END
+    END AS aspect_deg
+  FROM deriv
+)
+SELECT x, y, ROUND(slope_deg, 4) AS slope_deg,
+       ROUND(aspect_deg, 4) AS aspect_deg
+FROM ang
+ORDER BY y, x
+"""
+
+
 def _raster_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_proximity -maxdist parity: distance to the nearest target
     pixel (a 16-step lattice of seeds) within radius 6, via the 3×3
@@ -2086,6 +2145,15 @@ QUERIES: list[Query] = [
         doc="gdal_rasterize parity: center rule, highest-fid-wins, "
             "grid-cell equi-join + ray-cast refine (the verified zonal "
             "join inverted), sub-pixel and holed-polygon edge cases",
+        tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_slope_aspect",
+        _raster_slope_aspect,
+        _raster_slope_aspect_sql(),
+        doc="gdaldem slope+aspect (Horn 3×3, steepest-descent aspect, "
+            "flat→NULL): same single-shuffle window reassembly as "
+            "hillshade, scalar-SQL oracle",
         tags=("geo", "raster"),
     ),
     Query(
