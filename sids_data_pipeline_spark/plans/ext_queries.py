@@ -2649,6 +2649,93 @@ FROM documents
 """
 
 
+# Token-id expression for the tokenbin round-trip: md5-family word ids
+# (portable across Spark/DuckDB like the LSH hashes), vocab 32768.
+_TOKIDS = (
+    "transform(filter(split(lower(text), '[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+'), "
+    "x -> x != ''), w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) "
+    "AS BIGINT) % 32768)"
+)
+_O_TOKIDS = (
+    r"list_transform(list_filter(regexp_split_to_array(lower(text), "
+    r"'[ \t\n\x0B\f\r]+'), x -> x <> ''), "
+    r"w -> ('0x' || substr(md5(w), 1, 8))::BIGINT % 32768)"
+)
+
+
+def _tokenbin_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 training sink end-to-end: md5-family token ids → pack_shards →
+    uint32 .bin shard files → distributed readback. The per-shard
+    position-weighted checksum verifies CONTENT AND BYTE ORDER of every
+    shard against the oracle, which recomputes the identical stream from
+    the documents table (same token ids, same prefix-sum shard split,
+    same within-shard doc order) without ever touching the files."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.operators import sampling
+    from sids_data_pipeline_spark.sinks.tokenbin import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr(_TOKIDS).alias("tokens"),
+        F.expr(_NTOK).cast("int").alias("n_tokens"),
+    )
+    packed = sampling.pack_shards(toks, _SHARD_TOKENS)
+    work = os.path.join(tempfile.mkdtemp(prefix="sdp_tokbin_"), "shards")
+    write_token_shards(packed, work)
+    back = read_token_shards(spark, work + "/*.bin")
+    return back.select(
+        "shard_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "aggregate(transform(tokens, (x, i) -> x * (i + 1)), "
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("checksum"),
+    ).orderBy("shard_id")
+
+
+_TOKENBIN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_O_TOKIDS} AS tokens,
+         CAST({_O_NTOK} AS INT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, tokens, n_tokens,
+         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {_SHARD_TOKENS}.0) AS BIGINT) AS shard_id
+  FROM toks
+), offs AS (
+  SELECT shard_id, n_tokens, tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard_id ORDER BY doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM packed
+), per_doc AS (
+  SELECT shard_id, n_tokens,
+         off * list_sum(tokens)
+           + list_sum(list_transform(tokens, (x, i) -> x * i)) AS wsum
+  FROM offs
+)
+SELECT shard_id,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(wsum), 0) AS BIGINT) AS checksum
+FROM per_doc
+GROUP BY shard_id
+-- zero-token shards write a 0-byte file that Spark's binaryFile source
+-- skips on readback; mirror the omission (cannot happen unless every
+-- doc in the shard is empty)
+HAVING CAST(SUM(n_tokens) AS BIGINT) > 0
+ORDER BY shard_id
+"""
+
+
 _SEQ_LEN = 512
 
 
@@ -3719,6 +3806,12 @@ QUERIES: list[Query] = [
           doc="token-budget shard packing via exclusive running sum "
               "(deterministic byte-stable shards)",
           tags=("sampling", "text", "window")),
+    Query("sink_tokenbin_roundtrip", _tokenbin_roundtrip, _TOKENBIN_SQL,
+          doc="E8 training sink: md5-family token ids -> pack_shards -> "
+              "uint32 .bin shard files (Megatron layout) -> distributed "
+              "readback; position-weighted checksum pins content AND "
+              "byte order per shard against a file-free oracle",
+          tags=("sampling", "text", "sink")),
     Query("corpus_pack_sequences", _corpus_pack_sequences, _PACK_SEQUENCES_SQL,
           doc="concat-and-split sequence packing (GPT-style pretraining "
               "layout): per-doc stream offset + spanned sequence indices "
