@@ -51,8 +51,11 @@ def build_overviews(
     grid and n_px counts contributing source pixels (gdaladdo's edge
     blocks aggregate fewer than 4^k pixels; n_px makes that auditable).
     """
-    if levels < 1:
-        raise ValueError(f"levels must be >= 1, got {levels}")
+    if not 1 <= levels <= 30:
+        # JVM shift counts wrap mod 32: shiftright(x, 32+) would SILENTLY
+        # alias level 32 to level 0; 2^30 downsampling is already far past
+        # any real pyramid, so refuse rather than wrap
+        raise ValueError(f"levels must be in [1, 30], got {levels}")
     lv = F.explode(F.sequence(F.lit(1), F.lit(levels))).alias("level")
     src = pixels.filter(F.col(val_col).isNotNull()).select(
         "x", "y", F.col(val_col).alias("_val")
@@ -205,7 +208,9 @@ def hillshade(
 _PACK = 1 << 32
 
 
-def clump_regions(pixels: DataFrame, val_col: str = "val") -> DataFrame:
+def clump_regions(
+    pixels: DataFrame, val_col: str = "val", max_iter: int = 100
+) -> DataFrame:
     """Connected-region labelling (GRASS r.clump / the grouping step of
     gdal_sieve and gdal_polygonize): label each non-NULL pixel with its
     4-connected equal-value region, region id = the minimum packed pixel
@@ -222,6 +227,12 @@ def clump_regions(pixels: DataFrame, val_col: str = "val") -> DataFrame:
 
     Pixel indices must be non-negative (the engine's pixel model — decode
     emits 0-based x/y): a negative x would alias another row's packed id.
+
+    ``max_iter`` bounds the min-label rounds; the loop needs roughly the
+    largest region's graph diameter, so snake-shaped regions (rivers,
+    coastlines) can legitimately exceed the default 100 — the loop then
+    RAISES rather than returning a partial labelling; raise the bound
+    for such inputs (each extra round is one cheap converged pass).
 
     Output: (x, y, val, region).
     """
@@ -248,7 +259,7 @@ def clump_regions(pixels: DataFrame, val_col: str = "val") -> DataFrame:
         .filter(F.col("_v1") == F.col("_val"))
         .select(F.col("_n1").alias("id1"), F.col("_node").alias("id2"))
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, max_iter=max_iter)
     labelled = src.join(comp, src["_node"] == comp["node"], "inner").select(
         "x", "y", F.col("_val").alias(val_col), F.col("component").alias("region")
     )
@@ -259,7 +270,10 @@ def clump_regions(pixels: DataFrame, val_col: str = "val") -> DataFrame:
 
 
 def sieve(
-    pixels: DataFrame, min_size: int, val_col: str = "val"
+    pixels: DataFrame,
+    min_size: int,
+    val_col: str = "val",
+    max_iter: int = 100,
 ) -> DataFrame:
     """gdal_sieve's removal half: mask (NULL out) every pixel whose
     4-connected equal-value region holds fewer than ``min_size`` pixels.
@@ -275,7 +289,7 @@ def sieve(
     """
     if min_size < 1:
         raise ValueError(f"min_size must be >= 1, got {min_size}")
-    regions = clump_regions(pixels, val_col)
+    regions = clump_regions(pixels, val_col, max_iter=max_iter)
     small = (
         regions.groupBy("region")
         .agg(F.count(F.lit(1)).alias("_n"))

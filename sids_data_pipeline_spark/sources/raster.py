@@ -379,6 +379,10 @@ def rasterize(
     re-attaches that attribute of the winning feature via one broadcast
     join against the (dimension-sized) zone table.
 
+    Caller scopes ``zones`` to ONE layer (vector_id) — fids are the
+    overlap tie-break and the attribute key, and they are only unique
+    within a layer (same single-input contract as the pixel operators).
+
     Output: (x, y, burn).
     """
     from sids_data_pipeline_spark.operators.zonal import spatial_join

@@ -346,3 +346,22 @@ def test_proximity_cellsize_scales_distance(spark):
     assert (14, 10) not in got  # 120 m > maxdist
     with pytest.raises(ValueError, match="max_distance"):
         proximity(px, target=F.col("x") == 0, max_distance=0.0)
+
+
+def test_overviews_rejects_wrapping_shift(spark):
+    """JVM shift counts wrap mod 32: levels > 30 must refuse, not alias."""
+    with pytest.raises(ValueError, match=r"\[1, 30\]"):
+        build_overviews(synthetic_raster(spark, "rast_gradient"), levels=32)
+
+
+def test_clump_max_iter_raises_not_partial(spark):
+    """A 1-px-wide snake of diameter > max_iter must raise (no partial
+    labels): a 40-px horizontal line with max_iter=5."""
+    line = spark.createDataFrame(
+        [(x, 0, 1.0) for x in range(40)], "x int, y int, val double"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        clump_regions(line, max_iter=5).collect()
+    # and succeeds with an adequate bound
+    rows = clump_regions(line, max_iter=60).collect()
+    assert {r.region for r in rows} == {0}
