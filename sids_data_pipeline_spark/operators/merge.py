@@ -280,3 +280,44 @@ def refresh_aggregate(
         sums,
         count_col=count_col,
     )
+
+
+def distinct_sketches(
+    df: DataFrame,
+    key_col: str,
+    part_cols: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-partition mergeable distinct-count sketches — the COUNT
+    DISTINCT analogue of :func:`maintain_aggregate`.
+
+    Plain sums/counts maintain incrementally with a signed changelog,
+    but COUNT DISTINCT does not decompose that way — the standard
+    warehouse answer is to STORE a mergeable sketch per partition
+    (Datasketches HLL, the same family BigQuery/Snowflake expose) and
+    union sketches at query time. One map-side-combined groupBy emits
+    (part_cols..., sketch, n_rows); a new day's data appends one row,
+    and the base table is never rescanned.
+
+    ``lg_k=12`` ⇒ 2^12 registers ≈ 1.6% relative standard error, ~4 KB
+    per sketch.
+    """
+    return df.groupBy(*part_cols).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(int(lg_k))).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merged_distinct(
+    sketches: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Union stored sketches → distinct-count estimate, optionally per
+    ``group_cols`` rollup (e.g. month sketches → per-year + global
+    estimates). Cost is proportional to the SKETCH table (one row per
+    partition), not the base data."""
+    est = F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+        "approx_distinct"
+    )
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(est)
+    return sketches.agg(est)

@@ -2649,6 +2649,44 @@ FROM documents
 """
 
 
+def _mv_sketch_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental COUNT DISTINCT via stored mergeable sketches: one
+    Datasketches-HLL sketch per ship-month (the partition a new day's
+    load appends to), then the global estimate from the SKETCH TABLE
+    ALONE — the base scan happens once at sketch-build, never at query.
+    Gate shape (like agg_approx_distinct_gate): n_sketches and the exact
+    distinct are oracle-verified cross-engine, and the merged estimate
+    must land within the lg_k=12 envelope (3·1.04/√4096 ≈ 5%)."""
+    from sids_data_pipeline_spark.operators import merge as mrg
+
+    (li,) = tables(spark, sf_dir, "lineitem")
+    monthly = mrg.distinct_sketches(
+        li.withColumn("_m", F.trunc("l_shipdate", "month")),
+        "l_suppkey",
+        ["_m"],
+    )
+    est = mrg.merged_distinct(monthly)
+    counts = monthly.agg(F.count(F.lit(1)).alias("n_sketches"))
+    exact = li.agg(F.countDistinct("l_suppkey").alias("exact_distinct"))
+    return counts.crossJoin(exact).crossJoin(est).select(
+        "n_sketches",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * F.lit(0.05)
+        ).alias("within_bound"),
+    )
+
+
+_MV_SKETCH_SQL = """
+SELECT CAST(COUNT(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+         AS n_sketches,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_distinct,
+       TRUE AS within_bound
+FROM lineitem
+"""
+
+
 # Token-id expression for the tokenbin round-trip: md5-family word ids
 # (portable across Spark/DuckDB like the LSH hashes), vocab 32768.
 _TOKIDS = (
@@ -3979,6 +4017,12 @@ QUERIES: list[Query] = [
               "changelog) ∘ maintain_aggregate; churn-sized cost, oracle "
               "recomputes over the new snapshot",
           tags=("merge", "incremental", "agg")),
+    Query("mv_sketch_distinct_gate", _mv_sketch_distinct_gate, _MV_SKETCH_SQL,
+          doc="incremental COUNT DISTINCT: per-month Datasketches-HLL "
+              "sketches stored once, global estimate from the sketch "
+              "table alone; exact count + partition count oracle-pinned, "
+              "estimate gated at the lg_k=12 5% envelope",
+          tags=("merge", "sketch")),
     Query("mv_incremental", _mv_incremental, _MV_INCREMENTAL_SQL,
           doc="incremental materialized-view maintenance: signed changelog "
               "folds into COUNT/SUM view, base facts never rescanned; "

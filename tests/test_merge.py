@@ -336,3 +336,36 @@ def test_refresh_aggregate_retracts_null_id_keys(spark):
     # the NULL-id row was removed: its contribution must retract
     assert out["g"].n_rows == 1
     assert out["g"].sum_v == 5.0
+
+
+def test_distinct_sketches_merge_and_append(spark):
+    """COUNT DISTINCT via stored sketches: per-partition sketches union
+    to the right global estimate, and appending a NEW partition's sketch
+    row updates the estimate without touching old partitions."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.merge import (
+        distinct_sketches,
+        merged_distinct,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("part"),
+        # keys overlap across partitions: per-part distinct sums to 3000
+        # but the true global distinct is 1000
+        (F.col("id") % 1000).alias("key"),
+    )
+    sk = distinct_sketches(df, "key", ["part"])
+    assert sk.count() == 3
+    est = merged_distinct(sk).first().approx_distinct
+    assert abs(est - 1000) <= 1000 * 0.05
+    # append one new partition carrying 500 NEW keys
+    extra = spark.range(0, 500).select(
+        F.lit(9).alias("part"), (F.col("id") + 10_000).alias("key")
+    )
+    sk2 = sk.unionByName(distinct_sketches(extra, "key", ["part"]))
+    est2 = merged_distinct(sk2).first().approx_distinct
+    assert abs(est2 - 1500) <= 1500 * 0.05
+    # per-group rollup path
+    grouped = merged_distinct(sk2, ["part"])
+    assert grouped.count() == 4
