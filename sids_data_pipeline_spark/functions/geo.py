@@ -465,6 +465,32 @@ def wkb_perimeter_e6(wkb: bytes) -> int:
     return total
 
 
+def wkb_centroid_terms_e6(wkb: bytes) -> tuple[int, int, int]:
+    """Shoelace centroid NUMERATOR terms + twice-area, all exact integer
+    micros (per-edge rounding before the sum, like wkb_area2_e6 — the
+    generated SQL oracle mirrors each term):
+
+        Sx = Σ round((x_i + x_{i+1}) · cross_i · 1e6)
+        Sy = Σ round((y_i + y_{i+1}) · cross_i · 1e6)
+        A2 = Σ round(cross_i · 1e6)
+
+    The centroid itself is Sx/(3·A2), Sy/(3·A2) — ONE correctly-rounded
+    IEEE division of two exact integers, so engines agree bit-for-bit.
+    Signed sums: opposite-wound holes subtract from numerators and the
+    area consistently, so holed polygons centroid correctly."""
+    sx = sy = a2 = 0
+    for poly in parse_wkb(wkb):
+        for ring in poly:
+            r = np.asarray(ring, dtype=np.float64)
+            cross = r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]
+            xs = (r[:-1, 0] + r[1:, 0]) * cross
+            ys = (r[:-1, 1] + r[1:, 1]) * cross
+            sx += int(_round_half_away(xs * 1e6).astype(np.int64).sum())
+            sy += int(_round_half_away(ys * 1e6).astype(np.int64).sum())
+            a2 += int(_round_half_away(cross * 1e6).astype(np.int64).sum())
+    return sx, sy, a2
+
+
 def _clip_ring_halfplane(pts: list, inside, intersect) -> list:
     """One Sutherland–Hodgman pass: keep the part of the ring on the
     `inside` side of a boundary; `intersect` maps an (in, out) edge to

@@ -1915,6 +1915,67 @@ def _zone_metrics_sql() -> str:
     )
 
 
+def _geo_zone_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Centroid-style zone centroids: shoelace numerator terms and
+    twice-area as exact integer micros (per-edge rounding, plans/base.py
+    policy), then ONE IEEE division — the generated oracle recomputes
+    every edge term as literal SQL arithmetic. Holes (zones_overlap fid
+    4) subtract consistently from numerators and area."""
+    from pyspark.sql.functions import pandas_udf
+
+    zones = fixture_zones(spark, "zones_overlap")
+
+    @pandas_udf("sx long, sy long, a2 long")
+    def terms(wkb: pd.Series) -> pd.DataFrame:
+        vals = wkb.map(geo.wkb_centroid_terms_e6)
+        return pd.DataFrame(
+            {"sx": [v[0] for v in vals], "sy": [v[1] for v in vals],
+             "a2": [v[2] for v in vals]}
+        )
+
+    t = zones.select("fid", terms("geometry").alias("_t")).select(
+        "fid", F.col("_t.sx").alias("sx"), F.col("_t.sy").alias("sy"),
+        F.col("_t.a2").alias("a2"),
+    )
+    safe = F.when(F.col("a2") != 0, F.col("a2") * 3.0)
+    return t.select(
+        "fid",
+        F.round(F.col("sx") / safe, 9).alias("cx"),
+        F.round(F.col("sy") / safe, 9).alias("cy"),
+    ).orderBy("fid")
+
+
+def _zone_centroid_sql() -> str:
+    rows = []
+    for fid, _name, wkb in FIXTURE_BUILDERS["zones_overlap"]():
+        sx_t, sy_t, a_t = [], [], []
+        for poly in geo.parse_wkb(wkb):
+            for ring in poly:
+                pts = [(float(x), float(y)) for x, y in ring]
+                for (x0, y0), (x1, y1) in zip(pts[:-1], pts[1:]):
+                    cross = f"({x0!r} * {y1!r} - {x1!r} * {y0!r})"
+                    sx_t.append(
+                        f"CAST(ROUND(({x0!r} + {x1!r}) * {cross} * 1000000)"
+                        " AS BIGINT)"
+                    )
+                    sy_t.append(
+                        f"CAST(ROUND(({y0!r} + {y1!r}) * {cross} * 1000000)"
+                        " AS BIGINT)"
+                    )
+                    a_t.append(f"CAST(ROUND({cross} * 1000000) AS BIGINT)")
+        rows.append(
+            f"({fid}, CAST({' + '.join(sx_t)} AS BIGINT),"
+            f" CAST({' + '.join(sy_t)} AS BIGINT),"
+            f" CAST({' + '.join(a_t)} AS BIGINT))"
+        )
+    return (
+        "WITH t(fid, sx, sy, a2) AS (VALUES "
+        + ", ".join(rows)
+        + ") SELECT fid, ROUND(sx / NULLIF(a2 * 3.0, 0.0), 9) AS cx, "
+        "ROUND(sy / NULLIF(a2 * 3.0, 0.0), 9) AS cy FROM t ORDER BY fid"
+    )
+
+
 # Non-pixel-aligned rects over the 64x64 0.1-degree gradient raster:
 # fractional weights on every boundary edge, varying interior sizes.
 # Literal bounds shared by engine and generated oracle; the empty-zone
@@ -2036,6 +2097,15 @@ QUERIES: list[Query] = [
         _zone_metrics_sql(),
         doc="shoelace area + perimeter per zone in exact integer micros "
             "(per-edge rounding, oracle mirrors every term)",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "geo_zone_centroid",
+        _geo_zone_centroid,
+        _zone_centroid_sql(),
+        doc="ST_Centroid parity: shoelace numerators + twice-area in "
+            "exact integer micros, one IEEE division; holes subtract "
+            "consistently (per-edge-literal SQL oracle)",
         tags=("geo", "scalar"),
     ),
     Query(

@@ -319,3 +319,44 @@ def test_gpb_codec_fuzz_raises_cleanly():
             parse_gpb(bytes(data))
         except accept:
             pass
+
+
+def test_centroid_terms_box_triangle_hole():
+    """Box centroid = its center; triangle centroid = vertex mean; a
+    hole pulls the centroid away from the hole's side."""
+    import pytest
+
+    from sids_data_pipeline_spark.functions.geo import (
+        box_wkb,
+        multipolygon_wkb,
+        wkb_centroid_terms_e6,
+    )
+
+    def centroid(wkb):
+        sx, sy, a2 = wkb_centroid_terms_e6(wkb)
+        return sx / (3.0 * a2), sy / (3.0 * a2)
+
+    cx, cy = centroid(box_wkb(1.0, 2.0, 5.0, 10.0))
+    assert cx == pytest.approx(3.0, abs=1e-9)
+    assert cy == pytest.approx(6.0, abs=1e-9)
+
+    tri = multipolygon_wkb([[[(0.0, 0.0), (6.0, 0.0), (0.0, 3.0), (0.0, 0.0)]]])
+    cx, cy = centroid(tri)
+    assert cx == pytest.approx(2.0, abs=1e-6)
+    assert cy == pytest.approx(1.0, abs=1e-6)
+
+    # unit hole (wound OPPOSITE the exterior, so it subtracts) in the
+    # right half of a 0..4 box: centroid shifts LEFT
+    holed = multipolygon_wkb(
+        [
+            [
+                [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+                [(3.0, 1.5), (2.0, 1.5), (2.0, 2.5), (3.0, 2.5), (3.0, 1.5)],
+            ]
+        ]
+    )
+    cx, cy = centroid(holed)
+    assert cx < 2.0
+    assert cy == pytest.approx(2.0, abs=1e-6)  # hole is y-symmetric
+    # exact composite: (16*2 - 1*2.5) / 15
+    assert cx == pytest.approx((16 * 2.0 - 1 * 2.5) / 15.0, abs=1e-6)
