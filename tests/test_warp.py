@@ -270,3 +270,47 @@ def test_rasterize_empty_coverage_and_guards(spark):
         rasterize(zones, origin=(0.0, 0.0), res=(1.0, 1.0), size=(0, 4))
     with pytest.raises(ValueError, match="resolution"):
         rasterize(zones, origin=(0.0, 0.0), res=(0.0, 1.0), size=(4, 4))
+
+
+def test_warp_output_roundtrips_through_geotiff_writer(spark, tmp_path):
+    """End-to-end file parity: warp → PIXELS shape → df.write.format
+    ('geotiff') → re-ingest. Values survive; target cells the warp
+    omitted (outside the source) come back as nodata (NULL)."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.sources.geotiff import ingest_geotiff
+    from sids_data_pipeline_spark.sources.geotiff_datasource import register
+
+    register(spark)
+    out = _spark_warp(spark, "rast_gradient", "nearest")
+    px = out.select(
+        F.lit("warped").alias("raster_id"),
+        F.lit(1).alias("band"),
+        F.col("out_y").alias("y"),
+        F.col("out_x").alias("x"),
+        ((F.col("out_x") + F.lit(0.5)) * F.lit(RES)).alias("lon"),
+        ((F.col("out_y") + F.lit(0.5)) * F.lit(RES)).alias("lat"),
+        F.col("val"),
+    )
+    work = str(tmp_path / "tifs")
+    (
+        px.repartition("raster_id")
+        .write.format("geotiff")
+        .mode("overwrite")
+        .save(work)
+    )
+    # GeoTIFF layout is north-up (file row 0 = TOP lat), so the y INDEX
+    # flips on round-trip; lon/lat center coordinates are the invariant —
+    # key the comparison on them
+    back = {
+        (round(r.lon, 3), round(r.lat, 3)): r.val
+        for r in ingest_geotiff(spark, work + "/*.tif").collect()
+    }
+    want = {
+        (round((r.out_x + 0.5) * RES, 3), round((r.out_y + 0.5) * RES, 3)): r.val
+        for r in out.collect()
+    }
+    present = {k: v for k, v in back.items() if v is not None}
+    assert present == want
+    # the writer fills omitted cells with nodata; ingest surfaces NULL
+    assert all(back[k] is None for k in set(back) - set(want))
