@@ -491,6 +491,37 @@ def wkb_centroid_terms_e6(wkb: bytes) -> tuple[int, int, int]:
     return sx, sy, a2
 
 
+# Mean Earth radius (IUGG R1) — the PostGIS geography default sphere.
+SPHERE_RADIUS_M = 6371008.8
+
+
+def wkb_area_sphere_m2(wkb: bytes) -> int:
+    """Signed spherical polygon area in integer m² (Chamberlain &
+    Duquette 1987, the formula turf.js/PostGIS-sphere use):
+
+        A = R²/2 · Σ_edges (λ₂ − λ₁) · (2 + sin φ₁ + sin φ₂)
+
+    with λ, φ in radians. Per-edge terms round to integer m² BEFORE the
+    sum (plans/base.py policy — the generated SQL oracle mirrors each
+    term on the same vertex literals), so the total is an exact integer
+    both engines reproduce. Signed like :func:`wkb_area2_e6`: opposite-
+    wound holes subtract. Rings must not cross the antimeridian (split
+    them first — same contract as the planar metrics)."""
+    half_r2 = SPHERE_RADIUS_M * SPHERE_RADIUS_M / 2.0
+    total = 0
+    for poly in parse_wkb(wkb):
+        for ring in poly:
+            r = np.radians(np.asarray(ring, dtype=np.float64))
+            lam, phi = r[:, 0], r[:, 1]
+            terms = (
+                (lam[1:] - lam[:-1])
+                * (2.0 + np.sin(phi[:-1]) + np.sin(phi[1:]))
+                * half_r2
+            )
+            total += int(_round_half_away(terms).astype(np.int64).sum())
+    return total
+
+
 def _clip_ring_halfplane(pts: list, inside, intersect) -> list:
     """One Sutherland–Hodgman pass: keep the part of the ring on the
     `inside` side of a boundary; `intersect` maps an (in, out) edge to

@@ -1976,6 +1976,51 @@ def _zone_centroid_sql() -> str:
     )
 
 
+def _geo_zone_area_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area(geography)-style spherical zone area (Chamberlain &
+    Duquette edge sum on the IUGG mean sphere), exact integer m² by
+    per-edge rounding; the oracle re-derives every edge term from
+    PRE-COMPUTED radian literals of the same vertices."""
+    from pyspark.sql.functions import pandas_udf
+
+    zones = fixture_zones(spark, "zones_overlap")
+
+    @pandas_udf("long")
+    def area_m2(wkb: pd.Series) -> pd.Series:
+        return wkb.map(geo.wkb_area_sphere_m2)
+
+    return zones.select(
+        "fid", area_m2("geometry").alias("area_m2")
+    ).orderBy("fid")
+
+
+def _zone_area_sphere_sql() -> str:
+    import math as _math
+
+    half_r2 = geo.SPHERE_RADIUS_M * geo.SPHERE_RADIUS_M / 2.0
+    rows = []
+    for fid, _name, wkb in FIXTURE_BUILDERS["zones_overlap"]():
+        terms = []
+        for poly in geo.parse_wkb(wkb):
+            for ring in poly:
+                rad = [
+                    (_math.radians(float(x)), _math.radians(float(y)))
+                    for x, y in ring
+                ]
+                for (l0, p0), (l1, p1) in zip(rad[:-1], rad[1:]):
+                    terms.append(
+                        f"CAST(ROUND(({l1!r} - {l0!r}) * "
+                        f"(2.0 + sin({p0!r}) + sin({p1!r})) * {half_r2!r})"
+                        " AS BIGINT)"
+                    )
+        rows.append(f"({fid}, CAST({' + '.join(terms)} AS BIGINT))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(fid, area_m2) ORDER BY fid"
+    )
+
+
 # Non-pixel-aligned rects over the 64x64 0.1-degree gradient raster:
 # fractional weights on every boundary edge, varying interior sizes.
 # Literal bounds shared by engine and generated oracle; the empty-zone
@@ -2097,6 +2142,15 @@ QUERIES: list[Query] = [
         _zone_metrics_sql(),
         doc="shoelace area + perimeter per zone in exact integer micros "
             "(per-edge rounding, oracle mirrors every term)",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "geo_zone_area_sphere",
+        _geo_zone_area_sphere,
+        _zone_area_sphere_sql(),
+        doc="ST_Area(geography) parity: Chamberlain-Duquette spherical "
+            "edge sum on the IUGG mean sphere, exact integer m² "
+            "(per-edge-literal SQL oracle)",
         tags=("geo", "scalar"),
     ),
     Query(

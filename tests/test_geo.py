@@ -360,3 +360,34 @@ def test_centroid_terms_box_triangle_hole():
     assert cy == pytest.approx(2.0, abs=1e-6)  # hole is y-symmetric
     # exact composite: (16*2 - 1*2.5) / 15
     assert cx == pytest.approx((16 * 2.0 - 1 * 2.5) / 15.0, abs=1e-6)
+
+
+def test_sphere_area_box_matches_closed_form():
+    """For a lon/lat-aligned box the Chamberlain–Duquette edge sum
+    collapses to the EXACT spherical-zone area R²·Δλ·(sinφ₂ − sinφ₁)
+    (constant-λ edges contribute nothing); per-edge integer rounding
+    leaves ≤ 2 m² slack. A CCW-vs-CW pair must be sign-opposite."""
+    import math
+
+    from sids_data_pipeline_spark.functions.geo import (
+        SPHERE_RADIUS_M,
+        box_wkb,
+        multipolygon_wkb,
+        wkb_area_sphere_m2,
+    )
+
+    lon1, lat1, lon2, lat2 = 10.0, 20.0, 12.5, 23.0
+    got = wkb_area_sphere_m2(box_wkb(lon1, lat1, lon2, lat2))
+    want = (
+        SPHERE_RADIUS_M**2
+        * math.radians(lon2 - lon1)
+        * (math.sin(math.radians(lat2)) - math.sin(math.radians(lat1)))
+    )
+    assert abs(abs(got) - want) <= 2.0
+    # ~2.5°×3° at 20°N ≈ 8.6e10 m² — sanity on magnitude
+    assert 8.0e10 < abs(got) < 9.5e10
+    reversed_ring = multipolygon_wkb(
+        [[[(lon1, lat1), (lon1, lat2), (lon2, lat2), (lon2, lat1), (lon1, lat1)]]]
+    )
+    rev = wkb_area_sphere_m2(reversed_ring)
+    assert rev == -got or rev == -got + 1 or rev == -got - 1  # rounding ties
