@@ -2656,7 +2656,11 @@ def _mv_sketch_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALONE — the base scan happens once at sketch-build, never at query.
     Gate shape (like agg_approx_distinct_gate): n_sketches and the exact
     distinct are oracle-verified cross-engine, and the merged estimate
-    must land within the lg_k=12 envelope (3·1.04/√4096 ≈ 5%)."""
+    must land within the lg_k=12 envelope (3·1.04/√4096 ≈ 5%).
+
+    Plan note: the BroadcastNestedLoopJoin in this plan is the crossJoin
+    of three ONE-ROW aggregates (1×1×1 by construction) — the benign
+    output-bounded re-attach class, not a per-row nested loop."""
     from sids_data_pipeline_spark.operators import merge as mrg
 
     (li,) = tables(spark, sf_dir, "lineitem")

@@ -51,7 +51,14 @@ AUDITED = [
     "raster_warp_average",
     "raster_pyramid",
     "raster_hillshade",
+    "raster_slope_aspect",
     "raster_clump",
+    "raster_burn",
+    "raster_proximity",
+    "sink_tokenbin_roundtrip",
+    "mv_sketch_distinct_gate",
+    "geo_zone_centroid",
+    "geo_zone_area_sphere",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
