@@ -192,12 +192,16 @@ PRIORITY: tuple[str, ...] = (
     # pricing_summary displaced by the terrain additions: relational.py's
     # Q1 shape is unchanged (r7 row stands) and it still runs — and is
     # timed — in every bench.py round, like sql_shipping_priority
-    "events_session",
-    "streaming_sessions",
-    # streaming_dedup_wm displaced (streaming/jobs.py diff this round is
-    # docstring-only, so its r7 row stands; streaming_sessions +
-    # streaming_raster_ingest keep the streaming family in-window)
+    # events_session displaced late (windows.py unchanged, r7 row
+    # stands, and it runs — and is timed — in every bench.py round);
+    # streaming_sessions displaced late (streaming/jobs.py diff is
+    # docstring-only, r7 row stands, streaming_raster_ingest keeps the
+    # family in-window) — both slots go to the novel late additions
+    # below (tokenbin sink, proximity, sketch maintenance)
     "streaming_raster_ingest",
+    "sink_tokenbin_roundtrip",
+    "raster_proximity",
+    "mv_sketch_distinct_gate",
     # multimodal_meta displaced (multimodal.py unchanged; the r6 row
     # stands); multimodal_features also displaced late — same unchanged
     # file, r7 row stands, and it runs in every bench.py round
@@ -209,9 +213,9 @@ PRIORITY: tuple[str, ...] = (
     # corpus_pack_sequences keeps E8 in-window)
     # similarity_topk_quantized displaced (the round-8 similarity.py
     # diff is purely additive — dedup_semantic only — so its plan is
-    # byte-identical to the r7-green row; similarity_topk +
-    # embedding_kmeans + dedup_semantic keep E3 in-window)
-    "similarity_topk",
+    # byte-identical to the r7-green row; dedup_semantic keeps E3
+    # in-window); similarity_topk itself displaced late (unchanged
+    # shape, r7 row stands, runs — and is timed — in every bench round)
     # embedding_kmeans displaced by raster_warp_bilinear (new this
     # session): similarity.py's k-means is unchanged since its r6-green
     # row, and similarity_topk + dedup_semantic (which clusters through
