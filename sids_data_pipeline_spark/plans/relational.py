@@ -426,6 +426,33 @@ def _window_first_last_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) — the
+    one window class no other entry exercises; integer-cents order key
+    so ranks are deterministic, 9-dp rounding on the two ratios (exact
+    small-integer divisions, the rounding is belt-and-braces)."""
+    (cust,) = tables(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        cents("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+_WINDOW_DISTRIBUTION_SQL = f"""
+SELECT c_nationkey, c_custkey,
+       ROUND(percent_rank() OVER w, 9) AS pct_rank,
+       ROUND(cume_dist() OVER w, 9) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY {o_cents('c_acctbal')} ASC, c_custkey ASC)
+"""
+
+
 _FIRST_LAST_SQL = f"""
 SELECT o_custkey, o_orderkey,
        first_value({o_cents('o_totalprice')}) OVER w2 AS first_cents,
@@ -1714,6 +1741,14 @@ QUERIES: list[Query] = [
         _window_first_last_ntile,
         _FIRST_LAST_SQL,
         doc="first/last value over the full frame + ntile bucketing",
+        tags=("window",),
+    ),
+    Query(
+        "window_distribution",
+        _window_distribution,
+        _WINDOW_DISTRIBUTION_SQL,
+        doc="percent_rank + cume_dist over a deterministic integer-cents "
+            "order (the distribution window class)",
         tags=("window",),
     ),
     Query(
