@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 
 
 def build_overviews(
-    pixels: DataFrame, levels: int = 3, val_col: str = "val"
+    pixels: DataFrame,
+    levels: int = 3,
+    val_col: str = "val",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Overview pyramid (gdaladdo -r average parity): for each level k in
     1..``levels``, downsample by 2^k with a block mean over non-NULL
@@ -50,6 +53,10 @@ def build_overviews(
     Output: (level, x, y, val, n_px) where (x, y) indexes the level's
     grid and n_px counts contributing source pixels (gdaladdo's edge
     blocks aggregate fewer than 4^k pixels; n_px makes that auditable).
+
+    ``group_cols`` (e.g. ``("raster_id", "band")``) prepends grouping
+    keys so a WHOLE ESTATE pyramids in this same single shuffle — no
+    per-raster job loop; the keys ride through to the output.
     """
     if not 1 <= levels <= 30:
         # JVM shift counts wrap mod 32: shiftright(x, 32+) would SILENTLY
@@ -58,11 +65,12 @@ def build_overviews(
         raise ValueError(f"levels must be in [1, 30], got {levels}")
     lv = F.explode(F.sequence(F.lit(1), F.lit(levels))).alias("level")
     src = pixels.filter(F.col(val_col).isNotNull()).select(
-        "x", "y", F.col(val_col).alias("_val")
+        *group_cols, "x", "y", F.col(val_col).alias("_val")
     )
     return (
-        src.select("x", "y", "_val", lv)
+        src.select(*group_cols, "x", "y", "_val", lv)
         .groupBy(
+            *group_cols,
             "level",
             # SQL expr: the Python shiftright() wrapper only takes a
             # literal bit count, but the level is a per-row column
@@ -86,7 +94,10 @@ _NAMES = ["a", "b", "c", "d", "e", "f", "g", "h", "i"]
 
 
 def horn_derivatives(
-    pixels: DataFrame, cellsize: float, val_col: str = "val"
+    pixels: DataFrame,
+    cellsize: float,
+    val_col: str = "val",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-pixel Horn (1981) finite differences over the 3×3 window.
 
@@ -97,7 +108,11 @@ def horn_derivatives(
     window touching nodata or the raster edge as nodata, and the engine
     omits such rows (inner contract, same as warp).
 
-    Output: (x, y, dzdx, dzdy) with
+    ``group_cols`` (e.g. ``("raster_id", "band")``) scopes windows per
+    group INSIDE the one shuffle, so a whole estate derives in a single
+    pass (windows never mix rasters); keys ride through to the output.
+
+    Output: (group_cols..., x, y, dzdx, dzdy) with
       dzdx = ((c + 2f + i) − (a + 2d + g)) / (8·cellsize)
       dzdy = ((a + 2b + c) − (g + 2h + i)) / (8·cellsize)   (+y = north)
     """
@@ -117,15 +132,16 @@ def horn_derivatives(
     ).alias("_o")
     exploded = (
         pixels.filter(F.col(val_col).isNotNull())
-        .select("x", "y", F.col(val_col).alias("_val"), offs)
+        .select(*group_cols, "x", "y", F.col(val_col).alias("_val"), offs)
         .select(
+            *group_cols,
             (F.col("x") - F.col("_o.rx")).alias("cx"),
             (F.col("y") - F.col("_o.ry")).alias("cy"),
             F.col("_o.pos").alias("pos"),
             "_val",
         )
     )
-    cells = exploded.groupBy("cx", "cy").agg(
+    cells = exploded.groupBy(*group_cols, "cx", "cy").agg(
         F.count("_val").alias("_n"),
         *[
             F.max(F.when(F.col("pos") == name, F.col("_val"))).alias(name)
@@ -134,6 +150,7 @@ def horn_derivatives(
     )
     eight = F.lit(8.0 * cellsize)
     return cells.filter(F.col("_n") == 9).select(
+        *group_cols,
         F.col("cx").alias("x"),
         F.col("cy").alias("y"),
         (
@@ -152,11 +169,12 @@ def slope_aspect(
     cellsize: float,
     z_factor: float = 1.0,
     val_col: str = "val",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """gdaldem slope + aspect (degrees): slope = atan(z·√(p²+q²));
     aspect measured clockwise from north (0..360), flat cells → aspect
     NULL (gdaldem emits its flat sentinel there)."""
-    d = horn_derivatives(pixels, cellsize, val_col)
+    d = horn_derivatives(pixels, cellsize, val_col, group_cols)
     p, q = F.col("dzdx") * z_factor, F.col("dzdy") * z_factor
     slope = F.degrees(F.atan(F.sqrt(p * p + q * q)))
     # facing = steepest-DESCENT direction, clockwise from north (gdaldem's
@@ -165,7 +183,10 @@ def slope_aspect(
     aspect = F.when((p == 0) & (q == 0), F.lit(None).cast("double")).otherwise(
         F.when(az < 0, az + 360.0).otherwise(az)
     )
-    return d.select("x", "y", slope.alias("slope_deg"), aspect.alias("aspect_deg"))
+    return d.select(
+        *group_cols, "x", "y",
+        slope.alias("slope_deg"), aspect.alias("aspect_deg"),
+    )
 
 
 def hillshade(
@@ -175,6 +196,7 @@ def hillshade(
     altitude_deg: float = 45.0,
     z_factor: float = 1.0,
     val_col: str = "val",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """gdaldem hillshade (Horn kernel, 0..255): illumination of each full
     3×3 window from (azimuth, altitude), clamped at 0.
@@ -185,7 +207,7 @@ def hillshade(
     Horn derivatives; the plan is the single horn_derivatives shuffle
     plus a projection.
     """
-    d = horn_derivatives(pixels, cellsize, val_col)
+    d = horn_derivatives(pixels, cellsize, val_col, group_cols)
     zen = math.radians(90.0 - altitude_deg)
     az = math.radians(azimuth_deg)
     p, q = F.col("dzdx") * z_factor, F.col("dzdy") * z_factor
@@ -198,7 +220,8 @@ def hillshade(
         + F.lit(math.sin(zen)) * F.sin(slope) * F.cos(F.lit(az) - aspect)
     )
     return d.select(
-        "x", "y", F.greatest(shade, F.lit(0.0)).alias("hillshade")
+        *group_cols, "x", "y",
+        F.greatest(shade, F.lit(0.0)).alias("hillshade"),
     )
 
 

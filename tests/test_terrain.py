@@ -365,3 +365,36 @@ def test_clump_max_iter_raises_not_partial(spark):
     # and succeeds with an adequate bound
     rows = clump_regions(line, max_iter=60).collect()
     assert {r.region for r in rows} == {0}
+
+
+def test_group_cols_estate_matches_per_raster(spark):
+    """Multi-raster estate in ONE shuffle: group_cols=('raster_id',)
+    must equal running each raster alone — including at raster seams
+    (windows/blocks never mix rasters)."""
+    a = synthetic_raster(spark, "rast_gradient")
+    b = synthetic_raster(spark, "rast_checker")
+    estate = a.unionByName(b)
+
+    got_hs = {
+        (r.raster_id, r.x, r.y): r.hillshade
+        for r in hillshade(
+            estate, cellsize=30.0, group_cols=("raster_id",)
+        ).collect()
+    }
+    want_hs = {}
+    for rid, px in (("rast_gradient", a), ("rast_checker", b)):
+        for r in hillshade(px, cellsize=30.0).collect():
+            want_hs[(rid, r.x, r.y)] = r.hillshade
+    assert got_hs == want_hs
+
+    got_ov = {
+        (r.raster_id, r.level, r.x, r.y): (r.val, r.n_px)
+        for r in build_overviews(
+            estate, levels=2, group_cols=("raster_id",)
+        ).collect()
+    }
+    want_ov = {}
+    for rid, px in (("rast_gradient", a), ("rast_checker", b)):
+        for r in build_overviews(px, levels=2).collect():
+            want_ov[(rid, r.level, r.x, r.y)] = (r.val, r.n_px)
+    assert got_ov == want_ov
