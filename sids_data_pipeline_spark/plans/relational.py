@@ -166,6 +166,41 @@ def _join_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with unmatched rows on BOTH sides (urgent-order
+    aggregates × high-balance customers), so a semantics break in either
+    null-extension direction flips the hash."""
+    orders, cust = tables(spark, sf_dir, "orders", "customer")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_urgent"))
+    )
+    rich = cust.filter(F.col("c_acctbal") > 5000.0).select(
+        "c_custkey", "c_name"
+    )
+    return urgent.join(
+        rich, urgent.o_custkey == rich.c_custkey, "full_outer"
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_urgent",
+    )
+
+
+_JOIN_FULL_OUTER_SQL = """
+WITH urgent AS (
+  SELECT o_custkey, COUNT(*) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  GROUP BY o_custkey
+), rich AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000.0
+)
+SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_urgent
+FROM urgent FULL OUTER JOIN rich ON o_custkey = c_custkey
+"""
+
+
 def _join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, nation, region = tables(spark, sf_dir, "customer", "nation", "region")
     return (
@@ -1556,6 +1591,14 @@ QUERIES: list[Query] = [
         WHERE o_orderstatus = 'F'
         """,
         doc="J2 equi left join",
+        tags=("join",),
+    ),
+    Query(
+        "join_full_outer",
+        _join_full_outer,
+        _JOIN_FULL_OUTER_SQL,
+        doc="FULL OUTER with unmatched rows on both sides (null extension "
+            "verified in both directions)",
         tags=("join",),
     ),
     Query(
