@@ -659,3 +659,106 @@ def semantic_dedup(
             F.coalesce("_d", F.lit(False)).alias("dropped"),
         )
     )
+
+
+# --- PCA for embedding columns (E3 dimensionality reduction) -------------------
+
+
+def pca_fit(
+    df: DataFrame, k: int, vec_col: str = "embedding"
+) -> dict:
+    """Deterministic PCA fit over an embedding column.
+
+    The distributed work is ONE pass: per-partition numpy accumulates
+    (n, Σv, Σ v·vᵀ) and the driver reduces partition-count-sized partial
+    moments — the covariance is d×d (d = embedding width, here 64), so
+    the driver-side eigendecomposition is microseconds and the shuffle
+    ships d² doubles per partition, independent of row count (the same
+    driver-traffic bound as kmeans_fit's k×d centroids).
+
+    Determinism: the input moments are integer-free float sums computed
+    in a FIXED partition-then-index order via float64 numpy (pairwise
+    summation within a partition is deterministic for a fixed split);
+    eigh on the fixed matrix is deterministic on one platform, and each
+    component's sign is pinned (largest-|entry| coordinate positive),
+    so repeated fits emit identical models.
+
+    Returns {"mean": [d], "components": [k][d] (rows = top components,
+    eigenvalue-descending), "explained": [k], "total_var": float}.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partials(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = sum(r.n for r in rows)
+    d = len(rows[0].s)
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} outside [1, {d}]")
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r.s)
+        ss += np.asarray(r.ss).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # sign convention: the largest-|entry| coordinate of each component
+    # is positive (eigh's signs are arbitrary)
+    for i in range(comps.shape[0]):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained": evals[order].tolist(),
+        "total_var": float(evals.sum()),
+    }
+
+
+def pca_transform(
+    df: DataFrame, model: dict, vec_col: str = "embedding", out_col: str = "pc"
+) -> DataFrame:
+    """Project embeddings onto the fitted components — a LITERAL-matrix
+    codegen projection (the nearest_site idiom): each of the k outputs is
+    a d-term dot product of (v − mean) against a constant row, fully
+    JVM-side, zero Python in the hot path."""
+    mean = model["mean"]
+    comps = model["components"]
+    outs = []
+    for row in comps:
+        terms = [
+            (F.col(vec_col)[i] - F.lit(mean[i])) * F.lit(row[i])
+            for i in range(len(row))
+        ]
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        outs.append(acc)
+    return df.withColumn(out_col, F.array(*outs))

@@ -2649,6 +2649,49 @@ FROM documents
 """
 
 
+def _embedding_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 dimensionality reduction, gate-shaped: PCA fits from one pass
+    of distributed moments (driver reduces d² partials; eigh is on a
+    64×64 matrix) and the projection is a literal-matrix codegen
+    expression. The gate re-derives the model's own claims from the
+    PROJECTED DATA distributively: each component's projected variance
+    must equal its eigenvalue and each projected mean must be ~0 —
+    a wrong covariance, a mis-ordered eigenvector, or a broken
+    projection flips the booleans. Orthonormality and the explained-
+    variance ordering are pinned in pytest."""
+    from sids_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, k=4)
+    proj = pca_transform(emb, model)
+    var_ok = F.lit(True)
+    mean_ok = F.lit(True)
+    for i, ev in enumerate(model["explained"]):
+        pc = F.col("pc")[i]
+        mean_i = F.avg(pc)
+        var_i = F.avg(pc * pc) - mean_i * mean_i
+        var_ok = var_ok & (
+            F.abs(var_i - F.lit(ev)) <= F.lit(abs(ev) * 1e-6 + 1e-12)
+        )
+        mean_ok = mean_ok & (F.abs(mean_i) <= F.lit(1e-9))
+    return proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        var_ok.alias("vars_match_eigenvalues"),
+        mean_ok.alias("means_centered"),
+    )
+
+
+_PCA_GATE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS vars_match_eigenvalues,
+       TRUE AS means_centered
+FROM embeddings
+"""
+
+
 def _mv_sketch_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental COUNT DISTINCT via stored mergeable sketches: one
     Datasketches-HLL sketch per ship-month (the partition a new day's
@@ -3749,6 +3792,12 @@ QUERIES: list[Query] = [
     Query("similarity_topk_ivf", _similarity_ivf, _SIMILARITY_IVF_SQL,
           doc="E3 IVF-bucketed ANN: search only the query's coarse bucket",
           tags=("similarity",)),
+    Query("embedding_pca_gate", _embedding_pca_gate, _PCA_GATE_SQL,
+          doc="E3 PCA: one-pass distributed moments (driver reduces d^2 "
+              "partials), literal-matrix codegen projection; gate "
+              "re-derives eigenvalues and centering from the projected "
+              "data distributively",
+          tags=("similarity", "gate")),
     Query("similarity_recall", _similarity_recall, _similarity_recall_sql(),
           doc="E3 evaluation: recall@10 of the IVF probe vs the exact "
               "ranking, oracle correct by composition",

@@ -280,3 +280,57 @@ def test_semantic_dedup_drops_copies_keeps_representative(spark):
     got = {r.vec_id: r.dropped for r in
            semantic_dedup(emb, k=2, threshold=0.95).collect()}
     assert got == {0: False, 1: False, 2: True, 3: False, 4: False}
+
+
+def test_pca_matches_numpy_and_is_deterministic(spark):
+    """pca_fit's model must equal full-precision numpy PCA on the
+    collected data (same centering, same eigen-ordering, same sign
+    convention), twice in a row (determinism), and the codegen
+    projection must match the numpy projection per row."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    m = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    mean = m.mean(axis=0)
+    cov = (m - mean).T @ (m - mean) / m.shape[0]
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    want_comps = evecs[:, order].T
+    for i in range(3):
+        j = int(np.abs(want_comps[i]).argmax())
+        if want_comps[i, j] < 0:
+            want_comps[i] = -want_comps[i]
+
+    model = pca_fit(emb, k=3)
+    model2 = pca_fit(emb, k=3)
+    assert model == model2  # deterministic re-fit
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["explained"], evals[order], atol=1e-9)
+    assert np.allclose(model["components"], want_comps, atol=1e-8)
+    # components orthonormal
+    c = np.asarray(model["components"])
+    assert np.allclose(c @ c.T, np.eye(3), atol=1e-9)
+    # explained variance descending
+    assert sorted(model["explained"], reverse=True) == model["explained"]
+
+    got = {
+        r.vec_id: np.asarray(r.pc)
+        for r in pca_transform(emb, model).select("vec_id", "pc").collect()
+    }
+    want = (m - mean) @ want_comps.T
+    for idx, r in enumerate(rows):
+        assert np.allclose(got[r.vec_id], want[idx], atol=1e-8)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k"):
+        pca_fit(emb, k=0)
+    with pytest.raises(ValueError, match="outside"):
+        pca_fit(emb, k=65)
