@@ -24,6 +24,8 @@ mandated by BASELINE.json north_star.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -743,16 +745,27 @@ def pca_fit(
 
 
 def pca_transform(
-    df: DataFrame, model: dict, vec_col: str = "embedding", out_col: str = "pc"
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pc",
+    whiten: bool = False,
 ) -> DataFrame:
     """Project embeddings onto the fitted components — a LITERAL-matrix
     codegen projection (the nearest_site idiom): each of the k outputs is
     a d-term dot product of (v − mean) against a constant row, fully
-    JVM-side, zero Python in the hot path."""
+    JVM-side, zero Python in the hot path.
+
+    ``whiten=True`` scales each output by 1/√eigenvalue (unit variance
+    per component — the usual preprocessing before cosine/k-means on
+    anisotropic embeddings); components with eigenvalue ≤ 0 (numerical
+    zeros past the data's rank) pass through unscaled rather than
+    exploding."""
     mean = model["mean"]
     comps = model["components"]
+    explained = model.get("explained", [])
     outs = []
-    for row in comps:
+    for ci, row in enumerate(comps):
         terms = [
             (F.col(vec_col)[i] - F.lit(mean[i])) * F.lit(row[i])
             for i in range(len(row))
@@ -760,5 +773,7 @@ def pca_transform(
         acc = terms[0]
         for t in terms[1:]:
             acc = acc + t
+        if whiten and ci < len(explained) and explained[ci] > 0:
+            acc = acc * F.lit(1.0 / math.sqrt(explained[ci]))
         outs.append(acc)
     return df.withColumn(out_col, F.array(*outs))

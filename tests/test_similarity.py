@@ -334,3 +334,19 @@ def test_pca_matches_numpy_and_is_deterministic(spark):
         pca_fit(emb, k=0)
     with pytest.raises(ValueError, match="outside"):
         pca_fit(emb, k=65)
+
+
+def test_pca_whiten_unit_variance(spark):
+    import numpy as np
+
+    from sids_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = pca_fit(emb, k=3)
+    w = pca_transform(emb, model, whiten=True).select("pc").collect()
+    m = np.stack([np.asarray(r.pc) for r in w])
+    var = m.var(axis=0)  # population variance, matching the fit's /n
+    assert np.allclose(var, 1.0, atol=1e-8)
