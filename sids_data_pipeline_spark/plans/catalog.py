@@ -222,6 +222,11 @@ PRIORITY: tuple[str, ...] = (
     # the same k-means) keep E3 in-window
     # corpus_bpe_train displaced by raster_bigtiff_ingest: text.py is
     # unchanged this round and the BPE family keeps its r7 rows
+    #
+    # Round-9 rotation queue (new entries with no driver row yet, all
+    # selfcheck-green + /verify-driven this session): raster_slope_aspect,
+    # geo_zone_centroid, geo_zone_area_sphere, window_distribution,
+    # join_full_outer, embedding_pca_gate.
 )
 
 
