@@ -297,38 +297,95 @@ def sieve(
     min_size: int,
     val_col: str = "val",
     max_iter: int = 100,
+    fill: bool = False,
 ) -> DataFrame:
-    """gdal_sieve's removal half: mask (NULL out) every pixel whose
-    4-connected equal-value region holds fewer than ``min_size`` pixels.
+    """gdal_sieve: every pixel whose 4-connected equal-value region holds
+    fewer than ``min_size`` pixels is either masked (``fill=False``, the
+    default — what the quality-filter use case wants before zonal stats)
+    or REFILLED with the value of the region's largest 4-adjacent
+    neighbour region (``fill=True`` — gdal_sieve's own behaviour), ties
+    broken by smallest region id so the result is deterministic.
 
-    gdal_sieve then REFILLS masked pixels from the largest neighbouring
-    region; this operator stops at the mask — the fill is a second
-    clump + neighbour-argmax pass callers can run if they need it, and
-    masking is what the quality-filter use case (kill speckle before
-    zonal stats) actually wants.
+    The fill is ONE pass (gdal's too): a small region merges into its
+    largest neighbour even if that neighbour is itself small; cascading
+    re-merges would need another sieve call. Small regions with no
+    neighbour at all (isolated by nodata/edge) fall back to the mask.
+    Fill shape: the clump labelling plus one more integer-key neighbour
+    equi-join and a per-region argmax — never all-pairs.
 
-    Output: the input columns with ``val_col`` NULLed on sieved pixels
-    (NULL inputs stay NULL).
+    Output: the input columns with ``val_col`` masked/filled on sieved
+    pixels (NULL inputs stay NULL).
     """
     if min_size < 1:
         raise ValueError(f"min_size must be >= 1, got {min_size}")
     regions = clump_regions(pixels, val_col, max_iter=max_iter)
-    small = (
-        regions.groupBy("region")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") < min_size)
-        .select("region")
+    sizes = regions.groupBy("region").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(val_col).alias("_rval")
     )
-    doomed = regions.join(small, "region", "left_semi").select(
-        "x", "y", F.lit(True).alias("_sieved")
+    small = sizes.filter(F.col("_n") < min_size).select("region")
+    if not fill:
+        doomed = regions.join(small, "region", "left_semi").select(
+            "x", "y", F.lit(True).alias("_sieved")
+        )
+        out = pixels.join(doomed, ["x", "y"], "left").withColumn(
+            val_col,
+            F.when(F.col("_sieved"), F.lit(None).cast("double")).otherwise(
+                F.col(val_col)
+            ),
+        )
+        return out.drop("_sieved")
+    # region adjacency: +x/+y probes (like the clump edge join, but
+    # WITHOUT value equality and across region boundaries), symmetrized
+    base = regions.select("x", "y", "region")
+    offs = F.explode(
+        F.array(
+            F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
+            F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+        )
+    ).alias("_o")
+    probe = base.select("x", "y", "region", offs).select(
+        (F.col("x") + F.col("_o.dx")).alias("x"),
+        (F.col("y") + F.col("_o.dy")).alias("y"),
+        F.col("region").alias("_r1"),
     )
-    out = pixels.join(doomed, ["x", "y"], "left").withColumn(
-        val_col,
-        F.when(F.col("_sieved"), F.lit(None).cast("double")).otherwise(
-            F.col(val_col)
+    touch = (
+        probe.join(base, ["x", "y"])
+        .filter(F.col("_r1") != F.col("region"))
+        .select(F.col("_r1").alias("a"), F.col("region").alias("b"))
+    )
+    touch = touch.unionByName(
+        touch.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    nbr_sized = touch.join(
+        sizes.select(
+            F.col("region").alias("b"),
+            F.col("_n").alias("_nb"),
+            F.col("_rval").alias("_bval"),
         ),
+        "b",
     )
-    return out.drop("_sieved")
+    # largest neighbour wins; ties → smallest region id (max of struct
+    # (_nb, -b) compares size first, then prefers the smaller id)
+    fills = (
+        nbr_sized.join(small.select(F.col("region").alias("a")), "a", "left_semi")
+        .groupBy("a")
+        .agg(
+            F.max(
+                F.struct(F.col("_nb"), (-F.col("b")).alias("_negb"), "_bval")
+            ).alias("_w")
+        )
+        .select(F.col("a").alias("region"), F.col("_w._bval").alias("_fill"))
+    )
+    px_fill = (
+        regions.join(small, "region", "left_semi")
+        .join(fills, "region", "left")
+        .select("x", "y", F.lit(True).alias("_sieved"), "_fill")
+    )
+    out = pixels.join(px_fill, ["x", "y"], "left").withColumn(
+        val_col,
+        F.when(F.col("_sieved"), F.col("_fill")).otherwise(F.col(val_col)),
+    )
+    return out.drop("_sieved", "_fill")
 
 
 def proximity(

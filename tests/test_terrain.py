@@ -398,3 +398,37 @@ def test_group_cols_estate_matches_per_raster(spark):
         for r in build_overviews(px, levels=2).collect():
             want_ov[(rid, r.level, r.x, r.y)] = (r.val, r.n_px)
     assert got_ov == want_ov
+
+
+def test_sieve_fill_merges_into_largest_neighbor(spark, speckled):
+    """fill=True: the isolated val-1 pixels and the 2x2 patch (if below
+    threshold) take the background value; an isolated-by-nodata small
+    region falls back to the mask."""
+    df, vals = speckled
+    out = {(r.x, r.y): r.val for r in sieve(df, min_size=3, fill=True).collect()}
+    # isolated speckles filled with the background (their only neighbor)
+    assert out[(2, 2)] == 0.0 and out[(9, 13)] == 0.0
+    # the 2x2 patch (size 4 >= 3) survives untouched
+    assert out[(12, 3)] == 1.0 and out[(13, 4)] == 1.0
+    # background and NULL input unchanged
+    assert out[(0, 0)] == 0.0 and out[(5, 5)] is None
+    # raise threshold past the patch: it merges into the background too
+    out2 = {
+        (r.x, r.y): r.val for r in sieve(df, min_size=5, fill=True).collect()
+    }
+    assert out2[(12, 3)] == 0.0 and out2[(13, 4)] == 0.0
+
+
+def test_sieve_fill_no_neighbor_masks(spark):
+    """A small region surrounded entirely by NULLs has no neighbour to
+    merge into — fill falls back to the mask."""
+    rows = []
+    for y in range(5):
+        for x in range(5):
+            if (x, y) == (2, 2):
+                rows.append((x, y, 7.0))
+            else:
+                rows.append((x, y, None))
+    df = spark.createDataFrame(rows, "x int, y int, val double")
+    out = {(r.x, r.y): r.val for r in sieve(df, min_size=2, fill=True).collect()}
+    assert out[(2, 2)] is None
