@@ -711,6 +711,9 @@ def pca_fit(
 
     rows = (
         df.select(vec_col)
+        # NULL vectors carry no moments (np.stack would die on None);
+        # mixed-width vectors still fail loudly inside the stack
+        .where(F.col(vec_col).isNotNull())
         .mapInPandas(partials, "n long, s array<double>, ss array<double>")
         .collect()
     )

@@ -350,3 +350,15 @@ def test_pca_whiten_unit_variance(spark):
     m = np.stack([np.asarray(r.pc) for r in w])
     var = m.var(axis=0)  # population variance, matching the fit's /n
     assert np.allclose(var, 1.0, atol=1e-8)
+
+
+def test_pca_ignores_null_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.similarity import pca_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with_nulls = emb.unionByName(
+        emb.limit(3).withColumn("embedding", F.lit(None).cast("array<float>"))
+    )
+    assert pca_fit(with_nulls, k=2) == pca_fit(emb, k=2)
