@@ -689,6 +689,95 @@ ORDER BY y, x
 """
 
 
+def _raster_pyramid_estate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estate-capable overview path: TWO fixture rasters pyramid in the
+    SAME single shuffle via group_cols=('raster_id',) — blocks never mix
+    rasters; the oracle unions the two closed-form per-raster pyramids."""
+    from sids_data_pipeline_spark.operators.terrain import build_overviews
+    from sids_data_pipeline_spark.sources.raster import synthetic_raster
+
+    estate = synthetic_raster(spark, "rast_nodata").unionByName(
+        synthetic_raster(spark, "rast_checker")
+    )
+    out = build_overviews(estate, levels=2, group_cols=("raster_id",))
+    return out.select(
+        "raster_id", "level", "x", "y",
+        F.round("val", 9).alias("val"), "n_px",
+    ).orderBy("raster_id", "level", "y", "x")
+
+
+def _raster_pyramid_estate_sql() -> str:
+    n = GRID_N
+    arms = []
+    for rid in ("rast_nodata", "rast_checker"):
+        arms.append(f"""
+SELECT '{rid}' AS raster_id, CAST(level AS INT) AS level,
+       CAST(x >> level AS INT) AS x, CAST(y >> level AS INT) AS y,
+       ROUND(AVG(val), 9) AS val, COUNT(val) AS n_px
+FROM (
+  SELECT CAST(i % {n} AS INT) AS x, CAST(i // {n} AS INT) AS y,
+         {_VAL_SQL[rid]} AS val
+  FROM (SELECT unnest(range({n * n})) AS i) t
+) src CROSS JOIN (SELECT unnest(range(1, 3)) AS level) lv
+WHERE val IS NOT NULL
+GROUP BY 1, 2, 3, 4""")
+    return (
+        "SELECT * FROM ("
+        + "\nUNION ALL\n".join(arms)
+        + ") ORDER BY raster_id, level, y, x"
+    )
+
+
+# Sieve-fill fixture: the clump blocks lattice plus a 2-px val-9 speckle
+# inside block (0,0) and a 1-px val-9 speckle inside block (4,4) — after
+# sieve(fill=True, min_size=5) every speckle must take its surrounding
+# block's value, so the expected output is the PLAIN holed block lattice.
+_SPECKLES = ((1, 1), (2, 1), (18, 18))
+
+
+def _raster_sieve_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_sieve fill semantics, driver-gated: speckles of a foreign
+    value inside large blocks must merge into the surrounding block
+    (clump → adjacency join → largest-neighbour argmax); the oracle is
+    the speckle-free closed-form lattice the fill must reproduce."""
+    from sids_data_pipeline_spark.operators.terrain import sieve
+
+    n = 32
+    is_speckle = None
+    for sx, sy in _SPECKLES:
+        c = (F.col("x") == sx) & (F.col("y") == sy)
+        is_speckle = c if is_speckle is None else (is_speckle | c)
+    px = spark.range(0, n * n, 1, 8).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+    ).withColumn(
+        "val",
+        F.when(
+            ((F.col("x") % 4) == 1) & ((F.col("y") % 4) == 2),
+            F.lit(None).cast("double"),
+        )
+        .when(is_speckle, F.lit(9.0))
+        .otherwise(
+            ((F.col("x") / 4).cast("int") + (F.col("y") / 4).cast("int"))
+            .cast("double") % 3
+        ),
+    )
+    return sieve(px, min_size=5, fill=True).orderBy("y", "x")
+
+
+def _raster_sieve_fill_sql() -> str:
+    n = 32
+    return f"""
+SELECT CAST(i % {n} AS INT) AS x,
+       CAST(i // {n} AS INT) AS y,
+       CASE WHEN (i % {n}) % 4 = 1 AND (i // {n}) % 4 = 2 THEN NULL
+            ELSE CAST(((i % {n}) // 4 + (i // {n}) // 4) % 3 AS DOUBLE)
+       END AS val
+FROM (SELECT unnest(range({n * n})) AS i) t
+ORDER BY y, x
+"""
+
+
 def _raster_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRASS r.clump / gdal_sieve grouping parity: 4-connected equal-value
     regions via one integer-key neighbour join + the Pregel min-label loop.
@@ -2288,6 +2377,24 @@ QUERIES: list[Query] = [
             "the nearest target within the radius via a 3×3 bucket-"
             "neighbourhood equi-join — never all-pairs",
         tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_pyramid_estate",
+        _raster_pyramid_estate,
+        _raster_pyramid_estate_sql(),
+        doc="estate-capable overviews: two rasters pyramid in ONE shuffle "
+            "via group_cols, blocks never mix rasters; oracle unions the "
+            "closed-form per-raster pyramids",
+        tags=("geo", "raster"),
+    ),
+    Query(
+        "raster_sieve_fill",
+        _raster_sieve_fill,
+        _raster_sieve_fill_sql(),
+        doc="gdal_sieve fill: speckles merge into the largest adjacent "
+            "region (clump + adjacency join + argmax); oracle is the "
+            "speckle-free closed-form lattice",
+        tags=("geo", "raster", "graph"),
     ),
     Query(
         "raster_clump",
