@@ -226,7 +226,8 @@ PRIORITY: tuple[str, ...] = (
     # Round-9 rotation queue (new entries with no driver row yet, all
     # selfcheck-green + /verify-driven this session): raster_slope_aspect,
     # geo_zone_centroid, geo_zone_area_sphere, window_distribution,
-    # join_full_outer, embedding_pca_gate.
+    # join_full_outer, embedding_pca_gate, raster_pyramid_estate,
+    # raster_sieve_fill.
 )
 
 
