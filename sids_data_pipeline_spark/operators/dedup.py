@@ -196,6 +196,31 @@ def minhash_signature(
     )
 
 
+def banded_signature(
+    sig: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Unpivot a MinHash signature to LSH band rows: (doc_id, band_idx,
+    band_val) — the shape :func:`lsh_candidate_pairs` self-joins AND the
+    STORED index :func:`near_duplicates_incremental` probes (one band
+    table per corpus, appended per ingest batch, never recomputed)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must divide evenly into bands={bands} "
+            "(trailing hashes would be silently ignored)"
+        )
+    rows = num_hashes // bands
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', {', '.join(f'mh{b * rows + r}' for r in range(rows))})"
+        for b in range(bands)
+    )
+    return sig.select(
+        "doc_id",
+        F.expr(f"stack({bands}, {stack_args}) AS (band_idx, band_val)"),
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -216,20 +241,7 @@ def lsh_candidate_pairs(
     stop-word removal. Off by default so results mirror pure banding (the
     hash-verified oracle path).
     """
-    if num_hashes % bands != 0:
-        raise ValueError(
-            f"num_hashes={num_hashes} must divide evenly into bands={bands} "
-            "(trailing hashes would be silently ignored)"
-        )
-    rows = num_hashes // bands
-    stack_args = ", ".join(
-        f"{b}, concat_ws(',', {', '.join(f'mh{b * rows + r}' for r in range(rows))})"
-        for b in range(bands)
-    )
-    banded = sig.select(
-        "doc_id",
-        F.expr(f"stack({bands}, {stack_args}) AS (band_idx, band_val)"),
-    )
+    banded = banded_signature(sig, num_hashes, bands)
     if max_bucket is not None:
         # Subtract only the OVERSIZED buckets (normally zero): the size
         # aggregate is map-side combined and tiny, the survivors list is
@@ -599,3 +611,122 @@ def fuzzy_join(
     rb = right.withColumn("_band", F.floor(F.length(rc) / band_width))
     cond = F.levenshtein(lc, rc) <= max_distance
     return lb.join(rb, [*block_cols, "_band"]).filter(cond).drop("_band")
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int | None = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the STORED near-dup index for a corpus (or one ingest
+    batch): (doc_id, band_idx, band_val). Persist this next to the
+    corpus; each new batch appends its own rows — the corpus is never
+    re-shingled or re-signed."""
+    tok = (
+        shingles(docs, shingle_n, text_col, id_col).withColumnRenamed(
+            "shingle", "token"
+        )
+        if shingle_n is not None
+        else tokens(docs, text_col, id_col)
+    )
+    return banded_signature(
+        minhash_signature(tok, num_hashes), num_hashes, bands
+    )
+
+
+def near_duplicates_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.2,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int | None = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """E2 incremental: near-duplicate pairs INVOLVING a new ingest batch
+    against a corpus whose LSH index is already stored — the new batch
+    is shingled and signed, the corpus is NOT. Batch-equivalent by
+    construction: the result is exactly ``near_duplicates_minhash(old ∪
+    new)`` restricted to pairs touching a new doc (same banding, same
+    bucket cap over the UNION, same exact-Jaccard verify).
+
+    100 TB economics: candidate generation is one equi-join of the new
+    batch's bands against the stored band table; exact verification
+    re-shingles ONLY the corpus docs that actually appear in a candidate
+    pair (a left-semi join bounds that read to the match set, which is
+    candidate-sized, not corpus-sized). Id spaces of new and old must be
+    disjoint (they are distinct documents by definition).
+
+    Output: (id1, id2, jaccard), id1 < id2, each pair touching ≥1 new doc.
+    """
+    new_tok = (
+        shingles(new_docs, shingle_n, text_col, id_col).withColumnRenamed(
+            "shingle", "token"
+        )
+        if shingle_n is not None
+        else tokens(new_docs, text_col, id_col)
+    )
+    new_sig = minhash_signature(new_tok, num_hashes)
+    new_bands = banded_signature(new_sig, num_hashes, bands)
+    stored = corpus_bands.select("doc_id", "band_idx", "band_val")
+    union_bands = stored.unionByName(new_bands)
+    if max_bucket is not None:
+        # same skip as near_duplicates_minhash: every doc emits exactly
+        # `bands` band rows, so ≤ max_bucket·bands rows ⇒ ≤ max_bucket
+        # docs ⇒ the cap is a no-op by construction
+        probe = union_bands.limit(max_bucket * bands + 1).count()
+        if probe <= max_bucket * bands:
+            max_bucket = None
+    if max_bucket is not None:
+        oversized = (
+            union_bands.groupBy("band_idx", "band_val")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_bucket)
+            .select("band_idx", "band_val")
+        )
+        new_bands = new_bands.join(
+            F.broadcast(oversized), ["band_idx", "band_val"], "left_anti"
+        )
+        union_bands = union_bands.join(
+            F.broadcast(oversized), ["band_idx", "band_val"], "left_anti"
+        )
+    l = new_bands.select(
+        F.col("doc_id").alias("_n1"), "band_idx", "band_val"
+    )
+    r = union_bands.select(
+        F.col("doc_id").alias("_n2"), "band_idx", "band_val"
+    )
+    cand = (
+        l.join(r, ["band_idx", "band_val"])
+        .filter(F.col("_n1") != F.col("_n2"))
+        .select(
+            F.least("_n1", "_n2").alias("id1"),
+            F.greatest("_n1", "_n2").alias("id2"),
+        )
+        .distinct()
+    )
+    # verify tokens: the new batch's (already built) plus ONLY the
+    # corpus docs that appear in a candidate pair
+    cand_ids = (
+        cand.select(F.col("id1").alias(id_col))
+        .unionByName(cand.select(F.col("id2").alias(id_col)))
+        .distinct()
+    )
+    old_needed = corpus_docs.join(cand_ids, id_col, "left_semi")
+    old_tok = (
+        shingles(old_needed, shingle_n, text_col, id_col).withColumnRenamed(
+            "shingle", "token"
+        )
+        if shingle_n is not None
+        else tokens(old_needed, text_col, id_col)
+    )
+    scored = jaccard_on_pairs(new_tok.unionByName(old_tok), cand)
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "id1", "id2", F.round("jaccard", 6).alias("jaccard")
+    )

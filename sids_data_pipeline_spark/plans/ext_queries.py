@@ -421,6 +421,34 @@ WITH {_SHINGLE_SQL},
 """
 
 
+_INCR_SPLIT = 400  # docs >= this id form the "new ingest batch"
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 incremental: the corpus keeps a STORED band table; the new
+    ingest batch is shingled and signed alone, probes the stored bands
+    with one equi-join, and re-shingles only the corpus docs that appear
+    in a candidate. Batch-equivalent by construction — the oracle is the
+    FULL-corpus LSH pipeline filtered to pairs touching a new doc."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < _INCR_SPLIT)
+    new = docs.filter(F.col("doc_id") >= _INCR_SPLIT)
+    stored = dedup.minhash_band_table(old)
+    return dedup.near_duplicates_incremental(
+        new, old, stored, threshold=_MINHASH_THRESHOLD
+    ).orderBy("id1", "id2")
+
+
+def _dedup_incremental_sql() -> str:
+    return f"""
+SELECT * FROM (
+{_minhash_sql()}
+) t
+WHERE id1 >= {_INCR_SPLIT} OR id2 >= {_INCR_SPLIT}
+ORDER BY id1, id2
+"""
+
+
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = tables(spark, sf_dir, "documents")
     return dedup.near_duplicates_ngram(
@@ -3770,6 +3798,12 @@ QUERIES: list[Query] = [
           doc="applyInPandasWithState per-user running totals; final "
               "update equals the batch aggregate oracle",
           tags=("streaming", "stateful")),
+    Query("dedup_incremental", _dedup_incremental, _dedup_incremental_sql(),
+          doc="E2 incremental near-dup: new batch probes the STORED band "
+              "table (corpus never re-shingled; verify re-reads only "
+              "candidate corpus docs); batch-equivalent, oracle = full "
+              "LSH filtered to new-doc pairs",
+          tags=("dedup", "merge")),
     Query("dedup_minhash_lsh", _dedup_minhash, _minhash_sql(),
           doc="E2 MinHash + banded LSH → exact Jaccard (hash-verified)",
           tags=("dedup", "lsh")),

@@ -286,3 +286,48 @@ def test_exact_dedup_negative_zero_groups_with_zero(spark):
     )
     out = exact_dedup(df, ["price"], "id")
     assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_incremental_equals_batch_restricted(spark):
+    """near_duplicates_incremental(new, old, stored_bands) must equal
+    near_duplicates_minhash(old ∪ new) restricted to pairs touching a
+    new doc — on a synthetic corpus with near-dups in all three
+    orientations (old-old, old-new, new-new)."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        near_duplicates_incremental,
+        near_duplicates_minhash,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now ok",
+        "how vexingly quick daft zebras jump over fences today",
+    ]
+    rows = []
+    for i in range(60):
+        t = base[i % 3]
+        if i % 5 == 0:
+            t = t + " extra"
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 40)
+    new = docs.filter(F.col("doc_id") >= 40)
+
+    full = {
+        (r.id1, r.id2): r.jaccard
+        for r in near_duplicates_minhash(docs, threshold=0.2).collect()
+    }
+    want = {k: v for k, v in full.items() if k[0] >= 40 or k[1] >= 40}
+    stored = minhash_band_table(old)
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in near_duplicates_incremental(
+            new, old, stored, threshold=0.2
+        ).collect()
+    }
+    assert got == want
+    assert any(k[0] < 40 for k in got)  # old-new pairs present
+    assert any(k[0] >= 40 for k in got)  # new-new pairs present
