@@ -119,6 +119,48 @@ def _streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select("doc_id", "lang", "source", "n_chars")
 
 
+def _streaming_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup with a full hash oracle: the documents table
+    splits into two parquet files and drains through
+    streaming_near_dedup with maxFilesPerTrigger=1 — multiple REAL
+    micro-batches, each probing the accumulated band/doc ledgers. Every
+    near-dup pair is emitted exactly once (in the batch its later member
+    arrives), so the drained union equals the batch LSH operator
+    REGARDLESS of batch order, and dedup_minhash_lsh's own oracle
+    applies in full."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.schemas import TABLE_SCHEMAS
+    from sids_data_pipeline_spark.streaming.jobs import streaming_near_dedup
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_lsh_")
+    src = os.path.join(work, "src")
+    (docs,) = tables(spark, sf_dir, "documents")
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    docs.filter(F.col("doc_id") < 250).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") >= 250).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(TABLE_SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_near_dedup(
+        stream,
+        os.path.join(work, "out"),
+        os.path.join(work, "ckpt"),
+        threshold=_MINHASH_THRESHOLD,
+    )
+    pairs = spark.read.parquet(os.path.join(work, "out", "pairs"))
+    return pairs.select("id1", "id2", "jaccard").orderBy("id1", "id2")
+
+
 def _stage_events_stream(spark: SparkSession, sf_dir: str, work: str):
     """Stage events as a single-file stream directory and return the
     file-source stream (single file ⇒ one availableNow micro-batch)."""
@@ -3766,6 +3808,13 @@ QUERIES: list[Query] = [
           doc="E1 exact dedup: sha2 keep-first", tags=("dedup",)),
     Query("dedup_exact_stats", _dedup_exact_stats, _DEDUP_EXACT_STATS_SQL,
           doc="E1 dedup summary counts", tags=("dedup",)),
+    Query("streaming_dedup_lsh", _streaming_dedup_lsh,
+          "SELECT * FROM (\n" + _minhash_sql() + "\n) ORDER BY id1, id2",
+          doc="streaming NEAR-dup: two real micro-batches probe the "
+              "accumulated band/doc ledgers (streaming_near_dedup); each "
+              "pair emits exactly once so the drained union hash-matches "
+              "the batch LSH oracle in full",
+          tags=("dedup", "streaming")),
     Query("streaming_dedup_batch", _streaming_dedup_batch, _DEDUP_EXACT_SQL,
           doc="Streaming availableNow exact dedup (foreachBatch + digest "
               "ledger); single-batch drain ⇒ batch-parity oracle",

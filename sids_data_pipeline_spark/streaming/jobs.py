@@ -565,3 +565,95 @@ def streaming_raster_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_near_dedup(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental MinHash-LSH near-dup across micro-batches: the
+    streaming twin of :func:`~sids_data_pipeline_spark.operators.dedup.
+    near_duplicates_incremental`, with the STORED band table as the
+    stream's state.
+
+    Each batch is shingled and signed alone; candidates come from one
+    equi-join of its bands against the accumulated band ledger (plus
+    within-batch banding); exact-Jaccard verification re-reads only the
+    ledgered docs that appear in a candidate. Emitted pairs per batch are
+    exactly the near-duplicate pairs whose LATER member arrived in that
+    batch, so the union over batches equals the batch operator on the
+    whole corpus — independent of file/batch order — and each pair is
+    emitted exactly once.
+
+    State = two Parquet ledgers under ``out_dir``: ``_docs`` (id, text —
+    needed only for candidate verification) and ``_bands`` (the LSH
+    index, ``bands`` rows per doc). Replay-safe like
+    :func:`streaming_exact_dedup`: every sink writes OVERWRITE into a
+    per-batch partition and reads exclude the replayed batch's own
+    partitions. Runs with Trigger.AvailableNow.
+    """
+    import os
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.dedup import (
+        minhash_band_table,
+        near_duplicates_incremental,
+    )
+
+    docs_ledger = os.path.join(out_dir, "_docs")
+    bands_ledger = os.path.join(out_dir, "_bands")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        batch = batch.select(id_col, text_col).persist()
+        try:
+            old_docs = (
+                bspark.read.option("basePath", docs_ledger)
+                .parquet(docs_ledger)
+                .filter(F.col("batch") != batch_id)
+                .select(id_col, text_col)
+            )
+            old_bands = (
+                bspark.read.option("basePath", bands_ledger)
+                .parquet(bands_ledger)
+                .filter(F.col("batch") != batch_id)
+                .select("doc_id", "band_idx", "band_val")
+            )
+        except AnalysisException:
+            # first batch: no ledger yet — empty frames with the right shape
+            old_docs = batch.limit(0)
+            old_bands = minhash_band_table(
+                batch.limit(0), text_col=text_col, id_col=id_col
+            )
+        pairs = near_duplicates_incremental(
+            batch,
+            old_docs,
+            old_bands,
+            threshold=threshold,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "pairs", f"batch={batch_id}")
+        )
+        batch.write.mode("overwrite").parquet(
+            os.path.join(docs_ledger, f"batch={batch_id}")
+        )
+        minhash_band_table(batch, text_col=text_col, id_col=id_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(bands_ledger, f"batch={batch_id}"))
+        batch.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -567,3 +567,47 @@ def test_streaming_raster_ingest_incremental(spark, tmp_path):
     a = sorted(map(tuple, got2.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b
+
+
+def test_streaming_near_dedup_equals_batch(spark, tmp_path):
+    """streaming_near_dedup drained over multiple micro-batches must
+    emit exactly the batch operator's pairs, each exactly once."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.dedup import near_duplicates_minhash
+    from sids_data_pipeline_spark.streaming.jobs import streaming_near_dedup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "pack my box with five dozen liquor jugs right now ok",
+    ]
+    rows = [
+        (i, base[i % 2] + (" extra" if i % 3 == 0 else ""))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).repartition(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    streaming_near_dedup(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"), threshold=0.2
+    )
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in spark.read.parquet(str(tmp_path / "out" / "pairs")).collect()
+    }
+    want = {
+        (r.id1, r.id2): r.jaccard
+        for r in near_duplicates_minhash(docs, threshold=0.2).collect()
+    }
+    assert got == want
+    # exactly-once: the parquet union has no duplicate pairs
+    n_rows = spark.read.parquet(str(tmp_path / "out" / "pairs")).count()
+    assert n_rows == len(got)
