@@ -59,6 +59,12 @@ AUDITED = [
     "mv_sketch_distinct_gate",
     "geo_zone_centroid",
     "geo_zone_area_sphere",
+    "window_distribution",
+    "join_full_outer",
+    "raster_pyramid_estate",
+    "raster_sieve_fill",
+    "embedding_pca_gate",
+    "dedup_incremental",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
