@@ -643,3 +643,36 @@ def dsir_weights(
             "dsir_logw_micros",
         )
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the GPT-3/PaLM multilingual
+    recipe): sampling probability p_d ∝ n_d^(1/T), so T=1 reproduces the
+    natural distribution and T→∞ approaches uniform over domains.
+    Returns the per-domain rates to feed :func:`mixture_sample`, scaled
+    so the EXPECTED output size is ``target_total`` (default: the input
+    size — pure re-balancing).
+
+    Driver math on a dimension-sized aggregate (one groupBy collect of
+    |domains| rows); the distributed resample stays the zero-shuffle
+    hash-gated :func:`mixture_sample`.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).count().collect()
+        if r[0] is not None
+    }
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    n_out = target_total if target_total is not None else total
+    w = {d: n ** (1.0 / temperature) for d, n in counts.items()}
+    z = sum(w.values())
+    return {d: (w[d] / z) * n_out / counts[d] for d in counts}

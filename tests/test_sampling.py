@@ -407,3 +407,38 @@ def test_dsir_weights_directional_and_edges(spark):
         for r in dsir_weights(docs.repartition(7), F.col("tgt")).collect()
     }
     assert stable == {k: v.dsir_logw_micros for k, v in got.items()}
+
+
+def test_temperature_rates_endpoints(spark):
+    """T=1 → every rate exactly 1 (natural distribution, same size);
+    high T → per-domain EXPECTED counts equalize; target_total scales."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+        temperature_rates,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 800, "web").otherwise("books").alias("source"),
+    )
+    r1 = temperature_rates(df, "source", temperature=1.0)
+    assert r1 == {"web": 1.0, "books": 1.0}
+
+    r_hi = temperature_rates(df, "source", temperature=1e9)
+    # uniform p=1/2 each → expected 500 per domain
+    assert r_hi["web"] * 800 == pytest.approx(500, rel=1e-6)
+    assert r_hi["books"] * 200 == pytest.approx(500, rel=1e-6)
+
+    r_half = temperature_rates(df, "source", temperature=1.0, target_total=500)
+    assert r_half == {"web": 0.5, "books": 0.5}
+
+    # composes with the gated resampler: realized size near expectation
+    out = mixture_sample(df, r_hi, "source")
+    n = out.count()
+    assert abs(n - 1000) < 120  # hash-gate variance at n=1000
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_rates(df, "source", temperature=0.0)
