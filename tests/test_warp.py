@@ -314,3 +314,56 @@ def test_warp_output_roundtrips_through_geotiff_writer(spark, tmp_path):
     assert present == want
     # the writer fills omitted cells with nodata; ingest surfaces NULL
     assert all(back[k] is None for k in set(back) - set(want))
+
+
+def test_warp_negative_resolution_north_up(spark):
+    """North-up target grids carry NEGATIVE dy (origin at the top edge,
+    rows marching south). Bilinear with dst_res=(+RES, -RES) from a top
+    origin must mirror the positive-res result row-for-row."""
+    px = synthetic_raster(spark, "rast_gradient")
+    up = warp_to_grid(
+        px,
+        src_epsg=4326,
+        dst_epsg=3857,
+        src_origin=(0.0, 0.0),
+        src_res=(PIXEL_DEG, PIXEL_DEG),
+        dst_origin=(0.0, 0.0),
+        dst_res=(RES, RES),
+        dst_size=(W, H),
+        resampling="bilinear",
+    )
+    down = warp_to_grid(
+        px,
+        src_epsg=4326,
+        dst_epsg=3857,
+        src_origin=(0.0, 0.0),
+        src_res=(PIXEL_DEG, PIXEL_DEG),
+        dst_origin=(0.0, H * RES),  # top edge; rows march south
+        dst_res=(RES, -RES),
+        dst_size=(W, H),
+        resampling="bilinear",
+    )
+    a = {(r.out_x, r.out_y): r.val for r in up.collect()}
+    b = {(r.out_x, r.out_y): r.val for r in down.collect()}
+    assert set(b) == {(x, H - 1 - y) for (x, y) in a}
+    for (x, y), v in a.items():
+        assert b[(x, H - 1 - y)] == pytest.approx(v, abs=1e-9)
+
+
+def test_rasterize_grid_strategy_with_polygon_refine(spark):
+    """how='grid' must agree with the broadcast strategy on NON-RECT
+    geometry too (the ray-cast refine path): the holed triangle."""
+    from sids_data_pipeline_spark.sources.raster import GRID_N, PIXEL_DEG
+    from sids_data_pipeline_spark.sources.vector import fixture_zones
+
+    zones = fixture_zones(spark, "zones_overlap")
+    kw = dict(
+        origin=(0.0, 0.0), res=(PIXEL_DEG, PIXEL_DEG), size=(GRID_N, GRID_N)
+    )
+    bc = {(r.x, r.y): r.burn for r in rasterize(zones, **kw).collect()}
+    gr = {
+        (r.x, r.y): r.burn
+        for r in rasterize(zones, how="grid", **kw).collect()
+    }
+    assert bc == gr
+    assert 4 in set(bc.values())  # the holed triangle actually burned
