@@ -432,3 +432,24 @@ def test_sieve_fill_no_neighbor_masks(spark):
     df = spark.createDataFrame(rows, "x int, y int, val double")
     out = {(r.x, r.y): r.val for r in sieve(df, min_size=2, fill=True).collect()}
     assert out[(2, 2)] is None
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_clump_random_grids_match_union_find(spark, seed):
+    """Seeded random 12×12 grids (3 values + NULLs): clump must match
+    the union-find oracle exactly — random shapes exercise region
+    topologies (nested, touching-at-corners, fragmented) the fixed
+    fixtures cannot."""
+    import random
+
+    rng = random.Random(seed)
+    n = 12
+    rows = []
+    for y in range(n):
+        for x in range(n):
+            v = rng.choice([0.0, 1.0, 2.0, None])
+            rows.append((x, y, v))
+    df = spark.createDataFrame(rows, "x int, y int, val double")
+    vals = {(x, y): v for x, y, v in rows if v is not None}
+    got = {(r.x, r.y): r.region for r in clump_regions(df).collect()}
+    assert got == _numpy_clump(vals)
