@@ -453,3 +453,14 @@ def test_clump_random_grids_match_union_find(spark, seed):
     vals = {(x, y): v for x, y, v in rows if v is not None}
     got = {(r.x, r.y): r.region for r in clump_regions(df).collect()}
     assert got == _numpy_clump(vals)
+
+
+def test_proximity_dense_targets_all_zero(spark):
+    """Every pixel a target → every pixel at distance 0 (the degenerate
+    density the docstring calls out still returns the right answer)."""
+    px = synthetic_raster(spark, "rast_gradient").filter(
+        (F.col("x") < 8) & (F.col("y") < 8)
+    )
+    rows = proximity(px, target=F.lit(True), max_distance=2.0).collect()
+    assert len(rows) == 64
+    assert all(r.dist == 0.0 for r in rows)

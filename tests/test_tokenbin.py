@@ -65,3 +65,12 @@ def test_rejects_corrupt_files(spark, tmp_path):
     os.rename(d / "shard-00000001.bin", d / "notashard.bin")
     with pytest.raises(Exception, match="shard"):
         read_token_shards(spark, str(d) + "/*.bin").collect()
+
+
+def test_write_rejects_unknown_remote_scheme(spark, tmp_path):
+    """An unsupported remote scheme must fail LOUDLY executor-side (the
+    pyarrow.fs fallback raises NotImplementedError), never write to an
+    executor-local path that silently vanishes from the URI estate."""
+    df = _packed(spark, [(1, 0, [1, 2, 3])])
+    with pytest.raises(Exception, match="scheme|writable"):
+        write_token_shards(df, "weird://bucket/shards")
