@@ -1477,3 +1477,127 @@ def gopher_rules(
         n_required.cast("int").alias("n_required_words"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
+
+
+def lm_perplexity_cross(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    alpha_micros: int = 100_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """E5: CCNet's ACTUAL recipe — score a target corpus under a
+    reference LM trained on a DIFFERENT corpus (CCNet trains on
+    Wikipedia and filters CommonCrawl by the resulting perplexity;
+    :func:`lm_perplexity` is the self-scoring fallback).
+
+    Same add-alpha bigram model, with the out-of-domain cases the
+    self-LM never hits handled by the SAME formula at zero counts:
+    an unseen bigram under a seen context scores
+    −log(α/(c(v,·)+αV)), and a wholly unseen context collapses to
+    −log(1/V) = log V (the uniform prior over the train vocabulary).
+    Exact integer micros per bigram TYPE (one double log each, rounded
+    once), integer-summed per document — hash-reproducible in SQL.
+
+    Output: (doc_id, n_bigrams, avg_nll_micros) for ``score_docs``;
+    docs with < 2 tokens report NULL avg.
+
+    Scale shape: the model is one token pass over the TRAIN corpus
+    (repartition-on-context + window, one exchange); scoring is two
+    left equi-joins of the target's distinct bigram types against the
+    model tables — never all-pairs, and the per-type nll computes once
+    no matter how often a bigram repeats in the target.
+    """
+    from pyspark.sql.window import Window
+
+    def bigrams_of(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        w = docs.select(
+            F.col(id_col).alias("doc_id"), _words(text_col).alias("_w")
+        )
+        bg = (
+            w.filter(F.size("_w") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(_w) - 1), "
+                        "i -> struct(_w[i-1] AS v, _w[i] AS t))"
+                    )
+                ).alias("bg"),
+            )
+            .select("doc_id", F.col("bg.v").alias("v"), F.col("bg.t").alias("t"))
+        )
+        return w, bg
+
+    _, train_bg = bigrams_of(train_docs)
+    score_w, score_bg = bigrams_of(score_docs)
+    pair_counts = train_bg.repartition("v").groupBy("v", "t").agg(
+        F.count(F.lit(1)).alias("c_vt")
+    )
+    pair_counts = pair_counts.withColumn(
+        "c_v", F.sum("c_vt").over(Window.partitionBy("v"))
+    )
+    ctx = pair_counts.groupBy("v").agg(F.max("c_v").alias("c_v"))
+    vocab = (
+        train_docs.select(F.explode(_words(text_col)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("_vsz"))
+    )
+    alpha = alpha_micros / 1_000_000.0
+    types = (
+        score_bg.select("v", "t").distinct().alias("s")
+        .join(
+            pair_counts.select("v", "t", "c_vt").alias("p"),
+            (F.col("s.v") == F.col("p.v")) & (F.col("s.t") == F.col("p.t")),
+            "left",
+        )
+        .join(
+            ctx.alias("c"), F.col("s.v") == F.col("c.v"), "left"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("s.v").alias("v"),
+            F.col("s.t").alias("t"),
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c_vt"), F.lit(0)) + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("c.c_v"), F.lit(0))
+                        + F.lit(alpha) * F.col("_vsz")
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("nll_micros"),
+        )
+    )
+    scored = (
+        score_bg.alias("b")
+        .join(
+            types.alias("m"),
+            (F.col("b.v") == F.col("m.v")) & (F.col("b.t") == F.col("m.t")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("m.nll_micros").alias("nll_micros"),
+        )
+    )
+    return (
+        score_w.select("doc_id")
+        .join(
+            scored.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("nll_micros").alias("_sum"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.round(F.col("_sum") / F.col("n_bigrams")).cast("long"),
+            ).alias("avg_nll_micros"),
+        )
+    )

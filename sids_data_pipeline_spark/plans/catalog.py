@@ -227,7 +227,8 @@ PRIORITY: tuple[str, ...] = (
     # selfcheck-green + /verify-driven this session): raster_slope_aspect,
     # geo_zone_centroid, geo_zone_area_sphere, window_distribution,
     # join_full_outer, embedding_pca_gate, raster_pyramid_estate,
-    # raster_sieve_fill, dedup_incremental, streaming_dedup_lsh.
+    # raster_sieve_fill, dedup_incremental, streaming_dedup_lsh,
+    # corpus_lm_cross.
 )
 
 

@@ -1451,6 +1451,72 @@ ORDER BY w.doc_id
 """
 
 
+def _corpus_lm_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: CCNet's actual cross-corpus recipe — the reference LM trains
+    on the first half of documents, scores the second half; unseen
+    bigrams and unseen contexts back off through the same add-alpha
+    formula at zero counts (both cases occur at this split)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 250)
+    score = docs.filter(F.col("doc_id") >= 250)
+    return text.lm_perplexity_cross(train, score).orderBy("doc_id")
+
+
+_LM_CROSS_SQL = r"""
+WITH tw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 250
+),
+sw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id >= 250
+),
+tbg AS (
+  SELECT ws[i] AS v, ws[i + 1] AS t
+  FROM tw, unnest(range(1, len(ws))) AS u(i)
+  WHERE len(ws) >= 2
+),
+sbg AS (
+  SELECT doc_id, ws[i] AS v, ws[i + 1] AS t
+  FROM sw, unnest(range(1, len(ws))) AS u(i)
+  WHERE len(ws) >= 2
+),
+pc AS (SELECT v, t, COUNT(*) AS c_vt FROM tbg GROUP BY v, t),
+cc AS (SELECT v, SUM(c_vt) AS c_v FROM pc GROUP BY v),
+vv AS (
+  SELECT COUNT(DISTINCT tok) AS V
+  FROM (SELECT unnest(ws) AS tok FROM tw) u
+),
+types AS (SELECT DISTINCT v, t FROM sbg),
+model AS (
+  SELECT ty.v, ty.t,
+         CAST(ROUND(-ln((COALESCE(pc.c_vt, 0) + 0.1)
+                        / (COALESCE(cc.c_v, 0) + 0.1 * vv.V)) * 1000000)
+              AS BIGINT) AS nll
+  FROM types ty
+  LEFT JOIN pc ON pc.v = ty.v AND pc.t = ty.t
+  LEFT JOIN cc ON cc.v = ty.v
+  CROSS JOIN vv
+),
+sc AS (
+  SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(m.nll) AS s
+  FROM sbg b JOIN model m ON m.v = b.v AND m.t = b.t
+  GROUP BY b.doc_id
+)
+SELECT sw.doc_id,
+       COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       CASE WHEN sc.n_bigrams > 0
+            THEN CAST(ROUND(CAST(sc.s AS DOUBLE) / sc.n_bigrams) AS BIGINT)
+            ELSE NULL END AS avg_nll_micros
+FROM sw LEFT JOIN sc ON sc.doc_id = sw.doc_id
+ORDER BY sw.doc_id
+"""
+
+
 def _text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc Shannon char entropy; micros-rounded plog terms sum
     order-free."""
@@ -4098,6 +4164,11 @@ QUERIES: list[Query] = [
               "distinct docs removed from every doc, original casing "
               "and order preserved",
           tags=("text", "dedup")),
+    Query("corpus_lm_cross", _corpus_lm_cross, _LM_CROSS_SQL,
+          doc="E5 CCNet cross-corpus recipe: reference LM trained on one "
+              "corpus scores another; unseen bigrams/contexts back off "
+              "through the same add-alpha formula at zero counts",
+          tags=("text",)),
     Query("corpus_lm_score", _corpus_lm_score, _LM_SCORE_SQL,
           doc="E5 CCNet-style LM quality scoring: per-doc mean bigram "
               "NLL under the add-alpha corpus self-LM (exact micros)",

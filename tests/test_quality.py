@@ -440,3 +440,28 @@ def test_nb_quality_classifier_guards(spark):
     # single-class corpus: the executor-side raise_error guard fires
     with pytest.raises(SparkRuntimeException, match="non-empty"):
         nb_quality_classifier(docs, "is_good").collect()
+
+
+def test_lm_cross_backoff_cases_by_hand(spark):
+    """The three scoring regimes, hand-computed: seen bigram, unseen
+    bigram under a seen context, wholly unseen context (→ log V)."""
+    import math
+
+    from sids_data_pipeline_spark.operators.text import lm_perplexity_cross
+
+    train = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "b c"), (12, "z q")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll_micros)
+        for r in lm_perplexity_cross(train, score, alpha_micros=100_000).collect()
+    }
+    # train counts: c(a,b)=1, c(b,a)=1, c(a,c)=1; c_a=2, c_b=1; V=3; α=0.1
+    seen = round(-math.log((1 + 0.1) / (2 + 0.1 * 3)) * 1e6)
+    unseen_bg = round(-math.log(0.1 / (1 + 0.1 * 3)) * 1e6)
+    unseen_ctx = round(-math.log(0.1 / (0 + 0.1 * 3)) * 1e6)  # = ln 3
+    assert got[10] == (1, seen)
+    assert got[11] == (1, unseen_bg)
+    assert got[12] == (1, unseen_ctx)
+    assert unseen_ctx == round(math.log(3) * 1e6)
