@@ -776,3 +776,97 @@ def nearest_site(
     return points.withColumn("site_id", best["site_id"]).withColumn(
         "dist_m", best["dist_m"]
     )
+
+
+def dwithin_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_m: float,
+    max_abs_lat: float = 60.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    suffix: str = "_r",
+) -> DataFrame:
+    """ST_DWithin-style point join: every (left, right) pair whose
+    great-circle distance is ≤ ``radius_m``, with the distance attached —
+    the PostGIS workhorse predicate, as a grid-bucket equi-join (the
+    proximity/zonal idiom), never a cross join.
+
+    Both sides bucket into lat/lon cells sized to cover the radius
+    (latitude cell = radius in degrees; longitude cell widened by
+    1/cos(``max_abs_lat``) — the worst meridian convergence the data can
+    reach; rows beyond ``max_abs_lat`` are REJECTED in-plan rather than
+    silently under-matched, since a polar row's radius can span many
+    cells). The left side explodes onto the 3×3 bucket neighbourhood and
+    candidates meet in ONE integer-key equi-join; exact haversine
+    refines. Right-side column collisions come back suffixed.
+
+    Output: the joined columns plus ``dist_m``.
+    """
+    import math as _math
+
+    if radius_m <= 0:
+        raise ValueError(f"radius_m must be positive, got {radius_m}")
+    if not 0 < max_abs_lat < 89.0:
+        raise ValueError(f"max_abs_lat must be in (0, 89), got {max_abs_lat}")
+    deg_lat = radius_m / 111_194.9  # meters per degree on the mean sphere
+    deg_lon = deg_lat / _math.cos(_math.radians(max_abs_lat))
+
+    overlap = set(left.columns) & set(right.columns)
+    right = right.withColumnsRenamed({c: f"{c}{suffix}" for c in overlap})
+    r_lat, r_lon = f"{lat_col}{suffix}", f"{lon_col}{suffix}"
+    if r_lat not in right.columns:
+        r_lat, r_lon = lat_col, lon_col
+
+    def cells(df: DataFrame, la: str, lo: str):
+        # per-side raise: the message column must RESOLVE on this side's
+        # schema (the right side may carry the suffixed lat name)
+        boom = F.raise_error(
+            F.concat(
+                F.lit(
+                    f"dwithin_join: |lat| exceeds max_abs_lat={max_abs_lat}: "
+                ),
+                F.col(la).cast("string"),
+            )
+        ).cast("long")
+        guard = F.when(
+            F.abs(F.col(la)) <= F.lit(float(max_abs_lat)),
+            F.floor(F.col(la) / F.lit(deg_lat)).cast("long"),
+        ).otherwise(boom)
+        return df.withColumns(
+            {
+                "_cy": guard,
+                "_cx": F.floor(F.col(lo) / F.lit(deg_lon)).cast("long"),
+            }
+        )
+
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("_o")
+    lb = (
+        cells(left, lat_col, lon_col)
+        .select("*", offs)
+        .withColumns(
+            {
+                "_cx": F.col("_cx") + F.col("_o.dx"),
+                "_cy": F.col("_cy") + F.col("_o.dy"),
+            }
+        )
+        .drop("_o")
+    )
+    rb = cells(right, r_lat, r_lon)
+    dist = haversine_meters(
+        F.col(lat_col), F.col(lon_col), F.col(r_lat), F.col(r_lon)
+    )
+    return (
+        lb.join(rb, ["_cx", "_cy"])
+        .withColumn("dist_m", dist)
+        .filter(F.col("dist_m") <= F.lit(float(radius_m)))
+        .drop("_cx", "_cy")
+    )

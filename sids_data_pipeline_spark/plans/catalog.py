@@ -228,7 +228,7 @@ PRIORITY: tuple[str, ...] = (
     # geo_zone_centroid, geo_zone_area_sphere, window_distribution,
     # join_full_outer, embedding_pca_gate, raster_pyramid_estate,
     # raster_sieve_fill, dedup_incremental, streaming_dedup_lsh,
-    # corpus_lm_cross.
+    # corpus_lm_cross, geo_dwithin_join.
 )
 
 

@@ -778,6 +778,60 @@ ORDER BY y, x
 """
 
 
+def _geo_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin parity: all point pairs within 150 km, via lat/lon
+    grid buckets + 3×3 neighbourhood explode + exact haversine refine —
+    the oracle brute-forces the 300×300 cross join (trivially fine for
+    DuckDB at fixture scale, the shape the engine must NOT use)."""
+    from sids_data_pipeline_spark.functions.crs import dwithin_join
+
+    def pts(n: int, dlat: float, dlon: float):
+        return spark.range(0, n, 1, 8).select(
+            F.col("id"),
+            ((F.col("id") * 37) % 110 - 55 + 0.25 + dlat)
+            .cast("double").alias("lat"),
+            ((F.col("id") * 73) % 358 - 179 + 0.5 + dlon)
+            .cast("double").alias("lon"),
+        )
+
+    # B = A shifted by (1.2°, 0.7°): the diagonal pair distance CROSSES
+    # the 150 km radius as |lat| grows (lon degrees shrink), so inclusion
+    # is latitude-dependent — a wrong bucket or refine flips real rows
+    out = dwithin_join(pts(300, 0.0, 0.0), pts(300, 1.2, 0.7),
+                       radius_m=150_000.0)
+    return out.select(
+        F.col("id").alias("id_l"),
+        F.col("id_r"),
+        F.round("dist_m", 3).alias("dist_m"),
+    ).orderBy("id_l", "id_r")
+
+
+def _geo_dwithin_sql() -> str:
+    hav = (
+        "2.0 * 6371008.8 * asin(sqrt("
+        "sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)"
+        " + cos(radians(a.lat)) * cos(radians(b.lat))"
+        " * sin(radians(b.lon - a.lon) / 2) * sin(radians(b.lon - a.lon) / 2)))"
+    )
+    return f"""
+WITH a AS (
+  SELECT i AS id,
+         CAST((i * 37) % 110 - 55 + 0.25 + 0.0 AS DOUBLE) AS lat,
+         CAST((i * 73) % 358 - 179 + 0.5 + 0.0 AS DOUBLE) AS lon
+  FROM (SELECT unnest(range(300)) AS i) t
+), b AS (
+  SELECT i AS id,
+         CAST((i * 37) % 110 - 55 + 0.25 + 1.2 AS DOUBLE) AS lat,
+         CAST((i * 73) % 358 - 179 + 0.5 + 0.7 AS DOUBLE) AS lon
+  FROM (SELECT unnest(range(300)) AS i) t
+)
+SELECT a.id AS id_l, b.id AS id_r, ROUND({hav}, 3) AS dist_m
+FROM a CROSS JOIN b
+WHERE {hav} <= 150000.0
+ORDER BY id_l, id_r
+"""
+
+
 def _raster_clump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRASS r.clump / gdal_sieve grouping parity: 4-connected equal-value
     regions via one integer-key neighbour join + the Pregel min-label loop.
@@ -2232,6 +2286,15 @@ QUERIES: list[Query] = [
         doc="shoelace area + perimeter per zone in exact integer micros "
             "(per-edge rounding, oracle mirrors every term)",
         tags=("geo", "scalar"),
+    ),
+    Query(
+        "geo_dwithin_join",
+        _geo_dwithin_join,
+        _geo_dwithin_sql(),
+        doc="ST_DWithin parity: within-radius point join via lat/lon "
+            "grid buckets + 3×3 explode + exact haversine refine — "
+            "never a cross join; brute-force oracle",
+        tags=("geo", "join"),
     ),
     Query(
         "geo_zone_area_sphere",

@@ -451,3 +451,63 @@ def test_polar_south_aspects_roundtrip_and_wrap(spark):
 def test_polar_stereographic_rejects_equatorial(spark):
     with pytest.raises(ValueError, match="lat_ts"):
         crs.PolarStereographic(a=crs.WGS84_A, f=crs.WGS84_F, lat_ts=0.0, lon0=0.0)
+
+
+def test_dwithin_join_matches_bruteforce(spark):
+    """Grid-bucketed within-radius join vs the brute-force haversine
+    oracle — seeded random points incl. high latitudes (lon shrink) and
+    cross-bucket pairs; no duplicate pairs; guards fire."""
+    import random
+
+    rng = random.Random(17)
+    a_rows = [
+        (i, rng.uniform(-55.0, 55.0), rng.uniform(-179.0, 179.0))
+        for i in range(120)
+    ]
+    b_rows = [
+        (j, rng.uniform(-55.0, 55.0), rng.uniform(-179.0, 179.0))
+        for j in range(120)
+    ]
+    # plant guaranteed matches near a few left points, incl. at 54°N
+    for k, (i, la, lo) in enumerate(a_rows[:5]):
+        b_rows.append((500 + k, la + 0.05, lo + 0.05))
+    a = spark.createDataFrame(a_rows, "id long, lat double, lon double")
+    b = spark.createDataFrame(b_rows, "id long, lat double, lon double")
+    radius = 50_000.0
+
+    got = {
+        (r.id, r.id_r): r.dist_m
+        for r in crs.dwithin_join(a, b, radius_m=radius).collect()
+    }
+
+    def hav(la1, lo1, la2, lo2):
+        R = 6371008.8
+        p1, p2 = math.radians(la1), math.radians(la2)
+        dphi = math.radians(la2 - la1)
+        dl = math.radians(lo2 - lo1)
+        x = (
+            math.sin(dphi / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * R * math.asin(math.sqrt(x))
+
+    want = {}
+    for i, la1, lo1 in a_rows:
+        for j, la2, lo2 in b_rows:
+            d = hav(la1, lo1, la2, lo2)
+            if d <= radius:
+                want[(i, j)] = d
+    assert set(got) == set(want)
+    assert len(want) >= 5  # planted matches actually exercised
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6
+
+    import pytest
+
+    with pytest.raises(ValueError, match="radius_m"):
+        crs.dwithin_join(a, b, radius_m=0.0)
+    polar = spark.createDataFrame(
+        [(1, 75.0, 0.0)], "id long, lat double, lon double"
+    )
+    with pytest.raises(Exception, match="max_abs_lat"):
+        crs.dwithin_join(polar, b, radius_m=radius).collect()
