@@ -1506,7 +1506,10 @@ def lm_perplexity_cross(
     (repartition-on-context + window, one exchange); scoring is two
     left equi-joins of the target's distinct bigram types against the
     model tables — never all-pairs, and the per-type nll computes once
-    no matter how often a bigram repeats in the target.
+    no matter how often a bigram repeats in the target. The plan's
+    BroadcastNestedLoopJoin is the ONE-ROW vocab-size crossJoin
+    (output-bounded re-attach, same benign class as the zonal
+    result-universe join), not a per-row nested loop.
     """
     from pyspark.sql.window import Window
 

@@ -65,6 +65,8 @@ AUDITED = [
     "raster_sieve_fill",
     "embedding_pca_gate",
     "dedup_incremental",
+    "corpus_lm_cross",
+    "geo_dwithin_join",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
