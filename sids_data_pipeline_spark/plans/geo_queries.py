@@ -1601,7 +1601,17 @@ def _crs_reproject_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
     conformal-series closed-form inverse back — pan-Arctic grid incl.
     antimeridian longitudes that exercise the [-180, 180) wrap. The
     forward leg is pinned to the EPSG Guidance 7-2 published worked
-    example in tests/test_crs.py; here the oracle mirrors every term."""
+    example in tests/test_crs.py; here the oracle mirrors every term.
+
+    Quantization note (round-8 driver red): the forward leg runs a
+    fractional-exponent pow() whose cross-libm (JVM vs DuckDB) noise is
+    ~1e-8 m — a 9-decimal ROUND on the round-trip degrees flips the last
+    digit once in ~1e5 values and hash-mismatches despite identical math.
+    The gate now checks the forward leg at a 1 m quantum (noise/quantum
+    ≈ 1e-8, boundary risk ≈ 1e-5 over 2 000 values; a wrong projection
+    would be off by km) and the round trip as an explicit tolerance
+    boolean vs the SOURCE coordinates (|Δ| < 1e-6°, compared modulo 360°
+    for the antimeridian column), which is ULP-insensitive by design."""
     from sids_data_pipeline_spark.functions.crs import reproject_pixels
 
     grid = spark.range(0, 1000, 1, 8).select(
@@ -1614,14 +1624,16 @@ def _crs_reproject_polar(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = reproject_pixels(
         xy.withColumnsRenamed({"x": "lon", "y": "lat"}), 3413, 4326
     )
+    lon_d = F.abs(F.col("lon_rt") - F.col("lon"))
     return (
-        xy.join(back.withColumnsRenamed({"lon": "lon_rt", "lat": "lat_rt"}), "id")
+        grid.join(xy, "id")
+        .join(back.withColumnsRenamed({"lon": "lon_rt", "lat": "lat_rt"}), "id")
         .select(
             "id",
-            F.round("x", 3).alias("x"),
-            F.round("y", 3).alias("y"),
-            F.round("lon_rt", 9).alias("lon_rt"),
-            F.round("lat_rt", 9).alias("lat_rt"),
+            F.round("x", 0).alias("x"),
+            F.round("y", 0).alias("y"),
+            (F.least(lon_d, F.lit(360.0) - lon_d) < F.lit(1e-6)).alias("lon_ok"),
+            (F.abs(F.col("lat_rt") - F.col("lat")) < F.lit(1e-6)).alias("lat_ok"),
         )
     )
 
@@ -1681,9 +1693,11 @@ fin AS (
          degrees(phi) AS lat_rt
   FROM i1
 )
-SELECT id, ROUND(x, 3) AS x, ROUND(y, 3) AS y,
-       ROUND(lon_rt, 9) AS lon_rt, ROUND(lat_rt, 9) AS lat_rt
-FROM fin
+SELECT f.id, ROUND(f.x, 0) AS x, ROUND(f.y, 0) AS y,
+       least(abs(f.lon_rt - s.lon), 360.0 - abs(f.lon_rt - s.lon)) < 1e-6
+         AS lon_ok,
+       abs(f.lat_rt - s.lat) < 1e-6 AS lat_ok
+FROM fin f JOIN src s USING (id)
 """
 
 
