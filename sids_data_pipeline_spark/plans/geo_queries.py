@@ -1174,6 +1174,54 @@ SELECT * FROM (VALUES
 """
 
 
+def _shapefile_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end: write BOTH zone fixtures (rectangles + the holed
+    triangle + overlapping polygons) as a spec-compliant shapefile set
+    (.shp/.shx/.dbf/.prj/.cpg, pure stdlib+numpy), ingest it back through
+    the ogr2ogr-parity reader, and emit the WKB as hex. The oracle VALUES
+    are the driver-side winding-canonicalisation twin of the same
+    fixtures — the Spark path must reproduce them byte-for-byte through
+    the .shp winding round trip (OGC CCW → spec CW → OGC CCW)."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.sources.shapefile import (
+        ingest_shapefile,
+        write_shapefile,
+    )
+
+    work = tempfile.mkdtemp(prefix="sdp_shp_")
+    path = os.path.join(work, "zones.shp")
+    write_shapefile(_shapefile_fixture_records(), path)
+    zones = ingest_shapefile(spark, path, vector_id="zones_shp")
+    return zones.select(
+        "vector_id", "fid", "name", F.lower(F.hex("geometry")).alias("wkb_hex")
+    )
+
+
+def _shapefile_fixture_records() -> list[tuple[int, str, bytes]]:
+    grid = list(FIXTURE_BUILDERS["zones_grid"]())
+    overlap = list(FIXTURE_BUILDERS["zones_overlap"]())
+    return grid + [(fid + 10, name, wkb) for fid, name, wkb in overlap]
+
+
+def _shapefile_ingest_sql() -> str:
+    from sids_data_pipeline_spark.sources.shapefile import (
+        canonicalize_wkb_winding,
+    )
+
+    values = ",\n  ".join(
+        f"('zones_shp', {i}, '{name}', "
+        f"'{canonicalize_wkb_winding(wkb).hex()}')"
+        for i, (_fid, name, wkb) in enumerate(_shapefile_fixture_records())
+    )
+    return f"""
+SELECT * FROM (VALUES
+  {values}
+) AS t(vector_id, fid, name, wkb_hex)
+"""
+
+
 def _csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/K6 end-to-end: region → header CSV (sharded) → schema-pinned
     scan back. The oracle is the region table itself — the round-trip
@@ -2531,6 +2579,14 @@ QUERIES: list[Query] = [
         _gpkg_ingest_query,
         _gpkg_ingest_sql(),
         doc="S6: GeoPackage write → ingest round-trip, WKB hex-verified",
+        tags=("geo", "source"),
+    ),
+    Query(
+        "vector_shapefile_ingest",
+        _shapefile_ingest_query,
+        _shapefile_ingest_sql(),
+        doc="S4: shapefile write → ingest round-trip (.shp winding rule, "
+            ".dbf attributes, .prj CRS gate), WKB hex-verified",
         tags=("geo", "source"),
     ),
     Query(

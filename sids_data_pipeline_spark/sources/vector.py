@@ -11,8 +11,10 @@ importing vectors once up front and streaming rasters past them
 
 ``ingest_geopackage`` delegates to the REAL stdlib-sqlite3 reader in
 sources/geopackage.py (GPB envelope + WKB decode — no fiona/geopandas
-needed); ``fixture_zones`` provides the deterministic FIXTURES.md §B2
-layers.
+needed); ``ingest_shapefile`` (sources/shapefile.py) is the matching
+pure-stdlib .shp/.dbf/.prj/.cpg reader for the reference's other vector
+format (download.py:14-17); ``fixture_zones`` provides the
+deterministic FIXTURES.md §B2 layers.
 """
 
 from __future__ import annotations
