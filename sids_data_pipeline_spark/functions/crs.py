@@ -268,8 +268,8 @@ def reproject_pixels(
         raise NotImplementedError(
             f"EPSG:{src_epsg}→EPSG:{dst_epsg} needs pyproj (not in this "
             "container); 4326↔3857, 4326↔UTM-zone, and the registered "
-            "LCC/Albers/sinusoidal/polar-stereographic grids (functions/"
-            "crs.PROJECTION_REGISTRY) are built-in closed forms"
+            "LCC/Albers/sinusoidal/polar-stereographic/national-TM grids "
+            "(functions/crs.PROJECTION_REGISTRY) are built-in closed forms"
         )
     # single withColumns: both outputs read the ORIGINAL x/y columns —
     # chained withColumn would feed the replaced x into the y expression
@@ -693,10 +693,289 @@ NSIDC_SOUTH = PolarStereographic(a=WGS84_A, f=WGS84_F, lat_ts=-70.0, lon0=0.0)
 ANTARCTIC_PS = PolarStereographic(a=WGS84_A, f=WGS84_F, lat_ts=-71.0, lon0=0.0)
 POLAR_PROJECTIONS = {3413: NSIDC_NORTH, 3976: NSIDC_SOUTH, 3031: ANTARCTIC_PS}
 
+# --- Transverse Mercator (arbitrary parameters), Snyder 1987 §8 ---------------
+# Generalizes the UTM core's fixed (k0=0.9996, lat0=0, FE=500 km,
+# WGS-84) parameters to the national TM grids real estates carry:
+# OSGB EPSG:27700 (Airy 1830, k0=0.9996012717, origin 49N 2W),
+# NZTM EPSG:2193 (GRS80, lon0=173E), US State Plane TM zones. The
+# reference reads all of them via gdalwarp universality
+# (batch/processing/raster.py:22-29). Same Snyder/Redfearn series as
+# the UTM pair — the new terms are the meridian-arc origin offset
+# M0 = M(lat0) and the free (k0, FE, FN).
+#
+# Grids on a non-WGS-84 DATUM (OSGB36) additionally carry a 7-parameter
+# Helmert (position-vector convention, the published OS set), applied
+# geocentrically at h=0 — the same 2-D treatment gdalwarp gives rasters.
+# Residual vs the true OSTN15 grid shift is the published ~2 m, far
+# under a 30 m pixel. The reverse shift uses the algebraic near-inverse
+# (transposed rotation / (1+s)); its second-order error is ~(4 µrad)²·R
+# ≈ 0.1 µm — unobservable.
+
+
+
+class TransverseMercator:
+    """Transverse Mercator on an ellipsoid (a, f) with arbitrary
+    (k0, lat0, lon0, FE, FN). ``wgs84_helmert`` (tx, ty, tz in m;
+    rx, ry, rz in arc-seconds; ds in ppm) is the WGS84→datum shift for
+    grids not on WGS-84; forward/inverse then include it, while
+    ``project``/``unproject`` stay projection-only (the form the EPSG /
+    OS worked examples pin)."""
+
+    def __init__(
+        self,
+        a: float,
+        f: float,
+        k0: float,
+        lat0: float,
+        lon0: float,
+        false_easting: float,
+        false_northing: float,
+        wgs84_helmert: tuple[float, ...] | None = None,
+    ):
+        self.a, self.f, self.k0 = a, f, k0
+        self.lat0, self.lon0 = lat0, lon0
+        self.fe, self.fn = false_easting, false_northing
+        e2 = f * (2.0 - f)
+        self.e2, self.ep2 = e2, e2 / (1.0 - e2)
+        # meridian-arc series (same closed form as the UTM block above,
+        # evaluated on THIS ellipsoid)
+        self.m0c = 1.0 - e2 / 4.0 - 3.0 * e2**2 / 64.0 - 5.0 * e2**3 / 256.0
+        self.m2c = 3.0 * e2 / 8.0 + 3.0 * e2**2 / 32.0 + 45.0 * e2**3 / 1024.0
+        self.m4c = 15.0 * e2**2 / 256.0 + 45.0 * e2**3 / 1024.0
+        self.m6c = 35.0 * e2**3 / 3072.0
+        self.m0_arc = self._meridian_arc_py(math.radians(lat0))
+        e1 = (1.0 - math.sqrt(1.0 - e2)) / (1.0 + math.sqrt(1.0 - e2))
+        self.p2 = 3.0 * e1 / 2.0 - 27.0 * e1**3 / 32.0
+        self.p4 = 21.0 * e1**2 / 16.0 - 55.0 * e1**4 / 32.0
+        self.p6 = 151.0 * e1**3 / 96.0
+        self.p8 = 1097.0 * e1**4 / 512.0
+        if wgs84_helmert is not None and len(wgs84_helmert) != 7:
+            raise ValueError("wgs84_helmert is (tx, ty, tz, rx″, ry″, rz″, ds_ppm)")
+        self.helmert = wgs84_helmert
+
+    def _meridian_arc_py(self, phi: float) -> float:
+        return self.a * (
+            self.m0c * phi
+            - self.m2c * math.sin(2.0 * phi)
+            + self.m4c * math.sin(4.0 * phi)
+            - self.m6c * math.sin(6.0 * phi)
+        )
+
+    # --- projection-only legs (EPSG method 9807) ---
+
+    def project(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi = F.radians(lat)
+        sinp, cosp, tanp = F.sin(phi), F.cos(phi), F.tan(phi)
+        nu = F.lit(self.a) / F.sqrt(F.lit(1.0) - F.lit(self.e2) * sinp * sinp)
+        t = tanp * tanp
+        c = F.lit(self.ep2) * cosp * cosp
+        aa = (F.radians(lon) - F.lit(math.radians(self.lon0))) * cosp
+        m = F.lit(self.a) * (
+            F.lit(self.m0c) * phi
+            - F.lit(self.m2c) * F.sin(phi * 2.0)
+            + F.lit(self.m4c) * F.sin(phi * 4.0)
+            - F.lit(self.m6c) * F.sin(phi * 6.0)
+        )
+        x = F.lit(self.fe) + F.lit(self.k0) * nu * (
+            aa
+            + (F.lit(1.0) - t + c) * F.pow(aa, 3) / 6.0
+            + (F.lit(5.0) - t * 18.0 + t * t + c * 72.0 - F.lit(58.0 * self.ep2))
+            * F.pow(aa, 5)
+            / 120.0
+        )
+        y = F.lit(self.fn) + F.lit(self.k0) * (
+            m
+            - F.lit(self.m0_arc)
+            + nu
+            * tanp
+            * (
+                aa * aa / 2.0
+                + (F.lit(5.0) - t + c * 9.0 + c * c * 4.0) * F.pow(aa, 4) / 24.0
+                + (
+                    F.lit(61.0)
+                    - t * 58.0
+                    + t * t
+                    + c * 600.0
+                    - F.lit(330.0 * self.ep2)
+                )
+                * F.pow(aa, 6)
+                / 720.0
+            )
+        )
+        return x, y
+
+    def unproject(self, x: Column, y: Column) -> tuple[Column, Column]:
+        mu = (F.lit(self.m0_arc) + (y - F.lit(self.fn)) / F.lit(self.k0)) / F.lit(
+            self.a * self.m0c
+        )
+        phi1 = (
+            mu
+            + F.lit(self.p2) * F.sin(mu * 2.0)
+            + F.lit(self.p4) * F.sin(mu * 4.0)
+            + F.lit(self.p6) * F.sin(mu * 6.0)
+            + F.lit(self.p8) * F.sin(mu * 8.0)
+        )
+        sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+        c1 = F.lit(self.ep2) * cos1 * cos1
+        t1 = tan1 * tan1
+        one_minus = F.lit(1.0) - F.lit(self.e2) * sin1 * sin1
+        n1 = F.lit(self.a) / F.sqrt(one_minus)
+        r1 = F.lit(self.a * (1.0 - self.e2)) / F.pow(one_minus, 1.5)
+        d = (x - F.lit(self.fe)) / (n1 * F.lit(self.k0))
+        lat = F.degrees(
+            phi1
+            - (n1 * tan1 / r1)
+            * (
+                d * d / 2.0
+                - (
+                    F.lit(5.0)
+                    + t1 * 3.0
+                    + c1 * 10.0
+                    - c1 * c1 * 4.0
+                    - F.lit(9.0 * self.ep2)
+                )
+                * F.pow(d, 4)
+                / 24.0
+                + (
+                    F.lit(61.0)
+                    + t1 * 90.0
+                    + c1 * 298.0
+                    + t1 * t1 * 45.0
+                    - F.lit(252.0 * self.ep2)
+                    - c1 * c1 * 3.0
+                )
+                * F.pow(d, 6)
+                / 720.0
+            )
+        )
+        lon = F.degrees(
+            F.lit(math.radians(self.lon0))
+            + (
+                d
+                - (F.lit(1.0) + t1 * 2.0 + c1) * F.pow(d, 3) / 6.0
+                + (
+                    F.lit(5.0)
+                    - c1 * 2.0
+                    + t1 * 28.0
+                    - c1 * c1 * 3.0
+                    + F.lit(8.0 * self.ep2)
+                    + t1 * t1 * 24.0
+                )
+                * F.pow(d, 5)
+                / 120.0
+            )
+            / cos1
+        )
+        return lon, lat
+
+    # --- datum legs (7-param Helmert, position-vector, h=0) ---
+
+    def _datum_to(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        """WGS-84 geodetic → this datum's geodetic (h = 0)."""
+        tx, ty, tz, rxs, rys, rzs, ds = self.helmert
+        rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
+        s = 1.0 + ds * 1e-6
+        ew2 = WGS84_F * (2.0 - WGS84_F)
+        phi, lam = F.radians(lat), F.radians(lon)
+        sinp = F.sin(phi)
+        nu = F.lit(WGS84_A) / F.sqrt(F.lit(1.0) - F.lit(ew2) * sinp * sinp)
+        xg = nu * F.cos(phi) * F.cos(lam)
+        yg = nu * F.cos(phi) * F.sin(lam)
+        zg = nu * F.lit(1.0 - ew2) * sinp
+        xt = F.lit(tx) + F.lit(s) * (xg - F.lit(rz) * yg + F.lit(ry) * zg)
+        yt = F.lit(ty) + F.lit(s) * (F.lit(rz) * xg + yg - F.lit(rx) * zg)
+        zt = F.lit(tz) + F.lit(s) * (-F.lit(ry) * xg + F.lit(rx) * yg + zg)
+        return self._geocentric_to_geodetic(xt, yt, zt, self.a, self.e2)
+
+    def _datum_from(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        """This datum's geodetic → WGS-84 (algebraic near-inverse)."""
+        tx, ty, tz, rxs, rys, rzs, ds = self.helmert
+        rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
+        inv_s = 1.0 / (1.0 + ds * 1e-6)
+        phi, lam = F.radians(lat), F.radians(lon)
+        sinp = F.sin(phi)
+        nu = F.lit(self.a) / F.sqrt(F.lit(1.0) - F.lit(self.e2) * sinp * sinp)
+        xt = nu * F.cos(phi) * F.cos(lam) - F.lit(tx)
+        yt = nu * F.cos(phi) * F.sin(lam) - F.lit(ty)
+        zt = nu * F.lit(1.0 - self.e2) * sinp - F.lit(tz)
+        xg = F.lit(inv_s) * (xt + F.lit(rz) * yt - F.lit(ry) * zt)
+        yg = F.lit(inv_s) * (-F.lit(rz) * xt + yt + F.lit(rx) * zt)
+        zg = F.lit(inv_s) * (F.lit(ry) * xt - F.lit(rx) * yt + zt)
+        ew2 = WGS84_F * (2.0 - WGS84_F)
+        return self._geocentric_to_geodetic(xg, yg, zg, WGS84_A, ew2)
+
+    @staticmethod
+    def _geocentric_to_geodetic(
+        x: Column, y: Column, z: Column, a: float, e2: float
+    ) -> tuple[Column, Column]:
+        # Bowring's closed form (Bowring 1976, the standard non-iterative
+        # geocentric→geodetic): θ = atan2(z·a, p·b), then
+        # φ = atan2(z + e′²·b·sin³θ, p − e²·a·cos³θ). Exact to <1e-12 rad
+        # for h≈0 points (ours are, by construction). Closed-form on
+        # purpose: an unrolled fixed-point nested inside the projection
+        # series multiplies the expression tree past what the planner
+        # tolerates — the same reason the LCC/Albers inverses use series.
+        b = a * math.sqrt(1.0 - e2)
+        ep2 = e2 / (1.0 - e2)
+        p = F.sqrt(x * x + y * y)
+        lam = F.atan2(y, x)
+        theta = F.atan2(z * F.lit(a), p * F.lit(b))
+        st, ct = F.sin(theta), F.cos(theta)
+        phi = F.atan2(
+            z + F.lit(ep2 * b) * st * st * st,
+            p - F.lit(e2 * a) * ct * ct * ct,
+        )
+        return F.degrees(lam), F.degrees(phi)
+
+    # --- registry entry points (WGS-84 in/out) ---
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        if self.helmert is not None:
+            lon, lat = self._datum_to(lon, lat)
+        return self.project(lon, lat)
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        lon, lat = self.unproject(x, y)
+        if self.helmert is not None:
+            lon, lat = self._datum_from(lon, lat)
+        return lon, lat
+
+
+AIRY_A = 6377563.396
+AIRY_F = 1.0 / 299.3249646
+GRS80_F = 1.0 / 298.257222101
+
+# EPSG:27700 — OSGB36 / British National Grid (Airy 1830; the published
+# OS 7-parameter WGS84→OSGB36 Helmert, "A guide to coordinate systems
+# in Great Britain" Annex — ~2 m vs OSTN15)
+OSGB_NATIONAL_GRID = TransverseMercator(
+    a=AIRY_A,
+    f=AIRY_F,
+    k0=0.9996012717,
+    lat0=49.0,
+    lon0=-2.0,
+    false_easting=400000.0,
+    false_northing=-100000.0,
+    wgs84_helmert=(-446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894),
+)
+# EPSG:2193 — NZGD2000 / New Zealand Transverse Mercator (GRS80;
+# NZGD2000 is WGS-84-coincident at this precision, no datum shift)
+NZTM2000 = TransverseMercator(
+    a=WGS84_A,
+    f=GRS80_F,
+    k0=0.9996,
+    lat0=0.0,
+    lon0=173.0,
+    false_easting=1600000.0,
+    false_northing=10000000.0,
+)
+TM_PROJECTIONS = {27700: OSGB_NATIONAL_GRID, 2193: NZTM2000}
+
 # every registered grid projection with forward/inverse column methods;
 # pre-registered keys are genuine EPSG codes only
 PROJECTION_REGISTRY: dict[int, object] = {
     **LCC_PROJECTIONS, **ALBERS_PROJECTIONS, **POLAR_PROJECTIONS,
+    **TM_PROJECTIONS,
 }
 
 

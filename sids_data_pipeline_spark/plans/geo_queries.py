@@ -1749,6 +1749,140 @@ FROM fin f JOIN src s USING (id)
 """
 
 
+def _crs_reproject_tm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326 → EPSG:2193 (NZGD2000 / New Zealand Transverse Mercator,
+    Snyder §8 / EPSG method 9807 with non-UTM parameters: lon0=173E,
+    FE=1.6e6, FN=1e7) forward, then the footpoint-latitude series
+    inverse back — the generalized national-grid TM family (OSGB 27700
+    is the Helmert-shifted sibling, pinned to the OS + EPSG worked
+    examples in tests/test_crs.py). Grid kept within ±3.3° of the CM
+    where the low-order Redfearn series is sub-mm. Same ULP-insensitive
+    gate as crs_reproject_polar: forward at a 1 m quantum, round trip
+    as tolerance booleans vs the SOURCE coordinates."""
+    from sids_data_pipeline_spark.functions.crs import reproject_pixels
+
+    grid = spark.range(0, 1000, 1, 8).select(
+        F.col("id"),
+        (F.lit(169.7) + (F.col("id") % 20).cast("double") * 0.33).alias("lon"),
+        (F.lit(-46.8) + (F.col("id") / 20).cast("long").cast("double") * 0.26).alias(
+            "lat"
+        ),
+    )
+    xy = reproject_pixels(grid, src_epsg=4326, dst_epsg=2193)
+    xy = xy.select("id", F.col("lon").alias("x"), F.col("lat").alias("y"))
+    back = reproject_pixels(
+        xy.withColumnsRenamed({"x": "lon", "y": "lat"}), 2193, 4326
+    )
+    return (
+        grid.join(xy, "id")
+        .join(back.withColumnsRenamed({"lon": "lon_rt", "lat": "lat_rt"}), "id")
+        .select(
+            "id",
+            F.round("x", 0).alias("x"),
+            F.round("y", 0).alias("y"),
+            (F.abs(F.col("lon_rt") - F.col("lon")) < F.lit(1e-6)).alias("lon_ok"),
+            (F.abs(F.col("lat_rt") - F.col("lat")) < F.lit(1e-6)).alias("lat_ok"),
+        )
+    )
+
+
+def _crs_tm_sql() -> str:
+    """Term-for-term mirror of TransverseMercator.project/unproject with
+    the NZTM2000 constants; every coefficient derives from the SAME
+    projection object so engine and oracle cannot desynchronize."""
+    import math
+
+    from sids_data_pipeline_spark.functions.crs import NZTM2000 as P
+
+    lam0 = math.radians(P.lon0)
+    return f"""
+WITH src AS (
+  SELECT i AS id,
+         169.7 + CAST(i % 20 AS DOUBLE) * 0.33 AS lon,
+         -46.8 + CAST(i // 20 AS DOUBLE) * 0.26 AS lat
+  FROM (SELECT unnest(range(1000)) AS i) t
+),
+f1 AS (
+  SELECT id, lon, lat, radians(lat) AS phi, radians(lon) AS lam FROM src
+),
+f2 AS (
+  SELECT id, lon, lat, phi,
+         {P.a!r} / sqrt(1.0 - {P.e2!r} * sin(phi) * sin(phi)) AS nu,
+         tan(phi) * tan(phi) AS tt,
+         {P.ep2!r} * cos(phi) * cos(phi) AS cc,
+         (lam - {lam0!r}) * cos(phi) AS aa,
+         {P.a!r} * ({P.m0c!r} * phi - {P.m2c!r} * sin(phi * 2.0)
+                    + {P.m4c!r} * sin(phi * 4.0)
+                    - {P.m6c!r} * sin(phi * 6.0)) AS m
+  FROM f1
+),
+fwd AS (
+  SELECT id, lon, lat,
+         {P.fe!r} + {P.k0!r} * nu * (
+           aa + (1.0 - tt + cc) * pow(aa, 3) / 6.0
+              + (5.0 - tt * 18.0 + tt * tt + cc * 72.0
+                 - {58.0 * P.ep2!r}) * pow(aa, 5) / 120.0) AS x,
+         {P.fn!r} + {P.k0!r} * (
+           m - {P.m0_arc!r}
+             + nu * tan(phi) * (
+                 aa * aa / 2.0
+                 + (5.0 - tt + cc * 9.0 + cc * cc * 4.0) * pow(aa, 4) / 24.0
+                 + (61.0 - tt * 58.0 + tt * tt + cc * 600.0
+                    - {330.0 * P.ep2!r}) * pow(aa, 6) / 720.0)) AS y
+  FROM f2
+),
+i0 AS (
+  SELECT id, lon, lat, x, y,
+         ({P.m0_arc!r} + (y - {P.fn!r}) / {P.k0!r}) / {P.a * P.m0c!r} AS mu
+  FROM fwd
+),
+i1 AS (
+  SELECT id, lon, lat, x, y,
+         mu + {P.p2!r} * sin(mu * 2.0) + {P.p4!r} * sin(mu * 4.0)
+            + {P.p6!r} * sin(mu * 6.0) + {P.p8!r} * sin(mu * 8.0) AS phi1
+  FROM i0
+),
+i2 AS (
+  SELECT id, lon, lat, x, y, phi1,
+         {P.ep2!r} * cos(phi1) * cos(phi1) AS c1,
+         tan(phi1) * tan(phi1) AS t1,
+         1.0 - {P.e2!r} * sin(phi1) * sin(phi1) AS om
+  FROM i1
+),
+i3 AS (
+  SELECT id, lon, lat, x, y, phi1, c1, t1,
+         {P.a!r} / sqrt(om) AS n1,
+         {P.a * (1.0 - P.e2)!r} / pow(om, 1.5) AS r1
+  FROM i2
+),
+i4 AS (
+  SELECT id, lon, lat, x, y, phi1, c1, t1, n1, r1,
+         (x - {P.fe!r}) / (n1 * {P.k0!r}) AS d
+  FROM i3
+),
+fin AS (
+  SELECT id, lon, lat, x, y,
+         degrees(phi1 - (n1 * tan(phi1) / r1) * (
+             d * d / 2.0
+             - (5.0 + t1 * 3.0 + c1 * 10.0 - c1 * c1 * 4.0
+                - {9.0 * P.ep2!r}) * pow(d, 4) / 24.0
+             + (61.0 + t1 * 90.0 + c1 * 298.0 + t1 * t1 * 45.0
+                - {252.0 * P.ep2!r} - c1 * c1 * 3.0)
+               * pow(d, 6) / 720.0)) AS lat_rt,
+         degrees({lam0!r} + (
+             d - (1.0 + t1 * 2.0 + c1) * pow(d, 3) / 6.0
+               + (5.0 - c1 * 2.0 + t1 * 28.0 - c1 * c1 * 3.0
+                  + {8.0 * P.ep2!r} + t1 * t1 * 24.0)
+                 * pow(d, 5) / 120.0) / cos(phi1)) AS lon_rt
+  FROM i4
+)
+SELECT id, ROUND(x, 0) AS x, ROUND(y, 0) AS y,
+       abs(lon_rt - lon) < 1e-6 AS lon_ok,
+       abs(lat_rt - lat) < 1e-6 AS lat_ok
+FROM fin
+"""
+
+
 def _crs_reproject_sinu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4326 → MODIS sinusoidal (R = 6371007.181 m, the MOD* land grids)
     forward + inverse round trip — spherical closed form both legs.
@@ -2430,6 +2564,17 @@ QUERIES: list[Query] = [
             "Snyder §21 / EPSG 9829 variant B), closed form both legs "
             "incl. conformal-series inverse + antimeridian wrap; forward "
             "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "crs_reproject_tm",
+        _crs_reproject_tm,
+        _crs_tm_sql(),
+        doc="P9/F8: WGS-84 ↔ NZTM (EPSG:2193), the generalized national-"
+            "grid transverse Mercator (arbitrary k0/lat0/lon0/FE/FN), "
+            "closed form both legs; the OSGB sibling (27700, Airy + "
+            "7-param Helmert) is pinned to the OS and EPSG Guidance 7-2 "
+            "worked examples in pytest",
         tags=("geo", "scalar"),
     ),
     Query(

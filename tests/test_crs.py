@@ -511,3 +511,153 @@ def test_dwithin_join_matches_bruteforce(spark):
     )
     with pytest.raises(Exception, match="max_abs_lat"):
         crs.dwithin_join(polar, b, radius_m=radius).collect()
+
+
+def test_tm_osgb_os_worked_example(spark):
+    """OS 'A guide to coordinate systems in Great Britain' worked
+    example (projection-only, OSGB36 geodetic in): 52°39'27.2531"N,
+    1°43'4.5177"E → E 651409.903, N 313177.270 — an INDEPENDENT
+    published oracle for the generalized TM series on Airy 1830."""
+    P = crs.OSGB_NATIONAL_GRID
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    df = spark.createDataFrame([(lon, lat)], "lon double, lat double")
+    x, y = P.project(F.col("lon"), F.col("lat"))
+    row = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(row.x - 651409.903) < 0.005
+    assert abs(row.y - 313177.270) < 0.005
+    # unproject recovers the OSGB36 geodetic point (5e-8° ≈ 5 mm: the
+    # forward and inverse series truncate differently 3.7° off the CM,
+    # so the round trip carries the mm-level Redfearn residual)
+    lon2, lat2 = P.unproject(F.lit(651409.903), F.lit(313177.270))
+    row = df.select(lon2.alias("lon"), lat2.alias("lat")).collect()[0]
+    assert abs(row.lon - lon) < 5e-8
+    assert abs(row.lat - lat) < 5e-8
+
+
+def test_tm_osgb_epsg_worked_example(spark):
+    """EPSG Guidance 7-2 Transverse Mercator worked example (the same
+    OSGB parameter set): 50°30'N, 0°30'E → E 577274.99, N 69740.50."""
+    P = crs.OSGB_NATIONAL_GRID
+    df = spark.createDataFrame([(0.5, 50.5)], "lon double, lat double")
+    x, y = P.project(F.col("lon"), F.col("lat"))
+    row = df.select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(row.x - 577274.99) < 0.02
+    assert abs(row.y - 69740.50) < 0.02
+
+
+def test_tm_osgb_helmert_full_transform(spark):
+    """Full EPSG:27700 through the registry dispatch (Helmert datum
+    shift + TM): WGS-84 Edinburgh/London land on their true grid refs
+    (±3 m vs OSTN15 truth — the published accuracy of the 7-parameter
+    shift), and the round trip closes to the near-inverse's 1e-7°."""
+    pts = spark.createDataFrame(
+        [(1, -3.1883, 55.9533), (2, 0.1276, 51.5072)],
+        "id long, lon double, lat double",
+    )
+    xy = crs.reproject_pixels(pts, 4326, 27700)
+    rows = {r.id: r for r in xy.collect()}
+    # Edinburgh city centre ≈ NT 2590 7400; London ≈ TQ 4775 8085
+    assert abs(rows[1].lon - 325897.0) < 10.0
+    assert abs(rows[1].lat - 674001.0) < 10.0
+    back = crs.reproject_pixels(xy, 27700, 4326)
+    worst = back.join(
+        pts.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+    ).selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    assert worst.dlon < 1e-7 and worst.dlat < 1e-7
+
+
+def test_tm_nztm_invariants_and_roundtrip(spark):
+    """NZTM (EPSG:2193): on the central meridian easting == FE exactly
+    and northing == FN + k0·M(φ) (numpy meridian-arc twin); a NZ-wide
+    grid round-trips through the registry dispatch to 1e-7°."""
+    P = crs.NZTM2000
+    df = spark.createDataFrame(
+        [(173.0, -41.0), (173.0, -36.0)], "lon double, lat double"
+    )
+    x, y = P.forward(F.col("lon"), F.col("lat"))
+    rows = df.select("lat", x.alias("x"), y.alias("y")).collect()
+    for r in rows:
+        assert abs(r.x - 1_600_000.0) < 1e-6
+        want_n = 10_000_000.0 + 0.9996 * P._meridian_arc_py(
+            math.radians(r.lat)
+        )
+        assert abs(r.y - want_n) < 1e-6
+    # Wellington sanity: the real NZTM grid puts it near (1 748 800, 5 427 600)
+    wgtn = spark.createDataFrame([(174.7772, -41.2889)], "lon double, lat double")
+    wx, wy = P.forward(F.col("lon"), F.col("lat"))
+    w = wgtn.select(wx.alias("x"), wy.alias("y")).collect()[0]
+    assert abs(w.x - 1_748_800) < 5000 and abs(w.y - 5_427_600) < 5000
+    grid = spark.range(0, 200, 1, 4).select(
+        F.col("id"),
+        (F.lit(166.0) + (F.col("id") % 20).cast("double") * 0.65).alias("lon"),
+        (F.lit(-47.0) + (F.col("id") / 20).cast("long").cast("double") * 1.4).alias(
+            "lat"
+        ),
+    )
+    xy = crs.reproject_pixels(grid, 4326, 2193)
+    back = crs.reproject_pixels(xy, 2193, 4326)
+    worst = back.join(
+        grid.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+    ).selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    # NZTM spans ±7° of its CM — at the 166°E edge the low-order
+    # Redfearn truncation leaves ~2e-6° (~15 cm) of fwd/inv mismatch
+    # (LINZ's own spec uses higher-order Krüger); well under a pixel.
+    assert worst.dlon < 5e-6 and worst.dlat < 5e-6
+
+
+def test_tm_helmert_matches_numpy_twin(spark):
+    """The column-math Helmert chain (geodetic→geocentric→7-param→
+    Bowring) against an independent numpy transcription of the OS
+    formulas — pins the transcription, not just self-consistency."""
+    import numpy as np
+
+    tx, ty, tz, rxs, rys, rzs, ds = -446.448, 125.157, -542.060, -0.1502, -0.2470, -0.8421, 20.4894
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
+    s = 1.0 + ds * 1e-6
+    aw, fw = crs.WGS84_A, crs.WGS84_F
+    ew2 = fw * (2.0 - fw)
+    at, ft = crs.AIRY_A, crs.AIRY_F
+    et2 = ft * (2.0 - ft)
+
+    def numpy_shift(lon_d, lat_d):
+        phi, lam = math.radians(lat_d), math.radians(lon_d)
+        nu = aw / math.sqrt(1.0 - ew2 * math.sin(phi) ** 2)
+        X = nu * math.cos(phi) * math.cos(lam)
+        Y = nu * math.cos(phi) * math.sin(lam)
+        Z = nu * (1.0 - ew2) * math.sin(phi)
+        Xp = tx + s * (X - rz * Y + ry * Z)
+        Yp = ty + s * (rz * X + Y - rx * Z)
+        Zp = tz + s * (-ry * X + rx * Y + Z)
+        p = math.hypot(Xp, Yp)
+        bt = at * math.sqrt(1.0 - et2)
+        ept2 = et2 / (1.0 - et2)
+        theta = math.atan2(Zp * at, p * bt)
+        phi2 = math.atan2(
+            Zp + ept2 * bt * math.sin(theta) ** 3,
+            p - et2 * at * math.cos(theta) ** 3,
+        )
+        return math.degrees(math.atan2(Yp, Xp)), math.degrees(phi2)
+
+    pts = [(-5.5, 50.1), (-3.1883, 55.9533), (1.75, 52.48), (-7.9, 58.2)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    P = crs.OSGB_NATIONAL_GRID
+    lon_c, lat_c = P._datum_to(F.col("lon"), F.col("lat"))
+    got = df.select("lon", "lat", lon_c.alias("lon2"), lat_c.alias("lat2")).collect()
+    for r in got:
+        wl, wp = numpy_shift(r.lon, r.lat)
+        assert abs(r.lon2 - wl) < 1e-12
+        assert abs(r.lat2 - wp) < 1e-12
+
+
+def test_tm_unregistered_national_grid_still_raises(spark):
+    """A TM grid NOT in the registry (e.g. EPSG:32030 state plane)
+    keeps failing loudly — the generalization adds codes explicitly,
+    it does not guess parameters."""
+    df = spark.createDataFrame([(1, 0.0, 50.0)], "id long, lon double, lat double")
+    with pytest.raises(NotImplementedError, match="32030"):
+        crs.reproject_pixels(df, 4326, 32030)
