@@ -43,8 +43,9 @@ def test_identity_when_same_epsg(lonlat):
 
 
 def test_unsupported_pair_raises(lonlat):
+    # Krovak (5514) — a real projection family with no closed form here
     with pytest.raises(NotImplementedError):
-        crs.reproject_pixels(lonlat, 27700, 4326)
+        crs.reproject_pixels(lonlat, 5514, 4326)
 
 
 def test_standardize_mixed_crs(spark):
@@ -375,7 +376,7 @@ def test_registry_dispatch_and_unsupported_raise(spark):
     row = crs.reproject_pixels(df, 4326, 5070).collect()[0]
     assert abs(row.lon) < 1e-6 and abs(row.lat) < 1e-6
     with pytest.raises(NotImplementedError):
-        crs.reproject_pixels(df, 4326, 27700)  # OSGB needs a datum shift
+        crs.reproject_pixels(df, 4326, 5514)  # Krovak is not registered
 
 
 # --- Polar stereographic (EPSG:3413/3976/3031, round-8 addition) --------------
