@@ -1076,9 +1076,14 @@ def dwithin_join(
     1/cos(``max_abs_lat``) — the worst meridian convergence the data can
     reach; rows beyond ``max_abs_lat`` are REJECTED in-plan rather than
     silently under-matched, since a polar row's radius can span many
-    cells). The left side explodes onto the 3×3 bucket neighbourhood and
-    candidates meet in ONE integer-key equi-join; exact haversine
-    refines. Right-side column collisions come back suffixed.
+    cells). Longitude cells divide the full circle EVENLY (the raw cell
+    is widened to 360/⌊360/cell⌋) and neighbour offsets wrap modulo the
+    cell count, so pairs straddling the ±180 antimeridian meet like any
+    others — PostGIS-geography ST_DWithin wraps, and so does the exact
+    haversine refine, so the buckets must too. The left side explodes
+    onto the 3×3 bucket neighbourhood and candidates meet in ONE
+    integer-key equi-join; exact haversine refines. Right-side column
+    collisions come back suffixed.
 
     Output: the joined columns plus ``dist_m``.
     """
@@ -1090,12 +1095,23 @@ def dwithin_join(
         raise ValueError(f"max_abs_lat must be in (0, 89), got {max_abs_lat}")
     deg_lat = radius_m / 111_194.9  # meters per degree on the mean sphere
     deg_lon = deg_lat / _math.cos(_math.radians(max_abs_lat))
+    # wrap-safe longitude cells: uniform width that divides 360 exactly
+    # (a remainder cell narrower than deg_lon would break the ±1
+    # neighbourhood guarantee at the seam)
+    n_lon = max(1, int(360.0 // deg_lon))
+    cell_lon = 360.0 / n_lon
 
     overlap = set(left.columns) & set(right.columns)
     right = right.withColumnsRenamed({c: f"{c}{suffix}" for c in overlap})
-    r_lat, r_lon = f"{lat_col}{suffix}", f"{lon_col}{suffix}"
-    if r_lat not in right.columns:
-        r_lat, r_lon = lat_col, lon_col
+    r_lat = f"{lat_col}{suffix}" if lat_col in overlap else lat_col
+    r_lon = f"{lon_col}{suffix}" if lon_col in overlap else lon_col
+    missing = [c for c in (r_lat, r_lon) if c not in right.columns]
+    if missing:
+        raise ValueError(
+            f"dwithin_join: right side is missing coordinate column(s) "
+            f"{missing} (right columns after suffixing: {right.columns}); "
+            f"rename the right side's coordinates to {lat_col!r}/{lon_col!r}"
+        )
 
     def cells(df: DataFrame, la: str, lo: str):
         # per-side raise: the message column must RESOLVE on this side's
@@ -1115,15 +1131,22 @@ def dwithin_join(
         return df.withColumns(
             {
                 "_cy": guard,
-                "_cx": F.floor(F.col(lo) / F.lit(deg_lon)).cast("long"),
+                # lon normalized to [0, 360) so ±180 share a cell index
+                "_cx": F.floor(
+                    F.pmod(F.col(lo), F.lit(360.0)) / F.lit(cell_lon)
+                ).cast("long"),
             }
         )
 
+    # distinct offsets AFTER the wrap: with ≤3 cells the -1/+1 wraps
+    # collapse onto the same cell and duplicate offsets would emit
+    # duplicate candidate pairs
+    dxs = sorted({d % n_lon for d in (-1, 0, 1)})
     offs = F.explode(
         F.array(
             *[
                 F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
+                for dx in dxs
                 for dy in (-1, 0, 1)
             ]
         )
@@ -1133,7 +1156,7 @@ def dwithin_join(
         .select("*", offs)
         .withColumns(
             {
-                "_cx": F.col("_cx") + F.col("_o.dx"),
+                "_cx": F.pmod(F.col("_cx") + F.col("_o.dx"), F.lit(n_lon)),
                 "_cy": F.col("_cy") + F.col("_o.dy"),
             }
         )

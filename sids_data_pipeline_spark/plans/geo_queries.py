@@ -781,18 +781,31 @@ ORDER BY y, x
 def _geo_dwithin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST_DWithin parity: all point pairs within 150 km, via lat/lon
     grid buckets + 3×3 neighbourhood explode + exact haversine refine —
-    the oracle brute-forces the 300×300 cross join (trivially fine for
-    DuckDB at fixture scale, the shape the engine must NOT use)."""
+    the oracle brute-forces the cross join (trivially fine for DuckDB at
+    fixture scale, the shape the engine must NOT use). Points 300-303
+    are planted ANTIMERIDIAN pairs (lon ±179.9): the wrapped longitude
+    buckets must pair them exactly like the haversine (which is
+    inherently wrap-correct in sin²(Δλ/2)) says they pair."""
     from sids_data_pipeline_spark.functions.crs import dwithin_join
 
     def pts(n: int, dlat: float, dlon: float):
-        return spark.range(0, n, 1, 8).select(
+        base = spark.range(0, n, 1, 8).select(
             F.col("id"),
             ((F.col("id") * 37) % 110 - 55 + 0.25 + dlat)
             .cast("double").alias("lat"),
             ((F.col("id") * 73) % 358 - 179 + 0.5 + dlon)
             .cast("double").alias("lon"),
         )
+        seam = spark.createDataFrame(
+            [
+                (n + 0, 52.0 + dlat, 179.9),
+                (n + 1, 52.2 + dlat, -179.95),
+                (n + 2, -30.5 + dlat, -179.99),
+                (n + 3, -30.4 + dlat, 179.85),
+            ],
+            "id long, lat double, lon double",
+        )
+        return base.unionByName(seam)
 
     # B = A shifted by (1.2°, 0.7°): the diagonal pair distance CROSSES
     # the 150 km radius as |lat| grows (lon degrees shrink), so inclusion
@@ -819,11 +832,25 @@ WITH a AS (
          CAST((i * 37) % 110 - 55 + 0.25 + 0.0 AS DOUBLE) AS lat,
          CAST((i * 73) % 358 - 179 + 0.5 + 0.0 AS DOUBLE) AS lon
   FROM (SELECT unnest(range(300)) AS i) t
+  UNION ALL
+  SELECT * FROM (VALUES
+    (300, CAST(52.0 AS DOUBLE), CAST(179.9 AS DOUBLE)),
+    (301, CAST(52.2 AS DOUBLE), CAST(-179.95 AS DOUBLE)),
+    (302, CAST(-30.5 AS DOUBLE), CAST(-179.99 AS DOUBLE)),
+    (303, CAST(-30.4 AS DOUBLE), CAST(179.85 AS DOUBLE))
+  ) s(id, lat, lon)
 ), b AS (
   SELECT i AS id,
          CAST((i * 37) % 110 - 55 + 0.25 + 1.2 AS DOUBLE) AS lat,
          CAST((i * 73) % 358 - 179 + 0.5 + 0.7 AS DOUBLE) AS lon
   FROM (SELECT unnest(range(300)) AS i) t
+  UNION ALL
+  SELECT * FROM (VALUES
+    (300, CAST(53.2 AS DOUBLE), CAST(179.9 AS DOUBLE)),
+    (301, CAST(53.4 AS DOUBLE), CAST(-179.95 AS DOUBLE)),
+    (302, CAST(-29.3 AS DOUBLE), CAST(-179.99 AS DOUBLE)),
+    (303, CAST(-29.2 AS DOUBLE), CAST(179.85 AS DOUBLE))
+  ) s(id, lat, lon)
 )
 SELECT a.id AS id_l, b.id AS id_r, ROUND({hav}, 3) AS dist_m
 FROM a CROSS JOIN b

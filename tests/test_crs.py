@@ -472,6 +472,12 @@ def test_dwithin_join_matches_bruteforce(spark):
     # plant guaranteed matches near a few left points, incl. at 54°N
     for k, (i, la, lo) in enumerate(a_rows[:5]):
         b_rows.append((500 + k, la + 0.05, lo + 0.05))
+    # plant ANTIMERIDIAN pairs: ±180 must meet in wrapped buckets (the
+    # haversine brute force below is inherently wrap-correct)
+    a_rows.append((400, 53.0, 179.95))
+    b_rows.append((600, 53.2, -179.9))
+    a_rows.append((401, -31.0, -179.99))
+    b_rows.append((601, -31.1, 179.8))
     a = spark.createDataFrame(a_rows, "id long, lat double, lon double")
     b = spark.createDataFrame(b_rows, "id long, lat double, lon double")
     radius = 50_000.0
@@ -500,6 +506,7 @@ def test_dwithin_join_matches_bruteforce(spark):
                 want[(i, j)] = d
     assert set(got) == set(want)
     assert len(want) >= 5  # planted matches actually exercised
+    assert (400, 600) in got and (401, 601) in got  # antimeridian pairs
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-6
 
@@ -507,6 +514,11 @@ def test_dwithin_join_matches_bruteforce(spark):
 
     with pytest.raises(ValueError, match="radius_m"):
         crs.dwithin_join(a, b, radius_m=0.0)
+    # right side whose longitude rides a different name: loud ValueError
+    # up front, not an unresolved-column AnalysisException mid-plan
+    b_badlon = b.withColumnRenamed("lon", "longitude")
+    with pytest.raises(ValueError, match="missing coordinate column"):
+        crs.dwithin_join(a, b_badlon, radius_m=1000.0)
     polar = spark.createDataFrame(
         [(1, 75.0, 0.0)], "id long, lat double, lon double"
     )
