@@ -652,9 +652,15 @@ def near_duplicates_incremental(
     """E2 incremental: near-duplicate pairs INVOLVING a new ingest batch
     against a corpus whose LSH index is already stored — the new batch
     is shingled and signed, the corpus is NOT. Batch-equivalent by
-    construction: the result is exactly ``near_duplicates_minhash(old ∪
-    new)`` restricted to pairs touching a new doc (same banding, same
-    bucket cap over the UNION, same exact-Jaccard verify).
+    construction FOR ONE CALL: the result is exactly
+    ``near_duplicates_minhash(old ∪ new)`` restricted to pairs touching
+    a new doc (same banding, same bucket cap over the UNION, same
+    exact-Jaccard verify). Across a SEQUENCE of incremental calls the
+    equivalence additionally requires the bucket cap never to trip
+    mid-sequence (the probe's common case, or ``max_bucket=None``): a
+    bucket that becomes oversized only after a later batch cannot
+    retract pairs an earlier call already emitted, whereas the
+    full-corpus run would have dropped them.
 
     100 TB economics: candidate generation is one equi-join of the new
     batch's bands against the stored band table; exact verification

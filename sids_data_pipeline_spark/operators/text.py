@@ -1543,7 +1543,24 @@ def lm_perplexity_cross(
     ctx = pair_counts.groupBy("v").agg(F.max("c_v").alias("c_v"))
     vocab = (
         train_docs.select(F.explode(_words(text_col)).alias("tok"))
-        .agg(F.countDistinct("tok").alias("_vsz"))
+        .agg(F.countDistinct("tok").alias("_raw_vsz"))
+        # an empty train vocabulary makes the add-alpha denominator 0 and
+        # every nll a NULL via log(x/0) — fail loudly instead (the guard
+        # is woven into _vsz itself, mirroring standardize_crs's in-plan
+        # raise, so it survives column pruning and stays lazy)
+        .select(
+            F.when(F.col("_raw_vsz") > 0, F.col("_raw_vsz"))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "lm_perplexity_cross: train corpus has an empty "
+                        "vocabulary (no document yields a token) — the "
+                        "add-alpha model is undefined"
+                    )
+                ).cast("long")
+            )
+            .alias("_vsz")
+        )
     )
     alpha = alpha_micros / 1_000_000.0
     types = (

@@ -587,7 +587,13 @@ def streaming_near_dedup(
     exactly the near-duplicate pairs whose LATER member arrived in that
     batch, so the union over batches equals the batch operator on the
     whole corpus — independent of file/batch order — and each pair is
-    emitted exactly once.
+    emitted exactly once. EXACTNESS CAVEAT: that full-corpus equivalence
+    holds while the LSH bucket cap stays a no-op (the skip-probe's common
+    case at this state size). A band bucket that turns oversized only
+    after later batches cannot retract pairs earlier batches already
+    emitted, while the full-corpus run would have skipped that bucket —
+    callers needing the guarantee under adversarial bucket skew should
+    run the batch operator with ``max_bucket=None`` semantics instead.
 
     State = two Parquet ledgers under ``out_dir``: ``_docs`` (id, text —
     needed only for candidate verification) and ``_bands`` (the LSH

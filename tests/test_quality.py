@@ -465,3 +465,17 @@ def test_lm_cross_backoff_cases_by_hand(spark):
     assert got[11] == (1, unseen_bg)
     assert got[12] == (1, unseen_ctx)
     assert unseen_ctx == round(math.log(3) * 1e6)
+
+
+def test_lm_cross_empty_train_vocab_raises(spark):
+    """A train corpus with no tokens (empty / whitespace docs) must fail
+    loudly at execution, not NULL-propagate a 0 denominator through the
+    add-alpha formula (the guard is in-plan, so it fires under pruning)."""
+    import pytest
+
+    from sids_data_pipeline_spark.operators.text import lm_perplexity_cross
+
+    train = spark.createDataFrame([(1, "   "), (2, "")], "doc_id long, text string")
+    score = spark.createDataFrame([(10, "a b")], "doc_id long, text string")
+    with pytest.raises(Exception, match="empty"):
+        lm_perplexity_cross(train, score).collect()
