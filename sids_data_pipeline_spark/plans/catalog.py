@@ -117,8 +117,87 @@ from sids_data_pipeline_spark.plans.base import Query
 # displaced r7-green name keeps an in-window family sibling; all
 # displaced entries' operator files are unchanged this round, so their
 # r7 rows remain valid hard signal.
+# Round-9 rotation (seventh): the 12-entry queue from round 8 claims
+# first-time driver rows, alongside the 3 round-9 queries/changes:
+# vector_shapefile_ingest (NEW — S4 closes the last reference source
+# format), crs_reproject_tm (NEW — generalized national-grid TM,
+# NZTM/OSGB), and crs_reproject_polar (its correctness GATE changed:
+# ULP-insensitive quantization after the r8 hash-mismatch — needs a
+# fresh hard row). geo_dwithin_join (queued anyway) also carries a
+# round-9 OPERATOR change (antimeridian bucket wrap + planted seam
+# pairs in the fixture); corpus_lm_cross (queued anyway) carries the
+# round-9 empty-vocab guard in text.py; dedup_incremental and
+# streaming_dedup_lsh (queued anyway) carry docstring-scope changes.
+# The rest of the window holds family representatives so every SURVEY
+# §2 family keeps an in-window row, preferring siblings of files that
+# changed this round (functions/crs.py: the whole crs_reproject_*
+# family re-rows; operators/text.py: corpus_lm_score re-rows) and
+# restoring the UDXF family the r8 window traded away
+# (text_sentences_udtf + agg_geomean_udaf, udxf.py unchanged since r5).
+# Displaced r8-green entries' operator files are unchanged this round,
+# so their r8 rows remain valid hard signal; pricing_summary,
+# sql_shipping_priority, events_session's siblings, similarity_topk and
+# multimodal_features additionally run — and are timed — in every
+# bench.py round.
 PRIORITY: tuple[str, ...] = (
-    # — the 9 never-rotated TPC-H entries: first-time driver rows —
+    # — round-9 new queries / changed gates: need fresh hard rows —
+    "vector_shapefile_ingest",
+    "crs_reproject_tm",
+    "crs_reproject_polar",
+    "geo_dwithin_join",
+    # — the round-8 queue: first-time driver rows —
+    "raster_slope_aspect",
+    "geo_zone_centroid",
+    "geo_zone_area_sphere",
+    "window_distribution",
+    "join_full_outer",
+    "embedding_pca_gate",
+    "raster_pyramid_estate",
+    "raster_sieve_fill",
+    "dedup_incremental",
+    "streaming_dedup_lsh",
+    "corpus_lm_cross",
+    # — crs.py changed this round: the projection family re-rows —
+    "crs_reproject",
+    "crs_reproject_utm",
+    "crs_reproject_lcc",
+    "crs_reproject_albers",
+    "crs_reproject_sinu",
+    # — text.py changed this round (lm guard): LM family re-rows —
+    "corpus_lm_score",
+    # — family representatives (files unchanged; keep families in-window) —
+    "raster_geotiff_ingest",
+    "source_geotiff_datasource",
+    "raster_lzw_ingest",
+    "raster_bigtiff_ingest",
+    "raster_warp_bilinear",
+    "raster_hillshade",
+    "raster_proximity",
+    "zonal_polygons",
+    "tiles_encode_rings",
+    "manifest_pending",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_semantic",
+    "similarity_ann_gate",
+    "corpus_curation",
+    "text_gopher_rules",
+    "corpus_quality_classifier",
+    "corpus_pack_sequences",
+    "sink_tokenbin_roundtrip",
+    "streaming_raster_ingest",
+    "events_session",
+    "join_asof",
+    "mv_sketch_distinct_gate",
+    "agg_approx_distinct_gate",
+    "vector_geopackage_ingest",
+    "sink_geojsonl_roundtrip",
+    "text_sentences_udtf",
+    "agg_geomean_udaf",
+    "multimodal_meta",
+    # — pre-round-9 head retained below for provenance (names appended
+    #   after the 50-slot window keep their registration order) —
     "sql_customer_distribution",
     "sql_important_stock",
     "sql_or_bands",
@@ -129,50 +208,26 @@ PRIORITY: tuple[str, ...] = (
     "sql_top_supplier",
     "sql_waiting_suppliers",
     # — new round-8 queries —
-    "raster_lzw_ingest",
-    "raster_bigtiff_ingest",
     # — the round-8 GDAL-utility parity additions (operators/terrain.py
     # + warp_to_grid): first-time driver rows —
-    "raster_warp_bilinear",
     "raster_warp_average",
     "raster_pyramid",
-    "raster_hillshade",
     "raster_clump",
     "raster_burn",
-    "crs_reproject_albers",
-    "crs_reproject_sinu",
-    "crs_reproject_polar",
-    "similarity_ann_gate",
     "dedup_minhash_ml_gate",
-    "agg_approx_distinct_gate",
     # — keepers: round-8 code changes need fresh hard rows —
-    "dedup_minhash_lsh",
-    "corpus_curation",
-    "dedup_exact",
     # dedup_ngram_jaccard displaced by raster_burn: the round-8 dedup.py
     # diff (bucket-cap probe) is entirely inside near_duplicates_minhash;
     # shingles/jaccard_on_pairs are unchanged, the r5 row stands, and the
     # dedup family keeps five in-window siblings
     "dedup_simhash",
-    "dedup_clusters",
-    "raster_geotiff_ingest",
     "raster_multiband_band2",
-    "source_geotiff_datasource",
-    "crs_reproject",
-    "crs_reproject_utm",
-    "crs_reproject_lcc",
-    "manifest_pending",
-    "tiles_encode_rings",
     # — the round-8 late additions (text.py/similarity.py operators new
     # this round): first-time driver rows —
-    "text_gopher_rules",
-    "corpus_lm_score",
     "corpus_dup_spans",
     "corpus_dup_spans_clean",
     "corpus_dsir",
-    "dedup_semantic",
     "corpus_line_dedup",
-    "corpus_quality_classifier",
     # — family representatives (unchanged code; keep families in-window) —
     # Displaced to make room for the late additions, each with the
     # operator file UNCHANGED this round so the prior driver row stands:
@@ -188,7 +243,6 @@ PRIORITY: tuple[str, ...] = (
     # round-8 relational.py diff is purely the additive HLL gate — its
     # r7 row stands, the 9 TPC-H tail entries keep SQL in-window, and
     # it still runs in every bench.py round)
-    "zonal_polygons",
     # pricing_summary displaced by the terrain additions: relational.py's
     # Q1 shape is unchanged (r7 row stands) and it still runs — and is
     # timed — in every bench.py round, like sql_shipping_priority
@@ -198,17 +252,12 @@ PRIORITY: tuple[str, ...] = (
     # docstring-only, r7 row stands, streaming_raster_ingest keeps the
     # family in-window) — both slots go to the novel late additions
     # below (tokenbin sink, proximity, sketch maintenance)
-    "streaming_raster_ingest",
-    "sink_tokenbin_roundtrip",
-    "raster_proximity",
-    "mv_sketch_distinct_gate",
     # multimodal_meta displaced (multimodal.py unchanged; the r6 row
     # stands); multimodal_features also displaced late — same unchanged
     # file, r7 row stands, and it runs in every bench.py round
     # corpus_split displaced (hash_split itself is unchanged — the
     # sampling.py diff is the pack_shards/pack_sequences positivity
     # guards — and corpus_pack_sequences covers the changed file)
-    "corpus_pack_sequences",
     # corpus_shuffle displaced (sampling.py unchanged; r7 row stands,
     # corpus_pack_sequences keeps E8 in-window)
     # similarity_topk_quantized displaced (the round-8 similarity.py
