@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     # — round-9 new queries / changed gates: need fresh hard rows —
     "vector_shapefile_ingest",
     "crs_reproject_tm",
+    "vector_reproject_zones",
     "crs_reproject_polar",
     "geo_dwithin_join",
     # — the round-8 queue: first-time driver rows —
@@ -172,7 +173,9 @@ PRIORITY: tuple[str, ...] = (
     "raster_bigtiff_ingest",
     "raster_warp_bilinear",
     "raster_hillshade",
-    "raster_proximity",
+    # raster_proximity displaced by vector_reproject_zones (terrain.py
+    # unchanged this round; its r8 row stands and the terrain family
+    # keeps slope_aspect/sieve/pyramid_estate/hillshade in-window)
     "zonal_polygons",
     "tiles_encode_rings",
     "manifest_pending",

@@ -1817,6 +1817,20 @@ def _crs_tm_sql() -> str:
     """Term-for-term mirror of TransverseMercator.project/unproject with
     the NZTM2000 constants; every coefficient derives from the SAME
     projection object so engine and oracle cannot desynchronize."""
+    src = """
+  SELECT i AS id,
+         169.7 + CAST(i % 20 AS DOUBLE) * 0.33 AS lon,
+         -46.8 + CAST(i // 20 AS DOUBLE) * 0.26 AS lat
+  FROM (SELECT unnest(range(1000)) AS i) t
+"""
+    return _tm_roundtrip_sql(src, "id")
+
+
+def _tm_roundtrip_sql(src_sql: str, key_cols: str) -> str:
+    """NZTM forward + inverse round-trip SQL over a source CTE providing
+    (key cols…, lon, lat) — shared by the scalar CRS entry and the
+    vector-geometry reprojection entry, with the same ULP-insensitive
+    gate (1 m forward quantum + round-trip tolerance booleans)."""
     import math
 
     from sids_data_pipeline_spark.functions.crs import NZTM2000 as P
@@ -1824,16 +1838,13 @@ def _crs_tm_sql() -> str:
     lam0 = math.radians(P.lon0)
     return f"""
 WITH src AS (
-  SELECT i AS id,
-         169.7 + CAST(i % 20 AS DOUBLE) * 0.33 AS lon,
-         -46.8 + CAST(i // 20 AS DOUBLE) * 0.26 AS lat
-  FROM (SELECT unnest(range(1000)) AS i) t
+{src_sql}
 ),
 f1 AS (
-  SELECT id, lon, lat, radians(lat) AS phi, radians(lon) AS lam FROM src
+  SELECT {key_cols}, lon, lat, radians(lat) AS phi, radians(lon) AS lam FROM src
 ),
 f2 AS (
-  SELECT id, lon, lat, phi,
+  SELECT {key_cols}, lon, lat, phi,
          {P.a!r} / sqrt(1.0 - {P.e2!r} * sin(phi) * sin(phi)) AS nu,
          tan(phi) * tan(phi) AS tt,
          {P.ep2!r} * cos(phi) * cos(phi) AS cc,
@@ -1844,7 +1855,7 @@ f2 AS (
   FROM f1
 ),
 fwd AS (
-  SELECT id, lon, lat,
+  SELECT {key_cols}, lon, lat,
          {P.fe!r} + {P.k0!r} * nu * (
            aa + (1.0 - tt + cc) * pow(aa, 3) / 6.0
               + (5.0 - tt * 18.0 + tt * tt + cc * 72.0
@@ -1859,36 +1870,36 @@ fwd AS (
   FROM f2
 ),
 i0 AS (
-  SELECT id, lon, lat, x, y,
+  SELECT {key_cols}, lon, lat, x, y,
          ({P.m0_arc!r} + (y - {P.fn!r}) / {P.k0!r}) / {P.a * P.m0c!r} AS mu
   FROM fwd
 ),
 i1 AS (
-  SELECT id, lon, lat, x, y,
+  SELECT {key_cols}, lon, lat, x, y,
          mu + {P.p2!r} * sin(mu * 2.0) + {P.p4!r} * sin(mu * 4.0)
             + {P.p6!r} * sin(mu * 6.0) + {P.p8!r} * sin(mu * 8.0) AS phi1
   FROM i0
 ),
 i2 AS (
-  SELECT id, lon, lat, x, y, phi1,
+  SELECT {key_cols}, lon, lat, x, y, phi1,
          {P.ep2!r} * cos(phi1) * cos(phi1) AS c1,
          tan(phi1) * tan(phi1) AS t1,
          1.0 - {P.e2!r} * sin(phi1) * sin(phi1) AS om
   FROM i1
 ),
 i3 AS (
-  SELECT id, lon, lat, x, y, phi1, c1, t1,
+  SELECT {key_cols}, lon, lat, x, y, phi1, c1, t1,
          {P.a!r} / sqrt(om) AS n1,
          {P.a * (1.0 - P.e2)!r} / pow(om, 1.5) AS r1
   FROM i2
 ),
 i4 AS (
-  SELECT id, lon, lat, x, y, phi1, c1, t1, n1, r1,
+  SELECT {key_cols}, lon, lat, x, y, phi1, c1, t1, n1, r1,
          (x - {P.fe!r}) / (n1 * {P.k0!r}) AS d
   FROM i3
 ),
 fin AS (
-  SELECT id, lon, lat, x, y,
+  SELECT {key_cols}, lon, lat, x, y,
          degrees(phi1 - (n1 * tan(phi1) / r1) * (
              d * d / 2.0
              - (5.0 + t1 * 3.0 + c1 * 10.0 - c1 * c1 * 4.0
@@ -1903,11 +1914,97 @@ fin AS (
                  * pow(d, 5) / 120.0) / cos(phi1)) AS lon_rt
   FROM i4
 )
-SELECT id, ROUND(x, 0) AS x, ROUND(y, 0) AS y,
+SELECT {key_cols}, ROUND(x, 0) AS x, ROUND(y, 0) AS y,
        abs(lon_rt - lon) < 1e-6 AS lon_ok,
        abs(lat_rt - lat) < 1e-6 AS lat_ok
 FROM fin
 """
+
+
+def _vreproj_rings() -> list[tuple[int, list[list[tuple[float, float]]]]]:
+    """Three NZ-placed zones: two rectangles + a triangle with a hole
+    (non-rectangular rings + hole preservation through the vertex
+    pipeline). Closed rings, fixed vertices — enumerable into SQL."""
+    return [
+        (1, [[(172.5, -43.5), (173.2, -43.5), (173.2, -43.0),
+              (172.5, -43.0), (172.5, -43.5)]]),
+        (2, [[(174.6, -41.5), (175.1, -41.5), (175.1, -41.1),
+              (174.6, -41.1), (174.6, -41.5)]]),
+        (3, [[(170.2, -45.9), (171.4, -45.9), (170.8, -44.9),
+              (170.2, -45.9)],
+             [(170.6, -45.6), (171.0, -45.6), (170.8, -45.3),
+              (170.6, -45.6)]]),
+    ]
+
+
+def _vector_reproject_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ogr2ogr -t_srs parity as a distributed plan: WKB zones → vertex
+    table (mapInPandas) → NZTM closed-form column math (the SAME
+    expressions as crs_reproject_tm) → WKB rebuild (applyInPandas) —
+    then back to 4326 and re-exploded. Every vertex is value-checked at
+    a 1 m quantum against DuckDB's independent evaluation of the TM
+    series, and the geometry round trip gates at 1e-6°. Hole rings and
+    multi-ring structure must survive both rebuilds for the vertex keys
+    to line up at all."""
+    from sids_data_pipeline_spark.operators.vector_reproject import (
+        explode_vertices,
+        reproject_zones,
+    )
+
+    import pandas as pd
+
+    from sids_data_pipeline_spark.schemas import ZONES
+
+    rows = [
+        ("nz", fid, f"zone{fid}", geo.multipolygon_wkb([rings]))
+        for fid, rings in _vreproj_rings()
+    ]
+
+    zones = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in ZONES.fields]), ZONES
+    )
+    keys = ["vector_id", "fid"]
+    idx = ["_poly", "_ring", "_vtx"]
+    v0 = explode_vertices(zones, keys).withColumnsRenamed(
+        {"lon": "lon0", "lat": "lat0"}
+    )
+    z2193 = reproject_zones(zones, 4326, 2193)
+    v1 = explode_vertices(z2193, keys).withColumnsRenamed(
+        {"lon": "xm", "lat": "ym"}
+    )
+    back = reproject_zones(z2193, 2193, 4326)
+    v2 = explode_vertices(back, keys).withColumnsRenamed(
+        {"lon": "lon_rt", "lat": "lat_rt"}
+    )
+    return (
+        v0.join(v1, keys + idx)
+        .join(v2, keys + idx)
+        .select(
+            "fid",
+            F.col("_poly").alias("poly"),
+            F.col("_ring").alias("ring"),
+            F.col("_vtx").alias("vtx"),
+            F.round("xm", 0).alias("x"),
+            F.round("ym", 0).alias("y"),
+            (F.abs(F.col("lon_rt") - F.col("lon0")) < F.lit(1e-6)).alias("lon_ok"),
+            (F.abs(F.col("lat_rt") - F.col("lat0")) < F.lit(1e-6)).alias("lat_ok"),
+        )
+    )
+
+
+def _vector_reproject_sql() -> str:
+    values = ",\n    ".join(
+        f"({fid}, 0, {ri}, {vi}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE))"
+        for fid, rings in _vreproj_rings()
+        for ri, ring in enumerate(rings)
+        for vi, (x, y) in enumerate(ring)
+    )
+    src = f"""
+  SELECT * FROM (VALUES
+    {values}
+  ) v(fid, poly, ring, vtx, lon, lat)
+"""
+    return _tm_roundtrip_sql(src, "fid, poly, ring, vtx")
 
 
 def _crs_reproject_sinu(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2591,6 +2688,15 @@ QUERIES: list[Query] = [
             "Snyder §21 / EPSG 9829 variant B), closed form both legs "
             "incl. conformal-series inverse + antimeridian wrap; forward "
             "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "vector_reproject_zones",
+        _vector_reproject_query,
+        _vector_reproject_sql(),
+        doc="ogr2ogr -t_srs parity: distributed WKB vertex explode → "
+            "closed-form NZTM column math → WKB rebuild, every vertex "
+            "value-checked vs DuckDB's independent TM evaluation",
         tags=("geo", "scalar"),
     ),
     Query(

@@ -349,20 +349,44 @@ def ingest_shapefile(
     vector_id: str,
     name_col: str | None = None,
     encoding: str | None = None,
+    reproject: bool = False,
 ) -> DataFrame:
     """Shapefile → ZONES DataFrame (vector_id, fid, name, WKB
     MultiPolygon), the ogr2ogr import re-expressed (reference
-    pipeline/processing/inputs.py:46-62). A .prj that is present but not
-    recognisably EPSG:4326 raises — the engine reprojects rasters, not
-    unlabelled vector datums. Like the GeoPackage path the read is
-    driver-side (vectors are dimension-sized) and distributes via the
-    Arrow createDataFrame path, ready to broadcast into spatial joins."""
+    pipeline/processing/inputs.py:46-62).
+
+    CRS handling (the ``-t_srs EPSG:4326`` leg): with
+    ``reproject=True``, a .prj that resolves to a REGISTERED projection
+    (UTM zones, Web Mercator, and the LCC/Albers/polar/national-TM
+    registry — e.g. OSGB 27700, NZTM 2193) is transformed to 4326 via
+    operators/vector_reproject (every vertex through the same
+    closed-form column math the raster path uses). Otherwise — or for a
+    .prj the registry can't honor — a non-4326 .prj raises; the engine
+    never silently mislabels coordinates. Like the GeoPackage path the
+    read is driver-side (vectors are dimension-sized) and distributes
+    via the Arrow createDataFrame path, ready to broadcast into spatial
+    joins."""
+    src_epsg = 4326
     prj_path = _sidecar(path, ".prj")
     if os.path.exists(prj_path):
         with open(prj_path, "r", encoding="ascii", errors="replace") as fh:
             wkt = fh.read()
         epsg = prj_to_epsg(wkt)
-        if epsg != 4326:
+        if epsg != 4326 and reproject and epsg is not None:
+            from sids_data_pipeline_spark.functions.crs import (
+                PROJECTION_REGISTRY,
+                _is_utm,
+            )
+
+            if epsg in PROJECTION_REGISTRY or _is_utm(epsg) or epsg == 3857:
+                src_epsg = epsg
+            else:
+                raise ValueError(
+                    f".prj declares EPSG:{epsg}, which has no registered "
+                    "closed form — register a projection (functions/crs."
+                    "register_projection) or reproject externally"
+                )
+        elif epsg != 4326:
             raise ValueError(
                 f".prj declares {'EPSG:' + str(epsg) if epsg else 'an unrecognised CRS'}"
                 f" — reproject to EPSG:4326 first (got: {wkt[:120]!r})"
@@ -388,7 +412,14 @@ def ingest_shapefile(
             )
         )
     out = pd.DataFrame(records, columns=[f.name for f in ZONES.fields])
-    return spark.createDataFrame(out, ZONES).coalesce(1)
+    zones = spark.createDataFrame(out, ZONES).coalesce(1)
+    if src_epsg != 4326:
+        from sids_data_pipeline_spark.operators.vector_reproject import (
+            reproject_zones,
+        )
+
+        zones = reproject_zones(zones, src_epsg, 4326)
+    return zones
 
 
 # --- writer (spec-compliant, for round-trips and GIS interop) ------------------
