@@ -67,6 +67,10 @@ AUDITED = [
     "dedup_incremental",
     "corpus_lm_cross",
     "geo_dwithin_join",
+    "vector_shapefile_ingest",
+    "crs_reproject_tm",
+    "crs_reproject_polar",
+    "vector_reproject_zones",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
