@@ -75,11 +75,20 @@ def ingest_geopackage(
     vector_id: str,
     table: str | None = None,
     name_col: str | None = None,
+    reproject: bool = False,
 ) -> DataFrame:
     """GeoPackage feature table → ZONES DataFrame (fid, name, WKB
     MultiPolygon). Vector layers are dimension-sized, so the read is
     driver-side (mirroring the reference's single ogr2ogr import) and the
-    result distributes via the Arrow createDataFrame path."""
+    result distributes via the Arrow createDataFrame path.
+
+    CRS contract: the layer's declared ``gpkg_geometry_columns.srs_id``
+    is honoured — EPSG:4326 passes through; with ``reproject=True`` any
+    registered grid (3857, UTM zones, the LCC/Albers/polar/national-TM
+    registry) is transformed to 4326 via operators/vector_reproject
+    (ogr2ogr ``-t_srs`` parity); anything else raises. Silently
+    ingesting projected meters as degrees is the classic wrong-answer
+    class this guard exists for."""
     con = sqlite3.connect(path)
     try:
         if table is None:
@@ -90,7 +99,8 @@ def ingest_geopackage(
                 )
             table = tables[0]
         geom_row = con.execute(
-            "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
+            "SELECT column_name, srs_id FROM gpkg_geometry_columns "
+            "WHERE table_name = ?",
             (table,),
         ).fetchone()
         if geom_row is None:
@@ -98,7 +108,33 @@ def ingest_geopackage(
                 f"table {table!r} is not registered in gpkg_geometry_columns "
                 "(attribute-only tables carry no features to ingest)"
             )
-        (geom_col,) = geom_row
+        geom_col, srs_id = geom_row
+        src_epsg = 4326
+        if srs_id is not None and srs_id != 4326:
+            from sids_data_pipeline_spark.functions.crs import (
+                PROJECTION_REGISTRY,
+                _is_utm,
+            )
+
+            registered = (
+                srs_id in PROJECTION_REGISTRY or _is_utm(srs_id) or srs_id == 3857
+            )
+            if reproject and registered:
+                src_epsg = int(srs_id)
+            elif reproject:
+                raise ValueError(
+                    f"layer {table!r} declares srs_id={srs_id}, which has "
+                    "no registered closed form — register a projection "
+                    "(functions/crs.register_projection) or reproject "
+                    "externally"
+                )
+            else:
+                raise ValueError(
+                    f"layer {table!r} declares srs_id={srs_id}, not "
+                    "EPSG:4326 — pass reproject=True (registered grids) "
+                    "or reproject externally; ingesting projected "
+                    "coordinates as degrees would be silently wrong"
+                )
         info = list(con.execute(f'PRAGMA table_info("{table}")'))
         cols = [r[1] for r in info]
         # the spec requires an INTEGER PRIMARY KEY, not the NAME 'fid' —
@@ -128,7 +164,14 @@ def ingest_geopackage(
         for fid, name, gpb in rows
     ]
     pdf = pd.DataFrame(records, columns=[f.name for f in ZONES.fields])
-    return spark.createDataFrame(pdf, ZONES).coalesce(1)
+    zones = spark.createDataFrame(pdf, ZONES).coalesce(1)
+    if src_epsg != 4326:
+        from sids_data_pipeline_spark.operators.vector_reproject import (
+            reproject_zones,
+        )
+
+        zones = reproject_zones(zones, src_epsg, 4326)
+    return zones
 
 
 def write_geopackage(

@@ -141,3 +141,35 @@ def test_shapefile_ingest_unregistered_prj_raises(spark, tmp_path):
         fh.write('PROJCS["Krovak",AUTHORITY["EPSG","5514"]]')
     with pytest.raises(ValueError, match="no registered closed form"):
         ingest_shapefile(spark, path, vector_id="cz", reproject=True)
+
+
+def test_geopackage_ingest_honours_srs_id(spark, tmp_path):
+    """A GeoPackage layer declared in EPSG:3857 must refuse a plain
+    ingest (meters-as-degrees) and reproject correctly with
+    reproject=True — srs_id is read from gpkg_geometry_columns."""
+    from sids_data_pipeline_spark.sources.geopackage import (
+        ingest_geopackage,
+        write_geopackage,
+    )
+
+    ring_ll = [(10.0, 45.0), (10.5, 45.0), (10.5, 45.4), (10.0, 45.4),
+               (10.0, 45.0)]
+    R = crs.WEB_MERCATOR_RADIUS
+
+    def merc(lon, lat):
+        return (
+            math.radians(lon) * R,
+            math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) * R,
+        )
+
+    wkb_m = multipolygon_wkb([[[merc(x, y) for x, y in ring_ll]]])
+    path = str(tmp_path / "m.gpkg")
+    write_geopackage([(1, "po_valley", wkb_m)], path, srs_id=3857)
+
+    with pytest.raises(ValueError, match="srs_id=3857"):
+        ingest_geopackage(spark, path, vector_id="v")
+
+    zones = ingest_geopackage(spark, path, vector_id="v", reproject=True)
+    row = zones.collect()[0]
+    assert _max_vertex_diff(multipolygon_wkb([[ring_ll]]), row.geometry) < 1e-9
+    assert row.name == "po_valley"
