@@ -439,6 +439,50 @@ def main() -> None:
             }
         out["clump_fixed_diameter"] = clump
 
+    if not sections or "vector" in sections:
+        # --- vector reprojection: growing zone/vertex counts -------------
+        # explode (mapInPandas) → NZTM column math → rebuild
+        # (applyInPandas, one shuffle keyed by geometry id): cost should
+        # be linear in VERTICES and independent of the zone count except
+        # through it. 64-gon rings make vertices dominate row overhead.
+        import math as _math
+
+        from sids_data_pipeline_spark.operators.vector_reproject import (
+            reproject_zones,
+        )
+
+        def vz(n_zones: int):
+            rows = []
+            for fid in range(n_zones):
+                cx = 168.0 + (fid % 80) * 0.1
+                cy = -46.5 + (fid // 80) % 40 * 0.1
+                ring = [
+                    (
+                        cx + 0.04 * _math.cos(2 * _math.pi * k / 64),
+                        cy + 0.04 * _math.sin(2 * _math.pi * k / 64),
+                    )
+                    for k in range(64)
+                ]
+                ring.append(ring[0])
+                rows.append(("v", fid, None, geo.multipolygon_wkb([[ring]])))
+            return spark.createDataFrame(
+                pd.DataFrame(rows, columns=[f.name for f in ZONES.fields]),
+                ZONES,
+            ).repartition(8)
+
+        vrep = {}
+        for n_zones in (1_000, 4_000, 16_000):
+            zs = vz(n_zones)
+            nverts = n_zones * 65
+            sec = _steady(
+                lambda z=zs: reproject_zones(z, 4326, 2193).count(), reps=2
+            )
+            vrep[f"{nverts:,} vertices"] = {
+                "sec": round(sec, 3),
+                "us_per_vertex": round(sec / nverts * 1e6, 2),
+            }
+        out["vector_reproject"] = vrep
+
     print(json.dumps(out))
     spark.stop()
 
