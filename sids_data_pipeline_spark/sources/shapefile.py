@@ -149,7 +149,18 @@ def canonicalize_wkb_winding(wkb: bytes) -> bytes:
 
 
 def _parse_shape(payload: memoryview) -> bytes | None:
-    """One record's content → WKB (or None for a null shape)."""
+    """One record's content → WKB (or None for a null shape). Every
+    length is validated before its unpack: a record header may claim a
+    content length the file no longer carries (truncated upload), and
+    that must surface as ValueError, not a struct/numpy internal."""
+
+    def _need(nbytes: int, what: str) -> None:
+        if len(payload) < nbytes:
+            raise ValueError(
+                f"truncated shape record: {what} needs {nbytes} bytes, "
+                f"payload has {len(payload)}"
+            )
+
     (stype,) = struct.unpack_from("<i", payload, 0)
     base = _XY_BASE.get(stype)
     if base is None:
@@ -157,18 +168,27 @@ def _parse_shape(payload: memoryview) -> bytes | None:
     if base == SHP_NULL:
         return None
     if base == SHP_POINT:
+        _need(20, "point")
         x, y = struct.unpack_from("<dd", payload, 4)
         return struct.pack("<BIdd", 1, 1, x, y)  # WKB Point
     if base == SHP_MULTIPOINT:
+        _need(40, "multipoint header")
         (npts,) = struct.unpack_from("<i", payload, 36)
+        if npts < 0:
+            raise ValueError(f"negative point count {npts}")
+        _need(40 + 16 * npts, f"{npts} points")
         pts = np.frombuffer(payload, "<f8", 2 * npts, 40).reshape(npts, 2)
         body = [struct.pack("<BII", 1, 4, npts)]  # WKB MultiPoint
         for x, y in pts:
             body.append(struct.pack("<BIdd", 1, 1, float(x), float(y)))
         return b"".join(body)
     # PolyLine / Polygon share the parts layout (ESRI TD pages 7-8, 10-11)
+    _need(44, "poly header")
     nparts, npts = struct.unpack_from("<ii", payload, 36)
+    if nparts < 0 or npts < 0:
+        raise ValueError(f"negative counts: nparts={nparts} npts={npts}")
     off = 44
+    _need(off + 4 * nparts + 16 * npts, f"{nparts} parts + {npts} points")
     parts = np.frombuffer(payload, "<i4", nparts, off)
     off += 4 * nparts
     pts = np.frombuffer(payload, "<f8", 2 * npts, off).reshape(npts, 2)
@@ -233,12 +253,20 @@ def read_dbf(data: bytes, encoding: str | None = None):
     if len(data) < 32:
         raise ValueError("truncated .dbf: no header")
     nrec, hlen, rlen = struct.unpack_from("<IHH", data, 4)
+    if hlen > len(data):
+        raise ValueError(
+            f"truncated .dbf: header claims {hlen} bytes, file has {len(data)}"
+        )
     if encoding is None:
         encoding = _LDID_CODECS.get(data[29], "latin-1")
     fields = []  # (name, type, length)
     off = 32
     while off < hlen - 1 and data[off] != 0x0D:
-        name = data[off : off + 11].split(b"\x00", 1)[0].decode("ascii")
+        if off + 32 > len(data):
+            raise ValueError("truncated .dbf: field descriptor runs past EOF")
+        name = data[off : off + 11].split(b"\x00", 1)[0].decode(
+            "ascii", errors="replace"
+        )
         ftype = chr(data[off + 11])
         flen = data[off + 16]
         fdec = data[off + 17]
