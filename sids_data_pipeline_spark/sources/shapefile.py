@@ -337,6 +337,28 @@ def _sidecar(path: str, ext: str) -> str:
     return root + ext
 
 
+def _read_bytes(path: str) -> bytes:
+    """Local or remote (URI) read — same pyarrow-fs contract as the
+    GeoTIFF source: unknown schemes are refused loudly, never guessed.
+    The reference fetches shapefile sidecar sets from blob storage
+    (pipeline/processing/download.py:14-17); this is that fetch."""
+    from sids_data_pipeline_spark.sources.geotiff_datasource import (
+        _read_bytes as _rb,
+    )
+
+    return _rb(path)
+
+
+def _exists(path: str) -> bool:
+    if "://" not in path or path.startswith("file://"):
+        return os.path.exists(path.removeprefix("file://"))
+    try:
+        _read_bytes(path)
+        return True
+    except (FileNotFoundError, OSError):
+        return False
+
+
 # --- public read API -----------------------------------------------------------
 
 
@@ -345,20 +367,22 @@ def read_shapefile(path: str, encoding: str | None = None) -> pd.DataFrame:
     ``fid`` (OGR-style 0-based record index), one column per .dbf field,
     and ``geometry`` (WKB bytes, canonical winding). dbf-deleted rows
     are skipped; a missing .dbf yields fid+geometry only."""
-    with open(path, "rb") as fh:
-        geoms = read_shp_geometries(fh.read())
+    geoms = read_shp_geometries(_read_bytes(path))
     names: list[str] = []
     rows: list[list] = [[] for _ in geoms]
     deleted = [False] * len(geoms)
     dbf_path = _sidecar(path, ".dbf")
-    if os.path.exists(dbf_path):
+    if _exists(dbf_path):
         if encoding is None:
             cpg = _sidecar(path, ".cpg")
-            if os.path.exists(cpg):
-                with open(cpg, "r", encoding="ascii", errors="replace") as fh:
-                    encoding = fh.read().strip() or None
-        with open(dbf_path, "rb") as fh:
-            names, rows, deleted = read_dbf(fh.read(), encoding)
+            if _exists(cpg):
+                encoding = (
+                    _read_bytes(cpg)
+                    .decode("ascii", errors="replace")
+                    .strip()
+                    or None
+                )
+        names, rows, deleted = read_dbf(_read_bytes(dbf_path), encoding)
         if len(rows) != len(geoms):
             raise ValueError(
                 f".dbf has {len(rows)} records but .shp has {len(geoms)}"
@@ -396,9 +420,8 @@ def ingest_shapefile(
     joins."""
     src_epsg = 4326
     prj_path = _sidecar(path, ".prj")
-    if os.path.exists(prj_path):
-        with open(prj_path, "r", encoding="ascii", errors="replace") as fh:
-            wkt = fh.read()
+    if _exists(prj_path):
+        wkt = _read_bytes(prj_path).decode("ascii", errors="replace")
         epsg = prj_to_epsg(wkt)
         if epsg != 4326 and reproject and epsg is not None:
             from sids_data_pipeline_spark.functions.crs import (
