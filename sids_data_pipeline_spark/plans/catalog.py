@@ -144,6 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "vector_shapefile_ingest",
     "crs_reproject_tm",
     "vector_reproject_zones",
+    "geo_validity_report",
     "crs_reproject_polar",
     "geo_dwithin_join",
     # — the round-8 queue: first-time driver rows —
@@ -195,7 +196,9 @@ PRIORITY: tuple[str, ...] = (
     "mv_sketch_distinct_gate",
     "agg_approx_distinct_gate",
     "vector_geopackage_ingest",
-    "sink_geojsonl_roundtrip",
+    # sink_geojsonl_roundtrip displaced by geo_validity_report
+    # (sinks/geojsonl.py unchanged since its r6-green row, which stands;
+    # tiles_encode_rings keeps the geo-sink family in-window)
     "text_sentences_udtf",
     "agg_geomean_udaf",
     "multimodal_meta",

@@ -1992,6 +1992,127 @@ def _vector_reproject_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _validity_fixture() -> list[tuple[int, list[list[list[tuple[float, float]]]]]]:
+    """(fid, polygons) — one geometry per validity class: valid
+    rectangle; bow-tie (proper self-crossing); pinch (non-adjacent
+    vertex touch); valid triangle-with-hole; rectangle with a
+    consecutive duplicate vertex (valid: zero-length segments are not
+    intersections)."""
+    return [
+        (1, [[[(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0), (0.0, 0.0)]]]),
+        (2, [[[(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0), (0.0, 0.0)]]]),
+        (3, [[[(0.0, 0.0), (2.0, 0.0), (1.0, 1.0), (2.0, 2.0), (0.0, 2.0),
+               (1.0, 1.0), (0.0, 0.0)]]]),
+        (4, [[[(1.0, 1.0), (5.0, 1.0), (3.0, 5.0), (1.0, 1.0)],
+              [(2.6, 1.8), (3.0, 2.6), (3.4, 1.8), (2.6, 1.8)]]]),
+        (5, [[[(0.0, 0.0), (3.0, 0.0), (3.0, 0.0), (3.0, 2.0), (0.0, 2.0),
+               (0.0, 0.0)]]]),
+    ]
+
+
+def _geo_validity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 validity reporting (the diagnostic half of ogr2ogr -makevalid):
+    the numpy segment-pair kernel (proper crossings + non-adjacent
+    vertex touches) vs DuckDB computing the SAME intersection algebra
+    independently over the vertex table — plus ring/vertex counts and
+    winding canonicality."""
+    import pandas as pd
+
+    from sids_data_pipeline_spark.operators.geometry_quality import (
+        validity_report,
+    )
+    from sids_data_pipeline_spark.schemas import ZONES
+
+    rows = [
+        ("val", fid, None, geo.multipolygon_wkb(polys))
+        for fid, polys in _validity_fixture()
+    ]
+    zones = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in ZONES.fields]), ZONES
+    )
+    return validity_report(zones, ["fid"]).orderBy("fid")
+
+
+def _geo_validity_sql() -> str:
+    values = ",\n    ".join(
+        f"({fid}, {pi}, {ri}, {vi}, CAST({x!r} AS DOUBLE), "
+        f"CAST({y!r} AS DOUBLE))"
+        for fid, polys in _validity_fixture()
+        for pi, poly in enumerate(polys)
+        for ri, ring in enumerate(poly)
+        for vi, (x, y) in enumerate(ring)
+    )
+    return f"""
+WITH v AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) t(fid, poly, ring, vtx, x, y)
+),
+lagged AS (  -- collapse consecutive duplicate vertices (mirror of the
+             -- kernel's dedup: zero-length segments are redundancy)
+  SELECT fid, poly, ring, vtx, x, y,
+         lag(x) OVER w AS lx, lag(y) OVER w AS ly
+  FROM v WINDOW w AS (PARTITION BY fid, poly, ring ORDER BY vtx)
+),
+clean AS (
+  SELECT fid, poly, ring,
+         row_number() OVER (PARTITION BY fid, poly, ring ORDER BY vtx) - 1
+           AS vtx,
+         x, y
+  FROM lagged WHERE lx IS NULL OR x <> lx OR y <> ly
+),
+seg AS (  -- open-ring segments: vertex i -> i+1 (closing vertex dropped)
+  SELECT a.fid, a.poly, a.ring, a.vtx AS i,
+         a.x AS px, a.y AS py, b.x AS qx, b.y AS qy,
+         (SELECT max(vtx) FROM clean w
+          WHERE w.fid = a.fid AND w.poly = a.poly AND w.ring = a.ring) AS last
+  FROM clean a JOIN clean b
+    ON b.fid = a.fid AND b.poly = a.poly AND b.ring = a.ring
+   AND b.vtx = a.vtx + 1
+),
+hits AS (  -- proper crossings + shared endpoints of NON-adjacent segments
+  SELECT s.fid, count(*) AS n
+  FROM seg s JOIN seg u
+    ON u.fid = s.fid AND u.poly = s.poly AND u.ring = s.ring
+   AND u.i >= s.i + 2 AND NOT (s.i = 0 AND u.i = s.last - 1)
+  WHERE ((s.qx - s.px) * (u.qy - u.py) - (s.qy - s.py) * (u.qx - u.px)) <> 0
+    AND ((u.px - s.px) * (u.qy - u.py) - (u.py - s.py) * (u.qx - u.px))
+        / ((s.qx - s.px) * (u.qy - u.py) - (s.qy - s.py) * (u.qx - u.px))
+        BETWEEN 0.0 AND 1.0
+    AND ((u.px - s.px) * (s.qy - s.py) - (u.py - s.py) * (s.qx - s.px))
+        / ((s.qx - s.px) * (u.qy - u.py) - (s.qy - s.py) * (u.qx - u.px))
+        BETWEEN 0.0 AND 1.0
+  GROUP BY s.fid
+),
+shoelace AS (
+  SELECT fid, poly, ring,
+         sum(px * qy - qx * py) / 2.0 AS area2
+  FROM seg GROUP BY fid, poly, ring
+),
+winding AS (
+  SELECT fid,
+         bool_and(CASE WHEN area2 = 0.0 THEN TRUE
+                       WHEN ring = 0 THEN area2 >= 0.0
+                       ELSE area2 <= 0.0 END) AS winding_canonical
+  FROM shoelace GROUP BY fid
+),
+counts AS (
+  SELECT fid,
+         CAST(count(DISTINCT poly) AS INT) AS n_polys,
+         CAST(count(DISTINCT (poly, ring)) AS INT) AS n_rings,
+         CAST(count(*) AS INT) AS n_vertices
+  FROM v GROUP BY fid
+)
+SELECT c.fid, c.n_polys, c.n_rings, c.n_vertices,
+       coalesce(h.n > 0, FALSE) AS self_intersecting,
+       w.winding_canonical
+FROM counts c
+LEFT JOIN hits h ON h.fid = c.fid
+JOIN winding w ON w.fid = c.fid
+ORDER BY c.fid
+"""
+
+
 def _vector_reproject_sql() -> str:
     values = ",\n    ".join(
         f"({fid}, 0, {ri}, {vi}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE))"
@@ -2688,6 +2809,15 @@ QUERIES: list[Query] = [
             "Snyder §21 / EPSG 9829 variant B), closed form both legs "
             "incl. conformal-series inverse + antimeridian wrap; forward "
             "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "geo_validity_report",
+        _geo_validity_query,
+        _geo_validity_sql(),
+        doc="F7 diagnostic half of -makevalid: bow-tie/pinch detection "
+            "via segment-pair algebra, mirrored independently in SQL; "
+            "ring/vertex counts + winding canonicality",
         tags=("geo", "scalar"),
     ),
     Query(

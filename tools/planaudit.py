@@ -71,6 +71,7 @@ AUDITED = [
     "crs_reproject_tm",
     "crs_reproject_polar",
     "vector_reproject_zones",
+    "geo_validity_report",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
