@@ -145,6 +145,7 @@ PRIORITY: tuple[str, ...] = (
     "crs_reproject_tm",
     "vector_reproject_zones",
     "geo_validity_report",
+    "vector_clip_extent",
     "crs_reproject_polar",
     "geo_dwithin_join",
     # — the round-8 queue: first-time driver rows —
@@ -199,7 +200,9 @@ PRIORITY: tuple[str, ...] = (
     # sink_geojsonl_roundtrip displaced by geo_validity_report
     # (sinks/geojsonl.py unchanged since its r6-green row, which stands;
     # tiles_encode_rings keeps the geo-sink family in-window)
-    "text_sentences_udtf",
+    # text_sentences_udtf displaced by vector_clip_extent (udxf.py is
+    # unchanged since its r5-green row; agg_geomean_udaf keeps the UDXF
+    # family in-window)
     "agg_geomean_udaf",
     "multimodal_meta",
     # — pre-round-9 head retained below for provenance (names appended

@@ -2113,6 +2113,127 @@ ORDER BY c.fid
 """
 
 
+def _vector_clip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector extent clip (the reference's ingest-time working-extent
+    clip, batch/processing/config.py:12-15) against clip box
+    [1, 6] × [1, 4]: straddling rects, a fully-inside rect, a
+    fully-outside rect (survived = false, NULLs), a right triangle cut
+    by the top edge (non-axis-aligned hypotenuse → real S-H
+    intersection points), and a rect with a hole (signed-area
+    subtraction). All coordinates are dyadic so every shoelace micro-
+    term is exact and the oracle can use CLOSED-FORM intersection
+    algebra (greatest/least + analytic triangle areas) — it never runs
+    Sutherland–Hodgman."""
+    import pandas as pd
+
+    from sids_data_pipeline_spark.operators.vector_clip import clip_zones
+    from sids_data_pipeline_spark.schemas import ZONES
+
+    tri = geo.multipolygon_wkb([[[(1.0, 1.0), (5.0, 1.0), (1.0, 5.0), (1.0, 1.0)]]])
+    holed = geo.multipolygon_wkb(
+        [[[(1.5, 1.5), (5.5, 1.5), (5.5, 3.5), (1.5, 3.5), (1.5, 1.5)],
+          [(2.0, 2.0), (2.0, 3.0), (3.0, 3.0), (3.0, 2.0), (2.0, 2.0)]]]
+    )
+    rows = [
+        ("clip", 1, None, geo.box_wkb(0.0, 0.0, 4.0, 3.0)),
+        ("clip", 2, None, geo.box_wkb(2.0, 2.0, 5.0, 3.5)),
+        ("clip", 3, None, geo.box_wkb(7.0, 0.0, 9.0, 2.0)),
+        ("clip", 4, None, tri),
+        ("clip", 5, None, holed),
+        ("clip", 6, None, geo.box_wkb(-2.0, 1.25, 2.0, 3.25)),
+    ]
+    zones = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[f.name for f in ZONES.fields]), ZONES
+    )
+    clipped = clip_zones(zones, lon=(1.0, 6.0), lat=(1.0, 4.0))
+
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fid", T.LongType()),
+            T.StructField("survived", T.BooleanType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+            T.StructField("area2_e6", T.LongType()),
+        ]
+    )
+
+    def facts(batches):
+        for pdf in batches:
+            rows = []
+            for fid, surv, wkb in pdf[["fid", "survived", "geometry"]].itertuples(
+                index=False, name=None
+            ):
+                if wkb is None:
+                    rows.append((fid, bool(surv), None, None, None, None, None))
+                else:
+                    x0, y0, x1, y1 = geo.wkb_bbox(bytes(wkb))
+                    rows.append(
+                        (fid, bool(surv), x0, y0, x1, y1,
+                         geo.wkb_area2_e6(bytes(wkb)))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return clipped.mapInPandas(facts, out_schema).orderBy("fid")
+
+
+_VECTOR_CLIP_SQL = """
+WITH rects AS (
+  SELECT * FROM (VALUES
+    (1, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        CAST(4.0 AS DOUBLE), CAST(3.0 AS DOUBLE)),
+    (2, 2.0, 2.0, 5.0, 3.5),
+    (3, 7.0, 0.0, 9.0, 2.0),
+    (6, -2.0, 1.25, 2.0, 3.25)
+  ) r(fid, x0, y0, x1, y1)
+),
+rect_clip AS (  -- rect ∩ clip box in closed form
+  SELECT fid,
+         greatest(x0, 1.0) AS ix0, greatest(y0, 1.0) AS iy0,
+         least(x1, 6.0) AS ix1, least(y1, 4.0) AS iy1
+  FROM rects
+),
+rect_rows AS (
+  SELECT CAST(fid AS BIGINT) AS fid,
+         ix0 < ix1 AND iy0 < iy1 AS survived,
+         CASE WHEN ix0 < ix1 AND iy0 < iy1 THEN ix0 END AS xmin,
+         CASE WHEN ix0 < ix1 AND iy0 < iy1 THEN iy0 END AS ymin,
+         CASE WHEN ix0 < ix1 AND iy0 < iy1 THEN ix1 END AS xmax,
+         CASE WHEN ix0 < ix1 AND iy0 < iy1 THEN iy1 END AS ymax,
+         CASE WHEN ix0 < ix1 AND iy0 < iy1
+              THEN CAST(round(2.0 * (ix1 - ix0) * (iy1 - iy0) * 1e6)
+                        AS BIGINT) END AS area2_e6
+  FROM rect_clip
+),
+-- fid 4: right triangle (1,1)(5,1)(1,5), clip y <= 4 removes the similar
+-- top triangle of height 1 (area 1/2); x within [1,6] untouched.
+tri_row AS (
+  SELECT CAST(4 AS BIGINT) AS fid, TRUE AS survived,
+         CAST(1.0 AS DOUBLE) AS xmin, CAST(1.0 AS DOUBLE) AS ymin,
+         CAST(5.0 AS DOUBLE) AS xmax, CAST(4.0 AS DOUBLE) AS ymax,
+         CAST(round(2.0 * (0.5 * 4.0 * 4.0 - 0.5 * 1.0 * 1.0) * 1e6)
+              AS BIGINT) AS area2_e6
+),
+-- fid 5: exterior 4×2 minus 1×1 hole, entirely inside the clip box.
+hole_row AS (
+  SELECT CAST(5 AS BIGINT) AS fid, TRUE AS survived,
+         CAST(1.5 AS DOUBLE) AS xmin, CAST(1.5 AS DOUBLE) AS ymin,
+         CAST(5.5 AS DOUBLE) AS xmax, CAST(3.5 AS DOUBLE) AS ymax,
+         CAST(round(2.0 * (4.0 * 2.0 - 1.0 * 1.0) * 1e6) AS BIGINT)
+           AS area2_e6
+)
+SELECT * FROM rect_rows
+UNION ALL SELECT * FROM tri_row
+UNION ALL SELECT * FROM hole_row
+ORDER BY fid
+"""
+
+
 def _vector_reproject_sql() -> str:
     values = ",\n    ".join(
         f"({fid}, 0, {ri}, {vi}, CAST({x!r} AS DOUBLE), CAST({y!r} AS DOUBLE))"
@@ -2809,6 +2930,16 @@ QUERIES: list[Query] = [
             "Snyder §21 / EPSG 9829 variant B), closed form both legs "
             "incl. conformal-series inverse + antimeridian wrap; forward "
             "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "vector_clip_extent",
+        _vector_clip_query,
+        _VECTOR_CLIP_SQL,
+        doc="ingest-time working-extent clip for vectors (reference "
+            "config.py:12-15): Sutherland–Hodgman per ring vs a closed-"
+            "form intersection-algebra oracle; holes, drop-outs, and "
+            "hypotenuse intersection points all value-checked",
         tags=("geo", "scalar"),
     ),
     Query(

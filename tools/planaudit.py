@@ -72,6 +72,7 @@ AUDITED = [
     "crs_reproject_polar",
     "vector_reproject_zones",
     "geo_validity_report",
+    "vector_clip_extent",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
