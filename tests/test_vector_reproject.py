@@ -173,3 +173,14 @@ def test_geopackage_ingest_honours_srs_id(spark, tmp_path):
     row = zones.collect()[0]
     assert _max_vertex_diff(multipolygon_wkb([[ring_ll]]), row.geometry) < 1e-9
     assert row.name == "po_valley"
+
+
+def test_empty_zones_reproject(spark):
+    """Zero-row input survives the explode→rebuild pipeline (empty Arrow
+    batches must not break schema inference)."""
+    from sids_data_pipeline_spark.schemas import ZONES
+
+    empty = spark.createDataFrame([], ZONES)
+    out = reproject_zones(empty, 4326, 3857)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [f.name for f in ZONES.fields]
