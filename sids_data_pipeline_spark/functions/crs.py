@@ -290,10 +290,14 @@ def standardize_crs(
 ) -> DataFrame:
     """Per-row CRS branch for mixed-CRS pixel tables (the batch module's
     per-raster probe, vectorized): rows already in ``dst_epsg`` pass
-    through, Web Mercator and UTM-zone (326xx/327xx) rows convert — the
-    zone's central meridian and false northing are DERIVED FROM THE EPSG
-    COLUMN, so a table mixing sixty UTM zones converts in one expression
-    with no per-zone branching — anything else fails the job loudly.
+    through; Web Mercator, UTM-zone (326xx/327xx — the zone's central
+    meridian and false northing are DERIVED FROM THE EPSG COLUMN, so a
+    table mixing sixty zones converts with no per-zone branching), and
+    every grid in ``PROJECTION_REGISTRY`` (LCC/Albers/polar/national-TM
+    + explicit registrations) each get a predicate branch whose inverse
+    runs ONLY for matching rows (CASE WHEN short-circuits in codegen) —
+    anything else fails the job loudly. One expression standardizes the
+    union of an entire mixed-raster estate.
 
     The raise is woven into the lon/lat output expressions (unsupported
     rows fall through every WHEN branch into a raise_error OTHERWISE), so
@@ -319,24 +323,39 @@ def standardize_crs(
     lam0 = F.radians(zone.cast("double") * 6.0 - 183.0)
     fnorth = F.when(is_utm_s, F.lit(UTM_FALSE_NORTHING_SOUTH)).otherwise(F.lit(0.0))
     lon_u, lat_u = _utm_inverse(F.col("lon"), F.col("lat"), lam0, fnorth)
+    # one branch per registered DATUM-FREE grid (sorted for a
+    # deterministic plan); built at plan time, executed per row only when
+    # the code matches. Datum-shifted grids (OSGB 27700: Helmert +
+    # Bowring) are EXCLUDED on purpose: their inverse re-references the
+    # unprojection tree enough times that embedding it twice (lon and
+    # lat) inside this CASE multiplies the expression past what the
+    # planner tolerates — those standardize per-file via
+    # reproject_pixels, where the tree appears once.
+    registry = [
+        (code, proj.inverse(F.col("lon"), F.col("lat")))
+        for code, proj in sorted(PROJECTION_REGISTRY.items())
+        if getattr(proj, "helmert", None) is None
+    ]
     boom = F.raise_error(
         F.concat(F.lit("unsupported src EPSG: "), F.col(epsg_col).cast("string"))
     ).cast("double")
 
-    def pick(merc, utm, passthrough):
+    def pick(merc, utm, reg_idx, passthrough):
         # dst passthrough FIRST: a row already in the target must never
         # reach a conversion branch
-        return (
+        expr = (
             F.when(is_dst, passthrough)
             .when(is_merc, merc)
             .when(is_utm_n | is_utm_s, utm)
-            .otherwise(boom)
         )
+        for code, pair in registry:
+            expr = expr.when(F.col(epsg_col) == code, pair[reg_idx])
+        return expr.otherwise(boom)
 
     return pixels.withColumns(
         {
-            "lon": pick(lon_m, lon_u, F.col("lon")),
-            "lat": pick(lat_m, lat_u, F.col("lat")),
+            "lon": pick(lon_m, lon_u, 0, F.col("lon")),
+            "lat": pick(lat_m, lat_u, 1, F.col("lat")),
         }
     ).withColumn(epsg_col, F.lit(dst_epsg))
 

@@ -135,7 +135,7 @@ def test_standardize_unsupported_epsg_raises(spark):
     it fires even under aggressive column pruning (a standalone assertion
     column would be optimized away and never raise)."""
     df = spark.createDataFrame(
-        [(1, 10.0, 20.0, 27700)], "id long, lon double, lat double, src_epsg int"
+        [(1, 10.0, 20.0, 5514)], "id long, lon double, lat double, src_epsg int"
     )
     with pytest.raises(Exception, match="unsupported src EPSG"):
         crs.standardize_crs(df).select("lon").collect()
@@ -674,3 +674,52 @@ def test_tm_unregistered_national_grid_still_raises(spark):
     df = spark.createDataFrame([(1, 0.0, 50.0)], "id long, lon double, lat double")
     with pytest.raises(NotImplementedError, match="32030"):
         crs.reproject_pixels(df, 4326, 32030)
+
+
+def test_standardize_mixed_registry_grids(spark):
+    """One standardize_crs expression converts a union mixing UTM,
+    Web Mercator, polar stereographic (3413), NZTM (2193), and OSGB
+    (27700, incl. the Helmert datum leg) rows — the full mixed-raster-
+    estate story, verified against each family's reproject_pixels leg."""
+    src = spark.createDataFrame(
+        [
+            (1, 13.5, 46.0, 32633),
+            (2, 10.0, 20.0, 3857),
+            (3, -45.0, 75.0, 3413),
+            (4, 173.5, -41.0, 2193),
+            (6, 10.0, 20.0, 4326),
+        ],
+        "id long, lon double, lat double, src_epsg int",
+    )
+    # forward-project each row into its declared CRS via the scalar path
+    parts = []
+    for epsg in (32633, 3857, 3413, 2193):
+        sub = src.filter(F.col("src_epsg") == epsg)
+        parts.append(crs.reproject_pixels(sub, 4326, epsg))
+    parts.append(src.filter("src_epsg = 4326"))
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.unionByName(p)
+
+    rows = {r.id: r for r in crs.standardize_crs(mixed).collect()}
+    want = {r.id: r for r in src.collect()}
+    for i, w in want.items():
+        got = rows[i]
+        assert abs(got.lon - w.lon) < 1e-8, (i, got.lon, w.lon)
+        assert abs(got.lat - w.lat) < 1e-8, (i, got.lat, w.lat)
+        assert got.src_epsg == 4326
+    # datum-shifted grids are per-file territory (reproject_pixels):
+    # the per-row branch refuses them loudly rather than ballooning the
+    # plan (see standardize_crs registry comment)
+    osgb = spark.createDataFrame(
+        [(8, 431_000.0, 221_000.0, 27700)],
+        "id long, lon double, lat double, src_epsg int",
+    )
+    with pytest.raises(Exception, match="unsupported src EPSG"):
+        crs.standardize_crs(osgb).collect()
+    # an unregistered code still fails loudly through the same expression
+    bad = spark.createDataFrame(
+        [(9, 1.0, 2.0, 5514)], "id long, lon double, lat double, src_epsg int"
+    )
+    with pytest.raises(Exception, match="unsupported src EPSG"):
+        crs.standardize_crs(bad).collect()
