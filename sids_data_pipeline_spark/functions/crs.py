@@ -293,11 +293,13 @@ def standardize_crs(
     through; Web Mercator, UTM-zone (326xx/327xx — the zone's central
     meridian and false northing are DERIVED FROM THE EPSG COLUMN, so a
     table mixing sixty zones converts with no per-zone branching), and
-    every grid in ``PROJECTION_REGISTRY`` (LCC/Albers/polar/national-TM
-    + explicit registrations) each get a predicate branch whose inverse
-    runs ONLY for matching rows (CASE WHEN short-circuits in codegen) —
-    anything else fails the job loudly. One expression standardizes the
-    union of an entire mixed-raster estate.
+    every DATUM-FREE grid in ``PROJECTION_REGISTRY`` (LCC/Albers/polar/
+    NZTM + explicit registrations) each get a predicate branch whose
+    inverse runs ONLY for matching rows (CASE WHEN short-circuits in
+    codegen) — anything else, including datum-shifted grids like OSGB
+    27700 (whose Helmert chain is too large to embed per-row; use the
+    per-file ``reproject_pixels`` branch), fails the job loudly. One
+    expression standardizes the union of an entire mixed-raster estate.
 
     The raise is woven into the lon/lat output expressions (unsupported
     rows fall through every WHEN branch into a raise_error OTHERWISE), so
