@@ -1,0 +1,236 @@
+"""Raster → vector polygonization — gdal_polygonize parity (the
+remaining classic of the reference stack's GDAL utility belt; pairs with
+``clump_regions``, which produces the labels this traces).
+
+Spark-first shape, three declarative stages:
+
+1. **Boundary faces** — two FULL-OUTER adjacency self-joins (one on
+   x+1, one on y+1) emit every pixel face whose two sides carry
+   different labels (or one side is off-raster / NULL). Each face
+   becomes a DIRECTED unit edge with its region ON THE LEFT, so
+   exterior rings come out counter-clockwise and holes clockwise — the
+   OGC-canonical winding — by construction. 2 shuffles, both plain
+   integer-key exchanges.
+2. **Ring assembly** — ``applyInPandas`` per region label walks the
+   directed edges head-to-tail. At a saddle vertex (two outgoing edges
+   of the same region) the walker takes the sharpest RIGHT turn relative
+   to its incoming direction, which keeps distinct rings separate and
+   non-crossing for 4-connected labels. Collinear runs collapse after
+   the walk, so a w×h rectangle emits 5 vertices, not 2(w+h)+1.
+3. **Geometry** — rings group into one polygon per region (a
+   4-connected region has exactly one exterior ring; negative-area
+   rings are its holes) and encode as MultiPolygon WKB.
+
+Invariant the tests pin: for every region, the SIGNED shoelace sum of
+its rings equals the region's pixel count (exterior area minus holes) —
+a full-strength conservation check no partial tracing can fake.
+
+Scale shape: per-region memory is the region's PERIMETER (not area);
+the one data-dependent stage keys by region label, the same partitioning
+``clump_regions`` already produced."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sids_data_pipeline_spark.functions.geo import multipolygon_wkb
+
+_EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("region", T.LongType()),
+        T.StructField("x1", T.IntegerType()),
+        T.StructField("y1", T.IntegerType()),
+        T.StructField("x2", T.IntegerType()),
+        T.StructField("y2", T.IntegerType()),
+    ]
+)
+
+
+def boundary_edges(labeled: DataFrame, region_col: str = "region") -> DataFrame:
+    """Directed boundary unit edges (region on the left) from a labeled
+    pixel table (x, y, region). Corner convention: pixel (x, y) owns the
+    cell [x, x+1] × [y, y+1] in y-up coordinates."""
+    px = labeled.select(
+        F.col("x").cast("int"), F.col("y").cast("int"),
+        F.col(region_col).cast("long").alias("_r"),
+    )
+
+    def faces(djx: int, djy: int, mk_lhs, mk_rhs) -> DataFrame:
+        l = px.select(
+            (F.col("x") + djx).alias("_jx"), (F.col("y") + djy).alias("_jy"),
+            F.col("x").alias("lx"), F.col("y").alias("ly"),
+            F.col("_r").alias("lr"),
+        )
+        r = px.select(
+            F.col("x").alias("_jx"), F.col("y").alias("_jy"),
+            F.col("x").alias("rx"), F.col("y").alias("ry"),
+            F.col("_r").alias("rr"),
+        )
+        j = l.join(r, ["_jx", "_jy"], "full_outer")
+        differ = (
+            F.col("lr").isNull()
+            | F.col("rr").isNull()
+            | (F.col("lr") != F.col("rr"))
+        )
+        lhs = j.filter(F.col("lr").isNotNull() & differ).select(mk_lhs())
+        rhs = j.filter(F.col("rr").isNotNull() & differ).select(mk_rhs())
+        return lhs.unionByName(rhs)
+
+    # vertical faces (between x and x+1 neighbours)
+    def v_lhs():  # right face of the left pixel: walk +y
+        return [
+            F.col("lr").alias("region"),
+            (F.col("lx") + 1).alias("x1"), F.col("ly").alias("y1"),
+            (F.col("lx") + 1).alias("x2"), (F.col("ly") + 1).alias("y2"),
+        ]
+
+    def v_rhs():  # left face of the right pixel: walk −y
+        return [
+            F.col("rr").alias("region"),
+            F.col("rx").alias("x1"), (F.col("ry") + 1).alias("y1"),
+            F.col("rx").alias("x2"), F.col("ry").alias("y2"),
+        ]
+
+    # horizontal faces (between y and y+1 neighbours)
+    def h_lhs():  # top face of the lower pixel: walk −x
+        return [
+            F.col("lr").alias("region"),
+            (F.col("lx") + 1).alias("x1"), (F.col("ly") + 1).alias("y1"),
+            F.col("lx").alias("x2"), (F.col("ly") + 1).alias("y2"),
+        ]
+
+    def h_rhs():  # bottom face of the upper pixel: walk +x
+        return [
+            F.col("rr").alias("region"),
+            F.col("rx").alias("x1"), F.col("ry").alias("y1"),
+            (F.col("rx") + 1).alias("x2"), F.col("ry").alias("y2"),
+        ]
+
+    vert = faces(1, 0, v_lhs, v_rhs)
+    horiz = faces(0, 1, h_lhs, h_rhs)
+    return vert.unionByName(horiz)
+
+
+def _walk_rings(edges: np.ndarray) -> list[np.ndarray]:
+    """Chain directed unit edges into closed rings. Saddle rule: take
+    the sharpest left turn (left > straight > right) relative to the
+    incoming direction — non-crossing for 4-connected regions."""
+    n = edges.shape[0]
+    by_start: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        by_start.setdefault((int(edges[i, 0]), int(edges[i, 1])), []).append(i)
+    used = np.zeros(n, dtype=bool)
+    order = np.lexsort((edges[:, 3], edges[:, 2], edges[:, 1], edges[:, 0]))
+    rings = []
+    for s in order:
+        if used[s]:
+            continue
+        ring_pts = [(int(edges[s, 0]), int(edges[s, 1]))]
+        cur = s
+        while True:
+            used[cur] = True
+            x1, y1, x2, y2 = (int(v) for v in edges[cur])
+            dx, dy = x2 - x1, y2 - y1
+            ring_pts.append((x2, y2))
+            if (x2, y2) == ring_pts[0]:
+                break
+            cands = [i for i in by_start.get((x2, y2), ()) if not used[i]]
+            if not cands:
+                raise ValueError(
+                    f"open boundary chain at {(x2, y2)} — labels are not a "
+                    "valid 4-connected partition"
+                )
+            if len(cands) == 1:
+                cur = cands[0]
+            else:
+                # preference: RIGHT turn, straight, left turn. With the
+                # region on the left, the right-most turn hugs the
+                # current lobe and keeps distinct rings separate at a
+                # saddle (e.g. a hole corner touching a notch corner);
+                # the left-most turn would thread through the vertex and
+                # fuse exterior and hole into one self-touching ring.
+                want = [(dy, -dx), (dx, dy), (-dy, dx)]
+
+                def rank(i: int) -> int:
+                    d = (int(edges[i, 2] - edges[i, 0]),
+                         int(edges[i, 3] - edges[i, 1]))
+                    return want.index(d)
+
+                cur = min(cands, key=rank)
+        # collapse collinear runs (keep corners only); first point may
+        # itself be mid-run — rotate so the ring starts at a corner
+        pts = ring_pts[:-1]
+        m = len(pts)
+        corners = []
+        for i in range(m):
+            ax, ay = pts[i - 1]
+            bx, by = pts[i]
+            cx, cy = pts[(i + 1) % m]
+            if (bx - ax, by - ay) != (cx - bx, cy - by):
+                corners.append((bx, by))
+        corners.append(corners[0])
+        rings.append(np.asarray(corners, dtype=np.float64))
+    return rings
+
+
+def polygonize(
+    labeled: DataFrame,
+    region_col: str = "region",
+    x0: float = 0.0,
+    y0: float = 0.0,
+    dx: float = 1.0,
+    dy: float = 1.0,
+) -> DataFrame:
+    """gdal_polygonize: labeled pixels → one MultiPolygon per region
+    (exterior CCW, holes CW), plus the pixel count. ``x0/y0/dx/dy`` map
+    pixel corners to world coordinates (X = x0 + x·dx); a NEGATIVE dy
+    (north-up rasters) mirrors the plane, so rings are re-reversed to
+    keep the winding classes canonical."""
+    if dx == 0.0 or dy == 0.0:
+        raise ValueError("dx/dy must be nonzero")
+    flip = (dx < 0.0) != (dy < 0.0)
+    edges = boundary_edges(labeled, region_col)
+    counts = labeled.groupBy(F.col(region_col).cast("long").alias("region")).agg(
+        F.count(F.lit(1)).alias("n_pixels")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("region", T.LongType()),
+            T.StructField("geometry", T.BinaryType()),
+        ]
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = pdf[["x1", "y1", "x2", "y2"]].to_numpy(dtype=np.int64)
+        rings = _walk_rings(arr)
+        ext, holes = [], []
+        for ring in rings:
+            pts = ring * np.array([dx, dy]) + np.array([x0, y0])
+            if flip:
+                pts = pts[::-1]
+            # shoelace sign in WORLD coords decides the class
+            x, y = pts[:-1, 0], pts[:-1, 1]
+            xn, yn = pts[1:, 0], pts[1:, 1]
+            area = float(np.sum(x * yn - xn * y))
+            (ext if area > 0.0 else holes).append(
+                [(float(a), float(b)) for a, b in pts]
+            )
+        if len(ext) != 1:
+            raise ValueError(
+                f"region {int(pdf.iloc[0]['region'])}: {len(ext)} exterior "
+                "rings — labels are not 4-connected components"
+            )
+        wkb = multipolygon_wkb([[ext[0], *holes]])
+        return pd.DataFrame(
+            [(int(pdf.iloc[0]["region"]), wkb)],
+            columns=["region", "geometry"],
+        )
+
+    polys = edges.groupBy("region").applyInPandas(assemble, out_schema)
+    return counts.join(polys, "region").select("region", "n_pixels", "geometry")

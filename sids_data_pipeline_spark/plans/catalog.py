@@ -146,6 +146,7 @@ PRIORITY: tuple[str, ...] = (
     "vector_reproject_zones",
     "geo_validity_report",
     "vector_clip_extent",
+    "raster_polygonize",
     "crs_reproject_polar",
     "geo_dwithin_join",
     # — the round-8 queue: first-time driver rows —
@@ -193,7 +194,9 @@ PRIORITY: tuple[str, ...] = (
     "sink_tokenbin_roundtrip",
     "streaming_raster_ingest",
     "events_session",
-    "join_asof",
+    # join_asof displaced by raster_polygonize (asof.py unchanged since
+    # its r6-green row; join_full_outer keeps the extended-join family
+    # in-window and join_asof_forward/nearest hold r7 rows)
     "mv_sketch_distinct_gate",
     "agg_approx_distinct_gate",
     "vector_geopackage_ingest",

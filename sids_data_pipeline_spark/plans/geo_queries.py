@@ -1992,6 +1992,91 @@ def _vector_reproject_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raster_polygonize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_polygonize parity end-to-end: clump labels → boundary-face
+    joins → ring walk → MultiPolygon, reduced to analytic scalars the
+    oracle states from FIRST PRINCIPLES (taxicab perimeter, area
+    conservation, bbox): an 8×8 grid with a 2×2 corner block (C), a 3×3
+    inner block (B), and the remainder (A) whose polygon must carry the
+    corner NOTCH in its exterior and a HOLE where B sits — including the
+    saddle vertex (2,2) shared by notch and hole, which a wrong turn
+    rule would fuse into one self-touching ring (and the n_rings/
+    perimeter columns would expose)."""
+    import pandas as pd
+
+    from sids_data_pipeline_spark.operators.polygonize import polygonize
+    from sids_data_pipeline_spark.operators.terrain import clump_regions
+
+    rows = []
+    for y in range(8):
+        for x in range(8):
+            if x < 2 and y < 2:
+                v = 3.0
+            elif 2 <= x <= 4 and 2 <= y <= 4:
+                v = 2.0
+            else:
+                v = 1.0
+            rows.append((x, y, v))
+    px = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["x", "y", "val"])
+    ).selectExpr("CAST(x AS INT) x", "CAST(y AS INT) y", "val")
+    out = polygonize(clump_regions(px))
+
+    import pyspark.sql.types as T
+
+    facts_schema = T.StructType(
+        [
+            T.StructField("region", T.LongType()),
+            T.StructField("n_pixels", T.LongType()),
+            T.StructField("n_rings", T.IntegerType()),
+            T.StructField("area2_e6", T.LongType()),
+            T.StructField("perim_e6", T.LongType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+
+    def facts(batches):
+        for pdf in batches:
+            res = []
+            for region, n, wkb in pdf[
+                ["region", "n_pixels", "geometry"]
+            ].itertuples(index=False, name=None):
+                wkb = bytes(wkb)
+                x0, y0, x1, y1 = geo.wkb_bbox(wkb)
+                res.append(
+                    (
+                        int(region),
+                        int(n),
+                        sum(len(p) for p in geo.parse_wkb(wkb)),
+                        geo.wkb_area2_e6(wkb),
+                        geo.wkb_perimeter_e6(wkb),
+                        x0, y0, x1, y1,
+                    )
+                )
+            yield pd.DataFrame(
+                res, columns=[f.name for f in facts_schema.fields]
+            )
+
+    return out.mapInPandas(facts, facts_schema).orderBy("region")
+
+
+_RASTER_POLYGONIZE_SQL = """
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), CAST(4 AS BIGINT), 1, CAST(8000000 AS BIGINT),
+   CAST(8000000 AS BIGINT), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+   CAST(2.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+  (CAST(2 AS BIGINT), CAST(51 AS BIGINT), 2, CAST(102000000 AS BIGINT),
+   CAST(44000000 AS BIGINT), 0.0, 0.0, 8.0, 8.0),
+  (CAST(8589934594 AS BIGINT), CAST(9 AS BIGINT), 1,
+   CAST(18000000 AS BIGINT), CAST(12000000 AS BIGINT), 2.0, 2.0, 5.0, 5.0)
+) t(region, n_pixels, n_rings, area2_e6, perim_e6, xmin, ymin, xmax, ymax)
+ORDER BY region
+"""
+
+
 def _validity_fixture() -> list[tuple[int, list[list[list[tuple[float, float]]]]]]:
     """(fid, polygons) — one geometry per validity class: valid
     rectangle; bow-tie (proper self-crossing); pinch (non-adjacent
@@ -2930,6 +3015,16 @@ QUERIES: list[Query] = [
             "Snyder §21 / EPSG 9829 variant B), closed form both legs "
             "incl. conformal-series inverse + antimeridian wrap; forward "
             "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "raster_polygonize",
+        _raster_polygonize_query,
+        _RASTER_POLYGONIZE_SQL,
+        doc="gdal_polygonize parity: clump labels → boundary-face joins "
+            "→ saddle-aware ring walk → MultiPolygon with holes, gated "
+            "on first-principles scalars (area conservation, taxicab "
+            "perimeter, ring counts, bbox)",
         tags=("geo", "scalar"),
     ),
     Query(

@@ -73,6 +73,7 @@ AUDITED = [
     "vector_reproject_zones",
     "geo_validity_report",
     "vector_clip_extent",
+    "raster_polygonize",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
