@@ -147,6 +147,7 @@ PRIORITY: tuple[str, ...] = (
     "geo_validity_report",
     "vector_clip_extent",
     "raster_polygonize",
+    "raster_contour",
     "crs_reproject_polar",
     "geo_dwithin_join",
     # — the round-8 queue: first-time driver rows —
@@ -198,7 +199,9 @@ PRIORITY: tuple[str, ...] = (
     # its r6-green row; join_full_outer keeps the extended-join family
     # in-window and join_asof_forward/nearest hold r7 rows)
     "mv_sketch_distinct_gate",
-    "agg_approx_distinct_gate",
+    # agg_approx_distinct_gate displaced by raster_contour (the HLL gate
+    # shape in relational.py is unchanged since its r8-green row;
+    # mv_sketch_distinct_gate keeps the sketch-gate family in-window)
     "vector_geopackage_ingest",
     # sink_geojsonl_roundtrip displaced by geo_validity_report
     # (sinks/geojsonl.py unchanged since its r6-green row, which stands;

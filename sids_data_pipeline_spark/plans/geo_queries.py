@@ -2077,6 +2077,76 @@ ORDER BY region
 """
 
 
+def _raster_contour_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour parity on a field that is LINEAR in every cell
+    (val = x + 2y on a 13×13 grid), where marching squares is EXACT:
+    per level, the segment count equals the number of cells the analytic
+    line straddles, the segment-endpoint bbox equals the line-in-box
+    intersection points (dyadic levels ⇒ exact floats), each level
+    chains into exactly one polyline, and the summed segment length
+    matches the closed-form chord length to 1e-6."""
+    import math
+
+    from sids_data_pipeline_spark.operators.contour import (
+        contour_lines,
+        contour_segments,
+    )
+
+    levels = [8.5, 15.25]
+    chord = {
+        8.5: math.hypot(8.5, 4.25),
+        15.25: math.hypot(12.0, 7.625 - 1.625),
+    }
+    rows = [(x, y, float(x + 2 * y)) for y in range(13) for x in range(13)]
+    px = spark.createDataFrame(rows, "x int, y int, val double")
+    segs = contour_segments(px, levels)
+    seg_len = F.sqrt(
+        (F.col("x2") - F.col("x1")) * (F.col("x2") - F.col("x1"))
+        + (F.col("y2") - F.col("y1")) * (F.col("y2") - F.col("y1"))
+    )
+    chord_col = F.when(F.col("level") == 8.5, F.lit(chord[8.5])).otherwise(
+        F.lit(chord[15.25])
+    )
+    agg = segs.groupBy("level").agg(
+        F.count(F.lit(1)).cast("int").alias("n_segs"),
+        F.least(F.min("x1"), F.min("x2")).alias("xmin"),
+        F.least(F.min("y1"), F.min("y2")).alias("ymin"),
+        F.greatest(F.max("x1"), F.max("x2")).alias("xmax"),
+        F.greatest(F.max("y1"), F.max("y2")).alias("ymax"),
+        (F.abs(F.sum(seg_len) - F.max(chord_col)) < F.lit(1e-6)).alias("len_ok"),
+    )
+    nl = contour_lines(px, levels).select("level", "n_lines")
+    return agg.join(nl, "level").orderBy("level")
+
+
+_RASTER_CONTOUR_SQL = """
+WITH cells AS (
+  SELECT a.i AS cx, b.i AS cy
+  FROM (SELECT unnest(range(12)) AS i) a
+  CROSS JOIN (SELECT unnest(range(12)) AS i) b
+),
+counts AS (  -- cells the analytic line x + 2y = L straddles
+  SELECT L, CAST(count(*) AS INT) AS n_segs
+  FROM cells CROSS JOIN (SELECT unnest([8.5, 15.25]) AS L) lv
+  WHERE cx + 2 * cy < L AND L < cx + 2 * cy + 3
+  GROUP BY L
+),
+ends AS (  -- line-in-box endpoints, closed form
+  SELECT * FROM (VALUES
+    (CAST(8.5 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+     CAST(8.5 AS DOUBLE), CAST(4.25 AS DOUBLE),
+     sqrt(8.5 * 8.5 + 4.25 * 4.25)),
+    (15.25, 0.0, 1.625, 12.0, 7.625,
+     sqrt(12.0 * 12.0 + 6.0 * 6.0))
+  ) e(L, xmin, ymin, xmax, ymax, chord)
+)
+SELECT c.L AS level, c.n_segs, e.xmin, e.ymin, e.xmax, e.ymax,
+       TRUE AS len_ok, 1 AS n_lines
+FROM counts c JOIN ends e ON e.L = c.L
+ORDER BY level
+"""
+
+
 def _validity_fixture() -> list[tuple[int, list[list[list[tuple[float, float]]]]]]:
     """(fid, polygons) — one geometry per validity class: valid
     rectangle; bow-tie (proper self-crossing); pinch (non-adjacent
@@ -3015,6 +3085,16 @@ QUERIES: list[Query] = [
             "Snyder §21 / EPSG 9829 variant B), closed form both legs "
             "incl. conformal-series inverse + antimeridian wrap; forward "
             "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "raster_contour",
+        _raster_contour_query,
+        _RASTER_CONTOUR_SQL,
+        doc="gdal_contour parity: marching squares (saddle-aware) + "
+            "per-level polyline chaining, gated on the exact-on-linear-"
+            "fields property (analytic straddle counts, line-in-box "
+            "endpoints, closed-form chord length)",
         tags=("geo", "scalar"),
     ),
     Query(

@@ -74,6 +74,7 @@ AUDITED = [
     "geo_validity_report",
     "vector_clip_extent",
     "raster_polygonize",
+    "raster_contour",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
