@@ -168,6 +168,7 @@ PRIORITY: tuple[str, ...] = (
     "crs_reproject_lcc",
     "crs_reproject_albers",
     "crs_reproject_sinu",
+    "crs_standardize_mixed",
     # — text.py changed this round (lm guard): LM family re-rows —
     "corpus_lm_score",
     # — family representatives (files unchanged; keep families in-window) —
@@ -193,7 +194,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_quality_classifier",
     "corpus_pack_sequences",
     "sink_tokenbin_roundtrip",
-    "streaming_raster_ingest",
+    # streaming_raster_ingest displaced by crs_standardize_mixed (the
+    # streaming module's round-9 diff is docstring-only, its r8 row
+    # stands, and streaming_dedup_lsh keeps the family in-window)
     "events_session",
     # join_asof displaced by raster_polygonize (asof.py unchanged since
     # its r6-green row; join_full_outer keeps the extended-join family

@@ -2077,6 +2077,101 @@ ORDER BY region
 """
 
 
+def _crs_standardize_mixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixed-raster-estate story as ONE expression: 1000 points
+    across four CRS families (UTM 33N, Web Mercator, NSIDC polar
+    stereographic 3413, NZTM 2193) forward-projected into their declared
+    CRS by the per-family scalar path, unioned with an ``src_epsg``
+    column, and standardized back to 4326 by a SINGLE per-row
+    ``standardize_crs`` CASE — each row must land back on its source
+    coordinates within 1e-6° (positive-signal gate: the per-family
+    VALUE mirrors are the sibling crs_reproject_* entries; what THIS
+    entry pins is the per-row dispatch itself). Longitudes compare
+    modulo 360 for the polar family's antimeridian points."""
+    from sids_data_pipeline_spark.functions.crs import (
+        reproject_pixels,
+        standardize_crs,
+    )
+
+    src = spark.range(0, 1000, 1, 8).select(
+        "id",
+        F.when(F.col("id") < 250, F.lit(32633))
+        .when(F.col("id") < 500, F.lit(3857))
+        .when(F.col("id") < 750, F.lit(3413))
+        .otherwise(F.lit(2193))
+        .alias("src_epsg"),
+        F.when(
+            F.col("id") < 250,
+            F.lit(12.1) + (F.col("id") % 25).cast("double") * 0.14,
+        )
+        .when(
+            F.col("id") < 500,
+            F.lit(-170.0) + (F.col("id") % 25).cast("double") * 13.6,
+        )
+        .when(
+            F.col("id") < 750,
+            F.lit(-180.0) + (F.col("id") % 25).cast("double") * 14.4,
+        )
+        .otherwise(F.lit(169.8) + (F.col("id") % 25).cast("double") * 0.33)
+        .alias("lon"),
+        F.when(
+            F.col("id") < 250,
+            F.lit(-68.0) + ((F.col("id") % 250) / 25).cast("int").cast("double") * 5.6,
+        )
+        .when(
+            F.col("id") < 500,
+            F.lit(-80.0) + ((F.col("id") % 250) / 25).cast("int").cast("double") * 16.0,
+        )
+        .when(
+            F.col("id") < 750,
+            F.lit(56.0) + ((F.col("id") % 250) / 25).cast("int").cast("double") * 3.4,
+        )
+        .otherwise(
+            F.lit(-46.7) + ((F.col("id") % 250) / 25).cast("int").cast("double") * 1.2
+        )
+        .alias("lat"),
+    )
+    parts = []
+    for epsg in (32633, 3857, 3413, 2193):
+        sub = src.filter(F.col("src_epsg") == epsg)
+        parts.append(reproject_pixels(sub, 4326, epsg))
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.unionByName(p)
+    std = standardize_crs(mixed)
+    lon_d = F.abs(F.col("lon") - F.col("lon0"))
+    return (
+        std.withColumnsRenamed({"lon": "lon", "lat": "lat"})
+        .join(
+            src.select(
+                "id",
+                F.col("lon").alias("lon0"),
+                F.col("lat").alias("lat0"),
+                F.col("src_epsg").alias("epsg0"),
+            ),
+            "id",
+        )
+        .select(
+            "id",
+            F.col("epsg0").alias("declared_epsg"),
+            (F.least(lon_d, F.lit(360.0) - lon_d) < F.lit(1e-6)).alias("lon_ok"),
+            (F.abs(F.col("lat") - F.col("lat0")) < F.lit(1e-6)).alias("lat_ok"),
+            (F.col("src_epsg") == F.lit(4326)).alias("restamped"),
+        )
+        .orderBy("id")
+    )
+
+
+_CRS_STANDARDIZE_MIXED_SQL = """
+SELECT i AS id,
+       CASE WHEN i < 250 THEN 32633 WHEN i < 500 THEN 3857
+            WHEN i < 750 THEN 3413 ELSE 2193 END AS declared_epsg,
+       TRUE AS lon_ok, TRUE AS lat_ok, TRUE AS restamped
+FROM (SELECT unnest(range(1000)) AS i) t
+ORDER BY id
+"""
+
+
 def _raster_contour_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_contour parity on a field that is LINEAR in every cell
     (val = x + 2y on a 13×13 grid), where marching squares is EXACT:
@@ -3085,6 +3180,16 @@ QUERIES: list[Query] = [
             "Snyder §21 / EPSG 9829 variant B), closed form both legs "
             "incl. conformal-series inverse + antimeridian wrap; forward "
             "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
+        tags=("geo", "scalar"),
+    ),
+    Query(
+        "crs_standardize_mixed",
+        _crs_standardize_mixed_query,
+        _CRS_STANDARDIZE_MIXED_SQL,
+        doc="per-row mixed-CRS standardization: four families (UTM, "
+            "3857, polar 3413, NZTM 2193) through ONE standardize_crs "
+            "CASE, round-trip-gated vs source coordinates (the sibling "
+            "crs_reproject_* entries carry the per-family value mirrors)",
         tags=("geo", "scalar"),
     ),
     Query(

@@ -75,6 +75,7 @@ AUDITED = [
     "vector_clip_extent",
     "raster_polygonize",
     "raster_contour",
+    "crs_standardize_mixed",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
