@@ -663,3 +663,86 @@ def streaming_near_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_vector_ingest(
+    spark: SparkSession,
+    input_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    reproject: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming twin of the S4/S6 vector ingest: new shapefile
+    (``*.shp``) or GeoPackage (``*.gpkg``) layers landing under
+    ``input_glob`` ingest into a ZONES parquet ledger incrementally —
+    the drop-folder shape of the reference's vector inputs container
+    (pipeline/processing/data.py:44-46), with the file source's
+    checkpoint as the exactly-once P6 ledger (same design as
+    :func:`streaming_raster_ingest`). ``vector_id`` is the file stem.
+
+    The stream reads ONLY the ``path`` column (binaryFile prunes the
+    content read), so the per-file parse runs once, driver-side in
+    ``foreachBatch``, through the SAME ingest functions as the batch
+    path — sources/shapefile.ingest_shapefile (winding-rule grouping,
+    .prj CRS gate, optional -t_srs ``reproject``) and
+    sources/geopackage.ingest_geopackage (srs_id honoured) — so the two
+    paths cannot drift. Vectors are dimension-sized; the DISTRIBUTED
+    work stays downstream (broadcast spatial joins over the ledger).
+    Replay-safe: each batch writes OVERWRITE into its own ``batch=``
+    partition. Runs with Trigger.AvailableNow.
+    """
+    import os
+
+    from sids_data_pipeline_spark.sources.geopackage import ingest_geopackage
+    from sids_data_pipeline_spark.sources.shapefile import ingest_shapefile
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(input_glob).select("path")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        bspark = batch.sparkSession
+        paths = [r.path for r in batch.select("path").distinct().collect()]
+        if not paths:
+            return
+        parts = []
+        for path in sorted(paths):
+            local = path.removeprefix("file:")
+            stem = os.path.splitext(os.path.basename(local))[0]
+            ext = os.path.splitext(local)[1].lower()
+            if ext == ".gpkg":
+                parts.append(
+                    ingest_geopackage(
+                        bspark, local, vector_id=stem, reproject=reproject
+                    )
+                )
+            elif ext == ".shp":
+                parts.append(
+                    ingest_shapefile(
+                        bspark, local, vector_id=stem, reproject=reproject
+                    )
+                )
+            elif ext in (".shx", ".dbf", ".prj", ".cpg"):
+                continue  # sidecars ride along with their .shp
+            else:
+                raise ValueError(f"unsupported vector format: {path}")
+        if not parts:
+            return
+        zones = parts[0]
+        for p in parts[1:]:
+            zones = zones.unionByName(p)
+        zones.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    q = (
+        files.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -231,3 +231,12 @@ def test_canonicalize_is_idempotent():
     )
     once = canonicalize_wkb_winding(tri)
     assert canonicalize_wkb_winding(once) == once
+
+
+def test_ingest_via_file_uri(spark, tmp_path):
+    """file:// URIs ride the same pyarrow-fs path as remote schemes —
+    the reference's blob-storage sidecar fetch shape."""
+    path = str(tmp_path / "zones.shp")
+    write_shapefile(_fixture_records(), path)
+    zones = ingest_shapefile(spark, "file://" + path, vector_id="uri")
+    assert zones.count() == len(_fixture_records())

@@ -611,3 +611,50 @@ def test_streaming_near_dedup_equals_batch(spark, tmp_path):
     # exactly-once: the parquet union has no duplicate pairs
     n_rows = spark.read.parquet(str(tmp_path / "out" / "pairs")).count()
     assert n_rows == len(got)
+
+
+def test_streaming_vector_ingest_incremental(spark, tmp_path):
+    """Drop-folder vector ingest: first drain ingests the shapefile,
+    second drain after a GeoPackage lands ingests ONLY the new file
+    (the file-source checkpoint is the incrementality ledger), and the
+    ledger's zones equal the batch ingests row-for-row."""
+    import os
+
+    from sids_data_pipeline_spark.sources.geopackage import write_geopackage
+    from sids_data_pipeline_spark.sources.shapefile import write_shapefile
+    from sids_data_pipeline_spark.sources.vector import FIXTURE_BUILDERS
+    from sids_data_pipeline_spark.streaming.jobs import streaming_vector_ingest
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "zones")
+    ckpt = str(tmp_path / "ckpt")
+    write_shapefile(
+        list(FIXTURE_BUILDERS["zones_grid"]()), str(drop / "grid.shp")
+    )
+    streaming_vector_ingest(spark, str(drop) + "/*", out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 4
+    assert set(r.vector_id for r in first.collect()) == {"grid"}
+
+    write_geopackage(
+        list(FIXTURE_BUILDERS["zones_overlap"]()), str(drop / "overlap.gpkg")
+    )
+    streaming_vector_ingest(spark, str(drop) + "/*", out, ckpt)
+    both = spark.read.parquet(out)
+    assert both.count() == 8
+    assert set(r.vector_id for r in both.collect()) == {"grid", "overlap"}
+    # batch-path parity: same WKB bytes for the gpkg layer
+    from sids_data_pipeline_spark.sources.geopackage import ingest_geopackage
+
+    want = {
+        r.fid: r.geometry
+        for r in ingest_geopackage(
+            spark, str(drop / "overlap.gpkg"), vector_id="overlap"
+        ).collect()
+    }
+    got = {
+        r.fid: r.geometry
+        for r in both.filter("vector_id = 'overlap'").collect()
+    }
+    assert got == want
