@@ -142,6 +142,7 @@ from sids_data_pipeline_spark.plans.base import Query
 PRIORITY: tuple[str, ...] = (
     # — round-9 new queries / changed gates: need fresh hard rows —
     "vector_shapefile_ingest",
+    "streaming_vector_ingest",
     "crs_reproject_tm",
     "vector_reproject_zones",
     "geo_validity_report",
@@ -185,7 +186,10 @@ PRIORITY: tuple[str, ...] = (
     "tiles_encode_rings",
     "manifest_pending",
     "dedup_minhash_lsh",
-    "dedup_exact",
+    # dedup_exact displaced by streaming_vector_ingest (dedup.py's
+    # round-9 diff is docstring-only, the r8 row stands, benchgate times
+    # dedup_exact on every hot-path commit, and dedup_minhash_lsh keeps
+    # E1/E2 in-window)
     "dedup_clusters",
     "dedup_semantic",
     "similarity_ann_gate",

@@ -1249,6 +1249,33 @@ SELECT * FROM (VALUES
 """
 
 
+def _streaming_vector_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S4 ingest THROUGH the streaming drop-folder path: the fixture
+    shapefile lands in a watched directory, Trigger.AvailableNow drains
+    it into the zones ledger, and the ledger must be byte-identical to
+    the batch ingest (same oracle VALUES as vector_shapefile_ingest —
+    the two paths share the parser, and this entry pins that they
+    cannot drift)."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.sources.shapefile import write_shapefile
+    from sids_data_pipeline_spark.streaming.jobs import streaming_vector_ingest
+
+    work = tempfile.mkdtemp(prefix="sdp_svec_")
+    drop = os.path.join(work, "drop")
+    os.makedirs(drop)
+    write_shapefile(_shapefile_fixture_records(), os.path.join(drop, "zones_shp.shp"))
+    out = os.path.join(work, "zones")
+    streaming_vector_ingest(
+        spark, drop + "/*", out, os.path.join(work, "ckpt")
+    )
+    zones = spark.read.parquet(out).select(
+        "vector_id", "fid", "name", F.lower(F.hex("geometry")).alias("wkb_hex")
+    )
+    return zones.orderBy("fid")
+
+
 def _csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2/K6 end-to-end: region → header CSV (sharded) → schema-pinned
     scan back. The oracle is the region table itself — the round-trip
@@ -3407,6 +3434,15 @@ QUERIES: list[Query] = [
         doc="S4: shapefile write → ingest round-trip (.shp winding rule, "
             ".dbf attributes, .prj CRS gate), WKB hex-verified",
         tags=("geo", "source"),
+    ),
+    Query(
+        "streaming_vector_ingest",
+        _streaming_vector_ingest_query,
+        _shapefile_ingest_sql(),
+        doc="S4 via the streaming drop-folder path: file-source "
+            "checkpoint as the P6 ledger; byte-identical to the batch "
+            "ingest (shared parser, shared oracle)",
+        tags=("geo", "source", "streaming"),
     ),
     Query(
         "source_csv_roundtrip",

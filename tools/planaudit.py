@@ -76,6 +76,7 @@ AUDITED = [
     "raster_polygonize",
     "raster_contour",
     "crs_standardize_mixed",
+    "streaming_vector_ingest",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
