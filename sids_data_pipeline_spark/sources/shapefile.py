@@ -14,8 +14,10 @@ module re-implements that read path from the public specs alone:
 * ``.dbf``   — dBASE III/IV fixed-layout attribute table (public
   layout): field descriptors + fixed-width records, ``*`` deletion
   flags honoured (OGR skips deleted rows; so do we).
-* ``.prj``   — ESRI WKT; recognised WGS-84 text maps to EPSG:4326,
-  anything else is refused loudly (the engine does not guess datums).
+* ``.prj``   — ESRI WKT; recognised WGS-84 text maps to EPSG:4326;
+  with ``reproject=True`` a registered grid's EPSG transforms to 4326
+  via operators/vector_reproject; anything else is refused loudly (the
+  engine does not guess datums).
 * ``.cpg``   — attribute-string codepage (defaults to the dBASE
   header's language-driver byte, else latin-1, like OGR).
 * ``.shx``   — offset index; written for interoperability, not needed
