@@ -179,6 +179,7 @@ PRIORITY: tuple[str, ...] = (
     "raster_bigtiff_ingest",
     "raster_warp_bilinear",
     "raster_hillshade",
+    "raster_mosaic",
     # raster_proximity displaced by vector_reproject_zones (terrain.py
     # unchanged this round; its r8 row stands and the terrain family
     # keeps slope_aspect/sieve/pyramid_estate/hillshade in-window)
@@ -196,7 +197,9 @@ PRIORITY: tuple[str, ...] = (
     "corpus_curation",
     "text_gopher_rules",
     "corpus_quality_classifier",
-    "corpus_pack_sequences",
+    # corpus_pack_sequences displaced by raster_mosaic (sampling.py
+    # unchanged since its r8-green row; sink_tokenbin_roundtrip keeps
+    # the training-layout family in-window)
     "sink_tokenbin_roundtrip",
     # streaming_raster_ingest displaced by crs_standardize_mixed (the
     # streaming module's round-9 diff is docstring-only, its r8 row

@@ -2104,6 +2104,78 @@ ORDER BY region
 """
 
 
+def _raster_mosaic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_merge parity: three synthetic rasters on overlapping 20×20
+    integer grids (B shifted +10 in x, C shifted +10 in y), composited
+    last-wins in order A < B < C, with B's nodata value (−1, a diagonal
+    stripe) transparent so A shows through inside B's footprint. Every
+    cell's winner is a closed-form function of (lon, lat) the oracle
+    states independently."""
+    from sids_data_pipeline_spark.sources.raster import mosaic
+
+    def grid(rid: str, x0: int, y0: int, fn):
+        return spark.range(0, 400, 1, 8).select(
+            F.lit(rid).alias("raster_id"),
+            (F.col("id") % 20 + x0).cast("double").alias("lon"),
+            (F.col("id") / 20).cast("int").cast("double").alias("_r"),
+        ).select(
+            "raster_id",
+            "lon",
+            (F.col("_r") + y0).alias("lat"),
+            fn(F.col("lon"), F.col("_r") + F.lit(float(y0))).alias("val"),
+        )
+
+    a = grid("a", 0, 0, lambda x, y: x * 100.0 + y)
+    b = grid(
+        "b", 10, 0,
+        lambda x, y: F.when((x + y) % 5 == 0, F.lit(-1.0)).otherwise(
+            x * 100.0 + y + 1_000_000.0
+        ),
+    )
+    c = grid("c", 0, 10, lambda x, y: x * 100.0 + y + 2_000_000.0)
+    px = a.unionByName(b).unionByName(c)
+    out = mosaic(px, order=["a", "b", "c"], nodata=-1.0)
+    return out.select(
+        F.col("lon").cast("int").alias("lon"),
+        F.col("lat").cast("int").alias("lat"),
+        F.col("val").cast("long").alias("val"),
+        F.col("raster_id").alias("source"),
+    ).orderBy("lon", "lat")
+
+
+_RASTER_MOSAIC_SQL = """
+WITH cells AS (
+  SELECT a.i AS lon, b.i AS lat
+  FROM (SELECT unnest(range(30)) AS i) a
+  CROSS JOIN (SELECT unnest(range(30)) AS i) b
+  WHERE (a.i < 20 AND b.i < 20)        -- A footprint
+     OR (a.i >= 10 AND b.i < 20)       -- B footprint
+     OR (a.i < 20 AND b.i >= 10)       -- C footprint
+),
+decided AS (
+  SELECT lon, lat,
+         CASE
+           WHEN lon < 20 AND lat >= 10 THEN 'c'
+           WHEN lon >= 10 AND lat < 20 AND (lon + lat) % 5 <> 0 THEN 'b'
+           WHEN lon < 20 AND lat < 20 THEN 'a'
+           ELSE 'b'  -- B-only cells (lon >= 20) where the stripe is nodata
+         END AS source0
+  FROM cells
+),
+filtered AS (  -- a B-only nodata cell has NO painter at all: drop it
+  SELECT * FROM decided
+  WHERE NOT (source0 = 'b' AND (lon + lat) % 5 = 0)
+)
+SELECT lon, lat,
+       CAST(lon * 100 + lat
+            + CASE source0 WHEN 'b' THEN 1000000
+                           WHEN 'c' THEN 2000000 ELSE 0 END AS BIGINT) AS val,
+       source0 AS source
+FROM filtered
+ORDER BY lon, lat
+"""
+
+
 def _crs_standardize_mixed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixed-raster-estate story as ONE expression: 1000 points
     across four CRS families (UTM 33N, Web Mercator, NSIDC polar
@@ -3208,6 +3280,15 @@ QUERIES: list[Query] = [
             "incl. conformal-series inverse + antimeridian wrap; forward "
             "leg pinned to the EPSG Guidance 7-2 worked example in pytest",
         tags=("geo", "scalar"),
+    ),
+    Query(
+        "raster_mosaic",
+        _raster_mosaic_query,
+        _RASTER_MOSAIC_SQL,
+        doc="gdal_merge parity: last-wins compositing of overlapping "
+            "rasters in ONE max_by shuffle, nodata-transparent, unknown "
+            "rasters rejected in-plan; closed-form winner oracle",
+        tags=("geo", "source"),
     ),
     Query(
         "crs_standardize_mixed",

@@ -409,3 +409,53 @@ def rasterize(
         return won.select("x", "y", F.col("fid").alias("burn"))
     attr = zones.select("fid", F.col(burn_col).alias("burn"))
     return won.join(F.broadcast(attr), "fid").select("x", "y", "burn")
+
+
+def mosaic(
+    pixels: DataFrame,
+    order: list[str],
+    nodata: float | None = None,
+) -> DataFrame:
+    """gdal_merge.py parity: composite overlapping rasters onto one grid
+    with LAST-WINS semantics — later entries in ``order`` paint over
+    earlier ones, gdal_merge's file-argument rule. ``nodata`` pixels are
+    transparent: they never overpaint a real value (gdal_merge -n).
+
+    Spark-first shape: ONE shuffle — ``max_by(val, priority)`` per
+    (lon, lat) cell after mapping each raster_id to its paint priority
+    via a literal CASE (the raster list is an argument, not data, so no
+    join is spent on it). Rasters absent from ``order`` are rejected
+    in-plan (raise_error woven into the priority expression, surviving
+    column pruning), because silently dropping a raster from a mosaic is
+    the compositor's classic wrong answer.
+
+    Output: (lon, lat, val, source raster_id) — one row per cell of the
+    union extent.
+    """
+    if not order:
+        raise ValueError("order must name at least one raster")
+    if len(set(order)) != len(order):
+        raise ValueError(f"duplicate raster ids in order: {order}")
+    prio = F.when(F.col("raster_id") == order[0], F.lit(0))
+    for i, rid in enumerate(order[1:], start=1):
+        prio = prio.when(F.col("raster_id") == rid, F.lit(i))
+    prio = prio.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("mosaic: raster_id not in order list: "),
+                F.col("raster_id"),
+            )
+        ).cast("int")
+    )
+    src = pixels
+    if nodata is not None:
+        src = src.filter(F.col("val") != F.lit(float(nodata)))
+    src = src.filter(F.col("val").isNotNull()).withColumn("_prio", prio)
+    return (
+        src.groupBy("lon", "lat")
+        .agg(
+            F.max_by("val", F.col("_prio")).alias("val"),
+            F.max_by("raster_id", F.col("_prio")).alias("raster_id"),
+        )
+        .select("lon", "lat", "val", "raster_id")
+    )

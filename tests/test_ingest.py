@@ -795,3 +795,37 @@ def test_excess_strip_entries_refused():
             G.decode_geotiff_bands(bytes(data))
     finally:
         G._read_ifd = orig
+
+
+def test_mosaic_last_wins_nodata_and_guard(spark):
+    """gdal_merge semantics: later rasters paint over earlier; nodata is
+    transparent; a raster_id missing from the order list raises in-plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.sources.raster import mosaic
+
+    px = spark.createDataFrame(
+        [
+            ("a", 0.0, 0.0, 1.0),
+            ("a", 1.0, 0.0, 2.0),
+            ("b", 0.0, 0.0, -1.0),   # nodata: must NOT overpaint a
+            ("b", 1.0, 0.0, 20.0),   # real: must overpaint a
+            ("b", 2.0, 0.0, 30.0),   # b-only cell
+        ],
+        "raster_id string, lon double, lat double, val double",
+    )
+    rows = {
+        (r.lon, r.lat): (r.val, r.raster_id)
+        for r in mosaic(px, ["a", "b"], nodata=-1.0).collect()
+    }
+    assert rows[(0.0, 0.0)] == (1.0, "a")
+    assert rows[(1.0, 0.0)] == (20.0, "b")
+    assert rows[(2.0, 0.0)] == (30.0, "b")
+
+    with pytest.raises(Exception, match="not in order list"):
+        mosaic(px, ["a"]).collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        mosaic(px, ["a", "a"])
+    with pytest.raises(ValueError, match="at least one"):
+        mosaic(px, [])

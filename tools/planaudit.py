@@ -77,6 +77,7 @@ AUDITED = [
     "raster_contour",
     "crs_standardize_mixed",
     "streaming_vector_ingest",
+    "raster_mosaic",
     "sql_promo_revenue",
     "corpus_dup_spans",
     "streaming_raster_ingest",
