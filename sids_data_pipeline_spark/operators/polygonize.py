@@ -119,8 +119,9 @@ def boundary_edges(labeled: DataFrame, region_col: str = "region") -> DataFrame:
 
 def _walk_rings(edges: np.ndarray) -> list[np.ndarray]:
     """Chain directed unit edges into closed rings. Saddle rule: take
-    the sharpest left turn (left > straight > right) relative to the
-    incoming direction — non-crossing for 4-connected regions."""
+    the sharpest right turn (right > straight > left) relative to the
+    incoming direction — the correct rule for region-on-the-left
+    tracing, non-crossing for 4-connected regions."""
     n = edges.shape[0]
     by_start: dict[tuple[int, int], list[int]] = {}
     for i in range(n):

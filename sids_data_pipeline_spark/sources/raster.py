@@ -430,7 +430,10 @@ def mosaic(
     the compositor's classic wrong answer.
 
     Output: (lon, lat, val, source raster_id) — one row per cell of the
-    union extent.
+    union extent that received at least one real value; cells whose
+    every covering raster is nodata/NULL emit no row at all (gdal_merge
+    would write the output nodata there — a pixel table has no row to
+    hold it).
     """
     if not order:
         raise ValueError("order must name at least one raster")

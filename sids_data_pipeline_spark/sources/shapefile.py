@@ -404,6 +404,7 @@ def ingest_shapefile(
     name_col: str | None = None,
     encoding: str | None = None,
     reproject: bool = False,
+    assume_wgs84: bool = False,
 ) -> DataFrame:
     """Shapefile → ZONES DataFrame (vector_id, fid, name, WKB
     MultiPolygon), the ogr2ogr import re-expressed (reference
@@ -416,12 +417,20 @@ def ingest_shapefile(
     operators/vector_reproject (every vertex through the same
     closed-form column math the raster path uses). Otherwise — or for a
     .prj the registry can't honor — a non-4326 .prj raises; the engine
-    never silently mislabels coordinates. Like the GeoPackage path the
-    read is driver-side (vectors are dimension-sized) and distributes
-    via the Arrow createDataFrame path, ready to broadcast into spatial
-    joins."""
+    never silently mislabels coordinates. The same contract covers a
+    MISSING .prj: the engine does not guess datums, so an absent sidecar
+    raises unless the caller states the assumption explicitly with
+    ``assume_wgs84=True``. Like the GeoPackage path the read is
+    driver-side (vectors are dimension-sized) and distributes via the
+    Arrow createDataFrame path, ready to broadcast into spatial joins."""
     src_epsg = 4326
     prj_path = _sidecar(path, ".prj")
+    if not _exists(prj_path) and not assume_wgs84:
+        raise ValueError(
+            f"{path}: no .prj sidecar — the engine does not guess datums; "
+            "pass assume_wgs84=True to declare the coordinates WGS-84, or "
+            "supply the .prj"
+        )
     if _exists(prj_path):
         wkt = _read_bytes(prj_path).decode("ascii", errors="replace")
         epsg = prj_to_epsg(wkt)

@@ -705,6 +705,8 @@ def streaming_vector_ingest(
     files = reader.load(input_glob).select("path")
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        from sids_data_pipeline_spark.sources.shapefile import _exists, _sidecar
+
         bspark = batch.sparkSession
         paths = [r.path for r in batch.select("path").distinct().collect()]
         if not paths:
@@ -721,6 +723,26 @@ def streaming_vector_ingest(
                     )
                 )
             elif ext == ".shp":
+                # Sidecar race guard: the file source checkpoints each
+                # listed file exactly once, so a .shp ingested before its
+                # .prj/.dbf land would be PERMANENTLY mislabeled (silent
+                # 4326, dropped attributes) — the late sidecars are never
+                # re-listed with it. Fail the batch instead: foreachBatch
+                # raising means the checkpoint is NOT committed, and the
+                # retry picks the complete set up once the producer
+                # finishes. (Producers should still drop the .shp LAST,
+                # after its sidecars — that makes this guard a no-op.)
+                missing = [
+                    e for e in (".prj", ".dbf")
+                    if not _exists(_sidecar(local, e))
+                ]
+                if missing:
+                    raise ValueError(
+                        f"{path}: sidecars {missing} not present yet — "
+                        "failing the batch so the checkpoint does not "
+                        "commit a partial shapefile set; drop the .shp "
+                        "last, after its sidecars"
+                    )
                 parts.append(
                     ingest_shapefile(
                         bspark, local, vector_id=stem, reproject=reproject

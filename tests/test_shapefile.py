@@ -192,6 +192,21 @@ def test_ingest_rejects_foreign_prj(tmp_path, spark):
         ingest_shapefile(spark, path, vector_id="v")
 
 
+def test_ingest_requires_prj_or_explicit_optin(tmp_path, spark):
+    """A missing .prj must be LOUD ('the engine does not guess datums'),
+    not a silent 4326 assumption; assume_wgs84=True is the explicit
+    opt-in."""
+    import os
+
+    path = str(tmp_path / "noprj.shp")
+    write_shapefile([(0, "a", box_wkb(0, 0, 1, 1))], path)
+    os.remove(path[:-4] + ".prj")
+    with pytest.raises(ValueError, match="no .prj sidecar"):
+        ingest_shapefile(spark, path, vector_id="v")
+    zones = ingest_shapefile(spark, path, vector_id="v", assume_wgs84=True)
+    assert zones.count() == 1
+
+
 def test_ingest_zones_schema_and_broadcastable(spark, tmp_path):
     path = str(tmp_path / "zones.shp")
     write_shapefile(_fixture_records(), path)

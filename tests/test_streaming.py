@@ -658,3 +658,35 @@ def test_streaming_vector_ingest_incremental(spark, tmp_path):
         for r in both.filter("vector_id = 'overlap'").collect()
     }
     assert got == want
+
+
+def test_streaming_vector_ingest_sidecar_race_fails_batch(spark, tmp_path):
+    """A .shp listed before its .prj/.dbf land must FAIL the batch (so
+    the file-source checkpoint does not commit a permanently mislabeled
+    ingest); once the sidecars arrive, a retry ingests the complete
+    set."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sids_data_pipeline_spark.sources.shapefile import write_shapefile
+    from sids_data_pipeline_spark.sources.vector import FIXTURE_BUILDERS
+    from sids_data_pipeline_spark.streaming.jobs import streaming_vector_ingest
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "zones")
+    ckpt = str(tmp_path / "ckpt")
+    write_shapefile(
+        list(FIXTURE_BUILDERS["zones_grid"]()), str(drop / "grid.shp")
+    )
+    # simulate the producer still mid-upload: .shp visible, .prj missing
+    os.rename(str(drop / "grid.prj"), str(tmp_path / "grid.prj.held"))
+    with pytest.raises(StreamingQueryException, match="sidecars"):
+        streaming_vector_ingest(spark, str(drop) + "/*", out, ckpt)
+    # producer finishes; the retry (same checkpoint) ingests cleanly
+    os.rename(str(tmp_path / "grid.prj.held"), str(drop / "grid.prj"))
+    streaming_vector_ingest(spark, str(drop) + "/*", out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert {r.vector_id for r in got.collect()} == {"grid"}
