@@ -64,12 +64,16 @@ def cosine(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
     )
 
 
+QUERY_COLLECT_LIMIT = 100_000  # ~100k × (id + few-hundred-dim int64) rows
+
+
 def topk_bruteforce(
     candidates: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_limit: int = QUERY_COLLECT_LIMIT,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -93,6 +97,14 @@ def topk_bruteforce(
     until the SparkContext ends (it cannot be destroyed before the lazy
     result is consumed) — in a long evaluation loop, re-use one call's
     result rather than re-invoking per experiment.
+
+    The query-side collect is BOUNDED (``query_limit``, same limit-probe
+    idiom as the zonal broadcast path): brute-force with a corpus-sized
+    query side is O(|Q|·|C|) work no matter how it is scheduled, so a
+    query frame over the cap raises with a pointer to :func:`ann_lsh`
+    (bucketed candidates, both sides distributed) instead of OOMing the
+    driver. The limit doubles as the oversize probe — no separate count
+    job.
     """
     import numpy as np
     import pandas as pd
@@ -110,8 +122,16 @@ def topk_bruteforce(
     q_rows = (
         with_norm(queries, vec_col)
         .select(F.col(id_col).alias("query_id"), "_iv", "_norm2")
+        .limit(query_limit + 1)
         .collect()
     )
+    if len(q_rows) > query_limit:
+        raise ValueError(
+            f"topk_bruteforce: queries exceed query_limit={query_limit}; "
+            "a corpus-sized query side makes exact brute force O(|Q|·|C|) "
+            "— use ann_lsh (bucketed candidates, fully distributed) or "
+            "raise query_limit explicitly if the driver can hold it"
+        )
     spark = candidates.sparkSession
     if not q_rows:  # empty query set -> empty result, same schema
         return spark.createDataFrame(

@@ -100,6 +100,21 @@ def test_topk_zero_norm_and_empty_queries(spark):
     assert empty.columns == ["query_id", "neighbor_id", "cosine", "rank"]
 
 
+def test_topk_query_side_collect_is_bounded(spark):
+    """A corpus-sized query frame must refuse (with the ann_lsh pointer)
+    instead of collecting the whole side onto the driver; the explicit
+    query_limit override re-admits it."""
+    from sids_data_pipeline_spark.operators.similarity import topk_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="ann_lsh"):
+        topk_bruteforce(emb, emb, k=2, query_limit=5)
+    out = topk_bruteforce(
+        emb.limit(20), emb.limit(6), k=2, query_limit=6
+    )
+    assert out.count() == 12  # 6 queries × k=2, exactly at the cap
+
+
 def test_cosine_pairs_all_pairs_guard(spark, monkeypatch):
     """block_col=None refuses inputs above ALL_PAIRS_LIMIT instead of
     launching a quadratic crossJoin."""
