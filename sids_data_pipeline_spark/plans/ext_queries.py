@@ -2563,6 +2563,67 @@ FROM a
 """
 
 
+def _multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG codec round trip (E4): synthesize deterministic PNGs
+    executor-side (imagecodec.png_encode, scanline filter cycling over
+    all five RFC 2083 filters), then fully decode them
+    (multimodal.decode_images: CRC-checked chunk walk, zlib inflate,
+    per-scanline unfilter) and return the recovered dims plus the sum of
+    every decoded sample. The oracle recomputes dims and pixel sums from
+    the closed-form synth formula — a header parse can fake width and
+    height, it cannot fake pixel_sum."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_images(multimodal.synth_png_assets(docs, modulus=7))
+
+
+# synth formula (imagecodec.synth_image): sample(x,y,c) =
+# (7·doc_id + 3x + 5y + 11c) mod 256; dims/channels are doc_id mod-forms.
+# range() can't take lateral column bounds in DuckDB, so the oracle cross
+# joins the max envelope (32×15×4) and filters — 500 docs × 1920 cells.
+_MULTIMODAL_DECODE_PNG_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 13 + 3 AS h, doc_id % 4 + 1 AS c
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id, 'png' AS format,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height, CAST(c AS INT) AS channels,
+       CAST(SUM((doc_id*7 + 3*x.i + 5*y.i + 11*ch.i) % 256) AS BIGINT) AS pixel_sum
+FROM d, range(32) x(i), range(15) y(i), range(4) ch(i)
+WHERE x.i < w AND y.i < h AND ch.i < c
+GROUP BY doc_id, w, h, c
+"""
+
+
+_RESIZE_W, _RESIZE_H = 6, 5
+
+
+def _multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real resample gate (E4): synth PNG → resize_images (decode →
+    nearest-neighbor floor index map → re-encode) → decode_images. The
+    oracle reproduces the floor map in integer SQL, so every resized
+    pixel is value-verified through two full codec round trips."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    resized = multimodal.resize_images(
+        multimodal.synth_png_assets(docs, modulus=7), _RESIZE_W, _RESIZE_H
+    )
+    return multimodal.decode_images(resized)
+
+
+_MULTIMODAL_RESIZE_PNG_SQL = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 29 + 4 AS w, doc_id % 13 + 3 AS h, doc_id % 4 + 1 AS c
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id, 'png' AS format,
+       {_RESIZE_W} AS width, {_RESIZE_H} AS height, CAST(c AS INT) AS channels,
+       CAST(SUM((doc_id*7 + 3*((x.i*w)//{_RESIZE_W}) + 5*((y.i*h)//{_RESIZE_H})
+                 + 11*ch.i) % 256) AS BIGINT) AS pixel_sum
+FROM d, range({_RESIZE_W}) x(i), range({_RESIZE_H}) y(i), range(4) ch(i)
+WHERE ch.i < c
+GROUP BY doc_id, w, h, c
+"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "eval": 0.1, "test": 0.1}
 
 
@@ -4036,8 +4097,20 @@ QUERIES: list[Query] = [
     Query("multimodal_meta", _multimodal_meta, _MULTIMODAL_META_SQL,
           doc="E4 binary payload + typed metadata plumbing", tags=("multimodal",)),
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_FEATURES_SQL,
-          doc="E4 mapInPandas feature extraction (stub decoder, real plumbing)",
+          doc="E4 mapInPandas feature extraction (real codecs for sniffed "
+              "media magics, documented length-arithmetic fallback for "
+              "unrecognized bytes)",
           tags=("multimodal",)),
+    Query("multimodal_decode_png", _multimodal_decode_png, _MULTIMODAL_DECODE_PNG_SQL,
+          doc="E4 REAL PNG codec round trip: executor-side encode (all 5 "
+              "scanline filters, zlib, CRC) -> full decode -> pixel sums "
+              "vs closed-form oracle",
+          tags=("multimodal", "codec")),
+    Query("multimodal_resize_png", _multimodal_resize_png, _MULTIMODAL_RESIZE_PNG_SQL,
+          doc="E4 real nearest-neighbor resample: encode -> decode -> "
+              "floor-map resize -> re-encode -> decode, resized pixels "
+              "value-verified in SQL",
+          tags=("multimodal", "codec")),
     Query("corpus_split", _corpus_split, _corpus_split_sql(),
           doc="deterministic hash train/eval/test split (leakage-stable: "
               "per-row pure function, unlike randomSplit)",

@@ -1,0 +1,179 @@
+"""Pure-stdlib media codecs (functions/imagecodec.py): PNG round trips
+through real zlib + all five scanline filters, header parsers for
+JPEG/GIF/BMP, WAV RIFF walk, nearest-neighbor resampling, magic
+sniffing. No Spark needed — these run in milliseconds."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sids_data_pipeline_spark.functions import imagecodec as ic
+
+# --------------------------------------------------------------------- PNG
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (3, 7, 1), (8, 5, 2), (13, 31, 3), (17, 9, 4)])
+def test_png_roundtrip_filter_cycle(shape):
+    rng = np.random.default_rng(int(np.prod(shape)))
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec, meta = ic.png_decode(ic.png_encode(arr))
+    assert np.array_equal(dec, arr)
+    assert (meta["height"], meta["width"], meta["channels"]) == shape
+
+
+def test_png_roundtrip_filter0_and_2d_input():
+    arr = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    dec, meta = ic.png_decode(ic.png_encode(arr, filter_cycle=False))
+    assert np.array_equal(dec[:, :, 0], arr)
+    assert meta["channels"] == 1 and meta["color_type"] == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    c=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, c, seed):
+    """Every (dims, channels, content) combination survives the encode→
+    decode round trip — the filter cycle means h≥5 exercises all five
+    unfilter paths including Paeth/Average left-dependency chains."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    dec, _ = ic.png_decode(ic.png_encode(arr))
+    assert np.array_equal(dec, arr)
+
+
+def test_png_crc_corruption_is_loud():
+    enc = bytearray(ic.png_encode(ic.synth_image(1, 6, 6, 3)))
+    enc[45] ^= 0xFF  # inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        ic.png_decode(bytes(enc))
+
+
+def test_png_truncation_is_loud():
+    enc = ic.png_encode(ic.synth_image(2, 10, 10, 1))
+    with pytest.raises(ValueError, match="IEND|truncated"):
+        ic.png_decode(enc[: len(enc) - 14])
+
+
+def test_png_capability_refusals_name_the_gap():
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="bit depth 8"):
+        ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
+    # palette color type 3
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="palette"):
+        ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
+    # Adam7
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="interlacing"):
+        ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
+
+
+def test_synth_image_matches_formula():
+    arr = ic.synth_image(35, 5, 4, 3)
+    for y in range(4):
+        for x in range(5):
+            for c in range(3):
+                assert arr[y, x, c] == (35 * 7 + 3 * x + 5 * y + 11 * c) % 256
+
+
+# ------------------------------------------------------------- header parses
+
+
+def _synth_jpeg(w, h, ncomp=3, progressive=False):
+    marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    body = struct.pack(">BHHB", 8, h, w, ncomp) + bytes(3 * ncomp)
+    app0 = b"\xff\xe0" + struct.pack(">H", 6) + b"JFIF"
+    return b"\xff\xd8" + app0 + marker + struct.pack(">H", 2 + len(body)) + body + b"\xff\xd9"
+
+
+def test_jpeg_sof_scan():
+    assert ic.jpeg_dims(_synth_jpeg(640, 480)) == (640, 480, 3)
+    assert ic.jpeg_dims(_synth_jpeg(31, 17, ncomp=1, progressive=True)) == (31, 17, 1)
+    with pytest.raises(ValueError, match="SOF"):
+        ic.jpeg_dims(b"\xff\xd8\xff\xd9")
+    with pytest.raises(ValueError, match="magic"):
+        ic.jpeg_dims(b"not a jpeg")
+
+
+def test_gif_and_bmp_dims():
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(3)
+    assert ic.gif_dims(gif) == (320, 200)
+    with pytest.raises(ValueError, match="magic"):
+        ic.gif_dims(b"GIF00a" + bytes(10))
+    # BITMAPINFOHEADER, negative height = top-down rows
+    bmp = b"BM" + struct.pack("<IHHI", 122, 0, 0, 54) + struct.pack(
+        "<IiiHH", 40, 640, -480, 1, 24
+    ) + bytes(20)
+    assert ic.bmp_dims(bmp) == (640, 480)
+    core = b"BM" + struct.pack("<IHHI", 38, 0, 0, 26) + struct.pack(
+        "<IHHHH", 12, 64, 48, 1, 8
+    )
+    assert ic.bmp_dims(core) == (64, 48)
+
+
+def test_wav_roundtrip_and_info():
+    tone = (np.sin(np.arange(8000) / 20) * 3000).astype(np.int16)
+    wav = ic.wav_encode(np.stack([tone, -tone], axis=1), sample_rate=8000)
+    info = ic.wav_info(wav)
+    assert info == {
+        "channels": 2,
+        "sample_rate": 8000,
+        "bits_per_sample": 16,
+        "n_samples": 8000,
+        "duration_ms": 1000,
+    }
+    with pytest.raises(ValueError, match="magic"):
+        ic.wav_info(b"RIFFxxxxNOPE")
+
+
+# ---------------------------------------------------------------- sniffing
+
+
+def test_sniff_rejects_plain_text_and_near_misses():
+    assert ic.sniff(b"hello world, this is a document payload") is None
+    # 'BM' text must not sniff as bmp (DIB size check)
+    assert ic.sniff(b"BMW drivers wrote this sentence for us....") is None
+    # 'RIFF' without WAVE must not sniff as wav
+    assert ic.sniff(b"RIFF1234AVI LIST" + bytes(8)) is None
+    assert ic.sniff(ic.png_encode(ic.synth_image(0, 2, 2, 1))) == "png"
+    assert ic.sniff(_synth_jpeg(4, 4)) == "jpeg"
+
+
+# ---------------------------------------------------------------- resizing
+
+
+def test_resize_nearest_floor_semantics():
+    arr = ic.synth_image(9, 8, 6, 2)
+    out = ic.resize_nearest(arr, 3, 5)
+    assert out.shape == (5, 3, 2)
+    for y in range(5):
+        for x in range(3):
+            assert np.array_equal(out[y, x], arr[(y * 6) // 5, (x * 8) // 3])
+    up = ic.resize_nearest(arr, 16, 12)  # upscale repeats pixels
+    assert up.shape == (12, 16, 2)
+    assert np.array_equal(up[::2, ::2], arr)
+    with pytest.raises(ValueError, match="positive"):
+        ic.resize_nearest(arr, 0, 5)

@@ -83,3 +83,100 @@ def test_resize_stub_passthrough(assets):
     src = assets.filter(F.col("asset_id") == 0).collect()[0]
     assert bytes(row["payload"]) == bytes(src["payload"])
     assert (row["width"], row["height"]) == (224, 224)
+
+
+# ------------------------------------------------------- real codec paths
+
+
+@pytest.fixture(scope="module")
+def png_assets(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    return multimodal.synth_png_assets(docs, modulus=7)
+
+
+def test_decode_images_roundtrip_matches_formula(png_assets):
+    """synth (encode, executor-side) → decode_images recovers the exact
+    closed-form dims and pixel sum — value-level proof the five
+    unfilter paths reconstruct real pixels through real zlib."""
+    got = multimodal.decode_images(png_assets).toPandas().set_index("asset_id")
+    assert len(got) > 0
+    for did, row in got.head(30).iterrows():
+        w, h, c = did % 29 + 4, did % 13 + 3, did % 4 + 1
+        assert (row["width"], row["height"], row["channels"]) == (w, h, c)
+        expected = sum(
+            (did * 7 + 3 * x + 5 * y + 11 * ch) % 256
+            for x in range(w) for y in range(h) for ch in range(c)
+        )
+        assert row["pixel_sum"] == expected, did
+
+
+def test_extract_features_real_png_and_wav(spark):
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    png = ic.png_encode(ic.synth_image(3, 21, 9, 3))
+    wav = ic.wav_encode(np.zeros((4000, 2), dtype=np.int16), sample_rate=8000)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png)), (2, "audio", bytearray(wav))],
+        "asset_id long, modality string, payload binary",
+    )
+    feats = {r["asset_id"]: r for r in multimodal.extract_features(df).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["n_frames"]) == (21, 9, 1)
+    # WAV maps (sample_rate, channels, sample frames) into the envelope
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["n_frames"]) == (8000, 2, 4000)
+
+
+def test_extract_features_corrupt_png_is_loud(spark):
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    bad = bytearray(ic.png_encode(ic.synth_image(5, 8, 8, 1)))
+    bad[41] ^= 0xFF
+    df = spark.createDataFrame(
+        [(1, "image", bad)], "asset_id long, modality string, payload binary"
+    )
+    with pytest.raises(Exception, match="CRC"):
+        multimodal.extract_features(df).collect()
+
+
+def test_resize_images_real_resample(spark):
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    arr = ic.synth_image(11, 10, 8, 3)
+    df = spark.createDataFrame(
+        [(7, "image", bytearray(ic.png_encode(arr)))],
+        "asset_id long, modality string, payload binary",
+    )
+    row = multimodal.resize_images(df, 5, 4).collect()[0]
+    dec, meta = ic.png_decode(bytes(row["payload"]))
+    assert (meta["width"], meta["height"]) == (5, 4)
+    assert np.array_equal(dec, ic.resize_nearest(arr, 5, 4))
+
+
+def test_frame_sample_png_filmstrip(spark):
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    # 4-frame filmstrip of 6x6 frames (h=24, w=6), every_n=2 -> frames 0, 2
+    strip = ic.synth_image(13, 6, 24, 2)
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(ic.png_encode(strip)))],
+        "asset_id long, modality string, payload binary",
+    )
+    frames = {
+        r["frame_index"]: bytes(r["frame_bytes"])
+        for r in multimodal.frame_sample(df, every_n=2).collect()
+    }
+    assert sorted(frames) == [0, 2]
+    for fi, blob in frames.items():
+        dec, meta = ic.png_decode(blob)
+        assert (meta["width"], meta["height"]) == (6, 6)
+        assert np.array_equal(dec, strip[fi * 6 : (fi + 1) * 6])
+
+
+def test_decode_images_refuses_non_png(assets):
+    with pytest.raises(Exception, match="extract_features"):
+        multimodal.decode_images(assets.limit(3)).collect()
