@@ -297,9 +297,10 @@ def standardize_crs(
     NZTM + explicit registrations) each get a predicate branch whose
     inverse runs ONLY for matching rows (CASE WHEN short-circuits in
     codegen) — anything else, including datum-shifted grids like OSGB
-    27700 (whose Helmert chain is too large to embed per-row; use the
-    per-file ``reproject_pixels`` branch), fails the job loudly. One
-    expression standardizes the union of an entire mixed-raster estate.
+    27700 (whose Helmert chain is too large to embed per-row; route
+    mixed estates through :func:`standardize_crs_datum`, or per-file
+    through ``reproject_pixels``), fails the job loudly. One expression
+    standardizes the union of an entire mixed-raster estate.
 
     The raise is woven into the lon/lat output expressions (unsupported
     rows fall through every WHEN branch into a raise_error OTHERWISE), so
@@ -990,7 +991,24 @@ NZTM2000 = TransverseMercator(
     false_easting=1600000.0,
     false_northing=10000000.0,
 )
-TM_PROJECTIONS = {27700: OSGB_NATIONAL_GRID, 2193: NZTM2000}
+# EPSG:29902 — TM65 / Irish Grid (Airy Modified 1849: same flattening
+# as Airy 1830, rescaled semi-major). Helmert is EPSG transformation
+# 1641 "TM65 to WGS 84 (2)" INVERTED sign-for-sign to our stored
+# WGS84→datum direction (position-vector convention; the sub-mm
+# non-closure of negating a 7-param set is far below the set's own
+# ~1 m accuracy).
+AIRY_MOD_A = 6377340.189
+IRISH_GRID = TransverseMercator(
+    a=AIRY_MOD_A,
+    f=AIRY_F,
+    k0=1.000035,
+    lat0=53.5,
+    lon0=-8.0,
+    false_easting=200000.0,
+    false_northing=250000.0,
+    wgs84_helmert=(-482.530, 130.596, -564.557, 1.042, 0.214, 0.631, -8.150),
+)
+TM_PROJECTIONS = {27700: OSGB_NATIONAL_GRID, 2193: NZTM2000, 29902: IRISH_GRID}
 
 # every registered grid projection with forward/inverse column methods;
 # pre-registered keys are genuine EPSG codes only
@@ -998,6 +1016,181 @@ PROJECTION_REGISTRY: dict[int, object] = {
     **LCC_PROJECTIONS, **ALBERS_PROJECTIONS, **POLAR_PROJECTIONS,
     **TM_PROJECTIONS,
 }
+
+
+# --- per-row datum-shifted standardization (Arrow kernel) ---------------------
+#
+# standardize_crs handles every DATUM-FREE grid as one JVM CASE
+# expression; datum-shifted grids (OSGB 27700, Irish 29902) are excluded
+# there because embedding the Helmert+Bowring chain per-row in a CASE
+# duplicates the expression tree past what Catalyst tolerates (planner
+# heap blow-up — measured, see the registry comment). The scale-correct
+# alternative is ONE Arrow kernel: the datum-shifted rows take a
+# mapInPandas branch whose numpy math is a term-for-term twin of the
+# column forms, dispatched per-code by boolean mask inside the batch.
+# Executors stream Arrow batches, so the branch is as distributed as the
+# JVM path — it just trades whole-stage codegen for vectorized numpy on
+# the (usually small) datum-shifted slice of a mixed estate.
+
+
+def _tm_unproject_np(P: "TransverseMercator", x, y):
+    """numpy twin of TransverseMercator.unproject (same Redfearn series,
+    same coefficients read off the SAME projection object)."""
+    import numpy as np
+
+    mu = (P.m0_arc + (y - P.fn) / P.k0) / (P.a * P.m0c)
+    phi1 = (
+        mu
+        + P.p2 * np.sin(2.0 * mu)
+        + P.p4 * np.sin(4.0 * mu)
+        + P.p6 * np.sin(6.0 * mu)
+        + P.p8 * np.sin(8.0 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    c1 = P.ep2 * cos1 * cos1
+    t1 = tan1 * tan1
+    om = 1.0 - P.e2 * sin1 * sin1
+    n1 = P.a / np.sqrt(om)
+    r1 = P.a * (1.0 - P.e2) / om**1.5
+    d = (x - P.fe) / (n1 * P.k0)
+    lat = np.degrees(
+        phi1
+        - (n1 * tan1 / r1)
+        * (
+            d * d / 2.0
+            - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * P.ep2)
+            * d**4
+            / 24.0
+            + (
+                61.0
+                + 90.0 * t1
+                + 298.0 * c1
+                + 45.0 * t1 * t1
+                - 252.0 * P.ep2
+                - 3.0 * c1 * c1
+            )
+            * d**6
+            / 720.0
+        )
+    )
+    lon = np.degrees(
+        math.radians(P.lon0)
+        + (
+            d
+            - (1.0 + 2.0 * t1 + c1) * d**3 / 6.0
+            + (
+                5.0
+                - 2.0 * c1
+                + 28.0 * t1
+                - 3.0 * c1 * c1
+                + 8.0 * P.ep2
+                + 24.0 * t1 * t1
+            )
+            * d**5
+            / 120.0
+        )
+        / cos1
+    )
+    return lon, lat
+
+
+def _datum_from_np(P: "TransverseMercator", lon, lat):
+    """numpy twin of TransverseMercator._datum_from: datum geodetic →
+    WGS-84 via geocentric + inverse 7-param Helmert + Bowring."""
+    import numpy as np
+
+    tx, ty, tz, rxs, rys, rzs, ds = P.helmert
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
+    inv_s = 1.0 / (1.0 + ds * 1e-6)
+    phi, lam = np.radians(lat), np.radians(lon)
+    sinp = np.sin(phi)
+    nu = P.a / np.sqrt(1.0 - P.e2 * sinp * sinp)
+    xt = nu * np.cos(phi) * np.cos(lam) - tx
+    yt = nu * np.cos(phi) * np.sin(lam) - ty
+    zt = nu * (1.0 - P.e2) * sinp - tz
+    xg = inv_s * (xt + rz * yt - ry * zt)
+    yg = inv_s * (-rz * xt + yt + rx * zt)
+    zg = inv_s * (ry * xt - rx * yt + zt)
+    ew2 = WGS84_F * (2.0 - WGS84_F)
+    b = WGS84_A * math.sqrt(1.0 - ew2)
+    ep2 = ew2 / (1.0 - ew2)
+    p = np.hypot(xg, yg)
+    theta = np.arctan2(zg * WGS84_A, p * b)
+    st, ct = np.sin(theta), np.cos(theta)
+    phi2 = np.arctan2(zg + ep2 * b * st**3, p - ew2 * WGS84_A * ct**3)
+    return np.degrees(np.arctan2(yg, xg)), np.degrees(phi2)
+
+
+def standardize_crs_datum(
+    pixels: DataFrame, epsg_col: str = "src_epsg", dst_epsg: int = WGS84
+) -> DataFrame:
+    """Mixed-CRS standardization INCLUDING datum-shifted grids: the
+    superset of :func:`standardize_crs` for estates mixing OSGB/Irish
+    rows with datum-free ones.
+
+    Two-path union, both fully distributed:
+
+    * datum-free rows (everything ``standardize_crs`` accepts) keep the
+      whole-stage-codegen CASE expression;
+    * datum-shifted rows (registered grids with a Helmert set) go
+      through ONE ``mapInPandas`` Arrow kernel that applies the numpy
+      twins of the same unproject + Helmert + Bowring closed forms,
+      dispatching per EPSG code by mask within each batch.
+
+    The two filters are complementary predicates over one source, so at
+    scale each side prunes at the scan (and an estate with no
+    datum-shifted rows pays an empty branch, not a second pass).
+    Unknown codes still die loudly: they fall into the datum-free path's
+    raise_error OTHERWISE. Only ``dst_epsg=4326`` is supported, same
+    contract (and reason) as ``standardize_crs``.
+    """
+    if dst_epsg != WGS84:
+        raise ValueError(
+            f"standardize_crs_datum targets EPSG:4326 only, got dst_epsg={dst_epsg}"
+        )
+    projections = {
+        int(code): proj
+        for code, proj in sorted(PROJECTION_REGISTRY.items())
+        if getattr(proj, "helmert", None) is not None
+    }
+    for code, proj in projections.items():
+        if not isinstance(proj, TransverseMercator):
+            raise NotImplementedError(
+                f"EPSG:{code}: datum-shifted kernel only implements the "
+                "Transverse-Mercator family; register a numpy twin first"
+            )
+    if not projections:
+        return standardize_crs(pixels, epsg_col, dst_epsg)
+    codes = list(projections)
+    is_datum = F.col(epsg_col).isin(codes)
+    free = standardize_crs(pixels.filter(~is_datum), epsg_col, dst_epsg)
+    shifted = pixels.filter(is_datum)
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            x = pdf["lon"].to_numpy(dtype="float64")
+            y = pdf["lat"].to_numpy(dtype="float64")
+            rcodes = pdf[epsg_col].to_numpy()
+            lon = np.empty_like(x)
+            lat = np.empty_like(y)
+            for code in np.unique(rcodes):
+                P = projections[int(code)]
+                m = rcodes == code
+                lo, la = _tm_unproject_np(P, x[m], y[m])
+                lo, la = _datum_from_np(P, lo, la)
+                lon[m], lat[m] = lo, la
+            out = pdf.copy()
+            out["lon"] = lon
+            out["lat"] = lat
+            out[epsg_col] = dst_epsg
+            yield out
+
+    return free.unionByName(shifted.mapInPandas(kernel, shifted.schema))
 
 
 def register_projection(code: int, projection) -> None:

@@ -2271,6 +2271,90 @@ ORDER BY id
 """
 
 
+def _crs_standardize_datum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row dispatch for DATUM-SHIFTED grids (the r9 refusal made a
+    real path): 1000 points across OSGB 27700 and Irish 29902 (both
+    Helmert-shifted, handled by ONE mapInPandas Arrow kernel with
+    per-code masks — functions/crs.standardize_crs_datum), NZTM 2193
+    (datum-free, proving the JVM CASE path coexists in the same call)
+    and raw 4326 passthrough. Each row is forward-projected into its
+    declared CRS by the per-file scalar path, then the single
+    standardize_crs_datum call must land it back on its source
+    coordinates within 1e-6° and restamp it 4326. Positive-signal gate
+    like crs_standardize_mixed: the per-family value mirrors are the
+    sibling crs_reproject_* entries; THIS entry pins the two-path
+    datum dispatch. The repartition is a codegen barrier for the
+    fixture's in-plan forward chains only (a real estate scans its
+    coordinates from storage)."""
+    from sids_data_pipeline_spark.functions.crs import (
+        reproject_pixels,
+        standardize_crs_datum,
+    )
+
+    block = ((F.col("id") % 250) / 25).cast("int").cast("double")
+    src = spark.range(0, 1000, 1, 8).select(
+        "id",
+        F.when(F.col("id") < 250, F.lit(27700))
+        .when(F.col("id") < 500, F.lit(29902))
+        .when(F.col("id") < 750, F.lit(2193))
+        .otherwise(F.lit(4326))
+        .alias("src_epsg"),
+        F.when(F.col("id") < 250, F.lit(-5.8) + (F.col("id") % 25).cast("double") * 0.29)
+        .when(F.col("id") < 500, F.lit(-10.3) + (F.col("id") % 25).cast("double") * 0.19)
+        .when(F.col("id") < 750, F.lit(169.8) + (F.col("id") % 25).cast("double") * 0.33)
+        .otherwise(F.lit(-170.0) + (F.col("id") % 25).cast("double") * 13.6)
+        .alias("lon"),
+        F.when(F.col("id") < 250, F.lit(50.2) + block * 0.85)
+        .when(F.col("id") < 500, F.lit(51.5) + block * 0.42)
+        .when(F.col("id") < 750, F.lit(-46.7) + block * 1.2)
+        .otherwise(F.lit(-80.0) + block * 16.0)
+        .alias("lat"),
+    )
+    parts = [src.filter(F.col("src_epsg") == 4326)]
+    for epsg in (27700, 29902, 2193):
+        parts.append(
+            reproject_pixels(src.filter(F.col("src_epsg") == epsg), 4326, epsg)
+        )
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.unionByName(p)
+    # localCheckpoint: the fixture's four forward-projection expression
+    # chains would otherwise ride INSIDE the standardize plan (fused by
+    # codegen into one multi-MB generated method — Janino compile time
+    # dwarfs the actual work). A real estate scans coordinates from
+    # storage; the checkpoint makes the fixture look like one.
+    std = standardize_crs_datum(mixed.localCheckpoint())
+    return (
+        std.join(
+            src.select(
+                "id",
+                F.col("lon").alias("lon0"),
+                F.col("lat").alias("lat0"),
+                F.col("src_epsg").alias("epsg0"),
+            ),
+            "id",
+        )
+        .select(
+            "id",
+            F.col("epsg0").alias("declared_epsg"),
+            (F.abs(F.col("lon") - F.col("lon0")) < F.lit(1e-6)).alias("lon_ok"),
+            (F.abs(F.col("lat") - F.col("lat0")) < F.lit(1e-6)).alias("lat_ok"),
+            (F.col("src_epsg") == F.lit(4326)).alias("restamped"),
+        )
+        .orderBy("id")
+    )
+
+
+_CRS_STANDARDIZE_DATUM_SQL = """
+SELECT i AS id,
+       CASE WHEN i < 250 THEN 27700 WHEN i < 500 THEN 29902
+            WHEN i < 750 THEN 2193 ELSE 4326 END AS declared_epsg,
+       TRUE AS lon_ok, TRUE AS lat_ok, TRUE AS restamped
+FROM (SELECT unnest(range(1000)) AS i) t
+ORDER BY id
+"""
+
+
 def _raster_contour_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdal_contour parity on a field that is LINEAR in every cell
     (val = x + 2y on a 13×13 grid), where marching squares is EXACT:
@@ -3299,6 +3383,17 @@ QUERIES: list[Query] = [
             "CASE, round-trip-gated vs source coordinates (the sibling "
             "crs_reproject_* entries carry the per-family value mirrors)",
         tags=("geo", "scalar"),
+    ),
+    Query(
+        "crs_standardize_datum",
+        _crs_standardize_datum_query,
+        _CRS_STANDARDIZE_DATUM_SQL,
+        doc="per-row DATUM-SHIFTED standardization: OSGB 27700 + Irish "
+            "29902 through one Arrow kernel (numpy twins of the "
+            "unproject+Helmert+Bowring column forms, per-code masks) "
+            "unioned with the JVM CASE path for datum-free rows; "
+            "round-trip-gated vs source coordinates",
+        tags=("geo", "scalar", "arrow"),
     ),
     Query(
         "raster_contour",

@@ -723,3 +723,104 @@ def test_standardize_mixed_registry_grids(spark):
     )
     with pytest.raises(Exception, match="unsupported src EPSG"):
         crs.standardize_crs(bad).collect()
+
+
+def test_irish_grid_invariants_and_roundtrip(spark):
+    """EPSG:29902 (TM65 / Irish Grid, Airy Modified + inverted EPSG-1641
+    Helmert): on the 8°W central meridian (TM65 geodetic) easting is FE
+    exactly and northing is FN + k0·(M(φ)−M(φ0)) via the numpy
+    meridian-arc twin; an Ireland-wide WGS-84 grid round-trips through
+    the registry dispatch (datum leg both ways) to the near-inverse's
+    1e-7°."""
+    P = crs.IRISH_GRID
+    df = spark.createDataFrame(
+        [(-8.0, 52.0), (-8.0, 55.0)], "lon double, lat double"
+    )
+    x, y = P.project(F.col("lon"), F.col("lat"))  # projection-only legs
+    for r in df.select("lat", x.alias("x"), y.alias("y")).collect():
+        assert abs(r.x - 200_000.0) < 1e-6
+        want_n = 250_000.0 + 1.000035 * (
+            P._meridian_arc_py(math.radians(r.lat)) - P.m0_arc
+        )
+        assert abs(r.y - want_n) < 1e-6
+    # createDataFrame (not spark.range+arithmetic): fusing the range
+    # lineage into the double TM+Helmert chain plus the max() agg in one
+    # codegen stage trips a Spark generated-nested-class access bug
+    grid = spark.createDataFrame(
+        [
+            (i, -10.2 + (i % 10) * 0.5, 51.6 + (i // 10) * 0.4)
+            for i in range(100)
+        ],
+        "id long, lon double, lat double",
+    )
+    xy = crs.reproject_pixels(grid, 4326, 29902)
+    back = crs.reproject_pixels(xy, 29902, 4326)
+    worst = back.join(
+        grid.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+    ).selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    assert worst.dlon < 1e-7 and worst.dlat < 1e-7
+
+
+def test_standardize_crs_datum_mixed_estate(spark):
+    """standardize_crs_datum: one call standardizes an estate mixing
+    datum-shifted rows (OSGB 27700 AND Irish 29902 — two codes through
+    the single Arrow kernel, masked per code) with datum-free rows
+    (NZTM via the JVM CASE) and passthrough 4326 — every row lands back
+    on its source coordinates and is restamped."""
+    src = spark.createDataFrame(
+        [
+            (1, -3.1883, 55.9533, 27700),   # Edinburgh
+            (2, 0.1276, 51.5072, 27700),    # London
+            (3, -6.2603, 53.3498, 29902),   # Dublin
+            (4, -9.05, 53.27, 29902),       # Galway
+            (5, 173.5, -41.0, 2193),        # NZ (datum-free JVM path)
+            (6, 10.0, 20.0, 4326),          # passthrough
+        ],
+        "id long, lon double, lat double, src_epsg int",
+    )
+    parts = [src.filter("src_epsg = 4326")]
+    for epsg in (27700, 29902, 2193):
+        parts.append(
+            crs.reproject_pixels(src.filter(F.col("src_epsg") == epsg), 4326, epsg)
+        )
+    # the repartition is a codegen barrier for the FIXTURE's pathology
+    # (forward Helmert+TM chains as in-plan expressions fused with the
+    # standardize CASE overflow one Janino method); a real estate scans
+    # coordinates from storage and needs no barrier
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.unionByName(p)
+    rows = {r.id: r for r in crs.standardize_crs_datum(mixed.repartition(4)).collect()}
+    for w in src.collect():
+        got = rows[w.id]
+        assert abs(got.lon - w.lon) < 1e-6, (w.id, got.lon, w.lon)
+        assert abs(got.lat - w.lat) < 1e-6, (w.id, got.lat, w.lat)
+        assert got.src_epsg == 4326
+    # unknown codes still die loudly (datum-free path's raise_error)
+    bad = spark.createDataFrame(
+        [(9, 1.0, 2.0, 5514)], "id long, lon double, lat double, src_epsg int"
+    )
+    with pytest.raises(Exception, match="unsupported src EPSG"):
+        crs.standardize_crs_datum(bad).collect()
+    with pytest.raises(ValueError, match="4326 only"):
+        crs.standardize_crs_datum(src, dst_epsg=3857)
+
+
+def test_standardize_crs_datum_kernel_matches_jvm_chain(spark):
+    """The Arrow kernel's numpy math is a term-for-term twin of the JVM
+    column chain: for identical OSGB easting/northing rows, kernel output
+    equals reproject_pixels(27700→4326) to float64 round-off."""
+    xy = spark.createDataFrame(
+        [(1, 325897.0, 674001.0, 27700), (2, 531000.0, 180000.0, 27700)],
+        "id long, lon double, lat double, src_epsg int",
+    )
+    via_kernel = {r.id: r for r in crs.standardize_crs_datum(xy).collect()}
+    via_jvm = {
+        r.id: r
+        for r in crs.reproject_pixels(xy.drop("src_epsg"), 27700, 4326).collect()
+    }
+    for i in (1, 2):
+        assert abs(via_kernel[i].lon - via_jvm[i].lon) < 1e-12
+        assert abs(via_kernel[i].lat - via_jvm[i].lat) < 1e-12
