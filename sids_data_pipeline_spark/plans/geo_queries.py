@@ -20,6 +20,8 @@ containment).
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2271,6 +2273,108 @@ ORDER BY id
 """
 
 
+_E2E_RASTERS = ("rast_gradient", "rast_checker")
+_E2E_MAX_ZOOM = 4
+
+
+def _pipeline_end_to_end_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED Entry-1 lifecycle under the driver gate (reference
+    ``pipeline/processing/__main__.py:19-26``): run_pipeline over the
+    2-pair fixture estate (zones_grid × two rasters), then read the
+    actual artifacts back — per-zone means parsed from the written
+    ``export.geojsonl``, tile counts from the written tiles parquet —
+    and pin P6 idempotency IN the gate: the first run reports
+    pending=2, an immediate second run pending=0 (ledger + marker
+    skip). The collects are the 8-feature fixture readback (the job
+    itself is one distributed zonal+sink pass; see
+    tests/test_pipeline_job.py for the operational-scale claims); the
+    temp estate is deleted after readback, which is why the result is
+    re-materialized rather than returned lazily over the files."""
+    import shutil
+    import tempfile
+
+    from sids_data_pipeline_spark.jobs.pipeline import run_pipeline
+
+    out_dir = tempfile.mkdtemp(prefix="sdp_pipeline_e2e_")
+    rows = []
+    try:
+        res1 = run_pipeline(
+            spark, ["zones_grid"], list(_E2E_RASTERS), out_dir,
+            stats=("mean",), max_zoom=_E2E_MAX_ZOOM,
+        )
+        res2 = run_pipeline(
+            spark, ["zones_grid"], list(_E2E_RASTERS), out_dir,
+            stats=("mean",), max_zoom=_E2E_MAX_ZOOM,
+        )
+        for rid in _E2E_RASTERS:
+            pair = f"zones_grid_{rid}"
+            feats = (
+                spark.read.text(os.path.join(out_dir, pair, "export.geojsonl"))
+                .select(
+                    F.get_json_object("value", "$.properties.fid")
+                    .cast("bigint").alias("fid"),
+                    F.get_json_object("value", "$.properties.mean")
+                    .cast("double").alias("mean"),
+                )
+                .collect()
+            )
+            n_tiles = (
+                spark.read.parquet(os.path.join(out_dir, pair, "tiles"))
+                .select("z", "x", "y").distinct().count()
+            )
+            rows.extend(
+                (pair, r.fid, r.mean, n_tiles, res1["pending"], res2["pending"])
+                for r in feats
+            )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "pair_key string, fid bigint, mean double, n_tiles bigint, "
+        "first_run_pending bigint, second_run_pending bigint",
+    ).orderBy("pair_key", "fid")
+
+
+def _pipeline_end_to_end_sql() -> str:
+    """Oracle: zonal means from the same ray-cast containment the zonal
+    entries use (o_contains over the zone WKB), tile counts from the
+    tile-assignment math CTE (no density drops: 4 features < the 64
+    cap), and the P6 pins as literals (first run must process exactly
+    the 2 pairs, the second exactly 0)."""
+    zones = FIXTURE_BUILDERS["zones_grid"]()
+    _, values = _zone_bbox_values(("zones_grid",))
+    n = GRID_N
+    ctes, arms = [], []
+    for rid in _E2E_RASTERS:
+        ctes.append(
+            f"""px_{rid} AS (
+  SELECT (i % {n} + 0.5) * 0.1 AS lon, (i // {n} + 0.5) * 0.1 AS lat,
+         {_VAL_SQL[rid]} AS val
+  FROM (SELECT unnest(range({n * n})) AS i) t
+)"""
+        )
+        for fid, _name, wkb in zones:
+            c = o_contains(wkb)
+            arms.append(
+                f"SELECT 'zones_grid_{rid}' AS pair_key, "
+                f"CAST({fid} AS BIGINT) AS fid, "
+                f"AVG(CASE WHEN {c} THEN val END) AS mean FROM px_{rid}"
+            )
+    body = "\nUNION ALL\n".join(arms)
+    return (
+        f"WITH f(fid, xmin, ymin, xmax, ymax) AS (VALUES {values}),\n"
+        + _TILE_MATH_SQL.format(maxz=_E2E_MAX_ZOOM)
+        + ",\ntc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tiles FROM "
+        "(SELECT DISTINCT z, x, y FROM assigned)),\n"
+        + ",\n".join(ctes)
+        + f",\nm AS (\n{body}\n)\n"
+        "SELECT m.pair_key, m.fid, m.mean, tc.n_tiles, "
+        "CAST(2 AS BIGINT) AS first_run_pending, "
+        "CAST(0 AS BIGINT) AS second_run_pending "
+        "FROM m, tc ORDER BY pair_key, fid"
+    )
+
+
 def _crs_standardize_datum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row dispatch for DATUM-SHIFTED grids (the r9 refusal made a
     real path): 1000 points across OSGB 27700 and Irish 29902 (both
@@ -3383,6 +3487,16 @@ QUERIES: list[Query] = [
             "CASE, round-trip-gated vs source coordinates (the sibling "
             "crs_reproject_* entries carry the per-family value mirrors)",
         tags=("geo", "scalar"),
+    ),
+    Query(
+        "pipeline_end_to_end",
+        _pipeline_end_to_end_query,
+        _pipeline_end_to_end_sql(),
+        doc="composed Entry-1 lifecycle (X1): run_pipeline over the "
+            "2-pair estate, artifacts read back from disk (geojsonl "
+            "means + tiles parquet counts), P6 idempotency pinned "
+            "in-gate (second run pending=0)",
+        tags=("geo", "pipeline", "sink"),
     ),
     Query(
         "crs_standardize_datum",
