@@ -6,21 +6,39 @@ curator needs CLUSTERS — "these 7 documents are all the same article,
 keep one." Pairs → clusters is connected components, the engine's
 iterative-algorithm surface.
 
-Algorithm: Pregel-style min-label propagation. Every node starts
-labeled with its own id; each round, every node takes the min of its
-own label and its neighbors' labels; fixpoint is reached in
-O(component diameter) rounds, and the final label of each node is the
-minimum node id in its component (the canonical representative —
-consistent with exact_dedup's keep-lowest-id rule).
+Algorithm: HYBRID. A few rounds of Pregel-style min-label propagation
+first — each round one edge join + one min-groupBy, the cheapest
+per-round plan, and dense near-dup clusters (this operator's actual
+workload: diameters of 2-4) converge inside the budget. Graphs that
+don't converge switch to alternating LARGE-STAR / SMALL-STAR (Kiveris
+et al. 2014, "Connected Components in MapReduce and Beyond"): each
+round rewires the edge set toward rooted stars — large-star links
+every strictly-larger neighbor of a node to the minimum of its
+neighborhood, small-star links every smaller neighbor (and the node
+itself) to that minimum. Fixpoint — the edge set stops changing — is
+a forest of stars whose root is the minimum node id of each component
+(the canonical representative, consistent with exact_dedup's
+keep-lowest-id rule). The star phase converges in O(log² n) rounds
+worst-case (~log n practical) versus O(component diameter) for pure
+propagation: a 100k-node chain finishes in ~15 star rounds instead of
+100k — the propagation-only r9 implementation could not complete it
+at any max_iter a user would wait for. The star phase is seeded with
+the propagated label links, so the propagation rounds also accelerate
+deep graphs instead of being discarded.
 
-Scale shape per round: one symmetric edge join (shuffle on node id) +
-one min-groupBy. The driver loop only counts changed labels
-(convergence probe, a scalar per round) — the data never leaves the
-cluster. Lineage is truncated every round with ``localCheckpoint``:
-without it the plan doubles per iteration and the job dies on plan
-explosion long before data size matters. (On a real cluster prefer
-``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-executor-loss resilience; local mode has no such loss model.)
+Scale shape: propagation rounds are one shuffle join + one combined
+min-agg; star rounds are two groupBy-min + equi-join passes over
+CANONICAL (u > v) edges — on that orientation each phase is a single
+emission per edge with no symmetric-union doubling — plus a
+count-gated set-difference convergence probe that runs at most once
+before the final round. Edge count never grows (each round emits ≤
+one edge per input edge + one per node, deduplicated). The data never
+leaves the cluster. Lineage is truncated every round with
+``localCheckpoint``: without it the plan doubles per iteration and
+the job dies on plan explosion long before data size matters. (On a
+real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
+``checkpoint()`` for executor-loss resilience; local mode has no such
+loss model.)
 
 No reference counterpart (the reference has no graph surface); the SQL
 oracle is a DuckDB recursive CTE computing min reachable id, so even
@@ -33,6 +51,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canon_edges(df: DataFrame) -> DataFrame:
+    """Canonical undirected form (u = greater endpoint, v = smaller),
+    self-loops dropped, deduplicated — the orientation both star
+    phases operate on (they preserve it, so this runs once)."""
+    return (
+        df.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+# label-propagation rounds before switching to star alternation: dense
+# near-dup clusters (the operator's actual workload) converge within a
+# few rounds of the cheaper propagation (2-3 shuffles/round vs ~5); the
+# switch only happens for genuinely deep graphs, where propagation
+# would need O(diameter) rounds and the stars need O(log²)
+PROPAGATE_ROUNDS = 4
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "id1",
@@ -42,9 +79,17 @@ def connected_components(
     """Label each node of the undirected edge set with the minimum node
     id reachable from it. Output: (node, component).
 
-    ``max_iter`` bounds the rounds (components converge in O(diameter);
-    50 covers any realistic dedup graph — a chain of 2^50 near-identical
-    documents does not exist). Raises if the bound is hit without
+    Hybrid (see module docstring): up to ``PROPAGATE_ROUNDS`` of
+    min-label propagation — the cheap per-round plan that finishes
+    shallow dedup graphs outright — then, if not converged, alternating
+    large-star/small-star over the original edges PLUS the propagated
+    label links (each node enters the star phase already shortcut
+    toward its best-known minimum, so the propagation rounds are never
+    wasted). Each star round is two groupBy-min rewires; the fixpoint
+    edge set is a star forest (node → component-min) read off directly
+    as the labeling. ``max_iter`` bounds the total rounds (the star
+    phase is O(log² n) worst case — 50 covers graphs astronomically
+    past any dedup corpus). Raises if the bound is hit without
     convergence rather than returning a partial labeling.
     """
     sym = edges.select(
@@ -59,8 +104,9 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        # neighbor labels flow along (symmetrized) edges; keep own label too
+    rounds_left = max_iter
+    for _ in range(min(PROPAGATE_ROUNDS, max_iter)):
+        rounds_left -= 1
         msgs = sym.join(
             labels, sym["src"] == labels["node"], "inner"
         ).select(F.col("dst").alias("node"), "label")
@@ -80,8 +126,66 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds"
+
+    # not converged in the propagation budget: the graph is deep —
+    # switch to the stars, seeded with the label shortcuts
+    e = _canon_edges(
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
+            labels.select(F.col("node").alias("u"), F.col("label").alias("v"))
+        )
+    ).localCheckpoint()
+    e_cnt = e.count()
+    converged = False
+    for _ in range(rounds_left):
+        # LARGE-STAR: per node x, m(x) = min(N(x) ∪ {x}); every
+        # strictly-larger neighbor of x re-links to m(x). On canonical
+        # edges this is ONE emission per edge — (u,v) with u > v makes
+        # u a larger neighbor of v, so the round's whole output is
+        # {(u, m(v))}, where m(v) = min(smaller neighbors of v ∪ {v})
+        # comes from one groupBy (larger neighbors can never be the
+        # min). No symmetric union, and the output is canonical by
+        # construction (m(v) ≤ v < u) with no self-loops possible.
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        large = e.join(
+            mins.withColumnsRenamed({"u": "v", "m": "mv"}), "v", "left"
+        ).select("u", F.coalesce("mv", "v").alias("v"))
+        # SMALL-STAR: per node u over its smaller neighbors (exactly
+        # the canonical orientation), m = min(N⁻(u) ∪ {u}); each
+        # smaller neighbor AND u itself re-link to m. Emissions are
+        # again canonical (m ≤ v < u); only the v = m self-loop needs
+        # dropping.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged ⟺ the round was a no-op on the (distinct) edge set.
+        # Counts carry across rounds (one scan over the fresh checkpoint
+        # per round); the set-difference probe only runs when counts
+        # match, i.e. at most once before the final round.
+        small_cnt = small.count()
+        if (
+            small_cnt == e_cnt
+            and small.exceptAll(e).limit(1).count() == 0
+        ):
+            e = small
+            converged = True
+            break
+        e, e_cnt = small, small_cnt
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # fixpoint is a star forest: every non-root has exactly one edge
+    # (node, root); roots label themselves
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
     )
 
 

@@ -158,6 +158,22 @@ def main() -> None:
                 "sec": round(sec, 3),
                 "ns_per_edge": round(sec / n * 1e9, 1),
             }
+        # Deep graph: one 100k-node chain (diameter = edge count). Pure
+        # label propagation needs 100k rounds here (unrunnable — the r9
+        # implementation raised at max_iter); the star phase finishes in
+        # O(log²) rounds. This row pins the cliff stays removed.
+        n = 100_000
+        chain = spark.range(0, n, 1, 32).select(
+            F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+        )
+        sec = _steady(
+            lambda: graph.connected_components(chain, max_iter=60).count(),
+            reps=2,
+        )
+        comp[f"{n:,}-edge single chain (diameter {n:,})"] = {
+            "sec": round(sec, 3),
+            "ns_per_edge": round(sec / n * 1e9, 1),
+        }
         out["connected_components"] = comp
 
         # --- conversion funnel: growing event counts, 64 events/user ---------
