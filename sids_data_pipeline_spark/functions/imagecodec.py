@@ -322,6 +322,79 @@ def bmp_dims(data: bytes) -> tuple[int, int]:
     raise ValueError(f"bmp: unknown DIB header size {dib}")
 
 
+def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode an uncompressed (BI_RGB) 8/24/32-bit BMP to
+    (array (h, w, c) uint8, meta). Rows are 4-byte padded and stored
+    bottom-up unless height is negative (top-down); 24/32-bit pixels
+    are BGR(A) on disk and returned as RGB(A). Compressed variants
+    (RLE, bitfields) refuse loudly with the capability named — same
+    contract as the PNG decoder."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("bmp: bad magic or truncated header")
+    data_offset = struct.unpack_from("<I", data, 10)[0]
+    dib = struct.unpack_from("<I", data, 14)[0]
+    if dib not in (40, 52, 56, 64, 108, 124):
+        raise ValueError(f"bmp: unsupported DIB header size {dib} for pixel decode")
+    w, h_raw, _planes, bpp, compression = struct.unpack_from("<iihHI", data, 18)
+    if compression != 0:
+        raise ValueError(
+            f"bmp: only BI_RGB (uncompressed) supported, got compression={compression}"
+        )
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"bmp: only 8/24/32-bit supported, got {bpp}")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("bmp: non-positive dimensions")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    channels = bpp // 8
+    stride = (w * channels + 3) & ~3  # rows pad to 4 bytes
+    need = data_offset + stride * h
+    if len(data) < need:
+        raise ValueError(f"bmp: pixel data truncated ({len(data)} < {need})")
+    buf = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=data_offset)
+    rows = buf.reshape(h, stride)[:, : w * channels].reshape(h, w, channels)
+    if not top_down:
+        rows = rows[::-1]
+    if channels >= 3:  # BGR(A) -> RGB(A)
+        rows = rows[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
+    return np.ascontiguousarray(rows), {
+        "width": w, "height": h, "channels": channels,
+    }
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Minimal BI_RGB BMP writer for (h, w) 8-bit gray (with the
+    required 256-entry palette) or (h, w, 3/4) RGB(A) arrays — fixture
+    generator for the BMP decode path (and a usable sink)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, channels = a.shape
+    if channels not in (1, 3, 4):
+        raise ValueError(f"bmp_encode: 1/3/4 channels only, got {channels}")
+    bpp = channels * 8
+    stride = (w * channels + 3) & ~3
+    palette = b""
+    if channels == 1:  # 8-bit needs a palette: identity grayscale
+        palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    px = a[::-1]  # bottom-up
+    if channels >= 3:  # RGB(A) -> BGR(A)
+        px = px[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
+    body = bytearray()
+    pad = bytes(stride - w * channels)
+    for y in range(h):
+        body += px[y].tobytes() + pad
+    data_offset = 14 + 40 + len(palette)
+    dib = struct.pack(
+        "<IiihHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835,
+        256 if channels == 1 else 0, 0,
+    )
+    header = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(body), 0, 0, data_offset
+    )
+    return header + dib + palette + bytes(body)
+
+
 def wav_info(data: bytes) -> dict:
     """RIFF/WAVE chunk walk → channels, sample_rate, bits_per_sample,
     n_samples (sample frames), duration_ms."""
@@ -350,6 +423,35 @@ def wav_info(data: bytes) -> dict:
         "n_samples": n_samples,
         "duration_ms": n_samples * 1000 // sample_rate,
     }
+
+
+def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode PCM16 WAV samples to (array (n_samples, channels) int16,
+    info dict from :func:`wav_info`). Non-PCM or non-16-bit formats
+    refuse loudly with the capability named."""
+    info = wav_info(data)
+    if info["bits_per_sample"] != 16:
+        raise ValueError(
+            f"wav: only 16-bit PCM decode supported, got {info['bits_per_sample']}-bit"
+        )
+    pos = 12
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        if cid == b"fmt ":
+            audio_fmt = struct.unpack_from("<H", data, pos + 8)[0]
+            if audio_fmt != 1:
+                raise ValueError(
+                    f"wav: only PCM (format 1) decode supported, got format {audio_fmt}"
+                )
+        if cid == b"data":
+            body = data[pos + 8 : pos + 8 + clen]
+            if len(body) < clen:
+                raise ValueError("wav: data chunk truncated")
+            n = info["n_samples"] * info["channels"]
+            arr = np.frombuffer(body, dtype="<i2", count=n)
+            return arr.reshape(info["n_samples"], info["channels"]), info
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("wav: missing data chunk")
 
 
 def wav_encode(

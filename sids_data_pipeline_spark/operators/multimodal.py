@@ -113,6 +113,87 @@ def synth_png_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
     )
 
 
+def synth_wav_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+    """Deterministic WAV asset fixture: every ``modulus``-th document
+    becomes a real PCM16 WAV whose shape and samples are closed-form
+    functions of doc_id — n_samples = doc_id % 50 + 10, channels =
+    doc_id % 2 + 1, rate 8000, sample(i, c) = (31·doc_id + 7i + 13c)
+    mod 65536 − 32768 — so the DuckDB oracle can verify the decoded
+    sample SUM, not just the header (plans/ext_queries.py
+    `multimodal_decode_wav`)."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, ch = did % 50 + 10, did % 2 + 1
+                i = np.arange(n)[:, None]
+                c = np.arange(ch)[None, :]
+                samples = ((did * 31 + 7 * i + 13 * c) % 65536 - 32768).astype(
+                    np.int16
+                )
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "audio",
+                        "payload": icodec.wav_encode(samples, sample_rate=8000),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "payload"]
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % modulus == 0)
+        .select("doc_id")
+        .mapInPandas(synth, "asset_id long, modality string, payload binary")
+    )
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """Full audio decode: WAV payload → (sample_rate, channels,
+    n_samples, duration_ms, sample_sum) where sample_sum is the sum of
+    every decoded PCM16 sample — the content-level proof the byte
+    layout (interleaving, padding, endianness) was reconstructed, not
+    just the header. Non-WAV payloads refuse loudly."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(p)
+                if icodec.sniff(data) != "wav":
+                    raise ValueError(
+                        f"decode_audio: asset {aid}: payload is not a RIFF/WAVE"
+                    )
+                arr, info = icodec.wav_decode(data)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "sample_rate": info["sample_rate"],
+                        "channels": info["channels"],
+                        "n_samples": info["n_samples"],
+                        "duration_ms": info["duration_ms"],
+                        "sample_sum": int(arr.astype("int64").sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "sample_sum",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        decode,
+        "asset_id long, sample_rate int, channels int, n_samples long, "
+        "duration_ms long, sample_sum long",
+    )
+
+
 def _decode_payload(payload: bytes, modality: str) -> dict:
     """Decode one payload into the FEATURES envelope.
 
@@ -195,11 +276,12 @@ def decode_images(assets: DataFrame) -> DataFrame:
     value-level proof that unfiltering reconstructed the exact pixels
     (a header parse can fake dims; it cannot fake the sum).
 
-    PNG payloads decode fully; other recognized image formats would need
-    their own pixel decoders and are refused loudly (ValueError naming
-    the format) rather than silently header-parsed — this operator's
-    contract is PIXELS. Unrecognized payloads are refused too: route
-    those through :func:`extract_features`.
+    PNG and uncompressed BMP payloads decode fully; other recognized
+    image formats would need their own pixel decoders and are refused
+    loudly (ValueError naming the format) rather than silently
+    header-parsed — this operator's contract is PIXELS. Unrecognized
+    payloads are refused too: route those through
+    :func:`extract_features`.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -208,17 +290,20 @@ def decode_images(assets: DataFrame) -> DataFrame:
             for aid, p in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(p)
                 fmt = icodec.sniff(data)
-                if fmt != "png":
+                if fmt == "png":
+                    arr, meta = icodec.png_decode(data)
+                elif fmt == "bmp":
+                    arr, meta = icodec.bmp_decode(data)
+                else:
                     raise ValueError(
                         f"decode_images: asset {aid}: pixel decode only "
-                        f"implemented for png, got {fmt!r} — use "
+                        f"implemented for png/bmp, got {fmt!r} — use "
                         "extract_features for header-level metadata"
                     )
-                arr, meta = icodec.png_decode(data)
                 rows.append(
                     {
                         "asset_id": int(aid),
-                        "format": "png",
+                        "format": fmt,
                         "width": meta["width"],
                         "height": meta["height"],
                         "channels": meta["channels"],

@@ -139,88 +139,113 @@ from sids_data_pipeline_spark.plans.base import Query
 # sql_shipping_priority, events_session's siblings, similarity_topk and
 # multimodal_features additionally run — and are timed — in every
 # bench.py round.
+# Round-10 rotation (eighth): four NEW entries claim first driver rows
+# (multimodal_decode_png + multimodal_resize_png — the real PNG codec
+# gates; crs_standardize_datum — the Arrow datum kernel;
+# pipeline_end_to_end — the composed Entry-1 lifecycle). Re-rows for
+# every entry whose OPERATOR file changed since its standing row:
+# sources/shapefile.py + streaming/jobs.py changed AFTER the r9 window
+# ran (commit 62c462a, the sidecar-race fix) → vector_shapefile_ingest
+# + streaming_vector_ingest re-row; operators/similarity.py (topk
+# collect cap) → similarity_topk, dedup_semantic, similarity_ann_gate,
+# embedding_pca_gate; operators/multimodal.py (real codecs) →
+# multimodal_meta/features/frames; functions/crs.py (datum kernel +
+# Irish grid registration) → the whole crs_reproject_* family,
+# crs_standardize_mixed, geo_dwithin_join (dwithin_join lives in
+# crs.py) and vector_reproject_zones (vertex pipeline calls crs
+# forms); operators/graph.py (hybrid CC) → dedup_clusters,
+# graph_pagerank, graph_triangles. Displaced r9-green names, each with
+# its operator file UNCHANGED this round (rows stand) and an in-window
+# family sibling: geo_zone_centroid + geo_zone_area_sphere (geo.py
+# unchanged; geo_dwithin_join keeps F6 in-window), geo_validity_report
+# + vector_clip_extent (geometry_quality.py/vector_clip.py unchanged),
+# raster_polygonize + raster_contour (their operators unchanged; the
+# GDAL belt keeps slope_aspect/sieve/pyramid_estate/mosaic in-window),
+# dedup_incremental (dedup.py unchanged; minhash_lsh + streaming LSH
+# in-window), corpus_lm_cross + corpus_quality_classifier (text.py
+# unchanged; corpus_lm_score + text_gopher_rules keep E5),
+# raster_lzw_ingest + raster_bigtiff_ingest + raster_warp_bilinear +
+# raster_hillshade (geotiff.py/terrain.py unchanged;
+# raster_geotiff_ingest + source_geotiff_datasource +
+# raster_slope_aspect keep the raster families).
 PRIORITY: tuple[str, ...] = (
-    # — round-9 new queries / changed gates: need fresh hard rows —
+    # — round-10 new queries: first-time driver rows —
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_resize_png",
+    "crs_standardize_datum",
+    "pipeline_end_to_end",
+    # — changed since their r9 rows ran (62c462a sidecar-race fix) —
     "vector_shapefile_ingest",
     "streaming_vector_ingest",
-    "crs_reproject_tm",
-    "vector_reproject_zones",
-    "geo_validity_report",
-    "vector_clip_extent",
-    "raster_polygonize",
-    "raster_contour",
-    "crs_reproject_polar",
-    "geo_dwithin_join",
-    # — the round-8 queue: first-time driver rows —
-    "raster_slope_aspect",
-    "geo_zone_centroid",
-    "geo_zone_area_sphere",
-    "window_distribution",
-    "join_full_outer",
+    # — similarity.py changed (topk cap): E3 family re-rows —
+    "similarity_topk",
+    "dedup_semantic",
+    "similarity_ann_gate",
     "embedding_pca_gate",
-    "raster_pyramid_estate",
-    "raster_sieve_fill",
-    "dedup_incremental",
-    "streaming_dedup_lsh",
-    "corpus_lm_cross",
-    # — crs.py changed this round: the projection family re-rows —
+    # — multimodal.py changed (real codecs): E4 family re-rows —
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_frames",
+    # — crs.py changed (datum kernel + 29902): projection family re-rows —
     "crs_reproject",
     "crs_reproject_utm",
     "crs_reproject_lcc",
     "crs_reproject_albers",
     "crs_reproject_sinu",
+    "crs_reproject_tm",
+    "crs_reproject_polar",
     "crs_standardize_mixed",
-    # — text.py changed this round (lm guard): LM family re-rows —
-    "corpus_lm_score",
+    "geo_dwithin_join",
+    "vector_reproject_zones",
+    # — graph.py changed (hybrid CC): graph family re-rows —
+    "dedup_clusters",
+    "graph_pagerank",
+    "graph_triangles",
     # — family representatives (files unchanged; keep families in-window) —
     "raster_geotiff_ingest",
     "source_geotiff_datasource",
-    "raster_lzw_ingest",
-    "raster_bigtiff_ingest",
-    "raster_warp_bilinear",
-    "raster_hillshade",
+    "raster_slope_aspect",
+    "raster_sieve_fill",
+    "raster_pyramid_estate",
     "raster_mosaic",
-    # raster_proximity displaced by vector_reproject_zones (terrain.py
-    # unchanged this round; its r8 row stands and the terrain family
-    # keeps slope_aspect/sieve/pyramid_estate/hillshade in-window)
     "zonal_polygons",
     "tiles_encode_rings",
     "manifest_pending",
     "dedup_minhash_lsh",
-    # dedup_exact displaced by streaming_vector_ingest (dedup.py's
-    # round-9 diff is docstring-only, the r8 row stands, benchgate times
-    # dedup_exact on every hot-path commit, and dedup_minhash_lsh keeps
-    # E1/E2 in-window)
-    "dedup_clusters",
-    "dedup_semantic",
-    "similarity_ann_gate",
+    "dedup_exact",
     "corpus_curation",
     "text_gopher_rules",
-    "corpus_quality_classifier",
-    # corpus_pack_sequences displaced by raster_mosaic (sampling.py
-    # unchanged since its r8-green row; sink_tokenbin_roundtrip keeps
-    # the training-layout family in-window)
-    "sink_tokenbin_roundtrip",
-    # streaming_raster_ingest displaced by crs_standardize_mixed (the
-    # streaming module's round-9 diff is docstring-only, its r8 row
-    # stands, and streaming_dedup_lsh keeps the family in-window)
+    "corpus_lm_score",
     "events_session",
-    # join_asof displaced by raster_polygonize (asof.py unchanged since
-    # its r6-green row; join_full_outer keeps the extended-join family
-    # in-window and join_asof_forward/nearest hold r7 rows)
+    "sink_tokenbin_roundtrip",
     "mv_sketch_distinct_gate",
-    # agg_approx_distinct_gate displaced by raster_contour (the HLL gate
-    # shape in relational.py is unchanged since its r8-green row;
-    # mv_sketch_distinct_gate keeps the sketch-gate family in-window)
     "vector_geopackage_ingest",
-    # sink_geojsonl_roundtrip displaced by geo_validity_report
-    # (sinks/geojsonl.py unchanged since its r6-green row, which stands;
-    # tiles_encode_rings keeps the geo-sink family in-window)
-    # text_sentences_udtf displaced by vector_clip_extent (udxf.py is
-    # unchanged since its r5-green row; agg_geomean_udaf keeps the UDXF
-    # family in-window)
     "agg_geomean_udaf",
-    "multimodal_meta",
+    "streaming_dedup_lsh",
+    "join_full_outer",
+    "window_distribution",
+    # sql_shipping_priority displaced by multimodal_decode_wav (its
+    # relational.py shape is unchanged — the r8 tail row stands — and
+    # it runs, and is timed, in every bench.py round)
+    # — end of the 50-slot window —
+    "sql_shipping_priority",
+    # r9 head names displaced this round retained below for provenance
+    # (names past the window keep registration order; their r9 rows
+    # stand because their operator files are unchanged in r10)
+    "geo_validity_report",
+    "vector_clip_extent",
+    "raster_polygonize",
+    "raster_contour",
+    "geo_zone_centroid",
+    "geo_zone_area_sphere",
+    "dedup_incremental",
+    "corpus_lm_cross",
+    "raster_lzw_ingest",
+    "raster_bigtiff_ingest",
+    "raster_warp_bilinear",
+    "raster_hillshade",
+    "corpus_quality_classifier",
     # — pre-round-9 head retained below for provenance (names appended
     #   after the 50-slot window keep their registration order) —
     "sql_customer_distribution",

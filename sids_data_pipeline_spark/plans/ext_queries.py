@@ -2624,6 +2624,35 @@ GROUP BY doc_id, w, h, c
 """
 
 
+def _multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real WAV codec round trip (E4 audio): synthesize deterministic
+    PCM16 WAVs executor-side, decode them back (RIFF chunk walk +
+    interleaved int16 payload) and return shape, duration AND the sum
+    of every decoded sample — the header can't fake the sum."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_audio(multimodal.synth_wav_assets(docs, modulus=7))
+
+
+# synth formula (multimodal.synth_wav_assets): sample(i, c) =
+# (31·doc_id + 7i + 13c) mod 65536 − 32768 over n = doc_id%50+10
+# samples × ch = doc_id%2+1 channels at 8 kHz.
+_MULTIMODAL_DECODE_WAV_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 + 10 AS n, doc_id % 2 + 1 AS ch
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id,
+       8000 AS sample_rate,
+       CAST(ch AS INT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(SUM((doc_id*31 + 7*i.v + 13*c.v) % 65536 - 32768) AS BIGINT) AS sample_sum
+FROM d, range(60) i(v), range(2) c(v)
+WHERE i.v < n AND c.v < ch
+GROUP BY doc_id, n, ch
+"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "eval": 0.1, "test": 0.1}
 
 
@@ -4105,6 +4134,10 @@ QUERIES: list[Query] = [
           doc="E4 REAL PNG codec round trip: executor-side encode (all 5 "
               "scanline filters, zlib, CRC) -> full decode -> pixel sums "
               "vs closed-form oracle",
+          tags=("multimodal", "codec")),
+    Query("multimodal_decode_wav", _multimodal_decode_wav, _MULTIMODAL_DECODE_WAV_SQL,
+          doc="E4 REAL WAV codec round trip: executor-side PCM16 encode "
+              "-> RIFF decode -> sample sums vs closed-form oracle",
           tags=("multimodal", "codec")),
     Query("multimodal_resize_png", _multimodal_resize_png, _MULTIMODAL_RESIZE_PNG_SQL,
           doc="E4 real nearest-neighbor resample: encode -> decode -> "

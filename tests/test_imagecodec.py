@@ -177,3 +177,41 @@ def test_resize_nearest_floor_semantics():
     assert np.array_equal(up[::2, ::2], arr)
     with pytest.raises(ValueError, match="positive"):
         ic.resize_nearest(arr, 0, 5)
+
+
+# ------------------------------------------------------------------- BMP/WAV
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (5, 3, 1), (4, 7, 3), (9, 2, 4)])
+def test_bmp_roundtrip(shape):
+    rng = np.random.default_rng(int(np.prod(shape)) + 1)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec, meta = ic.bmp_decode(ic.bmp_encode(arr))
+    assert np.array_equal(dec, arr)
+    assert (meta["height"], meta["width"], meta["channels"]) == shape
+    # row padding: width 3 at 3 channels = 9 bytes/row -> padded to 12
+    assert ic.sniff(ic.bmp_encode(arr)) == "bmp"
+
+
+def test_bmp_decode_refusals():
+    arr = ic.synth_image(3, 4, 4, 3)
+    enc = bytearray(ic.bmp_encode(arr))
+    enc[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        ic.bmp_decode(bytes(enc))
+    with pytest.raises(ValueError, match="truncated"):
+        ic.bmp_decode(ic.bmp_encode(arr)[:-8])
+
+
+def test_wav_decode_roundtrip_and_refusals():
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=(50, 2)).astype(np.int16)
+    wav = ic.wav_encode(samples, sample_rate=8000)
+    dec, info = ic.wav_decode(wav)
+    assert np.array_equal(dec, samples)
+    assert info["n_samples"] == 50 and info["channels"] == 2
+    # 8-bit fmt refused: patch bits_per_sample in the fmt chunk
+    bad = bytearray(wav)
+    bad[34] = 8
+    with pytest.raises(ValueError, match="16-bit"):
+        ic.wav_decode(bytes(bad))

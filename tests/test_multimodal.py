@@ -1,12 +1,13 @@
-"""E4 multimodal plumbing: binary payload columns through mapInPandas.
+"""E4 multimodal: binary payload columns through mapInPandas.
 
-The decode step is a deterministic stub (no media libs in this
-container — operators/multimodal._decode_payload documents the swap
-point); what these tests prove is the Spark-side plumbing the stub sits
-in: ASSETS-shaped schema, Arrow batch transfer of binary columns, UDF
-signatures, and batch-shape independence (results invariant under
-repartitioning). Also the pattern referenced by sources/raster.py's
-ingest_geotiff stub (binaryFile → mapInPandas decode).
+Two layers under test: the Spark-side plumbing (ASSETS-shaped schema,
+Arrow batch transfer of binary columns, UDF signatures, batch-shape
+independence) and, since r10, the REAL pure-stdlib codecs behind it
+(functions/imagecodec.py): PNG encode→decode round trips with exact
+pixel sums, BMP pixel decode, PCM16 WAV round trips, real
+nearest-neighbor resampling and true scanline frame slicing. Payloads
+with no recognizable magic keep the documented deterministic fallback
+(length-derived pseudo-features), which the first tests pin.
 """
 
 from __future__ import annotations
@@ -180,3 +181,34 @@ def test_frame_sample_png_filmstrip(spark):
 def test_decode_images_refuses_non_png(assets):
     with pytest.raises(Exception, match="extract_features"):
         multimodal.decode_images(assets.limit(3)).collect()
+
+
+def test_decode_audio_roundtrip_matches_formula(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    wavs = multimodal.synth_wav_assets(docs, modulus=7)
+    got = multimodal.decode_audio(wavs).toPandas().set_index("asset_id")
+    assert len(got) > 0
+    for did, row in got.head(20).iterrows():
+        n, ch = did % 50 + 10, did % 2 + 1
+        assert (row["sample_rate"], row["channels"], row["n_samples"]) == (8000, ch, n)
+        assert row["duration_ms"] == n * 1000 // 8000
+        expected = sum(
+            (did * 31 + 7 * i + 13 * c) % 65536 - 32768
+            for i in range(n) for c in range(ch)
+        )
+        assert row["sample_sum"] == expected, did
+
+
+def test_decode_images_bmp_path(spark):
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    arr = ic.synth_image(21, 7, 5, 3)
+    df = spark.createDataFrame(
+        [(4, "image", bytearray(ic.bmp_encode(arr)))],
+        "asset_id long, modality string, payload binary",
+    )
+    row = multimodal.decode_images(df).collect()[0]
+    assert (row["format"], row["width"], row["height"], row["channels"]) == ("bmp", 7, 5, 3)
+    assert row["pixel_sum"] == int(arr.astype("int64").sum())

@@ -76,6 +76,12 @@ AUDITED = [
     "raster_polygonize",
     "raster_contour",
     "crs_standardize_mixed",
+    "crs_standardize_datum",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_resize_png",
+    "pipeline_end_to_end",
+    "dedup_clusters",
     "streaming_vector_ingest",
     "raster_mosaic",
     "sql_promo_revenue",
