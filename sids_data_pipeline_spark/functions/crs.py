@@ -894,37 +894,19 @@ class TransverseMercator:
 
     def _datum_to(self, lon: Column, lat: Column) -> tuple[Column, Column]:
         """WGS-84 geodetic → this datum's geodetic (h = 0)."""
-        tx, ty, tz, rxs, rys, rzs, ds = self.helmert
-        rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
-        s = 1.0 + ds * 1e-6
-        ew2 = WGS84_F * (2.0 - WGS84_F)
-        phi, lam = F.radians(lat), F.radians(lon)
-        sinp = F.sin(phi)
-        nu = F.lit(WGS84_A) / F.sqrt(F.lit(1.0) - F.lit(ew2) * sinp * sinp)
-        xg = nu * F.cos(phi) * F.cos(lam)
-        yg = nu * F.cos(phi) * F.sin(lam)
-        zg = nu * F.lit(1.0 - ew2) * sinp
-        xt = F.lit(tx) + F.lit(s) * (xg - F.lit(rz) * yg + F.lit(ry) * zg)
-        yt = F.lit(ty) + F.lit(s) * (F.lit(rz) * xg + yg - F.lit(rx) * zg)
-        zt = F.lit(tz) + F.lit(s) * (-F.lit(ry) * xg + F.lit(rx) * yg + zg)
-        return self._geocentric_to_geodetic(xt, yt, zt, self.a, self.e2)
+        return _datum_to_cols(self, lon, lat)
 
     def _datum_from(self, lon: Column, lat: Column) -> tuple[Column, Column]:
         """This datum's geodetic → WGS-84 (algebraic near-inverse)."""
-        tx, ty, tz, rxs, rys, rzs, ds = self.helmert
-        rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
-        inv_s = 1.0 / (1.0 + ds * 1e-6)
-        phi, lam = F.radians(lat), F.radians(lon)
-        sinp = F.sin(phi)
-        nu = F.lit(self.a) / F.sqrt(F.lit(1.0) - F.lit(self.e2) * sinp * sinp)
-        xt = nu * F.cos(phi) * F.cos(lam) - F.lit(tx)
-        yt = nu * F.cos(phi) * F.sin(lam) - F.lit(ty)
-        zt = nu * F.lit(1.0 - self.e2) * sinp - F.lit(tz)
-        xg = F.lit(inv_s) * (xt + F.lit(rz) * yt - F.lit(ry) * zt)
-        yg = F.lit(inv_s) * (-F.lit(rz) * xt + yt + F.lit(rx) * zt)
-        zg = F.lit(inv_s) * (F.lit(ry) * xt - F.lit(rx) * yt + zt)
-        ew2 = WGS84_F * (2.0 - WGS84_F)
-        return self._geocentric_to_geodetic(xg, yg, zg, WGS84_A, ew2)
+        return _datum_from_cols(self, lon, lat)
+
+    def inverse_np(self, x, y):
+        """numpy twin of inverse — the Arrow-kernel entry point for
+        :func:`standardize_crs_datum` (shared shape with Krovak)."""
+        lon, lat = _tm_unproject_np(self, x, y)
+        if self.helmert is not None:
+            lon, lat = _datum_from_np(self, lon, lat)
+        return lon, lat
 
     @staticmethod
     def _geocentric_to_geodetic(
@@ -961,6 +943,48 @@ class TransverseMercator:
         if self.helmert is not None:
             lon, lat = self._datum_from(lon, lat)
         return lon, lat
+
+
+# --- shared 7-param Helmert datum legs (column forms) --------------------------
+# Shared by every datum-shifted projection family (TM national grids,
+# Krovak): the projection object supplies (a, e2, helmert); the math is
+# geodetic → geocentric → position-vector Helmert → Bowring.
+
+
+def _datum_to_cols(P, lon: Column, lat: Column) -> tuple[Column, Column]:
+    """WGS-84 geodetic → P's datum geodetic (h = 0)."""
+    tx, ty, tz, rxs, rys, rzs, ds = P.helmert
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
+    s = 1.0 + ds * 1e-6
+    ew2 = WGS84_F * (2.0 - WGS84_F)
+    phi, lam = F.radians(lat), F.radians(lon)
+    sinp = F.sin(phi)
+    nu = F.lit(WGS84_A) / F.sqrt(F.lit(1.0) - F.lit(ew2) * sinp * sinp)
+    xg = nu * F.cos(phi) * F.cos(lam)
+    yg = nu * F.cos(phi) * F.sin(lam)
+    zg = nu * F.lit(1.0 - ew2) * sinp
+    xt = F.lit(tx) + F.lit(s) * (xg - F.lit(rz) * yg + F.lit(ry) * zg)
+    yt = F.lit(ty) + F.lit(s) * (F.lit(rz) * xg + yg - F.lit(rx) * zg)
+    zt = F.lit(tz) + F.lit(s) * (-F.lit(ry) * xg + F.lit(rx) * yg + zg)
+    return TransverseMercator._geocentric_to_geodetic(xt, yt, zt, P.a, P.e2)
+
+
+def _datum_from_cols(P, lon: Column, lat: Column) -> tuple[Column, Column]:
+    """P's datum geodetic → WGS-84 (algebraic near-inverse)."""
+    tx, ty, tz, rxs, rys, rzs, ds = P.helmert
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
+    inv_s = 1.0 / (1.0 + ds * 1e-6)
+    phi, lam = F.radians(lat), F.radians(lon)
+    sinp = F.sin(phi)
+    nu = F.lit(P.a) / F.sqrt(F.lit(1.0) - F.lit(P.e2) * sinp * sinp)
+    xt = nu * F.cos(phi) * F.cos(lam) - F.lit(tx)
+    yt = nu * F.cos(phi) * F.sin(lam) - F.lit(ty)
+    zt = nu * F.lit(1.0 - P.e2) * sinp - F.lit(tz)
+    xg = F.lit(inv_s) * (xt + F.lit(rz) * yt - F.lit(ry) * zt)
+    yg = F.lit(inv_s) * (-F.lit(rz) * xt + yt + F.lit(rx) * zt)
+    zg = F.lit(inv_s) * (F.lit(ry) * xt - F.lit(rx) * yt + zt)
+    ew2 = WGS84_F * (2.0 - WGS84_F)
+    return TransverseMercator._geocentric_to_geodetic(xg, yg, zg, WGS84_A, ew2)
 
 
 AIRY_A = 6377563.396
@@ -1010,11 +1034,222 @@ IRISH_GRID = TransverseMercator(
 )
 TM_PROJECTIONS = {27700: OSGB_NATIONAL_GRID, 2193: NZTM2000, 29902: IRISH_GRID}
 
+
+# --- Krovak oblique conformal conic (EPSG method 9819 / 1041) -----------------
+
+class Krovak:
+    """Krovak oblique conformal conic in the East-North orientation
+    (EPSG method 1041: easting = −westing, northing = −southing, so
+    EPSG:5514 coordinates are negative). Gaussian sphere + oblique cone
+    per EPSG Guidance Note 7-2; constants derive once in Python, the
+    per-row math is pure column expressions like the LCC/polar
+    families. The inverse latitude is CLOSED FORM, not the EPSG
+    fixed-point: ``tan(U/2+π/4) = t0·τ(φ)^B`` with ``τ`` the conformal
+    latitude function, so χ = 2·atan(t0^(−1/B)·tan^(1/B)(U/2+π/4)) −
+    π/2 is the exact conformal latitude and φ follows from the
+    standard χ→φ trigonometric series (Snyder eq. 3-5; error ~e¹⁰).
+    Unrolling the fixed point instead duplicates the whole U-tree
+    2^k times and hangs Catalyst planning — the same hazard the
+    meridian-arc series comment documents for LCC.
+
+    ``wgs84_helmert`` is the WGS84→datum shift in the same convention
+    as :class:`TransverseMercator` (position vector; tx ty tz m,
+    rx ry rz arc-seconds, ds ppm).
+    """
+
+    def __init__(
+        self,
+        a: float,
+        f: float,
+        lat_center: float,
+        lon_origin_greenwich: float,
+        azimuth: float,
+        lat_pseudo: float,
+        k_pseudo: float,
+        wgs84_helmert: tuple[float, ...] | None = None,
+    ):
+        self.a, self.f = a, f
+        e2 = f * (2.0 - f)
+        self.e2 = e2
+        self.e = math.sqrt(e2)
+        phic = math.radians(lat_center)
+        self.lon0 = lon_origin_greenwich
+        self.lam0 = math.radians(lon_origin_greenwich)
+        self.alphac = math.radians(azimuth)
+        phip = math.radians(lat_pseudo)
+        self.A_ = (
+            a * math.sqrt(1.0 - e2) / (1.0 - e2 * math.sin(phic) ** 2)
+        )
+        self.B = math.sqrt(1.0 + e2 * math.cos(phic) ** 4 / (1.0 - e2))
+        self.gamma0 = math.asin(math.sin(phic) / self.B)
+        self.t0 = (
+            math.tan(math.pi / 4.0 + self.gamma0 / 2.0)
+            * ((1.0 + self.e * math.sin(phic)) / (1.0 - self.e * math.sin(phic)))
+            ** (self.e * self.B / 2.0)
+            / math.tan(math.pi / 4.0 + phic / 2.0) ** self.B
+        )
+        self.n = math.sin(phip)
+        self.r0 = k_pseudo * self.A_ / math.tan(phip)
+        # scalar factors reused per row
+        self.tan_p = math.tan(math.pi / 4.0 + phip / 2.0)
+        self.inv_b = 1.0 / self.B
+        self.c_lat = self.t0 ** (-self.inv_b)
+        # conformal→geodetic series coefficients (Snyder eq. 3-5)
+        e4, e6, e8 = e2 * e2, e2**3, e2**4
+        self.d2 = e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0
+        self.d4 = 7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0
+        self.d6 = 7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0
+        self.d8 = 4279.0 * e8 / 161280.0
+        if wgs84_helmert is not None and len(wgs84_helmert) != 7:
+            raise ValueError("wgs84_helmert is (tx, ty, tz, rx″, ry″, rz″, ds_ppm)")
+        self.helmert = wgs84_helmert
+
+    # --- projection-only legs (datum geodetic in/out) ---
+
+    def project(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi = F.radians(lat)
+        esin = F.lit(self.e) * F.sin(phi)
+        u = (
+            F.atan(
+                F.lit(self.t0)
+                * F.pow(F.tan(phi / 2.0 + math.pi / 4.0), F.lit(self.B))
+                / F.pow(
+                    (F.lit(1.0) + esin) / (F.lit(1.0) - esin),
+                    F.lit(self.e * self.B / 2.0),
+                )
+            )
+            - F.lit(math.pi / 4.0)
+        ) * 2.0
+        v = F.lit(self.B) * (F.lit(self.lam0) - F.radians(lon))
+        t = F.asin(
+            F.lit(math.cos(self.alphac)) * F.sin(u)
+            + F.lit(math.sin(self.alphac)) * F.cos(u) * F.cos(v)
+        )
+        d = F.asin(F.cos(u) * F.sin(v) / F.cos(t))
+        theta = F.lit(self.n) * d
+        r = (
+            F.lit(self.r0)
+            * F.lit(self.tan_p**self.n)
+            / F.pow(F.tan(t / 2.0 + math.pi / 4.0), F.lit(self.n))
+        )
+        southing = r * F.cos(theta)
+        westing = r * F.sin(theta)
+        return -westing, -southing  # East-North orientation
+
+    def unproject(self, x: Column, y: Column) -> tuple[Column, Column]:
+        xp = -y  # southing
+        yp = -x  # westing
+        rp = F.sqrt(xp * xp + yp * yp)
+        thetap = F.atan2(yp, xp)
+        dp = thetap / F.lit(self.n)
+        tp = (
+            F.atan(
+                F.pow(F.lit(self.r0) / rp, F.lit(1.0 / self.n)) * F.lit(self.tan_p)
+            )
+            - F.lit(math.pi / 4.0)
+        ) * 2.0
+        up = F.asin(
+            F.lit(math.cos(self.alphac)) * F.sin(tp)
+            - F.lit(math.sin(self.alphac)) * F.cos(tp) * F.cos(dp)
+        )
+        vp = F.asin(F.cos(tp) * F.sin(dp) / F.cos(up))
+        lon = F.degrees(F.lit(self.lam0) - vp / F.lit(self.B))
+        chi = (
+            F.atan(
+                F.lit(self.c_lat)
+                * F.pow(F.tan(up / 2.0 + math.pi / 4.0), F.lit(self.inv_b))
+            )
+            - F.lit(math.pi / 4.0)
+        ) * 2.0
+        phi = (
+            chi
+            + F.lit(self.d2) * F.sin(chi * 2.0)
+            + F.lit(self.d4) * F.sin(chi * 4.0)
+            + F.lit(self.d6) * F.sin(chi * 6.0)
+            + F.lit(self.d8) * F.sin(chi * 8.0)
+        )
+        return lon, F.degrees(phi)
+
+    # --- registry entry points (WGS-84 in/out) ---
+
+    def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        if self.helmert is not None:
+            lon, lat = _datum_to_cols(self, lon, lat)
+        return self.project(lon, lat)
+
+    def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
+        lon, lat = self.unproject(x, y)
+        if self.helmert is not None:
+            lon, lat = _datum_from_cols(self, lon, lat)
+        return lon, lat
+
+    def unproject_np(self, x, y):
+        """numpy twin of unproject (same constants, same unroll)."""
+        import numpy as np
+
+        xp, yp = -y, -x
+        rp = np.hypot(xp, yp)
+        thetap = np.arctan2(yp, xp)
+        dp = thetap / self.n
+        tp = 2.0 * (
+            np.arctan((self.r0 / rp) ** (1.0 / self.n) * self.tan_p)
+            - math.pi / 4.0
+        )
+        up = np.arcsin(
+            math.cos(self.alphac) * np.sin(tp)
+            - math.sin(self.alphac) * np.cos(tp) * np.cos(dp)
+        )
+        vp = np.arcsin(np.cos(tp) * np.sin(dp) / np.cos(up))
+        lon = np.degrees(self.lam0 - vp / self.B)
+        chi = 2.0 * (
+            np.arctan(self.c_lat * np.tan(up / 2.0 + math.pi / 4.0) ** self.inv_b)
+            - math.pi / 4.0
+        )
+        phi = (
+            chi
+            + self.d2 * np.sin(2.0 * chi)
+            + self.d4 * np.sin(4.0 * chi)
+            + self.d6 * np.sin(6.0 * chi)
+            + self.d8 * np.sin(8.0 * chi)
+        )
+        return lon, np.degrees(phi)
+
+    def inverse_np(self, x, y):
+        """numpy twin of inverse — the Arrow-kernel entry point for
+        :func:`standardize_crs_datum`."""
+        lon, lat = self.unproject_np(x, y)
+        if self.helmert is not None:
+            lon, lat = _datum_from_np(self, lon, lat)
+        return lon, lat
+
+
+BESSEL_A = 6377397.155
+BESSEL_F = 1.0 / 299.1528128
+
+# EPSG:5514 — S-JTSK / Krovak East North. Projection parameters per
+# EPSG method 9819: centre 49°30'N, longitude of origin 24°50' east of
+# GREENWICH (the historical Ferro-referenced value is 42°30'; Ferro =
+# 17°40' W of Greenwich), cone azimuth 30°17'17.3031", pseudo standard
+# parallel 78°30' at k=0.9999, Bessel 1841. Datum: EPSG transformation
+# 1622 "S-JTSK to WGS 84 (1)" (589, 76, 480, translations only)
+# inverted to our stored WGS84→datum direction.
+SJTSK_KROVAK = Krovak(
+    a=BESSEL_A,
+    f=BESSEL_F,
+    lat_center=49.5,
+    lon_origin_greenwich=24.0 + 50.0 / 60.0,
+    azimuth=30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+    lat_pseudo=78.5,
+    k_pseudo=0.9999,
+    wgs84_helmert=(-589.0, -76.0, -480.0, 0.0, 0.0, 0.0, 0.0),
+)
+KROVAK_PROJECTIONS = {5514: SJTSK_KROVAK}
+
 # every registered grid projection with forward/inverse column methods;
 # pre-registered keys are genuine EPSG codes only
 PROJECTION_REGISTRY: dict[int, object] = {
     **LCC_PROJECTIONS, **ALBERS_PROJECTIONS, **POLAR_PROJECTIONS,
-    **TM_PROJECTIONS,
+    **TM_PROJECTIONS, **KROVAK_PROJECTIONS,
 }
 
 
@@ -1154,10 +1389,11 @@ def standardize_crs_datum(
         if getattr(proj, "helmert", None) is not None
     }
     for code, proj in projections.items():
-        if not isinstance(proj, TransverseMercator):
+        if getattr(proj, "inverse_np", None) is None:
             raise NotImplementedError(
-                f"EPSG:{code}: datum-shifted kernel only implements the "
-                "Transverse-Mercator family; register a numpy twin first"
+                f"EPSG:{code}: datum-shifted kernel needs the projection's "
+                "inverse_np numpy twin (TM and Krovak families provide it); "
+                "register one before routing this code per-row"
             )
     if not projections:
         return standardize_crs(pixels, epsg_col, dst_epsg)
@@ -1181,9 +1417,7 @@ def standardize_crs_datum(
             for code in np.unique(rcodes):
                 P = projections[int(code)]
                 m = rcodes == code
-                lo, la = _tm_unproject_np(P, x[m], y[m])
-                lo, la = _datum_from_np(P, lo, la)
-                lon[m], lat[m] = lo, la
+                lon[m], lat[m] = P.inverse_np(x[m], y[m])
             out = pdf.copy()
             out["lon"] = lon
             out["lat"] = lat

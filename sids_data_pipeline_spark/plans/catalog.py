@@ -195,6 +195,7 @@ PRIORITY: tuple[str, ...] = (
     "crs_reproject_sinu",
     "crs_reproject_tm",
     "crs_reproject_polar",
+    "crs_reproject_krovak",
     "crs_standardize_mixed",
     "geo_dwithin_join",
     "vector_reproject_zones",
@@ -224,11 +225,11 @@ PRIORITY: tuple[str, ...] = (
     "agg_geomean_udaf",
     "streaming_dedup_lsh",
     "join_full_outer",
-    "window_distribution",
     # sql_shipping_priority displaced by multimodal_decode_wav (its
     # relational.py shape is unchanged — the r8 tail row stands — and
     # it runs, and is timed, in every bench.py round)
-    # — end of the 50-slot window —
+    "window_distribution",
+    # — end of the 50-slot window (window_distribution takes slot 50) —
     "sql_shipping_priority",
     # r9 head names displaced this round retained below for provenance
     # (names past the window keep registration order; their r9 rows

@@ -2273,6 +2273,123 @@ ORDER BY id
 """
 
 
+def _crs_reproject_krovak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4326-free Krovak leg: S-JTSK geodetic grid over CZ/SK → EPSG
+    method 9819 oblique conformal cone forward (East-North orientation)
+    → inverse back. Projection-only on purpose: the oracle mirrors the
+    cone math term-for-term; the Helmert datum leg is pinned separately
+    (worked-example + kernel-equivalence pytest, and the
+    crs_standardize_datum entry rows route 5514 through the full
+    chain). Same ULP-insensitive gate as crs_reproject_tm: forward at
+    a 1 m quantum, round trip as tolerance booleans vs the source."""
+    from sids_data_pipeline_spark.functions.crs import SJTSK_KROVAK
+
+    grid = spark.range(0, 1000, 1, 8).select(
+        F.col("id"),
+        (F.lit(13.1) + (F.col("id") % 20).cast("double") * 0.26).alias("lon"),
+        (F.lit(48.6) + (F.col("id") / 20).cast("long").cast("double") * 0.045).alias(
+            "lat"
+        ),
+    )
+    x, y = SJTSK_KROVAK.project(F.col("lon"), F.col("lat"))
+    xy = grid.select("id", "lon", "lat", x.alias("x"), y.alias("y"))
+    lon_rt, lat_rt = SJTSK_KROVAK.unproject(F.col("x"), F.col("y"))
+    return xy.select(
+        "id",
+        F.round("x", 0).alias("x"),
+        F.round("y", 0).alias("y"),
+        (F.abs(lon_rt - F.col("lon")) < F.lit(1e-7)).alias("lon_ok"),
+        (F.abs(lat_rt - F.col("lat")) < F.lit(1e-7)).alias("lat_ok"),
+    )
+
+
+def _crs_krovak_sql() -> str:
+    """Term-for-term mirror of Krovak.project/unproject with the
+    EPSG:5514 constants; every coefficient derives from the SAME
+    projection object — including the conformal→geodetic series
+    coefficients the closed-form inverse latitude uses."""
+    import math
+
+    from sids_data_pipeline_spark.functions.crs import SJTSK_KROVAK as P
+
+    phi_expr = (
+        f"chi + {P.d2!r} * sin(chi * 2.0) + {P.d4!r} * sin(chi * 4.0)"
+        f" + {P.d6!r} * sin(chi * 6.0) + {P.d8!r} * sin(chi * 8.0)"
+    )
+    return f"""
+WITH src AS (
+  SELECT i AS id,
+         13.1 + CAST(i % 20 AS DOUBLE) * 0.26 AS lon,
+         48.6 + CAST(i // 20 AS DOUBLE) * 0.045 AS lat
+  FROM (SELECT unnest(range(1000)) AS i) t
+),
+f1 AS (
+  SELECT id, lon, lat, radians(lat) AS phi, radians(lon) AS lam,
+         {P.e!r} * sin(radians(lat)) AS esin
+  FROM src
+),
+f2 AS (
+  SELECT id, lon, lat,
+         2.0 * (atan({P.t0!r} * pow(tan(phi / 2.0 + pi() / 4.0), {P.B!r})
+                     / pow((1.0 + esin) / (1.0 - esin), {P.e * P.B / 2.0!r}))
+                - pi() / 4.0) AS u,
+         {P.B!r} * ({P.lam0!r} - lam) AS v
+  FROM f1
+),
+f3 AS (
+  SELECT id, lon, lat, u, v,
+         asin({math.cos(P.alphac)!r} * sin(u)
+              + {math.sin(P.alphac)!r} * cos(u) * cos(v)) AS tt
+  FROM f2
+),
+f4 AS (
+  SELECT id, lon, lat, tt,
+         {P.n!r} * asin(cos(u) * sin(v) / cos(tt)) AS theta,
+         {P.r0 * P.tan_p ** P.n!r} / pow(tan(tt / 2.0 + pi() / 4.0), {P.n!r}) AS r
+  FROM f3
+),
+fwd AS (
+  SELECT id, lon, lat,
+         -(r * sin(theta)) AS x,
+         -(r * cos(theta)) AS y
+  FROM f4
+),
+i1 AS (
+  SELECT id, lon, lat, x, y,
+         sqrt(x * x + y * y) AS rp,
+         atan2(-x, -y) AS thetap
+  FROM fwd
+),
+i2 AS (
+  SELECT id, lon, lat, x, y,
+         thetap / {P.n!r} AS dp,
+         2.0 * (atan(pow({P.r0!r} / rp, {1.0 / P.n!r}) * {P.tan_p!r})
+                - pi() / 4.0) AS tp
+  FROM i1
+),
+i3 AS (
+  SELECT id, lon, lat, x, y, dp, tp,
+         asin({math.cos(P.alphac)!r} * sin(tp)
+              - {math.sin(P.alphac)!r} * cos(tp) * cos(dp)) AS up
+  FROM i2
+),
+i4 AS (
+  SELECT id, lon, lat, x, y, up,
+         degrees({P.lam0!r} - asin(cos(tp) * sin(dp) / cos(up)) / {P.B!r}) AS lon_rt,
+         2.0 * (atan({P.c_lat!r} * pow(tan(up / 2.0 + pi() / 4.0), {P.inv_b!r}))
+                - pi() / 4.0) AS chi
+  FROM i3
+),
+fin AS (
+  SELECT id, lon, lat, x, y, lon_rt, degrees({phi_expr}) AS lat_rt FROM i4
+)
+SELECT id, ROUND(x, 0) AS x, ROUND(y, 0) AS y,
+       abs(lon_rt - lon) < 1e-7 AS lon_ok,
+       abs(lat_rt - lat) < 1e-7 AS lat_ok
+FROM fin
+"""
+
+
 _E2E_RASTERS = ("rast_gradient", "rast_checker")
 _E2E_MAX_ZOOM = 4
 
@@ -2377,45 +2494,48 @@ def _pipeline_end_to_end_sql() -> str:
 
 def _crs_standardize_datum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row dispatch for DATUM-SHIFTED grids (the r9 refusal made a
-    real path): 1000 points across OSGB 27700 and Irish 29902 (both
-    Helmert-shifted, handled by ONE mapInPandas Arrow kernel with
-    per-code masks — functions/crs.standardize_crs_datum), NZTM 2193
-    (datum-free, proving the JVM CASE path coexists in the same call)
-    and raw 4326 passthrough. Each row is forward-projected into its
-    declared CRS by the per-file scalar path, then the single
-    standardize_crs_datum call must land it back on its source
-    coordinates within 1e-6° and restamp it 4326. Positive-signal gate
-    like crs_standardize_mixed: the per-family value mirrors are the
-    sibling crs_reproject_* entries; THIS entry pins the two-path
-    datum dispatch. The repartition is a codegen barrier for the
-    fixture's in-plan forward chains only (a real estate scans its
-    coordinates from storage)."""
+    real path): 1000 points across OSGB 27700, Irish 29902, and Krovak
+    5514 (three Helmert-shifted codes across TWO projection families,
+    handled by ONE mapInPandas Arrow kernel with per-code masks —
+    functions/crs.standardize_crs_datum), NZTM 2193 (datum-free,
+    proving the JVM CASE path coexists in the same call) and raw 4326
+    passthrough. Each row is forward-projected into its declared CRS
+    by the per-file scalar path, then the single standardize_crs_datum
+    call must land it back on its source coordinates within 1e-6° and
+    restamp it 4326. Positive-signal gate like crs_standardize_mixed:
+    the per-family value mirrors are the sibling crs_reproject_*
+    entries; THIS entry pins the two-path datum dispatch. The
+    repartition is a codegen barrier for the fixture's in-plan forward
+    chains only (a real estate scans its coordinates from storage)."""
     from sids_data_pipeline_spark.functions.crs import (
         reproject_pixels,
         standardize_crs_datum,
     )
 
-    block = ((F.col("id") % 250) / 25).cast("int").cast("double")
+    block = ((F.col("id") % 200) / 25).cast("int").cast("double")
     src = spark.range(0, 1000, 1, 8).select(
         "id",
-        F.when(F.col("id") < 250, F.lit(27700))
-        .when(F.col("id") < 500, F.lit(29902))
-        .when(F.col("id") < 750, F.lit(2193))
+        F.when(F.col("id") < 200, F.lit(27700))
+        .when(F.col("id") < 400, F.lit(29902))
+        .when(F.col("id") < 600, F.lit(5514))
+        .when(F.col("id") < 800, F.lit(2193))
         .otherwise(F.lit(4326))
         .alias("src_epsg"),
-        F.when(F.col("id") < 250, F.lit(-5.8) + (F.col("id") % 25).cast("double") * 0.29)
-        .when(F.col("id") < 500, F.lit(-10.3) + (F.col("id") % 25).cast("double") * 0.19)
-        .when(F.col("id") < 750, F.lit(169.8) + (F.col("id") % 25).cast("double") * 0.33)
+        F.when(F.col("id") < 200, F.lit(-5.8) + (F.col("id") % 25).cast("double") * 0.29)
+        .when(F.col("id") < 400, F.lit(-10.3) + (F.col("id") % 25).cast("double") * 0.19)
+        .when(F.col("id") < 600, F.lit(13.1) + (F.col("id") % 25).cast("double") * 0.2)
+        .when(F.col("id") < 800, F.lit(169.8) + (F.col("id") % 25).cast("double") * 0.33)
         .otherwise(F.lit(-170.0) + (F.col("id") % 25).cast("double") * 13.6)
         .alias("lon"),
-        F.when(F.col("id") < 250, F.lit(50.2) + block * 0.85)
-        .when(F.col("id") < 500, F.lit(51.5) + block * 0.42)
-        .when(F.col("id") < 750, F.lit(-46.7) + block * 1.2)
-        .otherwise(F.lit(-80.0) + block * 16.0)
+        F.when(F.col("id") < 200, F.lit(50.2) + block * 1.0)
+        .when(F.col("id") < 400, F.lit(51.5) + block * 0.5)
+        .when(F.col("id") < 600, F.lit(48.6) + block * 0.31)
+        .when(F.col("id") < 800, F.lit(-46.7) + block * 1.5)
+        .otherwise(F.lit(-80.0) + block * 20.0)
         .alias("lat"),
     )
     parts = [src.filter(F.col("src_epsg") == 4326)]
-    for epsg in (27700, 29902, 2193):
+    for epsg in (27700, 29902, 5514, 2193):
         parts.append(
             reproject_pixels(src.filter(F.col("src_epsg") == epsg), 4326, epsg)
         )
@@ -2451,8 +2571,9 @@ def _crs_standardize_datum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CRS_STANDARDIZE_DATUM_SQL = """
 SELECT i AS id,
-       CASE WHEN i < 250 THEN 27700 WHEN i < 500 THEN 29902
-            WHEN i < 750 THEN 2193 ELSE 4326 END AS declared_epsg,
+       CASE WHEN i < 200 THEN 27700 WHEN i < 400 THEN 29902
+            WHEN i < 600 THEN 5514 WHEN i < 800 THEN 2193
+            ELSE 4326 END AS declared_epsg,
        TRUE AS lon_ok, TRUE AS lat_ok, TRUE AS restamped
 FROM (SELECT unnest(range(1000)) AS i) t
 ORDER BY id
@@ -3499,14 +3620,25 @@ QUERIES: list[Query] = [
         tags=("geo", "pipeline", "sink"),
     ),
     Query(
+        "crs_reproject_krovak",
+        _crs_reproject_krovak,
+        _crs_krovak_sql(),
+        doc="Krovak oblique conformal conic (EPSG 9819, S-JTSK 5514 "
+            "East-North): CZ/SK grid forward + unrolled fixed-point "
+            "inverse, term-for-term SQL mirror, 1 m forward quantum + "
+            "round-trip tolerance gate",
+        tags=("geo", "scalar"),
+    ),
+    Query(
         "crs_standardize_datum",
         _crs_standardize_datum_query,
         _CRS_STANDARDIZE_DATUM_SQL,
         doc="per-row DATUM-SHIFTED standardization: OSGB 27700 + Irish "
-            "29902 through one Arrow kernel (numpy twins of the "
-            "unproject+Helmert+Bowring column forms, per-code masks) "
-            "unioned with the JVM CASE path for datum-free rows; "
-            "round-trip-gated vs source coordinates",
+            "29902 + Krovak 5514 (two projection families) through one "
+            "Arrow kernel (inverse_np numpy twins of the unproject+"
+            "Helmert+Bowring column forms, per-code masks) unioned with "
+            "the JVM CASE path for datum-free rows; round-trip-gated vs "
+            "source coordinates",
         tags=("geo", "scalar", "arrow"),
     ),
     Query(

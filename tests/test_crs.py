@@ -43,9 +43,9 @@ def test_identity_when_same_epsg(lonlat):
 
 
 def test_unsupported_pair_raises(lonlat):
-    # Krovak (5514) — a real projection family with no closed form here
+    # Belgian Lambert 72 (31370) — a real CRS not in the registry
     with pytest.raises(NotImplementedError):
-        crs.reproject_pixels(lonlat, 5514, 4326)
+        crs.reproject_pixels(lonlat, 31370, 4326)
 
 
 def test_standardize_mixed_crs(spark):
@@ -376,7 +376,7 @@ def test_registry_dispatch_and_unsupported_raise(spark):
     row = crs.reproject_pixels(df, 4326, 5070).collect()[0]
     assert abs(row.lon) < 1e-6 and abs(row.lat) < 1e-6
     with pytest.raises(NotImplementedError):
-        crs.reproject_pixels(df, 4326, 5514)  # Krovak is not registered
+        crs.reproject_pixels(df, 4326, 31370)  # Belgian L72 is not registered
 
 
 # --- Polar stereographic (EPSG:3413/3976/3031, round-8 addition) --------------
@@ -668,7 +668,7 @@ def test_tm_helmert_matches_numpy_twin(spark):
 
 
 def test_tm_unregistered_national_grid_still_raises(spark):
-    """A TM grid NOT in the registry (e.g. EPSG:32030 state plane)
+    """A TM grid NOT in the registry (e.g. EPSG:32030 state plane or 31370 Belgian Lambert)
     keeps failing loudly — the generalization adds codes explicitly,
     it does not guess parameters."""
     df = spark.createDataFrame([(1, 0.0, 50.0)], "id long, lon double, lat double")
@@ -719,7 +719,7 @@ def test_standardize_mixed_registry_grids(spark):
         crs.standardize_crs(osgb).collect()
     # an unregistered code still fails loudly through the same expression
     bad = spark.createDataFrame(
-        [(9, 1.0, 2.0, 5514)], "id long, lon double, lat double, src_epsg int"
+        [(9, 1.0, 2.0, 31370)], "id long, lon double, lat double, src_epsg int"
     )
     with pytest.raises(Exception, match="unsupported src EPSG"):
         crs.standardize_crs(bad).collect()
@@ -800,7 +800,7 @@ def test_standardize_crs_datum_mixed_estate(spark):
         assert got.src_epsg == 4326
     # unknown codes still die loudly (datum-free path's raise_error)
     bad = spark.createDataFrame(
-        [(9, 1.0, 2.0, 5514)], "id long, lon double, lat double, src_epsg int"
+        [(9, 1.0, 2.0, 31370)], "id long, lon double, lat double, src_epsg int"
     )
     with pytest.raises(Exception, match="unsupported src EPSG"):
         crs.standardize_crs_datum(bad).collect()
@@ -824,3 +824,81 @@ def test_standardize_crs_datum_kernel_matches_jvm_chain(spark):
     for i in (1, 2):
         assert abs(via_kernel[i].lon - via_jvm[i].lon) < 1e-12
         assert abs(via_kernel[i].lat - via_jvm[i].lat) < 1e-12
+
+
+# --- Krovak (EPSG:5514, round-10 addition) ------------------------------------
+
+
+def test_krovak_epsg_worked_example(spark):
+    """EPSG Guidance Note 7-2 Krovak worked example (S-JTSK geodetic
+    in, projection-only): 50°12'32.4416"N 16°50'59.1790"E →
+    southing X = 1050538.63, westing Y = 568991.00 (East-North
+    orientation: E = −Y, N = −X). Matches to ~1.5 cm (the published
+    example rounds its intermediate terms)."""
+    P = crs.SJTSK_KROVAK
+    df = spark.createDataFrame(
+        [(16 + 50 / 60 + 59.1790 / 3600, 50 + 12 / 60 + 32.4416 / 3600)],
+        "lon double, lat double",
+    )
+    x, y = P.project(F.col("lon"), F.col("lat"))
+    row = df.select(x.alias("e"), y.alias("n")).collect()[0]
+    assert abs(row.e - (-568991.00)) < 0.05
+    assert abs(row.n - (-1050538.63)) < 0.05
+
+
+def test_krovak_full_transform_and_roundtrip(spark):
+    """Full EPSG:5514 through the registry dispatch (Helmert datum leg
+    both ways): Prague city centre lands on its known grid ref (±3 m,
+    the 3-translation transformation's accuracy class), and a
+    CZ/SK-wide grid round-trips to the near-inverse's 1e-7°."""
+    pts = spark.createDataFrame(
+        [(1, 14.4187, 50.0874)], "id long, lon double, lat double"
+    )
+    xy = crs.reproject_pixels(pts, 4326, 5514)
+    row = xy.collect()[0]
+    assert abs(row.lon - (-743000.0)) < 15.0
+    assert abs(row.lat - (-1043000.0)) < 15.0
+    grid = spark.createDataFrame(
+        [
+            (i, 13.1 + (i % 10) * 0.55, 48.65 + (i // 10) * 0.24)
+            for i in range(100)
+        ],
+        "id long, lon double, lat double",
+    )
+    fwd = crs.reproject_pixels(grid, 4326, 5514)
+    back = crs.reproject_pixels(fwd, 5514, 4326)
+    worst = back.join(
+        grid.withColumnsRenamed({"lon": "lon0", "lat": "lat0"}), "id"
+    ).selectExpr(
+        "max(abs(lon - lon0)) AS dlon", "max(abs(lat - lat0)) AS dlat"
+    ).collect()[0]
+    assert worst.dlon < 1e-7 and worst.dlat < 1e-7
+
+
+def test_standardize_crs_datum_three_codes_one_kernel(spark):
+    """OSGB + Irish + Krovak rows in ONE standardize_crs_datum call —
+    three datum-shifted codes through the single Arrow kernel,
+    including the non-TM family via its inverse_np twin."""
+    src = spark.createDataFrame(
+        [
+            (1, -3.1883, 55.9533, 27700),
+            (2, -6.2603, 53.3498, 29902),
+            (3, 14.4187, 50.0874, 5514),
+            (4, 10.0, 20.0, 4326),
+        ],
+        "id long, lon double, lat double, src_epsg int",
+    )
+    parts = [src.filter("src_epsg = 4326")]
+    for epsg in (27700, 29902, 5514):
+        parts.append(
+            crs.reproject_pixels(src.filter(F.col("src_epsg") == epsg), 4326, epsg)
+        )
+    mixed = parts[0]
+    for p in parts[1:]:
+        mixed = mixed.unionByName(p)
+    rows = {r.id: r for r in crs.standardize_crs_datum(mixed.repartition(4)).collect()}
+    for w in src.collect():
+        got = rows[w.id]
+        assert abs(got.lon - w.lon) < 1e-6, (w.id, got.lon, w.lon)
+        assert abs(got.lat - w.lat) < 1e-6, (w.id, got.lat, w.lat)
+        assert got.src_epsg == 4326

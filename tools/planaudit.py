@@ -77,6 +77,7 @@ AUDITED = [
     "raster_contour",
     "crs_standardize_mixed",
     "crs_standardize_datum",
+    "crs_reproject_krovak",
     "multimodal_decode_png",
     "multimodal_decode_wav",
     "multimodal_resize_png",
