@@ -139,9 +139,10 @@ from sids_data_pipeline_spark.plans.base import Query
 # sql_shipping_priority, events_session's siblings, similarity_topk and
 # multimodal_features additionally run — and are timed — in every
 # bench.py round.
-# Round-10 rotation (eighth): four NEW entries claim first driver rows
-# (multimodal_decode_png + multimodal_resize_png — the real PNG codec
-# gates; crs_standardize_datum — the Arrow datum kernel;
+# Round-10 rotation (eighth): six NEW entries claim first driver rows
+# (multimodal_decode_png + multimodal_decode_wav + multimodal_resize_png
+# — the real media codec gates; crs_standardize_datum — the Arrow datum
+# kernel; crs_reproject_krovak — the S-JTSK oblique conformal family;
 # pipeline_end_to_end — the composed Entry-1 lifecycle). Re-rows for
 # every entry whose OPERATOR file changed since its standing row:
 # sources/shapefile.py + streaming/jobs.py changed AFTER the r9 window
