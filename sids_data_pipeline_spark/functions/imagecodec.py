@@ -322,6 +322,233 @@ def bmp_dims(data: bytes) -> tuple[int, int]:
     raise ValueError(f"bmp: unknown DIB header size {dib}")
 
 
+# --------------------------------------------------------------------------
+# GIF (LZW decode, multi-frame)
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW: variable-width codes packed LSB-first, clear
+    code resets the dictionary, dictionary caps at 4096 entries."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    pos = 0
+    # dictionary as (prefix_index, suffix_byte); codes < clear are roots
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    suffix[:clear] = np.arange(clear, dtype=np.uint8)
+
+    next_code, width = clear + 2, min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev = -1
+    stack = bytearray()
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                next_code, width = clear + 2, min_code_size + 1
+                prev = -1
+                continue
+            if code == end:
+                if pos < n_pixels:
+                    raise ValueError(
+                        f"gif: LZW stream short ({pos}/{n_pixels} pixels)"
+                    )
+                return out
+            if code > next_code or (code == next_code and prev < 0):
+                raise ValueError(f"gif: corrupt LZW stream (code {code})")
+            if prev < 0:
+                out[pos] = suffix[code]
+                pos += 1
+                prev = code
+                continue
+            # emit the string for `code`; KwKwK (code == next_code)
+            # emits string(prev) + first_byte(string(prev))
+            cur = prev if code == next_code else code
+            stack.clear()
+            c = int(cur)
+            while c >= clear + 2:
+                stack.append(suffix[c])
+                c = prefix[c]
+            stack.append(suffix[c])
+            first = stack[-1]
+            seq = bytes(stack[::-1])
+            if code == next_code:
+                seq += bytes((first,))
+            n = min(len(seq), n_pixels - pos)
+            out[pos : pos + n] = np.frombuffer(seq[:n], dtype=np.uint8)
+            pos += n
+            if next_code < 4096:
+                prefix[next_code] = prev
+                suffix[next_code] = first
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+            if pos >= n_pixels:
+                return out
+    if pos < n_pixels:
+        raise ValueError(f"gif: LZW stream short ({pos}/{n_pixels} pixels)")
+    return out
+
+
+def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a (possibly animated) GIF to (frames, meta): frames is
+    (n_frames, height, width, 3) uint8 RGB composited onto the logical
+    screen with disposal methods none/keep (0/1) — each frame paints
+    over the previous canvas; transparent pixels leave it untouched.
+    Disposal 2/3 (restore-background/previous) refuse loudly, as does
+    a frame without a color table. Interlaced frames are de-interlaced
+    (Adam-style four-pass row order)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif: bad magic")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    frames = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    transparent = None
+    try:
+        frames, canvas = _gif_walk_blocks(data, pos, gct, canvas, h, w)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"gif: truncated stream ({exc})") from exc
+    if not frames:
+        raise ValueError("gif: no image frames")
+    return np.stack(frames), {
+        "width": int(w), "height": int(h), "n_frames": len(frames),
+    }
+
+
+def _gif_walk_blocks(data, pos, gct, canvas, h, w):
+    frames = []
+    transparent = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                flags = data[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                if disposal >= 2:
+                    raise ValueError(
+                        f"gif: disposal method {disposal} (restore) not supported"
+                    )
+                transparent = data[pos + 4] if flags & 0x01 else None
+            while True:  # skip/consume sub-blocks
+                sz = data[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{block:02x} at {pos - 1}")
+        left, top, fw, fh, fpacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        table = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            table = np.frombuffer(
+                data, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("gif: frame has no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            sz = data[pos]
+            pos += 1
+            lzw.extend(data[pos : pos + sz])
+            pos += sz
+            if sz == 0:
+                break
+        idx = _gif_lzw_decode(min_code, bytes(lzw), fw * fh).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows in 8/8, 8/4(+4), 4/2(+2), 2/1(+1)
+            order = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            de = np.empty_like(idx)
+            de[order] = idx
+            idx = de
+        rgb = table[np.minimum(idx, len(table) - 1)]
+        region = canvas[top : top + fh, left : left + fw]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        transparent = None
+    return frames, canvas
+
+
+def gif_encode(frames: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """Minimal GIF89a writer for (n, h, w) uint8 INDEX frames over a
+    256-entry palette (default: identity grayscale). Uses the classic
+    'uncompressed GIF' LZW trick — literal 8-bit codes with a clear
+    code every 2^8−2 symbols so the dictionary never grows — which
+    every conformant decoder (including :func:`gif_decode`) reads
+    back exactly. Fixture generator for the GIF decode path."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim == 2:
+        f = f[None]
+    n_frames, h, w = f.shape
+    if palette is None:
+        palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    if palette.shape != (256, 3):
+        raise ValueError("gif_encode: palette must be (256, 3)")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    out += palette.astype(np.uint8).tobytes()
+    for frame in f:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: disposal 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW min code size
+        clear, bits = 256, 9
+        codes = []
+        for i, px in enumerate(frame.ravel()):
+            if i % 254 == 0:
+                codes.append(clear)
+            codes.append(int(px))
+        codes.append(clear + 1)  # end
+        acc = nbits = 0
+        stream = bytearray()
+        for code in codes:
+            acc |= code << nbits
+            nbits += bits
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode an uncompressed (BI_RGB) 8/24/32-bit BMP to
     (array (h, w, c) uint8, meta). Rows are 4-byte padded and stored

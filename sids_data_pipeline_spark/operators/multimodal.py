@@ -218,8 +218,14 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
         w, h, _ncomp = icodec.jpeg_dims(bytes(payload))
         return {"n_bytes": n, "width": w, "height": h, "n_frames": 1}
     if fmt == "gif":
-        w, h = icodec.gif_dims(bytes(payload))
-        return {"n_bytes": n, "width": w, "height": h, "n_frames": 1}
+        # full decode: true frame count (animated GIFs), not just dims
+        _frames, meta = icodec.gif_decode(bytes(payload))
+        return {
+            "n_bytes": n,
+            "width": meta["width"],
+            "height": meta["height"],
+            "n_frames": meta["n_frames"],
+        }
     if fmt == "bmp":
         w, h = icodec.bmp_dims(bytes(payload))
         return {"n_bytes": n, "width": w, "height": h, "n_frames": 1}
@@ -323,14 +329,96 @@ def decode_images(assets: DataFrame) -> DataFrame:
     )
 
 
+def synth_gif_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+    """Deterministic animated-GIF fixture: every ``modulus``-th document
+    becomes a real multi-frame GIF (LZW-encoded, identity-grayscale
+    palette) whose shape and indices are closed-form functions of
+    doc_id — width = doc_id % 21 + 4, height = doc_id % 11 + 3,
+    n_frames = doc_id % 5 + 2, index(f, x, y) = (13·doc_id + 17f + 3x
+    + 5y) mod 256. Frames are full-size and opaque (disposal none), so
+    each composited frame equals its own content and the DuckDB oracle
+    can verify per-frame RGB sums (3× the index sum)."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, n = did % 21 + 4, did % 11 + 3, did % 5 + 2
+                f = np.arange(n)[:, None, None]
+                y = np.arange(h)[None, :, None]
+                x = np.arange(w)[None, None, :]
+                idx = ((did * 13 + 17 * f + 3 * x + 5 * y) % 256).astype(np.uint8)
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "video",
+                        "payload": icodec.gif_encode(idx),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "payload"]
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % modulus == 0)
+        .select("doc_id")
+        .mapInPandas(synth, "asset_id long, modality string, payload binary")
+    )
+
+
+def decode_video(assets: DataFrame) -> DataFrame:
+    """Full multi-frame decode (UDTF shape: one asset row → one row per
+    frame): GIF payloads through the LZW decoder + frame compositor,
+    returning per-frame dims and the sum of every composited RGB sample
+    — content-level proof of the dictionary decode, de-interlace and
+    palette mapping, not just the header. Non-GIF payloads refuse
+    loudly (PNG filmstrips route through frame_sample)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(p)
+                if icodec.sniff(data) != "gif":
+                    raise ValueError(
+                        f"decode_video: asset {aid}: payload is not a GIF"
+                    )
+                frames, meta = icodec.gif_decode(data)
+                for fi in range(meta["n_frames"]):
+                    rows.append(
+                        {
+                            "asset_id": int(aid),
+                            "frame_index": fi,
+                            "width": meta["width"],
+                            "height": meta["height"],
+                            "pixel_sum": int(frames[fi].astype("int64").sum()),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "frame_index", "width", "height", "pixel_sum",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        decode,
+        "asset_id long, frame_index int, width int, height int, pixel_sum long",
+    )
+
+
 def frame_sample(assets: DataFrame, every_n: int = 8) -> DataFrame:
     """Sample every n-th frame from video payloads (UDTF shape: one asset
     row in → many frame rows out, via mapInPandas).
 
-    PNG payloads are treated as a vertical filmstrip of square
-    width×width frames (n_frames = height // width, min 1): each sampled
-    frame is the REAL scanline block re-encoded as its own PNG — true
-    pixel slicing, not byte arithmetic. Unrecognized payloads keep the
+    Animated GIFs decode for REAL (LZW + compositing): every n-th
+    composited frame re-encodes as its own PNG. PNG payloads are
+    treated as a vertical filmstrip of square width×width frames
+    (n_frames = height // width, min 1): each sampled frame is the
+    REAL scanline block re-encoded as its own PNG — true pixel
+    slicing, not byte arithmetic. Unrecognized payloads keep the
     documented deterministic byte-slice fallback (frame count from the
     length formula, 8-byte slices) so plumbing oracles stay SQL-exact.
     Non-video assets pass through with zero rows (filter pushed into the
@@ -342,6 +430,17 @@ def frame_sample(assets: DataFrame, every_n: int = 8) -> DataFrame:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload)
+                if icodec.sniff(data) == "gif":
+                    gframes, _meta = icodec.gif_decode(data)
+                    for fi in range(0, gframes.shape[0], every_n):
+                        rows.append(
+                            {
+                                "asset_id": aid,
+                                "frame_index": fi,
+                                "frame_bytes": icodec.png_encode(gframes[fi]),
+                            }
+                        )
+                    continue
                 if icodec.sniff(data) == "png":
                     arr, meta = icodec.png_decode(data)
                     fh = meta["width"]  # square frames

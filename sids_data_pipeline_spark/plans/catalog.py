@@ -173,6 +173,7 @@ PRIORITY: tuple[str, ...] = (
     # — round-10 new queries: first-time driver rows —
     "multimodal_decode_png",
     "multimodal_decode_wav",
+    "multimodal_decode_gif",
     "multimodal_resize_png",
     "crs_standardize_datum",
     "pipeline_end_to_end",
@@ -213,7 +214,11 @@ PRIORITY: tuple[str, ...] = (
     "raster_mosaic",
     "zonal_polygons",
     "tiles_encode_rings",
-    "manifest_pending",
+    # manifest_pending displaced by multimodal_decode_gif (manifest.py
+    # unchanged since its r6-green row, which stands; in-window
+    # pipeline_end_to_end exercises the same P6/P8/ledger semantics
+    # end-to-end, so the family keeps a harder in-window row than the
+    # one it loses)
     "dedup_minhash_lsh",
     "dedup_exact",
     "corpus_curation",

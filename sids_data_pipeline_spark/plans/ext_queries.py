@@ -2653,6 +2653,38 @@ GROUP BY doc_id, n, ch
 """
 
 
+def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real animated-GIF codec round trip (E4 video): synthesize
+    deterministic multi-frame GIFs executor-side (LZW-encoded), decode
+    them back through the dictionary decoder + frame compositor
+    (multimodal.decode_video, one output row per frame) and verify
+    per-frame RGB sums against the closed-form oracle — the header can
+    fake dims and frame count, it cannot fake composited pixel sums."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_video(multimodal.synth_gif_assets(docs, modulus=7))
+
+
+# synth formula (multimodal.synth_gif_assets): index(f, x, y) =
+# (13·doc_id + 17f + 3x + 5y) mod 256 over w = doc_id%21+4,
+# h = doc_id%11+3, n_frames = doc_id%5+2; identity-grayscale palette
+# → each RGB sample equals the index, so pixel_sum = 3 × Σ index.
+_MULTIMODAL_DECODE_GIF_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 21 + 4 AS w, doc_id % 11 + 3 AS h,
+         doc_id % 5 + 2 AS nf
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id,
+       CAST(f.v AS INT) AS frame_index,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 * SUM((doc_id*13 + 17*f.v + 3*x.v + 5*y.v) % 256) AS BIGINT)
+         AS pixel_sum
+FROM d, range(6) f(v), range(24) x(v), range(13) y(v)
+WHERE f.v < nf AND x.v < w AND y.v < h
+GROUP BY doc_id, f.v, w, h
+"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "eval": 0.1, "test": 0.1}
 
 
@@ -4138,6 +4170,11 @@ QUERIES: list[Query] = [
     Query("multimodal_decode_wav", _multimodal_decode_wav, _MULTIMODAL_DECODE_WAV_SQL,
           doc="E4 REAL WAV codec round trip: executor-side PCM16 encode "
               "-> RIFF decode -> sample sums vs closed-form oracle",
+          tags=("multimodal", "codec")),
+    Query("multimodal_decode_gif", _multimodal_decode_gif, _MULTIMODAL_DECODE_GIF_SQL,
+          doc="E4 REAL animated-GIF codec round trip: executor-side LZW "
+              "encode -> dictionary decode + frame compositing -> "
+              "per-frame RGB sums vs closed-form oracle (UDTF shape)",
           tags=("multimodal", "codec")),
     Query("multimodal_resize_png", _multimodal_resize_png, _MULTIMODAL_RESIZE_PNG_SQL,
           doc="E4 real nearest-neighbor resample: encode -> decode -> "

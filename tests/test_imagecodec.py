@@ -215,3 +215,164 @@ def test_wav_decode_roundtrip_and_refusals():
     bad[34] = 8
     with pytest.raises(ValueError, match="16-bit"):
         ic.wav_decode(bytes(bad))
+
+
+# ----------------------------------------------------------------------- GIF
+
+
+def _lzw_literal_stream(indices):
+    """The 'uncompressed GIF' LZW trick (8-bit literals + periodic
+    clear), as raw sub-block payload bytes — test-local twin of the
+    writer so tests can assemble custom frames/flags byte-by-byte."""
+    clear, bits = 256, 9
+    codes = []
+    for i, px in enumerate(indices):
+        if i % 254 == 0:
+            codes.append(clear)
+        codes.append(int(px))
+    codes.append(clear + 1)
+    acc = nbits = 0
+    out = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += bits
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _subblocks(payload):
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gray_palette():
+    return b"".join(bytes((i, i, i)) for i in range(256))
+
+
+@pytest.mark.parametrize("shape", [(1, 3, 4), (4, 6, 6), (3, 17, 9), (2, 40, 33)])
+def test_gif_roundtrip_multiframe(shape):
+    rng = np.random.default_rng(int(np.prod(shape)))
+    frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec, meta = ic.gif_decode(ic.gif_encode(frames))
+    assert dec.shape == (*shape, 3)
+    for ch in range(3):  # identity grayscale palette
+        assert np.array_equal(dec[..., ch], frames)
+    assert meta["n_frames"] == shape[0]
+
+
+def test_gif_lzw_real_compression_decodes():
+    """gif_decode must handle REAL dictionary growth, not just the
+    literal-stream writer: a highly repetitive frame produces long
+    dictionary chains including the KwKwK case via a third-party-style
+    compressor — emulate by running our decoder against a stream built
+    with an actual LZW compressor implemented in-test."""
+    # in-test LZW compressor (standard GIF variant)
+    def compress(indices, min_code=8):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes((i,)): i for i in range(clear)}
+        next_code, bits = end + 1, min_code + 1
+        out_codes = [clear]
+        w = b""
+        for px in bytes(indices):
+            wk = w + bytes((px,))
+            if wk in table:
+                w = wk
+            else:
+                out_codes.append(table[w])
+                if next_code < 4096:
+                    table[wk] = next_code
+                    next_code += 1
+                    if next_code == (1 << bits) + 1 and bits < 12:
+                        pass
+                # GIF width grows when next emitted code needs more bits
+                if next_code == (1 << bits) + 1 and bits < 12:
+                    bits += 1
+                w = bytes((px,))
+        out_codes.append(table[w])
+        out_codes.append(end)
+        # pack (re-walk widths exactly as a decoder grows them)
+        acc = nbits = 0
+        stream = bytearray()
+        bits = min_code + 1
+        nc = end + 1
+        for code in out_codes:
+            acc |= code << nbits
+            nbits += bits
+            while nbits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+            if code == clear:
+                bits, nc = min_code + 1, end + 1
+            elif nc < 4096:
+                nc += 1
+                if nc == (1 << bits) and bits < 12:
+                    bits += 1
+        if nbits:
+            stream.append(acc & 0xFF)
+        return bytes(stream)
+
+    h, w = 24, 37
+    frame = np.tile(np.arange(w, dtype=np.uint8) % 7, (h, 1))  # repetitive
+    gif = bytearray(b"GIF89a")
+    gif += __import__("struct").pack("<HHBBB", w, h, 0x87, 0, 0)
+    gif += _gray_palette()
+    gif += b"\x2c" + __import__("struct").pack("<HHHHB", 0, 0, w, h, 0)
+    gif.append(8)
+    gif += _subblocks(compress(frame.ravel()))
+    gif.append(0x3B)
+    dec, meta = ic.gif_decode(bytes(gif))
+    assert np.array_equal(dec[0, :, :, 0], frame)
+
+
+def test_gif_interlaced_rows_restored():
+    h, w = 13, 5
+    frame = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4), np.arange(1, h, 2)]
+    )
+    gif = bytearray(b"GIF89a")
+    gif += __import__("struct").pack("<HHBBB", w, h, 0x87, 0, 0)
+    gif += _gray_palette()
+    gif += b"\x2c" + __import__("struct").pack("<HHHHB", 0, 0, w, h, 0x40)
+    gif.append(8)
+    gif += _subblocks(_lzw_literal_stream(frame[order].ravel()))
+    gif.append(0x3B)
+    dec, _ = ic.gif_decode(bytes(gif))
+    assert np.array_equal(dec[0, :, :, 0], frame)
+
+
+def test_gif_transparency_and_disposal_refusal():
+    import struct as st
+
+    h = w = 4
+    f1 = np.full((h, w), 9, dtype=np.uint8)
+    f2 = np.full((h, w), 200, dtype=np.uint8)
+    f2[0, :] = 7  # transparent index
+    head = bytearray(b"GIF89a") + st.pack("<HHBBB", w, h, 0x87, 0, 0) + _gray_palette()
+
+    def frame_block(fr, gce_flags=0, tindex=0):
+        b = bytearray(b"\x21\xf9\x04") + bytes((gce_flags, 0, 0, tindex, 0))
+        b += b"\x2c" + st.pack("<HHHHB", 0, 0, w, h, 0) + bytes((8,))
+        b += _subblocks(_lzw_literal_stream(fr.ravel()))
+        return b
+
+    gif = head + frame_block(f1) + frame_block(f2, gce_flags=0x01, tindex=7) + b"\x3b"
+    dec, meta = ic.gif_decode(bytes(gif))
+    assert meta["n_frames"] == 2
+    assert np.all(dec[1, 0, :, 0] == 9)      # transparent row kept frame 1
+    assert np.all(dec[1, 1:, :, 0] == 200)   # opaque rows painted
+    # disposal 2 (restore background) refuses loudly
+    gif = head + frame_block(f1, gce_flags=2 << 2) + b"\x3b"
+    with pytest.raises(ValueError, match="disposal"):
+        ic.gif_decode(bytes(gif))

@@ -212,3 +212,56 @@ def test_decode_images_bmp_path(spark):
     row = multimodal.decode_images(df).collect()[0]
     assert (row["format"], row["width"], row["height"], row["channels"]) == ("bmp", 7, 5, 3)
     assert row["pixel_sum"] == int(arr.astype("int64").sum())
+
+
+def test_decode_video_gif_matches_formula(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    gifs = multimodal.synth_gif_assets(docs, modulus=7)
+    got = multimodal.decode_video(gifs).toPandas()
+    assert len(got) > 0
+    for _, row in got.head(25).iterrows():
+        did, fi = int(row["asset_id"]), int(row["frame_index"])
+        w, h = did % 21 + 4, did % 11 + 3
+        assert (row["width"], row["height"]) == (w, h)
+        expected = 3 * sum(
+            (did * 13 + 17 * fi + 3 * x + 5 * y) % 256
+            for x in range(w) for y in range(h)
+        )
+        assert row["pixel_sum"] == expected, (did, fi)
+
+
+def test_frame_sample_gif_real_frames(spark):
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    frames = np.stack(
+        [np.full((5, 6), 10 * f, dtype=np.uint8) for f in range(5)]
+    )
+    df = spark.createDataFrame(
+        [(3, "video", bytearray(ic.gif_encode(frames)))],
+        "asset_id long, modality string, payload binary",
+    )
+    out = {
+        r["frame_index"]: bytes(r["frame_bytes"])
+        for r in multimodal.frame_sample(df, every_n=2).collect()
+    }
+    assert sorted(out) == [0, 2, 4]
+    for fi, blob in out.items():
+        dec, meta = ic.png_decode(blob)
+        assert (meta["width"], meta["height"], meta["channels"]) == (6, 5, 3)
+        assert np.all(dec == 10 * fi)
+
+
+def test_extract_features_gif_frame_count(spark):
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    frames = np.zeros((4, 7, 9), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(5, "video", bytearray(ic.gif_encode(frames)))],
+        "asset_id long, modality string, payload binary",
+    )
+    row = multimodal.extract_features(df).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (9, 7, 4)

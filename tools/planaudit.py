@@ -80,6 +80,7 @@ AUDITED = [
     "crs_reproject_krovak",
     "multimodal_decode_png",
     "multimodal_decode_wav",
+    "multimodal_decode_gif",
     "multimodal_resize_png",
     "pipeline_end_to_end",
     "dedup_clusters",
