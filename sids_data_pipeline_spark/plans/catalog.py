@@ -175,6 +175,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_decode_wav",
     "multimodal_decode_gif",
     "multimodal_resize_png",
+    "streaming_media_ingest",
     "crs_standardize_datum",
     "pipeline_end_to_end",
     # — changed since their r9 rows ran (62c462a sidecar-race fix) —
@@ -220,7 +221,11 @@ PRIORITY: tuple[str, ...] = (
     # end-to-end, so the family keeps a harder in-window row than the
     # one it loses)
     "dedup_minhash_lsh",
-    "dedup_exact",
+    # dedup_exact displaced by streaming_media_ingest (dedup.py
+    # unchanged this round, its r8 benchgate row stands, benchgate
+    # times it on every hot-path commit, bench.py runs it every round,
+    # and dedup_minhash_lsh keeps E1/E2 in-window — the same
+    # displacement rationale the r9 window used)
     "corpus_curation",
     "text_gopher_rules",
     "corpus_lm_score",

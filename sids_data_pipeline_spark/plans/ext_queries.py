@@ -2685,6 +2685,81 @@ GROUP BY doc_id, f.v, w, h
 """
 
 
+def _streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 through the streaming drop-folder path: deterministic PNG,
+    animated-GIF and WAV files land in a watched directory,
+    Trigger.AvailableNow drains them through the SAME codec dispatch as
+    the batch operators into a features ledger — dims, frame counts and
+    sample counts must match the synth closed forms (shared with the
+    multimodal_decode_* entries, so batch and streaming cannot drift)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from sids_data_pipeline_spark.functions import imagecodec as icodec
+    from sids_data_pipeline_spark.streaming.jobs import streaming_media_ingest
+
+    (docs,) = tables(spark, sf_dir, "documents")
+    ids = [r.doc_id for r in docs.filter("doc_id % 29 = 0").select("doc_id").collect()]
+    work = tempfile.mkdtemp(prefix="sdp_smedia_")
+    drop = os.path.join(work, "drop")
+    os.makedirs(drop)
+    for did in ids:
+        png = icodec.png_encode(
+            icodec.synth_image(did, did % 29 + 4, did % 13 + 3, did % 4 + 1)
+        )
+        f = np.arange(did % 5 + 2)[:, None, None]
+        y = np.arange(did % 11 + 3)[None, :, None]
+        x = np.arange(did % 21 + 4)[None, None, :]
+        gif = icodec.gif_encode(
+            ((did * 13 + 17 * f + 3 * x + 5 * y) % 256).astype(np.uint8)
+        )
+        i = np.arange(did % 50 + 10)[:, None]
+        c = np.arange(did % 2 + 1)[None, :]
+        wav = icodec.wav_encode(
+            ((did * 31 + 7 * i + 13 * c) % 65536 - 32768).astype(np.int16),
+            sample_rate=8000,
+        )
+        for ext, payload in (("png", png), ("gif", gif), ("wav", wav)):
+            with open(os.path.join(drop, f"m{did}_{ext}.{ext}"), "wb") as fh:
+                fh.write(payload)
+    streaming_media_ingest(
+        spark, drop + "/*", os.path.join(work, "ledger"),
+        os.path.join(work, "ckpt"),
+    )
+    return (
+        spark.read.parquet(os.path.join(work, "ledger"))
+        .select("media_id", "modality", "width", "height", "n_frames")
+        .orderBy("media_id")
+    )
+
+
+# same synth closed forms as synth_png_assets / synth_gif_assets /
+# synth_wav_assets; the WAV envelope maps (sample_rate, channels,
+# sample frames) into (width, height, n_frames).
+_STREAMING_MEDIA_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 0),
+m AS (
+  SELECT 'm' || doc_id || '_png' AS media_id, 'image' AS modality,
+         CAST(doc_id % 29 + 4 AS INT) AS width,
+         CAST(doc_id % 13 + 3 AS INT) AS height, 1 AS n_frames
+  FROM d
+  UNION ALL
+  SELECT 'm' || doc_id || '_gif', 'video',
+         CAST(doc_id % 21 + 4 AS INT), CAST(doc_id % 11 + 3 AS INT),
+         CAST(doc_id % 5 + 2 AS INT)
+  FROM d
+  UNION ALL
+  SELECT 'm' || doc_id || '_wav', 'audio',
+         8000, CAST(doc_id % 2 + 1 AS INT), CAST(doc_id % 50 + 10 AS INT)
+  FROM d
+)
+SELECT media_id, modality, width, height, CAST(n_frames AS INT) AS n_frames
+FROM m ORDER BY media_id
+"""
+
+
 _SPLIT_WEIGHTS = {"train": 0.8, "eval": 0.1, "test": 0.1}
 
 
@@ -4176,6 +4251,12 @@ QUERIES: list[Query] = [
               "encode -> dictionary decode + frame compositing -> "
               "per-frame RGB sums vs closed-form oracle (UDTF shape)",
           tags=("multimodal", "codec")),
+    Query("streaming_media_ingest", _streaming_media_ingest, _STREAMING_MEDIA_SQL,
+          doc="E4 via the streaming drop-folder path: binaryFile stream "
+              "-> distributed mapInPandas codec decode (same dispatch as "
+              "batch) -> features ledger; file-source checkpoint as the "
+              "exactly-once ledger",
+          tags=("multimodal", "codec", "streaming")),
     Query("multimodal_resize_png", _multimodal_resize_png, _MULTIMODAL_RESIZE_PNG_SQL,
           doc="E4 real nearest-neighbor resample: encode -> decode -> "
               "floor-map resize -> re-encode -> decode, resized pixels "

@@ -768,3 +768,93 @@ def streaming_vector_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_media_ingest(
+    spark: SparkSession,
+    input_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming twin of the E4 media decode: image/audio/video files
+    landing under ``input_glob`` decode incrementally into a FEATURES
+    parquet ledger — the drop-folder shape of a media lake's landing
+    zone, with the file source's checkpoint as the exactly-once ledger
+    (same design as :func:`streaming_vector_ingest`).
+
+    Unlike the vector twin (dimension-sized layers, driver-side parse),
+    media payloads decode DISTRIBUTED: the binaryFile source carries
+    ``content`` into executors and the per-batch decode is the SAME
+    mapInPandas codec dispatch as the batch path
+    (operators/multimodal._decode_payload → functions/imagecodec), so
+    the two paths cannot drift — PNG/BMP pixels, GIF frame counts
+    through the LZW decoder, WAV sample frames. Unrecognized payloads
+    take the documented deterministic fallback with modality 'binary';
+    corrupt recognized media fails the batch LOUDLY (checkpoint
+    uncommitted — retry after the producer re-drops, the sidecar-race
+    posture). Replay-safe: each batch overwrites its own ``batch=``
+    partition. Runs with Trigger.AvailableNow.
+    """
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(input_glob).select("path", "content")
+
+    _MODALITY = {"png": "image", "jpeg": "image", "bmp": "image",
+                 "gif": "video", "wav": "audio"}
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from sids_data_pipeline_spark.functions import imagecodec as icodec
+        from sids_data_pipeline_spark.operators.multimodal import _decode_payload
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                fmt = icodec.sniff(data)
+                modality = _MODALITY.get(fmt, "binary")
+                feats = _decode_payload(data, modality)
+                rows.append(
+                    {
+                        "media_id": os.path.splitext(os.path.basename(path))[0],
+                        "modality": modality,
+                        **feats,
+                        "checksum": hashlib.md5(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "modality", "n_bytes", "width",
+                         "height", "n_frames", "checksum"],
+            )
+
+    schema = (
+        "media_id string, modality string, n_bytes int, width int, "
+        "height int, n_frames int, checksum string"
+    )
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        import os as _os
+
+        feats = batch.mapInPandas(decode, schema)
+        feats.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    q = (
+        files.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

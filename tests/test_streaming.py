@@ -690,3 +690,44 @@ def test_streaming_vector_ingest_sidecar_race_fails_batch(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 4
     assert {r.vector_id for r in got.collect()} == {"grid"}
+
+
+def test_streaming_media_ingest_incremental_and_loud_corrupt(spark, tmp_path):
+    """Drop-folder media ingest: first drain decodes a PNG + WAV with
+    real dims through the shared codec dispatch; a second drain after a
+    GIF lands processes ONLY the new file. A corrupt PNG (bad CRC)
+    fails its batch loudly — the checkpoint must not commit it."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+    from sids_data_pipeline_spark.streaming.jobs import streaming_media_ingest
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    (drop / "pic.png").write_bytes(ic.png_encode(ic.synth_image(1, 12, 7, 3)))
+    (drop / "tone.wav").write_bytes(
+        ic.wav_encode(np.zeros((400, 2), dtype=np.int16), sample_rate=8000)
+    )
+    streaming_media_ingest(spark, str(drop) + "/*", out, ckpt)
+    first = {r.media_id: r for r in spark.read.parquet(out).collect()}
+    assert (first["pic"].modality, first["pic"].width, first["pic"].height) == (
+        "image", 12, 7,
+    )
+    assert (first["tone"].modality, first["tone"].width,
+            first["tone"].height, first["tone"].n_frames) == ("audio", 8000, 2, 400)
+
+    frames = np.zeros((3, 4, 5), dtype=np.uint8)
+    (drop / "clip.gif").write_bytes(ic.gif_encode(frames))
+    streaming_media_ingest(spark, str(drop) + "/*", out, ckpt)
+    both = {r.media_id: r for r in spark.read.parquet(out).collect()}
+    assert len(both) == 3
+    assert (both["clip"].modality, both["clip"].n_frames) == ("video", 3)
+
+    bad = bytearray(ic.png_encode(ic.synth_image(2, 6, 6, 1)))
+    bad[41] ^= 0xFF
+    (drop / "corrupt.png").write_bytes(bytes(bad))
+    with _pytest.raises(Exception, match="CRC"):
+        streaming_media_ingest(spark, str(drop) + "/*", out, ckpt)

@@ -85,6 +85,7 @@ AUDITED = [
     "pipeline_end_to_end",
     "dedup_clusters",
     "streaming_vector_ingest",
+    "streaming_media_ingest",
     "raster_mosaic",
     "sql_promo_revenue",
     "corpus_dup_spans",
