@@ -218,8 +218,9 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
         w, h, _ncomp = icodec.jpeg_dims(bytes(payload))
         return {"n_bytes": n, "width": w, "height": h, "n_frames": 1}
     if fmt == "gif":
-        # full decode: true frame count (animated GIFs), not just dims
-        _frames, meta = icodec.gif_decode(bytes(payload))
+        # block-walk fast path: true frame count (animated GIFs)
+        # without LZW pixel decode — decode_video does the pixels
+        meta = icodec.gif_frame_meta(bytes(payload))
         return {
             "n_bytes": n,
             "width": meta["width"],

@@ -376,3 +376,14 @@ def test_gif_transparency_and_disposal_refusal():
     gif = head + frame_block(f1, gce_flags=2 << 2) + b"\x3b"
     with pytest.raises(ValueError, match="disposal"):
         ic.gif_decode(bytes(gif))
+
+
+def test_gif_frame_meta_matches_full_decode():
+    rng = np.random.default_rng(99)
+    frames = rng.integers(0, 256, size=(5, 9, 11), dtype=np.uint8)
+    enc = ic.gif_encode(frames)
+    meta = ic.gif_frame_meta(enc)
+    _, full = ic.gif_decode(enc)
+    assert meta == full == {"width": 11, "height": 9, "n_frames": 5}
+    with pytest.raises(ValueError, match="truncated|magic|no image"):
+        ic.gif_frame_meta(enc[: len(enc) // 3])

@@ -135,12 +135,14 @@ def test_shapefile_ingest_unregistered_prj_raises(spark, tmp_path):
     )
     from sids_data_pipeline_spark.functions.geo import box_wkb
 
-    path = str(tmp_path / "cz.shp")
+    # Belgian Lambert 72 — a real CRS with no registered closed form
+    # (Krovak 5514, the previous fixture, is registered as of r10)
+    path = str(tmp_path / "be.shp")
     write_shapefile([(0, "a", box_wkb(0, 0, 1, 1))], path)
     with open(path[:-4] + ".prj", "w") as fh:
-        fh.write('PROJCS["Krovak",AUTHORITY["EPSG","5514"]]')
+        fh.write('PROJCS["Belge72",AUTHORITY["EPSG","31370"]]')
     with pytest.raises(ValueError, match="no registered closed form"):
-        ingest_shapefile(spark, path, vector_id="cz", reproject=True)
+        ingest_shapefile(spark, path, vector_id="be", reproject=True)
 
 
 def test_geopackage_ingest_honours_srs_id(spark, tmp_path):
