@@ -499,6 +499,31 @@ def main() -> None:
             }
         out["vector_reproject"] = vrep
 
+    if not sections or "media" in sections:
+        # --- media codec decode: growing asset counts --------------------
+        # synth PNGs (small varied dims, ~150 px avg) -> encode + full
+        # decode_images per asset: cost should be linear in assets (each
+        # Arrow batch decodes
+        # independently; no shuffle in the plan at all). A flat-or-falling
+        # µs/asset curve means the mapInPandas batching amortizes and the
+        # operator is bounded by codec throughput, not Spark overhead.
+        from sids_data_pipeline_spark.operators import multimodal
+
+        media = {}
+        for n in (2_000, 8_000, 32_000):
+            docs = spark.range(0, n * 7, 7, 32).select(
+                F.col("id").alias("doc_id")
+            )
+            assets = multimodal.synth_png_assets(docs, modulus=7)
+            sec = _steady(
+                lambda a=assets: multimodal.decode_images(a).count(), reps=2
+            )
+            media[f"{n:,} png assets"] = {
+                "sec": round(sec, 3),
+                "us_per_asset": round(sec / n * 1e6, 2),
+            }
+        out["media_decode"] = media
+
     print(json.dumps(out))
     spark.stop()
 
