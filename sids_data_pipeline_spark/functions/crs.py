@@ -1399,7 +1399,13 @@ def standardize_crs_datum(
         return standardize_crs(pixels, epsg_col, dst_epsg)
     codes = list(projections)
     is_datum = F.col(epsg_col).isin(codes)
-    free = standardize_crs(pixels.filter(~is_datum), epsg_col, dst_epsg)
+    # NULL codes must NOT vanish between the two complementary filters
+    # (isin is NULL for NULL input, so both ~is_datum and is_datum would
+    # drop the row silently): route them into the datum-free branch where
+    # standardize_crs's raise_error OTHERWISE fires loudly.
+    free = standardize_crs(
+        pixels.filter(~is_datum | F.col(epsg_col).isNull()), epsg_col, dst_epsg
+    )
     shifted = pixels.filter(is_datum)
 
     def kernel(batches):

@@ -419,7 +419,6 @@ def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
         pos += 3 * n
     frames = []
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
-    transparent = None
     try:
         frames, canvas = _gif_walk_blocks(data, pos, gct, canvas, h, w)
     except (IndexError, struct.error) as exc:
@@ -628,6 +627,34 @@ def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
         rows = rows[::-1]
     if channels >= 3:  # BGR(A) -> RGB(A)
         rows = rows[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
+    elif bpp == 8:
+        # 8-bit pixels are PALETTE INDICES: expand through the color
+        # table (BGRA quads between the DIB header and the pixel data).
+        # An identity-grayscale palette (the bmp_encode default) keeps
+        # the 1-channel gray return; any other palette expands to RGB —
+        # returning raw indices as intensities would be silently wrong.
+        n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+        pal_off = 14 + dib
+        if pal_off + 4 * n_colors > data_offset:
+            raise ValueError(
+                f"bmp: palette ({n_colors} entries) overruns pixel data offset"
+            )
+        quads = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(n_colors, 4)
+        palette = quads[:, [2, 1, 0]]  # BGRA -> RGB
+        idx = np.arange(n_colors, dtype=np.uint8)
+        if not (
+            n_colors == 256
+            and (palette == idx[:, None]).all()
+        ):
+            if int(rows.max(initial=0)) >= n_colors:
+                raise ValueError(
+                    f"bmp: pixel index {int(rows.max())} outside the "
+                    f"{n_colors}-entry palette"
+                )
+            rows = palette[rows[:, :, 0]]
+            channels = 3
     return np.ascontiguousarray(rows), {
         "width": w, "height": h, "channels": channels,
     }
@@ -679,6 +706,11 @@ def wav_info(data: bytes) -> dict:
         if cid == b"fmt " and clen >= 16:
             fmt = struct.unpack_from("<HHIIHH", data, pos + 8)
         elif cid == b"data":
+            if pos + 8 + clen > len(data):
+                raise ValueError(
+                    f"wav: data chunk declares {clen} bytes but only "
+                    f"{len(data) - pos - 8} are present (truncated file)"
+                )
             data_size = clen
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:

@@ -446,10 +446,10 @@ def frame_sample(assets: DataFrame, every_n: int = 8) -> DataFrame:
                     arr, meta = icodec.png_decode(data)
                     fh = meta["width"]  # square frames
                     n_frames = max(meta["height"] // fh, 1)
+                    # floor division: a trailing strip shorter than one
+                    # frame is not emitted (documented filmstrip contract)
                     for fi in range(0, n_frames, every_n):
                         block = arr[fi * fh : (fi + 1) * fh]
-                        if block.shape[0] == 0:  # short last frame of a
-                            block = arr[fi * fh :]  # non-multiple strip
                         rows.append(
                             {
                                 "asset_id": aid,

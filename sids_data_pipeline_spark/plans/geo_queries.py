@@ -3624,9 +3624,10 @@ QUERIES: list[Query] = [
         _crs_reproject_krovak,
         _crs_krovak_sql(),
         doc="Krovak oblique conformal conic (EPSG 9819, S-JTSK 5514 "
-            "East-North): CZ/SK grid forward + unrolled fixed-point "
-            "inverse, term-for-term SQL mirror, 1 m forward quantum + "
-            "round-trip tolerance gate",
+            "East-North): CZ/SK grid forward + closed-form conformal-"
+            "latitude inverse (Snyder series; fixed-point unrolling is "
+            "deliberately avoided, see functions/crs.py), term-for-term "
+            "SQL mirror, 1 m forward quantum + round-trip tolerance gate",
         tags=("geo", "scalar"),
     ),
     Query(
