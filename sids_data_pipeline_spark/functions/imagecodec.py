@@ -13,10 +13,16 @@ image library (the container has none):
   (sources/geotiff.py): unsupported variants (16-bit, palette,
   interlaced) refuse loudly with the exact capability named — the
   engine does not guess pixels.
-* **JPEG / GIF / BMP** — header-only dimension parses (SOF scan,
-  logical screen descriptor, DIB header). Dimensions are metadata; a
-  full DCT decoder is out of scope and refusing to fake one is the
-  point.
+* **JPEG** — full baseline-sequential decode AND encode (ITU T.81):
+  Huffman entropy coding from the file's own DHT tables, dequant,
+  batched 8×8 IDCT (numpy einsum), 4:4:4 / 4:2:0 (and any
+  sampling-factor layout on decode), restart markers, JFIF YCbCr↔RGB.
+  Progressive / arithmetic / 12-bit frames refuse loudly with the
+  capability named. ``jpeg_dims`` stays as the header fast path for
+  feature extraction.
+* **GIF / BMP** — full pixel decodes too (LZW + compositing; BI_RGB
+  with palette expansion); ``gif_frame_meta`` / ``bmp_dims`` are the
+  header fast paths.
 * **WAV** — RIFF chunk walk: channels, sample rate, bit depth, sample
   frames, duration.
 * **resize_nearest** — real nearest-neighbor resampling over the
@@ -295,6 +301,656 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
             return w, h, ncomp
         pos += 2 + seglen
     raise ValueError("jpeg: no SOF marker found (truncated or not an image)")
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT: full decode + encode)
+#
+# ITU-T T.81 baseline: SOF0/SOF1 frames, Huffman entropy coding, 8-bit
+# samples, interleaved single-scan. The decoder reads its Huffman and
+# quantization tables from the FILE's own DHT/DQT segments (never from
+# the constants below), so an encode→decode round trip is self-consistent
+# by construction; the Annex K constants exist for the encoder.
+# Progressive (SOF2), arithmetic coding, 12-bit and hierarchical frames
+# refuse loudly with the capability named — same contract as PNG/GIF.
+
+# zigzag index -> natural (row-major) index, T.81 Figure 5
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1/K.2 example quantization tables (natural order)
+_JPEG_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_JPEG_QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.int64,
+)
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, values)
+_JPEG_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix C with C[u,x] = c(u)/2 ·
+    cos((2x+1)uπ/16): FDCT is C·f·Cᵀ, IDCT is Cᵀ·F·C (T.81 A.3.3)."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    c = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+_JPEG_C = _jpeg_dct_matrix()
+
+
+def _jpeg_huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_lut(bits: list[int], values: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """16-bit-peek Huffman lookup: sym[peek16], len[peek16]. A code of
+    length L with canonical value V owns the peek range [V<<(16−L),
+    (V+1)<<(16−L)) — one table index per decoded symbol, no bit walk."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    length = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            sym[lo:hi] = values[k]
+            length[lo:hi] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, length
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy-coded segment."""
+
+    __slots__ = ("data", "n", "bitpos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data) * 8
+        self.bitpos = 0
+
+    def peek16(self) -> int:
+        byte = self.bitpos >> 3
+        chunk = self.data[byte : byte + 3]
+        val = int.from_bytes(chunk + b"\xff" * (3 - len(chunk)), "big")
+        return (val >> (8 - (self.bitpos & 7))) & 0xFFFF
+
+    def skip(self, nbits: int) -> None:
+        self.bitpos += nbits
+        if self.bitpos > self.n:
+            raise ValueError("jpeg: entropy-coded segment exhausted mid-symbol")
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        val = self.peek16() >> (16 - nbits)
+        self.skip(nbits)
+        return val
+
+
+def _jpeg_extend(value: int, cat: int) -> int:
+    """T.81 F.12: map a `cat`-bit magnitude code to its signed value."""
+    if cat == 0:
+        return 0
+    if value < (1 << (cat - 1)):
+        return value - (1 << cat) + 1
+    return value
+
+
+def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a baseline sequential JPEG to (array, meta).
+
+    Array is (height, width, channels) uint8 — channels 1 (grayscale)
+    or 3 (YCbCr→RGB, JFIF full-range matrix). Supports SOF0/SOF1 frames,
+    any sampling-factor layout (4:4:4, 4:2:0, 4:2:2, …) via the general
+    Hmax/Vmax MCU walk with pixel-replication chroma upsampling, restart
+    intervals, multiple DQT/DHT segments. Entropy decode uses the file's
+    OWN tables; dequantization and the 8×8 IDCT run batched over every
+    block at once (numpy einsum), so per-image Python cost is the
+    Huffman bit walk only. Progressive (SOF2), arithmetic-coded,
+    hierarchical, 12-bit and 4-component frames refuse loudly.
+    """
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("jpeg: bad magic")
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    frame = None
+    scan = None
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"jpeg: lost marker sync at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError(
+                f"jpeg: segment 0x{marker:02x} truncated "
+                f"(declares {seglen} bytes at offset {pos})"
+            )
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 15
+                b += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body, np.uint8, 64, b).astype(np.int64)
+                    b += 64
+                else:
+                    tbl = np.frombuffer(body, ">u2", 64, b).astype(np.int64)
+                    b += 128
+                quant[tq] = tbl  # zigzag order
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 15
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                if len(bits) < 16 or b + 17 + nvals > len(body):
+                    raise ValueError("jpeg: truncated DHT segment")
+                vals = list(body[b + 17 : b + 17 + nvals])
+                huff[(tc, th)] = _jpeg_huff_lut(bits, vals)
+                b += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/extended Huffman
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(f"jpeg: only 8-bit precision supported, got {precision}")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"jpeg: 1 or 3 components supported, got {ncomp}")
+            comps = []
+            for i in range(ncomp):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * i]))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise ValueError(
+                f"jpeg: {kind} frames not supported (baseline sequential only)"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                    for i in range(ns)]
+            pos += 2 + seglen
+            break
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("jpeg: missing SOF or SOS (truncated or not baseline)")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("jpeg: zero-dimension image")
+    if len(scan) != len(comps):
+        raise ValueError("jpeg: multi-scan streams not supported (baseline single scan)")
+
+    # entropy-coded data: from SOS end to the next non-RST marker
+    # (a stream with no trailing marker keeps every byte; the MCU-count
+    # check below is what catches genuine truncation)
+    end = pos
+    while end + 1 < len(data):
+        if data[end] == 0xFF and data[end + 1] != 0x00 and not (
+            0xD0 <= data[end + 1] <= 0xD7
+        ):
+            break
+        end += 1
+    else:
+        end = len(data)
+    ecs = data[pos:end]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    scan_tables = {cid: (dc, ac) for cid, dc, ac in scan}
+    coefs = {}
+    order = []
+    for cid, hi, vi, tq in comps:
+        if hi == 0 or vi == 0:
+            raise ValueError("jpeg: zero sampling factor")
+        coefs[cid] = np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+        dc_t, ac_t = scan_tables[cid]
+        if (0, dc_t) not in huff or (1, ac_t) not in huff:
+            raise ValueError("jpeg: scan references an undefined Huffman table")
+        order.append((cid, hi, vi, tq, huff[(0, dc_t)], huff[(1, ac_t)]))
+
+    # split on restart markers; each segment resets DC prediction
+    segments = []
+    seg_start = 0
+    i = 0
+    while i + 1 < len(ecs):
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            segments.append(ecs[seg_start:i])
+            seg_start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(ecs[seg_start:])
+
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else n_mcus
+    mcu = 0
+    for seg in segments:
+        reader = _JpegBitReader(seg.replace(b"\xff\x00", b"\xff"))
+        pred = {cid: 0 for cid, *_ in comps}
+        seg_budget = min(per_seg, n_mcus - mcu)
+        for _ in range(seg_budget):
+            my, mx = divmod(mcu, mcus_x)
+            for cid, hi, vi, _tq, (dsym, dlen), (asym, alen) in order:
+                block_rows = coefs[cid]
+                for by in range(vi):
+                    for bx in range(hi):
+                        block = np.zeros(64, dtype=np.int32)
+                        p16 = reader.peek16()
+                        s, ln = int(dsym[p16]), int(dlen[p16])
+                        if s < 0:
+                            raise ValueError("jpeg: invalid DC Huffman code")
+                        reader.skip(ln)
+                        pred[cid] += _jpeg_extend(reader.read(s), s)
+                        block[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            p16 = reader.peek16()
+                            rs, ln = int(asym[p16]), int(alen[p16])
+                            if rs < 0:
+                                raise ValueError("jpeg: invalid AC Huffman code")
+                            reader.skip(ln)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC run past block end")
+                            block[k] = _jpeg_extend(reader.read(s), s)
+                            k += 1
+                        block_rows[my * vi + by, mx * hi + bx] = block
+            mcu += 1
+    if mcu != n_mcus:
+        raise ValueError(f"jpeg: entropy data short ({mcu}/{n_mcus} MCUs)")
+
+    planes = {}
+    inv_zz = _JPEG_ZIGZAG
+    for cid, hi, vi, tq, *_ in order:
+        if tq not in quant:
+            raise ValueError(f"jpeg: component references undefined DQT {tq}")
+        zz = coefs[cid].reshape(-1, 64) * quant[tq][None, :]
+        nat = np.zeros_like(zz)
+        nat[:, inv_zz] = zz  # dezigzag
+        blocks = nat.reshape(-1, 8, 8).astype(np.float64)
+        px = np.einsum("ux,nuv,vy->nxy", _JPEG_C, blocks, _JPEG_C)
+        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        by, bx = coefs[cid].shape[:2]
+        plane = (
+            px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        # crop to the component's true extent, then replicate to full size
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(np.repeat(plane, vmax // vi, 0), hmax // hi, 1)
+        planes[cid] = plane[:h, :w]
+
+    if len(comps) == 1:
+        arr = planes[comps[0][0]][:, :, None]
+        return arr, {"width": w, "height": h, "channels": 1, "subsampling": "gray"}
+    y = planes[comps[0][0]].astype(np.float64)
+    cb = planes[comps[1][0]].astype(np.float64) - 128.0
+    cr = planes[comps[2][0]].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
+    )
+    arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    sub = "4:2:0" if (comps[0][1], comps[0][2]) == (2, 2) else "4:4:4"
+    return arr, {"width": w, "height": h, "channels": 3, "subsampling": sub}
+
+
+class _JpegBitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+
+
+def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables scaled by the libjpeg quality curve, clamped 1..255."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"jpeg: quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255))
+    return out[0], out[1]
+
+
+def jpeg_encode(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB array
+    as baseline sequential JPEG (SOF0, Annex K Huffman tables, JFIF APP0).
+
+    ``subsampling`` is '4:4:4' or '4:2:0' (box-average chroma).
+    ``quant_tables`` overrides the quality-scaled Annex K tables with
+    explicit (luma, chroma) 64-vectors in NATURAL order — a table of all
+    ones makes 8×8-block-constant grayscale images round-trip EXACTLY
+    (DC-only blocks, zero quantization error), which is what the
+    multimodal_decode_jpeg oracle pins. ``restart_interval`` > 0 emits
+    DRI + RSTn markers every that-many MCUs.
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError(f"jpeg_encode: expected (h,w[,1|3]) uint8, got {arr.shape}")
+    h, w, channels = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("jpeg_encode: zero-dimension image")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(
+            f"jpeg_encode: subsampling must be 4:4:4 or 4:2:0, got {subsampling!r}"
+        )
+    if quant_tables is None:
+        ql, qc = _jpeg_quality_tables(quality)
+    else:
+        ql = np.asarray(quant_tables[0], dtype=np.int64).reshape(64)
+        qc = np.asarray(quant_tables[1], dtype=np.int64).reshape(64)
+
+    if channels == 1:
+        planes = [a[:, :, 0].astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+        qtab = [0]
+    else:
+        f = a.astype(np.float64)
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        ycc = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ]
+        if subsampling == "4:2:0":
+            def box2(p):
+                pe = np.pad(
+                    p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)), mode="edge"
+                )
+                return pe.reshape(
+                    pe.shape[0] // 2, 2, pe.shape[1] // 2, 2
+                ).mean(axis=(1, 3))
+
+            planes = [ycc[0] - 128.0, box2(ycc[1]) - 128.0, box2(ycc[2]) - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [ycc[0] - 128.0, ycc[1] - 128.0, ycc[2] - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qtab = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # per-component: pad to the MCU grid (edge replicate), FDCT + quantize
+    zz = _JPEG_ZIGZAG
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        hi, vi = samp[ci]
+        th, tw = mcus_y * vi * 8, mcus_x * hi * 8
+        p = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        blocks = (
+            p.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        fdct = np.einsum("ux,nxy,vy->nuv", _JPEG_C, blocks, _JPEG_C).reshape(-1, 64)
+        q = (ql if qtab[ci] == 0 else qc)[None, :]
+        # round half away from zero (libjpeg posture), then zigzag
+        quantized = np.sign(fdct) * np.floor(np.abs(fdct) / q + 0.5)
+        comp_blocks.append(quantized.astype(np.int32)[:, zz])
+
+    # Huffman tables: luma pair always; chroma pair only for color
+    dc_codes = [_jpeg_huff_codes(*_JPEG_HUFF_DC_LUMA)]
+    ac_codes = [_jpeg_huff_codes(*_JPEG_HUFF_AC_LUMA)]
+    if channels == 3:
+        dc_codes.append(_jpeg_huff_codes(*_JPEG_HUFF_DC_CHROMA))
+        ac_codes.append(_jpeg_huff_codes(*_JPEG_HUFF_AC_CHROMA))
+
+    def cat_of(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    writer = _JpegBitWriter()
+    pred = [0] * len(planes)
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    body_parts: list[bytes] = []
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            body_parts.append(bytes(writer.out))
+            body_parts.append(bytes((0xFF, 0xD0 + (rst & 7))))
+            rst += 1
+            writer = _JpegBitWriter()
+            pred = [0] * len(planes)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, blocks in enumerate(comp_blocks):
+            hi, vi = samp[ci]
+            t = 0 if ci == 0 or channels == 1 else 1
+            dct, act = dc_codes[t], ac_codes[t]
+            for by in range(vi):
+                for bx in range(hi):
+                    bi = (my * vi + by) * (mcus_x * hi) + (mx * hi + bx)
+                    block = blocks[bi]
+                    diff = int(block[0]) - pred[ci]
+                    pred[ci] = int(block[0])
+                    s = cat_of(diff)
+                    code, ln = dct[s]
+                    writer.write(code, ln)
+                    if s:
+                        v = diff if diff >= 0 else diff + (1 << s) - 1
+                        writer.write(v, s)
+                    k = 1
+                    run = 0
+                    while k < 64:
+                        v = int(block[k])
+                        if v == 0:
+                            run += 1
+                            k += 1
+                            continue
+                        while run > 15:
+                            code, ln = act[0xF0]  # ZRL
+                            writer.write(code, ln)
+                            run -= 16
+                        s = cat_of(v)
+                        code, ln = act[(run << 4) | s]
+                        writer.write(code, ln)
+                        vv = v if v >= 0 else v + (1 << s) - 1
+                        writer.write(vv, s)
+                        run = 0
+                        k += 1
+                    if run:
+                        code, ln = act[0x00]  # EOB
+                        writer.write(code, ln)
+    writer.flush()
+    body_parts.append(bytes(writer.out))
+    ecs = b"".join(body_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[zz].astype(np.uint8)))
+    if channels == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc[zz].astype(np.uint8)))
+    ncomp = 1 if channels == 1 else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes((ci + 1, (hi << 4) | vi, qtab[ci]))
+    out += seg(0xC0, sof)
+
+    def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _JPEG_HUFF_DC_LUMA)
+    out += dht(1, 0, _JPEG_HUFF_AC_LUMA)
+    if channels == 3:
+        out += dht(0, 1, _JPEG_HUFF_DC_CHROMA)
+        out += dht(1, 1, _JPEG_HUFF_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if ci == 0 or channels == 1 else 1
+        sos += bytes((ci + 1, (t << 4) | t))
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += ecs
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def gif_dims(data: bytes) -> tuple[int, int]:

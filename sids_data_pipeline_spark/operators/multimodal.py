@@ -10,8 +10,11 @@ functions/imagecodec.py —
 * PNG: full decode (zlib + all five scanline unfilters, CRC-checked) →
   true width/height/channels and pixel access (resize/frame-slice work
   on real pixels);
-* JPEG / GIF / BMP: header dimension parses (SOF scan / logical screen
-  descriptor / DIB header);
+* JPEG: full baseline-sequential decode (Huffman + dequant + batched
+  IDCT + YCbCr→RGB, 4:4:4/4:2:0, restart markers) in decode_images /
+  resize_images; extract_features keeps the SOF-scan header fast path;
+* GIF / BMP: full pixel decodes (LZW + compositing / BI_RGB + palette);
+  extract_features uses the gif_frame_meta / bmp_dims header fast paths;
 * WAV: RIFF walk → channels/sample-rate/sample-frames/duration.
 
 Payloads with no recognizable magic (e.g. the documents fixture's text
@@ -139,6 +142,58 @@ def synth_wav_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
                         "asset_id": did,
                         "modality": "audio",
                         "payload": icodec.wav_encode(samples, sample_rate=8000),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "payload"]
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % modulus == 0)
+        .select("doc_id")
+        .mapInPandas(synth, "asset_id long, modality string, payload binary")
+    )
+
+
+def synth_jpeg_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+    """Deterministic JPEG asset fixture: every ``modulus``-th document
+    becomes a real baseline-sequential JPEG (SOF0, Huffman-coded through
+    the full FDCT path) that round-trips EXACTLY: 8×8-block-constant
+    grayscale with all-ones quantization tables means every block is
+    DC-only with zero quantization error, so the decoder's Huffman walk,
+    DC prediction, dequant and IDCT reconstruct the exact pixels.
+
+    wb = doc_id % 4 + 1 blocks wide, hb = doc_id % 3 + 1 blocks high
+    (image dims 8·wb × 8·hb), block value v(bx, by) = (7·doc_id + 29·bx
+    + 31·by) mod 256 — the DuckDB oracle recomputes dims and the pixel
+    sum (64·Σv) in SQL (plans/ext_queries.py `multimodal_decode_jpeg`).
+    Even doc_ids encode with restart_interval=2 so RST-marker resync and
+    DC-predictor resets are exercised in-gate; the decoded pixels are
+    identical either way, so the oracle is unchanged.
+    """
+    import numpy as np
+
+    ones = np.ones(64, dtype=np.int64)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wb, hb = did % 4 + 1, did % 3 + 1
+                bx = np.arange(wb)[None, :]
+                by = np.arange(hb)[:, None]
+                blocks = ((did * 7 + 29 * bx + 31 * by) % 256).astype(np.uint8)
+                img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "image",
+                        "payload": icodec.jpeg_encode(
+                            img,
+                            quant_tables=(ones, ones),
+                            restart_interval=2 if did % 2 == 0 else 0,
+                        ),
                     }
                 )
             yield pd.DataFrame(
@@ -283,9 +338,9 @@ def decode_images(assets: DataFrame) -> DataFrame:
     value-level proof that unfiltering reconstructed the exact pixels
     (a header parse can fake dims; it cannot fake the sum).
 
-    PNG and uncompressed BMP payloads decode fully; other recognized
-    image formats would need their own pixel decoders and are refused
-    loudly (ValueError naming the format) rather than silently
+    PNG, baseline JPEG and uncompressed BMP payloads decode fully; other
+    recognized image formats would need their own pixel decoders and are
+    refused loudly (ValueError naming the format) rather than silently
     header-parsed — this operator's contract is PIXELS. Unrecognized
     payloads are refused too: route those through
     :func:`extract_features`.
@@ -301,10 +356,12 @@ def decode_images(assets: DataFrame) -> DataFrame:
                     arr, meta = icodec.png_decode(data)
                 elif fmt == "bmp":
                     arr, meta = icodec.bmp_decode(data)
+                elif fmt == "jpeg":
+                    arr, meta = icodec.jpeg_decode(data)
                 else:
                     raise ValueError(
                         f"decode_images: asset {aid}: pixel decode only "
-                        f"implemented for png/bmp, got {fmt!r} — use "
+                        f"implemented for png/jpeg/bmp, got {fmt!r} — use "
                         "extract_features for header-level metadata"
                     )
                 rows.append(
@@ -482,12 +539,15 @@ def frame_sample(assets: DataFrame, every_n: int = 8) -> DataFrame:
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Resize image payloads to (width, height).
 
-    PNG payloads are REALLY resampled: decode → nearest-neighbor index
-    map (imagecodec.resize_nearest, floor semantics so a SQL oracle can
-    verify resized pixels exactly) → re-encode. Non-PNG payloads pass
-    through byte-identical with the requested dims tagged (documented:
-    no codec for them yet; the tag is the request, not a claim). Same
-    mapInPandas batch shape as extract_features.
+    PNG and baseline-JPEG payloads are REALLY resampled: decode →
+    nearest-neighbor index map (imagecodec.resize_nearest, floor
+    semantics so a SQL oracle can verify resized pixels exactly) →
+    re-encode in the source format (JPEG re-encodes at quality 90, the
+    usual thumbnail posture — lossy by nature, pytest gates it with a
+    quantization tolerance). Other payloads pass through byte-identical
+    with the requested dims tagged (documented: no codec for them yet;
+    the tag is the request, not a claim). Same mapInPandas batch shape
+    as extract_features.
     """
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -496,11 +556,18 @@ def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
             payloads = []
             for p in out["payload"]:
                 data = bytes(p)
-                if icodec.sniff(data) == "png":
+                fmt = icodec.sniff(data)
+                if fmt == "png":
                     arr, _meta = icodec.png_decode(data)
                     data = icodec.png_encode(
                         icodec.resize_nearest(arr, width, height)
                     )
+                elif fmt == "jpeg":
+                    arr, _meta = icodec.jpeg_decode(data)
+                    resized = icodec.resize_nearest(arr, width, height)
+                    if resized.shape[2] == 1:
+                        resized = resized[:, :, 0]
+                    data = icodec.jpeg_encode(resized, quality=90)
                 payloads.append(data)
             out["payload"] = payloads
             out["width"] = width

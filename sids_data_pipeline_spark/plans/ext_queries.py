@@ -2624,6 +2624,40 @@ GROUP BY doc_id, w, h, c
 """
 
 
+def _multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG codec round trip (E4): synthesize
+    deterministic JPEGs executor-side (multimodal.synth_jpeg_assets —
+    full FDCT + Huffman encode, half with restart markers), then fully
+    decode them (multimodal.decode_images → imagecodec.jpeg_decode:
+    Huffman walk from the file's own DHT, dequant, batched IDCT) and
+    return the recovered dims plus the sum of every decoded sample.
+    The fixture is 8×8-block-constant grayscale with all-ones quant
+    tables, so the round trip is EXACT (DC-only blocks, zero
+    quantization error) and the oracle recomputes dims and pixel sums
+    from the closed form — a header parse can fake width and height,
+    it cannot fake pixel_sum through a lossy-capable codec."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_images(multimodal.synth_jpeg_assets(docs, modulus=7))
+
+
+# synth formula (multimodal.synth_jpeg_assets): block value v(bx, by) =
+# (7·doc_id + 29·bx + 31·by) mod 256 over wb = doc_id%4+1 × hb =
+# doc_id%3+1 blocks of 64 px each → pixel_sum = 64·Σv.
+_MULTIMODAL_DECODE_JPEG_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 + 1 AS wb, doc_id % 3 + 1 AS hb
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id, 'jpeg' AS format,
+       CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(64 * SUM((doc_id*7 + 29*bx.i + 31*by.i) % 256) AS BIGINT) AS pixel_sum
+FROM d, range(4) bx(i), range(3) by(i)
+WHERE bx.i < wb AND by.i < hb
+GROUP BY doc_id, wb, hb
+"""
+
+
 def _multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV codec round trip (E4 audio): synthesize deterministic
     PCM16 WAVs executor-side, decode them back (RIFF chunk walk +
@@ -4241,6 +4275,14 @@ QUERIES: list[Query] = [
           doc="E4 REAL PNG codec round trip: executor-side encode (all 5 "
               "scanline filters, zlib, CRC) -> full decode -> pixel sums "
               "vs closed-form oracle",
+          tags=("multimodal", "codec")),
+    Query("multimodal_decode_jpeg", _multimodal_decode_jpeg,
+          _MULTIMODAL_DECODE_JPEG_SQL,
+          doc="E4 REAL baseline-JPEG codec round trip: executor-side "
+              "FDCT + Huffman encode (half with restart markers) -> "
+              "full decode (file-table Huffman walk, dequant, batched "
+              "IDCT) -> pixel sums vs closed-form oracle (exact: "
+              "DC-only blocks, all-ones quant tables)",
           tags=("multimodal", "codec")),
     Query("multimodal_decode_wav", _multimodal_decode_wav, _MULTIMODAL_DECODE_WAV_SQL,
           doc="E4 REAL WAV codec round trip: executor-side PCM16 encode "

@@ -387,3 +387,102 @@ def test_gif_frame_meta_matches_full_decode():
     assert meta == full == {"width": 11, "height": 9, "n_frames": 5}
     with pytest.raises(ValueError, match="truncated|magic|no image"):
         ic.gif_frame_meta(enc[: len(enc) // 3])
+
+
+# --------------------------------------------------------------------------
+# JPEG full codec (baseline sequential)
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """8×8-block-constant gray + all-ones quant tables round-trip EXACTLY:
+    DC-only blocks, zero quantization error — the multimodal_decode_jpeg
+    oracle contract."""
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    ones = np.ones(64, dtype=np.int64)
+    for rst in (0, 2, 5):
+        data = ic.jpeg_encode(img, quant_tables=(ones, ones), restart_interval=rst)
+        arr, meta = ic.jpeg_decode(data)
+        assert meta == {"width": 32, "height": 24, "channels": 1,
+                        "subsampling": "gray"}
+        assert (arr[:, :, 0] == img).all()
+        assert ic.sniff(data) == "jpeg"
+        assert ic.jpeg_dims(data) == (32, 24, 1)
+
+
+def test_jpeg_gray_rgb_through_color_convert_exact():
+    """R=G=B block-constant input means Cb=Cr=128 exactly, so even the
+    color-converted path round-trips exactly with all-ones tables."""
+    rng = np.random.default_rng(12)
+    blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    g = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    rgb = np.stack([g, g, g], axis=2)
+    ones = np.ones(64, dtype=np.int64)
+    arr, meta = ic.jpeg_decode(ic.jpeg_encode(rgb, quant_tables=(ones, ones)))
+    assert meta["channels"] == 3
+    assert (arr == rgb).all()
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_jpeg_quality_roundtrip_within_quantization_tolerance(subsampling):
+    """Smooth synthetic RGB at quality 95 reconstructs within a small
+    per-sample tolerance vs the PNG-path ground truth on the same array
+    (the judge's decode(jpeg(x)) ≈ x contract); non-multiple-of-MCU dims
+    exercise edge padding + crop."""
+    src = ic.synth_image(5, 33, 19, 3)
+    truth, _ = ic.png_decode(ic.png_encode(src))  # PNG path is lossless
+    arr, meta = ic.jpeg_decode(ic.jpeg_encode(src, quality=95,
+                                              subsampling=subsampling))
+    assert meta["subsampling"] == subsampling
+    assert arr.shape == truth.shape
+    err = np.abs(arr.astype(int) - truth.astype(int))
+    if subsampling == "4:4:4":
+        assert err.max() <= 8
+    else:  # chroma is box-averaged then replicated: looser but bounded
+        assert err.mean() <= 4.0 and err.max() <= 64
+
+
+def test_jpeg_noise_roundtrip_bounded_and_deterministic():
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)
+    d1 = ic.jpeg_encode(src, quality=50, subsampling="4:2:0")
+    d2 = ic.jpeg_encode(src, quality=50, subsampling="4:2:0")
+    assert d1 == d2  # deterministic encoder
+    arr, meta = ic.jpeg_decode(d1)
+    assert (meta["width"], meta["height"]) == (37, 21)
+    assert arr.shape == (21, 37, 3)
+
+
+def test_jpeg_refusals_name_the_capability():
+    ones = np.ones(64, dtype=np.int64)
+    data = ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8),
+                          quant_tables=(ones, ones))
+    # progressive: flip SOF0 -> SOF2
+    bad = bytearray(data)
+    bad[bad.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        ic.jpeg_decode(bytes(bad))
+    # truncation at several depths is loud
+    for cut in (10, 30, len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            ic.jpeg_decode(data[:cut])
+    with pytest.raises(ValueError, match="magic"):
+        ic.jpeg_decode(b"nonsense payload")
+    with pytest.raises(ValueError, match="quality"):
+        ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8), quality=0)
+    with pytest.raises(ValueError, match="subsampling"):
+        ic.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:2:2")
+
+
+def test_jpeg_decoder_reads_tables_from_the_file():
+    """The decoder must use the stream's own DQT, not the Annex K
+    constants: doubling the stored table doubles the dequantized DC."""
+    img = np.full((8, 8), 192, dtype=np.uint8)
+    ones = np.ones(64, dtype=np.int64)
+    data = bytearray(ic.jpeg_encode(img, quant_tables=(ones, ones)))
+    i = data.index(b"\xff\xdb") + 5  # first DQT entry (zigzag 0 = DC)
+    data[i] = 2  # q00: 1 -> 2
+    arr, _ = ic.jpeg_decode(bytes(data))
+    # DC was 8*(192-128)=512 at q=1; at q=2 the decoder sees 1024 -> clamps 255
+    assert (arr == 255).all()
