@@ -1056,15 +1056,19 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> np.ndarra
 def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode a (possibly animated) GIF to (frames, meta): frames is
     (n_frames, height, width, 3) uint8 RGB composited onto the logical
-    screen with disposal methods none/keep (0/1) — each frame paints
-    over the previous canvas; transparent pixels leave it untouched.
-    Disposal 2/3 (restore-background/previous) refuse loudly, as does
-    a frame without a color table. Interlaced frames are de-interlaced
-    (Adam-style four-pass row order)."""
+    screen with ALL four disposal methods (GIF89a §23): 0/1 keep the
+    painted canvas, 2 restores the frame's rect to the background color
+    (GCT[background index] when a global table exists, else black — the
+    engine has no alpha channel to clear to), 3 restores the canvas to
+    its pre-frame state. Transparent pixels leave the canvas untouched.
+    Reserved disposal values (4–7) and a frame without a color table
+    refuse loudly. Interlaced frames are de-interlaced (four-pass row
+    order)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif: bad magic")
     w, h = struct.unpack_from("<HH", data, 6)
     packed = data[10]
+    bg_index = data[11]
     pos = 13
     gct = None
     if packed & 0x80:
@@ -1073,10 +1077,13 @@ def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
             n, 3
         )
         pos += 3 * n
-    frames = []
+    bg_rgb = (
+        gct[bg_index] if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
     try:
-        frames, canvas = _gif_walk_blocks(data, pos, gct, canvas, h, w)
+        frames, canvas = _gif_walk_blocks(data, pos, gct, canvas, h, w, bg_rgb)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"gif: truncated stream ({exc})") from exc
     if not frames:
@@ -1086,9 +1093,10 @@ def gif_decode(data: bytes) -> tuple[np.ndarray, dict]:
     }
 
 
-def _gif_walk_blocks(data, pos, gct, canvas, h, w):
+def _gif_walk_blocks(data, pos, gct, canvas, h, w, bg_rgb):
     frames = []
     transparent = None
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
@@ -1100,9 +1108,9 @@ def _gif_walk_blocks(data, pos, gct, canvas, h, w):
             if label == 0xF9 and data[pos] >= 4:  # graphic control
                 flags = data[pos + 1]
                 disposal = (flags >> 2) & 0x07
-                if disposal >= 2:
+                if disposal >= 4:
                     raise ValueError(
-                        f"gif: disposal method {disposal} (restore) not supported"
+                        f"gif: reserved disposal method {disposal}"
                     )
                 transparent = data[pos + 4] if flags & 0x01 else None
             while True:  # skip/consume sub-blocks
@@ -1144,6 +1152,7 @@ def _gif_walk_blocks(data, pos, gct, canvas, h, w):
             de[order] = idx
             idx = de
         rgb = table[np.minimum(idx, len(table) - 1)]
+        snapshot = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + fh, left : left + fw]
         if transparent is not None:
             mask = idx != transparent
@@ -1151,7 +1160,14 @@ def _gif_walk_blocks(data, pos, gct, canvas, h, w):
         else:
             region[:] = rgb
         frames.append(canvas.copy())
+        # disposal happens AFTER the frame is shown: it sets the canvas
+        # the NEXT frame composites onto
+        if disposal == 2:  # restore the frame's rect to background
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disposal == 3:  # restore the canvas to its pre-frame state
+            canvas = snapshot
         transparent = None
+        disposal = 0
     return frames, canvas
 
 
@@ -1201,29 +1217,62 @@ def gif_frame_meta(data: bytes) -> dict:
 
 def gif_encode(frames: np.ndarray, palette: np.ndarray | None = None) -> bytes:
     """Minimal GIF89a writer for (n, h, w) uint8 INDEX frames over a
-    256-entry palette (default: identity grayscale). Uses the classic
-    'uncompressed GIF' LZW trick — literal 8-bit codes with a clear
-    code every 2^8−2 symbols so the dictionary never grows — which
-    every conformant decoder (including :func:`gif_decode`) reads
-    back exactly. Fixture generator for the GIF decode path."""
+    256-entry palette (default: identity grayscale) — full-size opaque
+    frames with disposal 0. Fixture generator for the GIF decode path;
+    see :func:`gif_encode_frames` for sub-rect/disposal/transparency
+    control."""
     f = np.asarray(frames, dtype=np.uint8)
     if f.ndim == 2:
         f = f[None]
     n_frames, h, w = f.shape
+    specs = [{"idx": frame} for frame in f]
+    return gif_encode_frames(w, h, specs, palette=palette)
+
+
+def gif_encode_frames(
+    w: int,
+    h: int,
+    specs: list[dict],
+    palette: np.ndarray | None = None,
+    bg_index: int = 0,
+) -> bytes:
+    """GIF89a writer with per-frame placement, disposal and transparency:
+    each spec is ``{"idx": 2-D uint8 index array, "left": int, "top":
+    int, "disposal": 0..3, "transparent": int | None}`` (all but
+    ``idx`` optional). Uses the classic 'uncompressed GIF' LZW trick —
+    literal 8-bit codes with a clear code every 2^8−2 symbols so the
+    dictionary never grows — which every conformant decoder (including
+    :func:`gif_decode`) reads back exactly. The disposal-method fixture
+    generator for the multimodal_gif_disposal oracle."""
     if palette is None:
         palette = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
     if palette.shape != (256, 3):
         raise ValueError("gif_encode: palette must be (256, 3)")
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, bg_index, 0)  # 256-entry GCT
     out += palette.astype(np.uint8).tobytes()
-    for frame in f:
-        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: disposal 0
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    for spec in specs:
+        idx = np.asarray(spec["idx"], dtype=np.uint8)
+        if idx.ndim != 2:
+            raise ValueError("gif_encode_frames: each idx must be 2-D")
+        fh, fw = idx.shape
+        left = int(spec.get("left", 0))
+        top = int(spec.get("top", 0))
+        disposal = int(spec.get("disposal", 0))
+        transparent = spec.get("transparent")
+        if not 0 <= disposal <= 3:
+            raise ValueError(f"gif_encode_frames: disposal must be 0..3, got {disposal}")
+        if left + fw > w or top + fh > h:
+            raise ValueError("gif_encode_frames: frame rect outside logical screen")
+        gce_flags = (disposal << 2) | (1 if transparent is not None else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            (gce_flags, 0, 0, transparent if transparent is not None else 0, 0)
+        )
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
         out.append(8)  # LZW min code size
         clear, bits = 256, 9
         codes = []
-        for i, px in enumerate(frame.ravel()):
+        for i, px in enumerate(idx.ravel()):
             if i % 254 == 0:
                 codes.append(clear)
             codes.append(int(px))

@@ -426,6 +426,62 @@ def synth_gif_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
     )
 
 
+def synth_gif_disposal_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+    """Animated-GIF fixture exercising ALL disposal methods (GIF89a §23)
+    with closed-form composited frames. Canvas w = doc_id % 21 + 4,
+    h = doc_id % 11 + 3 (≥4×3); background index 0 (black under the
+    identity-grayscale palette); frame-local value v_k(x, y) =
+    (13·doc_id + 17k + 3x + 5y) mod 256. Four frames:
+
+    * f0 — full canvas, disposal 1 (keep)
+    * f1 — inner rect (1, 1, w−2, h−2), disposal 2 → the rect is
+      CLEARED TO BACKGROUND before f2 (the border ring keeps f0)
+    * f2 — corner rect (0, 0, 2, 2), disposal 3 → the canvas REVERTS
+      to its pre-f2 state before f3
+    * f3 — top row (0, 0, w, 1), disposal 0
+
+    Every composited frame is therefore an exact CASE expression over
+    (x, y) that the DuckDB oracle mirrors (multimodal_gif_disposal):
+    a keep-only compositor gets f2/f3 wrong, a clear-everything
+    compositor gets the ring wrong."""
+    import numpy as np
+
+    def v(did: int, k: int, fh: int, fw: int) -> np.ndarray:
+        y = np.arange(fh)[:, None]
+        x = np.arange(fw)[None, :]
+        return ((did * 13 + 17 * k + 3 * x + 5 * y) % 256).astype(np.uint8)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 21 + 4, did % 11 + 3
+                specs = [
+                    {"idx": v(did, 0, h, w), "disposal": 1},
+                    {"idx": v(did, 1, h - 2, w - 2), "left": 1, "top": 1,
+                     "disposal": 2},
+                    {"idx": v(did, 2, 2, 2), "disposal": 3},
+                    {"idx": v(did, 3, 1, w), "disposal": 0},
+                ]
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "video",
+                        "payload": icodec.gif_encode_frames(w, h, specs),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "payload"]
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % modulus == 0)
+        .select("doc_id")
+        .mapInPandas(synth, "asset_id long, modality string, payload binary")
+    )
+
+
 def decode_video(assets: DataFrame) -> DataFrame:
     """Full multi-frame decode (UDTF shape: one asset row → one row per
     frame): GIF payloads through the LZW decoder + frame compositor,

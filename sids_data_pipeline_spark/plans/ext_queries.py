@@ -2719,6 +2719,57 @@ GROUP BY doc_id, f.v, w, h
 """
 
 
+def _multimodal_gif_disposal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF disposal-method compositing gate (E4): four-frame fixtures
+    where f1 disposes restore-to-background (its inner rect clears, the
+    border ring keeps f0) and f2 disposes restore-to-previous (the
+    canvas reverts before f3). The oracle recomputes each composited
+    frame as a CASE expression over (x, y) — a keep-only compositor
+    gets f2/f3 wrong, a clear-everything compositor gets the ring
+    wrong, so the pinned sums prove the rect-scoped disposal
+    semantics."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_video(
+        multimodal.synth_gif_disposal_assets(docs, modulus=7)
+    )
+
+
+# synth (multimodal.synth_gif_disposal_assets): v_k(x,y) = (13·doc_id
+# + 17k + 3x + 5y) mod 256 frame-local; background = index 0 = black.
+# pre(x,y) = the post-f1-disposal canvas: f0 on the border ring, 0 in
+# the cleared inner rect. Composites: f0 = v0; f1 = v1 inside the inner
+# rect (frame-local coords), ring keeps v0; f2 = v2 on the 2×2 corner
+# over pre; f3 = v3 on the top row over pre (f2 reverted).
+_MULTIMODAL_GIF_DISPOSAL_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 21 + 4 AS w, doc_id % 11 + 3 AS h
+  FROM documents WHERE doc_id % 7 = 0
+),
+px AS (
+  SELECT doc_id, w, h, f.v AS fi, x.v AS x, y.v AS y,
+         (doc_id*13 + 3*x.v + 5*y.v) % 256 AS v0,
+         CASE WHEN x.v BETWEEN 1 AND w-2 AND y.v BETWEEN 1 AND h-2
+              THEN 0 ELSE (doc_id*13 + 3*x.v + 5*y.v) % 256 END AS pre
+  FROM d, range(4) f(v), range(24) x(v), range(13) y(v)
+  WHERE x.v < w AND y.v < h
+)
+SELECT doc_id AS asset_id, CAST(fi AS INT) AS frame_index,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 * SUM(CASE
+         WHEN fi = 0 THEN v0
+         WHEN fi = 1 THEN CASE
+           WHEN x BETWEEN 1 AND w-2 AND y BETWEEN 1 AND h-2
+           THEN (doc_id*13 + 17 + 3*(x-1) + 5*(y-1)) % 256 ELSE v0 END
+         WHEN fi = 2 THEN CASE
+           WHEN x < 2 AND y < 2 THEN (doc_id*13 + 34 + 3*x + 5*y) % 256
+           ELSE pre END
+         ELSE CASE
+           WHEN y = 0 THEN (doc_id*13 + 51 + 3*x) % 256 ELSE pre END
+       END) AS BIGINT) AS pixel_sum
+FROM px GROUP BY doc_id, fi, w, h
+"""
+
+
 def _streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 through the streaming drop-folder path: deterministic PNG,
     animated-GIF and WAV files land in a watched directory,
@@ -4292,6 +4343,12 @@ QUERIES: list[Query] = [
           doc="E4 REAL animated-GIF codec round trip: executor-side LZW "
               "encode -> dictionary decode + frame compositing -> "
               "per-frame RGB sums vs closed-form oracle (UDTF shape)",
+          tags=("multimodal", "codec")),
+    Query("multimodal_gif_disposal", _multimodal_gif_disposal,
+          _MULTIMODAL_GIF_DISPOSAL_SQL,
+          doc="E4 GIF disposal-method compositing: restore-to-background "
+              "clears only the frame rect, restore-to-previous reverts "
+              "the canvas — per-frame sums vs a CASE-expression oracle",
           tags=("multimodal", "codec")),
     Query("streaming_media_ingest", _streaming_media_ingest, _STREAMING_MEDIA_SQL,
           doc="E4 via the streaming drop-folder path: binaryFile stream "

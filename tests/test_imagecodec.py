@@ -352,7 +352,7 @@ def test_gif_interlaced_rows_restored():
     assert np.array_equal(dec[0, :, :, 0], frame)
 
 
-def test_gif_transparency_and_disposal_refusal():
+def test_gif_transparency_and_reserved_disposal_refusal():
     import struct as st
 
     h = w = 4
@@ -372,10 +372,39 @@ def test_gif_transparency_and_disposal_refusal():
     assert meta["n_frames"] == 2
     assert np.all(dec[1, 0, :, 0] == 9)      # transparent row kept frame 1
     assert np.all(dec[1, 1:, :, 0] == 200)   # opaque rows painted
-    # disposal 2 (restore background) refuses loudly
-    gif = head + frame_block(f1, gce_flags=2 << 2) + b"\x3b"
-    with pytest.raises(ValueError, match="disposal"):
+    # reserved disposal values (4-7) refuse loudly
+    gif = head + frame_block(f1, gce_flags=4 << 2) + b"\x3b"
+    with pytest.raises(ValueError, match="reserved disposal"):
         ic.gif_decode(bytes(gif))
+
+
+def test_gif_disposal_methods_composite_correctly():
+    """Disposal 2 clears ONLY the frame's rect to background; disposal 3
+    reverts the canvas to its pre-frame state (GIF89a §23)."""
+    w, h = 6, 5
+    base = np.full((h, w), 50, dtype=np.uint8)
+    inner = np.full((h - 2, w - 2), 200, dtype=np.uint8)
+    corner = np.full((2, 2), 90, dtype=np.uint8)
+    top = np.full((1, w), 130, dtype=np.uint8)
+    data = ic.gif_encode_frames(w, h, [
+        {"idx": base, "disposal": 1},
+        {"idx": inner, "left": 1, "top": 1, "disposal": 2},
+        {"idx": corner, "disposal": 3},
+        {"idx": top, "disposal": 0},
+    ])
+    dec, meta = ic.gif_decode(data)
+    assert meta["n_frames"] == 4
+    g = dec[:, :, :, 0]  # identity palette
+    assert (g[0] == 50).all()
+    assert (g[1][1:-1, 1:-1] == 200).all() and g[1][0, 0] == 50
+    # f2: inner rect cleared to background (bg index 0 = black), ring kept
+    assert (g[2][0:2, 0:2] == 90).all()
+    assert g[2][0, 2] == 50 and g[2][2, 2] == 0
+    # f3: canvas reverted (corner gone), top row painted
+    assert (g[3][0, :] == 130).all()
+    assert g[3][1, 0] == 50 and g[3][1, 1] == 0 and g[3][2, 2] == 0
+    # the header fast path never composites, so it agrees on counts
+    assert ic.gif_frame_meta(data)["n_frames"] == 4
 
 
 def test_gif_frame_meta_matches_full_decode():
