@@ -2776,7 +2776,12 @@ def _streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trigger.AvailableNow drains them through the SAME codec dispatch as
     the batch operators into a features ledger — dims, frame counts and
     sample counts must match the synth closed forms (shared with the
-    multimodal_decode_* entries, so batch and streaming cannot drift)."""
+    multimodal_decode_* entries, so batch and streaming cannot drift).
+    Each document ALSO drops one corrupt PNG (IDAT CRC byte flipped):
+    the gate pins that it lands as a ``status='quarantined'`` row with
+    null dims while the stream still completes and decodes every good
+    asset — the dead-letter posture that keeps one bad file from
+    poison-pilling the drop folder forever."""
     import os
     import tempfile
 
@@ -2806,8 +2811,15 @@ def _streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((did * 31 + 7 * i + 13 * c) % 65536 - 32768).astype(np.int16),
             sample_rate=8000,
         )
-        for ext, payload in (("png", png), ("gif", gif), ("wav", wav)):
-            with open(os.path.join(drop, f"m{did}_{ext}.{ext}"), "wb") as fh:
+        bad = bytearray(png)
+        bad[-13] ^= 0xFF  # IDAT CRC byte: recognized magic, corrupt body
+        for name, payload in (
+            (f"m{did}_png.png", png),
+            (f"m{did}_gif.gif", gif),
+            (f"m{did}_wav.wav", wav),
+            (f"m{did}_bad.png", bytes(bad)),
+        ):
+            with open(os.path.join(drop, name), "wb") as fh:
                 fh.write(payload)
     streaming_media_ingest(
         spark, drop + "/*", os.path.join(work, "ledger"),
@@ -2815,32 +2827,42 @@ def _streaming_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spark.read.parquet(os.path.join(work, "ledger"))
-        .select("media_id", "modality", "width", "height", "n_frames")
+        .select("media_id", "modality", "width", "height", "n_frames", "status")
         .orderBy("media_id")
     )
 
 
 # same synth closed forms as synth_png_assets / synth_gif_assets /
 # synth_wav_assets; the WAV envelope maps (sample_rate, channels,
-# sample frames) into (width, height, n_frames).
+# sample frames) into (width, height, n_frames). The _bad PNG (flipped
+# IDAT CRC) must appear as a quarantined row with null dims — pinning
+# that corrupt assets dead-letter instead of failing the stream.
 _STREAMING_MEDIA_SQL = """
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 29 = 0),
 m AS (
   SELECT 'm' || doc_id || '_png' AS media_id, 'image' AS modality,
          CAST(doc_id % 29 + 4 AS INT) AS width,
-         CAST(doc_id % 13 + 3 AS INT) AS height, 1 AS n_frames
+         CAST(doc_id % 13 + 3 AS INT) AS height, 1 AS n_frames,
+         'ok' AS status
   FROM d
   UNION ALL
   SELECT 'm' || doc_id || '_gif', 'video',
          CAST(doc_id % 21 + 4 AS INT), CAST(doc_id % 11 + 3 AS INT),
-         CAST(doc_id % 5 + 2 AS INT)
+         CAST(doc_id % 5 + 2 AS INT), 'ok'
   FROM d
   UNION ALL
   SELECT 'm' || doc_id || '_wav', 'audio',
-         8000, CAST(doc_id % 2 + 1 AS INT), CAST(doc_id % 50 + 10 AS INT)
+         8000, CAST(doc_id % 2 + 1 AS INT), CAST(doc_id % 50 + 10 AS INT),
+         'ok'
+  FROM d
+  UNION ALL
+  SELECT 'm' || doc_id || '_bad', 'image',
+         CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT),
+         'quarantined'
   FROM d
 )
-SELECT media_id, modality, width, height, CAST(n_frames AS INT) AS n_frames
+SELECT media_id, modality, width, height, CAST(n_frames AS INT) AS n_frames,
+       status
 FROM m ORDER BY media_id
 """
 

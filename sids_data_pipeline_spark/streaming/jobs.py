@@ -788,13 +788,22 @@ def streaming_media_ingest(
     ``content`` into executors and the per-batch decode is the SAME
     mapInPandas codec dispatch as the batch path
     (operators/multimodal._decode_payload → functions/imagecodec), so
-    the two paths cannot drift — PNG/BMP pixels, GIF frame counts
+    the two paths cannot drift — PNG/JPEG/BMP pixels, GIF frame counts
     through the LZW decoder, WAV sample frames. Unrecognized payloads
-    take the documented deterministic fallback with modality 'binary';
-    corrupt recognized media fails the batch LOUDLY (checkpoint
-    uncommitted — retry after the producer re-drops, the sidecar-race
-    posture). Replay-safe: each batch overwrites its own ``batch=``
-    partition. Runs with Trigger.AvailableNow.
+    take the documented deterministic fallback with modality 'binary'.
+
+    **Corrupt recognized media QUARANTINES instead of poisoning the
+    stream**: a payload whose magic sniffs but whose decode raises
+    (bad CRC, truncated LZW, …) becomes a ``status='quarantined'`` row
+    carrying the error class+message and the payload checksum, written
+    under the batch's ``status=quarantined/`` partition — the
+    split_dead_letters posture (operators/quality.py). Failing the
+    batch would be PERMANENT: the file source re-lists the same bytes
+    on every retry, so unlike the vector twin's sidecar race (where
+    retry is curative once the producer finishes), a corrupt asset
+    would halt the drop-folder forever. Replay-safe: each batch
+    overwrites its own ``batch=`` partition. Runs with
+    Trigger.AvailableNow.
     """
     import os
     from typing import Iterator
@@ -823,31 +832,48 @@ def streaming_media_ingest(
                 data = bytes(content)
                 fmt = icodec.sniff(data)
                 modality = _MODALITY.get(fmt, "binary")
-                feats = _decode_payload(data, modality)
-                rows.append(
-                    {
-                        "media_id": os.path.splitext(os.path.basename(path))[0],
-                        "modality": modality,
-                        **feats,
-                        "checksum": hashlib.md5(data).hexdigest(),
-                    }
-                )
+                base = {
+                    "media_id": os.path.splitext(os.path.basename(path))[0],
+                    "modality": modality,
+                    "checksum": hashlib.md5(data).hexdigest(),
+                }
+                try:
+                    feats = _decode_payload(data, modality)
+                    rows.append(
+                        {**base, **feats, "status": "ok", "error": None}
+                    )
+                except Exception as exc:  # quarantine, never poison-pill
+                    rows.append(
+                        {
+                            **base,
+                            "n_bytes": len(data),
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "status": "quarantined",
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "modality", "n_bytes", "width",
-                         "height", "n_frames", "checksum"],
+                         "height", "n_frames", "checksum", "status",
+                         "error"],
             )
 
     schema = (
         "media_id string, modality string, n_bytes int, width int, "
-        "height int, n_frames int, checksum string"
+        "height int, n_frames int, checksum string, status string, "
+        "error string"
     )
 
     def process(batch: DataFrame, batch_id: int) -> None:
         import os as _os
 
         feats = batch.mapInPandas(decode, schema)
-        feats.write.mode("overwrite").parquet(
+        # one decode pass, one job: quarantined rows land under their
+        # own status= partition of the same batch directory
+        feats.write.mode("overwrite").partitionBy("status").parquet(
             _os.path.join(out_dir, f"batch={batch_id}")
         )
 

@@ -692,13 +692,16 @@ def test_streaming_vector_ingest_sidecar_race_fails_batch(spark, tmp_path):
     assert {r.vector_id for r in got.collect()} == {"grid"}
 
 
-def test_streaming_media_ingest_incremental_and_loud_corrupt(spark, tmp_path):
+def test_streaming_media_ingest_incremental_and_quarantine(spark, tmp_path):
     """Drop-folder media ingest: first drain decodes a PNG + WAV with
     real dims through the shared codec dispatch; a second drain after a
     GIF lands processes ONLY the new file. A corrupt PNG (bad CRC)
-    fails its batch loudly — the checkpoint must not commit it."""
+    dropped AMONG good assets must NOT poison the stream: the batch
+    completes, the good assets decode, and the corrupt one lands as a
+    status='quarantined' row carrying the error — failing the batch
+    would be permanent, since the file source re-lists the same bytes
+    on every retry."""
     import numpy as np
-    import pytest as _pytest
 
     from sids_data_pipeline_spark.functions import imagecodec as ic
     from sids_data_pipeline_spark.streaming.jobs import streaming_media_ingest
@@ -718,6 +721,7 @@ def test_streaming_media_ingest_incremental_and_loud_corrupt(spark, tmp_path):
     )
     assert (first["tone"].modality, first["tone"].width,
             first["tone"].height, first["tone"].n_frames) == ("audio", 8000, 2, 400)
+    assert {r.status for r in first.values()} == {"ok"}
 
     frames = np.zeros((3, 4, 5), dtype=np.uint8)
     (drop / "clip.gif").write_bytes(ic.gif_encode(frames))
@@ -726,8 +730,22 @@ def test_streaming_media_ingest_incremental_and_loud_corrupt(spark, tmp_path):
     assert len(both) == 3
     assert (both["clip"].modality, both["clip"].n_frames) == ("video", 3)
 
-    bad = bytearray(ic.png_encode(ic.synth_image(2, 6, 6, 1)))
-    bad[41] ^= 0xFF
-    (drop / "corrupt.png").write_bytes(bytes(bad))
-    with _pytest.raises(Exception, match="CRC"):
-        streaming_media_ingest(spark, str(drop) + "/*", out, ckpt)
+    # corrupt GIF (truncated LZW) + corrupt PNG (bad CRC) among a good
+    # asset: the stream completes, good decodes, bad quarantines
+    bad_png = bytearray(ic.png_encode(ic.synth_image(2, 6, 6, 1)))
+    bad_png[41] ^= 0xFF
+    (drop / "corrupt.png").write_bytes(bytes(bad_png))
+    good_gif = ic.gif_encode(np.full((2, 3, 3), 5, dtype=np.uint8))
+    (drop / "torn.gif").write_bytes(good_gif[: len(good_gif) - 8])
+    (drop / "fine.png").write_bytes(ic.png_encode(ic.synth_image(3, 9, 4, 1)))
+    streaming_media_ingest(spark, str(drop) + "/*", out, ckpt)
+    rows = {r.media_id: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 6
+    assert (rows["fine"].status, rows["fine"].width) == ("ok", 9)
+    assert rows["corrupt"].status == "quarantined"
+    assert "CRC" in rows["corrupt"].error and rows["corrupt"].width is None
+    assert rows["torn"].status == "quarantined"
+    assert rows["torn"].checksum is not None
+    # replay-safety: a fresh drain with nothing new is a no-op
+    streaming_media_ingest(spark, str(drop) + "/*", out, ckpt)
+    assert spark.read.parquet(out).count() == 6
