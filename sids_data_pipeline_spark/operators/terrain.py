@@ -232,64 +232,125 @@ _PACK = 1 << 32
 
 
 def clump_regions(
-    pixels: DataFrame, val_col: str = "val", max_iter: int = 100
+    pixels: DataFrame, val_col: str = "val", max_iter: int = 100, tile: int = 256
 ) -> DataFrame:
     """Connected-region labelling (GRASS r.clump / the grouping step of
     gdal_sieve and gdal_polygonize): label each non-NULL pixel with its
     4-connected equal-value region, region id = the minimum packed pixel
     id ((y << 32) | x) in the region.
 
-    Shape: neighbour edges come from ONE integer-key equi-join (each
-    pixel explodes onto its +x/+y probe keys; value equality filters
-    after the key match), then the Pregel min-label loop of
-    :func:`~sids_data_pipeline_spark.operators.graph.connected_components`
-    runs in O(region diameter) rounds — the same lineage-truncated loop
-    the dedup clustering path uses, so cost scales with the LARGEST
-    region's diameter, not raster size. Pixels with no equal neighbour
-    come back as their own singleton region via one anti-join.
+    Two-phase, the textbook distributed raster CC:
+
+    1. **Tile-local phase** — pixels shuffle ONCE onto ``tile``×``tile``
+       tiles; each tile labels its own pixels executor-side with a
+       numpy union-find over the in-tile equal-value neighbour pairs
+       (rows sorted by packed id, union roots at the smaller index, so
+       every local label is already the min packed id of the region's
+       in-tile part).
+    2. **Boundary phase** — only pixels on tile seams (one row/column
+       per 256) join across the seam, producing edges between LOCAL
+       LABELS; the hybrid connected_components of operators/graph.py
+       (min-label propagation → large-star/small-star, O(log²) rounds
+       for deep graphs) runs on THAT graph, whose size is
+       O(boundary crossings), not O(pixels) — at a 100 TB raster estate
+       the iterative phase touches ~1/256th of the data per seam axis
+       instead of every pixel, and a region confined to one tile never
+       enters a Spark iteration at all.
 
     Pixel indices must be non-negative (the engine's pixel model — decode
     emits 0-based x/y): a negative x would alias another row's packed id.
 
-    ``max_iter`` bounds the min-label rounds; the loop needs roughly the
-    largest region's graph diameter, so snake-shaped regions (rivers,
-    coastlines) can legitimately exceed the default 100 — the loop then
-    RAISES rather than returning a partial labelling; raise the bound
-    for such inputs (each extra round is one cheap converged pass).
+    ``max_iter`` bounds the boundary-graph CC rounds; the star phase
+    needs O(log² n) so the default covers any real estate — the loop
+    RAISES rather than returning a partial labelling if exceeded.
 
     Output: (x, y, val, region).
     """
     from sids_data_pipeline_spark.operators.graph import connected_components
 
-    node = (F.col("y").cast("long") * F.lit(_PACK) + F.col("x")).alias("_node")
+    if tile < 2:
+        raise ValueError(f"clump_regions: tile must be >= 2, got {tile}")
+    val_type = pixels.schema[val_col].dataType.simpleString()
     src = pixels.filter(F.col(val_col).isNotNull()).select(
-        "x", "y", F.col(val_col).alias("_val"), node
+        "x", "y", F.col(val_col).alias("_val")
     )
-    offs = F.explode(
-        F.array(
-            F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy")),
-            F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy")),
+    tiled = src.select(
+        "x", "y", "_val",
+        F.floor(F.col("x") / tile).alias("_tx"),
+        F.floor(F.col("y") / tile).alias("_ty"),
+    )
+
+    def label_tile(key, pdf):
+        import numpy as np
+
+        pdf = pdf.sort_values(["y", "x"], kind="mergesort").reset_index(drop=True)
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        vals = pdf["_val"].to_numpy()
+        gx = xs - int(key[0]) * tile
+        gy = ys - int(key[1]) * tile
+        grid = np.full((tile, tile), -1, dtype=np.int64)
+        grid[gy, gx] = np.arange(len(pdf))
+        parent = np.arange(len(pdf), dtype=np.int64)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]  # path halving
+                i = parent[i]
+            return i
+
+        # in-tile 4-neighbour pairs with equal values (vectorized pair
+        # extraction; the union loop itself is O(pairs · α))
+        for a_grid, b_grid in (
+            (grid[:, :-1], grid[:, 1:]),
+            (grid[:-1, :], grid[1:, :]),
+        ):
+            mask = (a_grid >= 0) & (b_grid >= 0)
+            aa, bb = a_grid[mask], b_grid[mask]
+            eq = vals[aa] == vals[bb]
+            for a, b in zip(aa[eq].tolist(), bb[eq].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # smaller index wins: rows are packed-id sorted, so
+                    # the root stays the region's min packed member
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        roots = np.fromiter(
+            (find(i) for i in range(len(pdf))), dtype=np.int64, count=len(pdf)
         )
-    ).alias("_o")
-    probe = src.select("x", "y", "_val", "_node", offs).select(
-        (F.col("x") + F.col("_o.dx")).alias("x"),
-        (F.col("y") + F.col("_o.dy")).alias("y"),
-        F.col("_val").alias("_v1"),
-        F.col("_node").alias("_n1"),
+        packed = ys * _PACK + xs
+        out = pdf[["x", "y", "_val"]].copy()
+        out["_local"] = packed[roots]
+        return out
+
+    local = (
+        tiled.groupBy("_tx", "_ty")
+        .applyInPandas(
+            label_tile, f"x int, y int, _val {val_type}, _local long"
+        )
+        .localCheckpoint()  # materialize once: probed 2×, joined, labelled
+    )
+    at_right = local.filter(((F.col("x") + 1) % tile) == 0).select(
+        (F.col("x") + 1).alias("x"), "y",
+        F.col("_val").alias("_v1"), F.col("_local").alias("_l1"),
+    )
+    at_bottom = local.filter(((F.col("y") + 1) % tile) == 0).select(
+        "x", (F.col("y") + 1).alias("y"),
+        F.col("_val").alias("_v1"), F.col("_local").alias("_l1"),
     )
     edges = (
-        probe.join(src.select("x", "y", "_val", "_node"), ["x", "y"])
+        at_right.union(at_bottom)
+        .join(local.select("x", "y", "_val", "_local"), ["x", "y"])
         .filter(F.col("_v1") == F.col("_val"))
-        .select(F.col("_n1").alias("id1"), F.col("_node").alias("id2"))
+        .select(F.col("_l1").alias("id1"), F.col("_local").alias("id2"))
     )
     comp = connected_components(edges, max_iter=max_iter)
-    labelled = src.join(comp, src["_node"] == comp["node"], "inner").select(
-        "x", "y", F.col("_val").alias(val_col), F.col("component").alias("region")
+    return local.join(comp, local["_local"] == comp["node"], "left").select(
+        "x", "y", F.col("_val").alias(val_col),
+        F.coalesce("component", "_local").alias("region"),
     )
-    singletons = src.join(
-        comp.select(F.col("node").alias("_node")), "_node", "left_anti"
-    ).select("x", "y", F.col("_val").alias(val_col), F.col("_node").alias("region"))
-    return labelled.unionByName(singletons)
 
 
 def sieve(

@@ -355,16 +355,47 @@ def test_overviews_rejects_wrapping_shift(spark):
 
 
 def test_clump_max_iter_raises_not_partial(spark):
-    """A 1-px-wide snake of diameter > max_iter must raise (no partial
-    labels): a 40-px horizontal line with max_iter=5."""
+    """An exhausted boundary-CC budget must raise (no partial labels):
+    an 80-px line over tile=8 is a 10-label seam chain, far past a
+    2-round budget. The tile-local phase alone must NOT mask the bound."""
     line = spark.createDataFrame(
-        [(x, 0, 1.0) for x in range(40)], "x int, y int, val double"
+        [(x, 0, 1.0) for x in range(80)], "x int, y int, val double"
     )
     with pytest.raises(RuntimeError, match="converge"):
-        clump_regions(line, max_iter=5).collect()
+        clump_regions(line, max_iter=2, tile=8).collect()
     # and succeeds with an adequate bound
-    rows = clump_regions(line, max_iter=60).collect()
+    rows = clump_regions(line, max_iter=60, tile=8).collect()
     assert {r.region for r in rows} == {0}
+
+
+def test_clump_deep_label_chain_across_tiles(spark):
+    """Deep-label-chain fixture: a serpentine 1-px region snaking across
+    MANY tiles (every seam crossing becomes a boundary-graph node, and
+    the chain's label-graph diameter exceeds the propagation budget, so
+    the star phase must finish it). Oracle: the union-find twin."""
+    rows = []
+    width, rows_n, t = 40, 6, 4  # 10 tiles across, 2 down at tile=4
+    for ry in range(rows_n):
+        y = ry * 2
+        for x in range(width):
+            rows.append((x, y, 1.0))
+        # one connector at alternating ends joins row to the next
+        if ry + 1 < rows_n:
+            cx = width - 1 if ry % 2 == 0 else 0
+            rows.append((cx, y + 1, 1.0))
+    df = spark.createDataFrame(rows, "x int, y int, val double")
+    got = {(r.x, r.y): r.region for r in clump_regions(df, tile=t).collect()}
+    want = _numpy_clump({(x, y): v for x, y, v in rows})
+    assert got == want
+    assert len(set(got.values())) == 1  # one serpentine region
+
+
+def test_clump_tile_seams_match_union_find(spark, speckled):
+    """The same speckled fixture labelled at tile=4 (regions straddling
+    seams) must agree with the single-tile default."""
+    df, vals = speckled
+    got = {(r.x, r.y): r.region for r in clump_regions(df, tile=4).collect()}
+    assert got == _numpy_clump(vals)
 
 
 def test_group_cols_estate_matches_per_raster(spark):
