@@ -397,6 +397,92 @@ def read_shapefile(path: str, encoding: str | None = None) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["fid", *names, "geometry"])
 
 
+def zone_records(
+    shp_bytes: bytes,
+    dbf_bytes: bytes | None,
+    cpg_text: str | None,
+    vector_id: str,
+    name_col: str | None = None,
+    encoding: str | None = None,
+) -> pd.DataFrame:
+    """Pure-bytes shapefile set → ZONES-shaped pandas frame (vector_id,
+    fid, name, WKB MultiPolygon). The executor-side core shared by the
+    batch ingest and the streaming drop-folder twin: no filesystem
+    access, so it runs wherever the bytes already are."""
+    geoms = read_shp_geometries(shp_bytes)
+    names: list[str] = []
+    rows: list[list] = [[] for _ in geoms]
+    deleted = [False] * len(geoms)
+    if dbf_bytes is not None:
+        if encoding is None and cpg_text is not None:
+            encoding = cpg_text.strip() or None
+        names, rows, deleted = read_dbf(dbf_bytes, encoding)
+        if len(rows) != len(geoms):
+            raise ValueError(
+                f".dbf has {len(rows)} records but .shp has {len(geoms)}"
+            )
+    if name_col is None:
+        cands = [c for c in names if c.lower() in ("name", "label", "title")]
+        name_col = cands[0] if cands else None
+    name_idx = names.index(name_col) if name_col in names else None
+    records = []
+    for fid, (geom, vals, dead) in enumerate(zip(geoms, rows, deleted)):
+        if dead:
+            continue
+        if geom is not None and geom[1:5] != struct.pack("<I", 6):
+            raise ValueError(
+                "zones ingest requires Polygon shapes; found a non-polygon record"
+            )
+        name = (
+            str(vals[name_idx])
+            if name_idx is not None and vals[name_idx] is not None
+            else None
+        )
+        records.append((vector_id, fid, name, geom))
+    from sids_data_pipeline_spark.schemas import ZONES
+
+    return pd.DataFrame(records, columns=[f.name for f in ZONES.fields])
+
+
+def resolve_src_epsg(
+    path: str, reproject: bool = False, assume_wgs84: bool = False
+) -> int:
+    """The .prj CRS gate shared by batch and streaming ingest: returns
+    the source EPSG the caller must reproject FROM (4326 when none is
+    needed), or raises — a missing .prj without ``assume_wgs84``, a
+    non-4326 .prj without ``reproject``, and an unregistered projection
+    all refuse loudly; the engine never guesses datums."""
+    prj_path = _sidecar(path, ".prj")
+    if not _exists(prj_path) and not assume_wgs84:
+        raise ValueError(
+            f"{path}: no .prj sidecar — the engine does not guess datums; "
+            "pass assume_wgs84=True to declare the coordinates WGS-84, or "
+            "supply the .prj"
+        )
+    if _exists(prj_path):
+        wkt = _read_bytes(prj_path).decode("ascii", errors="replace")
+        epsg = prj_to_epsg(wkt)
+        if epsg != 4326 and reproject and epsg is not None:
+            from sids_data_pipeline_spark.functions.crs import (
+                PROJECTION_REGISTRY,
+                _is_utm,
+            )
+
+            if epsg in PROJECTION_REGISTRY or _is_utm(epsg) or epsg == 3857:
+                return epsg
+            raise ValueError(
+                f".prj declares EPSG:{epsg}, which has no registered "
+                "closed form — register a projection (functions/crs."
+                "register_projection) or reproject externally"
+            )
+        if epsg != 4326:
+            raise ValueError(
+                f".prj declares {'EPSG:' + str(epsg) if epsg else 'an unrecognised CRS'}"
+                f" — reproject to EPSG:4326 first (got: {wkt[:120]!r})"
+            )
+    return 4326
+
+
 def ingest_shapefile(
     spark: SparkSession,
     path: str,
@@ -422,58 +508,22 @@ def ingest_shapefile(
     raises unless the caller states the assumption explicitly with
     ``assume_wgs84=True``. Like the GeoPackage path the read is
     driver-side (vectors are dimension-sized) and distributes via the
-    Arrow createDataFrame path, ready to broadcast into spatial joins."""
-    src_epsg = 4326
-    prj_path = _sidecar(path, ".prj")
-    if not _exists(prj_path) and not assume_wgs84:
-        raise ValueError(
-            f"{path}: no .prj sidecar — the engine does not guess datums; "
-            "pass assume_wgs84=True to declare the coordinates WGS-84, or "
-            "supply the .prj"
-        )
-    if _exists(prj_path):
-        wkt = _read_bytes(prj_path).decode("ascii", errors="replace")
-        epsg = prj_to_epsg(wkt)
-        if epsg != 4326 and reproject and epsg is not None:
-            from sids_data_pipeline_spark.functions.crs import (
-                PROJECTION_REGISTRY,
-                _is_utm,
-            )
-
-            if epsg in PROJECTION_REGISTRY or _is_utm(epsg) or epsg == 3857:
-                src_epsg = epsg
-            else:
-                raise ValueError(
-                    f".prj declares EPSG:{epsg}, which has no registered "
-                    "closed form — register a projection (functions/crs."
-                    "register_projection) or reproject externally"
-                )
-        elif epsg != 4326:
-            raise ValueError(
-                f".prj declares {'EPSG:' + str(epsg) if epsg else 'an unrecognised CRS'}"
-                f" — reproject to EPSG:4326 first (got: {wkt[:120]!r})"
-            )
-    pdf = read_shapefile(path, encoding=encoding)
-    if name_col is None:
-        cands = [c for c in pdf.columns if c.lower() in ("name", "label", "title")]
-        name_col = cands[0] if cands else None
-    records = []
-    for row in pdf.itertuples(index=False):
-        d = row._asdict()
-        geom = d["geometry"]
-        if geom is not None and geom[1:5] != struct.pack("<I", 6):
-            raise ValueError(
-                "zones ingest requires Polygon shapes; found a non-polygon record"
-            )
-        records.append(
-            (
-                vector_id,
-                int(d["fid"]),
-                str(d[name_col]) if name_col and d[name_col] is not None else None,
-                geom,
-            )
-        )
-    out = pd.DataFrame(records, columns=[f.name for f in ZONES.fields])
+    Arrow createDataFrame path, ready to broadcast into spatial joins;
+    the streaming drop-folder twin shares :func:`zone_records` /
+    :func:`resolve_src_epsg` but parses executor-side."""
+    src_epsg = resolve_src_epsg(path, reproject=reproject, assume_wgs84=assume_wgs84)
+    dbf_path = _sidecar(path, ".dbf")
+    dbf_bytes = _read_bytes(dbf_path) if _exists(dbf_path) else None
+    cpg_path = _sidecar(path, ".cpg")
+    cpg_text = (
+        _read_bytes(cpg_path).decode("ascii", errors="replace")
+        if _exists(cpg_path)
+        else None
+    )
+    out = zone_records(
+        _read_bytes(path), dbf_bytes, cpg_text, vector_id,
+        name_col=name_col, encoding=encoding,
+    )
     zones = spark.createDataFrame(out, ZONES).coalesce(1)
     if src_epsg != 4326:
         from sids_data_pipeline_spark.operators.vector_reproject import (

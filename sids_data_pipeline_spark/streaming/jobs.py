@@ -681,37 +681,53 @@ def streaming_vector_ingest(
     checkpoint as the exactly-once P6 ledger (same design as
     :func:`streaming_raster_ingest`). ``vector_id`` is the file stem.
 
-    The stream reads ONLY the ``path`` column (binaryFile prunes the
-    content read), so the per-file parse runs once, driver-side in
-    ``foreachBatch``, through the SAME ingest functions as the batch
-    path — sources/shapefile.ingest_shapefile (winding-rule grouping,
-    .prj CRS gate, optional -t_srs ``reproject``) and
-    sources/geopackage.ingest_geopackage (srs_id honoured) — so the two
-    paths cannot drift. Vectors are dimension-sized; the DISTRIBUTED
-    work stays downstream (broadcast spatial joins over the ledger).
+    Shapefile GEOMETRY parses DISTRIBUTED: the binaryFile source carries
+    each .shp's ``content`` into an executor task, which runs the SAME
+    byte-level core as the batch path (sources/shapefile.zone_records —
+    winding-rule grouping, .dbf attributes, polygon gate) inside
+    mapInPandas, fetching the small .dbf/.cpg sidecars per-task through
+    the shared pyarrow-fs path. Only metadata stays on the driver: the
+    sidecar-race guard, the .prj CRS gate (resolve_src_epsg — the same
+    gate the batch ingest uses, so the two paths cannot drift), and the
+    per-file vector_id mapping. A parcel-scale multi-GB .shp therefore
+    lands in executor memory, never the driver's; per-FILE parallelism
+    is the unit (one task per dropped layer). Non-4326 layers reproject
+    through operators/vector_reproject per distinct source EPSG.
+    GeoPackages remain a driver-side sqlite3 read (the format is a
+    database file; dimension-sized by design — see
+    sources/geopackage.ingest_geopackage).
     Replay-safe: each batch writes OVERWRITE into its own ``batch=``
     partition. Runs with Trigger.AvailableNow.
     """
     import os
+    from typing import Iterator
+
+    import pandas as pd
 
     from sids_data_pipeline_spark.sources.geopackage import ingest_geopackage
-    from sids_data_pipeline_spark.sources.shapefile import ingest_shapefile
 
     reader = spark.readStream.format("binaryFile").schema(
         "path string, modificationTime timestamp, length long, content binary"
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    files = reader.load(input_glob).select("path")
+    files = reader.load(input_glob).select("path", "content")
+
+    zones_schema = "vector_id string, fid long, name string, geometry binary"
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        from sids_data_pipeline_spark.sources.shapefile import _exists, _sidecar
+        from sids_data_pipeline_spark.sources.shapefile import (
+            _exists,
+            _sidecar,
+            resolve_src_epsg,
+        )
 
         bspark = batch.sparkSession
         paths = [r.path for r in batch.select("path").distinct().collect()]
         if not paths:
             return
         parts = []
+        shp_meta: dict[str, tuple[str, int]] = {}  # path -> (vector_id, epsg)
         for path in sorted(paths):
             local = path.removeprefix("file:")
             stem = os.path.splitext(os.path.basename(local))[0]
@@ -730,8 +746,9 @@ def streaming_vector_ingest(
                 # re-listed with it. Fail the batch instead: foreachBatch
                 # raising means the checkpoint is NOT committed, and the
                 # retry picks the complete set up once the producer
-                # finishes. (Producers should still drop the .shp LAST,
-                # after its sidecars — that makes this guard a no-op.)
+                # finishes — retry is CURATIVE here, unlike corrupt media
+                # (which quarantines). (Producers should still drop the
+                # .shp last, after its sidecars — then this is a no-op.)
                 missing = [
                     e for e in (".prj", ".dbf")
                     if not _exists(_sidecar(local, e))
@@ -743,15 +760,62 @@ def streaming_vector_ingest(
                         "commit a partial shapefile set; drop the .shp "
                         "last, after its sidecars"
                     )
-                parts.append(
-                    ingest_shapefile(
-                        bspark, local, vector_id=stem, reproject=reproject
-                    )
+                shp_meta[path] = (
+                    stem, resolve_src_epsg(local, reproject=reproject)
                 )
             elif ext in (".shx", ".dbf", ".prj", ".cpg"):
                 continue  # sidecars ride along with their .shp
             else:
                 raise ValueError(f"unsupported vector format: {path}")
+
+        if shp_meta:
+            meta = dict(shp_meta)  # tiny: one entry per dropped layer
+
+            def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                from sids_data_pipeline_spark.sources.shapefile import (
+                    _exists as ex,
+                    _read_bytes as rb,
+                    _sidecar as sc,
+                    zone_records,
+                )
+
+                for pdf in batches:
+                    for path, content in zip(pdf["path"], pdf["content"]):
+                        vector_id, _epsg = meta[path]
+                        loc = path.removeprefix("file:")
+                        dbf = sc(loc, ".dbf")
+                        cpg = sc(loc, ".cpg")
+                        rec = zone_records(
+                            bytes(content),
+                            rb(dbf) if ex(dbf) else None,
+                            rb(cpg).decode("ascii", errors="replace")
+                            if ex(cpg) else None,
+                            vector_id,
+                        )
+                        yield rec
+
+            shp_rows = batch.filter(
+                F.col("path").isin(list(meta))
+            ).select("path", "content")
+            zones_shp = shp_rows.mapInPandas(parse, zones_schema)
+            # reproject per distinct non-4326 source EPSG (usually 0-1);
+            # vector_id → EPSG is driver-known metadata, so the split is
+            # a pushed-down filter, not a second parse
+            by_epsg: dict[int, list[str]] = {}
+            for vid, epsg in meta.values():
+                by_epsg.setdefault(epsg, []).append(vid)
+            if len(by_epsg) > 1:  # materialize once before multiple filters
+                zones_shp = zones_shp.localCheckpoint()
+            for epsg, vids in sorted(by_epsg.items()):
+                part = zones_shp.filter(F.col("vector_id").isin(vids))
+                if epsg != 4326:
+                    from sids_data_pipeline_spark.operators.vector_reproject import (
+                        reproject_zones,
+                    )
+
+                    part = reproject_zones(part, epsg, 4326)
+                parts.append(part)
+
         if not parts:
             return
         zones = parts[0]

@@ -613,13 +613,18 @@ def test_streaming_near_dedup_equals_batch(spark, tmp_path):
     assert n_rows == len(got)
 
 
-def test_streaming_vector_ingest_incremental(spark, tmp_path):
+def test_streaming_vector_ingest_incremental(spark, tmp_path, monkeypatch):
     """Drop-folder vector ingest: first drain ingests the shapefile,
     second drain after a GeoPackage lands ingests ONLY the new file
     (the file-source checkpoint is the incrementality ledger), and the
-    ledger's zones equal the batch ingests row-for-row."""
+    ledger's zones equal the batch ingests row-for-row. The shapefile
+    GEOMETRY parse must run EXECUTOR-side: a tripwire on the
+    driver-process parser proves no driver-side decode (executor python
+    workers import the module independently, so the patch only fires if
+    the DRIVER parses)."""
     import os
 
+    from sids_data_pipeline_spark.sources import shapefile as shp_mod
     from sids_data_pipeline_spark.sources.geopackage import write_geopackage
     from sids_data_pipeline_spark.sources.shapefile import write_shapefile
     from sids_data_pipeline_spark.sources.vector import FIXTURE_BUILDERS
@@ -632,7 +637,18 @@ def test_streaming_vector_ingest_incremental(spark, tmp_path):
     write_shapefile(
         list(FIXTURE_BUILDERS["zones_grid"]()), str(drop / "grid.shp")
     )
-    streaming_vector_ingest(spark, str(drop) + "/*", out, ckpt)
+
+    def _driver_parse_tripwire(data):
+        raise AssertionError(
+            "read_shp_geometries ran in the DRIVER process — the "
+            "streaming twin must parse .shp content executor-side"
+        )
+
+    monkeypatch.setattr(shp_mod, "read_shp_geometries", _driver_parse_tripwire)
+    try:
+        streaming_vector_ingest(spark, str(drop) + "/*", out, ckpt)
+    finally:
+        monkeypatch.undo()
     first = spark.read.parquet(out)
     assert first.count() == 4
     assert set(r.vector_id for r in first.collect()) == {"grid"}
@@ -658,6 +674,55 @@ def test_streaming_vector_ingest_incremental(spark, tmp_path):
         for r in both.filter("vector_id = 'overlap'").collect()
     }
     assert got == want
+
+
+def test_streaming_vector_ingest_reprojects_non_wgs84(spark, tmp_path):
+    """A dropped layer whose .prj declares a registered projected CRS
+    (NZTM, EPSG:2193) must reproject through the same vector_reproject
+    leg as the batch ingest — ledger zones equal
+    ingest_shapefile(reproject=True) byte-for-byte."""
+    from sids_data_pipeline_spark.sources.shapefile import (
+        ingest_shapefile,
+        write_shapefile,
+    )
+    from sids_data_pipeline_spark.sources.vector import FIXTURE_BUILDERS
+    from sids_data_pipeline_spark.streaming.jobs import streaming_vector_ingest
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    out = str(tmp_path / "zones")
+    ckpt = str(tmp_path / "ckpt")
+    # NZTM-plane rectangles (meters): fabricate from the grid fixture by
+    # writing plausible projected coordinates directly
+    recs = [
+        (0, "a", _rect_wkb(1_560_000.0, 5_170_000.0, 1_570_000.0, 5_180_000.0)),
+        (1, "b", _rect_wkb(1_570_000.0, 5_170_000.0, 1_580_000.0, 5_180_000.0)),
+    ]
+    write_shapefile(recs, str(drop / "nz.shp"))
+    (drop / "nz.prj").write_text(
+        'PROJCS["NZGD2000 / New Zealand Transverse Mercator 2000",'
+        'GEOGCS["NZGD2000"],AUTHORITY["EPSG","2193"]]'
+    )
+    streaming_vector_ingest(spark, str(drop) + "/*", out, ckpt, reproject=True)
+    got = {r.fid: r.geometry for r in spark.read.parquet(out).collect()}
+    want = {
+        r.fid: r.geometry
+        for r in ingest_shapefile(
+            spark, str(drop / "nz.shp"), vector_id="nz", reproject=True
+        ).collect()
+    }
+    assert got == want and len(got) == 2
+
+
+def _rect_wkb(x0, y0, x1, y1):
+    """Minimal WKB MultiPolygon rectangle (little-endian)."""
+    import struct as st
+
+    ring = [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]
+    poly = st.pack("<BII", 1, 3, 1) + st.pack("<I", len(ring)) + b"".join(
+        st.pack("<dd", x, y) for x, y in ring
+    )
+    return st.pack("<BII", 1, 6, 1) + poly
 
 
 def test_streaming_vector_ingest_sidecar_race_fails_batch(spark, tmp_path):
