@@ -339,8 +339,15 @@ def standardize_crs(
         for code, proj in sorted(PROJECTION_REGISTRY.items())
         if getattr(proj, "helmert", None) is None
     ]
+    # coalesce keeps the message non-NULL for NULL codes (concat with a
+    # NULL operand is NULL, and raise_error(NULL) throws a contextless
+    # "[USER_RAISED_EXCEPTION] null") — a NULL src_epsg must die as
+    # loudly and legibly as an unregistered one
     boom = F.raise_error(
-        F.concat(F.lit("unsupported src EPSG: "), F.col(epsg_col).cast("string"))
+        F.concat(
+            F.lit("unsupported src EPSG: "),
+            F.coalesce(F.col(epsg_col).cast("string"), F.lit("NULL")),
+        )
     ).cast("double")
 
     def pick(merc, utm, reg_idx, passthrough):

@@ -169,44 +169,61 @@ from sids_data_pipeline_spark.plans.base import Query
 # raster_hillshade (geotiff.py/terrain.py unchanged;
 # raster_geotiff_ingest + source_geotiff_datasource +
 # raster_slope_aspect keep the raster families).
+# Round-11 rotation (ninth): two NEW entries claim first driver rows
+# (multimodal_decode_jpeg — the baseline-sequential JPEG pixel codec,
+# the last real media-format gap; multimodal_gif_disposal — GIF
+# disposal methods 2/3 compositing). Re-rows for every entry whose
+# OPERATOR file changed since its r10 row: functions/imagecodec.py +
+# operators/multimodal.py (JPEG codec + routing, disposal 2/3, BMP
+# palette expansion, WAV bounds) → the whole E4 family;
+# streaming/jobs.py (media quarantine + executor-side vector parse)
+# + sources/shapefile.py (zone_records refactor) → all three
+# drop-folder twins, streaming_dedup_lsh, vector_shapefile_ingest,
+# and pipeline_end_to_end (composes the batch ingest);
+# operators/terrain.py (clump two-phase CC) → raster_clump +
+# raster_polygonize (both call clump_regions); functions/crs.py
+# (NULL-epsg loud-fail routing, confined to standardize_crs_datum)
+# → crs_standardize_datum. Displaced r10-green names (see the
+# provenance comment inside the tuple): the six byte-identical
+# crs_reproject_* projection forms and graph_triangles.
 PRIORITY: tuple[str, ...] = (
-    # — round-10 new queries: first-time driver rows —
+    # — round-11 new queries: first-time driver rows —
+    "multimodal_decode_jpeg",
+    "multimodal_gif_disposal",
+    # — functions/imagecodec.py + operators/multimodal.py changed
+    #   (baseline JPEG codec + routing, GIF disposal 2/3, BMP palette
+    #   expansion, WAV data-chunk bounds): the whole E4 family re-rows —
     "multimodal_decode_png",
     "multimodal_decode_wav",
     "multimodal_decode_gif",
     "multimodal_resize_png",
-    "streaming_media_ingest",
-    "crs_standardize_datum",
-    "pipeline_end_to_end",
-    # — changed since their r9 rows ran (62c462a sidecar-race fix) —
-    "vector_shapefile_ingest",
-    "streaming_vector_ingest",
-    # — similarity.py changed (topk cap): E3 family re-rows —
-    "similarity_topk",
-    "dedup_semantic",
-    "similarity_ann_gate",
-    "embedding_pca_gate",
-    # — multimodal.py changed (real codecs): E4 family re-rows —
     "multimodal_meta",
     "multimodal_features",
     "multimodal_frames",
-    # — crs.py changed (datum kernel + 29902): projection family re-rows —
-    "crs_reproject",
-    "crs_reproject_utm",
-    "crs_reproject_lcc",
-    "crs_reproject_albers",
-    "crs_reproject_sinu",
-    "crs_reproject_tm",
-    "crs_reproject_polar",
-    "crs_reproject_krovak",
-    "crs_standardize_mixed",
-    "geo_dwithin_join",
-    "vector_reproject_zones",
-    # — graph.py changed (hybrid CC): graph family re-rows —
-    "dedup_clusters",
-    "graph_pagerank",
-    "graph_triangles",
-    # — family representatives (files unchanged; keep families in-window) —
+    # — streaming/jobs.py changed (corrupt-asset quarantine in the media
+    #   twin; executor-side shapefile parse in the vector twin) and
+    #   sources/shapefile.py refactored (zone_records/resolve_src_epsg,
+    #   shared by batch ingest): both ingest twins + the batch ingest
+    #   re-row; the raster twin's section is untouched but re-rows as
+    #   belt since its file changed; streaming_dedup_lsh likewise —
+    "streaming_media_ingest",
+    "streaming_vector_ingest",
+    "vector_shapefile_ingest",
+    "streaming_raster_ingest",
+    "streaming_dedup_lsh",
+    # — operators/terrain.py changed (clump_regions reworked as
+    #   two-phase raster CC): both clump consumers re-row —
+    "raster_clump",
+    "raster_polygonize",
+    # — functions/crs.py changed (NULL-epsg rows now routed to the
+    #   loud-fail branch of standardize_crs_datum; diff confined to
+    #   that function): the changed form re-rows —
+    "crs_standardize_datum",
+    # — jobs/pipeline.py composes shapefile ingest: re-row after the
+    #   shapefile.py zone_records refactor —
+    "pipeline_end_to_end",
+    # — family representatives (files unchanged; keep families
+    #   in-window) —
     "raster_geotiff_ingest",
     "source_geotiff_datasource",
     "raster_slope_aspect",
@@ -215,39 +232,52 @@ PRIORITY: tuple[str, ...] = (
     "raster_mosaic",
     "zonal_polygons",
     "tiles_encode_rings",
-    # manifest_pending displaced by multimodal_decode_gif (manifest.py
-    # unchanged since its r6-green row, which stands; in-window
-    # pipeline_end_to_end exercises the same P6/P8/ledger semantics
-    # end-to-end, so the family keeps a harder in-window row than the
-    # one it loses)
     "dedup_minhash_lsh",
-    # dedup_exact displaced by streaming_media_ingest (dedup.py
-    # unchanged this round, its r8 benchgate row stands, benchgate
-    # times it on every hot-path commit, bench.py runs it every round,
-    # and dedup_minhash_lsh keeps E1/E2 in-window — the same
-    # displacement rationale the r9 window used)
+    "dedup_exact",
     "corpus_curation",
     "text_gopher_rules",
     "corpus_lm_score",
     "events_session",
-    "sink_tokenbin_roundtrip",
     "mv_sketch_distinct_gate",
     "vector_geopackage_ingest",
     "agg_geomean_udaf",
-    "streaming_dedup_lsh",
     "join_full_outer",
-    # sql_shipping_priority displaced by multimodal_decode_wav (its
-    # relational.py shape is unchanged — the r8 tail row stands — and
-    # it runs, and is timed, in every bench.py round)
     "window_distribution",
-    # — end of the 50-slot window (window_distribution takes slot 50) —
     "sql_shipping_priority",
+    "similarity_topk",
+    "dedup_semantic",
+    "similarity_ann_gate",
+    "embedding_pca_gate",
+    "crs_reproject",
+    "crs_reproject_krovak",
+    "crs_standardize_mixed",
+    "geo_dwithin_join",
+    "vector_reproject_zones",
+    "dedup_clusters",
+    "graph_pagerank",
+    "sink_tokenbin_roundtrip",
+    # — end of the 50-slot window (sink_tokenbin_roundtrip takes
+    #   slot 50) —
+    # r10 head names displaced this round retained below for
+    # provenance (names past the window keep registration order).
+    # Their r10 rows stand: functions/crs.py's round-11 diff is
+    # confined to standardize_crs_datum (the six displaced projection
+    # forms are byte-identical, and crs_reproject + crs_reproject_krovak
+    # + crs_standardize_mixed + crs_standardize_datum keep four crs rows
+    # in-window); operators/graph.py is untouched this round
+    # (dedup_clusters + graph_pagerank keep the family in-window).
+    "crs_reproject_utm",
+    "crs_reproject_lcc",
+    "crs_reproject_albers",
+    "crs_reproject_sinu",
+    "crs_reproject_tm",
+    "crs_reproject_polar",
+    "graph_triangles",
     # r9 head names displaced this round retained below for provenance
     # (names past the window keep registration order; their r9 rows
     # stand because their operator files are unchanged in r10)
     "geo_validity_report",
     "vector_clip_extent",
-    "raster_polygonize",
     "raster_contour",
     "geo_zone_centroid",
     "geo_zone_area_sphere",
@@ -274,7 +304,6 @@ PRIORITY: tuple[str, ...] = (
     # + warp_to_grid): first-time driver rows —
     "raster_warp_average",
     "raster_pyramid",
-    "raster_clump",
     "raster_burn",
     "dedup_minhash_ml_gate",
     # — keepers: round-8 code changes need fresh hard rows —

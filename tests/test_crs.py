@@ -875,6 +875,20 @@ def test_krovak_full_transform_and_roundtrip(spark):
     assert worst.dlon < 1e-7 and worst.dlat < 1e-7
 
 
+def test_standardize_datum_null_epsg_raises(spark):
+    """NULL src_epsg must die loudly (ADVICE r10): isin() is NULL for
+    NULL input, so without explicit routing the row would vanish between
+    the two complementary filters. The NULL row now reaches the
+    datum-free branch's raise_error OTHERWISE, with a non-NULL message
+    (coalesce keeps the concat legible)."""
+    df = spark.createDataFrame(
+        [(1, -3.1883, 55.9533, 27700), (2, 1.0, 2.0, None)],
+        "id long, lon double, lat double, src_epsg int",
+    )
+    with pytest.raises(Exception, match="unsupported src EPSG: NULL"):
+        crs.standardize_crs_datum(df).collect()
+
+
 def test_standardize_crs_datum_three_codes_one_kernel(spark):
     """OSGB + Irish + Krovak rows in ONE standardize_crs_datum call —
     three datum-shifted codes through the single Arrow kernel,

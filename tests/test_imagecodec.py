@@ -203,6 +203,47 @@ def test_bmp_decode_refusals():
         ic.bmp_decode(ic.bmp_encode(arr)[:-8])
 
 
+def test_bmp_palette_expansion():
+    """8-bit BMP pixels are palette indices (ADVICE r10): a non-identity
+    palette must expand to RGB, never be returned as raw gray
+    intensities. bmp_encode writes the identity-grayscale table at
+    offset 54 (BITMAPINFOHEADER), so patching those 1024 bytes makes a
+    fixture no stdlib writer produces."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    enc = bytearray(ic.bmp_encode(arr))
+    # identity palette still decodes as 1-channel gray
+    dec, meta = ic.bmp_decode(bytes(enc))
+    assert meta["channels"] == 1 and np.array_equal(dec[:, :, 0], arr)
+    # chromatic palette: entry i -> (i, 40, 255-i), stored as BGRA quads
+    quads = np.zeros((256, 4), dtype=np.uint8)
+    quads[:, 2] = np.arange(256)          # R
+    quads[:, 1] = 40                      # G
+    quads[:, 0] = 255 - np.arange(256)    # B
+    enc[54 : 54 + 1024] = quads.tobytes()
+    dec, meta = ic.bmp_decode(bytes(enc))
+    assert meta["channels"] == 3
+    assert np.array_equal(dec[:, :, 0], arr)
+    assert (dec[:, :, 1] == 40).all()
+    assert np.array_equal(dec[:, :, 2], 255 - arr)
+    # biClrUsed smaller than the indices present -> loud out-of-range
+    small = bytearray(ic.bmp_encode(arr))
+    small[46:50] = struct.pack("<I", 16)
+    with pytest.raises(ValueError, match="outside the 16-entry palette"):
+        ic.bmp_decode(bytes(small))
+
+
+def test_wav_info_truncated_data_chunk():
+    """wav_info must refuse a data chunk whose declared length overruns
+    the file (ADVICE r10) instead of reporting inflated n_samples —
+    matching wav_decode's existing posture."""
+    wav = ic.wav_encode(np.zeros(100, dtype=np.int16), sample_rate=8000)
+    with pytest.raises(ValueError, match="truncated"):
+        ic.wav_info(wav[:-20])
+    # intact file still reports the true frame count
+    assert ic.wav_info(wav)["n_samples"] == 100
+
+
 def test_wav_decode_roundtrip_and_refusals():
     rng = np.random.default_rng(11)
     samples = rng.integers(-32768, 32768, size=(50, 2)).astype(np.int16)
