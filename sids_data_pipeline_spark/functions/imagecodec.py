@@ -15,7 +15,7 @@ image library (the container has none):
   engine does not guess pixels.
 * **JPEG** — full baseline-sequential decode AND encode (ITU T.81):
   Huffman entropy coding from the file's own DHT tables, dequant,
-  batched 8×8 IDCT (numpy einsum), 4:4:4 / 4:2:0 (and any
+  batched 8×8 IDCT (numpy einsum), 4:4:4 / 4:2:2 / 4:2:0 (and any
   sampling-factor layout on decode), restart markers, JFIF YCbCr↔RGB.
   Progressive / arithmetic / 12-bit frames refuse loudly with the
   capability named. ``jpeg_dims`` stays as the header fast path for
@@ -718,7 +718,9 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=2
     )
     arr = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    sub = "4:2:0" if (comps[0][1], comps[0][2]) == (2, 2) else "4:4:4"
+    sub = {(1, 1): "4:4:4", (2, 1): "4:2:2", (2, 2): "4:2:0"}.get(
+        (comps[0][1], comps[0][2]), f"h{comps[0][1]}v{comps[0][2]}"
+    )
     return arr, {"width": w, "height": h, "channels": 3, "subsampling": sub}
 
 
@@ -771,7 +773,8 @@ def jpeg_encode(
     """Encode a uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB array
     as baseline sequential JPEG (SOF0, Annex K Huffman tables, JFIF APP0).
 
-    ``subsampling`` is '4:4:4' or '4:2:0' (box-average chroma).
+    ``subsampling`` is '4:4:4', '4:2:2' (horizontal box-average chroma)
+    or '4:2:0' (2x2 box-average chroma).
     ``quant_tables`` overrides the quality-scaled Annex K tables with
     explicit (luma, chroma) 64-vectors in NATURAL order — a table of all
     ones makes 8×8-block-constant grayscale images round-trip EXACTLY
@@ -787,9 +790,10 @@ def jpeg_encode(
     h, w, channels = a.shape
     if h == 0 or w == 0:
         raise ValueError("jpeg_encode: zero-dimension image")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError(
-            f"jpeg_encode: subsampling must be 4:4:4 or 4:2:0, got {subsampling!r}"
+            "jpeg_encode: subsampling must be 4:4:4, 4:2:2 or 4:2:0, "
+            f"got {subsampling!r}"
         )
     if quant_tables is None:
         ql, qc = _jpeg_quality_tables(quality)
@@ -809,20 +813,25 @@ def jpeg_encode(
             128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
             128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
         ]
-        if subsampling == "4:2:0":
-            def box2(p):
-                pe = np.pad(
-                    p, ((0, p.shape[0] & 1), (0, p.shape[1] & 1)), mode="edge"
-                )
-                return pe.reshape(
-                    pe.shape[0] // 2, 2, pe.shape[1] // 2, 2
-                ).mean(axis=(1, 3))
+        def box(p, fy, fx):
+            pe = np.pad(
+                p,
+                ((0, -p.shape[0] % fy), (0, -p.shape[1] % fx)),
+                mode="edge",
+            )
+            return pe.reshape(
+                pe.shape[0] // fy, fy, pe.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
 
-            planes = [ycc[0] - 128.0, box2(ycc[1]) - 128.0, box2(ycc[2]) - 128.0]
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [ycc[0] - 128.0, ycc[1] - 128.0, ycc[2] - 128.0]
-            samp = [(1, 1), (1, 1), (1, 1)]
+        # luma (hi, vi) per mode; chroma stays (1, 1) and is box-averaged
+        # by the luma factors — the standard JFIF layouts
+        lh, lv = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[subsampling]
+        planes = [
+            ycc[0] - 128.0,
+            box(ycc[1], lv, lh) - 128.0,
+            box(ycc[2], lv, lh) - 128.0,
+        ]
+        samp = [(lh, lv), (1, 1), (1, 1)]
         qtab = [0, 1, 1]
 
     hmax = max(s[0] for s in samp)

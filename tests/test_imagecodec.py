@@ -494,7 +494,7 @@ def test_jpeg_gray_rgb_through_color_convert_exact():
     assert (arr == rgb).all()
 
 
-@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:2", "4:2:0"])
 def test_jpeg_quality_roundtrip_within_quantization_tolerance(subsampling):
     """Smooth synthetic RGB at quality 95 reconstructs within a small
     per-sample tolerance vs the PNG-path ground truth on the same array
@@ -542,7 +542,7 @@ def test_jpeg_refusals_name_the_capability():
     with pytest.raises(ValueError, match="quality"):
         ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8), quality=0)
     with pytest.raises(ValueError, match="subsampling"):
-        ic.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:2:2")
+        ic.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:1:1")
 
 
 def test_jpeg_decoder_reads_tables_from_the_file():
