@@ -81,6 +81,8 @@ AUDITED = [
     "multimodal_decode_png",
     "multimodal_decode_wav",
     "multimodal_decode_gif",
+    "multimodal_decode_jpeg",
+    "multimodal_gif_disposal",
     "multimodal_resize_png",
     "pipeline_end_to_end",
     "dedup_clusters",
