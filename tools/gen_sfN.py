@@ -116,6 +116,16 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--row-group-size",
+        type=int,
+        default=128_000,
+        help="parquet row-group rows. The driver's sf0.1 files are ONE "
+        "row group each, capping scan parallelism at 1 task per table "
+        "for BOTH Spark and DuckDB; a 100 TB lake is thousands of "
+        "splits, so the scaled files are written splittable — 128k-row "
+        "groups give the 6M-row lineitem ~47 scan tasks on local[32].",
+    )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -171,7 +181,7 @@ def main() -> None:
             else:
                 replicas.append(_stamp(tbl, i, offsets.get(t, {})))
         out = pa.concat_tables([r.select(tbl.column_names) for r in replicas])
-        pq.write_table(out, path)
+        pq.write_table(out, path, row_group_size=args.row_group_size)
         print(f"{t}: {tbl.num_rows} -> {out.num_rows}")
 
 
