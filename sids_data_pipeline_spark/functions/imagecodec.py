@@ -615,14 +615,26 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    # Integer replication upsampling only covers layouts where every
+    # component factor divides the max (all JFIF layouts: 4:4:4, 4:2:2,
+    # 4:2:0, 4:1:1); a T.81-legal non-divisible layout (e.g. Y h=3 with
+    # Cb h=2) would need fractional resampling — refuse with the layout
+    # named, before entropy decode, rather than crash in np.stack later.
+    for cid, hi, vi, _tq in comps:
+        if hi == 0 or vi == 0:
+            raise ValueError("jpeg: zero sampling factor")
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                f"jpeg: non-integer upsampling layout (component {cid} "
+                f"factors h={hi} v={vi} vs max h={hmax} v={vmax}) not "
+                "supported — JFIF layouts only"
+            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     scan_tables = {cid: (dc, ac) for cid, dc, ac in scan}
     coefs = {}
     order = []
     for cid, hi, vi, tq in comps:
-        if hi == 0 or vi == 0:
-            raise ValueError("jpeg: zero sampling factor")
         coefs[cid] = np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
         dc_t, ac_t = scan_tables[cid]
         if (0, dc_t) not in huff or (1, ac_t) not in huff:
@@ -800,6 +812,16 @@ def jpeg_encode(
     else:
         ql = np.asarray(quant_tables[0], dtype=np.int64).reshape(64)
         qc = np.asarray(quant_tables[1], dtype=np.int64).reshape(64)
+        # the DQT payload is one byte per entry (pq=0); silently wrapping
+        # a 256 to 0 would quantize with one table and dequantize with
+        # another — refuse out-of-range values instead of corrupting
+        for name, t in (("luma", ql), ("chroma", qc)):
+            if int(t.min()) < 1 or int(t.max()) > 255:
+                raise ValueError(
+                    f"jpeg_encode: {name} quant table values must be in "
+                    f"1..255 (8-bit DQT), got [{int(t.min())}, "
+                    f"{int(t.max())}]"
+                )
 
     if channels == 1:
         planes = [a[:, :, 0].astype(np.float64) - 128.0]

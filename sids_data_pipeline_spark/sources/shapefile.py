@@ -364,31 +364,46 @@ def _exists(path: str) -> bool:
 # --- public read API -----------------------------------------------------------
 
 
+def _shp_parts(
+    shp_bytes: bytes,
+    dbf_bytes: bytes | None,
+    cpg_text: str | None,
+    encoding: str | None,
+) -> tuple[list, list[str], list[list], list[bool]]:
+    """Shared bytes-level core of :func:`read_shapefile` and
+    :func:`zone_records`: geometry records merged with .dbf attributes
+    (.cpg encoding fallback, record-count cross-check). Returns
+    (geoms, field_names, rows, deleted)."""
+    geoms = read_shp_geometries(shp_bytes)
+    names: list[str] = []
+    rows: list[list] = [[] for _ in geoms]
+    deleted = [False] * len(geoms)
+    if dbf_bytes is not None:
+        if encoding is None and cpg_text is not None:
+            encoding = cpg_text.strip() or None
+        names, rows, deleted = read_dbf(dbf_bytes, encoding)
+        if len(rows) != len(geoms):
+            raise ValueError(
+                f".dbf has {len(rows)} records but .shp has {len(geoms)}"
+            )
+    return geoms, names, rows, deleted
+
+
 def read_shapefile(path: str, encoding: str | None = None) -> pd.DataFrame:
     """Driver-side read of a shapefile set → pandas DataFrame with
     ``fid`` (OGR-style 0-based record index), one column per .dbf field,
     and ``geometry`` (WKB bytes, canonical winding). dbf-deleted rows
     are skipped; a missing .dbf yields fid+geometry only."""
-    geoms = read_shp_geometries(_read_bytes(path))
-    names: list[str] = []
-    rows: list[list] = [[] for _ in geoms]
-    deleted = [False] * len(geoms)
     dbf_path = _sidecar(path, ".dbf")
-    if _exists(dbf_path):
-        if encoding is None:
-            cpg = _sidecar(path, ".cpg")
-            if _exists(cpg):
-                encoding = (
-                    _read_bytes(cpg)
-                    .decode("ascii", errors="replace")
-                    .strip()
-                    or None
-                )
-        names, rows, deleted = read_dbf(_read_bytes(dbf_path), encoding)
-        if len(rows) != len(geoms):
-            raise ValueError(
-                f".dbf has {len(rows)} records but .shp has {len(geoms)}"
-            )
+    cpg_path = _sidecar(path, ".cpg")
+    geoms, names, rows, deleted = _shp_parts(
+        _read_bytes(path),
+        _read_bytes(dbf_path) if _exists(dbf_path) else None,
+        _read_bytes(cpg_path).decode("ascii", errors="replace")
+        if encoding is None and _exists(cpg_path)
+        else None,
+        encoding,
+    )
     out = []
     for fid, (geom, vals, dead) in enumerate(zip(geoms, rows, deleted)):
         if dead:
@@ -409,22 +424,23 @@ def zone_records(
     fid, name, WKB MultiPolygon). The executor-side core shared by the
     batch ingest and the streaming drop-folder twin: no filesystem
     access, so it runs wherever the bytes already are."""
-    geoms = read_shp_geometries(shp_bytes)
-    names: list[str] = []
-    rows: list[list] = [[] for _ in geoms]
-    deleted = [False] * len(geoms)
-    if dbf_bytes is not None:
-        if encoding is None and cpg_text is not None:
-            encoding = cpg_text.strip() or None
-        names, rows, deleted = read_dbf(dbf_bytes, encoding)
-        if len(rows) != len(geoms):
-            raise ValueError(
-                f".dbf has {len(rows)} records but .shp has {len(geoms)}"
-            )
+    geoms, names, rows, deleted = _shp_parts(
+        shp_bytes, dbf_bytes, cpg_text, encoding
+    )
     if name_col is None:
+        # heuristic pick — absent candidates legitimately yield name=NULL
         cands = [c for c in names if c.lower() in ("name", "label", "title")]
         name_col = cands[0] if cands else None
-    name_idx = names.index(name_col) if name_col in names else None
+        name_idx = names.index(name_col) if name_col is not None else None
+    elif name_col in names:
+        name_idx = names.index(name_col)
+    else:
+        # an EXPLICIT name_col that the .dbf lacks is a caller error —
+        # silently emitting name=NULL for every zone would be data loss
+        raise ValueError(
+            f"zone_records: name_col {name_col!r} not among .dbf columns "
+            f"{names or '(no .dbf)'}"
+        )
     records = []
     for fid, (geom, vals, dead) in enumerate(zip(geoms, rows, deleted)):
         if dead:

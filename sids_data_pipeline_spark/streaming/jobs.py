@@ -679,7 +679,10 @@ def streaming_vector_ingest(
     the drop-folder shape of the reference's vector inputs container
     (pipeline/processing/data.py:44-46), with the file source's
     checkpoint as the exactly-once P6 ledger (same design as
-    :func:`streaming_raster_ingest`). ``vector_id`` is the file stem.
+    :func:`streaming_raster_ingest`). ``vector_id`` is the file stem,
+    and is the ledger key: a batch carrying two same-stem layers (e.g.
+    a multi-directory glob) refuses loudly rather than writing
+    ambiguous rows.
 
     Shapefile GEOMETRY parses DISTRIBUTED: the binaryFile source carries
     each .shp's ``content`` into an executor task, which runs the SAME
@@ -726,6 +729,26 @@ def streaming_vector_ingest(
         paths = [r.path for r in batch.select("path").distinct().collect()]
         if not paths:
             return
+        # vector_id (the file stem) is the ledger key AND the
+        # reprojection routing key — two same-stem layers in one batch
+        # (drop/a/grid.shp + drop/b/grid.shp via a multi-dir glob) would
+        # be indistinguishable downstream and would cross-route through
+        # each other's CRS leg. Refuse loudly naming both paths; this is
+        # a producer layout error that no retry fixes.
+        stem_of = {}
+        for path in sorted(paths):
+            ext = os.path.splitext(path)[1].lower()
+            if ext not in (".shp", ".gpkg"):
+                continue
+            stem = os.path.splitext(os.path.basename(path))[0]
+            if stem in stem_of:
+                raise ValueError(
+                    f"duplicate vector_id {stem!r} in one batch: "
+                    f"{stem_of[stem]} and {path} — vector_id is the "
+                    "ledger key, so same-stem layers are ambiguous; "
+                    "rename one layer (or narrow input_glob)"
+                )
+            stem_of[stem] = path
         parts = []
         shp_meta: dict[str, tuple[str, int]] = {}  # path -> (vector_id, epsg)
         for path in sorted(paths):

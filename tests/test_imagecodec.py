@@ -543,6 +543,39 @@ def test_jpeg_refusals_name_the_capability():
         ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8), quality=0)
     with pytest.raises(ValueError, match="subsampling"):
         ic.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8), subsampling="4:1:1")
+    # out-of-range quant values would wrap in the 8-bit DQT (256 -> 0):
+    # quantize with one table, dequantize with another — refuse instead
+    big = np.full(64, 256, dtype=np.int64)
+    with pytest.raises(ValueError, match="1..255"):
+        ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8), quant_tables=(big, big))
+    with pytest.raises(ValueError, match="1..255"):
+        ic.jpeg_encode(
+            np.zeros((8, 8), dtype=np.uint8),
+            quant_tables=(np.ones(64, dtype=np.int64), np.zeros(64, dtype=np.int64)),
+        )
+
+
+def test_jpeg_non_divisible_sampling_refuses_by_name():
+    """A T.81-legal layout where a component factor does not divide the
+    max (Y h=3, chroma h=2) needs fractional upsampling — the decoder
+    must refuse with the layout named, not crash in np.stack."""
+    ones = np.ones(64, dtype=np.int64)
+    data = bytearray(
+        ic.jpeg_encode(
+            ic.synth_image(3, 24, 24, 3), quality=90, subsampling="4:2:0"
+        )
+    )
+    sof = data.index(b"\xff\xc0")
+    # per-component (cid, hv, tq) triples start at marker offset 10;
+    # comp0 hv is at +11, comp1 hv at +14
+    data[sof + 11] = (3 << 4) | 2  # Y h=3 v=2 (was 2,2) -> hmax=3
+    data[sof + 14] = (2 << 4) | 1  # Cb h=2 v=1: 3 % 2 != 0
+    with pytest.raises(ValueError, match="non-integer upsampling"):
+        ic.jpeg_decode(bytes(data))
+    data[sof + 11] = 0x22
+    data[sof + 14] = 0x01  # zero h factor
+    with pytest.raises(ValueError, match="zero sampling factor"):
+        ic.jpeg_decode(bytes(data))
 
 
 def test_jpeg_decoder_reads_tables_from_the_file():

@@ -224,6 +224,24 @@ def test_ingest_zones_schema_and_broadcastable(spark, tmp_path):
     assert rows[7].name == "triangle_holed"
 
 
+def test_explicit_missing_name_col_refuses(shp_path):
+    """An EXPLICIT name_col absent from the .dbf must raise (silent
+    name=NULL for every zone is data loss); the heuristic default
+    (name_col=None) still yields NULL when no candidate column exists."""
+    from sids_data_pipeline_spark.sources.shapefile import zone_records
+
+    shp = open(shp_path, "rb").read()
+    dbf = open(shp_path[:-4] + ".dbf", "rb").read()
+    with pytest.raises(ValueError, match="name_col 'NAEM' not among"):
+        zone_records(shp, dbf, None, "v", name_col="NAEM")
+    # explicit name_col with no .dbf at all is equally loud
+    with pytest.raises(ValueError, match="no .dbf"):
+        zone_records(shp, None, None, "v", name_col="name")
+    # the heuristic path still works on the same bytes
+    rec = zone_records(shp, dbf, None, "v")
+    assert rec["name"].notna().all()
+
+
 def test_all_ccw_fallback_one_poly_per_ring():
     """Nonconformant writer: two disjoint CCW rings in one record must
     fall back to one-polygon-per-ring (OGR organizePolygons leniency)."""

@@ -757,6 +757,34 @@ def test_streaming_vector_ingest_sidecar_race_fails_batch(spark, tmp_path):
     assert {r.vector_id for r in got.collect()} == {"grid"}
 
 
+def test_streaming_vector_ingest_duplicate_stem_refuses(spark, tmp_path):
+    """vector_id is the file stem AND the ledger key: two same-stem
+    layers in one batch (multi-directory glob) would be ambiguous
+    downstream and would cross-route through each other's reprojection
+    leg — the batch must refuse loudly naming both paths."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sids_data_pipeline_spark.sources.shapefile import write_shapefile
+    from sids_data_pipeline_spark.sources.vector import FIXTURE_BUILDERS
+    from sids_data_pipeline_spark.streaming.jobs import streaming_vector_ingest
+
+    for sub in ("a", "b"):
+        d = tmp_path / "drop" / sub
+        d.mkdir(parents=True)
+        write_shapefile(
+            list(FIXTURE_BUILDERS["zones_grid"]()), str(d / "grid.shp")
+        )
+    with pytest.raises(
+        StreamingQueryException, match="duplicate vector_id 'grid'"
+    ):
+        streaming_vector_ingest(
+            spark,
+            str(tmp_path / "drop") + "/*/*",
+            str(tmp_path / "zones"),
+            str(tmp_path / "ckpt"),
+        )
+
+
 def test_streaming_media_ingest_incremental_and_quarantine(spark, tmp_path):
     """Drop-folder media ingest: first drain decodes a PNG + WAV with
     real dims through the shared codec dispatch; a second drain after a

@@ -48,7 +48,12 @@ import pyarrow.parquet as pq
 
 
 def _seed(table: str, replica: int) -> np.random.Generator:
-    return np.random.default_rng(abs(hash((table, replica))) % (2**63))
+    # zlib.crc32 is stable across processes — Python's hash() is salted
+    # per-run (PYTHONHASHSEED), which would make the "deterministic"
+    # generator produce different data on every invocation
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(f"{table}/{replica}".encode()))
 
 
 def _stamp(tbl: pa.Table, replica: int, offsets: dict[str, int]) -> pa.Table:
@@ -160,7 +165,14 @@ def main() -> None:
             "l_partkey": counts["part"],
             "l_suppkey": counts["supplier"],
         },
-        "events": {"event_id": counts["events"], "user_id": 1500},
+        "events": {
+            "event_id": counts["events"],
+            # derive the user-id stride from the base (dense 0-based ids
+            # are NOT guaranteed for users, so offset past the max seen)
+            "user_id": pa.compute.max(
+                tables["events"].column("user_id")
+            ).as_py() + 1,
+        },
     }
 
     for t, tbl in tables.items():
