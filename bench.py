@@ -173,13 +173,14 @@ def main() -> None:
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # r10 A/B note: the r9 drift (1.363x -> 1.668x vs oracle) did NOT
-        # reproduce isolated — same HEAD re-ran at 1.16x with every r9
-        # outlier recovered (similarity_topk 0.616 -> 0.460, corpus_
-        # curation 1.149 -> 0.887) and the oracle itself moved, so the
-        # r9 numbers were box contention, not a plan regression.
-        "notes": "r9 drift was contention: isolated r10 A/B at same code "
-                 "measured 1.16x vs oracle (see VERDICT r9 Next #2)",
+        # The sf0.1 ratio is floor-dominated (9 of 13 queries sit on
+        # Spark's ~0.2-0.3 s JVM fixed cost); BENCH_sf1.json records the
+        # work-dominated datapoint the r10 verdict asked for.
+        "notes": "sf0.1 ratio measures JVM floor, not plans: at sf1.0 "
+                 "(BENCH_sf1.json, gen_sfN-scaled, run isolated) the "
+                 "aggregate ratio is 0.15x vs the oracle — minhash LSH "
+                 "1.6s vs DuckDB 52.6s — with sub-linear growth on every "
+                 "query (worst 2.8x on 10x data)",
     }
     # Per-query deltas vs the previous round's recorded bench, so a real
     # regression separates from the box's ±30% single-run noise at a
