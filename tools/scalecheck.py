@@ -524,6 +524,58 @@ def main() -> None:
             }
         out["media_decode"] = media
 
+        # --- JPEG decode (r11 codec): Huffman walk + dequant + IDCT is
+        # the heaviest per-asset path; same linearity expectation -------
+        jpeg = {}
+        for n in (2_000, 8_000, 32_000):
+            docs = spark.range(0, n * 7, 7, 32).select(
+                F.col("id").alias("doc_id")
+            )
+            assets = multimodal.synth_jpeg_assets(docs, modulus=7)
+            sec = _steady(
+                lambda a=assets: multimodal.decode_images(a).count(), reps=2
+            )
+            jpeg[f"{n:,} jpeg assets"] = {
+                "sec": round(sec, 3),
+                "us_per_asset": round(sec / n * 1e6, 2),
+            }
+        out["jpeg_decode"] = jpeg
+
+    if not sections or "similarity" in sections:
+        # --- exact top-k cosine (E3 baseline path): growing candidate
+        # counts, fixed 5-query broadcast. Map-side partial top-k means
+        # the final window sees O(batches*k*|Q|) rows regardless of |C|;
+        # falling us/candidate = Arrow batch + matmul amortizing --------
+        import numpy as np
+        import pandas as pd
+
+        from sids_data_pipeline_spark.operators.similarity import (
+            topk_bruteforce,
+        )
+
+        simi = {}
+        for n in (20_000, 80_000, 320_000):
+            rng = np.random.default_rng(n)
+            vecs = rng.normal(size=(n, 64)).astype(np.float32)
+            vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+            emb = spark.createDataFrame(
+                pd.DataFrame(
+                    {"vec_id": np.arange(n), "embedding": list(map(list, vecs))}
+                )
+            ).repartition(32).cache()
+            emb.count()
+            queries = emb.filter(F.col("vec_id") < 5)
+            sec = _steady(
+                lambda e=emb, q=queries: topk_bruteforce(e, q, k=10).count(),
+                reps=2,
+            )
+            emb.unpersist()
+            simi[f"{n:,} candidates"] = {
+                "sec": round(sec, 3),
+                "us_per_candidate": round(sec / n * 1e6, 2),
+            }
+        out["similarity_topk"] = simi
+
     print(json.dumps(out))
     spark.stop()
 
