@@ -7,12 +7,13 @@ image library (the container has none):
 
 * **PNG** — full decode AND encode. zlib inflate/deflate, per-scanline
   unfilter/filter for all five filter types (None/Sub/Up/Average/Paeth,
-  RFC 2083 §6), color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-  6 (RGBA), bit depth 8, non-interlaced. CRC-32 verified per chunk on
-  read, emitted on write. Same hardening posture as the GeoTIFF codec
-  (sources/geotiff.py): unsupported variants (16-bit, palette,
-  interlaced) refuse loudly with the exact capability named — the
-  engine does not guess pixels.
+  RFC 2083 §6), color types 0 (gray), 2 (RGB), 3 (palette, expanded
+  through PLTE/tRNS), 4 (gray+alpha), 6 (RGBA), bit depth 8,
+  sequential or Adam7-interlaced (read and write). CRC-32 verified per
+  chunk on read, emitted on write. Same hardening posture as the
+  GeoTIFF codec (sources/geotiff.py): unsupported variants (non-8-bit
+  depths) refuse loudly with the exact capability named — the engine
+  does not guess pixels.
 * **JPEG** — full baseline-sequential decode AND encode (ITU T.81):
   Huffman entropy coding from the file's own DHT tables, dequant,
   batched 8×8 IDCT (numpy einsum), 4:4:4 / 4:2:2 / 4:2:0 (and any
@@ -49,8 +50,13 @@ import numpy as np
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel (8-bit depth only)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 3 = palette indices
 _PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+# Adam7 interlace passes: (x0, y0, dx, dy) — RFC 2083 §2.6
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 # --------------------------------------------------------------------------
@@ -154,20 +160,48 @@ def _filter_scanline(
     raise ValueError(f"png: invalid scanline filter type {ftype}")
 
 
+def _unfilter_rows(
+    raw: bytes, width: int, height: int, bpp: int, offset: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``height`` scanlines of ``width*bpp`` bytes starting at
+    ``raw[offset]`` (one sub-image: the whole frame, or one Adam7 pass).
+    Returns ((height, width*bpp) uint8 array, offset past the lines)."""
+    stride = width * bpp
+    need = (stride + 1) * height
+    if offset + need > len(raw):
+        raise ValueError(
+            f"png: decompressed stream too short ({len(raw)} bytes, "
+            f"need {offset + need})"
+        )
+    buf = np.frombuffer(
+        raw, dtype=np.uint8, count=need, offset=offset
+    ).reshape(height, stride + 1)
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        out[y] = _unfilter_scanline(int(buf[y, 0]), buf[y, 1:], prev, bpp)
+        prev = out[y]
+    return out, offset + need
+
+
 def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode a PNG payload to (array, meta).
 
     Array shape is (height, width, channels) uint8; meta carries
-    width/height/channels/color_type. Verifies every chunk CRC and the
-    IHDR capability envelope; refuses (ValueError, capability named)
-    bit depths other than 8, palette images, and Adam7 interlacing —
-    loud beats wrong, per the repo contract.
+    width/height/channels/color_type. Gray, gray+alpha, RGB, RGBA and
+    PALETTE (color type 3, expanded through PLTE to RGB — RGBA when a
+    tRNS chunk supplies per-entry alpha) at bit depth 8, sequential or
+    Adam7-interlaced. Verifies every chunk CRC and the IHDR capability
+    envelope; refuses (ValueError, capability named) bit depths other
+    than 8 — loud beats wrong, per the repo contract.
     """
     if data[:8] != _PNG_MAGIC:
         raise ValueError("png: bad magic (not a PNG payload)")
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte: bytes | None = None
+    trns: bytes | None = None
     seen_iend = False
     while pos + 8 <= len(data):
         length, ctype = struct.unpack_from(">I4s", data, pos)
@@ -185,7 +219,9 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
             seen_iend = True
             break
         elif ctype == b"PLTE":
-            pass  # only meaningful for color type 3, refused below
+            plte = body
+        elif ctype == b"tRNS":
+            trns = body
         pos += 12 + length
     if ihdr is None:
         raise ValueError("png: missing IHDR chunk")
@@ -195,30 +231,58 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
     if depth != 8:
         raise ValueError(f"png: only bit depth 8 supported, got {depth}")
     if color_type not in _PNG_CHANNELS:
-        raise ValueError(
-            f"png: color type {color_type} not supported "
-            "(palette images need a PLTE expansion this engine refuses to guess)"
-        )
+        raise ValueError(f"png: color type {color_type} not supported")
+    if color_type == 3 and plte is None:
+        raise ValueError("png: palette image (color type 3) missing PLTE")
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")
-    if interlace != 0:
-        raise ValueError("png: Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"png: unknown interlace method {interlace}")
     if width == 0 or height == 0:
         raise ValueError("png: zero-dimension image")
-    channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
+    bpp = _PNG_CHANNELS[color_type]  # bytes/px in the coded stream
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    if interlace == 0:
+        out, off = _unfilter_rows(raw, width, height, bpp, 0)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the (y0::dy, x0::dx) grids
+        plane = np.zeros((height, width, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no scanlines
+            sub, off = _unfilter_rows(raw, pw, ph, bpp, off)
+            plane[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        out = plane.reshape(height, width * bpp)
+    if off != len(raw):
         raise ValueError(
-            f"png: decompressed size {len(raw)} != expected {(stride + 1) * height}"
+            f"png: {len(raw) - off} trailing bytes after the last scanline"
         )
-    buf = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        out[y] = _unfilter_scanline(int(buf[y, 0]), buf[y, 1:], prev, channels)
-        prev = out[y]
-    arr = out.reshape(height, width, channels)
+    arr = out.reshape(height, width, bpp)
+    channels = bpp
+    if color_type == 3:
+        if len(plte) % 3 or not plte:
+            raise ValueError(f"png: PLTE length {len(plte)} not a multiple of 3")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = arr[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError(
+                f"png: palette index {int(idx.max())} outside the "
+                f"{pal.shape[0]}-entry PLTE"
+            )
+        rgb = pal[idx]
+        if trns is not None:
+            alpha_lut = np.full(pal.shape[0], 255, dtype=np.uint8)
+            alpha_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            arr = np.dstack([rgb, alpha_lut[idx]])
+            channels = 4
+        else:
+            arr = rgb
+            channels = 3
+        arr = np.ascontiguousarray(arr)
     return arr, {
         "width": width,
         "height": height,
@@ -227,12 +291,44 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
     }
 
 
-def png_encode(arr: np.ndarray, level: int = 6, filter_cycle: bool = True) -> bytes:
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_block(
+    block: np.ndarray, channels: int, filter_cycle: bool
+) -> bytearray:
+    """Filter one sub-image ((h, w, c) → scanline bytes with filter-type
+    prefixes): the whole frame, or one Adam7 pass."""
+    h, w = block.shape[:2]
+    flat = block.reshape(h, w * channels)
+    lines = bytearray()
+    prev = np.zeros(w * channels, dtype=np.uint8)
+    for y in range(h):
+        ftype = (y % 5) if filter_cycle else 0
+        lines.append(ftype)
+        lines.extend(_filter_scanline(ftype, flat[y], prev, channels).tobytes())
+        prev = flat[y]
+    return lines
+
+
+def png_encode(
+    arr: np.ndarray,
+    level: int = 6,
+    filter_cycle: bool = True,
+    interlace: bool = False,
+) -> bytes:
     """Encode a uint8 array (h, w) or (h, w, c) with c in {1,2,3,4} to PNG.
 
     ``filter_cycle=True`` picks filter type ``y % 5`` per scanline so a
     round trip exercises every unfilter path (the catalog gate relies on
-    this); False always uses filter 0.
+    this); False always uses filter 0. ``interlace=True`` writes Adam7
+    (each pass filtered independently, per the spec).
     """
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
@@ -243,30 +339,55 @@ def png_encode(arr: np.ndarray, level: int = 6, filter_cycle: bool = True) -> by
     if height == 0 or width == 0:
         raise ValueError("png_encode: zero-dimension image")
     color_type = _PNG_COLOR_TYPE[channels]
-    flat = a.reshape(height, width * channels)
-    lines = bytearray()
-    prev = np.zeros(width * channels, dtype=np.uint8)
-    for y in range(height):
-        ftype = (y % 5) if filter_cycle else 0
-        lines.append(ftype)
-        lines.extend(_filter_scanline(ftype, flat[y], prev, channels).tobytes())
-        prev = flat[y]
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            block = a[y0::dy, x0::dx]
+            if block.shape[0] and block.shape[1]:
+                lines.extend(_png_filter_block(block, channels, filter_cycle))
+    else:
+        lines = _png_filter_block(a, channels, filter_cycle)
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + ctype
-            + body
-            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines), level))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), level))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def png_encode_indexed(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    level: int = 6,
+) -> bytes:
+    """Encode an (h, w) uint8 index plane as a color-type-3 PNG with the
+    given (n, 3) palette (and optional per-entry alpha via tRNS) —
+    fixture generator for the palette decode path (and a usable sink)."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or idx.shape[0] == 0 or idx.shape[1] == 0:
+        raise ValueError(f"png_encode_indexed: expected (h,w) uint8, got {indices.shape}")
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+        raise ValueError(
+            f"png_encode_indexed: palette must be (1..256, 3), got {palette.shape}"
+        )
+    if int(idx.max()) >= pal.shape[0]:
+        raise ValueError(
+            f"png_encode_indexed: index {int(idx.max())} outside the "
+            f"{pal.shape[0]}-entry palette"
+        )
+    height, width = idx.shape
+    lines = _png_filter_block(idx[:, :, None], 1, filter_cycle=True)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _png_chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(bytes(lines), level)) + _png_chunk(b"IEND", b"")
 
 
 # --------------------------------------------------------------------------

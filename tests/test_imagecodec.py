@@ -75,19 +75,26 @@ def test_png_capability_refusals_name_the_gap():
     )
     with pytest.raises(ValueError, match="bit depth 8"):
         ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
-    # palette color type 3
+    # palette color type 3 WITHOUT a PLTE chunk (undecodable by anyone)
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
     chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
     )
-    with pytest.raises(ValueError, match="palette"):
+    with pytest.raises(ValueError, match="missing PLTE"):
         ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
-    # Adam7
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # unknown color type
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 5, 0, 0, 0)
     chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
     )
-    with pytest.raises(ValueError, match="interlacing"):
+    with pytest.raises(ValueError, match="color type 5"):
+        ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
+    # unknown interlace method (0 = sequential and 1 = Adam7 both decode)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="interlace method 2"):
         ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
 
 
@@ -201,6 +208,51 @@ def test_bmp_decode_refusals():
         ic.bmp_decode(bytes(enc))
     with pytest.raises(ValueError, match="truncated"):
         ic.bmp_decode(ic.bmp_encode(arr)[:-8])
+
+
+@pytest.mark.parametrize("shape", [(3, 5, 1), (11, 17, 3), (16, 16, 4), (2, 2, 2)])
+def test_png_adam7_interlace_roundtrip(shape):
+    """Adam7 write → read reproduces pixels exactly for every channel
+    count, including dims below the 8-px pass grid (empty passes) and
+    non-multiples (ragged pass widths)."""
+    rng = np.random.default_rng(int(np.prod(shape)))
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    enc = ic.png_encode(arr, interlace=True)
+    dec, meta = ic.png_decode(enc)
+    assert np.array_equal(dec, arr)
+    assert (meta["height"], meta["width"], meta["channels"]) == shape
+    # interlaced and sequential encodes of the same pixels agree
+    seq, _ = ic.png_decode(ic.png_encode(arr))
+    assert np.array_equal(dec, seq)
+
+
+def test_png_palette_decode_plte_and_trns():
+    """Color-type-3 decode expands indices through PLTE (RGB) and adds
+    the tRNS per-entry alpha channel when present; out-of-range indices
+    and a missing PLTE refuse loudly."""
+    rng = np.random.default_rng(33)
+    idx = rng.integers(0, 16, size=(7, 9), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    dec, meta = ic.png_decode(ic.png_encode_indexed(idx, pal))
+    assert meta["channels"] == 3 and meta["color_type"] == 3
+    assert np.array_equal(dec, pal[idx])
+    # tRNS: entries beyond its length default to opaque 255
+    trns = np.array([0, 128, 255], dtype=np.uint8)
+    dec4, meta4 = ic.png_decode(ic.png_encode_indexed(idx, pal, trns=trns))
+    assert meta4["channels"] == 4
+    assert np.array_equal(dec4[:, :, :3], pal[idx])
+    lut = np.full(16, 255, dtype=np.uint8)
+    lut[:3] = trns
+    assert np.array_equal(dec4[:, :, 3], lut[idx])
+    # out-of-range index vs a truncated palette refuses at decode
+    enc = bytearray(ic.png_encode_indexed(idx, pal))
+    with pytest.raises(ValueError, match="outside the"):
+        ic.png_encode_indexed(np.full((2, 2), 16, dtype=np.uint8), pal)
+    # strip PLTE -> loud refusal (type-3 without a palette is undecodable)
+    p = enc.index(b"PLTE") - 4
+    ln = int.from_bytes(enc[p : p + 4], "big")
+    with pytest.raises(ValueError, match="missing PLTE"):
+        ic.png_decode(bytes(enc[:p] + enc[p + 12 + ln :]))
 
 
 def test_bmp_palette_expansion():
