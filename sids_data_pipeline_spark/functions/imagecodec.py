@@ -161,13 +161,13 @@ def _filter_scanline(
 
 
 def _unfilter_rows(
-    raw: bytes, width: int, height: int, bpp: int, offset: int
+    raw: bytes, row_bytes: int, height: int, fbpp: int, offset: int
 ) -> tuple[np.ndarray, int]:
-    """Unfilter ``height`` scanlines of ``width*bpp`` bytes starting at
+    """Unfilter ``height`` scanlines of ``row_bytes`` bytes starting at
     ``raw[offset]`` (one sub-image: the whole frame, or one Adam7 pass).
-    Returns ((height, width*bpp) uint8 array, offset past the lines)."""
-    stride = width * bpp
-    need = (stride + 1) * height
+    ``fbpp`` is the filter byte distance (max(1, bits_per_pixel // 8),
+    RFC 2083 §6.2). Returns ((height, row_bytes) uint8, next offset)."""
+    need = (row_bytes + 1) * height
     if offset + need > len(raw):
         raise ValueError(
             f"png: decompressed stream too short ({len(raw)} bytes, "
@@ -175,25 +175,52 @@ def _unfilter_rows(
         )
     buf = np.frombuffer(
         raw, dtype=np.uint8, count=need, offset=offset
-    ).reshape(height, stride + 1)
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
+    ).reshape(height, row_bytes + 1)
+    out = np.empty((height, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
     for y in range(height):
-        out[y] = _unfilter_scanline(int(buf[y, 0]), buf[y, 1:], prev, bpp)
+        out[y] = _unfilter_scanline(int(buf[y, 0]), buf[y, 1:], prev, fbpp)
         prev = out[y]
     return out, offset + need
+
+
+def _png_samples(
+    sub: np.ndarray, pw: int, depth: int, spp: int
+) -> np.ndarray:
+    """(h, row_bytes) unfiltered bytes → (h, pw, spp) sample array
+    (uint8 for depths ≤ 8, uint16 for depth 16)."""
+    ph = sub.shape[0]
+    if depth == 8:
+        return sub.reshape(ph, pw, spp)
+    if depth == 16:
+        return (
+            np.ascontiguousarray(sub)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(ph, pw, spp)
+        )
+    # depth 1/2/4 (palette indices, spp == 1): big-endian-first bit groups
+    bits = np.unpackbits(np.ascontiguousarray(sub), axis=1)
+    groups = bits[:, : (sub.shape[1] * 8 // depth) * depth].reshape(
+        ph, -1, depth
+    )
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (groups * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :pw, None]
 
 
 def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode a PNG payload to (array, meta).
 
-    Array shape is (height, width, channels) uint8; meta carries
-    width/height/channels/color_type. Gray, gray+alpha, RGB, RGBA and
-    PALETTE (color type 3, expanded through PLTE to RGB — RGBA when a
-    tRNS chunk supplies per-entry alpha) at bit depth 8, sequential or
-    Adam7-interlaced. Verifies every chunk CRC and the IHDR capability
-    envelope; refuses (ValueError, capability named) bit depths other
-    than 8 — loud beats wrong, per the repo contract.
+    Array shape is (height, width, channels) — uint8, or uint16 for
+    16-bit samples; meta carries width/height/channels/color_type/
+    bit_depth. Gray, gray+alpha, RGB, RGBA (depths 8 and 16) and
+    PALETTE (color type 3 at depths 1/2/4/8, expanded through PLTE to
+    RGB — RGBA when a tRNS chunk supplies per-entry alpha), sequential
+    or Adam7-interlaced. Verifies every chunk CRC and the IHDR
+    capability envelope; refuses (ValueError, capability named)
+    depth/type combinations outside that matrix — loud beats wrong,
+    per the repo contract.
     """
     if data[:8] != _PNG_MAGIC:
         raise ValueError("png: bad magic (not a PNG payload)")
@@ -228,41 +255,52 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
     if not seen_iend:
         raise ValueError("png: missing IEND chunk (truncated file)")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"png: only bit depth 8 supported, got {depth}")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(f"png: color type {color_type} not supported")
     if color_type == 3 and plte is None:
         raise ValueError("png: palette image (color type 3) missing PLTE")
+    legal = (1, 2, 4, 8) if color_type == 3 else (8, 16)
+    if depth not in legal:
+        raise ValueError(
+            f"png: bit depth {depth} not supported for color type "
+            f"{color_type} (supported: {legal})"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("png: unknown compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"png: unknown interlace method {interlace}")
     if width == 0 or height == 0:
         raise ValueError("png: zero-dimension image")
-    bpp = _PNG_CHANNELS[color_type]  # bytes/px in the coded stream
-    raw = zlib.decompress(bytes(idat))
+    spp = _PNG_CHANNELS[color_type]  # samples per pixel
+    fbpp = max(1, depth * spp // 8)  # filter byte distance
+    row_bytes = lambda w: -(-(w * depth * spp) // 8)  # noqa: E731
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png: corrupt IDAT stream ({exc})") from exc
     if interlace == 0:
-        out, off = _unfilter_rows(raw, width, height, bpp, 0)
+        sub, off = _unfilter_rows(raw, row_bytes(width), height, fbpp, 0)
+        arr = _png_samples(sub, width, depth, spp)
     else:
         # Adam7: seven independently-filtered sub-images, scattered
         # back onto the (y0::dy, x0::dx) grids
-        plane = np.zeros((height, width, bpp), dtype=np.uint8)
+        arr = np.zeros(
+            (height, width, spp),
+            dtype=np.uint16 if depth == 16 else np.uint8,
+        )
         off = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = -(-(width - x0) // dx) if width > x0 else 0
             ph = -(-(height - y0) // dy) if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass contributes no scanlines
-            sub, off = _unfilter_rows(raw, pw, ph, bpp, off)
-            plane[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-        out = plane.reshape(height, width * bpp)
+            sub, off = _unfilter_rows(raw, row_bytes(pw), ph, fbpp, off)
+            arr[y0::dy, x0::dx] = _png_samples(sub, pw, depth, spp)
     if off != len(raw):
         raise ValueError(
             f"png: {len(raw) - off} trailing bytes after the last scanline"
         )
-    arr = out.reshape(height, width, bpp)
-    channels = bpp
+    channels = spp
     if color_type == 3:
         if len(plte) % 3 or not plte:
             raise ValueError(f"png: PLTE length {len(plte)} not a multiple of 3")
@@ -288,6 +326,7 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
         "height": height,
         "channels": channels,
         "color_type": color_type,
+        "bit_depth": depth,
     }
 
 
@@ -301,18 +340,24 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 
 def _png_filter_block(
-    block: np.ndarray, channels: int, filter_cycle: bool
+    block: np.ndarray, fbpp: int, filter_cycle: bool
 ) -> bytearray:
-    """Filter one sub-image ((h, w, c) → scanline bytes with filter-type
-    prefixes): the whole frame, or one Adam7 pass."""
-    h, w = block.shape[:2]
-    flat = block.reshape(h, w * channels)
+    """Filter one sub-image ((h, w, c) uint8 / uint16 → scanline bytes
+    with filter-type prefixes): the whole frame, or one Adam7 pass.
+    ``fbpp`` is the filter byte distance."""
+    h = block.shape[0]
+    if block.dtype == np.uint16:
+        flat = (
+            block.astype(">u2").view(np.uint8).reshape(h, -1)
+        )
+    else:
+        flat = block.reshape(h, -1)
     lines = bytearray()
-    prev = np.zeros(w * channels, dtype=np.uint8)
+    prev = np.zeros(flat.shape[1], dtype=np.uint8)
     for y in range(h):
         ftype = (y % 5) if filter_cycle else 0
         lines.append(ftype)
-        lines.extend(_filter_scanline(ftype, flat[y], prev, channels).tobytes())
+        lines.extend(_filter_scanline(ftype, flat[y], prev, fbpp).tobytes())
         prev = flat[y]
     return lines
 
@@ -328,28 +373,36 @@ def png_encode(
     ``filter_cycle=True`` picks filter type ``y % 5`` per scanline so a
     round trip exercises every unfilter path (the catalog gate relies on
     this); False always uses filter 0. ``interlace=True`` writes Adam7
-    (each pass filtered independently, per the spec).
+    (each pass filtered independently, per the spec). A uint16 input
+    writes bit depth 16 (big-endian samples).
     """
-    a = np.asarray(arr, dtype=np.uint8)
+    a = np.asarray(arr)
+    if a.dtype not in (np.uint8, np.uint16):
+        a = a.astype(np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in _PNG_COLOR_TYPE:
-        raise ValueError(f"png_encode: expected (h,w[,c<=4]) uint8, got {arr.shape}")
+        raise ValueError(
+            f"png_encode: expected (h,w[,c<=4]) uint8/uint16, got {arr.shape}"
+        )
     height, width, channels = a.shape
     if height == 0 or width == 0:
         raise ValueError("png_encode: zero-dimension image")
     color_type = _PNG_COLOR_TYPE[channels]
+    depth = 16 if a.dtype == np.uint16 else 8
+    fbpp = channels * depth // 8
     if interlace:
         lines = bytearray()
         for x0, y0, dx, dy in _ADAM7:
             block = a[y0::dy, x0::dx]
             if block.shape[0] and block.shape[1]:
-                lines.extend(_png_filter_block(block, channels, filter_cycle))
+                lines.extend(_png_filter_block(block, fbpp, filter_cycle))
     else:
-        lines = _png_filter_block(a, channels, filter_cycle)
+        lines = _png_filter_block(a, fbpp, filter_cycle)
 
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color_type, 0, 0,
+        1 if interlace else 0,
     )
     return (
         _PNG_MAGIC
@@ -364,10 +417,12 @@ def png_encode_indexed(
     palette: np.ndarray,
     trns: np.ndarray | None = None,
     level: int = 6,
+    depth: int = 8,
 ) -> bytes:
     """Encode an (h, w) uint8 index plane as a color-type-3 PNG with the
     given (n, 3) palette (and optional per-entry alpha via tRNS) —
-    fixture generator for the palette decode path (and a usable sink)."""
+    fixture generator for the palette decode path (and a usable sink).
+    ``depth`` 1/2/4 packs indices big-endian-first per scanline."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     if idx.ndim != 2 or idx.shape[0] == 0 or idx.shape[1] == 0:
@@ -376,14 +431,28 @@ def png_encode_indexed(
         raise ValueError(
             f"png_encode_indexed: palette must be (1..256, 3), got {palette.shape}"
         )
-    if int(idx.max()) >= pal.shape[0]:
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"png_encode_indexed: depth must be 1/2/4/8, got {depth}")
+    if int(idx.max()) >= min(pal.shape[0], 1 << depth):
         raise ValueError(
             f"png_encode_indexed: index {int(idx.max())} outside the "
-            f"{pal.shape[0]}-entry palette"
+            f"{min(pal.shape[0], 1 << depth)}-entry palette"
         )
     height, width = idx.shape
-    lines = _png_filter_block(idx[:, :, None], 1, filter_cycle=True)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    if depth == 8:
+        rows = idx[:, :, None]
+    else:
+        # expand each index to `depth` bits (MSB first), pad the row to
+        # a byte boundary, pack
+        shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        bits = (idx[:, :, None] >> shifts) & 1
+        bits = bits.reshape(height, width * depth)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+        rows = np.packbits(bits, axis=1)[:, :, None]
+    lines = _png_filter_block(rows, 1, filter_cycle=True)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
     out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal.tobytes())
     if trns is not None:
         out += _png_chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())

@@ -65,15 +65,23 @@ def test_png_truncation_is_loud():
 
 
 def test_png_capability_refusals_name_the_gap():
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    # depth 3 is illegal for every color type
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
     chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
     )
     iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
         ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
     )
-    with pytest.raises(ValueError, match="bit depth 8"):
+    with pytest.raises(ValueError, match="depth 3 not supported"):
+        ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
+    # a legal header with an EMPTY IDAT stream is a loud ValueError, not
+    # a leaked zlib.error
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="corrupt IDAT"):
         ic.png_decode(b"\x89PNG\r\n\x1a\n" + chunk + iend)
     # palette color type 3 WITHOUT a PLTE chunk (undecodable by anyone)
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
@@ -224,6 +232,61 @@ def test_png_adam7_interlace_roundtrip(shape):
     # interlaced and sequential encodes of the same pixels agree
     seq, _ = ic.png_decode(ic.png_encode(arr))
     assert np.array_equal(dec, seq)
+
+
+@pytest.mark.parametrize("channels", [1, 3])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_16bit_roundtrip(channels, interlace):
+    """uint16 input writes bit depth 16 (big-endian) and reads back
+    exactly — sequential and Adam7, with the filter cycle exercising
+    the 2-bytes-per-sample filter distance."""
+    rng = np.random.default_rng(channels * 7 + interlace)
+    arr = rng.integers(0, 65536, size=(9, 11, channels), dtype=np.uint16)
+    dec, meta = ic.png_decode(ic.png_encode(arr, interlace=interlace))
+    assert dec.dtype == np.uint16 and np.array_equal(dec, arr)
+    assert meta["bit_depth"] == 16 and meta["channels"] == channels
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_palette_roundtrip(depth):
+    """Depth 1/2/4 palette indices pack big-endian-first with row
+    padding; widths chosen to NOT align to byte boundaries."""
+    rng = np.random.default_rng(depth)
+    w = 13 if depth != 2 else 9  # 13 px at 4bpp = 6.5 bytes -> padded
+    idx = rng.integers(0, 1 << depth, size=(5, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+    dec, meta = ic.png_decode(ic.png_encode_indexed(idx, pal, depth=depth))
+    assert meta["bit_depth"] == depth and meta["channels"] == 3
+    assert np.array_equal(dec, pal[idx])
+
+
+def test_png_depth_matrix_refusals():
+    """Spec-illegal depth/type combinations refuse with both named."""
+    # 16-bit palette is illegal in the spec
+    enc = bytearray(
+        ic.png_encode_indexed(
+            np.zeros((2, 2), dtype=np.uint8),
+            np.zeros((2, 3), dtype=np.uint8),
+        )
+    )
+    ihdr_at = enc.index(b"IHDR") + 4
+    enc[ihdr_at + 8] = 16  # depth byte
+    body = bytes(enc[ihdr_at : ihdr_at + 13])
+    enc[ihdr_at + 13 : ihdr_at + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="depth 16 not supported for color type 3"):
+        ic.png_decode(bytes(enc))
+    # depth-4 RGB is illegal too
+    enc2 = bytearray(ic.png_encode(np.zeros((2, 2, 3), dtype=np.uint8)))
+    at = enc2.index(b"IHDR") + 4
+    enc2[at + 8] = 4
+    body = bytes(enc2[at : at + 13])
+    enc2[at + 13 : at + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="depth 4 not supported for color type 2"):
+        ic.png_decode(bytes(enc2))
 
 
 def test_png_palette_decode_plte_and_trns():
