@@ -418,11 +418,13 @@ def png_encode_indexed(
     trns: np.ndarray | None = None,
     level: int = 6,
     depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
     """Encode an (h, w) uint8 index plane as a color-type-3 PNG with the
     given (n, 3) palette (and optional per-entry alpha via tRNS) —
     fixture generator for the palette decode path (and a usable sink).
-    ``depth`` 1/2/4 packs indices big-endian-first per scanline."""
+    ``depth`` 1/2/4 packs indices big-endian-first per scanline (padded
+    to a byte boundary PER Adam7 PASS when ``interlace`` is set)."""
     idx = np.asarray(indices, dtype=np.uint8)
     pal = np.asarray(palette, dtype=np.uint8)
     if idx.ndim != 2 or idx.shape[0] == 0 or idx.shape[1] == 0:
@@ -439,20 +441,34 @@ def png_encode_indexed(
             f"{min(pal.shape[0], 1 << depth)}-entry palette"
         )
     height, width = idx.shape
-    if depth == 8:
-        rows = idx[:, :, None]
-    else:
+
+    def pack_rows(block: np.ndarray) -> np.ndarray:
+        if depth == 8:
+            return block[:, :, None]
         # expand each index to `depth` bits (MSB first), pad the row to
         # a byte boundary, pack
         shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
-        bits = (idx[:, :, None] >> shifts) & 1
-        bits = bits.reshape(height, width * depth)
+        bits = ((block[:, :, None] >> shifts) & 1).reshape(
+            block.shape[0], block.shape[1] * depth
+        )
         pad = (-bits.shape[1]) % 8
         if pad:
             bits = np.pad(bits, ((0, 0), (0, pad)))
-        rows = np.packbits(bits, axis=1)[:, :, None]
-    lines = _png_filter_block(rows, 1, filter_cycle=True)
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+        return np.packbits(bits, axis=1)[:, :, None]
+
+    if interlace:
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            block = idx[y0::dy, x0::dx]
+            if block.shape[0] and block.shape[1]:
+                lines.extend(
+                    _png_filter_block(pack_rows(block), 1, filter_cycle=True)
+                )
+    else:
+        lines = _png_filter_block(pack_rows(idx), 1, filter_cycle=True)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, 3, 0, 0, 1 if interlace else 0
+    )
     out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", pal.tobytes())
     if trns is not None:
         out += _png_chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())

@@ -116,6 +116,56 @@ def synth_png_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
     )
 
 
+def synth_png_indexed_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+    """Deterministic ADAM7-INTERLACED PALETTE PNG fixture: every
+    ``modulus``-th document becomes a color-type-3 PNG at depth
+    4/8 cycling by doc_id, Adam7-interlaced, with closed-form indices
+    and palette so the DuckDB oracle can recompute the decoded RGB
+    pixel sum exactly:
+
+    width = doc_id % 21 + 2, height = doc_id % 9 + 2,
+    depth = 4 if doc_id % 2 == 0 else 8, n_colors = 1 << depth,
+    idx(x, y) = (doc_id + 2x + 3y) mod n_colors,
+    palette[i] = ((3i + 1) mod 256, (5i + 2) mod 256, (7i + 3) mod 256)
+    (plans/ext_queries.py `multimodal_decode_png_palette`)."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 21 + 2, did % 9 + 2
+                depth = 4 if did % 2 == 0 else 8
+                n = 1 << depth
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = ((did + 2 * x + 3 * y) % n).astype(np.uint8)
+                i = np.arange(n)
+                pal = np.stack(
+                    [(3 * i + 1) % 256, (5 * i + 2) % 256, (7 * i + 3) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "image",
+                        "payload": icodec.png_encode_indexed(
+                            idx, pal, depth=depth, interlace=True
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "payload"]
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % modulus == 0)
+        .select("doc_id")
+        .mapInPandas(synth, "asset_id long, modality string, payload binary")
+    )
+
+
 def synth_wav_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
     """Deterministic WAV asset fixture: every ``modulus``-th document
     becomes a real PCM16 WAV whose shape and samples are closed-form

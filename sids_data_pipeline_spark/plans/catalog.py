@@ -190,6 +190,11 @@ PRIORITY: tuple[str, ...] = (
     # — round-11 new queries: first-time driver rows —
     "multimodal_decode_jpeg",
     "multimodal_gif_disposal",
+    # palette + Adam7 PNG landed mid-round (imagecodec depth matrix);
+    # takes the slot embedding_pca_gate held — similarity.py is
+    # UNCHANGED this round (its r10 row stands; topk + dedup_semantic +
+    # ann_gate keep three E3 rows in-window)
+    "multimodal_decode_png_palette",
     # — functions/imagecodec.py + operators/multimodal.py changed
     #   (baseline JPEG codec + routing, GIF disposal 2/3, BMP palette
     #   expansion, WAV data-chunk bounds): the whole E4 family re-rows —
@@ -247,7 +252,6 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk",
     "dedup_semantic",
     "similarity_ann_gate",
-    "embedding_pca_gate",
     "crs_reproject",
     "crs_reproject_krovak",
     "crs_standardize_mixed",
@@ -266,6 +270,7 @@ PRIORITY: tuple[str, ...] = (
     # + crs_standardize_mixed + crs_standardize_datum keep four crs rows
     # in-window); operators/graph.py is untouched this round
     # (dedup_clusters + graph_pagerank keep the family in-window).
+    "embedding_pca_gate",
     "crs_reproject_utm",
     "crs_reproject_lcc",
     "crs_reproject_albers",

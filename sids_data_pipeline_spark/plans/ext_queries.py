@@ -2658,6 +2658,44 @@ GROUP BY doc_id, wb, hb
 """
 
 
+def _multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette + Adam7 PNG round trip (E4, r11): synthesize
+    Adam7-INTERLACED color-type-3 PNGs executor-side (depth 4/8 cycling,
+    closed-form indices and palette), decode them through the per-pass
+    unfilter core + PLTE expansion and verify the decoded RGB pixel sum
+    against the SQL closed form — interlacing can fake nothing (the
+    passes must reassemble exactly) and a header parse cannot produce
+    the palette-expanded sum."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_images(
+        multimodal.synth_png_indexed_assets(docs, modulus=7)
+    )
+
+
+# synth formula (multimodal.synth_png_indexed_assets): idx(x,y) =
+# (doc_id + 2x + 3y) mod n over w = doc_id%21+2 x h = doc_id%9+2,
+# n = 16 (depth 4, even ids) or 256 (depth 8); palette[i] =
+# ((3i+1)%256, (5i+2)%256, (7i+3)%256).
+_MULTIMODAL_DECODE_PNG_PALETTE_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 21 + 2 AS w, doc_id % 9 + 2 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 256 END AS n
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id, 'png' AS format,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(SUM(
+           (3 * ((doc_id + 2*x.v + 3*y.v) % n) + 1) % 256
+         + (5 * ((doc_id + 2*x.v + 3*y.v) % n) + 2) % 256
+         + (7 * ((doc_id + 2*x.v + 3*y.v) % n) + 3) % 256
+       ) AS BIGINT) AS pixel_sum
+FROM d, range(22) x(v), range(10) y(v)
+WHERE x.v < w AND y.v < h
+GROUP BY doc_id, w, h
+"""
+
+
 def _multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real WAV codec round trip (E4 audio): synthesize deterministic
     PCM16 WAVs executor-side, decode them back (RIFF chunk walk +
@@ -4371,6 +4409,12 @@ QUERIES: list[Query] = [
           doc="E4 GIF disposal-method compositing: restore-to-background "
               "clears only the frame rect, restore-to-previous reverts "
               "the canvas — per-frame sums vs a CASE-expression oracle",
+          tags=("multimodal", "codec")),
+    Query("multimodal_decode_png_palette", _multimodal_decode_png_palette,
+          _MULTIMODAL_DECODE_PNG_PALETTE_SQL,
+          doc="E4 palette + Adam7 PNG: interlaced color-type-3 decode "
+              "(per-pass unfilter, PLTE expansion, depth 4/8) with the "
+              "RGB pixel sum pinned against the SQL closed form",
           tags=("multimodal", "codec")),
     Query("streaming_media_ingest", _streaming_media_ingest, _STREAMING_MEDIA_SQL,
           doc="E4 via the streaming drop-folder path: binaryFile stream "

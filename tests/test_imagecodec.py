@@ -247,6 +247,19 @@ def test_png_16bit_roundtrip(channels, interlace):
     assert meta["bit_depth"] == 16 and meta["channels"] == channels
 
 
+@pytest.mark.parametrize("depth", [2, 4, 8])
+def test_png_interlaced_palette_roundtrip(depth):
+    """Adam7 + palette together: per-pass bit packing (each pass pads
+    its own rows to byte boundaries) must reassemble exactly."""
+    rng = np.random.default_rng(depth + 100)
+    idx = rng.integers(0, 1 << depth, size=(11, 13), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+    enc = ic.png_encode_indexed(idx, pal, depth=depth, interlace=True)
+    dec, meta = ic.png_decode(enc)
+    assert meta["bit_depth"] == depth and meta["color_type"] == 3
+    assert np.array_equal(dec, pal[idx])
+
+
 @pytest.mark.parametrize("depth", [1, 2, 4])
 def test_png_subbyte_palette_roundtrip(depth):
     """Depth 1/2/4 palette indices pack big-endian-first with row
