@@ -83,6 +83,7 @@ AUDITED = [
     "multimodal_decode_gif",
     "multimodal_decode_jpeg",
     "multimodal_gif_disposal",
+    "multimodal_decode_png_palette",
     "multimodal_resize_png",
     "pipeline_end_to_end",
     "dedup_clusters",
