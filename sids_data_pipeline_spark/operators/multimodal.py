@@ -299,6 +299,64 @@ def decode_audio(assets: DataFrame) -> DataFrame:
     )
 
 
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Audio quality features over decoded PCM16 — the filters an audio
+    data lake gates ingestion on (silence, clipping, energy), the audio
+    analog of the E5 text-quality scorers. Everything is an exact
+    INTEGER over the decoded samples, so a SQL oracle hash-matches:
+
+    - ``sum_sq``: Σ sample² (RMS = sqrt(sum_sq / (n·ch)) downstream —
+      kept as the integer so the gate is division-free),
+    - ``peak_abs``: max |sample| (headroom / silence),
+    - ``zero_crossings``: per-channel count of strict sign flips
+      (product < 0) between consecutive frames, summed over channels —
+      a spectral-content proxy,
+    - ``clipped_count``: samples at the int16 rails (±32767/−32768).
+
+    Non-WAV payloads refuse loudly, same posture as decode_audio."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(p)
+                if icodec.sniff(data) != "wav":
+                    raise ValueError(
+                        f"audio_features: asset {aid}: payload is not a RIFF/WAVE"
+                    )
+                arr, info = icodec.wav_decode(data)  # (n, channels) int16
+                s = arr.astype(np.int64)
+                flips = int((s[1:] * s[:-1] < 0).sum()) if s.shape[0] > 1 else 0
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "sample_rate": info["sample_rate"],
+                        "channels": info["channels"],
+                        "n_samples": info["n_samples"],
+                        "sum_sq": int((s * s).sum()),
+                        "peak_abs": int(np.abs(s).max(initial=0)),
+                        "zero_crossings": flips,
+                        "clipped_count": int(
+                            ((arr == 32767) | (arr == -32768)).sum()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "channels", "n_samples",
+                    "sum_sq", "peak_abs", "zero_crossings", "clipped_count",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        feats,
+        "asset_id long, sample_rate int, channels int, n_samples long, "
+        "sum_sq long, peak_abs long, zero_crossings long, clipped_count long",
+    )
+
+
 def _decode_payload(payload: bytes, modality: str) -> dict:
     """Decode one payload into the FEATURES envelope.
 

@@ -278,6 +278,10 @@ PRIORITY: tuple[str, ...] = (
     "crs_reproject_tm",
     "crs_reproject_polar",
     "graph_triangles",
+    # Round-12 rotation queue (selfcheck-green this round, no driver
+    # row yet): multimodal_audio_features (integer PCM quality gating),
+    # embedding_pca_gate re-entry.
+    "multimodal_audio_features",
     # r9 head names displaced this round retained below for provenance
     # (names past the window keep registration order; their r9 rows
     # stand because their operator files are unchanged in r10)

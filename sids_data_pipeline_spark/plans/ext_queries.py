@@ -2725,6 +2725,43 @@ GROUP BY doc_id, n, ch
 """
 
 
+def _multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio quality gating (E4/E5 crossover, r11): PCM16 energy
+    (sum-of-squares), peak, per-channel zero-crossing flips and
+    rail-clipping counts over the deterministic WAV fixtures — every
+    output an exact integer, recomputed term-for-term by the SQL
+    oracle (LAG over the sample grid for the sign flips)."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.audio_features(multimodal.synth_wav_assets(docs, modulus=7))
+
+
+_MULTIMODAL_AUDIO_FEATURES_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 + 10 AS n, doc_id % 2 + 1 AS ch
+  FROM documents WHERE doc_id % 7 = 0
+),
+s AS (
+  SELECT doc_id, n, ch, i.v AS i, c.v AS c,
+         (doc_id*31 + 7*i.v + 13*c.v) % 65536 - 32768 AS smp
+  FROM d, range(60) i(v), range(2) c(v)
+  WHERE i.v < n AND c.v < ch
+),
+f AS (
+  SELECT *, LAG(smp) OVER (PARTITION BY doc_id, c ORDER BY i) AS prev
+  FROM s
+)
+SELECT doc_id AS asset_id, 8000 AS sample_rate, CAST(ch AS INT) AS channels,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
+       CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(SUM(CASE WHEN smp IN (32767, -32768) THEN 1 ELSE 0 END)
+            AS BIGINT) AS clipped_count
+FROM f GROUP BY doc_id, n, ch
+"""
+
+
 def _multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real animated-GIF codec round trip (E4 video): synthesize
     deterministic multi-frame GIFs executor-side (LZW-encoded), decode
@@ -4409,6 +4446,12 @@ QUERIES: list[Query] = [
           doc="E4 GIF disposal-method compositing: restore-to-background "
               "clears only the frame rect, restore-to-previous reverts "
               "the canvas — per-frame sums vs a CASE-expression oracle",
+          tags=("multimodal", "codec")),
+    Query("multimodal_audio_features", _multimodal_audio_features,
+          _MULTIMODAL_AUDIO_FEATURES_SQL,
+          doc="E4 audio quality gating: integer energy/peak/"
+              "zero-crossing/clipping features over decoded PCM16, "
+              "LAG-verified in SQL",
           tags=("multimodal", "codec")),
     Query("multimodal_decode_png_palette", _multimodal_decode_png_palette,
           _MULTIMODAL_DECODE_PNG_PALETTE_SQL,

@@ -199,6 +199,40 @@ def test_decode_audio_roundtrip_matches_formula(spark, sf_dir):
         assert row["sample_sum"] == expected, did
 
 
+def test_audio_features_numpy_oracle(spark):
+    """audio_features vs a hand-built WAV with known rails, flips and
+    energy: a stereo ramp crossing zero plus both int16 rails."""
+    import numpy as np
+    import pandas as pd
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    left = np.array([-3, -1, 2, -2, 32767, 0, 5], dtype=np.int16)
+    right = np.array([1, -1, 1, -32768, 4, -4, 4], dtype=np.int16)
+    samples = np.stack([left, right], axis=1)
+    wav = ic.wav_encode(samples, sample_rate=16_000)
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [9], "payload": [wav]})
+    )
+    row = multimodal.audio_features(assets).collect()[0]
+    s = samples.astype(np.int64)
+    assert row.sum_sq == int((s * s).sum())
+    assert row.peak_abs == 32768
+    # strict sign flips per channel: left -1->2, 2->-2 (0 breaks the
+    # 32767->0->5 run); right flips on every step except 4->-4->4 pairs
+    # count too — verify against the formula itself
+    expected_flips = int((s[1:] * s[:-1] < 0).sum())
+    assert row.zero_crossings == expected_flips
+    assert row.clipped_count == 2
+    assert (row.sample_rate, row.channels, row.n_samples) == (16_000, 2, 7)
+    # non-WAV payload refuses loudly
+    bad = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [b"not audio"]})
+    )
+    with pytest.raises(Exception, match="not a RIFF/WAVE"):
+        multimodal.audio_features(bad).collect()
+
+
 def test_decode_images_bmp_path(spark):
     import numpy as np
 
