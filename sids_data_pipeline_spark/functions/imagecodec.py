@@ -199,7 +199,8 @@ def _png_samples(
             .astype(np.uint16)
             .reshape(ph, pw, spp)
         )
-    # depth 1/2/4 (palette indices, spp == 1): big-endian-first bit groups
+    # depth 1/2/4 (palette indices or sub-byte gray, spp == 1):
+    # big-endian-first bit groups
     bits = np.unpackbits(np.ascontiguousarray(sub), axis=1)
     groups = bits[:, : (sub.shape[1] * 8 // depth) * depth].reshape(
         ph, -1, depth
@@ -259,7 +260,7 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError(f"png: color type {color_type} not supported")
     if color_type == 3 and plte is None:
         raise ValueError("png: palette image (color type 3) missing PLTE")
-    legal = (1, 2, 4, 8) if color_type == 3 else (8, 16)
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color_type, (8, 16))
     if depth not in legal:
         raise ValueError(
             f"png: bit depth {depth} not supported for color type "
@@ -301,6 +302,11 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
             f"png: {len(raw) - off} trailing bytes after the last scanline"
         )
     channels = spp
+    if color_type == 0 and depth < 8:
+        # sub-byte gray (bitmap/mask): bit replication scales exactly to
+        # 8-bit — max sample (2^d − 1) maps to 255 with zero rounding
+        # (×255, ×85, ×17 for depths 1/2/4), the libpng expansion
+        arr = (arr * (255 // ((1 << depth) - 1))).astype(np.uint8)
     if color_type == 3:
         if len(plte) % 3 or not plte:
             raise ValueError(f"png: PLTE length {len(plte)} not a multiple of 3")

@@ -261,6 +261,40 @@ def test_png_interlaced_palette_roundtrip(depth):
 
 
 @pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_bit_replication(depth):
+    """Color-type-0 at depths 1/2/4 (bitmaps/masks) scales by exact bit
+    replication: max sample -> 255, zero rounding (x255/x85/x17)."""
+    rng = np.random.default_rng(depth + 50)
+    w, h = 11, 4
+    vals = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+    # hand-pack a type-0 sub-byte PNG (no public writer for this shape)
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((vals[:, :, None] >> shifts) & 1).reshape(h, w * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.pad(bits, ((0, 0), (0, pad)))
+    rows = np.packbits(bits, axis=1)
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)
+        lines.extend(rows[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    enc = (
+        b"\x89PNG\r\n\x1a\n"
+        + ic._png_chunk(b"IHDR", ihdr)
+        + ic._png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + ic._png_chunk(b"IEND", b"")
+    )
+    dec, meta = ic.png_decode(enc)
+    scale = 255 // ((1 << depth) - 1)
+    assert meta["bit_depth"] == depth and meta["channels"] == 1
+    assert np.array_equal(dec[:, :, 0], vals * scale)
+    assert dec.max() <= 255 and (vals.max() == (1 << depth) - 1) == (
+        dec.max() == 255
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
 def test_png_subbyte_palette_roundtrip(depth):
     """Depth 1/2/4 palette indices pack big-endian-first with row
     padding; widths chosen to NOT align to byte boundaries."""
