@@ -302,11 +302,30 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
             f"png: {len(raw) - off} trailing bytes after the last scanline"
         )
     channels = spp
+    scale = 255 // ((1 << depth) - 1) if depth < 8 else 1
     if color_type == 0 and depth < 8:
         # sub-byte gray (bitmap/mask): bit replication scales exactly to
         # 8-bit — max sample (2^d − 1) maps to 255 with zero rounding
         # (×255, ×85, ×17 for depths 1/2/4), the libpng expansion
-        arr = (arr * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        arr = (arr * scale).astype(np.uint8)
+    if color_type in (0, 2) and trns is not None:
+        # tRNS on gray/RGB is a transparent COLOR KEY (one 16-bit value
+        # per channel, high bits zero at depths ≤ 8): pixels equal to
+        # the key get alpha 0, everything else 255. Silently dropping
+        # it would render keyed-transparent pixels opaque. The key is in
+        # the RAW sample domain, so it scales with the sub-byte plane.
+        if len(trns) != 2 * spp:
+            raise ValueError(
+                f"png: tRNS length {len(trns)} invalid for color type "
+                f"{color_type} (expected {2 * spp})"
+            )
+        key = (np.frombuffer(trns, dtype=">u2") * scale).astype(arr.dtype)
+        opaque = arr.dtype.type(65535 if depth == 16 else 255)
+        alpha = np.where(
+            (arr == key[None, None, :]).all(axis=2), arr.dtype.type(0), opaque
+        ).astype(arr.dtype)
+        arr = np.dstack([arr, alpha])
+        channels = spp + 1
     if color_type == 3:
         if len(plte) % 3 or not plte:
             raise ValueError(f"png: PLTE length {len(plte)} not a multiple of 3")
