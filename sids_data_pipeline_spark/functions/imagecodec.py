@@ -330,6 +330,11 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
         if len(plte) % 3 or not plte:
             raise ValueError(f"png: PLTE length {len(plte)} not a multiple of 3")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if pal.shape[0] > min(256, 1 << depth):
+            raise ValueError(
+                f"png: PLTE has {pal.shape[0]} entries, legal maximum "
+                f"is {min(256, 1 << depth)} at bit depth {depth}"
+            )
         idx = arr[:, :, 0]
         if int(idx.max()) >= pal.shape[0]:
             raise ValueError(
@@ -338,6 +343,11 @@ def png_decode(data: bytes) -> tuple[np.ndarray, dict]:
             )
         rgb = pal[idx]
         if trns is not None:
+            if len(trns) > pal.shape[0]:
+                raise ValueError(
+                    f"png: tRNS has {len(trns)} entries but the PLTE "
+                    f"only {pal.shape[0]}"
+                )
             alpha_lut = np.full(pal.shape[0], 255, dtype=np.uint8)
             alpha_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             arr = np.dstack([rgb, alpha_lut[idx]])
@@ -402,7 +412,12 @@ def png_encode(
     writes bit depth 16 (big-endian samples).
     """
     a = np.asarray(arr)
-    if a.dtype not in (np.uint8, np.uint16):
+    if a.dtype.kind == "u" and a.dtype.itemsize == 2:
+        # normalize any byte order to native uint16 — dtype('>u2') is
+        # NOT np.uint16 on little-endian hosts, and letting it fall to
+        # the uint8 path would silently wrap 16-bit samples
+        a = a.astype(np.uint16)
+    elif a.dtype != np.uint8:
         a = a.astype(np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]

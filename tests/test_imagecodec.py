@@ -260,6 +260,32 @@ def test_png_interlaced_palette_roundtrip(depth):
     assert np.array_equal(dec, pal[idx])
 
 
+def test_png_review_hardening_r11():
+    """Review fixes: byte-swapped uint16 encodes as real 16-bit (not
+    wrapped 8-bit), oversized PLTE and tRNS-longer-than-PLTE refuse
+    with png-named messages instead of numpy errors."""
+    swapped = np.array([[256, 1000], [65535, 2]], dtype=">u2")
+    dec, meta = ic.png_decode(ic.png_encode(swapped))
+    assert meta["bit_depth"] == 16
+    assert np.array_equal(dec[:, :, 0], swapped.astype(np.uint16))
+    # PLTE with more entries than 2^depth
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.zeros((16, 3), dtype=np.uint8)
+    enc = bytearray(ic.png_encode_indexed(idx, pal, depth=4))
+    at = enc.index(b"PLTE") - 4
+    ln = int.from_bytes(enc[at : at + 4], "big")
+    big = ic._png_chunk(b"PLTE", bytes(3 * 32))
+    enc[at : at + 12 + ln] = big
+    with pytest.raises(ValueError, match="legal maximum is 16"):
+        ic.png_decode(bytes(enc))
+    # tRNS longer than the palette
+    enc = bytearray(ic.png_encode_indexed(idx, pal[:4], trns=np.zeros(3, np.uint8)))
+    at = enc.index(b"tRNS") - 4
+    enc[at : at + 12 + 3] = ic._png_chunk(b"tRNS", bytes(10))
+    with pytest.raises(ValueError, match="tRNS has 10 entries but the PLTE"):
+        ic.png_decode(bytes(enc))
+
+
 def test_png_trns_color_key_gray_and_rgb():
     """tRNS on color types 0/2 is a transparent color KEY: matching
     pixels expand to alpha 0, everything else opaque — for 8- and

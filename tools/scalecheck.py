@@ -524,8 +524,11 @@ def main() -> None:
             }
         out["media_decode"] = media
 
+    if not sections or "jpeg" in sections:
         # --- JPEG decode (r11 codec): Huffman walk + dequant + IDCT is
         # the heaviest per-asset path; same linearity expectation -------
+        from sids_data_pipeline_spark.operators import multimodal
+
         jpeg = {}
         for n in (2_000, 8_000, 32_000):
             docs = spark.range(0, n * 7, 7, 32).select(
