@@ -1711,47 +1711,81 @@ def wav_info(data: bytes) -> dict:
 
 
 def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
-    """Decode PCM16 WAV samples to (array (n_samples, channels) int16,
-    info dict from :func:`wav_info`). Non-PCM or non-16-bit formats
-    refuse loudly with the capability named."""
+    """Decode WAV samples to (array (n_samples, channels), info dict
+    from :func:`wav_info`). Integer PCM (format 1) at 16 bits returns
+    int16, at 24 bits int32 (sign-extended, values in ±2²³); IEEE float
+    (format 3) at 32 bits returns float32. Other format/width
+    combinations refuse loudly with both named."""
     info = wav_info(data)
-    if info["bits_per_sample"] != 16:
-        raise ValueError(
-            f"wav: only 16-bit PCM decode supported, got {info['bits_per_sample']}-bit"
-        )
+    bits = info["bits_per_sample"]
     pos = 12
+    audio_fmt = None
     while pos + 8 <= len(data):
         cid, clen = struct.unpack_from("<4sI", data, pos)
         if cid == b"fmt ":
             audio_fmt = struct.unpack_from("<H", data, pos + 8)[0]
-            if audio_fmt != 1:
+            if (audio_fmt, bits) not in ((1, 16), (1, 24), (3, 32)):
                 raise ValueError(
-                    f"wav: only PCM (format 1) decode supported, got format {audio_fmt}"
+                    f"wav: format {audio_fmt} at {bits}-bit not supported "
+                    "(PCM 16/24-bit or IEEE-float 32-bit)"
                 )
         if cid == b"data":
             body = data[pos + 8 : pos + 8 + clen]
             if len(body) < clen:
                 raise ValueError("wav: data chunk truncated")
             n = info["n_samples"] * info["channels"]
-            arr = np.frombuffer(body, dtype="<i2", count=n)
+            if audio_fmt == 3:
+                arr = np.frombuffer(body, dtype="<f4", count=n).astype(
+                    np.float32
+                )
+            elif bits == 24:
+                # little-endian 3-byte frames -> sign-extended int32
+                raw = np.frombuffer(
+                    body, dtype=np.uint8, count=3 * n
+                ).reshape(n, 3).astype(np.int32)
+                arr = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+                arr = np.where(arr >= 1 << 23, arr - (1 << 24), arr)
+            else:
+                arr = np.frombuffer(body, dtype="<i2", count=n)
             return arr.reshape(info["n_samples"], info["channels"]), info
         pos += 8 + clen + (clen & 1)
     raise ValueError("wav: missing data chunk")
 
 
 def wav_encode(
-    samples: np.ndarray, sample_rate: int = 16_000
+    samples: np.ndarray, sample_rate: int = 16_000, bits: int | None = None
 ) -> bytes:
-    """Minimal PCM16 WAV writer for (n, channels) or (n,) int16 arrays —
-    fixture generator for the WAV parse path (and a usable sink)."""
-    s = np.asarray(samples, dtype="<i2")
-    if s.ndim == 1:
-        s = s[:, None]
+    """Minimal WAV writer for (n, channels) or (n,) arrays — fixture
+    generator for the WAV parse path (and a usable sink). Dtype picks
+    the format: int16 → PCM16, float32 → IEEE-float 32-bit (format 3),
+    ``bits=24`` with an int32 input (values in ±2²³) → packed PCM24."""
+    a = np.asarray(samples)
+    if bits == 24:
+        s = np.asarray(samples, dtype="<i4")
+        if s.ndim == 1:
+            s = s[:, None]
+        if int(np.abs(s).max(initial=0)) >= 1 << 23:
+            raise ValueError("wav_encode: 24-bit samples must be in ±2^23")
+        audio_fmt, width = 1, 3
+        le = (s & 0xFFFFFF).astype("<u4").view(np.uint8).reshape(-1, 4)
+        body = le[:, :3].tobytes()
+    elif a.dtype == np.float32:
+        s = np.asarray(samples, dtype="<f4")
+        if s.ndim == 1:
+            s = s[:, None]
+        audio_fmt, width = 3, 4
+        body = s.tobytes()
+    else:
+        s = np.asarray(samples, dtype="<i2")
+        if s.ndim == 1:
+            s = s[:, None]
+        audio_fmt, width = 1, 2
+        body = s.tobytes()
     n, channels = s.shape
-    block_align = channels * 2
-    body = s.tobytes()
+    block_align = channels * width
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+        "<HHIIHH", audio_fmt, channels, sample_rate,
+        sample_rate * block_align, block_align, 8 * width,
     )
     riff = (
         b"WAVE"

@@ -274,6 +274,12 @@ def decode_audio(assets: DataFrame) -> DataFrame:
                         f"decode_audio: asset {aid}: payload is not a RIFF/WAVE"
                     )
                 arr, info = icodec.wav_decode(data)
+                if arr.dtype.kind == "f":
+                    raise ValueError(
+                        f"decode_audio: asset {aid}: float WAV payloads "
+                        "have no exact integer sample_sum — use the "
+                        "codec (imagecodec.wav_decode) directly"
+                    )
                 rows.append(
                     {
                         "asset_id": int(aid),
@@ -325,9 +331,18 @@ def audio_features(assets: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"audio_features: asset {aid}: payload is not a RIFF/WAVE"
                     )
-                arr, info = icodec.wav_decode(data)  # (n, channels) int16
+                arr, info = icodec.wav_decode(data)  # (n, ch) int16/int32
+                if arr.dtype.kind == "f":
+                    raise ValueError(
+                        f"audio_features: asset {aid}: float WAV payloads "
+                        "have no exact integer features — use the codec "
+                        "(imagecodec.wav_decode) directly"
+                    )
                 s = arr.astype(np.int64)
                 flips = int((s[1:] * s[:-1] < 0).sum()) if s.shape[0] > 1 else 0
+                # the clip rails scale with the sample width: ±(2^(b−1)−1)
+                # and −2^(b−1) for b-bit PCM (16 or 24)
+                hi = (1 << (info["bits_per_sample"] - 1)) - 1
                 rows.append(
                     {
                         "asset_id": int(aid),
@@ -338,7 +353,7 @@ def audio_features(assets: DataFrame) -> DataFrame:
                         "peak_abs": int(np.abs(s).max(initial=0)),
                         "zero_crossings": flips,
                         "clipped_count": int(
-                            ((arr == 32767) | (arr == -32768)).sum()
+                            ((s == hi) | (s == -hi - 1)).sum()
                         ),
                     }
                 )

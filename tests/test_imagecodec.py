@@ -466,6 +466,27 @@ def test_wav_info_truncated_data_chunk():
     assert ic.wav_info(wav)["n_samples"] == 100
 
 
+def test_wav_24bit_and_float_roundtrip():
+    """PCM24 packs/unpacks sign-extended 3-byte frames; IEEE-float 32
+    round-trips exactly; unsupported widths still refuse by name."""
+    rng = np.random.default_rng(24)
+    s24 = rng.integers(-(1 << 23), 1 << 23, size=(40, 2)).astype(np.int32)
+    dec, info = ic.wav_decode(ic.wav_encode(s24, sample_rate=48_000, bits=24))
+    assert dec.dtype == np.int32 and np.array_equal(dec, s24)
+    assert info["bits_per_sample"] == 24 and info["n_samples"] == 40
+    f32 = rng.normal(size=(30, 1)).astype(np.float32)
+    dec, info = ic.wav_decode(ic.wav_encode(f32, sample_rate=8000))
+    assert dec.dtype == np.float32 and np.array_equal(dec, f32)
+    assert info["bits_per_sample"] == 32
+    # 24-bit overflow refuses at encode; 8-bit width refuses at decode
+    with pytest.raises(ValueError, match="±2\\^23"):
+        ic.wav_encode(np.array([1 << 23], dtype=np.int32), bits=24)
+    bad = bytearray(ic.wav_encode(np.zeros(4, dtype=np.int16)))
+    bad[34] = 8
+    with pytest.raises(ValueError, match="format 1 at 8-bit"):
+        ic.wav_decode(bytes(bad))
+
+
 def test_wav_decode_roundtrip_and_refusals():
     rng = np.random.default_rng(11)
     samples = rng.integers(-32768, 32768, size=(50, 2)).astype(np.int16)
@@ -476,7 +497,7 @@ def test_wav_decode_roundtrip_and_refusals():
     # 8-bit fmt refused: patch bits_per_sample in the fmt chunk
     bad = bytearray(wav)
     bad[34] = 8
-    with pytest.raises(ValueError, match="16-bit"):
+    with pytest.raises(ValueError, match="8-bit not supported"):
         ic.wav_decode(bytes(bad))
 
 
