@@ -1730,6 +1730,10 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     "(PCM 16/24-bit or IEEE-float 32-bit)"
                 )
         if cid == b"data":
+            if audio_fmt is None:
+                # the sample WIDTH drives the read below — guessing it
+                # from a file whose data precedes its fmt would misread
+                raise ValueError("wav: data chunk precedes fmt chunk")
             body = data[pos + 8 : pos + 8 + clen]
             if len(body) < clen:
                 raise ValueError("wav: data chunk truncated")
