@@ -418,7 +418,13 @@ def png_encode(
         # the uint8 path would silently wrap 16-bit samples
         a = a.astype(np.uint16)
     elif a.dtype != np.uint8:
-        a = a.astype(np.uint8)
+        # dtype picks the bit depth (uint8 → 8, uint16 → 16), so a
+        # silent astype-wrap of int32/float input would pick a depth
+        # AND corrupt samples in one move — refuse by name instead
+        raise ValueError(
+            f"png_encode: expected uint8 or uint16 samples, got dtype "
+            f"{a.dtype} — convert explicitly to the intended bit depth"
+        )
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in _PNG_COLOR_TYPE:
@@ -496,6 +502,13 @@ def png_encode_indexed(
             bits = np.pad(bits, ((0, 0), (0, pad)))
         return np.packbits(bits, axis=1)[:, :, None]
 
+    if trns is not None and len(np.asarray(trns)) > pal.shape[0]:
+        # decode refuses "tRNS has N entries but the PLTE only M" —
+        # keep the encoder from producing files its own decoder rejects
+        raise ValueError(
+            f"png_encode_indexed: tRNS has {len(np.asarray(trns))} "
+            f"entries but the palette only {pal.shape[0]}"
+        )
     if interlace:
         lines = bytearray()
         for x0, y0, dx, dy in _ADAM7:
@@ -1779,6 +1792,14 @@ def wav_encode(
             s = s[:, None]
         audio_fmt, width = 3, 4
         body = s.tobytes()
+    elif a.dtype.kind == "f":
+        # dtype picks the format, and numpy's default float dtype is
+        # float64 — letting it fall to the int16 branch truncates
+        # normalized [-1, 1] audio to all-zero PCM. Refuse by name.
+        raise ValueError(
+            f"wav_encode: float samples must be float32 (IEEE-float "
+            f"WAV), got dtype {a.dtype} — astype(np.float32) first"
+        )
     else:
         s = np.asarray(samples, dtype="<i2")
         if s.ndim == 1:

@@ -832,3 +832,42 @@ def test_jpeg_decoder_reads_tables_from_the_file():
     arr, _ = ic.jpeg_decode(bytes(data))
     # DC was 8*(192-128)=512 at q=1; at q=2 the decoder sees 1024 -> clamps 255
     assert (arr == 255).all()
+
+
+def test_wav_encode_refuses_float64_by_name():
+    """ADVICE r11: numpy's default float dtype used to fall through to
+    the int16 branch, truncating normalized [-1, 1] audio to all-zero
+    PCM16 — dtype picks the format, so a non-float32 float refuses."""
+    with pytest.raises(ValueError, match="float64"):
+        ic.wav_encode(np.array([0.5, -0.25, 0.9]))
+    # float32 still routes to IEEE-float
+    dec, info = ic.wav_decode(
+        ic.wav_encode(np.array([0.5, -0.25], dtype=np.float32))
+    )
+    assert info["bits_per_sample"] == 32
+    assert np.allclose(dec[:, 0], [0.5, -0.25])
+
+
+def test_png_encode_refuses_non_uint_dtypes_by_name():
+    """ADVICE r11: dtype carries the bit depth (uint8 vs uint16), so an
+    int32/float input refuses instead of silently astype-wrapping."""
+    for bad in (
+        np.zeros((2, 2), dtype=np.int32),
+        np.zeros((2, 2), dtype=np.float64),
+        np.zeros((2, 2, 3), dtype=np.int16),
+    ):
+        with pytest.raises(ValueError, match=str(bad.dtype)):
+            ic.png_encode(bad)
+
+
+def test_png_encode_indexed_refuses_oversized_trns():
+    """ADVICE r11: a tRNS longer than the palette produced files the
+    repo's own png_decode refuses — the encoder now mirrors the check."""
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    with pytest.raises(ValueError, match="3 entries.*palette only 2"):
+        ic.png_encode_indexed(idx, pal, trns=np.array([255, 128, 0]))
+    # an in-range tRNS still round-trips
+    enc = ic.png_encode_indexed(idx, pal, trns=np.array([255, 128]))
+    arr, meta = ic.png_decode(enc)
+    assert arr.shape == (2, 2, 4)

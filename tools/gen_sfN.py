@@ -151,6 +151,10 @@ def main() -> None:
         lo = pa.compute.min(tables[t].column(key)).as_py()
         hi = pa.compute.max(tables[t].column(key)).as_py()
         assert lo == 0 and hi == counts[t] - 1, (t, lo, hi)
+        # min/max alone can't see duplicates — a key column with dupes
+        # would make replica stamping emit colliding keys
+        ndist = pa.compute.count_distinct(tables[t].column(key)).as_py()
+        assert ndist == counts[t], (t, "dup keys", ndist, counts[t])
 
     offsets = {
         "customer": {"c_custkey": counts["customer"]},
