@@ -563,15 +563,20 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
 
 
 # --------------------------------------------------------------------------
-# JPEG (baseline sequential DCT: full decode + encode)
+# JPEG (baseline sequential + progressive DCT: full decode + encode)
 #
-# ITU-T T.81 baseline: SOF0/SOF1 frames, Huffman entropy coding, 8-bit
-# samples, interleaved single-scan. The decoder reads its Huffman and
+# ITU-T T.81: SOF0/SOF1 sequential frames (Huffman, 8-bit, interleaved
+# single-scan) and SOF2 progressive frames (Annex G: spectral selection,
+# successive approximation, EOB runs, refinement correction bits,
+# non-interleaved component grids). The decoder reads its Huffman and
 # quantization tables from the FILE's own DHT/DQT segments (never from
 # the constants below), so an encode→decode round trip is self-consistent
-# by construction; the Annex K constants exist for the encoder.
-# Progressive (SOF2), arithmetic coding, 12-bit and hierarchical frames
-# refuse loudly with the capability named — same contract as PNG/GIF.
+# by construction; the Annex K constants exist for the encoder — and the
+# progressive paths are additionally pinned by decode(progressive(x)) ==
+# decode(baseline(x)) bit-equality, which holds for ANY input because the
+# two modes share the FDCT+quantize stage and entropy coding is lossless.
+# Arithmetic coding, 12-bit, lossless and hierarchical frames refuse
+# loudly with the capability named — same contract as PNG/GIF.
 
 # zigzag index -> natural (row-major) index, T.81 Figure 5
 _JPEG_ZIGZAG = np.array(
@@ -759,25 +764,252 @@ def _jpeg_extend(value: int, cat: int) -> int:
     return value
 
 
+def _jpeg_split_rst(ecs: bytes) -> list[bytes]:
+    """Split an entropy-coded stream on RST0–RST7 markers; each returned
+    segment resets DC prediction (and, progressive, the EOB run)."""
+    segments = []
+    seg_start = 0
+    i = 0
+    while i + 1 < len(ecs):
+        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
+            segments.append(ecs[seg_start:i])
+            seg_start = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(ecs[seg_start:])
+    return segments
+
+
+def _jpeg_prog_dc(block, reader, tbl, pred, cid, ah, al) -> None:
+    """One data unit of a progressive DC scan (T.81 G.1.2.1): first
+    scan (Ah=0) DPCM-decodes the point-transformed DC and stores it
+    shifted left by Al; refinement scans append one raw bit at Al."""
+    if ah == 0:
+        dsym, dlen = tbl
+        p16 = reader.peek16()
+        s, ln = int(dsym[p16]), int(dlen[p16])
+        if s < 0:
+            raise ValueError("jpeg: invalid DC Huffman code")
+        reader.skip(ln)
+        pred[cid] += _jpeg_extend(reader.read(s), s)
+        block[0] = pred[cid] << al
+    elif reader.read(1):
+        block[0] |= 1 << al
+
+
+def _jpeg_prog_ac_first(block, reader, tbl, ss, se, al, eobrun) -> int:
+    """One data unit of a first (Ah=0) progressive AC scan over band
+    [Ss, Se] (T.81 G.1.2.2): baseline-style run/size symbols plus EOBn
+    end-of-band runs. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    asym, alen = tbl
+    k = ss
+    while k <= se:
+        p16 = reader.peek16()
+        rs, ln = int(asym[p16]), int(alen[p16])
+        if rs < 0:
+            raise ValueError("jpeg: invalid AC Huffman code")
+        reader.skip(ln)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block is one of 2^r + bits
+            if r:
+                eobrun += reader.read(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC run past spectral band end")
+        block[k] = _jpeg_extend(reader.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _jpeg_prog_ac_refine(block, reader, tbl, ss, se, al, eobrun) -> int:
+    """One data unit of a refinement (Ah>0) progressive AC scan (T.81
+    G.1.2.3): newly significant coefficients arrive as run/1 symbols
+    with a sign bit; coefficients already nonzero from earlier scans
+    receive one correction bit each, in band order, interleaved into
+    the runs. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        asym, alen = tbl
+        while k <= se:
+            p16 = reader.peek16()
+            rs, ln = int(asym[p16]), int(alen[p16])
+            if rs < 0:
+                raise ValueError("jpeg: invalid AC Huffman code")
+            reader.skip(ln)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                # ZRL: r stays 15 → skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "jpeg: refinement scan magnitude must be 1"
+                    )
+                newval = p1 if reader.read(1) else m1
+            # advance past r zero-history coefficients, reading one
+            # correction bit for each nonzero-history coefficient passed
+            while k <= se:
+                v = int(block[k])
+                if v != 0:
+                    if reader.read(1) and (v & p1) == 0:
+                        block[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                    continue
+                if r == 0:
+                    break
+                r -= 1
+                k += 1
+            if s:
+                if k > se:
+                    raise ValueError(
+                        "jpeg: refinement run past spectral band end"
+                    )
+                block[k] = newval
+            k += 1
+    if eobrun > 0:
+        # EOB-terminated block: correction bits for the rest of the band
+        while k <= se:
+            v = int(block[k])
+            if v != 0:
+                if reader.read(1) and (v & p1) == 0:
+                    block[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_progressive_coefs(
+    comps, scans, h, w, hmax, vmax, mcus_x, mcus_y
+) -> dict[int, np.ndarray]:
+    """Run every SOS of a progressive (SOF2) frame over shared
+    coefficient planes per T.81 Annex G. DC scans may be interleaved
+    (MCU walk) or single-component; AC scans are non-interleaved by
+    the standard and walk the component's own ceil(w·hi/hmax/8) ×
+    ceil(h·vi/vmax/8) block grid. Restart markers reset DC prediction
+    and the EOB run. Returns {cid: (rows, cols, 64) int32}."""
+    byid = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    coefs = {
+        cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+        for cid, hi, vi, _tq in comps
+    }
+    for scan_comps, ss, se, ah, al, ecs, ri, huff in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("jpeg: progressive DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError(
+                "jpeg: progressive AC scans must be non-interleaved"
+            )
+        if not 0 <= ss <= se <= 63 or ah > 13 or al > 13:
+            raise ValueError(
+                f"jpeg: bad progressive scan header Ss={ss} Se={se} "
+                f"Ah={ah} Al={al}"
+            )
+        needs = []
+        for cid, dc_t, ac_t in scan_comps:
+            if cid not in byid:
+                raise ValueError(f"jpeg: scan references unknown component {cid}")
+            if ss == 0 and ah == 0:
+                tbl = huff.get((0, dc_t))
+                if tbl is None:
+                    raise ValueError(
+                        "jpeg: scan references an undefined Huffman table"
+                    )
+            elif ss > 0:
+                tbl = huff.get((1, ac_t))
+                if tbl is None:
+                    raise ValueError(
+                        "jpeg: scan references an undefined Huffman table"
+                    )
+            else:
+                tbl = None  # DC refinement: raw bits, no table
+            needs.append((cid, tbl))
+        interleaved = len(scan_comps) > 1
+        if interleaved:
+            n_units, bw = mcus_x * mcus_y, 0
+        else:
+            hi, vi, _tq = byid[scan_comps[0][0]]
+            bw = -(-(-(-w * hi // hmax)) // 8)
+            bh = -(-(-(-h * vi // vmax)) // 8)
+            n_units = bw * bh
+        per_seg = ri if ri else n_units
+        unit = 0
+        for seg in _jpeg_split_rst(ecs):
+            reader = _JpegBitReader(seg.replace(b"\xff\x00", b"\xff"))
+            pred = {cid: 0 for cid, _tbl in needs}
+            eobrun = 0
+            for _ in range(min(per_seg, n_units - unit)):
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    for cid, tbl in needs:
+                        hi, vi, _tq = byid[cid]
+                        plane = coefs[cid]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                _jpeg_prog_dc(
+                                    plane[my * vi + by, mx * hi + bx],
+                                    reader, tbl, pred, cid, ah, al,
+                                )
+                else:
+                    cid, tbl = needs[0]
+                    by, bx = divmod(unit, bw)
+                    block = coefs[cid][by, bx]
+                    if ss == 0:
+                        _jpeg_prog_dc(block, reader, tbl, pred, cid, ah, al)
+                    elif ah == 0:
+                        eobrun = _jpeg_prog_ac_first(
+                            block, reader, tbl, ss, se, al, eobrun
+                        )
+                    else:
+                        eobrun = _jpeg_prog_ac_refine(
+                            block, reader, tbl, ss, se, al, eobrun
+                        )
+                unit += 1
+        if unit != n_units:
+            raise ValueError(
+                f"jpeg: progressive scan short ({unit}/{n_units} data units)"
+            )
+    return coefs
+
+
 def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a baseline sequential JPEG to (array, meta).
+    """Decode a baseline-sequential (SOF0/SOF1) or progressive (SOF2)
+    JPEG to (array, meta).
 
     Array is (height, width, channels) uint8 — channels 1 (grayscale)
-    or 3 (YCbCr→RGB, JFIF full-range matrix). Supports SOF0/SOF1 frames,
-    any sampling-factor layout (4:4:4, 4:2:0, 4:2:2, …) via the general
+    or 3 (YCbCr→RGB, JFIF full-range matrix). Supports any
+    sampling-factor layout (4:4:4, 4:2:0, 4:2:2, …) via the general
     Hmax/Vmax MCU walk with pixel-replication chroma upsampling, restart
-    intervals, multiple DQT/DHT segments. Entropy decode uses the file's
-    OWN tables; dequantization and the 8×8 IDCT run batched over every
-    block at once (numpy einsum), so per-image Python cost is the
-    Huffman bit walk only. Progressive (SOF2), arithmetic-coded,
-    hierarchical, 12-bit and 4-component frames refuse loudly.
+    intervals, multiple DQT/DHT segments (progressive files may redefine
+    table slots between scans — each scan snapshots the table state at
+    its SOS). Progressive frames run the full T.81 Annex G scan loop:
+    spectral selection, successive approximation (DC point transform +
+    raw-bit refinement, AC magnitude refinement with correction bits),
+    EOB runs, and non-interleaved component grids. Entropy decode uses
+    the file's OWN tables; dequantization and the 8×8 IDCT run batched
+    over every block at once (numpy einsum). Arithmetic-coded,
+    hierarchical, lossless, 12-bit and 4-component frames refuse loudly.
     """
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("jpeg: bad magic")
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
     frame = None
-    scan = None
+    scans: list[tuple] = []
     restart_interval = 0
     pos = 2
     while pos + 4 <= len(data):
@@ -822,7 +1054,7 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 vals = list(body[b + 17 : b + 17 + nvals])
                 huff[(tc, th)] = _jpeg_huff_lut(bits, vals)
                 b += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/extended Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise ValueError(f"jpeg: only 8-bit precision supported, got {precision}")
@@ -835,42 +1067,48 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 cid = body[6 + 3 * i]
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * i]))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            frame = (h, w, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"jpeg: {kind} frames not supported (baseline sequential only)"
+                f"jpeg: SOF{marker - 0xC0} frames not supported "
+                "(baseline sequential and progressive only)"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
-                    for i in range(ns)]
-            pos += 2 + seglen
-            break
+            scan_comps = [
+                (body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            # entropy-coded data: from SOS end to the next non-RST
+            # marker (a stream with no trailing marker keeps every byte;
+            # the data-unit-count check below catches genuine truncation)
+            start = pos + 2 + seglen
+            end = start
+            while end + 1 < len(data):
+                if data[end] == 0xFF and data[end + 1] != 0x00 and not (
+                    0xD0 <= data[end + 1] <= 0xD7
+                ):
+                    break
+                end += 1
+            else:
+                end = len(data)
+            # snapshot the table state: progressive files may redefine
+            # DHT slots between scans
+            scans.append(
+                (scan_comps, ss, se, ahal >> 4, ahal & 15,
+                 data[start:end], restart_interval, dict(huff))
+            )
+            pos = end
+            continue
         pos += 2 + seglen
-    if frame is None or scan is None:
-        raise ValueError("jpeg: missing SOF or SOS (truncated or not baseline)")
-    h, w, comps = frame
+    if frame is None or not scans:
+        raise ValueError("jpeg: missing SOF or SOS (truncated or unsupported)")
+    h, w, comps, progressive = frame
     if h == 0 or w == 0:
         raise ValueError("jpeg: zero-dimension image")
-    if len(scan) != len(comps):
-        raise ValueError("jpeg: multi-scan streams not supported (baseline single scan)")
-
-    # entropy-coded data: from SOS end to the next non-RST marker
-    # (a stream with no trailing marker keeps every byte; the MCU-count
-    # check below is what catches genuine truncation)
-    end = pos
-    while end + 1 < len(data):
-        if data[end] == 0xFF and data[end + 1] != 0x00 and not (
-            0xD0 <= data[end + 1] <= 0xD7
-        ):
-            break
-        end += 1
-    else:
-        end = len(data)
-    ecs = data[pos:end]
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -890,72 +1128,78 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
             )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    scan_tables = {cid: (dc, ac) for cid, dc, ac in scan}
-    coefs = {}
-    order = []
-    for cid, hi, vi, tq in comps:
-        coefs[cid] = np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
-        dc_t, ac_t = scan_tables[cid]
-        if (0, dc_t) not in huff or (1, ac_t) not in huff:
-            raise ValueError("jpeg: scan references an undefined Huffman table")
-        order.append((cid, hi, vi, tq, huff[(0, dc_t)], huff[(1, ac_t)]))
+    if progressive:
+        coefs = _jpeg_decode_progressive_coefs(
+            comps, scans, h, w, hmax, vmax, mcus_x, mcus_y
+        )
+        order = [(cid, hi, vi, tq) for cid, hi, vi, tq in comps]
+    else:
+        if len(scans) != 1:
+            raise ValueError(
+                "jpeg: multi-scan sequential streams not supported "
+                "(baseline single scan)"
+            )
+        scan_comps, ss, se, ah, al, ecs, scan_ri, scan_huff = scans[0]
+        if len(scan_comps) != len(comps):
+            raise ValueError(
+                "jpeg: partial sequential scans not supported (baseline "
+                "single full scan)"
+            )
+        scan_tables = {cid: (dc, ac) for cid, dc, ac in scan_comps}
+        coefs = {}
+        order = []
+        for cid, hi, vi, tq in comps:
+            coefs[cid] = np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+            dc_t, ac_t = scan_tables[cid]
+            if (0, dc_t) not in scan_huff or (1, ac_t) not in scan_huff:
+                raise ValueError("jpeg: scan references an undefined Huffman table")
+            order.append(
+                (cid, hi, vi, tq, scan_huff[(0, dc_t)], scan_huff[(1, ac_t)])
+            )
 
-    # split on restart markers; each segment resets DC prediction
-    segments = []
-    seg_start = 0
-    i = 0
-    while i + 1 < len(ecs):
-        if ecs[i] == 0xFF and 0xD0 <= ecs[i + 1] <= 0xD7:
-            segments.append(ecs[seg_start:i])
-            seg_start = i + 2
-            i += 2
-        else:
-            i += 1
-    segments.append(ecs[seg_start:])
-
-    n_mcus = mcus_x * mcus_y
-    per_seg = restart_interval if restart_interval else n_mcus
-    mcu = 0
-    for seg in segments:
-        reader = _JpegBitReader(seg.replace(b"\xff\x00", b"\xff"))
-        pred = {cid: 0 for cid, *_ in comps}
-        seg_budget = min(per_seg, n_mcus - mcu)
-        for _ in range(seg_budget):
-            my, mx = divmod(mcu, mcus_x)
-            for cid, hi, vi, _tq, (dsym, dlen), (asym, alen) in order:
-                block_rows = coefs[cid]
-                for by in range(vi):
-                    for bx in range(hi):
-                        block = np.zeros(64, dtype=np.int32)
-                        p16 = reader.peek16()
-                        s, ln = int(dsym[p16]), int(dlen[p16])
-                        if s < 0:
-                            raise ValueError("jpeg: invalid DC Huffman code")
-                        reader.skip(ln)
-                        pred[cid] += _jpeg_extend(reader.read(s), s)
-                        block[0] = pred[cid]
-                        k = 1
-                        while k < 64:
+        n_mcus = mcus_x * mcus_y
+        per_seg = scan_ri if scan_ri else n_mcus
+        mcu = 0
+        for seg in _jpeg_split_rst(ecs):
+            reader = _JpegBitReader(seg.replace(b"\xff\x00", b"\xff"))
+            pred = {cid: 0 for cid, *_ in comps}
+            seg_budget = min(per_seg, n_mcus - mcu)
+            for _ in range(seg_budget):
+                my, mx = divmod(mcu, mcus_x)
+                for cid, hi, vi, _tq, (dsym, dlen), (asym, alen) in order:
+                    block_rows = coefs[cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            block = np.zeros(64, dtype=np.int32)
                             p16 = reader.peek16()
-                            rs, ln = int(asym[p16]), int(alen[p16])
-                            if rs < 0:
-                                raise ValueError("jpeg: invalid AC Huffman code")
+                            s, ln = int(dsym[p16]), int(dlen[p16])
+                            if s < 0:
+                                raise ValueError("jpeg: invalid DC Huffman code")
                             reader.skip(ln)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC run past block end")
-                            block[k] = _jpeg_extend(reader.read(s), s)
-                            k += 1
-                        block_rows[my * vi + by, mx * hi + bx] = block
-            mcu += 1
-    if mcu != n_mcus:
-        raise ValueError(f"jpeg: entropy data short ({mcu}/{n_mcus} MCUs)")
+                            pred[cid] += _jpeg_extend(reader.read(s), s)
+                            block[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                p16 = reader.peek16()
+                                rs, ln = int(asym[p16]), int(alen[p16])
+                                if rs < 0:
+                                    raise ValueError("jpeg: invalid AC Huffman code")
+                                reader.skip(ln)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("jpeg: AC run past block end")
+                                block[k] = _jpeg_extend(reader.read(s), s)
+                                k += 1
+                            block_rows[my * vi + by, mx * hi + bx] = block
+                mcu += 1
+        if mcu != n_mcus:
+            raise ValueError(f"jpeg: entropy data short ({mcu}/{n_mcus} MCUs)")
 
     planes = {}
     inv_zz = _JPEG_ZIGZAG
@@ -1022,6 +1266,247 @@ class _JpegBitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
 
 
+def _jpeg_prog_scan_script(channels: int) -> list[tuple[list[int], int, int, int, int]]:
+    """Progressive scan script (comps, Ss, Se, Ah, Al): an interleaved
+    DC first scan at Al=1 + DC refinement, spectral-selection AC bands,
+    and a two-level successive-approximation ladder on luma AC — every
+    Annex G decode path (EOB runs, ZRL-in-refinement, correction bits)
+    is exercised by the emitted stream."""
+    if channels == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 5, 2, 1), ([0], 6, 63, 2, 1),
+            ([0], 1, 5, 1, 0), ([0], 6, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+        ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 5, 2, 1), ([0], 6, 63, 2, 1),
+        ([0], 1, 5, 1, 0), ([0], 6, 63, 1, 0),
+        ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+    ]
+
+
+def _jpeg_comp_block_grid(
+    ci: int, samp: list, mcus_x: int, w: int, h: int, hmax: int, vmax: int
+) -> tuple[int, int, int]:
+    """(blocks_wide, blocks_high, row_stride) of a component's own
+    non-interleaved data-unit grid — ceil(ceil(dim·f/fmax)/8); the
+    row stride indexes into the full padded MCU-grid block array."""
+    hi, vi = samp[ci]
+    bw = -(-(-(-w * hi // hmax)) // 8)
+    bh = -(-(-(-h * vi // vmax)) // 8)
+    return bw, bh, mcus_x * hi
+
+
+def _jpeg_enc_ac_first_block(writer, block, act, ss, se, al) -> None:
+    """Encode one block of a first (Ah=0) progressive AC scan. EOB runs
+    are never accumulated across blocks (EOB0 per block) so restart
+    segments carry no cross-block state."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(block[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        if v < 0:
+            t = -t
+        while r > 15:
+            code, ln = act[0xF0]
+            writer.write(code, ln)
+            r -= 16
+        s = abs(t).bit_length()
+        code, ln = act[(r << 4) | s]
+        writer.write(code, ln)
+        writer.write(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r:
+        code, ln = act[0x00]
+        writer.write(code, ln)
+
+
+def _jpeg_enc_ac_refine_block(writer, block, act, ss, se, al) -> None:
+    """Encode one block of a refinement (Ah>0) progressive AC scan per
+    T.81 G.1.2.3: newly significant coefficients (magnitude 1 after the
+    point transform) as run/1 + sign, correction bits for coefficients
+    significant in earlier scans buffered and flushed after each emitted
+    symbol, EOB0 + trailing corrections at block end."""
+    absv = [abs(int(block[k])) >> al for k in range(ss, se + 1)]
+    eob_rel = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_rel = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_rel:
+            code, ln = act[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        code, ln = act[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(block[ss + i]) > 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r or br:
+        code, ln = act[0x00]
+        writer.write(code, ln)
+        for b in br:
+            writer.write(b, 1)
+
+
+def _jpeg_encode_progressive_scans(
+    comp_blocks, samp, channels, mcus_x, mcus_y, w, h,
+    dc_codes, ac_codes, restart_interval,
+) -> list[tuple[list[int], int, int, int, int, bytes]]:
+    """Entropy-code every scan of the progressive script over the
+    already-quantized blocks; returns (comps, Ss, Se, Ah, Al, ecs) per
+    scan. Restart markers split each scan every ``restart_interval``
+    data units (MCUs for the interleaved DC scans), resetting DC
+    prediction exactly as the sequential encoder does."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    out = []
+    for comps_idx, ss, se, ah, al in _jpeg_prog_scan_script(channels):
+        parts: list[bytes] = []
+        writer = _JpegBitWriter()
+        rst = 0
+        pred = [0] * len(samp)
+        interleaved = len(comps_idx) > 1
+        if ss == 0 and interleaved:
+            n_units, bw = mcus_x * mcus_y, 0
+        else:
+            bw, bh, _stride = _jpeg_comp_block_grid(
+                comps_idx[0], samp, mcus_x, w, h, hmax, vmax
+            )
+            n_units = bw * bh
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                writer.flush()
+                parts.append(bytes(writer.out))
+                parts.append(bytes((0xFF, 0xD0 + (rst & 7))))
+                rst += 1
+                writer = _JpegBitWriter()
+                pred = [0] * len(samp)
+            if ss == 0:
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    units = []
+                    for ci in comps_idx:
+                        hi, vi = samp[ci]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                units.append(
+                                    (ci, (my * vi + by) * (mcus_x * hi)
+                                     + mx * hi + bx)
+                                )
+                else:
+                    ci = comps_idx[0]
+                    _bw, _bh, stride = _jpeg_comp_block_grid(
+                        ci, samp, mcus_x, w, h, hmax, vmax
+                    )
+                    by, bx = divmod(unit, bw)
+                    units = [(ci, by * stride + bx)]
+                for ci, bi in units:
+                    dc0 = int(comp_blocks[ci][bi][0])
+                    if ah == 0:
+                        v = dc0 >> al  # arithmetic shift per G.1.2.1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        s = abs(diff).bit_length()
+                        t = 0 if ci == 0 or channels == 1 else 1
+                        code, ln = dc_codes[t][s]
+                        writer.write(code, ln)
+                        if s:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+                    else:
+                        writer.write((dc0 >> al) & 1, 1)
+            else:
+                ci = comps_idx[0]
+                _bw, _bh, stride = _jpeg_comp_block_grid(
+                    ci, samp, mcus_x, w, h, hmax, vmax
+                )
+                by, bx = divmod(unit, bw)
+                block = comp_blocks[ci][by * stride + bx]
+                t = 0 if ci == 0 or channels == 1 else 1
+                if ah == 0:
+                    _jpeg_enc_ac_first_block(
+                        writer, block, ac_codes[t], ss, se, al
+                    )
+                else:
+                    _jpeg_enc_ac_refine_block(
+                        writer, block, ac_codes[t], ss, se, al
+                    )
+        writer.flush()
+        parts.append(bytes(writer.out))
+        out.append((comps_idx, ss, se, ah, al, b"".join(parts)))
+    return out
+
+
+def _jpeg_assemble(
+    h, w, channels, samp, qtab, ql, qc, scan_outputs,
+    restart_interval, progressive,
+) -> bytes:
+    """Assemble the marker stream: JFIF APP0, DQT(s), SOF0/SOF2, the
+    four Annex K DHTs, DRI, then one SOS + entropy segment per scan."""
+    zz = _JPEG_ZIGZAG
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql[zz].astype(np.uint8)))
+    if channels == 3:
+        out += seg(0xDB, bytes([0x01]) + bytes(qc[zz].astype(np.uint8)))
+    ncomp = 1 if channels == 1 else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        hi, vi = samp[ci]
+        sof += bytes((ci + 1, (hi << 4) | vi, qtab[ci]))
+    out += seg(0xC2 if progressive else 0xC0, sof)
+
+    def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = table
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _JPEG_HUFF_DC_LUMA)
+    out += dht(1, 0, _JPEG_HUFF_AC_LUMA)
+    if channels == 3:
+        out += dht(0, 1, _JPEG_HUFF_DC_CHROMA)
+        out += dht(1, 1, _JPEG_HUFF_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for comps_idx, ss, se, ah, al, ecs in scan_outputs:
+        sos = bytes([len(comps_idx)])
+        for ci in comps_idx:
+            t = 0 if ci == 0 or channels == 1 else 1
+            sos += bytes((ci + 1, (t << 4) | t))
+        sos += bytes((ss, se, (ah << 4) | al))
+        out += seg(0xDA, sos)
+        out += ecs
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     """Annex K tables scaled by the libjpeg quality curve, clamped 1..255."""
     if not 1 <= quality <= 100:
@@ -1040,9 +1525,16 @@ def jpeg_encode(
     subsampling: str = "4:4:4",
     quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode a uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB array
-    as baseline sequential JPEG (SOF0, Annex K Huffman tables, JFIF APP0).
+    as baseline sequential JPEG (SOF0, Annex K Huffman tables, JFIF APP0)
+    or, with ``progressive=True``, as progressive JPEG (SOF2, the
+    spectral-selection + successive-approximation scan script of
+    ``_jpeg_prog_scan_script``). Both modes share the FDCT + quantize
+    stage, so for the SAME input the two streams decode to IDENTICAL
+    pixels — entropy coding is lossless — which is the cross-check the
+    progressive tests pin.
 
     ``subsampling`` is '4:4:4', '4:2:2' (horizontal box-average chroma)
     or '4:2:0' (2x2 box-average chroma).
@@ -1051,7 +1543,8 @@ def jpeg_encode(
     ones makes 8×8-block-constant grayscale images round-trip EXACTLY
     (DC-only blocks, zero quantization error), which is what the
     multimodal_decode_jpeg oracle pins. ``restart_interval`` > 0 emits
-    DRI + RSTn markers every that-many MCUs.
+    DRI + RSTn markers every that-many MCUs (data units per scan in
+    progressive mode).
     """
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
@@ -1150,6 +1643,16 @@ def jpeg_encode(
     def cat_of(v: int) -> int:
         return int(abs(v)).bit_length()
 
+    if progressive:
+        scan_outputs = _jpeg_encode_progressive_scans(
+            comp_blocks, samp, channels, mcus_x, mcus_y, w, h,
+            dc_codes, ac_codes, restart_interval,
+        )
+        return _jpeg_assemble(
+            h, w, channels, samp, qtab, ql, qc, scan_outputs,
+            restart_interval, progressive=True,
+        )
+
     writer = _JpegBitWriter()
     pred = [0] * len(planes)
     n_mcus = mcus_x * mcus_y
@@ -1205,42 +1708,11 @@ def jpeg_encode(
     writer.flush()
     body_parts.append(bytes(writer.out))
     ecs = b"".join(body_parts)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xDB, bytes([0x00]) + bytes(ql[zz].astype(np.uint8)))
-    if channels == 3:
-        out += seg(0xDB, bytes([0x01]) + bytes(qc[zz].astype(np.uint8)))
-    ncomp = 1 if channels == 1 else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        hi, vi = samp[ci]
-        sof += bytes((ci + 1, (hi << 4) | vi, qtab[ci]))
-    out += seg(0xC0, sof)
-
-    def dht(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
-        bits, vals = table
-        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
-
-    out += dht(0, 0, _JPEG_HUFF_DC_LUMA)
-    out += dht(1, 0, _JPEG_HUFF_AC_LUMA)
-    if channels == 3:
-        out += dht(0, 1, _JPEG_HUFF_DC_CHROMA)
-        out += dht(1, 1, _JPEG_HUFF_AC_CHROMA)
-    if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        t = 0 if ci == 0 or channels == 1 else 1
-        sos += bytes((ci + 1, (t << 4) | t))
-    sos += b"\x00\x3f\x00"
-    out += seg(0xDA, sos)
-    out += ecs
-    out += b"\xff\xd9"
-    return bytes(out)
+    return _jpeg_assemble(
+        h, w, channels, samp, qtab, ql, qc,
+        [(list(range(1 if channels == 1 else 3)), 0, 63, 0, 0, ecs)],
+        restart_interval, progressive=False,
+    )
 
 
 def gif_dims(data: bytes) -> tuple[int, int]:

@@ -205,21 +205,30 @@ def synth_wav_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
     )
 
 
-def synth_jpeg_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+def synth_jpeg_assets(
+    docs: DataFrame, modulus: int = 7, progressive: bool = False
+) -> DataFrame:
     """Deterministic JPEG asset fixture: every ``modulus``-th document
-    becomes a real baseline-sequential JPEG (SOF0, Huffman-coded through
-    the full FDCT path) that round-trips EXACTLY: 8×8-block-constant
-    grayscale with all-ones quantization tables means every block is
-    DC-only with zero quantization error, so the decoder's Huffman walk,
-    DC prediction, dequant and IDCT reconstruct the exact pixels.
+    becomes a real JPEG — baseline sequential (SOF0) by default, or
+    progressive (SOF2, the full spectral-selection + successive-
+    approximation scan ladder) with ``progressive=True`` — Huffman-coded
+    through the full FDCT path and round-tripping EXACTLY:
+    8×8-block-constant grayscale with all-ones quantization tables means
+    every block is DC-only with zero quantization error, so the
+    decoder's scan walk, DC prediction, dequant and IDCT reconstruct the
+    exact pixels. (For progressive, the AC scans of this fixture are
+    pure EOB runs; the AC first/refinement paths are pinned by the
+    decode(progressive(x)) == decode(baseline(x)) bit-equality tests in
+    tests/test_imagecodec.py, which hold for arbitrary content.)
 
     wb = doc_id % 4 + 1 blocks wide, hb = doc_id % 3 + 1 blocks high
     (image dims 8·wb × 8·hb), block value v(bx, by) = (7·doc_id + 29·bx
     + 31·by) mod 256 — the DuckDB oracle recomputes dims and the pixel
     sum (64·Σv) in SQL (plans/ext_queries.py `multimodal_decode_jpeg`).
     Even doc_ids encode with restart_interval=2 so RST-marker resync and
-    DC-predictor resets are exercised in-gate; the decoded pixels are
-    identical either way, so the oracle is unchanged.
+    DC-predictor (plus, progressive, EOB-run) resets are exercised
+    in-gate; the decoded pixels are identical either way, so the oracle
+    is unchanged.
     """
     import numpy as np
 
@@ -243,6 +252,7 @@ def synth_jpeg_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
                             img,
                             quant_tables=(ones, ones),
                             restart_interval=2 if did % 2 == 0 else 0,
+                            progressive=progressive,
                         ),
                     }
                 )
@@ -461,7 +471,8 @@ def decode_images(assets: DataFrame) -> DataFrame:
     value-level proof that unfiltering reconstructed the exact pixels
     (a header parse can fake dims; it cannot fake the sum).
 
-    PNG, baseline JPEG and uncompressed BMP payloads decode fully; other
+    PNG, JPEG (baseline sequential and progressive SOF2) and
+    uncompressed BMP payloads decode fully; other
     recognized image formats would need their own pixel decoders and are
     refused loudly (ValueError naming the format) rather than silently
     header-parsed — this operator's contract is PIXELS. Unrecognized

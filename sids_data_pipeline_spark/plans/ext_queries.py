@@ -2658,6 +2658,28 @@ GROUP BY doc_id, wb, hb
 """
 
 
+def _multimodal_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Progressive-JPEG codec round trip (E4, r12): synthesize
+    deterministic SOF2 JPEGs executor-side (multimodal.synth_jpeg_assets
+    with progressive=True — the full spectral-selection + successive-
+    approximation scan ladder, half with restart markers), then fully
+    decode them (imagecodec.jpeg_decode's T.81 Annex G scan loop: DC
+    point transform + raw-bit refinement, per-band AC scans, EOB runs)
+    and return the recovered dims plus the sum of every decoded sample.
+    The fixture is DC-exact (block-constant, all-ones quant), so the
+    multi-scan assembly must reconstruct the exact pixels — a header
+    parse can fake width and height, it cannot fake pixel_sum through a
+    ten-scan progressive stream. The AC first/refinement scan paths are
+    additionally pinned by decode(progressive(x)) == decode(baseline(x))
+    bit-equality on arbitrary content in tests/test_imagecodec.py."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_images(
+        multimodal.synth_jpeg_assets(docs, modulus=7, progressive=True)
+    )
+
+
 def _multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Palette + Adam7 PNG round trip (E4, r11): synthesize
     Adam7-INTERLACED color-type-3 PNGs executor-side (depth 4/8 cycling,
@@ -4430,6 +4452,16 @@ QUERIES: list[Query] = [
               "FDCT + Huffman encode (half with restart markers) -> "
               "full decode (file-table Huffman walk, dequant, batched "
               "IDCT) -> pixel sums vs closed-form oracle (exact: "
+              "DC-only blocks, all-ones quant tables)",
+          tags=("multimodal", "codec")),
+    Query("multimodal_decode_jpeg_progressive",
+          _multimodal_decode_jpeg_progressive,
+          _MULTIMODAL_DECODE_JPEG_SQL,
+          doc="E4 REAL progressive-JPEG (SOF2) codec round trip: "
+              "executor-side progressive encode (spectral selection + "
+              "successive approximation, half with restart markers) -> "
+              "full T.81 Annex G multi-scan decode -> pixel sums vs the "
+              "same closed-form oracle as the baseline row (exact: "
               "DC-only blocks, all-ones quant tables)",
           tags=("multimodal", "codec")),
     Query("multimodal_decode_wav", _multimodal_decode_wav, _MULTIMODAL_DECODE_WAV_SQL,

@@ -771,10 +771,17 @@ def test_jpeg_refusals_name_the_capability():
     ones = np.ones(64, dtype=np.int64)
     data = ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8),
                           quant_tables=(ones, ones))
-    # progressive: flip SOF0 -> SOF2
+    # arithmetic-coded: flip SOF0 -> SOF9 (progressive SOF2 is now a
+    # supported frame type, tested in the test_jpeg_progressive_* group)
+    bad = bytearray(data)
+    bad[bad.index(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(ValueError, match="SOF9"):
+        ic.jpeg_decode(bytes(bad))
+    # a SOF2 header over a baseline full-band scan is malformed, not a
+    # capability gap: a progressive DC scan must carry Se=0
     bad = bytearray(data)
     bad[bad.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive DC scan"):
         ic.jpeg_decode(bytes(bad))
     # truncation at several depths is loud
     for cut in (10, 30, len(data) // 2, len(data) - 3):
@@ -871,3 +878,160 @@ def test_png_encode_indexed_refuses_oversized_trns():
     enc = ic.png_encode_indexed(idx, pal, trns=np.array([255, 128]))
     arr, meta = ic.png_decode(enc)
     assert arr.shape == (2, 2, 4)
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2, T.81 Annex G)
+
+
+def _prog_pair(arr, **kw):
+    base = ic.jpeg_encode(arr, **kw)
+    prog = ic.jpeg_encode(arr, progressive=True, **kw)
+    return ic.jpeg_decode(base), ic.jpeg_decode(prog), prog
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Entropy coding is lossless and both modes share the FDCT+quantize
+    stage, so for the SAME input progressive and baseline streams must
+    decode BIT-IDENTICALLY — any deviation is a bug in the progressive
+    encoder or decoder. Sweeps gray/color, every subsampling, restart
+    intervals, noise (max AC density) and flat (EOB-heavy) content."""
+    rng = np.random.default_rng(7)
+    cases = [
+        (8, 8, 1, "4:4:4", 90, 0), (24, 32, 1, "4:4:4", 75, 0),
+        (17, 23, 3, "4:4:4", 90, 0), (33, 41, 3, "4:2:0", 80, 0),
+        (16, 50, 3, "4:2:2", 60, 0), (40, 40, 3, "4:2:0", 90, 3),
+        (25, 25, 1, "4:4:4", 95, 2), (1, 1, 3, "4:2:0", 50, 0),
+        (9, 65, 3, "4:2:2", 35, 1),
+    ]
+    for h, w, ch, sub, q, ri in cases:
+        for kind in ("noise", "flat", "ramp"):
+            if kind == "noise":
+                arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            elif kind == "flat":
+                arr = np.full((h, w, ch), 161, dtype=np.uint8)
+            else:
+                y, x = np.mgrid[0:h, 0:w]
+                arr = ((x * 7 + y * 11)[:, :, None] % 256).astype(
+                    np.uint8
+                ).repeat(ch, 2)
+            (db, mb), (dp, mp), _ = _prog_pair(
+                arr, quality=q, subsampling=sub, restart_interval=ri
+            )
+            assert np.array_equal(db, dp), (h, w, ch, sub, q, ri, kind)
+            assert mb == mp
+
+
+def test_jpeg_progressive_exact_blockconstant_roundtrip():
+    """The oracle trick extends to SOF2: 8×8-block-constant grayscale
+    with all-ones quant tables is DC-only with zero quantization error,
+    so the full scan ladder (DC first at Al=1, DC refinement, AC bands
+    that are pure EOB runs) must reconstruct the exact pixels."""
+    ones = np.ones(64, dtype=np.int64)
+    for did in (0, 7, 21, 42, 63):
+        wb, hb = did % 4 + 1, did % 3 + 1
+        bx = np.arange(wb)[None, :]
+        by = np.arange(hb)[:, None]
+        blocks = ((did * 7 + 29 * bx + 31 * by) % 256).astype(np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        for ri in (0, 2):
+            dec, meta = ic.jpeg_decode(
+                ic.jpeg_encode(img, quant_tables=(ones, ones),
+                               restart_interval=ri, progressive=True)
+            )
+            assert np.array_equal(dec[:, :, 0], img), (did, ri)
+            assert (meta["width"], meta["height"]) == (8 * wb, 8 * hb)
+
+
+def test_jpeg_progressive_stream_structure():
+    """The emitted stream is structurally progressive: one SOF2, no
+    SOF0, multiple SOS segments; header-only parses keep working."""
+    arr = ic.synth_image(3, 20, 14, 3)
+    prog = ic.jpeg_encode(arr, progressive=True)
+    assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+    assert prog.count(b"\xff\xda") == 12  # color scan script length
+    assert ic.jpeg_dims(prog) == (20, 14, 3)
+    gray = ic.jpeg_encode(arr[:, :, 0], progressive=True)
+    assert gray.count(b"\xff\xda") == 8  # grayscale scan script length
+
+
+def test_jpeg_progressive_multiblock_eob_runs():
+    """The in-repo encoder flushes EOB0 per block, but real files
+    (libjpeg) emit EOBn runs spanning many blocks with extension bits —
+    pin the decoder's EOBRUN bookkeeping directly at the scan-decoder
+    level: an EOB1 + 1 extension bit covers (1<<1) + 1 = 3 blocks.
+    EOBn symbols for n>0 are deliberately absent from the Annex K
+    tables (libjpeg emits them from per-scan optimized tables), so the
+    test defines its own tiny table containing 0x10."""
+    bits = [1, 2] + [0] * 14  # codes: 0 -> EOB1, 10 -> (1,3), 11 -> EOB0
+    vals = [0x10, 0x13, 0x00]
+    lut = ic._jpeg_huff_lut(bits, vals)
+    codes = ic._jpeg_huff_codes(bits, vals)
+    w = ic._JpegBitWriter()
+    code, ln = codes[0x10]  # EOB1: r=1, s=0
+    w.write(code, ln)
+    w.write(1, 1)  # extension bit -> EOBRUN = (1<<1) + 1 = 3 blocks
+    # after the run, one block with a single coefficient k=2, value 5
+    code, ln = codes[(1 << 4) | 3]  # run 1 (k=1 zero), size 3
+    w.write(code, ln)
+    w.write(5, 3)
+    code, ln = codes[0x00]  # EOB for the rest of the band
+    w.write(code, ln)
+    w.flush()
+    reader = ic._JpegBitReader(bytes(w.out).replace(b"\xff\x00", b"\xff"))
+    blocks = [np.zeros(64, dtype=np.int32) for _ in range(4)]
+    eobrun = 0
+    for b in blocks:
+        eobrun = ic._jpeg_prog_ac_first(b, reader, lut, 1, 63, 0, eobrun)
+    assert eobrun == 0
+    assert all(not b.any() for b in blocks[:3])
+    assert blocks[3][2] == 5 and np.count_nonzero(blocks[3]) == 1
+    # refinement-scan EOB run: 2 blocks whose band holds history values
+    # 8 (at k=1) and -8 (at k=3); correction bits 1 and 0 -> 12 and -8
+    w2 = ic._JpegBitWriter()
+    code, ln = codes[0x10]  # EOB1, r=1
+    w2.write(code, ln)
+    w2.write(0, 1)  # extension 0 -> EOBRUN = 2 blocks
+    w2.write(1, 1)  # correction bit block 0 (coef 8 -> |p1 at Al=2| set)
+    w2.write(0, 1)  # correction bit block 1 (coef -8 unchanged)
+    w2.flush()
+    r2 = ic._JpegBitReader(bytes(w2.out).replace(b"\xff\x00", b"\xff"))
+    b0 = np.zeros(64, dtype=np.int32)
+    b0[1] = 8
+    b1 = np.zeros(64, dtype=np.int32)
+    b1[3] = -8
+    eobrun = ic._jpeg_prog_ac_refine(b0, r2, lut, 1, 63, 2, 0)
+    assert eobrun == 1
+    eobrun = ic._jpeg_prog_ac_refine(b1, r2, lut, 1, 63, 2, eobrun)
+    assert eobrun == 0
+    assert b0[1] == 12 and b1[3] == -8
+
+
+def test_jpeg_progressive_malformed_scans_refuse():
+    arr = ic.synth_image(1, 24, 16, 3)
+    prog = bytearray(ic.jpeg_encode(arr, progressive=True))
+    # truncating inside the scan ladder is loud
+    with pytest.raises(ValueError):
+        ic.jpeg_decode(bytes(prog[: len(prog) // 2]))
+    # force the first AC scan's SOS to claim 3 components: progressive
+    # AC scans are non-interleaved by the standard
+    sos_positions = []
+    i = 0
+    while True:
+        i = prog.find(b"\xff\xda", i)
+        if i < 0:
+            break
+        sos_positions.append(i)
+        i += 2
+    second = sos_positions[1]  # first AC scan (after the DC scan)
+    bad = bytearray(prog)
+    ln = int.from_bytes(bad[second + 2 : second + 4], "big")
+    body = bad[second + 4 : second + 2 + ln]
+    ns = body[0]
+    assert ns == 1
+    rebuilt = bytes([3]) + bytes(body[1:3]) * 3 + bytes(body[3:])
+    bad[second + 2 : second + 2 + ln] = (
+        (len(rebuilt) + 2).to_bytes(2, "big") + rebuilt
+    )
+    with pytest.raises(ValueError, match="non-interleaved"):
+        ic.jpeg_decode(bytes(bad))
