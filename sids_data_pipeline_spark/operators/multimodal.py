@@ -166,14 +166,24 @@ def synth_png_indexed_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
     )
 
 
-def synth_wav_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+def synth_wav_assets(
+    docs: DataFrame, modulus: int = 7, float_every: int | None = None
+) -> DataFrame:
     """Deterministic WAV asset fixture: every ``modulus``-th document
     becomes a real PCM16 WAV whose shape and samples are closed-form
     functions of doc_id — n_samples = doc_id % 50 + 10, channels =
     doc_id % 2 + 1, rate 8000, sample(i, c) = (31·doc_id + 7i + 13c)
     mod 65536 − 32768 — so the DuckDB oracle can verify the decoded
     sample SUM, not just the header (plans/ext_queries.py
-    `multimodal_decode_wav`)."""
+    `multimodal_decode_wav`).
+
+    With ``float_every=m``, every m-th selected doc becomes an
+    IEEE-float32 WAV instead (rate 16000): sample(i, c) = k(i, c)/2²⁰
+    with k = (31·doc_id + 7i + 13c) mod 2097153 − 2²⁰, so k spans the
+    full [−2²⁰, 2²⁰] range including both rails and every sample is
+    EXACTLY representable in float32 (|k| ≤ 2²⁰ < 2²⁴ mantissa bits) —
+    the Q20 quantization in :func:`audio_features` recovers k exactly,
+    keeping the oracle integer-only."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -184,14 +194,19 @@ def synth_wav_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
                 n, ch = did % 50 + 10, did % 2 + 1
                 i = np.arange(n)[:, None]
                 c = np.arange(ch)[None, :]
-                samples = ((did * 31 + 7 * i + 13 * c) % 65536 - 32768).astype(
-                    np.int16
-                )
+                base = did * 31 + 7 * i + 13 * c
+                if float_every and did % (modulus * float_every) == 0:
+                    k = base % 2097153 - (1 << 20)
+                    samples = (k / float(1 << 20)).astype(np.float32)
+                    payload = icodec.wav_encode(samples, sample_rate=16_000)
+                else:
+                    samples = (base % 65536 - 32768).astype(np.int16)
+                    payload = icodec.wav_encode(samples, sample_rate=8000)
                 rows.append(
                     {
                         "asset_id": did,
                         "modality": "audio",
-                        "payload": icodec.wav_encode(samples, sample_rate=8000),
+                        "payload": payload,
                     }
                 )
             yield pd.DataFrame(
@@ -316,9 +331,9 @@ def decode_audio(assets: DataFrame) -> DataFrame:
 
 
 def audio_features(assets: DataFrame) -> DataFrame:
-    """Audio quality features over decoded PCM16 — the filters an audio
-    data lake gates ingestion on (silence, clipping, energy), the audio
-    analog of the E5 text-quality scorers. Everything is an exact
+    """Audio quality features over decoded WAV samples — the filters an
+    audio data lake gates ingestion on (silence, clipping, energy), the
+    audio analog of the E5 text-quality scorers. Everything is an exact
     INTEGER over the decoded samples, so a SQL oracle hash-matches:
 
     - ``sum_sq``: Σ sample² (RMS = sqrt(sum_sq / (n·ch)) downstream —
@@ -327,9 +342,16 @@ def audio_features(assets: DataFrame) -> DataFrame:
     - ``zero_crossings``: per-channel count of strict sign flips
       (product < 0) between consecutive frames, summed over channels —
       a spectral-content proxy,
-    - ``clipped_count``: samples at the int16 rails (±32767/−32768).
+    - ``clipped_count``: samples at the rails — ±(2^(b−1)−1)/−2^(b−1)
+      for b-bit integer PCM, at-or-beyond full scale (|sample| ≥ 1.0)
+      for float.
 
-    Non-WAV payloads refuse loudly, same posture as decode_audio."""
+    IEEE-float32 payloads quantize to Q20 fixed point first
+    (round(sample·2²⁰) — the engine's standard float-determinism trick,
+    cf. BM25/PageRank micros), so float features are exact integers on
+    the 2²⁰-per-full-scale grid. Non-finite samples (NaN/Inf) refuse
+    loudly by name; so do non-WAV payloads, same posture as
+    decode_audio."""
     import numpy as np
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -341,18 +363,24 @@ def audio_features(assets: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"audio_features: asset {aid}: payload is not a RIFF/WAVE"
                     )
-                arr, info = icodec.wav_decode(data)  # (n, ch) int16/int32
+                arr, info = icodec.wav_decode(data)  # (n, ch) i16/i32/f32
                 if arr.dtype.kind == "f":
-                    raise ValueError(
-                        f"audio_features: asset {aid}: float WAV payloads "
-                        "have no exact integer features — use the codec "
-                        "(imagecodec.wav_decode) directly"
-                    )
-                s = arr.astype(np.int64)
+                    if not np.isfinite(arr).all():
+                        raise ValueError(
+                            f"audio_features: asset {aid}: float WAV "
+                            "contains NaN/Inf samples"
+                        )
+                    s = np.round(
+                        arr.astype(np.float64) * (1 << 20)
+                    ).astype(np.int64)
+                    clipped = int((np.abs(s) >= 1 << 20).sum())
+                else:
+                    s = arr.astype(np.int64)
+                    # integer clip rails scale with the sample width:
+                    # ±(2^(b−1)−1) and −2^(b−1) for b-bit PCM (16 or 24)
+                    hi = (1 << (info["bits_per_sample"] - 1)) - 1
+                    clipped = int(((s == hi) | (s == -hi - 1)).sum())
                 flips = int((s[1:] * s[:-1] < 0).sum()) if s.shape[0] > 1 else 0
-                # the clip rails scale with the sample width: ±(2^(b−1)−1)
-                # and −2^(b−1) for b-bit PCM (16 or 24)
-                hi = (1 << (info["bits_per_sample"] - 1)) - 1
                 rows.append(
                     {
                         "asset_id": int(aid),
@@ -362,9 +390,7 @@ def audio_features(assets: DataFrame) -> DataFrame:
                         "sum_sq": int((s * s).sum()),
                         "peak_abs": int(np.abs(s).max(initial=0)),
                         "zero_crossings": flips,
-                        "clipped_count": int(
-                            ((s == hi) | (s == -hi - 1)).sum()
-                        ),
+                        "clipped_count": clipped,
                     }
                 )
             yield pd.DataFrame(

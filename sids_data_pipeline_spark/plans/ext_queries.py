@@ -2748,23 +2748,32 @@ GROUP BY doc_id, n, ch
 
 
 def _multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio quality gating (E4/E5 crossover, r11): PCM16 energy
-    (sum-of-squares), peak, per-channel zero-crossing flips and
+    """Audio quality gating (E4/E5 crossover, r11; float path r12):
+    energy (sum-of-squares), peak, per-channel zero-crossing flips and
     rail-clipping counts over the deterministic WAV fixtures — every
-    output an exact integer, recomputed term-for-term by the SQL
-    oracle (LAG over the sample grid for the sign flips)."""
+    third fixture is an IEEE-float32 WAV whose samples are exact
+    multiples of 2⁻²⁰, so the operator's Q20 quantization recovers the
+    integer grid exactly and every output stays an exact integer,
+    recomputed term-for-term by the SQL oracle (LAG over the sample
+    grid for the sign flips; zero float math on either side)."""
     (docs,) = tables(spark, sf_dir, "documents")
-    return multimodal.audio_features(multimodal.synth_wav_assets(docs, modulus=7))
+    return multimodal.audio_features(
+        multimodal.synth_wav_assets(docs, modulus=7, float_every=3)
+    )
 
 
 _MULTIMODAL_AUDIO_FEATURES_SQL = """
 WITH d AS (
-  SELECT doc_id, doc_id % 50 + 10 AS n, doc_id % 2 + 1 AS ch
+  SELECT doc_id, doc_id % 50 + 10 AS n, doc_id % 2 + 1 AS ch,
+         (doc_id % 21 = 0) AS isf
   FROM documents WHERE doc_id % 7 = 0
 ),
 s AS (
-  SELECT doc_id, n, ch, i.v AS i, c.v AS c,
-         (doc_id*31 + 7*i.v + 13*c.v) % 65536 - 32768 AS smp
+  SELECT doc_id, n, ch, isf, i.v AS i, c.v AS c,
+         CASE WHEN isf
+              THEN (doc_id*31 + 7*i.v + 13*c.v) % 2097153 - 1048576
+              ELSE (doc_id*31 + 7*i.v + 13*c.v) % 65536 - 32768
+         END AS smp
   FROM d, range(60) i(v), range(2) c(v)
   WHERE i.v < n AND c.v < ch
 ),
@@ -2772,15 +2781,18 @@ f AS (
   SELECT *, LAG(smp) OVER (PARTITION BY doc_id, c ORDER BY i) AS prev
   FROM s
 )
-SELECT doc_id AS asset_id, 8000 AS sample_rate, CAST(ch AS INT) AS channels,
+SELECT doc_id AS asset_id,
+       CAST(CASE WHEN isf THEN 16000 ELSE 8000 END AS INT) AS sample_rate,
+       CAST(ch AS INT) AS channels,
        CAST(n AS BIGINT) AS n_samples,
        CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
        CAST(MAX(ABS(smp)) AS BIGINT) AS peak_abs,
        CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
-       CAST(SUM(CASE WHEN smp IN (32767, -32768) THEN 1 ELSE 0 END)
-            AS BIGINT) AS clipped_count
-FROM f GROUP BY doc_id, n, ch
+       CAST(SUM(CASE WHEN (isf AND ABS(smp) >= 1048576)
+                      OR (NOT isf AND smp IN (32767, -32768))
+                THEN 1 ELSE 0 END) AS BIGINT) AS clipped_count
+FROM f GROUP BY doc_id, n, ch, isf
 """
 
 

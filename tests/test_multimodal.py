@@ -299,3 +299,74 @@ def test_extract_features_gif_frame_count(spark):
     )
     row = multimodal.extract_features(df).collect()[0]
     assert (row["width"], row["height"], row["n_frames"]) == (9, 7, 4)
+
+
+def test_audio_features_float_q20_path(spark):
+    """Float32 WAVs quantize to the Q20 grid (round(sample·2²⁰)): a
+    fixture built from exact multiples of 2⁻²⁰ recovers its integers
+    exactly, full-scale ±1.0 counts as clipped, and NaN refuses."""
+    import numpy as np
+    import pandas as pd
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    k = np.array([[-3, 5], [7, -2], [1 << 20, -(1 << 20)], [0, 4]],
+                 dtype=np.int64)
+    samples = (k / float(1 << 20)).astype(np.float32)
+    wav = ic.wav_encode(samples, sample_rate=16_000)
+    assets = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [3], "payload": [wav]})
+    )
+    row = multimodal.audio_features(assets).collect()[0]
+    assert row.sum_sq == int((k * k).sum())
+    assert row.peak_abs == 1 << 20
+    assert row.zero_crossings == int((k[1:] * k[:-1] < 0).sum())
+    assert row.clipped_count == 2  # both full-scale rails
+    assert (row.sample_rate, row.channels, row.n_samples) == (16_000, 2, 4)
+    # NaN poisons determinism -> loud refusal by name
+    nan_wav = ic.wav_encode(
+        np.array([0.5, np.nan], dtype=np.float32), sample_rate=8000
+    )
+    bad = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [4], "payload": [nan_wav]})
+    )
+    with pytest.raises(Exception, match="NaN/Inf"):
+        multimodal.audio_features(bad).collect()
+
+
+def test_synth_wav_assets_float_every_mixes_formats(spark):
+    """float_every=3 turns every third selected doc into an IEEE-float
+    WAV (rate 16000) while the rest stay PCM16 (rate 8000)."""
+    import pandas as pd
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(0, 64))})
+    )
+    rows = multimodal.synth_wav_assets(
+        docs, modulus=7, float_every=3
+    ).collect()
+    fmts = {}
+    for r in rows:
+        info = ic.wav_info(bytes(r.payload))
+        fmts[r.asset_id] = (info["bits_per_sample"], info["sample_rate"])
+    assert fmts[0] == (32, 16_000) and fmts[21] == (32, 16_000)
+    assert fmts[7] == (16, 8_000) and fmts[14] == (16, 8_000)
+
+
+def test_decode_images_jpeg_progressive_route(spark, sf_dir):
+    """decode_images routes SOF2 payloads through the progressive scan
+    loop transparently — pixel sums equal the baseline fixture's."""
+    docs = load_table(spark, "documents", sf_dir)
+    base = multimodal.decode_images(
+        multimodal.synth_jpeg_assets(docs, modulus=13)
+    ).collect()
+    prog = multimodal.decode_images(
+        multimodal.synth_jpeg_assets(docs, modulus=13, progressive=True)
+    ).collect()
+
+    def key(r):
+        return r.asset_id
+
+    assert sorted(base, key=key) == sorted(prog, key=key)
