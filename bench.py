@@ -44,31 +44,56 @@ HEADLINE = [
 ]
 
 
-def _tail_queries(doc: dict) -> dict[str, float] | None:
-    """Recover per-query seconds from a driver BENCH record whose "tail"
-    holds a (possibly truncated) copy of our JSON line. The driver cuts
-    the tail at a byte budget, so json.loads fails; regex-extracting the
-    '"name": sec' pairs inside the "queries" object recovers every pair
-    that survived the cut — enough for delta_vs_prev to point at the
-    latest round instead of the last fully-parsed one."""
+def _tail_queries(doc: dict) -> tuple[dict[str, float], str] | None:
+    """Recover (per-query seconds, source label) from a driver BENCH
+    record whose "tail" holds the LAST ~2000 bytes of our JSON line.
+    The front truncation usually eats the '"queries": {' header itself,
+    so three recoveries compete:
+
+    1. an intact '"queries": {...}' object (tail long enough);
+    2. the leading fragment before the first '}' — it belongs to the
+       "queries" map iff the text right after that close is
+       '"median_queries"' (the key our writer always emits next);
+    3. an intact '"median_queries": {...}' object (steady-state medians
+       rather than headline timings, but same-named and same-protocol —
+       better than silently comparing against a round further back).
+    Between 2 and 3 the fuller map wins; the source label lands in the
+    output as prev_round_source so a reader knows which metric the
+    deltas compare against.
+    """
     tail = doc.get("tail")
     if not isinstance(tail, str):
         return None
-    m = re.search(r'"queries"\s*:\s*\{', tail)
-    if not m:
-        return None
-    seg = tail[m.end():]
-    end = seg.find("}")
-    if end != -1:
-        seg = seg[:end]
-    pairs = re.findall(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)', seg)
-    return {k: float(v) for k, v in pairs} or None
+
+    def pairs_of(seg: str) -> dict[str, float]:
+        found = re.findall(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)', seg)
+        return {k: float(v) for k, v in found}
+
+    m = re.search(r'"queries"\s*:\s*\{([^}]*)\}', tail)
+    if m:
+        got = pairs_of(m.group(1))
+        if got:
+            return got, "tail_queries"
+    frag: dict[str, float] = {}
+    end = tail.find("}")
+    if end != -1 and re.match(r'\s*,\s*"median_queries"', tail[end + 1:]):
+        frag = pairs_of(tail[:end])
+    m = re.search(r'"median_queries"\s*:\s*\{([^}]*)\}', tail)
+    med = pairs_of(m.group(1)) if m else {}
+    # prefer whichever recovery names more queries; a 4-name headline
+    # fragment loses to a complete 13-name median map
+    if len(frag) >= len(med) and frag:
+        return frag, "tail_queries_fragment"
+    if med:
+        return med, "tail_median_queries"
+    return None
 
 
-def _previous_round() -> tuple[str, dict[str, float]] | None:
-    """Latest BENCH_r{N}.json with a recoverable per-query map, if any."""
+def _previous_round() -> tuple[str, dict[str, float], str] | None:
+    """Latest BENCH_r{N}.json with a recoverable per-query map, if any,
+    as (round label, per-query seconds, recovery source)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    best_n, best = -1, None
+    best_n, best, best_src = -1, None, ""
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -82,15 +107,19 @@ def _previous_round() -> tuple[str, dict[str, float]] | None:
             queries = (
                 (parsed.get("queries") if isinstance(parsed, dict) else None)
                 or doc.get("queries")
-                or _tail_queries(doc)
             )
+            src = "queries"
+            if not queries:
+                recovered = _tail_queries(doc)
+                if recovered:
+                    queries, src = recovered
         except Exception:
             continue
         if queries and int(m.group(1)) > best_n:
-            best_n, best = int(m.group(1)), queries
+            best_n, best, best_src = int(m.group(1)), queries, src
     if best is None:
         return None
-    return f"r{best_n:02d}", best
+    return f"r{best_n:02d}", best, best_src
 
 
 def main() -> None:
@@ -187,8 +216,9 @@ def main() -> None:
     # glance. Best-effort: absent/corrupt prior files are skipped.
     prev = _previous_round()
     if prev:
-        prev_round, prev_queries = prev
+        prev_round, prev_queries, prev_src = prev
         out["prev_round"] = prev_round
+        out["prev_round_source"] = prev_src
         out["delta_vs_prev"] = {
             name: round(timings[name] - prev_queries[name], 3)
             for name in timings
