@@ -186,18 +186,51 @@ from sids_data_pipeline_spark.plans.base import Query
 # → crs_standardize_datum. Displaced r10-green names (see the
 # provenance comment inside the tuple): the six byte-identical
 # crs_reproject_* projection forms and graph_triangles.
+# Round-12 rotation (tenth): the r11 queue claims its rows — the two
+# never-driver-gated entries multimodal_audio_features (now with the
+# r12 float-Q20 path) and multimodal_decode_jpeg_progressive (NEW —
+# SOF2 Annex G multi-scan decode, the r11 verdict's named decision) —
+# plus embedding_pca_gate re-entry (r10 row standing; queued by the
+# verdict so the E3 gate re-proves alongside topk). Re-rows for every
+# entry whose operator file changed this round:
+# functions/imagecodec.py (progressive codec, wav/png encoder
+# refusals) + operators/multimodal.py (float audio features, fixture
+# knobs) → the whole E4 family and streaming_media_ingest (its fixture
+# and decode dispatch ride the same codecs). The long-idle streaming
+# four (cdc_upsert, rolling, sessions, enrich — last rows r6–r8 while
+# streaming/jobs.py changed in r10 AND r11; the r11 verdict flagged the
+# policy drift) re-row now, and the written policy is hereby
+# file-level-with-age-backstop: a standing row survives a file change
+# only if the diff verifiably avoids its code path, and NO row stands
+# more than ~6 rounds without re-proving. That backstop also seeds six
+# age-based belt slots with the oldest standing rows in the catalog
+# (r02: agg_cube, agg_full, agg_median, agg_rollup, case_when,
+# dedup_embedding_cosine — chosen by CORRECTNESS_r01..r11 union age,
+# full-oracle entries first; the r5–r8 SQL tail follows in r13+).
+# Displaced r11-green names (operator files unchanged this round, each
+# with an in-window family sibling): streaming_vector_ingest +
+# streaming_raster_ingest + streaming_dedup_lsh (jobs.py untouched in
+# r12; the media twin + the four batch-parity rows keep streaming
+# in-window), raster_pyramid_estate (terrain.py unchanged;
+# slope_aspect/sieve/clump keep the belt), crs_standardize_datum +
+# crs_reproject_krovak + crs_standardize_mixed (crs.py unchanged;
+# crs_reproject keeps P9), geo_dwithin_join + vector_reproject_zones
+# (geo/crs files unchanged), graph_pagerank (graph.py unchanged;
+# dedup_clusters keeps E10), sink_tokenbin_roundtrip (sampling/sinks
+# unchanged), dedup_semantic + similarity_ann_gate (similarity.py
+# unchanged; topk + pca_gate keep E3).
 PRIORITY: tuple[str, ...] = (
-    # — round-11 new queries: first-time driver rows —
+    # — round-12 first-time driver rows + queued re-entry —
+    "multimodal_audio_features",
+    "multimodal_decode_jpeg_progressive",
+    "embedding_pca_gate",
+    # — functions/imagecodec.py + operators/multimodal.py changed
+    #   (progressive JPEG codec, float-Q20 audio features, encoder
+    #   dtype/tRNS refusals): the whole E4 family re-rows, and the
+    #   streaming media twin rides the same codec dispatch —
     "multimodal_decode_jpeg",
     "multimodal_gif_disposal",
-    # palette + Adam7 PNG landed mid-round (imagecodec depth matrix);
-    # takes the slot embedding_pca_gate held — similarity.py is
-    # UNCHANGED this round (its r10 row stands; topk + dedup_semantic +
-    # ann_gate keep three E3 rows in-window)
     "multimodal_decode_png_palette",
-    # — functions/imagecodec.py + operators/multimodal.py changed
-    #   (baseline JPEG codec + routing, GIF disposal 2/3, BMP palette
-    #   expansion, WAV data-chunk bounds): the whole E4 family re-rows —
     "multimodal_decode_png",
     "multimodal_decode_wav",
     "multimodal_decode_gif",
@@ -205,72 +238,70 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_meta",
     "multimodal_features",
     "multimodal_frames",
-    # — streaming/jobs.py changed (corrupt-asset quarantine in the media
-    #   twin; executor-side shapefile parse in the vector twin) and
-    #   sources/shapefile.py refactored (zone_records/resolve_src_epsg,
-    #   shared by batch ingest): both ingest twins + the batch ingest
-    #   re-row; the raster twin's section is untouched but re-rows as
-    #   belt since its file changed; streaming_dedup_lsh likewise —
     "streaming_media_ingest",
-    "streaming_vector_ingest",
-    "vector_shapefile_ingest",
-    "streaming_raster_ingest",
-    "streaming_dedup_lsh",
-    # — operators/terrain.py changed (clump_regions reworked as
-    #   two-phase raster CC): both clump consumers re-row —
-    "raster_clump",
-    "raster_polygonize",
-    # — functions/crs.py changed (NULL-epsg rows now routed to the
-    #   loud-fail branch of standardize_crs_datum; diff confined to
-    #   that function): the changed form re-rows —
-    "crs_standardize_datum",
-    # — jobs/pipeline.py composes shapefile ingest: re-row after the
-    #   shapefile.py zone_records refactor —
-    "pipeline_end_to_end",
+    # — age re-row: streaming/jobs.py changed in r10+r11 while these
+    #   four held r6–r8 rows (diffs were verifiably confined to the
+    #   ingest twins, but the age backstop re-proves them anyway) —
+    "streaming_cdc_upsert",
+    "streaming_rolling",
+    "streaming_sessions",
+    "streaming_enrich",
+    # — age-based belt: the six oldest standing rows in the catalog
+    #   (r02) re-prove under the new ≤~6-round backstop —
+    "agg_cube",
+    "agg_full",
+    "agg_median",
+    "agg_rollup",
+    "case_when",
+    "dedup_embedding_cosine",
     # — family representatives (files unchanged; keep families
     #   in-window) —
     "raster_geotiff_ingest",
     "source_geotiff_datasource",
     "raster_slope_aspect",
     "raster_sieve_fill",
-    "raster_pyramid_estate",
+    "raster_clump",
+    "raster_polygonize",
     "raster_mosaic",
     "zonal_polygons",
     "tiles_encode_rings",
     "dedup_minhash_lsh",
     "dedup_exact",
+    "dedup_clusters",
     "corpus_curation",
     "text_gopher_rules",
     "corpus_lm_score",
     "events_session",
     "mv_sketch_distinct_gate",
     "vector_geopackage_ingest",
+    "vector_shapefile_ingest",
     "agg_geomean_udaf",
     "join_full_outer",
     "window_distribution",
     "sql_shipping_priority",
     "similarity_topk",
-    "dedup_semantic",
-    "similarity_ann_gate",
     "crs_reproject",
+    "pipeline_end_to_end",
+    # — end of the 50-slot window (pipeline_end_to_end takes slot 50) —
+    # r11 head names displaced this round retained below for provenance
+    # (names past the window keep registration order); see the round-12
+    # rotation comment above for the per-name rationale — every
+    # displaced entry's operator file is unchanged in r12.
+    "streaming_vector_ingest",
+    "streaming_raster_ingest",
+    "streaming_dedup_lsh",
+    "raster_pyramid_estate",
+    "crs_standardize_datum",
     "crs_reproject_krovak",
     "crs_standardize_mixed",
     "geo_dwithin_join",
     "vector_reproject_zones",
-    "dedup_clusters",
     "graph_pagerank",
     "sink_tokenbin_roundtrip",
-    # — end of the 50-slot window (sink_tokenbin_roundtrip takes
-    #   slot 50) —
-    # r10 head names displaced this round retained below for
-    # provenance (names past the window keep registration order).
-    # Their r10 rows stand: functions/crs.py's round-11 diff is
-    # confined to standardize_crs_datum (the six displaced projection
-    # forms are byte-identical, and crs_reproject + crs_reproject_krovak
-    # + crs_standardize_mixed + crs_standardize_datum keep four crs rows
-    # in-window); operators/graph.py is untouched this round
-    # (dedup_clusters + graph_pagerank keep the family in-window).
-    "embedding_pca_gate",
+    "dedup_semantic",
+    "similarity_ann_gate",
+    # r10 head names displaced in r11 retained below for provenance;
+    # their r10 rows stand (crs.py/graph.py unchanged since).
     "crs_reproject_utm",
     "crs_reproject_lcc",
     "crs_reproject_albers",
@@ -278,10 +309,6 @@ PRIORITY: tuple[str, ...] = (
     "crs_reproject_tm",
     "crs_reproject_polar",
     "graph_triangles",
-    # Round-12 rotation queue (selfcheck-green this round, no driver
-    # row yet): multimodal_audio_features (integer PCM quality gating),
-    # embedding_pca_gate re-entry.
-    "multimodal_audio_features",
     # r9 head names displaced this round retained below for provenance
     # (names past the window keep registration order; their r9 rows
     # stand because their operator files are unchanged in r10)
