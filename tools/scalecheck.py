@@ -544,6 +544,31 @@ def main() -> None:
             }
         out["jpeg_decode"] = jpeg
 
+    if not sections or "jpeg_progressive" in sections:
+        # --- progressive JPEG decode (r12 codec): the Annex G scan
+        # ladder walks the entropy data once per scan (8 scans for the
+        # grayscale fixture), so per-asset cost sits above baseline by
+        # roughly the scan count; the expectation is the same
+        # flat-or-falling per-asset curve, just a higher constant ------
+        from sids_data_pipeline_spark.operators import multimodal
+
+        jprog = {}
+        for n in (2_000, 8_000, 32_000):
+            docs = spark.range(0, n * 7, 7, 32).select(
+                F.col("id").alias("doc_id")
+            )
+            assets = multimodal.synth_jpeg_assets(
+                docs, modulus=7, progressive=True
+            )
+            sec = _steady(
+                lambda a=assets: multimodal.decode_images(a).count(), reps=2
+            )
+            jprog[f"{n:,} progressive jpeg assets"] = {
+                "sec": round(sec, 3),
+                "us_per_asset": round(sec / n * 1e6, 2),
+            }
+        out["jpeg_progressive_decode"] = jprog
+
     if not sections or "similarity" in sections:
         # --- exact top-k cosine (E3 baseline path): growing candidate
         # counts, fixed 5-query broadcast. Map-side partial top-k means
