@@ -943,8 +943,9 @@ def _jpeg_decode_progressive_coefs(
             n_units, bw = mcus_x * mcus_y, 0
         else:
             hi, vi, _tq = byid[scan_comps[0][0]]
-            bw = -(-(-(-w * hi // hmax)) // 8)
-            bh = -(-(-(-h * vi // vmax)) // 8)
+            bw, bh, _stride = _jpeg_comp_block_grid(
+                hi, vi, mcus_x, w, h, hmax, vmax
+            )
             n_units = bw * bh
         per_seg = ri if ri else n_units
         unit = 0
@@ -1292,12 +1293,13 @@ def _jpeg_prog_scan_script(channels: int) -> list[tuple[list[int], int, int, int
 
 
 def _jpeg_comp_block_grid(
-    ci: int, samp: list, mcus_x: int, w: int, h: int, hmax: int, vmax: int
+    hi: int, vi: int, mcus_x: int, w: int, h: int, hmax: int, vmax: int
 ) -> tuple[int, int, int]:
     """(blocks_wide, blocks_high, row_stride) of a component's own
     non-interleaved data-unit grid — ceil(ceil(dim·f/fmax)/8); the
-    row stride indexes into the full padded MCU-grid block array."""
-    hi, vi = samp[ci]
+    row stride indexes into the full padded MCU-grid block array.
+    Shared by the progressive encoder AND decoder so their
+    non-interleaved walks can never desynchronize."""
     bw = -(-(-(-w * hi // hmax)) // 8)
     bh = -(-(-(-h * vi // vmax)) // 8)
     return bw, bh, mcus_x * hi
@@ -1390,10 +1392,10 @@ def _jpeg_encode_progressive_scans(
         pred = [0] * len(samp)
         interleaved = len(comps_idx) > 1
         if ss == 0 and interleaved:
-            n_units, bw = mcus_x * mcus_y, 0
+            n_units, bw, stride = mcus_x * mcus_y, 0, 0
         else:
-            bw, bh, _stride = _jpeg_comp_block_grid(
-                comps_idx[0], samp, mcus_x, w, h, hmax, vmax
+            bw, bh, stride = _jpeg_comp_block_grid(
+                *samp[comps_idx[0]], mcus_x, w, h, hmax, vmax
             )
             n_units = bw * bh
         for unit in range(n_units):
@@ -1418,9 +1420,6 @@ def _jpeg_encode_progressive_scans(
                                 )
                 else:
                     ci = comps_idx[0]
-                    _bw, _bh, stride = _jpeg_comp_block_grid(
-                        ci, samp, mcus_x, w, h, hmax, vmax
-                    )
                     by, bx = divmod(unit, bw)
                     units = [(ci, by * stride + bx)]
                 for ci, bi in units:
@@ -1441,9 +1440,6 @@ def _jpeg_encode_progressive_scans(
                         writer.write((dc0 >> al) & 1, 1)
             else:
                 ci = comps_idx[0]
-                _bw, _bh, stride = _jpeg_comp_block_grid(
-                    ci, samp, mcus_x, w, h, hmax, vmax
-                )
                 by, bx = divmod(unit, bw)
                 block = comp_blocks[ci][by * stride + bx]
                 t = 0 if ci == 0 or channels == 1 else 1
@@ -2249,6 +2245,14 @@ def wav_encode(
     the format: int16 → PCM16, float32 → IEEE-float 32-bit (format 3),
     ``bits=24`` with an int32 input (values in ±2²³) → packed PCM24."""
     a = np.asarray(samples)
+    if a.dtype.kind == "f" and not (bits is None and a.dtype == np.float32):
+        # float input is only meaningful as IEEE-float32 output; letting
+        # it fall into either integer branch truncates normalized
+        # [-1, 1] audio to all-zero PCM (the bits=24 branch included)
+        raise ValueError(
+            f"wav_encode: float samples must be float32 with bits=None "
+            f"(IEEE-float WAV), got dtype {a.dtype} with bits={bits}"
+        )
     if bits == 24:
         s = np.asarray(samples, dtype="<i4")
         if s.ndim == 1:
@@ -2264,14 +2268,6 @@ def wav_encode(
             s = s[:, None]
         audio_fmt, width = 3, 4
         body = s.tobytes()
-    elif a.dtype.kind == "f":
-        # dtype picks the format, and numpy's default float dtype is
-        # float64 — letting it fall to the int16 branch truncates
-        # normalized [-1, 1] audio to all-zero PCM. Refuse by name.
-        raise ValueError(
-            f"wav_encode: float samples must be float32 (IEEE-float "
-            f"WAV), got dtype {a.dtype} — astype(np.float32) first"
-        )
     else:
         s = np.asarray(samples, dtype="<i2")
         if s.ndim == 1:

@@ -847,6 +847,12 @@ def test_wav_encode_refuses_float64_by_name():
     PCM16 — dtype picks the format, so a non-float32 float refuses."""
     with pytest.raises(ValueError, match="float64"):
         ic.wav_encode(np.array([0.5, -0.25, 0.9]))
+    # the bits=24 branch is covered too (review r12): float input would
+    # otherwise truncate to all-zero PCM24
+    with pytest.raises(ValueError, match="float"):
+        ic.wav_encode(np.array([0.5, -0.25, 0.9]), bits=24)
+    with pytest.raises(ValueError, match="float32 with bits=None"):
+        ic.wav_encode(np.array([0.5], dtype=np.float32), bits=24)
     # float32 still routes to IEEE-float
     dec, info = ic.wav_decode(
         ic.wav_encode(np.array([0.5, -0.25], dtype=np.float32))
