@@ -2193,9 +2193,12 @@ def wav_info(data: bytes) -> dict:
 
 def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode WAV samples to (array (n_samples, channels), info dict
-    from :func:`wav_info`). Integer PCM (format 1) at 16 bits returns
-    int16, at 24 bits int32 (sign-extended, values in ±2²³); IEEE float
-    (format 3) at 32 bits returns float32. Other format/width
+    from :func:`wav_info`). Integer PCM (format 1) at 8 bits returns
+    the raw unsigned uint8 (offset-128 convention, scipy parity), at
+    16 bits int16, at 24 bits int32 (sign-extended, values in ±2²³);
+    IEEE float (format 3) at 32 bits returns float32.
+    WAVE_FORMAT_EXTENSIBLE (0xFFFE) containers resolve through their
+    KSDATAFORMAT SubFormat GUID to the same paths. Other format/width
     combinations refuse loudly with both named."""
     info = wav_info(data)
     bits = info["bits_per_sample"]
@@ -2205,10 +2208,30 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
         cid, clen = struct.unpack_from("<4sI", data, pos)
         if cid == b"fmt ":
             audio_fmt = struct.unpack_from("<H", data, pos + 8)[0]
-            if (audio_fmt, bits) not in ((1, 16), (1, 24), (3, 32)):
+            if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                # 16 base bytes + cbSize(2) + validBits(2) + mask(4)
+                # + SubFormat GUID(16)
+                if clen < 40 or pos + 48 > len(data):
+                    raise ValueError(
+                        "wav: extensible fmt chunk truncated (needs the "
+                        "22-byte extension with the SubFormat GUID)"
+                    )
+                cb = struct.unpack_from("<H", data, pos + 24)[0]
+                if cb < 22:
+                    raise ValueError(
+                        f"wav: extensible fmt cbSize {cb} < 22"
+                    )
+                guid = data[pos + 32 : pos + 48]
+                if guid[2:4] != b"\x00\x00" or guid[4:] != _WAV_KS_SUFFIX:
+                    raise ValueError(
+                        f"wav: unknown SubFormat GUID {guid.hex()} "
+                        "(KSDATAFORMAT PCM/float only)"
+                    )
+                audio_fmt = struct.unpack_from("<H", guid)[0]
+            if (audio_fmt, bits) not in ((1, 8), (1, 16), (1, 24), (3, 32)):
                 raise ValueError(
                     f"wav: format {audio_fmt} at {bits}-bit not supported "
-                    "(PCM 16/24-bit or IEEE-float 32-bit)"
+                    "(PCM 8/16/24-bit or IEEE-float 32-bit)"
                 )
         if cid == b"data":
             if audio_fmt is None:
@@ -2223,6 +2246,8 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 arr = np.frombuffer(body, dtype="<f4", count=n).astype(
                     np.float32
                 )
+            elif bits == 8:
+                arr = np.frombuffer(body, dtype=np.uint8, count=n)
             elif bits == 24:
                 # little-endian 3-byte frames -> sign-extended int32
                 raw = np.frombuffer(
@@ -2237,13 +2262,25 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
     raise ValueError("wav: missing data chunk")
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail: every KSDATAFORMAT_SUBTYPE
+# is <u16 format code><u16 zero> followed by these fixed 12 bytes
+_WAV_KS_SUFFIX = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def wav_encode(
-    samples: np.ndarray, sample_rate: int = 16_000, bits: int | None = None
+    samples: np.ndarray,
+    sample_rate: int = 16_000,
+    bits: int | None = None,
+    extensible: bool = False,
 ) -> bytes:
     """Minimal WAV writer for (n, channels) or (n,) arrays — fixture
     generator for the WAV parse path (and a usable sink). Dtype picks
-    the format: int16 → PCM16, float32 → IEEE-float 32-bit (format 3),
-    ``bits=24`` with an int32 input (values in ±2²³) → packed PCM24."""
+    the format: uint8 → unsigned PCM8 (offset-128, the legacy format),
+    int16 → PCM16, float32 → IEEE-float 32-bit (format 3), ``bits=24``
+    with an int32 input (values in ±2²³) → packed PCM24.
+    ``extensible=True`` wraps the same stream in a WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE) fmt chunk with the matching KSDATAFORMAT SubFormat GUID —
+    the container real multichannel/24-bit files use."""
     a = np.asarray(samples)
     if a.dtype.kind == "f" and not (bits is None and a.dtype == np.float32):
         # float input is only meaningful as IEEE-float32 output; letting
@@ -2268,6 +2305,12 @@ def wav_encode(
             s = s[:, None]
         audio_fmt, width = 3, 4
         body = s.tobytes()
+    elif a.dtype == np.uint8:
+        s = a
+        if s.ndim == 1:
+            s = s[:, None]
+        audio_fmt, width = 1, 1
+        body = s.tobytes()
     else:
         s = np.asarray(samples, dtype="<i2")
         if s.ndim == 1:
@@ -2276,10 +2319,18 @@ def wav_encode(
         body = s.tobytes()
     n, channels = s.shape
     block_align = channels * width
-    fmt = struct.pack(
-        "<HHIIHH", audio_fmt, channels, sample_rate,
-        sample_rate * block_align, block_align, 8 * width,
-    )
+    if extensible:
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, channels, sample_rate,
+            sample_rate * block_align, block_align, 8 * width,
+        ) + struct.pack(
+            "<HHI", 22, 8 * width, 0
+        ) + struct.pack("<HH", audio_fmt, 0) + _WAV_KS_SUFFIX
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", audio_fmt, channels, sample_rate,
+            sample_rate * block_align, block_align, 8 * width,
+        )
     riff = (
         b"WAVE"
         + b"fmt "

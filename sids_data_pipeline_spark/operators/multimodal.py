@@ -167,7 +167,10 @@ def synth_png_indexed_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
 
 
 def synth_wav_assets(
-    docs: DataFrame, modulus: int = 7, float_every: int | None = None
+    docs: DataFrame,
+    modulus: int = 7,
+    float_every: int | None = None,
+    pcm8_odd: bool = False,
 ) -> DataFrame:
     """Deterministic WAV asset fixture: every ``modulus``-th document
     becomes a real PCM16 WAV whose shape and samples are closed-form
@@ -183,7 +186,15 @@ def synth_wav_assets(
     full [−2²⁰, 2²⁰] range including both rails and every sample is
     EXACTLY representable in float32 (|k| ≤ 2²⁰ < 2²⁴ mantissa bits) —
     the Q20 quantization in :func:`audio_features` recovers k exactly,
-    keeping the oracle integer-only."""
+    keeping the oracle integer-only.
+
+    With ``pcm8_odd=True``, odd selected docs (that the float rule did
+    not claim) become unsigned PCM8 WAVs (rate 11025): sample(i, c) =
+    (31·doc_id + 7i + 13c) mod 256 raw, offset-128 semantics — and
+    every did % 4 == 1 of those additionally wraps in a
+    WAVE_FORMAT_EXTENSIBLE container, which decodes to identical
+    samples (the oracle is wrapper-blind by construction while the
+    decoder's GUID path gets driver coverage)."""
     import numpy as np
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -199,6 +210,13 @@ def synth_wav_assets(
                     k = base % 2097153 - (1 << 20)
                     samples = (k / float(1 << 20)).astype(np.float32)
                     payload = icodec.wav_encode(samples, sample_rate=16_000)
+                elif pcm8_odd and did % 2 == 1:
+                    samples = (base % 256).astype(np.uint8)
+                    payload = icodec.wav_encode(
+                        samples,
+                        sample_rate=11_025,
+                        extensible=did % 4 == 1,
+                    )
                 else:
                     samples = (base % 65536 - 32768).astype(np.int16)
                     payload = icodec.wav_encode(samples, sample_rate=8000)
@@ -376,8 +394,13 @@ def audio_features(assets: DataFrame) -> DataFrame:
                     clipped = int((np.abs(s) >= 1 << 20).sum())
                 else:
                     s = arr.astype(np.int64)
+                    if arr.dtype == np.uint8:
+                        # unsigned PCM8 carries the offset-128
+                        # convention — remove it so the signed rail and
+                        # zero-crossing formulas below apply unchanged
+                        s -= 128
                     # integer clip rails scale with the sample width:
-                    # ±(2^(b−1)−1) and −2^(b−1) for b-bit PCM (16 or 24)
+                    # ±(2^(b−1)−1) and −2^(b−1) for b-bit PCM (8/16/24)
                     hi = (1 << (info["bits_per_sample"] - 1)) - 1
                     clipped = int(((s == hi) | (s == -hi - 1)).sum())
                 flips = int((s[1:] * s[:-1] < 0).sum()) if s.shape[0] > 1 else 0

@@ -2748,30 +2748,39 @@ GROUP BY doc_id, n, ch
 
 
 def _multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio quality gating (E4/E5 crossover, r11; float path r12):
-    energy (sum-of-squares), peak, per-channel zero-crossing flips and
-    rail-clipping counts over the deterministic WAV fixtures — every
-    third fixture is an IEEE-float32 WAV whose samples are exact
-    multiples of 2⁻²⁰, so the operator's Q20 quantization recovers the
-    integer grid exactly and every output stays an exact integer,
-    recomputed term-for-term by the SQL oracle (LAG over the sample
-    grid for the sign flips; zero float math on either side)."""
+    """Audio quality gating (E4/E5 crossover, r11; float + PCM8 +
+    extensible paths r12): energy (sum-of-squares), peak, per-channel
+    zero-crossing flips and rail-clipping counts over the deterministic
+    WAV fixtures. The fixture mixes THREE sample formats — every third
+    fixture is an IEEE-float32 WAV whose samples are exact multiples of
+    2⁻²⁰ (the operator's Q20 quantization recovers the integer grid
+    exactly), odd ids are unsigned PCM8 (offset-128 rails at +127/−128;
+    every fourth wrapped in a WAVE_FORMAT_EXTENSIBLE container, which
+    must decode identically), the rest PCM16 — so every output stays an
+    exact integer, recomputed term-for-term by the SQL oracle (LAG over
+    the sample grid for the sign flips; zero float math on either
+    side)."""
     (docs,) = tables(spark, sf_dir, "documents")
     return multimodal.audio_features(
-        multimodal.synth_wav_assets(docs, modulus=7, float_every=3)
+        multimodal.synth_wav_assets(
+            docs, modulus=7, float_every=3, pcm8_odd=True
+        )
     )
 
 
 _MULTIMODAL_AUDIO_FEATURES_SQL = """
 WITH d AS (
   SELECT doc_id, doc_id % 50 + 10 AS n, doc_id % 2 + 1 AS ch,
-         (doc_id % 21 = 0) AS isf
+         (doc_id % 21 = 0) AS isf,
+         (doc_id % 21 <> 0 AND doc_id % 2 = 1) AS is8
   FROM documents WHERE doc_id % 7 = 0
 ),
 s AS (
-  SELECT doc_id, n, ch, isf, i.v AS i, c.v AS c,
+  SELECT doc_id, n, ch, isf, is8, i.v AS i, c.v AS c,
          CASE WHEN isf
               THEN (doc_id*31 + 7*i.v + 13*c.v) % 2097153 - 1048576
+              WHEN is8
+              THEN (doc_id*31 + 7*i.v + 13*c.v) % 256 - 128
               ELSE (doc_id*31 + 7*i.v + 13*c.v) % 65536 - 32768
          END AS smp
   FROM d, range(60) i(v), range(2) c(v)
@@ -2782,7 +2791,8 @@ f AS (
   FROM s
 )
 SELECT doc_id AS asset_id,
-       CAST(CASE WHEN isf THEN 16000 ELSE 8000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN isf THEN 16000 WHEN is8 THEN 11025
+            ELSE 8000 END AS INT) AS sample_rate,
        CAST(ch AS INT) AS channels,
        CAST(n AS BIGINT) AS n_samples,
        CAST(SUM(smp * smp) AS BIGINT) AS sum_sq,
@@ -2790,9 +2800,11 @@ SELECT doc_id AS asset_id,
        CAST(SUM(CASE WHEN prev IS NOT NULL AND prev * smp < 0
                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
        CAST(SUM(CASE WHEN (isf AND ABS(smp) >= 1048576)
-                      OR (NOT isf AND smp IN (32767, -32768))
+                      OR (is8 AND smp IN (127, -128))
+                      OR (NOT isf AND NOT is8
+                          AND smp IN (32767, -32768))
                 THEN 1 ELSE 0 END) AS BIGINT) AS clipped_count
-FROM f GROUP BY doc_id, n, ch, isf
+FROM f GROUP BY doc_id, n, ch, isf, is8
 """
 
 

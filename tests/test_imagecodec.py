@@ -478,12 +478,13 @@ def test_wav_24bit_and_float_roundtrip():
     dec, info = ic.wav_decode(ic.wav_encode(f32, sample_rate=8000))
     assert dec.dtype == np.float32 and np.array_equal(dec, f32)
     assert info["bits_per_sample"] == 32
-    # 24-bit overflow refuses at encode; 8-bit width refuses at decode
+    # 24-bit overflow refuses at encode; an unsupported width refuses
+    # at decode (8-bit PCM decodes since r12, so 12-bit stands in)
     with pytest.raises(ValueError, match="±2\\^23"):
         ic.wav_encode(np.array([1 << 23], dtype=np.int32), bits=24)
     bad = bytearray(ic.wav_encode(np.zeros(4, dtype=np.int16)))
-    bad[34] = 8
-    with pytest.raises(ValueError, match="format 1 at 8-bit"):
+    bad[34] = 12
+    with pytest.raises(ValueError, match="format 1 at 12-bit"):
         ic.wav_decode(bytes(bad))
 
 
@@ -494,10 +495,11 @@ def test_wav_decode_roundtrip_and_refusals():
     dec, info = ic.wav_decode(wav)
     assert np.array_equal(dec, samples)
     assert info["n_samples"] == 50 and info["channels"] == 2
-    # 8-bit fmt refused: patch bits_per_sample in the fmt chunk
+    # unsupported width refused: patch bits_per_sample in the fmt
+    # chunk (8-bit PCM decodes since r12, so 12-bit stands in)
     bad = bytearray(wav)
-    bad[34] = 8
-    with pytest.raises(ValueError, match="8-bit not supported"):
+    bad[34] = 12
+    with pytest.raises(ValueError, match="12-bit not supported"):
         ic.wav_decode(bytes(bad))
 
 
@@ -1041,3 +1043,44 @@ def test_jpeg_progressive_malformed_scans_refuse():
     )
     with pytest.raises(ValueError, match="non-interleaved"):
         ic.jpeg_decode(bytes(bad))
+
+
+# ------------------------------------------------- WAV extensible / PCM8
+
+
+def test_wav_pcm8_and_extensible_roundtrip():
+    """Unsigned PCM8 (offset-128, scipy parity: raw uint8 out) and the
+    WAVE_FORMAT_EXTENSIBLE container resolving through its KSDATAFORMAT
+    SubFormat GUID to every supported sample format."""
+    raw = np.array([[0, 255], [128, 127], [5, 250]], dtype=np.uint8)
+    for ext in (False, True):
+        dec, info = ic.wav_decode(
+            ic.wav_encode(raw, sample_rate=11_025, extensible=ext)
+        )
+        assert dec.dtype == np.uint8 and np.array_equal(dec, raw)
+        assert info["bits_per_sample"] == 8
+        assert info["sample_rate"] == 11_025
+    i16 = np.array([100, -32768, 32767], dtype=np.int16)
+    dec, info = ic.wav_decode(ic.wav_encode(i16, extensible=True))
+    assert np.array_equal(dec[:, 0], i16) and info["bits_per_sample"] == 16
+    s24 = np.array([-(1 << 22), 1 << 22], dtype=np.int32)
+    dec, info = ic.wav_decode(ic.wav_encode(s24, bits=24, extensible=True))
+    assert np.array_equal(dec[:, 0], s24) and info["bits_per_sample"] == 24
+    f32 = np.array([0.5, -0.25], dtype=np.float32)
+    dec, info = ic.wav_decode(ic.wav_encode(f32, extensible=True))
+    assert np.allclose(dec[:, 0], f32) and info["bits_per_sample"] == 32
+
+
+def test_wav_extensible_refusals_name_the_gap():
+    raw = np.zeros(4, dtype=np.uint8)
+    # corrupt the KSDATAFORMAT suffix -> unknown SubFormat GUID
+    bad = bytearray(ic.wav_encode(raw, extensible=True))
+    i = bad.index(b"\x9b\x71")
+    bad[i] ^= 0xFF
+    with pytest.raises(ValueError, match="SubFormat GUID"):
+        ic.wav_decode(bytes(bad))
+    # 0xFFFE tag without the 22-byte extension is loud
+    b = bytearray(ic.wav_encode(raw))
+    b[20:22] = (0xFFFE).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="extensible fmt chunk truncated"):
+        ic.wav_decode(bytes(b))
