@@ -562,6 +562,98 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
     raise ValueError("jpeg: no SOF marker found (truncated or not an image)")
 
 
+def jpeg_exif(data: bytes) -> dict:
+    """Parse the EXIF APP1 segment of a JPEG (the TIFF IFD0 walk):
+    returns {"orientation": 1..8 | None, "tag_count": int,
+    "byte_order": "II" | "MM" | None}. Orientation is TIFF tag 0x0112
+    (SHORT) — the field a scraped-image corpus must honor before
+    training (a 6/8 means the pixels are stored rotated). A JPEG with
+    no EXIF segment returns the None/0/None envelope rather than
+    raising; a PRESENT-but-corrupt TIFF header raises by name."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("jpeg: bad magic")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError(
+                f"jpeg: segment 0x{marker:02x} truncated in EXIF walk"
+            )
+        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            return _exif_parse_tiff(data[pos + 10 : pos + 2 + seglen])
+        pos += 2 + seglen
+    return {"orientation": None, "tag_count": 0, "byte_order": None}
+
+
+def _exif_parse_tiff(tiff: bytes) -> dict:
+    """IFD0 of an EXIF TIFF blob → orientation/tag_count/byte_order."""
+    bo = tiff[:2]
+    if bo == b"II":
+        e = "<"
+    elif bo == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"exif: bad TIFF byte order {bo!r}")
+    if len(tiff) < 8:
+        raise ValueError("exif: TIFF header truncated")
+    magic, off = struct.unpack_from(e + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError(f"exif: bad TIFF magic {magic}")
+    if off + 2 > len(tiff):
+        raise ValueError("exif: IFD0 offset past the segment end")
+    n = struct.unpack_from(e + "H", tiff, off)[0]
+    if off + 2 + 12 * n > len(tiff):
+        raise ValueError(
+            f"exif: IFD0 declares {n} entries past the segment end"
+        )
+    orientation = None
+    for i in range(n):
+        base = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, base)
+        if tag == 0x0112 and typ == 3 and cnt == 1:
+            # SHORT with count 1: value left-justified in the 4-byte field
+            orientation = struct.unpack_from(e + "H", tiff, base + 8)[0]
+    return {
+        "orientation": orientation,
+        "tag_count": n,
+        "byte_order": bo.decode(),
+    }
+
+
+def exif_app1(orientation: int, byte_order: str = "II") -> bytes:
+    """Build an EXIF APP1 segment holding one IFD0 entry (orientation
+    tag 0x0112) — fixture generator for the jpeg_exif parse path.
+    Splice it directly after SOI: jpeg[:2] + exif_app1(o) + jpeg[2:]."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(
+            f"exif_app1: orientation must be 1..8, got {orientation}"
+        )
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"exif_app1: byte order must be II or MM, got {byte_order!r}")
+    e = "<" if byte_order == "II" else ">"
+    val = struct.pack(e + "H", orientation) + b"\x00\x00"
+    ifd = (
+        struct.pack(e + "H", 1)
+        + struct.pack(e + "HHI", 0x0112, 3, 1)
+        + val
+        + struct.pack(e + "I", 0)
+    )
+    tiff = byte_order.encode() + struct.pack(e + "HI", 42, 8) + ifd
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
 # --------------------------------------------------------------------------
 # JPEG (baseline sequential + progressive DCT: full decode + encode)
 #

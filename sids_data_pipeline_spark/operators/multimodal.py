@@ -239,7 +239,10 @@ def synth_wav_assets(
 
 
 def synth_jpeg_assets(
-    docs: DataFrame, modulus: int = 7, progressive: bool = False
+    docs: DataFrame,
+    modulus: int = 7,
+    progressive: bool = False,
+    exif: bool = False,
 ) -> DataFrame:
     """Deterministic JPEG asset fixture: every ``modulus``-th document
     becomes a real JPEG — baseline sequential (SOF0) by default, or
@@ -261,7 +264,10 @@ def synth_jpeg_assets(
     Even doc_ids encode with restart_interval=2 so RST-marker resync and
     DC-predictor (plus, progressive, EOB-run) resets are exercised
     in-gate; the decoded pixels are identical either way, so the oracle
-    is unchanged.
+    is unchanged. ``exif=True`` splices an EXIF APP1 segment after SOI
+    (orientation = doc_id % 8 + 1, byte order II for odd ids / MM for
+    even) — pixel decode must skip it unchanged, and the jpeg_exif walk
+    must recover the orientation.
     """
     import numpy as np
 
@@ -277,16 +283,22 @@ def synth_jpeg_assets(
                 by = np.arange(hb)[:, None]
                 blocks = ((did * 7 + 29 * bx + 31 * by) % 256).astype(np.uint8)
                 img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                payload = icodec.jpeg_encode(
+                    img,
+                    quant_tables=(ones, ones),
+                    restart_interval=2 if did % 2 == 0 else 0,
+                    progressive=progressive,
+                )
+                if exif:
+                    app1 = icodec.exif_app1(
+                        did % 8 + 1, "II" if did % 2 else "MM"
+                    )
+                    payload = payload[:2] + app1 + payload[2:]
                 rows.append(
                     {
                         "asset_id": did,
                         "modality": "image",
-                        "payload": icodec.jpeg_encode(
-                            img,
-                            quant_tables=(ones, ones),
-                            restart_interval=2 if did % 2 == 0 else 0,
-                            progressive=progressive,
-                        ),
+                        "payload": payload,
                     }
                 )
             yield pd.DataFrame(
@@ -428,6 +440,52 @@ def audio_features(assets: DataFrame) -> DataFrame:
         feats,
         "asset_id long, sample_rate int, channels int, n_samples long, "
         "sum_sq long, peak_abs long, zero_crossings long, clipped_count long",
+    )
+
+
+def exif_orientation(assets: DataFrame) -> DataFrame:
+    """EXIF orientation over JPEG payloads (imagecodec.jpeg_exif: APP1
+    TIFF IFD0 walk, both byte orders) + the SOF pixel dims from the
+    same marker walk — the pre-training normalization pass a scraped
+    image corpus runs before any resize (orientations 5–8 transpose
+    the stored dims). EXIF-less JPEGs report orientation 0 with
+    has_exif false rather than refusing: absence is the common case,
+    not an error. Non-JPEG payloads refuse loudly."""
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(p)
+                if icodec.sniff(data) != "jpeg":
+                    raise ValueError(
+                        f"exif_orientation: asset {aid}: payload is not "
+                        "a JPEG"
+                    )
+                info = icodec.jpeg_exif(data)
+                w, h, _nc = icodec.jpeg_dims(data)
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "has_exif": info["byte_order"] is not None,
+                        "orientation": int(info["orientation"] or 0),
+                        "byte_order": info["byte_order"] or "",
+                        "width": w,
+                        "height": h,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "has_exif", "orientation", "byte_order",
+                    "width", "height",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        walk,
+        "asset_id long, has_exif boolean, orientation int, "
+        "byte_order string, width int, height int",
     )
 
 

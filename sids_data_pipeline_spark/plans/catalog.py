@@ -300,6 +300,11 @@ PRIORITY: tuple[str, ...] = (
     "sink_tokenbin_roundtrip",
     "dedup_semantic",
     "similarity_ann_gate",
+    # Round-13 rotation queue (landed late r12, selfcheck-green, no
+    # driver row yet): multimodal_exif_orientation (APP1 TIFF IFD0
+    # walk, both byte orders). The r12 audio_features row already
+    # covers the late-r12 PCM8/extensible-WAV decode paths in-gate.
+    "multimodal_exif_orientation",
     # r10 head names displaced in r11 retained below for provenance;
     # their r10 rows stand (crs.py/graph.py unchanged since).
     "crs_reproject_utm",

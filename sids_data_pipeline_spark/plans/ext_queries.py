@@ -2680,6 +2680,32 @@ def _multimodal_decode_jpeg_progressive(
     )
 
 
+def _multimodal_exif_orientation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation extraction (E4, r12): synthesize JPEGs with a
+    spliced APP1 TIFF segment (orientation = doc_id % 8 + 1, byte order
+    II for odd ids / MM for even — both endian walks in-gate), then
+    recover orientation + SOF dims through the marker walk
+    (multimodal.exif_orientation → imagecodec.jpeg_exif). The oracle
+    recomputes every field in closed form; a parser that ignored the
+    TIFF byte order would flip the MM orientations (stored big-endian)
+    and hash-mismatch."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.exif_orientation(
+        multimodal.synth_jpeg_assets(docs, modulus=7, exif=True)
+    )
+
+
+_MULTIMODAL_EXIF_ORIENTATION_SQL = """
+SELECT doc_id AS asset_id,
+       TRUE AS has_exif,
+       CAST(doc_id % 8 + 1 AS INT) AS orientation,
+       CASE WHEN doc_id % 2 = 1 THEN 'II' ELSE 'MM' END AS byte_order,
+       CAST(8 * (doc_id % 4 + 1) AS INT) AS width,
+       CAST(8 * (doc_id % 3 + 1) AS INT) AS height
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 def _multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Palette + Adam7 PNG round trip (E4, r11): synthesize
     Adam7-INTERLACED color-type-3 PNGs executor-side (depth 4/8 cycling,
@@ -4487,6 +4513,12 @@ QUERIES: list[Query] = [
               "full T.81 Annex G multi-scan decode -> pixel sums vs the "
               "same closed-form oracle as the baseline row (exact: "
               "DC-only blocks, all-ones quant tables)",
+          tags=("multimodal", "codec")),
+    Query("multimodal_exif_orientation", _multimodal_exif_orientation,
+          _MULTIMODAL_EXIF_ORIENTATION_SQL,
+          doc="E4 EXIF orientation: APP1 TIFF IFD0 walk (both byte "
+              "orders in-gate) + SOF dims vs closed-form oracle — the "
+              "pre-training normalization field of a scraped corpus",
           tags=("multimodal", "codec")),
     Query("multimodal_decode_wav", _multimodal_decode_wav, _MULTIMODAL_DECODE_WAV_SQL,
           doc="E4 REAL WAV codec round trip: executor-side PCM16 encode "

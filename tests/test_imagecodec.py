@@ -1084,3 +1084,49 @@ def test_wav_extensible_refusals_name_the_gap():
     b[20:22] = (0xFFFE).to_bytes(2, "little")
     with pytest.raises(ValueError, match="extensible fmt chunk truncated"):
         ic.wav_decode(bytes(b))
+
+
+# -------------------------------------------------------------------- EXIF
+
+
+def test_jpeg_exif_roundtrip_both_byte_orders():
+    ones = np.ones(64, dtype=np.int64)
+    base = ic.jpeg_encode(np.full((8, 16), 77, dtype=np.uint8),
+                          quant_tables=(ones, ones))
+    for bo in ("II", "MM"):
+        for o in (1, 3, 6, 8):
+            data = base[:2] + ic.exif_app1(o, bo) + base[2:]
+            got = ic.jpeg_exif(data)
+            assert got == {"orientation": o, "tag_count": 1,
+                           "byte_order": bo}
+            # APP1 is transparent to the pixel decode and dim walks
+            arr, _ = ic.jpeg_decode(data)
+            assert (arr == 77).all()
+            assert ic.jpeg_dims(data) == (16, 8, 1)
+    # no EXIF -> the None envelope, not an error
+    assert ic.jpeg_exif(base) == {"orientation": None, "tag_count": 0,
+                                  "byte_order": None}
+
+
+def test_jpeg_exif_refusals_name_the_gap():
+    ones = np.ones(64, dtype=np.int64)
+    base = ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8),
+                          quant_tables=(ones, ones))
+    app1 = bytearray(ic.exif_app1(6, "II"))
+    # corrupt the TIFF byte-order mark
+    bad = bytearray(app1)
+    bad[10:12] = b"XX"
+    with pytest.raises(ValueError, match="byte order"):
+        ic.jpeg_exif(base[:2] + bytes(bad) + base[2:])
+    # corrupt the 42 magic
+    bad = bytearray(app1)
+    bad[12] = 99
+    with pytest.raises(ValueError, match="TIFF magic"):
+        ic.jpeg_exif(base[:2] + bytes(bad) + base[2:])
+    # IFD entry count pointing past the segment
+    bad = bytearray(app1)
+    bad[18] = 200  # entry count low byte (II)
+    with pytest.raises(ValueError, match="past the segment end"):
+        ic.jpeg_exif(base[:2] + bytes(bad) + base[2:])
+    with pytest.raises(ValueError, match="orientation must be 1..8"):
+        ic.exif_app1(9)
