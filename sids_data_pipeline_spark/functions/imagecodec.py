@@ -563,19 +563,25 @@ def jpeg_dims(data: bytes) -> tuple[int, int, int]:
 
 
 def jpeg_exif(data: bytes) -> dict:
-    """Parse the EXIF APP1 segment of a JPEG (the TIFF IFD0 walk):
-    returns {"orientation": 1..8 | None, "tag_count": int,
-    "byte_order": "II" | "MM" | None}. Orientation is TIFF tag 0x0112
-    (SHORT) — the field a scraped-image corpus must honor before
-    training (a 6/8 means the pixels are stored rotated). A JPEG with
-    no EXIF segment returns the None/0/None envelope rather than
-    raising; a PRESENT-but-corrupt TIFF header raises by name."""
+    """One marker walk over a JPEG header → {"orientation": 1..8 |
+    None, "tag_count": int, "byte_order": "II" | "MM" | None, "width",
+    "height", "channels"}. Orientation is TIFF tag 0x0112 (SHORT) from
+    the EXIF APP1 segment — the field a scraped-image corpus must honor
+    before training (a 6/8 means the pixels are stored rotated); dims
+    come from the SOF of the SAME walk so callers don't scan the header
+    twice. A JPEG with no EXIF segment returns the None/0/None EXIF
+    fields rather than raising (absence is the common case); a
+    PRESENT-but-corrupt TIFF header, a desynced marker stream, or a
+    missing SOF raises by name — a file this walk can't parse must not
+    silently pass as 'orientation-less'."""
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("jpeg: bad magic")
+    exif = None
+    dims = None
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
-            break
+            raise ValueError(f"jpeg: lost marker sync at offset {pos}")
         marker = data[pos + 1]
         if marker == 0xFF:
             pos += 1
@@ -591,9 +597,16 @@ def jpeg_exif(data: bytes) -> dict:
                 f"jpeg: segment 0x{marker:02x} truncated in EXIF walk"
             )
         if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
-            return _exif_parse_tiff(data[pos + 10 : pos + 2 + seglen])
+            exif = _exif_parse_tiff(data[pos + 10 : pos + 2 + seglen])
+        elif marker in (0xC0, 0xC1, 0xC2) and seglen >= 8:
+            h, w = struct.unpack_from(">HH", data, pos + 5)
+            dims = (w, h, data[pos + 9])
         pos += 2 + seglen
-    return {"orientation": None, "tag_count": 0, "byte_order": None}
+    if dims is None:
+        raise ValueError("jpeg: no SOF marker found (truncated or not an image)")
+    out = exif or {"orientation": None, "tag_count": 0, "byte_order": None}
+    out["width"], out["height"], out["channels"] = dims
+    return out
 
 
 def _exif_parse_tiff(tiff: bytes) -> dict:
@@ -2248,6 +2261,11 @@ def bmp_encode(arr: np.ndarray) -> bytes:
     return header + dib + palette + bytes(body)
 
 
+# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail: every KSDATAFORMAT_SUBTYPE
+# is <u16 format code><u16 zero> followed by these fixed 12 bytes
+_WAV_KS_SUFFIX = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def wav_info(data: bytes) -> dict:
     """RIFF/WAVE chunk walk → channels, sample_rate, bits_per_sample,
     n_samples (sample frames), duration_ms."""
@@ -2313,6 +2331,17 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     raise ValueError(
                         f"wav: extensible fmt cbSize {cb} < 22"
                     )
+                valid_bits = struct.unpack_from("<H", data, pos + 26)[0]
+                if valid_bits not in (0, bits):
+                    # e.g. 20 valid bits in a 24-bit container: the
+                    # samples are legal but the rail/feature semantics
+                    # downstream assume full-width — refuse loudly
+                    # rather than report wrong clipping rails
+                    raise ValueError(
+                        f"wav: extensible wValidBitsPerSample "
+                        f"{valid_bits} != container {bits}-bit not "
+                        "supported (full-width samples only)"
+                    )
                 guid = data[pos + 32 : pos + 48]
                 if guid[2:4] != b"\x00\x00" or guid[4:] != _WAV_KS_SUFFIX:
                     raise ValueError(
@@ -2352,11 +2381,6 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, dict]:
             return arr.reshape(info["n_samples"], info["channels"]), info
         pos += 8 + clen + (clen & 1)
     raise ValueError("wav: missing data chunk")
-
-
-# WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail: every KSDATAFORMAT_SUBTYPE
-# is <u16 format code><u16 zero> followed by these fixed 12 bytes
-_WAV_KS_SUFFIX = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
 
 def wav_encode(

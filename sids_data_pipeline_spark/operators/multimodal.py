@@ -315,9 +315,13 @@ def synth_jpeg_assets(
 def decode_audio(assets: DataFrame) -> DataFrame:
     """Full audio decode: WAV payload → (sample_rate, channels,
     n_samples, duration_ms, sample_sum) where sample_sum is the sum of
-    every decoded PCM16 sample — the content-level proof the byte
-    layout (interleaving, padding, endianness) was reconstructed, not
-    just the header. Non-WAV payloads refuse loudly."""
+    every decoded integer sample in SIGNED terms — unsigned PCM8
+    removes its offset-128 bias first, so digital silence sums to 0 at
+    every PCM width (the invariant a silence/DC gate keys on) — the
+    content-level proof the byte layout (interleaving, padding,
+    endianness) was reconstructed, not just the header. Non-WAV
+    payloads refuse loudly."""
+    import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -335,6 +339,9 @@ def decode_audio(assets: DataFrame) -> DataFrame:
                         "have no exact integer sample_sum — use the "
                         "codec (imagecodec.wav_decode) directly"
                     )
+                s = arr.astype("int64")
+                if arr.dtype == np.uint8:
+                    s -= 128  # unsigned PCM8 carries an offset-128 bias
                 rows.append(
                     {
                         "asset_id": int(aid),
@@ -342,7 +349,7 @@ def decode_audio(assets: DataFrame) -> DataFrame:
                         "channels": info["channels"],
                         "n_samples": info["n_samples"],
                         "duration_ms": info["duration_ms"],
-                        "sample_sum": int(arr.astype("int64").sum()),
+                        "sample_sum": int(s.sum()),
                     }
                 )
             yield pd.DataFrame(
@@ -462,16 +469,15 @@ def exif_orientation(assets: DataFrame) -> DataFrame:
                         f"exif_orientation: asset {aid}: payload is not "
                         "a JPEG"
                     )
-                info = icodec.jpeg_exif(data)
-                w, h, _nc = icodec.jpeg_dims(data)
+                info = icodec.jpeg_exif(data)  # one walk: EXIF + SOF dims
                 rows.append(
                     {
                         "asset_id": int(aid),
                         "has_exif": info["byte_order"] is not None,
                         "orientation": int(info["orientation"] or 0),
                         "byte_order": info["byte_order"] or "",
-                        "width": w,
-                        "height": h,
+                        "width": info["width"],
+                        "height": info["height"],
                     }
                 )
             yield pd.DataFrame(

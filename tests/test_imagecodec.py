@@ -1098,14 +1098,16 @@ def test_jpeg_exif_roundtrip_both_byte_orders():
             data = base[:2] + ic.exif_app1(o, bo) + base[2:]
             got = ic.jpeg_exif(data)
             assert got == {"orientation": o, "tag_count": 1,
-                           "byte_order": bo}
+                           "byte_order": bo, "width": 16, "height": 8,
+                           "channels": 1}
             # APP1 is transparent to the pixel decode and dim walks
             arr, _ = ic.jpeg_decode(data)
             assert (arr == 77).all()
             assert ic.jpeg_dims(data) == (16, 8, 1)
-    # no EXIF -> the None envelope, not an error
+    # no EXIF -> the None envelope (dims still from the same walk)
     assert ic.jpeg_exif(base) == {"orientation": None, "tag_count": 0,
-                                  "byte_order": None}
+                                  "byte_order": None, "width": 16,
+                                  "height": 8, "channels": 1}
 
 
 def test_jpeg_exif_refusals_name_the_gap():
@@ -1130,3 +1132,43 @@ def test_jpeg_exif_refusals_name_the_gap():
         ic.jpeg_exif(base[:2] + bytes(bad) + base[2:])
     with pytest.raises(ValueError, match="orientation must be 1..8"):
         ic.exif_app1(9)
+
+
+def test_jpeg_exif_desync_and_missing_sof_are_loud():
+    """A corrupt marker stream or a SOF-less file must raise, not pass
+    as 'orientation-less' (review r12) — a file the walk can't parse is
+    an error, matching every sibling parser's posture."""
+    ones = np.ones(64, dtype=np.int64)
+    base = ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8),
+                          quant_tables=(ones, ones))
+    app1 = ic.exif_app1(6, "II")
+    # garbage after the APP1 desyncs the walk (before the SOF arrives)
+    bad = base[:2] + app1 + b"\x00garbage" + base[2:]
+    with pytest.raises(ValueError, match="lost marker sync"):
+        ic.jpeg_exif(bad)
+    # APP1 but no SOF before EOI
+    headerless = b"\xff\xd8" + app1[:0] + ic.exif_app1(3) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="no SOF"):
+        ic.jpeg_exif(headerless)
+
+
+def test_wav_extensible_cbsize_and_validbits_refusals():
+    """Hand-patched extensible chunks: cbSize < 22 and a partial-width
+    wValidBitsPerSample both refuse by name (review r12)."""
+    wav = bytearray(ic.wav_encode(np.zeros(4, dtype=np.int16),
+                                  extensible=True))
+    # fmt chunk body starts at 20; cbSize lives at +16 of the body
+    assert wav[36:38] == (22).to_bytes(2, "little")
+    bad = bytearray(wav)
+    bad[36:38] = (21).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="cbSize 21 < 22"):
+        ic.wav_decode(bytes(bad))
+    bad = bytearray(wav)
+    bad[38:40] = (12).to_bytes(2, "little")  # wValidBitsPerSample
+    with pytest.raises(ValueError, match="wValidBitsPerSample 12"):
+        ic.wav_decode(bytes(bad))
+    # valid_bits == 0 means unspecified and keeps decoding
+    ok = bytearray(wav)
+    ok[38:40] = (0).to_bytes(2, "little")
+    dec, info = ic.wav_decode(bytes(ok))
+    assert info["bits_per_sample"] == 16 and dec.shape == (4, 1)
