@@ -2160,12 +2160,66 @@ def gif_encode_frames(
     return bytes(out)
 
 
+def _bmp_rle8_decode(data: bytes, offset: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 stream → (h, w) uint8 index plane in STORAGE order
+    (bottom-up; the caller flips). Implements all four stream ops:
+    encoded runs (count, value), end-of-line (0,0), end-of-bitmap
+    (0,1), delta (0,2,dx,dy — skipped pixels keep index 0, the
+    documented background), and absolute mode (0,n≥3: n literal bytes,
+    padded to a word boundary). Overruns raise by name."""
+    plane = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    pos = offset
+    while pos + 1 < len(data):
+        count, val = data[pos], data[pos + 1]
+        pos += 2
+        if count > 0:
+            if y >= h or x + count > w:
+                raise ValueError(
+                    f"bmp: RLE8 run of {count} overruns row {y} at x={x}"
+                )
+            plane[y, x : x + count] = val
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return plane
+        elif val == 2:  # delta
+            if pos + 1 >= len(data):
+                raise ValueError("bmp: RLE8 delta escape truncated")
+            dx, dy = data[pos], data[pos + 1]
+            pos += 2
+            x += dx
+            y += dy
+            if x > w or y > h:
+                raise ValueError(
+                    f"bmp: RLE8 delta moves outside the bitmap (x={x}, y={y})"
+                )
+        else:  # absolute mode: val literal bytes, word-aligned
+            n = val
+            end = pos + n + (n & 1)
+            if end > len(data):
+                raise ValueError("bmp: RLE8 absolute run truncated")
+            if y >= h or x + n > w:
+                raise ValueError(
+                    f"bmp: RLE8 absolute run of {n} overruns row {y} at x={x}"
+                )
+            plane[y, x : x + n] = np.frombuffer(
+                data, dtype=np.uint8, count=n, offset=pos
+            )
+            x += n
+            pos = end
+    raise ValueError("bmp: RLE8 stream ended without an end-of-bitmap escape")
+
+
 def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
-    """Decode an uncompressed (BI_RGB) 8/24/32-bit BMP to
-    (array (h, w, c) uint8, meta). Rows are 4-byte padded and stored
-    bottom-up unless height is negative (top-down); 24/32-bit pixels
-    are BGR(A) on disk and returned as RGB(A). Compressed variants
-    (RLE, bitfields) refuse loudly with the capability named — same
+    """Decode an uncompressed (BI_RGB) 8/24/32-bit or RLE8-compressed
+    (BI_RLE8) BMP to (array (h, w, c) uint8, meta). Rows are 4-byte
+    padded and stored bottom-up unless height is negative (top-down;
+    illegal for RLE8 per the format and refused); 24/32-bit pixels
+    are BGR(A) on disk and returned as RGB(A); 8-bit pixels (both
+    compressions) expand through the color table. Other variants
+    (RLE4, bitfields) refuse loudly with the capability named — same
     contract as the PNG decoder."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("bmp: bad magic or truncated header")
@@ -2174,9 +2228,10 @@ def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
     if dib not in (40, 52, 56, 64, 108, 124):
         raise ValueError(f"bmp: unsupported DIB header size {dib} for pixel decode")
     w, h_raw, _planes, bpp, compression = struct.unpack_from("<iihHI", data, 18)
-    if compression != 0:
+    if compression not in (0, 1):
         raise ValueError(
-            f"bmp: only BI_RGB (uncompressed) supported, got compression={compression}"
+            "bmp: only BI_RGB (uncompressed) and BI_RLE8 supported, "
+            f"got compression={compression}"
         )
     if bpp not in (8, 24, 32):
         raise ValueError(f"bmp: only 8/24/32-bit supported, got {bpp}")
@@ -2184,15 +2239,25 @@ def bmp_decode(data: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("bmp: non-positive dimensions")
     top_down = h_raw < 0
     h = abs(h_raw)
-    channels = bpp // 8
-    stride = (w * channels + 3) & ~3  # rows pad to 4 bytes
-    need = data_offset + stride * h
-    if len(data) < need:
-        raise ValueError(f"bmp: pixel data truncated ({len(data)} < {need})")
-    buf = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=data_offset)
-    rows = buf.reshape(h, stride)[:, : w * channels].reshape(h, w, channels)
-    if not top_down:
-        rows = rows[::-1]
+    if compression == 1:  # BI_RLE8
+        if bpp != 8:
+            raise ValueError(f"bmp: BI_RLE8 requires 8-bit pixels, got {bpp}")
+        if top_down:
+            raise ValueError("bmp: top-down RLE8 is illegal (height < 0)")
+        channels = 1
+        rows = _bmp_rle8_decode(data, data_offset, w, h)[::-1, :, None]
+    else:
+        channels = bpp // 8
+        stride = (w * channels + 3) & ~3  # rows pad to 4 bytes
+        need = data_offset + stride * h
+        if len(data) < need:
+            raise ValueError(f"bmp: pixel data truncated ({len(data)} < {need})")
+        buf = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=data_offset
+        )
+        rows = buf.reshape(h, stride)[:, : w * channels].reshape(h, w, channels)
+        if not top_down:
+            rows = rows[::-1]
     if channels >= 3:  # BGR(A) -> RGB(A)
         rows = rows[:, :, [2, 1, 0] + ([3] if channels == 4 else [])]
     elif bpp == 8:
@@ -2259,6 +2324,62 @@ def bmp_encode(arr: np.ndarray) -> bytes:
         "<IHHI", data_offset + len(body), 0, 0, data_offset
     )
     return header + dib + palette + bytes(body)
+
+
+def bmp_encode_rle8(
+    indices: np.ndarray, palette: np.ndarray | None = None
+) -> bytes:
+    """BI_RLE8 BMP writer for an (h, w) uint8 index plane — fixture
+    generator for the RLE decode path (and a usable sink). Emits
+    maximal encoded runs (up to 255) with end-of-line/end-of-bitmap
+    escapes; the decoder's absolute and delta ops are exercised by
+    hand-built streams in the tests. ``palette`` is an optional
+    (n≤256, 3) RGB table (identity grayscale when omitted, which
+    bmp_decode returns as 1-channel gray)."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    if idx.ndim != 2 or idx.shape[0] == 0 or idx.shape[1] == 0:
+        raise ValueError(
+            f"bmp_encode_rle8: expected (h, w) uint8, got {indices.shape}"
+        )
+    h, w = idx.shape
+    if palette is None:
+        pal_quads = b"".join(bytes((i, i, i, 0)) for i in range(256))
+        n_colors = 256
+    else:
+        pal = np.asarray(palette, dtype=np.uint8)
+        if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= pal.shape[0] <= 256:
+            raise ValueError(
+                f"bmp_encode_rle8: palette must be (1..256, 3), got {palette.shape}"
+            )
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError(
+                f"bmp_encode_rle8: index {int(idx.max())} outside the "
+                f"{pal.shape[0]}-entry palette"
+            )
+        n_colors = pal.shape[0]
+        pal_quads = b"".join(
+            bytes((int(b), int(g), int(r), 0)) for r, g, b in pal
+        )
+    body = bytearray()
+    for row in idx[::-1]:  # storage order is bottom-up
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            body += bytes((run, int(row[x])))
+            x += run
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    data_offset = 14 + 40 + len(pal_quads)
+    dib = struct.pack(
+        "<IiihHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835,
+        n_colors, 0,
+    )
+    header = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(body), 0, 0, data_offset
+    )
+    return header + dib + pal_quads + bytes(body)
 
 
 # WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail: every KSDATAFORMAT_SUBTYPE

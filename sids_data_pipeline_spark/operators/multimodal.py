@@ -312,6 +312,45 @@ def synth_jpeg_assets(
     )
 
 
+def synth_bmp_rle_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+    """Deterministic RLE8 BMP fixture: every ``modulus``-th document
+    becomes a BI_RLE8-compressed 8-bit BMP (identity-grayscale palette,
+    so decode returns the index plane as 1-channel gray). idx(x, y) =
+    (doc_id + x//3 + 5y) mod 256 over w = doc_id%21+2 × h = doc_id%9+2
+    — the x//3 plateau makes every row a mix of 3-pixel runs (the RLE
+    coder's bread and butter) while the +5y row offset defeats a
+    decoder that duplicated one row. The DuckDB oracle recomputes dims
+    and the pixel sum in closed form (plans/ext_queries.py
+    `multimodal_decode_bmp_rle`)."""
+    import numpy as np
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = did % 21 + 2, did % 9 + 2
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = ((did + x // 3 + 5 * y) % 256).astype(np.uint8)
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "image",
+                        "payload": icodec.bmp_encode_rle8(idx),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "payload"]
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % modulus == 0)
+        .select("doc_id")
+        .mapInPandas(synth, "asset_id long, modality string, payload binary")
+    )
+
+
 def decode_audio(assets: DataFrame) -> DataFrame:
     """Full audio decode: WAV payload → (sample_rate, channels,
     n_samples, duration_ms, sample_sum) where sample_sum is the sum of

@@ -302,9 +302,11 @@ PRIORITY: tuple[str, ...] = (
     "similarity_ann_gate",
     # Round-13 rotation queue (landed late r12, selfcheck-green, no
     # driver row yet): multimodal_exif_orientation (APP1 TIFF IFD0
-    # walk, both byte orders). The r12 audio_features row already
-    # covers the late-r12 PCM8/extensible-WAV decode paths in-gate.
+    # walk, both byte orders) and multimodal_decode_bmp_rle (BI_RLE8
+    # run-length decode). The r12 audio_features row already covers
+    # the late-r12 PCM8/extensible-WAV decode paths in-gate.
     "multimodal_exif_orientation",
+    "multimodal_decode_bmp_rle",
     # r10 head names displaced in r11 retained below for provenance;
     # their r10 rows stand (crs.py/graph.py unchanged since).
     "crs_reproject_utm",

@@ -2706,6 +2706,38 @@ FROM documents WHERE doc_id % 7 = 0
 """
 
 
+def _multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLE8 BMP codec round trip (E4, r12): synthesize BI_RLE8
+    compressed BMPs executor-side (run-length coded index planes,
+    identity palette), decode them through the full RLE op set
+    (imagecodec._bmp_rle8_decode: encoded runs, EOL/EOB escapes) via
+    decode_images, and verify dims plus the decoded pixel sum against
+    the closed form — a header parse can fake dims, it cannot fake the
+    sum through a run-length stream whose rows all differ."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_images(
+        multimodal.synth_bmp_rle_assets(docs, modulus=7)
+    )
+
+
+# synth formula (multimodal.synth_bmp_rle_assets): idx(x, y) =
+# (doc_id + x//3 + 5y) mod 256 over w = doc_id%21+2 x h = doc_id%9+2,
+# identity palette -> 1-channel gray, pixel_sum = Σ idx.
+_MULTIMODAL_DECODE_BMP_RLE_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 21 + 2 AS w, doc_id % 9 + 2 AS h
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id, 'bmp' AS format,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(1 AS INT) AS channels,
+       CAST(SUM((doc_id + x.v // 3 + 5 * y.v) % 256) AS BIGINT) AS pixel_sum
+FROM d, range(23) x(v), range(11) y(v)
+WHERE x.v < w AND y.v < h
+GROUP BY doc_id, w, h
+"""
+
+
 def _multimodal_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Palette + Adam7 PNG round trip (E4, r11): synthesize
     Adam7-INTERLACED color-type-3 PNGs executor-side (depth 4/8 cycling,
@@ -4513,6 +4545,12 @@ QUERIES: list[Query] = [
               "full T.81 Annex G multi-scan decode -> pixel sums vs the "
               "same closed-form oracle as the baseline row (exact: "
               "DC-only blocks, all-ones quant tables)",
+          tags=("multimodal", "codec")),
+    Query("multimodal_decode_bmp_rle", _multimodal_decode_bmp_rle,
+          _MULTIMODAL_DECODE_BMP_RLE_SQL,
+          doc="E4 REAL RLE8-BMP codec round trip: executor-side "
+              "run-length encode -> full BI_RLE8 decode (runs, EOL/EOB "
+              "escapes) -> pixel sums vs closed-form oracle",
           tags=("multimodal", "codec")),
     Query("multimodal_exif_orientation", _multimodal_exif_orientation,
           _MULTIMODAL_EXIF_ORIENTATION_SQL,

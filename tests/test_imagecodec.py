@@ -211,8 +211,11 @@ def test_bmp_roundtrip(shape):
 def test_bmp_decode_refusals():
     arr = ic.synth_image(3, 4, 4, 3)
     enc = bytearray(ic.bmp_encode(arr))
-    enc[30] = 1  # BI_RLE8
-    with pytest.raises(ValueError, match="BI_RGB"):
+    enc[30] = 1  # BI_RLE8 on a 24-bit image: format-illegal combination
+    with pytest.raises(ValueError, match="RLE8 requires 8-bit"):
+        ic.bmp_decode(bytes(enc))
+    enc[30] = 3  # BI_BITFIELDS stays a named capability refusal
+    with pytest.raises(ValueError, match="compression=3"):
         ic.bmp_decode(bytes(enc))
     with pytest.raises(ValueError, match="truncated"):
         ic.bmp_decode(ic.bmp_encode(arr)[:-8])
@@ -1172,3 +1175,114 @@ def test_wav_extensible_cbsize_and_validbits_refusals():
     ok[38:40] = (0).to_bytes(2, "little")
     dec, info = ic.wav_decode(bytes(ok))
     assert info["bits_per_sample"] == 16 and dec.shape == (4, 1)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    color=st.booleans(),
+    sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    q=st.integers(5, 100),
+    ri=st.sampled_from([0, 1, 2, 5]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(
+    w, h, color, sub, q, ri, seed
+):
+    """Property form of the bit-equality invariant: ANY (dims, content,
+    subsampling, quality, restart interval) decodes identically through
+    the baseline and progressive entropy paths."""
+    rng = np.random.default_rng(seed)
+    ch = 3 if color else 1
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    kw = dict(quality=q, subsampling=sub if color else "4:4:4",
+              restart_interval=ri)
+    db, mb = ic.jpeg_decode(ic.jpeg_encode(arr, **kw))
+    dp, mp = ic.jpeg_decode(ic.jpeg_encode(arr, progressive=True, **kw))
+    assert np.array_equal(db, dp)
+    assert mb == mp
+
+
+# ---------------------------------------------------------------- BMP RLE8
+
+
+def test_bmp_rle8_roundtrip_and_palette():
+    rng = np.random.default_rng(5)
+    for trial in range(12):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        if trial % 3 == 0:  # runs-heavy
+            idx = np.repeat(
+                rng.integers(0, 256, (h, max(w // 5, 1))), 5, axis=1
+            )[:, :w].astype(np.uint8)
+        elif trial % 3 == 1:  # worst case: no runs
+            idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        else:  # best case: one run per row
+            idx = np.full((h, w), int(rng.integers(0, 256)), dtype=np.uint8)
+        dec, meta = ic.bmp_decode(ic.bmp_encode_rle8(idx))
+        assert meta["channels"] == 1
+        assert np.array_equal(dec[:, :, 0], idx)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        pal[0] = [1, 2, 3]  # force non-identity
+        dec2, meta2 = ic.bmp_decode(ic.bmp_encode_rle8(idx, palette=pal))
+        assert meta2["channels"] == 3
+        assert np.array_equal(dec2, pal[idx])
+
+
+def _rle8_file(stream: bytes, w: int, h: int) -> bytes:
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    dib = struct.pack(
+        "<IiihHIIiiII", 40, w, h, 1, 8, 1, len(stream), 0, 0, 256, 0
+    )
+    off = 14 + 40 + 1024
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+        + dib + pal + stream
+    )
+
+
+def test_bmp_rle8_absolute_and_delta_ops():
+    """The in-repo encoder emits only runs + EOL/EOB; absolute mode
+    (0, n>=3 literal bytes, word-padded) and delta (0, 2, dx, dy —
+    skipped pixels keep background 0) come from real encoders, so a
+    hand-built stream pins them."""
+    stream = bytes([
+        0, 3, 9, 8, 7, 0,   # absolute 3 (word-padded)
+        0, 2, 2, 0,         # delta dx=2 -> x=5
+        1, 5,               # run of 1, value 5
+        0, 0,               # EOL
+        6, 4,               # run of 6, value 4
+        0, 0,               # EOL
+        3, 2,               # run of 3, value 2
+        0, 1,               # EOB
+    ])
+    dec, meta = ic.bmp_decode(_rle8_file(stream, 6, 3))
+    expect = np.zeros((3, 6), dtype=np.uint8)
+    expect[2, 0:3] = [9, 8, 7]   # storage row 0 = display bottom
+    expect[2, 5] = 5             # delta-skipped x=3,4 stay 0
+    expect[1, :] = 4
+    expect[0, 0:3] = 2
+    assert np.array_equal(dec[:, :, 0], expect)
+    assert (meta["width"], meta["height"]) == (6, 3)
+
+
+def test_bmp_rle8_refusals_name_the_gap():
+    # missing end-of-bitmap
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        ic.bmp_decode(_rle8_file(bytes([2, 7, 0, 0]), 2, 1))
+    # run overruns the row
+    with pytest.raises(ValueError, match="overruns row"):
+        ic.bmp_decode(_rle8_file(bytes([5, 7, 0, 1]), 3, 1))
+    # absolute run truncated
+    with pytest.raises(ValueError, match="absolute run truncated"):
+        ic.bmp_decode(_rle8_file(bytes([0, 4, 1, 2]), 6, 1))
+    # top-down RLE8 is illegal
+    f = bytearray(ic.bmp_encode_rle8(np.zeros((2, 2), dtype=np.uint8)))
+    struct.pack_into("<i", f, 22, -2)
+    with pytest.raises(ValueError, match="top-down RLE8"):
+        ic.bmp_decode(bytes(f))
+    # RLE4 (compression=2) still refuses by name
+    f = bytearray(ic.bmp_encode_rle8(np.zeros((2, 2), dtype=np.uint8)))
+    struct.pack_into("<I", f, 30, 2)
+    with pytest.raises(ValueError, match="compression=2"):
+        ic.bmp_decode(bytes(f))
