@@ -886,6 +886,41 @@ def _jpeg_split_rst(ecs: bytes) -> list[bytes]:
     return segments
 
 
+def _jpeg_seq_block(reader, dtbl, atbl, pred, cid) -> np.ndarray:
+    """One full baseline block: DPCM DC + run/size AC to k=63 (T.81
+    F.2.2). Shared by the interleaved single-scan path and the
+    non-interleaved multi-scan sequential walk."""
+    dsym, dlen = dtbl
+    asym, alen = atbl
+    block = np.zeros(64, dtype=np.int32)
+    p16 = reader.peek16()
+    s, ln = int(dsym[p16]), int(dlen[p16])
+    if s < 0:
+        raise ValueError("jpeg: invalid DC Huffman code")
+    reader.skip(ln)
+    pred[cid] += _jpeg_extend(reader.read(s), s)
+    block[0] = pred[cid]
+    k = 1
+    while k < 64:
+        p16 = reader.peek16()
+        rs, ln = int(asym[p16]), int(alen[p16])
+        if rs < 0:
+            raise ValueError("jpeg: invalid AC Huffman code")
+        reader.skip(ln)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        block[k] = _jpeg_extend(reader.read(s), s)
+        k += 1
+    return block
+
+
 def _jpeg_prog_dc(block, reader, tbl, pred, cid, ah, al) -> None:
     """One data unit of a progressive DC scan (T.81 G.1.2.1): first
     scan (Ah=0) DPCM-decodes the point-transformed DC and stores it
@@ -1240,72 +1275,82 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
         )
         order = [(cid, hi, vi, tq) for cid, hi, vi, tq in comps]
     else:
-        if len(scans) != 1:
+        byid = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+        coefs = {
+            cid: np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
+            for cid, hi, vi, _tq in comps
+        }
+        coded: list[int] = []
+        for scan_comps, ss, se, ah, al, ecs, scan_ri, scan_huff in scans:
+            # sequential scans always cover the full band at full
+            # precision; anything else in a SOF0/1 stream is corrupt
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError(
+                    "jpeg: sequential scan must cover the full band "
+                    f"(Ss=0 Se=63 Ah=Al=0, got {ss}/{se}/{ah}/{al})"
+                )
+            tables = []
+            for cid, dc_t, ac_t in scan_comps:
+                if cid not in byid:
+                    raise ValueError(
+                        f"jpeg: scan references unknown component {cid}"
+                    )
+                if cid in coded:
+                    raise ValueError(
+                        f"jpeg: component {cid} coded by two sequential scans"
+                    )
+                coded.append(cid)
+                if (0, dc_t) not in scan_huff or (1, ac_t) not in scan_huff:
+                    raise ValueError(
+                        "jpeg: scan references an undefined Huffman table"
+                    )
+                tables.append(
+                    (cid, scan_huff[(0, dc_t)], scan_huff[(1, ac_t)])
+                )
+            interleaved = len(scan_comps) > 1
+            if interleaved:
+                n_units, bw = mcus_x * mcus_y, 0
+            else:
+                hi, vi, _tq = byid[scan_comps[0][0]]
+                bw, bh, _stride = _jpeg_comp_block_grid(
+                    hi, vi, mcus_x, w, h, hmax, vmax
+                )
+                n_units = bw * bh
+            per_seg = scan_ri if scan_ri else n_units
+            unit = 0
+            for seg in _jpeg_split_rst(ecs):
+                reader = _JpegBitReader(seg.replace(b"\xff\x00", b"\xff"))
+                pred = {cid: 0 for cid, *_ in tables}
+                for _ in range(min(per_seg, n_units - unit)):
+                    if interleaved:
+                        my, mx = divmod(unit, mcus_x)
+                        for cid, dtbl, atbl in tables:
+                            hi, vi, _tq = byid[cid]
+                            block_rows = coefs[cid]
+                            for by in range(vi):
+                                for bx in range(hi):
+                                    block_rows[my * vi + by, mx * hi + bx] = (
+                                        _jpeg_seq_block(
+                                            reader, dtbl, atbl, pred, cid
+                                        )
+                                    )
+                    else:
+                        cid, dtbl, atbl = tables[0]
+                        by, bx = divmod(unit, bw)
+                        coefs[cid][by, bx] = _jpeg_seq_block(
+                            reader, dtbl, atbl, pred, cid
+                        )
+                    unit += 1
+            if unit != n_units:
+                raise ValueError(
+                    f"jpeg: entropy data short ({unit}/{n_units} data units)"
+                )
+        if sorted(coded) != sorted(byid):
+            missing = sorted(set(byid) - set(coded))
             raise ValueError(
-                "jpeg: multi-scan sequential streams not supported "
-                "(baseline single scan)"
+                f"jpeg: components {missing} never coded by any scan"
             )
-        scan_comps, ss, se, ah, al, ecs, scan_ri, scan_huff = scans[0]
-        if len(scan_comps) != len(comps):
-            raise ValueError(
-                "jpeg: partial sequential scans not supported (baseline "
-                "single full scan)"
-            )
-        scan_tables = {cid: (dc, ac) for cid, dc, ac in scan_comps}
-        coefs = {}
-        order = []
-        for cid, hi, vi, tq in comps:
-            coefs[cid] = np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int32)
-            dc_t, ac_t = scan_tables[cid]
-            if (0, dc_t) not in scan_huff or (1, ac_t) not in scan_huff:
-                raise ValueError("jpeg: scan references an undefined Huffman table")
-            order.append(
-                (cid, hi, vi, tq, scan_huff[(0, dc_t)], scan_huff[(1, ac_t)])
-            )
-
-        n_mcus = mcus_x * mcus_y
-        per_seg = scan_ri if scan_ri else n_mcus
-        mcu = 0
-        for seg in _jpeg_split_rst(ecs):
-            reader = _JpegBitReader(seg.replace(b"\xff\x00", b"\xff"))
-            pred = {cid: 0 for cid, *_ in comps}
-            seg_budget = min(per_seg, n_mcus - mcu)
-            for _ in range(seg_budget):
-                my, mx = divmod(mcu, mcus_x)
-                for cid, hi, vi, _tq, (dsym, dlen), (asym, alen) in order:
-                    block_rows = coefs[cid]
-                    for by in range(vi):
-                        for bx in range(hi):
-                            block = np.zeros(64, dtype=np.int32)
-                            p16 = reader.peek16()
-                            s, ln = int(dsym[p16]), int(dlen[p16])
-                            if s < 0:
-                                raise ValueError("jpeg: invalid DC Huffman code")
-                            reader.skip(ln)
-                            pred[cid] += _jpeg_extend(reader.read(s), s)
-                            block[0] = pred[cid]
-                            k = 1
-                            while k < 64:
-                                p16 = reader.peek16()
-                                rs, ln = int(asym[p16]), int(alen[p16])
-                                if rs < 0:
-                                    raise ValueError("jpeg: invalid AC Huffman code")
-                                reader.skip(ln)
-                                r, s = rs >> 4, rs & 15
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("jpeg: AC run past block end")
-                                block[k] = _jpeg_extend(reader.read(s), s)
-                                k += 1
-                            block_rows[my * vi + by, mx * hi + bx] = block
-                mcu += 1
-        if mcu != n_mcus:
-            raise ValueError(f"jpeg: entropy data short ({mcu}/{n_mcus} MCUs)")
+        order = [(cid, hi, vi, tq) for cid, hi, vi, tq in comps]
 
     planes = {}
     inv_zz = _JPEG_ZIGZAG
@@ -1608,6 +1653,42 @@ def _jpeg_assemble(
     return bytes(out)
 
 
+def _jpeg_enc_seq_block(writer, block, dct, act, pred_val: int) -> int:
+    """Encode one full baseline block (DPCM DC + run/size AC, T.81
+    F.1.2) against ``pred_val``; returns the new DC predictor. Shared
+    by the interleaved single-scan writer and the non-interleaved
+    scan_split writer."""
+    dc = int(block[0])
+    diff = dc - pred_val
+    s = int(abs(diff)).bit_length()
+    code, ln = dct[s]
+    writer.write(code, ln)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    k = 1
+    run = 0
+    while k < 64:
+        v = int(block[k])
+        if v == 0:
+            run += 1
+            k += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]  # ZRL
+            writer.write(code, ln)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        code, ln = act[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+        k += 1
+    if run:
+        code, ln = act[0x00]  # EOB
+        writer.write(code, ln)
+    return dc
+
+
 def _jpeg_quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     """Annex K tables scaled by the libjpeg quality curve, clamped 1..255."""
     if not 1 <= quality <= 100:
@@ -1627,6 +1708,7 @@ def jpeg_encode(
     quant_tables: tuple[np.ndarray, np.ndarray] | None = None,
     restart_interval: int = 0,
     progressive: bool = False,
+    scan_split: bool = False,
 ) -> bytes:
     """Encode a uint8 (h, w) / (h, w, 1) grayscale or (h, w, 3) RGB array
     as baseline sequential JPEG (SOF0, Annex K Huffman tables, JFIF APP0)
@@ -1645,7 +1727,11 @@ def jpeg_encode(
     (DC-only blocks, zero quantization error), which is what the
     multimodal_decode_jpeg oracle pins. ``restart_interval`` > 0 emits
     DRI + RSTn markers every that-many MCUs (data units per scan in
-    progressive mode).
+    progressive and scan_split modes). ``scan_split=True`` writes a
+    color image as THREE non-interleaved sequential scans (one per
+    component, SOF0 multi-scan — the layout some real encoders emit);
+    the entropy stage is lossless either way, so split and interleaved
+    streams decode identically.
     """
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
@@ -1741,10 +1827,12 @@ def jpeg_encode(
         dc_codes.append(_jpeg_huff_codes(*_JPEG_HUFF_DC_CHROMA))
         ac_codes.append(_jpeg_huff_codes(*_JPEG_HUFF_AC_CHROMA))
 
-    def cat_of(v: int) -> int:
-        return int(abs(v)).bit_length()
-
     if progressive:
+        if scan_split:
+            raise ValueError(
+                "jpeg_encode: scan_split applies to sequential encoding "
+                "only (progressive already splits into scans)"
+            )
         scan_outputs = _jpeg_encode_progressive_scans(
             comp_blocks, samp, channels, mcus_x, mcus_y, w, h,
             dc_codes, ac_codes, restart_interval,
@@ -1752,6 +1840,44 @@ def jpeg_encode(
         return _jpeg_assemble(
             h, w, channels, samp, qtab, ql, qc, scan_outputs,
             restart_interval, progressive=True,
+        )
+
+    if scan_split:
+        if channels != 3:
+            raise ValueError(
+                "jpeg_encode: scan_split needs a 3-channel image "
+                "(grayscale is single-scan already)"
+            )
+        scan_outputs = []
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            dct, act = dc_codes[t], ac_codes[t]
+            bw, bh, stride = _jpeg_comp_block_grid(
+                *samp[ci], mcus_x, w, h, hmax, vmax
+            )
+            parts: list[bytes] = []
+            writer = _JpegBitWriter()
+            rst = 0
+            pred_val = 0
+            for unit in range(bw * bh):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    writer.flush()
+                    parts.append(bytes(writer.out))
+                    parts.append(bytes((0xFF, 0xD0 + (rst & 7))))
+                    rst += 1
+                    writer = _JpegBitWriter()
+                    pred_val = 0
+                by, bx = divmod(unit, bw)
+                pred_val = _jpeg_enc_seq_block(
+                    writer, comp_blocks[ci][by * stride + bx], dct, act,
+                    pred_val,
+                )
+            writer.flush()
+            parts.append(bytes(writer.out))
+            scan_outputs.append(([ci], 0, 63, 0, 0, b"".join(parts)))
+        return _jpeg_assemble(
+            h, w, channels, samp, qtab, ql, qc, scan_outputs,
+            restart_interval, progressive=False,
         )
 
     writer = _JpegBitWriter()
@@ -1775,37 +1901,9 @@ def jpeg_encode(
             for by in range(vi):
                 for bx in range(hi):
                     bi = (my * vi + by) * (mcus_x * hi) + (mx * hi + bx)
-                    block = blocks[bi]
-                    diff = int(block[0]) - pred[ci]
-                    pred[ci] = int(block[0])
-                    s = cat_of(diff)
-                    code, ln = dct[s]
-                    writer.write(code, ln)
-                    if s:
-                        v = diff if diff >= 0 else diff + (1 << s) - 1
-                        writer.write(v, s)
-                    k = 1
-                    run = 0
-                    while k < 64:
-                        v = int(block[k])
-                        if v == 0:
-                            run += 1
-                            k += 1
-                            continue
-                        while run > 15:
-                            code, ln = act[0xF0]  # ZRL
-                            writer.write(code, ln)
-                            run -= 16
-                        s = cat_of(v)
-                        code, ln = act[(run << 4) | s]
-                        writer.write(code, ln)
-                        vv = v if v >= 0 else v + (1 << s) - 1
-                        writer.write(vv, s)
-                        run = 0
-                        k += 1
-                    if run:
-                        code, ln = act[0x00]  # EOB
-                        writer.write(code, ln)
+                    pred[ci] = _jpeg_enc_seq_block(
+                        writer, blocks[bi], dct, act, pred[ci]
+                    )
     writer.flush()
     body_parts.append(bytes(writer.out))
     ecs = b"".join(body_parts)

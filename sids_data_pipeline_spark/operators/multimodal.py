@@ -243,6 +243,7 @@ def synth_jpeg_assets(
     modulus: int = 7,
     progressive: bool = False,
     exif: bool = False,
+    multiscan: bool = False,
 ) -> DataFrame:
     """Deterministic JPEG asset fixture: every ``modulus``-th document
     becomes a real JPEG — baseline sequential (SOF0) by default, or
@@ -264,7 +265,14 @@ def synth_jpeg_assets(
     Even doc_ids encode with restart_interval=2 so RST-marker resync and
     DC-predictor (plus, progressive, EOB-run) resets are exercised
     in-gate; the decoded pixels are identical either way, so the oracle
-    is unchanged. ``exif=True`` splices an EXIF APP1 segment after SOI
+    is unchanged. ``multiscan=True`` promotes the gray fixture to
+    gray-as-RGB (R=G=B) and encodes it as THREE non-interleaved
+    sequential scans (SOF0 multi-scan, scan_split) — still EXACT: the
+    YCbCr transform of an R=G=B constant block lands within ~1e-13 of
+    (v, 128, 128) and the all-ones DC quantization rounds the epsilon
+    away, so pixel_sum is exactly 3× the gray closed form (4:2:0 on
+    even ids keeps subsampled chroma in the multi-scan gate too).
+    ``exif=True`` splices an EXIF APP1 segment after SOI
     (orientation = doc_id % 8 + 1, byte order II for odd ids / MM for
     even) — pixel decode must skip it unchanged, and the jpeg_exif walk
     must recover the orientation.
@@ -283,11 +291,16 @@ def synth_jpeg_assets(
                 by = np.arange(hb)[:, None]
                 blocks = ((did * 7 + 29 * bx + 31 * by) % 256).astype(np.uint8)
                 img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                if multiscan:
+                    img = np.repeat(img[:, :, None], 3, axis=2)
                 payload = icodec.jpeg_encode(
                     img,
                     quant_tables=(ones, ones),
                     restart_interval=2 if did % 2 == 0 else 0,
                     progressive=progressive,
+                    scan_split=multiscan,
+                    subsampling="4:2:0" if multiscan and did % 2 == 0
+                    else "4:4:4",
                 )
                 if exif:
                     app1 = icodec.exif_app1(

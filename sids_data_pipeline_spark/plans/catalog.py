@@ -307,6 +307,7 @@ PRIORITY: tuple[str, ...] = (
     # the late-r12 PCM8/extensible-WAV decode paths in-gate.
     "multimodal_exif_orientation",
     "multimodal_decode_bmp_rle",
+    "multimodal_decode_jpeg_multiscan",
     # r10 head names displaced in r11 retained below for provenance;
     # their r10 rows stand (crs.py/graph.py unchanged since).
     "crs_reproject_utm",

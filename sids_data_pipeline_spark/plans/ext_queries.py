@@ -2706,6 +2706,40 @@ FROM documents WHERE doc_id % 7 = 0
 """
 
 
+def _multimodal_decode_jpeg_multiscan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-scan sequential JPEG round trip (E4, r12): the gray
+    fixture promoted to gray-as-RGB and written as THREE
+    non-interleaved SOF0 scans (one per component — the layout some
+    real encoders emit; 4:2:0 chroma on even ids, restart markers on
+    even ids), then decoded through the sequential scan loop
+    (per-component block grids, per-scan DC predictors) via
+    decode_images. Exact: an R=G=B constant block's YCbCr lands within
+    ~1e-13 of (v, 128, 128) and all-ones DC quantization rounds the
+    epsilon away, so pixel_sum is exactly 3x the gray closed form."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_images(
+        multimodal.synth_jpeg_assets(docs, modulus=7, multiscan=True)
+    )
+
+
+_MULTIMODAL_DECODE_JPEG_MULTISCAN_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 + 1 AS wb, doc_id % 3 + 1 AS hb
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id, 'jpeg' AS format,
+       CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+       CAST(3 AS INT) AS channels,
+       CAST(3 * 64 * SUM((doc_id*7 + 29*bx.i + 31*by.i) % 256) AS BIGINT)
+         AS pixel_sum
+FROM d, range(4) bx(i), range(3) by(i)
+WHERE bx.i < wb AND by.i < hb
+GROUP BY doc_id, wb, hb
+"""
+
+
 def _multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE8 BMP codec round trip (E4, r12): synthesize BI_RLE8
     compressed BMPs executor-side (run-length coded index planes,
@@ -4545,6 +4579,14 @@ QUERIES: list[Query] = [
               "full T.81 Annex G multi-scan decode -> pixel sums vs the "
               "same closed-form oracle as the baseline row (exact: "
               "DC-only blocks, all-ones quant tables)",
+          tags=("multimodal", "codec")),
+    Query("multimodal_decode_jpeg_multiscan",
+          _multimodal_decode_jpeg_multiscan,
+          _MULTIMODAL_DECODE_JPEG_MULTISCAN_SQL,
+          doc="E4 multi-scan sequential JPEG: three non-interleaved "
+              "SOF0 scans (one per component, 4:2:0 on even ids) -> "
+              "sequential scan-loop decode -> pixel sums vs the 3x "
+              "gray closed form (exact via DC rounding)",
           tags=("multimodal", "codec")),
     Query("multimodal_decode_bmp_rle", _multimodal_decode_bmp_rle,
           _MULTIMODAL_DECODE_BMP_RLE_SQL,

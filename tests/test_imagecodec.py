@@ -1286,3 +1286,49 @@ def test_bmp_rle8_refusals_name_the_gap():
     struct.pack_into("<I", f, 30, 2)
     with pytest.raises(ValueError, match="compression=2"):
         ic.bmp_decode(bytes(f))
+
+
+# --------------------------------------------- multi-scan sequential JPEG
+
+
+def test_jpeg_scan_split_equals_interleaved():
+    """scan_split writes three non-interleaved SOF0 scans; entropy
+    coding is lossless, so split and interleaved streams decode
+    bit-identically for any input."""
+    rng = np.random.default_rng(17)
+    for h, w, sub, q, ri in [
+        (16, 24, "4:4:4", 90, 0), (33, 41, "4:2:0", 75, 0),
+        (9, 50, "4:2:2", 60, 2), (1, 1, "4:2:0", 50, 0),
+    ]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        kw = dict(quality=q, subsampling=sub, restart_interval=ri)
+        d1, m1 = ic.jpeg_decode(ic.jpeg_encode(arr, **kw))
+        d2, m2 = ic.jpeg_decode(ic.jpeg_encode(arr, scan_split=True, **kw))
+        assert np.array_equal(d1, d2) and m1 == m2
+    split = ic.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8),
+                           scan_split=True)
+    assert split.count(b"\xff\xda") == 3 and b"\xff\xc0" in split
+
+
+def test_jpeg_scan_split_refusals_and_coverage_check():
+    with pytest.raises(ValueError, match="3-channel"):
+        ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8), scan_split=True)
+    with pytest.raises(ValueError, match="sequential encoding"):
+        ic.jpeg_encode(np.zeros((8, 8, 3), dtype=np.uint8),
+                       scan_split=True, progressive=True)
+    # dropping the last scan leaves a component uncoded -> loud
+    split = bytearray(ic.jpeg_encode(
+        np.full((8, 8, 3), 99, dtype=np.uint8), scan_split=True
+    ))
+    last_sos = split.rfind(b"\xff\xda")
+    truncated = bytes(split[:last_sos]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="never coded by any scan"):
+        ic.jpeg_decode(truncated)
+    # duplicating a scan double-codes its component -> loud
+    first_sos = bytes(split).find(b"\xff\xda")
+    second_sos = bytes(split).find(b"\xff\xda", first_sos + 2)
+    dup = bytes(split[:second_sos]) + bytes(
+        split[first_sos:second_sos]
+    ) + bytes(split[second_sos:])
+    with pytest.raises(ValueError, match="coded by two sequential scans"):
+        ic.jpeg_decode(dup)
