@@ -1289,6 +1289,8 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     "jpeg: sequential scan must cover the full band "
                     f"(Ss=0 Se=63 Ah=Al=0, got {ss}/{se}/{ah}/{al})"
                 )
+            if not scan_comps:
+                raise ValueError("jpeg: scan declares zero components")
             tables = []
             for cid, dc_t, ac_t in scan_comps:
                 if cid not in byid:
@@ -1304,14 +1306,15 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                     raise ValueError(
                         "jpeg: scan references an undefined Huffman table"
                     )
+                hi, vi, _tq = byid[cid]
                 tables.append(
-                    (cid, scan_huff[(0, dc_t)], scan_huff[(1, ac_t)])
+                    (cid, hi, vi, scan_huff[(0, dc_t)], scan_huff[(1, ac_t)])
                 )
             interleaved = len(scan_comps) > 1
             if interleaved:
                 n_units, bw = mcus_x * mcus_y, 0
             else:
-                hi, vi, _tq = byid[scan_comps[0][0]]
+                _cid0, hi, vi, _d, _a = tables[0]
                 bw, bh, _stride = _jpeg_comp_block_grid(
                     hi, vi, mcus_x, w, h, hmax, vmax
                 )
@@ -1324,8 +1327,7 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                 for _ in range(min(per_seg, n_units - unit)):
                     if interleaved:
                         my, mx = divmod(unit, mcus_x)
-                        for cid, dtbl, atbl in tables:
-                            hi, vi, _tq = byid[cid]
+                        for cid, hi, vi, dtbl, atbl in tables:
                             block_rows = coefs[cid]
                             for by in range(vi):
                                 for bx in range(hi):
@@ -1335,7 +1337,7 @@ def jpeg_decode(data: bytes) -> tuple[np.ndarray, dict]:
                                         )
                                     )
                     else:
-                        cid, dtbl, atbl = tables[0]
+                        cid, _hi, _vi, dtbl, atbl = tables[0]
                         by, bx = divmod(unit, bw)
                         coefs[cid][by, bx] = _jpeg_seq_block(
                             reader, dtbl, atbl, pred, cid

@@ -302,9 +302,11 @@ PRIORITY: tuple[str, ...] = (
     "similarity_ann_gate",
     # Round-13 rotation queue (landed late r12, selfcheck-green, no
     # driver row yet): multimodal_exif_orientation (APP1 TIFF IFD0
-    # walk, both byte orders) and multimodal_decode_bmp_rle (BI_RLE8
-    # run-length decode). The r12 audio_features row already covers
-    # the late-r12 PCM8/extensible-WAV decode paths in-gate.
+    # walk, both byte orders), multimodal_decode_bmp_rle (BI_RLE8
+    # run-length decode), and multimodal_decode_jpeg_multiscan
+    # (non-interleaved SOF0 scan loop). The r12 audio_features row
+    # already covers the late-r12 PCM8/extensible-WAV decode paths
+    # in-gate.
     "multimodal_exif_orientation",
     "multimodal_decode_bmp_rle",
     "multimodal_decode_jpeg_multiscan",

@@ -1332,3 +1332,18 @@ def test_jpeg_scan_split_refusals_and_coverage_check():
     ) + bytes(split[second_sos:])
     with pytest.raises(ValueError, match="coded by two sequential scans"):
         ic.jpeg_decode(dup)
+
+
+def test_jpeg_zero_component_scan_refuses():
+    """A crafted SOS with Ns=0 refuses by name instead of crashing
+    (review r12)."""
+    ones = np.ones(64, dtype=np.int64)
+    data = bytearray(ic.jpeg_encode(np.zeros((8, 8), dtype=np.uint8),
+                                    quant_tables=(ones, ones)))
+    sos = data.index(b"\xff\xda")
+    # rebuild the SOS body as Ns=0 + band params 0/63/0
+    data[sos:] = b"\xff\xda" + (2 + 4).to_bytes(2, "big") + bytes(
+        [0, 0, 63, 0]
+    ) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="zero components"):
+        ic.jpeg_decode(bytes(data))
