@@ -644,6 +644,37 @@ def _exif_parse_tiff(tiff: bytes) -> dict:
     }
 
 
+def apply_exif_orientation(arr: np.ndarray, orientation: int) -> np.ndarray:
+    """Transform (h, w, c) pixels so they display upright, inverting
+    the stored EXIF orientation (TIFF 6.0 §Orientation / JEITA CP-3451
+    value table): 1 identity, 2 mirror horizontal, 3 rotate 180,
+    4 mirror vertical, 5 transpose (mirror along the TL–BR diagonal),
+    6 rotate 90° CW, 7 transverse (mirror along the TR–BL diagonal),
+    8 rotate 90° CCW. Orientations 5–8 swap the output dims."""
+    if not 1 <= orientation <= 8:
+        raise ValueError(
+            f"apply_exif_orientation: orientation must be 1..8, got {orientation}"
+        )
+    if orientation == 1:
+        out = arr
+    elif orientation == 2:
+        out = arr[:, ::-1]
+    elif orientation == 3:
+        out = arr[::-1, ::-1]
+    elif orientation == 4:
+        out = arr[::-1]
+    elif orientation == 5:
+        out = arr.transpose(1, 0, 2)
+    elif orientation == 6:
+        # stored image is the upright one rotated 90° CCW → undo with CW
+        out = arr.transpose(1, 0, 2)[:, ::-1]
+    elif orientation == 7:
+        out = arr.transpose(1, 0, 2)[::-1, ::-1]
+    else:  # 8
+        out = arr.transpose(1, 0, 2)[::-1]
+    return np.ascontiguousarray(out)
+
+
 def exif_app1(orientation: int, byte_order: str = "II") -> bytes:
     """Build an EXIF APP1 segment holding one IFD0 entry (orientation
     tag 0x0112) — fixture generator for the jpeg_exif parse path.

@@ -547,6 +547,58 @@ def exif_orientation(assets: DataFrame) -> DataFrame:
     )
 
 
+def normalize_orientation(assets: DataFrame) -> DataFrame:
+    """Decode JPEG payloads, read the EXIF orientation (1 when absent)
+    and transform the pixels upright (imagecodec.apply_exif_orientation
+    — mirror/rotate/transpose per TIFF 6.0; 5–8 swap the dims): the
+    pre-training normalization pass itself, not just the tag read.
+    Returns the UPRIGHT dims plus a position-weighted checksum
+    Σ sample·(1 + 3x + 7y) over the transformed image (summed across
+    channels) — a plain pixel sum is invariant under every flip and
+    rotation, so only the weighted form can prove WHICH transform ran.
+    Non-JPEG payloads refuse loudly."""
+    import numpy as np
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(p)
+                if icodec.sniff(data) != "jpeg":
+                    raise ValueError(
+                        f"normalize_orientation: asset {aid}: payload is "
+                        "not a JPEG"
+                    )
+                arr, _meta = icodec.jpeg_decode(data)
+                o = icodec.jpeg_exif(data)["orientation"] or 1
+                up = icodec.apply_exif_orientation(arr, o)
+                h, w = up.shape[:2]
+                weight = 1 + 3 * np.arange(w)[None, :] + 7 * np.arange(h)[:, None]
+                wsum = int((up.astype(np.int64).sum(axis=2) * weight).sum())
+                rows.append(
+                    {
+                        "asset_id": int(aid),
+                        "orientation": o,
+                        "width": w,
+                        "height": h,
+                        "weighted_sum": wsum,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "orientation", "width", "height",
+                    "weighted_sum",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        norm,
+        "asset_id long, orientation int, width int, height int, "
+        "weighted_sum long",
+    )
+
+
 def _decode_payload(payload: bytes, modality: str) -> dict:
     """Decode one payload into the FEATURES envelope.
 

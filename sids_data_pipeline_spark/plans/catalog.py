@@ -304,12 +304,15 @@ PRIORITY: tuple[str, ...] = (
     # driver row yet): multimodal_exif_orientation (APP1 TIFF IFD0
     # walk, both byte orders), multimodal_decode_bmp_rle (BI_RLE8
     # run-length decode), and multimodal_decode_jpeg_multiscan
-    # (non-interleaved SOF0 scan loop). The r12 audio_features row
+    # (non-interleaved SOF0 scan loop), and
+    # multimodal_orientation_normalize (the upright-transform pass,
+    # position-weighted-checksum gate). The r12 audio_features row
     # already covers the late-r12 PCM8/extensible-WAV decode paths
     # in-gate.
     "multimodal_exif_orientation",
     "multimodal_decode_bmp_rle",
     "multimodal_decode_jpeg_multiscan",
+    "multimodal_orientation_normalize",
     # r10 head names displaced in r11 retained below for provenance;
     # their r10 rows stand (crs.py/graph.py unchanged since).
     "crs_reproject_utm",

@@ -2740,6 +2740,59 @@ GROUP BY doc_id, wb, hb
 """
 
 
+def _multimodal_orientation_normalize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXIF orientation NORMALIZATION (E4, r12): the EXIF-tagged JPEG
+    fixtures (orientation = doc_id % 8 + 1, DC-exact pixels) decoded,
+    transformed upright (mirror/rotate/transpose; 5–8 swap dims), and
+    checksummed position-weighted: Σ v·(1 + 3x + 7y) over the UPRIGHT
+    image. The oracle inverts each of the eight transforms in SQL
+    (CASE maps of destination→source coordinates) and recomputes the
+    weighted sum from the closed-form pixel formula — a plain sum is
+    flip/rotation-invariant, so only this gate can prove the correct
+    transform ran for every orientation value."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.normalize_orientation(
+        multimodal.synth_jpeg_assets(docs, modulus=7, exif=True)
+    )
+
+
+# Inverse maps (dst (xp, yp) → src (sx, sy)) per EXIF orientation o over
+# a w0 × h0 source; o ≥ 5 swaps the output dims. Derived from
+# imagecodec.apply_exif_orientation and pinned by its unit tests.
+_MULTIMODAL_ORIENTATION_NORMALIZE_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 8 + 1 AS o,
+         8 * (doc_id % 4 + 1) AS w0, 8 * (doc_id % 3 + 1) AS h0
+  FROM documents WHERE doc_id % 7 = 0
+),
+dims AS (
+  SELECT *, CASE WHEN o >= 5 THEN h0 ELSE w0 END AS w1,
+            CASE WHEN o >= 5 THEN w0 ELSE h0 END AS h1
+  FROM d
+),
+px AS (
+  SELECT doc_id, o, w0, h0, w1, h1, xp.v AS xp, yp.v AS yp,
+         CASE o WHEN 1 THEN xp.v WHEN 2 THEN w0 - 1 - xp.v
+                WHEN 3 THEN w0 - 1 - xp.v WHEN 4 THEN xp.v
+                WHEN 5 THEN yp.v WHEN 6 THEN yp.v
+                WHEN 7 THEN w0 - 1 - yp.v ELSE w0 - 1 - yp.v END AS sx,
+         CASE o WHEN 1 THEN yp.v WHEN 2 THEN yp.v
+                WHEN 3 THEN h0 - 1 - yp.v WHEN 4 THEN h0 - 1 - yp.v
+                WHEN 5 THEN xp.v WHEN 6 THEN h0 - 1 - xp.v
+                WHEN 7 THEN h0 - 1 - xp.v ELSE xp.v END AS sy
+  FROM dims, range(32) xp(v), range(32) yp(v)
+  WHERE xp.v < w1 AND yp.v < h1
+)
+SELECT doc_id AS asset_id, CAST(o AS INT) AS orientation,
+       CAST(w1 AS INT) AS width, CAST(h1 AS INT) AS height,
+       CAST(SUM(((doc_id*7 + 29*(sx//8) + 31*(sy//8)) % 256)
+                * (1 + 3*xp + 7*yp)) AS BIGINT) AS weighted_sum
+FROM px GROUP BY doc_id, o, w1, h1
+"""
+
+
 def _multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE8 BMP codec round trip (E4, r12): synthesize BI_RLE8
     compressed BMPs executor-side (run-length coded index planes,
@@ -4579,6 +4632,14 @@ QUERIES: list[Query] = [
               "full T.81 Annex G multi-scan decode -> pixel sums vs the "
               "same closed-form oracle as the baseline row (exact: "
               "DC-only blocks, all-ones quant tables)",
+          tags=("multimodal", "codec")),
+    Query("multimodal_orientation_normalize",
+          _multimodal_orientation_normalize,
+          _MULTIMODAL_ORIENTATION_NORMALIZE_SQL,
+          doc="E4 EXIF orientation normalization: decode + upright "
+              "transform (all 8 orientations in-gate) -> position-"
+              "weighted checksum vs a CASE-inverted closed-form oracle "
+              "(a plain sum cannot distinguish the transforms)",
           tags=("multimodal", "codec")),
     Query("multimodal_decode_jpeg_multiscan",
           _multimodal_decode_jpeg_multiscan,

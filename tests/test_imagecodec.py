@@ -1347,3 +1347,39 @@ def test_jpeg_zero_component_scan_refuses():
     ) + b"\xff\xd9"
     with pytest.raises(ValueError, match="zero components"):
         ic.jpeg_decode(bytes(data))
+
+
+def test_apply_exif_orientation_all_eight():
+    """Hand-computed 2x3 expectations for every EXIF orientation value
+    (TIFF 6.0 table): the stored array is transformed so it displays
+    upright; 5-8 swap the dims."""
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)  # [[0,1,2],[3,4,5]]
+    got = {o: ic.apply_exif_orientation(a, o)[:, :, 0] for o in range(1, 9)}
+    assert np.array_equal(got[1], [[0, 1, 2], [3, 4, 5]])
+    assert np.array_equal(got[2], [[2, 1, 0], [5, 4, 3]])
+    assert np.array_equal(got[3], [[5, 4, 3], [2, 1, 0]])
+    assert np.array_equal(got[4], [[3, 4, 5], [0, 1, 2]])
+    assert np.array_equal(got[5], [[0, 3], [1, 4], [2, 5]])
+    assert np.array_equal(got[6], [[3, 0], [4, 1], [5, 2]])
+    assert np.array_equal(got[7], [[5, 2], [4, 1], [3, 0]])
+    assert np.array_equal(got[8], [[2, 5], [1, 4], [0, 3]])
+    # the eight transforms are distinct on an asymmetric input
+    flat = {o: got[o].tobytes() + bytes(got[o].shape[0]) for o in got}
+    assert len(set(flat.values())) == 8
+    with pytest.raises(ValueError, match="1..8"):
+        ic.apply_exif_orientation(a, 0)
+
+
+def test_apply_exif_orientation_matches_rot90():
+    """Cross-check the quarter-turn cases against numpy's rot90: tag 6
+    is stored-rotated-90-CCW (undo = CW = rot90 k=-1), tag 8 the
+    opposite."""
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert np.array_equal(
+        ic.apply_exif_orientation(a, 6), np.rot90(a, k=-1, axes=(0, 1))
+    )
+    assert np.array_equal(
+        ic.apply_exif_orientation(a, 8), np.rot90(a, k=1, axes=(0, 1))
+    )
+    assert np.array_equal(ic.apply_exif_orientation(a, 3), np.rot90(a, k=2, axes=(0, 1)))
