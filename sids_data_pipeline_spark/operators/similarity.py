@@ -625,6 +625,159 @@ def kmeans_fit(
     return centroids, assigned
 
 
+def pq_fit(
+    embeddings: DataFrame,
+    m: int = 4,
+    kc: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI 2011): the d-dim
+    embedding splits into m contiguous subspaces of d/m dims and the
+    exact-integer Lloyd kmeans (:func:`kmeans_fit`) runs independently
+    in each. Returns m codebooks of kc centroids in the micros domain
+    — the whole model is m·kc·(d/m) integers, deterministic and
+    engine-independent like every trained artifact in this module.
+
+    Scale shape: m is a small constant, so this is m sequential
+    kmeans_fit jobs — each ONE pass over the embeddings per iteration
+    with ≤ kc×partitions aggregate rows and kc×(d/m) ints to the
+    driver; nothing corpus-sized ever leaves the executors."""
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_fit: empty embeddings")
+    d = len(first[0])
+    if m < 1 or d % m:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for s in range(m):
+        subdf = embeddings.select(
+            id_col, F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
+        )
+        cb, _assigned = kmeans_fit(
+            subdf, k=kc, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        books.append(cb)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): per-subspace nearest-codeword index — m
+    pure distance-array projections over the micros vector (the same
+    codegen expression :func:`kmeans_assign` plans), no join and no
+    shuffle; the m-int code replaces the d-dim vector downstream (the
+    compression that lets a 100 TB embedding corpus fit a scan)."""
+    sub = len(codebooks[0][0])
+    iv = _int_vec(vec_col)
+    cols = []
+    for s, cb in enumerate(codebooks):
+        arr = _dist2_array(F.slice(iv, s * sub + 1, sub), cb)
+        cols.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+    return embeddings.select(id_col, F.array(*cols).alias("codes"))
+
+
+def topk_pq(
+    candidates: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_limit: int = QUERY_COLLECT_LIMIT,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): candidates
+    carry only their m-int codes (:func:`pq_encode`, a projection);
+    each query's m×kc table of EXACT integer sub-distances to every
+    codeword is computed once from the bounded query collect (same cap
+    + loud fallback posture as :func:`topk_bruteforce`) and broadcast
+    as a flat array column; the approximate distance is an m-term JVM
+    fold of table lookups — zero Python in the candidate path — and
+    one window ranks per query (output-bounded |Q|·N broadcast-NLJ,
+    the :func:`topk_quantized` shape).
+
+    Output: (query_id, neighbor_id, dist2, rank) — dist2 the exact
+    integer ADC distance in micros², rank 1..k, ties by neighbor_id.
+    """
+    import numpy as np
+
+    m, kc = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _int_vec(vec_col).alias("_iv")
+        )
+        .limit(query_limit + 1)
+        .collect()
+    )
+    if len(q_rows) > query_limit:
+        raise ValueError(
+            f"topk_pq: queries exceed query_limit={query_limit}; a "
+            "corpus-sized query side is O(|Q|·|C|) however scheduled — "
+            "use ann_lsh or raise query_limit explicitly"
+        )
+    spark = candidates.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, dist2 long, rank int"
+        )
+    cb = np.asarray(codebooks, dtype=np.int64)  # (m, kc, sub)
+    qdf = spark.createDataFrame(
+        [
+            (
+                int(r.query_id),
+                [
+                    int(v)
+                    for v in (
+                        (
+                            np.asarray(r._iv, dtype=np.int64).reshape(m, sub)[
+                                :, None, :
+                            ]
+                            - cb
+                        )
+                        ** 2
+                    )
+                    .sum(axis=2)
+                    .ravel()
+                ],
+            )
+            for r in q_rows
+        ],
+        "query_id long, _tbl array<bigint>",
+    )
+    enc = pq_encode(candidates, codebooks, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    joined = enc.crossJoin(F.broadcast(qdf)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("_tbl"),
+            (s * kc + F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 8,

@@ -306,13 +306,16 @@ PRIORITY: tuple[str, ...] = (
     # run-length decode), and multimodal_decode_jpeg_multiscan
     # (non-interleaved SOF0 scan loop), and
     # multimodal_orientation_normalize (the upright-transform pass,
-    # position-weighted-checksum gate). The r12 audio_features row
+    # position-weighted-checksum gate), and similarity_pq_gate (E3
+    # product quantization: integer-Lloyd codebooks + ADC search,
+    # derived-oracle verdict row). The r12 audio_features row
     # already covers the late-r12 PCM8/extensible-WAV decode paths
     # in-gate.
     "multimodal_exif_orientation",
     "multimodal_decode_bmp_rle",
     "multimodal_decode_jpeg_multiscan",
     "multimodal_orientation_normalize",
+    "similarity_pq_gate",
     # r10 head names displaced in r11 retained below for provenance;
     # their r10 rows stand (crs.py/graph.py unchanged since).
     "crs_reproject_utm",

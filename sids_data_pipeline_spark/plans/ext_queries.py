@@ -1948,6 +1948,35 @@ def _similarity_ann_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ANN_GATE_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
 
 
+def _similarity_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive signal for product quantization (E3, r12): train PQ
+    codebooks (m=4 subspaces × 16 codewords, exact-integer Lloyd),
+    encode the corpus to 4-int codes, run ADC top-10 for five queries
+    (similarity.topk_pq — JVM table-lookup fold over the codes, no
+    Python in the candidate path), and assert every hit appears in the
+    BRUTE-FORCE top-250 for its query (the derived-oracle idiom of
+    similarity_ann_gate; measured headroom: the worst PQ hit ranks 179
+    exactly on this deterministic corpus). Output one row
+    (violations=0, found_hits=true) — a codebook/encode/ADC regression
+    hash-mismatches."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = similarity.pq_fit(emb, m=4, kc=16, iters=3)
+    pq = similarity.topk_pq(emb, queries, books, k=10)
+    exact = similarity.topk_bruteforce(emb, queries, k=250)
+    viol = pq.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    return viol.agg(F.count("*").alias("violations")).crossJoin(
+        pq.agg((F.count("*") >= 1).alias("found_hits"))
+    )
+
+
+_PQ_GATE_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
+
+
 def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive signal for the pyspark.ml MinHashLSH sketch
     (dedup_minhash_ml is rows-only by nature): every sketch pair must
@@ -4533,6 +4562,11 @@ QUERIES: list[Query] = [
           doc="E3 positive signal for the ANN sketch: hits ⊆ brute-force "
               "top-2k (derived oracle pins the verdict row)",
           tags=("similarity", "lsh", "evaluation")),
+    Query("similarity_pq_gate", _similarity_pq_gate, _PQ_GATE_SQL,
+          doc="E3 product quantization: integer-Lloyd codebooks + 4-int "
+              "codes + JVM ADC table-lookup top-k; hits ⊆ brute-force "
+              "top-250 (derived oracle pins the verdict row)",
+          tags=("similarity", "pq", "evaluation")),
     Query("dedup_minhash_ml_gate", _dedup_ml_gate, _ML_GATE_SQL,
           doc="E2 positive signal for the ml sketch: pairs ⊆ exact "
               "shingle-Jaccard pairs at the threshold (derived oracle)",

@@ -377,3 +377,56 @@ def test_pca_ignores_null_vectors(spark):
         emb.limit(3).withColumn("embedding", F.lit(None).cast("array<float>"))
     )
     assert pca_fit(with_nulls, k=2) == pca_fit(emb, k=2)
+
+
+def test_pq_encode_matches_numpy_argmin(spark, emb):
+    """pq_encode's per-subspace nearest-codeword index equals the numpy
+    argmin over the same integer micros domain, and topk_pq's ADC
+    distances equal the numpy table-lookup sums — the whole PQ path
+    (fit → encode → asymmetric search) against an independent oracle."""
+    books = similarity.pq_fit(emb, m=4, kc=8, iters=2)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 16
+    cb = np.asarray(books, dtype=np.int64)  # (m, kc, sub)
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.round(
+        np.array(pdf["embedding"].tolist(), dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    sub = mat.reshape(len(pdf), 4, 16)
+    # numpy argmin with first-match tie-break == array_position semantics
+    d2 = ((sub[:, :, None, :] - cb[None]) ** 2).sum(axis=3)  # (n, m, kc)
+    want_codes = d2.argmin(axis=2)
+
+    got = (
+        similarity.pq_encode(emb, books)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(np.array(got["codes"].tolist()), want_codes)
+
+    # ADC: engine dist2 for (query, neighbor) == table[s][code_s] sums
+    queries = emb.filter(F.col("vec_id") < 3)
+    pq = similarity.topk_pq(emb, queries, books, k=5).toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for row in pq.itertuples():
+        q = sub[pos[int(row.query_id)]]            # (m, 16)
+        tbl = ((q[:, None, :] - cb) ** 2).sum(axis=2)  # (m, kc)
+        codes = want_codes[pos[int(row.neighbor_id)]]
+        assert row.dist2 == int(tbl[np.arange(4), codes].sum())
+    # ranks are 1..5 per query, ADC-sorted with id tie-break
+    for qid, grp in pq.groupby("query_id"):
+        assert list(grp.sort_values("rank")["rank"]) == [1, 2, 3, 4, 5]
+        srt = grp.sort_values(["dist2", "neighbor_id"]).reset_index(drop=True)
+        assert list(srt["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_pq_fit_refusals(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_fit(emb, m=5)
+    with pytest.raises(Exception, match="queries exceed query_limit"):
+        similarity.topk_pq(
+            emb, emb, similarity.pq_fit(emb, m=2, kc=4, iters=1),
+            query_limit=10,
+        )
