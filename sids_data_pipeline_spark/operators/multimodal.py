@@ -570,7 +570,11 @@ def normalize_orientation(assets: DataFrame) -> DataFrame:
                         "not a JPEG"
                     )
                 arr, _meta = icodec.jpeg_decode(data)
-                o = icodec.jpeg_exif(data)["orientation"] or 1
+                o = icodec.jpeg_exif(data)["orientation"]
+                # absent tag defaults upright; a PRESENT tag outside
+                # 1..8 (e.g. the common in-the-wild 0) refuses inside
+                # apply_exif_orientation rather than silently passing
+                o = 1 if o is None else o
                 up = icodec.apply_exif_orientation(arr, o)
                 h, w = up.shape[:2]
                 weight = 1 + 3 * np.arange(w)[None, :] + 7 * np.arange(h)[:, None]

@@ -67,6 +67,22 @@ def cosine(dot: Column, norm2_a: Column, norm2_b: Column) -> Column:
 QUERY_COLLECT_LIMIT = 100_000  # ~100k × (id + few-hundred-dim int64) rows
 
 
+def _require_integral_ids(op: str, id_col: str, **frames: DataFrame) -> None:
+    """The broadcast matrices and output schemas are int64: refuse
+    string ids up front with the documented remedy rather than crashing
+    deep in a numpy/py4j conversion."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    for side, df in frames.items():
+        idt = df.schema[id_col].dataType
+        if not isinstance(idt, (ByteType, ShortType, IntegerType, LongType)):
+            raise ValueError(
+                f"{op}: {side}.{id_col} must be integral "
+                f"(got {idt.simpleString()}); map string ids to int64 "
+                "first (e.g. xxhash64 or a dictionary join)"
+            )
+
+
 def topk_bruteforce(
     candidates: DataFrame,
     queries: DataFrame,
@@ -108,16 +124,10 @@ def topk_bruteforce(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
-    for side, df in (("queries", queries), ("candidates", candidates)):
-        idt = df.schema[id_col].dataType
-        if not isinstance(idt, (ByteType, ShortType, IntegerType, LongType)):
-            raise ValueError(
-                f"topk_bruteforce: {side}.{id_col} must be integral "
-                f"(got {idt.simpleString()}); map string ids to int64 "
-                "first (e.g. xxhash64 or a dictionary join)"
-            )
+    _require_integral_ids(
+        "topk_bruteforce", id_col, queries=queries, candidates=candidates
+    )
 
     q_rows = (
         with_norm(queries, vec_col)
@@ -674,14 +684,95 @@ def pq_encode(
     pure distance-array projections over the micros vector (the same
     codegen expression :func:`kmeans_assign` plans), no join and no
     shuffle; the m-int code replaces the d-dim vector downstream (the
-    compression that lets a 100 TB embedding corpus fit a scan)."""
+    compression that lets a 100 TB embedding corpus fit a scan).
+    A vector whose width differs from the codebooks' m·(d/m) raises
+    executor-side by name — slicing past a short array would otherwise
+    emit silent null codes."""
+    m = len(codebooks)
     sub = len(codebooks[0][0])
+    d = m * sub
     iv = _int_vec(vec_col)
+    checked = F.when(F.size(iv) == d, iv).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq_encode: embedding width "),
+                F.size(iv).cast("string"),
+                F.lit(f" != codebook width {d}"),
+            )
+        )
+    )
     cols = []
     for s, cb in enumerate(codebooks):
-        arr = _dist2_array(F.slice(iv, s * sub + 1, sub), cb)
+        arr = _dist2_array(F.slice(checked, s * sub + 1, sub), cb)
         cols.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
     return embeddings.select(id_col, F.array(*cols).alias("codes"))
+
+
+def pq_reconstruct(
+    encoded: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Decompress (id, codes) back to an approximate embedding: the
+    concatenation of each subspace's selected codeword (PQ's decoder).
+    One JVM projection — the codebooks fold in as nested array
+    literals, m element_at lookups + concat per row. The output is the
+    micros codewords divided back to the float domain, so it round
+    trips exactly through the module's ×1e6 quantization (|micros| ≪
+    2⁵², so round(x/1e6·1e6) recovers the integer). By construction
+    ‖q − reconstruct(x)‖² equals :func:`topk_pq`'s ADC distance — the
+    identity the PQ gate pins."""
+    parts = []
+    for s, cb in enumerate(codebooks):
+        lit_cb = F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in cb])
+        parts.append(
+            F.element_at(lit_cb, F.element_at("codes", s + 1) + 1)
+        )
+    recon = F.transform(
+        F.concat(*parts), lambda x: x.cast("double") / MICROS
+    )
+    return encoded.select(id_col, recon.alias(out_col))
+
+
+def topk_l2(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by squared Euclidean distance in the integer micros
+    domain — the exact counterpart of :func:`topk_pq`'s asymmetric
+    approximation (PQ approximates L2, NOT cosine; gating PQ against a
+    cosine ranking mixes metrics and fails on norm outliers). Entirely
+    JVM-side: broadcast-NLJ over the (small) query set, integer fold
+    distance, one window per query — the :func:`topk_quantized` shape.
+    Output: (query_id, neighbor_id, dist2, rank), ties by neighbor_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _int_vec(vec_col).alias("_qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), _int_vec(vec_col).alias("_cv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
 
 
 def topk_pq(
@@ -708,6 +799,9 @@ def topk_pq(
     """
     import numpy as np
 
+    _require_integral_ids(
+        "topk_pq", id_col, queries=queries, candidates=candidates
+    )
     m, kc = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
     q_rows = (

