@@ -64,10 +64,12 @@ _ADAM7 = (
 
 
 def sniff(data: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'png'|'jpeg'|'gif'|'bmp'|'wav',
-    or None for anything unrecognized (the caller's documented-fallback
-    path). BMP and WAV require a second structural check beyond the
-    2–4 byte magic so arbitrary text payloads can't false-positive."""
+    """Identify a payload by magic bytes:
+    'png'|'jpeg'|'gif'|'bmp'|'wav'|'tiff', or None for anything
+    unrecognized (the caller's documented-fallback path). BMP and WAV
+    require a second structural check beyond the 2–4 byte magic so
+    arbitrary text payloads can't false-positive; TIFF requires the
+    full 4-byte byte-order + version word (classic 42 or BigTIFF 43)."""
     if data[:8] == _PNG_MAGIC:
         return "png"
     if data[:3] == b"\xff\xd8\xff":
@@ -80,6 +82,11 @@ def sniff(data: bytes) -> str | None:
             return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] in (
+        b"II\x2a\x00", b"MM\x00\x2a",  # classic TIFF
+        b"II\x2b\x00", b"MM\x00\x2b",  # BigTIFF
+    ):
+        return "tiff"
     return None
 
 

@@ -364,6 +364,55 @@ def synth_bmp_rle_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
     )
 
 
+def synth_tiff_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
+    """Deterministic plain-TIFF fixture through the GeoTIFF writer
+    (camera/scan TIFFs share the container; the geo tags along for the
+    ride are ignored by image consumers): every ``modulus``-th document
+    becomes a uint8 chunky TIFF with bands = doc_id%3+1,
+    w = doc_id%13+2, h = doc_id%7+2, sample v(b, x, y) =
+    (5·doc_id + 11b + 3x + 7y) mod 256, and the compression cycling
+    raw/deflate/PackBits/LZW by doc_id%4 — all four decompressors
+    in-gate. The DuckDB oracle recomputes dims and Σv in closed form
+    (plans/ext_queries.py `multimodal_decode_tiff`)."""
+    import numpy as np
+
+    from sids_data_pipeline_spark.sources import geotiff
+
+    comps = (None, "deflate", "packbits", "lzw")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nb, w, h = did % 3 + 1, did % 13 + 2, did % 7 + 2
+                b = np.arange(nb)[:, None, None]
+                y = np.arange(h)[None, :, None]
+                x = np.arange(w)[None, None, :]
+                vals = ((did * 5 + 11 * b + 3 * x + 7 * y) % 256).astype(
+                    np.float64
+                )
+                rows.append(
+                    {
+                        "asset_id": did,
+                        "modality": "image",
+                        "payload": geotiff.encode_geotiff(
+                            vals, 0.0, 0.0, 1.0, dtype="u1",
+                            compress=comps[did % 4],
+                        ),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "modality", "payload"]
+            )
+
+    return (
+        docs.filter(F.col("doc_id") % modulus == 0)
+        .select("doc_id")
+        .mapInPandas(synth, "asset_id long, modality string, payload binary")
+    )
+
+
 def decode_audio(assets: DataFrame) -> DataFrame:
     """Full audio decode: WAV payload → (sample_rate, channels,
     n_samples, duration_ms, sample_sum) where sample_sum is the sum of
@@ -647,6 +696,14 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
             "height": info["channels"],
             "n_frames": min(info["n_samples"], 2**31 - 1),
         }
+    if fmt == "tiff":
+        from sids_data_pipeline_spark.sources import geotiff
+
+        bands, _transform, _nodata = geotiff.decode_geotiff_bands(
+            bytes(payload)
+        )
+        _c, h, w = bands.shape
+        return {"n_bytes": n, "width": w, "height": h, "n_frames": 1}
     # documented fallback: unrecognized bytes -> deterministic
     # length-derived pseudo-features (keeps plumbing oracles SQL-exact)
     return {
@@ -692,14 +749,16 @@ def decode_images(assets: DataFrame) -> DataFrame:
     value-level proof that unfiltering reconstructed the exact pixels
     (a header parse can fake dims; it cannot fake the sum).
 
-    PNG, JPEG (baseline sequential and progressive SOF2) and
-    uncompressed BMP payloads decode fully; other
-    recognized image formats would need their own pixel decoders and are
-    refused loudly (ValueError naming the format) rather than silently
-    header-parsed — this operator's contract is PIXELS. Unrecognized
-    payloads are refused too: route those through
+    PNG, JPEG (baseline sequential and progressive SOF2), BMP
+    (uncompressed + RLE8) and integer-sampled TIFF (via the GeoTIFF
+    codec — camera/scan TIFFs share the container) payloads decode
+    fully; other recognized image formats would need their own pixel
+    decoders and are refused loudly (ValueError naming the format)
+    rather than silently header-parsed — this operator's contract is
+    PIXELS. Unrecognized payloads are refused too: route those through
     :func:`extract_features`.
     """
+    import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -713,11 +772,31 @@ def decode_images(assets: DataFrame) -> DataFrame:
                     arr, meta = icodec.bmp_decode(data)
                 elif fmt == "jpeg":
                     arr, meta = icodec.jpeg_decode(data)
+                elif fmt == "tiff":
+                    # camera/scan TIFFs share the GeoTIFF container: the
+                    # pure-numpy codec (strips+tiles, raw/deflate/LZW/
+                    # PackBits/ZSTD, chunky+planar) decodes them whether
+                    # or not geo tags are present
+                    from sids_data_pipeline_spark.sources import geotiff
+
+                    bands, _tr, _nd = geotiff.decode_geotiff_bands(data)
+                    if not np.equal(np.floor(bands), bands).all():
+                        raise ValueError(
+                            f"decode_images: asset {aid}: float-sampled "
+                            "TIFF has no exact integer pixel_sum — use "
+                            "sources.geotiff.decode_geotiff_bands directly"
+                        )
+                    arr = np.moveaxis(bands, 0, 2)
+                    meta = {
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "channels": arr.shape[2],
+                    }
                 else:
                     raise ValueError(
                         f"decode_images: asset {aid}: pixel decode only "
-                        f"implemented for png/jpeg/bmp, got {fmt!r} — use "
-                        "extract_features for header-level metadata"
+                        f"implemented for png/jpeg/bmp/tiff, got {fmt!r} — "
+                        "use extract_features for header-level metadata"
                     )
                 rows.append(
                     {

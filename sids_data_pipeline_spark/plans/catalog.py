@@ -308,7 +308,9 @@ PRIORITY: tuple[str, ...] = (
     # multimodal_orientation_normalize (the upright-transform pass,
     # position-weighted-checksum gate), and similarity_pq_gate (E3
     # product quantization: integer-Lloyd codebooks + ADC search,
-    # derived-oracle verdict row). The r12 audio_features row
+    # derived-oracle verdict row), and multimodal_decode_tiff (plain
+    # TIFFs through the GeoTIFF codec, four compressions in-gate).
+    # The r12 audio_features row
     # already covers the late-r12 PCM8/extensible-WAV decode paths
     # in-gate.
     "multimodal_exif_orientation",
@@ -316,6 +318,7 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_decode_jpeg_multiscan",
     "multimodal_orientation_normalize",
     "similarity_pq_gate",
+    "multimodal_decode_tiff",
     # r10 head names displaced in r11 retained below for provenance;
     # their r10 rows stand (crs.py/graph.py unchanged since).
     "crs_reproject_utm",

@@ -2832,6 +2832,39 @@ FROM px GROUP BY doc_id, o, w1, h1
 """
 
 
+def _multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-TIFF image decode (E4, r12): camera/scan TIFFs ride the
+    GeoTIFF container, so decode_images routes them through the
+    pure-numpy codec (sources/geotiff.py — strips, chunky layout,
+    raw/deflate/PackBits/LZW all cycled in-gate) and verifies dims plus
+    the decoded sample sum against the closed form — four independent
+    decompressors feed one pixel oracle."""
+    (docs,) = tables(spark, sf_dir, "documents")
+    return multimodal.decode_images(
+        multimodal.synth_tiff_assets(docs, modulus=7)
+    )
+
+
+# synth formula (multimodal.synth_tiff_assets): v(b, x, y) =
+# (5·doc_id + 11b + 3x + 7y) mod 256 over bands = doc_id%3+1,
+# w = doc_id%13+2, h = doc_id%7+2.
+_MULTIMODAL_DECODE_TIFF_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 + 1 AS nb, doc_id % 13 + 2 AS w,
+         doc_id % 7 + 2 AS h
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id AS asset_id, 'tiff' AS format,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(nb AS INT) AS channels,
+       CAST(SUM((doc_id*5 + 11*b.v + 3*x.v + 7*y.v) % 256) AS BIGINT)
+         AS pixel_sum
+FROM d, range(3) b(v), range(15) x(v), range(9) y(v)
+WHERE b.v < nb AND x.v < w AND y.v < h
+GROUP BY doc_id, nb, w, h
+"""
+
+
 def _multimodal_decode_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RLE8 BMP codec round trip (E4, r12): synthesize BI_RLE8
     compressed BMPs executor-side (run-length coded index planes,
@@ -4694,6 +4727,13 @@ QUERIES: list[Query] = [
               "SOF0 scans (one per component, 4:2:0 on even ids) -> "
               "sequential scan-loop decode -> pixel sums vs the 3x "
               "gray closed form (exact via DC rounding)",
+          tags=("multimodal", "codec")),
+    Query("multimodal_decode_tiff", _multimodal_decode_tiff,
+          _MULTIMODAL_DECODE_TIFF_SQL,
+          doc="E4 plain-TIFF decode through the GeoTIFF codec: "
+              "raw/deflate/PackBits/LZW chunky uint8 -> dims + sample "
+              "sums vs closed-form oracle (camera TIFFs share the "
+              "container)",
           tags=("multimodal", "codec")),
     Query("multimodal_decode_bmp_rle", _multimodal_decode_bmp_rle,
           _MULTIMODAL_DECODE_BMP_RLE_SQL,

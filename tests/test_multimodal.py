@@ -370,3 +370,55 @@ def test_decode_images_jpeg_progressive_route(spark, sf_dir):
         return r.asset_id
 
     assert sorted(base, key=key) == sorted(prog, key=key)
+
+
+def test_decode_images_tiff_route(spark, sf_dir):
+    """Plain TIFFs route through the GeoTIFF codec: all four
+    compressions round-trip with exact sample sums; float-sampled
+    TIFFs refuse by name (no exact integer pixel_sum)."""
+    import numpy as np
+    import pandas as pd
+
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+    from sids_data_pipeline_spark.sources import geotiff as gt
+
+    docs = load_table(spark, "documents", sf_dir)
+    rows = multimodal.decode_images(
+        multimodal.synth_tiff_assets(docs, modulus=13)
+    ).collect()
+    for r in rows:
+        did = r.asset_id
+        nb, w, h = did % 3 + 1, did % 13 + 2, did % 7 + 2
+        b = np.arange(nb)[:, None, None]
+        y = np.arange(h)[None, :, None]
+        x = np.arange(w)[None, None, :]
+        want = int(((did * 5 + 11 * b + 3 * x + 7 * y) % 256).sum())
+        assert (r.format, r.width, r.height, r.channels) == ("tiff", w, h, nb)
+        assert r.pixel_sum == want
+    # float samples refuse by name
+    fl = gt.encode_geotiff(
+        np.array([[0.5, 1.25]]), 0.0, 0.0, 1.0, dtype="f8"
+    )
+    assert ic.sniff(fl) == "tiff"
+    bad = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "payload": [fl]})
+    )
+    with pytest.raises(Exception, match="float-sampled TIFF"):
+        multimodal.decode_images(bad).collect()
+    # extract_features reports real dims for tiff payloads
+    feats = multimodal.extract_features(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "asset_id": [2],
+                    "modality": ["image"],
+                    "payload": [
+                        gt.encode_geotiff(
+                            np.zeros((3, 4)), 0.0, 0.0, 1.0, dtype="u1"
+                        )
+                    ],
+                }
+            )
+        )
+    ).collect()[0]
+    assert (feats.width, feats.height, feats.n_frames) == (4, 3, 1)
