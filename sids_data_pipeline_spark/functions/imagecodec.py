@@ -603,7 +603,14 @@ def jpeg_exif(data: bytes) -> dict:
             raise ValueError(
                 f"jpeg: segment 0x{marker:02x} truncated in EXIF walk"
             )
-        if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+        if (
+            marker == 0xE1
+            and data[pos + 4 : pos + 10] == b"Exif\x00\x00"
+            and exif is None
+        ):
+            # EXIF spec (JEITA CP-3451 §4.5.4): the FIRST APP1 Exif
+            # segment is authoritative; editors that append a second
+            # copy leave a stale duplicate that must not win
             exif = _exif_parse_tiff(data[pos + 10 : pos + 2 + seglen])
         elif marker in (0xC0, 0xC1, 0xC2) and seglen >= 8:
             h, w = struct.unpack_from(">HH", data, pos + 5)
@@ -2687,6 +2694,15 @@ def wav_encode(
         audio_fmt, width = 1, 1
         body = s.tobytes()
     else:
+        if a.dtype != np.int16:
+            # mirror the float guard: any other integer dtype (int32
+            # without bits=24, int64 from a plain python list, …) would
+            # silently wrap through astype('<i2') and corrupt samples
+            raise ValueError(
+                f"wav_encode: integer samples must be uint8 (PCM8), "
+                f"int16 (PCM16), or int32 with bits=24 (PCM24); got "
+                f"dtype {a.dtype} with bits={bits}"
+            )
         s = np.asarray(samples, dtype="<i2")
         if s.ndim == 1:
             s = s[:, None]

@@ -699,11 +699,21 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
     if fmt == "tiff":
         from sids_data_pipeline_spark.sources import geotiff
 
-        bands, _transform, _nodata = geotiff.decode_geotiff_bands(
-            bytes(payload)
-        )
-        _c, h, w = bands.shape
-        return {"n_bytes": n, "width": w, "height": h, "n_frames": 1}
+        try:
+            bands, _transform, _nodata = geotiff.decode_geotiff_bands(
+                bytes(payload)
+            )
+        except Exception:
+            # a 4-byte magic match is not a decodable file: scraped
+            # corpora carry JPEG-compressed / truncated TIFFs the codec
+            # refuses by name — the SURVEY contract for this operator is
+            # total coverage, so they take the unrecognized-bytes
+            # fallback below instead of poison-pilling the Arrow batch
+            # (decode_images keeps the loud refusal; this path profiles)
+            pass
+        else:
+            _c, h, w = bands.shape
+            return {"n_bytes": n, "width": w, "height": h, "n_frames": 1}
     # documented fallback: unrecognized bytes -> deterministic
     # length-derived pseudo-features (keeps plumbing oracles SQL-exact)
     return {

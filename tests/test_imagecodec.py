@@ -1383,3 +1383,36 @@ def test_apply_exif_orientation_matches_rot90():
         ic.apply_exif_orientation(a, 8), np.rot90(a, k=1, axes=(0, 1))
     )
     assert np.array_equal(ic.apply_exif_orientation(a, 3), np.rot90(a, k=2, axes=(0, 1)))
+
+
+def test_jpeg_exif_first_app1_wins():
+    """ADVICE r12: the EXIF spec (JEITA CP-3451 §4.5.4) makes the FIRST
+    APP1 Exif segment authoritative; an editor that appends a fresh
+    segment without stripping the stale one must not have the stale
+    (later) copy override the original."""
+    ones = np.ones(64, dtype=np.int64)
+    base = ic.jpeg_encode(np.full((8, 16), 77, dtype=np.uint8),
+                          quant_tables=(ones, ones))
+    two = base[:2] + ic.exif_app1(6, "II") + ic.exif_app1(1, "MM") + base[2:]
+    got = ic.jpeg_exif(two)
+    assert got["orientation"] == 6
+    assert got["byte_order"] == "II"
+
+
+def test_wav_encode_refuses_stray_integer_dtypes_by_name():
+    """ADVICE r12: integer dtypes outside the documented format map
+    (uint8 / int16 / int32-with-bits=24) used to silently wrap through
+    astype('<i2'); now they refuse by name like the float guard."""
+    with pytest.raises(ValueError, match="int64"):
+        ic.wav_encode(np.array([1, 2, 70000]))  # list-default int64
+    with pytest.raises(ValueError, match="int32"):
+        ic.wav_encode(np.array([1 << 20], dtype=np.int32))  # no bits=24
+    with pytest.raises(ValueError, match="uint16"):
+        ic.wav_encode(np.array([9], dtype=np.uint16))
+    # the documented map still routes
+    assert ic.wav_info(ic.wav_encode(
+        np.array([5, -5], dtype=np.int16)))["bits_per_sample"] == 16
+    assert ic.wav_info(ic.wav_encode(
+        np.array([5, 250], dtype=np.uint8)))["bits_per_sample"] == 8
+    assert ic.wav_info(ic.wav_encode(
+        np.array([1 << 20], dtype=np.int32), bits=24))["bits_per_sample"] == 24

@@ -422,3 +422,27 @@ def test_decode_images_tiff_route(spark, sf_dir):
         )
     ).collect()[0]
     assert (feats.width, feats.height, feats.n_frames) == (4, 3, 1)
+
+
+def test_extract_features_undecodable_tiff_takes_fallback(spark):
+    """ADVICE r12: a 4-byte TIFF magic match whose body the codec can't
+    parse (truncated / JPEG-compressed TIFFs common in scraped corpora)
+    must profile through the unrecognized-bytes fallback instead of
+    poison-pilling the Arrow batch. decode_images keeps the loud refusal
+    (pinned elsewhere); extract_features is the total-coverage profiler."""
+    from sids_data_pipeline_spark.functions import imagecodec as ic
+
+    truncated = b"II\x2a\x00" + b"\x01\x02\x03"  # magic, garbage body
+    good = ic.png_encode(ic.synth_image(3, 6, 5, 1))
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(truncated)), (2, "image", bytearray(good))],
+        "asset_id long, modality string, payload binary",
+    )
+    feats = {
+        r["asset_id"]: r for r in multimodal.extract_features(df).collect()
+    }
+    n = len(truncated)
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["n_frames"]) == (
+        n % 640, (n * 7) % 480, n % 24 + 1,
+    )
+    assert (feats[2]["width"], feats[2]["height"]) == (6, 5)
