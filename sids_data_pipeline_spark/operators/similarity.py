@@ -872,6 +872,261 @@ def topk_pq(
     )
 
 
+def _centroid_literal(centroids: list[list[int]]) -> Column:
+    """The coarse-centroid matrix as one nested array literal (kcoarse×d
+    ints folded into whole-stage codegen — the same shape
+    :func:`_dist2_array` plans, reused by every IVF-PQ projection)."""
+    return F.array(
+        *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in centroids]
+    )
+
+
+def _cell_col(iv: Column, centroids: list[list[int]]) -> Column:
+    """Nearest-coarse-centroid index (ties to the lowest cell — the
+    :func:`kmeans_assign` rule, restated here so encode/search/gate all
+    share one assignment definition)."""
+    arr = _dist2_array(iv, centroids)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def ivf_pq_fit(
+    embeddings: DataFrame,
+    kcoarse: int = 8,
+    m: int = 4,
+    kc: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[int]], list[list[list[int]]]]:
+    """Train the IVF-ADC index of Jégou et al. (TPAMI 2011 §V): a coarse
+    quantizer (:func:`kmeans_fit`, kcoarse cells) plus PQ codebooks
+    trained on the RESIDUALS x − centroid[cell(x)] — residual energy is
+    what the sub-quantizers should spend their codewords on, not the
+    coarse structure the inverted file already captures. Returns
+    (centroids, codebooks), both exact-integer micros artifacts.
+
+    Scale shape: one Lloyd job for the coarse quantizer + m Lloyd jobs
+    over a residual PROJECTION (cell assignment and subtraction fold
+    into the scan — no join, no shuffle, no materialized residual
+    corpus); only k×d-int matrices ever reach the driver."""
+    centroids, _assigned = kmeans_fit(
+        embeddings, k=kcoarse, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    iv = _int_vec(vec_col)
+    resid = F.zip_with(
+        iv,
+        F.element_at(_centroid_literal(centroids), _cell_col(iv, centroids) + 1),
+        lambda a, b: a - b,
+    )
+    # hand pq_fit the residuals in the float domain: |micros| ≪ 2⁵², so
+    # its own ×1e6 quantization round-trips the integers exactly
+    resid_df = embeddings.select(
+        id_col,
+        F.transform(resid, lambda x: x.cast("double") / MICROS).alias(vec_col),
+    )
+    books = pq_fit(
+        resid_df, m=m, kc=kc, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, books
+
+
+def ivf_pq_encode(
+    embeddings: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell int, codes array<int>): the inverted-list assignment and
+    the residual PQ codes in ONE shuffle-free whole-stage-codegen
+    projection — the index a 100 TB embedding corpus stores instead of
+    its vectors (4 + m ints per row). Width mismatches raise by name
+    (the :func:`pq_encode` posture)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    d = m * sub
+    iv = _int_vec(vec_col)
+    checked = F.when(F.size(iv) == d, iv).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("ivf_pq_encode: embedding width "),
+                F.size(iv).cast("string"),
+                F.lit(f" != codebook width {d}"),
+            )
+        )
+    )
+    cell = _cell_col(checked, centroids)
+    riv = F.zip_with(
+        checked,
+        F.element_at(_centroid_literal(centroids), cell + 1),
+        lambda a, b: a - b,
+    )
+    codes = []
+    for s, cb in enumerate(codebooks):
+        arr = _dist2_array(F.slice(riv, s * sub + 1, sub), cb)
+        codes.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
+    return embeddings.select(
+        id_col, cell.alias("cell"), F.array(*codes).alias("codes")
+    )
+
+
+def ivf_pq_reconstruct(
+    encoded: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Decompress (id, cell, codes) to the IVF-ADC approximation
+    x̂ = centroid[cell] + concat(codewords[codes]) — back in the float
+    domain via the exact ×1e6 round trip. By construction
+    ‖q − x̂‖² equals :func:`topk_ivf_pq`'s ADC distance (the residual
+    form of the :func:`pq_reconstruct` identity), which is what the
+    similarity_ivf_pq gate pins. Output keeps ``cell`` so the exact
+    twin can replay the probe restriction."""
+    parts = []
+    for s, cb in enumerate(codebooks):
+        lit_cb = F.array(*[F.array(*[F.lit(v) for v in cw]) for cw in cb])
+        parts.append(F.element_at(lit_cb, F.element_at("codes", s + 1) + 1))
+    recon = F.zip_with(
+        F.element_at(_centroid_literal(centroids), F.col("cell") + 1),
+        F.concat(*parts),
+        lambda c, r: c + r,
+    )
+    return encoded.select(
+        id_col,
+        "cell",
+        F.transform(recon, lambda x: x.cast("double") / MICROS).alias(out_col),
+    )
+
+
+def ivf_probe(
+    queries: DataFrame,
+    centroids: list[list[int]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cell, probe_rank): each query's ``nprobe`` nearest
+    coarse cells by exact integer L2, ties to the lowest cell — the
+    Spark-side statement of the probe rule :func:`topk_ivf_pq` applies
+    driver-side, so the gate can replay probe selection through an
+    independent engine path (posexplode + window over the same
+    distance-array expression)."""
+    arr = _dist2_array(_int_vec(vec_col), centroids)
+    ex = queries.select(
+        F.col(id_col).alias("query_id"), F.posexplode(arr).alias("cell", "_d2")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("cell").asc()
+    )
+    return (
+        ex.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", F.col("cell").cast("int").alias("cell"), "probe_rank")
+    )
+
+
+def topk_ivf_pq(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_limit: int = QUERY_COLLECT_LIMIT,
+) -> DataFrame:
+    """IVF-ADC search — the billion-scale composition of the inverted
+    file and product quantization (Jégou et al. TPAMI 2011 §V, the
+    FAISS ``IVFPQ`` shape): candidates carry (cell, codes) only
+    (:func:`ivf_pq_encode`); each query probes its ``nprobe`` nearest
+    coarse cells and gets ONE m×kc table of exact integer sub-distances
+    per probed cell, built from the query RESIDUAL q − centroid[cell]
+    (asymmetric distance, computed driver-side from the bounded query
+    collect — same cap + loud posture as :func:`topk_pq`); the scan is
+    a broadcast EQUI-join on ``cell`` — candidates outside the probed
+    cells are never read, the inverted-file property that makes the
+    search sub-linear — followed by the same zero-Python m-term ADC
+    fold and one window per query.
+
+    vs :func:`topk_pq`: the crossJoin over ALL candidates becomes an
+    equi-join over ~nprobe/kcoarse of them; vs :func:`topk_ivf`: the
+    probed candidates are m-int codes, not d-dim vectors. Output:
+    (query_id, neighbor_id, dist2, rank) — dist2 the exact integer ADC
+    distance in micros², ties by neighbor_id. Approximate by design:
+    neighbors outside the probed cells are unreachable (raise nprobe
+    to trade scan for recall)."""
+    import numpy as np
+
+    _require_integral_ids(
+        "topk_ivf_pq", id_col, queries=queries, candidates=candidates
+    )
+    m, kc = len(codebooks), len(codebooks[0])
+    sub = len(codebooks[0][0])
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _int_vec(vec_col).alias("_iv")
+        )
+        .limit(query_limit + 1)
+        .collect()
+    )
+    if len(q_rows) > query_limit:
+        raise ValueError(
+            f"topk_ivf_pq: queries exceed query_limit={query_limit}; a "
+            "corpus-sized query side is O(|Q|·nprobe) probe tables "
+            "however scheduled — use ann_lsh or raise query_limit "
+            "explicitly"
+        )
+    spark = candidates.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, dist2 long, rank int"
+        )
+    cent = np.asarray(centroids, dtype=np.int64)  # (kcoarse, d)
+    cb = np.asarray(codebooks, dtype=np.int64)  # (m, kc, sub)
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r._iv, dtype=np.int64)
+        d2 = ((qv[None, :] - cent) ** 2).sum(axis=1)
+        # ties to the lowest cell — the ivf_probe / kmeans_assign rule
+        order = np.lexsort((np.arange(d2.shape[0]), d2))[:nprobe]
+        for cell in order:
+            rq = (qv - cent[cell]).reshape(m, 1, sub)
+            tbl = ((rq - cb) ** 2).sum(axis=2).ravel()
+            probe_rows.append(
+                (int(r.query_id), int(cell), [int(v) for v in tbl])
+            )
+    qdf = spark.createDataFrame(
+        probe_rows, "query_id long, cell int, _tbl array<bigint>"
+    )
+    enc = ivf_pq_encode(
+        candidates, centroids, codebooks, id_col, vec_col
+    ).withColumnRenamed(id_col, "neighbor_id")
+    joined = enc.join(F.broadcast(qdf), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist2 = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("_tbl"),
+            (s * kc + F.element_at(F.col("codes"), s + 1) + 1).cast("int"),
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     k: int = 8,

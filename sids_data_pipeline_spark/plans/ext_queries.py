@@ -11,7 +11,7 @@ verification), not just a final count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sids_data_pipeline_spark.functions.hashing import (
@@ -1985,6 +1985,67 @@ def _similarity_pq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_GATE_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
+
+
+def _similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC (E3, r13 — the VERDICT r12 ask): compose the coarse
+    inverted file with residual product quantization (Jégou 2011 §V /
+    FAISS IVFPQ) and pin it with the residual form of the ADC identity.
+    Train (similarity.ivf_pq_fit: coarse Lloyd + m residual Lloyds),
+    search five queries over 2-of-4 probed cells (similarity.topk_ivf_pq
+    — numpy probe tables driver-side, broadcast equi-join on cell,
+    zero-Python ADC fold), then replay EVERYTHING through an independent
+    engine path: probe selection via Spark posexplode+window
+    (similarity.ivf_probe), candidates via reconstruction
+    x̂ = centroid[cell] + codewords (similarity.ivf_pq_reconstruct), and
+    the distance via an exact integer zip_with fold ‖q − x̂‖² that never
+    sees the lookup tables. ADC(q,x) = ‖q − x̂‖² exactly in integers, so
+    the two top-10s must match row-for-row including dist2 and rank; a
+    cell-assignment, probe-ordering, codebook, table, fold, ranking or
+    tie-break regression produces violations > 0 and hash-mismatches
+    the (0, true) verdict row."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids, books = similarity.ivf_pq_fit(emb, kcoarse=4, m=4, kc=8, iters=2)
+    ivf = similarity.topk_ivf_pq(emb, queries, centroids, books, k=10, nprobe=2)
+    enc = similarity.ivf_pq_encode(emb, centroids, books)
+    recon = similarity.ivf_pq_reconstruct(enc, centroids, books)
+    probed = similarity.ivf_probe(queries, centroids, nprobe=2)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        similarity._int_vec("embedding").alias("_qv"),
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("_qv"),
+            similarity._int_vec("embedding"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        recon.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(probed.join(q, "query_id")), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    viol = ivf.select(cols).join(exact, cols, "left_anti").unionAll(
+        exact.join(ivf.select(cols), cols, "left_anti")
+    )
+    return viol.agg(F.count("*").alias("violations")).crossJoin(
+        ivf.agg((F.count("*") >= 1).alias("found_hits"))
+    )
+
+
+_IVF_PQ_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
 
 
 def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4612,6 +4673,13 @@ QUERIES: list[Query] = [
               "top-10 must equal the reconstructed-corpus L2 top-10 "
               "row-for-row (derived oracle pins the verdict row)",
           tags=("similarity", "pq", "evaluation")),
+    Query("similarity_ivf_pq", _similarity_ivf_pq, _IVF_PQ_SQL,
+          doc="E3 IVF-ADC (Jégou 2011 §V): coarse inverted file + "
+              "residual PQ codes, nprobe broadcast equi-join on cell + "
+              "JVM ADC fold; pinned by the residual ADC identity against "
+              "an independent probe/reconstruct/zip_with replay "
+              "(derived oracle pins the verdict row)",
+          tags=("similarity", "pq", "ivf", "evaluation")),
     Query("dedup_minhash_ml_gate", _dedup_ml_gate, _ML_GATE_SQL,
           doc="E2 positive signal for the ml sketch: pairs ⊆ exact "
               "shingle-Jaccard pairs at the threshold (derived oracle)",

@@ -465,3 +465,94 @@ def test_pq_encode_refuses_width_mismatch(spark):
     )
     with pytest.raises(Exception, match="embedding width 3 != codebook width 4"):
         similarity.pq_encode(bad, books).collect()
+
+
+def test_ivf_pq_encode_matches_numpy(spark, emb):
+    """ivf_pq_encode's cell (coarse argmin) and codes (residual-subspace
+    argmin) both equal an independent numpy evaluation over the same
+    integer micros domain — the full IVF-ADC index build (Jégou 2011 §V)
+    against an oracle that never touches the engine expressions."""
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=4, m=4, kc=8, iters=2)
+    assert len(cents) == 4 and len(books) == 4 and len(books[0]) == 8
+    cent = np.asarray(cents, dtype=np.int64)
+    cb = np.asarray(books, dtype=np.int64)
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    iv = np.round(
+        np.array(pdf["embedding"].tolist(), dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    want_cell = ((iv[:, None, :] - cent[None]) ** 2).sum(axis=2).argmin(axis=1)
+    resid = iv - cent[want_cell]
+    sub = resid.reshape(len(pdf), 4, -1)
+    want_codes = ((sub[:, :, None, :] - cb[None]) ** 2).sum(axis=3).argmin(axis=2)
+
+    got = (
+        similarity.ivf_pq_encode(emb, cents, books)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(got["cell"].to_numpy(), want_cell)
+    assert np.array_equal(np.array(got["codes"].tolist()), want_codes)
+
+
+def test_ivf_pq_search_probes_and_adc_against_numpy(spark, emb):
+    """topk_ivf_pq end-to-end against numpy: (a) ivf_probe and the
+    driver-side probe pick the same nprobe cells in the same tie-break
+    order; (b) every returned neighbor lives in a probed cell (the
+    inverted-file property); (c) dist2 equals the exact integer
+    ‖q − (centroid[cell] + codewords)‖² — the residual ADC identity."""
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=4, m=4, kc=8, iters=2)
+    cent = np.asarray(cents, dtype=np.int64)
+    cb = np.asarray(books, dtype=np.int64)
+    queries = emb.filter(F.col("vec_id") < 3)
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    iv = np.round(
+        np.array(pdf["embedding"].tolist(), dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(pdf["vec_id"].to_numpy())}
+    cell_of = ((iv[:, None, :] - cent[None]) ** 2).sum(axis=2).argmin(axis=1)
+    resid = (iv - cent[cell_of]).reshape(len(pdf), 4, -1)
+    codes = ((resid[:, :, None, :] - cb[None]) ** 2).sum(axis=3).argmin(axis=2)
+    recon = cent[cell_of] + cb[np.arange(4)[None, :], codes].reshape(len(pdf), -1)
+
+    want_probe = {}
+    for qid in range(3):
+        d2 = ((iv[pos[qid]][None, :] - cent) ** 2).sum(axis=1)
+        want_probe[qid] = list(np.lexsort((np.arange(len(d2)), d2))[:2])
+    probe = similarity.ivf_probe(queries, cents, nprobe=2).collect()
+    got_probe = {}
+    for r in sorted(probe, key=lambda r: (r.query_id, r.probe_rank)):
+        got_probe.setdefault(int(r.query_id), []).append(int(r.cell))
+    assert got_probe == want_probe
+
+    res = similarity.topk_ivf_pq(emb, queries, cents, books, k=7, nprobe=2)
+    rows = res.collect()
+    assert {int(r.query_id) for r in rows} == {0, 1, 2}
+    for r in rows:
+        n = pos[int(r.neighbor_id)]
+        assert int(cell_of[n]) in want_probe[int(r.query_id)]
+        want = int(((iv[pos[int(r.query_id)]] - recon[n]) ** 2).sum())
+        assert int(r.dist2) == want
+    # per query: ranks are 1..7 and dist2-sorted with id tie-break
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(int(r.query_id), []).append(r)
+    for q, grp in by_q.items():
+        grp = sorted(grp, key=lambda r: r.rank)
+        assert [r.rank for r in grp] == list(range(1, 8))
+        assert grp == sorted(grp, key=lambda r: (r.dist2, r.neighbor_id))
+
+
+def test_ivf_pq_refusals(spark, emb):
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=2, m=2, kc=4, iters=1)
+    with pytest.raises(Exception, match="embedding width 3 != codebook width"):
+        import pandas as pd
+
+        bad = spark.createDataFrame(
+            pd.DataFrame({"vec_id": [1], "embedding": [[0.1, 0.2, 0.3]]})
+        )
+        similarity.ivf_pq_encode(bad, cents, books).collect()
+    with pytest.raises(ValueError, match="queries exceed query_limit"):
+        similarity.topk_ivf_pq(emb, emb, cents, books, query_limit=10)
