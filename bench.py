@@ -41,7 +41,35 @@ HEADLINE = [
     "zonal_mean_large",
     "zonal_large_broadcast",
     "multimodal_features",
+    # r13: the media/PQ families get round-over-round timing rows
+    # (VERDICT r12 ask #5) — the progressive-JPEG catalog entry times
+    # the full synthesize→ten-scan-decode path with its oracle
+    "multimodal_decode_jpeg_progressive",
 ]
+
+
+def _extra_runners(spark) -> dict[str, object]:
+    """Timing rows that are not plain catalog calls. similarity_pq_search
+    times the PQ SEARCH path — ivf_pq-style deployments train codebooks
+    offline once, so the fit runs OUTSIDE the timed region and each pass
+    times what scales with the corpus: pq_encode's codegen projection +
+    the broadcast ADC table-lookup scan + the per-query window
+    (operators/similarity.py:topk_pq). No SQL oracle (kmeans state);
+    correctness is driver-gated by similarity_pq_gate's ADC identity."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators import similarity
+    from sids_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    books = similarity.pq_fit(emb, m=4, kc=8, iters=2)
+
+    def pq_search() -> None:
+        similarity.topk_pq(
+            emb, emb.filter(F.col("vec_id") < 5), books, k=10
+        ).count()
+
+    return {"similarity_pq_search": pq_search}
 
 
 def _tail_queries(doc: dict) -> tuple[dict[str, float], str] | None:
@@ -129,10 +157,16 @@ def main() -> None:
     spark = get_spark("bench")
     catalog = all_queries()
 
+    runners: dict[str, object] = {
+        name: (lambda n=name: catalog[n].spark(spark, SF_DIR).count())
+        for name in HEADLINE
+    }
+    runners.update(_extra_runners(spark))
+
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name, run in runners.items():
         t0 = time.time()
-        catalog[name].spark(spark, SF_DIR).count()
+        run()
         cold[name] = round(time.time() - t0, 3)
 
     # Steady state: 5 passes per query. "queries"/"value" keep the best
@@ -143,11 +177,11 @@ def main() -> None:
     # the identical warm-up + 5-pass treatment.
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    for name, run in runners.items():
         passes = []
         for _ in range(5):
             t0 = time.time()
-            catalog[name].spark(spark, SF_DIR).count()
+            run()
             passes.append(time.time() - t0)
         timings[name] = round(min(passes), 3)
         medians[name] = round(statistics.median(passes), 3)

@@ -217,17 +217,121 @@ from sids_data_pipeline_spark.plans.base import Query
 # crs_reproject keeps P9), geo_dwithin_join + vector_reproject_zones
 # (geo/crs files unchanged), graph_pagerank (graph.py unchanged;
 # dedup_clusters keeps E10), sink_tokenbin_roundtrip (sampling/sinks
-# unchanged), dedup_semantic + similarity_ann_gate (similarity.py
-# unchanged; topk + pca_gate keep E3).
+# unchanged), dedup_semantic + similarity_ann_gate (similarity.py —
+# CORRECTION, r13: the original note here said "similarity.py
+# unchanged", which was false at final r12 code — the PQ family landed
+# after the note was written. The rows legitimately stood on
+# diff-confinement (the only non-additive r12 hunk was inside
+# topk_bruteforce, in-window via similarity_topk), and BOTH entries
+# re-row in the r13 window anyway; topk + pca_gate kept E3).
+# Round-13 rotation (eleventh): the six-entry r12 queue claims its
+# first driver rows (similarity_pq_gate + the five late-r12 multimodal
+# codec entries), joined by similarity_ivf_pq (NEW — the VERDICT r12
+# ask: IVF-ADC composition, coarse inverted file + residual PQ codes,
+# pinned by the residual ADC identity against an independent
+# probe/reconstruct/zip_with engine replay). Re-rows for this round's
+# diffs: operators/similarity.py (+IVF-PQ family, purely additive) →
+# similarity_topk re-rows as the E3 belt, and dedup_semantic +
+# similarity_ann_gate re-row (also settling the r12 stale-note
+# correction above); functions/imagecodec.py (first-APP1-wins EXIF and
+# wav_encode integer-dtype refusals — ADVICE r13) is confined to
+# jpeg_exif (consumed ONLY by multimodal_exif_orientation +
+# multimodal_orientation_normalize, both in-window via the queue) and
+# to an encode-side guard that is behavior-neutral for every catalog
+# fixture (all use documented dtypes; multimodal_audio_features
+# re-rows as the belt); operators/multimodal.py (_decode_payload tiff
+# fallback — ADVICE r13) is confined to extract_features' tiff branch
+# (multimodal_features re-rows; multimodal_decode_tiff is in-window
+# via the queue). The REST of the window is the age backstop running
+# at the rate the written ≤~6-round policy needs (38 age slots this
+# round): ALL twenty r02 rows re-prove (the oldest standing signal in
+# the catalog), plus the eighteen oldest r5 rows — after this window
+# the oldest standing row is r5, with eleven r5 names left for r14
+# (pivot_status, proj_star_prefix, str_funcs, streaming_attribution,
+# streaming_dedup_batch, text_langid, text_repetition,
+# text_sentences_udtf, zonal_mean_broadcast, zonal_mean_grid,
+# zonal_multi_stats). Displaced r12-green names (all hold FRESH r12
+# rows; operator files unchanged this round or diff-confined per the
+# analysis above): the E4 decode family (decode_jpeg/png/png_palette/
+# wav/gif, gif_disposal, resize_png, meta, frames,
+# decode_jpeg_progressive, streaming_media_ingest — the r13 imagecodec
+# diff never touches their decode paths), embedding_pca_gate
+# (similarity.py diff is additive; pq/ivf/topk gates keep E3
+# in-window), the streaming four (jobs.py untouched), the raster belt
+# (terrain/geotiff untouched), zonal_polygons + tiles + crs + vector
+# ingests + graph + text + events + udaf + SQL front door (files
+# untouched; pricing_summary / window_rank / zonal_mean_large /
+# zonal_large_broadcast keep relational + zonal in-window via the age
+# slots, and bench.py re-times the headliners every round).
 PRIORITY: tuple[str, ...] = (
-    # — round-12 first-time driver rows + queued re-entry —
+    # — the r12 queue: first-time driver rows —
+    "similarity_pq_gate",
+    "multimodal_exif_orientation",
+    "multimodal_orientation_normalize",
+    "multimodal_decode_bmp_rle",
+    "multimodal_decode_jpeg_multiscan",
+    "multimodal_decode_tiff",
+    # — NEW r13: IVF-ADC (VERDICT r12 ask #4) —
+    "similarity_ivf_pq",
+    # — operators/similarity.py changed (additive IVF-PQ family):
+    #   stale-note settlement + E3 belt —
+    "dedup_semantic",
+    "similarity_ann_gate",
+    "similarity_topk",
+    # — imagecodec/multimodal ADVICE-r13 diffs: belt re-rows (the
+    #   directly-touched paths are in-window via the queue) —
+    "multimodal_features",
     "multimodal_audio_features",
+    # — age backstop: ALL twenty r02 rows (oldest standing signal) —
+    "dedup_exact_stats",
+    "dedup_ngram_jaccard",
+    "exists_in_subquery",
+    "join_broadcast_dims",
+    "join_salted_skew",
+    "order_limit",
+    "proj_select",
+    "scalar_subquery",
+    "setop_except",
+    "setop_intersect",
+    "setop_union",
+    "similarity_topk_ivf",
+    "sql_topk_suppliers",
+    "string_agg_nations",
+    "text_quality",
+    "text_token_stats",
+    "union_all_tagged",
+    "window_first_last_ntile",
+    "window_lag_lead",
+    "window_running",
+    # — age backstop: the eighteen oldest r5 rows (bench headliners
+    #   pricing_summary / window_rank / zonal_* included so the timed
+    #   set stays driver-proven) —
+    "agg_grouping_sets",
+    "agg_salted_skew",
+    "array_json_scalars",
+    "corpus_decontaminate",
+    "corpus_sample_stratified",
+    "date_math",
+    "events_funnel",
+    "events_retention",
+    "filter_range",
+    "join_anti",
+    "join_equi",
+    "join_range_buckets",
+    "join_semi",
+    "map_scalars",
+    "pricing_summary",
+    "window_rank",
+    "zonal_large_broadcast",
+    "zonal_mean_large",
+    # — end of the 50-slot window (zonal_mean_large takes slot 50) —
+    # r12 head names displaced this round retained below for provenance
+    # (names past the window keep registration order); see the round-13
+    # rotation comment above for the per-name rationale — every
+    # displaced entry holds a FRESH r12 row and its operator file is
+    # unchanged in r13 or the diff is confined to in-window paths.
     "multimodal_decode_jpeg_progressive",
     "embedding_pca_gate",
-    # — functions/imagecodec.py + operators/multimodal.py changed
-    #   (progressive JPEG codec, float-Q20 audio features, encoder
-    #   dtype/tRNS refusals): the whole E4 family re-rows, and the
-    #   streaming media twin rides the same codec dispatch —
     "multimodal_decode_jpeg",
     "multimodal_gif_disposal",
     "multimodal_decode_png_palette",
@@ -236,26 +340,18 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_decode_gif",
     "multimodal_resize_png",
     "multimodal_meta",
-    "multimodal_features",
     "multimodal_frames",
     "streaming_media_ingest",
-    # — age re-row: streaming/jobs.py changed in r10+r11 while these
-    #   four held r6–r8 rows (diffs were verifiably confined to the
-    #   ingest twins, but the age backstop re-proves them anyway) —
     "streaming_cdc_upsert",
     "streaming_rolling",
     "streaming_sessions",
     "streaming_enrich",
-    # — age-based belt: the six oldest standing rows in the catalog
-    #   (r02) re-prove under the new ≤~6-round backstop —
     "agg_cube",
     "agg_full",
     "agg_median",
     "agg_rollup",
     "case_when",
     "dedup_embedding_cosine",
-    # — family representatives (files unchanged; keep families
-    #   in-window) —
     "raster_geotiff_ingest",
     "source_geotiff_datasource",
     "raster_slope_aspect",
@@ -279,14 +375,9 @@ PRIORITY: tuple[str, ...] = (
     "join_full_outer",
     "window_distribution",
     "sql_shipping_priority",
-    "similarity_topk",
     "crs_reproject",
     "pipeline_end_to_end",
-    # — end of the 50-slot window (pipeline_end_to_end takes slot 50) —
-    # r11 head names displaced this round retained below for provenance
-    # (names past the window keep registration order); see the round-12
-    # rotation comment above for the per-name rationale — every
-    # displaced entry's operator file is unchanged in r12.
+    # r11 head names displaced in r12 retained below for provenance.
     "streaming_vector_ingest",
     "streaming_raster_ingest",
     "streaming_dedup_lsh",
@@ -298,27 +389,6 @@ PRIORITY: tuple[str, ...] = (
     "vector_reproject_zones",
     "graph_pagerank",
     "sink_tokenbin_roundtrip",
-    "dedup_semantic",
-    "similarity_ann_gate",
-    # Round-13 rotation queue (landed late r12, selfcheck-green, no
-    # driver row yet): multimodal_exif_orientation (APP1 TIFF IFD0
-    # walk, both byte orders), multimodal_decode_bmp_rle (BI_RLE8
-    # run-length decode), and multimodal_decode_jpeg_multiscan
-    # (non-interleaved SOF0 scan loop), and
-    # multimodal_orientation_normalize (the upright-transform pass,
-    # position-weighted-checksum gate), and similarity_pq_gate (E3
-    # product quantization: integer-Lloyd codebooks + ADC search,
-    # derived-oracle verdict row), and multimodal_decode_tiff (plain
-    # TIFFs through the GeoTIFF codec, four compressions in-gate).
-    # The r12 audio_features row
-    # already covers the late-r12 PCM8/extensible-WAV decode paths
-    # in-gate.
-    "multimodal_exif_orientation",
-    "multimodal_decode_bmp_rle",
-    "multimodal_decode_jpeg_multiscan",
-    "multimodal_orientation_normalize",
-    "similarity_pq_gate",
-    "multimodal_decode_tiff",
     # r10 head names displaced in r11 retained below for provenance;
     # their r10 rows stand (crs.py/graph.py unchanged since).
     "crs_reproject_utm",
