@@ -1037,6 +1037,7 @@ def topk_ivf_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_limit: int = QUERY_COLLECT_LIMIT,
+    candidates_encoded: bool = False,
 ) -> DataFrame:
     """IVF-ADC search — the billion-scale composition of the inverted
     file and product quantization (Jégou et al. TPAMI 2011 §V, the
@@ -1057,7 +1058,13 @@ def topk_ivf_pq(
     (query_id, neighbor_id, dist2, rank) — dist2 the exact integer ADC
     distance in micros², ties by neighbor_id. Approximate by design:
     neighbors outside the probed cells are unreachable (raise nprobe
-    to trade scan for recall)."""
+    to trade scan for recall).
+
+    ``candidates_encoded=True`` takes ``candidates`` as the
+    (id, cell, codes) output of :func:`ivf_pq_encode` instead of raw
+    vectors — the production shape, where the index is computed once
+    at ingest and searches scan 4+m ints per row, never the
+    embeddings."""
     import numpy as np
 
     _require_integral_ids(
@@ -1101,9 +1108,11 @@ def topk_ivf_pq(
     qdf = spark.createDataFrame(
         probe_rows, "query_id long, cell int, _tbl array<bigint>"
     )
-    enc = ivf_pq_encode(
-        candidates, centroids, codebooks, id_col, vec_col
-    ).withColumnRenamed(id_col, "neighbor_id")
+    if candidates_encoded:
+        enc = candidates.select(id_col, "cell", "codes")
+    else:
+        enc = ivf_pq_encode(candidates, centroids, codebooks, id_col, vec_col)
+    enc = enc.withColumnRenamed(id_col, "neighbor_id")
     joined = enc.join(F.broadcast(qdf), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -556,3 +556,24 @@ def test_ivf_pq_refusals(spark, emb):
         similarity.ivf_pq_encode(bad, cents, books).collect()
     with pytest.raises(ValueError, match="queries exceed query_limit"):
         similarity.topk_ivf_pq(emb, emb, cents, books, query_limit=10)
+
+
+def test_ivf_pq_pre_encoded_candidates_match_raw(spark, emb):
+    """candidates_encoded=True (the production shape: index computed at
+    ingest, search scans 4+m ints) returns the identical result to the
+    raw-vector path."""
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=4, m=4, kc=8, iters=1)
+    queries = emb.filter(F.col("vec_id") < 3)
+    raw = (
+        similarity.topk_ivf_pq(emb, queries, cents, books, k=6, nprobe=2)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    enc = similarity.ivf_pq_encode(emb, cents, books)
+    pre = (
+        similarity.topk_ivf_pq(
+            enc, queries, cents, books, k=6, nprobe=2,
+            candidates_encoded=True,
+        )
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert raw.equals(pre)

@@ -176,6 +176,8 @@ AUDITED = [
     "corpus_dsir",
     "dedup_semantic",
     "corpus_line_dedup",
+    "similarity_pq_gate",
+    "similarity_ivf_pq",
 ]
 
 

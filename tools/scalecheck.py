@@ -604,6 +604,70 @@ def main() -> None:
             }
         out["similarity_topk"] = simi
 
+    if not sections or "ivf_pq" in sections:
+        # --- IVF-ADC search (E3, r13): growing PRE-ENCODED index
+        # (cell + 4-int codes, the production at-ingest shape), fixed
+        # 5-query / nprobe=2-of-8 probe. The scan is a broadcast
+        # equi-join on cell: candidates outside the probed cells are
+        # dropped by the join before any distance work, so us/candidate
+        # must fall BELOW the full-scan ADC twin (topk_pq over the same
+        # codebooks) and keep falling as the index grows ---------------
+        import numpy as np
+        import pandas as pd
+
+        from sids_data_pipeline_spark.operators.similarity import (
+            ivf_pq_encode,
+            ivf_pq_fit,
+            pq_fit,
+            topk_ivf_pq,
+            topk_pq,
+        )
+
+        ivf = {}
+        for n in (20_000, 80_000, 320_000):
+            rng = np.random.default_rng(n)
+            # clustered corpus: the coarse quantizer needs structure to
+            # invert (pure noise makes every probe equally empty)
+            ctr = rng.normal(scale=2.0, size=(8, 64)).astype(np.float32)
+            vecs = (
+                ctr[rng.integers(0, 8, n)]
+                + rng.normal(scale=0.3, size=(n, 64)).astype(np.float32)
+            ).astype(np.float32)
+            emb = spark.createDataFrame(
+                pd.DataFrame(
+                    {"vec_id": np.arange(n), "embedding": list(map(list, vecs))}
+                )
+            ).repartition(32)
+            sample = emb.filter(F.col("vec_id") < 4000)
+            cents, books = ivf_pq_fit(sample, kcoarse=8, m=4, kc=16, iters=2)
+            enc = ivf_pq_encode(emb, cents, books).cache()
+            enc.count()
+            queries = emb.filter(F.col("vec_id") < 5)
+            sec = _steady(
+                lambda e=enc, q=queries, c=cents, b=books: topk_ivf_pq(
+                    e, q, c, b, k=10, nprobe=2, candidates_encoded=True
+                ).count(),
+                reps=2,
+            )
+            # full-scan ADC twin over the same data (no inverted file)
+            flat_books = pq_fit(sample, m=4, kc=16, iters=2)
+            emb_c = emb.cache()
+            emb_c.count()
+            sec_full = _steady(
+                lambda e=emb_c, q=queries, b=flat_books: topk_pq(
+                    e, q, b, k=10
+                ).count(),
+                reps=2,
+            )
+            enc.unpersist()
+            emb_c.unpersist()
+            ivf[f"{n:,} candidates"] = {
+                "ivf_sec": round(sec, 3),
+                "full_pq_sec": round(sec_full, 3),
+                "us_per_candidate_ivf": round(sec / n * 1e6, 2),
+            }
+        out["ivf_pq_search"] = ivf
+
     print(json.dumps(out))
     spark.stop()
 
