@@ -518,17 +518,24 @@ def kmeans_assign(
     init — or pass ``centroids`` (micros vectors) from a previous
     :func:`kmeans_fit` round.
 
-    Scale shape: the centroid matrix is k×dim LITERALS folded into one
-    whole-stage-codegen projection — no join, no shuffle, no Python; the
-    only action is the bounded k-row init collect.
+    Scale shape: the centroid matrix is k×dim LITERALS folded into a
+    shuffle-free projection pipeline — no join, no Python; the only
+    action is the bounded k-row init collect. The distance array is
+    staged in its own projection (see :func:`pq_encode`) so the three
+    downstream references (argmin position, two array_min) evaluate it
+    once per row, not three times.
     """
     if centroids is None:
         centroids = _default_centroids(embeddings, k, id_col, vec_col)
-    arr = _dist2_array(_int_vec(vec_col), centroids)
-    return embeddings.select(
+    staged = embeddings.select(
+        id_col, _dist2_array(_int_vec(vec_col), centroids).alias("_d2a")
+    )
+    return staged.select(
         id_col,
-        (F.array_position(arr, F.array_min(arr)) - 1).cast("int").alias("cluster"),
-        F.array_min(arr).alias("dist2"),
+        (F.array_position("_d2a", F.array_min("_d2a")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("_d2a").alias("dist2"),
     )
 
 
@@ -605,12 +612,17 @@ def kmeans_fit(
         )
     dim = len(centroids[0])
     for _ in range(iters):
-        arr = _dist2_array(_int_vec(vec_col), centroids)
-        cluster = (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        # staged (see pq_encode): the micros vector feeds the k distance
+        # entries AND the aggregate, the distance array feeds both argmin
+        # references — own projections keep each at one eval per row
+        staged = embeddings.select(_int_vec(vec_col).alias("_iv")).select(
+            "_iv", _dist2_array(F.col("_iv"), centroids).alias("_d2a")
+        )
+        cluster = (
+            F.array_position("_d2a", F.array_min("_d2a")) - 1
+        ).cast("int")
         sums = (
-            embeddings.select(
-                cluster.alias("cluster"), _int_vec(vec_col).alias("_iv")
-            )
+            staged.select(cluster.alias("cluster"), "_iv")
             .groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("_n"),
@@ -687,7 +699,17 @@ def pq_encode(
     compression that lets a 100 TB embedding corpus fit a scan).
     A vector whose width differs from the codebooks' m·(d/m) raises
     executor-side by name — slicing past a short array would otherwise
-    emit silent null codes."""
+    emit silent null codes.
+
+    Expression staging (r13): the micros vector and each subspace's
+    distance array land in their OWN projection before the argmin
+    references them twice (array_position + array_min). Higher-order
+    array expressions evaluate interpreted (outside whole-stage
+    codegen), and Catalyst's CollapseProject inlines a producer into
+    its consumers whenever it would not duplicate expensive work — so
+    a single-select formulation re-evaluated the whole distance tree
+    once PER REFERENCE, a multiplicative blowup the staged form
+    reduces to one evaluation per row per intermediate."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     d = m * sub
@@ -701,11 +723,19 @@ def pq_encode(
             )
         )
     )
-    cols = []
-    for s, cb in enumerate(codebooks):
-        arr = _dist2_array(F.slice(checked, s * sub + 1, sub), cb)
-        cols.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
-    return embeddings.select(id_col, F.array(*cols).alias("codes"))
+    df = embeddings.select(id_col, checked.alias("_iv"))
+    df = df.select(
+        id_col,
+        *[
+            _dist2_array(F.slice("_iv", s * sub + 1, sub), cb).alias(f"_d{s}")
+            for s, cb in enumerate(codebooks)
+        ],
+    )
+    codes = [
+        (F.array_position(f"_d{s}", F.array_min(f"_d{s}")) - 1).cast("int")
+        for s in range(m)
+    ]
+    return df.select(id_col, F.array(*codes).alias("codes"))
 
 
 def pq_reconstruct(
@@ -881,14 +911,6 @@ def _centroid_literal(centroids: list[list[int]]) -> Column:
     )
 
 
-def _cell_col(iv: Column, centroids: list[list[int]]) -> Column:
-    """Nearest-coarse-centroid index (ties to the lowest cell — the
-    :func:`kmeans_assign` rule, restated here so encode/search/gate all
-    share one assignment definition)."""
-    arr = _dist2_array(iv, centroids)
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-
-
 def ivf_pq_fit(
     embeddings: DataFrame,
     kcoarse: int = 8,
@@ -912,15 +934,30 @@ def ivf_pq_fit(
     centroids, _assigned = kmeans_fit(
         embeddings, k=kcoarse, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    iv = _int_vec(vec_col)
+    # hand pq_fit the residuals in the float domain: |micros| ≪ 2⁵², so
+    # its own ×1e6 quantization round-trips the integers exactly.
+    # Staged (see pq_encode): the micros vector and the coarse distance
+    # array each land in their own projection, and the residual itself
+    # becomes a produced column — pq_fit's Lloyd expressions reference
+    # vec_col many times per row, and an inlined residual tree would
+    # re-derive the coarse assignment on every reference.
+    df = embeddings.select(id_col, _int_vec(vec_col).alias("_iv"))
+    df = df.select(
+        id_col, "_iv", _dist2_array(F.col("_iv"), centroids).alias("_cd")
+    )
+    df = df.select(
+        id_col,
+        "_iv",
+        (F.array_position("_cd", F.array_min("_cd")) - 1)
+        .cast("int")
+        .alias("_cell"),
+    )
     resid = F.zip_with(
-        iv,
-        F.element_at(_centroid_literal(centroids), _cell_col(iv, centroids) + 1),
+        F.col("_iv"),
+        F.element_at(_centroid_literal(centroids), F.col("_cell") + 1),
         lambda a, b: a - b,
     )
-    # hand pq_fit the residuals in the float domain: |micros| ≪ 2⁵², so
-    # its own ×1e6 quantization round-trips the integers exactly
-    resid_df = embeddings.select(
+    resid_df = df.select(
         id_col,
         F.transform(resid, lambda x: x.cast("double") / MICROS).alias(vec_col),
     )
@@ -938,10 +975,20 @@ def ivf_pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cell int, codes array<int>): the inverted-list assignment and
-    the residual PQ codes in ONE shuffle-free whole-stage-codegen
-    projection — the index a 100 TB embedding corpus stores instead of
-    its vectors (4 + m ints per row). Width mismatches raise by name
-    (the :func:`pq_encode` posture)."""
+    the residual PQ codes in a shuffle-free projection pipeline — the
+    index a 100 TB embedding corpus stores instead of its vectors
+    (4 + m ints per row). Width mismatches raise by name (the
+    :func:`pq_encode` posture).
+
+    Staged like :func:`pq_encode` (see its docstring): micros vector →
+    coarse distance array → cell → residual → per-subspace distance
+    arrays → codes, each intermediate in its own projection so the
+    interpreted higher-order expressions evaluate once per row instead
+    of once per downstream reference (the cell feeds the residual AND
+    the output; the residual feeds every subspace; each distance array
+    feeds two argmin references — fully inlined, the tree re-evaluated
+    the coarse assignment ~2·m per row and the residual ~2·m·kc
+    times)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     d = m * sub
@@ -955,19 +1002,39 @@ def ivf_pq_encode(
             )
         )
     )
-    cell = _cell_col(checked, centroids)
-    riv = F.zip_with(
-        checked,
-        F.element_at(_centroid_literal(centroids), cell + 1),
-        lambda a, b: a - b,
+    df = embeddings.select(id_col, checked.alias("_iv"))
+    df = df.select(
+        id_col, "_iv", _dist2_array(F.col("_iv"), centroids).alias("_cd")
     )
-    codes = []
-    for s, cb in enumerate(codebooks):
-        arr = _dist2_array(F.slice(riv, s * sub + 1, sub), cb)
-        codes.append((F.array_position(arr, F.array_min(arr)) - 1).cast("int"))
-    return embeddings.select(
-        id_col, cell.alias("cell"), F.array(*codes).alias("codes")
+    df = df.select(
+        id_col,
+        "_iv",
+        (F.array_position("_cd", F.array_min("_cd")) - 1)
+        .cast("int")
+        .alias("cell"),
     )
+    df = df.select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col("_iv"),
+            F.element_at(_centroid_literal(centroids), F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("_riv"),
+    )
+    df = df.select(
+        id_col,
+        "cell",
+        *[
+            _dist2_array(F.slice("_riv", s * sub + 1, sub), cb).alias(f"_rd{s}")
+            for s, cb in enumerate(codebooks)
+        ],
+    )
+    codes = [
+        (F.array_position(f"_rd{s}", F.array_min(f"_rd{s}")) - 1).cast("int")
+        for s in range(m)
+    ]
+    return df.select(id_col, "cell", F.array(*codes).alias("codes"))
 
 
 def ivf_pq_reconstruct(

@@ -633,13 +633,18 @@ def main() -> None:
                 ctr[rng.integers(0, 8, n)]
                 + rng.normal(scale=0.3, size=(n, 64)).astype(np.float32)
             ).astype(np.float32)
+            # cache BEFORE the Lloyd fits: every fit iteration is a job,
+            # and an uncached parallelized fixture re-ships ~17 MB/task
+            # from the driver per stage — minutes of py4j serialization
+            # that has nothing to do with the operator under test
             emb = spark.createDataFrame(
                 pd.DataFrame(
                     {"vec_id": np.arange(n), "embedding": list(map(list, vecs))}
                 )
-            ).repartition(32)
+            ).repartition(32).cache()
+            emb.count()
             sample = emb.filter(F.col("vec_id") < 4000)
-            cents, books = ivf_pq_fit(sample, kcoarse=8, m=4, kc=16, iters=2)
+            cents, books = ivf_pq_fit(sample, kcoarse=8, m=4, kc=8, iters=2)
             enc = ivf_pq_encode(emb, cents, books).cache()
             enc.count()
             queries = emb.filter(F.col("vec_id") < 5)
@@ -650,17 +655,15 @@ def main() -> None:
                 reps=2,
             )
             # full-scan ADC twin over the same data (no inverted file)
-            flat_books = pq_fit(sample, m=4, kc=16, iters=2)
-            emb_c = emb.cache()
-            emb_c.count()
+            flat_books = pq_fit(sample, m=4, kc=8, iters=2)
             sec_full = _steady(
-                lambda e=emb_c, q=queries, b=flat_books: topk_pq(
+                lambda e=emb, q=queries, b=flat_books: topk_pq(
                     e, q, b, k=10
                 ).count(),
                 reps=2,
             )
             enc.unpersist()
-            emb_c.unpersist()
+            emb.unpersist()
             ivf[f"{n:,} candidates"] = {
                 "ivf_sec": round(sec, 3),
                 "full_pq_sec": round(sec_full, 3),
