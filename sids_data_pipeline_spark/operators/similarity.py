@@ -1236,12 +1236,18 @@ def semantic_dedup(
     """
     if centroids is None:
         centroids = _default_centroids(embeddings, k, id_col, vec_col)
-    arr = _dist2_array(_int_vec(vec_col), centroids)
+    # staged (see pq_encode): the distance array in its own projection so
+    # the two argmin references evaluate it once per row
+    staged = embeddings.select(
+        id_col,
+        vec_col,
+        _dist2_array(_int_vec(vec_col), centroids).alias("_d2a"),
+    )
     clustered = track(
-        embeddings.select(
+        staged.select(
             id_col,
             vec_col,
-            (F.array_position(arr, F.array_min(arr)) - 1)
+            (F.array_position("_d2a", F.array_min("_d2a")) - 1)
             .cast("int")
             .alias("cluster"),
         ).persist()
