@@ -1367,20 +1367,50 @@ def pca_transform(
     per component — the usual preprocessing before cosine/k-means on
     anisotropic embeddings); components with eigenvalue ≤ 0 (numerical
     zeros past the data's rank) pass through unscaled rather than
-    exploding."""
+    exploding.
+
+    Formulation (r13): the k×d matrix folds in as a nested array
+    literal and the product is transform(components, row →
+    aggregate(zip_with(row, centered, ·), +)) over a STAGED centered
+    vector. The earlier scalar form unrolled k·d explicit
+    multiply-adds into one Project — at full rank (64×64 = 4096 nodes)
+    that exceeds Janino's 64 KB method limit, so every job paid a
+    failed whole-stage-codegen compile (a full stack dump) and then
+    interpreted the tree anyway; the HOF form does the identical
+    left-to-right per-component summation without the codegen blowup,
+    and the staged `_ctr` column keeps the d subtractions at one
+    evaluation per row however many components read it."""
     mean = model["mean"]
     comps = model["components"]
     explained = model.get("explained", [])
-    outs = []
-    for ci, row in enumerate(comps):
-        terms = [
-            (F.col(vec_col)[i] - F.lit(mean[i])) * F.lit(row[i])
-            for i in range(len(row))
-        ]
-        acc = terms[0]
-        for t in terms[1:]:
-            acc = acc + t
-        if whiten and ci < len(explained) and explained[ci] > 0:
-            acc = acc * F.lit(1.0 / math.sqrt(explained[ci]))
-        outs.append(acc)
-    return df.withColumn(out_col, F.array(*outs))
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    comp_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in comps]
+    )
+    scales = [
+        1.0 / math.sqrt(explained[ci])
+        if whiten and ci < len(explained) and explained[ci] > 0
+        else 1.0
+        for ci in range(len(comps))
+    ]
+    staged = df.withColumn(
+        "_ctr",
+        F.zip_with(
+            F.col(vec_col), mean_lit, lambda x, mu: x.cast("double") - mu
+        ),
+    )
+    proj = F.transform(
+        comp_lit,
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("_ctr"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    if any(s != 1.0 for s in scales):
+        proj = F.zip_with(
+            proj,
+            F.array(*[F.lit(s) for s in scales]),
+            lambda p, s: p * s,
+        )
+    return staged.withColumn(out_col, proj).drop("_ctr")

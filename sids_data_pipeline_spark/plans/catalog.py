@@ -246,11 +246,13 @@ from sids_data_pipeline_spark.plans.base import Query
 # at the rate the written ≤~6-round policy needs (38 age slots this
 # round): ALL twenty r02 rows re-prove (the oldest standing signal in
 # the catalog), plus the eighteen oldest r5 rows — after this window
-# the oldest standing row is r5, with eleven r5 names left for r14
-# (pivot_status, proj_star_prefix, str_funcs, streaming_attribution,
-# streaming_dedup_batch, text_langid, text_repetition,
-# text_sentences_udtf, zonal_mean_broadcast, zonal_mean_grid,
-# zonal_multi_stats). Displaced r12-green names (all hold FRESH r12
+# the oldest standing row is r5, with thirteen r5 names left for r14
+# (array_json_scalars, map_scalars — displaced late r13 by the
+# pca_transform-rewrite re-row of embedding_pca_gate and the NEW
+# similarity_pq_pca_gate — plus pivot_status, proj_star_prefix,
+# str_funcs, streaming_attribution, streaming_dedup_batch, text_langid,
+# text_repetition, text_sentences_udtf, zonal_mean_broadcast,
+# zonal_mean_grid, zonal_multi_stats). Displaced r12-green names (all hold FRESH r12
 # rows; operator files unchanged this round or diff-confined per the
 # analysis above): the E4 decode family (decode_jpeg/png/png_palette/
 # wav/gif, gif_disposal, resize_png, meta, frames,
@@ -271,8 +273,14 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_decode_bmp_rle",
     "multimodal_decode_jpeg_multiscan",
     "multimodal_decode_tiff",
-    # — NEW r13: IVF-ADC (VERDICT r12 ask #4) —
+    # — NEW r13: IVF-ADC (VERDICT r12 ask #4) + PCA-rotated PQ —
     "similarity_ivf_pq",
+    "similarity_pq_pca_gate",
+    # — operators/similarity.py pca_transform REWRITTEN late r13 (HOF
+    #   matrix product replaces the Janino-overflowing 4096-node scalar
+    #   unroll): embedding_pca_gate re-rows, displacing two r5 age
+    #   slots (array_json_scalars, map_scalars — deferred to r14) —
+    "embedding_pca_gate",
     # — operators/similarity.py changed (additive IVF-PQ family):
     #   stale-note settlement + E3 belt —
     "dedup_semantic",
@@ -308,7 +316,6 @@ PRIORITY: tuple[str, ...] = (
     #   set stays driver-proven) —
     "agg_grouping_sets",
     "agg_salted_skew",
-    "array_json_scalars",
     "corpus_decontaminate",
     "corpus_sample_stratified",
     "date_math",
@@ -319,7 +326,6 @@ PRIORITY: tuple[str, ...] = (
     "join_equi",
     "join_range_buckets",
     "join_semi",
-    "map_scalars",
     "pricing_summary",
     "window_rank",
     "zonal_large_broadcast",
@@ -331,7 +337,6 @@ PRIORITY: tuple[str, ...] = (
     # displaced entry holds a FRESH r12 row and its operator file is
     # unchanged in r13 or the diff is confined to in-window paths.
     "multimodal_decode_jpeg_progressive",
-    "embedding_pca_gate",
     "multimodal_decode_jpeg",
     "multimodal_gif_disposal",
     "multimodal_decode_png_palette",

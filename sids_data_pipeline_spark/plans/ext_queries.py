@@ -2048,6 +2048,56 @@ def _similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_PQ_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
 
 
+def _similarity_pq_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-rotated product quantization (E3, r13): rotate the corpus
+    onto its full set of principal components (similarity.pca_fit with
+    k = d, an orthogonal basis change — the energy-compaction
+    preprocessing OPQ [Ge et al., CVPR 2013] optimizes iteratively;
+    this is the standard non-iterative PCA variant), then run the whole
+    PQ family in the rotated domain: pq_fit sub-codebooks, 4-int codes,
+    ADC top-10 (similarity.topk_pq). The gate pins the same defining
+    identity as similarity_pq_gate — ADC(q,x) = ‖q − reconstruct(x)‖²
+    exactly in the rotated-then-quantized integer domain, checked
+    against the independent pq_reconstruct → topk_l2 path — which
+    proves the rotation composes with encode/search/decode without
+    breaking exactness (a rotation that leaked into only one side, a
+    mean subtracted twice, or a component-order drift between fit and
+    transform all produce violations > 0). Orthogonality means L2 in
+    the rotated domain IS L2 in the original (up to the shared ×1e6
+    quantization), so the searched metric is unchanged."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    first = emb.select("embedding").first()
+    d = len(first[0])
+    model = similarity.pca_fit(emb, k=d)
+    # persist the rotated corpus: the rotation is a d×d literal-matrix
+    # projection (d² arithmetic nodes) that pq_fit's Lloyd jobs, the
+    # encode, and both search paths would otherwise each re-evaluate
+    # per row — materializing it once is exactly what a production
+    # pipeline does with a rotated corpus before indexing
+    rot = (
+        similarity.pca_transform(emb, model, out_col="_pc")
+        .select("vec_id", F.col("_pc").alias("embedding"))
+        .persist()
+    )
+    queries = rot.filter(F.col("vec_id") < 5)
+    books = similarity.pq_fit(rot, m=4, kc=8, iters=2)
+    pq = similarity.topk_pq(rot, queries, books, k=10)
+    recon = similarity.pq_reconstruct(
+        similarity.pq_encode(rot, books), books
+    )
+    l2 = similarity.topk_l2(recon, queries, k=10)
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    viol = pq.select(cols).join(l2.select(cols), cols, "left_anti").unionAll(
+        l2.select(cols).join(pq.select(cols), cols, "left_anti")
+    )
+    return viol.agg(F.count("*").alias("violations")).crossJoin(
+        pq.agg((F.count("*") >= 1).alias("found_hits"))
+    )
+
+
+_PQ_PCA_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
+
+
 def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive signal for the pyspark.ml MinHashLSH sketch
     (dedup_minhash_ml is rows-only by nature): every sketch pair must
@@ -4680,6 +4730,13 @@ QUERIES: list[Query] = [
               "an independent probe/reconstruct/zip_with replay "
               "(derived oracle pins the verdict row)",
           tags=("similarity", "pq", "ivf", "evaluation")),
+    Query("similarity_pq_pca_gate", _similarity_pq_pca_gate, _PQ_PCA_SQL,
+          doc="E3 PCA-rotated PQ (OPQ-style energy compaction, "
+              "non-iterative): full-rank orthogonal rotation composed "
+              "with the PQ fit/encode/ADC family; pinned by the exact "
+              "ADC == reconstructed-L2 identity in the rotated domain "
+              "(derived oracle pins the verdict row)",
+          tags=("similarity", "pq", "pca", "evaluation")),
     Query("dedup_minhash_ml_gate", _dedup_ml_gate, _ML_GATE_SQL,
           doc="E2 positive signal for the ml sketch: pairs ⊆ exact "
               "shingle-Jaccard pairs at the threshold (derived oracle)",

@@ -178,6 +178,7 @@ AUDITED = [
     "corpus_line_dedup",
     "similarity_pq_gate",
     "similarity_ivf_pq",
+    "similarity_pq_pca_gate",
 ]
 
 
