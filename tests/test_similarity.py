@@ -577,3 +577,94 @@ def test_ivf_pq_pre_encoded_candidates_match_raw(spark, emb):
         .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     )
     assert raw.equals(pre)
+
+
+def test_pq_and_ivf_adc_identity_property(spark):
+    """Property form of the two ADC gates: for random corpora (including
+    heavy duplicate-vector ties from a tiny value alphabet), arbitrary
+    subspace widths, codebook sizes, and probe depths, the engine's ADC
+    top-k must equal the exact-L2 top-k over the reconstructed corpus —
+    row-for-row, dist2 and rank included. Varying (d, m, kc, kcoarse,
+    nprobe) catches slicing and tie-break bugs the fixed 64-dim fixture
+    cannot (e.g. sub-widths of 3, kc larger than a cell's population)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.sampled_from([(6, 2), (8, 4), (12, 3)]),  # (d, m)
+        st.sampled_from([4, 7]),                     # kc
+        st.sampled_from([(3, 1), (4, 2)]),           # (kcoarse, nprobe)
+    )
+    def check(seed, dm, kc, cp):
+        d, m = dm
+        kcoarse, nprobe = cp
+        rng = np.random.default_rng(seed)
+        n = 60
+        # tiny alphabet -> many exact duplicates -> dist2 ties everywhere
+        vecs = rng.integers(-2, 3, size=(n, d)).astype(np.float32) * 0.25
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(n), "embedding": list(map(list, vecs))}
+            )
+        )
+        queries = emb.filter(F.col("vec_id") < 2)
+        cols = ["query_id", "neighbor_id", "dist2", "rank"]
+
+        books = similarity.pq_fit(emb, m=m, kc=kc, iters=1)
+        pq = similarity.topk_pq(emb, queries, books, k=5).toPandas()
+        recon = similarity.pq_reconstruct(
+            similarity.pq_encode(emb, books), books
+        )
+        l2 = similarity.topk_l2(recon, queries, k=5).toPandas()
+        assert (
+            pq.sort_values(cols[:2]).reset_index(drop=True)[cols]
+            .equals(l2.sort_values(cols[:2]).reset_index(drop=True)[cols])
+        ), (seed, dm, kc)
+
+        cents, rbooks = similarity.ivf_pq_fit(
+            emb, kcoarse=kcoarse, m=m, kc=kc, iters=1
+        )
+        ivf = similarity.topk_ivf_pq(
+            emb, queries, cents, rbooks, k=5, nprobe=nprobe
+        ).toPandas()
+        enc = similarity.ivf_pq_encode(emb, cents, rbooks)
+        rrecon = similarity.ivf_pq_reconstruct(enc, cents, rbooks)
+        probed = similarity.ivf_probe(queries, cents, nprobe=nprobe)
+        q = queries.select(
+            F.col("vec_id").alias("query_id"),
+            similarity._int_vec("embedding").alias("_qv"),
+        )
+        dist2 = F.aggregate(
+            F.zip_with(
+                F.col("_qv"),
+                similarity._int_vec("embedding"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("query_id").orderBy(
+            F.col("dist2").asc(), F.col("neighbor_id").asc()
+        )
+        exact = (
+            rrecon.withColumnRenamed("vec_id", "neighbor_id")
+            .join(F.broadcast(probed.join(q, "query_id")), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("dist2", dist2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(*cols)
+            .toPandas()
+        )
+        assert (
+            ivf.sort_values(cols[:2]).reset_index(drop=True)[cols]
+            .equals(exact.sort_values(cols[:2]).reset_index(drop=True)[cols])
+        ), (seed, dm, kc, cp)
+
+    check()
