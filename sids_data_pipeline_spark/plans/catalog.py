@@ -382,6 +382,13 @@ PRIORITY: tuple[str, ...] = (
     "sql_shipping_priority",
     "crs_reproject",
     "pipeline_end_to_end",
+    # Round-14 rotation queue (landed late r13, selfcheck-green, no
+    # driver row yet): streaming_ann_enrich — E3 × streaming micro-batch
+    # retrieval against a static pre-encoded IVF-ADC index
+    # (foreachBatch reusing topk_ivf_pq), streamed == batch pinned by
+    # the verdict row. Queue it with the thirteen r5 age names listed
+    # in the r13 rotation comment above.
+    "streaming_ann_enrich",
     # r11 head names displaced in r12 retained below for provenance.
     "streaming_vector_ingest",
     "streaming_raster_ingest",

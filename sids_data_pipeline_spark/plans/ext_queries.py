@@ -2098,6 +2098,53 @@ def _similarity_pq_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_PCA_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
 
 
+def _streaming_ann_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector retrieval (E3 × streaming, r13): a stream of
+    query vectors probes a STATIC pre-encoded IVF-ADC index per
+    micro-batch (streaming/jobs.ann_enrich_stream — foreachBatch runs
+    the SAME batch operator, similarity.topk_ivf_pq with
+    candidates_encoded=True, so batch and streaming retrieval share one
+    definition). One staged file ⇒ one availableNow micro-batch ⇒ the
+    streamed neighbor table must equal the batch search over the same
+    query set ROW-FOR-ROW including the exact integer ADC dist2 — the
+    derived-oracle verdict row. A drift between the streamed and batch
+    paths (a re-encoded index, a lost probe, replay duplicates escaping
+    the per-batch overwrite) produces violations > 0."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.schemas import TABLE_SCHEMAS
+    from sids_data_pipeline_spark.streaming.jobs import ann_enrich_stream
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_ann_")
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=4, m=4, kc=8, iters=1)
+    enc = similarity.ivf_pq_encode(emb, cents, books).persist()
+    src = os.path.join(work, "src")
+    emb.filter(F.col("vec_id") < 5).repartition(1).write.parquet(src)
+    qstream = spark.readStream.schema(TABLE_SCHEMAS["embeddings"]).parquet(src)
+    out = os.path.join(work, "out")
+    ann_enrich_stream(
+        qstream, enc, cents, books, out, os.path.join(work, "ckpt"),
+        k=10, nprobe=2,
+    )
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    streamed = spark.read.parquet(os.path.join(out, "rows")).select(cols)
+    batch = similarity.topk_ivf_pq(
+        enc, emb.filter(F.col("vec_id") < 5), cents, books,
+        k=10, nprobe=2, candidates_encoded=True,
+    ).select(cols)
+    viol = streamed.join(batch, cols, "left_anti").unionAll(
+        batch.join(streamed, cols, "left_anti")
+    )
+    return viol.agg(F.count("*").alias("violations")).crossJoin(
+        streamed.agg((F.count("*") >= 1).alias("found_hits"))
+    )
+
+
+_STREAM_ANN_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
+
+
 def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive signal for the pyspark.ml MinHashLSH sketch
     (dedup_minhash_ml is rows-only by nature): every sketch pair must
@@ -4737,6 +4784,12 @@ QUERIES: list[Query] = [
               "ADC == reconstructed-L2 identity in the rotated domain "
               "(derived oracle pins the verdict row)",
           tags=("similarity", "pq", "pca", "evaluation")),
+    Query("streaming_ann_enrich", _streaming_ann_enrich, _STREAM_ANN_SQL,
+          doc="E3 × streaming: micro-batch retrieval against a static "
+              "pre-encoded IVF-ADC index via foreachBatch reusing the "
+              "batch operator; streamed == batch row-for-row incl. "
+              "exact ADC dist2 (derived oracle pins the verdict row)",
+          tags=("similarity", "pq", "ivf", "streaming", "evaluation")),
     Query("dedup_minhash_ml_gate", _dedup_ml_gate, _ML_GATE_SQL,
           doc="E2 positive signal for the ml sketch: pairs ⊆ exact "
               "shingle-Jaccard pairs at the threshold (derived oracle)",

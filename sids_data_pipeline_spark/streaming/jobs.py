@@ -155,6 +155,66 @@ def streaming_exact_dedup(
     q.awaitTermination()
 
 
+def ann_enrich_stream(
+    stream: DataFrame,
+    enc: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    out_dir: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Micro-batch vector retrieval against a STATIC pre-encoded IVF-ADC
+    index (foreachBatch) — the streaming face of E3: each arriving batch
+    of query vectors runs the SAME batch operator
+    (operators/similarity.topk_ivf_pq with ``candidates_encoded=True``),
+    so batch and streaming retrieval share one definition — the
+    dedup/CDC convention in this module. The index side never changes
+    per batch: (cell, codes) rows computed once at ingest
+    (similarity.ivf_pq_encode), scanned per micro-batch through the
+    broadcast probe equi-join on cell. The per-batch query collect
+    inside topk_ivf_pq is bounded by its ``query_limit`` — a micro-batch
+    IS a bounded query set, which is why the table-building ADC search
+    composes with streaming at all.
+
+    Replay safety: foreachBatch is at-least-once, so results land in a
+    per-batch ``batch=N`` directory with OVERWRITE — a replayed batch
+    overwrites its own partial output instead of appending duplicate
+    neighbor rows. Runs with Trigger.AvailableNow (drain-and-stop);
+    production runs drop the trigger for continuous micro-batching.
+    """
+    import os
+
+    from sids_data_pipeline_spark.operators import similarity
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        res = similarity.topk_ivf_pq(
+            enc,
+            batch,
+            centroids,
+            codebooks,
+            k=k,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+            candidates_encoded=True,
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "rows", f"batch={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_stream_attribution(
     clicks: DataFrame,
     purchases: DataFrame,

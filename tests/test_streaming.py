@@ -842,3 +842,54 @@ def test_streaming_media_ingest_incremental_and_quarantine(spark, tmp_path):
     # replay-safety: a fresh drain with nothing new is a no-op
     streaming_media_ingest(spark, str(drop) + "/*", out, ckpt)
     assert spark.read.parquet(out).count() == 6
+
+
+def test_ann_enrich_stream_equals_batch(spark, tmp_path):
+    """streaming/jobs.ann_enrich_stream: one staged file -> one
+    availableNow micro-batch -> the streamed neighbor table equals the
+    batch topk_ivf_pq over the same static pre-encoded index,
+    row-for-row including the exact integer ADC dist2 (foreachBatch
+    reuses the batch operator, so drift means replay or index breakage)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators import similarity
+    from sids_data_pipeline_spark.streaming.jobs import ann_enrich_stream
+
+    rng = np.random.default_rng(3)
+    ctr = rng.normal(scale=2.0, size=(3, 8)).astype(np.float32)
+    vecs = (
+        ctr[rng.integers(0, 3, 300)]
+        + rng.normal(scale=0.2, size=(300, 8)).astype(np.float32)
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(300), "embedding": list(map(list, vecs))})
+    )
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=3, m=2, kc=4, iters=1)
+    enc = similarity.ivf_pq_encode(emb, cents, books).persist()
+
+    src = str(tmp_path / "src")
+    queries = emb.filter(F.col("vec_id") < 3)
+    queries.repartition(1).write.parquet(src)
+    qstream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    ann_enrich_stream(
+        qstream, enc, cents, books, out, str(tmp_path / "ckpt"),
+        k=6, nprobe=2,
+    )
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    streamed = (
+        spark.read.parquet(out + "/rows").select(cols).toPandas()
+        .sort_values(cols[:2]).reset_index(drop=True)
+    )
+    batch = (
+        similarity.topk_ivf_pq(
+            enc, queries, cents, books, k=6, nprobe=2,
+            candidates_encoded=True,
+        ).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    )
+    assert len(streamed) > 0
+    assert streamed.equals(batch[cols])
