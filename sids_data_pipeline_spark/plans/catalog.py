@@ -243,9 +243,9 @@ from sids_data_pipeline_spark.plans.base import Query
 # fallback — ADVICE r13) is confined to extract_features' tiff branch
 # (multimodal_features re-rows; multimodal_decode_tiff is in-window
 # via the queue). The REST of the window is the age backstop running
-# at the rate the written ≤~6-round policy needs (38 age slots this
+# at the rate the written ≤~6-round policy needs (36 age slots this
 # round): ALL twenty r02 rows re-prove (the oldest standing signal in
-# the catalog), plus the eighteen oldest r5 rows — after this window
+# the catalog), plus the sixteen oldest r5 rows — after this window
 # the oldest standing row is r5, with thirteen r5 names left for r14
 # (array_json_scalars, map_scalars — displaced late r13 by the
 # pca_transform-rewrite re-row of embedding_pca_gate and the NEW
@@ -311,7 +311,7 @@ PRIORITY: tuple[str, ...] = (
     "window_first_last_ntile",
     "window_lag_lead",
     "window_running",
-    # — age backstop: the eighteen oldest r5 rows (bench headliners
+    # — age backstop: the sixteen oldest r5 rows (bench headliners
     #   pricing_summary / window_rank / zonal_* included so the timed
     #   set stays driver-proven) —
     "agg_grouping_sets",
