@@ -31,6 +31,7 @@ payloads are arbitrary media instead of rasters.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -703,13 +704,17 @@ def _decode_payload(payload: bytes, modality: str) -> dict:
             bands, _transform, _nodata = geotiff.decode_geotiff_bands(
                 bytes(payload)
             )
-        except Exception:
+        except (ValueError, NotImplementedError, struct.error):
             # a 4-byte magic match is not a decodable file: scraped
             # corpora carry JPEG-compressed / truncated TIFFs the codec
             # refuses by name — the SURVEY contract for this operator is
             # total coverage, so they take the unrecognized-bytes
             # fallback below instead of poison-pilling the Arrow batch
-            # (decode_images keeps the loud refusal; this path profiles)
+            # (decode_images keeps the loud refusal; this path profiles).
+            # NARROW on purpose (ADVICE r14): these are the types the
+            # codec raises for undecodable input; anything else is a
+            # programming error and must surface, not become
+            # pseudo-features
             pass
         else:
             _c, h, w = bands.shape

@@ -876,8 +876,13 @@ def topk_pq(
         ],
         "query_id long, _tbl array<bigint>",
     )
-    enc = pq_encode(candidates, codebooks, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
+    enc = pq_encode(candidates, codebooks, id_col, vec_col).select(
+        # long neighbor_id regardless of the candidates' integral id
+        # dtype, so the empty-query branch's hardcoded schema and this
+        # path agree (ADVICE r14; _require_integral_ids makes the cast
+        # lossless)
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        "codes",
     )
     joined = enc.crossJoin(F.broadcast(qdf)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1179,7 +1184,12 @@ def topk_ivf_pq(
         enc = candidates.select(id_col, "cell", "codes")
     else:
         enc = ivf_pq_encode(candidates, centroids, codebooks, id_col, vec_col)
-    enc = enc.withColumnRenamed(id_col, "neighbor_id")
+    # long neighbor_id regardless of the candidates' integral id dtype,
+    # so the empty-query branch's hardcoded schema and this path agree
+    # (ADVICE r14; _require_integral_ids makes the cast lossless)
+    enc = enc.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), "cell", "codes"
+    )
     joined = enc.join(F.broadcast(qdf), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -1378,8 +1388,9 @@ def pca_transform(
     failed whole-stage-codegen compile (a full stack dump) and then
     interpreted the tree anyway; the HOF form does the identical
     left-to-right per-component summation without the codegen blowup,
-    and the staged `_ctr` column keeps the d subtractions at one
-    evaluation per row however many components read it."""
+    and the staged centered-vector column (collision-safe temp name)
+    keeps the d subtractions at one evaluation per row however many
+    components read it."""
     mean = model["mean"]
     comps = model["components"]
     explained = model.get("explained", [])
@@ -1393,8 +1404,15 @@ def pca_transform(
         else 1.0
         for ci in range(len(comps))
     ]
+    # collision-safe temp name (ADVICE r14): the staged centered vector
+    # must not clobber a caller column literally named "_ctr" — suffix
+    # with the out_col and bump until free (out_col itself is the one
+    # name the caller expects us to overwrite)
+    ctr = f"_ctr_{out_col}"
+    while ctr in df.columns:
+        ctr += "_"
     staged = df.withColumn(
-        "_ctr",
+        ctr,
         F.zip_with(
             F.col(vec_col), mean_lit, lambda x, mu: x.cast("double") - mu
         ),
@@ -1402,7 +1420,7 @@ def pca_transform(
     proj = F.transform(
         comp_lit,
         lambda row: F.aggregate(
-            F.zip_with(row, F.col("_ctr"), lambda a, b: a * b),
+            F.zip_with(row, F.col(ctr), lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
@@ -1413,4 +1431,4 @@ def pca_transform(
             F.array(*[F.lit(s) for s in scales]),
             lambda p, s: p * s,
         )
-    return staged.withColumn(out_col, proj).drop("_ctr")
+    return staged.withColumn(out_col, proj).drop(ctr)

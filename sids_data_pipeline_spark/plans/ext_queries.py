@@ -18,6 +18,7 @@ from sids_data_pipeline_spark.functions.hashing import (
     o_minhash,
     o_token_hash32,
 )
+from sids_data_pipeline_spark import lifecycle
 from sids_data_pipeline_spark.operators import dedup, merge, multimodal, similarity, text, windows
 from sids_data_pipeline_spark.plans.base import Query, cents, o_cents, tables
 
@@ -2073,8 +2074,10 @@ def _similarity_pq_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection (d² arithmetic nodes) that pq_fit's Lloyd jobs, the
     # encode, and both search paths would otherwise each re-evaluate
     # per row — materializing it once is exactly what a production
-    # pipeline does with a rotated corpus before indexing
-    rot = (
+    # pipeline does with a rotated corpus before indexing; track() so
+    # the catalog runner's release_tracked unpins it between queries
+    # (ADVICE r14: gate persists must not outlive the gate)
+    rot = lifecycle.track(
         similarity.pca_transform(emb, model, out_col="_pc")
         .select("vec_id", F.col("_pc").alias("embedding"))
         .persist()
@@ -2119,7 +2122,9 @@ def _streaming_ann_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="sdp_stream_ann_")
     (emb,) = tables(spark, sf_dir, "embeddings")
     cents, books = similarity.ivf_pq_fit(emb, kcoarse=4, m=4, kc=8, iters=1)
-    enc = similarity.ivf_pq_encode(emb, cents, books).persist()
+    enc = lifecycle.track(
+        similarity.ivf_pq_encode(emb, cents, books).persist()
+    )
     src = os.path.join(work, "src")
     emb.filter(F.col("vec_id") < 5).repartition(1).write.parquet(src)
     qstream = spark.readStream.schema(TABLE_SCHEMAS["embeddings"]).parquet(src)

@@ -166,6 +166,7 @@ def ann_enrich_stream(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_limit: int | None = None,
 ) -> None:
     """Micro-batch vector retrieval against a STATIC pre-encoded IVF-ADC
     index (foreachBatch) — the streaming face of E3: each arriving batch
@@ -175,10 +176,19 @@ def ann_enrich_stream(
     dedup/CDC convention in this module. The index side never changes
     per batch: (cell, codes) rows computed once at ingest
     (similarity.ivf_pq_encode), scanned per micro-batch through the
-    broadcast probe equi-join on cell. The per-batch query collect
-    inside topk_ivf_pq is bounded by its ``query_limit`` — a micro-batch
-    IS a bounded query set, which is why the table-building ADC search
-    composes with streaming at all.
+    broadcast probe equi-join on cell.
+
+    Bounding (ADVICE r14): micro-batch size is NOT intrinsically
+    bounded — a file source draining a large backlog under
+    Trigger.AvailableNow can deliver one huge batch unless the CALLER
+    rate-limits the source (``maxFilesPerTrigger`` /
+    ``maxBytesPerTrigger`` on the readStream). The per-batch query
+    collect inside topk_ivf_pq enforces its ``query_limit`` cap either
+    way; pass ``query_limit`` here to size that cap to the configured
+    trigger. An over-limit batch raises inside foreachBatch and FAILS
+    the stream — intentional loud-beats-wrong posture: silently
+    truncating a query batch would drop retrievals, and the checkpoint
+    replays the batch after the source is re-limited.
 
     Replay safety: foreachBatch is at-least-once, so results land in a
     per-batch ``batch=N`` directory with OVERWRITE — a replayed batch
@@ -191,6 +201,7 @@ def ann_enrich_stream(
     from sids_data_pipeline_spark.operators import similarity
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        extra = {} if query_limit is None else {"query_limit": query_limit}
         res = similarity.topk_ivf_pq(
             enc,
             batch,
@@ -201,6 +212,7 @@ def ann_enrich_stream(
             id_col=id_col,
             vec_col=vec_col,
             candidates_encoded=True,
+            **extra,
         )
         res.write.mode("overwrite").parquet(
             os.path.join(out_dir, "rows", f"batch={batch_id}")

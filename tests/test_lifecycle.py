@@ -54,3 +54,21 @@ def test_release_tracked_actually_unpins(spark):
     lifecycle.release_tracked()
     assert not lifecycle._TRACKED
     assert not out.storageLevel.useMemory
+
+
+def test_e3_gate_persists_route_through_track(spark, sf_dir):
+    """ADVICE r14: gate-internal persists (the PCA-rotated corpus in
+    similarity_pq_pca_gate) must register via lifecycle.track so the
+    catalog runner's release_tracked unpins them between queries —
+    untracked gate caches accumulate across a 243-entry driver run."""
+    from sids_data_pipeline_spark import lifecycle
+    from sids_data_pipeline_spark.plans.catalog import all_queries
+
+    lifecycle.release_tracked()
+    res = all_queries()["similarity_pq_pca_gate"].spark(spark, sf_dir)
+    assert lifecycle._TRACKED, "gate persisted outside lifecycle.track"
+    tracked = list(lifecycle._TRACKED)
+    row = res.collect()[0]
+    assert row.violations == 0 and row.found_hits
+    lifecycle.release_tracked()
+    assert all(not d.storageLevel.useMemory for d in tracked)

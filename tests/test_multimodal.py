@@ -446,3 +446,31 @@ def test_extract_features_undecodable_tiff_takes_fallback(spark):
         n % 640, (n * 7) % 480, n % 24 + 1,
     )
     assert (feats[2]["width"], feats[2]["height"]) == (6, 5)
+
+
+def test_decode_payload_tiff_fallback_is_narrow(monkeypatch):
+    """ADVICE r14: the TIFF profiling fallback catches only the error
+    types the codec raises for undecodable INPUT (ValueError,
+    NotImplementedError, struct.error); a programming error inside the
+    codec must propagate, not silently become length-derived
+    pseudo-features that mask a regression."""
+    from sids_data_pipeline_spark.operators.multimodal import _decode_payload
+    from sids_data_pipeline_spark.sources import geotiff
+
+    payload = b"II*\x00" + b"\x07" * 40  # TIFF magic, undecodable body
+    # real undecodable input -> deterministic fallback (unchanged)
+    fb = _decode_payload(payload, "image")
+    n = len(payload)
+    assert fb == {
+        "n_bytes": n,
+        "width": n % 640,
+        "height": (n * 7) % 480,
+        "n_frames": n % 24 + 1,
+    }
+
+    def boom(_buf):
+        raise TypeError("codec regression")
+
+    monkeypatch.setattr(geotiff, "decode_geotiff_bands", boom)
+    with pytest.raises(TypeError, match="codec regression"):
+        _decode_payload(payload, "image")

@@ -668,3 +668,52 @@ def test_pq_and_ivf_adc_identity_property(spark):
         ), (seed, dm, kc, cp)
 
     check()
+
+
+def test_pca_transform_collision_safe_temp_name(spark, emb):
+    """ADVICE r14: the staged centered-vector column must not clobber a
+    caller column named like the temp — an input already carrying
+    ``_ctr`` (the old fixed name) or ``_ctr_pc`` (the new derived name)
+    keeps its values, and the projection is unchanged."""
+    model = similarity.pca_fit(emb, k=4)
+    base = {
+        r.vec_id: r.pc
+        for r in similarity.pca_transform(emb, model).select("vec_id", "pc").collect()
+    }
+    poisoned = emb.withColumn("_ctr", F.lit(7)).withColumn("_ctr_pc", F.lit(9))
+    got = similarity.pca_transform(poisoned, model)
+    assert "_ctr" in got.columns and "_ctr_pc" in got.columns
+    rows = got.select("vec_id", "pc", "_ctr", "_ctr_pc").collect()
+    for r in rows:
+        assert (r._ctr, r._ctr_pc) == (7, 9)
+        assert np.allclose(r.pc, base[r.vec_id], atol=1e-9)
+
+
+def test_topk_pq_family_schema_consistent_int_ids(spark):
+    """ADVICE r14: topk_pq/topk_ivf_pq's empty-query early return
+    hardcodes long ids; the non-empty path must emit the SAME schema
+    even when the candidates carry int (not long) ids."""
+    rows = [(i, [float(i % 3), float((i * 7) % 5)]) for i in range(12)]
+    cand = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    none_q = cand.filter(F.col("vec_id") < 0)
+    some_q = cand.filter(F.col("vec_id") < 2)
+
+    books = similarity.pq_fit(cand, m=2, kc=2, iters=1)
+    def shape(df):
+        # nullability is advisory in Spark (row_number marks non-null);
+        # the contract is names + types
+        return [(fld.name, fld.dataType) for fld in df.schema.fields]
+
+    e, f = (
+        similarity.topk_pq(cand, q, books, k=3) for q in (none_q, some_q)
+    )
+    assert shape(e) == shape(f)
+    assert f.count() > 0
+
+    cents, books2 = similarity.ivf_pq_fit(cand, kcoarse=2, m=2, kc=2, iters=1)
+    e2, f2 = (
+        similarity.topk_ivf_pq(cand, q, cents, books2, k=3, nprobe=2)
+        for q in (none_q, some_q)
+    )
+    assert shape(e2) == shape(f2)
+    assert f2.count() > 0

@@ -893,3 +893,44 @@ def test_ann_enrich_stream_equals_batch(spark, tmp_path):
     )
     assert len(streamed) > 0
     assert streamed.equals(batch[cols])
+
+
+def test_ann_enrich_stream_query_limit_is_loud(spark, tmp_path):
+    """ADVICE r14: nothing intrinsically bounds a file-source micro-batch
+    (a backlog drains as ONE availableNow batch), so ann_enrich_stream
+    plumbs query_limit through to topk_ivf_pq's bounded collect. An
+    over-limit batch must FAIL the stream loudly (truncating would drop
+    retrievals silently); re-running with the limit raised succeeds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sids_data_pipeline_spark.operators import similarity
+    from sids_data_pipeline_spark.streaming.jobs import ann_enrich_stream
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(scale=1.0, size=(60, 4)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(60), "embedding": list(map(list, vecs))})
+    )
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=2, m=2, kc=2, iters=1)
+    enc = similarity.ivf_pq_encode(emb, cents, books).persist()
+    src = str(tmp_path / "src")
+    emb.filter(F.col("vec_id") < 5).repartition(1).write.parquet(src)
+
+    def run(limit, ckpt, out):
+        qstream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        ann_enrich_stream(
+            qstream, enc, cents, books, out, ckpt,
+            k=3, nprobe=1, query_limit=limit,
+        )
+
+    with pytest.raises(StreamingQueryException, match="query_limit"):
+        run(2, str(tmp_path / "ckpt_tight"), str(tmp_path / "out_tight"))
+    run(100, str(tmp_path / "ckpt_ok"), str(tmp_path / "out_ok"))
+    got = spark.read.parquet(str(tmp_path / "out_ok") + "/rows")
+    assert got.count() > 0
+    enc.unpersist()
