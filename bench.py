@@ -69,7 +69,30 @@ def _extra_runners(spark) -> dict[str, object]:
             emb, emb.filter(F.col("vec_id") < 5), books, k=10
         ).count()
 
-    return {"similarity_pq_search": pq_search}
+    # similarity_ivf_pq_search (VERDICT r13 ask #4): the PRODUCTION
+    # search shape — offline fit + at-ingest encode run OUTSIDE the
+    # timed region (the index is computed once and cached, exactly what
+    # a deployment stores), each pass times the sub-linear path: per-
+    # query residual ADC tables + broadcast equi-join on cell over the
+    # pre-encoded (cell, codes) rows (operators/similarity.py:
+    # topk_ivf_pq, candidates_encoded=True). The full-scan twin above
+    # stays as the recall=1 cost anchor; this row is what the round-
+    # over-round signal should track. Correctness is driver-gated by
+    # similarity_ivf_pq's residual-ADC identity.
+    cents, ivf_books = similarity.ivf_pq_fit(emb, kcoarse=8, m=4, kc=8, iters=2)
+    enc = similarity.ivf_pq_encode(emb, cents, ivf_books).cache()
+    enc.count()
+
+    def ivf_pq_search() -> None:
+        similarity.topk_ivf_pq(
+            enc, emb.filter(F.col("vec_id") < 5), cents, ivf_books,
+            k=10, nprobe=2, candidates_encoded=True,
+        ).count()
+
+    return {
+        "similarity_pq_search": pq_search,
+        "similarity_ivf_pq_search": ivf_pq_search,
+    }
 
 
 def _tail_queries(doc: dict) -> tuple[dict[str, float], str] | None:
@@ -117,9 +140,15 @@ def _tail_queries(doc: dict) -> tuple[dict[str, float], str] | None:
     return None
 
 
-def _previous_round() -> tuple[str, dict[str, float], str] | None:
-    """Latest BENCH_r{N}.json with a recoverable per-query map, if any,
-    as (round label, per-query seconds, recovery source)."""
+def _previous_round(current_sf: float | str) -> tuple[str, dict[str, float], str] | None:
+    """Latest BENCH_r{N}.json with a recoverable per-query map AND a
+    matching scale factor, as (round label, per-query seconds, recovery
+    source). The sf guard is the point (ADVICE/VERDICT r14): driver
+    records carry the sf they ran at, and without the check an sf1.0
+    run's delta_vs_prev subtracted the prior round's sf0.1 medians —
+    numerically plausible, semantically garbage. A record whose sf is
+    unrecoverable is skipped too: a delta against an unknown scale is
+    worse than no delta."""
     here = os.path.dirname(os.path.abspath(__file__))
     best_n, best, best_src = -1, None, ""
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
@@ -130,6 +159,14 @@ def _previous_round() -> tuple[str, dict[str, float], str] | None:
             with open(path) as fh:
                 doc = json.load(fh)
             parsed = doc.get("parsed")
+            doc_sf = doc.get("sf")
+            if doc_sf is None and isinstance(parsed, dict):
+                doc_sf = parsed.get("sf")
+            try:
+                if float(doc_sf) != float(current_sf):
+                    continue
+            except (TypeError, ValueError):
+                continue
             # driver records may carry parsed as the literal string
             # "None" — only a dict is usable
             queries = (
@@ -253,10 +290,11 @@ def main() -> None:
                  "0.105x vs the oracle — minhash LSH 1.4s vs DuckDB 65s "
                  "— with sub-linear growth on every query",
     }
-    # Per-query deltas vs the previous round's recorded bench, so a real
-    # regression separates from the box's ±30% single-run noise at a
-    # glance. Best-effort: absent/corrupt prior files are skipped.
-    prev = _previous_round()
+    # Per-query deltas vs the previous round's recorded bench AT THE
+    # SAME scale factor, so a real regression separates from the box's
+    # ±30% single-run noise at a glance. Best-effort: absent/corrupt/
+    # different-sf prior files are skipped.
+    prev = _previous_round(out["sf"])
     if prev:
         prev_round, prev_queries, prev_src = prev
         out["prev_round"] = prev_round
