@@ -265,22 +265,128 @@ from sids_data_pipeline_spark.plans.base import Query
 # untouched; pricing_summary / window_rank / zonal_mean_large /
 # zonal_large_broadcast keep relational + zonal in-window via the age
 # slots, and bench.py re-times the headliners every round).
+# Round-14 rotation (twelfth): streaming_ann_enrich claims its first
+# driver row (the r13 verdict's #1 ask — the only entry never
+# driver-gated). The r14 diffs are the five ADVICE hardening fixes, all
+# narrow: similarity.py (topk_pq/topk_ivf_pq long neighbor_id cast,
+# pca_transform collision-safe temp column) → similarity_pq_gate,
+# similarity_pq_pca_gate, similarity_ivf_pq, embedding_pca_gate re-row
+# (every consumer of a touched path; topk_bruteforce/ann_lsh/kmeans are
+# untouched so the rest of E3 stands on fresh r13 rows);
+# ext_queries.py (the two gates' persists routed through
+# lifecycle.track) and streaming/jobs.py (ann_enrich_stream
+# query_limit plumb-through) are confined to similarity_pq_pca_gate +
+# streaming_ann_enrich, both in-window; multimodal.py
+# (_decode_payload tiff fallback narrowed to undecodable-input error
+# types) → multimodal_features re-rows (multimodal_decode_tiff's r13
+# row stands: decode_images does not route through _decode_payload).
+# The REST of the window is the age backstop finishing the backlog the
+# written ≤~6-round policy demands (44 age slots this round): the
+# thirteen r5 rows deferred from r13 (array_json_scalars, map_scalars,
+# pivot_status, proj_star_prefix, str_funcs, streaming_attribution,
+# streaming_dedup_batch, text_langid, text_repetition,
+# text_sentences_udtf, zonal_mean_broadcast, zonal_mean_grid,
+# zonal_multi_stats) plus the thirty-one alphabetically-first r6 rows
+# (column_corr … streaming_running_totals) — after this window the
+# oldest standing rows are the seven remaining r6 names
+# (table_profile, text_fingerprint, text_scrub_pii, text_search_bm25,
+# text_winnowing, tiles_assign, tiles_density_drop), which head the
+# r15 queue with the r7 tail behind them. Displaced r13-window names
+# (all hold FRESH r13 rows; operator files unchanged in r14 or diffs
+# confined per the analysis above): the five late-r12 codec entries +
+# multimodal_audio_features (imagecodec.py untouched in r14;
+# multimodal_features keeps E4 in-window via the fallback re-row),
+# dedup_semantic + similarity_ann_gate + similarity_topk (similarity.py
+# r14 diff confined to pq/ivf_pq/pca paths, all four consumers
+# re-rowed above), and the twenty r02 + sixteen r5 age re-rows that
+# r13 re-proved (their rows are now the freshest in the catalog).
 PRIORITY: tuple[str, ...] = (
-    # — the r12 queue: first-time driver rows —
+    # — the r13 queue: streaming_ann_enrich claims its FIRST driver row
+    #   (the only catalog entry never driver-gated; landed late r13,
+    #   selfcheck-green twice) —
+    "streaming_ann_enrich",
+    # — re-rows for this round's diffs (ADVICE r14 hardening):
+    #   operators/similarity.py changed in topk_pq (long neighbor_id
+    #   cast), topk_ivf_pq (same cast), pca_transform (collision-safe
+    #   temp column) — every consumer of a touched path re-rows:
+    #   similarity_pq_gate (topk_pq), similarity_pq_pca_gate
+    #   (pca_transform + topk_pq + its own tracked persist),
+    #   similarity_ivf_pq (topk_ivf_pq), embedding_pca_gate
+    #   (pca_transform); streaming_ann_enrich above covers the
+    #   streaming/jobs.py query_limit plumb-through AND its gate's
+    #   tracked persist; operators/multimodal.py changed in
+    #   _decode_payload's tiff fallback → multimodal_features re-rows —
     "similarity_pq_gate",
+    "similarity_pq_pca_gate",
+    "similarity_ivf_pq",
+    "embedding_pca_gate",
+    "multimodal_features",
+    # — age backstop, thirteen r5 rows (the oldest standing signal;
+    #   deferred from r13 per the rotation comment above) —
+    "array_json_scalars",
+    "map_scalars",
+    "pivot_status",
+    "proj_star_prefix",
+    "str_funcs",
+    "streaming_attribution",
+    "streaming_dedup_batch",
+    "text_langid",
+    "text_repetition",
+    "text_sentences_udtf",
+    "zonal_mean_broadcast",
+    "zonal_mean_grid",
+    "zonal_multi_stats",
+    # — age backstop, thirty-one r6 rows (alphabetical; the seven
+    #   remaining r6 names — table_profile, text_fingerprint,
+    #   text_scrub_pii, text_search_bm25, text_winnowing, tiles_assign,
+    #   tiles_density_drop — head the r15 queue) —
+    "column_corr",
+    "corpus_mix",
+    "corpus_pack_shards",
+    "corpus_split",
+    "dq_checks",
+    "embedding_kmeans",
+    "events_latest",
+    "events_outliers",
+    "events_rolling",
+    "events_sliding",
+    "events_tumbling",
+    "ingest_dead_letters",
+    "join_asof",
+    "join_interval_overlap",
+    "layout_zorder",
+    "merge_upsert",
+    "mv_incremental",
+    "mv_refresh",
+    "raster_clip_band",
+    "scd2_history",
+    "similarity_recall",
+    "sink_geojsonl_roundtrip",
+    "sink_json_roundtrip",
+    "skew_heavy_hitters",
+    "skew_key_report",
+    "snapshot_diff",
+    "source_csv_roundtrip",
+    "sql_forecast_revenue",
+    "sql_local_supplier_volume",
+    "sql_returned_items",
+    "streaming_running_totals",
+    # — end of the 50-slot window (streaming_running_totals takes
+    #   slot 50) — r13 window names displaced this round retained below
+    #   for provenance; every displaced entry holds a FRESH r13 row and
+    #   its operator file is unchanged in r14 or the diff is confined
+    #   to the in-window paths listed in the rotation comment above.
+    # — the r12 queue: first-time driver rows —
     "multimodal_exif_orientation",
     "multimodal_orientation_normalize",
     "multimodal_decode_bmp_rle",
     "multimodal_decode_jpeg_multiscan",
     "multimodal_decode_tiff",
     # — NEW r13: IVF-ADC (VERDICT r12 ask #4) + PCA-rotated PQ —
-    "similarity_ivf_pq",
-    "similarity_pq_pca_gate",
     # — operators/similarity.py pca_transform REWRITTEN late r13 (HOF
     #   matrix product replaces the Janino-overflowing 4096-node scalar
     #   unroll): embedding_pca_gate re-rows, displacing two r5 age
     #   slots (array_json_scalars, map_scalars — deferred to r14) —
-    "embedding_pca_gate",
     # — operators/similarity.py changed (additive IVF-PQ family):
     #   stale-note settlement + E3 belt —
     "dedup_semantic",
@@ -288,7 +394,6 @@ PRIORITY: tuple[str, ...] = (
     "similarity_topk",
     # — imagecodec/multimodal ADVICE-r13 diffs: belt re-rows (the
     #   directly-touched paths are in-window via the queue) —
-    "multimodal_features",
     "multimodal_audio_features",
     # — age backstop: ALL twenty r02 rows (oldest standing signal) —
     "dedup_exact_stats",
@@ -382,14 +487,9 @@ PRIORITY: tuple[str, ...] = (
     "sql_shipping_priority",
     "crs_reproject",
     "pipeline_end_to_end",
-    # Round-14 rotation queue (landed late r13, selfcheck-green, no
-    # driver row yet): streaming_ann_enrich — E3 × streaming micro-batch
-    # retrieval against a static pre-encoded IVF-ADC index
-    # (foreachBatch reusing topk_ivf_pq), streamed == batch pinned by
-    # the verdict row. Queue it with the thirteen r5 age names listed
-    # in the r13 rotation comment above.
-    "streaming_ann_enrich",
-    # r11 head names displaced in r12 retained below for provenance.
+    # (streaming_ann_enrich claimed its first driver row at the head
+    # of the r14 window above.)
+
     "streaming_vector_ingest",
     "streaming_raster_ingest",
     "streaming_dedup_lsh",

@@ -671,6 +671,103 @@ def main() -> None:
             }
         out["ivf_pq_search"] = ivf
 
+    if not sections or "ivf_pq_recall" in sections:
+        # --- IVF-PQ recall@10 vs nprobe (VERDICT r13 ask #5): what the
+        # knobs BUY, quantified against the exact topk_l2 twin. Corpora
+        # are low-intrinsic-dimension (a 2-factor manifold in 32 dims +
+        # noise — i.i.d. gaussians give PQ nothing to rank and saturate
+        # every knob). Misses have two causes with two different knobs:
+        #   * probe misses — true neighbors in unprobed cells. Dominant
+        #     when coarse cells are SMALLER than the 10-NN ball
+        #     (regime "boundary" below: 4k points / 64 cells); nprobe
+        #     is the knob and the curve rises until probes cover the
+        #     ball.
+        #   * quantization misses — ADC can't rank the true top-10
+        #     inside a probed cell. Dominant at production density
+        #     (regime "320k" below: 2,500-point cells dwarf the NN
+        #     ball, so nprobe=1 already probes the right cell and the
+        #     curve is FLAT past nprobe=2); m·kc is the knob — the
+        #     fine codebook lifts the ceiling, nprobe does not.
+        # Cost column: search wall time is ~flat in nprobe at these
+        # cell counts (per-probe table build dominates over the scan).
+        import numpy as np
+        import pandas as pd
+
+        from sids_data_pipeline_spark.operators.similarity import (
+            ivf_pq_encode,
+            ivf_pq_fit,
+            topk_ivf_pq,
+            topk_l2,
+        )
+
+        def manifold(n: int, d: int = 32, latent: int = 2):
+            rng = np.random.default_rng(42)
+            basis = rng.normal(size=(latent, d)).astype(np.float32)
+            z = rng.normal(size=(n, latent)).astype(np.float32)
+            vecs = (
+                z @ basis + rng.normal(scale=0.05, size=(n, d))
+            ).astype(np.float32)
+            emb = spark.createDataFrame(
+                pd.DataFrame(
+                    {"vec_id": np.arange(n), "embedding": list(map(list, vecs))}
+                )
+            ).repartition(32).cache()
+            emb.count()
+            return emb
+
+        def sweep(emb, kcoarse, m, kc, sample_n, probes):
+            queries = emb.filter(F.col("vec_id") < 10)
+            truth: dict = {}
+            for r in topk_l2(emb, queries, k=10).collect():
+                truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+            sample = emb.filter(F.col("vec_id") < sample_n)
+            cents, books = ivf_pq_fit(
+                sample, kcoarse=kcoarse, m=m, kc=kc, iters=2
+            )
+            enc = ivf_pq_encode(emb, cents, books).cache()
+            enc.count()
+            got_out = {}
+            for nprobe in probes:
+                res = topk_ivf_pq(
+                    enc, queries, cents, books, k=10, nprobe=nprobe,
+                    candidates_encoded=True,
+                )
+                got: dict = {}
+                for r in res.collect():
+                    got.setdefault(r.query_id, set()).add(r.neighbor_id)
+                recall = sum(
+                    len(got.get(q, set()) & t) for q, t in truth.items()
+                ) / (10 * len(truth))
+                sec = _steady(
+                    lambda e=enc, q=queries, c=cents, b=books, p=nprobe:
+                    topk_ivf_pq(
+                        e, q, c, b, k=10, nprobe=p, candidates_encoded=True
+                    ).count(),
+                    reps=2,
+                )
+                got_out[f"nprobe={nprobe}"] = {
+                    "recall_at_10": round(recall, 3),
+                    "sec": round(sec, 3),
+                }
+            enc.unpersist()
+            return got_out
+
+        rec_out = {}
+        emb320 = manifold(320_000)
+        rec_out["320k_coarse_codebook_m8_kc32_kcoarse128"] = sweep(
+            emb320, 128, 8, 32, 8_000, (1, 2, 4, 8)
+        )
+        rec_out["320k_fine_codebook_m16_kc64_kcoarse128"] = sweep(
+            emb320, 128, 16, 64, 8_000, (1, 2, 4, 8)
+        )
+        emb320.unpersist()
+        emb4k = manifold(4_000)
+        rec_out["4k_boundary_regime_m8_kc32_kcoarse64"] = sweep(
+            emb4k, 64, 8, 32, 4_000, (1, 2, 4, 8)
+        )
+        emb4k.unpersist()
+        out["ivf_pq_recall"] = rec_out
+
     print(json.dumps(out))
     spark.stop()
 
