@@ -485,8 +485,11 @@ def ann_lsh(
     joined = model.approxSimilarityJoin(
         model.transform(cand), model.transform(q), max_distance, distCol="_dist"
     ).select(
-        F.col("datasetB.query_id").alias("query_id"),
-        F.col("datasetA.neighbor_id").alias("neighbor_id"),
+        # long ids regardless of the inputs' integral id dtype, matching
+        # the empty-candidates branch's hardcoded schema (same fix as
+        # topk_pq/topk_ivf_pq, r14)
+        F.col("datasetB.query_id").cast("long").alias("query_id"),
+        F.col("datasetA.neighbor_id").cast("long").alias("neighbor_id"),
         F.col("datasetA._arr").alias("_arr"),
         F.col("datasetB._qarr").alias("_qarr"),
     ).filter(F.col("neighbor_id") != F.col("query_id"))

@@ -286,10 +286,12 @@ from sids_data_pipeline_spark.plans.base import Query
 # pivot_status, proj_star_prefix, str_funcs, streaming_attribution,
 # streaming_dedup_batch, text_langid, text_repetition,
 # text_sentences_udtf, zonal_mean_broadcast, zonal_mean_grid,
-# zonal_multi_stats) plus the thirty-one alphabetically-first r6 rows
+# zonal_multi_stats) plus thirty alphabetically-first r6 rows
 # (column_corr … streaming_running_totals) — after this window the
-# oldest standing rows are the seven remaining r6 names
-# (table_profile, text_fingerprint, text_scrub_pii, text_search_bm25,
+# oldest standing rows are the eight remaining r6 names
+# (sql_returned_items — deferred late r14 when its slot went to the
+# similarity_ann_gate re-row for the ann_lsh long-id cast —
+# table_profile, text_fingerprint, text_scrub_pii, text_search_bm25,
 # text_winnowing, tiles_assign, tiles_density_drop), which head the
 # r15 queue with the r7 tail behind them. Displaced r13-window names
 # (all hold FRESH r13 rows; operator files unchanged in r14 or diffs
@@ -321,6 +323,11 @@ PRIORITY: tuple[str, ...] = (
     "similarity_ivf_pq",
     "embedding_pca_gate",
     "multimodal_features",
+    # — late-r14 diff: ann_lsh got the same long-id cast (its empty
+    #   branch hardcoded long like the topk_pq family), so its gate
+    #   consumer re-rows too; the slot comes from deferring one r6 age
+    #   name (sql_returned_items, first after the window below) —
+    "similarity_ann_gate",
     # — age backstop, thirteen r5 rows (the oldest standing signal;
     #   deferred from r13 per the rotation comment above) —
     "array_json_scalars",
@@ -336,9 +343,10 @@ PRIORITY: tuple[str, ...] = (
     "zonal_mean_broadcast",
     "zonal_mean_grid",
     "zonal_multi_stats",
-    # — age backstop, thirty-one r6 rows (alphabetical; the seven
-    #   remaining r6 names — table_profile, text_fingerprint,
-    #   text_scrub_pii, text_search_bm25, text_winnowing, tiles_assign,
+    # — age backstop, thirty r6 rows (alphabetical; the eight
+    #   remaining r6 names — sql_returned_items (deferred late r14, see
+    #   below), table_profile, text_fingerprint, text_scrub_pii,
+    #   text_search_bm25, text_winnowing, tiles_assign,
     #   tiles_density_drop — head the r15 queue) —
     "column_corr",
     "corpus_mix",
@@ -369,13 +377,15 @@ PRIORITY: tuple[str, ...] = (
     "source_csv_roundtrip",
     "sql_forecast_revenue",
     "sql_local_supplier_volume",
-    "sql_returned_items",
     "streaming_running_totals",
     # — end of the 50-slot window (streaming_running_totals takes
     #   slot 50) — r13 window names displaced this round retained below
     #   for provenance; every displaced entry holds a FRESH r13 row and
     #   its operator file is unchanged in r14 or the diff is confined
     #   to the in-window paths listed in the rotation comment above.
+    # — deferred to the r15 queue late r14: one r6 age slot traded for
+    #   the similarity_ann_gate re-row above (its r6 row stands) —
+    "sql_returned_items",
     # — the r12 queue: first-time driver rows —
     "multimodal_exif_orientation",
     "multimodal_orientation_normalize",
@@ -390,7 +400,8 @@ PRIORITY: tuple[str, ...] = (
     # — operators/similarity.py changed (additive IVF-PQ family):
     #   stale-note settlement + E3 belt —
     "dedup_semantic",
-    "similarity_ann_gate",
+    # (similarity_ann_gate moved into the r14 window above — the
+    # ann_lsh long-id cast re-row)
     "similarity_topk",
     # — imagecodec/multimodal ADVICE-r13 diffs: belt re-rows (the
     #   directly-touched paths are in-window via the queue) —

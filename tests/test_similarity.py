@@ -767,3 +767,23 @@ def test_ivf_pq_recall_monotonic_in_nprobe(spark):
     assert all(a <= b for a, b in zip(curve, curve[1:])), curve
     assert curve[-1] - curve[0] >= 0.1, curve  # nprobe buys real recall
     assert curve[-1] >= 0.8, curve  # quantization ceiling is high
+
+
+def test_ann_lsh_schema_consistent_int_ids(spark):
+    """Same branch-schema contract as the topk_pq family (r14): ann_lsh's
+    empty-candidates early return hardcodes long ids; the LSH join path
+    must emit the same names+types for int-id inputs."""
+    # +1 offsets keep every vector nonzero-norm (cosine is undefined at
+    # the origin and this test is about schemas, not zero handling)
+    rows = [(i, [float(i % 5 + 1), float((i * 3) % 7 + 1)]) for i in range(30)]
+    cand = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def shape(df):
+        return [(fld.name, fld.dataType) for fld in df.schema.fields]
+
+    empty = similarity.ann_lsh(
+        cand.filter(F.col("vec_id") < 0), cand.limit(2), k=3
+    )
+    full = similarity.ann_lsh(cand, cand.filter(F.col("vec_id") < 2), k=3)
+    assert shape(empty) == shape(full)
+    assert full.count() > 0
