@@ -286,11 +286,12 @@ from sids_data_pipeline_spark.plans.base import Query
 # pivot_status, proj_star_prefix, str_funcs, streaming_attribution,
 # streaming_dedup_batch, text_langid, text_repetition,
 # text_sentences_udtf, zonal_mean_broadcast, zonal_mean_grid,
-# zonal_multi_stats) plus thirty alphabetically-first r6 rows
+# zonal_multi_stats) plus twenty-nine alphabetically-first r6 rows
 # (column_corr … streaming_running_totals) — after this window the
-# oldest standing rows are the eight remaining r6 names
-# (sql_returned_items — deferred late r14 when its slot went to the
-# similarity_ann_gate re-row for the ann_lsh long-id cast —
+# oldest standing rows are the nine remaining r6 names
+# (sql_returned_items + sql_local_supplier_volume — deferred late r14
+# when their slots went to the similarity_ann_gate re-row for the
+# ann_lsh long-id cast and to the NEW similarity_opq_gate —
 # table_profile, text_fingerprint, text_scrub_pii, text_search_bm25,
 # text_winnowing, tiles_assign, tiles_density_drop), which head the
 # r15 queue with the r7 tail behind them. Displaced r13-window names
@@ -328,6 +329,12 @@ PRIORITY: tuple[str, ...] = (
     #   consumer re-rows too; the slot comes from deferring one r6 age
     #   name (sql_returned_items, first after the window below) —
     "similarity_ann_gate",
+    # — NEW r14: optimized product quantization (opq_fit/opq_rotate —
+    #   eigenvalue-allocation init + Procrustes refinement, Ge CVPR
+    #   2013), gated in its landing round per the r13 lesson; the slot
+    #   comes from deferring a second r6 age name
+    #   (sql_local_supplier_volume, after the window below) —
+    "similarity_opq_gate",
     # — age backstop, thirteen r5 rows (the oldest standing signal;
     #   deferred from r13 per the rotation comment above) —
     "array_json_scalars",
@@ -343,9 +350,10 @@ PRIORITY: tuple[str, ...] = (
     "zonal_mean_broadcast",
     "zonal_mean_grid",
     "zonal_multi_stats",
-    # — age backstop, thirty r6 rows (alphabetical; the eight
-    #   remaining r6 names — sql_returned_items (deferred late r14, see
-    #   below), table_profile, text_fingerprint, text_scrub_pii,
+    # — age backstop, twenty-nine r6 rows (alphabetical; the nine
+    #   remaining r6 names — sql_returned_items +
+    #   sql_local_supplier_volume (deferred late r14, see below),
+    #   table_profile, text_fingerprint, text_scrub_pii,
     #   text_search_bm25, text_winnowing, tiles_assign,
     #   tiles_density_drop — head the r15 queue) —
     "column_corr",
@@ -376,16 +384,17 @@ PRIORITY: tuple[str, ...] = (
     "snapshot_diff",
     "source_csv_roundtrip",
     "sql_forecast_revenue",
-    "sql_local_supplier_volume",
     "streaming_running_totals",
     # — end of the 50-slot window (streaming_running_totals takes
     #   slot 50) — r13 window names displaced this round retained below
     #   for provenance; every displaced entry holds a FRESH r13 row and
     #   its operator file is unchanged in r14 or the diff is confined
     #   to the in-window paths listed in the rotation comment above.
-    # — deferred to the r15 queue late r14: one r6 age slot traded for
-    #   the similarity_ann_gate re-row above (its r6 row stands) —
+    # — deferred to the r15 queue late r14: two r6 age slots traded for
+    #   the similarity_ann_gate re-row and the NEW similarity_opq_gate
+    #   above (both r6 rows stand) —
     "sql_returned_items",
+    "sql_local_supplier_volume",
     # — the r12 queue: first-time driver rows —
     "multimodal_exif_orientation",
     "multimodal_orientation_normalize",

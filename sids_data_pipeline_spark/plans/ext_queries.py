@@ -2150,6 +2150,65 @@ def _streaming_ann_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_ANN_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
 
 
+def _similarity_opq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized product quantization (E3, r14): opq_fit learns the
+    rotation jointly with the codebooks — eigenvalue-allocation init
+    (OPQ-P) + Procrustes refinement (OPQ-NP), Ge et al. CVPR 2013 —
+    instead of the fixed PCA basis the r13 gate composes. Three pins:
+
+    * the returned rotation is ORTHOGONAL (max |R·Rᵀ − I| ≤ 1e-9; a
+      non-orthogonal R silently changes the searched metric);
+    * the objective trace is non-increasing within Lloyd tolerance
+      (alternating minimization that ascends means a sub-step stopped
+      being an argmin — the regression class this guards);
+    * the defining ADC identity holds in the LEARNED rotated domain:
+      topk_pq's table-lookup distance == ‖q − reconstruct(x)‖² exactly
+      against the independent pq_reconstruct → topk_l2 replay, proving
+      the learned rotation composes with encode/search/decode without
+      breaking exactness.
+
+    The driver-side checks fold into the verdict row as literals; the
+    identity check is the same distributed anti-join the PQ/PCA gates
+    run. Output (violations, found_hits)."""
+    import numpy as np
+
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    # opq_iters=1 keeps the gate inside the window's time budget while
+    # still pinning descent across (allocated init → Procrustes refit);
+    # the pytest fixture runs the deeper trace
+    model = similarity.opq_fit(emb, m=4, kc=8, iters=1, opq_iters=1)
+    rotation = np.asarray(model["rotation"])
+    d = rotation.shape[0]
+    driver_viol = 0
+    if float(np.abs(rotation @ rotation.T - np.eye(d)).max()) > 1e-9:
+        driver_viol += 1
+    tr = model["sse_trace"]
+    if any(b > a * 1.001 for a, b in zip(tr, tr[1:])):
+        driver_viol += 1
+    rot = lifecycle.track(
+        similarity.opq_rotate(emb, model["rotation"], out_col="_r")
+        .select("vec_id", F.col("_r").alias("embedding"))
+        .persist()
+    )
+    queries = rot.filter(F.col("vec_id") < 5)
+    books = model["codebooks"]
+    pq = similarity.topk_pq(rot, queries, books, k=10)
+    recon = similarity.pq_reconstruct(
+        similarity.pq_encode(rot, books), books
+    )
+    l2 = similarity.topk_l2(recon, queries, k=10)
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    viol = pq.select(cols).join(l2.select(cols), cols, "left_anti").unionAll(
+        l2.select(cols).join(pq.select(cols), cols, "left_anti")
+    )
+    return viol.agg(
+        (F.count("*") + F.lit(driver_viol)).alias("violations")
+    ).crossJoin(pq.agg((F.count("*") >= 1).alias("found_hits")))
+
+
+_OPQ_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
+
+
 def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive signal for the pyspark.ml MinHashLSH sketch
     (dedup_minhash_ml is rows-only by nature): every sketch pair must
@@ -4789,6 +4848,14 @@ QUERIES: list[Query] = [
               "ADC == reconstructed-L2 identity in the rotated domain "
               "(derived oracle pins the verdict row)",
           tags=("similarity", "pq", "pca", "evaluation")),
+    Query("similarity_opq_gate", _similarity_opq_gate, _OPQ_SQL,
+          doc="E3 optimized PQ (Ge CVPR 2013): eigenvalue-allocation "
+              "init + Procrustes-refined rotation learned jointly with "
+              "the codebooks; pinned by orthogonality, non-increasing "
+              "objective, and the exact ADC == reconstructed-L2 "
+              "identity in the learned rotated domain (derived oracle "
+              "pins the verdict row)",
+          tags=("similarity", "pq", "opq", "evaluation")),
     Query("streaming_ann_enrich", _streaming_ann_enrich, _STREAM_ANN_SQL,
           doc="E3 × streaming: micro-batch retrieval against a static "
               "pre-encoded IVF-ADC index via foreachBatch reusing the "
