@@ -126,15 +126,25 @@ def _tail_queries(doc: dict) -> tuple[dict[str, float], str] | None:
         if got:
             return got, "tail_queries"
     frag: dict[str, float] = {}
+    frag_src = "tail_queries_fragment"
     end = tail.find("}")
-    if end != -1 and re.match(r'\s*,\s*"median_queries"', tail[end + 1:]):
-        frag = pairs_of(tail[:end])
+    if end != -1:
+        after = tail[end + 1:]
+        if re.match(r'\s*,\s*"median_queries"', after):
+            frag = pairs_of(tail[:end])
+        elif re.match(r'\s*,\s*"median"', after):
+            # key order is queries → median_queries → median: a fragment
+            # closed by ', "median"' is the surviving TAIL of the
+            # median_queries map (front truncation ate the whole
+            # "queries" object — the r13 record's shape)
+            frag = pairs_of(tail[:end])
+            frag_src = "tail_median_queries_fragment"
     m = re.search(r'"median_queries"\s*:\s*\{([^}]*)\}', tail)
     med = pairs_of(m.group(1)) if m else {}
     # prefer whichever recovery names more queries; a 4-name headline
     # fragment loses to a complete 13-name median map
     if len(frag) >= len(med) and frag:
-        return frag, "tail_queries_fragment"
+        return frag, frag_src
     if med:
         return med, "tail_median_queries"
     return None
