@@ -296,9 +296,10 @@ def main() -> None:
         # work-dominated datapoint the r10 verdict asked for.
         "notes": "sf0.1 ratio measures JVM floor, not plans: at sf1.0 "
                  "(BENCH_sf1.json, gen_sfN-scaled, run isolated, "
-                 "re-measured at final r13 code) the aggregate ratio is "
-                 "0.105x vs the oracle — minhash LSH 1.4s vs DuckDB 65s "
-                 "— with sub-linear growth on every query",
+                 "re-measured at final r14 code) the aggregate ratio is "
+                 "0.191x vs the oracle — minhash LSH 2.0s vs DuckDB 40s+ "
+                 "— with sub-linear growth on every query (the new "
+                 "ivf_pq_search row is FLAT on 10x data)",
     }
     # Per-query deltas vs the previous round's recorded bench AT THE
     # SAME scale factor, so a real regression separates from the box's
