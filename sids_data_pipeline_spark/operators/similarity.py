@@ -1620,3 +1620,90 @@ def opq_fit(
         "codebooks": books,
         "sse_trace": trace,
     }
+
+
+def topk_ivf_pq_refine(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[int]],
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    kprime: int = 100,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_limit: int = QUERY_COLLECT_LIMIT,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieval — IVF-ADC shortlist, exact re-rank (the
+    production refine pattern, e.g. FAISS ``IndexRefineFlat`` over
+    ``IVFPQ``): :func:`topk_ivf_pq` retrieves ``kprime`` approximate
+    neighbors per query from the code-only index, then the true
+    integer squared-L2 is recomputed for ONLY those |Q|·k' pairs
+    against the raw vectors and the top ``k`` re-ranked exactly.
+
+    This attacks the miss regime the SCALECHECK recall sweep isolates:
+    at production density quantization misses dominate (ADC cannot
+    rank the true top-10 inside a probed cell) and raising nprobe buys
+    nothing — but the true neighbors ARE in the shortlist at k' ≫ k,
+    so an exact pass over k' rows recovers them. Recall becomes
+    probe-limited only; distortion drops out entirely (returned dist2
+    is the EXACT integer L2, bit-identical to :func:`topk_l2` for the
+    same pairs — the identity the refine gate pins with k' = |corpus|,
+    nprobe = kcoarse, where this operator must equal topk_l2 exactly).
+
+    Scale shape: the shortlist (|Q|·k' ids) broadcasts against the raw
+    vector table — a broadcast semi-gather, no shuffle of the big side;
+    the query vectors broadcast next (bounded by ``query_limit``, the
+    same cap the shortlist stage enforces); the exact distance is one
+    zip_with/aggregate fold per surviving row and one window per query.
+    The big side is scanned once per query batch reading (id, vec)
+    only; co-locate or bucket the vector table by id to turn the
+    gather into a pruned scan on a real lake.
+
+    ``encoded`` passes the pre-encoded (id, cell, codes) index (the
+    at-ingest shape) so ``candidates`` supplies only the raw vectors
+    for the re-rank."""
+    if k > kprime:
+        raise ValueError(
+            f"topk_ivf_pq_refine: k={k} > kprime={kprime}; the refine "
+            "stage can only re-rank what the shortlist stage retrieved"
+        )
+    _require_integral_ids(
+        "topk_ivf_pq_refine", id_col, queries=queries, candidates=candidates
+    )
+    enc = (
+        encoded
+        if encoded is not None
+        else ivf_pq_encode(candidates, centroids, codebooks, id_col, vec_col)
+    )
+    short = topk_ivf_pq(
+        enc, queries, centroids, codebooks, k=kprime, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, query_limit=query_limit,
+        candidates_encoded=True,
+    )
+    cvec = candidates.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        _int_vec(vec_col).alias("_cv"),
+    )
+    qvec = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        _int_vec(vec_col).alias("_qv"),
+    )
+    gathered = cvec.join(
+        F.broadcast(short.select("query_id", "neighbor_id")), "neighbor_id"
+    ).join(F.broadcast(qvec), "query_id")
+    dist2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    staged = gathered.select("query_id", "neighbor_id", dist2.alias("dist2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        staged.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rank")
+    )

@@ -286,12 +286,13 @@ from sids_data_pipeline_spark.plans.base import Query
 # pivot_status, proj_star_prefix, str_funcs, streaming_attribution,
 # streaming_dedup_batch, text_langid, text_repetition,
 # text_sentences_udtf, zonal_mean_broadcast, zonal_mean_grid,
-# zonal_multi_stats) plus twenty-nine alphabetically-first r6 rows
+# zonal_multi_stats) plus twenty-eight alphabetically-first r6 rows
 # (column_corr … streaming_running_totals) — after this window the
-# oldest standing rows are the nine remaining r6 names
-# (sql_returned_items + sql_local_supplier_volume — deferred late r14
-# when their slots went to the similarity_ann_gate re-row for the
-# ann_lsh long-id cast and to the NEW similarity_opq_gate —
+# oldest standing rows are the ten remaining r6 names
+# (sql_returned_items + sql_local_supplier_volume +
+# sql_forecast_revenue — deferred late r14 when their slots went to
+# the similarity_ann_gate re-row for the ann_lsh long-id cast and to
+# the NEW similarity_opq_gate + similarity_ivf_pq_refine —
 # table_profile, text_fingerprint, text_scrub_pii, text_search_bm25,
 # text_winnowing, tiles_assign, tiles_density_drop), which head the
 # r15 queue with the r7 tail behind them. Displaced r13-window names
@@ -335,6 +336,12 @@ PRIORITY: tuple[str, ...] = (
     #   comes from deferring a second r6 age name
     #   (sql_local_supplier_volume, after the window below) —
     "similarity_opq_gate",
+    # — NEW r14: two-stage retrieval (topk_ivf_pq_refine — ADC
+    #   shortlist + exact re-rank, the FAISS refine pattern; closes the
+    #   quantization-miss regime the r14 recall sweep isolated), gated
+    #   in its landing round; slot from a third r6 deferral
+    #   (sql_forecast_revenue) —
+    "similarity_ivf_pq_refine",
     # — age backstop, thirteen r5 rows (the oldest standing signal;
     #   deferred from r13 per the rotation comment above) —
     "array_json_scalars",
@@ -350,11 +357,11 @@ PRIORITY: tuple[str, ...] = (
     "zonal_mean_broadcast",
     "zonal_mean_grid",
     "zonal_multi_stats",
-    # — age backstop, twenty-nine r6 rows (alphabetical; the nine
+    # — age backstop, twenty-eight r6 rows (alphabetical; the ten
     #   remaining r6 names — sql_returned_items +
-    #   sql_local_supplier_volume (deferred late r14, see below),
-    #   table_profile, text_fingerprint, text_scrub_pii,
-    #   text_search_bm25, text_winnowing, tiles_assign,
+    #   sql_local_supplier_volume + sql_forecast_revenue (deferred late
+    #   r14, see below), table_profile, text_fingerprint,
+    #   text_scrub_pii, text_search_bm25, text_winnowing, tiles_assign,
     #   tiles_density_drop — head the r15 queue) —
     "column_corr",
     "corpus_mix",
@@ -383,18 +390,19 @@ PRIORITY: tuple[str, ...] = (
     "skew_key_report",
     "snapshot_diff",
     "source_csv_roundtrip",
-    "sql_forecast_revenue",
     "streaming_running_totals",
     # — end of the 50-slot window (streaming_running_totals takes
     #   slot 50) — r13 window names displaced this round retained below
     #   for provenance; every displaced entry holds a FRESH r13 row and
     #   its operator file is unchanged in r14 or the diff is confined
     #   to the in-window paths listed in the rotation comment above.
-    # — deferred to the r15 queue late r14: two r6 age slots traded for
-    #   the similarity_ann_gate re-row and the NEW similarity_opq_gate
-    #   above (both r6 rows stand) —
+    # — deferred to the r15 queue late r14: three r6 age slots traded
+    #   for the similarity_ann_gate re-row and the NEW
+    #   similarity_opq_gate + similarity_ivf_pq_refine above (all three
+    #   r6 rows stand) —
     "sql_returned_items",
     "sql_local_supplier_volume",
+    "sql_forecast_revenue",
     # — the r12 queue: first-time driver rows —
     "multimodal_exif_orientation",
     "multimodal_orientation_normalize",

@@ -2209,6 +2209,91 @@ def _similarity_opq_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OPQ_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
 
 
+def _similarity_ivf_pq_refine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval gate (E3, r14): topk_ivf_pq_refine — ADC
+    shortlist from the code-only index, exact integer re-rank of the
+    |Q|·k' surviving pairs against the raw vectors (the FAISS
+    refine-over-IVFPQ production pattern; broadcast semi-gather, no
+    shuffle of the vector table). Two pins:
+
+    * EXACTNESS at the degenerate point: with kprime = |corpus| and
+      every coarse cell probed, refine must equal the independent
+      :func:`topk_l2` row-for-row INCLUDING the exact integer dist2 —
+      a wrong gather join, a lossy re-rank fold, or a tie-order drift
+      all produce violations > 0;
+    * DOMINANCE at a real operating point (kprime = 4k, nprobe = 2):
+      the refined top-k's summed exact distance per query must be ≤
+      the plain IVF-PQ top-k's EXACT distance sum for the same query
+      (re-rank can only improve the exact metric over the same-or-
+      smaller candidate pool; a refine stage that loses to its own
+      shortlist stage is broken)."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    n = emb.count()
+    kcoarse = 4
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=kcoarse, m=4, kc=8, iters=1)
+    enc = lifecycle.track(
+        similarity.ivf_pq_encode(emb, cents, books).persist()
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    full = similarity.topk_ivf_pq_refine(
+        emb, queries, cents, books, k=10, kprime=int(n), nprobe=kcoarse,
+        encoded=enc,
+    ).select(cols)
+    l2 = similarity.topk_l2(emb, queries, k=10).select(cols)
+    viol_exact = full.join(l2, cols, "left_anti").unionAll(
+        l2.join(full, cols, "left_anti")
+    )
+    refined = similarity.topk_ivf_pq_refine(
+        emb, queries, cents, books, k=10, kprime=40, nprobe=2, encoded=enc
+    )
+    plain = similarity.topk_ivf_pq(
+        enc, queries, cents, books, k=10, nprobe=2, candidates_encoded=True
+    )
+    # exact integer distance of the PLAIN ranking's picks (its own dist2
+    # is the ADC approximation, not comparable): re-score via the same
+    # zip_with fold topk_l2 plans
+    qv = queries.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        similarity._int_vec("embedding").alias("_q"),
+    )
+    cv = emb.select(
+        F.col("vec_id").cast("long").alias("neighbor_id"),
+        similarity._int_vec("embedding").alias("_c"),
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("_c"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def exact_sum(picks):
+        return (
+            picks.select("query_id", "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select("query_id", exact_d2.alias("_d2"))
+            .groupBy("query_id")
+            .agg(F.sum("_d2").alias("s"))
+        )
+    worse = (
+        exact_sum(refined).withColumnRenamed("s", "s_ref")
+        .join(exact_sum(plain).withColumnRenamed("s", "s_plain"), "query_id")
+        .filter(F.col("s_ref") > F.col("s_plain"))
+    )
+    return (
+        viol_exact.agg(F.count("*").alias("_v1"))
+        .crossJoin(worse.agg(F.count("*").alias("_v2")))
+        .crossJoin(full.agg((F.count("*") >= 1).alias("found_hits")))
+        .select(
+            (F.col("_v1") + F.col("_v2")).alias("violations"), "found_hits"
+        )
+    )
+
+
+_REFINE_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
+
+
 def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive signal for the pyspark.ml MinHashLSH sketch
     (dedup_minhash_ml is rows-only by nature): every sketch pair must
@@ -4856,6 +4941,16 @@ QUERIES: list[Query] = [
               "identity in the learned rotated domain (derived oracle "
               "pins the verdict row)",
           tags=("similarity", "pq", "opq", "evaluation")),
+    Query("similarity_ivf_pq_refine", _similarity_ivf_pq_refine_gate,
+          _REFINE_SQL,
+          doc="E3 two-stage retrieval (FAISS refine-over-IVFPQ "
+              "pattern): ADC shortlist from the code-only index, exact "
+              "integer re-rank of the surviving pairs via a broadcast "
+              "semi-gather; pinned by row-for-row equality with topk_l2 "
+              "at the degenerate full-shortlist point and per-query "
+              "exact-distance dominance over the plain IVF-PQ ranking "
+              "(derived oracle pins the verdict row)",
+          tags=("similarity", "pq", "ivf", "refine", "evaluation")),
     Query("streaming_ann_enrich", _streaming_ann_enrich, _STREAM_ANN_SQL,
           doc="E3 × streaming: micro-batch retrieval against a static "
               "pre-encoded IVF-ADC index via foreachBatch reusing the "

@@ -847,3 +847,74 @@ def test_opq_fit_balances_anisotropy_and_descends(spark):
     sse_opq = pq_sse(model["rotation"])
     emb.unpersist()
     assert sse_opq * 5 < sse_pca, (sse_opq, sse_pca)
+
+
+def test_ivf_pq_refine_lifts_recall_and_is_exact_at_full_shortlist(spark):
+    """Two-stage retrieval (r14): the exact re-rank of the ADC shortlist
+    must (1) never lower recall vs the plain IVF-PQ ranking at the same
+    nprobe, (2) reach recall 1.0 on the boundary fixture once probes
+    cover the 10-NN ball (nprobe=4 here — quantization misses drop out
+    entirely), (3) equal topk_l2 row-for-row including exact integer
+    dist2 when the shortlist is the whole corpus and every cell is
+    probed, and (4) refuse k > kprime."""
+    import pandas as pd
+
+    n, d, latent = 4000, 32, 2
+    rng = np.random.default_rng(42)
+    basis = rng.normal(size=(latent, d)).astype(np.float32)
+    z = rng.normal(size=(n, latent)).astype(np.float32)
+    vecs = (z @ basis + rng.normal(scale=0.05, size=(n, d))).astype(
+        np.float32
+    )
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(map(list, vecs))})
+    ).cache()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth: dict[int, set] = {}
+    for r in similarity.topk_l2(emb, queries, k=10).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=64, m=8, kc=32, iters=2)
+    enc = similarity.ivf_pq_encode(emb, cents, books).cache()
+    enc.count()
+
+    def recall(df):
+        got: dict[int, set] = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(got.get(q, set()) & t) for q, t in truth.items()
+        ) / (10 * len(truth))
+
+    for nprobe in (2, 4):
+        plain = recall(
+            similarity.topk_ivf_pq(
+                enc, queries, cents, books, k=10, nprobe=nprobe,
+                candidates_encoded=True,
+            )
+        )
+        refined = recall(
+            similarity.topk_ivf_pq_refine(
+                emb, queries, cents, books, k=10, kprime=100,
+                nprobe=nprobe, encoded=enc,
+            )
+        )
+        assert refined >= plain, (nprobe, plain, refined)
+        if nprobe == 4:
+            assert refined == 1.0, refined
+
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    full = similarity.topk_ivf_pq_refine(
+        emb, queries, cents, books, k=10, kprime=n, nprobe=64, encoded=enc
+    )
+    l2 = similarity.topk_l2(emb, queries, k=10)
+    assert sorted(map(tuple, full.select(cols).collect())) == sorted(
+        map(tuple, l2.select(cols).collect())
+    )
+
+    with pytest.raises(ValueError, match="kprime"):
+        similarity.topk_ivf_pq_refine(
+            emb, queries, cents, books, k=20, kprime=10, encoded=enc
+        )
+    emb.unpersist()
+    enc.unpersist()

@@ -64,6 +64,8 @@ AUDITED = [
     "raster_pyramid_estate",
     "raster_sieve_fill",
     "embedding_pca_gate",
+    "similarity_opq_gate",
+    "similarity_ivf_pq_refine",
     "dedup_incremental",
     "corpus_lm_cross",
     "geo_dwithin_join",
