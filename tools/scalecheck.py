@@ -715,7 +715,11 @@ def main() -> None:
             emb.count()
             return emb
 
-        def sweep(emb, kcoarse, m, kc, sample_n, probes):
+        def sweep(emb, kcoarse, m, kc, sample_n, probes, refine=False):
+            from sids_data_pipeline_spark.operators.similarity import (
+                topk_ivf_pq_refine,
+            )
+
             queries = emb.filter(F.col("vec_id") < 10)
             truth: dict = {}
             for r in topk_l2(emb, queries, k=10).collect():
@@ -726,18 +730,23 @@ def main() -> None:
             )
             enc = ivf_pq_encode(emb, cents, books).cache()
             enc.count()
-            got_out = {}
-            for nprobe in probes:
-                res = topk_ivf_pq(
-                    enc, queries, cents, books, k=10, nprobe=nprobe,
-                    candidates_encoded=True,
-                )
+
+            def recall_of(res) -> float:
                 got: dict = {}
                 for r in res.collect():
                     got.setdefault(r.query_id, set()).add(r.neighbor_id)
-                recall = sum(
+                return sum(
                     len(got.get(q, set()) & t) for q, t in truth.items()
                 ) / (10 * len(truth))
+
+            got_out = {}
+            for nprobe in probes:
+                recall = recall_of(
+                    topk_ivf_pq(
+                        enc, queries, cents, books, k=10, nprobe=nprobe,
+                        candidates_encoded=True,
+                    )
+                )
                 sec = _steady(
                     lambda e=enc, q=queries, c=cents, b=books, p=nprobe:
                     topk_ivf_pq(
@@ -745,17 +754,40 @@ def main() -> None:
                     ).count(),
                     reps=2,
                 )
-                got_out[f"nprobe={nprobe}"] = {
-                    "recall_at_10": round(recall, 3),
-                    "sec": round(sec, 3),
-                }
+                row = {"recall_at_10": round(recall, 3), "sec": round(sec, 3)}
+                if refine:
+                    # two-stage path: same shortlist stage + exact
+                    # re-rank of the |Q|·k' survivors against the raw
+                    # vectors — the fix for the quantization-miss
+                    # regime (recall becomes probe-limited only)
+                    row["refined_recall_at_10"] = round(
+                        recall_of(
+                            topk_ivf_pq_refine(
+                                emb, queries, cents, books, k=10,
+                                kprime=100, nprobe=nprobe, encoded=enc,
+                            )
+                        ),
+                        3,
+                    )
+                    row["refined_sec"] = round(
+                        _steady(
+                            lambda e=emb, x=enc, q=queries, c=cents,
+                            b=books, p=nprobe: topk_ivf_pq_refine(
+                                e, q, c, b, k=10, kprime=100, nprobe=p,
+                                encoded=x,
+                            ).count(),
+                            reps=2,
+                        ),
+                        3,
+                    )
+                got_out[f"nprobe={nprobe}"] = row
             enc.unpersist()
             return got_out
 
         rec_out = {}
         emb320 = manifold(320_000)
         rec_out["320k_coarse_codebook_m8_kc32_kcoarse128"] = sweep(
-            emb320, 128, 8, 32, 8_000, (1, 2, 4, 8)
+            emb320, 128, 8, 32, 8_000, (1, 2, 4, 8), refine=True
         )
         rec_out["320k_fine_codebook_m16_kc64_kcoarse128"] = sweep(
             emb320, 128, 16, 64, 8_000, (1, 2, 4, 8)
@@ -763,7 +795,7 @@ def main() -> None:
         emb320.unpersist()
         emb4k = manifold(4_000)
         rec_out["4k_boundary_regime_m8_kc32_kcoarse64"] = sweep(
-            emb4k, 64, 8, 32, 4_000, (1, 2, 4, 8)
+            emb4k, 64, 8, 32, 4_000, (1, 2, 4, 8), refine=True
         )
         emb4k.unpersist()
         out["ivf_pq_recall"] = rec_out
