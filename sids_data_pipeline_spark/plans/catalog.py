@@ -396,6 +396,12 @@ PRIORITY: tuple[str, ...] = (
     #   for provenance; every displaced entry holds a FRESH r13 row and
     #   its operator file is unchanged in r14 or the diff is confined
     #   to the in-window paths listed in the rotation comment above.
+    # — NEW late r14 (post-window): streaming two-stage retrieval
+    #   (ann_enrich_stream refine_with → topk_ivf_pq_refine per
+    #   micro-batch). Landed after the r14 window was fixed, so per
+    #   the streaming_ann_enrich precedent it HEADS the r15 queue for
+    #   its first driver row; selfcheck-green at landing —
+    "streaming_ann_refine",
     # — deferred to the r15 queue late r14: three r6 age slots traded
     #   for the similarity_ann_gate re-row and the NEW
     #   similarity_opq_gate + similarity_ivf_pq_refine above (all three

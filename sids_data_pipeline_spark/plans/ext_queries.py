@@ -2294,6 +2294,60 @@ def _similarity_ivf_pq_refine_gate(spark: SparkSession, sf_dir: str) -> DataFram
 _REFINE_SQL = "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
 
 
+def _streaming_ann_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming two-stage retrieval (E3 × streaming, r14): a stream of
+    query vectors runs the REFINED serving shape per micro-batch —
+    streaming/jobs.ann_enrich_stream with ``refine_with`` set routes
+    each batch through operators/similarity.topk_ivf_pq_refine (ADC
+    shortlist from the static pre-encoded index, exact integer re-rank
+    against the raw vector table), so streamed dist2 is the EXACT L2,
+    not the ADC approximation. One staged file ⇒ one availableNow
+    micro-batch ⇒ the streamed neighbor table must equal the batch
+    refine over the same query set ROW-FOR-ROW including the exact
+    integer dist2 — the derived-oracle verdict row. Drift classes this
+    pins: a per-batch re-fit (index must stay static), the refine
+    stage silently falling back to the ADC ranking, replay duplicates
+    escaping the per-batch overwrite, and a gather join keyed on the
+    wrong id domain."""
+    import os
+    import tempfile
+
+    from sids_data_pipeline_spark.schemas import TABLE_SCHEMAS
+    from sids_data_pipeline_spark.streaming.jobs import ann_enrich_stream
+
+    work = tempfile.mkdtemp(prefix="sdp_stream_ann_ref_")
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=4, m=4, kc=8, iters=1)
+    enc = lifecycle.track(
+        similarity.ivf_pq_encode(emb, cents, books).persist()
+    )
+    src = os.path.join(work, "src")
+    emb.filter(F.col("vec_id") < 5).repartition(1).write.parquet(src)
+    qstream = spark.readStream.schema(TABLE_SCHEMAS["embeddings"]).parquet(src)
+    out = os.path.join(work, "out")
+    ann_enrich_stream(
+        qstream, enc, cents, books, out, os.path.join(work, "ckpt"),
+        k=10, nprobe=2, refine_with=emb, kprime=40,
+    )
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    streamed = spark.read.parquet(os.path.join(out, "rows")).select(cols)
+    batch = similarity.topk_ivf_pq_refine(
+        emb, emb.filter(F.col("vec_id") < 5), cents, books,
+        k=10, kprime=40, nprobe=2, encoded=enc,
+    ).select(cols)
+    viol = streamed.join(batch, cols, "left_anti").unionAll(
+        batch.join(streamed, cols, "left_anti")
+    )
+    return viol.agg(F.count("*").alias("violations")).crossJoin(
+        streamed.agg((F.count("*") >= 1).alias("found_hits"))
+    )
+
+
+_STREAM_ANN_REFINE_SQL = (
+    "SELECT CAST(0 AS BIGINT) AS violations, TRUE AS found_hits"
+)
+
+
 def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive signal for the pyspark.ml MinHashLSH sketch
     (dedup_minhash_ml is rows-only by nature): every sketch pair must
@@ -4957,6 +5011,15 @@ QUERIES: list[Query] = [
               "batch operator; streamed == batch row-for-row incl. "
               "exact ADC dist2 (derived oracle pins the verdict row)",
           tags=("similarity", "pq", "ivf", "streaming", "evaluation")),
+    Query("streaming_ann_refine", _streaming_ann_refine,
+          _STREAM_ANN_REFINE_SQL,
+          doc="E3 × streaming, two-stage serving shape: micro-batch "
+              "ADC shortlist against the static index + exact integer "
+              "re-rank against the raw vector table per batch; "
+              "streamed == batch refine row-for-row incl. exact dist2 "
+              "(derived oracle pins the verdict row)",
+          tags=("similarity", "pq", "ivf", "refine", "streaming",
+                "evaluation")),
     Query("dedup_minhash_ml_gate", _dedup_ml_gate, _ML_GATE_SQL,
           doc="E2 positive signal for the ml sketch: pairs ⊆ exact "
               "shingle-Jaccard pairs at the threshold (derived oracle)",

@@ -167,6 +167,8 @@ def ann_enrich_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_limit: int | None = None,
+    refine_with: DataFrame | None = None,
+    kprime: int = 100,
 ) -> None:
     """Micro-batch vector retrieval against a STATIC pre-encoded IVF-ADC
     index (foreachBatch) — the streaming face of E3: each arriving batch
@@ -177,6 +179,16 @@ def ann_enrich_stream(
     per batch: (cell, codes) rows computed once at ingest
     (similarity.ivf_pq_encode), scanned per micro-batch through the
     broadcast probe equi-join on cell.
+
+    ``refine_with`` switches each micro-batch to the TWO-STAGE serving
+    shape (operators/similarity.topk_ivf_pq_refine): the code-only
+    index still produces the ``kprime``-deep shortlist, then the true
+    integer L2 is recomputed for only those |batch|·k' pairs against
+    the passed raw (id, vec) table and the top ``k`` re-ranked exactly
+    — streamed dist2 becomes the EXACT metric, bit-identical to the
+    batch refine over the same query set. The raw table is gathered by
+    a broadcast semi-join per batch (never shuffled), so the extra
+    stage stays bounded by the micro-batch size like the shortlist.
 
     Bounding (ADVICE r14): micro-batch size is NOT intrinsically
     bounded — a file source draining a large backlog under
@@ -202,18 +214,33 @@ def ann_enrich_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         extra = {} if query_limit is None else {"query_limit": query_limit}
-        res = similarity.topk_ivf_pq(
-            enc,
-            batch,
-            centroids,
-            codebooks,
-            k=k,
-            nprobe=nprobe,
-            id_col=id_col,
-            vec_col=vec_col,
-            candidates_encoded=True,
-            **extra,
-        )
+        if refine_with is not None:
+            res = similarity.topk_ivf_pq_refine(
+                refine_with,
+                batch,
+                centroids,
+                codebooks,
+                k=k,
+                kprime=kprime,
+                nprobe=nprobe,
+                id_col=id_col,
+                vec_col=vec_col,
+                encoded=enc,
+                **extra,
+            )
+        else:
+            res = similarity.topk_ivf_pq(
+                enc,
+                batch,
+                centroids,
+                codebooks,
+                k=k,
+                nprobe=nprobe,
+                id_col=id_col,
+                vec_col=vec_col,
+                candidates_encoded=True,
+                **extra,
+            )
         res.write.mode("overwrite").parquet(
             os.path.join(out_dir, "rows", f"batch={batch_id}")
         )

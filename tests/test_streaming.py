@@ -895,6 +895,66 @@ def test_ann_enrich_stream_equals_batch(spark, tmp_path):
     assert streamed.equals(batch[cols])
 
 
+def test_ann_enrich_stream_refine_equals_batch_and_is_exact(spark, tmp_path):
+    """streaming/jobs.ann_enrich_stream with refine_with: each
+    micro-batch runs the TWO-STAGE serving shape (ADC shortlist from
+    the static index, exact integer re-rank against the raw vectors),
+    so (1) the streamed table equals the batch topk_ivf_pq_refine over
+    the same query set row-for-row, and (2) every streamed dist2 is the
+    EXACT integer L2 for its (query, neighbor) pair — recomputed
+    independently in numpy — not the ADC approximation."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.operators import similarity
+    from sids_data_pipeline_spark.streaming.jobs import ann_enrich_stream
+
+    rng = np.random.default_rng(11)
+    ctr = rng.normal(scale=2.0, size=(3, 8)).astype(np.float32)
+    vecs = (
+        ctr[rng.integers(0, 3, 300)]
+        + rng.normal(scale=0.2, size=(300, 8)).astype(np.float32)
+    ).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(300), "embedding": list(map(list, vecs))})
+    )
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=3, m=2, kc=4, iters=1)
+    enc = similarity.ivf_pq_encode(emb, cents, books).persist()
+
+    src = str(tmp_path / "src")
+    queries = emb.filter(F.col("vec_id") < 3)
+    queries.repartition(1).write.parquet(src)
+    qstream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    ann_enrich_stream(
+        qstream, enc, cents, books, out, str(tmp_path / "ckpt"),
+        k=6, nprobe=2, refine_with=emb, kprime=24,
+    )
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    streamed = (
+        spark.read.parquet(out + "/rows").select(cols).toPandas()
+        .sort_values(cols[:2]).reset_index(drop=True)
+    )
+    batch = (
+        similarity.topk_ivf_pq_refine(
+            emb, queries, cents, books, k=6, kprime=24, nprobe=2,
+            encoded=enc,
+        ).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    )
+    assert len(streamed) > 0
+    assert streamed.equals(batch[cols])
+    # exactness: streamed dist2 is the true integer L2, recomputed
+    # independently over the same x1e6 quantization the operators use
+    micros = np.round(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    for row in streamed.itertuples(index=False):
+        diff = micros[int(row.query_id)] - micros[int(row.neighbor_id)]
+        assert int(row.dist2) == int((diff * diff).sum())
+    enc.unpersist()
+
+
 def test_ann_enrich_stream_query_limit_is_loud(spark, tmp_path):
     """ADVICE r14: nothing intrinsically bounds a file-source micro-batch
     (a backlog drains as ONE availableNow batch), so ann_enrich_stream
