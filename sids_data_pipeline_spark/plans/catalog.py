@@ -402,6 +402,12 @@ PRIORITY: tuple[str, ...] = (
     #   the streaming_ann_enrich precedent it HEADS the r15 queue for
     #   its first driver row; selfcheck-green at landing —
     "streaming_ann_refine",
+    # — NEW late r14 (post-window): attribute-filtered vector search —
+    #   one static index, query-time predicate on the code table,
+    #   exact re-rank; carries a FULL DuckDB value-hash oracle (exact
+    #   filtered top-k), unlike the derived-literal E3 gates.
+    #   Selfcheck-green at landing; r15 queue —
+    "similarity_filtered_search",
     # — deferred to the r15 queue late r14: three r6 age slots traded
     #   for the similarity_ann_gate re-row and the NEW
     #   similarity_opq_gate + similarity_ivf_pq_refine above (all three

@@ -2348,6 +2348,63 @@ _STREAM_ANN_REFINE_SQL = (
 )
 
 
+def _similarity_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered vector search (E3, late r14) — the production
+    shape every vector store names "filtered search" / "pre-filtering"
+    (FAISS IDSelector, pgvector WHERE + index scan): ONE static shared
+    index serves per-request predicates. The index is fit and encoded
+    ONCE over the full corpus (similarity.ivf_pq_fit/ivf_pq_encode —
+    the at-ingest step); at query time the predicate is a plain
+    DataFrame filter on the (id, cell, codes) CODE table — pushed down
+    before the probe equi-join, so filtered-out candidates are never
+    ADC-scored and never gathered — and topk_ivf_pq_refine re-ranks the
+    survivors exactly against the raw vectors. No second index, no
+    post-hoc result trimming (which under-fills k when the filter is
+    selective — the classic filtered-ANN bug this entry pins against).
+
+    Run at the degenerate depth (kprime = |filtered codes|, every cell
+    probed) the composition must equal the independent exact filtered
+    top-k — which IS SQL-expressible, so unlike the sibling E3 gates
+    this entry carries a FULL DuckDB value-hash oracle over the whole
+    encode → filter → probe → gather → re-rank machinery: dist2 is the
+    exact integer micros L2, ties by neighbor_id, self-matches excluded
+    (similarity.py:1197), queries need not satisfy the predicate."""
+    (emb,) = tables(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    kcoarse = 4
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=kcoarse, m=4, kc=8, iters=1)
+    enc = lifecycle.track(
+        similarity.ivf_pq_encode(emb, cents, books).persist()
+    )
+    # query-time attribute predicate, applied to the code table only
+    encf = enc.filter(F.col("vec_id") % 3 != 0)
+    nf = encf.count()
+    return similarity.topk_ivf_pq_refine(
+        emb, queries, cents, books, k=10, kprime=int(nf), nprobe=kcoarse,
+        encoded=encf,
+    )
+
+
+_FILTERED_SEARCH_SQL = f"""
+WITH {_EMBED_VEC_SQL},
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+                                      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS BIGINT) AS dist2
+  FROM m q JOIN m c
+    ON q.vec_id < 5 AND c.vec_id % 3 <> 0 AND c.vec_id <> q.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, dist2,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY dist2 ASC, neighbor_id ASC) AS INT) AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, dist2, rank FROM r WHERE rank <= 10
+"""
+
+
 def _dedup_ml_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive signal for the pyspark.ml MinHashLSH sketch
     (dedup_minhash_ml is rows-only by nature): every sketch pair must
@@ -5020,6 +5077,14 @@ QUERIES: list[Query] = [
               "(derived oracle pins the verdict row)",
           tags=("similarity", "pq", "ivf", "refine", "streaming",
                 "evaluation")),
+    Query("similarity_filtered_search", _similarity_filtered_search,
+          _FILTERED_SEARCH_SQL,
+          doc="E3 attribute-filtered vector search: one static shared "
+              "index, query-time predicate on the code table (pushed "
+              "down before the probe join), exact re-rank of the "
+              "survivors; FULL value-hash oracle vs DuckDB's exact "
+              "filtered top-k at the degenerate depth",
+          tags=("similarity", "pq", "ivf", "refine", "filter")),
     Query("dedup_minhash_ml_gate", _dedup_ml_gate, _ML_GATE_SQL,
           doc="E2 positive signal for the ml sketch: pairs ⊆ exact "
               "shingle-Jaccard pairs at the threshold (derived oracle)",

@@ -918,3 +918,58 @@ def test_ivf_pq_refine_lifts_recall_and_is_exact_at_full_shortlist(spark):
         )
     emb.unpersist()
     enc.unpersist()
+
+
+def test_filtered_search_respects_predicate_and_fills_k(spark):
+    """Attribute-filtered vector search (the similarity_filtered_search
+    catalog shape): ONE static index encoded over the full corpus, the
+    per-request predicate applied as a DataFrame filter on the CODE
+    table, exact re-rank of the survivors. Pins the two filtered-ANN
+    bug classes: (1) a returned neighbor violating the predicate (the
+    filter leaked past the probe), (2) under-filled k when the filter
+    is selective (the post-hoc-trimming bug — filtering RESULTS instead
+    of candidates). Also: the degenerate depth equals topk_l2 over the
+    filtered raw table row-for-row, so the filtered composition stays
+    exact, and queries excluded by the predicate still retrieve."""
+    import pandas as pd
+
+    n, d = 1200, 16
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(map(list, vecs))})
+    ).cache()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < 6)  # 0 and 3 fail the predicate
+    cents, books = similarity.ivf_pq_fit(emb, kcoarse=8, m=4, kc=8, iters=1)
+    enc = similarity.ivf_pq_encode(emb, cents, books).cache()
+    encf = enc.filter(F.col("vec_id") % 3 != 0)  # query-time predicate
+    nf = encf.count()
+
+    # realistic operating point: shortlist 4x deeper than k, partial probe
+    op = similarity.topk_ivf_pq_refine(
+        emb, queries, cents, books, k=10, kprime=40, nprobe=4, encoded=encf
+    ).collect()
+    assert all(r.neighbor_id % 3 != 0 for r in op)  # (1) predicate holds
+    per_q = {}
+    for r in op:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert set(per_q) == set(range(6)) and all(
+        c == 10 for c in per_q.values()
+    )  # (2) every query fills k, incl. predicate-failing query ids
+
+    # degenerate depth == exact filtered top-k (what the DuckDB oracle
+    # hashes for the catalog entry)
+    cols = ["query_id", "neighbor_id", "dist2", "rank"]
+    deg = similarity.topk_ivf_pq_refine(
+        emb, queries, cents, books, k=10, kprime=int(nf), nprobe=8,
+        encoded=encf,
+    )
+    exact = similarity.topk_l2(
+        emb.filter(F.col("vec_id") % 3 != 0), queries, k=10
+    )
+    assert sorted(map(tuple, deg.select(cols).collect())) == sorted(
+        map(tuple, exact.select(cols).collect())
+    )
+    emb.unpersist()
+    enc.unpersist()
