@@ -89,9 +89,25 @@ def _extra_runners(spark) -> dict[str, object]:
             k=10, nprobe=2, candidates_encoded=True,
         ).count()
 
+    # similarity_ivf_pq_refine_search (late r14): the EXACT-serving
+    # shape a deployment actually answers queries with — same cached
+    # index, kprime-deep ADC shortlist + exact integer re-rank of the
+    # |Q|·k' survivors via the broadcast semi-gather against the raw
+    # vectors (operators/similarity.py:topk_ivf_pq_refine). Tracks what
+    # the refine stage ADDS over the shortlist-only row above; the raw
+    # table is only touched for gathered ids, so the delta stays flat
+    # as the corpus grows. Correctness is driver-gated by
+    # similarity_ivf_pq_refine's degenerate-equality + dominance pins.
+    def ivf_pq_refine_search() -> None:
+        similarity.topk_ivf_pq_refine(
+            emb, emb.filter(F.col("vec_id") < 5), cents, ivf_books,
+            k=10, kprime=40, nprobe=2, encoded=enc,
+        ).count()
+
     return {
         "similarity_pq_search": pq_search,
         "similarity_ivf_pq_search": ivf_pq_search,
+        "similarity_ivf_pq_refine_search": ivf_pq_refine_search,
     }
 
 

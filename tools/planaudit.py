@@ -66,6 +66,7 @@ AUDITED = [
     "embedding_pca_gate",
     "similarity_opq_gate",
     "similarity_ivf_pq_refine",
+    "similarity_filtered_search",
     "dedup_incremental",
     "corpus_lm_cross",
     "geo_dwithin_join",

@@ -800,6 +800,76 @@ def main() -> None:
         emb4k.unpersist()
         out["ivf_pq_recall"] = rec_out
 
+    if not sections or "filtered_search" in sections:
+        # --- attribute-filtered search vs predicate selectivity: ONE
+        # static 320k index, the per-request predicate applied as a
+        # DataFrame filter on the (id, cell, codes) table BEFORE the
+        # probe equi-join (the plan places the filter below the join —
+        # verified in tests), exact re-rank of the survivors. The scale
+        # property this pins: search work tracks the SURVIVING
+        # candidate count, not the corpus — tightening the filter from
+        # 100% to 1% keep-rate must not increase wall time (pre-filter,
+        # not post-trim), and every query still fills k from the
+        # filtered pool whenever it holds ≥ k rows.
+        import numpy as np
+        import pandas as pd
+
+        from sids_data_pipeline_spark.operators.similarity import (
+            ivf_pq_encode,
+            ivf_pq_fit,
+            topk_ivf_pq_refine,
+        )
+
+        rng = np.random.default_rng(42)
+        n, d, latent = 320_000, 32, 2
+        basis = rng.normal(size=(latent, d)).astype(np.float32)
+        z = rng.normal(size=(n, latent)).astype(np.float32)
+        vecs = (z @ basis + rng.normal(scale=0.05, size=(n, d))).astype(
+            np.float32
+        )
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(n), "embedding": list(map(list, vecs))}
+            )
+        ).repartition(32).cache()
+        emb.count()
+        queries = emb.filter(F.col("vec_id") < 10)
+        sample = emb.filter(F.col("vec_id") < 8_000)
+        cents, books = ivf_pq_fit(sample, kcoarse=128, m=8, kc=32, iters=2)
+        enc = ivf_pq_encode(emb, cents, books).cache()
+        enc.count()
+        fs = {}
+        preds = {
+            "keep_100pct": None,
+            "keep_66pct": F.col("vec_id") % 3 != 0,
+            "keep_10pct": F.col("vec_id") % 10 == 0,
+            "keep_1pct": F.col("vec_id") % 100 == 0,
+        }
+        for label, pred in preds.items():
+            encf = enc if pred is None else enc.filter(pred)
+            nf = encf.count()
+            res = topk_ivf_pq_refine(
+                emb, queries, cents, books, k=10, kprime=100, nprobe=4,
+                encoded=encf,
+            )
+            rows = res.collect()
+            filled = sum(1 for r in rows if r.rank == 10)
+            sec = _steady(
+                lambda e=emb, x=encf, q=queries, c=cents, b=books:
+                topk_ivf_pq_refine(
+                    e, q, c, b, k=10, kprime=100, nprobe=4, encoded=x
+                ).count(),
+                reps=2,
+            )
+            fs[label] = {
+                "surviving_candidates": nf,
+                "sec": round(sec, 3),
+                "queries_filling_k": filled,
+            }
+        enc.unpersist()
+        emb.unpersist()
+        out["filtered_search"] = fs
+
     print(json.dumps(out))
     spark.stop()
 
