@@ -920,6 +920,60 @@ def test_ivf_pq_refine_lifts_recall_and_is_exact_at_full_shortlist(spark):
     enc.unpersist()
 
 
+def test_filtered_refine_property(spark):
+    """Property form of the filtered-search entry: for random corpora
+    (duplicate-heavy tiny alphabet), subspace widths, and predicate
+    moduli, the filtered two-stage composition at degenerate depth must
+    equal topk_l2 over the filtered raw table row-for-row (dist2 and
+    rank included), and at a shallow operating point every returned
+    neighbor must satisfy the predicate — across filter selectivities
+    the fixed fixture cannot vary."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.sampled_from([(6, 2), (8, 4)]),  # (d, m)
+        st.sampled_from([2, 3, 5]),         # predicate modulus
+    )
+    def check(seed, dm, mod):
+        d, m = dm
+        rng = np.random.default_rng(seed)
+        n = 60
+        vecs = rng.integers(-2, 3, size=(n, d)).astype(np.float32) * 0.25
+        emb = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(n), "embedding": list(map(list, vecs))}
+            )
+        )
+        queries = emb.filter(F.col("vec_id") < 2)
+        cents, books = similarity.ivf_pq_fit(emb, kcoarse=3, m=m, kc=4, iters=1)
+        enc = similarity.ivf_pq_encode(emb, cents, books)
+        encf = enc.filter(F.col("vec_id") % mod != 0)
+        nf = encf.count()
+        cols = ["query_id", "neighbor_id", "dist2", "rank"]
+        deg = similarity.topk_ivf_pq_refine(
+            emb, queries, cents, books, k=5, kprime=int(nf), nprobe=3,
+            encoded=encf,
+        ).toPandas()
+        exact = similarity.topk_l2(
+            emb.filter(F.col("vec_id") % mod != 0), queries, k=5
+        ).toPandas()
+        assert (
+            deg.sort_values(cols[:2]).reset_index(drop=True)[cols]
+            .equals(exact.sort_values(cols[:2]).reset_index(drop=True)[cols])
+        ), (seed, dm, mod)
+        op = similarity.topk_ivf_pq_refine(
+            emb, queries, cents, books, k=5, kprime=10, nprobe=1,
+            encoded=encf,
+        ).collect()
+        assert all(r.neighbor_id % mod != 0 for r in op), (seed, dm, mod)
+
+    check()
+
+
 def test_filtered_search_respects_predicate_and_fills_k(spark):
     """Attribute-filtered vector search (the similarity_filtered_search
     catalog shape): ONE static index encoded over the full corpus, the
