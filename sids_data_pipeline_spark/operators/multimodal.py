@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sids_data_pipeline_spark.functions import imagecodec as icodec
+from sids_data_pipeline_spark.operators.spread import spread_small_scan
 
 MODALITIES = ("image", "audio", "video", "text")
 
@@ -65,7 +66,10 @@ def documents_to_assets(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
     )
     payload = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
+    # under-parallel scans spread here so the downstream decode /
+    # feature mapInPandas batches use every core (guide §2.5; no-op at
+    # scale — see operators/spread.py)
+    return spread_small_scan(docs).select(
         F.col("doc_id").alias("asset_id"),
         modality.alias("modality"),
         payload.alias("payload"),
@@ -111,8 +115,9 @@ def synth_png_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
             )
 
     return (
-        docs.filter(F.col("doc_id") % modulus == 0)
-        .select("doc_id")
+        spread_small_scan(
+            docs.filter(F.col("doc_id") % modulus == 0).select("doc_id")
+        )
         .mapInPandas(synth, "asset_id long, modality string, payload binary")
     )
 
@@ -161,8 +166,9 @@ def synth_png_indexed_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
             )
 
     return (
-        docs.filter(F.col("doc_id") % modulus == 0)
-        .select("doc_id")
+        spread_small_scan(
+            docs.filter(F.col("doc_id") % modulus == 0).select("doc_id")
+        )
         .mapInPandas(synth, "asset_id long, modality string, payload binary")
     )
 
@@ -233,8 +239,9 @@ def synth_wav_assets(
             )
 
     return (
-        docs.filter(F.col("doc_id") % modulus == 0)
-        .select("doc_id")
+        spread_small_scan(
+            docs.filter(F.col("doc_id") % modulus == 0).select("doc_id")
+        )
         .mapInPandas(synth, "asset_id long, modality string, payload binary")
     )
 
@@ -320,8 +327,9 @@ def synth_jpeg_assets(
             )
 
     return (
-        docs.filter(F.col("doc_id") % modulus == 0)
-        .select("doc_id")
+        spread_small_scan(
+            docs.filter(F.col("doc_id") % modulus == 0).select("doc_id")
+        )
         .mapInPandas(synth, "asset_id long, modality string, payload binary")
     )
 
@@ -359,8 +367,9 @@ def synth_bmp_rle_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
             )
 
     return (
-        docs.filter(F.col("doc_id") % modulus == 0)
-        .select("doc_id")
+        spread_small_scan(
+            docs.filter(F.col("doc_id") % modulus == 0).select("doc_id")
+        )
         .mapInPandas(synth, "asset_id long, modality string, payload binary")
     )
 
@@ -408,8 +417,9 @@ def synth_tiff_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
             )
 
     return (
-        docs.filter(F.col("doc_id") % modulus == 0)
-        .select("doc_id")
+        spread_small_scan(
+            docs.filter(F.col("doc_id") % modulus == 0).select("doc_id")
+        )
         .mapInPandas(synth, "asset_id long, modality string, payload binary")
     )
 
@@ -869,8 +879,9 @@ def synth_gif_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
             )
 
     return (
-        docs.filter(F.col("doc_id") % modulus == 0)
-        .select("doc_id")
+        spread_small_scan(
+            docs.filter(F.col("doc_id") % modulus == 0).select("doc_id")
+        )
         .mapInPandas(synth, "asset_id long, modality string, payload binary")
     )
 
@@ -925,8 +936,9 @@ def synth_gif_disposal_assets(docs: DataFrame, modulus: int = 7) -> DataFrame:
             )
 
     return (
-        docs.filter(F.col("doc_id") % modulus == 0)
-        .select("doc_id")
+        spread_small_scan(
+            docs.filter(F.col("doc_id") % modulus == 0).select("doc_id")
+        )
         .mapInPandas(synth, "asset_id long, modality string, payload binary")
     )
 
