@@ -352,6 +352,12 @@ def near_duplicates_minhash(
     applies the same cap; pass ``None`` for pure unbounded banding.
     Output: (id1, id2, jaccard).
     """
+    from sids_data_pipeline_spark.operators.spread import spread_small_scan
+
+    # the shingle explode + k minhash expressions are the CPU-heavy map
+    # side before the first shuffle: spread under-parallel scans so they
+    # use every core (guide §2.5; no-op when the scan is already wide)
+    docs = spread_small_scan(docs)
     tok = (
         shingles(docs, shingle_n, text_col, id_col).withColumnRenamed(
             "shingle", "token"
@@ -403,6 +409,9 @@ def near_duplicates_ngram(
     — the inverted-index blocker that keeps candidate count linear-ish in
     corpus size instead of quadratic. Output: (id1, id2, jaccard).
     """
+    from sids_data_pipeline_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(docs)  # guide §2.5; no-op on wide scans
     sh = track(shingles(docs, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
@@ -511,6 +520,9 @@ def near_duplicates_simhash(
             "is only complete through Hamming distance 3 (pigeonhole); "
             "use more chunks or the minhash family for looser matching"
         )
+    from sids_data_pipeline_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(docs)  # guide §2.5; no-op on wide scans
     sim = track(
         simhash32(tokens(docs, text_col, id_col)).persist(StorageLevel.MEMORY_AND_DISK)
     )
