@@ -722,10 +722,21 @@ def pq_fit(
     — the whole model is m·kc·(d/m) integers, deterministic and
     engine-independent like every trained artifact in this module.
 
-    Scale shape: m is a small constant, so this is m sequential
-    kmeans_fit jobs — each ONE pass over the embeddings per iteration
-    with ≤ kc×partitions aggregate rows and kc×(d/m) ints to the
-    driver; nothing corpus-sized ever leaves the executors."""
+    Scale shape (r14, guide §1.2 — remove passes): the m per-subspace
+    Lloyd fits are FUSED — one bounded init collect (the kc smallest-id
+    vectors, sliced driver-side; round(x·1e6) is element-wise so the
+    slice commutes with :func:`_int_vec`) and then ONE Arrow-batched
+    pass over the embeddings per iteration that pre-reduces every
+    subspace's per-cluster (count, element-wise sum) partials in-task —
+    ≤ m·kc rows per task to the driver, and the corpus is scanned
+    iters times total instead of m·iters times (the r13 shape ran m
+    sequential :func:`kmeans_fit` jobs = m corpus passes per
+    iteration). Codebooks are bit-identical: the same exact-integer
+    assignment kernel (argmin first-minimum ties), the same half-away
+    centroid rounding, and integer sums are order-independent."""
+    import numpy as np
+    import pandas as pd
+
     first = embeddings.select(vec_col).first()
     if first is None:
         raise ValueError("pq_fit: empty embeddings")
@@ -733,16 +744,74 @@ def pq_fit(
     if m < 1 or d % m:
         raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
     sub = d // m
-    books = []
-    for s in range(m):
-        subdf = embeddings.select(
-            id_col, F.slice(vec_col, s * sub + 1, sub).alias(vec_col)
+    init_rows = (
+        embeddings.orderBy(id_col)
+        .limit(kc)
+        .select(_int_vec(vec_col).alias("_iv"))
+        .collect()
+    )
+    if len(init_rows) < kc:
+        raise ValueError(
+            f"pq_fit: kc={kc} but the input has only {len(init_rows)} "
+            "rows; lower kc or add data"
         )
-        cb, _assigned = kmeans_fit(
-            subdf, k=kc, iters=iters, id_col=id_col, vec_col=vec_col
-        )
-        books.append(cb)
-    return books
+    # (m, kc, sub): subspace s's init codebook is each init vector's
+    # s-th slice — identical to the per-subspace _default_centroids
+    cent = (
+        np.stack([np.asarray(r._iv, dtype=np.int64) for r in init_rows])
+        .reshape(kc, m, sub)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+    iv_df = embeddings.select(_int_vec(vec_col).alias("_iv"))
+    for _ in range(iters):
+        cb = cent.copy()
+
+        def partials(batches, cb=cb):
+            acc_n = np.zeros((m, kc), dtype=np.int64)
+            acc_s = np.zeros((m, kc, sub), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x3 = _stack_int_vecs("pq_fit", pdf["_iv"], d).reshape(
+                    -1, m, sub
+                )
+                codes = _subspace_codes(x3, cb)  # (B, m)
+                for s in range(m):
+                    cl = codes[:, s]
+                    acc_n[s] += np.bincount(cl, minlength=kc)
+                    for j in np.unique(cl):
+                        acc_s[s, j] += x3[cl == j, s].sum(axis=0)
+                seen = True
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "s": np.repeat(np.arange(m, dtype=np.int32), kc),
+                        "cluster": np.tile(np.arange(kc, dtype=np.int32), m),
+                        "n": acc_n.ravel(),
+                        "sums": list(acc_s.reshape(m * kc, sub)),
+                    }
+                )
+
+        rows = iv_df.mapInPandas(
+            partials, "s int, cluster int, n long, sums array<bigint>"
+        ).collect()
+        tot_n = np.zeros((m, kc), dtype=np.int64)
+        tot_s = np.zeros((m, kc, sub), dtype=np.int64)
+        for r in rows:
+            tot_n[r.s, r.cluster] += r.n
+            tot_s[r.s, r.cluster] += np.asarray(r.sums, dtype=np.int64)
+        for s in range(m):
+            for j in range(kc):
+                if tot_n[s, j]:
+                    cent[s, j] = [
+                        _round_half_away_ratio(
+                            int(tot_s[s, j, i]), int(tot_n[s, j])
+                        )
+                        for i in range(sub)
+                    ]
+    return [[[int(v) for v in cw] for cw in cent[s]] for s in range(m)]
 
 
 def _subspace_codes(x3, cb):
@@ -1446,70 +1515,81 @@ def pca_transform(
     out_col: str = "pc",
     whiten: bool = False,
 ) -> DataFrame:
-    """Project embeddings onto the fitted components — a LITERAL-matrix
-    codegen projection (the nearest_site idiom): each of the k outputs is
-    a d-term dot product of (v − mean) against a constant row, fully
-    JVM-side, zero Python in the hot path.
+    """Project embeddings onto the fitted components via one
+    Arrow-batched kernel (r14, guide §4.2): an arrow-serialized
+    pandas_udf over JUST the vector column — all other columns stay
+    JVM-side — whose per-batch fold reproduces the r13 JVM HOF
+    expression BIT-FOR-BIT: center (exact float→double widening, one
+    elementwise subtract), then for each component a left-to-right
+    j-ascending multiply-add chain (``for j: acc += c[i,j]·ctr[j]``,
+    no BLAS matmul — pairwise/FMA reordering would drift the floats),
+    then the optional whiten scale as one trailing multiply each.
+
+    Why not the JVM expression: interpreted higher-order functions over
+    a d×d literal matrix cost ~2 ms/row at d=64 (measured r14:
+    4.3 s to rotate 2 000 rows — the dominant term of opq_fit, which
+    materializes the rotation per alternation) and re-plan a
+    4 096-literal Catalyst tree per invocation; the kernel is ~1000×
+    cheaper per row and the plan is one ArrowEvalPython node. At-ingest
+    only — searches never call this per candidate.
 
     ``whiten=True`` scales each output by 1/√eigenvalue (unit variance
-    per component — the usual preprocessing before cosine/k-means on
-    anisotropic embeddings); components with eigenvalue ≤ 0 (numerical
-    zeros past the data's rank) pass through unscaled rather than
-    exploding.
+    per component); components with eigenvalue ≤ 0 (numerical zeros
+    past the data's rank) pass through unscaled rather than exploding.
 
-    Formulation (r13): the k×d matrix folds in as a nested array
-    literal and the product is transform(components, row →
-    aggregate(zip_with(row, centered, ·), +)) over a STAGED centered
-    vector. The earlier scalar form unrolled k·d explicit
-    multiply-adds into one Project — at full rank (64×64 = 4096 nodes)
-    that exceeds Janino's 64 KB method limit, so every job paid a
-    failed whole-stage-codegen compile (a full stack dump) and then
-    interpreted the tree anyway; the HOF form does the identical
-    left-to-right per-component summation without the codegen blowup,
-    and the staged centered-vector column (collision-safe temp name)
-    keeps the d subtractions at one evaluation per row however many
-    components read it."""
-    mean = model["mean"]
-    comps = model["components"]
+    Null/width semantics match the old expression: a NULL vector or a
+    width-mismatched vector yields an all-null projection array (the
+    zip_with null-propagation result). A null ELEMENT inside a vector
+    surfaces as NaN rather than SQL NULL (Arrow erases the distinction
+    for float lists); no fixture or catalog input carries one."""
+    import numpy as np
+    import pandas as pd
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    comps = np.asarray(model["components"], dtype=np.float64)
     explained = model.get("explained", [])
-    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
-    comp_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in comps]
+    k, d = comps.shape
+    scales = np.asarray(
+        [
+            1.0 / math.sqrt(explained[ci])
+            if whiten and ci < len(explained) and explained[ci] > 0
+            else 1.0
+            for ci in range(k)
+        ],
+        dtype=np.float64,
     )
-    scales = [
-        1.0 / math.sqrt(explained[ci])
-        if whiten and ci < len(explained) and explained[ci] > 0
-        else 1.0
-        for ci in range(len(comps))
-    ]
-    # collision-safe temp name (ADVICE r14): the staged centered vector
-    # must not clobber a caller column literally named "_ctr" — suffix
-    # with the out_col and bump until free (out_col itself is the one
-    # name the caller expects us to overwrite)
-    ctr = f"_ctr_{out_col}"
-    while ctr in df.columns:
-        ctr += "_"
-    staged = df.withColumn(
-        ctr,
-        F.zip_with(
-            F.col(vec_col), mean_lit, lambda x, mu: x.cast("double") - mu
-        ),
-    )
-    proj = F.transform(
-        comp_lit,
-        lambda row: F.aggregate(
-            F.zip_with(row, F.col(ctr), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    if any(s != 1.0 for s in scales):
-        proj = F.zip_with(
-            proj,
-            F.array(*[F.lit(s) for s in scales]),
-            lambda p, s: p * s,
+    do_scale = bool((scales != 1.0).any())
+
+    def _project(vs):
+        vals = vs.to_numpy()
+        ok = np.array(
+            [v is not None and len(v) == d for v in vals], dtype=bool
         )
-    return staged.withColumn(out_col, proj).drop(ctr)
+        out: list = [None] * len(vals)
+        if ok.any():
+            x = np.stack(
+                [np.asarray(vals[i], dtype=np.float64) for i in np.flatnonzero(ok)]
+            )
+            ctr = x - mean[None, :]
+            acc = np.zeros((x.shape[0], k), dtype=np.float64)
+            for j in range(d):
+                # j-ascending multiply-add — the JVM fold's exact order
+                acc += comps[:, j][None, :] * ctr[:, j][:, None]
+            if do_scale:
+                acc = acc * scales[None, :]
+            for row_i, flat_i in enumerate(np.flatnonzero(ok)):
+                out[flat_i] = acc[row_i]
+        for i in np.flatnonzero(~ok):
+            # NULL vector or width mismatch → all-null array, the old
+            # expression's zip_with null-propagation result
+            out[i] = [None] * k
+        return pd.Series(out)
+
+    # real annotation objects: the module's string annotations (PEP 563)
+    # are unresolvable for pandas_udf's eval-type inference
+    _project.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    project = F.pandas_udf(_project, "array<double>")
+    return df.withColumn(out_col, project(F.col(vec_col)))
 
 
 def opq_rotate(
@@ -1523,10 +1603,10 @@ def opq_rotate(
     OPQ deployment (rotate once when a vector arrives; all PQ encode/
     search runs in the rotated domain).
 
-    Plan shape: :func:`pca_transform`'s staged literal-matrix HOF fold
-    with a ZERO mean — OPQ learns the rotation on raw vectors (any
-    offset is absorbed by the codewords), so no centering, one staged
-    projection, zero Python in the row path."""
+    Plan shape: :func:`pca_transform`'s Arrow-batched kernel with a
+    ZERO mean — OPQ learns the rotation on raw vectors (any offset is
+    absorbed by the codewords), so no centering; one ArrowEvalPython
+    node, bit-identical to the r13 JVM HOF fold (see pca_transform)."""
     d = len(rotation)
     model = {
         "mean": [0.0] * d,
@@ -1630,10 +1710,11 @@ def opq_fit(
         )
         return lifecycle.track(rot)
 
-    def moments(Rm, books):
+    def moments(rot, Rm, books):
         """One distributed pass: M = Σ y·xᵀ and SSE = Σ‖R·x − y‖² with
-        y the reconstructed rotated codeword of x."""
-        rot = rotated(Rm)
+        y the reconstructed rotated codeword of x. ``rot`` is the
+        already-persisted rotated frame for ``Rm`` (r14: reused from
+        the fit step instead of re-materializing the rotation)."""
         yrec = pq_reconstruct(
             pq_encode(rot, books, id_col, vec_col), books,
             id_col=id_col, out_col="_y",
@@ -1660,7 +1741,6 @@ def opq_fit(
         rows = pair.mapInPandas(
             partials, "m array<double>, sse double"
         ).collect()
-        lifecycle.release(rot)
         if not rows:
             raise ValueError("opq_fit: empty join of vectors and codes")
         M = np.zeros((d, d))
@@ -1676,10 +1756,12 @@ def opq_fit(
     trace: list[float] = []
     books = None
     for _ in range(opq_iters):
+        # one persisted rotation per alternation, shared by the fit and
+        # the moment pass (r14 — the r13 shape materialized it twice)
         rot = rotated(R)
         books = fit_books(rot)
+        M, sse = moments(rot, R, books)
         lifecycle.release(rot)
-        M, sse = moments(R, books)
         trace.append(sse)
         U, _s, Vt = np.linalg.svd(M)
         R = U @ Vt
@@ -1687,8 +1769,8 @@ def opq_fit(
     # self-consistent, plus its objective for the trace
     rot = rotated(R)
     books = fit_books(rot)
+    _M, sse = moments(rot, R, books)
     lifecycle.release(rot)
-    _M, sse = moments(R, books)
     trace.append(sse)
     return {
         "rotation": R.tolist(),
