@@ -70,6 +70,49 @@ def _central_meridian_rad(zone: int) -> float:
     return math.radians(zone * 6 - 183)
 
 
+def _bind(values: dict[str, "Column"], body) -> Column:
+    """Let-binding for column expressions: evaluate each value in
+    ``values`` ONCE and hand ``body`` named references to the bound
+    results (a single-element higher-order ``transform`` over a struct —
+    the SQL ``WITH`` idiom in Column-land).
+
+    Why (r14, guide §1.6/§5): composing these projection chains by plain
+    Column substitution re-inlines a subtree PER REFERENCE, so reference
+    counts multiply — an 8-step unrolled fixed point re-nests its
+    predecessor per reference (2^8 copies), and stacking a datum leg
+    under a projection series multiplies the whole leg by the series'
+    ~25 input references. The resulting Project exceeded Janino's 64 KB
+    method limit (a failed whole-stage-codegen compile + stack dump on
+    EVERY action — the failure is not cached — then interpreted
+    evaluation of the still-duplicated tree) and re-planned multi-MB
+    Catalyst trees per invocation. Binding keeps every subtree additive.
+
+    Bit-transparent: the bound expression is the SAME expression,
+    evaluated once; lambda-variable references read the bound value, and
+    NULL propagation is unchanged (a NULL input yields a struct with the
+    matching NULL field, flowing through ``body`` exactly as the inlined
+    expression would)."""
+    keys = list(values)
+    packed = F.struct(*[values[k].alias(k) for k in keys])
+    return F.transform(
+        F.array(packed), lambda v: body(**{k: v[k] for k in keys})
+    )[0]
+
+
+def _bind_pair(values: dict[str, "Column"], body) -> tuple[Column, Column]:
+    """:func:`_bind` for (lon, lat)-style pair producers: ``body``
+    returns a 2-tuple; each returned Column carries one full copy of the
+    bound computation (a fixed 2×, replacing the reference-count
+    multiplier)."""
+    packed = _bind(
+        values,
+        lambda **kw: F.struct(
+            body(**kw)[0].alias("a"), body(**kw)[1].alias("b")
+        ),
+    )
+    return packed["a"], packed["b"]
+
+
 def lonlat_to_utm(
     lon: Column, lat: Column, zone: int, south: bool = False
 ) -> tuple[Column, Column]:
@@ -155,69 +198,81 @@ def _utm_inverse(
 ) -> tuple[Column, Column]:
     """Column-parameterized inverse: ``lam0``/``false_northing`` may vary
     PER ROW (standardize_crs derives them from an EPSG column), keeping
-    mixed-zone tables a single vectorized expression."""
-    x = easting - F.lit(UTM_FALSE_EASTING)
-    y = northing - false_northing
-    mu = y / F.lit(UTM_K0 * UTM_A * _M0)
-    phi1 = (
-        mu
-        + F.lit(_P2) * F.sin(mu * 2.0)
-        + F.lit(_P4) * F.sin(mu * 4.0)
-        + F.lit(_P6) * F.sin(mu * 6.0)
-        + F.lit(_P8) * F.sin(mu * 8.0)
-    )
-    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
-    c1 = F.lit(_EP2) * cos1 * cos1
-    t1 = tan1 * tan1
-    one_minus = F.lit(1.0) - F.lit(_E2) * sin1 * sin1
-    n1 = F.lit(UTM_A) / F.sqrt(one_minus)
-    r1 = F.lit(UTM_A * (1.0 - _E2)) / F.pow(one_minus, 1.5)
-    d = x / (n1 * F.lit(UTM_K0))
-    lat = F.degrees(
-        phi1
-        - (n1 * tan1 / r1)
-        * (
-            d * d / 2.0
-            - (
-                F.lit(5.0)
-                + t1 * 3.0
-                + c1 * 10.0
-                - c1 * c1 * 4.0
-                - F.lit(9.0 * _EP2)
-            )
-            * F.pow(d, 4)
-            / 24.0
-            + (
-                F.lit(61.0)
-                + t1 * 90.0
-                + c1 * 298.0
-                + t1 * t1 * 45.0
-                - F.lit(252.0 * _EP2)
-                - c1 * c1 * 3.0
-            )
-            * F.pow(d, 6)
-            / 720.0
+    mixed-zone tables a single vectorized expression. Inputs and the
+    footpoint latitude are :func:`_bind`-staged so the series' many
+    references stay additive (r14)."""
+
+    def build(e_, n_, l0):
+        x = e_ - F.lit(UTM_FALSE_EASTING)
+        mu = n_ / F.lit(UTM_K0 * UTM_A * _M0)
+        phi1 = (
+            mu
+            + F.lit(_P2) * F.sin(mu * 2.0)
+            + F.lit(_P4) * F.sin(mu * 4.0)
+            + F.lit(_P6) * F.sin(mu * 6.0)
+            + F.lit(_P8) * F.sin(mu * 8.0)
         )
-    )
-    lon = F.degrees(
-        lam0
-        + (
-            d
-            - (F.lit(1.0) + t1 * 2.0 + c1) * F.pow(d, 3) / 6.0
-            + (
-                F.lit(5.0)
-                - c1 * 2.0
-                + t1 * 28.0
-                - c1 * c1 * 3.0
-                + F.lit(8.0 * _EP2)
-                + t1 * t1 * 24.0
+
+        def series(p1):
+            sin1, cos1, tan1 = F.sin(p1), F.cos(p1), F.tan(p1)
+            c1 = F.lit(_EP2) * cos1 * cos1
+            t1 = tan1 * tan1
+            one_minus = F.lit(1.0) - F.lit(_E2) * sin1 * sin1
+            n1 = F.lit(UTM_A) / F.sqrt(one_minus)
+            r1 = F.lit(UTM_A * (1.0 - _E2)) / F.pow(one_minus, 1.5)
+            d = x / (n1 * F.lit(UTM_K0))
+            lat = F.degrees(
+                p1
+                - (n1 * tan1 / r1)
+                * (
+                    d * d / 2.0
+                    - (
+                        F.lit(5.0)
+                        + t1 * 3.0
+                        + c1 * 10.0
+                        - c1 * c1 * 4.0
+                        - F.lit(9.0 * _EP2)
+                    )
+                    * F.pow(d, 4)
+                    / 24.0
+                    + (
+                        F.lit(61.0)
+                        + t1 * 90.0
+                        + c1 * 298.0
+                        + t1 * t1 * 45.0
+                        - F.lit(252.0 * _EP2)
+                        - c1 * c1 * 3.0
+                    )
+                    * F.pow(d, 6)
+                    / 720.0
+                )
             )
-            * F.pow(d, 5)
-            / 120.0
-        )
-        / cos1
+            lon = F.degrees(
+                l0
+                + (
+                    d
+                    - (F.lit(1.0) + t1 * 2.0 + c1) * F.pow(d, 3) / 6.0
+                    + (
+                        F.lit(5.0)
+                        - c1 * 2.0
+                        + t1 * 28.0
+                        - c1 * c1 * 3.0
+                        + F.lit(8.0 * _EP2)
+                        + t1 * t1 * 24.0
+                    )
+                    * F.pow(d, 5)
+                    / 120.0
+                )
+                / cos1
+            )
+            return F.struct(lon.alias("a"), lat.alias("b"))
+
+        return _bind({"p1": phi1}, series)
+
+    pair = _bind(
+        {"e_": easting, "n_": northing - false_northing, "l0": lam0}, build
     )
-    return lon, lat
+    return pair["a"], pair["b"]
 
 
 def lonlat_to_mercator(lon: Column, lat: Column) -> tuple[Column, Column]:
@@ -426,28 +481,63 @@ class LambertConformalConic:
         )
 
     def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
-        rho = F.lit(self.a * self.F) * F.pow(self._t_col(lat), self.n)
-        theta = F.lit(self.n) * (F.radians(lon) - F.lit(math.radians(self.lon0)))
-        x = F.lit(self.fe) + rho * F.sin(theta)
-        y = F.lit(self.fn) + F.lit(self.rho0) - rho * F.cos(theta)
-        return x, y
+        def build(lo, la):
+            rho = F.lit(self.a * self.F) * F.pow(self._t_col(la), self.n)
+            theta = F.lit(self.n) * (
+                F.radians(lo) - F.lit(math.radians(self.lon0))
+            )
+            x = F.lit(self.fe) + rho * F.sin(theta)
+            y = F.lit(self.fn) + F.lit(self.rho0) - rho * F.cos(theta)
+            return F.struct(x.alias("a"), y.alias("b"))
+
+        pair = _bind({"lo": lon, "la": lat}, build)
+        return pair["a"], pair["b"]
 
     def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
-        dx = x - F.lit(self.fe)
-        dy = F.lit(self.rho0) - (y - F.lit(self.fn))
-        sign = 1.0 if self.n >= 0 else -1.0
-        rho = F.lit(sign) * F.sqrt(dx * dx + dy * dy)
-        tp = F.pow(rho / F.lit(self.a * self.F), 1.0 / self.n)
-        theta = F.atan2(F.lit(sign) * dx, F.lit(sign) * dy)
-        lon = F.degrees(theta / F.lit(self.n) + F.lit(math.radians(self.lon0)))
-        phi = F.lit(math.pi / 2.0) - F.atan(tp) * 2.0
-        for _ in range(LCC_INV_ITERS):
-            es = F.lit(self.e) * F.sin(phi)
-            phi = F.lit(math.pi / 2.0) - (
-                F.atan(tp * F.pow((F.lit(1.0) - es) / (F.lit(1.0) + es), self.e / 2.0))
-                * 2.0
+        def build(dx, dy):
+            sign = 1.0 if self.n >= 0 else -1.0
+            rho = F.lit(sign) * F.sqrt(dx * dx + dy * dy)
+            theta = F.atan2(F.lit(sign) * dx, F.lit(sign) * dy)
+            lon = F.degrees(
+                theta / F.lit(self.n) + F.lit(math.radians(self.lon0))
             )
-        return lon, F.degrees(phi)
+
+            def fixed_point(tp):
+                # the same LCC_INV_ITERS sequential steps as the r13
+                # unrolled loop, as a fold: ``tp`` and the running phi
+                # are bound once per step instead of re-nesting the
+                # whole predecessor tree per reference (2^iters copies)
+                def step(phi, _x):
+                    es = F.lit(self.e) * F.sin(phi)
+                    return F.lit(math.pi / 2.0) - (
+                        F.atan(
+                            tp
+                            * F.pow(
+                                (F.lit(1.0) - es) / (F.lit(1.0) + es),
+                                self.e / 2.0,
+                            )
+                        )
+                        * 2.0
+                    )
+
+                phi0 = F.lit(math.pi / 2.0) - F.atan(tp) * 2.0
+                return F.aggregate(
+                    F.array_repeat(F.lit(0), LCC_INV_ITERS),
+                    phi0.cast("double"),
+                    step,
+                )
+
+            phi = _bind(
+                {"tp": F.pow(rho / F.lit(self.a * self.F), 1.0 / self.n)},
+                fixed_point,
+            )
+            return F.struct(lon.alias("a"), F.degrees(phi).alias("b"))
+
+        pair = _bind(
+            {"dx": x - F.lit(self.fe), "dy": F.lit(self.rho0) - (y - F.lit(self.fn))},
+            build,
+        )
+        return pair["a"], pair["b"]
 
 
 # GRS80 ellipsoid; EPSG:2154 (RGF93 / Lambert-93), the French national grid.
@@ -528,37 +618,65 @@ class AlbersEqualArea:
         )
 
     def forward(self, lon: Column, lat: Column) -> tuple[Column, Column]:
-        phi = F.radians(lat)
-        rho = (
-            F.lit(self.a)
-            * F.sqrt(F.lit(self.C) - F.lit(self.n) * self._q_col(phi))
-            / F.lit(self.n)
-        )
-        theta = F.lit(self.n) * (F.radians(lon) - F.lit(math.radians(self.lon0)))
-        x = F.lit(self.fe) + rho * F.sin(theta)
-        y = F.lit(self.fn) + F.lit(self.rho0) - rho * F.cos(theta)
-        return x, y
+        def build(lo, la):
+            phi = F.radians(la)
+            rho = (
+                F.lit(self.a)
+                * F.sqrt(F.lit(self.C) - F.lit(self.n) * self._q_col(phi))
+                / F.lit(self.n)
+            )
+            theta = F.lit(self.n) * (
+                F.radians(lo) - F.lit(math.radians(self.lon0))
+            )
+            x = F.lit(self.fe) + rho * F.sin(theta)
+            y = F.lit(self.fn) + F.lit(self.rho0) - rho * F.cos(theta)
+            return F.struct(x.alias("a"), y.alias("b"))
+
+        pair = _bind({"lo": lon, "la": lat}, build)
+        return pair["a"], pair["b"]
 
     def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
-        dx = x - F.lit(self.fe)
-        dy = F.lit(self.rho0) - (y - F.lit(self.fn))
-        sign = 1.0 if self.n >= 0 else -1.0
-        rho = F.lit(sign) * F.sqrt(dx * dx + dy * dy)
-        qv = (
-            F.lit(self.C) - rho * rho * F.lit(self.n * self.n) / F.lit(self.a * self.a)
-        ) / F.lit(self.n)
-        theta = F.atan2(F.lit(sign) * dx, F.lit(sign) * dy)
-        lon = F.degrees(theta / F.lit(self.n) + F.lit(math.radians(self.lon0)))
-        # authalic latitude beta -> geodetic phi, closed form (Snyder
-        # 3-18); clamp q/qp against float drift past +-1 at the poles
-        beta = F.asin(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), qv / F.lit(self.qp))))
-        phi = (
-            beta
-            + F.lit(self.b2) * F.sin(beta * 2.0)
-            + F.lit(self.b4) * F.sin(beta * 4.0)
-            + F.lit(self.b6) * F.sin(beta * 6.0)
+        def build(dx, dy):
+            sign = 1.0 if self.n >= 0 else -1.0
+            rho = F.lit(sign) * F.sqrt(dx * dx + dy * dy)
+            qv = (
+                F.lit(self.C)
+                - rho * rho * F.lit(self.n * self.n) / F.lit(self.a * self.a)
+            ) / F.lit(self.n)
+            theta = F.atan2(F.lit(sign) * dx, F.lit(sign) * dy)
+            lon = F.degrees(
+                theta / F.lit(self.n) + F.lit(math.radians(self.lon0))
+            )
+
+            # authalic latitude beta -> geodetic phi, closed form (Snyder
+            # 3-18); clamp q/qp against float drift past +-1 at the poles
+            def series(beta):
+                phi = (
+                    beta
+                    + F.lit(self.b2) * F.sin(beta * 2.0)
+                    + F.lit(self.b4) * F.sin(beta * 4.0)
+                    + F.lit(self.b6) * F.sin(beta * 6.0)
+                )
+                return phi
+
+            phi = _bind(
+                {
+                    "beta": F.asin(
+                        F.greatest(
+                            F.lit(-1.0),
+                            F.least(F.lit(1.0), qv / F.lit(self.qp)),
+                        )
+                    )
+                },
+                series,
+            )
+            return F.struct(lon.alias("a"), F.degrees(phi).alias("b"))
+
+        pair = _bind(
+            {"dx": x - F.lit(self.fe), "dy": F.lit(self.rho0) - (y - F.lit(self.fn))},
+            build,
         )
-        return lon, F.degrees(phi)
+        return pair["a"], pair["b"]
 
 
 # EPSG:5070 — NAD83 / Conus Albers (GRS80; the Snyder §14 CONUS parallels)
@@ -682,34 +800,57 @@ class PolarStereographic:
         # south aspect = north formulas on (−φ, −(λ−λ0)), axes negated:
         # x_s(φ,λ) = −x_n(−φ, −(λ−λ0)), y_s = −y_n — folded via sign s
         s = -1.0 if self.south else 1.0
-        phi = F.radians(lat) * F.lit(s)
-        dlam = (F.radians(lon) - F.lit(math.radians(self.lon0))) * F.lit(s)
-        rho = F.lit(self.k) * self._t_col(phi)
-        x = F.lit(self.fe) + F.lit(s) * rho * F.sin(dlam)
-        y = F.lit(self.fn) - F.lit(s) * rho * F.cos(dlam)
-        return x, y
+
+        def build(lo, la):
+            phi = F.radians(la) * F.lit(s)
+            dlam = (F.radians(lo) - F.lit(math.radians(self.lon0))) * F.lit(s)
+            rho = F.lit(self.k) * self._t_col(phi)
+            x = F.lit(self.fe) + F.lit(s) * rho * F.sin(dlam)
+            y = F.lit(self.fn) - F.lit(s) * rho * F.cos(dlam)
+            return F.struct(x.alias("a"), y.alias("b"))
+
+        pair = _bind({"lo": lon, "la": lat}, build)
+        return pair["a"], pair["b"]
 
     def inverse(self, x: Column, y: Column) -> tuple[Column, Column]:
         s = -1.0 if self.south else 1.0
-        dx = (x - F.lit(self.fe)) * F.lit(s)
-        dy = (F.lit(self.fn) - y) * F.lit(s)  # toward the pole is +
-        rho = F.sqrt(dx * dx + dy * dy)
-        t = rho / F.lit(self.k)
-        chi = F.lit(math.pi / 2.0) - F.atan(t) * 2.0
-        phi = (
-            chi
-            + F.lit(self.c2) * F.sin(chi * 2.0)
-            + F.lit(self.c4) * F.sin(chi * 4.0)
-            + F.lit(self.c6) * F.sin(chi * 6.0)
-            + F.lit(self.c8) * F.sin(chi * 8.0)
+
+        def build(dx, dy):
+            rho = F.sqrt(dx * dx + dy * dy)
+            t = rho / F.lit(self.k)
+
+            def series(chi):
+                return (
+                    chi
+                    + F.lit(self.c2) * F.sin(chi * 2.0)
+                    + F.lit(self.c4) * F.sin(chi * 4.0)
+                    + F.lit(self.c6) * F.sin(chi * 6.0)
+                    + F.lit(self.c8) * F.sin(chi * 8.0)
+                )
+
+            phi = _bind(
+                {"chi": F.lit(math.pi / 2.0) - F.atan(t) * 2.0}, series
+            )
+            lam = F.atan2(dx, dy) * F.lit(s) + F.lit(math.radians(self.lon0))
+            # wrap to [−180, 180): the south-aspect sign flip plus a
+            # nonzero λ0 can push atan2's (−π, π] result out of range
+            # (e.g. λ0=−100, point at 150E comes back as −210 without
+            # the wrap)
+            two_pi = F.lit(2.0 * math.pi)
+            lam = lam - two_pi * F.floor((lam + F.lit(math.pi)) / two_pi)
+            return F.struct(
+                F.degrees(lam).alias("a"),
+                (F.degrees(phi) * F.lit(s)).alias("b"),
+            )
+
+        pair = _bind(
+            {
+                "dx": (x - F.lit(self.fe)) * F.lit(s),
+                "dy": (F.lit(self.fn) - y) * F.lit(s),
+            },
+            build,
         )
-        lam = F.atan2(dx, dy) * F.lit(s) + F.lit(math.radians(self.lon0))
-        # wrap to [−180, 180): the south-aspect sign flip plus a nonzero
-        # λ0 can push atan2's (−π, π] result out of range (e.g. λ0=−100,
-        # point at 150E comes back as −210 without the wrap)
-        two_pi = F.lit(2.0 * math.pi)
-        lam = lam - two_pi * F.floor((lam + F.lit(math.pi)) / two_pi)
-        return F.degrees(lam), F.degrees(phi) * F.lit(s)
+        return pair["a"], pair["b"]
 
 
 # EPSG:3413 — WGS 84 / NSIDC Sea Ice Polar Stereographic North
@@ -793,6 +934,11 @@ class TransverseMercator:
     # --- projection-only legs (EPSG method 9807) ---
 
     def project(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        pair = _bind({"lo": lon, "la": lat}, self._project_struct)
+        return pair["a"], pair["b"]
+
+    def _project_struct(self, lo: Column, la: Column) -> Column:
+        lon, lat = lo, la
         phi = F.radians(lat)
         sinp, cosp, tanp = F.sin(phi), F.cos(phi), F.tan(phi)
         nu = F.lit(self.a) / F.sqrt(F.lit(1.0) - F.lit(self.e2) * sinp * sinp)
@@ -831,71 +977,79 @@ class TransverseMercator:
                 / 720.0
             )
         )
-        return x, y
+        return F.struct(x.alias("a"), y.alias("b"))
 
     def unproject(self, x: Column, y: Column) -> tuple[Column, Column]:
-        mu = (F.lit(self.m0_arc) + (y - F.lit(self.fn)) / F.lit(self.k0)) / F.lit(
-            self.a * self.m0c
-        )
-        phi1 = (
-            mu
-            + F.lit(self.p2) * F.sin(mu * 2.0)
-            + F.lit(self.p4) * F.sin(mu * 4.0)
-            + F.lit(self.p6) * F.sin(mu * 6.0)
-            + F.lit(self.p8) * F.sin(mu * 8.0)
-        )
-        sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
-        c1 = F.lit(self.ep2) * cos1 * cos1
-        t1 = tan1 * tan1
-        one_minus = F.lit(1.0) - F.lit(self.e2) * sin1 * sin1
-        n1 = F.lit(self.a) / F.sqrt(one_minus)
-        r1 = F.lit(self.a * (1.0 - self.e2)) / F.pow(one_minus, 1.5)
-        d = (x - F.lit(self.fe)) / (n1 * F.lit(self.k0))
-        lat = F.degrees(
-            phi1
-            - (n1 * tan1 / r1)
-            * (
-                d * d / 2.0
-                - (
-                    F.lit(5.0)
-                    + t1 * 3.0
-                    + c1 * 10.0
-                    - c1 * c1 * 4.0
-                    - F.lit(9.0 * self.ep2)
-                )
-                * F.pow(d, 4)
-                / 24.0
-                + (
-                    F.lit(61.0)
-                    + t1 * 90.0
-                    + c1 * 298.0
-                    + t1 * t1 * 45.0
-                    - F.lit(252.0 * self.ep2)
-                    - c1 * c1 * 3.0
-                )
-                * F.pow(d, 6)
-                / 720.0
+        def build(x_, y_):
+            mu = (
+                F.lit(self.m0_arc) + (y_ - F.lit(self.fn)) / F.lit(self.k0)
+            ) / F.lit(self.a * self.m0c)
+            phi1 = (
+                mu
+                + F.lit(self.p2) * F.sin(mu * 2.0)
+                + F.lit(self.p4) * F.sin(mu * 4.0)
+                + F.lit(self.p6) * F.sin(mu * 6.0)
+                + F.lit(self.p8) * F.sin(mu * 8.0)
             )
-        )
-        lon = F.degrees(
-            F.lit(math.radians(self.lon0))
-            + (
-                d
-                - (F.lit(1.0) + t1 * 2.0 + c1) * F.pow(d, 3) / 6.0
-                + (
-                    F.lit(5.0)
-                    - c1 * 2.0
-                    + t1 * 28.0
-                    - c1 * c1 * 3.0
-                    + F.lit(8.0 * self.ep2)
-                    + t1 * t1 * 24.0
+
+            def series(p1):
+                sin1, cos1, tan1 = F.sin(p1), F.cos(p1), F.tan(p1)
+                c1 = F.lit(self.ep2) * cos1 * cos1
+                t1 = tan1 * tan1
+                one_minus = F.lit(1.0) - F.lit(self.e2) * sin1 * sin1
+                n1 = F.lit(self.a) / F.sqrt(one_minus)
+                r1 = F.lit(self.a * (1.0 - self.e2)) / F.pow(one_minus, 1.5)
+                d = (x_ - F.lit(self.fe)) / (n1 * F.lit(self.k0))
+                lat = F.degrees(
+                    p1
+                    - (n1 * tan1 / r1)
+                    * (
+                        d * d / 2.0
+                        - (
+                            F.lit(5.0)
+                            + t1 * 3.0
+                            + c1 * 10.0
+                            - c1 * c1 * 4.0
+                            - F.lit(9.0 * self.ep2)
+                        )
+                        * F.pow(d, 4)
+                        / 24.0
+                        + (
+                            F.lit(61.0)
+                            + t1 * 90.0
+                            + c1 * 298.0
+                            + t1 * t1 * 45.0
+                            - F.lit(252.0 * self.ep2)
+                            - c1 * c1 * 3.0
+                        )
+                        * F.pow(d, 6)
+                        / 720.0
+                    )
                 )
-                * F.pow(d, 5)
-                / 120.0
-            )
-            / cos1
-        )
-        return lon, lat
+                lon = F.degrees(
+                    F.lit(math.radians(self.lon0))
+                    + (
+                        d
+                        - (F.lit(1.0) + t1 * 2.0 + c1) * F.pow(d, 3) / 6.0
+                        + (
+                            F.lit(5.0)
+                            - c1 * 2.0
+                            + t1 * 28.0
+                            - c1 * c1 * 3.0
+                            + F.lit(8.0 * self.ep2)
+                            + t1 * t1 * 24.0
+                        )
+                        * F.pow(d, 5)
+                        / 120.0
+                    )
+                    / cos1
+                )
+                return F.struct(lon.alias("a"), lat.alias("b"))
+
+            return _bind({"p1": phi1}, series)
+
+        pair = _bind({"x_": x, "y_": y}, build)
+        return pair["a"], pair["b"]
 
     # --- datum legs (7-param Helmert, position-vector, h=0) ---
 
@@ -919,6 +1073,13 @@ class TransverseMercator:
     def _geocentric_to_geodetic(
         x: Column, y: Column, z: Column, a: float, e2: float
     ) -> tuple[Column, Column]:
+        pair = TransverseMercator._geocentric_to_geodetic_struct(x, y, z, a, e2)
+        return pair["a"], pair["b"]
+
+    @staticmethod
+    def _geocentric_to_geodetic_struct(
+        x: Column, y: Column, z: Column, a: float, e2: float
+    ) -> Column:
         # Bowring's closed form (Bowring 1976, the standard non-iterative
         # geocentric→geodetic): θ = atan2(z·a, p·b), then
         # φ = atan2(z + e′²·b·sin³θ, p − e²·a·cos³θ). Exact to <1e-12 rad
@@ -928,15 +1089,32 @@ class TransverseMercator:
         # tolerates — the same reason the LCC/Albers inverses use series.
         b = a * math.sqrt(1.0 - e2)
         ep2 = e2 / (1.0 - e2)
-        p = F.sqrt(x * x + y * y)
-        lam = F.atan2(y, x)
-        theta = F.atan2(z * F.lit(a), p * F.lit(b))
-        st, ct = F.sin(theta), F.cos(theta)
-        phi = F.atan2(
-            z + F.lit(ep2 * b) * st * st * st,
-            p - F.lit(e2 * a) * ct * ct * ct,
-        )
-        return F.degrees(lam), F.degrees(phi)
+
+        def build(xg, yg, zg):
+            lam = F.atan2(yg, xg)
+
+            def with_p(p):
+                def with_theta(th):
+                    def with_trig(st, ct):
+                        phi = F.atan2(
+                            zg + F.lit(ep2 * b) * st * st * st,
+                            p - F.lit(e2 * a) * ct * ct * ct,
+                        )
+                        return F.struct(
+                            F.degrees(lam).alias("a"), F.degrees(phi).alias("b")
+                        )
+
+                    return _bind(
+                        {"st": F.sin(th), "ct": F.cos(th)}, with_trig
+                    )
+
+                return _bind(
+                    {"th": F.atan2(zg * F.lit(a), p * F.lit(b))}, with_theta
+                )
+
+            return _bind({"p": F.sqrt(xg * xg + yg * yg)}, with_p)
+
+        return _bind({"xg": x, "yg": y, "zg": z}, build)
 
     # --- registry entry points (WGS-84 in/out) ---
 
@@ -964,16 +1142,45 @@ def _datum_to_cols(P, lon: Column, lat: Column) -> tuple[Column, Column]:
     rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
     s = 1.0 + ds * 1e-6
     ew2 = WGS84_F * (2.0 - WGS84_F)
-    phi, lam = F.radians(lat), F.radians(lon)
-    sinp = F.sin(phi)
-    nu = F.lit(WGS84_A) / F.sqrt(F.lit(1.0) - F.lit(ew2) * sinp * sinp)
-    xg = nu * F.cos(phi) * F.cos(lam)
-    yg = nu * F.cos(phi) * F.sin(lam)
-    zg = nu * F.lit(1.0 - ew2) * sinp
-    xt = F.lit(tx) + F.lit(s) * (xg - F.lit(rz) * yg + F.lit(ry) * zg)
-    yt = F.lit(ty) + F.lit(s) * (F.lit(rz) * xg + yg - F.lit(rx) * zg)
-    zt = F.lit(tz) + F.lit(s) * (-F.lit(ry) * xg + F.lit(rx) * yg + zg)
-    return TransverseMercator._geocentric_to_geodetic(xt, yt, zt, P.a, P.e2)
+
+    def build(phi, lam):
+        def with_trig(sinp, cosp):
+            def with_nu(nu):
+                def with_geoc(xg, yg, zg):
+                    xt = F.lit(tx) + F.lit(s) * (
+                        xg - F.lit(rz) * yg + F.lit(ry) * zg
+                    )
+                    yt = F.lit(ty) + F.lit(s) * (
+                        F.lit(rz) * xg + yg - F.lit(rx) * zg
+                    )
+                    zt = F.lit(tz) + F.lit(s) * (
+                        -F.lit(ry) * xg + F.lit(rx) * yg + zg
+                    )
+                    return TransverseMercator._geocentric_to_geodetic_struct(
+                        xt, yt, zt, P.a, P.e2
+                    )
+
+                return _bind(
+                    {
+                        "xg": nu * cosp * F.cos(lam),
+                        "yg": nu * cosp * F.sin(lam),
+                        "zg": nu * F.lit(1.0 - ew2) * sinp,
+                    },
+                    with_geoc,
+                )
+
+            return _bind(
+                {
+                    "nu": F.lit(WGS84_A)
+                    / F.sqrt(F.lit(1.0) - F.lit(ew2) * sinp * sinp)
+                },
+                with_nu,
+            )
+
+        return _bind({"sinp": F.sin(phi), "cosp": F.cos(phi)}, with_trig)
+
+    pair = _bind({"phi": F.radians(lat), "lam": F.radians(lon)}, build)
+    return pair["a"], pair["b"]
 
 
 def _datum_from_cols(P, lon: Column, lat: Column) -> tuple[Column, Column]:
@@ -981,17 +1188,46 @@ def _datum_from_cols(P, lon: Column, lat: Column) -> tuple[Column, Column]:
     tx, ty, tz, rxs, rys, rzs, ds = P.helmert
     rx, ry, rz = (math.radians(v / 3600.0) for v in (rxs, rys, rzs))
     inv_s = 1.0 / (1.0 + ds * 1e-6)
-    phi, lam = F.radians(lat), F.radians(lon)
-    sinp = F.sin(phi)
-    nu = F.lit(P.a) / F.sqrt(F.lit(1.0) - F.lit(P.e2) * sinp * sinp)
-    xt = nu * F.cos(phi) * F.cos(lam) - F.lit(tx)
-    yt = nu * F.cos(phi) * F.sin(lam) - F.lit(ty)
-    zt = nu * F.lit(1.0 - P.e2) * sinp - F.lit(tz)
-    xg = F.lit(inv_s) * (xt + F.lit(rz) * yt - F.lit(ry) * zt)
-    yg = F.lit(inv_s) * (-F.lit(rz) * xt + yt + F.lit(rx) * zt)
-    zg = F.lit(inv_s) * (F.lit(ry) * xt - F.lit(rx) * yt + zt)
     ew2 = WGS84_F * (2.0 - WGS84_F)
-    return TransverseMercator._geocentric_to_geodetic(xg, yg, zg, WGS84_A, ew2)
+
+    def build(phi, lam):
+        def with_trig(sinp, cosp):
+            def with_nu(nu):
+                def with_shift(xt, yt, zt):
+                    xg = F.lit(inv_s) * (
+                        xt + F.lit(rz) * yt - F.lit(ry) * zt
+                    )
+                    yg = F.lit(inv_s) * (
+                        -F.lit(rz) * xt + yt + F.lit(rx) * zt
+                    )
+                    zg = F.lit(inv_s) * (
+                        F.lit(ry) * xt - F.lit(rx) * yt + zt
+                    )
+                    return TransverseMercator._geocentric_to_geodetic_struct(
+                        xg, yg, zg, WGS84_A, ew2
+                    )
+
+                return _bind(
+                    {
+                        "xt": nu * cosp * F.cos(lam) - F.lit(tx),
+                        "yt": nu * cosp * F.sin(lam) - F.lit(ty),
+                        "zt": nu * F.lit(1.0 - P.e2) * sinp - F.lit(tz),
+                    },
+                    with_shift,
+                )
+
+            return _bind(
+                {
+                    "nu": F.lit(P.a)
+                    / F.sqrt(F.lit(1.0) - F.lit(P.e2) * sinp * sinp)
+                },
+                with_nu,
+            )
+
+        return _bind({"sinp": F.sin(phi), "cosp": F.cos(phi)}, with_trig)
+
+    pair = _bind({"phi": F.radians(lat), "lam": F.radians(lon)}, build)
+    return pair["a"], pair["b"]
 
 
 AIRY_A = 6377563.396
@@ -1114,68 +1350,123 @@ class Krovak:
     # --- projection-only legs (datum geodetic in/out) ---
 
     def project(self, lon: Column, lat: Column) -> tuple[Column, Column]:
-        phi = F.radians(lat)
-        esin = F.lit(self.e) * F.sin(phi)
-        u = (
-            F.atan(
-                F.lit(self.t0)
-                * F.pow(F.tan(phi / 2.0 + math.pi / 4.0), F.lit(self.B))
-                / F.pow(
-                    (F.lit(1.0) + esin) / (F.lit(1.0) - esin),
-                    F.lit(self.e * self.B / 2.0),
+        def build(lo, la):
+            phi = F.radians(la)
+
+            def with_esin(esin):
+                return (
+                    F.atan(
+                        F.lit(self.t0)
+                        * F.pow(F.tan(phi / 2.0 + math.pi / 4.0), F.lit(self.B))
+                        / F.pow(
+                            (F.lit(1.0) + esin) / (F.lit(1.0) - esin),
+                            F.lit(self.e * self.B / 2.0),
+                        )
+                    )
+                    - F.lit(math.pi / 4.0)
+                ) * 2.0
+
+            u_expr = _bind({"esin": F.lit(self.e) * F.sin(phi)}, with_esin)
+            v_expr = F.lit(self.B) * (F.lit(self.lam0) - F.radians(lo))
+
+            def with_uv(u, v):
+                def with_t(t):
+                    d = F.asin(F.cos(u) * F.sin(v) / F.cos(t))
+                    theta = F.lit(self.n) * d
+                    r = (
+                        F.lit(self.r0)
+                        * F.lit(self.tan_p**self.n)
+                        / F.pow(F.tan(t / 2.0 + math.pi / 4.0), F.lit(self.n))
+                    )
+                    southing = r * F.cos(theta)
+                    westing = r * F.sin(theta)
+                    # East-North orientation
+                    return F.struct(
+                        (-westing).alias("a"), (-southing).alias("b")
+                    )
+
+                return _bind(
+                    {
+                        "t": F.asin(
+                            F.lit(math.cos(self.alphac)) * F.sin(u)
+                            + F.lit(math.sin(self.alphac))
+                            * F.cos(u)
+                            * F.cos(v)
+                        )
+                    },
+                    with_t,
                 )
-            )
-            - F.lit(math.pi / 4.0)
-        ) * 2.0
-        v = F.lit(self.B) * (F.lit(self.lam0) - F.radians(lon))
-        t = F.asin(
-            F.lit(math.cos(self.alphac)) * F.sin(u)
-            + F.lit(math.sin(self.alphac)) * F.cos(u) * F.cos(v)
-        )
-        d = F.asin(F.cos(u) * F.sin(v) / F.cos(t))
-        theta = F.lit(self.n) * d
-        r = (
-            F.lit(self.r0)
-            * F.lit(self.tan_p**self.n)
-            / F.pow(F.tan(t / 2.0 + math.pi / 4.0), F.lit(self.n))
-        )
-        southing = r * F.cos(theta)
-        westing = r * F.sin(theta)
-        return -westing, -southing  # East-North orientation
+
+            return _bind({"u": u_expr, "v": v_expr}, with_uv)
+
+        pair = _bind({"lo": lon, "la": lat}, build)
+        return pair["a"], pair["b"]
 
     def unproject(self, x: Column, y: Column) -> tuple[Column, Column]:
-        xp = -y  # southing
-        yp = -x  # westing
-        rp = F.sqrt(xp * xp + yp * yp)
-        thetap = F.atan2(yp, xp)
-        dp = thetap / F.lit(self.n)
-        tp = (
-            F.atan(
-                F.pow(F.lit(self.r0) / rp, F.lit(1.0 / self.n)) * F.lit(self.tan_p)
-            )
-            - F.lit(math.pi / 4.0)
-        ) * 2.0
-        up = F.asin(
-            F.lit(math.cos(self.alphac)) * F.sin(tp)
-            - F.lit(math.sin(self.alphac)) * F.cos(tp) * F.cos(dp)
-        )
-        vp = F.asin(F.cos(tp) * F.sin(dp) / F.cos(up))
-        lon = F.degrees(F.lit(self.lam0) - vp / F.lit(self.B))
-        chi = (
-            F.atan(
-                F.lit(self.c_lat)
-                * F.pow(F.tan(up / 2.0 + math.pi / 4.0), F.lit(self.inv_b))
-            )
-            - F.lit(math.pi / 4.0)
-        ) * 2.0
-        phi = (
-            chi
-            + F.lit(self.d2) * F.sin(chi * 2.0)
-            + F.lit(self.d4) * F.sin(chi * 4.0)
-            + F.lit(self.d6) * F.sin(chi * 6.0)
-            + F.lit(self.d8) * F.sin(chi * 8.0)
-        )
-        return lon, F.degrees(phi)
+        def build(xp, yp):
+            rp = F.sqrt(xp * xp + yp * yp)
+            thetap = F.atan2(yp, xp)
+            dp = thetap / F.lit(self.n)
+            tp_expr = (
+                F.atan(
+                    F.pow(F.lit(self.r0) / rp, F.lit(1.0 / self.n))
+                    * F.lit(self.tan_p)
+                )
+                - F.lit(math.pi / 4.0)
+            ) * 2.0
+
+            def with_tp(tp):
+                def with_up(up):
+                    vp = F.cos(tp) * F.sin(dp) / F.cos(up)
+                    lon = F.degrees(
+                        F.lit(self.lam0) - F.asin(vp) / F.lit(self.B)
+                    )
+
+                    def series(chi):
+                        return (
+                            chi
+                            + F.lit(self.d2) * F.sin(chi * 2.0)
+                            + F.lit(self.d4) * F.sin(chi * 4.0)
+                            + F.lit(self.d6) * F.sin(chi * 6.0)
+                            + F.lit(self.d8) * F.sin(chi * 8.0)
+                        )
+
+                    phi = _bind(
+                        {
+                            "chi": (
+                                F.atan(
+                                    F.lit(self.c_lat)
+                                    * F.pow(
+                                        F.tan(up / 2.0 + math.pi / 4.0),
+                                        F.lit(self.inv_b),
+                                    )
+                                )
+                                - F.lit(math.pi / 4.0)
+                            )
+                            * 2.0
+                        },
+                        series,
+                    )
+                    return F.struct(
+                        lon.alias("a"), F.degrees(phi).alias("b")
+                    )
+
+                return _bind(
+                    {
+                        "up": F.asin(
+                            F.lit(math.cos(self.alphac)) * F.sin(tp)
+                            - F.lit(math.sin(self.alphac))
+                            * F.cos(tp)
+                            * F.cos(dp)
+                        )
+                    },
+                    with_up,
+                )
+
+            return _bind({"tp": tp_expr}, with_tp)
+
+        pair = _bind({"xp": -y, "yp": -x}, build)
+        return pair["a"], pair["b"]
 
     # --- registry entry points (WGS-84 in/out) ---
 
