@@ -408,24 +408,71 @@ def near_duplicates_ngram(
     Candidates must share a shingle with document frequency ≤ ``max_df``
     — the inverted-index blocker that keeps candidate count linear-ish in
     corpus size instead of quadratic. Output: (id1, id2, jaccard).
+
+    Before the exact per-pair verification, candidates are pruned by an
+    EXACT Jaccard upper bound (r14, guide §3.4 — pre-filter the big side
+    of an expensive join): ``|A∩B| ≤ shared_rare + min(common_A,
+    common_B)`` where shared_rare is the per-pair count of shared rare
+    shingles (it rides the candidate aggregation for free — groupBy-count
+    instead of distinct, same shuffle) and common_X = |X| − |rare_X| from
+    two tiny per-doc aggregates. Jaccard is monotone in the intersection,
+    so ``ub/(|A|+|B|−ub) < threshold`` proves the pair cannot reach the
+    final filter; dropping it cannot change the result. Near-dup corpora
+    prune ~99.9% of candidates here (blocking admits any pair sharing ONE
+    rare shingle; almost none survive exact verification), which removes
+    the array-payload joins and per-pair ``array_intersect`` for exactly
+    the pairs that would be discarded anyway.
     """
     from sids_data_pipeline_spark.operators.spread import spread_small_scan
 
     docs = spread_small_scan(docs)  # guide §2.5; no-op on wide scans
     sh = track(shingles(docs, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = sh.join(
-        df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    # rare feeds THREE consumers (both self-join sides + the per-doc
+    # rare-count); persisted, the df aggregate + broadcast build run once
+    rare = track(
+        sh.join(
+            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     l = rare.select(F.col("doc_id").alias("id1"), "shingle")
     r = rare.select(F.col("doc_id").alias("id2"), "shingle")
     cand = (
         l.join(r, "shingle")
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("_ri"))
     )
-    scored = jaccard_on_pairs(sh.withColumnRenamed("shingle", "token"), cand)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
+    rc = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_rc"))
+    stats = sizes.join(rc, "doc_id", "left").select(
+        "doc_id", "_sz", F.coalesce("_rc", F.lit(0)).alias("_rc")
+    )
+    s1 = stats.select(
+        F.col("doc_id").alias("id1"),
+        F.col("_sz").alias("_z1"),
+        (F.col("_sz") - F.col("_rc")).alias("_c1"),
+    )
+    s2 = stats.select(
+        F.col("doc_id").alias("id2"),
+        F.col("_sz").alias("_z2"),
+        (F.col("_sz") - F.col("_rc")).alias("_c2"),
+    )
+    ub = F.col("_ri") + F.least("_c1", "_c2")
+    # 1e-6 slack: the bound compare runs in doubles over exact integers
+    # ≤ ~1e6, absolute rounding error ≤ 1e-10 — the slack only ever lets
+    # a borderline pair THROUGH to exact verification, never drops one
+    pruned = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .filter(
+            ub
+            >= F.lit(float(threshold)) * (F.col("_z1") + F.col("_z2") - ub)
+            - F.lit(1e-6)
+        )
+        .select("id1", "id2")
+    )
+    scored = jaccard_on_pairs(sh.withColumnRenamed("shingle", "token"), pruned)
     return scored.filter(F.col("jaccard") >= threshold).select(
         "id1", "id2", F.round("jaccard", 6).alias("jaccard")
     )
