@@ -109,21 +109,24 @@ def connected_components(
         rounds_left -= 1
         msgs = sym.join(
             labels, sym["src"] == labels["node"], "inner"
-        ).select(F.col("dst").alias("node"), "label")
+        ).select(
+            F.col("dst").alias("node"),
+            "label",
+            F.lit(None).cast(labels.schema["label"].dataType).alias("_old"),
+        )
+        # the node's previous label rides the same min-aggregation (it is
+        # unique per node, so min(_old) recovers it exactly): the changed
+        # probe becomes a shuffle-free scan of the fresh checkpoint
+        # instead of a second join of two checkpointed label tables
         new_labels = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.col("label").alias("_old"))
             .union(msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("component"))
 
