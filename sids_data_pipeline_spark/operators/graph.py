@@ -221,26 +221,42 @@ def cobasket_edges(
     (parts in one order, tokens in one doc) become an edge (src < dst).
 
     Pair generation is quadratic in group size, so groups larger than
-    ``max_group_size`` are dropped BEFORE the self-join — the same
+    ``max_group_size`` are dropped BEFORE pairs are emitted — the same
     degenerate-bucket guard the LSH pipeline uses (dedup.py): one hot
     basket of 10^4 items would otherwise emit 10^8 pairs into the
     shuffle. The cap is part of the operator's contract (mirrored by the
     SQL oracle), not a silent truncation.
+
+    Shape (r14, guide §2.2 — shuffle less): ONE ``collect_set``
+    aggregation (map-side combined) builds each group's distinct item
+    set, the size cap filters the arrays, and the i<j pairs expand
+    JVM-side from the sorted array — replacing the former 5-shuffle
+    chain (distinct → size agg → semi-join → per-group self-join →
+    distinct) with groupBy + final distinct. The emitted edge set is
+    identical: pairs of a sorted distinct array under i<j are exactly
+    the item<item pairs of the old self-join.
     """
-    t = df.select(
-        F.col(group_col).alias("g"), F.col(item_col).alias("item")
-    ).distinct()
-    small = (
-        t.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("_sz"))
-        .filter(F.col("_sz") <= max_group_size)
-        .select("g")
-    )
-    t = t.join(small, "g", "left_semi")
-    a, b = t.alias("a"), t.alias("b")
+    # NULL faithfulness to the join form: NULL groups emitted no pairs
+    # (equi-join drops them), and a NULL item counted one distinct row
+    # toward the size cap without ever pairing. The i<j expansion is two
+    # chained codegen Generate nodes (posexplode + sliced explode) — the
+    # single-expression HOF form (array-of-structs + flatten) measured
+    # 1.6x slower interpreted.
     return (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.item") < F.col("b.item")))
-        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.array_sort(F.collect_set(item_col)).alias("_items"),
+            F.max(F.col(item_col).isNull().cast("int")).alias("_null"),
+        )
+        .filter(F.size("_items") + F.col("_null") <= max_group_size)
+        .select("_items", F.posexplode("_items").alias("_i", "src"))
+        .select(
+            "src",
+            F.explode(
+                F.expr("slice(_items, _i + 2, size(_items))")
+            ).alias("dst"),
+        )
         .distinct()
     )
 
@@ -252,13 +268,20 @@ def count_triangles(
     orientation — one row (n_nodes, n_edges, n_triangles).
 
     Every edge is oriented from its (degree, id)-smaller endpoint to the
-    larger one; each triangle then has exactly one node with two
-    out-edges, so the wedge join counts it exactly once. The orientation
-    bounds out-degree by O(√m) (a node of degree d keeps ≤ √(2m)
-    out-edges — any out-neighbor has degree ≥ d), which bounds the wedge
-    intermediate at O(m^1.5) regardless of skew: the hub node of a star
-    graph contributes ZERO wedges because all its edges point inward.
-    All joins are equi-joins on node ids; no Python, no collect.
+    larger one; the orientation is acyclic (degree-then-id is a total
+    order), so each triangle has exactly one source edge (u→v) whose
+    endpoints share the third node as a common OUT-neighbor:
+    ``n_triangles = Σ_{(u,v)∈oriented} |N⁺(u) ∩ N⁺(v)|``. The r14 shape
+    (guide §2.2 — shuffle fewer bytes) materializes per-node out-
+    adjacency arrays (one groupBy) and intersects them per edge with two
+    equi-joins — total shuffle O(m) adjacency entries, replacing the
+    explicit wedge join + closing semi-join whose intermediate is
+    O(m^1.5) rows (sf0.1: 41M wedges shuffled for 1.9M closures). The
+    orientation still bounds out-degree by O(√m) (a node of degree d
+    keeps ≤ √(2m) out-edges — any out-neighbor has degree ≥ d), so each
+    adjacency array is ≤ √(2m) entries regardless of skew: the hub of a
+    star graph keeps ZERO out-edges. All joins are equi-joins on node
+    ids; no Python, no collect.
     """
     from sids_data_pipeline_spark.lifecycle import track
 
@@ -275,11 +298,14 @@ def count_triangles(
     # tree explodes combinatorially (planaudit measured 146 Exchange
     # nodes unpersisted vs 7 persisted)
     e = track(e.persist())
-    deg = (
+    # deg feeds three consumers (both orientation joins + n_nodes):
+    # persisted, the union + aggregation runs once
+    deg = track(
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
@@ -293,19 +319,26 @@ def count_triangles(
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("deg_dst"),
     )
     oriented = track(oriented.persist())
-    e1 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("b"), F.col("deg_dst").alias("deg_b")
+    # out-adjacency arrays, ≤ √(2m) entries each by the degree bound;
+    # intersection size is order-insensitive so no sort is needed, and
+    # arrays are exact sets (e is distinct) so the distinct-semantics of
+    # array_intersect is the exact set intersection
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("_adj"))
+    au = adj.select(F.col("src"), F.col("_adj").alias("_au"))
+    av = adj.select(F.col("src").alias("dst"), F.col("_adj").alias("_av"))
+    per_edge = (
+        oriented.select("src", "dst")
+        .join(au, "src")
+        .join(av, "dst", "left")  # a sink node has no out-adjacency row
+        .select(
+            F.when(F.col("_av").isNull(), F.lit(0))
+            .otherwise(F.size(F.array_intersect("_au", "_av")))
+            .alias("_t")
+        )
     )
-    e2 = oriented.select(
-        F.col("src").alias("a"), F.col("dst").alias("c"), F.col("deg_dst").alias("deg_c")
+    n_tri = per_edge.agg(
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_triangles")
     )
-    wedges = e1.join(e2, "a").filter(
-        (F.col("deg_b") < F.col("deg_c"))
-        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
-    )
-    closing = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closing, ["b", "c"], "left_semi")
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
     n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
