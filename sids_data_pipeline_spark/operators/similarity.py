@@ -244,17 +244,30 @@ def quantized_vec(col: str | Column) -> Column:
     )
 
 
-def _quantize_col(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+def _quantize_col(
+    df: DataFrame, vec_col: str, out_col: str, nonzero_only: bool = False
+) -> DataFrame:
     """:func:`quantized_vec`'s math with ``_int_vec`` and the max-abs
     materialized ONCE as columns — the hot-path form. Higher-order-
     function lambdas get no common-subexpression elimination, so
     embedding the maxabs expression inside the per-element lambda (as
     the expression-building variant must) re-evaluates an O(d) max per
     element: O(d²) work per row, ~d× the quantization cost on real
-    embedding widths. Bound column references are slot reads."""
+    embedding widths. Bound column references are slot reads.
+
+    ``nonzero_only=True`` drops zero vectors HERE, on ``_ma > 0`` — the
+    exact equivalent of filtering the quantized self-dot (the max-abs
+    element quantizes to ±QUANT_LEVELS ≠ 0, so ``dot(q,q) > 0 ⟺
+    _ma > 0``) and the oracle's own ``maxabs > 0`` guard. Filtering the
+    self-dot downstream instead lets predicate pushdown substitute the
+    whole quantize+zip_with tree into an interpreted per-row Filter
+    below these projections (r14 plan read: the doubled CASE tree
+    evaluated the quantization ~8× per candidate row)."""
     df = df.withColumn("_ivq", _int_vec(vec_col)).withColumn(
         "_ma", F.array_max(F.transform(F.col("_ivq"), lambda x: F.abs(x)))
     )
+    if nonzero_only:
+        df = df.filter(F.col("_ma") > 0)
     quant = F.when(
         F.col("_ma") == 0,
         F.transform(F.col("_ivq"), lambda x: F.lit(0).cast("long")),
@@ -289,16 +302,14 @@ def topk_quantized(
     # Zero vectors have no direction: drop them on both sides (cosine is
     # undefined; the SQL oracle's maxabs > 0 guard makes the same cut).
     q = (
-        _quantize_col(queries, vec_col, "_qv")
+        _quantize_col(queries, vec_col, "_qv", nonzero_only=True)
         .select(F.col(id_col).alias("query_id"), "_qv")
         .withColumn("_qn", _dot(F.col("_qv"), F.col("_qv")))
-        .filter(F.col("_qn") > 0)
     )
     c = (
-        _quantize_col(candidates, vec_col, "_cv")
+        _quantize_col(candidates, vec_col, "_cv", nonzero_only=True)
         .select(F.col(id_col).alias("neighbor_id"), "_cv")
         .withColumn("_cn", _dot(F.col("_cv"), F.col("_cv")))
-        .filter(F.col("_cn") > 0)
     )
     joined = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -357,7 +368,12 @@ def cosine_pairs(
                 f"input exceeds {ALL_PAIRS_LIMIT} rows; pass a block_col "
                 "(IVF/LSH bucket, label) for the scale-safe equi-join path"
             )
-    e = with_norm(embeddings, vec_col).filter(F.col("_norm2") > 0)
+    # exists(x ≠ 0) ⟺ _norm2 > 0 exactly (sum of squares over integers),
+    # but survives predicate pushdown as ONE short-circuit pass instead
+    # of substituting the whole zip_with self-dot below the projections
+    e = with_norm(embeddings, vec_col).filter(
+        F.exists(F.col("_iv"), lambda x: x != F.lit(0))
+    )
     l = e.select(
         F.col(id_col).alias("id1"),
         F.col("_iv").alias("_v1"),
