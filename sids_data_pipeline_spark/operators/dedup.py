@@ -684,6 +684,9 @@ def minhash_band_table(
     batch): (doc_id, band_idx, band_val). Persist this next to the
     corpus; each new batch appends its own rows — the corpus is never
     re-shingled or re-signed."""
+    from sids_data_pipeline_spark.operators.spread import spread_small_scan
+
+    docs = spread_small_scan(docs)  # guide §2.5; no-op on wide scans
     tok = (
         shingles(docs, shingle_n, text_col, id_col).withColumnRenamed(
             "shingle", "token"
@@ -707,6 +710,7 @@ def near_duplicates_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """E2 incremental: near-duplicate pairs INVOLVING a new ingest batch
     against a corpus whose LSH index is already stored — the new batch
@@ -730,6 +734,12 @@ def near_duplicates_incremental(
 
     Output: (id1, id2, jaccard), id1 < id2, each pair touching ≥1 new doc.
     """
+    from sids_data_pipeline_spark.operators.spread import spread_small_scan
+
+    # a micro-batch typically arrives as one file → one partition; the
+    # shingle + k-hash map side would run on one core (guide §2.5; the
+    # helper is a no-op when the scan is already wide)
+    new_docs = spread_small_scan(new_docs)
     new_tok = (
         shingles(new_docs, shingle_n, text_col, id_col).withColumnRenamed(
             "shingle", "token"
@@ -737,8 +747,15 @@ def near_duplicates_incremental(
         if shingle_n is not None
         else tokens(new_docs, text_col, id_col)
     )
-    new_sig = minhash_signature(new_tok, num_hashes)
-    new_bands = banded_signature(new_sig, num_hashes, bands)
+    if new_bands is None:
+        new_bands = banded_signature(
+            minhash_signature(new_tok, num_hashes), num_hashes, bands
+        )
+    else:
+        # caller supplies the batch's band table (e.g. the streaming job
+        # persists the SAME table it appends to the ledger) — skip the
+        # second shingle+sign pass over the batch
+        new_bands = new_bands.select("doc_id", "band_idx", "band_val")
     stored = corpus_bands.select("doc_id", "band_idx", "band_val")
     union_bands = stored.unionByName(new_bands)
     if max_bucket is not None:

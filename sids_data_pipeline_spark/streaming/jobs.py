@@ -736,6 +736,12 @@ def streaming_near_dedup(
             old_bands = minhash_band_table(
                 batch.limit(0), text_col=text_col, id_col=id_col
             )
+        # ONE shingle+sign pass per batch: the band table appended to
+        # the ledger is the same table the probe needs, so build it
+        # once, persist it, and hand it to the operator
+        bt = minhash_band_table(
+            batch, text_col=text_col, id_col=id_col
+        ).persist()
         pairs = near_duplicates_incremental(
             batch,
             old_docs,
@@ -743,6 +749,7 @@ def streaming_near_dedup(
             threshold=threshold,
             text_col=text_col,
             id_col=id_col,
+            new_bands=bt,
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(out_dir, "pairs", f"batch={batch_id}")
@@ -750,9 +757,10 @@ def streaming_near_dedup(
         batch.write.mode("overwrite").parquet(
             os.path.join(docs_ledger, f"batch={batch_id}")
         )
-        minhash_band_table(batch, text_col=text_col, id_col=id_col).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(bands_ledger, f"batch={batch_id}"))
+        bt.write.mode("overwrite").parquet(
+            os.path.join(bands_ledger, f"batch={batch_id}")
+        )
+        bt.unpersist()
         batch.unpersist()
 
     q = (
