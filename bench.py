@@ -166,17 +166,63 @@ def _tail_queries(doc: dict) -> tuple[dict[str, float], str] | None:
     return None
 
 
+def _latest_driver_round() -> int:
+    """Highest N among the driver's BENCH_r{N}.json records — i.e. the
+    last COMPLETED round; the round currently running is N+1."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = 0
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
 def _previous_round(current_sf: float | str) -> tuple[str, dict[str, float], str] | None:
-    """Latest BENCH_r{N}.json with a recoverable per-query map AND a
+    """Latest bench record with a recoverable per-query map AND a
     matching scale factor, as (round label, per-query seconds, recovery
     source). The sf guard is the point (ADVICE/VERDICT r14): driver
     records carry the sf they ran at, and without the check an sf1.0
     run's delta_vs_prev subtracted the prior round's sf0.1 medians —
     numerically plausible, semantically garbage. A record whose sf is
     unrecoverable is skipped too: a delta against an unknown scale is
-    worse than no delta."""
+    worse than no delta.
+
+    Sources, in preference order at the same round (VERDICT r14 ask #2:
+    the driver's BENCH_r13.json kept only a truncated tail and the r14
+    PERF comparison came back empty):
+
+    1. ``BENCH_LOCAL_r{N}.json`` — the full output line this harness now
+       writes alongside stdout (never truncated). Only rounds at or
+       below the last completed driver round count: the current round's
+       own local record must not become its own baseline.
+    2. the driver's ``BENCH_r{N}.json`` ``parsed`` map;
+    3. tail recovery from the driver record's ~2000-byte fragment.
+    """
     here = os.path.dirname(os.path.abspath(__file__))
+    completed = _latest_driver_round()
     best_n, best, best_src = -1, None, ""
+
+    def consider(n: int, queries: dict[str, float] | None, src: str) -> None:
+        nonlocal best_n, best, best_src
+        if not queries:
+            return
+        # local full records beat driver-tail recovery at the same round
+        if n > best_n or (n == best_n and src == "local" and best_src != "local"):
+            best_n, best, best_src = n, queries, src
+
+    for path in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json")):
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) > completed:
+            continue
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+            if float(doc.get("sf")) != float(current_sf):
+                continue
+            consider(int(m.group(1)), doc.get("queries"), "local")
+        except Exception:
+            continue
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -204,10 +250,11 @@ def _previous_round(current_sf: float | str) -> tuple[str, dict[str, float], str
                 recovered = _tail_queries(doc)
                 if recovered:
                     queries, src = recovered
+                else:
+                    queries = None
+            consider(int(m.group(1)), queries, src)
         except Exception:
             continue
-        if queries and int(m.group(1)) > best_n:
-            best_n, best, best_src = int(m.group(1)), queries, src
     if best is None:
         return None
     return f"r{best_n:02d}", best, best_src
@@ -342,7 +389,24 @@ def main() -> None:
         out["ratio_excludes"] = sorted(
             k for k in oracle if k in ratio_exclude
         )
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Full local record (VERDICT r14 ask #2): the driver's BENCH_r{N}
+    # files keep only a ~2000-byte tail of this line, and round r14's
+    # PERF comparison came back empty because r13's tail was truncated
+    # mid-map. Writing the complete JSON next to the driver records —
+    # named for the round IN PROGRESS (last completed driver round + 1)
+    # — makes the next round's delta_vs_prev self-evidencing. Only the
+    # driver-identical sf0.1 invocation is recorded: ad-hoc scale runs
+    # (sf1.0 A/Bs) would otherwise shadow the comparable record.
+    try:
+        if float(out["sf"]) == 0.1:
+            here = os.path.dirname(os.path.abspath(__file__))
+            n = _latest_driver_round() + 1
+            with open(os.path.join(here, f"BENCH_LOCAL_r{n}.json"), "w") as fh:
+                fh.write(line + "\n")
+    except Exception as ex:
+        print(f"bench: local record write failed: {ex}", file=sys.stderr)
     spark.stop()
 
 

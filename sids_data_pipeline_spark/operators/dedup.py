@@ -752,9 +752,14 @@ def near_duplicates_incremental(
             minhash_signature(new_tok, num_hashes), num_hashes, bands
         )
     else:
-        # caller supplies the batch's band table (e.g. the streaming job
+        # Caller supplies the batch's band table (e.g. the streaming job
         # persists the SAME table it appends to the ledger) — skip the
-        # second shingle+sign pass over the batch
+        # second shingle+sign pass over the batch. HARD CONTRACT
+        # (ADVICE r14): the table must come from minhash_band_table with
+        # the SAME num_hashes/bands/shingle_n as ``corpus_bands`` — the
+        # args are NOT re-validated against it (checking band_idx
+        # cardinality would cost an extra aggregation job per micro-
+        # batch), and a mismatched table silently mis-buckets candidates.
         new_bands = new_bands.select("doc_id", "band_idx", "band_val")
     stored = corpus_bands.select("doc_id", "band_idx", "band_val")
     union_bands = stored.unionByName(new_bands)

@@ -853,6 +853,10 @@ def _stack_int_vecs(op: str, series, d: int):
 
     ivs = series.to_numpy()
     for v in ivs:
+        if v is None:
+            # the named refusal the pre-r14 raise_error projection had:
+            # len(None) would surface as an opaque TypeError (ADVICE r14)
+            raise ValueError(f"{op}: NULL embedding")
         if len(v) != d:
             raise ValueError(
                 f"{op}: embedding width {len(v)} != codebook width {d}"
@@ -1556,8 +1560,10 @@ def pca_transform(
     Null/width semantics match the old expression: a NULL vector or a
     width-mismatched vector yields an all-null projection array (the
     zip_with null-propagation result). A null ELEMENT inside a vector
-    surfaces as NaN rather than SQL NULL (Arrow erases the distinction
-    for float lists); no fixture or catalog input carries one."""
+    ALSO yields the all-null array, exactly like the JVM fold: numpy
+    maps the null to NaN, the multiply-add chain poisons every
+    component, and Arrow's NaN→null conversion on the return path
+    restores SQL NULL (pinned by test_pca_transform_null_semantics)."""
     import numpy as np
     import pandas as pd
 
@@ -1601,10 +1607,12 @@ def pca_transform(
             out[i] = [None] * k
         return pd.Series(out)
 
-    # real annotation objects: the module's string annotations (PEP 563)
-    # are unresolvable for pandas_udf's eval-type inference
-    _project.__annotations__ = {"vs": pd.Series, "return": pd.Series}
-    project = F.pandas_udf(_project, "array<double>")
+    # typed wrapper from a non-PEP563 module (ADVICE r14): pandas_udf
+    # needs resolved annotation objects for eval-type inference, and this
+    # module's string annotations can't provide them
+    from sids_data_pipeline_spark.functions.arrowudf import series_udf
+
+    project = series_udf(_project, "array<double>")
     return df.withColumn(out_col, project(F.col(vec_col)))
 
 

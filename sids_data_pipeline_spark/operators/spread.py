@@ -31,9 +31,14 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
+    from pyspark.errors import AnalysisException
+
     try:
         n = df.rdd.getNumPartitions()
-    except Exception:
+    except AnalysisException:
+        # the one expected shape: a plan that cannot be physically
+        # planned outside its intended sink (ADVICE r14 — a bare except
+        # here masked real analysis errors until the action)
         return df
     if n >= target:
         return df

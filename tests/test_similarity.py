@@ -379,6 +379,38 @@ def test_pca_ignores_null_vectors(spark):
     assert pca_fit(with_nulls, k=2) == pca_fit(emb, k=2)
 
 
+def test_pca_transform_null_semantics(spark):
+    """Pin pca_transform's null semantics (ADVICE r14): a NULL vector, a
+    width-mismatched vector, AND a vector with a null element all yield
+    the all-null projection array — identical to the r13 JVM zip_with
+    null propagation (the null element maps to numpy NaN, poisons every
+    component through the multiply-add chain, and Arrow's NaN→null
+    return conversion restores SQL NULL)."""
+    from sids_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    model = pca_fit(emb, k=2)
+    d = len(model["mean"])
+    odd = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, [0.5] * (d - 1)),  # width mismatch
+            (9003, [None] + [0.5] * (d - 1)),  # null element, right width
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.pc
+        for r in pca_transform(odd, model).select("vec_id", "pc").collect()
+    }
+    assert got[9001] == [None, None]
+    assert got[9002] == [None, None]
+    assert got[9003] == [None, None]
+
+
 def test_pq_encode_matches_numpy_argmin(spark, emb):
     """pq_encode's per-subspace nearest-codeword index equals the numpy
     argmin over the same integer micros domain, and topk_pq's ADC
