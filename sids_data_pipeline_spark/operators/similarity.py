@@ -753,19 +753,21 @@ def pq_fit(
     import numpy as np
     import pandas as pd
 
-    first = embeddings.select(vec_col).first()
-    if first is None:
-        raise ValueError("pq_fit: empty embeddings")
-    d = len(first[0])
-    if m < 1 or d % m:
-        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
-    sub = d // m
+    # width comes from the init collect itself (r15): a separate
+    # first() was one more driver job per fit — and every E3 gate,
+    # bench search row and streaming-ANN entry pays each fit job
     init_rows = (
         embeddings.orderBy(id_col)
         .limit(kc)
         .select(_int_vec(vec_col).alias("_iv"))
         .collect()
     )
+    if not init_rows:
+        raise ValueError("pq_fit: empty embeddings")
+    d = len(init_rows[0]._iv)
+    if m < 1 or d % m:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    sub = d // m
     if len(init_rows) < kc:
         raise ValueError(
             f"pq_fit: kc={kc} but the input has only {len(init_rows)} "
@@ -1143,9 +1145,18 @@ def ivf_pq_fit(
         id_col,
         F.transform(resid, lambda x: x.cast("double") / MICROS).alias(vec_col),
     )
-    books = pq_fit(
-        resid_df, m=m, kc=kc, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    # persist for the duration of the residual fit (r15, guide §5):
+    # pq_fit scans its input iters+1 times (init collect + one pass per
+    # Lloyd iteration) and each scan would otherwise re-evaluate the
+    # coarse-assignment + residual projection chain above; released
+    # before returning — fits must not leak cached blocks
+    resid_df = resid_df.persist()
+    try:
+        books = pq_fit(
+            resid_df, m=m, kc=kc, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    finally:
+        resid_df.unpersist()
     return centroids, books
 
 

@@ -200,3 +200,45 @@ def test_terrain_and_warp_plan_shapes(spark, sf_dir, catalog):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_verdict_helpers_match_anti_join_semantics(spark):
+    """The r15 one-pass gate verdicts must count exactly what the old
+    symmetric/asymmetric anti-joins counted, including NONZERO cases and
+    empty inputs (the passing-gate zero is pinned by every gate entry;
+    this pins the failure arithmetic the entries never exercise)."""
+    from pyspark.sql import functions as F
+
+    from sids_data_pipeline_spark.plans.ext_queries import (
+        _verdict_missing,
+        _verdict_sym_diff,
+    )
+
+    cols = ["q", "n"]
+    a = spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "q int, n int")
+    b = spark.createDataFrame([(1, 10), (2, 21), (3, 30)], "q int, n int")
+
+    def old_sym(x, y):
+        viol = x.join(y, cols, "left_anti").unionAll(
+            y.join(x, cols, "left_anti")
+        )
+        return viol.agg(F.count("*").alias("violations")).crossJoin(
+            x.agg((F.count("*") >= 1).alias("found_hits"))
+        )
+
+    def old_missing(x, y):
+        viol = x.join(y, cols, "left_anti")
+        return viol.agg(F.count("*").alias("violations")).crossJoin(
+            x.agg((F.count("*") >= 1).alias("found_hits"))
+        )
+
+    empty = a.limit(0)
+    for x, y in ((a, b), (a, a), (empty, b), (a, empty), (empty, empty)):
+        assert (
+            _verdict_sym_diff(x, y, cols).collect()
+            == old_sym(x, y).collect()
+        )
+        assert (
+            _verdict_missing(x, y, cols).collect()
+            == old_missing(x, y).collect()
+        )
