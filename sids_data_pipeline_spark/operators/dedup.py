@@ -428,13 +428,24 @@ def near_duplicates_ngram(
     docs = spread_small_scan(docs)  # guide §2.5; no-op on wide scans
     sh = track(shingles(docs, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    # rare feeds THREE consumers (both self-join sides + the per-doc
-    # rare-count); persisted, the df aggregate + broadcast build run once
-    rare = track(
+    # FLAG rarity instead of filtering to a separate rare table (r15,
+    # guide §2.4): the left join keeps every shingle row with a _r
+    # marker, so ONE doc-grouped aggregation below yields both the
+    # total size and the rare count — the former shape ran sizes and
+    # rc as separate aggregations (one over sh, one over rare) and
+    # joined them back. flagged feeds both self-join sides (filtered),
+    # the stats aggregate, and the verification arrays; persisted, the
+    # df aggregate + rarity join run once.
+    flagged = track(
         sh.join(
-            df_counts.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+            df_counts.filter(F.col("df") <= max_df).select(
+                "shingle", F.lit(1).alias("_r")
+            ),
+            "shingle",
+            "left",
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    rare = flagged.filter(F.col("_r") == 1).select("doc_id", "shingle")
     l = rare.select(F.col("doc_id").alias("id1"), "shingle")
     r = rare.select(F.col("doc_id").alias("id2"), "shingle")
     cand = (
@@ -443,10 +454,10 @@ def near_duplicates_ngram(
         .groupBy("id1", "id2")
         .agg(F.count(F.lit(1)).alias("_ri"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
-    rc = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_rc"))
-    stats = sizes.join(rc, "doc_id", "left").select(
-        "doc_id", "_sz", F.coalesce("_rc", F.lit(0)).alias("_rc")
+    # count(_r) counts the non-null flags — exactly the old rc, with
+    # the all-common doc's 0 falling out of the same aggregation
+    stats = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_sz"), F.count("_r").alias("_rc")
     )
     s1 = stats.select(
         F.col("doc_id").alias("id1"),
@@ -472,7 +483,10 @@ def near_duplicates_ngram(
         )
         .select("id1", "id2")
     )
-    scored = jaccard_on_pairs(sh.withColumnRenamed("shingle", "token"), pruned)
+    scored = jaccard_on_pairs(
+        flagged.withColumnRenamed("shingle", "token").select("doc_id", "token"),
+        pruned,
+    )
     return scored.filter(F.col("jaccard") >= threshold).select(
         "id1", "id2", F.round("jaccard", 6).alias("jaccard")
     )

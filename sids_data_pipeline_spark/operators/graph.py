@@ -97,12 +97,17 @@ def connected_components(
     ).union(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
-    sym = sym.distinct().localCheckpoint()
+    # non-eager checkpoints throughout (r15, guide §1 — job-count floor):
+    # every round already ends in a count() whose job materializes the
+    # round's checkpoint, so the eager form paid one extra driver-side
+    # job barrier per round (and two at setup) for nothing — the
+    # lineage truncation is identical once materialized
+    sym = sym.distinct().localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     rounds_left = max_iter
     for _ in range(min(PROPAGATE_ROUNDS, max_iter)):
@@ -123,7 +128,7 @@ def connected_components(
             .union(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels = new_labels.select("node", "label")
@@ -136,7 +141,7 @@ def connected_components(
         sym.select(F.col("src").alias("u"), F.col("dst").alias("v")).union(
             labels.select(F.col("node").alias("u"), F.col("label").alias("v"))
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     e_cnt = e.count()
     converged = False
     for _ in range(rounds_left):
@@ -164,7 +169,7 @@ def connected_components(
             .filter(F.col("u") != F.col("v"))
             .union(mins2.select("u", F.col("m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # converged ⟺ the round was a no-op on the (distinct) edge set.
         # Counts carry across rounds (one scan over the fresh checkpoint
