@@ -725,6 +725,7 @@ def near_duplicates_incremental(
     id_col: str = "doc_id",
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     new_bands: DataFrame | None = None,
+    new_tok: DataFrame | None = None,
 ) -> DataFrame:
     """E2 incremental: near-duplicate pairs INVOLVING a new ingest batch
     against a corpus whose LSH index is already stored — the new batch
@@ -750,17 +751,25 @@ def near_duplicates_incremental(
     """
     from sids_data_pipeline_spark.operators.spread import spread_small_scan
 
-    # a micro-batch typically arrives as one file → one partition; the
-    # shingle + k-hash map side would run on one core (guide §2.5; the
-    # helper is a no-op when the scan is already wide)
-    new_docs = spread_small_scan(new_docs)
-    new_tok = (
-        shingles(new_docs, shingle_n, text_col, id_col).withColumnRenamed(
-            "shingle", "token"
+    if new_tok is None:
+        # a micro-batch typically arrives as one file → one partition;
+        # the shingle + k-hash map side would run on one core (guide
+        # §2.5; the helper is a no-op when the scan is already wide)
+        new_docs = spread_small_scan(new_docs)
+        new_tok = (
+            shingles(new_docs, shingle_n, text_col, id_col).withColumnRenamed(
+                "shingle", "token"
+            )
+            if shingle_n is not None
+            else tokens(new_docs, text_col, id_col)
         )
-        if shingle_n is not None
-        else tokens(new_docs, text_col, id_col)
-    )
+    else:
+        # caller supplies the batch's token table (e.g. the streaming
+        # job persists ONE shingle pass and derives both the band table
+        # and this verification input from it). Same HARD CONTRACT as
+        # new_bands: it must be the shingle_n/text_col tokenization of
+        # new_docs — not re-validated.
+        new_tok = new_tok.select("doc_id", "token")
     if new_bands is None:
         new_bands = banded_signature(
             minhash_signature(new_tok, num_hashes), num_hashes, bands
@@ -803,7 +812,11 @@ def near_duplicates_incremental(
     r = union_bands.select(
         F.col("doc_id").alias("_n2"), "band_idx", "band_val"
     )
-    cand = (
+    # persisted: cand feeds BOTH the verification-id semi-join and the
+    # final pair scoring — un-persisted, the band-ledger equi-join +
+    # distinct (the probe over the ever-growing stored index) would
+    # re-execute per reference (r15, guide §5)
+    cand = track(
         l.join(r, ["band_idx", "band_val"])
         .filter(F.col("_n1") != F.col("_n2"))
         .select(
@@ -811,6 +824,7 @@ def near_duplicates_incremental(
             F.greatest("_n1", "_n2").alias("id2"),
         )
         .distinct()
+        .persist()
     )
     # verify tokens: the new batch's (already built) plus ONLY the
     # corpus docs that appear in a candidate pair

@@ -707,9 +707,13 @@ def streaming_near_dedup(
     from pyspark.sql import functions as F
 
     from sids_data_pipeline_spark.operators.dedup import (
+        banded_signature,
         minhash_band_table,
+        minhash_signature,
         near_duplicates_incremental,
+        shingles,
     )
+    from sids_data_pipeline_spark.operators.spread import spread_small_scan
 
     docs_ledger = os.path.join(out_dir, "_docs")
     bands_ledger = os.path.join(out_dir, "_bands")
@@ -736,12 +740,15 @@ def streaming_near_dedup(
             old_bands = minhash_band_table(
                 batch.limit(0), text_col=text_col, id_col=id_col
             )
-        # ONE shingle+sign pass per batch: the band table appended to
-        # the ledger is the same table the probe needs, so build it
-        # once, persist it, and hand it to the operator
-        bt = minhash_band_table(
-            batch, text_col=text_col, id_col=id_col
-        ).persist()
+        # ONE shingle pass per batch (r15): the persisted token table
+        # feeds the signature (→ band table, appended to the ledger AND
+        # probed) and the exact-Jaccard verification — the r14 shape
+        # shared only the band table, so the operator re-shingled the
+        # batch once more for verification
+        tok = shingles(
+            spread_small_scan(batch), 3, text_col, id_col
+        ).withColumnRenamed("shingle", "token").persist()
+        bt = banded_signature(minhash_signature(tok)).persist()
         pairs = near_duplicates_incremental(
             batch,
             old_docs,
@@ -750,7 +757,12 @@ def streaming_near_dedup(
             text_col=text_col,
             id_col=id_col,
             new_bands=bt,
+            new_tok=tok,
         )
+        # sequential sinks, deliberately: overlapping these three writes
+        # from driver threads (guide §2.6) measured 8.0 -> 11.9 s on the
+        # whole entry — the pair job's tiny tasks and the thread-side
+        # py4j/GIL contention cost more than the two saved job floors
         pairs.write.mode("overwrite").parquet(
             os.path.join(out_dir, "pairs", f"batch={batch_id}")
         )
@@ -761,6 +773,7 @@ def streaming_near_dedup(
             os.path.join(bands_ledger, f"batch={batch_id}")
         )
         bt.unpersist()
+        tok.unpersist()
         batch.unpersist()
 
     q = (
