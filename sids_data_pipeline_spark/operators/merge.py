@@ -251,7 +251,18 @@ def refresh_aggregate(
     """
     from functools import reduce as _reduce
 
-    diff = snapshot_diff(old_facts, new_facts, id_keys)
+    from sids_data_pipeline_spark.lifecycle import track
+
+    # persist the change set (r15, guide §5): the diff's full-outer
+    # digest join over BOTH fact snapshots feeds the retract AND the
+    # insert semi-joins below — un-persisted, the whole diff re-executed
+    # per reference. The cached frame is (id keys, change): change-set-
+    # sized by the operator's own scale contract, never payload bytes.
+    diff = track(
+        snapshot_diff(old_facts, new_facts, id_keys)
+        .select(*id_keys, "change")
+        .persist()
+    )
     id_keys = list(id_keys)
 
     def _semi(facts: DataFrame, changes: Sequence[str]) -> DataFrame:
