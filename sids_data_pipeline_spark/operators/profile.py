@@ -36,18 +36,39 @@ def profile_table(
     one schema; ``rsd`` is the HLL relative error when ``approx``.
     """
     cols = list(cols or df.columns)
-    agg_exprs = [F.count(F.lit(1)).alias("_n")]
+    base_exprs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
-        distinct = (
-            F.approx_count_distinct(c, rsd) if approx else F.count_distinct(F.col(c))
-        )
-        agg_exprs += [
+        base_exprs += [
             F.count(c).alias(f"_nn_{i}"),
-            distinct.alias(f"_d_{i}"),
             F.min(c).cast("string").alias(f"_min_{i}"),
             F.max(c).cast("string").alias(f"_max_{i}"),
         ]
-    row = df.agg(*agg_exprs)
+    if approx:
+        # HLL sketches merge in the partial-agg combine — one pass for
+        # everything, no Expand
+        row = df.agg(
+            *base_exprs,
+            *[
+                F.approx_count_distinct(c, rsd).alias(f"_d_{i}")
+                for i, c in enumerate(cols)
+            ],
+        )
+    else:
+        # exact mode: keep the n-way count_distinct EXPAND away from the
+        # plain aggregates (r15, measured 4.4 s -> 1.9 s at sf0.1, same
+        # rows). Mixing them makes Spark evaluate every count/min/max
+        # over the (n_cols+1)-fold expanded rows too; split, the plain
+        # pass scans once un-expanded and the distinct pass expands only
+        # its own n-way copies — same total expanded rows, one extra
+        # scan, one-row crossJoin to re-attach.
+        row = df.agg(*base_exprs).crossJoin(
+            df.agg(
+                *[
+                    F.count_distinct(F.col(c)).alias(f"_d_{i}")
+                    for i, c in enumerate(cols)
+                ]
+            )
+        )
     entries = [
         F.struct(
             F.lit(c).alias("col_name"),
