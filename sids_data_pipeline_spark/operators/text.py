@@ -1423,9 +1423,15 @@ def gopher_rules(
     columns never make a NULL verdict.
 
     Scale shape: pure column expressions over one scan — no shuffle, no
-    Python, whole-stage codegen end to end; at 100 TB this is the
-    cheapest possible operator class (scan-bound, trivially partition-
-    parallel). The reference has no text path; mandated by
+    Python; at 100 TB this is the cheapest possible operator class
+    (scan-bound, trivially partition-parallel). STAGED projections
+    (r15, guide §1.6 — the pq_encode pattern): the word and line arrays
+    are interpreted higher-order expressions with no cross-column
+    subexpression elimination, and the single-Project form re-evaluated
+    the word split ~11× per row (size, alpha filter, 8 required-word
+    probes) and the line split 3×; materializing each array once in an
+    intermediate projection measured 1.6 → 0.95 s at sf0.1 with
+    identical output. The reference has no text path; mandated by
     BASELINE.json north_star.
 
     Output: (doc_id, n_words, mean_word_len_micros, symbol_ratio_micros,
@@ -1434,12 +1440,6 @@ def gopher_rules(
     """
     lt = F.lower(F.col(text_col))
     words = F.filter(F.split(lt, WS_REGEX), lambda w: w != "")
-    n_words = F.size(words)
-    # non-whitespace character total: one regexp_replace, same
-    # formulation as token_stats' avg_word_len
-    n_nonws = F.length(F.regexp_replace(F.col(text_col), WS_REGEX, ""))
-    n_hash = _count_matches(F.col(text_col), r"#")
-    n_ellipsis = _count_matches(F.col(text_col), r"\.\.\.")
     # lines: newline split, trimmed of horizontal whitespace, empties
     # dropped from BOTH numerator and denominator
     lines = F.filter(
@@ -1449,26 +1449,45 @@ def gopher_rules(
         ),
         lambda l: l != "",
     )
-    n_lines = F.size(lines)
-    n_bullet = F.size(
-        F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+    # stage 1: arrays + text-level counts, each evaluated once per row.
+    # n_nonws is one regexp_replace, same formulation as token_stats'
+    # avg_word_len; hash/ellipsis are the paper's symbol proxies.
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.regexp_replace(F.col(text_col), WS_REGEX, "")).alias("_nn"),
+        _count_matches(F.col(text_col), r"#").alias("_nh"),
+        _count_matches(F.col(text_col), r"\.\.\.").alias("_nel"),
+        words.alias("_w"),
+        lines.alias("_l"),
     )
-    n_ell_end = F.size(
-        F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    # stage 2: per-array counts (each reads the materialized array)
+    counts = staged.select(
+        "doc_id",
+        "_nn",
+        "_nh",
+        "_nel",
+        F.size("_w").alias("_nw"),
+        F.size(F.col("_l")).alias("_nl"),
+        F.size(F.filter(F.col("_l"), lambda l: l.rlike(r"^[-*•]"))).alias("_nb"),
+        F.size(
+            F.filter(F.col("_l"), lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).alias("_nee"),
+        F.size(F.filter(F.col("_w"), lambda w: w.rlike("[a-z]"))).alias("_na"),
+        sum(
+            F.array_contains(F.col("_w"), w).cast("int")
+            for w in GOPHER_REQUIRED_WORDS
+        ).alias("_nr"),
     )
-    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
-    n_required = sum(
-        F.array_contains(words, w).cast("int")
-        for w in GOPHER_REQUIRED_WORDS
-    )
+    n_words = F.col("_nw")
+    n_lines = F.col("_nl")
     ratio = lambda num, den: F.when(  # noqa: E731
         den > 0, F.round(num.cast("double") / den * MICROS, 0).cast("long")
     )
-    mean_wl = ratio(n_nonws, n_words)
-    sym = ratio(n_hash + n_ellipsis, n_words)
-    bullet = ratio(n_bullet, n_lines)
-    ell = ratio(n_ell_end, n_lines)
-    alpha = ratio(n_alpha_words, n_words)
+    mean_wl = ratio(F.col("_nn"), n_words)
+    sym = ratio(F.col("_nh") + F.col("_nel"), n_words)
+    bullet = ratio(F.col("_nb"), n_lines)
+    ell = ratio(F.col("_nee"), n_lines)
+    alpha = ratio(F.col("_na"), n_words)
     keep = (
         n_words.between(50, 100_000)
         & mean_wl.between(3 * MICROS, 10 * MICROS)
@@ -1476,17 +1495,17 @@ def gopher_rules(
         & (bullet <= int(0.9 * MICROS))
         & (ell <= int(0.3 * MICROS))
         & (alpha >= int(0.8 * MICROS))
-        & (n_required >= 2)
+        & (F.col("_nr") >= 2)
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return counts.select(
+        "doc_id",
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len_micros"),
         sym.alias("symbol_ratio_micros"),
         bullet.alias("bullet_line_frac_micros"),
         ell.alias("ellipsis_line_frac_micros"),
         alpha.alias("alpha_word_frac_micros"),
-        n_required.cast("int").alias("n_required_words"),
+        F.col("_nr").cast("int").alias("n_required_words"),
         F.coalesce(keep, F.lit(False)).alias("keep"),
     )
 
