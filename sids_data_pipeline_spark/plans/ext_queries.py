@@ -232,23 +232,31 @@ def _streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from sids_data_pipeline_spark.streaming.jobs import stream_stream_attribution
+    from sids_data_pipeline_spark.streaming.jobs import (
+        data_batches_only,
+        stream_stream_attribution,
+    )
 
     work = tempfile.mkdtemp(prefix="sdp_stream_attr_")
     stream = _stage_events_stream(spark, sf_dir, work)
     clicks = stream.filter(F.col("event_type") == "click")
     purchases = stream.filter(F.col("event_type") == "purchase")
     sink = os.path.join(work, "out")
-    q = (
-        stream_stream_attribution(clicks, purchases)
-        .writeStream.format("parquet")
-        .option("path", sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # inner-join matches emit on arrival (watermark is state-cleanup
+    # only), so the drain's trailing no-data micro-batch — a full
+    # O(state) pass over every join state store — produces nothing;
+    # skip it (streaming/jobs.data_batches_only)
+    with data_batches_only(spark):
+        q = (
+            stream_stream_attribution(clicks, purchases)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(sink).select(
         "user_id", "click_id", "purchase_id",
         "click_ts_us", "purchase_ts_us", "value_cents",
@@ -401,6 +409,7 @@ def _streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from sids_data_pipeline_spark.streaming.jobs import (
+        data_batches_only,
         run_available_now,
         watermarked_dedup_stream,
     )
@@ -413,7 +422,13 @@ def _streaming_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("user_id", "event_type"),
         watermark="1 hour",
     ).select("user_id", "event_type")
-    run_available_now(out, name, os.path.join(work, "ckpt"), output_mode="append")
+    # dropDuplicatesWithinWatermark emits survivors in their arrival
+    # batch; the trailing no-data micro-batch only expires state the
+    # drain-and-stop discards — skip it (data_batches_only)
+    with data_batches_only(spark):
+        run_available_now(
+            out, name, os.path.join(work, "ckpt"), output_mode="append"
+        )
     return spark.table(name)
 
 

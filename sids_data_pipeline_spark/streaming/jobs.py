@@ -22,10 +22,54 @@ event time, not arrival time.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sids_data_pipeline_spark.schemas import EVENTS
+
+
+@contextmanager
+def data_batches_only(spark: SparkSession):
+    """Skip the trailing ZERO-ROW micro-batch on a drain-and-stop run.
+
+    After the last data batch of a watermarked stream, Spark runs one
+    extra no-data micro-batch purely to advance the watermark and evict
+    state (``spark.sql.streaming.noDataMicroBatches.enabled``, default
+    on). That batch executes the FULL stateful plan — every state-store
+    partition loads, scans for eviction, and commits — so it costs
+    O(buffered state) with zero input and zero output, and on a
+    Trigger.AvailableNow drain the query stops right after it, throwing
+    the eviction work away with the checkpoint.
+
+    ONLY safe when every sink row is emitted on the data batch that
+    produced it — inner stream-stream joins (matches emit on arrival;
+    the watermark is state-cleanup-only per the Structured Streaming
+    contract), ``dropDuplicatesWithinWatermark`` (survivors emit in
+    their arrival batch), and ``applyInPandasWithState`` with
+    ``NoTimeout`` (the function never runs without input). It is WRONG
+    for append-mode watermarked aggregations / session windows / outer
+    joins, whose results emit only when the watermark passes — those
+    need the no-data batch and must not use this context.
+
+    The conf is captured by the cloned per-query session at ``start()``,
+    so the context must wrap the start; it restores the previous value
+    on exit either way.
+    """
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def stream_events(

@@ -250,6 +250,56 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
     assert len(want) > 0 and got == want
 
 
+def test_data_batches_only_join_parity_and_conf_restore(
+    spark, events_dir, tmp_path
+):
+    """Skipping the trailing no-data micro-batch (data_batches_only)
+    must not change an inner stream-stream join's output — matches emit
+    on arrival even across MULTIPLE micro-batches (maxFilesPerTrigger=2
+    over the 4-file stage), because the watermark is state-cleanup-only
+    for inner joins. Also pins that the context restores the session
+    conf on exit."""
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    before = spark.conf.get(key)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    s_clicks, s_purchases = split(
+        jobs.stream_events(spark, events_dir, max_files_per_trigger=2)
+    )
+    sink = str(tmp_path / "nb_out")
+    with jobs.data_batches_only(spark):
+        assert spark.conf.get(key) == "false"
+        q = (
+            jobs.stream_stream_attribution(s_clicks, s_purchases)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "nb_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    assert spark.conf.get(key) == before
+
+    got = {
+        (r.click_id, r.purchase_id): (r.user_id, r.value_cents)
+        for r in spark.read.parquet(sink).collect()
+    }
+    b_clicks, b_purchases = split(spark.read.parquet(events_dir))
+    want = {
+        (r.click_id, r.purchase_id): (r.user_id, r.value_cents)
+        for r in jobs.stream_stream_attribution(b_clicks, b_purchases).collect()
+    }
+    assert len(want) > 0 and got == want
+
+
 def test_cdc_upsert_across_batches_with_tombstone(spark, tmp_path):
     """Insert batch, then update+delete batch in a SECOND drain: the
     state table must show updates applied, tombstoned keys gone, and
