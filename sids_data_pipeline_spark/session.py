@@ -39,6 +39,18 @@ def get_spark(
     - Arrow enabled for pandas UDFs and createDataFrame/toPandas.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    # File listing (guide §6): Spark flips to a DISTRIBUTED listing job
+    # above spark.sql.sources.parallelPartitionDiscovery.threshold paths
+    # (default 32). A listing job costs a full scheduler round trip —
+    # measured 2-6 s each here, and drop-folder streaming sources pay
+    # THREE per micro-batch (source init, latestOffset, getBatch). Below
+    # ~10k paths the driver stats the files faster on any filesystem
+    # (one object-store LIST page is 1000 keys); above it the
+    # distributed path keeps its large-estate win, so deployments with
+    # million-file tables can lower this via env.
+    list_threshold = os.environ.get(
+        "SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "10000"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -64,6 +76,10 @@ def get_spark(
         # silently disable them.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            list_threshold,
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -98,6 +114,7 @@ def get_spark(
         # too, not just fresh builds (both are runtime-mutable)
         "spark.sql.parquet.filterPushdown": "true",
         "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": list_threshold,
         **(extra_conf or {}),
     }
     for k, v in runtime.items():
