@@ -164,28 +164,43 @@ def run_pipeline(
     Externally supplied frames are filtered to the PENDING ids, so the
     incremental skip prunes their scan too.
     """
-    ledger_path = os.path.join(out_dir, "_ledger")
-    vectors = spark.createDataFrame([(v,) for v in vector_ids], "id string")
-    rasters = spark.createDataFrame([(r,) for r in raster_ids], "id string")
+    from collections import namedtuple
 
-    pairs = manifest.work_pairs(vectors, rasters)
+    ledger_path = os.path.join(out_dir, "_ledger")
+
+    # The manifest is driver-sized BY CONSTRUCTION — ids arrive as Python
+    # lists and the pending set was always collect()ed below — so the
+    # cross product and the ledger anti-set run in plain Python (the
+    # reference's own double loop, data.py:30-39) instead of a crossJoin
+    # job + an anti-join job per run (r15, guide §1: two scheduler round
+    # trips per invocation for frames of a few rows; the distributed
+    # shapes stay available as operators/manifest.work_pairs /
+    # pending_pairs for estate-scale manifests).
+    Pair = namedtuple("Pair", ("v_id", "r_id", "pair_key"))
+    all_pairs = [
+        Pair(v, r, f"{v}_{r}") for v in vector_ids for r in raster_ids
+    ]
     # the reference's {v}_{r} key format (data.py:33) is ambiguous when
     # ids themselves contain underscores — detect a collision up front
     # rather than letting two pairs overwrite one output directory
-    keys = [r.pair_key for r in pairs.select("pair_key").collect()]
+    keys = [p.pair_key for p in all_pairs]
     if len(set(keys)) != len(keys):
         dupes = sorted({k for k in keys if keys.count(k) > 1})
         raise ValueError(
             f"ambiguous pair keys {dupes}: underscore-joined ids collide "
             "(reference data.py:33 key format); rename the inputs"
         )
-    done = manifest.read_ledger(spark, ledger_path)
-    pending = manifest.pending_pairs(pairs, done)
+    # the ledger itself is completed-pair-sized (same magnitude): one
+    # small read when it exists, no job at all on a fresh estate
+    done_set = {
+        (r.v_id, r.r_id)
+        for r in manifest.read_ledger(spark, ledger_path).collect()
+    }
     # second P6 guard, the reference's own probe (data.py:33-35): a pair
     # whose tileset marker exists is complete even if the ledger was
     # lost. ONE recursive marker listing replaces the former per-pair
     # existence probe — constant filesystem round-trips vs pair count.
-    all_pending = pending.collect()  # pair manifest: tiny by construction
+    all_pending = [p for p in all_pairs if (p.v_id, p.r_id) not in done_set]
     # nothing pending → skip even the single listing
     complete_keys = tiles.tileset_markers(out_dir) if all_pending else set()
     pending_rows, marker_done = [], []
