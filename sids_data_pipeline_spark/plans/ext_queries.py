@@ -2283,7 +2283,15 @@ def _similarity_ivf_pq_refine_gate(spark: SparkSession, sf_dir: str) -> DataFram
       the plain IVF-PQ top-k's EXACT distance sum for the same query
       (re-rank can only improve the exact metric over the same-or-
       smaller candidate pool; a refine stage that loses to its own
-      shortlist stage is broken)."""
+      shortlist stage is broken).
+
+    Leg sharing (VERDICT r14 ask #4) stops at the persisted ``enc``:
+    the dominance pin compares the refined and the plain retrievals as
+    two INDEPENDENT paths over the same index, so their shortlists must
+    not be shared — a reused shortlist would make "refine ≤ plain" true
+    by construction and the pin vacuous. The exactness leg's ``full``
+    (kprime=n) shortlist is the whole corpus and shares nothing with
+    the operating-point legs by definition."""
     (emb,) = tables(spark, sf_dir, "embeddings")
     n = emb.count()
     kcoarse = 4
